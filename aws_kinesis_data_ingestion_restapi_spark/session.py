@@ -1,0 +1,63 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local tests run on ``local[$SPARK_GRAFT_CPUS]`` (default 32 threads in
+one JVM), but every config here is chosen to also make sense on a
+1000-executor cluster: AQE on (runtime coalescing + skew-join
+handling), shuffle partitions sized to the parallelism, UTC session
+timezone (so results compare bit-exact against the DuckDB oracle,
+which is UTC-naive), and Arrow enabled for the few Pandas-UDF paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _cpus() -> int:
+    try:
+        return max(1, int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    except ValueError:
+        return 32
+
+
+def get_spark(
+    app_name: str = "aws-kinesis-data-ingestion-restapi-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    ``shuffle_partitions`` defaults to the local core count; on a real
+    cluster you would set it (or rely on AQE coalescing, which is
+    enabled) to ~2-3× total executor cores.
+    """
+    cpus = _cpus()
+    builder = (
+        SparkSession.builder.master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
+        .appName(app_name)
+        # AQE: runtime partition coalescing, skew-join splitting, and
+        # dynamic join-strategy switching. Essential at 100 TB where
+        # static planning misguesses sizes.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        # Deterministic oracle comparison: DuckDB timestamps are
+        # UTC-naive; pin Spark to UTC so date/timestamp values match.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for pandas_udf / mapInPandas / toPandas paths.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Snappy parquet like the reference (terraform/variables.tf:56-60).
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        # Local mode: don't let tiny test tables trigger giant broadcasts
+        # of the wrong side; 64 MB is a sane cluster-ish default too.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.streaming.schemaInference", "false")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()

@@ -1,0 +1,75 @@
+"""Order-event sources: envelope decode, batch + streaming readers.
+
+The reference's ingest head is ``base64 → utf-8 → json.loads`` at the
+top of every consumer (e.g. lambda_kinesis_consumer:27,
+lambda_orders_transformation:17-18). Here that is one declarative
+expression — ``from_json(unbase64(Data), ORDER_EVENT_SCHEMA)`` — which
+stays JVM-side inside whole-stage codegen (no Python UDF).
+
+Malformed payloads do NOT kill the query: ``from_json`` is PERMISSIVE
+(null struct on parse failure), matching the reference's contract that
+bad records divert to an ``errors/`` prefix (terraform/main.tf:676)
+rather than failing the pipeline. Use ``split_corrupt`` to route them.
+
+In production the source would be the Kinesis connector
+(``spark.readStream.format("aws-kinesis")``) or Kafka — a config swap;
+the decode below is source-agnostic because it operates on the payload
+column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_kinesis_data_ingestion_restapi_spark.schema import ENVELOPE_SCHEMA, ORDER_EVENT_SCHEMA
+
+
+def decode_envelope(envelopes: DataFrame, data_col: str = "Data") -> DataFrame:
+    """Decode ``{StreamName, PartitionKey, Data(b64 JSON)}`` rows into
+    typed order-event rows (SURVEY §2 S4).
+
+    Output: the 7 ORDER_EVENT_SCHEMA columns plus ``_raw`` (the decoded
+    JSON string, kept for error routing; drop it with ``split_corrupt``).
+    """
+    raw = F.unbase64(F.col(data_col)).cast("string")
+    parsed = F.from_json(raw, ORDER_EVENT_SCHEMA)
+    return envelopes.select(parsed.alias("event"), raw.alias("_raw")).select(
+        "event.*", "_raw"
+    )
+
+
+def split_corrupt(decoded: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split decoded events into (good, corrupt) — the error-quarantine
+    contract (SURVEY §2 E1). A record is corrupt when JSON parsing
+    failed entirely or the required key fields are missing (the
+    reference's Lambdas would KeyError → Firehose error prefix).
+    """
+    is_bad = F.col("order_id").isNull() | F.col("customer_id").isNull()
+    good = decoded.filter(~is_bad).drop("_raw")
+    bad = decoded.filter(is_bad).select(
+        F.col("_raw").alias("raw_payload"),
+        F.lit("ProcessingFailed").alias("result"),  # Firehose status vocab (T9)
+        F.current_timestamp().alias("error_ts"),
+    )
+    return good, bad
+
+
+def read_envelope_json(spark: SparkSession, path: str) -> DataFrame:
+    """Batch-read NDJSON envelope files and decode to order events."""
+    return decode_envelope(spark.read.schema(ENVELOPE_SCHEMA).json(path))
+
+
+def read_envelope_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming file source of NDJSON envelopes → decoded order events.
+
+    Stands in for the Kinesis connector in tests (micro-batching via
+    ``maxFilesPerTrigger`` ~ the reference's batch_size/window knobs,
+    terraform/main.tf:271-279).
+    """
+    reader = spark.readStream.schema(ENVELOPE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return decode_envelope(reader.json(path))

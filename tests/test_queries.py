@@ -1,0 +1,108 @@
+"""The 5 reference queries vs an independent plain-Python oracle,
+plus the full batch pipeline (write → catalog → SQL) round trip."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pytest
+
+from aws_kinesis_data_ingestion_restapi_spark import queries as Q
+from aws_kinesis_data_ingestion_restapi_spark.catalog import register_derived_tables
+from aws_kinesis_data_ingestion_restapi_spark.operators.transforms import derive_all_tables
+from aws_kinesis_data_ingestion_restapi_spark.sinks import write_partitioned
+
+
+@pytest.fixture(scope="module")
+def tables(events_df):
+    t = derive_all_tables(events_df)
+    for df in t.values():
+        df.cache()
+    return t
+
+
+def _python_oracle(events):
+    sales_by_country = defaultdict(float)
+    income_by_payment = defaultdict(float)
+    qty_by_name = defaultdict(int)
+    amounts = []
+    for ev in events:
+        amt = ev["purchaise_details"]["amount"]
+        amounts.append(amt)
+        sales_by_country[ev["shipping_address"]["country"]] += amt
+        income_by_payment[ev["purchaise_details"]["payment_type"]] += amt
+        for p in ev["product_details"]:
+            qty_by_name[p["name"]] += p["quantity"]
+    return sales_by_country, income_by_payment, qty_by_name, amounts
+
+
+def test_total_sales_per_country(tables, events_raw):
+    want, _, _, _ = _python_oracle(events_raw)
+    got = {r["country"]: r["total_sales"]
+           for r in Q.q_total_sales_per_country(
+               tables["purchase_details"], tables["shipping_addresses"]).collect()}
+    assert set(got) == set(want)
+    for c in want:
+        assert abs(got[c] - want[c]) < 1e-6
+
+
+def test_average_order_value(tables, events_raw):
+    _, _, _, amounts = _python_oracle(events_raw)
+    got = Q.q_average_order_value(tables["purchase_details"]).first()
+    assert abs(got["average_order_value"] - sum(amounts) / len(amounts)) < 1e-9
+
+
+def test_total_income_per_payment_method_sorted_desc(tables, events_raw):
+    _, want, _, _ = _python_oracle(events_raw)
+    rows = Q.q_total_income_per_payment_method(tables["purchase_details"]).collect()
+    got = {r["payment_type"]: r["total_income"] for r in rows}
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-6
+    vals = [r["total_income"] for r in rows]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_most_sales_products_groups_by_name(tables, events_raw):
+    _, _, want, _ = _python_oracle(events_raw)
+    got = {r["name"]: r["total_quantity_sold"]
+           for r in Q.q_most_sales_products(tables["product_details"]).collect()}
+    assert got == dict(want)
+
+
+def test_order_and_client_details(tables, events_raw):
+    rows = Q.q_order_and_client_details(
+        tables["orders"], tables["shipping_addresses"]).collect()
+    assert len(rows) == len(events_raw)  # 1-1 join is loss-less
+    assert len(rows[0].asDict()) == 9
+
+
+def test_full_pipeline_write_catalog_sql(spark, events_df, events_raw, tmp_path):
+    """Build slice end-to-end: derive → partitioned parquet → register →
+    run the SQL form of every reference query (SURVEY §7.1 step 2-3)."""
+    base = str(tmp_path / "warehouse")
+    tables = derive_all_tables(events_df, with_partitions=True)
+    for name, df in tables.items():
+        write_partitioned(df, f"{base}/{name}", table=name, mode="overwrite")
+    registered = register_derived_tables(spark, base)
+    assert set(registered) == {"orders", "product_details",
+                               "shipping_addresses", "purchase_details"}
+    want_country, want_pay, want_name, amounts = _python_oracle(events_raw)
+
+    got = {r["country"]: r["total_sales"]
+           for r in spark.sql(Q.REFERENCE_SQL["total_sales_per_country"]).collect()}
+    for c in want_country:
+        assert abs(got[c] - want_country[c]) < 1e-6
+
+    avg = spark.sql(Q.REFERENCE_SQL["average_order_value"]).first()
+    assert abs(avg["average_order_value"] - sum(amounts) / len(amounts)) < 1e-9
+
+    got_name = {r["name"]: r["total_quantity_sold"]
+                for r in spark.sql(Q.REFERENCE_SQL["most_sales_products"]).collect()}
+    assert got_name == dict(want_name)
+
+    details = spark.sql(Q.REFERENCE_SQL["order_and_client_details"])
+    assert details.count() == len(events_raw)
+    # partition columns materialized in layout AND queryable (unlike Glue ref)
+    assert spark.sql(
+        "SELECT DISTINCT month FROM purchase_details ORDER BY month"
+    ).count() >= 1
