@@ -1,0 +1,211 @@
+"""Analytics over the driver testdata: nested-event construction from
+TPC-H-ish tables + the general query surface.
+
+``build_order_events`` maps the TPC-H star schema into the reference's
+nested order-event shape (orders ⋈ customer ⋈ nation for the scalar and
+struct fields; lineitem ⋈ part collected into the ``product_details``
+array). This lets the driver's correctness gate exercise the REAL
+pipeline operators (struct build → flatten, array collect → explode,
+ISO-string timestamp round trip) while the DuckDB oracle checks the
+flat equivalent with plain SQL.
+
+Scale notes: the only wide shuffle is the groupBy-collect_list per
+order (unavoidable for array construction — it IS the operator). The
+``part`` dim is broadcast. Everything else is projection-only and
+stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType
+
+from aws_kinesis_data_ingestion_restapi_spark.schema import PRODUCT_STRUCT
+from aws_kinesis_data_ingestion_restapi_spark.functions.exact import (
+    charge_expr,
+    davg,
+    disc_price_expr,
+    dsum,
+    nanos_ts,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def build_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One nested order-event per TPC-H order (ORDER_EVENT_SCHEMA shape).
+
+    Field mapping (documented so the oracle SQL in registry.py can
+    replicate the flat equivalents):
+      customer_id       = cast(o_custkey as string)
+      order_id          = cast(o_orderkey as string)
+      order_date        = ISO-8601 of o_orderdate + "Z"
+      status            = o_orderstatus
+      shipping_address  = (street=c_name, city=c_mktsegment,
+                           state=cast(c_nationkey), zip=cast(c_custkey),
+                           country=n_name)
+      purchaise_details = (payment_type=o_orderpriority,
+                           amount=o_totalprice, currency='USD',
+                           instalments=o_orderkey % 13 + 1)
+      product_details[] = per lineitem: (product_id=cast(l_partkey),
+                           name=p_name, quantity=int(l_quantity),
+                           item_details=(color=l_returnflag,
+                                         size=l_linestatus))
+    """
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+
+    products = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("l_partkey").cast("string").alias("product_id"),
+                    F.col("p_name").alias("name"),
+                    F.col("l_quantity").cast("int").alias("quantity"),
+                    F.struct(
+                        F.col("l_returnflag").alias("color"),
+                        F.col("l_linestatus").alias("size"),
+                    ).alias("item_details"),
+                )
+            ).alias("product_details")
+        )
+    )
+
+    enriched = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    )
+
+    # LEFT join: an order with no lineitems still produces an event
+    # (empty product array) — explode() later drops the empty arrays,
+    # matching the flat lineitem-side oracle, while scalar-path tables
+    # keep every order.
+    empty_products = F.array().cast(ArrayType(PRODUCT_STRUCT))
+    return (
+        enriched.join(products, enriched.o_orderkey == products.l_orderkey, "left")
+        .withColumn("product_details", F.coalesce("product_details", empty_products))
+        .select(
+            F.col("o_custkey").cast("string").alias("customer_id"),
+            F.col("o_orderkey").cast("string").alias("order_id"),
+            F.concat(
+                F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss"), F.lit("Z")
+            ).alias("order_date"),
+            F.col("o_orderstatus").alias("status"),
+            F.struct(
+                F.col("c_name").alias("street"),
+                F.col("c_mktsegment").alias("city"),
+                F.col("c_nationkey").cast("string").alias("state"),
+                F.col("c_custkey").cast("string").alias("zip"),
+                F.col("n_name").alias("country"),
+            ).alias("shipping_address"),
+            F.struct(
+                F.col("o_orderpriority").alias("payment_type"),
+                F.col("o_totalprice").alias("amount"),
+                F.lit("USD").alias("currency"),
+                (F.col("o_orderkey") % 13 + 1).cast("int").alias("instalments"),
+            ).alias("purchaise_details"),
+            F.col("product_details"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# General analytics queries (TPC-H-flavored; each has an oracle in
+# registry.py). All measure math is decimal-exact (functions.exact).
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate over lineitem, grouped by
+    the two flag columns — partial+final hash agg, 8 measures."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = disc_price_expr()
+    charge = charge_expr()
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", alias="sum_qty"),
+            dsum("l_extendedprice", alias="sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            davg("l_quantity", alias="avg_qty"),
+            davg("l_extendedprice", alias="avg_price"),
+            davg("l_discount", alias="avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def sales_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ nation ⋈ orders → SUM(o_totalprice) per nation.
+    Dims broadcast; fact shuffles once for the final agg."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(dsum("o_totalprice", alias="total_sales"), F.count(F.lit(1)).alias("order_count"))
+        .orderBy(F.desc("total_sales"))
+    )
+
+
+def top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ part (broadcast) → revenue per part brand."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    revenue = disc_price_expr()
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            dsum("l_quantity", alias="total_qty"),
+        )
+        .orderBy(F.desc("revenue"))
+    )
+
+
+def events_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling daily aggregate over the event stream table (the batch
+    analog of the streaming windowed agg — SURVEY §2 E4)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.to_date(F.date_trunc("day", nanos_ts("ts"))).alias("day"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", scale=6, alias="total_value"),
+            F.countDistinct("user_id").alias("unique_users"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON extraction from the props column — the same
+    capability as the reference's JSON-payload decode (S4), applied to
+    a nested attribute."""
+    events = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        events.select(k.alias("k"), "value")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", scale=6, alias="total_value"))
+        .orderBy("k")
+    )

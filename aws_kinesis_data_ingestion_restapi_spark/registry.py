@@ -1,0 +1,319 @@
+"""Driver-contract registry: named queries + their DuckDB oracle SQL.
+
+Every entry pairs a Spark implementation (``(spark, sf_dir) →
+DataFrame``) with ANSI SQL that DuckDB runs over the same parquet
+tables. The driver compares row-count + schema + order-insensitive
+value-hash, with columns sorted by name — so every computed column is
+aliased IDENTICALLY on both sides, and all floating-point measures go
+through decimal-exact aggregation (functions/exact.py) so the values
+match bit-for-bit across engines.
+
+Three query families:
+
+1. ``pipeline_*`` — the reference's ETL operators (S4 decode, T1-T7
+   projections/flattens/explode) driven end-to-end: Spark builds the
+   nested order-event form from the TPC-H tables (analytics.
+   build_order_events), applies the real pipeline transforms, and the
+   oracle checks the flat equivalent with plain SQL.
+
+2. ``ref_*`` — the reference's five Athena analytics queries (SURVEY
+   §2.4 Q1-Q8) over the pipeline-derived tables, exercising the actual
+   functions in queries.py.
+
+3. general analytics (``q1_*``, ``sales_*``, ``events_*``) — the wider
+   query surface (multi-measure aggregates, JSON extraction, temporal
+   rollups) sized for the bench.
+
+Extensions (dedup / similarity / text) register from
+operators/registry_ext.py and are merged in here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_kinesis_data_ingestion_restapi_spark import analytics
+from aws_kinesis_data_ingestion_restapi_spark import queries as refq
+from aws_kinesis_data_ingestion_restapi_spark.functions.exact import davg
+from aws_kinesis_data_ingestion_restapi_spark.operators.transforms import (
+    derive_all_tables,
+    to_orders,
+    to_product_details,
+    to_purchase_details,
+    to_shipping_addresses,
+)
+from aws_kinesis_data_ingestion_restapi_spark.sources.events import decode_envelope
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _derived(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    events = analytics.build_order_events(spark, sf_dir)
+    return derive_all_tables(events)
+
+
+# ---------------------------------------------------------------------------
+# 1. pipeline_* — ETL operators end-to-end
+# ---------------------------------------------------------------------------
+
+
+def pipeline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1+T2+T3: projection + trailing-Z ISO parse + date cast."""
+    return to_orders(analytics.build_order_events(spark, sf_dir))
+
+
+def pipeline_product_details(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7: array explode + 2-level struct flatten (round-trips the
+    collect_list nesting — output must equal flat lineitem⋈part)."""
+    return to_product_details(analytics.build_order_events(spark, sf_dir))
+
+
+def pipeline_shipping_addresses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: struct flatten."""
+    return to_shipping_addresses(analytics.build_order_events(spark, sf_dir))
+
+
+def pipeline_purchase_details(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: struct flatten incl. the purchaise-typo field access."""
+    return to_purchase_details(analytics.build_order_events(spark, sf_dir))
+
+
+def pipeline_envelope_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: JSON → base64 → envelope → unbase64 → from_json round trip.
+    The encode leg uses to_json/base64 (JVM built-ins); the decode leg
+    is the engine's real ingest head (sources.events.decode_envelope).
+    """
+    events = analytics.build_order_events(spark, sf_dir)
+    envelopes = events.select(
+        F.lit("ingestion-dev").alias("StreamName"),
+        F.lit("test-partition-01").alias("PartitionKey"),
+        F.base64(F.to_json(F.struct(*events.columns))).alias("Data"),
+    )
+    decoded = decode_envelope(envelopes)
+    return decoded.select(
+        "customer_id",
+        "order_id",
+        "status",
+        F.col("purchaise_details.amount").alias("amount"),
+        F.size("product_details").alias("n_products"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. ref_* — the five reference analytics queries over derived tables
+# ---------------------------------------------------------------------------
+
+
+def ref_total_sales_per_country(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _derived(spark, sf_dir)
+    pd_exact = t["purchase_details"].withColumn(
+        "amount", F.col("amount").cast("decimal(18,2)")
+    )
+    out = refq.q_total_sales_per_country(pd_exact, t["shipping_addresses"])
+    return out.withColumn("total_sales", F.col("total_sales").cast("double"))
+
+
+def ref_average_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _derived(spark, sf_dir)
+    # davg (exact decimal sum ÷ count) instead of F.avg so the double
+    # matches DuckDB bit-for-bit; semantics identical to the reference's
+    # AVG(amount).
+    return t["purchase_details"].agg(davg("amount", alias="average_order_value"))
+
+
+def ref_total_income_per_payment_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _derived(spark, sf_dir)
+    pd_exact = t["purchase_details"].withColumn(
+        "amount", F.col("amount").cast("decimal(18,2)")
+    )
+    out = refq.q_total_income_per_payment_method(pd_exact)
+    return out.withColumn("total_income", F.col("total_income").cast("double"))
+
+
+def ref_most_sales_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _derived(spark, sf_dir)
+    return refq.q_most_sales_products(t["product_details"])
+
+
+def ref_order_and_client_details(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _derived(spark, sf_dir)
+    return refq.q_order_and_client_details(t["orders"], t["shipping_addresses"])
+
+
+# ---------------------------------------------------------------------------
+# Registry tables
+# ---------------------------------------------------------------------------
+
+QUERY_FNS: dict[str, QueryFn] = {
+    "pipeline_orders": pipeline_orders,
+    "pipeline_product_details": pipeline_product_details,
+    "pipeline_shipping_addresses": pipeline_shipping_addresses,
+    "pipeline_purchase_details": pipeline_purchase_details,
+    "pipeline_envelope_decode": pipeline_envelope_decode,
+    "ref_total_sales_per_country": ref_total_sales_per_country,
+    "ref_average_order_value": ref_average_order_value,
+    "ref_total_income_per_payment_method": ref_total_income_per_payment_method,
+    "ref_most_sales_products": ref_most_sales_products,
+    "ref_order_and_client_details": ref_order_and_client_details,
+    "q1_pricing_summary": analytics.q1_pricing_summary,
+    "sales_per_nation": analytics.sales_per_nation,
+    "top_parts_by_revenue": analytics.top_parts_by_revenue,
+    "events_daily_stats": analytics.events_daily_stats,
+    "events_json_props": analytics.events_json_props,
+}
+
+# DuckDB fragments for the decimal-exact aggregation contract.
+_DSUM2 = "CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE)"
+_DSUM6 = "CAST(SUM(CAST({c} AS DECIMAL(18,6))) AS DOUBLE)"
+_DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * "
+    "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+)
+_CHARGE = _DISC_PRICE + " * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))"
+
+_SHIPPING_FLAT = """
+    SELECT CAST(o_orderkey AS VARCHAR) AS order_id,
+           n_name AS country,
+           CAST(c_nationkey AS VARCHAR) AS state,
+           c_mktsegment AS city,
+           c_name AS street,
+           CAST(c_custkey AS VARCHAR) AS zip
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+"""
+
+ORACLE_SQL: dict[str, str] = {
+    "pipeline_orders": """
+        SELECT CAST(o_custkey AS VARCHAR) AS customer_id,
+               CAST(o_orderkey AS VARCHAR) AS order_id,
+               CAST(o_orderdate AS DATE) AS order_date,
+               o_orderstatus AS status
+        FROM orders
+    """,
+    "pipeline_product_details": """
+        SELECT CAST(l_partkey AS VARCHAR) AS product_id,
+               CAST(l_orderkey AS VARCHAR) AS order_id,
+               p_name AS name,
+               CAST(l_quantity AS INTEGER) AS quantity,
+               l_returnflag AS color,
+               l_linestatus AS size
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+    "pipeline_shipping_addresses": _SHIPPING_FLAT,
+    "pipeline_purchase_details": """
+        SELECT CAST(o_orderkey AS VARCHAR) AS order_id,
+               o_orderpriority AS payment_type,
+               o_totalprice AS amount,
+               'USD' AS currency,
+               CAST(o_orderkey % 13 + 1 AS INTEGER) AS instalments
+        FROM orders
+    """,
+    "pipeline_envelope_decode": """
+        SELECT CAST(o_custkey AS VARCHAR) AS customer_id,
+               CAST(o_orderkey AS VARCHAR) AS order_id,
+               o_orderstatus AS status,
+               o_totalprice AS amount,
+               (SELECT CAST(COUNT(*) AS INTEGER) FROM lineitem l
+                 WHERE l.l_orderkey = o.o_orderkey) AS n_products
+        FROM orders o
+    """,
+    "ref_total_sales_per_country": f"""
+        SELECT n_name AS country,
+               {_DSUM2.format(c='o_totalprice')} AS total_sales
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY total_sales DESC
+    """,
+    "ref_average_order_value": f"""
+        SELECT {_DSUM2.format(c='o_totalprice')} / COUNT(o_totalprice)
+               AS average_order_value
+        FROM orders
+    """,
+    "ref_total_income_per_payment_method": f"""
+        SELECT o_orderpriority AS payment_type,
+               {_DSUM2.format(c='o_totalprice')} AS total_income
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY total_income DESC
+    """,
+    "ref_most_sales_products": """
+        SELECT p_name AS name,
+               CAST(SUM(CAST(l_quantity AS INTEGER)) AS BIGINT)
+                   AS total_quantity_sold
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_name
+        ORDER BY total_quantity_sold DESC
+    """,
+    "ref_order_and_client_details": """
+        SELECT CAST(o_custkey AS VARCHAR) AS customer_id,
+               CAST(o_orderkey AS VARCHAR) AS order_id,
+               CAST(o_orderdate AS DATE) AS order_date,
+               o_orderstatus AS status,
+               n_name AS country,
+               CAST(c_nationkey AS VARCHAR) AS state,
+               c_mktsegment AS city,
+               c_name AS street,
+               CAST(c_custkey AS VARCHAR) AS zip
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+    """,
+    "q1_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               {_DSUM2.format(c='l_quantity')} AS sum_qty,
+               {_DSUM2.format(c='l_extendedprice')} AS sum_base_price,
+               CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM({_CHARGE}) AS DOUBLE) AS sum_charge,
+               {_DSUM2.format(c='l_quantity')} / COUNT(l_quantity) AS avg_qty,
+               {_DSUM2.format(c='l_extendedprice')} / COUNT(l_extendedprice)
+                   AS avg_price,
+               {_DSUM2.format(c='l_discount')} / COUNT(l_discount) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "sales_per_nation": f"""
+        SELECT n_name AS nation,
+               {_DSUM2.format(c='o_totalprice')} AS total_sales,
+               COUNT(*) AS order_count
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY total_sales DESC
+    """,
+    "top_parts_by_revenue": f"""
+        SELECT p_brand,
+               CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue,
+               {_DSUM2.format(c='l_quantity')} AS total_qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+        ORDER BY revenue DESC
+    """,
+    "events_daily_stats": f"""
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               event_type,
+               COUNT(*) AS n_events,
+               {_DSUM6.format(c='value')} AS total_value,
+               COUNT(DISTINCT user_id) AS unique_users
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    "events_json_props": f"""
+        SELECT CAST(props->>'k' AS INTEGER) AS k,
+               COUNT(*) AS n,
+               {_DSUM6.format(c='value')} AS total_value
+        FROM events
+        GROUP BY 1
+        ORDER BY 1
+    """,
+}

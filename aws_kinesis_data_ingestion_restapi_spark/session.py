@@ -57,6 +57,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.schemaInference", "false")
+        # The driver testdata's events.ts is parquet TIMESTAMP(NANOS),
+        # which Spark's vectorized reader rejects; read as long (ns
+        # since epoch) and convert with functions.nanos_ts().
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
