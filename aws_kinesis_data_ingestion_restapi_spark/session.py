@@ -54,7 +54,10 @@ def get_spark(
         # Local mode: don't let tiny test tables trigger giant broadcasts
         # of the wrong side; 64 MB is a sane cluster-ish default too.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode = one JVM for driver+executors: give it real heap
+        # (the box has 128 GiB; undersized heap shows up as GC stalls
+        # on the string/array-heavy nested-event operators).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.schemaInference", "false")
         # The driver testdata's events.ts is parquet TIMESTAMP(NANOS),

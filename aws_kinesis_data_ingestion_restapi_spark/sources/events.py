@@ -32,7 +32,10 @@ def decode_envelope(envelopes: DataFrame, data_col: str = "Data") -> DataFrame:
     Output: the 7 ORDER_EVENT_SCHEMA columns plus ``_raw`` (the decoded
     JSON string, kept for error routing; drop it with ``split_corrupt``).
     """
-    raw = F.unbase64(F.col(data_col)).cast("string")
+    # try_to_binary (not unbase64): under ANSI semantics unbase64 THROWS
+    # on malformed base64, which would let one bad record kill the
+    # stream; try_to_binary yields NULL, which split_corrupt quarantines.
+    raw = F.try_to_binary(F.col(data_col), F.lit("base64")).cast("string")
     parsed = F.from_json(raw, ORDER_EVENT_SCHEMA)
     return envelopes.select(parsed.alias("event"), raw.alias("_raw")).select(
         "event.*", "_raw"

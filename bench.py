@@ -1,0 +1,114 @@
+"""Benchmark harness: ETL phase + analytics phase; prints ONE JSON line.
+
+Mirrors the reference architecture (ingest ETL writes tables once;
+analytics queries them many times — SURVEY §3.2/§3.4):
+
+  etl_derive_tables   build nested order events from the TPC-H tables,
+                      derive the 4 relational tables, write partitioned
+                      snappy parquet (the Firehose→S3 path, batch form)
+  ref_*               the 5 reference Athena queries via spark.sql over
+                      the materialized tables (the Athena path)
+  q1/sales/parts/     general analytics directly over the testdata
+  events_*            (scan-agg-join surface + JSON extraction)
+
+Usage: python bench.py
+  SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local parallelism (default 32)
+
+Output: {"metric": "...", "value": <total sec>, "unit": "sec",
+         "queries": {name: sec, ...}, "sf": <float>}
+
+Partition-layout note: the reference partitions `orders` by
+customer_id (terraform/main.tf:675); at bench scale that cardinality
+(~10k+) is a small-files anti-pattern, so the bench writes orders
+unpartitioned — the documented, deliberate deviation (SURVEY §7.3);
+the other three tables keep the reference layouts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from aws_kinesis_data_ingestion_restapi_spark import get_spark  # noqa: E402
+from aws_kinesis_data_ingestion_restapi_spark.analytics import build_order_events  # noqa: E402
+from aws_kinesis_data_ingestion_restapi_spark.catalog import register_derived_tables  # noqa: E402
+from aws_kinesis_data_ingestion_restapi_spark.operators.transforms import derive_all_tables  # noqa: E402
+from aws_kinesis_data_ingestion_restapi_spark.queries import REFERENCE_SQL  # noqa: E402
+from aws_kinesis_data_ingestion_restapi_spark.registry import QUERY_FNS  # noqa: E402
+from aws_kinesis_data_ingestion_restapi_spark.sinks import write_partitioned  # noqa: E402
+
+ANALYTICS_QUERIES = [
+    "q1_pricing_summary",
+    "sales_per_nation",
+    "top_parts_by_revenue",
+    "events_daily_stats",
+    "events_json_props",
+    "pipeline_envelope_decode",
+]
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(app_name="bench")
+    spark.range(1).count()  # absorb session startup
+
+    timings: dict[str, float] = {}
+    warehouse = tempfile.mkdtemp(prefix="bench_wh_")
+    try:
+        # --- ETL phase: events -> 4 partitioned parquet tables ---
+        t0 = time.perf_counter()
+        events = build_order_events(spark, sf_dir)
+        tables = derive_all_tables(events, with_partitions=True)
+        for name, df in tables.items():
+            cols = [] if name == "orders" else None  # None -> table default
+            write_partitioned(df, f"{warehouse}/{name}", table=name,
+                              partition_cols=cols, mode="overwrite")
+        timings["etl_derive_tables"] = round(time.perf_counter() - t0, 3)
+
+        # --- Athena-path: the 5 reference queries over materialized tables ---
+        register_derived_tables(spark, warehouse)
+        for name, sql in REFERENCE_SQL.items():
+            t0 = time.perf_counter()
+            _noop(spark.sql(sql))
+            timings[f"ref_{name}"] = round(time.perf_counter() - t0, 3)
+
+        # --- general analytics over the raw testdata ---
+        for name in ANALYTICS_QUERIES:
+            t0 = time.perf_counter()
+            _noop(QUERY_FNS[name](spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(warehouse, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "etl_plus_headline_queries_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
