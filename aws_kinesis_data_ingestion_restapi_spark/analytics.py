@@ -197,6 +197,33 @@ def events_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_tumbling_30s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's (configured-but-unused) 30 s tumbling window
+    (terraform/main.tf:278 — SURVEY §2 E4) realized as a windowed
+    aggregate over the event stream table. Batch form of
+    streaming.tumbling_order_stats; windows are epoch-aligned, matching
+    the oracle's floor(epoch/30) arithmetic.
+    """
+    events = _t(spark, sf_dir, "events")
+    w = F.window(nanos_ts("ts"), "30 seconds")
+    return (
+        events.groupBy(w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", scale=6, alias="total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "total_value",
+            "n_users",
+        )
+        .orderBy("window_start")
+    )
+
+
 def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-on-read JSON extraction from the props column — the same
     capability as the reference's JSON-payload decode (S4), applied to

@@ -144,6 +144,40 @@ def ref_order_and_client_details(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 3. Streaming-semantics operators, batch-checkable form
+# ---------------------------------------------------------------------------
+
+
+def serving_last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4+E3 as a checkable query: the serving view's last-write-wins
+    upsert (DynamoDB ``put_item`` replay semantics,
+    lambda_kinesis_consumer:48) expressed as window-function compaction.
+
+    Simulates an at-least-once redelivery: every order arrives twice,
+    the second time with status='shipped' (batch_seq 2). The upsert
+    result keeps exactly the newest version per (customer_id, order_id)
+    — the same dedup rule streaming/sinks.serving_upsert applies per
+    micro-batch, here in its scalable shuffle-once window form.
+    """
+    from pyspark.sql.window import Window
+
+    base = analytics.build_order_events(spark, sf_dir).select(
+        "customer_id", "order_id", "order_date", "status"
+    )
+    v1 = base.withColumn("batch_seq", F.lit(1))
+    v2 = base.withColumn("status", F.lit("shipped")).withColumn(
+        "batch_seq", F.lit(2)
+    )
+    w = Window.partitionBy("customer_id", "order_id").orderBy(F.desc("batch_seq"))
+    return (
+        v1.unionByName(v2)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry tables
 # ---------------------------------------------------------------------------
 
@@ -163,6 +197,8 @@ QUERY_FNS: dict[str, QueryFn] = {
     "top_parts_by_revenue": analytics.top_parts_by_revenue,
     "events_daily_stats": analytics.events_daily_stats,
     "events_json_props": analytics.events_json_props,
+    "events_tumbling_30s": analytics.events_tumbling_30s,
+    "serving_last_write_wins": serving_last_write_wins,
 }
 
 # DuckDB fragments for the decimal-exact aggregation contract.
@@ -315,5 +351,39 @@ ORACLE_SQL: dict[str, str] = {
         FROM events
         GROUP BY 1
         ORDER BY 1
+    """,
+    "events_tumbling_30s": f"""
+        SELECT CAST(to_timestamp(FLOOR(epoch(ts) / 30) * 30) AS TIMESTAMP)
+                   AS window_start,
+               CAST(to_timestamp(FLOOR(epoch(ts) / 30) * 30 + 30) AS TIMESTAMP)
+                   AS window_end,
+               COUNT(*) AS n_events,
+               {_DSUM6.format(c='value')} AS total_value,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1
+    """,
+    "serving_last_write_wins": """
+        WITH base AS (
+            SELECT CAST(o_custkey AS VARCHAR) AS customer_id,
+                   CAST(o_orderkey AS VARCHAR) AS order_id,
+                   strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS order_date,
+                   o_orderstatus AS status,
+                   1 AS batch_seq
+            FROM orders
+        ),
+        redelivered AS (
+            SELECT customer_id, order_id, order_date,
+                   'shipped' AS status, 2 AS batch_seq
+            FROM base
+        ),
+        unioned AS (
+            SELECT * FROM base UNION ALL SELECT * FROM redelivered
+        )
+        SELECT customer_id, order_id, order_date, status, batch_seq
+        FROM unioned
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY customer_id, order_id ORDER BY batch_seq DESC) = 1
     """,
 }

@@ -1,0 +1,154 @@
+"""Streaming pipeline tests: one foreachBatch fan-out, checkpoint replay,
+error quarantine, serving idempotence, tumbling window (SURVEY §3.2/§3.3,
+§2 E1/E3/E4)."""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+
+import pytest
+
+from aws_kinesis_data_ingestion_restapi_spark.sources import envelope_records
+from aws_kinesis_data_ingestion_restapi_spark.sources.events import read_envelope_json
+from aws_kinesis_data_ingestion_restapi_spark.streaming import (
+    run_pipeline_once,
+    tumbling_order_stats,
+)
+
+
+def _write_ndjson(path, records):
+    with open(path, "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+
+
+@pytest.fixture()
+def stream_dirs(tmp_path):
+    d = {
+        "input": tmp_path / "input",
+        "warehouse": tmp_path / "warehouse",
+        "serving": tmp_path / "serving",
+        "errors": tmp_path / "errors",
+        "checkpoint": tmp_path / "checkpoint",
+    }
+    d["input"].mkdir()
+    return {k: str(v) for k, v in d.items()}
+
+
+def _run(spark, d):
+    run_pipeline_once(
+        spark,
+        d["input"],
+        d["warehouse"],
+        d["checkpoint"],
+        serving_path=d["serving"],
+        errors_path=d["errors"],
+        with_partitions=False,
+    )
+
+
+def test_pipeline_end_to_end(spark, stream_dirs):
+    d = stream_dirs
+    recs = envelope_records(n=40, seed=1)
+    corrupt = [
+        {"StreamName": "s", "PartitionKey": "p", "Data": "%%%bad%%%"},
+        {
+            "StreamName": "s",
+            "PartitionKey": "p",
+            "Data": base64.b64encode(b'{"unrelated": true}').decode(),
+        },
+    ]
+    _write_ndjson(os.path.join(d["input"], "b0.json"), recs[:25] + corrupt)
+    _write_ndjson(os.path.join(d["input"], "b1.json"), recs[25:])
+    _run(spark, d)
+
+    orders = spark.read.parquet(f"{d['warehouse']}/orders")
+    products = spark.read.parquet(f"{d['warehouse']}/product_details")
+    shipping = spark.read.parquet(f"{d['warehouse']}/shipping_addresses")
+    purchase = spark.read.parquet(f"{d['warehouse']}/purchase_details")
+    assert orders.count() == 40
+    assert products.count() == 80  # exactly 2 products per order (G2)
+    assert shipping.count() == 40
+    assert purchase.count() == 40
+    # E1: both corrupt shapes quarantined with Firehose status vocab
+    errors = spark.read.parquet(f"{d['errors']}/errors")
+    assert errors.count() == 2
+    assert errors.select("result").distinct().collect()[0][0] == "ProcessingFailed"
+    # serving view: one item per (customer_id, order_id), purchaise dropped
+    serving = spark.read.parquet(d["serving"])
+    assert serving.count() == 40
+    assert "purchaise_details" not in serving.columns
+    assert "shipping_address" in serving.columns
+
+
+def test_checkpoint_skips_processed_files(spark, stream_dirs):
+    d = stream_dirs
+    recs = envelope_records(n=10, seed=2)
+    _write_ndjson(os.path.join(d["input"], "b0.json"), recs)
+    _run(spark, d)
+    assert spark.read.parquet(f"{d['warehouse']}/orders").count() == 10
+
+    # same checkpoint, no new files → no duplicate appends
+    _run(spark, d)
+    assert spark.read.parquet(f"{d['warehouse']}/orders").count() == 10
+
+    # new file with 5 more → exactly 5 appended
+    more = envelope_records(n=5, seed=3)
+    _write_ndjson(os.path.join(d["input"], "b1.json"), more)
+    _run(spark, d)
+    assert spark.read.parquet(f"{d['warehouse']}/orders").count() == 15
+
+
+def test_serving_upsert_last_write_wins(spark, stream_dirs):
+    d = stream_dirs
+    recs = envelope_records(n=8, seed=4)
+    _write_ndjson(os.path.join(d["input"], "b0.json"), recs)
+    _run(spark, d)
+
+    # replay the SAME orders with a changed status (at-least-once
+    # redelivery with newer payload) → count unchanged, status updated
+    updated = []
+    for r in recs:
+        ev = json.loads(base64.b64decode(r["Data"]))
+        ev["status"] = "shipped"
+        updated.append({**r, "Data": base64.b64encode(json.dumps(ev).encode()).decode()})
+    _write_ndjson(os.path.join(d["input"], "b1.json"), updated)
+    _run(spark, d)
+
+    serving = spark.read.parquet(d["serving"])
+    assert serving.count() == 8
+    statuses = {r[0] for r in serving.select("status").distinct().collect()}
+    assert statuses == {"shipped"}
+
+
+def test_tumbling_order_stats_streaming_matches_batch(spark, stream_dirs, tmp_path):
+    d = stream_dirs
+    recs = envelope_records(n=60, seed=5)
+    _write_ndjson(os.path.join(d["input"], "b0.json"), recs)
+
+    batch = tumbling_order_stats(read_envelope_json(spark, d["input"]))
+    batch_rows = {tuple(r) for r in batch.collect()}
+    assert batch_rows  # non-empty
+
+    from aws_kinesis_data_ingestion_restapi_spark.sources.events import (
+        read_envelope_stream,
+    )
+
+    out = []
+    q = (
+        tumbling_order_stats(read_envelope_stream(spark, d["input"]))
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: out.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits windows the watermark has closed; every
+    # emitted window must match the batch result exactly (incl. the
+    # exact-vs-approx distinct count, identical on this cardinality)
+    assert out
+    for row in out:
+        assert tuple(row) in batch_rows
