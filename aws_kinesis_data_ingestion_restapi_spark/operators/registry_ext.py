@@ -1,0 +1,400 @@
+"""Extension registry: dedup / similarity / text-analysis queries with
+their DuckDB oracle SQL (merged into registry.QUERY_FNS/ORACLE_SQL).
+
+Every oracle replicates the Spark operator's formula EXACTLY — same
+tokenizer, same md5-based hashing, same decimal quantization, same
+tie-breaks — so the driver's order-insensitive value-hash comparison
+holds bit-for-bit. The SQL fragments are generated from the same
+Python constants (stopword lists, thresholds, band geometry) the Spark
+operators use; divergence is structurally impossible unless a formula
+changes on one side only.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_kinesis_data_ingestion_restapi_spark.operators import dedup, similarity, text
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB dialect), mirroring operators.text/dedup
+# ---------------------------------------------------------------------------
+
+_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    inner = ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+    return f"[{inner}]"
+
+
+def _shingles(n: int, toks: str = "t") -> str:
+    """word n-gram shingle set over a token-list column named ``toks``."""
+    join = " || ' ' || ".join(f"{toks}[i+{j}]" if j else f"{toks}[i]" for j in range(n))
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_distinct(list_transform(generate_series(1, len({toks})-{n - 1}), "
+        f"i -> {join})) ELSE [] END"
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_stats(_docs(spark, sf_dir))
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(_docs(spark, sf_dir))
+
+
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.language_id(_docs(spark, sf_dir))
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup across a simulated re-crawl (every doc ingested twice
+    with a new id) — each group collapses to the original id."""
+    docs = _docs(spark, sf_dir)
+    recrawl = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    return dedup.exact_dedup(docs.unionByName(recrawl))
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=2, threshold=0.2)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), num_perm=32, bands=4, threshold=0.5, shingle_words=3
+    )
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_docs(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def ann_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.topk_brute(_embs(spark, sf_dir), n_queries=10, k=5)
+
+
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.topk_lsh(_embs(spark, sf_dir), n_queries=10, k=5)
+
+
+def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.near_dup_pairs(_embs(spark, sf_dir), d2_max=1.2)
+
+
+EXT_QUERY_FNS = {
+    "text_token_stats": text_token_stats,
+    "text_quality_score": text_quality_score,
+    "text_language_id": text_language_id,
+    "text_fingerprint": text_fingerprint,
+    "dedup_exact_recrawl": dedup_exact_recrawl,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
+    "dedup_simhash_fingerprints": dedup_simhash_fingerprints,
+    "ann_topk_brute": ann_topk_brute,
+    "ann_topk_lsh": ann_topk_lsh,
+    "emb_near_dup": emb_near_dup,
+}
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+_EN = _sql_list(text.STOPWORDS["en"])
+
+_LANG_SCORES = ",\n               ".join(
+    f"len(list_filter(toks, x -> list_contains({_sql_list(ws)}, x))) AS s_{lang}"
+    for lang, ws in sorted(text.STOPWORDS.items())
+)
+_LANG_BEST = "greatest(" + ", ".join(f"s_{lg}" for lg in sorted(text.STOPWORDS)) + ")"
+_LANG_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN best > 0 AND s_{lg} = best THEN '{lg}'" for lg in sorted(text.STOPWORDS)
+    )
+    + " ELSE 'und' END"
+)
+
+# quantized embedding components (int64, scaled 10^4) with 1-based index i
+_COMP = """
+        SELECT vec_id, i,
+               CAST(ROUND(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT) AS qx
+        FROM (SELECT vec_id, unnest(embedding) AS x,
+                     unnest(generate_series(1, len(embedding))) AS i
+              FROM embeddings)
+"""
+
+_SIGN_BUCKET = """
+        SELECT vec_id,
+               CAST(list_sum(list_transform(generate_series(1, 8),
+                   i -> CASE WHEN CAST(ROUND(CAST(embedding[i] AS DOUBLE)
+                                  * 10000, 0) AS BIGINT) > 0
+                             THEN CAST(power(2, i-1) AS INTEGER) ELSE 0 END))
+                    AS INTEGER) AS bucket
+        FROM embeddings
+"""
+
+_MINHASH_SIGS = f"""
+        toks AS (
+            SELECT doc_id,
+                   list_transform({_shingles(3)},
+                       s -> CAST(concat('0x', substr(md5(s), 1, 7)) AS BIGINT))
+                       AS hs
+            FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+        ),
+        sigs AS (
+            SELECT doc_id,
+                   list_transform(generate_series(0, 31),
+                       i -> list_min(list_transform(hs,
+                            h -> ((2*i+1)*h + 1000003*(i+1)) % 2147483647)))
+                       AS sig
+            FROM toks
+        )
+"""
+
+_SIMHASH = f"""
+        feats AS (
+            SELECT doc_id,
+                   list_transform({_shingles(3)},
+                       s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT))
+                       AS hs
+            FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+        ),
+        votes AS (
+            SELECT doc_id, j,
+                   SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+            FROM (SELECT doc_id, unnest(hs) AS h FROM feats),
+                 (SELECT unnest(generate_series(0, 59)) AS j)
+            GROUP BY doc_id, j
+        ),
+        sim AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN v > 0
+                        THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+                        AS BIGINT) AS simhash
+            FROM votes
+            GROUP BY doc_id
+        )
+"""
+
+EXT_ORACLE_SQL = {
+    "text_token_stats": f"""
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len({_TOKS}) AS n_tokens,
+               len(regexp_extract_all(lower(text),
+                   '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
+               len(list_distinct({_TOKS})) AS n_unique_tokens
+        FROM documents
+    """,
+    "text_quality_score": f"""
+        WITH c AS (
+            SELECT doc_id, text, {_TOKS} AS toks FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   CAST(list_sum(list_transform(toks, x -> length(x)))
+                        AS DOUBLE) / len(toks) AS mean_token_len,
+                   CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                        AS DOUBLE) / length(text) AS punct_ratio,
+                   CAST(len(list_filter(toks, x -> list_contains({_EN}, x)))
+                        AS DOUBLE) / len(toks) AS stop_density
+            FROM c
+        )
+        SELECT doc_id, n_tokens, mean_token_len, punct_ratio, stop_density,
+               0.25 * (CASE WHEN n_tokens >= 10 AND n_tokens <= 10000
+                            THEN 1.0 ELSE 0.0 END)
+               + 0.25 * (CASE WHEN mean_token_len >= 3.0
+                              AND mean_token_len <= 12.0
+                              THEN 1.0 ELSE 0.0 END)
+               + 0.25 * (1.0 - least(1.0, punct_ratio * 5.0))
+               + 0.25 * least(1.0, stop_density * 5.0) AS quality_score
+        FROM m
+    """,
+    "text_language_id": f"""
+        WITH c AS (
+            SELECT doc_id, lang, {_TOKS} AS toks FROM documents
+        ),
+        s AS (
+            SELECT doc_id, lang,
+               {_LANG_SCORES}
+            FROM c
+        ),
+        b AS (
+            SELECT *, {_LANG_BEST} AS best FROM s
+        )
+        SELECT doc_id, lang AS labeled_lang,
+               {_LANG_CASE} AS predicted_lang,
+               best AS best_score
+        FROM b
+    """,
+    "text_fingerprint": f"""
+        SELECT doc_id,
+               md5(text) AS text_md5,
+               CASE WHEN len(t) >= 3 THEN
+                   list_min(list_transform(generate_series(1, len(t)-2),
+                       i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])))
+               END AS min_shingle_md5
+        FROM (SELECT doc_id, text, {_TOKS} AS t FROM documents)
+    """,
+    "dedup_exact_recrawl": """
+        WITH u AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text FROM documents
+        )
+        SELECT md5(text) AS text_md5,
+               MIN(doc_id) AS keep_id,
+               COUNT(*) AS n_copies
+        FROM u
+        GROUP BY 1
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH g AS (
+            SELECT doc_id,
+                   list_distinct(list_transform({_shingles(2)},
+                       s -> CAST(concat('0x', substr(md5(s), 1,
+                            {dedup.GRAM_HASH_HEX})) AS BIGINT))) AS grams
+            FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                   / len(list_distinct(a.grams || b.grams)) AS jaccard
+        FROM g a JOIN g b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                   / len(list_distinct(a.grams || b.grams)) >= 0.2
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH {_MINHASH_SIGS},
+        banded AS (
+            SELECT doc_id, b,
+                   md5(array_to_string(
+                       list_transform(sig[b*8+1 : b*8+8],
+                                      x -> CAST(x AS VARCHAR)), ',')) AS band_key
+            FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+            FROM banded a
+            JOIN banded c ON a.b = c.b AND a.band_key = c.band_key
+                         AND a.doc_id < c.doc_id
+        )
+        SELECT * FROM (
+            SELECT doc_a, doc_b,
+                   CAST(len(list_filter(generate_series(1, 32),
+                        i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32.0
+                       AS est_jaccard
+            FROM cand
+            JOIN sigs sa ON sa.doc_id = doc_a
+            JOIN sigs sb ON sb.doc_id = doc_b
+        )
+        WHERE est_jaccard >= 0.5
+    """,
+    "dedup_simhash_pairs": f"""
+        WITH {_SIMHASH}
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    "dedup_simhash_fingerprints": f"""
+        WITH {_SIMHASH}
+        SELECT doc_id, simhash FROM sim
+    """,
+    "ann_topk_brute": f"""
+        WITH comp AS ({_COMP}),
+        dots AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   SUM(a.qx * b.qx) AS s
+            FROM comp a
+            JOIN comp b ON a.i = b.i AND a.vec_id < 10
+                       AND a.vec_id != b.vec_id
+            GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id,
+               CAST(rank AS INTEGER) AS rank,
+               CAST(s AS DOUBLE) / 100000000.0 AS score
+        FROM (
+            SELECT query_id, neighbor_id, s,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY s DESC, neighbor_id) AS rank
+            FROM dots
+        )
+        WHERE rank <= 5
+    """,
+    "ann_topk_lsh": f"""
+        WITH comp AS ({_COMP}),
+        bkt AS ({_SIGN_BUCKET}),
+        dots AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   SUM(a.qx * b.qx) AS s
+            FROM comp a
+            JOIN bkt ba ON ba.vec_id = a.vec_id
+            JOIN bkt bb ON bb.bucket = ba.bucket
+            JOIN comp b ON b.vec_id = bb.vec_id AND a.i = b.i
+            WHERE a.vec_id < 10 AND a.vec_id != b.vec_id
+            GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id,
+               CAST(rank AS INTEGER) AS rank,
+               CAST(s AS DOUBLE) / 100000000.0 AS score
+        FROM (
+            SELECT query_id, neighbor_id, s,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY s DESC, neighbor_id) AS rank
+            FROM dots
+        )
+        WHERE rank <= 5
+    """,
+    "emb_near_dup": f"""
+        WITH comp AS ({_COMP}),
+        d AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   SUM((a.qx - b.qx) * (a.qx - b.qx)) AS d2
+            FROM comp a
+            JOIN comp b ON a.i = b.i AND a.vec_id < b.vec_id
+            GROUP BY 1, 2
+        )
+        SELECT vec_a, vec_b, CAST(d2 AS DOUBLE) / 100000000.0 AS dist2
+        FROM d
+        WHERE d2 <= 120000000
+    """,
+}

@@ -1,0 +1,177 @@
+"""Similarity search over embedding columns (``array<float>``):
+brute-force top-k as the exact baseline, sign-LSH bucketing as the
+approximate scale path, and exact-arithmetic near-duplicate pairs.
+
+Cross-engine determinism contract: every float component is quantized
+``round(double(x) · 10⁴) → int64`` (verified bit-identical between
+Spark and DuckDB on the full test corpus); dot products and squared
+distances are then pure 64-bit integer arithmetic — exact, associative,
+order-independent — and only the final score divides by 10⁸ (one IEEE
+double division, identical everywhere). Top-k ties break on neighbor
+id, so rankings are fully deterministic.
+
+The test embeddings are unit-normalized (‖x‖² = 1.0), so the dot
+product IS cosine similarity and squared L2 = 2·(1 − cos).
+
+Scale design:
+- brute-force: broadcast the (small) query set against the corpus —
+  a map-side loop over each partition, no shuffle of the big side;
+  then one shuffle for the per-query top-k window.
+- sign-LSH: bucket = sign bits of the first ``SIGN_BITS`` components
+  (random-hyperplane LSH with axis-aligned planes — deterministic, no
+  stored model). Candidates come from an equi-join on the bucket id;
+  recall trades against bucket count exactly like IVF probes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SIGN_BITS = 8  # leading components used for the LSH bucket id
+SCALE = 10_000  # per-component quantization factor
+SCALE2 = float(SCALE * SCALE)  # score divisor (dot of two scaled vecs)
+
+
+def quantized(col: Column | str = "embedding") -> Column:
+    """float[] → int64[] via the verified round(x·10⁴) quantization."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        c, lambda x: F.round(x.cast("double") * SCALE, 0).cast("long")
+    )
+
+
+def _isum(arr: Column) -> Column:
+    return F.aggregate(arr, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def dot_i(a: Column, b: Column) -> Column:
+    """Exact int64 dot product of two quantized vectors (scaled 10⁸)."""
+    return _isum(F.zip_with(a, b, lambda x, y: x * y))
+
+
+def dist2_i(a: Column, b: Column) -> Column:
+    """Exact int64 squared L2 distance of quantized vectors (scaled 10⁸)."""
+    return _isum(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)))
+
+
+def unscale(c: Column) -> Column:
+    """Scaled-integer score → double (one deterministic IEEE division)."""
+    return c.cast("double") / F.lit(SCALE2)
+
+
+def sign_bucket(col: Column | str = "embedding", bits: int = SIGN_BITS) -> Column:
+    """Axis-aligned random-hyperplane LSH bucket id ∈ [0, 2^bits):
+    bit i set ⟺ quantized component i > 0."""
+    q = quantized(col)
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0),
+        lambda acc, i: acc + F.when(F.element_at(q, i + 1) > 0, _p2i(i)).otherwise(0),
+    )
+
+
+def _p2i(i: Column) -> Column:
+    """2^i as int for a column exponent (exact for i < 31)."""
+    return F.pow(F.lit(2.0), i).cast("int")
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_score_i").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank", unscale(F.col("_score_i")).alias("score")
+        )
+    )
+
+
+def topk_brute(
+    embs: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by dot product (= cosine on unit vectors) for each of
+    the first ``n_queries`` vectors against the whole corpus.
+
+    The query side is broadcast: the corpus is scanned once per
+    partition with zero shuffle of the big side; the only shuffle is
+    the per-query top-k window. Ties break on neighbor id for full
+    determinism."""
+    q = embs.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), quantized().alias("qv")
+    )
+    c = embs.select(F.col(id_col).alias("neighbor_id"), quantized().alias("cv"))
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        dot_i(F.col("qv"), F.col("cv")).alias("_score_i"),
+    )
+    return _topk(scored, k)
+
+
+def topk_lsh(
+    embs: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    bits: int = SIGN_BITS,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign-LSH
+    bucket (equi-join on bucket id — the IVF-style scale path; recall
+    is traded for a ~2^bits reduction in comparisons)."""
+    bucketed = embs.select(
+        F.col(id_col), quantized().alias("qv"), sign_bucket(bits=bits).alias("bucket")
+    )
+    q = bucketed.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qv").alias("qv_q"),
+        F.col("bucket"),
+    )
+    c = bucketed.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("qv").alias("qv_c"),
+        F.col("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot_i(F.col("qv_q"), F.col("qv_c")).alias("_score_i"),
+        )
+    )
+    return _topk(scored, k)
+
+
+def near_dup_pairs(
+    embs: DataFrame, d2_max: float = 1.2, id_col: str = "vec_id"
+) -> DataFrame:
+    """Embedding near-duplicate pairs: squared L2 ≤ d2_max, exact
+    scaled-integer arithmetic (on unit vectors d² = 2·(1−cos), so a
+    cosine threshold t maps to d2_max = 2·(1−t)).
+
+    All-pairs form for the oracle gate; in production feed LSH-bucket
+    or MinHash candidates through the same distance filter (the
+    ``candidates`` pattern in operators.dedup.ngram_jaccard_pairs)."""
+    # the threshold must be exactly representable in the scaled domain
+    d2_max_i = round(d2_max * SCALE2)
+    # repartition spreads the quadratic comparison across cores and
+    # materializes the quantized vectors before the nested-loop join
+    a = embs.select(F.col(id_col).alias("vec_a"), quantized().alias("va")).repartition(
+        F.col("vec_a")
+    )
+    b = embs.select(F.col(id_col).alias("vec_b"), quantized().alias("vb"))
+    d2 = dist2_i(F.col("va"), F.col("vb"))
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", d2.alias("_d2_i"))
+        .filter(F.col("_d2_i") <= F.lit(d2_max_i))
+        .select("vec_a", "vec_b", unscale(F.col("_d2_i")).alias("dist2"))
+    )

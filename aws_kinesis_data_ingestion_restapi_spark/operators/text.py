@@ -1,0 +1,151 @@
+"""Text-analysis operators for training-data pipelines (BASELINE.json
+north-star extensions): token counting, quality scoring, language ID,
+document fingerprinting.
+
+All operators are pure column expressions over built-in
+``pyspark.sql.functions`` (split / higher-order array functions / md5) —
+no Python UDFs, so everything stays inside whole-stage codegen and
+scales linearly with executors. Every formula is engine-portable: the
+DuckDB oracles in registry_ext.py compute the identical expressions, so
+results match bit-for-bit (integer counts, IEEE double divisions of
+integers, md5 hex strings).
+
+Design reference: quality/language heuristics follow the public
+CCNet/Gopher-style filtering recipes (length, punctuation ratio,
+stopword density); fingerprinting is winnowing-lite (min hash over
+word shingles). The reference repo has no text surface — these extend
+it (SURVEY §2.7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small public stopword lists (most-frequent function words per
+# language). Deliberately tiny: the operator contract is deterministic
+# scoring, not linguistic accuracy; swap in full lists in production.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"),
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es": ("el", "la", "los", "de", "que", "y", "en", "un", "una", "es"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+    "zh": ("的", "是", "在", "了", "有", "我", "他", "这", "中", "大"),
+}
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space
+# symbol. Same RE2/Java-regex-compatible pattern used in the oracle.
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+PUNCT_CLASS = "[^.,;:!?]"
+
+
+def tokens_col(text: Column | str = "text") -> Column:
+    """Lowercased whitespace tokenization (the shared tokenizer)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(F.trim(c)), "\\s+")
+
+
+def _stop_hits(tokens: Column, lang: str) -> Column:
+    """Tokens (with multiplicity) found in the language's stopword list."""
+    stoplist = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(stoplist, t)))
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish sub-token count +
+    character length per document."""
+    tokens = tokens_col()
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(tokens).alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_PATTERN), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.size(F.array_distinct(tokens)).alias("n_unique_tokens"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """CCNet/Gopher-style quality heuristics, combined into score∈[0,1].
+
+    Components (all cross-engine-deterministic arithmetic):
+      len_ok        document length in a sane band (10..10k tokens)
+      mean_tok_len  average token length in the natural-language band
+      punct_ratio   punctuation chars per char (soft penalty)
+      stop_density  English stopword density (soft reward)
+    """
+    tokens = tokens_col()
+    n_tokens = F.size(tokens)
+    sum_tok_len = F.aggregate(
+        tokens, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    mean_tok_len = sum_tok_len.cast("double") / n_tokens
+    punct_ratio = (
+        F.length(F.regexp_replace("text", PUNCT_CLASS, "")).cast("double")
+        / F.length("text")
+    )
+    stop_density = _stop_hits(tokens, "en").cast("double") / n_tokens
+    len_ok = F.when((n_tokens >= 10) & (n_tokens <= 10000), 1.0).otherwise(0.0)
+    mtl_ok = F.when((mean_tok_len >= 3.0) & (mean_tok_len <= 12.0), 1.0).otherwise(0.0)
+    score = (
+        F.lit(0.25) * len_ok
+        + F.lit(0.25) * mtl_ok
+        + F.lit(0.25) * (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio * 5.0))
+        + F.lit(0.25) * F.least(F.lit(1.0), stop_density * 5.0)
+    )
+    # no rounding: int/int IEEE divisions and same-order double sums are
+    # already bit-identical across engines, while ROUND implementations
+    # differ in tie handling
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        mean_tok_len.alias("mean_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_density.alias("stop_density"),
+        score.alias("quality_score"),
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Heuristic language ID: stopword-hit score per language, argmax
+    with deterministic alphabetical tie-break; 'und' (undetermined,
+    BCP-47) when nothing matches.
+    """
+    tokens = tokens_col()
+    scores = {lang: _stop_hits(tokens, lang) for lang in sorted(STOPWORDS)}
+    best = F.greatest(*scores.values())
+    predicted = F.lit("und")
+    # build the CASE chain in REVERSE alphabetical order so the earliest
+    # language wins ties (last when() applied wins in a coalesce chain)
+    expr = predicted
+    for lang in sorted(STOPWORDS, reverse=True):
+        expr = F.when((best > 0) & (scores[lang] == best), lang).otherwise(expr)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        expr.alias("predicted_lang"),
+        best.alias("best_score"),
+    )
+
+
+def fingerprint(docs: DataFrame, shingle_words: int = 3) -> DataFrame:
+    """Document fingerprinting (winnowing-lite): md5 of the full text +
+    the minimum md5 over word ``shingle_words``-shingles — a stable,
+    order-sensitive content signature for near-dup candidate blocking.
+    """
+    tokens = tokens_col()
+    n = F.size(tokens)
+    k = shingle_words
+    shingle_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(tokens, i + j) for j in range(k)]
+    )
+    min_shingle = F.array_min(
+        F.transform(F.sequence(F.lit(1), n - (k - 1)), lambda i: F.md5(shingle_at(i)))
+    )
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.when(n >= k, min_shingle).alias("min_shingle_md5"),
+    )

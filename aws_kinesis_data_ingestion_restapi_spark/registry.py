@@ -201,6 +201,14 @@ QUERY_FNS: dict[str, QueryFn] = {
     "serving_last_write_wins": serving_last_write_wins,
 }
 
+# merge the dedup / similarity / text-analysis extension surface
+from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (  # noqa: E402
+    EXT_ORACLE_SQL,
+    EXT_QUERY_FNS,
+)
+
+QUERY_FNS.update(EXT_QUERY_FNS)
+
 # DuckDB fragments for the decimal-exact aggregation contract.
 _DSUM2 = "CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE)"
 _DSUM6 = "CAST(SUM(CAST({c} AS DECIMAL(18,6))) AS DOUBLE)"
@@ -387,3 +395,5 @@ ORACLE_SQL: dict[str, str] = {
             PARTITION BY customer_id, order_id ORDER BY batch_seq DESC) = 1
     """,
 }
+
+ORACLE_SQL.update(EXT_ORACLE_SQL)
