@@ -1,0 +1,278 @@
+"""Multimodal (image / audio / video) columns as first-class data:
+opaque ``binary`` content + typed metadata struct, with decode /
+feature-extraction / resize / frame-sampling as Arrow-batched
+``mapInPandas`` operators.
+
+The reference repo has no binary surface (SURVEY §2.7); this extends it
+for the training-data-pipeline north star. The container's real codecs
+(PIL/libav/librosa) are NOT in this environment, so the codec call is
+stubbed behind ``NotImplementedError`` with a deterministic fake-decode
+path — but everything Spark-side is real and tested: the asset schema,
+the binary column plumbing, the Arrow batch iteration, the UDF output
+schemas, and the partitioning behavior.
+
+Scale design:
+- assets are a normal DataFrame with a ``binary`` column — Parquet
+  stores it as BYTE_ARRAY, so partition pruning / predicate pushdown on
+  the metadata columns work unchanged, and the blobs never pass through
+  the driver.
+- every Python-side operator is ``mapInPandas`` (Arrow columnar batches,
+  zero-copy into numpy) — never a row-at-a-time UDF. Batch size is
+  bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` so
+  executor memory stays flat regardless of corpus size.
+- frame sampling fans out 1→N rows inside the iterator (generator
+  yields), so no per-task materialization of the full fan-out either.
+
+Cross-engine determinism: the synthetic container payload is the
+document text (utf-8); fingerprints are md5 over the UNCHUNKED base64
+of the binary (Spark's ``base64`` emits MIME 76-char lines — the
+``regexp_replace`` strips them; DuckDB's ``to_base64`` is unchunked),
+and frames are CHARACTER blocks so DuckDB ``substring`` / Python str
+slicing agree byte-for-byte after utf-8 encoding.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+# ---------------------------------------------------------------------------
+# the typed container (deterministic synthetic assets over `documents`)
+# ---------------------------------------------------------------------------
+
+KINDS = ("image", "audio", "video")  # doc_id % 3 → kind
+MAGIC = {"image": b"IMG0", "audio": b"AUD0", "video": b"VID0"}
+FORMATS = {"image": "png", "audio": "wav", "video": "mp4"}
+FRAME_CHARS = 256  # one fake video "frame" = 256 chars of payload
+FRAME_STRIDE = 2  # sample every 2nd frame
+
+ASSET_META_FIELDS = (
+    "format string, width int, height int, channels int, "
+    "sample_rate int, duration_ms long, fps int, n_frames int"
+)
+
+
+def synthesize_assets(docs: DataFrame) -> DataFrame:
+    """documents → deterministic multimodal assets table:
+    (asset_id, kind, content binary, meta struct).
+
+    content = 4-byte magic + utf-8 text payload; kind cycles
+    image/audio/video on doc_id; metadata is arithmetic on
+    (doc_id, n_chars) so an oracle can re-derive every value. This is
+    the fixture generator for the binary pipeline — in production the
+    same schema holds real containers (and the decode operators below
+    call real codecs instead of the stub).
+    """
+    kind = F.element_at(F.array(*[F.lit(k) for k in KINDS]), (F.col("doc_id") % 3 + 1).cast("int"))
+    magic = (
+        F.when(kind == "image", F.lit(MAGIC["image"]))
+        .when(kind == "audio", F.lit(MAGIC["audio"]))
+        .otherwise(F.lit(MAGIC["video"]))
+    )
+    fmt = (
+        F.when(kind == "image", F.lit(FORMATS["image"]))
+        .when(kind == "audio", F.lit(FORMATS["audio"]))
+        .otherwise(F.lit(FORMATS["video"]))
+    )
+    n_chars = F.length("text")
+    n_frames = F.ceil(n_chars / F.lit(float(FRAME_CHARS))).cast("int")
+    meta = F.struct(
+        fmt.alias("format"),
+        F.when(kind == "image", (64 + (F.col("doc_id") % 16) * 32).cast("int")).alias("width"),
+        F.when(kind == "image", (64 + (F.col("doc_id") % 9) * 48).cast("int")).alias("height"),
+        F.when(kind == "image", F.lit(3)).alias("channels"),
+        F.when(kind == "audio", (8000 * (F.col("doc_id") % 5 + 1)).cast("int")).alias(
+            "sample_rate"
+        ),
+        F.when(kind == "audio", (n_chars * 10).cast("long")).alias("duration_ms"),
+        F.when(kind == "video", (24 + (F.col("doc_id") % 2) * 6).cast("int")).alias("fps"),
+        F.when(kind == "video", n_frames).alias("n_frames"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        kind.alias("kind"),
+        F.concat(magic, F.encode("text", "UTF-8")).alias("content"),
+        meta.alias("meta"),
+    )
+
+
+def content_md5(col: Column | str = "content") -> Column:
+    """md5 fingerprint of a binary column, engine-portable: hash the
+    UNCHUNKED base64 text (Spark base64 is MIME-chunked; strip the line
+    breaks to match DuckDB's to_base64 / Python b64encode)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.regexp_replace(F.base64(c), "[\\r\\n]", ""))
+
+
+# ---------------------------------------------------------------------------
+# codec boundary (stubbed — real codecs are not in this container)
+# ---------------------------------------------------------------------------
+
+
+def _decode_real(kind: str, payload: bytes) -> dict:  # pragma: no cover
+    """The real codec call (PIL.Image.open / soundfile / av). STUB:
+    the container image has no media libraries; raise so callers fall
+    back explicitly rather than silently producing fakes in prod."""
+    raise NotImplementedError(
+        "real image/audio/video codecs are not available in this "
+        "environment; use fake_decode=True (deterministic byte-stats "
+        "decode) or install PIL/soundfile/av and extend _decode_real"
+    )
+
+
+def _decode_fake(kind: str, payload: bytes) -> dict:
+    """Deterministic stand-in decode: byte statistics of the payload.
+    Same shape as a real decode result (a per-asset feature dict)."""
+    n = len(payload)
+    if n == 0:
+        return {"n_bytes": 0, "byte_mean": 0.0, "byte_min": 0, "byte_max": 0}
+    # plain-int arithmetic (not numpy) → bit-exact everywhere
+    return {
+        "n_bytes": n,
+        "byte_mean": sum(payload) / n,
+        "byte_min": min(payload),
+        "byte_max": max(payload),
+    }
+
+
+# ---------------------------------------------------------------------------
+# mapInPandas operators (the Python-side batch plumbing)
+# ---------------------------------------------------------------------------
+
+FEATURES_SCHEMA = (
+    "asset_id long, kind string, n_bytes long, byte_mean double, "
+    "byte_min int, byte_max int, payload_md5 string"
+)
+
+
+def extract_features(assets: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """Decode + feature-extract each asset via Arrow-batched
+    ``mapInPandas``: binary content → per-asset feature row. With
+    ``fake_decode`` (default — no codecs in this image) features are
+    deterministic byte statistics; the real-codec path raises
+    ``NotImplementedError`` at the clearly-marked stub."""
+    decode = _decode_fake if fake_decode else _decode_real
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for asset_id, kind, content in zip(
+                pdf["asset_id"], pdf["kind"], pdf["content"]
+            ):
+                payload = bytes(content)[4:]  # strip container magic
+                feats = decode(kind, payload)
+                rows.append(
+                    {
+                        "asset_id": asset_id,
+                        "kind": kind,
+                        **feats,
+                        "payload_md5": hashlib.md5(payload).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[
+                "asset_id", "kind", "n_bytes", "byte_mean",
+                "byte_min", "byte_max", "payload_md5",
+            ])
+
+    return assets.select("asset_id", "kind", "content").mapInPandas(
+        batches, schema=FEATURES_SCHEMA
+    )
+
+
+FRAMES_SCHEMA = "asset_id long, frame_idx int, frame_chars int, frame_md5 string"
+
+
+def sample_frames(
+    assets: DataFrame,
+    frame_chars: int = FRAME_CHARS,
+    stride: int = FRAME_STRIDE,
+) -> DataFrame:
+    """Frame-sample the video assets: 1 asset → ⌈n/frame_chars⌉ frames,
+    keep every ``stride``-th. Frames are CHARACTER blocks of the utf-8
+    payload (a real implementation would pull codec keyframes here —
+    the fan-out/batching shape is identical), emitted lazily from the
+    Arrow batch iterator so the 1→N inflation never materializes
+    per-task."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                text = bytes(content)[4:].decode("utf-8")
+                n_frames = math.ceil(len(text) / frame_chars) if text else 0
+                for i in range(0, n_frames, stride):
+                    frame = text[i * frame_chars : (i + 1) * frame_chars]
+                    rows.append(
+                        {
+                            "asset_id": asset_id,
+                            "frame_idx": i,
+                            "frame_chars": len(frame),
+                            "frame_md5": hashlib.md5(frame.encode("utf-8")).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "frame_idx", "frame_chars", "frame_md5"]
+            )
+
+    return (
+        assets.filter(F.col("kind") == "video")
+        .select("asset_id", "content")
+        .mapInPandas(batches, schema=FRAMES_SCHEMA)
+    )
+
+
+RESIZED_SCHEMA = (
+    "asset_id long, content binary, format string, width int, height int"
+)
+
+
+def resize_images(assets: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Resize the image assets to (width, height) via ``mapInPandas``.
+    The pixel resample is the stubbed codec step — the fake keeps a
+    deterministic byte stride of the payload sized w·h·3 (so output
+    size scales like a real resize) and rewrites the metadata; the
+    batch/schema/binary-output plumbing is the real thing."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        target = width * height * 3
+        for pdf in it:
+            rows = []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                payload = bytes(content)[4:]
+                if payload:
+                    step = max(1, len(payload) // target)
+                    resized = payload[::step][:target]
+                else:
+                    resized = b""
+                rows.append(
+                    {
+                        "asset_id": asset_id,
+                        "content": MAGIC["image"] + resized,
+                        "format": FORMATS["image"],
+                        "width": width,
+                        "height": height,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "content", "format", "width", "height"]
+            )
+
+    return (
+        assets.filter(F.col("kind") == "image")
+        .select("asset_id", "content")
+        .mapInPandas(batches, schema=RESIZED_SCHEMA)
+    )

@@ -17,7 +17,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from aws_kinesis_data_ingestion_restapi_spark.operators import dedup, similarity, text
+from aws_kinesis_data_ingestion_restapi_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (DuckDB dialect), mirroring operators.text/dedup
@@ -118,6 +123,54 @@ def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.near_dup_pairs(_embs(spark, sf_dir), d2_max=1.2)
 
 
+# ---------------------------------------------------------------------------
+# multimodal (binary columns + mapInPandas decode/frame-sample/resize)
+# ---------------------------------------------------------------------------
+
+
+def mm_asset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = multimodal.synthesize_assets(_docs(spark, sf_dir))
+    return assets.groupBy("kind", F.col("meta.format").alias("format")).agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum(F.length("content")).alias("total_bytes"),
+    )
+
+
+def mm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = multimodal.synthesize_assets(_docs(spark, sf_dir))
+    return assets.select(
+        "asset_id",
+        "kind",
+        F.length("content").alias("n_bytes"),
+        multimodal.content_md5().alias("content_md5"),
+    )
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.sample_frames(
+        multimodal.synthesize_assets(_docs(spark, sf_dir))
+    )
+
+
+def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.extract_features(
+        multimodal.synthesize_assets(_docs(spark, sf_dir))
+    )
+
+
+def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    resized = multimodal.resize_images(
+        multimodal.synthesize_assets(_docs(spark, sf_dir))
+    )
+    return resized.select(
+        "asset_id",
+        "format",
+        "width",
+        "height",
+        F.length("content").alias("n_bytes"),
+    )
+
+
 EXT_QUERY_FNS = {
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
@@ -131,6 +184,11 @@ EXT_QUERY_FNS = {
     "ann_topk_brute": ann_topk_brute,
     "ann_topk_lsh": ann_topk_lsh,
     "emb_near_dup": emb_near_dup,
+    "mm_asset_stats": mm_asset_stats,
+    "mm_fingerprint": mm_fingerprint,
+    "mm_frame_sample": mm_frame_sample,
+    "mm_extract_features": mm_extract_features,
+    "mm_resize_images": mm_resize_images,
 }
 
 # ---------------------------------------------------------------------------
@@ -214,7 +272,55 @@ _SIMHASH = f"""
         )
 """
 
+_MM_KIND = (
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+    "ELSE 'video' END"
+)
+_MM_FMT = (
+    "CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END"
+)
+_MM_MAGIC = (
+    "CASE doc_id % 3 WHEN 0 THEN 'IMG0'::BLOB WHEN 1 THEN 'AUD0'::BLOB "
+    "ELSE 'VID0'::BLOB END"
+)
+_FC = multimodal.FRAME_CHARS
+_FS = multimodal.FRAME_STRIDE
+
 EXT_ORACLE_SQL = {
+    "mm_asset_stats": f"""
+        WITH a AS (
+            SELECT {_MM_KIND} AS kind, {_MM_FMT} AS format,
+                   4 + strlen(text) AS n_bytes
+            FROM documents
+        )
+        SELECT kind, format, COUNT(*) AS n_assets,
+               SUM(n_bytes) AS total_bytes
+        FROM a GROUP BY 1, 2
+    """,
+    "mm_fingerprint": f"""
+        SELECT doc_id AS asset_id, {_MM_KIND} AS kind,
+               4 + strlen(text) AS n_bytes,
+               md5(to_base64({_MM_MAGIC} || encode(text))) AS content_md5
+        FROM documents
+    """,
+    "mm_frame_sample": f"""
+        WITH v AS (
+            SELECT doc_id AS asset_id, text,
+                   CAST(ceil(length(text) / {_FC}.0) AS INT) AS nf
+            FROM documents WHERE doc_id % 3 = 2
+        ),
+        fr AS (
+            SELECT asset_id, text,
+                   unnest(generate_series(0, nf - 1)) AS i
+            FROM v
+        )
+        SELECT asset_id, CAST(i AS INT) AS frame_idx,
+               length(substring(text, CAST(i * {_FC} + 1 AS INT), {_FC}))
+                   AS frame_chars,
+               md5(substring(text, CAST(i * {_FC} + 1 AS INT), {_FC}))
+                   AS frame_md5
+        FROM fr WHERE i % {_FS} = 0
+    """,
     "text_token_stats": f"""
         SELECT doc_id,
                length(text) AS n_chars,

@@ -63,12 +63,15 @@ def unscale(c: Column) -> Column:
 
 def sign_bucket(col: Column | str = "embedding", bits: int = SIGN_BITS) -> Column:
     """Axis-aligned random-hyperplane LSH bucket id ∈ [0, 2^bits):
-    bit i set ⟺ quantized component i > 0."""
+    bit i set ⟺ quantized component i > 0. Vectors shorter than
+    ``bits`` components leave the missing bits unset (try_element_at
+    → NULL → no contribution)."""
     q = quantized(col)
     return F.aggregate(
         F.sequence(F.lit(0), F.lit(bits - 1)),
         F.lit(0),
-        lambda acc, i: acc + F.when(F.element_at(q, i + 1) > 0, _p2i(i)).otherwise(0),
+        lambda acc, i: acc
+        + F.when(F.try_element_at(q, i + 1) > 0, _p2i(i)).otherwise(0),
     )
 
 

@@ -1,0 +1,147 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The reference pipeline is stateless per record (each Lambda invocation
+sees only its batch; the only cross-batch memory is DynamoDB's upsert
+semantics — lambda_kinesis_consumer/lambda_function.py:48). These
+operators add the cross-batch state the north star needs:
+
+- ``streaming_dedup``: emit only the FIRST occurrence of each key
+  across the whole stream (exactly-once-per-key downstream semantics on
+  an at-least-once source) — the streaming form of
+  ``operators.dedup.dedup_keep_first``.
+- ``streaming_running_totals``: per-customer running order count /
+  amount — the stateful serving-view aggregate (what the reference
+  approximates by re-reading DynamoDB).
+
+Scale design: state lives per grouping key in the state store
+(RocksDB-backed on a real cluster via
+``spark.sql.streaming.stateStore.providerClass``), partitioned by the
+shuffle on the group key — no driver state, no global structures. Both
+operators take a ``GroupStateTimeout.ProcessingTimeTimeout`` TTL so
+state is bounded when keys churn (at 100 TB an unbounded key space
+must expire or the state store grows forever); pass ``ttl_ms=None``
+for the small-keyspace case where state must never expire.
+
+``applyInPandasWithState`` is the Arrow-batched path (pandas per
+group-batch); Spark 4 offers ``transformWithStateInPandas`` with
+richer state types — this sticks to the older API, which exists on
+both 3.4+ and 4.x.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("customer_id", "order_id"),
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """First-occurrence-only filter across micro-batches.
+
+    Replays of a key already seen in ANY earlier batch are dropped, so
+    an at-least-once source feeds exactly-once-per-key sinks. Output
+    schema == input schema. State per key: a single marker (plus an
+    occurrence counter for observability) — O(distinct keys), the
+    minimum any exact cross-batch dedup can hold.
+    """
+    schema = events.schema
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def first_only(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        seen = state.exists
+        emitted = False
+        for pdf in pdfs:
+            if len(pdf) and not seen and not emitted:
+                yield pdf.iloc[[0]]
+                emitted = True
+        if not seen:
+            state.update((1,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+
+    return events.groupBy(*key_cols).applyInPandasWithState(
+        first_only,
+        outputStructType=schema,
+        stateStructType="n long",
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
+RUNNING_TOTALS_SCHEMA = (
+    "customer_id string, n_orders long, total_amount double"
+)
+
+
+def streaming_running_totals(
+    events: DataFrame,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Per-customer running (n_orders, total_amount) emitted every
+    micro-batch the customer appears in — the custom-stateful form of
+    the serving view's read-modify-write pattern.
+
+    Amounts accumulate in integer cents inside the state tuple, so the
+    running sum is exact regardless of batch order; only the emitted
+    value divides back to a double.
+    """
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def accumulate(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(round(pdf["_amount"].sum() * 100))
+        state.update((n, cents))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(
+            [{"customer_id": key[0], "n_orders": n, "total_amount": cents / 100.0}]
+        )
+
+    from pyspark.sql import functions as F
+
+    keyed = events.select(
+        "customer_id",
+        F.col("purchaise_details.amount").cast("double").alias("_amount"),
+    )
+    return keyed.groupBy("customer_id").applyInPandasWithState(
+        accumulate,
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        stateStructType="n long, cents long",
+        outputMode="update",
+        timeoutConf=timeout,
+    )

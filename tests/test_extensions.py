@@ -1,0 +1,272 @@
+"""Unit tests for the training-data extension operators: text analysis,
+dedup (exact / prefix-filter Jaccard / MinHash / SimHash), similarity
+search, and multimodal binary columns."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_kinesis_data_ingestion_restapi_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat sat on the mat. the cat sat again!", "en"),
+        (1, "the cat sat on the mat. the cat sat again!", "en"),  # exact dup of 0
+        (2, "the dog sat on the mat. the dog sat again!", "en"),  # near dup of 0
+        (3, "el perro es un animal y la casa es grande", "es"),
+        (4, "completely unrelated words zebra quantum fjord", "en"),
+        (5, "xy", "und"),  # shorter than any shingle
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"]).cache()
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def test_token_stats_counts(docs):
+    r = {x["doc_id"]: x for x in text.token_stats(docs).collect()}
+    assert r[0]["n_tokens"] == 10
+    assert r[0]["n_chars"] == len("the cat sat on the mat. the cat sat again!")
+    # distinct whitespace tokens: {the, cat, sat, on, mat., again!}
+    assert r[0]["n_unique_tokens"] == 6
+    # BPE-ish: letter runs + punctuation symbols ("mat." → "mat" + ".")
+    assert r[0]["n_bpe_tokens"] == 12
+
+
+def test_language_id_predictions(docs):
+    preds = {
+        x["doc_id"]: x["predicted_lang"] for x in text.language_id(docs).collect()
+    }
+    assert preds[0] == "en"
+    assert preds[3] == "es"
+    assert preds[4] == "und" or preds[4] == "en"  # few/no stopword hits
+    assert preds[5] == "und"
+
+
+def test_fingerprint_short_doc_has_null_shingle(docs):
+    r = {x["doc_id"]: x for x in text.fingerprint(docs).collect()}
+    assert r[5]["min_shingle_md5"] is None
+    assert r[0]["min_shingle_md5"] is not None
+    # identical texts → identical fingerprints
+    assert r[0]["text_md5"] == r[1]["text_md5"]
+    assert r[0]["min_shingle_md5"] == r[1]["min_shingle_md5"]
+
+
+def test_quality_score_bounds(docs):
+    for row in text.quality_score(docs).collect():
+        assert 0.0 <= row["quality_score"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def test_exact_dedup_groups(docs):
+    groups = {r["keep_id"]: r["n_copies"] for r in dedup.exact_dedup(docs).collect()}
+    assert groups[0] == 2  # docs 0 and 1 collapse, survivor = min id
+    assert 1 not in groups
+    assert groups[2] == 1
+
+
+def test_dedup_keep_first(docs):
+    kept = dedup.dedup_keep_first(docs)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert ids == {0, 2, 3, 4, 5}
+
+
+def test_ngram_jaccard_finds_near_dups(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.2).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # exact dup
+    assert (0, 2) in pairs and 0.2 <= pairs[(0, 2)] < 1.0  # near dup
+    assert all(a < b for a, b in pairs)
+    assert not any({a, b} & {3, 4} and {a, b} & {0, 1, 2} for a, b in pairs)
+
+
+def test_prefix_filter_has_no_false_negatives(spark):
+    """Property check: prefix-filter candidates ⊇ all true pairs, on a
+    corpus engineered for heavy shingle overlap."""
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 18))))
+        for i in range(40)
+    ]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    t = 0.3
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(corpus, n=2, threshold=t).collect()
+    }
+
+    # brute-force truth in plain Python (same tokenizer/shingles)
+    def grams(s):
+        toks = s.lower().strip().split()
+        return {" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)}
+
+    truth = set()
+    for i, (ida, ta) in enumerate(rows):
+        for idb, tb in rows[i + 1 :]:
+            ga, gb = grams(ta), grams(tb)
+            if ga | gb and len(ga & gb) / len(ga | gb) >= t:
+                truth.add((ida, idb))
+    assert got == truth
+
+
+def test_minhash_lsh_catches_exact_dup(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+
+
+def test_simhash_hamming_zero_for_exact_dup(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_near_pairs(docs, max_hamming=3).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    with pytest.raises(ValueError):
+        dedup.simhash_near_pairs(docs, max_hamming=10)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9998, -0.02, 0.0, 0.0]),  # ~same direction as 0, same sign bucket
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+
+
+def test_topk_brute_ranking(vectors):
+    out = similarity.topk_brute(vectors, n_queries=1, k=4).collect()
+    ranked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked[0] == 1  # closest direction
+    assert ranked[-1] == 4  # opposite direction last
+    scores = {r["neighbor_id"]: r["score"] for r in out}
+    assert scores[1] == pytest.approx(0.9998, abs=1e-4)
+    assert scores[4] == pytest.approx(-1.0, abs=1e-9)
+
+
+def test_near_dup_pairs_threshold(vectors):
+    # d² = 2(1−cos): pair (0,1) ≈ 0.0004; orthogonal pairs = 2.0
+    out = {
+        (r["vec_a"], r["vec_b"]): r["dist2"]
+        for r in similarity.near_dup_pairs(vectors, d2_max=0.5).collect()
+    }
+    assert set(out) == {(0, 1)}
+    assert out[(0, 1)] == pytest.approx(0.0004, abs=1e-3)
+
+
+def test_lsh_bucket_restricts_candidates(vectors):
+    out = similarity.topk_lsh(vectors, n_queries=5, k=4).collect()
+    # vec 4 has no positive components → bucket 0; vec 0/1 share a
+    # bucket; orthogonal vectors land in different buckets
+    for r in out:
+        assert r["query_id"] != r["neighbor_id"]
+    pairs = {(r["query_id"], r["neighbor_id"]) for r in out}
+    assert (0, 1) in pairs and (1, 0) in pairs
+    assert (0, 2) not in pairs
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def assets(docs):
+    return multimodal.synthesize_assets(docs).cache()
+
+
+def test_synthesize_assets_schema_and_magic(assets):
+    rows = {r["asset_id"]: r for r in assets.collect()}
+    assert rows[0]["kind"] == "image" and bytes(rows[0]["content"])[:4] == b"IMG0"
+    assert rows[1]["kind"] == "audio" and bytes(rows[1]["content"])[:4] == b"AUD0"
+    assert rows[2]["kind"] == "video" and bytes(rows[2]["content"])[:4] == b"VID0"
+    assert rows[0]["meta"]["format"] == "png"
+    assert rows[0]["meta"]["width"] == 64 and rows[0]["meta"]["channels"] == 3
+    assert rows[1]["meta"]["sample_rate"] == 16000  # 8000·(1%5+1)
+    assert rows[1]["meta"]["width"] is None  # sparse typed metadata
+    assert rows[2]["meta"]["fps"] == 24
+
+
+def test_extract_features_matches_python(assets, docs):
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    feats = {r["asset_id"]: r for r in multimodal.extract_features(assets).collect()}
+    for doc_id, t in texts.items():
+        payload = t.encode("utf-8")
+        f = feats[doc_id]
+        assert f["n_bytes"] == len(payload)
+        assert f["byte_mean"] == pytest.approx(sum(payload) / len(payload))
+        assert f["payload_md5"] == hashlib.md5(payload).hexdigest()
+
+
+def test_real_decode_is_stubbed(assets):
+    with pytest.raises(Exception) as exc_info:
+        multimodal.extract_features(assets, fake_decode=False).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
+def test_sample_frames_matches_python(assets, docs, spark):
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    frames = multimodal.sample_frames(assets, frame_chars=8, stride=2).collect()
+    got = {(r["asset_id"], r["frame_idx"]): r["frame_md5"] for r in frames}
+    want = {}
+    for doc_id, t in texts.items():
+        if doc_id % 3 != 2:  # only video assets
+            continue
+        for i in range(0, math.ceil(len(t) / 8), 2):
+            want[(doc_id, i)] = hashlib.md5(t[i * 8 : (i + 1) * 8].encode()).hexdigest()
+    assert got == want
+
+
+def test_resize_images_output_shape(assets):
+    out = multimodal.resize_images(assets, width=4, height=4).collect()
+    assert {r["asset_id"] for r in out} == {0, 3}  # image assets only
+    for r in out:
+        assert r["width"] == 4 and r["height"] == 4
+        body = bytes(r["content"])
+        assert body[:4] == b"IMG0"
+        assert len(body) - 4 <= 4 * 4 * 3  # ≤ w·h·channels
+
+
+def test_content_md5_matches_python(assets, docs):
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    rows = assets.select("asset_id", "kind", multimodal.content_md5().alias("m")).collect()
+    import base64 as b64
+
+    for r in rows:
+        payload = multimodal.MAGIC[r["kind"]] + texts[r["asset_id"]].encode()
+        assert r["m"] == hashlib.md5(b64.b64encode(payload)).hexdigest()
