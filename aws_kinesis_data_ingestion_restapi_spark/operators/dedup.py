@@ -48,17 +48,31 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def distinct_tokens() -> Column:
-    return F.array_distinct(tokens_col())
+def distinct_tokens(toks: Column | None = None) -> Column:
+    return F.array_distinct(tokens_col() if toks is None else toks)
 
 
-def word_ngrams(n: int) -> Column:
-    """Distinct word n-gram (shingle) set of the text column.
+def tokenized(docs: DataFrame) -> DataFrame:
+    """(doc_id, _toks) projection — tokenization materialized ONCE.
+
+    Every shingle builder below takes the resulting ``_toks`` column.
+    Inlining the split expression inside a per-shingle lambda instead
+    would re-run the split for every element_at — O(tokens²) per
+    document. A separate projection keeps it linear; CollapseProject
+    won't merge it back because the alias is expensive and referenced
+    many times."""
+    return docs.select("doc_id", tokens_col().alias("_toks"))
+
+
+def word_ngrams(n: int, toks: Column | None = None) -> Column:
+    """Distinct word n-gram (shingle) set over a token-array column
+    (pass the materialized ``_toks`` from ``tokenized`` — see there for
+    why; defaults to inline tokenization for tiny/test frames).
 
     Guarded for docs shorter than n tokens (Spark's sequence(1, 0)
     would count DOWN; DuckDB's generate_series yields empty — the
     guard makes both produce an empty set)."""
-    toks = tokens_col()
+    toks = tokens_col() if toks is None else toks
     size = F.size(toks)
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(toks, i + j) for j in range(n)]
@@ -80,13 +94,13 @@ def word_ngrams(n: int) -> Column:
 GRAM_HASH_HEX = 7
 
 
-def hashed_ngrams(n: int) -> Column:
+def hashed_ngrams(n: int, toks: Column | None = None) -> Column:
     """Sorted distinct int-hashed word n-gram set of the text column:
     shingle → first 7 md5 hex chars → 28-bit int, deduped and
     ascending-sorted. The canonical set representation for the Jaccard
     operators (Jaccard over hashed shingles ≡ Jaccard over shingles
     modulo negligible 28-bit collisions — standard dedup practice)."""
-    grams = word_ngrams(n)
+    grams = word_ngrams(n, toks)
     hashed = F.transform(
         grams,
         lambda s: F.conv(F.substring(F.md5(s), 1, GRAM_HASH_HEX), 16, 10).cast("long"),
@@ -154,8 +168,8 @@ def ngram_jaccard_pairs(
     feed ``minhash_lsh_pairs`` / ``simhash_near_pairs`` output through
     the same exact-Jaccard verifier.
     """
-    grams = docs.select(
-        F.col("doc_id"), hashed_ngrams(n).alias("grams")
+    grams = tokenized(docs).select(
+        F.col("doc_id"), hashed_ngrams(n, F.col("_toks")).alias("grams")
     ).repartition(F.col("doc_id"))
     if candidates is None:
         candidates = prefix_filter_candidates(grams, threshold)
@@ -226,11 +240,12 @@ def minhash_signatures(
     interpreted (not codegen'd), and without an exchange barrier
     Catalyst collapses the projections and re-derives the whole shingle
     array once per permutation."""
-    feats = word_ngrams(shingle_words) if shingle_words > 1 else distinct_tokens()
+    t = F.col("_toks")
+    feats = word_ngrams(shingle_words, t) if shingle_words > 1 else distinct_tokens(t)
     hashed = F.transform(
         feats, lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long")
     )
-    shingled = docs.select("doc_id", hashed.alias("_hs")).repartition(
+    shingled = tokenized(docs).select("doc_id", hashed.alias("_hs")).repartition(
         F.col("doc_id")
     )
     sig = F.transform(
@@ -341,7 +356,8 @@ def simhash_docs(docs: DataFrame, shingle_words: int = 3) -> DataFrame:
     higher-order lambdas would be interpreted and ~100× slower); the
     60× row inflation is map-side only — partial aggregation shrinks
     the shuffle to 60 rows per document."""
-    feats = word_ngrams(shingle_words) if shingle_words > 1 else distinct_tokens()
+    tk = F.col("_toks")
+    feats = word_ngrams(shingle_words, tk) if shingle_words > 1 else distinct_tokens(tk)
     # hash each shingle once (array<long>); the repartition barrier
     # stops Catalyst from collapsing projections and re-deriving the
     # md5 array downstream
@@ -349,7 +365,9 @@ def simhash_docs(docs: DataFrame, shingle_words: int = 3) -> DataFrame:
         feats,
         lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
     )
-    hdocs = docs.select("doc_id", thash.alias("hs")).repartition(F.col("doc_id"))
+    hdocs = tokenized(docs).select("doc_id", thash.alias("hs")).repartition(
+        F.col("doc_id")
+    )
     votes = (
         hdocs.select("doc_id", F.explode("hs").alias("h"))
         .select(

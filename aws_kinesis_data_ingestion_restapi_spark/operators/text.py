@@ -54,15 +54,21 @@ def _stop_hits(tokens: Column, lang: str) -> Column:
 
 def token_stats(docs: DataFrame) -> DataFrame:
     """Token counting: whitespace tokens + BPE-ish sub-token count +
-    character length per document."""
-    tokens = tokens_col()
+    character length per document. (Tokens materialized once in a
+    first projection — see ``fingerprint`` for why.)"""
+    tokens = F.col("_toks")
     return docs.select(
         "doc_id",
         F.length("text").alias("n_chars"),
-        F.size(tokens).alias("n_tokens"),
         F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_PATTERN), 0)).alias(
             "n_bpe_tokens"
         ),
+        tokens_col().alias("_toks"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        F.size(tokens).alias("n_tokens"),
+        "n_bpe_tokens",
         F.size(F.array_distinct(tokens)).alias("n_unique_tokens"),
     )
 
@@ -76,7 +82,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
       punct_ratio   punctuation chars per char (soft penalty)
       stop_density  English stopword density (soft reward)
     """
-    tokens = tokens_col()
+    tokens = F.col("_toks")
     n_tokens = F.size(tokens)
     sum_tok_len = F.aggregate(
         tokens, F.lit(0), lambda acc, t: acc + F.length(t)
@@ -98,7 +104,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     # no rounding: int/int IEEE divisions and same-order double sums are
     # already bit-identical across engines, while ROUND implementations
     # differ in tie handling
-    return docs.select(
+    return docs.select("doc_id", "text", tokens_col().alias("_toks")).select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         mean_tok_len.alias("mean_token_len"),
@@ -113,7 +119,7 @@ def language_id(docs: DataFrame) -> DataFrame:
     with deterministic alphabetical tie-break; 'und' (undetermined,
     BCP-47) when nothing matches.
     """
-    tokens = tokens_col()
+    tokens = F.col("_toks")
     scores = {lang: _stop_hits(tokens, lang) for lang in sorted(STOPWORDS)}
     best = F.greatest(*scores.values())
     predicted = F.lit("und")
@@ -122,7 +128,7 @@ def language_id(docs: DataFrame) -> DataFrame:
     expr = predicted
     for lang in sorted(STOPWORDS, reverse=True):
         expr = F.when((best > 0) & (scores[lang] == best), lang).otherwise(expr)
-    return docs.select(
+    return docs.select("doc_id", "lang", tokens_col().alias("_toks")).select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         expr.alias("predicted_lang"),
@@ -134,8 +140,16 @@ def fingerprint(docs: DataFrame, shingle_words: int = 3) -> DataFrame:
     """Document fingerprinting (winnowing-lite): md5 of the full text +
     the minimum md5 over word ``shingle_words``-shingles — a stable,
     order-sensitive content signature for near-dup candidate blocking.
+
+    Two-projection shape on purpose: the token array is materialized
+    as a concrete column BEFORE the per-shingle lambda touches it.
+    Inlining ``tokens_col()`` (a split) inside the transform would
+    re-evaluate the split for every element_at — O(tokens²) per
+    document (measured 15× slower at sf0.01). CollapseProject leaves
+    the projections separate because the alias is expensive and
+    multiply-referenced.
     """
-    tokens = tokens_col()
+    tokens = F.col("_toks")
     n = F.size(tokens)
     k = shingle_words
     shingle_at = lambda i: F.concat_ws(  # noqa: E731
@@ -145,7 +159,9 @@ def fingerprint(docs: DataFrame, shingle_words: int = 3) -> DataFrame:
         F.transform(F.sequence(F.lit(1), n - (k - 1)), lambda i: F.md5(shingle_at(i)))
     )
     return docs.select(
+        "doc_id", F.md5("text").alias("text_md5"), tokens_col().alias("_toks")
+    ).select(
         "doc_id",
-        F.md5("text").alias("text_md5"),
+        "text_md5",
         F.when(n >= k, min_shingle).alias("min_shingle_md5"),
     )
