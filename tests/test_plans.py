@@ -1,0 +1,112 @@
+"""Plan-shape tests: pin the physical-plan properties that matter at
+100 TB, so a regression that silently un-pushes a filter or turns a
+broadcast join into a shuffle fails HERE, not on the cluster.
+
+Each assertion is a scale invariant:
+- pushed filters  → predicate evaluated inside the parquet reader
+                    (row-group skipping), not after a full scan;
+- read schema     → column pruning actually reaching the scan;
+- broadcast joins → small dims never shuffle the big fact side;
+- partition filter→ Hive-layout directory pruning on derived tables
+                    (the capability the reference's Glue tables lack —
+                    SURVEY §1.2).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_kinesis_data_ingestion_restapi_spark.plans import (
+    has_broadcast_join,
+    has_partition_filters,
+    pushed_filters,
+    read_schema_columns,
+    scan_count,
+)
+from aws_kinesis_data_ingestion_restapi_spark.registry import QUERY_FNS
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_q1_filter_pushed_and_columns_pruned(spark):
+    df = QUERY_FNS["q1_pricing_summary"](spark, SF_DIR)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed, "shipdate predicate must reach the scan"
+    (cols,) = read_schema_columns(df)
+    assert set(cols) == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    }, "q1 must read exactly its 7 columns, not all 16"
+
+
+def test_sales_per_nation_broadcasts_dims(spark):
+    df = QUERY_FNS["sales_per_nation"](spark, SF_DIR)
+    assert has_broadcast_join(df), "customer/nation dims must broadcast"
+    cols = read_schema_columns(df)
+    assert ["o_custkey", "o_totalprice"] in cols, "orders pruned to 2 cols"
+
+
+def test_top_parts_by_revenue_broadcasts_part(spark):
+    df = QUERY_FNS["top_parts_by_revenue"](spark, SF_DIR)
+    assert has_broadcast_join(df)
+    cols = read_schema_columns(df)
+    assert ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"] in cols
+
+
+def test_text_ops_prune_documents_scan(spark):
+    for name in ("text_token_stats", "text_fingerprint"):
+        df = QUERY_FNS[name](spark, SF_DIR)
+        for cols in read_schema_columns(df):
+            assert "text" in cols and len(cols) <= 3, (
+                f"{name} must not read metadata columns: {cols}"
+            )
+
+
+def test_ann_brute_broadcasts_queries_not_corpus(spark):
+    df = QUERY_FNS["ann_topk_brute"](spark, SF_DIR)
+    assert has_broadcast_join(df), "query side must broadcast"
+    pushed = " ".join(pushed_filters(df))
+    assert "vec_id" in pushed, "n_queries filter must reach the scan"
+
+
+def test_partition_pruning_on_derived_table(spark, tmp_path):
+    """Write a table with the reference's Hive layout, then filter on
+    the partition column: the plan must show a PartitionFilter (whole
+    directories skipped) — strictly more than the reference's Glue
+    tables, which don't even expose partition values (SURVEY §1.2)."""
+    src = spark.createDataFrame(
+        [(f"o{i:05d}", ["ES", "US", "FR"][i % 3], 10.0 * i) for i in range(30)],
+        ["order_id", "country", "amount"],
+    )
+    path = str(tmp_path / "shipping")
+    src.write.partitionBy("country").parquet(path)
+    df = spark.read.parquet(path).filter(F.col("country") == "ES")
+    assert has_partition_filters(df, "country")
+    # and partition pruning is visible as a filter, not a post-scan scan
+    assert df.count() == 10
+
+
+def test_unused_join_branches_pruned(spark):
+    """``build_order_events`` assembles events from 5 TPC-H tables,
+    but ``to_orders`` only projects top-level order fields — Catalyst
+    must prune the (lineitem ⋈ part) product_details branch entirely,
+    leaving 3 scans (orders, customer, nation). If this regresses to 5,
+    the orders projection pays for a 4-way join it doesn't use."""
+    df = QUERY_FNS["pipeline_orders"](spark, SF_DIR)
+    assert scan_count(df) == 3
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["ref_total_sales_per_country", "ref_total_income_per_payment_method"],
+)
+def test_reference_queries_aggregate_partial_final(spark, name):
+    """The groupBy aggregates must be partial+final (two HashAggregate
+    nodes around an exchange) — map-side combine is what keeps the
+    shuffle linear in |groups|, not |rows|, at 100 TB."""
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    df = QUERY_FNS[name](spark, SF_DIR)
+    s = explain_str(df)
+    assert s.count("HashAggregate") >= 2, "expected partial+final aggregate"
