@@ -287,6 +287,41 @@ _FC = multimodal.FRAME_CHARS
 _FS = multimodal.FRAME_STRIDE
 
 EXT_ORACLE_SQL = {
+    # Valid because the synthetic corpus is pure ASCII (byte ≡ codepoint,
+    # so ord(substr) enumerates payload bytes and md5(text) ≡ md5 of the
+    # utf-8 payload); the Spark side computes real byte stats on binary.
+    "mm_extract_features": f"""
+        WITH s AS (
+            SELECT doc_id, {_MM_KIND} AS kind, text,
+                   strlen(text) AS n,
+                   list_transform(range(1, strlen(text) + 1),
+                                  i -> ord(substr(text, CAST(i AS INT), 1)))
+                       AS bytes
+            FROM documents
+        )
+        SELECT doc_id AS asset_id, kind,
+               CAST(n AS BIGINT) AS n_bytes,
+               CASE WHEN n = 0 THEN 0.0
+                    ELSE CAST(list_sum(bytes) AS DOUBLE) / n END AS byte_mean,
+               CAST(CASE WHEN n = 0 THEN 0 ELSE list_min(bytes) END AS INT)
+                   AS byte_min,
+               CAST(CASE WHEN n = 0 THEN 0 ELSE list_max(bytes) END AS INT)
+                   AS byte_max,
+               md5(text) AS payload_md5
+        FROM s
+    """,
+    # n_bytes mirrors the stride resample: resized = payload[::step]
+    # with step = max(1, n // 12288), truncated to 12288, + 4-byte magic
+    "mm_resize_images": """
+        SELECT doc_id AS asset_id, 'png' AS format,
+               64 AS width, 64 AS height,
+               CAST(4 + least(12288,
+                    CAST(ceil(CAST(strlen(text) AS DOUBLE)
+                              / greatest(1, strlen(text) // 12288))
+                         AS BIGINT))
+                    AS INT) AS n_bytes
+        FROM documents WHERE doc_id % 3 = 0
+    """,
     "mm_asset_stats": f"""
         WITH a AS (
             SELECT {_MM_KIND} AS kind, {_MM_FMT} AS format,

@@ -23,6 +23,16 @@ customer_id (terraform/main.tf:675); at bench scale that cardinality
 (~10k+) is a small-files anti-pattern, so the bench writes orders
 unpartitioned — the documented, deliberate deviation (SURVEY §7.3);
 the other three tables keep the reference layouts.
+
+Persist note (measured at sf0.1): the event DataFrame is deliberately
+NOT persisted across the four table writes. Caching the nested
+events (array<struct> rows) costs 95 s vs 13 s for plain recompute:
+the in-memory columnar encode/decode of nested arrays is slower than
+re-running the branch-PRUNED plans (e.g. the orders write skips the
+lineitem⋈part collect_list join entirely — tests/test_plans.py pins
+that pruning), and persisting forces the full nested shape for every
+branch. Streaming takes the other trade: foreachBatch persists the
+small per-batch slice (streaming/pipeline.py).
 """
 
 from __future__ import annotations
