@@ -1,0 +1,133 @@
+"""Scale-path operators: skew salting, bucketed co-located joins,
+small-files compaction.
+
+None of these exist in the reference — its scaling story is "Kinesis
+ON_DEMAND + 4 independent Firehoses" (BASELINE.md). At 100 TB the
+actual failure modes are different, and these are the standard Spark
+countermeasures:
+
+- **Skew** (one hot key holds a whole task/executor hostage): AQE
+  skew-join splitting is on by default (session.py), but it only
+  covers sort-merge JOINS. ``salted_agg`` covers skewed AGGREGATES —
+  two-phase: salt the key, partial-agg per (key, salt), final-agg per
+  key. The shuffle spreads a hot key over ``n_salts`` reducers and the
+  second shuffle is |keys|-sized, which is tiny post-aggregation.
+- **Co-located joins** (avoid shuffling 100 TB to join on the same key
+  every day): ``write_bucketed`` persists a table hash-bucketed by the
+  join key; two tables bucketed the same way sort-merge-join with ZERO
+  exchange on either side (asserted in tests/test_scale.py via the
+  physical plan).
+- **Small files** (the reference's orders/customer_id=... layout
+  writes one file per customer per batch — terraform/main.tf:675,
+  SURVEY §7.3): ``compact_table`` rewrites a partitioned table to
+  target-sized files, preserving the Hive layout. At 100 TB this runs
+  per-partition as a maintenance job, not a full-table rewrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+_PARTIAL = {
+    "sum": F.sum,
+    "count": F.count,
+    "min": F.min,
+    "max": F.max,
+}
+# how a partial result re-aggregates in the final phase
+_FINAL = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+
+def salted_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys.
+
+    ``aggs`` maps output column name → ``(fn, column)`` with fn one of
+    sum/count/min/max — the re-aggregable aggregates (count finalizes
+    as sum-of-partial-counts). For avg, request sum+count and divide
+    afterwards.
+
+    Phase 1 groups by (key, salt) — a hot key's rows spread over
+    ``n_salts`` reducers instead of one. Phase 2 groups by key alone,
+    but its input is ≤ n_salts rows per key, so the second shuffle is
+    negligible. With AQE on, non-skewed data pays almost nothing extra
+    (the phase-1 partitions coalesce).
+    """
+    unknown = {fn for fn, _ in aggs.values()} - set(_PARTIAL)
+    if unknown:
+        raise ValueError(f"non-re-aggregable functions: {sorted(unknown)}")
+    salt = (F.spark_partition_id() % n_salts).alias("_salt")
+    partial = df.groupBy(*key_cols, salt).agg(
+        *[_PARTIAL[fn](col).alias(f"_p_{name}") for name, (fn, col) in aggs.items()]
+    )
+    return partial.groupBy(*key_cols).agg(
+        *[
+            _FINAL[fn](F.col(f"_p_{name}")).alias(name)
+            for name, (fn, _) in aggs.items()
+        ]
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (+ optionally sorted) catalog table.
+
+    Both sides of a recurring equi-join bucketed by the join key with
+    the same ``n_buckets`` sort-merge-join with NO exchange — the
+    shuffle is paid once at write time instead of per query. This is
+    the Spark analog of co-located/partitioned joins in MPP warehouses.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str] | None = None,
+    target_rows_per_file: int = 1_000_000,
+) -> int:
+    """Rewrite a parquet table to bounded-size files, preserving the
+    Hive partition layout. Returns the number of files after.
+
+    Streaming appends (128 MB Firehose buffers in the reference; small
+    micro-batches here) accumulate small files that poison scan
+    planning at scale — list+open costs dominate. Compaction rewrites
+    with ``maxRecordsPerFile`` so file count tracks data size, not
+    batch count. At 100 TB, filter to fresh partitions and run this as
+    an incremental maintenance job per partition.
+    """
+    df = spark.read.parquet(path)
+    writer = (
+        df.write.mode("overwrite")
+        .option("maxRecordsPerFile", target_rows_per_file)
+    )
+    tmp = path.rstrip("/") + "__compact_tmp"
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(tmp)
+    # atomic-ish swap via filesystem rename (driver-side, metadata-only)
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    conf = jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(conf)
+    p_old = jvm.org.apache.hadoop.fs.Path(path)
+    p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs.delete(p_old, True)
+    fs.rename(p_tmp, p_old)
+    files = spark.read.parquet(path).inputFiles()
+    return len(files)

@@ -1,0 +1,106 @@
+"""Scale-operator tests: salted aggregation equivalence, bucketed
+join exchange elimination (asserted on the physical plan), and
+small-files compaction."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_kinesis_data_ingestion_restapi_spark.operators.scale import (
+    compact_table,
+    salted_agg,
+    write_bucketed,
+)
+from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # one hot key (90% of rows) + a tail
+    rows = [("hot", float(i % 7), i) for i in range(900)] + [
+        (f"k{i % 20}", float(i), i) for i in range(100)
+    ]
+    return spark.createDataFrame(rows, ["k", "v", "n"])
+
+
+def test_salted_agg_matches_plain_agg(spark, skewed):
+    plain = {
+        r["k"]: r
+        for r in skewed.groupBy("k")
+        .agg(
+            F.sum("v").alias("sv"),
+            F.count("n").alias("cn"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        r["k"]: r
+        for r in salted_agg(
+            skewed,
+            ["k"],
+            {
+                "sv": ("sum", "v"),
+                "cn": ("count", "n"),
+                "mn": ("min", "v"),
+                "mx": ("max", "v"),
+            },
+            n_salts=8,
+        ).collect()
+    }
+    assert set(plain) == set(salted)
+    for k, p in plain.items():
+        s = salted[k]
+        assert s["sv"] == pytest.approx(p["sv"])
+        assert (s["cn"], s["mn"], s["mx"]) == (p["cn"], p["mn"], p["mx"])
+
+
+def test_salted_agg_rejects_non_reaggregable(skewed):
+    with pytest.raises(ValueError, match="avg"):
+        salted_agg(skewed, ["k"], {"a": ("avg", "v")})
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed by the join key must sort-merge-join with
+    zero Exchange nodes — the write-time shuffle replaces every
+    query-time shuffle."""
+    a = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+    )
+    b = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+    )
+    write_bucketed(a, "bkt_a", ["k"], n_buckets=8, sort_cols=["k"])
+    write_bucketed(b, "bkt_b", ["k"], n_buckets=8, sort_cols=["k"])
+    joined = (
+        spark.table("bkt_a")
+        .hint("merge")  # force SMJ so the bucket layout is what's tested
+        .join(spark.table("bkt_b"), "k")
+    )
+    plan = explain_str(joined)
+    assert "Exchange" not in plan, f"bucketed join must not shuffle:\n{plan}"
+    assert joined.count() == 1000
+    spark.sql("DROP TABLE bkt_a")
+    spark.sql("DROP TABLE bkt_b")
+
+
+def test_compact_table_reduces_files_keeps_layout(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(0, 5000).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("part"),
+    )
+    # simulate many small streaming appends
+    for _ in range(5):
+        df.repartition(8).write.mode("append").partitionBy("part").parquet(path)
+    before = len(spark.read.parquet(path).inputFiles())
+    n_after = compact_table(spark, path, partition_cols=["part"])
+    assert n_after < before
+    out = spark.read.parquet(path)
+    assert out.count() == 25000
+    assert set(out.columns) == {"id", "part"}
+    # Hive layout preserved → partition pruning still applies
+    n_part1 = 5 * sum(1 for i in range(5000) if i % 3 == 1)
+    assert out.filter(F.col("part") == "1").count() == n_part1
