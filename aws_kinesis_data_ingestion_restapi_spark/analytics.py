@@ -236,3 +236,80 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), dsum("value", scale=6, alias="total_value"))
         .orderBy("k")
     )
+
+
+# ---------------------------------------------------------------------------
+# Window-function analytics (beyond the reference's surface — SURVEY
+# §2.7 notes it has no window functions; a usable analytics engine
+# needs them, and each stays fully distributed: partitioned windows
+# shuffle once on the partition key, never into a single task).
+# ---------------------------------------------------------------------------
+
+
+def top_orders_per_customer(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Per-customer top-k orders by value: rank over a per-customer
+    window (shuffle on customer, k small) — the distributed top-k
+    shape; ties break on order key for full determinism."""
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("o_custkey").cast("string").alias("customer_id"),
+            F.col("o_orderkey").cast("string").alias("order_id"),
+            F.col("o_totalprice").alias("amount"),
+            "rank",
+        )
+    )
+
+
+def customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running spend ordered by (order_date, order_key):
+    a cumulative window aggregate in exact decimal (cast to double only
+    at the end, so both engines emit bit-identical running values)."""
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+    return orders.select(
+        F.col("o_custkey").cast("string").alias("customer_id"),
+        F.col("o_orderkey").cast("string").alias("order_id"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.col("o_totalprice").alias("amount"),
+        running.cast("double").alias("running_spend"),
+    )
+
+
+def payment_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each payment type's share of global income. The global total is
+    a scalar aggregate broadcast back over the grouped result (NOT an
+    unpartitioned window, which would funnel every row through one
+    task at scale)."""
+    orders = _t(spark, sf_dir, "orders")
+    per_type = orders.groupBy(
+        F.col("o_orderpriority").alias("payment_type")
+    ).agg(dsum("o_totalprice", alias="total_income"))
+    total = per_type.agg(
+        F.sum(F.col("total_income").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("_grand")
+    )
+    return (
+        per_type.crossJoin(F.broadcast(total))
+        .select(
+            "payment_type",
+            "total_income",
+            (F.col("total_income") / F.col("_grand")).alias("income_share"),
+        )
+        .orderBy(F.desc("total_income"))
+    )

@@ -199,6 +199,9 @@ QUERY_FNS: dict[str, QueryFn] = {
     "events_json_props": analytics.events_json_props,
     "events_tumbling_30s": analytics.events_tumbling_30s,
     "serving_last_write_wins": serving_last_write_wins,
+    "top_orders_per_customer": analytics.top_orders_per_customer,
+    "customer_running_spend": analytics.customer_running_spend,
+    "payment_type_share": analytics.payment_type_share,
 }
 
 # merge the dedup / similarity / text-analysis extension surface
@@ -371,6 +374,42 @@ ORACLE_SQL: dict[str, str] = {
         FROM events
         GROUP BY 1, 2
         ORDER BY 1
+    """,
+    "top_orders_per_customer": """
+        SELECT CAST(o_custkey AS VARCHAR) AS customer_id,
+               CAST(o_orderkey AS VARCHAR) AS order_id,
+               o_totalprice AS amount,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rank
+        FROM orders
+        QUALIFY rank <= 3
+    """,
+    "customer_running_spend": """
+        SELECT CAST(o_custkey AS VARCHAR) AS customer_id,
+               CAST(o_orderkey AS VARCHAR) AS order_id,
+               CAST(o_orderdate AS DATE) AS order_date,
+               o_totalprice AS amount,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS running_spend
+        FROM orders
+    """,
+    "payment_type_share": f"""
+        WITH per_type AS (
+            SELECT o_orderpriority AS payment_type,
+                   {_DSUM2.format(c='o_totalprice')} AS total_income
+            FROM orders
+            GROUP BY o_orderpriority
+        ),
+        grand AS (
+            SELECT {_DSUM2.format(c='total_income')} AS g FROM per_type
+        )
+        SELECT payment_type, total_income, total_income / g AS income_share
+        FROM per_type, grand
+        ORDER BY total_income DESC
     """,
     "serving_last_write_wins": """
         WITH base AS (
