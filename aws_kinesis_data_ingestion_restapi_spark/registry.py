@@ -204,6 +204,18 @@ QUERY_FNS: dict[str, QueryFn] = {
     "payment_type_share": analytics.payment_type_share,
 }
 
+# Stateful streaming operators, driven through a real streaming query
+# (file source → applyInPandasWithState → memory sink). Deliberately NO
+# oracle_sql entries: cross-batch state is what SQL can't express — the
+# driver records the weaker rows-only check for exactly this case.
+from aws_kinesis_data_ingestion_restapi_spark.streaming.registry_stream import (  # noqa: E402
+    streaming_dedup_replay,
+    streaming_running_totals_final,
+)
+
+QUERY_FNS["streaming_dedup_replay"] = streaming_dedup_replay
+QUERY_FNS["streaming_running_totals_final"] = streaming_running_totals_final
+
 # merge the dedup / similarity / text-analysis extension surface
 from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (  # noqa: E402
     EXT_ORACLE_SQL,

@@ -1,0 +1,118 @@
+"""Driver-contract adapters for the stateful streaming operators.
+
+``queries()`` callables must return a batch DataFrame from
+``(spark, sf_dir)``; these adapters drive the real streaming operators
+(``streaming/stateful.py``) through an actual Structured Streaming
+query — file source, micro-batches, checkpoint, state store — and
+return the drained result. They are rows-only checks by design
+(no ``oracle_sql`` entry): cross-batch state semantics are exactly
+what SQL can't express, which is why the operators exist.
+
+Each adapter replays its input (two identical NDJSON batch files,
+``maxFilesPerTrigger=1``), so the result VALUES prove the stateful
+semantics, not just the plumbing:
+
+- ``streaming_dedup_replay``: emits each (customer_id, order_id)
+  exactly once although every record arrives twice → row count ==
+  distinct keys, and a second emission of any key would double it.
+- ``streaming_running_totals_final``: per-customer totals after both
+  deliveries → every count is exactly 2× the per-customer order count.
+
+The memory-sink collect is harness-side (bounded by the sf of the
+gate); the operators themselves never touch the driver.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_kinesis_data_ingestion_restapi_spark import analytics
+from aws_kinesis_data_ingestion_restapi_spark.streaming.stateful import (
+    streaming_dedup,
+    streaming_running_totals,
+)
+
+_seq = itertools.count()
+
+
+def _order_stream(spark: SparkSession, sf_dir: str, replays: int = 2):
+    """Write the sf_dir order events to ``replays`` identical NDJSON
+    files and open a micro-batched file stream over them (one file per
+    trigger ⇒ the second file is a full at-least-once redelivery)."""
+    events = analytics.build_order_events(spark, sf_dir).select(
+        "customer_id",
+        "order_id",
+        "order_date",
+        "status",
+        F.col("purchaise_details.amount").alias("amount"),
+    )
+    rows = [r.asDict() for r in events.collect()]
+    d = tempfile.mkdtemp(prefix="stream_gate_")
+    for i in range(replays):
+        with open(os.path.join(d, f"b{i}.json"), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+    schema = (
+        "customer_id string, order_id string, order_date string, "
+        "status string, amount double"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(d)
+    )
+    return stream, d
+
+
+def _drain(decorated: DataFrame, mode: str, name: str) -> DataFrame:
+    qname = f"{name}_{next(_seq)}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{qname}_")
+    q = (
+        decorated.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return decorated.sparkSession.table(qname)
+
+
+def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch streaming dedup under replay: every order delivered
+    twice (two micro-batches), emitted once. Row count == distinct
+    (customer_id, order_id) pairs in sf_dir's orders."""
+    stream, _ = _order_stream(spark, sf_dir, replays=2)
+    deduped = streaming_dedup(stream)
+    return _drain(deduped, "append", "sdedup")
+
+
+def streaming_running_totals_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running totals after two full deliveries of the
+    order stream. The memory sink keeps every update emission; totals
+    are monotone, so max() per customer is the final state — each
+    n_orders is exactly 2× the customer's order count."""
+    stream, _ = _order_stream(spark, sf_dir, replays=2)
+    # streaming_running_totals reads purchaise_details.amount; rebuild
+    # the nested shape from the flat stream columns
+    nested = stream.select(
+        "customer_id",
+        F.struct(F.col("amount")).alias("purchaise_details"),
+    )
+    totals = streaming_running_totals(nested)
+    drained = _drain(totals, "update", "stotals")
+    return (
+        drained.groupBy("customer_id")
+        .agg(
+            F.max("n_orders").alias("n_orders"),
+            F.max("total_amount").alias("total_amount"),
+        )
+        .orderBy("customer_id")
+    )
