@@ -62,6 +62,16 @@ ANALYTICS_QUERIES = [
     "events_daily_stats",
     "events_json_props",
     "pipeline_envelope_decode",
+    # window-function surface
+    "top_orders_per_customer",
+    "customer_running_spend",
+    # training-data extensions (documents/embeddings are fixed-size
+    # side tables — these measure operator cost, not sf scaling)
+    "text_token_stats",
+    "text_fingerprint",
+    "dedup_minhash_lsh",
+    "ann_topk_brute",
+    "mm_fingerprint",
 ]
 
 
