@@ -106,3 +106,48 @@ def test_full_pipeline_write_catalog_sql(spark, events_df, events_raw, tmp_path)
     assert spark.sql(
         "SELECT DISTINCT month FROM purchase_details ORDER BY month"
     ).count() >= 1
+
+
+# ---------------------------------------------------------------------------
+# window-function analytics (invariants; exact values are gate-checked
+# against the DuckDB oracle in scripts/check_correctness.py)
+# ---------------------------------------------------------------------------
+
+
+def test_top_orders_per_customer_rank_invariants(spark):
+    from aws_kinesis_data_ingestion_restapi_spark.analytics import top_orders_per_customer
+
+    out = top_orders_per_customer(spark, "/root/testdata/sf0.001", k=3).collect()
+    per_cust = {}
+    for r in out:
+        per_cust.setdefault(r["customer_id"], []).append(r)
+    for cust, rows in per_cust.items():
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1)), cust
+        assert len(rows) <= 3
+        by_rank = sorted(rows, key=lambda r: r["rank"])
+        amounts = [r["amount"] for r in by_rank]
+        assert amounts == sorted(amounts, reverse=True), cust
+
+
+def test_payment_type_share_sums_to_one(spark):
+    from aws_kinesis_data_ingestion_restapi_spark.analytics import payment_type_share
+
+    out = payment_type_share(spark, "/root/testdata/sf0.001").collect()
+    assert abs(sum(r["income_share"] for r in out) - 1.0) < 1e-9
+    incomes = [r["total_income"] for r in out]
+    assert incomes == sorted(incomes, reverse=True)
+
+
+def test_customer_running_spend_monotone(spark):
+    from aws_kinesis_data_ingestion_restapi_spark.analytics import customer_running_spend
+
+    out = customer_running_spend(spark, "/root/testdata/sf0.001").collect()
+    per_cust = {}
+    for r in out:
+        per_cust.setdefault(r["customer_id"], []).append(r)
+    for cust, rows in per_cust.items():
+        rows.sort(key=lambda r: (r["order_date"], int(r["order_id"])))
+        running = [r["running_spend"] for r in rows]
+        assert running == sorted(running), cust
+        assert abs(running[-1] - sum(r["amount"] for r in rows)) < 1e-6, cust
