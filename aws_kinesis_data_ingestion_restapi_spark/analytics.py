@@ -313,3 +313,34 @@ def payment_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("total_income"))
     )
+
+
+def events_sessionization(
+    spark: SparkSession, sf_dir: str, gap: str = "8 hours"
+) -> DataFrame:
+    """Per-user session windows over the event stream: events closer
+    than ``gap`` merge into one session (session end = last event +
+    gap, Spark ``session_window`` semantics). A capability the
+    reference has no analog for (SURVEY §2.7: no session windows);
+    the same expression runs on a streaming DataFrame with a watermark.
+
+    Scale shape: one shuffle on user_id; session merge happens inside
+    the aggregation — no self-join, no window-over-everything.
+    """
+    events = _t(spark, sf_dir, "events")
+    sw = F.session_window(nanos_ts("ts"), gap)
+    return (
+        events.groupBy("user_id", sw.alias("s"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", scale=6, alias="total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )

@@ -202,6 +202,7 @@ QUERY_FNS: dict[str, QueryFn] = {
     "top_orders_per_customer": analytics.top_orders_per_customer,
     "customer_running_spend": analytics.customer_running_spend,
     "payment_type_share": analytics.payment_type_share,
+    "events_sessionization": analytics.events_sessionization,
 }
 
 # Stateful streaming operators, driven through a real streaming query
@@ -422,6 +423,32 @@ ORACLE_SQL: dict[str, str] = {
         SELECT payment_type, total_income, total_income / g AS income_share
         FROM per_type, grand
         ORDER BY total_income DESC
+    """,
+    # Spark session_window semantics: events merge while the gap to the
+    # previous event is < 8 h; session_end = last event + 8 h.
+    "events_sessionization": f"""
+        WITH o AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 8 HOUR
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        s AS (
+            SELECT user_id, ts, value,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM o
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 8 HOUR AS session_end,
+               COUNT(*) AS n_events,
+               {_DSUM6.format(c='value')} AS total_value
+        FROM s
+        GROUP BY user_id, sid
+        ORDER BY user_id, session_start
     """,
     "serving_last_write_wins": """
         WITH base AS (
