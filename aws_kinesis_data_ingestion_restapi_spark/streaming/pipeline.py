@@ -181,6 +181,42 @@ def run_pipeline_once(
             query.stop()
 
 
+def session_order_stats(
+    decoded_stream: DataFrame,
+    gap: str = "1 minute",
+    watermark_delay: str = "2 minutes",
+) -> DataFrame:
+    """Per-customer session windows over the order stream: orders
+    closer than ``gap`` merge into one session (SURVEY §2.7 — the
+    reference has no session-window analog; this is the streaming form
+    of analytics.events_sessionization).
+
+    Streaming mode watermarks event time (required for session-state
+    eviction — without it session state grows forever); batch mode runs
+    the identical expression and is the oracle-checkable equivalent.
+    """
+    ts = F.to_timestamp(F.regexp_replace(F.col("order_date"), "Z+$", ""))
+    df = decoded_stream.withColumn("_event_ts", ts)
+    if df.isStreaming:
+        df = df.withWatermark("_event_ts", watermark_delay)
+    return (
+        df.groupBy("customer_id", F.session_window("_event_ts", gap).alias("s"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("purchaise_details.amount").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_amount"),
+        )
+        .select(
+            "customer_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_orders",
+            "total_amount",
+        )
+    )
+
+
 def tumbling_order_stats(
     decoded_stream: DataFrame,
     window_duration: str = "30 seconds",

@@ -110,3 +110,20 @@ def test_reference_queries_aggregate_partial_final(spark, name):
     df = QUERY_FNS[name](spark, SF_DIR)
     s = explain_str(df)
     assert s.count("HashAggregate") >= 2, "expected partial+final aggregate"
+
+
+def test_q1_stays_in_whole_stage_codegen(spark):
+    """With AQE's lazy re-planning turned off (it hides codegen spans
+    in the pre-execution plan), q1's scan→filter→aggregate chain must
+    run as fused generated code — interpreted gaps are 10-100× slower
+    per row."""
+    from aws_kinesis_data_ingestion_restapi_spark.plans import (
+        whole_stage_codegen_ids,
+    )
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = QUERY_FNS["q1_pricing_summary"](spark, SF_DIR)
+        assert len(whole_stage_codegen_ids(df)) >= 2
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

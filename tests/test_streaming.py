@@ -152,3 +152,37 @@ def test_tumbling_order_stats_streaming_matches_batch(spark, stream_dirs, tmp_pa
     assert out
     for row in out:
         assert tuple(row) in batch_rows
+
+
+def test_session_order_stats_streaming_matches_batch(spark, stream_dirs, tmp_path):
+    from aws_kinesis_data_ingestion_restapi_spark.streaming.pipeline import (
+        session_order_stats,
+    )
+    from aws_kinesis_data_ingestion_restapi_spark.sources.events import (
+        read_envelope_stream,
+    )
+
+    d = stream_dirs
+    recs = envelope_records(n=60, seed=9)
+    _write_ndjson(os.path.join(d["input"], "sess0.json"), recs)
+
+    batch = session_order_stats(read_envelope_json(spark, d["input"]))
+    batch_rows = {tuple(r) for r in batch.collect()}
+    assert batch_rows
+    # sessions actually merge some orders (gap smaller than span)
+    assert any(r[3] > 1 for r in batch_rows) or len(batch_rows) > 1
+
+    out = []
+    q = (
+        session_order_stats(read_envelope_stream(spark, d["input"]))
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: out.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # every watermark-closed streaming session equals its batch twin
+    assert out
+    for row in out:
+        assert tuple(row) in batch_rows
