@@ -123,6 +123,10 @@ def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.near_dup_pairs(_embs(spark, sf_dir), d2_max=1.2)
 
 
+def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.near_dup_lsh(_embs(spark, sf_dir), d2_max=1.2)
+
+
 # ---------------------------------------------------------------------------
 # multimodal (binary columns + mapInPandas decode/frame-sample/resize)
 # ---------------------------------------------------------------------------
@@ -184,6 +188,7 @@ EXT_QUERY_FNS = {
     "ann_topk_brute": ann_topk_brute,
     "ann_topk_lsh": ann_topk_lsh,
     "emb_near_dup": emb_near_dup,
+    "emb_near_dup_lsh": emb_near_dup_lsh,
     "mm_asset_stats": mm_asset_stats,
     "mm_fingerprint": mm_fingerprint,
     "mm_frame_sample": mm_frame_sample,
@@ -524,6 +529,23 @@ EXT_ORACLE_SQL = {
             FROM dots
         )
         WHERE rank <= 5
+    """,
+    "emb_near_dup_lsh": f"""
+        WITH comp AS ({_COMP}),
+        bkt AS ({_SIGN_BUCKET}),
+        d AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   SUM((a.qx - b.qx) * (a.qx - b.qx)) AS d2
+            FROM comp a
+            JOIN bkt ba ON ba.vec_id = a.vec_id
+            JOIN bkt bb ON bb.bucket = ba.bucket
+            JOIN comp b ON b.vec_id = bb.vec_id AND a.i = b.i
+            WHERE a.vec_id < b.vec_id
+            GROUP BY 1, 2
+        )
+        SELECT vec_a, vec_b, CAST(d2 AS DOUBLE) / 100000000.0 AS dist2
+        FROM d
+        WHERE d2 <= 120000000
     """,
     "emb_near_dup": f"""
         WITH comp AS ({_COMP}),

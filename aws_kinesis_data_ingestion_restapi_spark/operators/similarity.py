@@ -153,6 +153,47 @@ def topk_lsh(
     return _topk(scored, k)
 
 
+def near_dup_lsh(
+    embs: DataFrame,
+    d2_max: float = 1.2,
+    bits: int = SIGN_BITS,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding near-duplicate pairs, LSH-blocked — the scale path:
+    candidates come from an equi-join on the sign-LSH bucket (same-
+    direction vectors share all sign bits with high probability), then
+    the exact scaled-integer distance filter prunes. Complexity is
+    Σ|bucket|² instead of n² — with balanced buckets a ~2^bits
+    reduction.
+
+    Recall caveat (inherent to single-table LSH): a pair straddling a
+    hyperplane (opposite sign in ANY of the first ``bits`` components)
+    is missed; production stacks several bucketings (rotate which
+    components feed the bucket) and unions candidates. The oracle
+    replicates the single-bucketing result exactly.
+    """
+    d2_max_i = round(d2_max * SCALE2)
+    bucketed = embs.select(
+        F.col(id_col),
+        quantized().alias("v"),
+        sign_bucket(bits=bits).alias("bucket"),
+    ).repartition(F.col("bucket"))
+    a = bucketed.select(
+        F.col(id_col).alias("vec_a"), F.col("v").alias("va"), "bucket"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("vec_b"), F.col("v").alias("vb"), "bucket"
+    )
+    d2 = dist2_i(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", d2.alias("_d2_i"))
+        .filter(F.col("_d2_i") <= F.lit(d2_max_i))
+        .select("vec_a", "vec_b", unscale(F.col("_d2_i")).alias("dist2"))
+    )
+
+
 def near_dup_pairs(
     embs: DataFrame, d2_max: float = 1.2, id_col: str = "vec_id"
 ) -> DataFrame:

@@ -270,3 +270,18 @@ def test_content_md5_matches_python(assets, docs):
     for r in rows:
         payload = multimodal.MAGIC[r["kind"]] + texts[r["asset_id"]].encode()
         assert r["m"] == hashlib.md5(b64.b64encode(payload)).hexdigest()
+
+
+def test_near_dup_lsh_subset_of_exact(vectors):
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.near_dup_pairs(vectors, d2_max=0.5).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"]): r["dist2"]
+        for r in similarity.near_dup_lsh(vectors, d2_max=0.5).collect()
+    }
+    # LSH candidates are a subset (no false positives after the exact
+    # distance filter); the (0,1) pair shares a bucket so it's found
+    assert set(lsh) <= exact
+    assert (0, 1) in lsh
