@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType
 
 from aws_kinesis_data_ingestion_restapi_spark.schema import PRODUCT_STRUCT
+from aws_kinesis_data_ingestion_restapi_spark.session import ensure_runtime_confs
 from aws_kinesis_data_ingestion_restapi_spark.functions.exact import (
     charge_expr,
     davg,
@@ -34,6 +35,10 @@ from aws_kinesis_data_ingestion_restapi_spark.functions.exact import (
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The harness may hand us a session built without our builder confs;
+    # re-assert the runtime-settable ones (nanosAsLong for events.ts,
+    # UTC timezone for oracle parity) before every scan.
+    ensure_runtime_confs(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

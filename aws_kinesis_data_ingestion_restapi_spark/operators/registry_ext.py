@@ -23,6 +23,7 @@ from aws_kinesis_data_ingestion_restapi_spark.operators import (
     similarity,
     text,
 )
+from aws_kinesis_data_ingestion_restapi_spark.session import ensure_runtime_confs
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (DuckDB dialect), mirroring operators.text/dedup
@@ -47,10 +48,12 @@ def _shingles(n: int, toks: str = "t") -> str:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_runtime_confs(spark)
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_runtime_confs(spark)
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
@@ -334,7 +337,7 @@ EXT_ORACLE_SQL = {
             FROM documents
         )
         SELECT kind, format, COUNT(*) AS n_assets,
-               SUM(n_bytes) AS total_bytes
+               CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
         FROM a GROUP BY 1, 2
     """,
     "mm_fingerprint": f"""

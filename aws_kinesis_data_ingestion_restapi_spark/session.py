@@ -68,3 +68,30 @@ def get_spark(
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     return builder.getOrCreate()
+
+
+#: Confs that correctness depends on AND that Spark allows changing on a
+#: live session. The driver's correctness harness builds its OWN
+#: SparkSession (without the builder confs above), so every query entry
+#: point re-asserts these at runtime via :func:`ensure_runtime_confs`
+#: (round-1 lesson: 4 events_* queries failed with PARQUET_TYPE_ILLEGAL
+#: because nanosAsLong was builder-only).
+RUNTIME_CONFS = {
+    # events.parquet carries TIMESTAMP(NANOS); read as long + nanos_ts().
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # DuckDB oracle timestamps are UTC-naive; pin Spark to UTC.
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow batching for the mapInPandas operators.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Idempotently apply :data:`RUNTIME_CONFS` to an existing session."""
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(key, None) != value:
+                spark.conf.set(key, value)
+        except Exception:  # pragma: no cover - non-settable conf on some builds
+            pass
+    return spark

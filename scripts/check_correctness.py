@@ -26,6 +26,49 @@ from aws_kinesis_data_ingestion_restapi_spark import get_spark  # noqa: E402
 from aws_kinesis_data_ingestion_restapi_spark.schema import TESTDATA_TABLES  # noqa: E402
 
 
+# The driver's value-hash is TYPE-sensitive (round-1 lesson: DuckDB
+# SUM(BIGINT) returns HUGEINT, which hashes differently from Spark's
+# BIGINT even with identical values — the old _norm masked that).
+# Map both engines' column types to a common width-exact class and fail
+# on any mismatch, so local green predicts driver green.
+def _type_class(t: str) -> str:
+    t = str(t).strip().lower()
+    exact = {
+        "tinyint": "int8", "int1": "int8", "byte": "int8",
+        "smallint": "int16", "int2": "int16", "short": "int16",
+        "int": "int32", "integer": "int32", "int4": "int32",
+        "bigint": "int64", "int8": "int64", "long": "int64",
+        "hugeint": "int128", "int128": "int128",
+        "float": "float32", "real": "float32", "float4": "float32",
+        "double": "float64", "float8": "float64",
+        "varchar": "str", "string": "str", "text": "str",
+        "date": "date", "boolean": "bool", "bool": "bool",
+        "blob": "binary", "binary": "binary", "bytea": "binary",
+    }
+    if t in exact:
+        return exact[t]
+    if t.startswith("decimal") or t.startswith("numeric"):
+        return "decimal" + t.split("decimal")[-1].split("numeric")[-1].replace(" ", "")
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t.startswith(("array", "list")) or t.endswith("[]"):
+        return "list"
+    if t.startswith(("struct", "row", "map")):
+        return "nested"
+    return t
+
+
+def _type_mismatches(scols, sdtypes, dcols, dtypes):
+    """[(col, spark_type, duck_type)] where the width-exact classes differ."""
+    smap = {c.lower(): t for (c, t) in sdtypes}
+    dmap = {c.lower(): str(t) for c, t in zip(dcols, dtypes)}
+    out = []
+    for c in sorted(smap):
+        if c in dmap and _type_class(smap[c]) != _type_class(dmap[c]):
+            out.append((c, smap[c], dmap[c]))
+    return out
+
+
 def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -80,6 +123,7 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             dcols = [c.lower() for c in rel.columns]
+            dtypes = rel.types
             drows = rel.fetchall()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {exc}")
@@ -88,6 +132,12 @@ def main() -> int:
         dt = time.time() - t0
         if sorted(c.lower() for c in scols) != sorted(dcols):
             print(f"FAIL  {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
+            failures += 1
+            continue
+        bad_types = _type_mismatches(scols, sdf.dtypes, dcols, dtypes)
+        if bad_types:
+            for c, st, dt_ in bad_types:
+                print(f"FAIL  {name}: type mismatch on '{c}': spark={st} duck={dt_}")
             failures += 1
             continue
         if len(srows) != len(drows):
