@@ -206,9 +206,11 @@ QUERY_FNS: dict[str, QueryFn] = {
 }
 
 # Stateful streaming operators, driven through a real streaming query
-# (file source → applyInPandasWithState → memory sink). Deliberately NO
-# oracle_sql entries: cross-batch state is what SQL can't express — the
-# driver records the weaker rows-only check for exactly this case.
+# (file source → applyInPandasWithState → memory sink). The state
+# MECHANISM is not SQL-expressible, but the drained final results are:
+# dedup-under-replay drains to one row per distinct key (both
+# deliveries identical), and running totals drain to exactly 2× the
+# per-customer batch aggregate — so both get full ORACLE_SQL entries.
 from aws_kinesis_data_ingestion_restapi_spark.streaming.registry_stream import (  # noqa: E402
     streaming_dedup_replay,
     streaming_running_totals_final,
@@ -471,6 +473,29 @@ ORACLE_SQL: dict[str, str] = {
         FROM unioned
         QUALIFY ROW_NUMBER() OVER (
             PARTITION BY customer_id, order_id ORDER BY batch_seq DESC) = 1
+    """,
+    # Drained final state of streaming_dedup under a full 2× replay:
+    # both deliveries of a key are identical, so emit-first == the
+    # distinct flat order events themselves.
+    "streaming_dedup_replay": """
+        SELECT CAST(o_custkey AS VARCHAR) AS customer_id,
+               CAST(o_orderkey AS VARCHAR) AS order_id,
+               strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS order_date,
+               o_orderstatus AS status,
+               CAST(o_totalprice AS DOUBLE) AS amount
+        FROM orders
+    """,
+    # Drained final state of streaming_running_totals after two full
+    # deliveries: exactly 2× the per-customer batch aggregate. The
+    # operator accumulates integer cents (per-row rounding), so the
+    # oracle sums DECIMAL(18,2) exactly and doubles it.
+    "streaming_running_totals_final": """
+        SELECT CAST(o_custkey AS VARCHAR) AS customer_id,
+               CAST(2 * COUNT(*) AS BIGINT) AS n_orders,
+               CAST(2 * SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_amount
+        FROM orders
+        GROUP BY 1
     """,
 }
 

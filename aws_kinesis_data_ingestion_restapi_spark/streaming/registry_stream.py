@@ -4,9 +4,11 @@
 ``(spark, sf_dir)``; these adapters drive the real streaming operators
 (``streaming/stateful.py``) through an actual Structured Streaming
 query — file source, micro-batches, checkpoint, state store — and
-return the drained result. They are rows-only checks by design
-(no ``oracle_sql`` entry): cross-batch state semantics are exactly
-what SQL can't express, which is why the operators exist.
+return the drained result. The cross-batch MECHANISM (state store,
+timeouts) is not SQL-expressible, but the two drained RESULTS here are
+plain SQL over ``orders`` — see the ``streaming_*`` entries in
+registry.ORACLE_SQL, which upgrade both from rows-only to full
+value-hash checks.
 
 Each adapter replays its input (two identical NDJSON batch files,
 ``maxFilesPerTrigger=1``), so the result VALUES prove the stateful
@@ -24,9 +26,10 @@ gate); the operators themselves never touch the driver.
 
 from __future__ import annotations
 
+import glob
 import itertools
-import json
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,9 +45,11 @@ _seq = itertools.count()
 
 
 def _order_stream(spark: SparkSession, sf_dir: str, replays: int = 2):
-    """Write the sf_dir order events to ``replays`` identical NDJSON
-    files and open a micro-batched file stream over them (one file per
-    trigger ⇒ the second file is a full at-least-once redelivery)."""
+    """Write the sf_dir order events once (distributed ``write.json``,
+    no driver collect), file-copy them into ``replays`` identical NDJSON
+    batch files, and open a micro-batched file stream over them (one
+    file per trigger ⇒ the second file is a full at-least-once
+    redelivery)."""
     events = analytics.build_order_events(spark, sf_dir).select(
         "customer_id",
         "order_id",
@@ -52,12 +57,16 @@ def _order_stream(spark: SparkSession, sf_dir: str, replays: int = 2):
         "status",
         F.col("purchaise_details.amount").alias("amount"),
     )
-    rows = [r.asDict() for r in events.collect()]
     d = tempfile.mkdtemp(prefix="stream_gate_")
+    staged = os.path.join(d, "staged")
+    # coalesce(1): one part file == one full delivery per trigger. The
+    # write runs on executors; the driver only copies the file.
+    events.coalesce(1).write.mode("overwrite").json(staged)
+    src = glob.glob(os.path.join(staged, "part-*"))[0]
+    stream_dir = os.path.join(d, "in")
+    os.makedirs(stream_dir)
     for i in range(replays):
-        with open(os.path.join(d, f"b{i}.json"), "w") as f:
-            for r in rows:
-                f.write(json.dumps(r) + "\n")
+        shutil.copyfile(src, os.path.join(stream_dir, f"b{i}.json"))
     schema = (
         "customer_id string, order_id string, order_date string, "
         "status string, amount double"
@@ -65,7 +74,7 @@ def _order_stream(spark: SparkSession, sf_dir: str, replays: int = 2):
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
-        .json(d)
+        .json(stream_dir)
     )
     return stream, d
 
@@ -82,6 +91,10 @@ def _drain(decorated: DataFrame, mode: str, name: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
+    # The memory sink holds the drained rows; the checkpoint is dead
+    # weight once the availableNow query terminates. Don't leak it
+    # across repeated gate runs.
+    shutil.rmtree(ckpt, ignore_errors=True)
     return decorated.sparkSession.table(qname)
 
 
@@ -89,9 +102,11 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-batch streaming dedup under replay: every order delivered
     twice (two micro-batches), emitted once. Row count == distinct
     (customer_id, order_id) pairs in sf_dir's orders."""
-    stream, _ = _order_stream(spark, sf_dir, replays=2)
+    stream, d = _order_stream(spark, sf_dir, replays=2)
     deduped = streaming_dedup(stream)
-    return _drain(deduped, "append", "sdedup")
+    out = _drain(deduped, "append", "sdedup")
+    shutil.rmtree(d, ignore_errors=True)
+    return out
 
 
 def streaming_running_totals_final(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -99,7 +114,7 @@ def streaming_running_totals_final(spark: SparkSession, sf_dir: str) -> DataFram
     order stream. The memory sink keeps every update emission; totals
     are monotone, so max() per customer is the final state — each
     n_orders is exactly 2× the customer's order count."""
-    stream, _ = _order_stream(spark, sf_dir, replays=2)
+    stream, d = _order_stream(spark, sf_dir, replays=2)
     # streaming_running_totals reads purchaise_details.amount; rebuild
     # the nested shape from the flat stream columns
     nested = stream.select(
@@ -108,6 +123,7 @@ def streaming_running_totals_final(spark: SparkSession, sf_dir: str) -> DataFram
     )
     totals = streaming_running_totals(nested)
     drained = _drain(totals, "update", "stotals")
+    shutil.rmtree(d, ignore_errors=True)
     return (
         drained.groupBy("customer_id")
         .agg(

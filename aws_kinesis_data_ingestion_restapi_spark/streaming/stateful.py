@@ -124,7 +124,11 @@ def streaming_running_totals(
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            cents += int(round(pdf["_amount"].sum() * 100))
+            # Round each amount to cents BEFORE summing: summing doubles
+            # first would reintroduce fp error (and batch-boundary
+            # dependence) for large batches, breaking the exactness
+            # contract above.
+            cents += int(pdf["_amount"].mul(100).round().astype("int64").sum())
         state.update((n, cents))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
