@@ -8,10 +8,20 @@ micro-batch ONCE and writes all six outputs (4 tables + serving upsert
 + error quarantine) — strictly less I/O at any scale.
 """
 
+from aws_kinesis_data_ingestion_restapi_spark.streaming.observability import (
+    AuditListener,
+    with_audit_metrics,
+)
 from aws_kinesis_data_ingestion_restapi_spark.streaming.pipeline import (
     IngestionPipeline,
     run_pipeline_once,
     tumbling_order_stats,
 )
 
-__all__ = ["IngestionPipeline", "run_pipeline_once", "tumbling_order_stats"]
+__all__ = [
+    "AuditListener",
+    "IngestionPipeline",
+    "run_pipeline_once",
+    "tumbling_order_stats",
+    "with_audit_metrics",
+]

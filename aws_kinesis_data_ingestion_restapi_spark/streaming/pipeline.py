@@ -50,6 +50,9 @@ from aws_kinesis_data_ingestion_restapi_spark.sources.events import (
     read_envelope_stream,
     split_corrupt,
 )
+from aws_kinesis_data_ingestion_restapi_spark.streaming.observability import (
+    with_audit_metrics,
+)
 
 log = logging.getLogger(__name__)
 
@@ -129,6 +132,7 @@ class IngestionPipeline:
         decoded_stream: DataFrame,
         checkpoint: str,
         trigger: dict | None = None,
+        audit: bool = True,
     ) -> StreamingQuery:
         """Attach the pipeline to a decoded-envelope streaming DataFrame.
 
@@ -136,7 +140,13 @@ class IngestionPipeline:
         ``{"processingTime": "30 seconds"}`` mirrors the reference's
         batching knobs (main.tf:275-276); ``{"availableNow": True}``
         drains the backlog and stops (used by tests/backfills).
+
+        ``audit=True`` (default) attaches the T11 per-batch record
+        counters via ``observe()`` — free (no extra pass); read them
+        with an ``observability.AuditListener``.
         """
+        if audit:
+            decoded_stream = with_audit_metrics(decoded_stream)
         writer = (
             decoded_stream.writeStream.foreachBatch(self.process_batch)
             .option("checkpointLocation", checkpoint)

@@ -83,6 +83,34 @@ def test_pipeline_end_to_end(spark, stream_dirs):
     assert "shipping_address" in serving.columns
 
 
+def test_audit_metrics_per_batch(spark, stream_dirs):
+    """T11: per-batch record counts surface via observe() + listener,
+    matching the reference's 'Successfully processed N records' audit
+    (lambda_orders_transformation:58) — with zero extra passes."""
+    from aws_kinesis_data_ingestion_restapi_spark.streaming import AuditListener
+
+    d = stream_dirs
+    recs = envelope_records(n=30, seed=11)
+    corrupt = [{"StreamName": "s", "PartitionKey": "p", "Data": "%%%bad%%%"}]
+    _write_ndjson(os.path.join(d["input"], "b0.json"), recs[:20] + corrupt)
+    _write_ndjson(os.path.join(d["input"], "b1.json"), recs[20:])
+
+    listener = AuditListener()
+    spark.streams.addListener(listener)
+    try:
+        _run(spark, d)
+        # progress events are delivered async, after query termination
+        assert listener.wait_for(31), f"metrics incomplete: {listener.records}"
+    finally:
+        spark.streams.removeListener(listener)
+
+    assert listener.records, "no observed metrics reached the listener"
+    assert listener.total_records == 31
+    assert listener.total_failed == 1
+    for entry in listener.records:
+        assert set(entry) >= {"batch_id", "n_records", "n_failed"}
+
+
 def test_checkpoint_skips_processed_files(spark, stream_dirs):
     d = stream_dirs
     recs = envelope_records(n=10, seed=2)
