@@ -3,6 +3,7 @@ plus the full batch pipeline (write → catalog → SQL) round trip."""
 
 from __future__ import annotations
 
+import os
 from collections import defaultdict
 
 import pytest
@@ -106,6 +107,80 @@ def test_full_pipeline_write_catalog_sql(spark, events_df, events_raw, tmp_path)
     assert spark.sql(
         "SELECT DISTINCT month FROM purchase_details ORDER BY month"
     ).count() >= 1
+
+
+REFERENCE_SQL_DIR = "/root/reference/athena_sql_query_examples"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REFERENCE_SQL_DIR), reason="reference checkout not present"
+)
+def test_reference_sql_files_run_verbatim(spark, events_df, events_raw, tmp_path):
+    """K5 persistent form + SURVEY §7.3: external-table DDL over the
+    partitioned warehouse, then every reference Athena .sql file
+    executes byte-for-byte through the hyphenated-name shim and matches
+    the plain-Python oracle."""
+    from aws_kinesis_data_ingestion_restapi_spark.catalog import (
+        create_external_tables,
+        run_reference_sql,
+    )
+
+    base = str(tmp_path / "wh_ddl")
+    tables = derive_all_tables(events_df, with_partitions=True)
+    for name, df in tables.items():
+        write_partitioned(df, f"{base}/{name}", table=name, mode="overwrite")
+    # temp views shadow catalog tables; drop any left by other tests
+    for name in tables:
+        spark.catalog.dropTempView(name)
+    registered = create_external_tables(spark, base)
+    assert set(registered) == {
+        "orders", "product_details", "shipping_addresses", "purchase_details"
+    }
+    # DDL tables see the partition columns (RECOVER PARTITIONS ran)
+    assert "month" in registered["purchase_details"].columns
+
+    sqls = {
+        fn: open(os.path.join(REFERENCE_SQL_DIR, fn)).read()
+        for fn in sorted(os.listdir(REFERENCE_SQL_DIR))
+        if fn.endswith(".sql")
+    }
+    assert len(sqls) == 5
+    want_country, want_pay, want_name, amounts = _python_oracle(events_raw)
+
+    got = {r["country"]: r["total_sales"]
+           for r in run_reference_sql(spark, sqls["TotalSalesPerCountry.sql"]).collect()}
+    assert set(got) == set(want_country)
+    for c in want_country:
+        assert abs(got[c] - want_country[c]) < 1e-6
+
+    avg = run_reference_sql(spark, sqls["GetAverageOrderValue.sql"]).first()
+    assert abs(avg["average_order_value"] - sum(amounts) / len(amounts)) < 1e-9
+
+    got_pay = {r["payment_type"]: r["total_income"]
+               for r in run_reference_sql(
+                   spark, sqls["TotalIncomePerPaymentMethod.sql"]).collect()}
+    for k in want_pay:
+        assert abs(got_pay[k] - want_pay[k]) < 1e-6
+
+    got_name = {r["name"]: r["total_quantity_sold"]
+                for r in run_reference_sql(
+                    spark, sqls["MostSalesProducts.sql"]).collect()}
+    assert got_name == dict(want_name)
+
+    details = run_reference_sql(spark, sqls["OrderAndClientDetails.sql"])
+    assert details.count() == len(events_raw)
+    assert len(details.columns) == 9
+
+    # partition pruning reaches the scan through the DDL catalog table
+    one_country = registered["shipping_addresses"].select("country").first()[0]
+    plan = spark.sql(
+        f"SELECT street FROM shipping_addresses WHERE country = '{one_country}'"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(country" in plan
+    spark.sql("DROP TABLE IF EXISTS orders")
+    spark.sql("DROP TABLE IF EXISTS product_details")
+    spark.sql("DROP TABLE IF EXISTS shipping_addresses")
+    spark.sql("DROP TABLE IF EXISTS purchase_details")
 
 
 # ---------------------------------------------------------------------------
