@@ -1,0 +1,106 @@
+"""Serving-store upsert: hash-bucketed partial rewrite (K4+E3).
+
+The scale property under test: an upsert rewrites ONLY the buckets its
+batch touches — every file in an untouched bucket is byte-identical
+afterwards (not merely equal-valued), so rewrite cost scales with the
+batch's key spread, not the store size.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+
+from pyspark.sql import functions as F
+
+from aws_kinesis_data_ingestion_restapi_spark.sinks import (
+    SERVING_KEYS,
+    _bucket_expr,
+    serving_upsert,
+)
+
+N_BUCKETS = 8
+
+
+def _rows(spark, keys, status):
+    return spark.createDataFrame(
+        [(c, o, status) for c, o in keys],
+        "customer_id string, order_id string, status string",
+    )
+
+
+def _file_hashes(store):
+    out = {}
+    for path in glob.glob(os.path.join(store, "bucket=*", "*.parquet")):
+        with open(path, "rb") as f:
+            out[os.path.relpath(path, store)] = hashlib.md5(f.read()).hexdigest()
+    return out
+
+
+def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    store = str(tmp_path / "serving")
+    keys = [(f"c{i}", f"o{i}") for i in range(200)]
+    serving_upsert(spark, _rows(spark, keys, "pending"), store, n_buckets=N_BUCKETS)
+
+    before = _file_hashes(store)
+    buckets_present = {p.split(os.sep)[0] for p in before}
+    assert len(buckets_present) > 1, "need multiple buckets for the test to bite"
+
+    # upsert a single key → exactly one touched bucket
+    target = keys[7]
+    serving_upsert(spark, _rows(spark, [target], "shipped"), store, n_buckets=N_BUCKETS)
+    touched = _rows(spark, [target], "x").select(
+        _bucket_expr(N_BUCKETS).alias("b")
+    ).first()["b"]
+
+    after = _file_hashes(store)
+    for rel, digest in before.items():
+        bucket = int(rel.split(os.sep)[0].split("=")[1])
+        if bucket != touched:
+            assert rel in after, f"untouched file {rel} disappeared"
+            assert after[rel] == digest, f"untouched file {rel} was rewritten"
+    # ...and the touched bucket actually changed
+    changed = {
+        rel for rel in set(before) | set(after)
+        if before.get(rel) != after.get(rel)
+    }
+    assert changed
+    assert {int(r.split(os.sep)[0].split("=")[1]) for r in changed} == {touched}
+
+    # merge semantics: count unchanged, updated row visible, rest intact
+    serving = spark.read.parquet(store)
+    assert serving.count() == len(keys)
+    assert (
+        serving.filter(
+            (F.col("customer_id") == target[0]) & (F.col("order_id") == target[1])
+        ).first()["status"]
+        == "shipped"
+    )
+    assert serving.filter(F.col("status") == "pending").count() == len(keys) - 1
+
+
+def test_upsert_replay_is_idempotent_bucketed(spark, tmp_path):
+    store = str(tmp_path / "serving")
+    keys = [(f"c{i}", f"o{i}") for i in range(50)]
+    batch = _rows(spark, keys, "pending")
+    serving_upsert(spark, batch, store, n_buckets=N_BUCKETS)
+    serving_upsert(spark, batch, store, n_buckets=N_BUCKETS)  # full replay
+    serving = spark.read.parquet(store)
+    assert serving.count() == len(keys)
+    assert serving.dropDuplicates(SERVING_KEYS).count() == len(keys)
+
+
+def test_upsert_migrates_legacy_flat_store(spark, tmp_path):
+    """A pre-bucketing flat store is merged and migrated into the
+    bucketed layout on the first upsert; later upserts are partial."""
+    store = str(tmp_path / "serving")
+    legacy = _rows(spark, [(f"c{i}", f"o{i}") for i in range(20)], "pending")
+    legacy.write.parquet(store)  # flat layout, no bucket dirs
+
+    serving_upsert(spark, _rows(spark, [("c0", "o0")], "shipped"), store,
+                   n_buckets=N_BUCKETS)
+    serving = spark.read.parquet(store)
+    assert serving.count() == 20
+    assert "bucket" in serving.columns
+    assert serving.filter(F.col("status") == "shipped").count() == 1
