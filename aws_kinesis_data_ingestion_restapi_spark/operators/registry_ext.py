@@ -130,6 +130,10 @@ def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.near_dup_lsh(_embs(spark, sf_dir), d2_max=1.2)
 
 
+def emb_near_dup_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.near_dup_lsh_multi(_embs(spark, sf_dir), d2_max=1.2)
+
+
 # ---------------------------------------------------------------------------
 # multimodal (binary columns + mapInPandas decode/frame-sample/resize)
 # ---------------------------------------------------------------------------
@@ -192,6 +196,7 @@ EXT_QUERY_FNS = {
     "ann_topk_lsh": ann_topk_lsh,
     "emb_near_dup": emb_near_dup,
     "emb_near_dup_lsh": emb_near_dup_lsh,
+    "emb_near_dup_lsh_multi": emb_near_dup_lsh_multi,
     "mm_asset_stats": mm_asset_stats,
     "mm_fingerprint": mm_fingerprint,
     "mm_frame_sample": mm_frame_sample,
@@ -235,6 +240,21 @@ _SIGN_BUCKET = """
                              THEN CAST(power(2, i-1) AS INTEGER) ELSE 0 END))
                     AS INTEGER) AS bucket
         FROM embeddings
+"""
+
+# the multi-table bucketing: table t reads components [t·bits, (t+1)·bits),
+# geometry shared with similarity.near_dup_lsh_multi via the same constants
+_MULTI_BUCKET = f"""
+        SELECT vec_id, tt.t AS t,
+               CAST(list_sum(list_transform(
+                   generate_series(1, {similarity.SIGN_BITS}),
+                   i -> CASE WHEN CAST(ROUND(CAST(
+                                  embedding[tt.t * {similarity.SIGN_BITS} + i]
+                                  AS DOUBLE) * 10000, 0) AS BIGINT) > 0
+                             THEN CAST(power(2, i - 1) AS INTEGER)
+                             ELSE 0 END)) AS INTEGER) AS bucket
+        FROM embeddings,
+             (SELECT unnest(generate_series(0, {similarity.N_TABLES - 1})) AS t) tt
 """
 
 _MINHASH_SIGS = f"""
@@ -544,6 +564,27 @@ EXT_ORACLE_SQL = {
             JOIN bkt bb ON bb.bucket = ba.bucket
             JOIN comp b ON b.vec_id = bb.vec_id AND a.i = b.i
             WHERE a.vec_id < b.vec_id
+            GROUP BY 1, 2
+        )
+        SELECT vec_a, vec_b, CAST(d2 AS DOUBLE) / 100000000.0 AS dist2
+        FROM d
+        WHERE d2 <= 120000000
+    """,
+    "emb_near_dup_lsh_multi": f"""
+        WITH comp AS ({_COMP}),
+        mbkt AS ({_MULTI_BUCKET}),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM mbkt a
+            JOIN mbkt b ON a.t = b.t AND a.bucket = b.bucket
+                       AND a.vec_id < b.vec_id
+        ),
+        d AS (
+            SELECT cand.vec_a, cand.vec_b,
+                   SUM((a.qx - b.qx) * (a.qx - b.qx)) AS d2
+            FROM cand
+            JOIN comp a ON a.vec_id = cand.vec_a
+            JOIN comp b ON b.vec_id = cand.vec_b AND a.i = b.i
             GROUP BY 1, 2
         )
         SELECT vec_a, vec_b, CAST(d2 AS DOUBLE) / 100000000.0 AS dist2

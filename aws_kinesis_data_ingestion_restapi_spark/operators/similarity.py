@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 SIGN_BITS = 8  # leading components used for the LSH bucket id
+N_TABLES = 3  # bucketings stacked by the multi-table near-dup path
 SCALE = 10_000  # per-component quantization factor
 SCALE2 = float(SCALE * SCALE)  # score divisor (dot of two scaled vecs)
 
@@ -61,17 +62,26 @@ def unscale(c: Column) -> Column:
     return c.cast("double") / F.lit(SCALE2)
 
 
-def sign_bucket(col: Column | str = "embedding", bits: int = SIGN_BITS) -> Column:
+def sign_bucket(
+    col: Column | str = "embedding", bits: int = SIGN_BITS, offset: int = 0
+) -> Column:
     """Axis-aligned random-hyperplane LSH bucket id ∈ [0, 2^bits):
-    bit i set ⟺ quantized component i > 0. Vectors shorter than
-    ``bits`` components leave the missing bits unset (try_element_at
-    → NULL → no contribution)."""
+    bit i set ⟺ quantized component ``offset + i`` > 0 (``offset``
+    selects which hyperplane slice feeds the bucket — the knob the
+    multi-table path rotates). Vectors shorter than ``offset + bits``
+    components leave the missing bits unset (try_element_at → NULL →
+    no contribution)."""
     q = quantized(col)
+    return _sign_bucket_q(q, bits=bits, offset=offset)
+
+
+def _sign_bucket_q(q: Column, bits: int, offset: int) -> Column:
+    """sign_bucket over an ALREADY-quantized int64[] column."""
     return F.aggregate(
         F.sequence(F.lit(0), F.lit(bits - 1)),
         F.lit(0),
         lambda acc, i: acc
-        + F.when(F.try_element_at(q, i + 1) > 0, _p2i(i)).otherwise(0),
+        + F.when(F.try_element_at(q, i + F.lit(offset) + 1) > 0, _p2i(i)).otherwise(0),
     )
 
 
@@ -168,8 +178,8 @@ def near_dup_lsh(
 
     Recall caveat (inherent to single-table LSH): a pair straddling a
     hyperplane (opposite sign in ANY of the first ``bits`` components)
-    is missed; production stacks several bucketings (rotate which
-    components feed the bucket) and unions candidates. The oracle
+    is missed. :func:`near_dup_lsh_multi` stacks several rotated
+    bucketings and unions candidates to close that gap. The oracle
     replicates the single-bucketing result exactly.
     """
     d2_max_i = round(d2_max * SCALE2)
@@ -188,6 +198,67 @@ def near_dup_lsh(
     return (
         a.join(b, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", d2.alias("_d2_i"))
+        .filter(F.col("_d2_i") <= F.lit(d2_max_i))
+        .select("vec_a", "vec_b", unscale(F.col("_d2_i")).alias("dist2"))
+    )
+
+
+def near_dup_lsh_multi(
+    embs: DataFrame,
+    d2_max: float = 1.2,
+    bits: int = SIGN_BITS,
+    n_tables: int = N_TABLES,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Multi-table LSH near-duplicate pairs: ``n_tables`` independent
+    sign bucketings (table ``t`` reads components ``[t·bits,
+    (t+1)·bits)``), candidates unioned and deduped, then the exact
+    scaled-integer distance filter. Closes :func:`near_dup_lsh`'s
+    single-table recall gap — a pair is only missed if it straddles a
+    hyperplane in EVERY table (miss probability decays geometrically
+    with ``n_tables``).
+
+    Scale shape: one explode (n_tables rows per vector, ids + short
+    bucket ints only — vectors do NOT travel through the candidate
+    join), one equi-join on (table, bucket) ⇒ Σₜ Σ_b |bucket|²
+    candidate pairs, one dedup shuffle on the pair key, then two id
+    equi-joins to fetch vectors for the exact filter. At 100 TB each
+    step shuffles short keys except the final fetch, which AQE can
+    plan as broadcast when the candidate set is small.
+    """
+    d2_max_i = round(d2_max * SCALE2)
+    base = embs.select(F.col(id_col), quantized().alias("v"))
+    tabled = base.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        _sign_bucket_q(F.col("v"), bits=bits, offset=t * bits).alias(
+                            "bucket"
+                        ),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select(id_col, F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    a = tabled.select(F.col(id_col).alias("vec_a"), "t", "bucket")
+    b = tabled.select(F.col(id_col).alias("vec_b"), "t", "bucket")
+    cand = (
+        a.join(b, ["t", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    va = base.select(F.col(id_col).alias("vec_a"), F.col("v").alias("va"))
+    vb = base.select(F.col(id_col).alias("vec_b"), F.col("v").alias("vb"))
+    d2 = dist2_i(F.col("va"), F.col("vb"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
         .select("vec_a", "vec_b", d2.alias("_d2_i"))
         .filter(F.col("_d2_i") <= F.lit(d2_max_i))
         .select("vec_a", "vec_b", unscale(F.col("_d2_i")).alias("dist2"))

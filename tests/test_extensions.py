@@ -285,3 +285,26 @@ def test_near_dup_lsh_subset_of_exact(vectors):
     # distance filter); the (0,1) pair shares a bucket so it's found
     assert set(lsh) <= exact
     assert (0, 1) in lsh
+
+
+def test_near_dup_lsh_multi_recall_bracket(spark):
+    """Multi-table LSH on the real embeddings: recall is at least the
+    single-table path's (candidates are a superset by construction)
+    and never exceeds the exact all-pairs result; every surviving pair
+    carries the identical exact distance."""
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["dist2"]
+        for r in similarity.near_dup_pairs(embs, d2_max=1.2).collect()
+    }
+    single = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.near_dup_lsh(embs, d2_max=1.2).collect()
+    }
+    multi = {
+        (r["vec_a"], r["vec_b"]): r["dist2"]
+        for r in similarity.near_dup_lsh_multi(embs, d2_max=1.2).collect()
+    }
+    assert single <= set(multi) <= set(exact)
+    for pair, d2 in multi.items():
+        assert d2 == exact[pair]
