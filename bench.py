@@ -54,6 +54,9 @@ from aws_kinesis_data_ingestion_restapi_spark.operators.transforms import derive
 from aws_kinesis_data_ingestion_restapi_spark.queries import REFERENCE_SQL  # noqa: E402
 from aws_kinesis_data_ingestion_restapi_spark.registry import QUERY_FNS  # noqa: E402
 from aws_kinesis_data_ingestion_restapi_spark.sinks import write_partitioned  # noqa: E402
+from aws_kinesis_data_ingestion_restapi_spark.streaming import run_pipeline_once  # noqa: E402
+
+from pyspark.sql import functions as F  # noqa: E402
 
 ANALYTICS_QUERIES = [
     "q1_pricing_summary",
@@ -112,6 +115,38 @@ def main() -> None:
             t0 = time.perf_counter()
             _noop(QUERY_FNS[name](spark, sf_dir))
             timings[name] = round(time.perf_counter() - t0, 3)
+
+        # --- streaming-pipeline drain: the ETL contract end-to-end ---
+        # envelope NDJSON fixture → decode → foreachBatch fan-out to all
+        # 6 sinks (4 tables + serving upsert + error quarantine). The
+        # fixture build is harness-side and untimed; the drain is the
+        # measured unit. Tables are written unpartitioned here for the
+        # same small-files reason as the batch ETL's orders deviation.
+        stream_root = tempfile.mkdtemp(prefix="bench_stream_")
+        try:
+            events = build_order_events(spark, sf_dir)
+            envelopes = events.select(
+                F.lit("ingestion-bench").alias("StreamName"),
+                F.lit("bench-partition").alias("PartitionKey"),
+                F.base64(F.to_json(F.struct(*events.columns))).alias("Data"),
+            )
+            inp = f"{stream_root}/input"
+            envelopes.select(
+                F.to_json(F.struct("StreamName", "PartitionKey", "Data")).alias("v")
+            ).write.mode("overwrite").text(inp)
+            t0 = time.perf_counter()
+            run_pipeline_once(
+                spark,
+                inp,
+                f"{stream_root}/warehouse",
+                f"{stream_root}/checkpoint",
+                serving_path=f"{stream_root}/serving",
+                errors_path=f"{stream_root}/errors",
+                with_partitions=False,
+            )
+            timings["pipeline_streaming_drain"] = round(time.perf_counter() - t0, 3)
+        finally:
+            shutil.rmtree(stream_root, ignore_errors=True)
     finally:
         shutil.rmtree(warehouse, ignore_errors=True)
 
