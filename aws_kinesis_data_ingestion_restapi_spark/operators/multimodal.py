@@ -189,7 +189,7 @@ def extract_features(assets: DataFrame, fake_decode: bool = True) -> DataFrame:
     )
 
 
-FRAMES_SCHEMA = "asset_id long, frame_idx int, frame_chars int, frame_md5 string"
+FRAMES_SCHEMA = "asset_id long, frame_idx int, frame_chars long, frame_md5 string"
 
 
 def sample_frames(

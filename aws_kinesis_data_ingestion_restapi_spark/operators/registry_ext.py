@@ -152,7 +152,7 @@ def mm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assets.select(
         "asset_id",
         "kind",
-        F.length("content").alias("n_bytes"),
+        F.length("content").cast("long").alias("n_bytes"),
         multimodal.content_md5().alias("content_md5"),
     )
 

@@ -66,10 +66,10 @@ def token_stats(docs: DataFrame) -> DataFrame:
         tokens_col().alias("_toks"),
     ).select(
         "doc_id",
-        "n_chars",
-        F.size(tokens).alias("n_tokens"),
-        "n_bpe_tokens",
-        F.size(F.array_distinct(tokens)).alias("n_unique_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(tokens).cast("long").alias("n_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(tokens)).cast("long").alias("n_unique_tokens"),
     )
 
 
@@ -106,7 +106,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     # differ in tie handling
     return docs.select("doc_id", "text", tokens_col().alias("_toks")).select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
+        n_tokens.cast("long").alias("n_tokens"),
         mean_tok_len.alias("mean_token_len"),
         punct_ratio.alias("punct_ratio"),
         stop_density.alias("stop_density"),
@@ -132,7 +132,7 @@ def language_id(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         expr.alias("predicted_lang"),
-        best.alias("best_score"),
+        best.cast("long").alias("best_score"),
     )
 
 
