@@ -122,6 +122,10 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.topk_lsh(_embs(spark, sf_dir), n_queries=10, k=5)
 
 
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.topk_ivf(_embs(spark, sf_dir), n_queries=10, k=5)
+
+
 def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.near_dup_pairs(_embs(spark, sf_dir), d2_max=1.2)
 
@@ -194,6 +198,7 @@ EXT_QUERY_FNS = {
     "dedup_simhash_fingerprints": dedup_simhash_fingerprints,
     "ann_topk_brute": ann_topk_brute,
     "ann_topk_lsh": ann_topk_lsh,
+    "ann_topk_ivf": ann_topk_ivf,
     "emb_near_dup": emb_near_dup,
     "emb_near_dup_lsh": emb_near_dup_lsh,
     "emb_near_dup_lsh_multi": emb_near_dup_lsh_multi,
@@ -540,6 +545,54 @@ EXT_ORACLE_SQL = {
             JOIN bkt bb ON bb.bucket = ba.bucket
             JOIN comp b ON b.vec_id = bb.vec_id AND a.i = b.i
             WHERE a.vec_id < 10 AND a.vec_id != b.vec_id
+            GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id,
+               CAST(rank AS INTEGER) AS rank,
+               CAST(s AS DOUBLE) / 100000000.0 AS score
+        FROM (
+            SELECT query_id, neighbor_id, s,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY s DESC, neighbor_id) AS rank
+            FROM dots
+        )
+        WHERE rank <= 5
+    """,
+    # IVF geometry shared with similarity.topk_ivf via the constants:
+    # centroids = vec_id % CENTROID_STRIDE == 0, N_PROBES probed cells,
+    # ties on (d2, cell) / (score DESC, neighbor_id)
+    "ann_topk_ivf": f"""
+        WITH comp AS ({_COMP}),
+        cent AS (
+            SELECT vec_id AS cell FROM embeddings
+            WHERE vec_id % {similarity.CENTROID_STRIDE} = 0
+        ),
+        cd AS (
+            SELECT a.vec_id, c.cell,
+                   SUM((a.qx - b.qx) * (a.qx - b.qx)) AS d2
+            FROM comp a
+            JOIN cent c ON TRUE
+            JOIN comp b ON b.vec_id = c.cell AND b.i = a.i
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cell) AS r
+            FROM cd
+        ),
+        assign AS (SELECT vec_id, cell FROM ranked WHERE r = 1),
+        probes AS (
+            SELECT vec_id AS query_id, cell FROM ranked
+            WHERE vec_id < 10 AND r <= {similarity.N_PROBES}
+        ),
+        dots AS (
+            SELECT p.query_id, s.vec_id AS neighbor_id,
+                   SUM(a.qx * b.qx) AS s
+            FROM probes p
+            JOIN assign s ON s.cell = p.cell AND s.vec_id != p.query_id
+            JOIN comp a ON a.vec_id = p.query_id
+            JOIN comp b ON b.vec_id = s.vec_id AND b.i = a.i
             GROUP BY 1, 2
         )
         SELECT query_id, neighbor_id,

@@ -31,6 +31,8 @@ from pyspark.sql.window import Window
 
 SIGN_BITS = 8  # leading components used for the LSH bucket id
 N_TABLES = 3  # bucketings stacked by the multi-table near-dup path
+CENTROID_STRIDE = 25  # IVF: every Nth corpus vector is a coarse centroid
+N_PROBES = 3  # IVF: cells each query probes
 SCALE = 10_000  # per-component quantization factor
 SCALE2 = float(SCALE * SCALE)  # score divisor (dot of two scaled vecs)
 
@@ -158,6 +160,81 @@ def topk_lsh(
             "query_id",
             "neighbor_id",
             dot_i(F.col("qv_q"), F.col("qv_c")).alias("_score_i"),
+        )
+    )
+    return _topk(scored, k)
+
+
+def topk_ivf(
+    embs: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    centroid_stride: int = CENTROID_STRIDE,
+    nprobe: int = N_PROBES,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-flat approximate top-k: the corpus is partitioned into
+    Voronoi cells around coarse centroids, each query probes its
+    ``nprobe`` nearest cells, and the exact scaled-integer dot product
+    reranks only the vectors assigned to probed cells.
+
+    Centroids are deterministic — every ``centroid_stride``-th corpus
+    vector (no trained model, so the DuckDB oracle replicates the
+    index bit-for-bit). Assignment ties break on the lower cell id.
+
+    Scale shape: centroids are a broadcast dim (n/stride rows), so
+    cell assignment is a map-side expand over the broadcast followed
+    by a partially-aggregated ``min(struct(d2, cell))`` — the shuffle
+    carries ONE row per corpus vector, never the n×K expansion.
+    Candidate generation is an equi-join on the cell id (the query
+    side is tiny and broadcast), so the corpus never shuffles for
+    scoring; comparisons drop from n² to Σ(probed-cell sizes), the
+    IVF trade. Recall is tuned by ``nprobe`` exactly as in
+    FAISS-style IVF-flat."""
+    base = embs.select(F.col(id_col), quantized().alias("v"))
+    cents = base.filter((F.col(id_col) % centroid_stride) == 0).select(
+        F.col(id_col).alias("cell"), F.col("v").alias("cv")
+    )
+    # nearest-cell assignment: struct min orders by (d2, cell) — the
+    # documented tie-break — and partial aggregation keeps the shuffle
+    # at one row per vector
+    expanded = base.join(F.broadcast(cents)).select(
+        id_col,
+        "v",
+        F.struct(
+            dist2_i(F.col("v"), F.col("cv")).alias("d2"), F.col("cell").alias("cell")
+        ).alias("dc"),
+    )
+    assign = (
+        expanded.groupBy(id_col)
+        .agg(F.min("dc").alias("m"), F.first("v").alias("v"))
+        .select(id_col, F.col("m.cell").alias("cell"), "v")
+    )
+    # query probe lists: nprobe nearest cells per query (query side is
+    # n_queries×K rows — a window here is trivially cheap)
+    qx = (
+        base.filter(F.col(id_col) < n_queries)
+        .join(F.broadcast(cents))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("v").alias("qv"),
+            "cell",
+            dist2_i(F.col("v"), F.col("cv")).alias("_d2"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("_d2").asc(), F.col("cell").asc())
+    probes = (
+        qx.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+    scored = (
+        assign.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            dot_i(F.col("qv"), F.col("v")).alias("_score_i"),
         )
     )
     return _topk(scored, k)

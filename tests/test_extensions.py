@@ -198,6 +198,41 @@ def test_lsh_bucket_restricts_candidates(vectors):
     assert (0, 2) not in pairs
 
 
+def test_ivf_assignment_and_probes(vectors):
+    # stride 2 → centroids {0, 2, 4}; nprobe 2 keeps the orthogonal
+    # cell out of reach while the near-identical pair stays recallable
+    out = similarity.topk_ivf(
+        vectors, n_queries=2, k=4, centroid_stride=2, nprobe=2
+    ).collect()
+    for r in out:
+        assert r["query_id"] != r["neighbor_id"]
+    pairs = {(r["query_id"], r["neighbor_id"]) for r in out}
+    # vec 1 is assigned to centroid 0's cell (cos≈0.9998) and query 0
+    # probes its own cell first → the near-duplicate is found
+    assert (0, 1) in pairs and (1, 0) in pairs
+    scores = {
+        (r["query_id"], r["neighbor_id"]): r["score"] for r in out
+    }
+    assert scores[(0, 1)] == pytest.approx(0.9998, abs=1e-4)
+    # probing 2 of 3 cells → candidates must be a strict subset of brute
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.topk_brute(vectors, n_queries=2, k=4).collect()
+    }
+    assert pairs <= brute and len(pairs) < len(brute)
+
+
+def test_ivf_matches_brute_when_probing_all_cells(vectors):
+    # nprobe ≥ #cells ⇒ IVF degrades to exact brute force
+    ivf = similarity.topk_ivf(
+        vectors, n_queries=5, k=4, centroid_stride=2, nprobe=3
+    )
+    brute = similarity.topk_brute(vectors, n_queries=5, k=4)
+    assert sorted(map(tuple, ivf.collect())) == sorted(
+        map(tuple, brute.collect())
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
