@@ -78,6 +78,10 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(_docs(spark, sf_dir))
 
 
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.pii_redact(text.synthesize_pii(_docs(spark, sf_dir)))
+
+
 # ---------------------------------------------------------------------------
 # dedup
 # ---------------------------------------------------------------------------
@@ -191,6 +195,7 @@ EXT_QUERY_FNS = {
     "text_quality_score": text_quality_score,
     "text_language_id": text_language_id,
     "text_fingerprint": text_fingerprint,
+    "text_pii_redact": text_pii_redact,
     "dedup_exact_recrawl": dedup_exact_recrawl,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -304,6 +309,53 @@ _SIMHASH = f"""
             GROUP BY doc_id
         )
 """
+
+def _pii_oracle() -> str:
+    """PII oracle generated from text.PII_PATTERNS (patterns use the
+    shared Java/RE2 syntax subset) — one CTE per class replicating the
+    count-after-previous-redaction contract of text.pii_redact, and the
+    same doc_id-modulus synthesis as text.synthesize_pii."""
+    sql = """
+        WITH r0 AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 2 = 0 THEN ' contact user'
+                        || CAST(doc_id AS VARCHAR) || '@example.com'
+                      ELSE '' END
+                   || CASE WHEN doc_id % 3 = 0 THEN ' call +1-555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      ELSE '' END
+                   || CASE WHEN doc_id % 7 = 0 THEN ' ip 10.'
+                        || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+                      ELSE '' END
+                   AS t
+            FROM documents
+        )"""
+    done: list[str] = []
+    prev = "r0"
+    for idx, (name, pat, repl) in enumerate(text.PII_PATTERNS, 1):
+        carried = "".join(f"{c}, " for c in done)
+        sql += f""",
+        r{idx} AS (
+            SELECT doc_id, {carried}
+                   CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT)
+                       AS n_{name},
+                   regexp_replace(t, '{pat}', '{repl}', 'g') AS t
+            FROM {prev}
+        )"""
+        done.append(f"n_{name}")
+        prev = f"r{idx}"
+    sql += f"""
+        SELECT doc_id, {", ".join(done)},
+               CAST(length(t) AS BIGINT) AS n_chars_redacted,
+               md5(t) AS redacted_md5
+        FROM {prev}
+    """
+    return sql
+
 
 _MM_KIND = (
     "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
@@ -449,6 +501,7 @@ EXT_ORACLE_SQL = {
                END AS min_shingle_md5
         FROM (SELECT doc_id, text, {_TOKS} AS t FROM documents)
     """,
+    "text_pii_redact": _pii_oracle(),
     "dedup_exact_recrawl": """
         WITH u AS (
             SELECT doc_id, text FROM documents

@@ -136,6 +136,70 @@ def language_id(docs: DataFrame) -> DataFrame:
     )
 
 
+# PII patterns, applied in order. Shared Java-regex/RE2 syntax subset
+# (character classes, bounded repetition, \b — no lookarounds, no
+# backrefs), so Spark and the DuckDB oracle match byte-for-byte. The
+# phone pattern runs before SSN so `+1-555-0042` can't half-match the
+# 3-2-4 SSN shape after partial redaction.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(col: Column | str = "text") -> Column:
+    """Text with every :data:`PII_PATTERNS` class replaced by its tag,
+    applied in declaration order (pure codegen ``regexp_replace``
+    chain — replaces ALL occurrences, scales linearly)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def synthesize_pii(docs: DataFrame) -> DataFrame:
+    """Deterministically append PII spans derived from ``doc_id`` (the
+    synthetic corpus is PII-free — digit/@-free, verified — so, like
+    multimodal.synthesize_assets, the fixture is built in-plan). Class
+    membership varies by doc_id modulus so counts differ per row."""
+    did = F.col("doc_id")
+    pid = F.lpad((did % 10000).cast("string"), 4, "0")
+    frag = lambda m, *parts: F.when(  # noqa: E731
+        did % m == 0, F.concat(*parts)
+    ).otherwise("")
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            frag(2, F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+            frag(3, F.lit(" call +1-555-"), pid),
+            frag(5, F.lit(" ssn 123-45-"), pid),
+            frag(7, F.lit(" ip 10."), (did % 256).cast("string"), F.lit(".0.1")),
+        ),
+    )
+
+
+def pii_redact(docs: DataFrame) -> DataFrame:
+    """PII redaction audit: per-document match counts per class plus
+    the fully-redacted text's signature. Counts are taken on the
+    progressively-redacted intermediate (class i counted AFTER classes
+    < i are replaced), so overlapping patterns never double-count —
+    the same contract as running the replace chain itself."""
+    cur = F.col("text")
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    return docs.select(
+        "doc_id",
+        *counts,
+        F.length(cur).cast("long").alias("n_chars_redacted"),
+        F.md5(cur).alias("redacted_md5"),
+    )
+
+
 def fingerprint(docs: DataFrame, shingle_words: int = 3) -> DataFrame:
     """Document fingerprinting (winnowing-lite): md5 of the full text +
     the minimum md5 over word ``shingle_words``-shingles — a stable,

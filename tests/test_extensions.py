@@ -71,6 +71,45 @@ def test_quality_score_bounds(docs):
         assert 0.0 <= row["quality_score"] <= 1.0
 
 
+def test_pii_redaction(spark):
+    rows = [
+        (0, "mail a@b.io and c.d+x@e-f.org, call +1-555-0042"),
+        (1, "ssn 123-45-6789 from host 192.168.0.1 port 80"),
+        (2, "no pii here at all"),
+        (3, "version 1.2.3.4.5 is not an ip boundary test"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in text.pii_redact(docs).collect()}
+    red = {
+        r["doc_id"]: r["redacted"]
+        for r in docs.select(
+            "doc_id", text.redact_pii().alias("redacted")
+        ).collect()
+    }
+    assert red[0] == "mail <EMAIL> and <EMAIL>, call <PHONE>"
+    assert red[1] == "ssn <SSN> from host <IP> port 80"
+    assert red[2] == "no pii here at all"
+    assert out[0]["n_email"] == 2 and out[0]["n_phone"] == 1
+    assert out[1]["n_ssn"] == 1 and out[1]["n_ip"] == 1
+    assert out[2]["n_email"] == out[2]["n_ip"] == 0
+    # counts run on the progressively-redacted text: the phone number,
+    # already replaced, can never feed the SSN/IP classes
+    assert out[0]["n_ssn"] == 0 and out[0]["n_ip"] == 0
+    for r in out.values():
+        assert r["redacted_md5"] is not None and r["n_chars_redacted"] > 0
+
+
+def test_synthesize_pii_modulus_classes(spark):
+    rows = [(i, "base") for i in range(8)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in text.pii_redact(text.synthesize_pii(docs)).collect()}
+    assert out[0]["n_email"] == out[0]["n_phone"] == out[0]["n_ssn"] == 1
+    assert out[0]["n_ip"] == 1  # 0 divisible by everything
+    assert out[1]["n_email"] == 0
+    assert out[6]["n_email"] == 1 and out[6]["n_phone"] == 1
+    assert out[7]["n_ip"] == 1 and out[7]["n_phone"] == 0
+
+
 # ---------------------------------------------------------------------------
 # dedup
 # ---------------------------------------------------------------------------
