@@ -213,11 +213,13 @@ QUERY_FNS: dict[str, QueryFn] = {
 # per-customer batch aggregate — so both get full ORACLE_SQL entries.
 from aws_kinesis_data_ingestion_restapi_spark.streaming.registry_stream import (  # noqa: E402
     streaming_dedup_replay,
+    streaming_enriched_nation_totals,
     streaming_running_totals_final,
 )
 
 QUERY_FNS["streaming_dedup_replay"] = streaming_dedup_replay
 QUERY_FNS["streaming_running_totals_final"] = streaming_running_totals_final
+QUERY_FNS["streaming_enriched_nation_totals"] = streaming_enriched_nation_totals
 
 # merge the dedup / similarity / text-analysis extension surface
 from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (  # noqa: E402
@@ -495,6 +497,18 @@ ORACLE_SQL: dict[str, str] = {
                CAST(2 * SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                    AS total_amount
         FROM orders
+        GROUP BY 1
+    """,
+    # Final state of the stream-static enrichment aggregate after two
+    # full deliveries: 2× the per-nation batch totals, decimal-exact.
+    "streaming_enriched_nation_totals": """
+        SELECT n_name AS nation,
+               CAST(2 * COUNT(*) AS BIGINT) AS n_orders,
+               CAST(2 * SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_amount
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
         GROUP BY 1
     """,
 }

@@ -36,6 +36,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aws_kinesis_data_ingestion_restapi_spark import analytics
+from aws_kinesis_data_ingestion_restapi_spark.functions.exact import dsum
+from aws_kinesis_data_ingestion_restapi_spark.streaming.enrichment import (
+    enrich_stream,
+)
 from aws_kinesis_data_ingestion_restapi_spark.streaming.stateful import (
     streaming_dedup,
     streaming_running_totals,
@@ -96,6 +100,36 @@ def _drain(decorated: DataFrame, mode: str, name: str) -> DataFrame:
     # across repeated gate runs.
     shutil.rmtree(ckpt, ignore_errors=True)
     return decorated.sparkSession.table(qname)
+
+
+def streaming_enriched_nation_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the replayed order stream broadcast-
+    joined per micro-batch against the static customer⋈nation dim, then
+    a streaming per-nation aggregate (complete mode — the memory sink
+    holds exactly the final state). After two full deliveries every
+    total is exactly 2× the batch aggregate; the amount sum rides the
+    decimal-exact contract (functions.exact.dsum), so the result
+    value-hashes against the SQL oracle."""
+    stream, d = _order_stream(spark, sf_dir, replays=2)
+    customer = analytics._t(spark, sf_dir, "customer")
+    nation = analytics._t(spark, sf_dir, "nation")
+    dim = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select(
+        F.col("c_custkey").cast("string").alias("customer_id"),
+        F.col("n_name").alias("nation"),
+    )
+    totals = (
+        enrich_stream(stream, dim, on="customer_id")
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            dsum("amount", alias="total_amount"),
+        )
+    )
+    out = _drain(totals, "complete", "senrich")
+    shutil.rmtree(d, ignore_errors=True)
+    return out.orderBy("nation")
 
 
 def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:

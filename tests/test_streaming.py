@@ -214,3 +214,43 @@ def test_session_order_stats_streaming_matches_batch(spark, stream_dirs, tmp_pat
     assert out
     for row in out:
         assert tuple(row) in batch_rows
+
+
+def test_stream_static_enrichment_broadcast(spark, tmp_path):
+    """enrich_stream joins each micro-batch against the static dim
+    without shuffling the stream side; left mode keeps unmatched
+    events with null enrichment."""
+    import json as _json
+
+    from aws_kinesis_data_ingestion_restapi_spark.streaming.enrichment import (
+        enrich_stream,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [
+        {"customer_id": "1", "amount": 10.0},
+        {"customer_id": "2", "amount": 20.0},
+        {"customer_id": "99", "amount": 5.0},  # no dim match
+    ]
+    (src / "b0.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    dim = spark.createDataFrame(
+        [("1", "FRANCE"), ("2", "KENYA")], ["customer_id", "nation"]
+    )
+    stream = (
+        spark.readStream.schema("customer_id string, amount double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = []
+    q = (
+        enrich_stream(stream, dim, on="customer_id", how="left")
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: out.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["customer_id"]: r["nation"] for r in out}
+    assert got == {"1": "FRANCE", "2": "KENYA", "99": None}
