@@ -72,8 +72,10 @@ ANALYTICS_QUERIES = [
     # side tables — these measure operator cost, not sf scaling)
     "text_token_stats",
     "text_fingerprint",
+    "text_pii_redact",
     "dedup_minhash_lsh",
     "ann_topk_brute",
+    "ann_topk_ivf",
     "mm_fingerprint",
 ]
 
