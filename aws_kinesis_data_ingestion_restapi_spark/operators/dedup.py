@@ -456,3 +456,47 @@ def dedup_keep_first(docs: DataFrame, key: Column | str = "text") -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap against an eval set)
+# ---------------------------------------------------------------------------
+
+
+def contamination_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share at
+    least ``min_overlap`` distinct word ``n``-grams with any benchmark
+    document (the standard eval-leak check run before training — cf.
+    the n-gram overlap decontamination described in the GPT-3/PaLM
+    papers). Output per flagged doc: the distinct overlapping-gram
+    count and how many benchmark docs it collides with.
+
+    Scale design: eval benchmarks are tiny (MBs) next to a 100 TB
+    corpus, so the benchmark's distinct gram set is BROADCAST — the
+    corpus side maps its own shingles and hash-joins locally, never
+    shuffling the big side for the probe; the only wide operation is
+    the per-doc count-distinct aggregate over the (rare) hits. Shingle
+    hashing reuses :func:`hashed_ngrams` (28-bit int grams — exact,
+    engine-portable, and int joins beat string joins ~10×).
+    """
+    bgrams = tokenized(benchmark).select(
+        F.col("doc_id").alias("bench_id"),
+        F.explode(hashed_ngrams(n, F.col("_toks"))).alias("gram"),
+    )
+    cgrams = tokenized(docs).select(
+        "doc_id", F.explode(hashed_ngrams(n, F.col("_toks"))).alias("gram")
+    )
+    hits = cgrams.join(F.broadcast(bgrams), "gram")
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").cast("long").alias("n_hit_grams"),
+            F.countDistinct("bench_id").cast("long").alias("n_benchmark_docs"),
+        )
+        .filter(F.col("n_hit_grams") >= min_overlap)
+    )

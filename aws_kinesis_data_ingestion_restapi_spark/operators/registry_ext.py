@@ -113,6 +113,15 @@ def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_docs(_docs(spark, sf_dir))
 
 
+def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination against a synthetic benchmark (docs 0-24 stand
+    in for the leaked eval set — so those flag with full self-overlap,
+    plus any corpus near-duplicates of them)."""
+    docs = _docs(spark, sf_dir)
+    benchmark = docs.filter(F.col("doc_id") < 25)
+    return dedup.contamination_report(docs, benchmark, n=5, min_overlap=1)
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -201,6 +210,7 @@ EXT_QUERY_FNS = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_simhash_fingerprints": dedup_simhash_fingerprints,
+    "dedup_contamination": dedup_contamination,
     "ann_topk_brute": ann_topk_brute,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
@@ -528,6 +538,22 @@ EXT_ORACLE_SQL = {
         FROM g a JOIN g b ON a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                    / len(list_distinct(a.grams || b.grams)) >= 0.2
+    """,
+    "dedup_contamination": f"""
+        WITH cg AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform({_shingles(5)},
+                       s -> CAST(concat('0x', substr(md5(s), 1,
+                            {dedup.GRAM_HASH_HEX})) AS BIGINT)))) AS gram
+            FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+        ),
+        bg AS (SELECT doc_id AS bench_id, gram FROM cg WHERE doc_id < 25)
+        SELECT c.doc_id,
+               CAST(COUNT(DISTINCT c.gram) AS BIGINT) AS n_hit_grams,
+               CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_benchmark_docs
+        FROM cg c JOIN bg b ON c.gram = b.gram
+        GROUP BY 1
+        HAVING COUNT(DISTINCT c.gram) >= 1
     """,
     "dedup_minhash_lsh": f"""
         WITH {_MINHASH_SIGS},

@@ -382,3 +382,32 @@ def test_near_dup_lsh_multi_recall_bracket(spark):
     assert single <= set(multi) <= set(exact)
     for pair, d2 in multi.items():
         assert d2 == exact[pair]
+
+
+def test_contamination_report(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),  # benchmark doc
+        (1, "alpha beta gamma delta epsilon eta"),  # shares the prefix 5-gram
+        (2, "alpha beta gamma delta epsilon zeta theta"),  # contains doc 0's full text
+        (3, "totally different words entirely here now"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = docs.filter(F.col("doc_id") == 0)
+    out = {
+        r["doc_id"]: r
+        for r in dedup.contamination_report(docs, bench, n=5, min_overlap=1).collect()
+    }
+    # doc 0: full self-overlap (2 distinct 5-grams); doc 2 contains both
+    # of doc 0's 5-grams; doc 1 shares only the prefix gram "alpha beta
+    # gamma delta epsilon"; doc 3 shares nothing
+    assert set(out) == {0, 1, 2}
+    assert out[0]["n_hit_grams"] == 2 and out[0]["n_benchmark_docs"] == 1
+    assert out[1]["n_hit_grams"] == 1
+    assert out[2]["n_hit_grams"] == 2 and out[2]["n_benchmark_docs"] == 1
+    assert 3 not in out
+    # raising the overlap floor drops the single-gram hit
+    strict = {
+        r["doc_id"]
+        for r in dedup.contamination_report(docs, bench, n=5, min_overlap=2).collect()
+    }
+    assert strict == {0, 2}
