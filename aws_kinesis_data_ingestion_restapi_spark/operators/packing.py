@@ -1,0 +1,95 @@
+"""Token-budget sequence packing for training-data pipelines.
+
+GPT-style packing concatenates the tokenized corpus in a fixed
+document order and cuts it into fixed-size training sequences
+(shards); each document's placement is a pure function of the
+exclusive prefix sum of token counts. This module computes that
+placement distributed.
+
+Scale design — the naive formulation is a global ordered window
+(``Window.orderBy(doc_id)``), which Spark executes as a SINGLE task:
+a non-starter at 100 TB. Instead the classic two-level distributed
+prefix sum:
+
+1. block partial sums  — one ``groupBy(doc_id DIV block)`` shuffle;
+2. block offsets       — an ordered window over the ~n/block block
+   rows (choose ``block`` so this fits one task; recurse for more
+   levels if it doesn't);
+3. intra-block cumsum  — a window PARTITIONED by block, aligned with
+   the equi-join on the block key, so one hash shuffle serves both
+   the join and the window.
+
+Every step is built-in expressions; the wide operations are one
+shuffle on the block key plus the tiny block-level window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from aws_kinesis_data_ingestion_restapi_spark.operators.text import tokens_col
+
+DEFAULT_BUDGET = 512  # tokens per training shard
+DEFAULT_BLOCK = 64  # docs per prefix-sum block
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = DEFAULT_BUDGET,
+    block: int = DEFAULT_BLOCK,
+) -> DataFrame:
+    """Assign each document its position in budget-token training
+    shards under deterministic ``doc_id`` concatenation order.
+
+    Output per doc: ``n_tokens`` (whitespace tokens — swap in a real
+    tokenizer's counts upstream), ``shard_id`` (shard where the doc
+    starts = exclusive-prefix-sum DIV budget), ``shard_offset``
+    (token offset inside that shard) and ``n_shards_spanned``
+    (straddling docs span > 1, exactly as GPT-style packing cuts
+    mid-document).
+    """
+    toked = docs.select(
+        "doc_id",
+        F.size(tokens_col()).cast("long").alias("n_tokens"),
+        (F.col("doc_id") / block).cast("long").alias("_blk"),
+    )
+    blk_sums = toked.groupBy("_blk").agg(F.sum("n_tokens").alias("_blk_sum"))
+    w_blk = (
+        Window.orderBy("_blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    blk_offsets = blk_sums.select(
+        "_blk",
+        F.coalesce(F.sum("_blk_sum").over(w_blk), F.lit(0)).alias("_blk_off"),
+    )
+    w_in = (
+        Window.partitionBy("_blk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = (
+        F.col("_blk_off") + F.sum("n_tokens").over(w_in) - F.col("n_tokens")
+    )
+    placed = toked.join(F.broadcast(blk_offsets), "_blk").select(
+        "doc_id",
+        "n_tokens",
+        cum_before.alias("_before"),
+    )
+    end = F.col("_before") + F.col("n_tokens")
+    return placed.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"_before DIV {budget}").alias("shard_id"),
+        (F.col("_before") % budget).alias("shard_offset"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr(f"(_before + n_tokens - 1) DIV {budget}")
+            - F.expr(f"_before DIV {budget}")
+            + F.lit(1),
+        )
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("n_shards_spanned"),
+    )

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from aws_kinesis_data_ingestion_restapi_spark.operators import (
     dedup,
     multimodal,
+    packing,
     similarity,
     text,
 )
@@ -80,6 +81,10 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.pii_redact(text.synthesize_pii(_docs(spark, sf_dir)))
+
+
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return packing.pack_sequences(_docs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -205,6 +210,7 @@ EXT_QUERY_FNS = {
     "text_language_id": text_language_id,
     "text_fingerprint": text_fingerprint,
     "text_pii_redact": text_pii_redact,
+    "text_pack_sequences": text_pack_sequences,
     "dedup_exact_recrawl": dedup_exact_recrawl,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -512,6 +518,29 @@ EXT_ORACLE_SQL = {
         FROM (SELECT doc_id, text, {_TOKS} AS t FROM documents)
     """,
     "text_pii_redact": _pii_oracle(),
+    # the two-level prefix sum collapses to a plain ordered window in
+    # single-node SQL — same placement function, same DIV/% arithmetic
+    "text_pack_sequences": f"""
+        WITH t AS (
+            SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cb
+            FROM t
+        )
+        SELECT doc_id, n_tokens,
+               CAST(cb // {packing.DEFAULT_BUDGET} AS BIGINT) AS shard_id,
+               CAST(cb % {packing.DEFAULT_BUDGET} AS BIGINT) AS shard_offset,
+               CAST(CASE WHEN n_tokens > 0 THEN
+                   (cb + n_tokens - 1) // {packing.DEFAULT_BUDGET}
+                   - cb // {packing.DEFAULT_BUDGET} + 1
+               ELSE 1 END AS BIGINT) AS n_shards_spanned
+        FROM c
+    """,
     "dedup_exact_recrawl": """
         WITH u AS (
             SELECT doc_id, text FROM documents

@@ -411,3 +411,47 @@ def test_contamination_report(spark):
         for r in dedup.contamination_report(docs, bench, n=5, min_overlap=2).collect()
     }
     assert strict == {0, 2}
+
+
+def test_pack_sequences_placement(spark):
+    # budget 10, block 2: docs of 4/7/3/6/12 tokens concatenate to
+    # offsets 0,4,11,14,20 — placement crosses both block and shard
+    # boundaries, and the 12-token doc spans 2 shards
+    texts = [
+        (0, "a b c d"),
+        (1, "a b c d e f g"),
+        (2, "a b c"),
+        (3, "a b c d e f"),
+        (4, "a b c d e f g h i j k l"),
+    ]
+    docs = spark.createDataFrame(texts, ["doc_id", "text"])
+    from aws_kinesis_data_ingestion_restapi_spark.operators import packing
+
+    out = {
+        r["doc_id"]: r
+        for r in packing.pack_sequences(docs, budget=10, block=2).collect()
+    }
+    assert [out[i]["n_tokens"] for i in range(5)] == [4, 7, 3, 6, 12]
+    assert [out[i]["shard_id"] for i in range(5)] == [0, 0, 1, 1, 2]
+    assert [out[i]["shard_offset"] for i in range(5)] == [0, 4, 1, 4, 0]
+    assert [out[i]["n_shards_spanned"] for i in range(5)] == [1, 2, 1, 1, 2]
+
+
+def test_pack_sequences_matches_single_window(spark):
+    """Property: the two-level distributed prefix sum equals the naive
+    global-window formulation for any block size."""
+    import random as _r
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators import packing
+
+    rng = _r.Random(13)
+    rows = [(i, " ".join("w" for _ in range(rng.randint(1, 30)))) for i in range(97)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    base = None
+    for block in (1, 7, 64):
+        got = sorted(
+            map(tuple, packing.pack_sequences(docs, budget=50, block=block).collect())
+        )
+        if base is None:
+            base = got
+        assert got == base
