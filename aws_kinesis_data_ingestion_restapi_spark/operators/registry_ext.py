@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aws_kinesis_data_ingestion_restapi_spark.operators import (
+    cdc,
     dedup,
     multimodal,
     packing,
@@ -157,6 +158,36 @@ def emb_near_dup_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# snapshot diff (CDC)
+# ---------------------------------------------------------------------------
+
+
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between orders and a deterministic simulated v2: keys
+    divisible by 97 deleted, totals bumped where divisible by 5,
+    re-keyed copies inserted where divisible by 101."""
+    ensure_runtime_confs(spark)
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    old = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(*cols)
+    k = F.col("o_orderkey")
+    new = old.filter(k % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(k % 5 == 0, F.col("o_totalprice") + 1.0).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    inserts = old.filter(k % 101 == 0).withColumn(
+        "o_orderkey", k + F.lit(100_000_000)
+    )
+    return cdc.snapshot_diff(
+        old,
+        new.unionByName(inserts),
+        keys=["o_orderkey"],
+        compare_cols=["o_orderstatus", "o_totalprice"],
+    )
+
+
+# ---------------------------------------------------------------------------
 # multimodal (binary columns + mapInPandas decode/frame-sample/resize)
 # ---------------------------------------------------------------------------
 
@@ -217,6 +248,7 @@ EXT_QUERY_FNS = {
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_simhash_fingerprints": dedup_simhash_fingerprints,
     "dedup_contamination": dedup_contamination,
+    "cdc_snapshot_diff": cdc_snapshot_diff,
     "ann_topk_brute": ann_topk_brute,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
@@ -583,6 +615,30 @@ EXT_ORACLE_SQL = {
         FROM cg c JOIN bg b ON c.gram = b.gram
         GROUP BY 1
         HAVING COUNT(DISTINCT c.gram) >= 1
+    """,
+    # diff verdicts depend only on value equality within each engine,
+    # so the oracle compares columns directly instead of digests
+    "cdc_snapshot_diff": """
+        WITH old AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        ),
+        nw AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                        ELSE o_totalprice END AS o_totalprice
+            FROM old WHERE o_orderkey % 97 != 0
+            UNION ALL
+            SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice
+            FROM old WHERE o_orderkey % 101 = 0
+        )
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                    WHEN n.o_orderkey IS NULL THEN 'delete'
+                    ELSE 'update' END AS change_type
+        FROM old o FULL OUTER JOIN nw n ON o.o_orderkey = n.o_orderkey
+        WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+           OR o.o_orderstatus != n.o_orderstatus
+           OR o.o_totalprice != n.o_totalprice
     """,
     "dedup_minhash_lsh": f"""
         WITH {_MINHASH_SIGS},

@@ -455,3 +455,32 @@ def test_pack_sequences_matches_single_window(spark):
         if base is None:
             base = got
         assert got == base
+
+
+def test_snapshot_diff_classification(spark):
+    from aws_kinesis_data_ingestion_restapi_spark.operators import cdc
+
+    old = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "B", 20.0), (3, "C", 30.0), (4, None, 40.0)],
+        ["k", "status", "amt"],
+    )
+    new = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "B", 25.0), (4, "D", 40.0), (5, "E", 50.0)],
+        ["k", "status", "amt"],
+    )
+    out = {
+        r["k"]: r["change_type"]
+        for r in cdc.snapshot_diff(
+            old, new, keys=["k"], compare_cols=["status", "amt"]
+        ).collect()
+    }
+    # 1 unchanged (absent), 2 updated, 3 deleted, 4 null→D updated, 5 inserted
+    assert out == {2: "update", 3: "delete", 4: "update", 5: "insert"}
+    full = {
+        r["k"]: r["change_type"]
+        for r in cdc.snapshot_diff(
+            old, new, keys=["k"], compare_cols=["status", "amt"],
+            include_unchanged=True,
+        ).collect()
+    }
+    assert full[1] == "unchanged" and len(full) == 5
