@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aws_kinesis_data_ingestion_restapi_spark.operators import (
+    asof,
     cdc,
     dedup,
     multimodal,
@@ -158,6 +159,44 @@ def emb_near_dup_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+
+def asof_priority_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each order joined as-of to the latest monthly rate quote for its
+    priority class (quotes synthesized deterministically: first-of-month
+    1995-2001, rate = 1 + ((7m + len(priority)) % 13) / 100)."""
+    ensure_runtime_confs(spark)
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    m = F.col("m")
+    quotes = (
+        orders.select("o_orderpriority")
+        .distinct()
+        .select(
+            "o_orderpriority", F.explode(F.sequence(F.lit(0), F.lit(83))).alias("m")
+        )
+        .select(
+            "o_orderpriority",
+            F.add_months(F.to_date(F.lit("1995-01-01")), m).alias("quote_date"),
+            (
+                F.lit(1.0)
+                + ((m * 7 + F.length("o_orderpriority")) % 13) / F.lit(100.0)
+            ).alias("rate"),
+        )
+    )
+    return asof.asof_join(
+        orders,
+        quotes,
+        on=["o_orderpriority"],
+        left_time="o_orderdate",
+        right_time="quote_date",
+    ).select("o_orderkey", "o_orderpriority", "quote_date", "rate")
+
+
+# ---------------------------------------------------------------------------
 # snapshot diff (CDC)
 # ---------------------------------------------------------------------------
 
@@ -249,6 +288,7 @@ EXT_QUERY_FNS = {
     "dedup_simhash_fingerprints": dedup_simhash_fingerprints,
     "dedup_contamination": dedup_contamination,
     "cdc_snapshot_diff": cdc_snapshot_diff,
+    "asof_priority_rates": asof_priority_rates,
     "ann_topk_brute": ann_topk_brute,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
@@ -615,6 +655,25 @@ EXT_ORACLE_SQL = {
         FROM cg c JOIN bg b ON c.gram = b.gram
         GROUP BY 1
         HAVING COUNT(DISTINCT c.gram) >= 1
+    """,
+    # the oracle validates the union+window formulation against DuckDB's
+    # NATIVE ASOF JOIN — two independent as-of implementations must agree
+    "asof_priority_rates": """
+        WITH quotes AS (
+            SELECT p.o_orderpriority,
+                   CAST(DATE '1995-01-01' + mm.m * INTERVAL 1 MONTH
+                        AS TIMESTAMP) AS quote_date,
+                   1.0 + ((mm.m * 7 + strlen(p.o_orderpriority)) % 13)
+                       / 100.0 AS rate
+            FROM (SELECT DISTINCT o_orderpriority FROM orders) p,
+                 (SELECT unnest(generate_series(0, 83)) AS m) mm
+        )
+        SELECT o.o_orderkey, o.o_orderpriority,
+               CAST(q.quote_date AS DATE) AS quote_date, q.rate
+        FROM orders o
+        ASOF JOIN quotes q
+          ON o.o_orderpriority = q.o_orderpriority
+         AND o.o_orderdate >= q.quote_date
     """,
     # diff verdicts depend only on value equality within each engine,
     # so the oracle compares columns directly instead of digests

@@ -484,3 +484,54 @@ def test_snapshot_diff_classification(spark):
         ).collect()
     }
     assert full[1] == "unchanged" and len(full) == 5
+
+
+def test_asof_join_semantics(spark):
+    from datetime import datetime as dt
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators import asof
+
+    quotes = spark.createDataFrame(
+        [
+            ("A", dt(2020, 1, 1), 1.0),
+            ("A", dt(2020, 2, 1), 2.0),
+            ("B", dt(2020, 1, 15), 9.0),
+        ],
+        ["k", "quote_ts", "rate"],
+    )
+    events = spark.createDataFrame(
+        [
+            (0, "A", dt(2020, 1, 20)),  # between quotes -> 1.0
+            (1, "A", dt(2020, 2, 1)),  # exactly at quote -> 2.0 (>= semantics)
+            (2, "A", dt(2020, 3, 5)),  # after last -> 2.0
+            (3, "B", dt(2020, 1, 1)),  # before any B quote -> dropped (inner)
+            (4, "B", dt(2020, 1, 15)),  # at B quote -> 9.0
+        ],
+        ["event_id", "k", "ts"],
+    )
+    out = {
+        r["event_id"]: (r["rate"], r["quote_ts"])
+        for r in asof.asof_join(
+            events, quotes, on=["k"], left_time="ts", right_time="quote_ts"
+        ).collect()
+    }
+    assert out[0] == (1.0, dt(2020, 1, 1))
+    assert out[1] == (2.0, dt(2020, 2, 1))
+    assert out[2] == (2.0, dt(2020, 2, 1))
+    assert 3 not in out
+    assert out[4] == (9.0, dt(2020, 1, 15))
+    # left semantics keep the unmatched row with null payload
+    left = {
+        r["event_id"]: r["rate"]
+        for r in asof.asof_join(
+            events, quotes, on=["k"], left_time="ts", right_time="quote_ts",
+            how="left",
+        ).collect()
+    }
+    assert left[3] is None and len(left) == 5
+    # payload collision is rejected
+    with pytest.raises(ValueError):
+        asof.asof_join(
+            events.withColumnRenamed("event_id", "rate"), quotes,
+            on=["k"], left_time="ts", right_time="quote_ts",
+        )
