@@ -168,6 +168,29 @@ def sales_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical OLAP rollup over (nation, priority): per-cell,
+    per-nation subtotal, and grand-total rows in one pass —
+    ``ROLLUP`` computes all three grouping sets from a single shuffle
+    (partial aggregation per set, no re-scan per level). ``gid`` is
+    the standard grouping bit-vector (0 = leaf, 1 = priority rolled
+    up, 3 = grand total), identical across engines."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .rollup(F.col("n_name").alias("nation"), F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            dsum("o_totalprice", alias="total_sales"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
+        .orderBy("gid", "nation", "priority")
+    )
+
+
 def top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem ⋈ part (broadcast) → revenue per part brand."""
     li = _t(spark, sf_dir, "lineitem")

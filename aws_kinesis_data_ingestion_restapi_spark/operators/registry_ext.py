@@ -23,6 +23,7 @@ from aws_kinesis_data_ingestion_restapi_spark.operators import (
     dedup,
     multimodal,
     packing,
+    sampling,
     similarity,
     text,
 )
@@ -87,6 +88,17 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.pack_sequences(_docs(spark, sf_dir))
+
+
+#: language-mix rates (percent kept per stratum) for the registered
+#: sampling query — shared with the oracle SQL below
+SAMPLE_RATES = {"en": 60, "de": 30, "fr": 30, "es": 30, "zh": 15}
+
+
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.stratified_sample(
+        _docs(spark, sf_dir), rates=SAMPLE_RATES, default_rate=0
+    ).select("doc_id", "lang", "source")
 
 
 # ---------------------------------------------------------------------------
@@ -281,6 +293,7 @@ EXT_QUERY_FNS = {
     "text_fingerprint": text_fingerprint,
     "text_pii_redact": text_pii_redact,
     "text_pack_sequences": text_pack_sequences,
+    "text_stratified_sample": text_stratified_sample,
     "dedup_exact_recrawl": dedup_exact_recrawl,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -590,6 +603,16 @@ EXT_ORACLE_SQL = {
         FROM (SELECT doc_id, text, {_TOKS} AS t FROM documents)
     """,
     "text_pii_redact": _pii_oracle(),
+    "text_stratified_sample": f"""
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))
+                   AS BIGINT) % 100
+              < CASE lang {' '.join(
+                  f"WHEN '{lg}' THEN {pct}"
+                  for lg, pct in sorted(SAMPLE_RATES.items())
+              )} ELSE 0 END
+    """,
     # the two-level prefix sum collapses to a plain ordered window in
     # single-node SQL — same placement function, same DIV/% arithmetic
     "text_pack_sequences": f"""

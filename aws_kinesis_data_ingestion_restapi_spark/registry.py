@@ -194,6 +194,7 @@ QUERY_FNS: dict[str, QueryFn] = {
     "ref_order_and_client_details": ref_order_and_client_details,
     "q1_pricing_summary": analytics.q1_pricing_summary,
     "sales_per_nation": analytics.sales_per_nation,
+    "sales_rollup": analytics.sales_rollup,
     "top_parts_by_revenue": analytics.top_parts_by_revenue,
     "events_daily_stats": analytics.events_daily_stats,
     "events_json_props": analytics.events_json_props,
@@ -353,6 +354,18 @@ ORACLE_SQL: dict[str, str] = {
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
         ORDER BY total_sales DESC
+    """,
+    "sales_rollup": f"""
+        SELECT GROUPING(n_name, o_orderpriority) AS gid,
+               n_name AS nation,
+               o_orderpriority AS priority,
+               {_DSUM2.format(c='o_totalprice')} AS total_sales,
+               COUNT(*) AS order_count
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP(n_name, o_orderpriority)
+        ORDER BY gid, nation, priority
     """,
     "top_parts_by_revenue": f"""
         SELECT p_brand,

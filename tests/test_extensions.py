@@ -535,3 +535,29 @@ def test_asof_join_semantics(spark):
             events.withColumnRenamed("event_id", "rate"), quotes,
             on=["k"], left_time="ts", right_time="quote_ts",
         )
+
+
+def test_stratified_sample_deterministic(spark):
+    from aws_kinesis_data_ingestion_restapi_spark.operators import sampling
+
+    rows = [(i, "en" if i % 2 == 0 else "zh") for i in range(400)]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang"])
+    kept = sampling.stratified_sample(docs, rates={"en": 50, "zh": 10})
+    ids1 = sorted(r["doc_id"] for r in kept.collect())
+    # deterministic: identical on repeat and under different partitioning
+    ids2 = sorted(
+        r["doc_id"]
+        for r in sampling.stratified_sample(
+            docs.repartition(7), rates={"en": 50, "zh": 10}
+        ).collect()
+    )
+    assert ids1 == ids2 and ids1
+    by_lang = {"en": 0, "zh": 0}
+    for i in ids1:
+        by_lang["en" if i % 2 == 0 else "zh"] += 1
+    # ~50% of 200 en, ~10% of 200 zh (hash-uniform, loose bounds)
+    assert 70 <= by_lang["en"] <= 130
+    assert 5 <= by_lang["zh"] <= 40
+    # unlisted strata drop entirely by default
+    none = sampling.stratified_sample(docs, rates={"fr": 90})
+    assert none.count() == 0
