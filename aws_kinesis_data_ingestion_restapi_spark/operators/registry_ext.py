@@ -23,6 +23,7 @@ from aws_kinesis_data_ingestion_restapi_spark.operators import (
     dedup,
     multimodal,
     packing,
+    rangejoin,
     sampling,
     similarity,
     text,
@@ -209,6 +210,20 @@ def asof_priority_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# range join
+# ---------------------------------------------------------------------------
+
+
+def events_range_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range self-join over the event stream: per event, the
+    count and exact value sum of same-user events in the following
+    60 seconds (0 rows kept — every event reports)."""
+    ensure_runtime_confs(spark)
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return rangejoin.follow_within(events, window_s=60).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
 # snapshot diff (CDC)
 # ---------------------------------------------------------------------------
 
@@ -302,6 +317,7 @@ EXT_QUERY_FNS = {
     "dedup_contamination": dedup_contamination,
     "cdc_snapshot_diff": cdc_snapshot_diff,
     "asof_priority_rates": asof_priority_rates,
+    "events_range_follow": events_range_follow,
     "ann_topk_brute": ann_topk_brute,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
@@ -678,6 +694,27 @@ EXT_ORACLE_SQL = {
         FROM cg c JOIN bg b ON c.gram = b.gram
         GROUP BY 1
         HAVING COUNT(DISTINCT c.gram) >= 1
+    """,
+    # the oracle states the range predicate directly; the Spark side's
+    # banded candidates + exact filter must reproduce it exactly
+    "events_range_follow": """
+        WITH e AS (SELECT event_id, user_id, ts, value FROM events),
+        c AS (
+            SELECT a.event_id,
+                   COUNT(*) AS n_follow,
+                   CAST(SUM(CAST(b.value AS DECIMAL(18,6))) AS DOUBLE)
+                       AS total_follow_value
+            FROM e a JOIN e b
+              ON a.user_id = b.user_id
+             AND b.ts > a.ts
+             AND b.ts <= a.ts + INTERVAL 60 SECOND
+            GROUP BY 1
+        )
+        SELECT e.event_id,
+               COALESCE(c.n_follow, 0) AS n_follow,
+               COALESCE(c.total_follow_value, 0.0) AS total_follow_value
+        FROM e LEFT JOIN c ON e.event_id = c.event_id
+        ORDER BY e.event_id
     """,
     # the oracle validates the union+window formulation against DuckDB's
     # NATIVE ASOF JOIN — two independent as-of implementations must agree

@@ -561,3 +561,43 @@ def test_stratified_sample_deterministic(spark):
     # unlisted strata drop entirely by default
     none = sampling.stratified_sample(docs, rates={"fr": 90})
     assert none.count() == 0
+
+
+def test_range_follow_within(spark):
+    from aws_kinesis_data_ingestion_restapi_spark.operators import rangejoin
+
+    S = rangejoin.NS_PER_S
+    rows = [
+        # user 1: events at t=0, 30, 59, 61, 200 (seconds)
+        (0, 1, 0 * S, 1.0),
+        (1, 1, 30 * S, 2.0),
+        (2, 1, 59 * S, 4.0),
+        (3, 1, 61 * S, 8.0),
+        (4, 1, 200 * S, 16.0),
+        # user 2: single event — zero followers
+        (5, 2, 10 * S, 32.0),
+    ]
+    events = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+    out = {
+        r["event_id"]: (r["n_follow"], r["total_follow_value"])
+        for r in rangejoin.follow_within(events, window_s=60).collect()
+    }
+    # e0: followers at 30, 59 (61 > 60 is out — boundary is inclusive ≤60);
+    # wait: 61 - 0 = 61 > 60 → out. e1: 59, 61 in (Δ29, Δ31); e2: 61 (Δ2);
+    # e3: none within 60 of 61 except 200? Δ139 → none. cross-user never.
+    assert out[0] == (2, 6.0)
+    assert out[1] == (2, 12.0)
+    assert out[2] == (1, 8.0)
+    assert out[3] == (0, 0.0)
+    assert out[4] == (0, 0.0)
+    assert out[5] == (0, 0.0)
+    # exact boundary: Δt == window is included
+    b = spark.createDataFrame(
+        [(0, 1, 0, 1.0), (1, 1, 60 * S, 2.0)],
+        ["event_id", "user_id", "ts", "value"],
+    )
+    bout = {
+        r["event_id"]: r["n_follow"]
+        for r in rangejoin.follow_within(b, window_s=60).collect()
+    }
+    assert bout[0] == 1 and bout[1] == 0

@@ -127,3 +127,71 @@ def test_q1_stays_in_whole_stage_codegen(spark):
         assert len(whole_stage_codegen_ids(df)) >= 2
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_contamination_broadcasts_benchmark_not_corpus(spark):
+    """The benchmark gram set is the broadcast side; the corpus only
+    hash-shuffles for the final per-doc aggregate — never for the
+    probe join."""
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    df = QUERY_FNS["dedup_contamination"](spark, SF_DIR)
+    assert has_broadcast_join(df)
+    plan = explain_str(df)
+    # exactly one scan feeds both sides (benchmark ⊂ corpus) — the
+    # corpus side must not appear under a shuffle before the join
+    assert "BroadcastHashJoin" in plan
+
+
+def test_asof_join_is_single_shuffle_window(spark):
+    """No range explosion: the as-of plan is union → one window per
+    key, zero joins of the fact side."""
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    df = QUERY_FNS["asof_priority_rates"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert "Window" in plan
+    # the only joins permitted are for building the tiny quote dim
+    # (distinct priorities); the orders fact side reaches the window
+    # via union, not via a join
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_follow_uses_equi_join_not_cross(spark):
+    """The banded range join must candidate via an equi-join on
+    (key, bin) — a cartesian/BNLJ here would be the quadratic form."""
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    df = QUERY_FNS["events_range_follow"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cdc_diff_shuffles_digests_not_rows(spark):
+    """The full-outer join input carries only (key, digest): the scan
+    may read the compared columns, but the join schema must not."""
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    df = QUERY_FNS["cdc_snapshot_diff"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
+
+
+def test_pack_sequences_no_global_window(spark):
+    """The distributed prefix sum must not sort the corpus in a single
+    task: every window over the full table is partitioned by block."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import packing
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = explain_str(packing.pack_sequences(docs))
+    # the only unpartitioned window runs over the tiny block-sums
+    # frame, which sits behind a single-partition exchange of the
+    # aggregated (not raw) rows
+    assert plan.count("Window (") == 2  # tree nodes only
+    # the full-table window is keyed by the block column; only the
+    # block-sums window (post-aggregation, ~n/block rows) is global
+    assert "windowspecdefinition(_blk#" in plan
+    assert "_blk" in plan
