@@ -191,6 +191,53 @@ def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q3_shipping_priority(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """TPC-H Q3-shaped: unshipped-order revenue by order, top-k.
+    Customer dim broadcast; lineitem⋈orders is the one fact-fact hash
+    join (both sides filtered before the shuffle — predicate pushdown
+    carries the date filters into the scans); top-k via sorted limit
+    (TakeOrderedAndProject), never a global sort materialization."""
+    cutoff = "1996-03-15"
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    customer = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    revenue = disc_price_expr()
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy(
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(k)
+    )
+
+
+def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quartiles of document token counts. Quantiles of
+    INTEGER data at dyadic probabilities (.25/.5/.75) interpolate
+    exactly in IEEE doubles, so the values are engine-portable —
+    unlike float-valued percentile estimation, which is not."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_tokens = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast("long")
+    return (
+        docs.select("lang", n_tokens.alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.percentile("n_tokens", F.lit(0.25)).alias("p25"),
+            F.percentile("n_tokens", F.lit(0.5)).alias("p50"),
+            F.percentile("n_tokens", F.lit(0.75)).alias("p75"),
+        )
+        .orderBy("lang")
+    )
+
+
 def top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem ⋈ part (broadcast) → revenue per part brand."""
     li = _t(spark, sf_dir, "lineitem")

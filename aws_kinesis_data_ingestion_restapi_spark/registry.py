@@ -195,6 +195,8 @@ QUERY_FNS: dict[str, QueryFn] = {
     "q1_pricing_summary": analytics.q1_pricing_summary,
     "sales_per_nation": analytics.sales_per_nation,
     "sales_rollup": analytics.sales_rollup,
+    "q3_shipping_priority": analytics.q3_shipping_priority,
+    "text_length_quantiles": analytics.text_length_quantiles,
     "top_parts_by_revenue": analytics.top_parts_by_revenue,
     "events_daily_stats": analytics.events_daily_stats,
     "events_json_props": analytics.events_json_props,
@@ -366,6 +368,34 @@ ORACLE_SQL: dict[str, str] = {
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY ROLLUP(n_name, o_orderpriority)
         ORDER BY gid, nation, priority
+    """,
+    "q3_shipping_priority": f"""
+        SELECT o_orderkey,
+               CAST(o_orderdate AS DATE) AS order_date,
+               o_orderpriority,
+               CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderdate < TIMESTAMP '1996-03-15'
+          AND l_shipdate > TIMESTAMP '1996-03-15'
+          AND c_mktsegment = 'BUILDING'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 20
+    """,
+    "text_length_quantiles": r"""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               quantile_cont(len(string_split_regex(lower(trim(text)),
+                   '\s+')), 0.25) AS p25,
+               quantile_cont(len(string_split_regex(lower(trim(text)),
+                   '\s+')), 0.5) AS p50,
+               quantile_cont(len(string_split_regex(lower(trim(text)),
+                   '\s+')), 0.75) AS p75
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
     """,
     "top_parts_by_revenue": f"""
         SELECT p_brand,
