@@ -195,9 +195,11 @@ def topk_ivf(
     cents = base.filter((F.col(id_col) % centroid_stride) == 0).select(
         F.col(id_col).alias("cell"), F.col("v").alias("cv")
     )
-    # nearest-cell assignment: struct min orders by (d2, cell) — the
-    # documented tie-break — and partial aggregation keeps the shuffle
-    # at one row per vector
+    # ONE corpus×centroids expansion feeds both the assignment and the
+    # probe lists (the n×K distance evaluation is the index-build cost —
+    # don't pay it twice). Nearest-cell assignment: struct min orders by
+    # (d2, cell) — the documented tie-break — and partial aggregation
+    # keeps the shuffle at one row per vector.
     expanded = base.join(F.broadcast(cents)).select(
         id_col,
         "v",
@@ -212,15 +214,11 @@ def topk_ivf(
     )
     # query probe lists: nprobe nearest cells per query (query side is
     # n_queries×K rows — a window here is trivially cheap)
-    qx = (
-        base.filter(F.col(id_col) < n_queries)
-        .join(F.broadcast(cents))
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.col("v").alias("qv"),
-            "cell",
-            dist2_i(F.col("v"), F.col("cv")).alias("_d2"),
-        )
+    qx = expanded.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("dc.cell").alias("cell"),
+        F.col("dc.d2").alias("_d2"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("_d2").asc(), F.col("cell").asc())
     probes = (

@@ -77,6 +77,10 @@ ANALYTICS_QUERIES = [
     "ann_topk_brute",
     "ann_topk_ivf",
     "mm_fingerprint",
+    # temporal joins + CDC (round-2 operator families)
+    "asof_priority_rates",
+    "events_range_follow",
+    "cdc_snapshot_diff",
 ]
 
 
