@@ -102,6 +102,32 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+#: quality floor for the composed curation pipeline (score is a sum of
+#: exact IEEE terms — identical cross-engine, so >= agrees on boundaries)
+QUALITY_FLOOR = 0.82
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data curation chain as ONE declarative plan:
+    exact dedup (keep-first) → quality floor → stratified language
+    sampling → token-budget shard packing. Composition of the public
+    operators — Catalyst plans the chain end-to-end (dedup window,
+    quality map, sample filter, packing prefix-sum), which is exactly
+    how a 100 TB curation job should be expressed: no materialization
+    between stages unless the planner decides to."""
+    docs = _docs(spark, sf_dir)
+    deduped = dedup.dedup_keep_first(docs)
+    keep = (
+        text.quality_score(deduped)
+        .filter(F.col("quality_score") >= QUALITY_FLOOR)
+        .select("doc_id")
+    )
+    sampled = sampling.stratified_sample(
+        deduped.join(keep, "doc_id"), rates=SAMPLE_RATES
+    )
+    return packing.pack_sequences(sampled)
+
+
 # ---------------------------------------------------------------------------
 # dedup
 # ---------------------------------------------------------------------------
@@ -309,6 +335,7 @@ EXT_QUERY_FNS = {
     "text_pii_redact": text_pii_redact,
     "text_pack_sequences": text_pack_sequences,
     "text_stratified_sample": text_stratified_sample,
+    "curation_pipeline": curation_pipeline,
     "dedup_exact_recrawl": dedup_exact_recrawl,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -628,6 +655,61 @@ EXT_ORACLE_SQL = {
                   f"WHEN '{lg}' THEN {pct}"
                   for lg, pct in sorted(SAMPLE_RATES.items())
               )} ELSE 0 END
+    """,
+    # the composed chain: every stage reuses the exact fragment of its
+    # standalone oracle (dedup window / quality formula / hash sample /
+    # prefix-sum packing), so pipeline == composition by construction
+    "curation_pipeline": f"""
+        WITH d AS (
+            SELECT doc_id, text, lang FROM (
+                SELECT doc_id, text, lang,
+                       ROW_NUMBER() OVER (PARTITION BY text
+                                          ORDER BY doc_id) AS rn
+                FROM documents) WHERE rn = 1
+        ),
+        c AS (SELECT doc_id, text, lang, {_TOKS} AS toks FROM d),
+        m AS (
+            SELECT doc_id, lang,
+                   len(toks) AS n_tokens,
+                   CAST(list_sum(list_transform(toks, x -> length(x)))
+                        AS DOUBLE) / len(toks) AS mtl,
+                   CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                        AS DOUBLE) / length(text) AS pr,
+                   CAST(len(list_filter(toks, x -> list_contains({_EN}, x)))
+                        AS DOUBLE) / len(toks) AS sd
+            FROM c
+        ),
+        s AS (
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+            FROM m
+            WHERE 0.25 * (CASE WHEN n_tokens >= 10 AND n_tokens <= 10000
+                               THEN 1.0 ELSE 0.0 END)
+                + 0.25 * (CASE WHEN mtl >= 3.0 AND mtl <= 12.0
+                               THEN 1.0 ELSE 0.0 END)
+                + 0.25 * (1.0 - least(1.0, pr * 5.0))
+                + 0.25 * least(1.0, sd * 5.0) >= {QUALITY_FLOOR}
+              AND CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                       1, 7)) AS BIGINT) % 100
+                  < CASE lang {' '.join(
+                      f"WHEN '{lg}' THEN {pct}"
+                      for lg, pct in sorted(SAMPLE_RATES.items())
+                  )} ELSE 0 END
+        ),
+        p AS (
+            SELECT doc_id, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cb
+            FROM s
+        )
+        SELECT doc_id, n_tokens,
+               CAST(cb // {packing.DEFAULT_BUDGET} AS BIGINT) AS shard_id,
+               CAST(cb % {packing.DEFAULT_BUDGET} AS BIGINT) AS shard_offset,
+               CAST(CASE WHEN n_tokens > 0 THEN
+                   (cb + n_tokens - 1) // {packing.DEFAULT_BUDGET}
+                   - cb // {packing.DEFAULT_BUDGET} + 1
+               ELSE 1 END AS BIGINT) AS n_shards_spanned
+        FROM p
     """,
     # the two-level prefix sum collapses to a plain ordered window in
     # single-node SQL — same placement function, same DIV/% arithmetic

@@ -81,6 +81,8 @@ ANALYTICS_QUERIES = [
     "asof_priority_rates",
     "events_range_follow",
     "cdc_snapshot_diff",
+    # the composed curation chain (dedup → quality → sample → pack)
+    "curation_pipeline",
 ]
 
 
