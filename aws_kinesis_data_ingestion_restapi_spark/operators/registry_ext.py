@@ -159,6 +159,35 @@ def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_docs(_docs(spark, sf_dir))
 
 
+def dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal near-dup report: the union of text-signal pairs
+    (MinHash-LSH) and embedding-signal pairs (multi-table sign-LSH),
+    full-outer merged on the pair key so each surviving pair carries
+    whichever scores flagged it plus a signal count — the input a
+    production dedup reviewer thresholds on. Signals are computed by
+    the standalone operators; this is pure composition (one extra
+    hash shuffle on the short pair key)."""
+    t = dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), num_perm=32, bands=4, threshold=0.5, shingle_words=3
+    )
+    e = similarity.near_dup_lsh_multi(_embs(spark, sf_dir), d2_max=1.2).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"), "dist2"
+    )
+    j = t.join(e, ["doc_a", "doc_b"], "full_outer")
+    return j.select(
+        "doc_a",
+        "doc_b",
+        "est_jaccard",
+        "dist2",
+        (
+            F.col("est_jaccard").isNotNull().cast("int")
+            + F.col("dist2").isNotNull().cast("int")
+        )
+        .cast("long")
+        .alias("n_signals"),
+    )
+
+
 def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination against a synthetic benchmark (docs 0-24 stand
     in for the leaked eval set — so those flag with full self-overlap,
@@ -342,6 +371,7 @@ EXT_QUERY_FNS = {
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_simhash_fingerprints": dedup_simhash_fingerprints,
     "dedup_contamination": dedup_contamination,
+    "dedup_ensemble": dedup_ensemble,
     "cdc_snapshot_diff": cdc_snapshot_diff,
     "asof_priority_rates": asof_priority_rates,
     "events_range_follow": events_range_follow,
@@ -1023,3 +1053,21 @@ EXT_ORACLE_SQL = {
         WHERE d2 <= 120000000
     """,
 }
+
+# composed AFTER the dict so the two signal oracles are embedded
+# verbatim — ensemble == full-outer merge of the standalone results
+# by construction
+EXT_ORACLE_SQL["dedup_ensemble"] = f"""
+    WITH tsig AS ({EXT_ORACLE_SQL["dedup_minhash_lsh"]}),
+    esig AS (
+        SELECT vec_a AS doc_a, vec_b AS doc_b, dist2
+        FROM ({EXT_ORACLE_SQL["emb_near_dup_lsh_multi"]})
+    )
+    SELECT COALESCE(t.doc_a, e.doc_a) AS doc_a,
+           COALESCE(t.doc_b, e.doc_b) AS doc_b,
+           t.est_jaccard, e.dist2,
+           CAST((t.est_jaccard IS NOT NULL)::INT
+                + (e.dist2 IS NOT NULL)::INT AS BIGINT) AS n_signals
+    FROM tsig t
+    FULL OUTER JOIN esig e ON t.doc_a = e.doc_a AND t.doc_b = e.doc_b
+"""
