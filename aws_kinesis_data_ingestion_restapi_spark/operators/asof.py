@@ -6,19 +6,39 @@ it (SURVEY §2.8).
 
 Scale design — the naive formulation is a range join (``l.time >=
 r.time`` + per-row argmax), which explodes to |L|·|R| per key before
-pruning. Instead the classic union-tag + window form:
+pruning. The classic fix is union-tag + window: union the tagged sides,
+one window per key ordered by (time, side), fill the right payload with
+``last(..., ignorenulls=True)``. That is single-shuffle and
+multiplication-free, but its parallelism equals the KEY CARDINALITY —
+with 5 keys the entire fact funnels through 5 window tasks at 100 TB.
 
-1. union the tagged sides (right rows carry their payload, left rows
-   carry nulls for it);
-2. ONE window per key, ordered by (time, side), filling the payload
-   with ``last(..., ignorenulls=True)`` over the preceding frame;
-3. keep the left rows — each now holds the payload of the latest
-   right row at-or-before it.
+This implementation composite-partitions the window on (key, coarse
+time bucket) and carries each bucket's opening state forward, so
+parallelism is keys × buckets:
 
-Cost: a single hash shuffle on the key (the window), zero row
-multiplication — the as-of join plan you'd hand-build on any engine
-without a native ASOF operator. The DuckDB oracle uses its native
-``ASOF JOIN``, independently validating the window formulation.
+1. per (key, bucket) CLOSING state: ``max(struct(time, tie, payload))``
+   over right rows — a map-side-combinable aggregate, one row out per
+   (key, bucket);
+2. per (key, bucket) OPENING state: the latest closing state of any
+   EARLIER bucket, via one window over the tiny closing/marker frame
+   (keys × buckets rows — per-key parallelism is fine at this size);
+3. openings are injected as synthetic rows (side=-1, null time → sorts
+   first in the bucket) into the main union, so the whole plan stays
+   JOIN-FREE; the in-bucket window then fills
+   ``last(payload_struct, ignorenulls=True)`` per (key, bucket).
+
+Cost: the fact side is shuffled once for the window plus once through a
+map-combined distinct of its (key, bucket) pairs; everything else
+operates on metadata-scale frames. The payload travels as ONE struct,
+so a left row always receives a CONSISTENT right row (per-column fill
+could stitch fields from different right rows when payloads contain
+nulls).
+
+Determinism: right rows tying on (key, time) are resolved by the
+largest ``xxhash64`` of the full right row — arbitrary but stable
+across partitionings, runs and engines that copy this rule. Right rows
+with a NULL time are dropped (cannot satisfy "at or before"; matches
+DuckDB ``ASOF JOIN``, the independent oracle for this operator).
 """
 
 from __future__ import annotations
@@ -26,6 +46,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+# Default bucket width: 30 days. Tune to the data's time span — aim for
+# enough (key × bucket) groups to saturate the cluster while keeping
+# each bucket's row count within a task's memory.
+DEFAULT_BUCKET_SECONDS = 30 * 86400
 
 
 def asof_join(
@@ -35,11 +60,15 @@ def asof_join(
     left_time: str,
     right_time: str,
     how: str = "inner",
+    bucket_seconds: int | None = DEFAULT_BUCKET_SECONDS,
 ) -> DataFrame:
     """Join each left row to the latest right row with ``right_time <=
     left_time`` in its ``on`` group. Right payload columns must not
     collide with left columns. ``how='inner'`` drops left rows with no
-    prior right row; ``'left'`` keeps them with null payload."""
+    prior right row; ``'left'`` keeps them with null payload.
+    ``bucket_seconds=None`` disables time bucketing (single window per
+    key — only sensible when key cardinality alone saturates the
+    cluster)."""
     vals = [c for c in right.columns if c not in on and c != right_time]
     clash = set(vals) & set(left.columns)
     if clash:
@@ -47,37 +76,84 @@ def asof_join(
     rt_out = right_time if right_time not in left.columns else f"right_{right_time}"
     payload = [*vals, rt_out]
 
-    r = right.select(
-        *on,
-        F.col(right_time).cast("timestamp").alias("_t"),
-        F.col(right_time).alias(rt_out),
-        *[F.col(c) for c in vals],
-        F.lit(0).alias("_side"),
+    # truncation-toward-zero is monotone in _t, which is all bucketing
+    # needs (bucket boundaries carry no semantics of their own)
+    def _bucket(col):
+        if bucket_seconds is None:
+            return F.lit(0).cast("long")
+        return F.expr(f"CAST({col} AS BIGINT) DIV {int(bucket_seconds)}")
+
+    r = (
+        right.withColumn("_t", F.col(right_time).cast("timestamp"))
+        .filter(F.col("_t").isNotNull())
+        .select(
+            *on,
+            "_t",
+            _bucket("_t").alias("_b"),
+            F.lit(0).alias("_side"),
+            F.xxhash64(*on, F.col(right_time), *[F.col(c) for c in vals]).alias(
+                "_tie"
+            ),
+            F.struct(
+                *[F.col(c) for c in vals], F.col(right_time).alias(rt_out)
+            ).alias("_rs"),
+        )
     )
     l = left.select(
         "*",
         F.col(left_time).cast("timestamp").alias("_t"),
         F.lit(1).alias("_side"),
+        F.lit(0).cast("long").alias("_tie"),
+    ).withColumn("_b", _bucket("_t"))
+
+    # (1) closing state per (key, bucket) from right rows only
+    closings = r.groupBy(*on, "_b").agg(
+        F.max(F.struct("_t", "_tie", "_rs")).alias("_mx")
     )
-    u = l.unionByName(r, allowMissingColumns=True)
-    # same-instant right rows sort before left (_side 0 < 1): a quote
-    # effective AT the event time applies to it, matching ASOF >= semantics
-    w = (
+    # (2) opening state: markers for every LEFT bucket (right-only
+    # buckets need no opening — nothing there consumes one), then one
+    # pass over the metadata-scale marker ∪ closing frame. Closing rows
+    # sort AFTER the marker inside a bucket (_flag 1 > 0), so a
+    # bucket's own rights never leak into its opening.
+    markers = l.select(*on, "_b").distinct().withColumn("_flag", F.lit(0))
+    chain = markers.unionByName(
+        closings.select(*on, "_b", F.lit(1).alias("_flag"), "_mx"),
+        allowMissingColumns=True,
+    )
+    w_chain = (
         Window.partitionBy(*[F.col(c) for c in on])
-        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .orderBy("_b", "_flag")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    openings = (
+        chain.withColumn("_open", F.last("_mx", ignorenulls=True).over(w_chain))
+        .filter((F.col("_flag") == 0) & F.col("_open").isNotNull())
+        .select(
+            *on,
+            "_b",
+            F.lit(None).cast("timestamp").alias("_t"),
+            F.lit(-1).alias("_side"),
+            F.lit(0).cast("long").alias("_tie"),
+            F.col("_open._rs").alias("_rs"),
+        )
+    )
+
+    # (3) join-free main pass: one window per (key, bucket); the
+    # opening row's null _t sorts first, same-instant rights sort
+    # before left rows (>= semantics), right ties resolve by _tie
+    u = r.unionByName(openings).unionByName(l, allowMissingColumns=True)
+    w_in = (
+        Window.partitionBy(*[F.col(c) for c in on], F.col("_b"))
+        .orderBy(
+            F.col("_t").asc_nulls_first(), F.col("_side").asc(), F.col("_tie").asc()
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = u.select(
-        "*",
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(f"_f_{c}")
-            for c in payload
-        ],
-    )
-    out = filled.filter(F.col("_side") == 1).select(
-        *left.columns,
-        *[F.col(f"_f_{c}").alias(c) for c in payload],
-    )
+    filled = u.withColumn("_res", F.last("_rs", ignorenulls=True).over(w_in))
+    out = filled.filter(F.col("_side") == 1)
     if how == "inner":
-        return out.filter(F.col(rt_out).isNotNull())
-    return out
+        out = out.filter(F.col("_res").isNotNull())
+    return out.select(
+        *left.columns,
+        *[F.col("_res").getField(c).alias(c) for c in payload],
+    )

@@ -537,6 +537,63 @@ def test_asof_join_semantics(spark):
         )
 
 
+def test_asof_join_bucketed_carry_and_ties(spark):
+    """Bucket-boundary carry-forward, deterministic right ties, and
+    whole-struct payload consistency."""
+    from datetime import datetime as dt
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators import asof
+
+    quotes = spark.createDataFrame(
+        [
+            ("A", dt(2020, 1, 1), 1.0, "x"),
+            ("A", dt(2020, 1, 1), 2.0, None),  # exact (key, time) tie
+            ("A", dt(2020, 3, 1), None, "y"),  # null payload field
+        ],
+        ["k", "quote_ts", "rate", "src"],
+    )
+    events = spark.createDataFrame(
+        [
+            (0, "A", dt(2020, 1, 2)),  # tie winner applies
+            (1, "A", dt(2020, 9, 1)),  # several empty buckets later
+        ],
+        ["event_id", "k", "ts"],
+    )
+
+    def run(lparts, rparts, bucket):
+        return {
+            r["event_id"]: (r["rate"], r["src"], r["quote_ts"])
+            for r in asof.asof_join(
+                events.repartition(lparts),
+                quotes.repartition(rparts),
+                on=["k"],
+                left_time="ts",
+                right_time="quote_ts",
+                bucket_seconds=bucket,
+            ).collect()
+        }
+
+    small = run(1, 1, 86400 * 7)  # weekly buckets: carry crosses many
+    # partitioning/bucketing must not change any result (determinism)
+    assert small == run(5, 3, 86400 * 7) == run(3, 2, None)
+    # the tied right rows resolve to exactly one row's FULL payload —
+    # never a (rate, src) mix of the two
+    assert small[0][:2] in {(1.0, "x"), (2.0, None)}
+    # event 1's match is the 2020-03-01 quote carried across empty
+    # buckets; its rate is genuinely NULL (no leak from older quotes)
+    assert small[1] == (None, "y", dt(2020, 3, 1))
+    # right rows with NULL time never match (ASOF '>=' can't hold)
+    with_null = quotes.union(
+        spark.createDataFrame([("A", None, 9.9, "z")], quotes.schema)
+    )
+    assert {
+        r["event_id"]: r["src"]
+        for r in asof.asof_join(
+            events, with_null, on=["k"], left_time="ts", right_time="quote_ts"
+        ).collect()
+    } == {0: small[0][1], 1: "y"}
+
+
 def test_stratified_sample_deterministic(spark):
     from aws_kinesis_data_ingestion_restapi_spark.operators import sampling
 

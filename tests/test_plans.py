@@ -143,19 +143,35 @@ def test_contamination_broadcasts_benchmark_not_corpus(spark):
     assert "BroadcastHashJoin" in plan
 
 
-def test_asof_join_is_single_shuffle_window(spark):
-    """No range explosion: the as-of plan is union → one window per
-    key, zero joins of the fact side."""
+def test_asof_join_is_bucketed_join_free_window(spark):
+    """No range explosion AND no key-cardinality funnel: the fact side
+    reaches a window partitioned by (key, time bucket) via union —
+    zero joins anywhere in the plan — so parallelism is keys × buckets,
+    not the 5 distinct priorities."""
+    import re
+
     from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
 
     df = QUERY_FNS["asof_priority_rates"](spark, SF_DIR)
     plan = explain_str(df)
-    assert "Window" in plan
-    # the only joins permitted are for building the tiny quote dim
-    # (distinct priorities); the orders fact side reaches the window
-    # via union, not via a join
+    # the fill window's partition spec must include the bucket column
+    assert re.search(r"windowspecdefinition\([^)]*_b#\d+L,", plan), plan
+    # the orders fact side reaches the window via union, not via a join
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # and the (key × bucket) group count actually exceeds the key count
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    n_keys = orders.select("o_orderpriority").distinct().count()
+    n_groups = (
+        df.join(orders, ["o_orderkey", "o_orderpriority"])
+        .selectExpr(
+            "o_orderpriority",
+            "CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT) DIV 2592000 AS b",
+        )
+        .distinct()
+        .count()
+    )
+    assert n_groups > 10 * n_keys, (n_groups, n_keys)
 
 
 def test_range_follow_uses_equi_join_not_cross(spark):
