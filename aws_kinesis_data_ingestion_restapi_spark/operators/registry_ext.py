@@ -272,10 +272,12 @@ def asof_priority_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_range_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded range self-join over the event stream: per event, the
     count and exact value sum of same-user events in the following
-    60 seconds (0 rows kept — every event reports)."""
+    60 seconds (0 rows kept — every event reports). No output sort:
+    the correctness compare is order-insensitive, and a global range
+    sort would be pure presentation cost at scale."""
     ensure_runtime_confs(spark)
     events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return rangejoin.follow_within(events, window_s=60).orderBy("event_id")
+    return rangejoin.follow_within(events, window_s=60)
 
 
 # ---------------------------------------------------------------------------
@@ -427,7 +429,9 @@ _SIGN_BUCKET = """
 """
 
 # the multi-table bucketing: table t reads components [t·bits, (t+1)·bits),
-# geometry shared with similarity.near_dup_lsh_multi via the same constants
+# geometry shared with similarity.near_dup_lsh_multi via the same constants —
+# including the dim guard (tables sliced past a vector's dimension are
+# dropped for that vector, never hashed to a spurious bucket 0)
 _MULTI_BUCKET = f"""
         SELECT vec_id, tt.t AS t,
                CAST(list_sum(list_transform(
@@ -439,6 +443,7 @@ _MULTI_BUCKET = f"""
                              ELSE 0 END)) AS INTEGER) AS bucket
         FROM embeddings,
              (SELECT unnest(generate_series(0, {similarity.N_TABLES - 1})) AS t) tt
+        WHERE (tt.t + 1) * {similarity.SIGN_BITS} <= len(embedding)
 """
 
 _MINHASH_SIGS = f"""

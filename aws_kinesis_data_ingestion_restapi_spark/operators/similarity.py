@@ -279,6 +279,39 @@ def near_dup_lsh(
     )
 
 
+def lsh_tables(
+    base: DataFrame,
+    bits: int,
+    n_tables: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, table, bucket) assignments for multi-table sign-LSH over a
+    pre-quantized frame ``(id_col, v)``. Tables whose component slice
+    ``[t·bits, (t+1)·bits)`` exceeds a vector's dimension are dropped
+    for that vector — the effective table count is ``dim DIV bits`` —
+    so short vectors can never all collapse into a spurious bucket 0
+    and cross-product the corpus."""
+    return base.select(
+        id_col,
+        F.explode(
+            F.filter(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("t"),
+                            _sign_bucket_q(
+                                F.col("v"), bits=bits, offset=t * bits
+                            ).alias("bucket"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                ),
+                lambda s: (s.getField("t") + 1) * bits <= F.size(F.col("v")),
+            )
+        ).alias("tb"),
+    ).select(id_col, F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+
+
 def near_dup_lsh_multi(
     embs: DataFrame,
     d2_max: float = 1.2,
@@ -301,25 +334,17 @@ def near_dup_lsh_multi(
     equi-joins to fetch vectors for the exact filter. At 100 TB each
     step shuffles short keys except the final fetch, which AQE can
     plan as broadcast when the candidate set is small.
+
+    Tables whose component slice falls outside a vector's dimension
+    are dropped FOR THAT VECTOR (effective table count = dim DIV
+    bits): without the guard every out-of-range table hashes to
+    bucket 0 (all lookups NULL), silently cross-producting the whole
+    corpus in that table. Recall for short vectors degrades
+    geometrically instead.
     """
     d2_max_i = round(d2_max * SCALE2)
     base = embs.select(F.col(id_col), quantized().alias("v"))
-    tabled = base.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("t"),
-                        _sign_bucket_q(F.col("v"), bits=bits, offset=t * bits).alias(
-                            "bucket"
-                        ),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select(id_col, F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    tabled = lsh_tables(base, bits=bits, n_tables=n_tables, id_col=id_col)
     a = tabled.select(F.col(id_col).alias("vec_a"), "t", "bucket")
     b = tabled.select(F.col(id_col).alias("vec_b"), "t", "bucket")
     cand = (

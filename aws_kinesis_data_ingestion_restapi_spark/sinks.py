@@ -93,7 +93,10 @@ def serving_upsert(
     scan is partition-pruned, and untouched bucket files are never
     opened, let alone rewritten. The touched-bucket list collected to
     the driver is bounded by ``n_buckets`` (partition metadata, not
-    data). Each bucket swap is an atomic ``os.replace``; cross-bucket
+    data). Each bucket swap is a rename-aside (old dir renamed away,
+    new dir renamed in, aside deleted) — NOT atomic, but the
+    unrecoverable window is two pure renames and a crash never leaves
+    the store without the bucket's data on disk; cross-bucket
     atomicity needs a transactional format (``MERGE INTO`` on
     Delta/Iceberg — the documented production target), matching the
     reference's per-item (non-transactional) DynamoDB batch writes.
@@ -138,11 +141,25 @@ def serving_upsert(
     ).withColumn("bucket", F.col("bucket").cast("int"))
     merged = survivors.unionByName(deduped)
     merged.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+    # swap each touched bucket via rename-aside: old data stays
+    # readable (under bucket=K._old) until the new dir is in place, so
+    # the unrecoverable window is two pure renames — not the
+    # delete-then-rename gap a rmtree-first swap would leave. Cross-
+    # bucket atomicity still needs a transactional table format
+    # (Delta/Iceberg MERGE INTO — the documented production target).
     for b in touched:
         src = os.path.join(staging, f"bucket={b}")
         dst = os.path.join(store_path, f"bucket={b}")
-        if os.path.exists(dst):
-            shutil.rmtree(dst)
+        # leading dot: Spark's file listing ignores hidden entries, so
+        # a crash-leftover aside dir is invisible to readers
+        aside = os.path.join(store_path, f"._old_bucket={b}")
+        if os.path.exists(aside):  # leftover from an earlier crash
+            shutil.rmtree(aside)
+        had_old = os.path.exists(dst)
+        if had_old:
+            os.replace(dst, aside)
         if os.path.exists(src):
             os.replace(src, dst)
+        if had_old:
+            shutil.rmtree(aside)
     shutil.rmtree(staging, ignore_errors=True)

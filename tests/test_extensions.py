@@ -537,6 +537,37 @@ def test_asof_join_semantics(spark):
         )
 
 
+def test_lsh_multi_table_dim_guard(spark):
+    """Tables sliced past a vector's dimension emit NO assignment row
+    (instead of hashing everything to bucket 0 and cross-producting):
+    effective table count = dim DIV bits, per vector."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import similarity
+
+    dims = {"d8": 8, "d20": 20, "d64": 64}
+    rows = [(k, [0.1 * (i + 1) for i in range(d)]) for k, d in dims.items()]
+    embs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    base = embs.select("vec_id", similarity.quantized().alias("v"))
+    per_vec = {
+        r["vec_id"]: r["n"]
+        for r in similarity.lsh_tables(base, bits=8, n_tables=3)
+        .groupBy("vec_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert per_vec == {"d8": 1, "d20": 2, "d64": 3}
+    # and the end-to-end operator stays exact on short vectors
+    pairs = similarity.near_dup_lsh_multi(
+        spark.createDataFrame(
+            [("a", [1.0] * 8), ("b", [1.0] * 8), ("c", [-1.0] * 8)],
+            ["vec_id", "embedding"],
+        ),
+        d2_max=0.5,
+        bits=8,
+        n_tables=3,
+    ).collect()
+    assert {(r["vec_a"], r["vec_b"]) for r in pairs} == {("a", "b")}
+
+
 def test_asof_join_bucketed_carry_and_ties(spark):
     """Bucket-boundary carry-forward, deterministic right ties, and
     whole-struct payload consistency."""
