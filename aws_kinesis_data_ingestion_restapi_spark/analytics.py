@@ -26,11 +26,11 @@ from pyspark.sql.types import ArrayType
 from aws_kinesis_data_ingestion_restapi_spark.schema import PRODUCT_STRUCT
 from aws_kinesis_data_ingestion_restapi_spark.session import ensure_runtime_confs
 from aws_kinesis_data_ingestion_restapi_spark.functions.exact import (
+    as_timestamp,
     charge_expr,
     davg,
     disc_price_expr,
     dsum,
-    nanos_ts,
 )
 
 
@@ -260,7 +260,7 @@ def events_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     return (
         events.groupBy(
-            F.to_date(F.date_trunc("day", nanos_ts("ts"))).alias("day"),
+            F.to_date(F.date_trunc("day", as_timestamp(events, "ts"))).alias("day"),
             F.col("event_type"),
         )
         .agg(
@@ -280,7 +280,7 @@ def events_tumbling_30s(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's floor(epoch/30) arithmetic.
     """
     events = _t(spark, sf_dir, "events")
-    w = F.window(nanos_ts("ts"), "30 seconds")
+    w = F.window(as_timestamp(events, "ts"), "30 seconds")
     return (
         events.groupBy(w.alias("w"))
         .agg(
@@ -403,7 +403,7 @@ def events_sessionization(
     the aggregation — no self-join, no window-over-everything.
     """
     events = _t(spark, sf_dir, "events")
-    sw = F.session_window(nanos_ts("ts"), gap)
+    sw = F.session_window(as_timestamp(events, "ts"), gap)
     return (
         events.groupBy("user_id", sw.alias("s"))
         .agg(

@@ -52,6 +52,42 @@ def nanos_ts(col: Column | str = "ts") -> Column:
     return expr
 
 
+def as_timestamp(df, col: str = "ts") -> Column:
+    """Normalize an event-time column to a timestamp, whatever parquet
+    representation it arrived in.
+
+    The events table's physical type has varied across generator
+    versions: TIMESTAMP(NANOS) read as epoch-nanos long (under
+    ``nanosAsLong``), TIMESTAMP(MICROS) read natively as
+    TIMESTAMP_NTZ, or an already-zoned TIMESTAMP. Branching on the
+    *schema* (driver-side, zero runtime cost) keeps every events query
+    correct against all three without per-row type dispatch.
+    """
+    from pyspark.sql.types import LongType
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):
+        return nanos_ts(col)
+    return F.col(col)
+
+
+def as_epoch_nanos(df, col: str = "ts") -> Column:
+    """Normalize an event-time column to exact epoch-nanoseconds int64.
+
+    Counterpart of :func:`as_timestamp` for operators that do integer
+    window arithmetic (banded range joins). micros→nanos is an exact
+    int64 multiply (overflows only past year 2262); the session
+    timezone is pinned to UTC (session.py RUNTIME_CONFS) so the
+    NTZ→timestamp cast is a pure reinterpretation.
+    """
+    from pyspark.sql.types import LongType
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):
+        return F.col(col)
+    return F.unix_micros(F.col(col).cast("timestamp")) * F.lit(1000).cast("long")
+
+
 def disc_price_expr() -> Column:
     """l_extendedprice * (1 - l_discount), exact in decimal.
 

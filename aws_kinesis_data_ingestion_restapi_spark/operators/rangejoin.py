@@ -19,7 +19,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from aws_kinesis_data_ingestion_restapi_spark.functions.exact import dsum
+from aws_kinesis_data_ingestion_restapi_spark.functions.exact import (
+    as_epoch_nanos,
+    dsum,
+)
 
 NS_PER_S = 1_000_000_000
 
@@ -36,30 +39,29 @@ def follow_within(
     ``window_s`` seconds, and their exact value sum (0 for none —
     every input event produces a row).
 
-    ``ts_ns`` must be an epoch-nanoseconds long (the shape parquet
-    TIMESTAMP(NANOS) columns arrive in under
-    ``spark.sql.legacy.parquet.nanosAsLong``); all window arithmetic
-    stays in exact int64.
+    ``ts_ns`` may be an epoch-nanoseconds long or a timestamp column;
+    it is normalized to exact int64 nanoseconds up front
+    (:func:`as_epoch_nanos`) so all window arithmetic stays integral.
     """
     w = window_s * NS_PER_S
-    base = events.select(id_col, key, ts_ns, value_col)
+    base = events.select(
+        id_col, key, as_epoch_nanos(events, ts_ns).alias("_tsn"), value_col
+    )
     # probe side replicated into the two candidate bins; build side
     # keeps its single home bin — each qualifying pair matches exactly once
     a = base.select(
         F.col(id_col).alias("_eid"),
         key,
-        F.col(ts_ns).alias("_ta"),
+        F.col("_tsn").alias("_ta"),
         F.explode(
-            F.array(
-                F.expr(f"{ts_ns} DIV {w}"), F.expr(f"{ts_ns} DIV {w} + 1")
-            )
+            F.array(F.expr(f"_tsn DIV {w}"), F.expr(f"_tsn DIV {w} + 1"))
         ).alias("_bin"),
     )
     b = base.select(
         key,
-        F.col(ts_ns).alias("_tb"),
+        F.col("_tsn").alias("_tb"),
         F.col(value_col).alias("_vb"),
-        F.expr(f"{ts_ns} DIV {w}").alias("_bin"),
+        F.expr(f"_tsn DIV {w}").alias("_bin"),
     )
     cand = a.join(b, [key, "_bin"]).filter(
         (F.col("_tb") > F.col("_ta")) & (F.col("_tb") <= F.col("_ta") + F.lit(w))

@@ -77,7 +77,12 @@ def get_spark(
 #: (round-1 lesson: 4 events_* queries failed with PARQUET_TYPE_ILLEGAL
 #: because nanosAsLong was builder-only).
 RUNTIME_CONFS = {
-    # events.parquet carries TIMESTAMP(NANOS); read as long + nanos_ts().
+    # Older events.parquet generations carried TIMESTAMP(NANOS); this
+    # conf made them arrive as epoch-nanos longs. Newer Spark builds
+    # ignore it (and newer testdata is TIMESTAMP(MICROS) anyway) — the
+    # query path branches on the actual schema via
+    # functions.exact.as_timestamp/as_epoch_nanos, so either
+    # representation works. Kept for older-build compatibility.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # DuckDB oracle timestamps are UTC-naive; pin Spark to UTC.
     "spark.sql.session.timeZone": "UTC",
