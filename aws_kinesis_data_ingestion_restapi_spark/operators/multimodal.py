@@ -4,12 +4,14 @@ feature-extraction / resize / frame-sampling as Arrow-batched
 ``mapInPandas`` operators.
 
 The reference repo has no binary surface (SURVEY §2.7); this extends it
-for the training-data-pipeline north star. The container's real codecs
-(PIL/libav/librosa) are NOT in this environment, so the codec call is
-stubbed behind ``NotImplementedError`` with a deterministic fake-decode
-path — but everything Spark-side is real and tested: the asset schema,
-the binary column plumbing, the Arrow batch iteration, the UDF output
-schemas, and the partitioning behavior.
+for the training-data-pipeline north star. The real-codec path
+dispatches to PIL / soundfile / av when those libraries are importable
+(``codec_available``) and raises ``NotImplementedError`` only where
+they are genuinely absent — in this container they are, so the
+deterministic fake-decode path is the tested default. Everything
+Spark-side is real and tested either way: the asset schema, the binary
+column plumbing, the Arrow batch iteration, the UDF output schemas,
+and the partitioning behavior.
 
 Scale design:
 - assets are a normal DataFrame with a ``binary`` column — Parquet
@@ -117,20 +119,63 @@ def content_md5(col: Column | str = "content") -> Column:
 # ---------------------------------------------------------------------------
 
 
-def _decode_real(kind: str, payload: bytes) -> dict:  # pragma: no cover
-    """The real codec call (PIL.Image.open / soundfile / av). STUB:
-    the container image has no media libraries; raise so callers fall
-    back explicitly rather than silently producing fakes in prod."""
-    raise NotImplementedError(
-        "real image/audio/video codecs are not available in this "
-        "environment; use fake_decode=True (deterministic byte-stats "
-        "decode) or install PIL/soundfile/av and extend _decode_real"
-    )
+#: codec library per asset kind; resolved lazily so merely importing
+#: this module never requires any media dependency.
+_CODEC_MODULES = {"image": "PIL", "audio": "soundfile", "video": "av"}
 
 
-def _decode_fake(kind: str, payload: bytes) -> dict:
-    """Deterministic stand-in decode: byte statistics of the payload.
-    Same shape as a real decode result (a per-asset feature dict)."""
+def codec_available(kind: str) -> bool:
+    """True if the real codec library for ``kind`` is importable in
+    this environment (PIL / soundfile / av). Checked via importlib so
+    the decision is configuration, not hardcoding."""
+    import importlib.util
+
+    mod = _CODEC_MODULES.get(kind)
+    return mod is not None and importlib.util.find_spec(mod) is not None
+
+
+def _decode_real(kind: str, payload: bytes) -> dict:
+    """Real codec decode, dispatched per kind when the library exists;
+    raises ``NotImplementedError`` only where the codec is genuinely
+    absent. Output shape matches ``_decode_fake`` (byte statistics of
+    the DECODED samples instead of the container payload) so the
+    downstream schema is identical on both paths.
+    """
+    if not codec_available(kind):
+        raise NotImplementedError(
+            f"no {_CODEC_MODULES.get(kind, '?')} in this environment for "
+            f"kind={kind!r}; use fake_decode=True (deterministic "
+            "byte-stats decode) or install PIL/soundfile/av"
+        )
+    if kind == "image":  # pragma: no cover - PIL absent in this image
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(payload)) as im:
+            raw = im.convert("RGB").tobytes()
+        return _byte_stats(raw)
+    if kind == "audio":  # pragma: no cover - soundfile absent here
+        import io
+
+        import soundfile as sf
+
+        data, _rate = sf.read(io.BytesIO(payload), dtype="int16")
+        raw = data.tobytes()
+        return _byte_stats(raw)
+    # video  # pragma: no cover - av absent here
+    import io
+
+    import av
+
+    with av.open(io.BytesIO(payload)) as container:
+        frame = next(container.decode(video=0))
+        raw = bytes(frame.planes[0])
+    return _byte_stats(raw)
+
+
+def _byte_stats(payload: bytes) -> dict:
+    """The shared feature shape of both decode paths."""
     n = len(payload)
     if n == 0:
         return {"n_bytes": 0, "byte_mean": 0.0, "byte_min": 0, "byte_max": 0}
@@ -141,6 +186,13 @@ def _decode_fake(kind: str, payload: bytes) -> dict:
         "byte_min": min(payload),
         "byte_max": max(payload),
     }
+
+
+def _decode_fake(kind: str, payload: bytes) -> dict:
+    """Deterministic stand-in decode: byte statistics of the raw
+    payload. Same shape as a real decode result (a per-asset feature
+    dict)."""
+    return _byte_stats(payload)
 
 
 # ---------------------------------------------------------------------------

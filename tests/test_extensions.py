@@ -305,12 +305,61 @@ def test_extract_features_matches_python(assets, docs):
         assert f["payload_md5"] == hashlib.md5(payload).hexdigest()
 
 
-def test_real_decode_is_stubbed(assets):
+def test_real_decode_raises_only_when_codec_absent(assets):
+    # this container has no media libraries → the real path must raise
+    # (not silently fake) for every kind
+    for kind in multimodal.KINDS:
+        assert not multimodal.codec_available(kind)
     with pytest.raises(Exception) as exc_info:
         multimodal.extract_features(assets, fake_decode=False).collect()
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+
+
+def test_real_decode_dispatches_to_installed_codec(monkeypatch):
+    """The real-codec path is reachable by configuration: install a
+    (here: synthetic) PIL and _decode_real must route image decodes
+    through it instead of raising."""
+    import importlib.machinery
+    import sys
+    import types
+
+    decoded = b"\x01\x02\x03\x04"
+
+    class _Img:
+        def convert(self, mode):
+            assert mode == "RGB"
+            return self
+
+        def tobytes(self):
+            return decoded
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    image_mod = types.ModuleType("PIL.Image")
+    image_mod.open = lambda buf: _Img()
+    pil_mod = types.ModuleType("PIL")
+    pil_mod.__spec__ = importlib.machinery.ModuleSpec("PIL", None)
+    pil_mod.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil_mod)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+
+    assert multimodal.codec_available("image")
+    feats = multimodal._decode_real("image", b"fake-png-bytes")
+    assert feats == {
+        "n_bytes": 4,
+        "byte_mean": pytest.approx(2.5),
+        "byte_min": 1,
+        "byte_max": 4,
+    }
+    # audio/video codecs are still absent → still a loud stub
+    with pytest.raises(NotImplementedError):
+        multimodal._decode_real("audio", b"xx")
 
 
 def test_sample_frames_matches_python(assets, docs, spark):
