@@ -59,18 +59,35 @@ def salted_agg(
     negligible. With AQE on, non-skewed data pays almost nothing extra
     (the phase-1 partitions coalesce).
     """
-    unknown = {fn for fn, _ in aggs.values()} - set(_PARTIAL)
-    if unknown:
-        raise ValueError(f"non-re-aggregable functions: {sorted(unknown)}")
-    salt = (F.spark_partition_id() % n_salts).alias("_salt")
-    partial = df.groupBy(*key_cols, salt).agg(
-        *[_PARTIAL[fn](col).alias(f"_p_{name}") for name, (fn, col) in aggs.items()]
-    )
+    partial = _salted_partial(df, key_cols, aggs, n_salts)
     return partial.groupBy(*key_cols).agg(
         *[
             _FINAL[fn](F.col(f"_p_{name}")).alias(name)
             for name, (fn, _) in aggs.items()
         ]
+    )
+
+
+def _salted_partial(
+    df: DataFrame,
+    key_cols: list[str],
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int,
+) -> DataFrame:
+    """Phase 1 of :func:`salted_agg`: partial-agg per (key, salt).
+
+    The salt is ``spark_partition_id() % n_salts`` — deterministic per
+    task (no rand(), so retries re-produce identical groups) and it
+    spreads a hot key exactly as widely as its rows are spread over
+    input partitions, which for scan-order data is every partition.
+    Exposed separately so tests can assert the spread itself.
+    """
+    unknown = {fn for fn, _ in aggs.values()} - set(_PARTIAL)
+    if unknown:
+        raise ValueError(f"non-re-aggregable functions: {sorted(unknown)}")
+    salt = (F.spark_partition_id() % n_salts).alias("_salt")
+    return df.groupBy(*key_cols, salt).agg(
+        *[_PARTIAL[fn](col).alias(f"_p_{name}") for name, (fn, col) in aggs.items()]
     )
 
 

@@ -57,6 +57,35 @@ def test_salted_agg_matches_plain_agg(spark, skewed):
         assert (s["cn"], s["mn"], s["mx"]) == (p["cn"], p["mn"], p["mx"])
 
 
+def test_salted_agg_phase1_spreads_hot_key(spark, skewed):
+    """The point of salting: phase 1 must split the 90%-hot key into
+    multiple (key, salt) partial rows — one reducer never owns the
+    whole key — while phase-2 input stays ≤ n_salts rows per key."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.scale import (
+        _salted_partial,
+    )
+
+    n_salts = 8
+    spread = skewed.repartition(n_salts)  # scan-order data spans partitions
+    partial = _salted_partial(
+        spread, ["k"], {"sv": ("sum", "v"), "cn": ("count", "n")}, n_salts
+    )
+    per_key = {
+        r["k"]: r["n_groups"]
+        for r in partial.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+        .collect()
+    }
+    assert per_key["hot"] > 1, per_key  # the hot key is actually spread
+    assert all(n <= n_salts for n in per_key.values()), per_key
+    # and the spread partials still finalize to the exact plain answer
+    hot_sv = (
+        partial.filter("k = 'hot'").agg(F.sum("_p_sv")).collect()[0][0]
+    )
+    plain_sv = skewed.filter("k = 'hot'").agg(F.sum("v")).collect()[0][0]
+    assert hot_sv == pytest.approx(plain_sv)
+
+
 def test_salted_agg_rejects_non_reaggregable(skewed):
     with pytest.raises(ValueError, match="avg"):
         salted_agg(skewed, ["k"], {"a": ("avg", "v")})
