@@ -43,6 +43,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalesces shuffle partitions by BYTES; compute-heavy
+        # operators over byte-small data (shingle arrays, candidate
+        # pairs) get crushed onto 1-2 tasks by the 1 MB default floor.
+        # A 64 KB floor keeps those stages parallel (measured 3× on
+        # the n-gram similarity join); at production sizes partitions
+        # are far above either floor, so this only affects the tails.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         # Deterministic oracle comparison: DuckDB timestamps are
         # UTC-naive; pin Spark to UTC so date/timestamp values match.
@@ -88,6 +95,10 @@ RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     # Arrow batching for the mapInPandas operators.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Keep compute-heavy, byte-small shuffle stages parallel (see the
+    # builder comment in get_spark); runtime-settable, so harness
+    # sessions get it too.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
 }
 
 
@@ -100,3 +111,24 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
         except Exception:  # pragma: no cover - non-settable conf on some builds
             pass
     return spark
+
+
+def spread_scan(df):
+    """Re-spread a scan whose parallelism collapsed to a handful of
+    tasks (the driver testdata writes each table as ONE parquet row
+    group — the atomic split unit — so every scan becomes effectively
+    single-task and serializes all downstream map work).
+
+    No-op whenever the scan already parallelizes (any real multi-file
+    / multi-row-group layout, i.e. production), so plans at scale are
+    untouched; on degenerate inputs one round-robin exchange buys full
+    map-side parallelism for the CPU-heavy operators (decimal
+    aggregation, JSON/base64 codec, shingling). Catalyst still pushes
+    filters and column pruning THROUGH the repartition, so the
+    exchange carries only the columns and rows the query needs.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 4):
+        return df.repartition(target)
+    return df

@@ -168,6 +168,18 @@ def test_prefix_filter_has_no_false_negatives(spark):
                 truth.add((ida, idb))
     assert got == truth
 
+    # every method is exact: prefix+verify, count-join, and auto all
+    # agree with brute force on this hot-shingle corpus (the worst
+    # case for count-join and for hash-ordered prefixes alike)
+    for method in ("prefix", "countjoin"):
+        got_m = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup.ngram_jaccard_pairs(
+                corpus, n=2, threshold=t, method=method
+            ).collect()
+        }
+        assert got_m == truth, method
+
 
 def test_minhash_lsh_catches_exact_dup(docs):
     pairs = {
