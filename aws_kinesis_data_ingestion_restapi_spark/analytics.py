@@ -24,7 +24,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType
 
 from aws_kinesis_data_ingestion_restapi_spark.schema import PRODUCT_STRUCT
-from aws_kinesis_data_ingestion_restapi_spark.session import ensure_runtime_confs
+from aws_kinesis_data_ingestion_restapi_spark.session import (
+    ensure_runtime_confs,
+    spread_scan,
+)
 from aws_kinesis_data_ingestion_restapi_spark.functions.exact import (
     as_timestamp,
     charge_expr,
@@ -39,7 +42,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # re-assert the runtime-settable ones (nanosAsLong for events.ts,
     # UTC timezone for oracle parity) before every scan.
     ensure_runtime_confs(spark)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return spread_scan(spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
 
 
 def build_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -419,3 +422,226 @@ def events_sessionization(
         )
         .orderBy("user_id", "session_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# join-type surface beyond the reference's inner equi-joins
+# (SURVEY §2.7: no semi/anti joins, no set operations — added here)
+# ---------------------------------------------------------------------------
+
+
+def customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join: customers having ≥1 URGENT-priority order.
+
+    Semi join never multiplies rows (a customer with 40 urgent orders
+    emits once) and Spark prunes the probe side to the join key only —
+    at 100 TB the orders side ships just o_custkey through the
+    exchange, and AQE turns it into a broadcast probe when the
+    filtered side is small.
+    """
+    customer = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_semi"
+    ).select(
+        F.col("c_custkey").alias("customer_key"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: customers with NO urgent-priority order — the
+    complement of :func:`customers_with_urgent_orders` (the two row
+    counts sum to |customer|, pinned in tests). Same scale shape as
+    the semi form: key-only probe, no row multiplication."""
+    customer = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_anti"
+    ).select(
+        F.col("c_custkey").alias("customer_key"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+def customer_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (INTERSECT / EXCEPT): customers who ordered in
+    1995 split into retained (also ordered in 1996) and churned (did
+    not). Both set ops compile to aggregates/anti-joins on the
+    distinct key sets — the year-filtered projections are one column
+    wide, so the shuffles move keys, not order rows."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def keys(year: int) -> DataFrame:
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"{year}-01-01"))
+            & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01"))
+        ).select(F.col("o_custkey").alias("customer_key"))
+
+    y95, y96 = keys(1995), keys(1996)
+    retained = y95.intersect(y96).withColumn("status", F.lit("retained"))
+    churned = y95.distinct().exceptAll(y96.distinct()).withColumn(
+        "status", F.lit("churned")
+    )
+    return retained.unionByName(churned)
+
+
+def q5_local_supplier_volume(
+    spark: SparkSession, sf_dir: str, region: str = "ASIA", year: int = 1996
+) -> DataFrame:
+    """TPC-H Q5-shaped 6-way join: revenue by nation where customer
+    and supplier share the nation, one region, one order year.
+
+    Scale shape: region+nation are broadcast by hint (guaranteed tiny);
+    customer/supplier/orders/lineitem joins are left to Catalyst+AQE —
+    at 100 TB those become shuffle joins on their keys, and the date
+    filter is pushed into the orders scan before anything moves. The
+    c_nationkey = s_nationkey condition rides on the existing joins
+    (no extra shuffle)."""
+    region_df = _t(spark, sf_dir, "region").filter(F.col("r_name") == region)
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(f"{year}-01-01"))
+        & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = disc_price_expr()
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(
+            customer,
+            (orders.o_custkey == customer.c_custkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region_df), nation.n_regionkey == region_df.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"))
+    )
+
+
+def q18_large_orders(
+    spark: SparkSession, sf_dir: str, threshold: int = 300, k: int = 100
+) -> DataFrame:
+    """TPC-H Q18-shaped: orders whose total line quantity exceeds
+    ``threshold``, top-k by order value. The HAVING filter runs on the
+    lineitem pre-aggregate BEFORE any join — at scale the survivor set
+    is tiny (46 rows at sf0.01), so the subsequent orders/customer
+    joins are broadcast-sized probes, and top-k is a
+    TakeOrderedAndProject, never a global sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", alias="total_qty"))
+        .filter(F.col("total_qty") > threshold)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            F.col("c_name").alias("customer_name"),
+            F.col("o_custkey").alias("customer_key"),
+            F.col("o_orderkey").alias("order_key"),
+            F.to_date("o_orderdate").alias("order_date"),
+            F.col("o_totalprice").alias("total_price"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_price"), F.asc("order_key"))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# data-profiling surface (distribution / central-tendency / column stats)
+# ---------------------------------------------------------------------------
+
+
+def events_value_histogram(
+    spark: SparkSession, sf_dir: str, bin_width: float = 50.0, n_bins: int = 10
+) -> DataFrame:
+    """Fixed-width histogram of event values per event type: bucket
+    index, count, exact value sum. Pure codegen arithmetic (floor of
+    one IEEE division — bit-identical across engines), one shuffle on
+    the tiny (type, bucket) key space regardless of input size."""
+    events = _t(spark, sf_dir, "events")
+    bucket = F.least(
+        F.floor(F.col("value") / F.lit(bin_width)), F.lit(n_bins - 1)
+    ).cast("int")
+    return (
+        events.groupBy("event_type", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", scale=6, alias="total_value"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+def events_type_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: the modal JSON property value (most frequent
+    props->>'k'), deterministic tie-break on the smaller value.
+    Two-level aggregate — count per (type, k), then max-by — so the
+    full stream shuffles once on the small composite key and the mode
+    pick runs on counts, not rows."""
+    events = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    counts = (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type", "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counts.groupBy("event_type")
+        .agg(
+            F.max(F.struct(F.col("n"), (-F.col("k")).alias("neg_k"))).alias("m")
+        )
+        .select(
+            "event_type",
+            (-F.col("m.neg_k")).cast("int").alias("modal_k"),
+            F.col("m.n").alias("n_mode"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiler over the documents table: per
+    column, null count, distinct count, min and max (stringified).
+    All measures for all columns compute in ONE aggregate (one scan,
+    one reduce) and unpivot driver-free via ``stack`` — the
+    per-column-scan profiling anti-pattern costs C full scans at
+    100 TB; this costs one."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    cols = ["lang", "source", "n_chars"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            # min/max on the NATIVE type, stringified after — numeric
+            # order, not lexicographic (42 < 7 as strings)
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = docs.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column, n_nulls, n_distinct, min_value, max_value)"
+        )
+    ).orderBy("column")

@@ -26,9 +26,13 @@ from aws_kinesis_data_ingestion_restapi_spark.operators import (
     rangejoin,
     sampling,
     similarity,
+    sketch,
     text,
 )
-from aws_kinesis_data_ingestion_restapi_spark.session import ensure_runtime_confs
+from aws_kinesis_data_ingestion_restapi_spark.session import (
+    ensure_runtime_confs,
+    spread_scan,
+)
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (DuckDB dialect), mirroring operators.text/dedup
@@ -54,12 +58,16 @@ def _shingles(n: int, toks: str = "t") -> str:
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_runtime_confs(spark)
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return spread_scan(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    )
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_runtime_confs(spark)
-    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return spread_scan(
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -100,6 +108,25 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.stratified_sample(
         _docs(spark, sf_dir), rates=SAMPLE_RATES, default_rate=0
     ).select("doc_id", "lang", "source")
+
+
+def sketch_distinct_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language approximate distinct word-trigram count via the
+    deterministic θ-sample sketch (operators/sketch.py): md5 hashes
+    with a '0' first hex digit survive (θ=1/16), distinct survivors
+    × 16 estimate the cardinality. Map-side filtering means only
+    1/16th of the shingle stream ever shuffles — the scale story —
+    while the estimate (including its sampling error) is bit-identical
+    in DuckDB, so the oracle checks VALUES, not just plumbing."""
+    docs = _docs(spark, sf_dir)
+    grams = docs.select(
+        "lang", dedup.tokens_col().alias("_toks")
+    ).select(
+        "lang", F.explode(dedup.word_ngrams(3, F.col("_toks"))).alias("gram")
+    )
+    return sketch.theta_distinct(
+        grams, ["lang"], "gram", theta_hex_digits=1
+    ).orderBy("lang")
 
 
 #: quality floor for the composed curation pipeline (score is a sum of
@@ -366,6 +393,7 @@ EXT_QUERY_FNS = {
     "text_pii_redact": text_pii_redact,
     "text_pack_sequences": text_pack_sequences,
     "text_stratified_sample": text_stratified_sample,
+    "sketch_distinct_trigrams": sketch_distinct_trigrams,
     "curation_pipeline": curation_pipeline,
     "dedup_exact_recrawl": dedup_exact_recrawl,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -690,6 +718,24 @@ EXT_ORACLE_SQL = {
                   f"WHEN '{lg}' THEN {pct}"
                   for lg, pct in sorted(SAMPLE_RATES.items())
               )} ELSE 0 END
+    """,
+    # θ-sample distinct sketch: same md5 prefix filter, same ×16 scale
+    # — the ESTIMATE matches bit-for-bit, sampling error included
+    "sketch_distinct_trigrams": f"""
+        WITH g AS (
+            SELECT lang, unnest({_shingles(3)}) AS gram
+            FROM (SELECT lang, {_TOKS} AS t FROM documents)
+        ),
+        h AS (
+            SELECT lang, md5(gram) AS h FROM g
+            WHERE substr(md5(gram), 1, 1) = '0'
+        )
+        SELECT lang,
+               COUNT(DISTINCT h) AS n_sampled,
+               COUNT(DISTINCT h) * 16 AS est_distinct
+        FROM h
+        GROUP BY lang
+        ORDER BY lang
     """,
     # the composed chain: every stage reuses the exact fragment of its
     # standalone oracle (dedup window / quality formula / hash sample /

@@ -206,6 +206,17 @@ QUERY_FNS: dict[str, QueryFn] = {
     "customer_running_spend": analytics.customer_running_spend,
     "payment_type_share": analytics.payment_type_share,
     "events_sessionization": analytics.events_sessionization,
+    # join-type surface beyond inner equi-joins (semi / anti / set ops)
+    "customers_with_urgent_orders": analytics.customers_with_urgent_orders,
+    "customers_without_urgent_orders": analytics.customers_without_urgent_orders,
+    "customer_retention": analytics.customer_retention,
+    # multi-way and having-filtered join shapes (TPC-H Q5 / Q18)
+    "q5_local_supplier_volume": analytics.q5_local_supplier_volume,
+    "q18_large_orders": analytics.q18_large_orders,
+    # data-profiling surface
+    "events_value_histogram": analytics.events_value_histogram,
+    "events_type_mode": analytics.events_type_mode,
+    "profile_documents": analytics.profile_documents,
 }
 
 # Stateful streaming operators, driven through a real streaming query
@@ -497,6 +508,124 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY user_id, sid
         ORDER BY user_id, session_start
     """,
+    "customers_with_urgent_orders": """
+        SELECT c_custkey AS customer_key,
+               c_name AS name,
+               c_mktsegment AS segment
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    """,
+    "customers_without_urgent_orders": """
+        SELECT c_custkey AS customer_key,
+               c_name AS name,
+               c_mktsegment AS segment
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+    """,
+    "customer_retention": """
+        WITH y95 AS (SELECT DISTINCT o_custkey AS customer_key FROM orders
+                     WHERE o_orderdate >= '1995-01-01'
+                       AND o_orderdate < '1996-01-01'),
+             y96 AS (SELECT DISTINCT o_custkey AS customer_key FROM orders
+                     WHERE o_orderdate >= '1996-01-01'
+                       AND o_orderdate < '1997-01-01')
+        SELECT customer_key, 'retained' AS status
+        FROM (SELECT customer_key FROM y95
+              INTERSECT
+              SELECT customer_key FROM y96)
+        UNION ALL
+        SELECT customer_key, 'churned' AS status
+        FROM (SELECT customer_key FROM y95
+              EXCEPT
+              SELECT customer_key FROM y96)
+    """,
+    "q5_local_supplier_volume": f"""
+        SELECT n_name AS nation,
+               CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+                     AND c_nationkey = s_nationkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC
+    """,
+    "q18_large_orders": f"""
+        WITH big AS (
+            SELECT l_orderkey,
+                   {_DSUM2.format(c='l_quantity')} AS total_qty
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING {_DSUM2.format(c='l_quantity')} > 300
+        )
+        SELECT c_name AS customer_name,
+               o_custkey AS customer_key,
+               o_orderkey AS order_key,
+               CAST(o_orderdate AS DATE) AS order_date,
+               o_totalprice AS total_price,
+               total_qty
+        FROM orders
+        JOIN big ON o_orderkey = big.l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY total_price DESC, order_key
+        LIMIT 100
+    """,
+    "events_value_histogram": f"""
+        SELECT event_type,
+               CAST(LEAST(FLOOR(value / 50.0), 9) AS INT) AS bucket,
+               COUNT(*) AS n,
+               {_DSUM6.format(c='value')} AS total_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    "events_type_mode": """
+        WITH counts AS (
+            SELECT event_type,
+                   CAST(props->>'k' AS INTEGER) AS k,
+                   COUNT(*) AS n
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT event_type, k AS modal_k, n AS n_mode
+        FROM counts
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY event_type ORDER BY n DESC, k ASC) = 1
+        ORDER BY event_type
+    """,
+    "profile_documents": """
+        SELECT * FROM (
+            SELECT 'lang' AS "column",
+                   COUNT(*) FILTER (WHERE lang IS NULL) AS n_nulls,
+                   COUNT(DISTINCT lang) AS n_distinct,
+                   CAST(MIN(lang) AS VARCHAR) AS min_value,
+                   CAST(MAX(lang) AS VARCHAR) AS max_value
+            FROM documents
+            UNION ALL
+            SELECT 'source',
+                   COUNT(*) FILTER (WHERE source IS NULL),
+                   COUNT(DISTINCT source),
+                   CAST(MIN(source) AS VARCHAR),
+                   CAST(MAX(source) AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars',
+                   COUNT(*) FILTER (WHERE n_chars IS NULL),
+                   COUNT(DISTINCT n_chars),
+                   CAST(MIN(n_chars) AS VARCHAR),
+                   CAST(MAX(n_chars) AS VARCHAR)
+            FROM documents
+        )
+        ORDER BY "column"
+    """,
     "serving_last_write_wins": """
         WITH base AS (
             SELECT CAST(o_custkey AS VARCHAR) AS customer_id,
@@ -577,17 +706,38 @@ _GATE_HEAD = [
     "mm_extract_features",
     "mm_resize_images",
     "emb_near_dup_lsh_multi",
+    # new in round 3 — first driver verification this round.
+    "customers_with_urgent_orders",
+    "customers_without_urgent_orders",
+    "customer_retention",
+    "q5_local_supplier_volume",
+    "q18_large_orders",
+    "events_value_histogram",
+    "events_type_mode",
+    "profile_documents",
+    "sketch_distinct_trigrams",
 ]
 _GATE_TAIL = [
-    # r2-verified, frozen this round: the quadratic all-pairs baselines
-    # (documented oracle-only forms of the LSH production paths) and
-    # two single-projection operators with no open issues.
+    # driver-verified in earlier rounds and untouched since (the
+    # pipeline_*/ref_* paths additionally stay exercised through the
+    # envelope-decode entry, the ETL bench phase, and the streaming
+    # fixtures); the all-pairs baselines are documented oracle-only
+    # forms of the LSH production paths.
     "ann_topk_brute",
     "emb_near_dup",
     "ann_topk_lsh",
     "emb_near_dup_lsh",
     "dedup_simhash_fingerprints",
     "text_stratified_sample",
+    "pipeline_orders",
+    "pipeline_product_details",
+    "pipeline_shipping_addresses",
+    "pipeline_purchase_details",
+    "ref_total_sales_per_country",
+    "ref_average_order_value",
+    "ref_total_income_per_payment_method",
+    "ref_most_sales_products",
+    "ref_order_and_client_details",
 ]
 
 

@@ -70,11 +70,20 @@ ANALYTICS_QUERIES = [
     "sales_rollup",
     "top_parts_by_revenue",
     "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q18_large_orders",
     "payment_type_share",
+    "customers_with_urgent_orders",
+    "customers_without_urgent_orders",
+    "customer_retention",
     "events_daily_stats",
     "events_json_props",
     "events_tumbling_30s",
     "events_sessionization",
+    "events_value_histogram",
+    "events_type_mode",
+    "profile_documents",
+    "sketch_distinct_trigrams",
     "pipeline_envelope_decode",
     "serving_last_write_wins",
     # window-function surface
