@@ -228,12 +228,14 @@ QUERY_FNS: dict[str, QueryFn] = {
 from aws_kinesis_data_ingestion_restapi_spark.streaming.registry_stream import (  # noqa: E402
     streaming_dedup_replay,
     streaming_enriched_nation_totals,
+    streaming_payment_match,
     streaming_running_totals_final,
 )
 
 QUERY_FNS["streaming_dedup_replay"] = streaming_dedup_replay
 QUERY_FNS["streaming_running_totals_final"] = streaming_running_totals_final
 QUERY_FNS["streaming_enriched_nation_totals"] = streaming_enriched_nation_totals
+QUERY_FNS["streaming_payment_match"] = streaming_payment_match
 
 # merge the dedup / similarity / text-analysis extension surface
 from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (  # noqa: E402
@@ -601,6 +603,17 @@ ORACLE_SQL: dict[str, str] = {
             PARTITION BY event_type ORDER BY n DESC, k ASC) = 1
         ORDER BY event_type
     """,
+    # stream-stream interval join: payment within 72 h of its order;
+    # delay is (o_orderkey % 96) h by construction, so the time-range
+    # predicate provably excludes delay > 72
+    "streaming_payment_match": """
+        SELECT CAST(o_orderkey AS VARCHAR) AS order_id,
+               CAST(o_custkey AS VARCHAR) AS customer_id,
+               o_totalprice AS amount,
+               o_orderkey % 96 AS delay_hours
+        FROM orders
+        WHERE o_orderkey % 96 <= 72
+    """,
     "profile_documents": """
         SELECT * FROM (
             SELECT 'lang' AS "column",
@@ -716,6 +729,7 @@ _GATE_HEAD = [
     "events_type_mode",
     "profile_documents",
     "sketch_distinct_trigrams",
+    "streaming_payment_match",
 ]
 _GATE_TAIL = [
     # driver-verified in earlier rounds and untouched since (the
@@ -738,6 +752,7 @@ _GATE_TAIL = [
     "ref_total_income_per_payment_method",
     "ref_most_sales_products",
     "ref_order_and_client_details",
+    "dedup_exact_recrawl",
 ]
 
 

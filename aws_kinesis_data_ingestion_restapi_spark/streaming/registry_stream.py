@@ -183,3 +183,74 @@ def streaming_running_totals_final(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("customer_id")
     )
+
+
+def streaming_payment_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time interval join: an order stream joined
+    against a payment stream on order_id where the payment lands
+    within 72 h of the order. Payments are synthesized with a
+    deterministic per-order delay of (o_orderkey mod 96) hours, so
+    orders with delay > 72 h provably drop out of the inner join —
+    the time-range predicate is exercised, not decorative.
+
+    Both sides carry watermarks; with the range condition that bounds
+    the join state (Spark evicts rows older than watermark − range),
+    which is THE scale requirement for stream-stream joins — without
+    it state grows with the stream. The drained result is plain SQL
+    over orders (registry.ORACLE_SQL), so the gate hash-checks values.
+    """
+    orders = analytics._t(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").cast("string").alias("order_id"),
+        F.col("o_custkey").cast("string").alias("customer_id"),
+        F.col("o_totalprice").alias("amount"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_ts"),
+        F.date_format(
+            F.col("o_orderdate")
+            + F.make_interval(hours=(F.col("o_orderkey") % 96).cast("int")),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("p_ts"),
+        (F.col("o_orderkey") % 96).cast("long").alias("delay_hours"),
+    )
+    d = tempfile.mkdtemp(prefix="stream_join_")
+    a_dir, b_dir = os.path.join(d, "orders"), os.path.join(d, "payments")
+    base.select("order_id", "customer_id", "amount", "o_ts").write.mode(
+        "overwrite"
+    ).json(a_dir)
+    base.select("order_id", "p_ts", "delay_hours").write.mode(
+        "overwrite"
+    ).json(b_dir)
+    for sub in (a_dir, b_dir):
+        for f in glob.glob(os.path.join(sub, "_*")):
+            os.remove(f)
+    left = (
+        spark.readStream.schema(
+            "order_id string, customer_id string, amount double, o_ts string"
+        )
+        .json(a_dir)
+        .withColumn("o_ts", F.to_timestamp("o_ts"))
+        .withWatermark("o_ts", "1 hour")
+    )
+    right = (
+        spark.readStream.schema(
+            "order_id string, p_ts string, delay_hours long"
+        )
+        .json(b_dir)
+        .withColumnRenamed("order_id", "p_order_id")
+        .withColumn("p_ts", F.to_timestamp("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = left.join(
+        right,
+        F.expr(
+            "order_id = p_order_id AND "
+            "p_ts >= o_ts AND p_ts <= o_ts + INTERVAL 72 HOURS"
+        ),
+    )
+    out = _drain(
+        joined.select("order_id", "customer_id", "amount", "delay_hours"),
+        "append",
+        "sjoin",
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    return out

@@ -122,10 +122,12 @@ ANALYTICS_QUERIES = [
     "cdc_snapshot_diff",
     # the composed curation chain (dedup → quality → sample → pack)
     "curation_pipeline",
-    # stateful / stream-static forms (each drains a real stream)
+    # stateful / stream-static / stream-stream forms (each drains a
+    # real stream)
     "streaming_dedup_replay",
     "streaming_running_totals_final",
     "streaming_enriched_nation_totals",
+    "streaming_payment_match",
 ]
 
 

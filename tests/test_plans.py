@@ -211,3 +211,38 @@ def test_pack_sequences_no_global_window(spark):
     # block-sums window (post-aggregation, ~n/block rows) is global
     assert "windowspecdefinition(_blk#" in plan
     assert "_blk" in plan
+
+
+def test_semi_anti_joins_are_semi_anti(spark):
+    """The semi/anti queries must compile to LeftSemi/LeftAnti joins —
+    never an inner join + distinct (which multiplies then collapses
+    rows) — and the orders probe side must be filter-pushed."""
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    semi = explain_str(QUERY_FNS["customers_with_urgent_orders"](spark, SF_DIR))
+    anti = explain_str(QUERY_FNS["customers_without_urgent_orders"](spark, SF_DIR))
+    assert "LeftSemi" in semi, semi[:1500]
+    assert "LeftAnti" in anti, anti[:1500]
+    assert "1-URGENT" in semi  # pushed predicate reaches the scan side
+
+
+def test_q5_no_cartesian_and_broadcast_dims(spark):
+    """The 6-way Q5 join must stay equi-join shaped (no cartesian /
+    BNLJ) with the guaranteed-small dims broadcast."""
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    plan = explain_str(QUERY_FNS["q5_local_supplier_volume"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # nation/region ride broadcasts
+
+
+def test_profile_documents_single_scan(spark):
+    """The profiler computes all column stats in ONE pass — exactly one
+    parquet scan of documents in the plan."""
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    plan = explain_str(QUERY_FNS["profile_documents"](spark, SF_DIR))
+    # one file-index per physical scan; the formatted plan repeats the
+    # node label in the detail section, so count locations instead
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan[:2000]
