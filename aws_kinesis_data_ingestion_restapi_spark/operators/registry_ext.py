@@ -21,6 +21,7 @@ from aws_kinesis_data_ingestion_restapi_spark.operators import (
     asof,
     cdc,
     dedup,
+    graph,
     multimodal,
     packing,
     rangejoin,
@@ -108,6 +109,23 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.stratified_sample(
         _docs(spark, sf_dir), rates=SAMPLE_RATES, default_rate=0
     ).select("doc_id", "lang", "source")
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: connected components
+    (operators/graph.py min-label propagation) over the MinHash-LSH
+    pair graph, every document labeled — singletons included — with
+    its component's minimum doc_id. 'Keep one per cluster' is then a
+    groupBy; pair output alone can't express transitive duplicate
+    chains (a~b, b~c ⇒ {a,b,c} one cluster even if a≁c directly)."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_perm=32, bands=4, threshold=0.5, shingle_words=3
+    ).select("doc_a", "doc_b")
+    comp = graph.connected_components(pairs, nodes=docs.select("doc_id"))
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("component_id")
+    )
 
 
 def sketch_distinct_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -394,6 +412,7 @@ EXT_QUERY_FNS = {
     "text_pack_sequences": text_pack_sequences,
     "text_stratified_sample": text_stratified_sample,
     "sketch_distinct_trigrams": sketch_distinct_trigrams,
+    "dedup_components": dedup_components,
     "curation_pipeline": curation_pipeline,
     "dedup_exact_recrawl": dedup_exact_recrawl,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -718,6 +737,28 @@ EXT_ORACLE_SQL = {
                   f"WHEN '{lg}' THEN {pct}"
                   for lg, pct in sorted(SAMPLE_RATES.items())
               )} ELSE 0 END
+    """,
+    # connected components via transitive closure: reach(u, r) holds
+    # every node r reachable from u over the (symmetrized) LSH pair
+    # graph; MIN(r) per u is exactly the min-label fixpoint the Spark
+    # propagation loop converges to. Seeded from ALL documents so
+    # singletons label themselves.
+    "dedup_components": f"""
+        WITH RECURSIVE
+        tsig AS ({{minhash_pairs}}),
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM tsig
+            UNION
+            SELECT doc_b AS u, doc_a AS v FROM tsig
+        ),
+        reach(u, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+        )
+        SELECT u AS doc_id, MIN(r) AS component_id
+        FROM reach
+        GROUP BY u
     """,
     # θ-sample distinct sketch: same md5 prefix filter, same ×16 scale
     # — the ESTIMATE matches bit-for-bit, sampling error included
@@ -1106,6 +1147,12 @@ EXT_ORACLE_SQL = {
 }
 
 # composed AFTER the dict so the two signal oracles are embedded
+# splice the minhash-pair SQL into the components closure (the dict
+# literal above can't reference itself while being built)
+EXT_ORACLE_SQL["dedup_components"] = EXT_ORACLE_SQL["dedup_components"].format(
+    minhash_pairs=EXT_ORACLE_SQL["dedup_minhash_lsh"]
+)
+
 # verbatim — ensemble == full-outer merge of the standalone results
 # by construction
 EXT_ORACLE_SQL["dedup_ensemble"] = f"""

@@ -730,6 +730,7 @@ _GATE_HEAD = [
     "profile_documents",
     "sketch_distinct_trigrams",
     "streaming_payment_match",
+    "dedup_components",
 ]
 _GATE_TAIL = [
     # driver-verified in earlier rounds and untouched since (the
@@ -753,6 +754,7 @@ _GATE_TAIL = [
     "ref_most_sales_products",
     "ref_order_and_client_details",
     "dedup_exact_recrawl",
+    "text_fingerprint",
 ]
 
 

@@ -106,6 +106,7 @@ ANALYTICS_QUERIES = [
     "dedup_simhash_fingerprints",
     "dedup_contamination",
     "dedup_ensemble",
+    "dedup_components",
     "ann_topk_brute",
     "ann_topk_lsh",
     "ann_topk_ivf",

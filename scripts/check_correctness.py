@@ -92,6 +92,13 @@ def _canon(rows, colnames):
     return sorted(out, key=repr)
 
 
+def _p(msg: str) -> None:
+    """Print on a clean line: Spark's \\r progress bars otherwise glue
+    themselves onto result lines and grep misses them."""
+    sys.stdout.write("\n" + msg + "\n")
+    sys.stdout.flush()
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -114,11 +121,11 @@ def main() -> int:
             scols = sdf.columns
             srows = sdf.collect()
         except Exception as exc:  # noqa: BLE001
-            print(f"FAIL  {name}: spark error: {exc}")
+            _p(f"FAIL  {name}: spark error: {exc}")
             failures += 1
             continue
         if name not in oracles:
-            print(f"ROWS  {name}: {len(srows)} rows (no oracle — rows-only check)")
+            _p(f"ROWS  {name}: {len(srows)} rows (no oracle — rows-only check)")
             continue
         try:
             rel = con.sql(oracles[name])
@@ -126,36 +133,36 @@ def main() -> int:
             dtypes = rel.types
             drows = rel.fetchall()
         except Exception as exc:  # noqa: BLE001
-            print(f"FAIL  {name}: duckdb error: {exc}")
+            _p(f"FAIL  {name}: duckdb error: {exc}")
             failures += 1
             continue
         dt = time.time() - t0
         if sorted(c.lower() for c in scols) != sorted(dcols):
-            print(f"FAIL  {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
+            _p(f"FAIL  {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
             failures += 1
             continue
         bad_types = _type_mismatches(scols, sdf.dtypes, dcols, dtypes)
         if bad_types:
             for c, st, dt_ in bad_types:
-                print(f"FAIL  {name}: type mismatch on '{c}': spark={st} duck={dt_}")
+                _p(f"FAIL  {name}: type mismatch on '{c}': spark={st} duck={dt_}")
             failures += 1
             continue
         if len(srows) != len(drows):
-            print(f"FAIL  {name}: rowcount spark={len(srows)} duck={len(drows)}")
+            _p(f"FAIL  {name}: rowcount spark={len(srows)} duck={len(drows)}")
             failures += 1
             continue
         a = _canon([tuple(r) for r in srows], [c.lower() for c in scols])
         b = _canon(drows, dcols)
         if a != b:
             ndiff = sum(1 for x, y in zip(a, b) if x != y)
-            print(f"FAIL  {name}: values differ ({ndiff}/{len(a)} rows)")
+            _p(f"FAIL  {name}: values differ ({ndiff}/{len(a)} rows)")
             for x, y in zip(a, b):
                 if x != y:
                     print(f"      spark: {x}\n      duck : {y}")
                     break
             failures += 1
             continue
-        print(f"PASS  {name}: {len(srows)} rows in {dt:.1f}s")
+        _p(f"PASS  {name}: {len(srows)} rows in {dt:.1f}s")
     spark.stop()
     print(f"\n{'ALL PASS' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0

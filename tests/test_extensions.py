@@ -750,3 +750,35 @@ def test_range_follow_within(spark):
         for r in rangejoin.follow_within(b, window_s=60).collect()
     }
     assert bout[0] == 1 and bout[1] == 0
+
+
+# ---------------------------------------------------------------------------
+# connected components (dedup clustering)
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """A transitive chain collapses into one component labeled by its
+    minimum node; isolated nodes from the universe label themselves."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import graph
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 10)], ["doc_a", "doc_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20, 99]], ["doc_id"])
+    got = {
+        r["node"]: r["component"]
+        for r in graph.connected_components(pairs, nodes=nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 10, 99: 99}
+
+
+def test_connected_components_without_universe(spark):
+    from aws_kinesis_data_ingestion_restapi_spark.operators import graph
+
+    pairs = spark.createDataFrame([(5, 7), (7, 6)], ["a", "b"])
+    got = {
+        r["node"]: r["component"]
+        for r in graph.connected_components(pairs).collect()
+    }
+    assert got == {5: 5, 6: 5, 7: 5}
