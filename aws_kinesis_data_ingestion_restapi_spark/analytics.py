@@ -41,8 +41,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The harness may hand us a session built without our builder confs;
     # re-assert the runtime-settable ones (nanosAsLong for events.ts,
     # UTC timezone for oracle parity) before every scan.
+    #
+    # No blanket spread_scan here: for shuffle-bound queries (joins,
+    # aggregates — most of this module) the first shuffle already
+    # re-spreads, and measured at sf0.1 an unconditional exchange
+    # REGRESSED the ETL phase 13 s → 31 s. spread_scan is applied at
+    # the sites whose per-row compute is proven heavy (q1's decimal
+    # math below; the documents/embeddings scans in registry_ext).
     ensure_runtime_confs(spark)
-    return spread_scan(spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def build_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,7 +143,9 @@ def build_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-filter-aggregate over lineitem, grouped by
     the two flag columns — partial+final hash agg, 8 measures."""
-    li = _t(spark, sf_dir, "lineitem")
+    # the 8 decimal measures dominate; a single-row-group scan would
+    # compute them on one task (spread_scan: measured 2× at sf0.1)
+    li = spread_scan(_t(spark, sf_dir, "lineitem"))
     disc_price = disc_price_expr()
     charge = charge_expr()
     return (
@@ -645,3 +654,47 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(column, n_nulls, n_distinct, min_value, max_value)"
         )
     ).orderBy("column")
+
+
+def incremental_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance (operators/scale.py
+    incremental_agg_merge): the per-priority sales rollup built by
+    folding three year-range deltas into the aggregate state one at a
+    time — never re-reading earlier rows. The oracle is the one-shot
+    aggregate over ALL orders, so the gate proves
+    fold(fold(agg(d1), d2), d3) == agg(d1 ∪ d2 ∪ d3) bit-for-bit
+    (decimal sums are associative; float sums would not survive this).
+    """
+    from aws_kinesis_data_ingestion_restapi_spark.operators.scale import (
+        incremental_agg_merge,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    prep = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("amount_dec"),
+        "o_orderdate",
+    )
+    cuts = ["1997-01-01", "1999-01-01"]
+    deltas = [
+        prep.filter(F.col("o_orderdate") < cuts[0]),
+        prep.filter(
+            (F.col("o_orderdate") >= cuts[0]) & (F.col("o_orderdate") < cuts[1])
+        ),
+        prep.filter(F.col("o_orderdate") >= cuts[1]),
+    ]
+    aggs = {
+        "n_orders": ("count", "o_orderkey"),
+        "total_amount": ("sum", "amount_dec"),
+        "max_amount": ("max", "amount_dec"),
+    }
+    state = None
+    for delta in deltas:
+        state = incremental_agg_merge(state, delta, ["priority"], aggs)
+    return state.select(
+        "priority",
+        "n_orders",
+        F.col("total_amount").cast("double").alias("total_amount"),
+        F.col("max_amount").cast("double").alias("max_amount"),
+    )

@@ -91,6 +91,51 @@ def _salted_partial(
     )
 
 
+def incremental_agg_merge(
+    state: DataFrame | None,
+    delta: DataFrame,
+    key_cols: list[str],
+    aggs: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """Materialized-aggregate maintenance: fold a raw ``delta`` into an
+    existing aggregate ``state`` without touching historical rows.
+
+    ``state`` holds (key_cols, <agg name columns>) — the output of a
+    previous call (or of the initial full aggregation). ``delta`` is
+    raw rows. The delta is partial-aggregated (delta-sized work), then
+    merged with the state via the re-aggregation rules sum/count→sum,
+    min→min, max→max. At 100 TB this is the difference between a
+    daily job that reads one day and one that re-reads the fact table;
+    repeated folding is exactly associative, so
+    fold(fold(agg(a), b), c) == agg(a ∪ b ∪ c) bit-for-bit for these
+    decimal/count/minmax aggregates (pinned by the oracle-checked
+    ``incremental_sales_rollup`` query).
+
+    Non-re-aggregable measures (avg, distinct) must be stored in
+    re-aggregable form instead (sum+count; a distinct sketch —
+    operators/sketch.py); the same ValueError guard as salted_agg.
+    """
+    unknown = {fn for fn, _ in aggs.values()} - set(_PARTIAL)
+    if unknown:
+        raise ValueError(f"non-re-aggregable functions: {sorted(unknown)}")
+    partial = delta.groupBy(*key_cols).agg(
+        *[_PARTIAL[fn](col).alias(name) for name, (fn, col) in aggs.items()]
+    )
+    # state=None bootstraps the view: the final pass over the lone
+    # partial reduces count→sum(single count) etc., i.e. a plain agg
+    merged = (
+        partial
+        if state is None
+        else state.select(*key_cols, *aggs).unionByName(partial)
+    )
+    return merged.groupBy(*key_cols).agg(
+        *[
+            _FINAL[fn](F.col(name)).alias(name)
+            for name, (fn, _) in aggs.items()
+        ]
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -217,6 +217,8 @@ QUERY_FNS: dict[str, QueryFn] = {
     "events_value_histogram": analytics.events_value_histogram,
     "events_type_mode": analytics.events_type_mode,
     "profile_documents": analytics.profile_documents,
+    # materialized-aggregate maintenance (fold deltas, never re-read)
+    "incremental_sales_rollup": analytics.incremental_sales_rollup,
 }
 
 # Stateful streaming operators, driven through a real streaming query
@@ -603,6 +605,18 @@ ORACLE_SQL: dict[str, str] = {
             PARTITION BY event_type ORDER BY n DESC, k ASC) = 1
         ORDER BY event_type
     """,
+    # one-shot aggregate over ALL orders == the Spark side's three-way
+    # incremental fold (decimal sums are associative)
+    "incremental_sales_rollup": """
+        SELECT o_orderpriority AS priority,
+               COUNT(o_orderkey) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_amount,
+               CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS max_amount
+        FROM orders
+        GROUP BY 1
+    """,
     # stream-stream interval join: payment within 72 h of its order;
     # delay is (o_orderkey % 96) h by construction, so the time-range
     # predicate provably excludes delay > 72
@@ -731,6 +745,7 @@ _GATE_HEAD = [
     "sketch_distinct_trigrams",
     "streaming_payment_match",
     "dedup_components",
+    "incremental_sales_rollup",
 ]
 _GATE_TAIL = [
     # driver-verified in earlier rounds and untouched since (the
@@ -755,6 +770,7 @@ _GATE_TAIL = [
     "ref_order_and_client_details",
     "dedup_exact_recrawl",
     "text_fingerprint",
+    "text_token_stats",
 ]
 
 

@@ -84,6 +84,7 @@ ANALYTICS_QUERIES = [
     "events_type_mode",
     "profile_documents",
     "sketch_distinct_trigrams",
+    "incremental_sales_rollup",
     "pipeline_envelope_decode",
     "serving_last_write_wins",
     # window-function surface

@@ -133,3 +133,50 @@ def test_compact_table_reduces_files_keeps_layout(spark, tmp_path):
     # Hive layout preserved → partition pruning still applies
     n_part1 = 5 * sum(1 for i in range(5000) if i % 3 == 1)
     assert out.filter(F.col("part") == "1").count() == n_part1
+
+
+def test_incremental_agg_merge_equals_full_agg(spark):
+    """Folding deltas one at a time must equal the one-shot aggregate —
+    including a delta introducing a brand-new key and an empty delta."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.scale import (
+        incremental_agg_merge,
+    )
+
+    rows = [("a", i, float(i)) for i in range(10)] + [
+        ("b", i, float(i * 2)) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, ["k", "n", "v"])
+    aggs = {
+        "cnt": ("count", "n"),
+        "sv": ("sum", "v"),
+        "mx": ("max", "v"),
+        "mn": ("min", "v"),
+    }
+    deltas = [
+        df.filter("k = 'a' and n < 5"),
+        df.filter("k = 'a' and n >= 5"),
+        df.filter("k = 'b'"),  # new key appears mid-stream
+        df.filter("1 = 0"),  # empty delta is a no-op
+    ]
+    state = None
+    for d in deltas:
+        state = incremental_agg_merge(state, d, ["k"], aggs)
+    got = {r["k"]: r for r in state.collect()}
+    full = {
+        r["k"]: r
+        for r in df.groupBy("k")
+        .agg(
+            F.count("n").alias("cnt"),
+            F.sum("v").alias("sv"),
+            F.max("v").alias("mx"),
+            F.min("v").alias("mn"),
+        )
+        .collect()
+    }
+    assert set(got) == set(full)
+    for k in full:
+        assert (got[k]["cnt"], got[k]["sv"], got[k]["mx"], got[k]["mn"]) == (
+            full[k]["cnt"], full[k]["sv"], full[k]["mx"], full[k]["mn"]
+        )
+    with pytest.raises(ValueError):
+        incremental_agg_merge(None, df, ["k"], {"a": ("avg", "v")})
