@@ -111,6 +111,10 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.repetition_stats(_docs(spark, sf_dir))
+
+
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS, not just pairs: connected components
     (operators/graph.py min-label propagation) over the MinHash-LSH
@@ -411,6 +415,7 @@ EXT_QUERY_FNS = {
     "text_pii_redact": text_pii_redact,
     "text_pack_sequences": text_pack_sequences,
     "text_stratified_sample": text_stratified_sample,
+    "text_repetition": text_repetition,
     "sketch_distinct_trigrams": sketch_distinct_trigrams,
     "dedup_components": dedup_components,
     "curation_pipeline": curation_pipeline,
@@ -737,6 +742,28 @@ EXT_ORACLE_SQL = {
                   f"WHEN '{lg}' THEN {pct}"
                   for lg, pct in sorted(SAMPLE_RATES.items())
               )} ELSE 0 END
+    """,
+    # repetition ratios: exact-int divisions, deterministic top-token
+    # tie-break (count desc, token asc) on both engines
+    "text_repetition": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        base AS (
+            SELECT doc_id, len(t) AS n_tokens,
+                   CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+                       AS distinct_token_frac,
+                   CASE WHEN len(t) >= 2 THEN
+                       CAST(len({_shingles(2)}) AS DOUBLE) / (len(t) - 1)
+                   END AS distinct_bigram_frac
+            FROM t),
+        tok AS (SELECT doc_id, unnest(t) AS tok FROM t),
+        cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        top AS (SELECT doc_id, c FROM cnt
+                QUALIFY ROW_NUMBER() OVER (
+                    PARTITION BY doc_id ORDER BY c DESC, tok ASC) = 1)
+        SELECT base.doc_id, n_tokens, distinct_token_frac,
+               distinct_bigram_frac,
+               CAST(top.c AS DOUBLE) / n_tokens AS top_token_frac
+        FROM base JOIN top ON base.doc_id = top.doc_id
     """,
     # connected components via transitive closure: reach(u, r) holds
     # every node r reachable from u over the (symmetrized) LSH pair

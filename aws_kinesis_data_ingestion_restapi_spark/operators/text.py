@@ -229,3 +229,61 @@ def fingerprint(docs: DataFrame, shingle_words: int = 3) -> DataFrame:
         "text_md5",
         F.when(n >= k, min_shingle).alias("min_shingle_md5"),
     )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per document: distinct-token
+    fraction, distinct-bigram fraction, and the share of the most
+    frequent token (smallest token wins count ties — deterministic).
+
+    Boilerplate and degenerate generations repeat; these three ratios
+    are the standard cheap detectors (Rae et al. '21 §A1.2 use the
+    same family). All ratios are single IEEE divisions of exact ints
+    — bit-identical cross-engine. The set fractions are pure codegen;
+    the top-token share is one (doc, token) count shuffle + a
+    max-struct aggregate, no window over the corpus.
+    """
+    base = docs.select("doc_id", tokens_col().alias("_toks")).select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        (
+            F.size(F.array_distinct("_toks")).cast("double")
+            / F.size("_toks")
+        ).alias("distinct_token_frac"),
+        F.when(
+            F.size("_toks") >= 2,
+            F.size(_word_ngrams2("_toks")).cast("double")
+            / (F.size("_toks") - 1),
+        ).alias("distinct_bigram_frac"),
+        F.explode("_toks").alias("tok"),
+    )
+    counts = base.groupBy(
+        "doc_id", "n_tokens", "distinct_token_frac", "distinct_bigram_frac", "tok"
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    return (
+        counts.groupBy(
+            "doc_id", "n_tokens", "distinct_token_frac", "distinct_bigram_frac"
+        )
+        .agg(F.min(F.struct((-F.col("_c")).alias("_nc"), F.col("tok"))).alias("_m"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "distinct_token_frac",
+            "distinct_bigram_frac",
+            ((-F.col("_m._nc")).cast("double") / F.col("n_tokens")).alias(
+                "top_token_frac"
+            ),
+        )
+    )
+
+
+def _word_ngrams2(toks: str) -> Column:
+    """Distinct word-bigram set (the dedup.word_ngrams(2) expression,
+    inlined here to avoid a circular import)."""
+    t = F.col(toks)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.element_at(t, i), F.element_at(t, i + 1)
+    )
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), F.size(t) - 1), gram)
+    )

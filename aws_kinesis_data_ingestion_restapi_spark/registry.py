@@ -746,6 +746,7 @@ _GATE_HEAD = [
     "streaming_payment_match",
     "dedup_components",
     "incremental_sales_rollup",
+    "text_repetition",
 ]
 _GATE_TAIL = [
     # driver-verified in earlier rounds and untouched since (the
@@ -771,6 +772,7 @@ _GATE_TAIL = [
     "dedup_exact_recrawl",
     "text_fingerprint",
     "text_token_stats",
+    "text_language_id",
 ]
 
 

@@ -97,6 +97,7 @@ ANALYTICS_QUERIES = [
     "text_language_id",
     "text_fingerprint",
     "text_pii_redact",
+    "text_repetition",
     "text_length_quantiles",
     "text_pack_sequences",
     "text_stratified_sample",

@@ -782,3 +782,23 @@ def test_connected_components_without_universe(spark):
         for r in graph.connected_components(pairs).collect()
     }
     assert got == {5: 5, 6: 5, 7: 5}
+
+
+def test_repetition_stats(spark):
+    rows = [
+        (0, "a a a a"),                # one token repeated
+        (1, "a b c d"),               # all distinct
+        (2, "a b a b"),               # repeated bigrams: 'a b','b a','a b'
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in text.repetition_stats(docs).collect()}
+    assert got[0]["n_tokens"] == 4
+    assert got[0]["distinct_token_frac"] == 0.25
+    assert got[0]["distinct_bigram_frac"] == pytest.approx(1 / 3)
+    assert got[0]["top_token_frac"] == 1.0
+    assert got[1]["distinct_token_frac"] == 1.0
+    assert got[1]["distinct_bigram_frac"] == 1.0
+    assert got[1]["top_token_frac"] == 0.25  # tie → smallest token 'a'
+    assert got[2]["distinct_token_frac"] == 0.5
+    assert got[2]["distinct_bigram_frac"] == pytest.approx(2 / 3)
+    assert got[2]["top_token_frac"] == 0.5
