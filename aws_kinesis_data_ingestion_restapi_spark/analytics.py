@@ -698,3 +698,38 @@ def incremental_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_amount").cast("double").alias("total_amount"),
         F.col("max_amount").cast("double").alias("max_amount"),
     )
+
+
+#: fixed pivot domain — explicit values keep the output schema static
+#: (Spark would otherwise run a distinct scan to discover them, and the
+#: column set would depend on the data)
+ORDER_PRIORITIES = {
+    "1-URGENT": "urgent",
+    "2-HIGH": "high",
+    "3-MEDIUM": "medium",
+    "4-NOT SPECIFIED": "not_specified",
+    "5-LOW": "low",
+}
+
+
+def sales_pivot_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-nation sales cross-tabbed into one column per order
+    priority (long → wide). Explicit pivot values pin the schema and
+    skip the value-discovery scan; the whole pivot is ONE partial+final
+    aggregate (each cell a conditional decimal sum) — the same single
+    shuffle a plain groupBy costs, never one pass per column."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    wide = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .pivot("o_orderpriority", list(ORDER_PRIORITIES))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+    )
+    renamed = wide.select(
+        "nation",
+        *[F.col(f"`{v}`").alias(alias) for v, alias in ORDER_PRIORITIES.items()],
+    )
+    return renamed

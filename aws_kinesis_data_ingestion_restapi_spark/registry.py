@@ -219,6 +219,8 @@ QUERY_FNS: dict[str, QueryFn] = {
     "profile_documents": analytics.profile_documents,
     # materialized-aggregate maintenance (fold deltas, never re-read)
     "incremental_sales_rollup": analytics.incremental_sales_rollup,
+    # long→wide PIVOT cross-tab
+    "sales_pivot_by_priority": analytics.sales_pivot_by_priority,
 }
 
 # Stateful streaming operators, driven through a real streaming query
@@ -605,6 +607,29 @@ ORACLE_SQL: dict[str, str] = {
             PARTITION BY event_type ORDER BY n DESC, k ASC) = 1
         ORDER BY event_type
     """,
+    # PIVOT == conditional aggregation per cell; fixed priority domain
+    "sales_pivot_by_priority": """
+        SELECT n_name AS nation,
+               CAST(SUM(CAST(CASE WHEN o_orderpriority = '1-URGENT'
+                   THEN o_totalprice END AS DECIMAL(18,2))) AS DOUBLE)
+                   AS urgent,
+               CAST(SUM(CAST(CASE WHEN o_orderpriority = '2-HIGH'
+                   THEN o_totalprice END AS DECIMAL(18,2))) AS DOUBLE)
+                   AS high,
+               CAST(SUM(CAST(CASE WHEN o_orderpriority = '3-MEDIUM'
+                   THEN o_totalprice END AS DECIMAL(18,2))) AS DOUBLE)
+                   AS medium,
+               CAST(SUM(CAST(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+                   THEN o_totalprice END AS DECIMAL(18,2))) AS DOUBLE)
+                   AS not_specified,
+               CAST(SUM(CAST(CASE WHEN o_orderpriority = '5-LOW'
+                   THEN o_totalprice END AS DECIMAL(18,2))) AS DOUBLE)
+                   AS low
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
     # one-shot aggregate over ALL orders == the Spark side's three-way
     # incremental fold (decimal sums are associative)
     "incremental_sales_rollup": """
@@ -747,6 +772,7 @@ _GATE_HEAD = [
     "dedup_components",
     "incremental_sales_rollup",
     "text_repetition",
+    "sales_pivot_by_priority",
 ]
 _GATE_TAIL = [
     # driver-verified in earlier rounds and untouched since (the
@@ -773,6 +799,7 @@ _GATE_TAIL = [
     "text_fingerprint",
     "text_token_stats",
     "text_language_id",
+    "text_quality_score",
 ]
 
 

@@ -68,6 +68,7 @@ ANALYTICS_QUERIES = [
     "q1_pricing_summary",
     "sales_per_nation",
     "sales_rollup",
+    "sales_pivot_by_priority",
     "top_parts_by_revenue",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
