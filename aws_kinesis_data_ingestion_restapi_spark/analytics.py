@@ -733,3 +733,22 @@ def sales_pivot_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col(f"`{v}`").alias(alias) for v, alias in ORDER_PRIORITIES.items()],
     )
     return renamed
+
+
+def fuzzy_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 self-join over customer names via deletion-
+    neighborhood blocking (operators/fuzzy.py) — the entity-resolution
+    primitive. Candidates come from an equi-join on single-deletion
+    variants (linear blowup, never a cross product); Levenshtein runs
+    per candidate and both engines' implementations agree exactly, so
+    the quadratic oracle validates the blocked plan's exactness."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.fuzzy import (
+        fuzzy_self_join,
+    )
+
+    customer = _t(spark, sf_dir, "customer")
+    return fuzzy_self_join(customer, "c_custkey", "c_name").select(
+        F.col("key_a").alias("custkey_a"),
+        F.col("key_b").alias("custkey_b"),
+        F.col("dist").cast("long").alias("dist"),
+    )

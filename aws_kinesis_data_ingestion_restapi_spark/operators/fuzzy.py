@@ -1,0 +1,74 @@
+"""Fuzzy (edit-distance) string joins via deletion-neighborhood
+blocking.
+
+Entity resolution / data cleaning needs "join on keys within edit
+distance k" — executed naively that is a cross join with a per-pair
+Levenshtein, quadratic in both rows and work. For k=1 the standard
+exact blocking is the DELETION NEIGHBORHOOD (the FastSS family,
+Bocek et al. '07): two strings with ed(a,b) ≤ 1 necessarily share an
+element of {x} ∪ {x with one character deleted} —
+  - a == b           → share a itself;
+  - substitution     → deleting the substituted position makes them
+                       equal;
+  - insert/delete    → the shorter string IS a deletion of the longer.
+So candidates come from an equi-join on exploded variants (|x|+1 short
+strings per row — linear blowup, hash shuffle on short keys, never a
+cross product), then one exact Levenshtein per CANDIDATE verifies.
+Zero false negatives by the argument above; Spark and DuckDB both
+implement classical Levenshtein, so the verified distances compare
+bit-for-bit in the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fuzzy_self_join(
+    df: DataFrame,
+    key: str,
+    text: str,
+    max_distance: int = 1,
+) -> DataFrame:
+    """All pairs (key_a < key_b) whose ``text`` values are within
+    ``max_distance`` (currently 1 — the deletion-neighborhood guarantee
+    is k=1; higher k needs k-deletion sets, same shape, k·|x| blowup).
+
+    Output: (key_a, key_b, dist). One exchange on variant strings for
+    candidates, one on the pair key for dedup; Levenshtein runs on
+    candidates only.
+    """
+    if max_distance != 1:
+        raise ValueError("deletion-neighborhood blocking implements k=1")
+    c = F.col(text)
+    variants = F.array_union(
+        F.array(c),
+        F.transform(
+            F.sequence(F.lit(1), F.length(c)),
+            lambda i: F.concat(
+                c.substr(F.lit(1), i - F.lit(1)),
+                c.substr(i + F.lit(1), F.length(c)),
+            ),
+        ),
+    )
+    base = df.select(
+        F.col(key).alias("_k"), c.alias("_s"), F.explode(variants).alias("_v")
+    )
+    a = base.select(
+        F.col("_k").alias("key_a"), F.col("_s").alias("_sa"), "_v"
+    )
+    b = base.select(
+        F.col("_k").alias("key_b"), F.col("_s").alias("_sb"), "_v"
+    )
+    cand = (
+        a.join(b, "_v")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "_sa", "_sb")
+        .distinct()
+    )
+    dist = F.levenshtein("_sa", "_sb")
+    return (
+        cand.select("key_a", "key_b", dist.alias("dist"))
+        .filter(F.col("dist") <= max_distance)
+    )

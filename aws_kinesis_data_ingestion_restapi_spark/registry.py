@@ -221,6 +221,8 @@ QUERY_FNS: dict[str, QueryFn] = {
     "incremental_sales_rollup": analytics.incremental_sales_rollup,
     # long→wide PIVOT cross-tab
     "sales_pivot_by_priority": analytics.sales_pivot_by_priority,
+    # edit-distance join (deletion-neighborhood blocking)
+    "fuzzy_customer_names": analytics.fuzzy_customer_names,
 }
 
 # Stateful streaming operators, driven through a real streaming query
@@ -607,6 +609,15 @@ ORACLE_SQL: dict[str, str] = {
             PARTITION BY event_type ORDER BY n DESC, k ASC) = 1
         ORDER BY event_type
     """,
+    # the quadratic reference form of the blocked edit-distance join
+    "fuzzy_customer_names": """
+        SELECT a.c_custkey AS custkey_a,
+               b.c_custkey AS custkey_b,
+               levenshtein(a.c_name, b.c_name) AS dist
+        FROM customer a
+        JOIN customer b ON a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
     # PIVOT == conditional aggregation per cell; fixed priority domain
     "sales_pivot_by_priority": """
         SELECT n_name AS nation,
@@ -773,6 +784,7 @@ _GATE_HEAD = [
     "incremental_sales_rollup",
     "text_repetition",
     "sales_pivot_by_priority",
+    "fuzzy_customer_names",
 ]
 _GATE_TAIL = [
     # driver-verified in earlier rounds and untouched since (the
@@ -800,6 +812,7 @@ _GATE_TAIL = [
     "text_token_stats",
     "text_language_id",
     "text_quality_score",
+    "text_pii_redact",
 ]
 
 

@@ -77,6 +77,7 @@ ANALYTICS_QUERIES = [
     "customers_with_urgent_orders",
     "customers_without_urgent_orders",
     "customer_retention",
+    "fuzzy_customer_names",
     "events_daily_stats",
     "events_json_props",
     "events_tumbling_30s",

@@ -802,3 +802,42 @@ def test_repetition_stats(spark):
     assert got[2]["distinct_token_frac"] == 0.5
     assert got[2]["distinct_bigram_frac"] == pytest.approx(2 / 3)
     assert got[2]["top_token_frac"] == 0.5
+
+
+def test_fuzzy_self_join_exact_vs_brute(spark):
+    """Deletion-neighborhood candidates must reproduce the brute-force
+    edit-distance-1 pairs exactly (substitution, insertion, deletion,
+    equality all covered)."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.fuzzy import (
+        fuzzy_self_join,
+    )
+
+    rows = [
+        (1, "abc"), (2, "abd"), (3, "ab"), (4, "abcd"),
+        (5, "xyz"), (6, "abc"), (7, ""), (8, "a"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "s"])
+    got = {
+        (r["key_a"], r["key_b"]): r["dist"]
+        for r in fuzzy_self_join(df, "k", "s").collect()
+    }
+
+    def ed(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    truth = {
+        (ka, kb): ed(sa, sb)
+        for i, (ka, sa) in enumerate(rows)
+        for kb, sb in rows[i + 1 :]
+        if ed(sa, sb) <= 1
+    }
+    assert got == truth
+    with pytest.raises(ValueError):
+        fuzzy_self_join(df, "k", "s", max_distance=2)
