@@ -841,3 +841,24 @@ def test_fuzzy_self_join_exact_vs_brute(spark):
     assert got == truth
     with pytest.raises(ValueError):
         fuzzy_self_join(df, "k", "s", max_distance=2)
+
+
+def test_theta_distinct_estimate_tracks_truth(spark):
+    """The θ-sample estimate must land within sampling error of the
+    true distinct count, and be exactly n_sampled × 16."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import sketch
+
+    # 2000 distinct values in one group, heavy duplication in another
+    rows = [("big", f"v{i}") for i in range(2000)] + [
+        ("dup", f"v{i % 20}") for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {
+        r["g"]: r
+        for r in sketch.theta_distinct(df, ["g"], "v").collect()
+    }
+    assert got["big"]["est_distinct"] == got["big"]["n_sampled"] * 16
+    # true 2000; θ=1/16 ⇒ expected 125 sampled, σ≈11 → generous bounds
+    assert 1200 <= got["big"]["est_distinct"] <= 2800
+    # duplicated group: only 20 distinct values feed the sample
+    assert got["dup"]["n_sampled"] <= 20

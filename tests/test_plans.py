@@ -246,3 +246,13 @@ def test_profile_documents_single_scan(spark):
     # one file-index per physical scan; the formatted plan repeats the
     # node label in the detail section, so count locations instead
     assert plan.count("Location: InMemoryFileIndex") == 1, plan[:2000]
+
+
+def test_pivot_is_single_aggregate(spark):
+    """The PIVOT must compile to one partial+final aggregate over one
+    scan — never a per-column pass or a value-discovery job."""
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    plan = explain_str(QUERY_FNS["sales_pivot_by_priority"](spark, SF_DIR))
+    assert plan.count("Location: InMemoryFileIndex") == 3  # orders+customer+nation
+    assert "CartesianProduct" not in plan
