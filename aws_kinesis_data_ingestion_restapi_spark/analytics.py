@@ -752,3 +752,38 @@ def fuzzy_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key_b").alias("custkey_b"),
         F.col("dist").cast("long").alias("dist"),
     )
+
+
+def salted_priority_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-salted two-phase aggregate (operators/scale.py
+    salted_agg) as a driver-verified query: per-priority order counts
+    and exact decimal sums computed via (key, salt) partials. The
+    oracle is the plain GROUP BY — proving the salted plan changes the
+    SHUFFLE SHAPE (a hot key spreads over n_salts reducers) without
+    changing a single output bit."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.scale import (
+        salted_agg,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    prep = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("amount_dec"),
+    )
+    out = salted_agg(
+        prep,
+        ["priority"],
+        {
+            "n_orders": ("count", "o_orderkey"),
+            "total_amount": ("sum", "amount_dec"),
+            "min_amount": ("min", "amount_dec"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "priority",
+        "n_orders",
+        F.col("total_amount").cast("double").alias("total_amount"),
+        F.col("min_amount").cast("double").alias("min_amount"),
+    )

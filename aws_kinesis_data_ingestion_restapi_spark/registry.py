@@ -223,6 +223,8 @@ QUERY_FNS: dict[str, QueryFn] = {
     "sales_pivot_by_priority": analytics.sales_pivot_by_priority,
     # edit-distance join (deletion-neighborhood blocking)
     "fuzzy_customer_names": analytics.fuzzy_customer_names,
+    # skew-salted two-phase aggregation, value-identical to plain GROUP BY
+    "salted_priority_sales": analytics.salted_priority_sales,
 }
 
 # Stateful streaming operators, driven through a real streaming query
@@ -609,6 +611,17 @@ ORACLE_SQL: dict[str, str] = {
             PARTITION BY event_type ORDER BY n DESC, k ASC) = 1
         ORDER BY event_type
     """,
+    # plain GROUP BY == the salted two-phase plan, bit for bit
+    "salted_priority_sales": """
+        SELECT o_orderpriority AS priority,
+               COUNT(o_orderkey) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_amount,
+               CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS min_amount
+        FROM orders
+        GROUP BY 1
+    """,
     # the quadratic reference form of the blocked edit-distance join
     "fuzzy_customer_names": """
         SELECT a.c_custkey AS custkey_a,
@@ -785,6 +798,7 @@ _GATE_HEAD = [
     "text_repetition",
     "sales_pivot_by_priority",
     "fuzzy_customer_names",
+    "salted_priority_sales",
 ]
 _GATE_TAIL = [
     # driver-verified in earlier rounds and untouched since (the
@@ -813,6 +827,7 @@ _GATE_TAIL = [
     "text_language_id",
     "text_quality_score",
     "text_pii_redact",
+    "text_pack_sequences",
 ]
 
 

@@ -87,6 +87,7 @@ ANALYTICS_QUERIES = [
     "profile_documents",
     "sketch_distinct_trigrams",
     "incremental_sales_rollup",
+    "salted_priority_sales",
     "pipeline_envelope_decode",
     "serving_last_write_wins",
     # window-function surface
