@@ -254,3 +254,36 @@ def test_stream_static_enrichment_broadcast(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["customer_id"]: r["nation"] for r in out}
     assert got == {"1": "FRANCE", "2": "KENYA", "99": None}
+
+
+def test_streaming_dedup_on_rocksdb_state_store(spark, tmp_path):
+    """The replay dedup must run unchanged on the RocksDB state store —
+    the disk-backed provider a 100 TB cluster actually uses (the
+    default in-memory HDFSBackedStateStore caps state at executor
+    heap). Same inputs, same provider-independent results."""
+    from aws_kinesis_data_ingestion_restapi_spark.streaming.registry_stream import (
+        _drain,
+        _order_stream,
+    )
+    from aws_kinesis_data_ingestion_restapi_spark.streaming.stateful import (
+        streaming_dedup_builtin,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, rocks)
+    try:
+        stream, d = _order_stream(spark, "/root/testdata/sf0.001", replays=2)
+        out = _drain(streaming_dedup_builtin(stream), "append", "rocksdedup")
+        n = out.count()
+        orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        assert n == orders.select("o_custkey", "o_orderkey").distinct().count()
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
