@@ -24,8 +24,11 @@ for the small-keyspace case where state must never expire.
 
 ``applyInPandasWithState`` is the Arrow-batched path (pandas per
 group-batch); Spark 4 offers ``transformWithStateInPandas`` with
-richer state types — this sticks to the older API, which exists on
-both 3.4+ and 4.x.
+richer state types, but in this build its Python driver worker
+crashes on a minimal ValueState processor ("TransformWithStateInPySpark
+driver worker exited unexpectedly", RocksDB provider set as required),
+so this module sticks to the older API — which exists on both 3.4+
+and 4.x and passes the full replay/TTL test matrix here.
 """
 
 from __future__ import annotations
@@ -172,3 +175,4 @@ def streaming_dedup_builtin(
     if watermark is not None:
         events = events.withWatermark(*watermark)
     return events.dropDuplicates(list(key_cols))
+

@@ -109,3 +109,4 @@ def test_streaming_running_totals_accumulate(spark, tmp_path, input_dir):
     assert final == {
         c: (n, cents / 100.0) for c, (n, cents) in want.items()
     }
+
