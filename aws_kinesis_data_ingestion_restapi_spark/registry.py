@@ -236,6 +236,7 @@ QUERY_FNS: dict[str, QueryFn] = {
 from aws_kinesis_data_ingestion_restapi_spark.streaming.registry_stream import (  # noqa: E402
     streaming_dedup_replay,
     streaming_enriched_nation_totals,
+    streaming_late_data_policy,
     streaming_payment_match,
     streaming_running_totals_final,
 )
@@ -244,6 +245,7 @@ QUERY_FNS["streaming_dedup_replay"] = streaming_dedup_replay
 QUERY_FNS["streaming_running_totals_final"] = streaming_running_totals_final
 QUERY_FNS["streaming_enriched_nation_totals"] = streaming_enriched_nation_totals
 QUERY_FNS["streaming_payment_match"] = streaming_payment_match
+QUERY_FNS["streaming_late_data_policy"] = streaming_late_data_policy
 
 # merge the dedup / similarity / text-analysis extension surface
 from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (  # noqa: E402
@@ -631,6 +633,23 @@ ORACLE_SQL: dict[str, str] = {
         JOIN customer b ON a.c_custkey < b.c_custkey
         WHERE levenshtein(a.c_name, b.c_name) <= 1
     """,
+    # watermark finalization boundary: every delivered row aggregates
+    # (this build's no-data-loss semantics for sub-watermark arrivals,
+    # pinned in the query docstring), and append mode emits exactly
+    # the windows whose end ≤ final watermark (max on-time ts − 1 h)
+    "streaming_late_data_policy": f"""
+        WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+        daily AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   COUNT(*) AS n_events,
+                   {_DSUM6.format(c='value')} AS total_value
+            FROM events
+            GROUP BY 1
+        )
+        SELECT day, n_events, total_value
+        FROM daily
+        WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY <= (SELECT w FROM wm)
+    """,
     # PIVOT == conditional aggregation per cell; fixed priority domain
     "sales_pivot_by_priority": """
         SELECT n_name AS nation,
@@ -799,6 +818,7 @@ _GATE_HEAD = [
     "sales_pivot_by_priority",
     "fuzzy_customer_names",
     "salted_priority_sales",
+    "streaming_late_data_policy",
 ]
 _GATE_TAIL = [
     # driver-verified in earlier rounds and untouched since (the
@@ -828,6 +848,7 @@ _GATE_TAIL = [
     "text_quality_score",
     "text_pii_redact",
     "text_pack_sequences",
+    "events_json_props",
 ]
 
 

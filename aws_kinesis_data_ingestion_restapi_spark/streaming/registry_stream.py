@@ -254,3 +254,73 @@ def streaming_payment_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+def streaming_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark finalization under out-of-order delivery, PROVEN: the
+    event stream arrives as two micro-batches — recent events first
+    (advancing the watermark to max(ts) − 1 h), then every event older
+    than the 2024-01-05 cutoff, all of it far below the established
+    watermark. The append-mode daily aggregate must emit EXACTLY the
+    windows whose end the final watermark has passed — the unfinalized
+    tail day is withheld — and that boundary is SQL-expressible, so
+    the oracle checks the values.
+
+    Observed engine semantics (pinned here): this Spark build
+    aggregates sub-watermark arrivals into their (already-evictable)
+    windows and emits them at the same commit rather than discarding
+    the rows — no data loss on out-of-order delivery; the watermark
+    governs WHEN windows finalize, which is what bounds window state.
+
+    Scale note: without the watermark a streaming agg retains every
+    open window forever; this query is the proof that finalization
+    happens at the documented boundary.
+    """
+    events = analytics._t(spark, sf_dir, "events")
+    cutoff = "2024-01-05"
+    base = events.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "value",
+    )
+    d = tempfile.mkdtemp(prefix="stream_late_")
+    stream_dir = os.path.join(d, "in")
+    os.makedirs(stream_dir)
+    # the file source orders batches by MODIFICATION TIME, not name —
+    # pin mtimes so the on-time delivery is provably batch 0 and the
+    # late delivery provably arrives after the watermark advanced
+    for i, (name, part) in enumerate(
+        (
+            ("b0_ontime", base.filter(F.col("ts") >= cutoff)),
+            ("b1_late", base.filter(F.col("ts") < cutoff)),
+        )
+    ):
+        staged = os.path.join(d, name)
+        part.write.mode("overwrite").json(staged)
+        target = os.path.join(stream_dir, f"{name}.json")
+        with open(target, "wb") as out:
+            for p in sorted(glob.glob(os.path.join(staged, "part-*"))):
+                with open(p, "rb") as f:
+                    shutil.copyfileobj(f, out)
+        mtime = 1_700_000_000 + i * 600
+        os.utime(target, (mtime, mtime))
+    stream = (
+        spark.readStream.schema("event_id long, ts string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(stream_dir)
+        .withColumn("ts", F.to_timestamp("ts"))
+        .withWatermark("ts", "1 hour")
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", scale=6, alias="total_value"),
+        )
+        .select(
+            F.to_date(F.col("w.start")).alias("day"), "n_events", "total_value"
+        )
+    )
+    out = _drain(agg, "append", "slate")
+    shutil.rmtree(d, ignore_errors=True)
+    return out

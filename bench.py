@@ -134,6 +134,7 @@ ANALYTICS_QUERIES = [
     "streaming_running_totals_final",
     "streaming_enriched_nation_totals",
     "streaming_payment_match",
+    "streaming_late_data_policy",
 ]
 
 
