@@ -787,3 +787,32 @@ def salted_priority_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_amount").cast("double").alias("total_amount"),
         F.col("min_amount").cast("double").alias("min_amount"),
     )
+
+
+def sql_above_average_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries through the RAW SQL surface
+    (SURVEY §2.7: the reference has none): orders priced at more than
+    1.5× their customer's average, written as two correlated
+    subqueries that Catalyst decorrelates into aggregate+join — no
+    per-row re-execution.
+
+    Exactness: the predicate is cross-multiplied into pure decimal
+    integer arithmetic (2·price·n > 3·sum) — an AVG of doubles would
+    put boundary rows at the mercy of each engine's summation order.
+    """
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    return spark.sql(
+        """
+        SELECT o_custkey AS customer_key,
+               o_orderkey AS order_key,
+               o_totalprice AS total_price
+        FROM orders_sq o
+        WHERE CAST(2 AS DECIMAL(2,0))
+                * CAST(o_totalprice AS DECIMAL(18,2))
+                * (SELECT COUNT(*) FROM orders_sq i
+                   WHERE i.o_custkey = o.o_custkey)
+              > CAST(3 AS DECIMAL(2,0))
+                * (SELECT SUM(CAST(i.o_totalprice AS DECIMAL(18,2)))
+                   FROM orders_sq i WHERE i.o_custkey = o.o_custkey)
+        """
+    )

@@ -225,6 +225,8 @@ QUERY_FNS: dict[str, QueryFn] = {
     "fuzzy_customer_names": analytics.fuzzy_customer_names,
     # skew-salted two-phase aggregation, value-identical to plain GROUP BY
     "salted_priority_sales": analytics.salted_priority_sales,
+    # correlated scalar subqueries via the raw SQL surface
+    "sql_above_average_orders": analytics.sql_above_average_orders,
 }
 
 # Stateful streaming operators, driven through a real streaming query
@@ -613,6 +615,18 @@ ORACLE_SQL: dict[str, str] = {
             PARTITION BY event_type ORDER BY n DESC, k ASC) = 1
         ORDER BY event_type
     """,
+    # same correlated-subquery SQL, modulo dialect casts
+    "sql_above_average_orders": """
+        SELECT o_custkey AS customer_key,
+               o_orderkey AS order_key,
+               o_totalprice AS total_price
+        FROM orders o
+        WHERE 2 * CAST(o_totalprice AS DECIMAL(18,2))
+                * (SELECT COUNT(*) FROM orders i
+                   WHERE i.o_custkey = o.o_custkey)
+              > 3 * (SELECT SUM(CAST(i.o_totalprice AS DECIMAL(18,2)))
+                     FROM orders i WHERE i.o_custkey = o.o_custkey)
+    """,
     # plain GROUP BY == the salted two-phase plan, bit for bit
     "salted_priority_sales": """
         SELECT o_orderpriority AS priority,
@@ -819,6 +833,7 @@ _GATE_HEAD = [
     "fuzzy_customer_names",
     "salted_priority_sales",
     "streaming_late_data_policy",
+    "sql_above_average_orders",
 ]
 _GATE_TAIL = [
     # driver-verified in earlier rounds and untouched since (the
@@ -849,6 +864,7 @@ _GATE_TAIL = [
     "text_pii_redact",
     "text_pack_sequences",
     "events_json_props",
+    "events_daily_stats",
 ]
 
 

@@ -88,6 +88,7 @@ ANALYTICS_QUERIES = [
     "sketch_distinct_trigrams",
     "incremental_sales_rollup",
     "salted_priority_sales",
+    "sql_above_average_orders",
     "pipeline_envelope_decode",
     "serving_last_write_wins",
     # window-function surface
