@@ -816,3 +816,24 @@ def sql_above_average_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                    FROM orders_sq i WHERE i.o_custkey = o.o_custkey)
         """
     )
+
+
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via Spark 4's VARIANT type: ``parse_json``
+    decodes each props payload ONCE into the binary variant encoding,
+    then typed ``try_variant_get`` paths read fields without re-parsing
+    — the modern replacement for per-field ``get_json_object`` string
+    re-parsing (which re-scans the JSON text for every extraction).
+    Aggregates event counts and exact value sums per k-bucket."""
+    events = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "int")
+    return (
+        events.select((k % 10).alias("k_mod10"), "value")
+        .groupBy("k_mod10")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", scale=6, alias="total_value"),
+        )
+        .orderBy("k_mod10")
+    )

@@ -227,6 +227,8 @@ QUERY_FNS: dict[str, QueryFn] = {
     "salted_priority_sales": analytics.salted_priority_sales,
     # correlated scalar subqueries via the raw SQL surface
     "sql_above_average_orders": analytics.sql_above_average_orders,
+    # VARIANT-typed semi-structured access (parse once, typed paths)
+    "events_variant_props": analytics.events_variant_props,
 }
 
 # Stateful streaming operators, driven through a real streaming query
@@ -615,6 +617,15 @@ ORACLE_SQL: dict[str, str] = {
             PARTITION BY event_type ORDER BY n DESC, k ASC) = 1
         ORDER BY event_type
     """,
+    # typed JSON path access, k bucketed mod 10
+    "events_variant_props": f"""
+        SELECT CAST(props->>'k' AS INTEGER) % 10 AS k_mod10,
+               COUNT(*) AS n,
+               {_DSUM6.format(c='value')} AS total_value
+        FROM events
+        GROUP BY 1
+        ORDER BY 1
+    """,
     # same correlated-subquery SQL, modulo dialect casts
     "sql_above_average_orders": """
         SELECT o_custkey AS customer_key,
@@ -834,6 +845,7 @@ _GATE_HEAD = [
     "salted_priority_sales",
     "streaming_late_data_policy",
     "sql_above_average_orders",
+    "events_variant_props",
 ]
 _GATE_TAIL = [
     # driver-verified in earlier rounds and untouched since (the
@@ -865,6 +877,7 @@ _GATE_TAIL = [
     "text_pack_sequences",
     "events_json_props",
     "events_daily_stats",
+    "events_tumbling_30s",
 ]
 
 

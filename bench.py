@@ -80,6 +80,7 @@ ANALYTICS_QUERIES = [
     "fuzzy_customer_names",
     "events_daily_stats",
     "events_json_props",
+    "events_variant_props",
     "events_tumbling_30s",
     "events_sessionization",
     "events_value_histogram",
