@@ -25,6 +25,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _deletion_variants(text: str) -> F.Column:
+    """{x} ∪ single-character deletions of x (the k=1 neighborhood)."""
+    c = F.col(text)
+    return F.array_union(
+        F.array(c),
+        F.transform(
+            F.sequence(F.lit(1), F.length(c)),
+            lambda i: F.concat(
+                c.substr(F.lit(1), i - F.lit(1)),
+                c.substr(i + F.lit(1), F.length(c)),
+            ),
+        ),
+    )
+
+
+def _exploded(df: DataFrame, key: str, text: str) -> DataFrame:
+    return df.select(
+        F.col(key).alias("_k"),
+        F.col(text).alias("_s"),
+        F.explode(_deletion_variants(text)).alias("_v"),
+    )
+
+
 def fuzzy_self_join(
     df: DataFrame,
     key: str,
@@ -41,20 +64,7 @@ def fuzzy_self_join(
     """
     if max_distance != 1:
         raise ValueError("deletion-neighborhood blocking implements k=1")
-    c = F.col(text)
-    variants = F.array_union(
-        F.array(c),
-        F.transform(
-            F.sequence(F.lit(1), F.length(c)),
-            lambda i: F.concat(
-                c.substr(F.lit(1), i - F.lit(1)),
-                c.substr(i + F.lit(1), F.length(c)),
-            ),
-        ),
-    )
-    base = df.select(
-        F.col(key).alias("_k"), c.alias("_s"), F.explode(variants).alias("_v")
-    )
+    base = _exploded(df, key, text)
     a = base.select(
         F.col("_k").alias("key_a"), F.col("_s").alias("_sa"), "_v"
     )
@@ -70,5 +80,38 @@ def fuzzy_self_join(
     dist = F.levenshtein("_sa", "_sb")
     return (
         cand.select("key_a", "key_b", dist.alias("dist"))
+        .filter(F.col("dist") <= max_distance)
+    )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    left_text: str,
+    right_key: str,
+    right_text: str,
+    max_distance: int = 1,
+) -> DataFrame:
+    """Two-table edit-distance join — match records against a reference
+    list (the entity-resolution shape: dirty names vs a canonical
+    dimension). Same deletion-neighborhood blocking and exactness
+    guarantee as :func:`fuzzy_self_join`; every (left, right) pair
+    within ``max_distance`` appears exactly once.
+
+    Output: (left_key, right_key, dist).
+    """
+    if max_distance != 1:
+        raise ValueError("deletion-neighborhood blocking implements k=1")
+    a = _exploded(left, left_key, left_text).select(
+        F.col("_k").alias("left_key"), F.col("_s").alias("_sa"), "_v"
+    )
+    b = _exploded(right, right_key, right_text).select(
+        F.col("_k").alias("right_key"), F.col("_s").alias("_sb"), "_v"
+    )
+    cand = a.join(b, "_v").select("left_key", "right_key", "_sa", "_sb").distinct()
+    dist = F.levenshtein("_sa", "_sb")
+    return (
+        cand.select("left_key", "right_key", dist.alias("dist"))
         .filter(F.col("dist") <= max_distance)
     )

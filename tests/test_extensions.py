@@ -862,3 +862,38 @@ def test_theta_distinct_estimate_tracks_truth(spark):
     assert 1200 <= got["big"]["est_distinct"] <= 2800
     # duplicated group: only 20 distinct values feed the sample
     assert got["dup"]["n_sampled"] <= 20
+
+
+def test_fuzzy_two_table_join_vs_brute(spark):
+    from aws_kinesis_data_ingestion_restapi_spark.operators.fuzzy import (
+        fuzzy_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "acme corp"), (2, "acme c0rp"), (3, "globex"), (4, "x")],
+        ["lk", "ls"],
+    )
+    right = spark.createDataFrame(
+        [(10, "acme corp"), (11, "globexx"), (12, "xy"), (13, "zzz")],
+        ["rk", "rs"],
+    )
+    got = {
+        (r["left_key"], r["right_key"]): r["dist"]
+        for r in fuzzy_join(left, right, "lk", "ls", "rk", "rs").collect()
+    }
+
+    def ed(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    truth = {
+        (lk, rk): ed(ls, rs)
+        for lk, ls in [(1, "acme corp"), (2, "acme c0rp"), (3, "globex"), (4, "x")]
+        for rk, rs in [(10, "acme corp"), (11, "globexx"), (12, "xy"), (13, "zzz")]
+        if ed(ls, rs) <= 1
+    }
+    assert got == truth
