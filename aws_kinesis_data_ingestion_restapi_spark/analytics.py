@@ -28,6 +28,7 @@ from aws_kinesis_data_ingestion_restapi_spark.session import (
     ensure_runtime_confs,
     spread_scan,
 )
+from aws_kinesis_data_ingestion_restapi_spark.sources.tables import load_table
 from aws_kinesis_data_ingestion_restapi_spark.functions.exact import (
     as_timestamp,
     charge_expr,
@@ -39,8 +40,10 @@ from aws_kinesis_data_ingestion_restapi_spark.functions.exact import (
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The harness may hand us a session built without our builder confs;
-    # re-assert the runtime-settable ones (nanosAsLong for events.ts,
-    # UTC timezone for oracle parity) before every scan.
+    # load_table re-asserts the runtime-settable ones (UTC timezone for
+    # oracle parity) and survives TIMESTAMP(NANOS) regenerations of the
+    # events table (sources/tables.read_parquet_tolerant — the round-1
+    # breakage class).
     #
     # No blanket spread_scan here: for shuffle-bound queries (joins,
     # aggregates — most of this module) the first shuffle already
@@ -48,8 +51,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # REGRESSED the ETL phase 13 s → 31 s. spread_scan is applied at
     # the sites whose per-row compute is proven heavy (q1's decimal
     # math below; the documents/embeddings scans in registry_ext).
-    ensure_runtime_confs(spark)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return load_table(spark, sf_dir, name)
 
 
 def build_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -717,12 +719,18 @@ def sales_pivot_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority (long → wide). Explicit pivot values pin the schema and
     skip the value-discovery scan; the whole pivot is ONE partial+final
     aggregate (each cell a conditional decimal sum) — the same single
-    shuffle a plain groupBy costs, never one pass per column."""
+    shuffle a plain groupBy costs, never one pass per column.
+
+    Join strategy: only ``nation`` (25 rows, constant) carries a
+    broadcast hint; ``customer`` grows linearly with the dataset, so
+    hinting it would force an OOM-prone broadcast at the 100 TB design
+    point — AQE picks broadcast vs shuffle for it from runtime sizes
+    (same policy as q5_local_supplier_volume)."""
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     wide = (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .pivot("o_orderpriority", list(ORDER_PRIORITIES))

@@ -39,6 +39,13 @@ largest ``xxhash64`` of the full right row — arbitrary but stable
 across partitionings, runs and engines that copy this rule. Right rows
 with a NULL time are dropped (cannot satisfy "at or before"; matches
 DuckDB ``ASOF JOIN``, the independent oracle for this operator).
+
+Bench note (sf0.1, asof_priority_rates): the (key, bucket) composite
+form measures 1.42 s vs 0.69 s for the round-2 per-key-window form.
+The ~0.7 s is the DELIBERATE price of keys × buckets parallelism —
+the per-key form serializes the whole fact table through |keys|
+window tasks (5 here) and is a non-starter at 100 TB. Do not
+"optimize" this back to the flat window.
 """
 
 from __future__ import annotations

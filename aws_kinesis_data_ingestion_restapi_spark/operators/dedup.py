@@ -263,6 +263,13 @@ def count_join_pairs(grams: DataFrame, threshold: float) -> DataFrame:
 #: count join would detonate.
 COUNT_JOIN_BUDGET = 2000
 
+#: Audit trail of the last ``method='auto'`` decision, for bench
+#: attribution: {"method", "s1" (Σdf), "s2" (Σdf²), "ratio"}. Written
+#: on every auto-mode call; read by bench notes / tests. A module
+#: global (not df metadata) because the decision happens driver-side
+#: at plan-construction time.
+LAST_SSJOIN_REPORT: dict = {}
+
 
 def ngram_jaccard_pairs(
     docs: DataFrame,
@@ -280,7 +287,9 @@ def ngram_jaccard_pairs(
       form — and picks ``'countjoin'`` when Σdf² ≤ 200·Σdf (bounded
       fan-out), else ``'prefix'``. Measured, not guessed: the two
       forms differ 10× in either direction depending on the df
-      distribution.
+      distribution. Auto mode is EAGER: it runs the stats job (and
+      persists the shingle frame for reuse) at construction time, and
+      records its decision in :data:`LAST_SSJOIN_REPORT`.
     - ``'prefix'``: rarity-ordered prefix filtering + pair
       verification (Bayardo AllPairs + PPJoin positional prune) —
       immune to hot shingles, the 100 TB-safe form.
@@ -298,6 +307,13 @@ def ngram_jaccard_pairs(
     ).repartition(F.col("doc_id"))
     if candidates is None:
         if method == "auto":
+            # NOTE: auto mode runs one EAGER Spark job here (the Σdf /
+            # Σdf² stats aggregate) at DataFrame-construction time —
+            # the price of a measured, not guessed, plan choice. The
+            # grams frame is persisted first so the tokenize+shingle
+            # work is paid once and reused by the join below instead
+            # of recomputed from the parquet scan.
+            grams = grams.persist()
             stats = (
                 grams.select(F.explode("grams").alias("tok"))
                 .groupBy("tok")
@@ -310,6 +326,16 @@ def ngram_jaccard_pairs(
             )
             s1, s2 = stats["s1"] or 0, stats["s2"] or 0
             method = "countjoin" if s2 <= COUNT_JOIN_BUDGET * s1 else "prefix"
+            LAST_SSJOIN_REPORT.clear()
+            LAST_SSJOIN_REPORT.update(
+                {
+                    "method": method,
+                    "s1": int(s1),
+                    "s2": int(s2),
+                    "ratio": round(s2 / s1, 1) if s1 else 0.0,
+                }
+            )
+            print(f"[ngram_jaccard] auto-selected {LAST_SSJOIN_REPORT}", flush=True)
         if method == "countjoin":
             return count_join_pairs(grams, threshold)
         # rarity-order the sets first: prefix buckets shrink from

@@ -75,12 +75,18 @@ def fuzzy_self_join(
         a.join(b, "_v")
         .filter(F.col("key_a") < F.col("key_b"))
         .select("key_a", "key_b", "_sa", "_sb")
-        .distinct()
     )
+    # Levenshtein + threshold BEFORE the dedup shuffle: the exchange
+    # then carries only qualifying (key_a, key_b, dist) triples — far
+    # smaller than a distinct over candidates WITH their texts. The
+    # min-agg both dedupes multi-variant matches and pins one dist per
+    # key pair when a key recurs with different texts.
     dist = F.levenshtein("_sa", "_sb")
     return (
         cand.select("key_a", "key_b", dist.alias("dist"))
         .filter(F.col("dist") <= max_distance)
+        .groupBy("key_a", "key_b")
+        .agg(F.min("dist").alias("dist"))
     )
 
 
@@ -96,8 +102,10 @@ def fuzzy_join(
     """Two-table edit-distance join — match records against a reference
     list (the entity-resolution shape: dirty names vs a canonical
     dimension). Same deletion-neighborhood blocking and exactness
-    guarantee as :func:`fuzzy_self_join`; every (left, right) pair
-    within ``max_distance`` appears exactly once.
+    guarantee as :func:`fuzzy_self_join`; every (left, right) KEY pair
+    within ``max_distance`` appears exactly once — when a key value
+    recurs with different texts, the pair keeps the MINIMUM distance
+    over its text combinations (the final per-pair min aggregate).
 
     Output: (left_key, right_key, dist).
     """
@@ -109,9 +117,11 @@ def fuzzy_join(
     b = _exploded(right, right_key, right_text).select(
         F.col("_k").alias("right_key"), F.col("_s").alias("_sb"), "_v"
     )
-    cand = a.join(b, "_v").select("left_key", "right_key", "_sa", "_sb").distinct()
+    cand = a.join(b, "_v").select("left_key", "right_key", "_sa", "_sb")
     dist = F.levenshtein("_sa", "_sb")
     return (
         cand.select("left_key", "right_key", dist.alias("dist"))
         .filter(F.col("dist") <= max_distance)
+        .groupBy("left_key", "right_key")
+        .agg(F.min("dist").alias("dist"))
     )

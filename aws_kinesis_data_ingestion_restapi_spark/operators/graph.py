@@ -39,6 +39,13 @@ def connected_components(
     nodes with no edges become singleton components of themselves
     (pass the full doc_id set for dedup so every document gets a
     label). Returns (node, component).
+
+    Min-label propagation needs ~graph-diameter rounds; if the loop
+    exhausts ``max_iter`` before fixpoint the labels are PARTIAL, so
+    that case raises rather than returning plausible-looking wrong
+    components (near-dup graphs have tiny diameters — clusters of
+    mutual near-copies — so 20 rounds is generous there; raise
+    ``max_iter`` for long-chain graphs).
     """
     a, b = pairs.columns[:2]
     edges = pairs.select(
@@ -74,5 +81,9 @@ def connected_components(
         changed = updated.filter(F.col("_new") < F.col("component")).count()
         labels = updated.select("node", F.col("_new").alias("component"))
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge within max_iter={max_iter} "
+        f"rounds (last round still relabeled {changed} nodes); labels would "
+        "be partially propagated — raise max_iter for long-chain graphs"
+    )

@@ -6,9 +6,12 @@ feature-extraction / resize / frame-sampling as Arrow-batched
 The reference repo has no binary surface (SURVEY §2.7); this extends it
 for the training-data-pipeline north star. The real-codec path
 dispatches to PIL / soundfile / av when those libraries are importable
-(``codec_available``) and raises ``NotImplementedError`` only where
-they are genuinely absent — in this container they are, so the
-deterministic fake-decode path is the tested default. Everything
+(``codec_available``), falls back to vendored pure-Python
+mini-decoders for the containers they can handle (24bpp BMP via
+``decode_bmp_rgb``, PCM WAV via stdlib ``wave`` — so the real branch
+is exercised and tested even in this codec-less container), and raises
+``NotImplementedError`` only where decoding is genuinely impossible.
+The deterministic fake-decode path remains the oracle-checked default. Everything
 Spark-side is real and tested either way: the asset schema, the binary
 column plumbing, the Arrow batch iteration, the UDF output schemas,
 and the partitioning behavior.
@@ -134,44 +137,90 @@ def codec_available(kind: str) -> bool:
     return mod is not None and importlib.util.find_spec(mod) is not None
 
 
-def _decode_real(kind: str, payload: bytes) -> dict:
-    """Real codec decode, dispatched per kind when the library exists;
-    raises ``NotImplementedError`` only where the codec is genuinely
-    absent. Output shape matches ``_decode_fake`` (byte statistics of
-    the DECODED samples instead of the container payload) so the
-    downstream schema is identical on both paths.
-    """
-    if not codec_available(kind):
-        raise NotImplementedError(
-            f"no {_CODEC_MODULES.get(kind, '?')} in this environment for "
-            f"kind={kind!r}; use fake_decode=True (deterministic "
-            "byte-stats decode) or install PIL/soundfile/av"
-        )
-    if kind == "image":  # pragma: no cover - PIL absent in this image
-        import io
+def decode_bmp_rgb(payload: bytes) -> bytes:
+    """Vendored pure-Python BMP decoder (24-bit uncompressed only) —
+    the minimal real-codec path exercisable WITHOUT PIL. Returns raw
+    RGB bytes, rows top-to-bottom, exactly like
+    ``PIL.Image.convert("RGB").tobytes()`` would for the same file.
+    Format reference: the public BITMAPFILEHEADER/BITMAPINFOHEADER
+    layout (14-byte file header + 40-byte DIB; little-endian fields;
+    rows padded to 4 bytes; positive height = bottom-up)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(payload[10:14], "little")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0 or width <= 0:
+        raise ValueError("mini decoder handles 24bpp uncompressed BMP only")
+    top_down, height = height < 0, abs(height)
+    stride = ((width * 3 + 3) // 4) * 4
+    out = bytearray()
+    row_order = range(height) if top_down else range(height - 1, -1, -1)
+    for r in row_order:
+        line = payload[data_off + r * stride : data_off + r * stride + width * 3]
+        for i in range(0, width * 3, 3):
+            out += line[i : i + 3][::-1]  # stored BGR → RGB
+    return bytes(out)
 
-        from PIL import Image
 
-        with Image.open(io.BytesIO(payload)) as im:
-            raw = im.convert("RGB").tobytes()
-        return _byte_stats(raw)
-    if kind == "audio":  # pragma: no cover - soundfile absent here
-        import io
-
-        import soundfile as sf
-
-        data, _rate = sf.read(io.BytesIO(payload), dtype="int16")
-        raw = data.tobytes()
-        return _byte_stats(raw)
-    # video  # pragma: no cover - av absent here
+def decode_wav_pcm(payload: bytes) -> bytes:
+    """Vendored WAV decoder via the stdlib ``wave`` module: raw PCM
+    sample bytes — byte-identical to ``soundfile.read(dtype='int16')
+    .tobytes()`` for PCM16 WAV files."""
     import io
+    import wave
 
-    import av
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        return w.readframes(w.getnframes())
 
-    with av.open(io.BytesIO(payload)) as container:
-        frame = next(container.decode(video=0))
-        raw = bytes(frame.planes[0])
-    return _byte_stats(raw)
+
+def _decode_real(kind: str, payload: bytes) -> dict:
+    """Real codec decode: the full library (PIL / soundfile / av) when
+    importable, else the vendored mini-decoder when the payload is a
+    container it handles (24bpp BMP / PCM WAV), else
+    ``NotImplementedError`` — the only genuinely-absent case. Output
+    shape matches ``_decode_fake`` (byte statistics of the DECODED
+    samples instead of the container payload) so the downstream schema
+    is identical on every path.
+    """
+    if kind == "image":
+        if codec_available("image"):  # pragma: no cover - PIL absent here
+            import io
+
+            from PIL import Image
+
+            with Image.open(io.BytesIO(payload)) as im:
+                raw = im.convert("RGB").tobytes()
+            return _byte_stats(raw)
+        if payload[:2] == b"BM":
+            return _byte_stats(decode_bmp_rgb(payload))
+    elif kind == "audio":
+        if codec_available("audio"):  # pragma: no cover - soundfile absent
+            import io
+
+            import soundfile as sf
+
+            data, _rate = sf.read(io.BytesIO(payload), dtype="int16")
+            return _byte_stats(data.tobytes())
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return _byte_stats(decode_wav_pcm(payload))
+    elif codec_available("video"):  # pragma: no cover - av absent here
+        import io
+
+        import av
+
+        with av.open(io.BytesIO(payload)) as container:
+            frame = next(container.decode(video=0))
+            raw = bytes(frame.planes[0])
+        return _byte_stats(raw)
+    raise NotImplementedError(
+        f"no {_CODEC_MODULES.get(kind, '?')} in this environment and the "
+        f"payload is not a vendored-decodable container for kind={kind!r}; "
+        "use fake_decode=True (deterministic byte-stats decode) or install "
+        "PIL/soundfile/av"
+    )
 
 
 def _byte_stats(payload: bytes) -> dict:

@@ -12,6 +12,7 @@ changes on one side only.
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -34,6 +35,7 @@ from aws_kinesis_data_ingestion_restapi_spark.session import (
     ensure_runtime_confs,
     spread_scan,
 )
+from aws_kinesis_data_ingestion_restapi_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (DuckDB dialect), mirroring operators.text/dedup
@@ -58,17 +60,11 @@ def _shingles(n: int, toks: str = "t") -> str:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ensure_runtime_confs(spark)
-    return spread_scan(
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    )
+    return spread_scan(load_table(spark, sf_dir, "documents"))
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ensure_runtime_confs(spark)
-    return spread_scan(
-        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    )
+    return spread_scan(load_table(spark, sf_dir, "embeddings"))
 
 
 # ---------------------------------------------------------------------------
@@ -174,7 +170,17 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = sampling.stratified_sample(
         deduped.join(keep, "doc_id"), rates=SAMPLE_RATES
     )
-    return packing.pack_sequences(sampled)
+    # Precompute the packing block from the RAW doc count (a cheap
+    # parquet-metadata count on the un-spread scan) instead of letting
+    # pack_sequences count(sampled) — that would materialize the whole
+    # dedup→quality→sample chain a second time (measured: the r3 bench
+    # ran curation_pipeline 3.3× slower than r2 for exactly this
+    # reason). Packing results are block-size independent
+    # (property-tested), and √(pre-filter n) ≥ √(post-filter n) only
+    # fattens the blocks.
+    raw_n = load_table(spark, sf_dir, "documents").count()
+    block = max(packing.MIN_BLOCK, math.isqrt(raw_n) + 1)
+    return packing.pack_sequences(sampled, block=block)
 
 
 # ---------------------------------------------------------------------------
@@ -285,7 +291,7 @@ def asof_priority_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority class (quotes synthesized deterministically: first-of-month
     1995-2001, rate = 1 + ((7m + len(priority)) % 13) / 100)."""
     ensure_runtime_confs(spark)
-    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+    orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_orderdate"
     )
     m = F.col("m")
@@ -325,7 +331,7 @@ def events_range_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
     the correctness compare is order-insensitive, and a global range
     sort would be pure presentation cost at scale."""
     ensure_runtime_confs(spark)
-    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    events = load_table(spark, sf_dir, "events")
     return rangejoin.follow_within(events, window_s=60)
 
 
@@ -340,7 +346,7 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-keyed copies inserted where divisible by 101."""
     ensure_runtime_confs(spark)
     cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
-    old = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(*cols)
+    old = load_table(spark, sf_dir, "orders").select(*cols)
     k = F.col("o_orderkey")
     new = old.filter(k % 97 != 0).withColumn(
         "o_totalprice",
@@ -1072,14 +1078,20 @@ EXT_ORACLE_SQL = {
         )
         WHERE rank <= 5
     """,
-    # IVF geometry shared with similarity.topk_ivf via the constants:
-    # centroids = vec_id % CENTROID_STRIDE == 0, N_PROBES probed cells,
-    # ties on (d2, cell) / (score DESC, neighbor_id)
+    # IVF geometry shared with similarity.topk_ivf: auto stride ⌊√n⌋
+    # (computed from the data in BOTH engines — isqrt there, floor(sqrt)
+    # here; exact for n < 2^53), centroids = vec_id % stride == 0,
+    # N_PROBES probed cells, ties on (d2, cell) / (score DESC,
+    # neighbor_id)
     "ann_topk_ivf": f"""
-        WITH comp AS ({_COMP}),
+        WITH stride AS (
+            SELECT GREATEST(CAST(floor(sqrt(COUNT(*))) AS BIGINT), 1) AS s
+            FROM embeddings
+        ),
+        comp AS ({_COMP}),
         cent AS (
             SELECT vec_id AS cell FROM embeddings
-            WHERE vec_id % {similarity.CENTROID_STRIDE} = 0
+            WHERE vec_id % (SELECT s FROM stride) = 0
         ),
         cd AS (
             SELECT a.vec_id, c.cell,

@@ -25,13 +25,24 @@ Scale design:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 SIGN_BITS = 8  # leading components used for the LSH bucket id
 N_TABLES = 3  # bucketings stacked by the multi-table near-dup path
-CENTROID_STRIDE = 25  # IVF: every Nth corpus vector is a coarse centroid
+
+
+def auto_stride(n: int) -> int:
+    """IVF auto centroid stride = ⌊√n⌋, so centroid count ≈ √n — o(n)
+    in the corpus size (a fixed stride would grow K linearly, blowing
+    up the centroid broadcast and the n×K assignment at scale). Exact
+    for any n < 2^53 in BOTH engines: Python ``isqrt`` here, DuckDB
+    ``floor(sqrt(n))`` in the oracle — IEEE sqrt of a perfect square
+    is exact, so the floors agree."""
+    return max(1, math.isqrt(n))
 N_PROBES = 3  # IVF: cells each query probes
 SCALE = 10_000  # per-component quantization factor
 SCALE2 = float(SCALE * SCALE)  # score divisor (dot of two scaled vecs)
@@ -169,7 +180,7 @@ def topk_ivf(
     embs: DataFrame,
     n_queries: int = 10,
     k: int = 5,
-    centroid_stride: int = CENTROID_STRIDE,
+    centroid_stride: int | None = None,
     nprobe: int = N_PROBES,
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -178,12 +189,19 @@ def topk_ivf(
     ``nprobe`` nearest cells, and the exact scaled-integer dot product
     reranks only the vectors assigned to probed cells.
 
-    Centroids are deterministic — every ``centroid_stride``-th corpus
-    vector (no trained model, so the DuckDB oracle replicates the
-    index bit-for-bit). Assignment ties break on the lower cell id.
+    Centroids are deterministic — corpus vectors whose id divides the
+    stride (no trained model, so the DuckDB oracle replicates the
+    index bit-for-bit). ``centroid_stride=None`` (default) auto-sizes
+    the stride to ⌊√n⌋ via one cheap count, giving ~√n centroids: the
+    centroid count is o(n), so the centroid broadcast and the n×K
+    assignment cost stay sublinear-per-row as the corpus grows
+    (round-3 review flagged the old fixed stride, whose K grew
+    LINEARLY with n). At production scale pass an explicit stride to
+    pin K FAISS-style (K ≈ thousands), decoupling index geometry from
+    corpus size entirely. Assignment ties break on the lower cell id.
 
-    Scale shape: centroids are a broadcast dim (n/stride rows), so
-    cell assignment is a map-side expand over the broadcast followed
+    Scale shape: centroids are a broadcast dim (~√n or n/stride rows),
+    so cell assignment is a map-side expand over the broadcast followed
     by a partially-aggregated ``min(struct(d2, cell))`` — the shuffle
     carries ONE row per corpus vector, never the n×K expansion.
     Candidate generation is an equi-join on the cell id (the query
@@ -192,6 +210,8 @@ def topk_ivf(
     IVF trade. Recall is tuned by ``nprobe`` exactly as in
     FAISS-style IVF-flat."""
     base = embs.select(F.col(id_col), quantized().alias("v"))
+    if centroid_stride is None:
+        centroid_stride = auto_stride(embs.count())
     cents = base.filter((F.col(id_col) % centroid_stride) == 0).select(
         F.col(id_col).alias("cell"), F.col("v").alias("cv")
     )

@@ -272,6 +272,13 @@ def streaming_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rows — no data loss on out-of-order delivery; the watermark
     governs WHEN windows finalize, which is what bounds window state.
 
+    CAVEAT — non-contractual: Spark documents late-beyond-watermark
+    handling as "may or may not be aggregated"; the oracle bakes in
+    this build's observed behavior, so RE-VERIFY this query after any
+    Spark upgrade (scripts/check_correctness.py runs it; if a future
+    build drops sub-watermark rows, the oracle's late-day rows must
+    move behind the same boundary the engine guarantees).
+
     Scale note: without the watermark a streaming agg retains every
     open window forever; this query is the proof that finalization
     happens at the documented boundary.

@@ -15,8 +15,10 @@ Usage: python bench.py
   SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS    local parallelism (default 32)
 
-Output: {"metric": "...", "value": <total sec>, "unit": "sec",
-         "queries": {name: sec, ...}, "sf": <float>}
+Output: two JSON lines — a verbose one (full-precision seconds) and a
+compact FINAL one the driver parses from its 2000-char output tail:
+  {"metric": "wall", "value": <total sec>, "unit": "sec",
+   "qunit": "cs", "queries": {name: <int centisec>, ...}, "sf": <float>}
 
 Partition-layout note: the reference partitions `orders` by
 customer_id (terraform/main.tf:675); at bench scale that cardinality
@@ -140,6 +142,18 @@ ANALYTICS_QUERIES = [
 ]
 
 
+#: Bench-line aliases for the Athena-path queries (full names live in
+#: queries.REFERENCE_SQL; shortened here only to keep the final JSON
+#: line inside the driver's 2000-char capture).
+REF_BENCH_KEYS = {
+    "total_sales_per_country": "ref_sales_country",
+    "average_order_value": "ref_avg_order",
+    "total_income_per_payment_method": "ref_pay_income",
+    "most_sales_products": "ref_top_products",
+    "order_and_client_details": "ref_order_client",
+}
+
+
 def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -166,11 +180,15 @@ def main() -> None:
         timings["etl_derive_tables"] = round(time.perf_counter() - t0, 3)
 
         # --- Athena-path: the 5 reference queries over materialized tables ---
+        # Keys are shortened (ref_sales_country vs ref_total_sales_per_
+        # country etc.) so the FINAL JSON line fits the driver's
+        # 2000-char output capture — BENCH_r03 lost this family to
+        # truncation. The mapping is 1:1 with queries.REFERENCE_SQL.
         register_derived_tables(spark, warehouse)
         for name, sql in REFERENCE_SQL.items():
             t0 = time.perf_counter()
             _noop(spark.sql(sql))
-            timings[f"ref_{name}"] = round(time.perf_counter() - t0, 3)
+            timings[REF_BENCH_KEYS[name]] = round(time.perf_counter() - t0, 3)
 
         # --- general analytics over the raw testdata ---
         for name in ANALYTICS_QUERIES:
@@ -213,10 +231,14 @@ def main() -> None:
         shutil.rmtree(warehouse, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
+    # Verbose line first (full-precision seconds, for local reading) —
+    # the driver keeps only the LAST 2000 chars of output, so this line
+    # sacrifices itself to truncation while the compact final line
+    # survives whole and parses.
     print(
         json.dumps(
             {
-                "metric": "etl_plus_headline_queries_wall",
+                "metric": "etl_plus_headline_queries_wall_verbose",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
@@ -224,6 +246,24 @@ def main() -> None:
             }
         )
     )
+    # Final line: per-query times as centisecond INTEGERS ("qunit") so
+    # all ~72 entries fit the 2000-char capture (ms overflows it);
+    # falls back to deciseconds if a pathological run still overflows.
+    for qunit, scale in (("cs", 100), ("ds", 10)):
+        line = json.dumps(
+            {
+                "metric": "wall",
+                "value": total,
+                "unit": "sec",
+                "qunit": qunit,
+                "queries": {k: int(round(v * scale)) for k, v in timings.items()},
+                "sf": sf,
+            },
+            separators=(",", ":"),
+        )
+        if len(line) <= 1990:
+            break
+    print(line)
     spark.stop()
 
 
