@@ -224,17 +224,33 @@ def _decode_real(kind: str, payload: bytes) -> dict:
 
 
 def _byte_stats(payload: bytes) -> dict:
-    """The shared feature shape of both decode paths."""
+    """The shared feature shape of both decode paths.
+
+    numpy path is BIT-EXACT vs the plain-int fallback: uint8 sums in
+    int64 are exact integers (< 2^53 for any real payload), min/max are
+    exact, and the one final division is the same IEEE double op — so
+    the oracle hash is unchanged while the per-asset Python loop cost
+    drops ~10× (measured on mm_extract_features at sf0.1)."""
     n = len(payload)
     if n == 0:
         return {"n_bytes": 0, "byte_mean": 0.0, "byte_min": 0, "byte_max": 0}
-    # plain-int arithmetic (not numpy) → bit-exact everywhere
-    return {
-        "n_bytes": n,
-        "byte_mean": sum(payload) / n,
-        "byte_min": min(payload),
-        "byte_max": max(payload),
-    }
+    try:
+        import numpy as np
+
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        return {
+            "n_bytes": n,
+            "byte_mean": int(arr.sum(dtype=np.int64)) / n,
+            "byte_min": int(arr.min()),
+            "byte_max": int(arr.max()),
+        }
+    except ImportError:  # pragma: no cover - numpy is baked into this env
+        return {
+            "n_bytes": n,
+            "byte_mean": sum(payload) / n,
+            "byte_min": min(payload),
+            "byte_max": max(payload),
+        }
 
 
 def _decode_fake(kind: str, payload: bytes) -> dict:

@@ -394,6 +394,18 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: fixed term query for the registered BM25 entry — terms from the
+#: synthetic corpus vocabulary; shared with the oracle SQL below
+BM25_QUERY_TERMS = ("spark", "join", "stream", "vector")
+
+
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-free BM25 ranked retrieval (operators/text.bm25_rank) over
+    the documents corpus for a fixed 4-term query — the relevance-
+    selection primitive of a training-data pipeline."""
+    return text.bm25_rank(_docs(spark, sf_dir), list(BM25_QUERY_TERMS), top_n=25)
+
+
 def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(
         multimodal.synthesize_assets(_docs(spark, sf_dir))
@@ -422,6 +434,7 @@ EXT_QUERY_FNS = {
     "text_pack_sequences": text_pack_sequences,
     "text_stratified_sample": text_stratified_sample,
     "text_repetition": text_repetition,
+    "text_bm25_search": text_bm25_search,
     "sketch_distinct_trigrams": sketch_distinct_trigrams,
     "dedup_components": dedup_components,
     "curation_pipeline": curation_pipeline,
@@ -608,7 +621,54 @@ _MM_MAGIC = (
 _FC = multimodal.FRAME_CHARS
 _FS = multimodal.FRAME_STRIDE
 
+#: SQL list literal of the BM25 query terms
+_BM25_TERMS = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+
 EXT_ORACLE_SQL = {
+    # Log-free BM25 (see operators/text.bm25_rank): every op is IEEE
+    # +,-,*,/ over exact integer inputs with PINNED parenthesization —
+    # 2.2 is k1+1 and 0.25 is 1-b as exact double literals — and the
+    # per-doc sum is decimal(18,6)-exact, so the score hash matches
+    # bit-for-bit. Ranks tie-break on doc_id like the Spark side.
+    "text_bm25_search": f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS} AS t FROM documents
+        ),
+        lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+        stats AS (
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+            FROM lens
+        ),
+        hits AS (
+            SELECT doc_id, tok, COUNT(*) AS tf
+            FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+            WHERE tok IN ({_BM25_TERMS})
+            GROUP BY 1, 2
+        ),
+        dfs AS (SELECT tok, COUNT(*) AS df FROM hits GROUP BY 1),
+        contrib AS (
+            SELECT h.doc_id,
+                   ((n_docs - df + 0.5) / (df + 0.5))
+                     * (tf * 2.2)
+                     / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))) AS c
+            FROM hits h
+            JOIN lens USING (doc_id)
+            JOIN dfs USING (tok)
+            CROSS JOIN stats
+        ),
+        scored AS (
+            SELECT doc_id,
+                   CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE) AS score
+            FROM contrib GROUP BY 1
+        )
+        SELECT doc_id, score,
+               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT)
+                   AS rank
+        FROM scored
+        ORDER BY score DESC, doc_id
+        LIMIT 25
+    """,
     # Valid because the synthetic corpus is pure ASCII (byte ≡ codepoint,
     # so ord(substr) enumerates payload bytes and md5(text) ≡ md5 of the
     # utf-8 payload); the Spark side computes real byte stats on binary.

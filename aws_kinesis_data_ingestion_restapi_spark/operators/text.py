@@ -287,3 +287,77 @@ def _word_ngrams2(toks: str) -> Column:
     return F.array_distinct(
         F.transform(F.sequence(F.lit(1), F.size(t) - 1), gram)
     )
+
+
+# ---------------------------------------------------------------------------
+# ranked retrieval (BM25-family relevance scoring)
+# ---------------------------------------------------------------------------
+
+#: BM25 shape parameters (Robertson et al., TREC-3) — shared with the
+#: oracle SQL, which re-derives the identical formula text.
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_rank(
+    docs: DataFrame,
+    query_terms: list[str],
+    top_n: int = 25,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-``top_n`` documents for a term query, scored with log-free
+    BM25 — ranked retrieval over the corpus (relevance filtering /
+    example selection for a training-data pipeline).
+
+    Scoring: standard BM25 tf saturation and length normalization, but
+    idf is the raw Robertson-Sparck-Jones odds ``(N - df + 0.5) /
+    (df + 0.5)`` WITHOUT the log. The log is a monotone per-term
+    transform, so per-term orderings are preserved, and dropping it
+    keeps every operation an IEEE +,-,*,/ on exact integer inputs —
+    correctly rounded and therefore BIT-IDENTICAL across engines
+    (libm ``log`` is only 1-ulp-accurate and differs between JVM and
+    DuckDB, which would break the value-hash oracle). Per-doc term
+    contributions are summed decimal-exactly (``dsum`` at scale 6) so
+    the sum is association-order-independent.
+
+    Scale shape: tokens explode map-side and the ``isin(query_terms)``
+    filter prunes the stream BEFORE the (doc, term) shuffle, so shuffle
+    volume is proportional to query-term hits, not corpus tokens.
+    Corpus stats (N, avgdl) and per-term dfs are metadata-scale frames
+    joined back via broadcast; the final top-n is TakeOrdered
+    (distributed heap), never a global sort. Ties break on doc_id.
+
+    Output: (doc_id, score, rank), rank 1..top_n.
+    """
+    from pyspark.sql.window import Window
+
+    from aws_kinesis_data_ingestion_restapi_spark.functions.exact import dsum
+
+    lens = docs.select("doc_id", F.size(tokens_col()).alias("dl"))
+    # corpus stats as a 1-row broadcast frame — no driver-side collect
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    hits = (
+        docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
+        .filter(F.col("tok").isin(list(query_terms)))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(lens, "doc_id")
+    )
+    dfs = hits.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = hits.join(F.broadcast(dfs), "tok").crossJoin(F.broadcast(stats))
+    # exact-int inputs; fixed parenthesization — mirrored in the oracle
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.col("avgdl"))
+    )
+    contrib = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+    per_doc = scored.groupBy("doc_id").agg(dsum(contrib, scale=6, alias="score"))
+    top = per_doc.orderBy(F.col("score").desc(), F.col("doc_id")).limit(top_n)
+    w = Window.partitionBy(F.lit(1)).orderBy(F.col("score").desc(), F.col("doc_id"))
+    return top.select(
+        "doc_id", "score", F.row_number().over(w).cast("int").alias("rank")
+    )

@@ -817,6 +817,8 @@ ORACLE_SQL.update(EXT_ORACLE_SQL)
 # park stable, already-driver-verified, untouched baselines at the
 # tail, where falling past position 50 loses nothing.
 _GATE_HEAD = [
+    # new in round 4 — first driver verification this round.
+    "text_bm25_search",
     # never driver-verified (r2 gate stopped at 50); mm_asset_stats is
     # the only query ever to FAIL the driver hash (r1) — its fix needs
     # a green driver row.
@@ -839,7 +841,6 @@ _GATE_HEAD = [
     "events_type_mode",
     "profile_documents",
     "sketch_distinct_trigrams",
-    "streaming_payment_match",
     "dedup_components",
     "incremental_sales_rollup",
     "text_repetition",
@@ -879,10 +880,11 @@ _GATE_TAIL = [
     "text_pii_redact",
     "text_pack_sequences",
     # r3-green, code untouched in round 4, double-covered by pytest
-    # (rotated out to make room for the events trio above).
+    # (rotated out to make room for the events trio + text_bm25_search).
     "customers_with_urgent_orders",
     "customers_without_urgent_orders",
     "customer_retention",
+    "streaming_payment_match",
 ]
 
 

@@ -105,6 +105,7 @@ ANALYTICS_QUERIES = [
     "text_fingerprint",
     "text_pii_redact",
     "text_repetition",
+    "text_bm25_search",
     "text_length_quantiles",
     "text_pack_sequences",
     "text_stratified_sample",

@@ -156,3 +156,25 @@ def test_connected_components_raises_on_non_convergence(spark):
     # and converges fine when allowed enough rounds
     ok = connected_components(chain, max_iter=40).collect()
     assert {r["component"] for r in ok} == {0}
+
+
+def test_bm25_rank_basic(spark):
+    """Sanity on a hand-built corpus: term-dense short docs outrank
+    long sparse ones; ranks are contiguous from 1; only matching docs
+    appear."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.text import bm25_rank
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark"),           # dense hit
+            (2, "spark " + "filler " * 50),      # diluted hit
+            (3, "join join"),                    # other term
+            (4, "nothing relevant here"),        # no hit
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_rank(docs, ["spark", "join"], top_n=10).collect()
+    got = {r["doc_id"]: r for r in rows}
+    assert 4 not in got
+    assert sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))
+    assert got[1]["score"] > got[2]["score"]  # tf saturation + length norm
