@@ -845,3 +845,102 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k_mod10")
     )
+
+
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill + forward-fill — the resample operator
+    Spark has no built-in for: a dense hourly grid per event_type over
+    the stream's global span, actual hours aggregated, missing hours
+    zero-filled, plus the LAST OBSERVED hourly total carried forward
+    across gaps (``last(..., ignorenulls=True)``).
+
+    Scale shape: the fact table pays ONE (type, hour) aggregate
+    shuffle; the grid is ``sequence(min_hour, max_hour, 1 hour)``
+    exploded from a 1-row bounds aggregate crossed with the distinct
+    type dim — span × types rows, metadata-scale next to the facts (a
+    year is 8 760 rows/type no matter how many events). The
+    forward-fill window is per type over those grid rows — thousands
+    of rows per partition, so per-type parallelism is NOT a funnel
+    here (contrast operators/asof.py, where the window runs over the
+    fact table itself and needs time-bucket compositing)."""
+    from pyspark.sql.window import Window
+
+    events = _t(spark, sf_dir, "events")
+    hr = F.date_trunc("hour", as_timestamp(events, "ts")).alias("hour")
+    actual = (
+        events.select(hr, "event_type", "value")
+        .groupBy("event_type", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            dsum("value", scale=6, alias="_v"),
+        )
+    )
+    bounds = events.select(hr).agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    types = events.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = grid.join(actual, ["event_type", "hour"], "left")
+    return joined.select(
+        "event_type",
+        "hour",
+        F.coalesce("_n", F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce("_v", F.lit(0.0)).alias("total_value"),
+        F.coalesce(F.last("_v", ignorenulls=True).over(w), F.lit(0.0)).alias(
+            "carried_value"
+        ),
+    )
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase): users
+    counted at each stage only if the stage event happens STRICTLY
+    AFTER their previous stage's first event — the sequencing makes
+    this a temporal pattern match, not three independent counts.
+
+    Shape: one (user, stage) conditional-min aggregate per stage, each
+    consuming the previous stage's per-user timestamp via an equi-join
+    on user_id — three hash shuffles on the same key (co-partitioned,
+    AQE reuses the layout), no window over the fact table, no explode.
+    Output is one row per stage with the reached-user count."""
+    events = _t(spark, sf_dir, "events")
+    ts = as_timestamp(events, "ts")
+    base = events.select("user_id", "event_type", ts.alias("t"))
+
+    def first_after(prev: DataFrame, etype: str, out: str) -> DataFrame:
+        cond = base.filter(F.col("event_type") == etype)
+        if prev is None:
+            return cond.groupBy("user_id").agg(F.min("t").alias(out))
+        pcol = prev.columns[-1]
+        return (
+            cond.join(prev, "user_id")
+            .filter(F.col("t") > F.col(pcol))
+            .groupBy("user_id")
+            .agg(F.min("t").alias(out))
+        )
+
+    s1 = first_after(None, "view", "t1")
+    s2 = first_after(s1, "click", "t2")
+    s3 = first_after(s2, "purchase", "t3")
+    stages = [("1_view", s1), ("2_click", s2), ("3_purchase", s3)]
+    counts = [
+        df.agg(
+            F.lit(name).alias("stage"), F.count(F.lit(1)).alias("n_users")
+        )
+        for name, df in stages
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out

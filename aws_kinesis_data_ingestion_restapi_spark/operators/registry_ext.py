@@ -394,6 +394,25 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup APPLY step: materialize the curated corpus from the
+    near-dup cluster graph — one canonical survivor (the component's
+    min doc_id) per MinHash-LSH connected component, carrying how many
+    documents it collapsed. Pair/cluster REPORTS (dedup_components)
+    answer "what is duplicated"; this answers "what do I train on".
+    Costs one count aggregate and one survivor equi-join beyond the
+    component labels themselves."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_perm=32, bands=4, threshold=0.5, shingle_words=3
+    ).select("doc_a", "doc_b")
+    comp = graph.connected_components(pairs, nodes=docs.select("doc_id"))
+    survivors = comp.groupBy(F.col("component").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return survivors.join(docs.select("doc_id", "lang", "source"), "doc_id")
+
+
 #: fixed term query for the registered BM25 entry — terms from the
 #: synthetic corpus vocabulary; shared with the oracle SQL below
 BM25_QUERY_TERMS = ("spark", "join", "stream", "vector")
@@ -437,6 +456,7 @@ EXT_QUERY_FNS = {
     "text_bm25_search": text_bm25_search,
     "sketch_distinct_trigrams": sketch_distinct_trigrams,
     "dedup_components": dedup_components,
+    "dedup_canonical_docs": dedup_canonical_docs,
     "curation_pipeline": curation_pipeline,
     "dedup_exact_recrawl": dedup_exact_recrawl,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1251,6 +1271,32 @@ EXT_ORACLE_SQL = {
 EXT_ORACLE_SQL["dedup_components"] = EXT_ORACLE_SQL["dedup_components"].format(
     minhash_pairs=EXT_ORACLE_SQL["dedup_minhash_lsh"]
 )
+
+# the apply step: same transitive closure, then survivors (component
+# min-id rows) with their collapsed cluster size joined back to the
+# document attributes
+EXT_ORACLE_SQL["dedup_canonical_docs"] = f"""
+    WITH RECURSIVE
+    tsig AS ({EXT_ORACLE_SQL["dedup_minhash_lsh"]}),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM tsig
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM tsig
+    ),
+    reach(u, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+    ),
+    comp AS (SELECT u AS doc_id, MIN(r) AS component_id FROM reach GROUP BY u),
+    sizes AS (
+        SELECT component_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1
+    )
+    SELECT d.doc_id, CAST(s.cluster_size AS BIGINT) AS cluster_size,
+           d.lang, d.source
+    FROM sizes s
+    JOIN documents d ON d.doc_id = s.component_id
+"""
 
 # verbatim — ensemble == full-outer merge of the standalone results
 # by construction

@@ -229,6 +229,10 @@ QUERY_FNS: dict[str, QueryFn] = {
     "sql_above_average_orders": analytics.sql_above_average_orders,
     # VARIANT-typed semi-structured access (parse once, typed paths)
     "events_variant_props": analytics.events_variant_props,
+    # time-series resample: dense grid + zero-fill + forward-fill
+    "events_gapfill": analytics.events_gapfill,
+    # ordered temporal funnel (view → click → purchase)
+    "events_funnel": analytics.events_funnel,
 }
 
 # Stateful streaming operators, driven through a real streaming query
@@ -523,6 +527,56 @@ ORACLE_SQL: dict[str, str] = {
         FROM s
         GROUP BY user_id, sid
         ORDER BY user_id, session_start
+    """,
+    # hourly resample: grid = generate_series over the global span per
+    # type; zero-fill on the join miss; carried_value = last non-null
+    # hourly total (IGNORE NULLS window), 0.0 before the first actual.
+    # Totals are decimal-exact doubles, so ffill copies identical bits.
+    "events_gapfill": f"""
+        WITH e AS (
+            SELECT date_trunc('hour', ts) AS hour, event_type, value
+            FROM events
+        ),
+        actual AS (
+            SELECT event_type, hour, COUNT(*) AS n,
+                   {_DSUM6.format(c='value')} AS v
+            FROM e GROUP BY 1, 2
+        ),
+        bounds AS (SELECT MIN(hour) AS h0, MAX(hour) AS h1 FROM e),
+        grid AS (
+            SELECT event_type,
+                   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+            FROM (SELECT DISTINCT event_type FROM events) CROSS JOIN bounds
+        )
+        SELECT g.event_type, g.hour,
+               COALESCE(n, 0) AS n_events,
+               COALESCE(v, 0.0) AS total_value,
+               COALESCE(last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY g.event_type ORDER BY g.hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 0.0) AS carried_value
+        FROM grid g
+        LEFT JOIN actual a ON a.event_type = g.event_type AND a.hour = g.hour
+    """,
+    # ordered funnel: each stage's first event must be strictly after
+    # the user's previous stage's first event
+    "events_funnel": """
+        WITH b AS (SELECT user_id, event_type, ts AS t FROM events),
+        s1 AS (
+            SELECT user_id, MIN(t) AS t1 FROM b
+            WHERE event_type = 'view' GROUP BY 1
+        ),
+        s2 AS (
+            SELECT b.user_id, MIN(t) AS t2 FROM b JOIN s1 USING (user_id)
+            WHERE event_type = 'click' AND t > t1 GROUP BY 1
+        ),
+        s3 AS (
+            SELECT b.user_id, MIN(t) AS t3 FROM b JOIN s2 USING (user_id)
+            WHERE event_type = 'purchase' AND t > t2 GROUP BY 1
+        )
+        SELECT '1_view' AS stage, COUNT(*) AS n_users FROM s1
+        UNION ALL SELECT '2_click', COUNT(*) FROM s2
+        UNION ALL SELECT '3_purchase', COUNT(*) FROM s3
     """,
     "customers_with_urgent_orders": """
         SELECT c_custkey AS customer_key,
@@ -819,6 +873,9 @@ ORACLE_SQL.update(EXT_ORACLE_SQL)
 _GATE_HEAD = [
     # new in round 4 — first driver verification this round.
     "text_bm25_search",
+    "dedup_canonical_docs",
+    "events_gapfill",
+    "events_funnel",
     # never driver-verified (r2 gate stopped at 50); mm_asset_stats is
     # the only query ever to FAIL the driver hash (r1) — its fix needs
     # a green driver row.
@@ -839,8 +896,6 @@ _GATE_HEAD = [
     "q18_large_orders",
     "events_value_histogram",
     "events_type_mode",
-    "profile_documents",
-    "sketch_distinct_trigrams",
     "dedup_components",
     "incremental_sales_rollup",
     "text_repetition",
@@ -885,6 +940,9 @@ _GATE_TAIL = [
     "customers_without_urgent_orders",
     "customer_retention",
     "streaming_payment_match",
+    "events_sessionization",
+    "sketch_distinct_trigrams",
+    "profile_documents",
 ]
 
 

@@ -87,6 +87,8 @@ ANALYTICS_QUERIES = [
     "events_sessionization",
     "events_value_histogram",
     "events_type_mode",
+    "events_gapfill",
+    "events_funnel",
     "profile_documents",
     "sketch_distinct_trigrams",
     "incremental_sales_rollup",
@@ -117,6 +119,7 @@ ANALYTICS_QUERIES = [
     "dedup_contamination",
     "dedup_ensemble",
     "dedup_components",
+    "dedup_canonical_docs",
     "ann_topk_brute",
     "ann_topk_lsh",
     "ann_topk_ivf",

@@ -178,3 +178,43 @@ def test_bm25_rank_basic(spark):
     assert 4 not in got
     assert sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))
     assert got[1]["score"] > got[2]["score"]  # tf saturation + length norm
+
+
+def test_dedup_canonical_docs_partitions_corpus(spark, tmp_path):
+    """Survivors' cluster sizes must partition the corpus: Σ sizes =
+    n_docs, every survivor is its own component min, and exact
+    duplicates collapse onto the smallest doc_id."""
+    import os
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        dedup_canonical_docs,
+    )
+
+    rows = [
+        (i, "en", "srcA", f"totally unique document number {i} " * 5)
+        for i in range(8)
+    ] + [
+        (100 + i, "de", "srcB", "the exact same duplicated text " * 10)
+        for i in range(4)
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = os.path.join(tmp_path, "sf")
+    os.makedirs(sf)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "lang": pa.array([r[1] for r in rows]),
+                "source": pa.array([r[2] for r in rows]),
+                "text": pa.array([r[3] for r in rows]),
+            }
+        ),
+        os.path.join(sf, "documents.parquet"),
+    )
+    out = dedup_canonical_docs(spark, sf).collect()
+    assert sum(r["cluster_size"] for r in out) == len(rows)
+    dup_cluster = [r for r in out if r["cluster_size"] >= 4]
+    assert any(r["doc_id"] == 100 for r in dup_cluster)  # min-id survivor
+    assert all(r["doc_id"] != 101 for r in out)  # collapsed member gone
