@@ -256,3 +256,37 @@ def test_pivot_is_single_aggregate(spark):
     plan = explain_str(QUERY_FNS["sales_pivot_by_priority"](spark, SF_DIR))
     assert plan.count("Location: InMemoryFileIndex") == 3  # orders+customer+nation
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_filters_terms_mapside_and_no_cartesian(spark):
+    """The query-term IN-filter must exist as a real Filter node (map
+    side, applied to the exploded token stream before the (doc, term)
+    aggregation), stats/df frames ride broadcasts, and nothing
+    degenerates into a cartesian product."""
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    plan = explain_str(QUERY_FNS["text_bm25_search"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "spark" in plan and "vector" in plan  # the IN-list literals
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_gapfill_broadcasts_bounds_and_keeps_one_fact_agg(spark):
+    """The grid side rides broadcasts (1-row bounds × tiny type dim);
+    the fact table pays exactly one aggregate shuffle; no cartesian
+    blow-up from the crossJoin of metadata frames."""
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    plan = explain_str(QUERY_FNS["events_gapfill"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_funnel_no_cartesian_no_window(spark):
+    """Funnel stages are conditional-min aggregates joined on user_id —
+    never a window over the fact table, never a cartesian product."""
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    plan = explain_str(QUERY_FNS["events_funnel"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
