@@ -944,3 +944,51 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in counts[1:]:
         out = out.unionByName(c)
     return out
+
+
+def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (nation, priority): every combination —
+    per (nation, priority), per nation, per priority, grand total — in
+    ONE partial+final aggregate over one fact shuffle (Spark expands
+    the grouping sets map-side; never one pass per set). Complements
+    sales_rollup (hierarchical sets) with the full lattice."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .cube(F.col("n_name").alias("nation"),
+              F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", scale=2, alias="total_sales"),
+        )
+    )
+
+
+def sql_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 LATERAL correlated subquery through the raw SQL surface:
+    each customer's top-2 orders by price, written as `, LATERAL
+    (... ORDER BY ... LIMIT 2)` — the SQL-standard form of per-row
+    top-k. Catalyst rewrites the correlated limit into a
+    window/aggregate join (plan-checked in tests: no per-customer
+    re-execution, no cartesian); DuckDB runs the IDENTICAL text, so
+    the oracle is the same query string modulo view names."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_lv")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_lv")
+    return spark.sql(
+        """
+        SELECT c.c_custkey AS customer_key,
+               t.o_orderkey AS order_key,
+               t.o_totalprice AS amount
+        FROM customer_lv c,
+             LATERAL (
+                 SELECT o_orderkey, o_totalprice
+                 FROM orders_lv o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 LIMIT 2
+             ) t
+        """
+    )

@@ -233,6 +233,10 @@ QUERY_FNS: dict[str, QueryFn] = {
     "events_gapfill": analytics.events_gapfill,
     # ordered temporal funnel (view → click → purchase)
     "events_funnel": analytics.events_funnel,
+    # CUBE grouping sets (full lattice, one shuffle)
+    "sales_cube": analytics.sales_cube,
+    # LATERAL correlated top-k through the raw SQL surface
+    "sql_lateral_top_orders": analytics.sql_lateral_top_orders,
 }
 
 # Stateful streaming operators, driven through a real streaming query
@@ -558,6 +562,32 @@ ORACLE_SQL: dict[str, str] = {
         FROM grid g
         LEFT JOIN actual a ON a.event_type = g.event_type AND a.hour = g.hour
     """,
+    # the full grouping lattice; null markers on subtotal rows match
+    # Spark's cube() output
+    "sales_cube": f"""
+        SELECT n_name AS nation, o_orderpriority AS priority,
+               COUNT(*) AS n_orders,
+               {_DSUM2.format(c='o_totalprice')} AS total_sales
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY CUBE (n_name, o_orderpriority)
+    """,
+    # IDENTICAL query text both engines (modulo view names) — LATERAL
+    # is SQL standard; customers with no orders drop in both
+    "sql_lateral_top_orders": """
+        SELECT c.c_custkey AS customer_key,
+               t.o_orderkey AS order_key,
+               t.o_totalprice AS amount
+        FROM customer c,
+             LATERAL (
+                 SELECT o_orderkey, o_totalprice
+                 FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 LIMIT 2
+             ) t
+    """,
     # ordered funnel: each stage's first event must be strictly after
     # the user's previous stage's first event
     "events_funnel": """
@@ -876,6 +906,8 @@ _GATE_HEAD = [
     "dedup_canonical_docs",
     "events_gapfill",
     "events_funnel",
+    "sales_cube",
+    "sql_lateral_top_orders",
     # never driver-verified (r2 gate stopped at 50); mm_asset_stats is
     # the only query ever to FAIL the driver hash (r1) — its fix needs
     # a green driver row.
@@ -894,8 +926,6 @@ _GATE_HEAD = [
     # new in round 3 — first driver verification this round.
     "q5_local_supplier_volume",
     "q18_large_orders",
-    "events_value_histogram",
-    "events_type_mode",
     "dedup_components",
     "incremental_sales_rollup",
     "text_repetition",
@@ -943,6 +973,8 @@ _GATE_TAIL = [
     "events_sessionization",
     "sketch_distinct_trigrams",
     "profile_documents",
+    "events_value_histogram",
+    "events_type_mode",
 ]
 
 

@@ -141,12 +141,17 @@ def serving_upsert(
     ).withColumn("bucket", F.col("bucket").cast("int"))
     merged = survivors.unionByName(deduped)
     merged.write.mode("overwrite").partitionBy("bucket").parquet(staging)
-    # swap each touched bucket via rename-aside: old data stays
-    # readable (under bucket=K._old) until the new dir is in place, so
-    # the unrecoverable window is two pure renames — not the
-    # delete-then-rename gap a rmtree-first swap would leave. Cross-
-    # bucket atomicity still needs a transactional table format
-    # (Delta/Iceberg MERGE INTO — the documented production target).
+    _swap_buckets(staging, store_path, touched)
+
+
+def _swap_buckets(staging: str, store_path: str, touched: list[int]) -> None:
+    """Swap each touched bucket via rename-aside: old data stays
+    readable (under a hidden aside dir) until the new dir is in place,
+    so the unrecoverable window is two pure renames — not the
+    delete-then-rename gap a rmtree-first swap would leave. Cross-
+    bucket atomicity still needs a transactional table format
+    (Delta/Iceberg MERGE INTO — the documented production target). A
+    touched bucket with NO staged dir (every row deleted) is removed."""
     for b in touched:
         src = os.path.join(staging, f"bucket={b}")
         dst = os.path.join(store_path, f"bucket={b}")
@@ -163,3 +168,53 @@ def serving_upsert(
         if had_old:
             shutil.rmtree(aside)
     shutil.rmtree(staging, ignore_errors=True)
+
+
+def serving_apply_changes(
+    spark: SparkSession,
+    changes: DataFrame,
+    new_snapshot: DataFrame,
+    store_path: str,
+    n_buckets: int = SERVING_N_BUCKETS,
+) -> None:
+    """CDC APPLY: feed a keyed change feed — the exact output shape of
+    ``operators/cdc.snapshot_diff`` (key columns + ``change_type`` ∈
+    insert/update/delete) — into the bucketed serving store.
+    Inserts/updates take their payload rows from ``new_snapshot``
+    (snapshot_diff carries only keys + digests, by design — the shuffle
+    stays key-sized); deletes remove the key. Replaying the same feed
+    is a no-op (idempotent, like serving_upsert).
+
+    Scale shape mirrors serving_upsert: only the buckets touched by
+    ANY change are scanned (partition-pruned) and rewritten; the
+    touched-bucket list is bounded by ``n_buckets``. A bucket whose
+    rows are all deleted is dropped from the store entirely.
+    """
+    keyed = changes.filter(
+        F.col("change_type").isin("insert", "update", "delete")
+    ).dropDuplicates(SERVING_KEYS)
+    ups = new_snapshot.join(
+        F.broadcast(
+            keyed.filter(F.col("change_type") != "delete").select(*SERVING_KEYS)
+        ),
+        SERVING_KEYS,
+    ).withColumn("bucket", _bucket_expr(n_buckets))
+    all_keys = keyed.select(*SERVING_KEYS).withColumn(
+        "bucket", _bucket_expr(n_buckets)
+    )
+
+    if not os.path.exists(store_path):
+        ups.write.mode("overwrite").partitionBy("bucket").parquet(store_path)
+        return
+
+    touched = sorted(r[0] for r in all_keys.select("bucket").distinct().collect())
+    if not touched:
+        return
+    existing = spark.read.parquet(store_path).filter(F.col("bucket").isin(touched))
+    survivors = existing.join(
+        F.broadcast(all_keys.select(*SERVING_KEYS)), SERVING_KEYS, "left_anti"
+    ).withColumn("bucket", F.col("bucket").cast("int"))
+    merged = survivors.unionByName(ups)
+    staging = store_path.rstrip("/") + f"._staging_{uuid.uuid4().hex}"
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+    _swap_buckets(staging, store_path, touched)

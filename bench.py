@@ -70,6 +70,7 @@ ANALYTICS_QUERIES = [
     "q1_pricing_summary",
     "sales_per_nation",
     "sales_rollup",
+    "sales_cube",
     "sales_pivot_by_priority",
     "top_parts_by_revenue",
     "q3_shipping_priority",
@@ -94,6 +95,7 @@ ANALYTICS_QUERIES = [
     "incremental_sales_rollup",
     "salted_priority_sales",
     "sql_above_average_orders",
+    "sql_lateral_top_orders",
     "pipeline_envelope_decode",
     "serving_last_write_wins",
     # window-function surface

@@ -290,3 +290,24 @@ def test_funnel_no_cartesian_no_window(spark):
     plan = explain_str(QUERY_FNS["events_funnel"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_lateral_topk_decorrelates(spark):
+    """The LATERAL correlated LIMIT must decorrelate into a window/
+    join plan — never per-customer re-execution via cartesian/BNLJ."""
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    plan = explain_str(QUERY_FNS["sql_lateral_top_orders"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_cube_is_single_aggregate(spark):
+    """CUBE must expand grouping sets inside one aggregate — one scan
+    of each table, no per-grouping-set passes."""
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    plan = explain_str(QUERY_FNS["sales_cube"](spark, SF_DIR))
+    assert plan.count("Location: InMemoryFileIndex") == 3
+    assert "Expand" in plan  # the grouping-sets expansion operator

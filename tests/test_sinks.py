@@ -104,3 +104,65 @@ def test_upsert_migrates_legacy_flat_store(spark, tmp_path):
     assert serving.count() == 20
     assert "bucket" in serving.columns
     assert serving.filter(F.col("status") == "shipped").count() == 1
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(
+        rows, "customer_id string, order_id string, amount double"
+    )
+
+
+def test_apply_changes_roundtrips_snapshot_diff(spark, tmp_path):
+    """Store built from v1 + applied diff(v1→v2) must equal v2 exactly
+    — inserts present, updates new-valued, deletes gone — and a replay
+    of the same feed must be a no-op."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.cdc import snapshot_diff
+    from aws_kinesis_data_ingestion_restapi_spark.sinks import serving_apply_changes
+
+    store = str(tmp_path / "store")
+    v1 = _snap(spark, [(f"c{i}", f"o{i}", 10.0 * i) for i in range(40)])
+    # v2: delete multiples of 7, bump multiples of 5, insert 3 new keys
+    v2 = _snap(
+        spark,
+        [
+            (f"c{i}", f"o{i}", 10.0 * i + (1.0 if i % 5 == 0 else 0.0))
+            for i in range(40)
+            if i % 7 != 0
+        ]
+        + [(f"c{i}", f"o{i}", 99.0) for i in (100, 101, 102)],
+    )
+    serving_upsert(spark, v1, store, n_buckets=N_BUCKETS)
+    changes = snapshot_diff(
+        v1, v2, keys=SERVING_KEYS, compare_cols=["amount"]
+    )
+    serving_apply_changes(spark, changes, v2, store, n_buckets=N_BUCKETS)
+
+    def contents():
+        return sorted(
+            (r["customer_id"], r["order_id"], r["amount"])
+            for r in spark.read.parquet(store).collect()
+        )
+
+    want = sorted(tuple(r) for r in v2.collect())
+    assert contents() == want
+    # replay: same feed, same snapshot → byte-equal result set
+    serving_apply_changes(spark, changes, v2, store, n_buckets=N_BUCKETS)
+    assert contents() == want
+
+
+def test_apply_changes_drops_fully_deleted_bucket(spark, tmp_path):
+    """Deleting every key of a bucket removes its directory."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.cdc import snapshot_diff
+    from aws_kinesis_data_ingestion_restapi_spark.sinks import serving_apply_changes
+
+    store = str(tmp_path / "store")
+    v1 = _snap(spark, [(f"c{i}", f"o{i}", 1.0) for i in range(12)])
+    v2 = v1.limit(0)  # delete everything
+    serving_upsert(spark, v1, store, n_buckets=N_BUCKETS)
+    changes = snapshot_diff(v1, v2, keys=SERVING_KEYS, compare_cols=["amount"])
+    serving_apply_changes(spark, changes, v2, store, n_buckets=N_BUCKETS)
+    remaining = [
+        e for e in os.listdir(store)
+        if e.startswith("bucket=") and os.listdir(os.path.join(store, e))
+    ]
+    assert remaining == []
