@@ -22,6 +22,7 @@ from aws_kinesis_data_ingestion_restapi_spark.operators import (
     asof,
     cdc,
     dedup,
+    expectations,
     graph,
     multimodal,
     packing,
@@ -394,6 +395,31 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: lang domain for the expectations entry — shared with the oracle SQL
+DOC_LANG_DOMAIN = ("de", "en", "es", "fr", "zh")
+
+
+def docs_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations over the documents table — key
+    non-null + unique, lang within the declared domain, no empty
+    texts — all metrics in ONE aggregate pass (operators/
+    expectations.py)."""
+    docs = _docs(spark, sf_dir)
+    rules = {
+        "doc_id_not_null": (expectations.frac(F.col("doc_id").isNull()), 0.0),
+        "doc_id_unique": (expectations.dup_key_frac("doc_id"), 0.0),
+        "lang_in_domain": (
+            expectations.frac(~F.col("lang").isin(*DOC_LANG_DOMAIN)),
+            0.0,
+        ),
+        "text_nonempty": (
+            expectations.frac(F.coalesce(F.length("text"), F.lit(0)) == 0),
+            0.0,
+        ),
+    }
+    return expectations.expectations_report(docs, rules)
+
+
 def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup APPLY step: materialize the curated corpus from the
     near-dup cluster graph — one canonical survivor (the component's
@@ -454,6 +480,7 @@ EXT_QUERY_FNS = {
     "text_stratified_sample": text_stratified_sample,
     "text_repetition": text_repetition,
     "text_bm25_search": text_bm25_search,
+    "docs_expectations": docs_expectations,
     "sketch_distinct_trigrams": sketch_distinct_trigrams,
     "dedup_components": dedup_components,
     "dedup_canonical_docs": dedup_canonical_docs,
@@ -644,7 +671,38 @@ _FS = multimodal.FRAME_STRIDE
 #: SQL list literal of the BM25 query terms
 _BM25_TERMS = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
 
+#: SQL IN-list of the declared lang domain
+_LANG_DOMAIN_SQL = ", ".join(f"'{lg}'" for lg in DOC_LANG_DOMAIN)
+
 EXT_ORACLE_SQL = {
+    # one aggregate pass computes every metric; each rule row is an
+    # exact-int ratio (one double division) vs a double threshold —
+    # identical CASE/NULL semantics to the Spark when/otherwise form
+    "docs_expectations": f"""
+        WITH m AS (
+            SELECT
+                CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+                     AS DOUBLE) / COUNT(*) AS m_null,
+                CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS DOUBLE)
+                    / COUNT(*) AS m_dup,
+                CAST(SUM(CASE WHEN lang NOT IN ({_LANG_DOMAIN_SQL})
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                    / COUNT(*) AS m_lang,
+                CAST(SUM(CASE WHEN coalesce(length(text), 0) = 0
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                    / COUNT(*) AS m_empty
+            FROM documents
+        )
+        SELECT 'doc_id_not_null' AS rule, m_null AS metric,
+               CAST(0.0 AS DOUBLE) AS threshold, m_null <= 0.0 AS passed
+        FROM m
+        UNION ALL SELECT 'doc_id_unique', m_dup,
+                         CAST(0.0 AS DOUBLE), m_dup <= 0.0 FROM m
+        UNION ALL SELECT 'lang_in_domain', m_lang,
+                         CAST(0.0 AS DOUBLE), m_lang <= 0.0 FROM m
+        UNION ALL SELECT 'text_nonempty', m_empty,
+                         CAST(0.0 AS DOUBLE), m_empty <= 0.0 FROM m
+    """,
     # Log-free BM25 (see operators/text.bm25_rank): every op is IEEE
     # +,-,*,/ over exact integer inputs with PINNED parenthesization —
     # 2.2 is k1+1 and 0.25 is 1-b as exact double literals — and the

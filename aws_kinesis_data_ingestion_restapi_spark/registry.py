@@ -908,6 +908,7 @@ _GATE_HEAD = [
     "events_funnel",
     "sales_cube",
     "sql_lateral_top_orders",
+    "docs_expectations",
     # never driver-verified (r2 gate stopped at 50); mm_asset_stats is
     # the only query ever to FAIL the driver hash (r1) — its fix needs
     # a green driver row.
@@ -927,7 +928,6 @@ _GATE_HEAD = [
     "q5_local_supplier_volume",
     "q18_large_orders",
     "dedup_components",
-    "incremental_sales_rollup",
     "text_repetition",
     "sales_pivot_by_priority",
     "fuzzy_customer_names",
@@ -975,6 +975,7 @@ _GATE_TAIL = [
     "profile_documents",
     "events_value_histogram",
     "events_type_mode",
+    "incremental_sales_rollup",
 ]
 
 

@@ -91,6 +91,7 @@ ANALYTICS_QUERIES = [
     "events_gapfill",
     "events_funnel",
     "profile_documents",
+    "docs_expectations",
     "sketch_distinct_trigrams",
     "incremental_sales_rollup",
     "salted_priority_sales",

@@ -218,3 +218,29 @@ def test_dedup_canonical_docs_partitions_corpus(spark, tmp_path):
     dup_cluster = [r for r in out if r["cluster_size"] >= 4]
     assert any(r["doc_id"] == 100 for r in dup_cluster)  # min-id survivor
     assert all(r["doc_id"] != 101 for r in out)  # collapsed member gone
+
+
+def test_expectations_report_flags_violations(spark):
+    """Violated rules report the exact offending fraction with
+    passed=false; clean rules pass; one row per rule."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.expectations import (
+        dup_key_frac,
+        expectations_report,
+        frac,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "en"), (1, "de"), (2, None), (3, "xx")],
+        "k long, lang string",
+    )
+    rules = {
+        "k_unique": (dup_key_frac("k"), 0.0),
+        "lang_known": (frac(~F.col("lang").isin("en", "de")), 0.0),
+        "k_small": (frac(F.col("k") > 100), 0.0),
+    }
+    rows = {r["rule"]: r for r in expectations_report(df, rules).collect()}
+    assert len(rows) == 3
+    assert rows["k_unique"]["metric"] == 0.25 and not rows["k_unique"]["passed"]
+    # NULL lang: isin-negation is NULL -> not counted (documented CASE parity)
+    assert rows["lang_known"]["metric"] == 0.25 and not rows["lang_known"]["passed"]
+    assert rows["k_small"]["metric"] == 0.0 and rows["k_small"]["passed"]
