@@ -160,6 +160,33 @@ REF_BENCH_KEYS = {
     "order_and_client_details": "ref_order_client",
 }
 
+#: FINAL-LINE-ONLY aliases for the longest registry names — the
+#: verbose line keeps full registry names; only the compact line the
+#: driver parses uses these, so ~80 entries fit its 2000-char capture
+#: at centisecond precision. 1:1, documented here and in BENCH_NOTES.
+BENCH_KEY_ALIASES = {
+    "streaming_enriched_nation_totals": "st_enriched_totals",
+    "streaming_running_totals_final": "st_running_final",
+    "streaming_late_data_policy": "st_late_policy",
+    "streaming_payment_match": "st_payment_match",
+    "streaming_dedup_replay": "st_dedup_replay",
+    "customers_without_urgent_orders": "cust_anti_urgent",
+    "customers_with_urgent_orders": "cust_semi_urgent",
+    "dedup_simhash_fingerprints": "dedup_simhash_fp",
+    "pipeline_envelope_decode": "pl_envelope_decode",
+    "pipeline_streaming_drain": "pl_streaming_drain",
+    "incremental_sales_rollup": "incr_sales_rollup",
+    "sketch_distinct_trigrams": "sketch_trigrams",
+    "sql_lateral_top_orders": "sql_lateral_topk",
+    "sql_above_average_orders": "sql_above_avg",
+    "serving_last_write_wins": "serving_lww",
+    "top_orders_per_customer": "top_orders_per_cust",
+    "sales_pivot_by_priority": "sales_pivot",
+    "text_stratified_sample": "text_strat_sample",
+    "emb_near_dup_lsh_multi": "emb_neardup_multi",
+    "events_value_histogram": "events_value_hist",
+}
+
 
 def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -263,7 +290,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "qunit": qunit,
-                "queries": {k: int(round(v * scale)) for k, v in timings.items()},
+                "queries": {
+                    BENCH_KEY_ALIASES.get(k, k): int(round(v * scale))
+                    for k, v in timings.items()
+                },
                 "sf": sf,
             },
             separators=(",", ":"),
