@@ -321,12 +321,16 @@ def bm25_rank(
     contributions are summed decimal-exactly (``dsum`` at scale 6) so
     the sum is association-order-independent.
 
-    Scale shape: tokens explode map-side and the ``isin(query_terms)``
-    filter prunes the stream BEFORE the (doc, term) shuffle, so shuffle
-    volume is proportional to query-term hits, not corpus tokens.
-    Corpus stats (N, avgdl) and per-term dfs are metadata-scale frames
-    joined back via broadcast; the final top-n is TakeOrdered
-    (distributed heap), never a global sort. Ties break on doc_id.
+    Scale shape: the corpus is tokenized ONCE into a materialized
+    array projection (see dedup.tokenized for why CollapseProject
+    won't re-inline it); doc length rides the explode, so there is NO
+    corpus-wide length join — the only corpus-sized shuffles are the
+    map-side-combined stats aggregate (1 row out) and the (doc, term)
+    tf aggregate, whose input the ``isin(query_terms)`` filter prunes
+    BEFORE the exchange (shuffle volume ∝ term hits, not corpus
+    tokens). Per-term dfs and the stats row are metadata-scale
+    broadcast frames; the final top-n is TakeOrdered (distributed
+    heap), never a global sort. Ties break on doc_id.
 
     Output: (doc_id, score, rank), rank 1..top_n.
     """
@@ -334,18 +338,21 @@ def bm25_rank(
 
     from aws_kinesis_data_ingestion_restapi_spark.functions.exact import dsum
 
-    lens = docs.select("doc_id", F.size(tokens_col()).alias("dl"))
+    toked = docs.select("doc_id", tokens_col().alias("_toks"))
     # corpus stats as a 1-row broadcast frame — no driver-side collect
-    stats = lens.agg(
+    stats = toked.select(F.size("_toks").alias("dl")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
     hits = (
-        docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
+        toked.select(
+            "doc_id",
+            F.size("_toks").alias("_dl"),
+            F.explode("_toks").alias("tok"),
+        )
         .filter(F.col("tok").isin(list(query_terms)))
         .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .join(lens, "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("_dl").alias("dl"))
     )
     dfs = hits.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     scored = hits.join(F.broadcast(dfs), "tok").crossJoin(F.broadcast(stats))
