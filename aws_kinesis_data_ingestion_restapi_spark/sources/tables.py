@@ -134,6 +134,13 @@ def read_parquet_tolerant(spark: SparkSession, path: str) -> DataFrame:
     with full Catalyst pushdown. Sub-µs precision is preserved by the
     long representation (the µs truncation happens only at the
     documented ``nanos_ts`` conversion, same as the legacy-conf path).
+
+    Known limit: the pyarrow FALLBACK (3rd branch only) reads data
+    files directly, so Hive-layout partition columns (``k=v`` dirs)
+    are not reconstructed — irrelevant for the flat driver testdata
+    this guards, and partitioned stores written by this engine are
+    always µs (native branch). Extend ``_read_via_arrow`` with dir
+    parsing if a partitioned NANOS source ever appears.
     """
     ensure_runtime_confs(spark)
     files = _parquet_files(path)
