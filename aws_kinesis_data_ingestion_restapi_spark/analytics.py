@@ -967,6 +967,307 @@ def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# TPC-H classic join/aggregate shapes (Q7/Q8/Q10/Q12/Q14/Q17/Q19/Q22).
+# The driver testdata is a reduced TPC-H (no partsupp, no l_shipmode /
+# l_commitdate / l_receiptdate, no c_phone), so Q12/Q22 substitute an
+# equivalent predicate over the columns that DO exist — each keeps the
+# original query's plan-defining structure (the part that exercises the
+# optimizer), documented per function.
+# ---------------------------------------------------------------------------
+
+
+def q7_volume_shipping(
+    spark: SparkSession,
+    sf_dir: str,
+    nation_a: str = "NATION_3",
+    nation_b: str = "NATION_9",
+) -> DataFrame:
+    """TPC-H Q7: shipping volume between two nations per ship-year.
+
+    Plan shape: the nation dim is joined TWICE in different roles
+    (supplier side / customer side). Both copies are filtered to the
+    two target nations BEFORE the broadcast, so the probe drops
+    ~23/25ths of supplier and customer rows right at the hash join —
+    at 100 TB the pair-OR predicate then runs on the tiny survivor
+    stream, never on the full fact table."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.filter(F.col("n_name").isin(nation_a, nation_b)).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.filter(F.col("n_name").isin(nation_a, nation_b)).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair_ok = (
+        (F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b)
+    ) | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n1), supplier.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), customer.c_nationkey == F.col("n2_key"))
+        .filter(pair_ok)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.sum(disc_price_expr()).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q8_market_share(
+    spark: SparkSession,
+    sf_dir: str,
+    nation: str = "NATION_5",
+    region: str = "ASIA",
+    ptype: str = "PROMO",
+) -> DataFrame:
+    """TPC-H Q8: one nation's share of regional order volume per year
+    for one part type.
+
+    Plan shape: a 7-way join where the share is a CONDITIONAL aggregate
+    (CASE inside SUM) over the same rows as the denominator — one
+    shuffle, not two queries. part is filtered on type before its
+    broadcast; region prunes the customer side via two broadcast hops.
+    Share math: exact decimal sums → one IEEE double division, so the
+    value is bit-identical cross-engine (functions/exact.py contract)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == ptype)
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    region_df = _t(spark, sf_dir, "region").filter(F.col("r_name") == region)
+    cust_nation = nat.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    supp_nation = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = disc_price_expr()
+    # un-matched rows -> NULL, which SUM skips: keeps the branch the
+    # same decimal type as `vol` with no literal-zero type juggling.
+    nat_vol = F.when(F.col("supp_nation") == nation, vol)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(cust_nation), customer.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(region_df), F.col("cn_region") == region_df.r_regionkey)
+        .join(F.broadcast(supp_nation), supplier.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (
+                F.sum(nat_vol).cast("double") / F.sum(vol).cast("double")
+            ).alias("mkt_share"),
+            F.sum(vol).cast("double").alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def q10_returned_items(
+    spark: SparkSession, sf_dir: str, since: str = "1996-01-01", k: int = 20
+) -> DataFrame:
+    """TPC-H Q10: top-k customers by revenue lost to returned items in
+    one quarter.
+
+    Plan shape: the returnflag filter reaches the lineitem scan
+    (pushed predicate), the date filter reaches the orders scan, nation
+    is broadcast, and the top-k is TakeOrderedAndProject over the
+    grouped result — no global sort at any scale."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= since)
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    customer = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nat), customer.c_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("c_custkey").alias("customer_key"),
+            F.col("c_name").alias("customer_name"),
+            F.col("c_acctbal").alias("acct_balance"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(F.sum(disc_price_expr()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("customer_key"))
+        .limit(k)
+    )
+
+
+def q12_ship_delay_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape on the reduced schema: the original buckets
+    lines by l_shipmode and counts urgent vs non-urgent orders with
+    CASE aggregates; this testdata has no shipmode, so the bucket is
+    the ship DELAY class (days between order and ship date — the same
+    operational question Q12 asks). The plan-defining structure is
+    identical: derived categorical → two conditional counts in one
+    aggregate over one lineitem⋈orders shuffle."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    delay = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    delay_class = (
+        F.when(delay <= 30, "fast").when(delay <= 90, "medium").otherwise("slow")
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(delay_class.alias("delay_class"))
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(urgent, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("delay_class")
+    )
+
+
+def q14_promo_revenue(
+    spark: SparkSession, sf_dir: str, month: str = "1996-03"
+) -> DataFrame:
+    """TPC-H Q14: promo part types' percentage of one month's revenue.
+    Conditional-aggregate ratio in ONE pass (no self-join); part is a
+    broadcast dim; exact decimal sums → one double multiply+divide."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= f"{month}-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    part = _t(spark, sf_dir, "part")
+    vol = disc_price_expr()
+    promo_vol = F.when(F.col("p_type") == "PROMO", vol)  # NULL else; SUM skips
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo_vol).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def q17_small_quantity_revenue(
+    spark: SparkSession, sf_dir: str, brand: str = "Brand#23"
+) -> DataFrame:
+    """TPC-H Q17: average yearly revenue lost if small-quantity orders
+    (below 20% of that part's mean order quantity) were not filled, for
+    one brand.
+
+    Plan shape: the correlated `l_quantity < 0.2 * avg(per part)` is
+    decorrelated by hand into (a) a per-part aggregate over ONLY the
+    brand's parts (part filter applied before both legs) and (b) a
+    broadcast join of that tiny aggregate back onto the same filtered
+    lines — the textbook Catalyst rewrite, stated explicitly so the
+    shape is pinned. avg = exact decimal sum / count → double, so the
+    0.2× threshold compares bit-identically cross-engine."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == brand)
+    li = _t(spark, sf_dir, "lineitem")
+    brand_lines = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    per_part = brand_lines.groupBy(F.col("l_partkey").alias("pp_key")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            / F.count("l_quantity")
+        ).alias("avg_qty")
+    )
+    return (
+        brand_lines.join(F.broadcast(per_part), F.col("l_partkey") == F.col("pp_key"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly")
+        )
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: revenue from three disjunctive (brand, size-range,
+    quantity-range) branches — the optimizer stress case where an OR of
+    conjunctions must still push the common join key and let the
+    per-branch predicates evaluate post-probe. part is broadcast; the
+    OR involves columns from BOTH tables so it runs at the join, not
+    the scan (matching the original's plan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(branch)
+        .agg(F.sum(disc_price_expr()).cast("double").alias("revenue"))
+    )
+
+
+def q22_dormant_customers(
+    spark: SparkSession, sf_dir: str, cutoff: str = "2000-01-01"
+) -> DataFrame:
+    """TPC-H Q22 shape on the reduced schema: well-funded customers with
+    no RECENT orders (the original's "no orders at all" is empty on this
+    data — every customer has orders — and its phone-prefix grouping has
+    no phone column; nation plays that role). The plan-defining
+    structure is intact: a scalar subquery (global average positive
+    balance) broadcast into the filter + an ANTI join against the
+    order side + a grouped aggregate of the survivors.
+
+    Scale shape: the scalar avg is a 1-row broadcast; the anti join is
+    a hash shuffle on custkey (or broadcast of the filtered recent-order
+    key set when small); nation is broadcast."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nat = _t(spark, sf_dir, "nation")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count("c_acctbal")
+        ).alias("avg_bal")
+    )
+    recent = orders.filter(F.col("o_orderdate") >= cutoff).select("o_custkey")
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, customer.c_custkey == recent.o_custkey, "left_anti")
+        .join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            dsum("c_acctbal", alias="total_acctbal"),
+        )
+        .orderBy("nation")
+    )
+
+
 def sql_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 LATERAL correlated subquery through the raw SQL surface:
     each customer's top-2 orders by price, written as `, LATERAL

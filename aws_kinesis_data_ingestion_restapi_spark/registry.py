@@ -213,6 +213,17 @@ QUERY_FNS: dict[str, QueryFn] = {
     # multi-way and having-filtered join shapes (TPC-H Q5 / Q18)
     "q5_local_supplier_volume": analytics.q5_local_supplier_volume,
     "q18_large_orders": analytics.q18_large_orders,
+    # the classic TPC-H optimizer shapes (round 4): dual-role dim join,
+    # conditional-aggregate ratios, decorrelated per-group threshold,
+    # disjunctive pushdown, scalar-subquery + anti join
+    "q7_volume_shipping": analytics.q7_volume_shipping,
+    "q8_market_share": analytics.q8_market_share,
+    "q10_returned_items": analytics.q10_returned_items,
+    "q12_ship_delay_classes": analytics.q12_ship_delay_classes,
+    "q14_promo_revenue": analytics.q14_promo_revenue,
+    "q17_small_quantity_revenue": analytics.q17_small_quantity_revenue,
+    "q19_disjunctive_revenue": analytics.q19_disjunctive_revenue,
+    "q22_dormant_customers": analytics.q22_dormant_customers,
     # data-profiling surface
     "events_value_histogram": analytics.events_value_histogram,
     "events_type_mode": analytics.events_type_mode,
@@ -678,6 +689,125 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY total_price DESC, order_key
         LIMIT 100
     """,
+    "q7_volume_shipping": f"""
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+               CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_9')
+            OR (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_3'))
+          AND l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
+    """,
+    "q8_market_share": f"""
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+               CAST(SUM(CASE WHEN sn.n_name = 'NATION_5'
+                             THEN {_DISC_PRICE} END) AS DOUBLE)
+                 / CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS mkt_share,
+               CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS total_volume
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region   ON cn.n_regionkey = r_regionkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+          AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    "q10_returned_items": f"""
+        SELECT c_custkey AS customer_key,
+               c_name AS customer_name,
+               c_acctbal AS acct_balance,
+               n_name AS nation,
+               CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+        GROUP BY 1, 2, 3, 4
+        ORDER BY revenue DESC, customer_key
+        LIMIT 20
+    """,
+    "q12_ship_delay_classes": """
+        SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                   CAST(l_shipdate AS DATE)) <= 30 THEN 'fast'
+                    WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                   CAST(l_shipdate AS DATE)) <= 90 THEN 'medium'
+                    ELSE 'slow' END AS delay_class,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    "q14_promo_revenue": f"""
+        SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                     THEN {_DISC_PRICE} END) AS DOUBLE)
+                     / CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS promo_revenue_pct
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-04-01'
+    """,
+    "q17_small_quantity_revenue": f"""
+        WITH brand_lines AS (
+            SELECT l_partkey, l_quantity, l_extendedprice
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#23'
+        ), per_part AS (
+            SELECT l_partkey AS pp_key,
+                   {_DSUM2.format(c='l_quantity')} / COUNT(l_quantity) AS avg_qty
+            FROM brand_lines
+            GROUP BY 1
+        )
+        SELECT {_DSUM2.format(c='l_extendedprice')} / 7.0 AS avg_yearly
+        FROM brand_lines JOIN per_part ON l_partkey = pp_key
+        WHERE l_quantity < 0.2 * avg_qty
+    """,
+    "q19_disjunctive_revenue": f"""
+        SELECT CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "q22_dormant_customers": f"""
+        WITH avg_bal AS (
+            SELECT {_DSUM2.format(c='c_acctbal')} / COUNT(c_acctbal) AS avg_bal
+            FROM customer WHERE c_acctbal > 0
+        )
+        SELECT n_name AS nation,
+               COUNT(*) AS n_custs,
+               {_DSUM2.format(c='c_acctbal')} AS total_acctbal
+        FROM customer, avg_bal
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_acctbal > avg_bal
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= '2000-01-01')
+        GROUP BY 1
+        ORDER BY 1
+    """,
     "events_value_histogram": f"""
         SELECT event_type,
                CAST(LEAST(FLOOR(value / 50.0), 9) AS INT) AS bucket,
@@ -902,6 +1032,14 @@ ORACLE_SQL.update(EXT_ORACLE_SQL)
 # tail, where falling past position 50 loses nothing.
 _GATE_HEAD = [
     # new in round 4 — first driver verification this round.
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q12_ship_delay_classes",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q22_dormant_customers",
     "text_bm25_search",
     "dedup_canonical_docs",
     "events_gapfill",
@@ -924,7 +1062,10 @@ _GATE_HEAD = [
     "events_daily_stats",
     "events_json_props",
     "events_tumbling_30s",
-    # new in round 3 — first driver verification this round.
+]
+_GATE_TAIL = [
+    # driver-verified in round 3 (CORRECTNESS_r03 green) and untouched
+    # since — rotated out of the window for the round-4 TPC-H batch.
     "q5_local_supplier_volume",
     "q18_large_orders",
     "dedup_components",
@@ -935,8 +1076,6 @@ _GATE_HEAD = [
     "streaming_late_data_policy",
     "sql_above_average_orders",
     "events_variant_props",
-]
-_GATE_TAIL = [
     # driver-verified in earlier rounds and untouched since (the
     # pipeline_*/ref_* paths additionally stay exercised through the
     # envelope-decode entry, the ETL bench phase, and the streaming

@@ -76,6 +76,14 @@ ANALYTICS_QUERIES = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q18_large_orders",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q12_ship_delay_classes",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q22_dormant_customers",
     "payment_type_share",
     "customers_with_urgent_orders",
     "customers_without_urgent_orders",
@@ -175,7 +183,6 @@ BENCH_KEY_ALIASES = {
     "dedup_simhash_fingerprints": "dedup_simhash_fp",
     "pipeline_envelope_decode": "pl_envelope_decode",
     "pipeline_streaming_drain": "pl_streaming_drain",
-    "incremental_sales_rollup": "incr_sales_rollup",
     "sketch_distinct_trigrams": "sketch_trigrams",
     "sql_lateral_top_orders": "sql_lateral_topk",
     "sql_above_average_orders": "sql_above_avg",
@@ -185,6 +192,46 @@ BENCH_KEY_ALIASES = {
     "text_stratified_sample": "text_strat_sample",
     "emb_near_dup_lsh_multi": "emb_neardup_multi",
     "events_value_histogram": "events_value_hist",
+    "q12_ship_delay_classes": "q12_ship_delay",
+    "q17_small_quantity_revenue": "q17_small_qty",
+    "q19_disjunctive_revenue": "q19_disjunct",
+    "q22_dormant_customers": "q22_dormant",
+    # round-4 widening: 90 registry entries no longer fit the 2000-char
+    # capture at centisecond precision with full names — shorten the
+    # remaining long tail (still 1:1, final line only).
+    "q5_local_supplier_volume": "q5_local_supp",
+    "customer_running_spend": "cust_run_spend",
+    "events_sessionization": "events_sessions",
+    "salted_priority_sales": "salted_sales",
+    "text_length_quantiles": "text_len_quant",
+    "top_parts_by_revenue": "top_parts_rev",
+    "q3_shipping_priority": "q3_ship_prio",
+    "fuzzy_customer_names": "fuzzy_cust",
+    "events_variant_props": "events_variant",
+    "dedup_canonical_docs": "dedup_canonical",
+    "events_tumbling_30s": "events_tumble30",
+    "text_pack_sequences": "text_pack",
+    "dedup_exact_recrawl": "dedup_exact",
+    "dedup_ngram_jaccard": "dedup_ngram",
+    "dedup_simhash_pairs": "dedup_simhash",
+    "dedup_contamination": "dedup_contam",
+    "mm_extract_features": "mm_features",
+    "asof_priority_rates": "asof_rates",
+    "events_range_follow": "events_range",
+    "etl_derive_tables": "etl_derive",
+    "events_daily_stats": "events_daily",
+    "curation_pipeline": "curation",
+    "events_json_props": "events_json",
+    "profile_documents": "profile_docs",
+    "incremental_sales_rollup": "incr_rollup",
+    "dedup_minhash_lsh": "dedup_minhash",
+    "text_quality_score": "text_quality",
+    "text_language_id": "text_langid",
+    "mm_resize_images": "mm_resize",
+    "mm_frame_sample": "mm_frames",
+    "cdc_snapshot_diff": "cdc_diff",
+    "docs_expectations": "docs_expect",
+    "text_bm25_search": "text_bm25",
 }
 
 

@@ -311,3 +311,63 @@ def test_cube_is_single_aggregate(spark):
     plan = explain_str(QUERY_FNS["sales_cube"](spark, SF_DIR))
     assert plan.count("Location: InMemoryFileIndex") == 3
     assert "Expand" in plan  # the grouping-sets expansion operator
+
+
+def test_q7_dual_nation_broadcast_no_cartesian(spark):
+    """Q7 joins nation twice in different roles; both must ride
+    broadcasts, the pair-OR predicate must not degrade the plan to a
+    cartesian/BNLJ, and the ship-date range must reach the scan."""
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    df = QUERY_FNS["q7_volume_shipping"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+
+
+def test_q10_returnflag_pushed_topk_no_global_sort(spark):
+    """Q10's returnflag filter must reach the lineitem scan and the
+    top-20 must compile to TakeOrderedAndProject, not a full sort."""
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    df = QUERY_FNS["q10_returned_items"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert any("l_returnflag" in f for f in pushed_filters(df))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q17_decorrelated_single_lineitem_scan_pair(spark):
+    """Q17's per-part average must come from a broadcast of the tiny
+    per-part aggregate — no cartesian, no per-row subquery; the brand
+    filter prunes part before both legs."""
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    plan = explain_str(QUERY_FNS["q17_small_quantity_revenue"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q19_disjunction_keeps_equi_join(spark):
+    """Q19's OR-of-conjunctions spans both tables: the join must stay
+    a broadcast equi-join on partkey with the disjunction evaluated
+    post-probe — never a nested-loop over the fact table."""
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    plan = explain_str(QUERY_FNS["q19_disjunctive_revenue"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark):
+    """Q22's no-recent-orders test must be a LeftAnti hash join and the
+    global average balance a 1-row broadcast."""
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    plan = explain_str(QUERY_FNS["q22_dormant_customers"](spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert has_broadcast_join(QUERY_FNS["q22_dormant_customers"](spark, SF_DIR))
