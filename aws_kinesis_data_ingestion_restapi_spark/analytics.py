@@ -967,6 +967,136 @@ def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_rolling_hour_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1-hour moving average per user: a RANGE window frame
+    bounded by event-TIME offsets, not row counts (customer_running_
+    spend covers the rows-unbounded frame; this is the value-range
+    frame — the other physical frame kind Spark implements).
+
+    Frame arithmetic runs on exact epoch-nanosecond int64 (functions/
+    exact.as_epoch_nanos), so both engines bound the frame identically;
+    the windowed sum is decimal (sliding add/remove stays exact in any
+    order), count is exact, and the average is one IEEE division.
+
+    Scale shape: one hash shuffle on user_id, then a per-partition
+    ordered scan with an incrementally-maintained sliding aggregate —
+    no self-join, no per-row range probe."""
+    from pyspark.sql.window import Window
+
+    from aws_kinesis_data_ingestion_restapi_spark.functions.exact import (
+        as_epoch_nanos,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    ns = as_epoch_nanos(events, "ts")
+    hour_ns = 3_600_000_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("_ns"))
+        .rangeBetween(-hour_ns, 0)
+    )
+    return (
+        events.select("event_id", "user_id", ns.alias("_ns"), "value")
+        .select(
+            "event_id",
+            "user_id",
+            F.count(F.lit(1)).over(w).alias("n_1h"),
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+                / F.count(F.lit(1)).over(w)
+            ).alias("avg_1h"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def events_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth quartile summary per event type via NTILE(4): bucket
+    populations and value bounds. The ordering is made total with the
+    event_id tiebreak so bucket assignment (and therefore min/max per
+    bucket) is deterministic cross-engine.
+
+    Scale shape: NTILE needs each partition's total count — one shuffle
+    on event_type; skew on a hot type is the operator's inherent cost
+    (same as any per-group ranking), mitigated upstream by the salted
+    patterns in operators/scale.py when a group outgrows an executor."""
+    from pyspark.sql.window import Window
+
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        events.select("event_type", "value", "event_id")
+        .withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("event_type", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            dsum("value", scale=6, alias="total_value"),
+        )
+        .orderBy("event_type", "quartile")
+    )
+
+
+def events_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier profile per event type: median / MAD (median
+    absolute deviation) and the count of |value − median| > 3·MAD
+    events. Mean/stddev-based z-scores break under the very outliers
+    they hunt; median/MAD is the standard robust alternative for
+    data-quality gating.
+
+    Exactness: medians are computed from the ACTUAL data values via
+    row_number against (n+1) DIV 2 / (n+2) DIV 2 (the two middle rows;
+    their half-sum is one IEEE add+divide) — never an interpolating
+    percentile whose rounding could differ between engines. Ties in
+    `value` make equal-valued rows interchangeable, so the picked
+    VALUES are still deterministic.
+
+    Scale shape: two ranking passes (each one shuffle on event_type)
+    + a 5-row broadcast join back onto the events — no all-pairs, no
+    driver collect."""
+    from pyspark.sql.window import Window
+
+    events = _t(spark, sf_dir, "events").select("event_type", "value")
+
+    def _grouped_median(df: DataFrame, col: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(col)
+        wn = Window.partitionBy("event_type")
+        ranked = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+            "_n", F.count(F.lit(1)).over(wn)
+        )
+        mid = ranked.filter(
+            (F.col("_rn") == F.expr("(_n + 1) DIV 2"))
+            | (F.col("_rn") == F.expr("(_n + 2) DIV 2"))
+        )
+        return mid.groupBy("event_type").agg(
+            (F.sum(col) / F.count(F.lit(1))).alias(f"med_{col}")
+        )
+
+    med = _grouped_median(events, "value")
+    dev = events.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "value",
+        F.abs(F.col("value") - F.col("med_value")).alias("abs_dev"),
+    )
+    mad = _grouped_median(dev.select("event_type", F.col("abs_dev").alias("value")),
+                          "value").withColumnRenamed("med_value", "mad")
+    return (
+        dev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("med_value").alias("median"),
+            F.first("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("abs_dev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H classic join/aggregate shapes (Q7/Q8/Q10/Q12/Q14/Q17/Q19/Q22).
 # The driver testdata is a reduced TPC-H (no partsupp, no l_shipmode /

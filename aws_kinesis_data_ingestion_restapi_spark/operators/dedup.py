@@ -634,6 +634,64 @@ def dedup_keep_first(docs: DataFrame, key: Column | str = "text") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# substring-level duplication (positional shingles, Lee et al. ACL'22)
+# ---------------------------------------------------------------------------
+
+
+def substring_hotspots(
+    docs: DataFrame, n: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """Substring-level duplication profile: for every document, the
+    fraction of its token positions whose ``n``-token shingle also
+    occurs in at least ``min_docs`` distinct documents. This is the
+    shingle approximation of exact-substring training-data dedup
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL'22 — their suffix-array pass finds repeated spans;
+    positional n-gram hits are the distributed-friendly signal for the
+    same spans). Doc-level dedup (minhash/simhash above) misses
+    boilerplate repeated INSIDE otherwise-distinct pages; this is the
+    operator that catches it.
+
+    Unlike the Jaccard family this keeps POSITIONAL (non-distinct)
+    shingles — a span repeated 5× inside one doc counts 5 positions.
+
+    Scale shape: explode → two aggregations + one join, all hash
+    shuffles on the gram key (the (gram, doc) pre-aggregate reduces
+    the join input; the gram-level count reuses its partitioning), then
+    one shuffle on doc_id. Never all-pairs, no driver state.
+    """
+    toked = tokenized(docs)
+    size = F.size("_toks")
+    gram_i = lambda i: F.concat_ws(" ", F.slice("_toks", i, n))  # noqa: E731
+    grams = toked.filter(size >= n).select(
+        "doc_id",
+        F.explode(
+            F.transform(F.sequence(F.lit(1), size - (n - 1)), gram_i)
+        ).alias("gram"),
+    )
+    per_doc_gram = grams.groupBy("gram", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_pos")
+    )
+    gram_docs = per_doc_gram.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    dup_pos = F.when(F.col("n_docs") >= min_docs, F.col("n_pos")).otherwise(0)
+    return (
+        per_doc_gram.join(gram_docs, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_pos").alias("n_shingles"),
+            F.sum(dup_pos).alias("n_dup"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.col("n_dup").cast("double") / F.col("n_shingles").cast("double"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # benchmark decontamination (n-gram overlap against an eval set)
 # ---------------------------------------------------------------------------
 

@@ -215,6 +215,10 @@ def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_docs(_docs(spark, sf_dir))
 
 
+def dedup_substring_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.substring_hotspots(_docs(spark, sf_dir), n=8, min_docs=2)
+
+
 def dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-signal near-dup report: the union of text-signal pairs
     (MinHash-LSH) and embedding-signal pairs (multi-table sign-LSH),
@@ -490,6 +494,7 @@ EXT_QUERY_FNS = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_simhash_fingerprints": dedup_simhash_fingerprints,
+    "dedup_substring_hotspots": dedup_substring_hotspots,
     "dedup_contamination": dedup_contamination,
     "dedup_ensemble": dedup_ensemble,
     "cdc_snapshot_diff": cdc_snapshot_diff,
@@ -1038,6 +1043,25 @@ EXT_ORACLE_SQL = {
                COUNT(*) AS n_copies
         FROM u
         GROUP BY 1
+    """,
+    "dedup_substring_hotspots": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        pos AS (
+            SELECT doc_id, array_to_string(t[i:i+7], ' ') AS gram
+            FROM toks, LATERAL unnest(range(1, len(t) - 6)) AS g(i)
+            WHERE len(t) >= 8
+        ),
+        pdg AS (SELECT gram, doc_id, COUNT(*) AS n_pos FROM pos GROUP BY 1, 2),
+        gd AS (SELECT gram, COUNT(*) AS n_docs FROM pdg GROUP BY 1)
+        SELECT doc_id,
+               CAST(SUM(n_pos) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN n_docs >= 2 THEN n_pos ELSE 0 END)
+                    AS BIGINT) AS n_dup,
+               CAST(SUM(CASE WHEN n_docs >= 2 THEN n_pos ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(n_pos) AS DOUBLE) AS dup_frac
+        FROM pdg JOIN gd USING (gram)
+        GROUP BY 1
+        ORDER BY 1
     """,
     "dedup_ngram_jaccard": f"""
         WITH g AS (

@@ -224,6 +224,10 @@ QUERY_FNS: dict[str, QueryFn] = {
     "q17_small_quantity_revenue": analytics.q17_small_quantity_revenue,
     "q19_disjunctive_revenue": analytics.q19_disjunctive_revenue,
     "q22_dormant_customers": analytics.q22_dormant_customers,
+    # time-range window frame / equi-depth buckets / robust outliers
+    "events_rolling_hour_avg": analytics.events_rolling_hour_avg,
+    "events_ntile_quartiles": analytics.events_ntile_quartiles,
+    "events_value_outliers_mad": analytics.events_value_outliers_mad,
     # data-profiling surface
     "events_value_histogram": analytics.events_value_histogram,
     "events_type_mode": analytics.events_type_mode,
@@ -808,6 +812,69 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY 1
         ORDER BY 1
     """,
+    "events_rolling_hour_avg": """
+        SELECT event_id, user_id,
+               COUNT(*) OVER w AS n_1h,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                 / COUNT(*) OVER w AS avg_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+                     RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+    """,
+    "events_ntile_quartiles": f"""
+        WITH q AS (
+            SELECT event_type, value,
+                   CAST(NTILE(4) OVER (PARTITION BY event_type
+                                       ORDER BY value, event_id)
+                        AS INT) AS quartile
+            FROM events
+        )
+        SELECT event_type, quartile, COUNT(*) AS n,
+               MIN(value) AS lo, MAX(value) AS hi,
+               {_DSUM6.format(c='value')} AS total_value
+        FROM q
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    "events_value_outliers_mad": """
+        WITH ranked AS (
+            SELECT event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY value) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+        ), med AS (
+            SELECT event_type, SUM(value) / COUNT(*) AS med_value
+            FROM ranked
+            WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+            GROUP BY 1
+        ), dev AS (
+            SELECT e.event_type, e.value, m.med_value,
+                   ABS(e.value - m.med_value) AS abs_dev
+            FROM events e JOIN med m USING (event_type)
+        ), ranked2 AS (
+            SELECT event_type, abs_dev,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY abs_dev) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM dev
+        ), mad AS (
+            SELECT event_type, SUM(abs_dev) / COUNT(*) AS mad
+            FROM ranked2
+            WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+            GROUP BY 1
+        )
+        SELECT d.event_type,
+               COUNT(*) AS n,
+               MIN(d.med_value) AS median,
+               MIN(m.mad) AS mad,
+               CAST(SUM(CASE WHEN d.abs_dev > 3 * m.mad THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers
+        FROM dev d JOIN mad m USING (event_type)
+        GROUP BY 1
+        ORDER BY 1
+    """,
     "events_value_histogram": f"""
         SELECT event_type,
                CAST(LEAST(FLOOR(value / 50.0), 9) AS INT) AS bucket,
@@ -1040,6 +1107,10 @@ _GATE_HEAD = [
     "q17_small_quantity_revenue",
     "q19_disjunctive_revenue",
     "q22_dormant_customers",
+    "events_rolling_hour_avg",
+    "events_ntile_quartiles",
+    "events_value_outliers_mad",
+    "dedup_substring_hotspots",
     "text_bm25_search",
     "dedup_canonical_docs",
     "events_gapfill",

@@ -96,6 +96,9 @@ ANALYTICS_QUERIES = [
     "events_sessionization",
     "events_value_histogram",
     "events_type_mode",
+    "events_rolling_hour_avg",
+    "events_ntile_quartiles",
+    "events_value_outliers_mad",
     "events_gapfill",
     "events_funnel",
     "profile_documents",
@@ -123,6 +126,7 @@ ANALYTICS_QUERIES = [
     "text_pack_sequences",
     "text_stratified_sample",
     "dedup_exact_recrawl",
+    "dedup_substring_hotspots",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
@@ -232,6 +236,10 @@ BENCH_KEY_ALIASES = {
     "cdc_snapshot_diff": "cdc_diff",
     "docs_expectations": "docs_expect",
     "text_bm25_search": "text_bm25",
+    "events_rolling_hour_avg": "events_roll_avg",
+    "events_ntile_quartiles": "events_ntile",
+    "events_value_outliers_mad": "events_mad",
+    "dedup_substring_hotspots": "dedup_substr",
 }
 
 

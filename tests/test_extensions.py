@@ -897,3 +897,31 @@ def test_fuzzy_two_table_join_vs_brute(spark):
         if ed(ls, rs) <= 1
     }
     assert got == truth
+
+
+def test_substring_hotspots_positions(docs):
+    # n=3 shingles on the 10-token docs: 8 positions each. Docs 0/1 are
+    # exact dups (all 8 positions shared); doc 2 shares the three
+    # 3-grams not touching a "dog" token — "sat on the", "on the mat.",
+    # "the mat. the" (positions 3-5) — with 0/1, none elsewhere.
+    out = {
+        r["doc_id"]: r
+        for r in dedup.substring_hotspots(docs, n=3, min_docs=2).collect()
+    }
+    assert out[0]["n_shingles"] == 8 and out[0]["n_dup"] == 8
+    assert out[1]["n_dup"] == 8 and out[1]["dup_frac"] == 1.0
+    assert out[2]["n_shingles"] == 8 and out[2]["n_dup"] == 3
+    assert out[4]["n_dup"] == 0
+    assert 5 not in out  # shorter than one shingle -> no rows
+
+
+def test_substring_hotspots_counts_repeats_within_doc(spark):
+    # "a b c" repeated twice inside doc 10 and present once in doc 11:
+    # every occurrence counts a position (positional, not distinct).
+    rows = [(10, "a b c x a b c", "en"), (11, "a b c y z", "en")]
+    d = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {
+        r["doc_id"]: r for r in dedup.substring_hotspots(d, n=3, min_docs=2).collect()
+    }
+    assert out[10]["n_shingles"] == 5 and out[10]["n_dup"] == 2
+    assert out[11]["n_shingles"] == 3 and out[11]["n_dup"] == 1

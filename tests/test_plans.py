@@ -371,3 +371,34 @@ def test_q22_anti_join_and_scalar_broadcast(spark):
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert has_broadcast_join(QUERY_FNS["q22_dormant_customers"](spark, SF_DIR))
+
+
+def test_rolling_hour_avg_single_window_exchange(spark):
+    """The RANGE-frame moving average must be ONE window over one
+    user_id exchange — no self-join, no per-row range probe."""
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    plan = explain_str(QUERY_FNS["events_rolling_hour_avg"](spark, SF_DIR))
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_substring_hotspots_no_allpairs(spark):
+    """Substring-hotspot dedup must stay gram-keyed aggregates + one
+    equi-join — never a doc×doc product."""
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    plan = explain_str(QUERY_FNS["dedup_substring_hotspots"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mad_outliers_broadcasts_tiny_aggregates(spark):
+    """The median/MAD per-type aggregates are ≤n_types rows; they must
+    ride broadcasts back onto events, never shuffle the fact side."""
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    plan = explain_str(QUERY_FNS["events_value_outliers_mad"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
