@@ -1398,6 +1398,150 @@ def q22_dormant_customers(
     )
 
 
+def q4_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order counts per priority for orders with at
+    least one badly-delayed line (ship > order date + 60 days; the
+    original's commit/receipt columns don't exist in this testdata).
+
+    Plan shape: EXISTS compiles to a LEFT SEMI join whose condition
+    spans both tables (equi on orderkey + the date inequality riding
+    on it) — the semi join deduplicates before the aggregate, so an
+    order with 7 late lines counts once without a DISTINCT pass."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("priority")
+    )
+
+
+def q9_red_parts_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year over
+    parts whose name contains "red" (no partsupp table here, so supply
+    cost is modeled as half the part's retail price — the arithmetic
+    keeps Q9's structure: revenue term minus a quantity-scaled cost
+    term).
+
+    Exactness: both terms are summed separately in decimal and
+    combined with ONE double multiply+subtract, so engines agree
+    bit-for-bit regardless of decimal scale-propagation differences.
+
+    Plan shape: part filtered on the name BEFORE its broadcast; nation
+    broadcast; one shuffle for the (nation, year) aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    orders = _t(spark, sf_dir, "orders")
+    supplier = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    cost_term = F.col("p_retailprice").cast("decimal(12,2)") * F.col(
+        "l_quantity"
+    ).cast("decimal(12,2)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nat), supplier.s_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            (
+                F.sum(disc_price_expr()).cast("double")
+                - F.lit(0.5) * F.sum(cost_term).cast("double")
+            ).alias("sum_profit")
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers ship each
+    (brand, size) combination, excluding an undesirable supplier set
+    (negative account balance here; complaint-comment suppliers in the
+    original, whose comment column this testdata lacks). Supply
+    relationships come from lineitem (no partsupp table).
+
+    Plan shape: the NOT IN supplier set is a tiny broadcast ANTI join
+    applied to lineitem BEFORE the part join and the count-distinct
+    shuffle — the exclusion never touches the aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") != "PROMO")
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
+def q21_late_sole_supplier(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late supplier on a
+    finalized multi-supplier order (late = shipped >90 days after the
+    order date; the original's receipt/commit columns are absent).
+
+    The original expresses this with EXISTS + NOT EXISTS self-joins on
+    lineitem; here the same predicate is one grouped aggregate — per
+    (order, supplier) lateness — plus per-order counts as WINDOW
+    aggregates over the SAME l_orderkey partitioning (no extra shuffle,
+    and crucially ONE lineage: a groupBy-then-join-back formulation
+    would duplicate the lineitem⋈orders subtree in the plan and read
+    the fact twice). Self-join-free: at 100 TB that's two hash
+    shuffles instead of three lineitem self-joins.
+
+    Tie-break: (numwait DESC, s_name) with a LIMIT — TakeOrdered."""
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    lines = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.when(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+            1,
+        )
+        .otherwise(0)
+        .alias("late"),
+    )
+    per_os = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("is_late")
+    )
+    wo = Window.partitionBy("l_orderkey")
+    return (
+        per_os.withColumn("n_supp", F.count(F.lit(1)).over(wo))
+        .withColumn("n_late", F.sum("is_late").over(wo))
+        .filter(
+            (F.col("is_late") == 1)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late") == 1)
+        )
+        .join(supplier, F.col("l_suppkey") == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(k)
+    )
+
+
 def sql_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 LATERAL correlated subquery through the raw SQL surface:
     each customer's top-2 orders by price, written as `, LATERAL

@@ -224,6 +224,10 @@ QUERY_FNS: dict[str, QueryFn] = {
     "q17_small_quantity_revenue": analytics.q17_small_quantity_revenue,
     "q19_disjunctive_revenue": analytics.q19_disjunctive_revenue,
     "q22_dormant_customers": analytics.q22_dormant_customers,
+    "q4_late_order_priority": analytics.q4_late_order_priority,
+    "q9_red_parts_profit": analytics.q9_red_parts_profit,
+    "q16_supplier_diversity": analytics.q16_supplier_diversity,
+    "q21_late_sole_supplier": analytics.q21_late_sole_supplier,
     # time-range window frame / equi-depth buckets / robust outliers
     "events_rolling_hour_avg": analytics.events_rolling_hour_avg,
     "events_ntile_quartiles": analytics.events_ntile_quartiles,
@@ -812,6 +816,67 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY 1
         ORDER BY 1
     """,
+    "q4_late_order_priority": """
+        SELECT o_orderpriority AS priority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    "q9_red_parts_profit": f"""
+        SELECT n_name AS nation,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+               CAST(SUM({_DISC_PRICE}) AS DOUBLE)
+                 - 0.5 * CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))
+                                  * CAST(l_quantity AS DECIMAL(12,2)))
+                              AS DOUBLE) AS sum_profit
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY 1, 2
+        ORDER BY 1, 2 DESC
+    """,
+    "q16_supplier_diversity": """
+        SELECT p_brand, p_size,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_type <> 'PROMO'
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY 1, 2
+        ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+    "q21_late_sole_supplier": """
+        WITH lines AS (
+            SELECT l_orderkey, l_suppkey,
+                   CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                        THEN 1 ELSE 0 END AS late
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+        ), per_os AS (
+            SELECT l_orderkey, l_suppkey, MAX(late) AS is_late
+            FROM lines GROUP BY 1, 2
+        ), per_o AS (
+            SELECT l_orderkey, COUNT(*) AS n_supp, SUM(is_late) AS n_late
+            FROM per_os GROUP BY 1
+        )
+        SELECT s_name, COUNT(*) AS numwait
+        FROM per_os
+        JOIN per_o USING (l_orderkey)
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE is_late = 1 AND n_supp >= 2 AND n_late = 1
+        GROUP BY 1
+        ORDER BY numwait DESC, s_name
+        LIMIT 10
+    """,
     "events_rolling_hour_avg": """
         SELECT event_id, user_id,
                COUNT(*) OVER w AS n_1h,
@@ -1107,6 +1172,10 @@ _GATE_HEAD = [
     "q17_small_quantity_revenue",
     "q19_disjunctive_revenue",
     "q22_dormant_customers",
+    "q4_late_order_priority",
+    "q9_red_parts_profit",
+    "q16_supplier_diversity",
+    "q21_late_sole_supplier",
     "events_rolling_hour_avg",
     "events_ntile_quartiles",
     "events_value_outliers_mad",

@@ -84,6 +84,10 @@ ANALYTICS_QUERIES = [
     "q17_small_quantity_revenue",
     "q19_disjunctive_revenue",
     "q22_dormant_customers",
+    "q4_late_order_priority",
+    "q9_red_parts_profit",
+    "q16_supplier_diversity",
+    "q21_late_sole_supplier",
     "payment_type_share",
     "customers_with_urgent_orders",
     "customers_without_urgent_orders",
@@ -177,25 +181,18 @@ REF_BENCH_KEYS = {
 #: driver parses uses these, so ~80 entries fit its 2000-char capture
 #: at centisecond precision. 1:1, documented here and in BENCH_NOTES.
 BENCH_KEY_ALIASES = {
-    "streaming_enriched_nation_totals": "st_enriched_totals",
-    "streaming_running_totals_final": "st_running_final",
-    "streaming_late_data_policy": "st_late_policy",
-    "streaming_payment_match": "st_payment_match",
-    "streaming_dedup_replay": "st_dedup_replay",
-    "customers_without_urgent_orders": "cust_anti_urgent",
-    "customers_with_urgent_orders": "cust_semi_urgent",
-    "dedup_simhash_fingerprints": "dedup_simhash_fp",
-    "pipeline_envelope_decode": "pl_envelope_decode",
-    "pipeline_streaming_drain": "pl_streaming_drain",
-    "sketch_distinct_trigrams": "sketch_trigrams",
-    "sql_lateral_top_orders": "sql_lateral_topk",
+    "streaming_late_data_policy": "st_late",
+    "streaming_payment_match": "st_payment",
+    "streaming_dedup_replay": "st_dedup",
+    "customers_without_urgent_orders": "anti_urgent",
+    "customers_with_urgent_orders": "semi_urgent",
+    "dedup_simhash_fingerprints": "simhash_fp",
+    "sketch_distinct_trigrams": "sketch",
+    "sql_lateral_top_orders": "lateral_topk",
     "sql_above_average_orders": "sql_above_avg",
     "serving_last_write_wins": "serving_lww",
-    "top_orders_per_customer": "top_orders_per_cust",
     "sales_pivot_by_priority": "sales_pivot",
     "text_stratified_sample": "text_strat_sample",
-    "emb_near_dup_lsh_multi": "emb_neardup_multi",
-    "events_value_histogram": "events_value_hist",
     "q12_ship_delay_classes": "q12_ship_delay",
     "q17_small_quantity_revenue": "q17_small_qty",
     "q19_disjunctive_revenue": "q19_disjunct",
@@ -204,16 +201,16 @@ BENCH_KEY_ALIASES = {
     # capture at centisecond precision with full names — shorten the
     # remaining long tail (still 1:1, final line only).
     "q5_local_supplier_volume": "q5_local_supp",
-    "customer_running_spend": "cust_run_spend",
-    "events_sessionization": "events_sessions",
+    "customer_running_spend": "run_spend",
+    "events_sessionization": "sessions",
     "salted_priority_sales": "salted_sales",
     "text_length_quantiles": "text_len_quant",
     "top_parts_by_revenue": "top_parts_rev",
     "q3_shipping_priority": "q3_ship_prio",
     "fuzzy_customer_names": "fuzzy_cust",
     "events_variant_props": "events_variant",
-    "dedup_canonical_docs": "dedup_canonical",
-    "events_tumbling_30s": "events_tumble30",
+    "dedup_canonical_docs": "canonical",
+    "events_tumbling_30s": "tumble30",
     "text_pack_sequences": "text_pack",
     "dedup_exact_recrawl": "dedup_exact",
     "dedup_ngram_jaccard": "dedup_ngram",
@@ -236,10 +233,25 @@ BENCH_KEY_ALIASES = {
     "cdc_snapshot_diff": "cdc_diff",
     "docs_expectations": "docs_expect",
     "text_bm25_search": "text_bm25",
-    "events_rolling_hour_avg": "events_roll_avg",
+    "events_rolling_hour_avg": "roll_avg",
     "events_ntile_quartiles": "events_ntile",
     "events_value_outliers_mad": "events_mad",
     "dedup_substring_hotspots": "dedup_substr",
+    "q4_late_order_priority": "q4_late_prio",
+    "q9_red_parts_profit": "q9_profit",
+    "q16_supplier_diversity": "q16_supp_div",
+    "q21_late_sole_supplier": "q21_late_supp",
+    "streaming_enriched_nation_totals": "st_enriched",
+    "streaming_running_totals_final": "st_running",
+    "pipeline_envelope_decode": "pl_envelope",
+    "pipeline_streaming_drain": "pl_stream",
+    "top_orders_per_customer": "top_orders",
+    "events_value_histogram": "events_hist",
+    "emb_near_dup_lsh_multi": "emb_nd_multi",
+    "emb_near_dup_lsh": "emb_nd_lsh",
+    "ann_topk_brute": "ann_brute",
+    "ann_topk_lsh": "ann_lsh",
+    "ann_topk_ivf": "ann_ivf",
 }
 
 

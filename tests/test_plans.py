@@ -402,3 +402,37 @@ def test_mad_outliers_broadcasts_tiny_aggregates(spark):
     plan = explain_str(QUERY_FNS["events_value_outliers_mad"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q4_exists_compiles_to_semi_join(spark):
+    """Q4's EXISTS must be ONE LeftSemi hash join (dedup before the
+    aggregate — no DISTINCT pass, no correlated re-execution)."""
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    plan = explain_str(QUERY_FNS["q4_late_order_priority"](spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_exclusion_is_anti_join_before_aggregate(spark):
+    """Q16's NOT IN supplier set must be a broadcast anti join applied
+    below the count-distinct aggregate."""
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    plan = explain_str(QUERY_FNS["q16_supplier_diversity"](spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_no_lineitem_self_join(spark):
+    """Q21 must read lineitem ONCE (aggregate form), not via the
+    original's three-way self-join."""
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    plan = explain_str(QUERY_FNS["q21_late_sole_supplier"](spark, SF_DIR))
+    # scans: lineitem + orders + supplier = 3 file indexes; a self-join
+    # formulation would show lineitem twice (4+)
+    assert plan.count("Location: InMemoryFileIndex") == 3
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
