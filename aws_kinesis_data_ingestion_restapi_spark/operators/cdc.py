@@ -68,3 +68,66 @@ def snapshot_diff(
     if include_unchanged:
         return classified
     return classified.filter(F.col("change_type") != "unchanged")
+
+
+def scd2_apply(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+    v_old: int = 1,
+    v_new: int = 2,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from two snapshot
+    versions — the APPLY step downstream of :func:`snapshot_diff`
+    (which only classifies): every key becomes its interval rows.
+
+      unchanged  (attrs_old, valid_from=v_old, valid_to=NULL, current)
+      update     (attrs_old, v_old, v_new, closed) +
+                 (attrs_new, v_new, NULL, current)
+      delete     (attrs_old, v_old, v_new, closed)
+      insert     (attrs_new, v_new, NULL, current)
+
+    Built as ONE full-outer hash join on the key plus a conditional
+    array-of-struct explode — each input row expands to 1-2 interval
+    rows map-side, so there is exactly one shuffle regardless of how
+    many keys changed. Digest comparison (row_digest) keeps the
+    change test null-safe and single-expression.
+
+    Scale note: at 100 TB this is the same shape as the diff — the
+    history explode adds no shuffle; generalizing to N snapshot
+    versions is a fold of this two-version step (each fold works on
+    current rows only, delta-sized after the first)."""
+    o_attrs = [F.col(c).alias(f"_o_{c}") for c in compare_cols]
+    n_attrs = [F.col(c).alias(f"_n_{c}") for c in compare_cols]
+    o = old.select(*keys, *o_attrs, row_digest(compare_cols).alias("_h_old"))
+    n = new.select(*keys, *n_attrs, row_digest(compare_cols).alias("_h_new"))
+    j = o.join(n, keys, "full_outer")
+
+    def interval(side: str, valid_from: int, valid_to: int | None) -> Column:
+        return F.struct(
+            *[F.col(f"_{side}_{c}").alias(c) for c in compare_cols],
+            F.lit(valid_from).alias("valid_from"),
+            (F.lit(valid_to) if valid_to is not None else F.lit(None))
+            .cast("int")
+            .alias("valid_to"),
+            F.lit(valid_to is None).alias("is_current"),
+        )
+
+    closed_old = interval("o", v_old, v_new)
+    open_old = interval("o", v_old, None)
+    open_new = interval("n", v_new, None)
+    rows = (
+        F.when(F.col("_h_old").isNull(), F.array(open_new))
+        .when(F.col("_h_new").isNull(), F.array(closed_old))
+        .when(F.col("_h_old") != F.col("_h_new"), F.array(closed_old, open_new))
+        .otherwise(F.array(open_old))
+    )
+    exploded = j.select(*keys, F.explode(rows).alias("_iv"))
+    return exploded.select(
+        *keys,
+        *[F.col(f"_iv.{c}").alias(c) for c in compare_cols],
+        F.col("_iv.valid_from").alias("valid_from"),
+        F.col("_iv.valid_to").alias("valid_to"),
+        F.col("_iv.is_current").alias("is_current"),
+    )

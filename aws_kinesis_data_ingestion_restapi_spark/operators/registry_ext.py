@@ -345,9 +345,9 @@ def events_range_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDC between orders and a deterministic simulated v2: keys
-    divisible by 97 deleted, totals bumped where divisible by 5,
+def _orders_snapshots(spark: SparkSession, sf_dir: str):
+    """The shared CDC fixture: orders as v1 plus a deterministic v2 —
+    keys divisible by 97 deleted, totals bumped where divisible by 5,
     re-keyed copies inserted where divisible by 101."""
     ensure_runtime_confs(spark)
     cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
@@ -362,9 +362,27 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     inserts = old.filter(k % 101 == 0).withColumn(
         "o_orderkey", k + F.lit(100_000_000)
     )
+    return old, new.unionByName(inserts)
+
+
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC classification between the two fixture snapshots."""
+    old, new = _orders_snapshots(spark, sf_dir)
     return cdc.snapshot_diff(
         old,
-        new.unionByName(inserts),
+        new,
+        keys=["o_orderkey"],
+        compare_cols=["o_orderstatus", "o_totalprice"],
+    )
+
+
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD2 APPLY step over the same fixture: every key expanded to
+    its type-2 validity-interval rows (cdc.scd2_apply)."""
+    old, new = _orders_snapshots(spark, sf_dir)
+    return cdc.scd2_apply(
+        old,
+        new,
         keys=["o_orderkey"],
         compare_cols=["o_orderstatus", "o_totalprice"],
     )
@@ -498,6 +516,7 @@ EXT_QUERY_FNS = {
     "dedup_contamination": dedup_contamination,
     "dedup_ensemble": dedup_ensemble,
     "cdc_snapshot_diff": cdc_snapshot_diff,
+    "cdc_scd2_history": cdc_scd2_history,
     "asof_priority_rates": asof_priority_rates,
     "events_range_follow": events_range_follow,
     "ann_topk_brute": ann_topk_brute,
@@ -1157,6 +1176,39 @@ EXT_ORACLE_SQL = {
         WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
            OR o.o_orderstatus != n.o_orderstatus
            OR o.o_totalprice != n.o_totalprice
+    """,
+    "cdc_scd2_history": """
+        WITH old AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        ),
+        nw AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                        ELSE o_totalprice END AS o_totalprice
+            FROM old WHERE o_orderkey % 97 != 0
+            UNION ALL
+            SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice
+            FROM old WHERE o_orderkey % 101 = 0
+        ),
+        j AS (
+            SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+                   o.o_orderstatus AS ost, o.o_totalprice AS otp,
+                   n.o_orderstatus AS nst, n.o_totalprice AS ntp,
+                   o.o_orderkey IS NULL AS ins,
+                   n.o_orderkey IS NULL AS del,
+                   (o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+                    AND (o.o_orderstatus != n.o_orderstatus
+                         OR o.o_totalprice != n.o_totalprice)) AS upd
+            FROM old o FULL OUTER JOIN nw n ON o.o_orderkey = n.o_orderkey
+        )
+        SELECT k AS o_orderkey, ost AS o_orderstatus, otp AS o_totalprice,
+               1 AS valid_from, 2 AS valid_to, FALSE AS is_current
+        FROM j WHERE del OR upd
+        UNION ALL
+        SELECT k, nst, ntp, 2, NULL, TRUE FROM j WHERE ins OR upd
+        UNION ALL
+        SELECT k, ost, otp, 1, NULL, TRUE
+        FROM j WHERE NOT ins AND NOT del AND NOT upd
     """,
     "dedup_minhash_lsh": f"""
         WITH {_MINHASH_SIGS},

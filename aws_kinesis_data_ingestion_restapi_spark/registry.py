@@ -270,6 +270,7 @@ from aws_kinesis_data_ingestion_restapi_spark.streaming.registry_stream import (
     streaming_late_data_policy,
     streaming_payment_match,
     streaming_running_totals_final,
+    streaming_session_windows,
 )
 
 QUERY_FNS["streaming_dedup_replay"] = streaming_dedup_replay
@@ -277,6 +278,7 @@ QUERY_FNS["streaming_running_totals_final"] = streaming_running_totals_final
 QUERY_FNS["streaming_enriched_nation_totals"] = streaming_enriched_nation_totals
 QUERY_FNS["streaming_payment_match"] = streaming_payment_match
 QUERY_FNS["streaming_late_data_policy"] = streaming_late_data_policy
+QUERY_FNS["streaming_session_windows"] = streaming_session_windows
 
 # merge the dedup / similarity / text-analysis extension surface
 from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (  # noqa: E402
@@ -1021,6 +1023,34 @@ ORACLE_SQL: dict[str, str] = {
         FROM daily
         WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY <= (SELECT w FROM wm)
     """,
+    # native streaming session windows: gaps-and-islands bounded by the
+    # final watermark (end <= wm emission rule — see the query's
+    # docstring for the non-contractual caveat shared with late_data)
+    "streaming_session_windows": f"""
+        WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+        o AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER win IS NULL
+                             OR ts - lag(ts) OVER win >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW win AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        s AS (
+            SELECT user_id, ts, value,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM o
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events,
+               {_DSUM6.format(c='value')} AS total_value
+        FROM s
+        GROUP BY user_id, sid
+        HAVING MAX(ts) + INTERVAL 30 MINUTE <= (SELECT w FROM wm)
+    """,
     # PIVOT == conditional aggregation per cell; fixed priority domain
     "sales_pivot_by_priority": """
         SELECT n_name AS nation,
@@ -1180,6 +1210,8 @@ _GATE_HEAD = [
     "events_ntile_quartiles",
     "events_value_outliers_mad",
     "dedup_substring_hotspots",
+    "cdc_scd2_history",
+    "streaming_session_windows",
     "text_bm25_search",
     "dedup_canonical_docs",
     "events_gapfill",

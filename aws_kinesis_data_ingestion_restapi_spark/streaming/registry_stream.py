@@ -331,3 +331,65 @@ def streaming_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _drain(agg, "append", "slate")
     shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE-NATIVE session windows in streaming mode: the event
+    stream is aggregated with ``session_window(ts, 30 min)`` per user
+    under a 1-hour watermark, append mode — the JVM keyed-state merge
+    path (dynamic-gap window coalescing), complementing the batch
+    ``events_sessionization`` (same operator, batch plan) and the
+    applyInPandasWithState operators (custom state logic).
+
+    Emission boundary: a session finalizes once the watermark passes
+    its end (last event + gap). The drain delivers every event in one
+    file batch; the final watermark is max(ts) − 1 h (the no-data
+    flush batch emits everything finalized by it), so the oracle is
+    gaps-and-islands sessionization filtered to session_end ≤ that
+    boundary — the same observed ``end <= wm`` emission rule the
+    tumbling-window query pins (streaming_late_data_policy docstring
+    has the non-contractual caveat; it applies here identically).
+
+    Scale note: session state is per-(user, open-session) and bounded
+    by the watermark — the reason to sessionize IN the stream instead
+    of re-scanning history each day at 100 TB.
+    """
+    events = analytics._t(spark, sf_dir, "events")
+    base = events.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "value",
+    )
+    d = tempfile.mkdtemp(prefix="stream_sess_")
+    stream_dir = os.path.join(d, "in")
+    os.makedirs(stream_dir)
+    staged = os.path.join(d, "staged")
+    base.write.mode("overwrite").json(staged)
+    target = os.path.join(stream_dir, "b0.json")
+    with open(target, "wb") as out:
+        for p in sorted(glob.glob(os.path.join(staged, "part-*"))):
+            with open(p, "rb") as f:
+                shutil.copyfileobj(f, out)
+    stream = (
+        spark.readStream.schema("user_id long, ts string, value double")
+        .json(stream_dir)
+        .withColumn("ts", F.to_timestamp("ts"))
+        .withWatermark("ts", "1 hour")
+    )
+    agg = (
+        stream.groupBy("user_id", F.session_window("ts", "30 minutes").alias("s"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", scale=6, alias="total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    out = _drain(agg, "append", "ssess")
+    shutil.rmtree(d, ignore_errors=True)
+    return out

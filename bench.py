@@ -153,6 +153,7 @@ ANALYTICS_QUERIES = [
     "asof_priority_rates",
     "events_range_follow",
     "cdc_snapshot_diff",
+    "cdc_scd2_history",
     # the composed curation chain (dedup → quality → sample → pack)
     "curation_pipeline",
     # stateful / stream-static / stream-stream forms (each drains a
@@ -162,6 +163,7 @@ ANALYTICS_QUERIES = [
     "streaming_enriched_nation_totals",
     "streaming_payment_match",
     "streaming_late_data_policy",
+    "streaming_session_windows",
 ]
 
 
@@ -189,18 +191,18 @@ BENCH_KEY_ALIASES = {
     "dedup_simhash_fingerprints": "simhash_fp",
     "sketch_distinct_trigrams": "sketch",
     "sql_lateral_top_orders": "lateral_topk",
-    "sql_above_average_orders": "sql_above_avg",
+    "sql_above_average_orders": "above_avg",
     "serving_last_write_wins": "serving_lww",
     "sales_pivot_by_priority": "sales_pivot",
-    "text_stratified_sample": "text_strat_sample",
-    "q12_ship_delay_classes": "q12_ship_delay",
-    "q17_small_quantity_revenue": "q17_small_qty",
+    "text_stratified_sample": "strat_sample",
+    "q12_ship_delay_classes": "q12_delay",
+    "q17_small_quantity_revenue": "q17_small",
     "q19_disjunctive_revenue": "q19_disjunct",
     "q22_dormant_customers": "q22_dormant",
     # round-4 widening: 90 registry entries no longer fit the 2000-char
     # capture at centisecond precision with full names — shorten the
     # remaining long tail (still 1:1, final line only).
-    "q5_local_supplier_volume": "q5_local_supp",
+    "q5_local_supplier_volume": "q5_local",
     "customer_running_spend": "run_spend",
     "events_sessionization": "sessions",
     "salted_priority_sales": "salted_sales",
@@ -252,6 +254,10 @@ BENCH_KEY_ALIASES = {
     "ann_topk_brute": "ann_brute",
     "ann_topk_lsh": "ann_lsh",
     "ann_topk_ivf": "ann_ivf",
+    "cdc_scd2_history": "scd2",
+    "streaming_session_windows": "st_sessions",
+    "customer_retention": "retention",
+    "payment_type_share": "pay_share",
 }
 
 

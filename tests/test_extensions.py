@@ -925,3 +925,30 @@ def test_substring_hotspots_counts_repeats_within_doc(spark):
     }
     assert out[10]["n_shingles"] == 5 and out[10]["n_dup"] == 2
     assert out[11]["n_shingles"] == 3 and out[11]["n_dup"] == 1
+
+
+def test_scd2_apply_intervals(spark):
+    from aws_kinesis_data_ingestion_restapi_spark.operators import cdc
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "attr"]
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], ["k", "attr"]  # 2 updated, 3 del, 4 ins
+    )
+    rows = {
+        (r["k"], r["valid_from"]): r
+        for r in cdc.scd2_apply(old, new, ["k"], ["attr"]).collect()
+    }
+    assert len(rows) == 5
+    # unchanged: one open row carrying v1
+    assert rows[(1, 1)]["valid_to"] is None and rows[(1, 1)]["is_current"]
+    # update: closed old + open new
+    assert rows[(2, 1)]["attr"] == "b" and rows[(2, 1)]["valid_to"] == 2
+    assert not rows[(2, 1)]["is_current"]
+    assert rows[(2, 2)]["attr"] == "B" and rows[(2, 2)]["is_current"]
+    # delete: closed old only
+    assert rows[(3, 1)]["valid_to"] == 2 and not rows[(3, 1)]["is_current"]
+    assert (3, 2) not in rows
+    # insert: open new only
+    assert rows[(4, 2)]["attr"] == "d" and rows[(4, 2)]["is_current"]
