@@ -1398,6 +1398,38 @@ def q22_dormant_customers(
     )
 
 
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week
+    (cohort), counted distinct in each subsequent week offset — the
+    classic product-analytics triangle view.
+
+    The cohort week comes from a MIN window over the same user_id
+    partitioning the final aggregate shuffles on — one pass, no
+    first-seen self-join. Week truncation is ISO (Monday) in both
+    engines; the offset is exact integer day arithmetic / 7.
+
+    Scale shape: shuffle on user_id (window) then on (cohort, offset)
+    (aggregate); countDistinct expands internally to the standard
+    two-phase distinct aggregate — no driver state."""
+    from pyspark.sql.window import Window
+
+    events = _t(spark, sf_dir, "events")
+    ts = as_timestamp(events, "ts")
+    week = F.to_date(F.date_trunc("week", ts))
+    wu = Window.partitionBy("user_id")
+    return (
+        events.select("user_id", week.alias("week"))
+        .withColumn("cohort_week", F.min("week").over(wu))
+        .withColumn(
+            "week_offset",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7).cast("int"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 def q4_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: order counts per priority for orders with at
     least one badly-delayed line (ship > order date + 60 days; the

@@ -81,6 +81,15 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_score(_docs(spark, sf_dir))
 
 
+def text_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft curation: P(keep) = quality score (sampling.
+    quality_weighted_sample over the scored corpus)."""
+    scored = text.quality_score(_docs(spark, sf_dir))
+    return sampling.quality_weighted_sample(scored).select(
+        "doc_id", "quality_score"
+    )
+
+
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.language_id(_docs(spark, sf_dir))
 
@@ -500,6 +509,7 @@ EXT_QUERY_FNS = {
     "text_pii_redact": text_pii_redact,
     "text_pack_sequences": text_pack_sequences,
     "text_stratified_sample": text_stratified_sample,
+    "text_quality_sample": text_quality_sample,
     "text_repetition": text_repetition,
     "text_bm25_search": text_bm25_search,
     "docs_expectations": docs_expectations,
@@ -910,6 +920,40 @@ EXT_ORACLE_SQL = {
                   f"WHEN '{lg}' THEN {pct}"
                   for lg, pct in sorted(SAMPLE_RATES.items())
               )} ELSE 0 END
+    """,
+    # soft curation: P(keep) = quality score; the uniform draw is the
+    # same stable 28-bit id hash the stratified sampler uses
+    "text_quality_sample": f"""
+        WITH c AS (
+            SELECT doc_id, text, {_TOKS} AS toks FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   CAST(list_sum(list_transform(toks, x -> length(x)))
+                        AS DOUBLE) / len(toks) AS mean_token_len,
+                   CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                        AS DOUBLE) / length(text) AS punct_ratio,
+                   CAST(len(list_filter(toks, x -> list_contains({_EN}, x)))
+                        AS DOUBLE) / len(toks) AS stop_density
+            FROM c
+        ),
+        q AS (
+            SELECT doc_id,
+                   0.25 * (CASE WHEN n_tokens >= 10 AND n_tokens <= 10000
+                                THEN 1.0 ELSE 0.0 END)
+                   + 0.25 * (CASE WHEN mean_token_len >= 3.0
+                                  AND mean_token_len <= 12.0
+                                  THEN 1.0 ELSE 0.0 END)
+                   + 0.25 * (1.0 - least(1.0, punct_ratio * 5.0))
+                   + 0.25 * least(1.0, stop_density * 5.0) AS quality_score
+            FROM m
+        )
+        SELECT doc_id, quality_score
+        FROM q
+        WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))
+                   AS BIGINT) % 1000000
+              < quality_score * 1000000
     """,
     # repetition ratios: exact-int divisions, deterministic top-token
     # tie-break (count desc, token asc) on both engines

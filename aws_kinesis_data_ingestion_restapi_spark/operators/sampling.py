@@ -47,3 +47,26 @@ def stratified_sample(
     for stratum, pct in sorted(rates.items()):
         rate = F.when(F.col(strata_col) == stratum, F.lit(pct)).otherwise(rate)
     return docs.filter(hash_bucket(id_col) < rate)
+
+
+def quality_weighted_sample(
+    scored: DataFrame,
+    score_col: str = "quality_score",
+    id_col: str = "doc_id",
+    resolution: int = 1_000_000,
+) -> Column | DataFrame:
+    """Importance sampling for corpus curation: keep each row with
+    probability equal to its quality score in [0, 1] — high-quality
+    documents survive almost surely, boilerplate mostly drops, and the
+    expected quality of the sample rises without a hard cutoff's cliff
+    (the soft alternative to curation_pipeline's QUALITY_FLOOR).
+
+    Deterministic like everything in this module: the uniform draw is
+    the stable 28-bit id hash mod ``resolution`` compared against
+    ``score × resolution`` — same sample on any cluster/partition
+    layout/engine. (2^28 is not an exact multiple of the resolution, so
+    the top of the range carries a ~0.3% bias — irrelevant for curation
+    and identical in both engines.) Map-side filter, no shuffle."""
+    c = F.col(id_col).cast("string")
+    h = F.conv(F.substring(F.md5(c), 1, _HEX), 16, 10).cast("long")
+    return scored.filter((h % resolution) < F.col(score_col) * resolution)

@@ -228,6 +228,8 @@ QUERY_FNS: dict[str, QueryFn] = {
     "q9_red_parts_profit": analytics.q9_red_parts_profit,
     "q16_supplier_diversity": analytics.q16_supplier_diversity,
     "q21_late_sole_supplier": analytics.q21_late_sole_supplier,
+    # cohort retention matrix (first-seen week × activity week)
+    "events_cohort_retention": analytics.events_cohort_retention,
     # time-range window frame / equi-depth buckets / robust outliers
     "events_rolling_hour_avg": analytics.events_rolling_hour_avg,
     "events_ntile_quartiles": analytics.events_ntile_quartiles,
@@ -879,6 +881,22 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY numwait DESC, s_name
         LIMIT 10
     """,
+    "events_cohort_retention": """
+        WITH w AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', ts) AS DATE) AS week,
+                   MIN(CAST(date_trunc('week', ts) AS DATE))
+                       OVER (PARTITION BY user_id) AS cohort_week
+            FROM events
+        )
+        SELECT cohort_week,
+               CAST(date_diff('day', cohort_week, week) / 7 AS INT)
+                   AS week_offset,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+        FROM w
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
     "events_rolling_hour_avg": """
         SELECT event_id, user_id,
                COUNT(*) OVER w AS n_1h,
@@ -1212,6 +1230,8 @@ _GATE_HEAD = [
     "dedup_substring_hotspots",
     "cdc_scd2_history",
     "streaming_session_windows",
+    "events_cohort_retention",
+    "text_quality_sample",
     "text_bm25_search",
     "dedup_canonical_docs",
     "events_gapfill",

@@ -105,6 +105,7 @@ ANALYTICS_QUERIES = [
     "events_value_outliers_mad",
     "events_gapfill",
     "events_funnel",
+    "events_cohort_retention",
     "profile_documents",
     "docs_expectations",
     "sketch_distinct_trigrams",
@@ -129,6 +130,7 @@ ANALYTICS_QUERIES = [
     "text_length_quantiles",
     "text_pack_sequences",
     "text_stratified_sample",
+    "text_quality_sample",
     "dedup_exact_recrawl",
     "dedup_substring_hotspots",
     "dedup_ngram_jaccard",
@@ -258,6 +260,8 @@ BENCH_KEY_ALIASES = {
     "streaming_session_windows": "st_sessions",
     "customer_retention": "retention",
     "payment_type_share": "pay_share",
+    "events_cohort_retention": "cohort",
+    "text_quality_sample": "qual_sample",
 }
 
 
