@@ -1398,6 +1398,55 @@ def q22_dormant_customers(
     )
 
 
+def sales_yoy_full_outer(
+    spark: SparkSession, sf_dir: str, y1: int = 1995, y2: int = 1996
+) -> DataFrame:
+    """Year-over-year per-customer revenue reconciliation via a FULL
+    OUTER join of two yearly aggregates — the join type the rest of
+    the query surface doesn't otherwise exercise (inner/left/semi/anti
+    and set ops are covered elsewhere). NULL-preserving sales columns,
+    new/churned/retained classification, and an IEEE-exact delta over
+    the decimal-summed yearly totals.
+
+    Scale shape: each year aggregates BEFORE the join (two partial
+    aggregates shuffle ~#customers rows, not #orders), and the full
+    outer join is a hash join on the same custkey both aggregates are
+    already partitioned by — Catalyst reuses the exchange."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def year_sales(y: int, alias: str) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= f"{y}-01-01")
+                & (F.col("o_orderdate") < f"{y + 1}-01-01")
+            )
+            .groupBy(F.col("o_custkey").alias(f"{alias}_key"))
+            .agg(dsum("o_totalprice", alias=f"{alias}_sales"))
+        )
+
+    a = year_sales(y1, "a")
+    b = year_sales(y2, "b")
+    status = (
+        F.when(F.col("a_key").isNull(), "new")
+        .when(F.col("b_key").isNull(), "churned")
+        .otherwise("retained")
+    )
+    return (
+        a.join(b, a.a_key == b.b_key, "full_outer")
+        .select(
+            F.coalesce("a_key", "b_key").alias("customer_key"),
+            F.col("a_sales").alias("y1_sales"),
+            F.col("b_sales").alias("y2_sales"),
+            status.alias("status"),
+            (
+                F.coalesce("b_sales", F.lit(0.0))
+                - F.coalesce("a_sales", F.lit(0.0))
+            ).alias("delta"),
+        )
+        .orderBy("customer_key")
+    )
+
+
 def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by first-seen week
     (cohort), counted distinct in each subsequent week offset — the

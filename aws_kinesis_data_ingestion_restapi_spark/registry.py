@@ -228,6 +228,8 @@ QUERY_FNS: dict[str, QueryFn] = {
     "q9_red_parts_profit": analytics.q9_red_parts_profit,
     "q16_supplier_diversity": analytics.q16_supplier_diversity,
     "q21_late_sole_supplier": analytics.q21_late_sole_supplier,
+    # FULL OUTER year-over-year reconciliation
+    "sales_yoy_full_outer": analytics.sales_yoy_full_outer,
     # cohort retention matrix (first-seen week × activity week)
     "events_cohort_retention": analytics.events_cohort_retention,
     # time-range window frame / equi-depth buckets / robust outliers
@@ -881,6 +883,31 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY numwait DESC, s_name
         LIMIT 10
     """,
+    "sales_yoy_full_outer": f"""
+        WITH a AS (
+            SELECT o_custkey AS a_key,
+                   {_DSUM2.format(c='o_totalprice')} AS a_sales
+            FROM orders
+            WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01'
+            GROUP BY 1
+        ),
+        b AS (
+            SELECT o_custkey AS b_key,
+                   {_DSUM2.format(c='o_totalprice')} AS b_sales
+            FROM orders
+            WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+            GROUP BY 1
+        )
+        SELECT COALESCE(a_key, b_key) AS customer_key,
+               a_sales AS y1_sales,
+               b_sales AS y2_sales,
+               CASE WHEN a_key IS NULL THEN 'new'
+                    WHEN b_key IS NULL THEN 'churned'
+                    ELSE 'retained' END AS status,
+               COALESCE(b_sales, 0.0) - COALESCE(a_sales, 0.0) AS delta
+        FROM a FULL OUTER JOIN b ON a_key = b_key
+        ORDER BY 1
+    """,
     "events_cohort_retention": """
         WITH w AS (
             SELECT user_id,
@@ -1232,6 +1259,7 @@ _GATE_HEAD = [
     "streaming_session_windows",
     "events_cohort_retention",
     "text_quality_sample",
+    "sales_yoy_full_outer",
     "text_bm25_search",
     "dedup_canonical_docs",
     "events_gapfill",

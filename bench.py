@@ -92,6 +92,7 @@ ANALYTICS_QUERIES = [
     "customers_with_urgent_orders",
     "customers_without_urgent_orders",
     "customer_retention",
+    "sales_yoy_full_outer",
     "fuzzy_customer_names",
     "events_daily_stats",
     "events_json_props",
@@ -262,6 +263,7 @@ BENCH_KEY_ALIASES = {
     "payment_type_share": "pay_share",
     "events_cohort_retention": "cohort",
     "text_quality_sample": "qual_sample",
+    "sales_yoy_full_outer": "yoy_full",
 }
 
 
