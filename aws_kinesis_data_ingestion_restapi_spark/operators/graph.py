@@ -87,3 +87,64 @@ def connected_components(
         f"rounds (last round still relabeled {changed} nodes); labels would "
         "be partially propagated — raise max_iter for long-chain graphs"
     )
+
+
+# Fixed-point scale for exact pagerank arithmetic. Overflow bound: the
+# per-node aggregate is damping_pct * Σ contributions ≤ 85 × in_deg ×
+# ONE (worst case: every in-neighbor has out-degree 1), so int64 holds
+# hubs up to ~10^7 in-degree at this scale — beyond that, drop ONE a
+# decimal digit per 10× hub size. 10 significant digits is ample rank
+# resolution.
+ONE = 10**10
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = ONE,
+) -> DataFrame:
+    """PageRank with EXACT fixed-point integer arithmetic — every rank
+    is an int64 scaled by ``scale``, every per-edge contribution is an
+    integer division by out-degree, and the damping mix is integer
+    percent math. Floating-point PageRank diverges across engines and
+    partitionings in the low bits; this form is bit-identical anywhere
+    (same reason functions/exact.py routes money through decimal), so
+    a DuckDB oracle can replay the same ``iterations`` rounds and
+    value-hash the result.
+
+    ``edges``: (src, dst) directed edge list, taken positionally.
+    Every node must have at least one out-edge (callers with dangling
+    nodes should add reverse edges or self-loops first — the bipartite
+    wrapper in registry_ext does the former, which also makes the walk
+    undirected).
+
+    Scale shape: each round is one equi-join (ranks ⋈ edges on src)
+    plus one aggregate (sum by dst) — both hash shuffles on node keys
+    that AQE co-partitions; no driver-side graph, no adjacency matrix.
+    Fixed iteration count (rank quality, not convergence detection, is
+    the contract — the standard production choice; at 100 TB each
+    round is a bounded pair of shuffles). ``localCheckpoint`` is
+    unnecessary at 3 rounds; callers iterating deeper should truncate
+    lineage as connected_components does."""
+    s, d = edges.columns[0], edges.columns[1]
+    e = edges.select(F.col(s).alias("src"), F.col(d).alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ranks = deg.select("src", F.lit(scale).cast("long").alias("rank"))
+    base = ((100 - damping_pct) * scale) // 100
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks, "src")
+            .join(deg, "src")
+            .select("dst", F.expr("rank DIV out_deg").alias("contrib"))
+        )
+        ranks = (
+            contribs.groupBy(F.col("dst").alias("src"))
+            .agg(
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(f"{damping_pct} * sum(contrib) DIV 100")
+                ).alias("rank")
+            )
+        )
+    return ranks.select(F.col("src").alias("node"), "rank")

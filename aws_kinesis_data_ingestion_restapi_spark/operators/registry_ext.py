@@ -374,6 +374,40 @@ def _orders_snapshots(spark: SparkSession, sf_dir: str):
     return old, new.unionByName(inserts)
 
 
+def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the bipartite customer–supplier purchase graph
+    (edge ⇔ the customer ordered from the supplier), 3 exact
+    fixed-point rounds — surfaces the most central suppliers/buyers.
+    Reverse edges make the walk undirected, which also guarantees
+    every node has out-degree ≥ 1 (graph.pagerank's contract)."""
+    ensure_runtime_confs(spark)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_suppkey") + 1_000_000).alias("supp"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("cust").alias("src"), F.col("supp").alias("dst")
+    ).unionByName(pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst")))
+    pr = graph.pagerank(edges, iterations=3)
+    return (
+        pr.select(
+            "node",
+            F.when(F.col("node") >= 1_000_000, "supplier")
+            .otherwise("customer")
+            .alias("node_type"),
+            F.col("rank").alias("pr"),
+        )
+        .orderBy(F.desc("pr"), "node")
+        .limit(20)
+    )
+
+
 def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC classification between the two fixture snapshots."""
     old, new = _orders_snapshots(spark, sf_dir)
@@ -515,6 +549,7 @@ EXT_QUERY_FNS = {
     "docs_expectations": docs_expectations,
     "sketch_distinct_trigrams": sketch_distinct_trigrams,
     "dedup_components": dedup_components,
+    "graph_pagerank_suppliers": graph_pagerank_suppliers,
     "dedup_canonical_docs": dedup_canonical_docs,
     "curation_pipeline": curation_pipeline,
     "dedup_exact_recrawl": dedup_exact_recrawl,
@@ -1220,6 +1255,52 @@ EXT_ORACLE_SQL = {
         WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
            OR o.o_orderstatus != n.o_orderstatus
            OR o.o_totalprice != n.o_totalprice
+    """,
+    # 3 unrolled exact fixed-point pagerank rounds; // is integer
+    # division in DuckDB exactly as DIV is in Spark (positive operands)
+    "graph_pagerank_suppliers": """
+        WITH pairs AS (
+            SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000 AS supp
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        edges AS (
+            SELECT cust AS src, supp AS dst FROM pairs
+            UNION ALL
+            SELECT supp AS src, cust AS dst FROM pairs
+        ),
+        deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY 1),
+        r0 AS (SELECT src, CAST(10000000000 AS BIGINT) AS pr FROM deg),
+        r1 AS (
+            SELECT e.dst AS src,
+                   CAST(1500000000 + 85 * SUM(r.pr // d.out_deg) // 100
+                        AS BIGINT) AS pr
+            FROM edges e JOIN r0 r ON e.src = r.src
+            JOIN deg d ON e.src = d.src
+            GROUP BY 1
+        ),
+        r2 AS (
+            SELECT e.dst AS src,
+                   CAST(1500000000 + 85 * SUM(r.pr // d.out_deg) // 100
+                        AS BIGINT) AS pr
+            FROM edges e JOIN r1 r ON e.src = r.src
+            JOIN deg d ON e.src = d.src
+            GROUP BY 1
+        ),
+        r3 AS (
+            SELECT e.dst AS src,
+                   CAST(1500000000 + 85 * SUM(r.pr // d.out_deg) // 100
+                        AS BIGINT) AS pr
+            FROM edges e JOIN r2 r ON e.src = r.src
+            JOIN deg d ON e.src = d.src
+            GROUP BY 1
+        )
+        SELECT src AS node,
+               CASE WHEN src >= 1000000 THEN 'supplier'
+                    ELSE 'customer' END AS node_type,
+               pr
+        FROM r3
+        ORDER BY pr DESC, node
+        LIMIT 20
     """,
     "cdc_scd2_history": """
         WITH old AS (

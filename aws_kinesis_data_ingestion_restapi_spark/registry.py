@@ -1260,6 +1260,7 @@ _GATE_HEAD = [
     "events_cohort_retention",
     "text_quality_sample",
     "sales_yoy_full_outer",
+    "graph_pagerank_suppliers",
     "text_bm25_search",
     "dedup_canonical_docs",
     "events_gapfill",

@@ -141,6 +141,7 @@ ANALYTICS_QUERIES = [
     "dedup_contamination",
     "dedup_ensemble",
     "dedup_components",
+    "graph_pagerank_suppliers",
     "dedup_canonical_docs",
     "ann_topk_brute",
     "ann_topk_lsh",
@@ -264,6 +265,7 @@ BENCH_KEY_ALIASES = {
     "events_cohort_retention": "cohort",
     "text_quality_sample": "qual_sample",
     "sales_yoy_full_outer": "yoy_full",
+    "graph_pagerank_suppliers": "pagerank",
 }
 
 

@@ -952,3 +952,21 @@ def test_scd2_apply_intervals(spark):
     assert (3, 2) not in rows
     # insert: open new only
     assert rows[(4, 2)]["attr"] == "d" and rows[(4, 2)]["is_current"]
+
+
+def test_pagerank_exact_star_graph(spark):
+    """Star graph (hub 0 ↔ leaves 1-4): the hub must outrank every
+    leaf, all leaves tie exactly (integer arithmetic — EXACT equality,
+    not approximate), and rank mass stays positive and bounded."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import graph
+
+    pairs = [(0, i) for i in range(1, 5)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], ["src", "dst"]
+    )
+    ranks = {r["node"]: r["rank"] for r in graph.pagerank(edges).collect()}
+    assert set(ranks) == {0, 1, 2, 3, 4}
+    leaf_ranks = {ranks[i] for i in range(1, 5)}
+    assert len(leaf_ranks) == 1  # exact tie
+    assert ranks[0] > leaf_ranks.pop()
+    assert all(v > 0 for v in ranks.values())
