@@ -1623,6 +1623,48 @@ def q21_late_sole_supplier(
     )
 
 
+#: Recursive hierarchy roll-up — IDENTICAL text on Spark 4 (recursive
+#: CTE support) and DuckDB, modulo the view name. The testdata has no
+#: hierarchy column, so the tree is derived from the key's decimal
+#: digits (parent = key DIV 10, root 0) — a 4-level management-chain
+#: stand-in. Integer division is spelled FLOOR(x/10.0) because Spark
+#: spells it DIV and DuckDB //; floor-of-double is exact below 2^53.
+_RECURSIVE_ROLLUP_SQL = """
+    WITH RECURSIVE up AS (
+        SELECT s_suppkey AS node, s_suppkey AS anc, s_acctbal
+        FROM {supplier}
+        UNION ALL
+        SELECT node, CAST(FLOOR(anc / 10.0) AS BIGINT) AS anc, s_acctbal
+        FROM up
+        WHERE anc > 0
+    )
+    SELECT anc AS subtree_root,
+           COUNT(*) AS n_nodes,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_acctbal
+    FROM up
+    WHERE anc BETWEEN 1 AND 9
+    GROUP BY anc
+    ORDER BY anc
+"""
+
+
+def sql_recursive_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtree aggregation via a RECURSIVE CTE (Spark 4):
+    every supplier walks its ancestor chain up the digit-derived tree,
+    and each depth-1 subtree root aggregates its whole subtree — the
+    org-chart / category-tree roll-up shape, in SQL-standard recursion
+    run as the IDENTICAL query text on both engines.
+
+    Scale shape: Catalyst executes the recursion as iterative
+    UNION-ALL steps, each a bounded self-join on the working set; the
+    chain length is the tree depth (⌈log₁₀ keys⌉), so work is
+    O(depth × nodes) — no unbounded expansion. The decimal sum keeps
+    the roll-up exact."""
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_rv")
+    return spark.sql(_RECURSIVE_ROLLUP_SQL.format(supplier="supplier_rv"))
+
+
 def sql_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 LATERAL correlated subquery through the raw SQL surface:
     each customer's top-2 orders by price, written as `, LATERAL

@@ -260,6 +260,8 @@ QUERY_FNS: dict[str, QueryFn] = {
     "sales_cube": analytics.sales_cube,
     # LATERAL correlated top-k through the raw SQL surface
     "sql_lateral_top_orders": analytics.sql_lateral_top_orders,
+    # RECURSIVE CTE hierarchy roll-up (identical SQL text both engines)
+    "sql_recursive_rollup": analytics.sql_recursive_rollup,
 }
 
 # Stateful streaming operators, driven through a real streaming query
@@ -613,6 +615,11 @@ ORACLE_SQL: dict[str, str] = {
                  LIMIT 2
              ) t
     """,
+    # the IDENTICAL recursive text (analytics._RECURSIVE_ROLLUP_SQL)
+    # with the view name swapped for the DuckDB-registered table
+    "sql_recursive_rollup": analytics._RECURSIVE_ROLLUP_SQL.format(
+        supplier="supplier"
+    ),
     # ordered funnel: each stage's first event must be strictly after
     # the user's previous stage's first event
     "events_funnel": """
@@ -1261,6 +1268,7 @@ _GATE_HEAD = [
     "text_quality_sample",
     "sales_yoy_full_outer",
     "graph_pagerank_suppliers",
+    "sql_recursive_rollup",
     "text_bm25_search",
     "dedup_canonical_docs",
     "events_gapfill",

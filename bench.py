@@ -114,6 +114,7 @@ ANALYTICS_QUERIES = [
     "salted_priority_sales",
     "sql_above_average_orders",
     "sql_lateral_top_orders",
+    "sql_recursive_rollup",
     "pipeline_envelope_decode",
     "serving_last_write_wins",
     # window-function surface
@@ -266,6 +267,7 @@ BENCH_KEY_ALIASES = {
     "text_quality_sample": "qual_sample",
     "sales_yoy_full_outer": "yoy_full",
     "graph_pagerank_suppliers": "pagerank",
+    "sql_recursive_rollup": "recursive",
 }
 
 
