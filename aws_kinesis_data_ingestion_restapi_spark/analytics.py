@@ -1623,6 +1623,71 @@ def q21_late_sole_supplier(
     )
 
 
+def events_concurrency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the interval-overlap sweep
+    line: sessions (native ``session_window``, 30-min gap) become
+    ±1 boundary deltas, and concurrency at any instant is the running
+    sum over the time-ordered deltas.
+
+    Scale design: a naive global ordered window is a single task; this
+    uses the SAME two-level distributed prefix sum as sequence packing
+    (operators/packing.py) — per-hour-bucket partial sums, an ordered
+    window over the metadata-scale bucket rows, and an intra-bucket
+    cumulative window aligned with the bucket join. Determinism: the
+    sweep order is the total (ts, delta) — ends sort before starts at
+    the same instant, and within a tie group all increments are equal,
+    so the daily MAX is permutation-invariant.
+
+    The sessionization is the engine's native session_window; the
+    oracle derives identical sessions via gaps-and-islands (the
+    equivalence events_sessionization / streaming_session_windows
+    already pin) and a plain ordered running sum."""
+    from pyspark.sql.window import Window
+
+    events = _t(spark, sf_dir, "events")
+    s = (
+        events.groupBy(
+            "user_id", F.session_window(as_timestamp(events, "ts"), "30 minutes").alias("s")
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(F.col("s.start").alias("st"), F.col("s.end").alias("en"))
+    )
+    deltas = s.select(F.col("st").alias("t"), F.lit(1).alias("delta")).unionByName(
+        s.select(F.col("en").alias("t"), F.lit(-1).alias("delta"))
+    )
+    # session TZ is pinned UTC, so the NTZ->TZ cast is the identity
+    d = deltas.withColumn(
+        "_blk", F.expr("unix_seconds(cast(t as timestamp)) DIV 3600")
+    )
+    blk_sums = d.groupBy("_blk").agg(F.sum("delta").alias("_blk_sum"))
+    w_blk = (
+        Window.partitionBy(F.pmod(F.col("_blk"), F.lit(1)))
+        .orderBy("_blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    blk_offsets = blk_sums.select(
+        "_blk",
+        F.coalesce(F.sum("_blk_sum").over(w_blk), F.lit(0)).alias("_blk_off"),
+    )
+    w_in = (
+        Window.partitionBy("_blk")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    conc = d.join(F.broadcast(blk_offsets), "_blk").select(
+        "t",
+        (F.col("_blk_off") + F.sum("delta").over(w_in)).alias("conc"),
+    )
+    return (
+        conc.groupBy(F.to_date(F.date_trunc("day", F.col("t"))).alias("day"))
+        .agg(
+            F.max("conc").alias("peak_concurrency"),
+            F.count(F.lit(1)).alias("n_boundaries"),
+        )
+        .orderBy("day")
+    )
+
+
 #: Recursive hierarchy roll-up — IDENTICAL text on Spark 4 (recursive
 #: CTE support) and DuckDB, modulo the view name. The testdata has no
 #: hierarchy column, so the tree is derived from the key's decimal

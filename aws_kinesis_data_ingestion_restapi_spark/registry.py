@@ -262,6 +262,8 @@ QUERY_FNS: dict[str, QueryFn] = {
     "sql_lateral_top_orders": analytics.sql_lateral_top_orders,
     # RECURSIVE CTE hierarchy roll-up (identical SQL text both engines)
     "sql_recursive_rollup": analytics.sql_recursive_rollup,
+    # interval-overlap sweep line (two-level distributed prefix sum)
+    "events_concurrency_curve": analytics.events_concurrency_curve,
 }
 
 # Stateful streaming operators, driven through a real streaming query
@@ -915,6 +917,45 @@ ORACLE_SQL: dict[str, str] = {
         FROM a FULL OUTER JOIN b ON a_key = b_key
         ORDER BY 1
     """,
+    # sweep-line concurrency: sessions -> ±1 deltas -> ordered running
+    # sum; ends sort before starts at the same instant ((t, delta)
+    # order), and the daily MAX is tie-permutation-invariant
+    "events_concurrency_curve": """
+        WITH o AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER win IS NULL
+                             OR ts - lag(ts) OVER win >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW win AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        si AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM o
+        ),
+        s AS (
+            SELECT MIN(ts) AS st, MAX(ts) + INTERVAL 30 MINUTE AS en
+            FROM si GROUP BY user_id, sid
+        ),
+        d AS (
+            SELECT st AS t, 1 AS delta FROM s
+            UNION ALL
+            SELECT en AS t, -1 AS delta FROM s
+        ),
+        c AS (
+            SELECT t, SUM(delta) OVER (ORDER BY t, delta
+                          ROWS UNBOUNDED PRECEDING) AS conc
+            FROM d
+        )
+        SELECT CAST(date_trunc('day', t) AS DATE) AS day,
+               CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+               COUNT(*) AS n_boundaries
+        FROM c
+        GROUP BY 1
+        ORDER BY 1
+    """,
     "events_cohort_retention": """
         WITH w AS (
             SELECT user_id,
@@ -1269,6 +1310,7 @@ _GATE_HEAD = [
     "sales_yoy_full_outer",
     "graph_pagerank_suppliers",
     "sql_recursive_rollup",
+    "events_concurrency_curve",
     "text_bm25_search",
     "dedup_canonical_docs",
     "events_gapfill",

@@ -107,6 +107,7 @@ ANALYTICS_QUERIES = [
     "events_gapfill",
     "events_funnel",
     "events_cohort_retention",
+    "events_concurrency_curve",
     "profile_documents",
     "docs_expectations",
     "sketch_distinct_trigrams",
@@ -268,6 +269,7 @@ BENCH_KEY_ALIASES = {
     "sales_yoy_full_outer": "yoy_full",
     "graph_pagerank_suppliers": "pagerank",
     "sql_recursive_rollup": "recursive",
+    "events_concurrency_curve": "concurrency",
 }
 
 

@@ -436,3 +436,14 @@ def test_q21_no_lineitem_self_join(spark):
     assert plan.count("Location: InMemoryFileIndex") == 3
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_concurrency_sweep_no_global_raw_window(spark):
+    """The sweep-line running sum must use the two-level prefix form:
+    the only globally-ordered window runs over the aggregated hourly
+    bucket rows, never the raw boundary stream."""
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    plan = explain_str(QUERY_FNS["events_concurrency_curve"](spark, SF_DIR))
+    assert plan.count("Window (") == 2
+    assert "windowspecdefinition(_blk#" in plan
