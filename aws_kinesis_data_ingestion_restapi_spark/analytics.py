@@ -1623,6 +1623,41 @@ def q21_late_sole_supplier(
     )
 
 
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix between consecutive event
+    types per user (LAG over the total (ts, event_id) order), with
+    per-source transition probabilities — the "what do users do next"
+    path-analysis staple, and the LAG surface the funnel/sessionization
+    queries don't expose directly.
+
+    The per-source normalizer is a SUM window over the aggregated
+    25-cell matrix (metadata-scale), not a second pass over events;
+    the share division is one int→double cast per engine, bit-equal.
+
+    Scale shape: one shuffle on user_id (the lag window), one on the
+    (src, dst) aggregate; the matrix itself is |types|² rows."""
+    from pyspark.sql.window import Window
+
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("src", F.lag("event_type").over(w))
+        .filter(F.col("src").isNotNull())
+    )
+    counts = pairs.groupBy("src", F.col("event_type").alias("dst")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = Window.partitionBy("src")
+    return (
+        counts.withColumn(
+            "p",
+            F.col("n").cast("double") / F.sum("n").over(tot).cast("double"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
 def events_concurrency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak concurrent sessions per day — the interval-overlap sweep
     line: sessions (native ``session_window``, 30-min gap) become

@@ -264,6 +264,8 @@ QUERY_FNS: dict[str, QueryFn] = {
     "sql_recursive_rollup": analytics.sql_recursive_rollup,
     # interval-overlap sweep line (two-level distributed prefix sum)
     "events_concurrency_curve": analytics.events_concurrency_curve,
+    # first-order Markov transition matrix (LAG surface)
+    "events_transition_matrix": analytics.events_transition_matrix,
 }
 
 # Stateful streaming operators, driven through a real streaming query
@@ -917,6 +919,24 @@ ORACLE_SQL: dict[str, str] = {
         FROM a FULL OUTER JOIN b ON a_key = b_key
         ORDER BY 1
     """,
+    "events_transition_matrix": """
+        WITH pairs AS (
+            SELECT LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS src,
+                   event_type AS dst
+            FROM events
+        ),
+        counts AS (
+            SELECT src, dst, COUNT(*) AS n
+            FROM pairs WHERE src IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT src, dst, n,
+               CAST(n AS DOUBLE)
+                 / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE) AS p
+        FROM counts
+        ORDER BY 1, 2
+    """,
     # sweep-line concurrency: sessions -> ±1 deltas -> ordered running
     # sum; ends sort before starts at the same instant ((t, delta)
     # order), and the daily MAX is tie-permutation-invariant
@@ -1311,6 +1331,7 @@ _GATE_HEAD = [
     "graph_pagerank_suppliers",
     "sql_recursive_rollup",
     "events_concurrency_curve",
+    "events_transition_matrix",
     "text_bm25_search",
     "dedup_canonical_docs",
     "events_gapfill",

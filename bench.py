@@ -108,6 +108,7 @@ ANALYTICS_QUERIES = [
     "events_funnel",
     "events_cohort_retention",
     "events_concurrency_curve",
+    "events_transition_matrix",
     "profile_documents",
     "docs_expectations",
     "sketch_distinct_trigrams",
@@ -270,6 +271,7 @@ BENCH_KEY_ALIASES = {
     "graph_pagerank_suppliers": "pagerank",
     "sql_recursive_rollup": "recursive",
     "events_concurrency_curve": "concurrency",
+    "events_transition_matrix": "transitions",
 }
 
 
