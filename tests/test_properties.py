@@ -1,0 +1,150 @@
+"""Property-based invariants (hypothesis) for the operators whose
+correctness claims are universal statements — "for ANY input…" — that
+example tests can only sample:
+
+- SCD2: the interval rows PARTITION each key's history (exactly one
+  current row iff the key survives; closed rows exactly for the
+  changed/deleted; current attributes == new-snapshot attributes).
+- PageRank: bit-identical under repartitioning (the operator's whole
+  reason to exist) and rank mass bounded by the damping identity.
+- substring_hotspots: equals a brute-force Python reimplementation on
+  arbitrary corpora (positional multiplicity included).
+- quality_weighted_sample: the kept set is exactly the hash rule,
+  reproducible in pure Python.
+
+Examples are kept small (Spark jobs per example) — these hunt logic
+errors, not scale ones; the plan tests own the scale claims.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from aws_kinesis_data_ingestion_restapi_spark.operators import (
+    cdc,
+    dedup,
+    graph,
+    sampling,
+)
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_attr = st.sampled_from(["a", "b", "c"])
+_snap = st.dictionaries(st.integers(0, 9), _attr, min_size=0, max_size=8)
+
+
+@given(old=_snap, new=_snap)
+@settings(**_SETTINGS)
+def test_scd2_partitions_every_key_history(spark, old, new):
+    if not old and not new:
+        return
+    old_df = spark.createDataFrame(
+        [(k, v) for k, v in old.items()] or [(None, None)], "k int, attr string"
+    ).filter(F.col("k").isNotNull())
+    new_df = spark.createDataFrame(
+        [(k, v) for k, v in new.items()] or [(None, None)], "k int, attr string"
+    ).filter(F.col("k").isNotNull())
+    rows = cdc.scd2_apply(old_df, new_df, ["k"], ["attr"]).collect()
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r["k"], []).append(r)
+    assert set(by_key) == set(old) | set(new)
+    for k, ivs in by_key.items():
+        current = [r for r in ivs if r["is_current"]]
+        closed = [r for r in ivs if not r["is_current"]]
+        # exactly one open row iff the key survives into the new snap
+        assert len(current) == (1 if k in new else 0)
+        if k in new:
+            assert current[0]["attr"] == new[k]
+            assert current[0]["valid_to"] is None
+        # a closed row exists iff the key was present and (changed or
+        # deleted); unchanged keys carry their single open row only
+        changed = k in old and k in new and old[k] != new[k]
+        deleted = k in old and k not in new
+        assert len(closed) == (1 if (changed or deleted) else 0)
+        if closed:
+            assert closed[0]["attr"] == old[k]
+            assert closed[0]["valid_to"] == 2
+
+
+@given(seed=st.integers(0, 10**6))
+@settings(**_SETTINGS)
+def test_pagerank_partition_invariant_and_mass_bounded(spark, seed):
+    rng = random.Random(seed)
+    n = rng.randint(2, 12)
+    base_edges = {(a, b) for a in range(n) for b in range(n)
+                  if a != b and rng.random() < 0.4}
+    if not base_edges:
+        base_edges = {(0, 1)}
+    undirected = list(base_edges) + [(b, a) for a, b in base_edges]
+    e1 = spark.createDataFrame(undirected, ["src", "dst"])
+    e2 = e1.repartition(7, "dst")  # different physical layout
+    r1 = {r["node"]: r["rank"] for r in graph.pagerank(e1).collect()}
+    r2 = {r["node"]: r["rank"] for r in graph.pagerank(e2).collect()}
+    assert r1 == r2  # EXACT equality — the fixed-point arithmetic claim
+    # mass identity: every rank lies in [base, base + 0.85 * total_in]
+    # and totals stay below n * ONE + slack introduced by flooring
+    assert all(v >= (15 * graph.ONE) // 100 for v in r1.values())
+    assert sum(r1.values()) <= len(r1) * graph.ONE
+
+
+_words = st.sampled_from(["x", "y", "z", "w"])
+_doc = st.lists(_words, min_size=0, max_size=10).map(" ".join)
+
+
+@given(texts=st.lists(_doc, min_size=1, max_size=6))
+@settings(**_SETTINGS)
+def test_substring_hotspots_matches_bruteforce(spark, texts):
+    n = 3
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_dup"])
+        for r in dedup.substring_hotspots(docs, n=n, min_docs=2).collect()
+    }
+
+    def shingles(t: str) -> list[str]:
+        toks = t.lower().strip().split()
+        return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+    all_sh = {i: shingles(t) for i, t in enumerate(texts)}
+    docs_per_gram: dict[str, set[int]] = {}
+    for i, sh in all_sh.items():
+        for g in sh:
+            docs_per_gram.setdefault(g, set()).add(i)
+    want = {
+        i: (len(sh), sum(1 for g in sh if len(docs_per_gram[g]) >= 2))
+        for i, sh in all_sh.items()
+        if sh
+    }
+    assert got == want
+
+
+@given(seed=st.integers(0, 10**6))
+@settings(**_SETTINGS)
+def test_quality_sample_is_exactly_the_hash_rule(spark, seed):
+    rng = random.Random(seed)
+    rows = [(i, rng.random()) for i in range(30)]
+    scored = spark.createDataFrame(rows, ["doc_id", "quality_score"])
+    kept = {
+        r["doc_id"]
+        for r in sampling.quality_weighted_sample(scored).collect()
+    }
+    res = 1_000_000
+    want = {
+        i
+        for i, q in rows
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:7], 16) % res
+        < q * res
+    }
+    assert kept == want
