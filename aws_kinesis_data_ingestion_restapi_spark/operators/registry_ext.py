@@ -283,6 +283,12 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.topk_ivf(_embs(spark, sf_dir), n_queries=10, k=5)
 
 
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes + reconstruction error over the
+    embeddings table (similarity.pq_encode)."""
+    return similarity.pq_encode(_embs(spark, sf_dir))
+
+
 def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.near_dup_pairs(_embs(spark, sf_dir), d2_max=1.2)
 
@@ -567,6 +573,7 @@ EXT_QUERY_FNS = {
     "ann_topk_brute": ann_topk_brute,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
+    "emb_pq_codes": emb_pq_codes,
     "emb_near_dup": emb_near_dup,
     "emb_near_dup_lsh": emb_near_dup_lsh,
     "emb_near_dup_lsh_multi": emb_near_dup_lsh_multi,
@@ -1422,6 +1429,46 @@ EXT_ORACLE_SQL = {
     # here; exact for n < 2^53), centroids = vec_id % stride == 0,
     # N_PROBES probed cells, ties on (d2, cell) / (score DESC,
     # neighbor_id)
+    # product quantization: identical deterministic codebook (stride-
+    # sampled subvectors), exact int subspace distances, (d2, cell)
+    # tie-break; components align on (sub, pos-within-subspace)
+    "emb_pq_codes": f"""
+        WITH stride AS (
+            SELECT GREATEST(CAST(floor(sqrt(COUNT(*))) AS BIGINT), 1) AS s
+            FROM embeddings
+        ),
+        comp AS ({_COMP}),
+        dims AS (SELECT vec_id, len(embedding) AS d FROM embeddings),
+        subs AS (
+            SELECT c.vec_id,
+                   CAST((c.i - 1) // (d.d // 4) AS INT) AS sub,
+                   CAST((c.i - 1) % (d.d // 4) AS INT) AS pos,
+                   c.qx
+            FROM comp c JOIN dims d USING (vec_id)
+            WHERE (c.i - 1) // (d.d // 4) < 4
+        ),
+        cd AS (
+            SELECT a.vec_id, a.sub, b.vec_id AS cell,
+                   CAST(SUM((a.qx - b.qx) * (a.qx - b.qx)) AS BIGINT) AS d2
+            FROM subs a
+            JOIN subs b ON b.sub = a.sub AND b.pos = a.pos
+            WHERE b.vec_id % (SELECT s FROM stride) = 0
+            GROUP BY 1, 2, 3
+        ),
+        best AS (
+            SELECT vec_id, sub, cell, d2,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY d2, cell) AS rn
+            FROM cd
+        )
+        SELECT vec_id,
+               array_to_string(list(cell ORDER BY sub), '-') AS codes,
+               CAST(COUNT(*) AS INT) AS n_subs,
+               CAST(SUM(d2) AS DOUBLE) / 100000000 AS recon_err
+        FROM best
+        WHERE rn = 1
+        GROUP BY 1
+    """,
     "ann_topk_ivf": f"""
         WITH stride AS (
             SELECT GREATEST(CAST(floor(sqrt(COUNT(*))) AS BIGINT), 1) AS s

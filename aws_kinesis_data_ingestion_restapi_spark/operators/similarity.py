@@ -410,3 +410,82 @@ def near_dup_pairs(
         .filter(F.col("_d2_i") <= F.lit(d2_max_i))
         .select("vec_a", "vec_b", unscale(F.col("_d2_i")).alias("dist2"))
     )
+
+
+PQ_M = 4  # product-quantization subspaces
+
+
+def pq_encode(
+    embs: DataFrame,
+    m: int = PQ_M,
+    centroid_stride: int | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product quantization (Jégou et al., TPAMI'11): each vector is
+    split into ``m`` subvectors and every subvector is replaced by the
+    id of its nearest per-subspace centroid — the compact-code
+    compression that lets a 100 TB embedding store keep codes in
+    memory (m small ints per vector) and rerank with table lookups.
+
+    Deterministic like the IVF index: per-subspace centroids are the
+    stride-sampled corpus subvectors (no trained model — the DuckDB
+    oracle rebuilds the identical codebook), the stride auto-sizes to
+    ⌊√n⌋, distances are exact scaled-int64, and assignment ties break
+    on the lower centroid id.
+
+    Output per vector: ``codes`` joined as a string (subspace order),
+    ``n_subs``, and ``recon_err`` — the summed squared quantization
+    error (the compression-quality metric PQ papers report).
+
+    Scale shape: the subspace explode is ×m (not ×dim); centroids are
+    a broadcast dim (~√n·m rows); assignment partially aggregates
+    min(struct(d2, cell)) so the shuffle carries one row per
+    (vector, subspace); codes regroup on the vector id. Dim must be
+    divisible by ``m`` (the fixture's 64 / 4 is)."""
+    base = embs.select(F.col(id_col), quantized().alias("v"))
+    if centroid_stride is None:
+        centroid_stride = auto_stride(embs.count())
+    subs = base.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        F.col("v"),
+    ).select(
+        id_col,
+        "sub",
+        F.expr(f"slice(v, sub * (size(v) DIV {m}) + 1, size(v) DIV {m})").alias(
+            "sv"
+        ),
+    )
+    cents = subs.filter((F.col(id_col) % centroid_stride) == 0).select(
+        "sub", F.col(id_col).alias("cell"), F.col("sv").alias("cv")
+    )
+    assigned = (
+        subs.join(F.broadcast(cents), "sub")
+        .select(
+            id_col,
+            "sub",
+            F.struct(
+                dist2_i(F.col("sv"), F.col("cv")).alias("d2"),
+                F.col("cell").alias("cell"),
+            ).alias("dc"),
+        )
+        .groupBy(id_col, "sub")
+        .agg(F.min("dc").alias("best"))
+    )
+    return (
+        assigned.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("sub", F.col("best.cell").alias("cell")))
+            ).alias("sc"),
+            F.sum("best.d2").alias("_err2"),
+        )
+        .select(
+            id_col,
+            F.concat_ws(
+                "-", F.transform("sc", lambda s: s["cell"].cast("string"))
+            ).alias("codes"),
+            F.size("sc").alias("n_subs"),
+            unscale(F.col("_err2")).alias("recon_err"),
+        )
+    )

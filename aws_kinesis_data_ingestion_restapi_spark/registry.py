@@ -1332,6 +1332,7 @@ _GATE_HEAD = [
     "sql_recursive_rollup",
     "events_concurrency_curve",
     "events_transition_matrix",
+    "emb_pq_codes",
     "text_bm25_search",
     "dedup_canonical_docs",
     "events_gapfill",

@@ -150,6 +150,7 @@ ANALYTICS_QUERIES = [
     "ann_topk_lsh",
     "ann_topk_ivf",
     "emb_near_dup_lsh",
+    "emb_pq_codes",
     "emb_near_dup_lsh_multi",
     "mm_asset_stats",
     "mm_fingerprint",
@@ -272,6 +273,7 @@ BENCH_KEY_ALIASES = {
     "sql_recursive_rollup": "recursive",
     "events_concurrency_curve": "concurrency",
     "events_transition_matrix": "transitions",
+    "emb_pq_codes": "pq_codes",
 }
 
 
