@@ -289,6 +289,13 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_encode(_embs(spark, sf_dir))
 
 
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC approximate top-k: corpus represented only by its PQ
+    codes, queries by per-subspace distance tables
+    (similarity.topk_pq)."""
+    return similarity.topk_pq(_embs(spark, sf_dir), n_queries=10, k=5)
+
+
 def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.near_dup_pairs(_embs(spark, sf_dir), d2_max=1.2)
 
@@ -574,6 +581,7 @@ EXT_QUERY_FNS = {
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
     "emb_pq_codes": emb_pq_codes,
+    "ann_topk_pq": ann_topk_pq,
     "emb_near_dup": emb_near_dup,
     "emb_near_dup_lsh": emb_near_dup_lsh,
     "emb_near_dup_lsh_multi": emb_near_dup_lsh_multi,
@@ -1468,6 +1476,60 @@ EXT_ORACLE_SQL = {
         FROM best
         WHERE rn = 1
         GROUP BY 1
+    """,
+    # ADC search over the PQ codes: per-query per-subspace distance
+    # tables + m table lookups per corpus vector; (d2, neighbor) order
+    "ann_topk_pq": f"""
+        WITH stride AS (
+            SELECT GREATEST(CAST(floor(sqrt(COUNT(*))) AS BIGINT), 1) AS s
+            FROM embeddings
+        ),
+        comp AS ({_COMP}),
+        dims AS (SELECT vec_id, len(embedding) AS d FROM embeddings),
+        subs AS (
+            SELECT c.vec_id,
+                   CAST((c.i - 1) // (d.d // 4) AS INT) AS sub,
+                   CAST((c.i - 1) % (d.d // 4) AS INT) AS pos,
+                   c.qx
+            FROM comp c JOIN dims d USING (vec_id)
+            WHERE (c.i - 1) // (d.d // 4) < 4
+        ),
+        cd AS (
+            SELECT a.vec_id, a.sub, b.vec_id AS cell,
+                   CAST(SUM((a.qx - b.qx) * (a.qx - b.qx)) AS BIGINT) AS d2
+            FROM subs a
+            JOIN subs b ON b.sub = a.sub AND b.pos = a.pos
+            WHERE b.vec_id % (SELECT s FROM stride) = 0
+            GROUP BY 1, 2, 3
+        ),
+        codes AS (
+            SELECT vec_id AS neighbor_id, sub, cell FROM (
+                SELECT vec_id, sub, cell,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                          ORDER BY d2, cell) AS rn
+                FROM cd
+            ) WHERE rn = 1
+        ),
+        dtab AS (
+            SELECT vec_id AS query_id, sub, cell, d2 AS qd2
+            FROM cd WHERE vec_id < 10
+        ),
+        adc AS (
+            SELECT query_id, neighbor_id,
+                   CAST(SUM(qd2) AS BIGINT) AS d2
+            FROM codes JOIN dtab USING (sub, cell)
+            WHERE query_id != neighbor_id
+            GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank,
+               CAST(d2 AS DOUBLE) / 100000000 AS adc_dist
+        FROM (
+            SELECT query_id, neighbor_id, d2,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY d2, neighbor_id) AS rn
+            FROM adc
+        )
+        WHERE rn <= 5
     """,
     "ann_topk_ivf": f"""
         WITH stride AS (

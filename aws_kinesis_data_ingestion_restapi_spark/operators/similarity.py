@@ -442,6 +442,32 @@ def pq_encode(
     min(struct(d2, cell)) so the shuffle carries one row per
     (vector, subspace); codes regroup on the vector id. Dim must be
     divisible by ``m`` (the fixture's 64 / 4 is)."""
+    subs, cents = _pq_parts(embs, m, centroid_stride, id_col)
+    assigned = _pq_assign(subs, cents, id_col)
+    return (
+        assigned.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("sub", F.col("best.cell").alias("cell")))
+            ).alias("sc"),
+            F.sum("best.d2").alias("_err2"),
+        )
+        .select(
+            id_col,
+            F.concat_ws(
+                "-", F.transform("sc", lambda s: s["cell"].cast("string"))
+            ).alias("codes"),
+            F.size("sc").alias("n_subs"),
+            unscale(F.col("_err2")).alias("recon_err"),
+        )
+    )
+
+
+def _pq_parts(
+    embs: DataFrame, m: int, centroid_stride: int | None, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared PQ geometry: the (id, sub, sv) subvector frame and the
+    per-subspace stride-sampled codebook (sub, cell, cv)."""
     base = embs.select(F.col(id_col), quantized().alias("v"))
     if centroid_stride is None:
         centroid_stride = auto_stride(embs.count())
@@ -459,7 +485,14 @@ def pq_encode(
     cents = subs.filter((F.col(id_col) % centroid_stride) == 0).select(
         "sub", F.col(id_col).alias("cell"), F.col("sv").alias("cv")
     )
-    assigned = (
+    return subs, cents
+
+
+def _pq_assign(subs: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """Nearest-codebook-entry per (vector, subspace): min(struct(d2,
+    cell)) — partial aggregation keeps the shuffle at one row per
+    (vector, subspace); ties break on the lower cell id."""
+    return (
         subs.join(F.broadcast(cents), "sub")
         .select(
             id_col,
@@ -472,20 +505,65 @@ def pq_encode(
         .groupBy(id_col, "sub")
         .agg(F.min("dc").alias("best"))
     )
-    return (
-        assigned.groupBy(id_col)
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("sub", F.col("best.cell").alias("cell")))
-            ).alias("sc"),
-            F.sum("best.d2").alias("_err2"),
-        )
+
+
+def topk_pq(
+    embs: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    m: int = PQ_M,
+    centroid_stride: int | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ search by asymmetric distance computation (ADC): the corpus
+    is represented ONLY by its PQ codes; each query precomputes one
+    distance table per subspace (its exact subvector distance to every
+    codebook entry), and a corpus vector's approximate distance is the
+    sum of m table lookups — never a full-dimension multiply against
+    corpus vectors. This is the other half of the PQ contract
+    (pq_encode compresses; this searches the compressed form).
+
+    Scale shape: the distance tables are n_queries × m × K rows —
+    broadcast-size by construction (K ≈ √n codebook entries) — so the
+    scan side is the CODES table (m small ints per corpus vector, the
+    whole point of PQ at 100 TB), joined map-side on (sub, cell) and
+    partially aggregated to one row per (query, vector) before the
+    per-query top-k window. Approximation error vs the exact brute
+    path is bounded by quantization error (emb_pq_codes.recon_err);
+    ranking ties break on the neighbor id."""
+    subs, cents = _pq_parts(embs, m, centroid_stride, id_col)
+    codes = _pq_assign(subs, cents, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        "sub",
+        F.col("best.cell").alias("cell"),
+    )
+    dtab = (
+        subs.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("query_id"), "sub", "sv")
+        .join(F.broadcast(cents), "sub")
         .select(
-            id_col,
-            F.concat_ws(
-                "-", F.transform("sc", lambda s: s["cell"].cast("string"))
-            ).alias("codes"),
-            F.size("sc").alias("n_subs"),
-            unscale(F.col("_err2")).alias("recon_err"),
+            "query_id",
+            "sub",
+            "cell",
+            dist2_i(F.col("sv"), F.col("cv")).alias("qd2"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(dtab), ["sub", "cell"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("qd2").alias("_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            unscale(F.col("_d2")).alias("adc_dist"),
         )
     )

@@ -1333,6 +1333,7 @@ _GATE_HEAD = [
     "events_concurrency_curve",
     "events_transition_matrix",
     "emb_pq_codes",
+    "ann_topk_pq",
     "text_bm25_search",
     "dedup_canonical_docs",
     "events_gapfill",

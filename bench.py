@@ -151,6 +151,7 @@ ANALYTICS_QUERIES = [
     "ann_topk_ivf",
     "emb_near_dup_lsh",
     "emb_pq_codes",
+    "ann_topk_pq",
     "emb_near_dup_lsh_multi",
     "mm_asset_stats",
     "mm_fingerprint",
@@ -274,6 +275,7 @@ BENCH_KEY_ALIASES = {
     "events_concurrency_curve": "concurrency",
     "events_transition_matrix": "transitions",
     "emb_pq_codes": "pq_codes",
+    "ann_topk_pq": "ann_pq",
 }
 
 
