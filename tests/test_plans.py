@@ -447,3 +447,15 @@ def test_concurrency_sweep_no_global_raw_window(spark):
     plan = explain_str(QUERY_FNS["events_concurrency_curve"](spark, SF_DIR))
     assert plan.count("Window (") == 2
     assert "windowspecdefinition(_blk#" in plan
+
+
+def test_pq_codes_broadcast_codebook_no_cartesian(spark):
+    """PQ assignment must probe a broadcast codebook (never shuffle the
+    corpus against it) and ADC search must join codes to broadcast
+    distance tables — no cartesian anywhere in either plan."""
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    for name in ("emb_pq_codes", "ann_topk_pq"):
+        plan = explain_str(QUERY_FNS[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
