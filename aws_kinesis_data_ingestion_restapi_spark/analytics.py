@@ -1623,6 +1623,100 @@ def q21_late_sole_supplier(
     )
 
 
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-customer Recency (latest order),
+    Frequency (order count), Monetary (decimal-exact spend), each
+    scored 1-4 against its dimension's quartile boundaries (1 = top
+    quartile), plus the concatenated 'rfm' segment label — the
+    standard CRM cut.
+
+    Scale + exactness design: scores come from THRESHOLD COMPARISON
+    against a broadcast 1-row boundary aggregate, not a global NTILE —
+    an unpartitioned ranking window is a single task at 100 M
+    customers, while this is one customer aggregate + one tiny
+    boundary aggregate + a map-side compare. Boundaries are exact
+    cross-engine because every dimension is integer-valued (epoch
+    days, counts, cents) and dyadic-probability percentiles of
+    integers interpolate exactly in IEEE doubles (the
+    text_length_quantiles contract). Boundary ties share a score —
+    threshold semantics, stated here (NTILE would instead split tied
+    customers positionally)."""
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("customer_key")).agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum("o_totalprice", alias="monetary"),
+    ).select(
+        "*",
+        F.datediff("last_order", F.lit("1970-01-01").cast("date")).alias("_rd"),
+        F.round(F.col("monetary") * 100, 0).cast("long").alias("_mc"),
+    )
+    bounds = per_cust.agg(
+        *[
+            F.percentile(c, F.lit(p)).alias(f"{c}_{int(p * 100)}")
+            for c in ("_rd", "frequency", "_mc")
+            for p in (0.25, 0.5, 0.75)
+        ]
+    )
+
+    def score(col: str) -> F.Column:
+        # descending quartiles: value >= p75 -> 1 ... value < p25 -> 4
+        v = F.col(col).cast("double")
+        return (
+            F.lit(1)
+            + F.when(v < F.col(f"{col}_75"), 1).otherwise(0)
+            + F.when(v < F.col(f"{col}_50"), 1).otherwise(0)
+            + F.when(v < F.col(f"{col}_25"), 1).otherwise(0)
+        )
+
+    return (
+        per_cust.crossJoin(F.broadcast(bounds))
+        .select(
+            "customer_key",
+            "last_order",
+            "frequency",
+            "monetary",
+            score("_rd").alias("r"),
+            score("frequency").alias("f"),
+            score("_mc").alias("m"),
+        )
+        .withColumn(
+            "segment",
+            F.concat(F.col("r").cast("string"), F.col("f").cast("string"),
+                     F.col("m").cast("string")),
+        )
+        .orderBy("customer_key")
+    )
+
+
+def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily and trailing-7-day active users (DAU / WAU) per observed
+    day. WAU is computed by the scalable contribution-explode form:
+    each distinct (user, day) row fans out to the ≤7 days it counts
+    toward (a bounded ×7 multiplier on the ALREADY-aggregated
+    user-day frame), then one distinct-count per day — never a 7-day
+    range self-join against the fact table.
+
+    Scale shape: distinct (user, day) is one shuffle on the pair; the
+    explode is map-side; the final count-distinct shuffles user ids
+    per day. All counts are exact."""
+    events = _t(spark, sf_dir, "events")
+    user_days = events.select(
+        "user_id", F.to_date(as_timestamp(events, "ts")).alias("day")
+    ).distinct()
+    dau = user_days.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add("day", 6), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("day"),
+    )
+    wau = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    return dau.join(wau, "day").orderBy("day")
+
+
 def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix between consecutive event
     types per user (LAG over the total (ts, event_id) order), with

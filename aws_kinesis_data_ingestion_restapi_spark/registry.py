@@ -266,6 +266,10 @@ QUERY_FNS: dict[str, QueryFn] = {
     "events_concurrency_curve": analytics.events_concurrency_curve,
     # first-order Markov transition matrix (LAG surface)
     "events_transition_matrix": analytics.events_transition_matrix,
+    # RFM quartile segmentation (threshold scores, no global window)
+    "customer_rfm_segments": analytics.customer_rfm_segments,
+    # DAU / trailing-7-day WAU via contribution explode
+    "events_active_users": analytics.events_active_users,
 }
 
 # Stateful streaming operators, driven through a real streaming query
@@ -919,6 +923,79 @@ ORACLE_SQL: dict[str, str] = {
         FROM a FULL OUTER JOIN b ON a_key = b_key
         ORDER BY 1
     """,
+    "customer_rfm_segments": f"""
+        WITH pc AS (
+            SELECT o_custkey AS customer_key,
+                   CAST(MAX(o_orderdate) AS DATE) AS last_order,
+                   COUNT(*) AS frequency,
+                   {_DSUM2.format(c='o_totalprice')} AS monetary
+            FROM orders GROUP BY 1
+        ),
+        pc2 AS (
+            SELECT *,
+                   date_diff('day', DATE '1970-01-01', last_order) AS rd,
+                   CAST(ROUND(monetary * 100, 0) AS BIGINT) AS mc
+            FROM pc
+        ),
+        b AS (
+            SELECT quantile_cont(rd, 0.25) AS rd_25,
+                   quantile_cont(rd, 0.50) AS rd_50,
+                   quantile_cont(rd, 0.75) AS rd_75,
+                   quantile_cont(frequency, 0.25) AS fq_25,
+                   quantile_cont(frequency, 0.50) AS fq_50,
+                   quantile_cont(frequency, 0.75) AS fq_75,
+                   quantile_cont(mc, 0.25) AS mc_25,
+                   quantile_cont(mc, 0.50) AS mc_50,
+                   quantile_cont(mc, 0.75) AS mc_75
+            FROM pc2
+        ),
+        s AS (
+            SELECT customer_key, last_order, frequency, monetary,
+                   1 + (CASE WHEN CAST(rd AS DOUBLE) < rd_75 THEN 1 ELSE 0 END)
+                     + (CASE WHEN CAST(rd AS DOUBLE) < rd_50 THEN 1 ELSE 0 END)
+                     + (CASE WHEN CAST(rd AS DOUBLE) < rd_25 THEN 1 ELSE 0 END)
+                       AS r,
+                   1 + (CASE WHEN CAST(frequency AS DOUBLE) < fq_75
+                             THEN 1 ELSE 0 END)
+                     + (CASE WHEN CAST(frequency AS DOUBLE) < fq_50
+                             THEN 1 ELSE 0 END)
+                     + (CASE WHEN CAST(frequency AS DOUBLE) < fq_25
+                             THEN 1 ELSE 0 END) AS f,
+                   1 + (CASE WHEN CAST(mc AS DOUBLE) < mc_75 THEN 1 ELSE 0 END)
+                     + (CASE WHEN CAST(mc AS DOUBLE) < mc_50 THEN 1 ELSE 0 END)
+                     + (CASE WHEN CAST(mc AS DOUBLE) < mc_25 THEN 1 ELSE 0 END)
+                       AS m
+            FROM pc2, b
+        )
+        SELECT customer_key, last_order, frequency, monetary,
+               CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+               CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+                   AS segment
+        FROM s
+        ORDER BY 1
+    """,
+    "events_active_users": """
+        WITH ud AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('day', ts) AS DATE) AS day
+            FROM events
+        ),
+        dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1),
+        contrib AS (
+            SELECT user_id, CAST(g.d AS DATE) AS day
+            FROM ud, LATERAL unnest(generate_series(
+                CAST(day AS TIMESTAMP),
+                CAST(day AS TIMESTAMP) + INTERVAL 6 DAY,
+                INTERVAL 1 DAY)) AS g(d)
+        ),
+        wau AS (
+            SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+            FROM contrib GROUP BY 1
+        )
+        SELECT day, dau, wau
+        FROM dau JOIN wau USING (day)
+        ORDER BY 1
+    """,
     "events_transition_matrix": """
         WITH pairs AS (
             SELECT LAG(event_type) OVER (PARTITION BY user_id
@@ -1334,6 +1411,8 @@ _GATE_HEAD = [
     "events_transition_matrix",
     "emb_pq_codes",
     "ann_topk_pq",
+    "customer_rfm_segments",
+    "events_active_users",
     "text_bm25_search",
     "dedup_canonical_docs",
     "events_gapfill",

@@ -92,6 +92,7 @@ ANALYTICS_QUERIES = [
     "customers_with_urgent_orders",
     "customers_without_urgent_orders",
     "customer_retention",
+    "customer_rfm_segments",
     "sales_yoy_full_outer",
     "fuzzy_customer_names",
     "events_daily_stats",
@@ -107,6 +108,7 @@ ANALYTICS_QUERIES = [
     "events_gapfill",
     "events_funnel",
     "events_cohort_retention",
+    "events_active_users",
     "events_concurrency_curve",
     "events_transition_matrix",
     "profile_documents",
@@ -276,6 +278,17 @@ BENCH_KEY_ALIASES = {
     "events_transition_matrix": "transitions",
     "emb_pq_codes": "pq_codes",
     "ann_topk_pq": "ann_pq",
+    "customer_rfm_segments": "rfm",
+    "events_active_users": "dau_wau",
+    "q1_pricing_summary": "q1_pricing",
+    "q7_volume_shipping": "q7_volume",
+    "q10_returned_items": "q10_returns",
+    "q8_market_share": "q8_share",
+    "q18_large_orders": "q18_large",
+    "sales_per_nation": "sales_nation",
+    "events_type_mode": "type_mode",
+    "text_fingerprint": "text_fp",
+    "text_pii_redact": "pii_redact",
 }
 
 
