@@ -1640,7 +1640,13 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers interpolate exactly in IEEE doubles (the
     text_length_quantiles contract). Boundary ties share a score —
     threshold semantics, stated here (NTILE would instead split tied
-    customers positionally)."""
+    customers positionally).
+
+    Known cost: the boundary pass re-runs the per-customer aggregate
+    on a 3-column pruned projection (Catalyst prunes the two branches
+    differently, so the exchange is not reused) — a bounded 2× of one
+    aggregate; a production pipeline computing RFM off an already-
+    materialized customer rollup pays it once."""
     orders = _t(spark, sf_dir, "orders")
     per_cust = orders.groupBy(F.col("o_custkey").alias("customer_key")).agg(
         F.max(F.to_date("o_orderdate")).alias("last_order"),

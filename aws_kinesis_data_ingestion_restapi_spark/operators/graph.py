@@ -128,7 +128,14 @@ def pagerank(
     unnecessary at 3 rounds; callers iterating deeper should truncate
     lineage as connected_components does."""
     s, d = edges.columns[0], edges.columns[1]
-    e = edges.select(F.col(s).alias("src"), F.col(d).alias("dst"))
+    # Materialize the edge list once: every iteration joins it, and an
+    # upstream edge DERIVATION (e.g. the orders⋈lineitem bipartite
+    # build) would otherwise re-execute per iteration per use — the
+    # iterative-DataFrame lineage trap connected_components documents.
+    # localCheckpoint truncates the plan to the cached blocks.
+    e = edges.select(
+        F.col(s).alias("src"), F.col(d).alias("dst")
+    ).localCheckpoint(eager=False)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     ranks = deg.select("src", F.lit(scale).cast("long").alias("rank"))
     base = ((100 - damping_pct) * scale) // 100
