@@ -121,6 +121,41 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.repetition_stats(_docs(spark, sf_dir))
 
 
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min audit of the corpus's top-10 trigram frequencies:
+    exact counts (the baseline a production run would NOT compute)
+    side-by-side with the CM estimate and its overestimate — the
+    CM ≥ exact guarantee is value-checked, not just claimed. The
+    trigram stream here is POSITIONAL (occurrences with multiplicity),
+    unlike the distinct-shingle Jaccard family."""
+    docs = _docs(spark, sf_dir)
+    toked = docs.select(text.tokens_col().alias("_toks"))
+    size = F.size("_toks")
+    gram_i = lambda i: F.concat_ws(" ", F.slice("_toks", i, 3))  # noqa: E731
+    occ = toked.filter(size >= 3).select(
+        F.explode(F.transform(F.sequence(F.lit(1), size - 2), gram_i)).alias(
+            "item"
+        )
+    )
+    exact_top = (
+        occ.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "item")
+        .limit(10)
+    )
+    est = sketch.countmin_estimates(occ, exact_top.select("item"))
+    return (
+        exact_top.join(est, "item")
+        .select(
+            "item",
+            "exact_n",
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("exact_n")).alias("overestimate"),
+        )
+        .orderBy(F.desc("exact_n"), "item")
+    )
+
+
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS, not just pairs: connected components
     (operators/graph.py min-label propagation) over the MinHash-LSH
@@ -561,6 +596,7 @@ EXT_QUERY_FNS = {
     "text_bm25_search": text_bm25_search,
     "docs_expectations": docs_expectations,
     "sketch_distinct_trigrams": sketch_distinct_trigrams,
+    "sketch_heavy_hitters": sketch_heavy_hitters,
     "dedup_components": dedup_components,
     "graph_pagerank_suppliers": graph_pagerank_suppliers,
     "dedup_canonical_docs": dedup_canonical_docs,
@@ -1051,6 +1087,42 @@ EXT_ORACLE_SQL = {
     """,
     # θ-sample distinct sketch: same md5 prefix filter, same ×16 scale
     # — the ESTIMATE matches bit-for-bit, sampling error included
+    # count-min audit: 4×256 sketch, md5-seeded rows, min-of-counters
+    # estimate; overestimate = est - exact must be >= 0 by construction
+    "sketch_heavy_hitters": f"""
+        WITH tk AS (SELECT {_TOKS} AS t FROM documents),
+        occ AS (
+            SELECT array_to_string(t[i:i+2], ' ') AS item
+            FROM tk, LATERAL unnest(range(1, len(t) - 1)) AS g(i)
+            WHERE len(t) >= 3
+        ),
+        exact_top AS (
+            SELECT item, COUNT(*) AS exact_n FROM occ GROUP BY 1
+            ORDER BY exact_n DESC, item LIMIT 10
+        ),
+        cells AS (
+            SELECT dd.d,
+                   CAST(concat('0x', substr(md5(CAST(dd.d AS VARCHAR) || ':'
+                        || item), 1, 7)) AS BIGINT) % 256 AS c,
+                   COUNT(*) AS n
+            FROM occ, (SELECT unnest(generate_series(0, 3)) AS d) dd
+            GROUP BY 1, 2
+        ),
+        est AS (
+            SELECT e.item, MIN(c2.n) AS cm_estimate
+            FROM exact_top e,
+                 (SELECT unnest(generate_series(0, 3)) AS d) dd
+            JOIN cells c2
+              ON c2.d = dd.d
+             AND c2.c = CAST(concat('0x', substr(md5(CAST(dd.d AS VARCHAR)
+                        || ':' || e.item), 1, 7)) AS BIGINT) % 256
+            GROUP BY 1
+        )
+        SELECT item, exact_n, cm_estimate,
+               cm_estimate - exact_n AS overestimate
+        FROM exact_top JOIN est USING (item)
+        ORDER BY exact_n DESC, item
+    """,
     "sketch_distinct_trigrams": f"""
         WITH g AS (
             SELECT lang, unnest({_shingles(3)}) AS gram

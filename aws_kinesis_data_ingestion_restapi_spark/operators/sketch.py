@@ -54,3 +54,65 @@ def theta_distinct(
         .agg(F.countDistinct("_h").alias("n_sampled"))
         .withColumn("est_distinct", F.col("n_sampled") * F.lit(scale).cast("long"))
     )
+
+
+CM_DEPTH = 4  # count-min hash rows
+CM_WIDTH = 256  # count-min columns per row
+
+
+def countmin_estimates(
+    items: DataFrame,
+    candidates: DataFrame,
+    item_col: str = "item",
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Count-Min frequency estimates (Cormode & Muthukrishnan '05) for
+    a candidate item set: the sketch is ``depth`` rows of ``width``
+    counters, each occurrence increments one counter per row (md5-
+    seeded hash — deterministic, so the DuckDB oracle rebuilds the
+    identical sketch), and an item's estimate is the MIN over its
+    ``depth`` counters. The CM guarantee — estimate ≥ true count,
+    overestimate bounded by collisions — holds bit-exactly here.
+
+    Scale shape (the reason to sketch): the sketch aggregate shuffles
+    into depth×width cells — FIXED memory regardless of stream size —
+    and candidate estimation is a broadcast probe of ≤ depth×width
+    rows. The item stream itself is never distinct-shuffled.
+
+    ``items``: one row per occurrence. ``candidates``: the items to
+    estimate (small — e.g. the exact top-k being audited)."""
+    it = F.col(item_col)
+
+    def cell(d: int, col: Column) -> Column:
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(str(d) + ":"), col)), 1, 7), 16, 10
+        ).cast("long")
+        return h % width
+
+    # one scan of the occurrence stream; the ×depth fan-out is a
+    # map-side explode of (row, counter) structs, not repeated scans
+    flat = items.select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(d).alias("d"), cell(d, it).alias("c"))
+                for d in range(depth)
+            ])
+        ).alias("dc")
+    ).select(F.col("dc.d").alias("d"), F.col("dc.c").alias("c"))
+    cells = flat.groupBy("d", "c").agg(F.count(F.lit(1)).alias("n"))
+
+    cand_cells = candidates.select(
+        it.alias("item"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(d).alias("d"), cell(d, it).alias("c"))
+                for d in range(depth)
+            ])
+        ).alias("dc"),
+    ).select("item", F.col("dc.d").alias("d"), F.col("dc.c").alias("c"))
+    return (
+        cand_cells.join(F.broadcast(cells), ["d", "c"])
+        .groupBy("item")
+        .agg(F.min("n").alias("cm_estimate"))
+    )

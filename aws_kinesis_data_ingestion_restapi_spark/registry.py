@@ -1413,6 +1413,7 @@ _GATE_HEAD = [
     "ann_topk_pq",
     "customer_rfm_segments",
     "events_active_users",
+    "sketch_heavy_hitters",
     "text_bm25_search",
     "dedup_canonical_docs",
     "events_gapfill",

@@ -114,6 +114,7 @@ ANALYTICS_QUERIES = [
     "profile_documents",
     "docs_expectations",
     "sketch_distinct_trigrams",
+    "sketch_heavy_hitters",
     "incremental_sales_rollup",
     "salted_priority_sales",
     "sql_above_average_orders",
@@ -289,6 +290,7 @@ BENCH_KEY_ALIASES = {
     "events_type_mode": "type_mode",
     "text_fingerprint": "text_fp",
     "text_pii_redact": "pii_redact",
+    "sketch_heavy_hitters": "cm_hitters",
 }
 
 
