@@ -148,3 +148,29 @@ def test_quality_sample_is_exactly_the_hash_rule(spark, seed):
         < q * res
     }
     assert kept == want
+
+
+@given(seed=st.integers(0, 10**6))
+@settings(**_SETTINGS)
+def test_countmin_never_underestimates(spark, seed):
+    from collections import Counter
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators import sketch
+
+    rng = random.Random(seed)
+    vocab = [f"t{i}" for i in range(rng.randint(2, 30))]
+    stream = [rng.choice(vocab) for _ in range(rng.randint(1, 120))]
+    exact = Counter(stream)
+    items = spark.createDataFrame([(s,) for s in stream], ["item"])
+    cands = spark.createDataFrame([(v,) for v in set(stream)], ["item"])
+    # a deliberately TINY sketch (2x8) forces collisions, which must
+    # only ever inflate estimates — never deflate them
+    est = {
+        r["item"]: r["cm_estimate"]
+        for r in sketch.countmin_estimates(
+            items, cands, depth=2, width=8
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    for item, n in exact.items():
+        assert est[item] >= n, (item, est[item], n)
