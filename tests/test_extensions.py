@@ -970,3 +970,47 @@ def test_pagerank_exact_star_graph(spark):
     assert len(leaf_ranks) == 1  # exact tie
     assert ranks[0] > leaf_ranks.pop()
     assert all(v > 0 for v in ranks.values())
+
+
+def test_pq_encode_and_adc_on_clustered_vectors(spark):
+    """PQ on two tight clusters (dim 8, m=4 -> 2-dim subspaces): every
+    vector's codes must equal its own cluster exemplar's codes when
+    the exemplars ARE the codebook, reconstruction error must be small
+    for exact-exemplar vectors, and ADC top-1 must come from the
+    query's own cluster."""
+    a = [1.0, 0.0, 1.0, 0.0, 1.0, 0.0, 1.0, 0.0]
+    b = [0.0, 1.0, 0.0, 1.0, 0.0, 1.0, 0.0, 1.0]
+
+    def near(v, eps):
+        return [x + eps for x in v]
+
+    rows = [
+        (0, a), (1, near(a, 0.01)), (2, near(a, 0.02)),
+        (3, b), (4, near(b, 0.01)), (5, near(b, 0.02)),
+    ]
+    embs = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    # stride 3 -> codebook entries are exemplars 0 and 3
+    enc = {
+        r["vec_id"]: r
+        for r in similarity.pq_encode(embs, m=4, centroid_stride=3).collect()
+    }
+    assert enc[0]["codes"] == "0-0-0-0" and enc[0]["recon_err"] == 0.0
+    assert enc[3]["codes"] == "3-3-3-3" and enc[3]["recon_err"] == 0.0
+    for i in (1, 2):
+        assert enc[i]["codes"] == "0-0-0-0"
+    for i in (4, 5):
+        assert enc[i]["codes"] == "3-3-3-3"
+    # ADC: queries 0-2 are the a-cluster; every top-1 neighbor must be
+    # a same-cluster member (ids 0-2), mirror for the b-cluster query
+    top = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.topk_pq(
+            embs, n_queries=6, k=2, m=4, centroid_stride=3
+        ).collect()
+    }
+    for q in (0, 1, 2):
+        assert top[(q, 1)] in {0, 1, 2} and top[(q, 1)] != q
+    for q in (3, 4, 5):
+        assert top[(q, 1)] in {3, 4, 5} and top[(q, 1)] != q
