@@ -1623,6 +1623,108 @@ def q21_late_sole_supplier(
     )
 
 
+def events_drift_tvd(
+    spark: SparkSession, sf_dir: str, split: str = "2024-01-15"
+) -> DataFrame:
+    """Distribution-drift check between two periods of the event
+    stream: total-variation distance between the event-type
+    distributions before/after ``split`` — the schema-free drift gate
+    a continuously-trained pipeline runs before trusting new data
+    (PSI's log makes it engine-divergent; TVD is log-free).
+
+    Exactness at ANY scale: the per-type term is |n1·N2 − n2·N1| in
+    DECIMAL(19,0) cross-products (int64 would overflow once period
+    counts pass ~3·10⁹ since the product squares them; decimal 38-digit
+    products are exact to 10¹⁹ per side), and the single division
+    happens once at the end. ONE scan: totals derive from the 5-row
+    per-type aggregate, never a second pass over events."""
+    events = _t(spark, sf_dir, "events")
+    first = (as_timestamp(events, "ts") < split).cast("int")
+    per_type = events.groupBy("event_type").agg(
+        F.sum(first).cast("decimal(19,0)").alias("n1"),
+        F.sum(1 - first).cast("decimal(19,0)").alias("n2"),
+    )
+    totals = per_type.agg(
+        F.sum("n1").cast("decimal(19,0)").alias("t1"),
+        F.sum("n2").cast("decimal(19,0)").alias("t2"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    return (
+        per_type.crossJoin(F.broadcast(totals))
+        .select(
+            "n_types",
+            "t1",
+            "t2",
+            F.abs(F.col("n1") * F.col("t2") - F.col("n2") * F.col("t1")).alias(
+                "_diff"
+            ),
+        )
+        .groupBy("n_types")
+        .agg(
+            F.first("t1").cast("long").alias("n_first"),
+            F.first("t2").cast("long").alias("n_second"),
+            (
+                F.sum("_diff").cast("double")
+                / (
+                    F.lit(2.0)
+                    * F.first("t1").cast("double")
+                    * F.first("t2").cast("double")
+                )
+            ).alias("tvd"),
+        )
+    )
+
+
+def parts_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of part brands by revenue: brands
+    covering the first 80 % of cumulative revenue are class A, up to
+    95 % class B, the tail C — the inventory-prioritization classic.
+
+    Exactness: revenue stays an INTEGER (scale-4 fixed point — the
+    discounted price has exactly 4 decimal places, so ×10⁴ is exact,
+    with no rounding cast whose half-up/half-even rules differ between
+    engines) through the cumulative window, and the class thresholds
+    compare ``cum·100 ≤ pct·total`` in pure integer arithmetic — no
+    floating-point share ever decides a boundary, so both engines
+    classify identically even on exact ties. The cumulative window
+    runs over the ~|brands| aggregate (a bounded dimension), ordered
+    (revenue DESC, brand) for a total order; the pmod partition key is
+    the same non-foldable-constant trick packing.py documents."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    per_brand = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(
+                (disc_price_expr() * 10000).cast("decimal(38,0)")
+            ).alias("_m4")
+        )
+    )
+    one_part = F.pmod(F.length("p_brand"), F.lit(1))
+    w = (
+        Window.partitionBy(one_part)
+        .orderBy(F.desc("_m4"), F.asc("p_brand"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy(one_part)
+    cum = F.sum("_m4").over(w)
+    total = F.sum("_m4").over(wt)
+    klass = (
+        F.when(cum * 100 <= total * 80, "A")
+        .when(cum * 100 <= total * 95, "B")
+        .otherwise("C")
+    )
+    return per_brand.select(
+        "p_brand",
+        (F.col("_m4").cast("double") / 10000).alias("revenue"),
+        (cum.cast("double") / 10000).alias("cum_revenue"),
+        klass.alias("abc_class"),
+    ).orderBy(F.desc("revenue"), "p_brand")
+
+
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: per-customer Recency (latest order),
     Frequency (order count), Monetary (decimal-exact spend), each

@@ -268,6 +268,10 @@ QUERY_FNS: dict[str, QueryFn] = {
     "events_transition_matrix": analytics.events_transition_matrix,
     # RFM quartile segmentation (threshold scores, no global window)
     "customer_rfm_segments": analytics.customer_rfm_segments,
+    # distribution drift (log-free TVD, decimal cross-products)
+    "events_drift_tvd": analytics.events_drift_tvd,
+    # Pareto / ABC classification (integer fixed-point boundaries)
+    "parts_abc_analysis": analytics.parts_abc_analysis,
     # DAU / trailing-7-day WAU via contribution explode
     "events_active_users": analytics.events_active_users,
 }
@@ -923,6 +927,54 @@ ORACLE_SQL: dict[str, str] = {
         FROM a FULL OUTER JOIN b ON a_key = b_key
         ORDER BY 1
     """,
+    "events_drift_tvd": """
+        WITH pt AS (
+            SELECT event_type,
+                   CAST(SUM(CASE WHEN ts < '2024-01-15' THEN 1 ELSE 0 END)
+                        AS DECIMAL(19,0)) AS n1,
+                   CAST(SUM(CASE WHEN ts < '2024-01-15' THEN 0 ELSE 1 END)
+                        AS DECIMAL(19,0)) AS n2
+            FROM events
+            GROUP BY 1
+        ),
+        t AS (
+            SELECT CAST(SUM(n1) AS DECIMAL(19,0)) AS t1,
+                   CAST(SUM(n2) AS DECIMAL(19,0)) AS t2,
+                   COUNT(*) AS n_types
+            FROM pt
+        )
+        SELECT n_types,
+               CAST(t1 AS BIGINT) AS n_first,
+               CAST(t2 AS BIGINT) AS n_second,
+               CAST(SUM(ABS(n1 * t2 - n2 * t1)) AS DOUBLE)
+                 / (2.0 * CAST(t1 AS DOUBLE) * CAST(t2 AS DOUBLE)) AS tvd
+        FROM pt, t
+        GROUP BY n_types, t1, t2
+    """,
+    "parts_abc_analysis": f"""
+        WITH pb AS (
+            SELECT p_brand,
+                   CAST(SUM(CAST({_DISC_PRICE} * 10000 AS DECIMAL(38,0)))
+                        AS DECIMAL(38,0)) AS m4
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1
+        ),
+        c AS (
+            SELECT p_brand, m4,
+                   SUM(m4) OVER (ORDER BY m4 DESC, p_brand
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(m4) OVER () AS total
+            FROM pb
+        )
+        SELECT p_brand,
+               CAST(m4 AS DOUBLE) / 10000 AS revenue,
+               CAST(cum AS DOUBLE) / 10000 AS cum_revenue,
+               CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                    WHEN cum * 100 <= total * 95 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM c
+        ORDER BY revenue DESC, p_brand
+    """,
     "customer_rfm_segments": f"""
         WITH pc AS (
             SELECT o_custkey AS customer_key,
@@ -1414,6 +1466,8 @@ _GATE_HEAD = [
     "customer_rfm_segments",
     "events_active_users",
     "sketch_heavy_hitters",
+    "events_drift_tvd",
+    "parts_abc_analysis",
     "text_bm25_search",
     "dedup_canonical_docs",
     "events_gapfill",

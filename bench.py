@@ -73,6 +73,7 @@ ANALYTICS_QUERIES = [
     "sales_cube",
     "sales_pivot_by_priority",
     "top_parts_by_revenue",
+    "parts_abc_analysis",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q18_large_orders",
@@ -109,6 +110,7 @@ ANALYTICS_QUERIES = [
     "events_funnel",
     "events_cohort_retention",
     "events_active_users",
+    "events_drift_tvd",
     "events_concurrency_curve",
     "events_transition_matrix",
     "profile_documents",
@@ -291,6 +293,8 @@ BENCH_KEY_ALIASES = {
     "text_fingerprint": "text_fp",
     "text_pii_redact": "pii_redact",
     "sketch_heavy_hitters": "cm_hitters",
+    "events_drift_tvd": "drift_tvd",
+    "parts_abc_analysis": "abc",
 }
 
 
