@@ -1623,6 +1623,60 @@ def q21_late_sole_supplier(
     )
 
 
+def brand_basket_affinity(
+    spark: SparkSession, sf_dir: str, min_support: int = 50, k: int = 20
+) -> DataFrame:
+    """Market-basket affinity between part brands: for brand pairs
+    co-occurring in ≥ ``min_support`` orders, the lift
+    n_ab·N / (n_a·n_b) — the association-rules staple (lift > 1 ⇒
+    bought together more than independence predicts). Top-k by lift.
+
+    Scale shape: co-occurrence is a SELF-JOIN ON THE ORDER KEY — pair
+    blow-up is bounded per order by its distinct brand count, never a
+    global brand×brand product; the two sides are the identical
+    distinct (order, brand) frame, so the exchange is reused. Brand
+    totals and the order count are broadcast dims (|brands| rows).
+    Lift arithmetic: identical double expression both engines
+    (products of exact integer counts, one division)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
+    b = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_support)
+    )
+    totals = ob.groupBy(F.col("p_brand")).agg(F.count(F.lit(1)).alias("n"))
+    n_orders = ob.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    lift = (
+        F.col("n_ab").cast("double") * F.col("n_orders").cast("double")
+    ) / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    return (
+        pairs.join(
+            F.broadcast(totals.select(F.col("p_brand").alias("brand_a"),
+                                      F.col("n").alias("n_a"))),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(totals.select(F.col("p_brand").alias("brand_b"),
+                                      F.col("n").alias("n_b"))),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select("brand_a", "brand_b", "n_ab", lift.alias("lift"))
+        .orderBy(F.desc("lift"), "brand_a", "brand_b")
+        .limit(k)
+    )
+
+
 def events_drift_tvd(
     spark: SparkSession, sf_dir: str, split: str = "2024-01-15"
 ) -> DataFrame:

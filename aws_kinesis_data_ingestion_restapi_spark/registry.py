@@ -272,6 +272,8 @@ QUERY_FNS: dict[str, QueryFn] = {
     "events_drift_tvd": analytics.events_drift_tvd,
     # Pareto / ABC classification (integer fixed-point boundaries)
     "parts_abc_analysis": analytics.parts_abc_analysis,
+    # market-basket lift (order-key-bounded co-occurrence self-join)
+    "brand_basket_affinity": analytics.brand_basket_affinity,
     # DAU / trailing-7-day WAU via contribution explode
     "events_active_users": analytics.events_active_users,
 }
@@ -926,6 +928,31 @@ ORACLE_SQL: dict[str, str] = {
                COALESCE(b_sales, 0.0) - COALESCE(a_sales, 0.0) AS delta
         FROM a FULL OUTER JOIN b ON a_key = b_key
         ORDER BY 1
+    """,
+    "brand_basket_affinity": """
+        WITH ob AS (
+            SELECT DISTINCT l_orderkey, p_brand
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        ),
+        pairs AS (
+            SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+                   COUNT(*) AS n_ab
+            FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey
+                              AND a.p_brand < b.p_brand
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 50
+        ),
+        totals AS (SELECT p_brand, COUNT(*) AS n FROM ob GROUP BY 1),
+        no AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM ob)
+        SELECT brand_a, brand_b, n_ab,
+               (CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE))
+                 / (CAST(ta.n AS DOUBLE) * CAST(tb.n AS DOUBLE)) AS lift
+        FROM pairs
+        JOIN totals ta ON ta.p_brand = brand_a
+        JOIN totals tb ON tb.p_brand = brand_b
+        CROSS JOIN no
+        ORDER BY lift DESC, brand_a, brand_b
+        LIMIT 20
     """,
     "events_drift_tvd": """
         WITH pt AS (

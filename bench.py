@@ -74,6 +74,7 @@ ANALYTICS_QUERIES = [
     "sales_pivot_by_priority",
     "top_parts_by_revenue",
     "parts_abc_analysis",
+    "brand_basket_affinity",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q18_large_orders",
@@ -295,6 +296,7 @@ BENCH_KEY_ALIASES = {
     "sketch_heavy_hitters": "cm_hitters",
     "events_drift_tvd": "drift_tvd",
     "parts_abc_analysis": "abc",
+    "brand_basket_affinity": "basket",
 }
 
 
