@@ -121,6 +121,69 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.repetition_stats(_docs(spark, sf_dir))
 
 
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: cumulative distinct-token
+    count vs cumulative token count in deterministic doc_id ingestion
+    order — the statistic that sizes a tokenizer vocabulary and shows
+    when a corpus stops yielding new types.
+
+    Distributed form: a token is NEW at the doc where it FIRST appears
+    (min doc_id per token — one hash shuffle, no prefix-distinct
+    scans); per-doc new-type and token counts then take the same
+    two-level prefix sum as packing/concurrency (⌈√n⌉ doc-id blocks,
+    metadata-scale block window) — a naive cumulative DISTINCT window
+    would rescan the corpus per row."""
+    import math
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(text.tokens_col()).alias("tok")
+    )
+    per_doc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    news = (
+        toks.groupBy("tok")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    base = per_doc.join(news, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    block = max(64, math.isqrt(docs.count()) + 1)
+    from pyspark.sql.window import Window
+
+    blocked = base.withColumn("_blk", F.expr(f"doc_id DIV {block}"))
+    blk = blocked.groupBy("_blk").agg(
+        F.sum("n_tokens").alias("_bt"), F.sum("n_new").alias("_bv")
+    )
+    w_blk = (
+        Window.partitionBy(F.pmod(F.col("_blk"), F.lit(1)))
+        .orderBy("_blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = blk.select(
+        "_blk",
+        F.coalesce(F.sum("_bt").over(w_blk), F.lit(0)).alias("_ot"),
+        F.coalesce(F.sum("_bv").over(w_blk), F.lit(0)).alias("_ov"),
+    )
+    w_in = (
+        Window.partitionBy("_blk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        blocked.join(F.broadcast(offs), "_blk")
+        .select(
+            "doc_id",
+            (F.col("_ot") + F.sum("n_tokens").over(w_in)).alias("cum_tokens"),
+            (F.col("_ov") + F.sum("n_new").over(w_in)).alias("cum_vocab"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min audit of the corpus's top-10 trigram frequencies:
     exact counts (the baseline a production run would NOT compute)
@@ -592,6 +655,7 @@ EXT_QUERY_FNS = {
     "text_pack_sequences": text_pack_sequences,
     "text_stratified_sample": text_stratified_sample,
     "text_quality_sample": text_quality_sample,
+    "text_vocab_growth": text_vocab_growth,
     "text_repetition": text_repetition,
     "text_bm25_search": text_bm25_search,
     "docs_expectations": docs_expectations,
@@ -1087,6 +1151,26 @@ EXT_ORACLE_SQL = {
     """,
     # θ-sample distinct sketch: same md5 prefix filter, same ×16 scale
     # — the ESTIMATE matches bit-for-bit, sampling error included
+    # Heaps curve: new-at-doc = min-doc-per-token; running sums
+    "text_vocab_growth": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+        ),
+        per_doc AS (
+            SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY 1
+        ),
+        news AS (
+            SELECT doc_id, COUNT(*) AS n_new FROM (
+                SELECT tok, MIN(doc_id) AS doc_id FROM toks GROUP BY 1
+            ) GROUP BY 1
+        )
+        SELECT p.doc_id,
+               CAST(SUM(p.n_tokens) OVER w AS BIGINT) AS cum_tokens,
+               CAST(SUM(COALESCE(n.n_new, 0)) OVER w AS BIGINT) AS cum_vocab
+        FROM per_doc p LEFT JOIN news n USING (doc_id)
+        WINDOW w AS (ORDER BY p.doc_id ROWS UNBOUNDED PRECEDING)
+        ORDER BY p.doc_id
+    """,
     # count-min audit: 4×256 sketch, md5-seeded rows, min-of-counters
     # estimate; overestimate = est - exact must be >= 0 by construction
     "sketch_heavy_hitters": f"""

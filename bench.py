@@ -141,6 +141,7 @@ ANALYTICS_QUERIES = [
     "text_pack_sequences",
     "text_stratified_sample",
     "text_quality_sample",
+    "text_vocab_growth",
     "dedup_exact_recrawl",
     "dedup_substring_hotspots",
     "dedup_ngram_jaccard",
@@ -297,6 +298,7 @@ BENCH_KEY_ALIASES = {
     "events_drift_tvd": "drift_tvd",
     "parts_abc_analysis": "abc",
     "brand_basket_affinity": "basket",
+    "text_vocab_growth": "vocab",
 }
 
 
