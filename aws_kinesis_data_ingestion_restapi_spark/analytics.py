@@ -1623,6 +1623,36 @@ def q21_late_sole_supplier(
     )
 
 
+def sales_monthly_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with the same-month-last-year comparison
+    (LAG 12 over the month series) and the YoY percentage — the
+    seasonality view every sales dashboard opens with.
+
+    The LAG runs over the ~|months| aggregate (bounded time dimension;
+    pmod non-foldable-constant partition per packing.py). The YoY pct
+    is one double subtraction/division over decimal-exact monthly
+    sums — identical arithmetic both engines; months with no
+    prior-year counterpart yield NULL."""
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("month")
+    ).agg(dsum("o_totalprice", alias="revenue"))
+    w = Window.partitionBy(
+        F.pmod(F.month("month"), F.lit(1))
+    ).orderBy("month")
+    prev = F.lag("revenue", 12).over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        prev.alias("prev_year_revenue"),
+        (
+            (F.col("revenue") - prev) * F.lit(100.0) / prev
+        ).alias("yoy_pct"),
+    ).orderBy("month")
+
+
 def brand_basket_affinity(
     spark: SparkSession, sf_dir: str, min_support: int = 50, k: int = 20
 ) -> DataFrame:

@@ -274,6 +274,8 @@ QUERY_FNS: dict[str, QueryFn] = {
     "parts_abc_analysis": analytics.parts_abc_analysis,
     # market-basket lift (order-key-bounded co-occurrence self-join)
     "brand_basket_affinity": analytics.brand_basket_affinity,
+    # monthly seasonality with LAG-12 YoY comparison
+    "sales_monthly_yoy": analytics.sales_monthly_yoy,
     # DAU / trailing-7-day WAU via contribution explode
     "events_active_users": analytics.events_active_users,
 }
@@ -928,6 +930,20 @@ ORACLE_SQL: dict[str, str] = {
                COALESCE(b_sales, 0.0) - COALESCE(a_sales, 0.0) AS delta
         FROM a FULL OUTER JOIN b ON a_key = b_key
         ORDER BY 1
+    """,
+    "sales_monthly_yoy": f"""
+        WITH m AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                   {_DSUM2.format(c='o_totalprice')} AS revenue
+            FROM orders
+            GROUP BY 1
+        )
+        SELECT month, revenue,
+               LAG(revenue, 12) OVER (ORDER BY month) AS prev_year_revenue,
+               (revenue - LAG(revenue, 12) OVER (ORDER BY month)) * 100.0
+                 / LAG(revenue, 12) OVER (ORDER BY month) AS yoy_pct
+        FROM m
+        ORDER BY month
     """,
     "brand_basket_affinity": """
         WITH ob AS (

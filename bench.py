@@ -70,6 +70,7 @@ ANALYTICS_QUERIES = [
     "q1_pricing_summary",
     "sales_per_nation",
     "sales_rollup",
+    "sales_monthly_yoy",
     "sales_cube",
     "sales_pivot_by_priority",
     "top_parts_by_revenue",
@@ -299,6 +300,7 @@ BENCH_KEY_ALIASES = {
     "parts_abc_analysis": "abc",
     "brand_basket_affinity": "basket",
     "text_vocab_growth": "vocab",
+    "sales_monthly_yoy": "yoy_monthly",
 }
 
 
