@@ -188,11 +188,11 @@ ANALYTICS_QUERIES = [
 #: queries.REFERENCE_SQL; shortened here only to keep the final JSON
 #: line inside the driver's 2000-char capture).
 REF_BENCH_KEYS = {
-    "total_sales_per_country": "ref_sales_country",
-    "average_order_value": "ref_avg_order",
-    "total_income_per_payment_method": "ref_pay_income",
-    "most_sales_products": "ref_top_products",
-    "order_and_client_details": "ref_order_client",
+    "total_sales_per_country": "ref_country",
+    "average_order_value": "avg_order",
+    "total_income_per_payment_method": "ref_income",
+    "most_sales_products": "ref_products",
+    "order_and_client_details": "ref_clients",
 }
 
 #: FINAL-LINE-ONLY aliases for the longest registry names — the
@@ -223,11 +223,9 @@ BENCH_KEY_ALIASES = {
     "customer_running_spend": "run_spend",
     "events_sessionization": "sessions",
     "salted_priority_sales": "salted_sales",
-    "text_length_quantiles": "text_len_quant",
     "top_parts_by_revenue": "top_parts_rev",
     "q3_shipping_priority": "q3_ship_prio",
     "fuzzy_customer_names": "fuzzy_cust",
-    "events_variant_props": "events_variant",
     "dedup_canonical_docs": "canonical",
     "events_tumbling_30s": "tumble30",
     "text_pack_sequences": "text_pack",
@@ -237,9 +235,7 @@ BENCH_KEY_ALIASES = {
     "dedup_contamination": "dedup_contam",
     "mm_extract_features": "mm_features",
     "asof_priority_rates": "asof_rates",
-    "events_range_follow": "events_range",
     "etl_derive_tables": "etl_derive",
-    "events_daily_stats": "events_daily",
     "curation_pipeline": "curation",
     "events_json_props": "events_json",
     "profile_documents": "profile_docs",
@@ -301,6 +297,19 @@ BENCH_KEY_ALIASES = {
     "brand_basket_affinity": "basket",
     "text_vocab_growth": "vocab",
     "sales_monthly_yoy": "yoy_monthly",
+    "q14_promo_revenue": "q14_promo",
+    "text_token_stats": "tok_stats",
+    "dedup_components": "components",
+    "text_repetition": "repetition",
+    "events_variant_props": "variant",
+    "events_gapfill": "gapfill",
+    "text_length_quantiles": "len_quant",
+    "dedup_ensemble": "ensemble",
+    "mm_asset_stats": "mm_stats",
+    "mm_fingerprint": "mm_fp",
+    "events_funnel": "funnel",
+    "events_daily_stats": "e_daily",
+    "events_range_follow": "e_range",
 }
 
 
