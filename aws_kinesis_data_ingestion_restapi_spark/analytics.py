@@ -10,9 +10,19 @@ ISO-string timestamp round trip) while the DuckDB oracle checks the
 flat equivalent with plain SQL.
 
 Scale notes: the only wide shuffle is the groupBy-collect_list per
-order (unavoidable for array construction — it IS the operator). The
-``part`` dim is broadcast. Everything else is projection-only and
-stays in whole-stage codegen.
+order (unavoidable for array construction — it IS the operator).
+Everything else is projection-only and stays in whole-stage codegen.
+
+Broadcast-hint policy (module-wide, round-5 audit): ``F.broadcast``
+hints appear ONLY on provably bounded sides — ``nation`` (25 rows),
+``region`` (5 rows), and aggregates whose cardinality is fixed by a
+bounded dimension (per-brand totals, per-event-type stats, 1-row
+scalars). Sides that scale with the dataset (``customer``, ``part``
+and any filtered subset of them, supplier subsets, order-level
+aggregates) carry NO hint: a hint forces the broadcast regardless of
+size and OOMs at the 100 TB design point, while AQE still converts
+the join to broadcast at runtime whenever the measured size is under
+the threshold — same plan at bench scale, safe plan at cluster scale.
 """
 
 from __future__ import annotations
@@ -81,7 +91,7 @@ def build_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
 
     products = (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
         .groupBy("l_orderkey")
         .agg(
             F.collect_list(
@@ -99,7 +109,7 @@ def build_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     enriched = (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
     )
 
@@ -169,12 +179,15 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sales_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """customer ⋈ nation ⋈ orders → SUM(o_totalprice) per nation.
-    Dims broadcast; fact shuffles once for the final agg."""
+    nation is broadcast by hint (25 rows); the orders⋈customer join is
+    AQE's call — customer scales with the dataset, so no hint (the
+    module-docstring broadcast policy); fact shuffles once for the
+    final agg."""
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(dsum("o_totalprice", alias="total_sales"), F.count(F.lit(1)).alias("order_count"))
@@ -188,12 +201,14 @@ def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ROLLUP`` computes all three grouping sets from a single shuffle
     (partial aggregation per set, no re-scan per level). ``gid`` is
     the standard grouping bit-vector (0 = leaf, 1 = priority rolled
-    up, 3 = grand total), identical across engines."""
+    up, 3 = grand total), identical across engines. customer joins
+    without a hint (scales with the dataset — AQE decides); nation is
+    a hinted 25-row broadcast."""
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .rollup(F.col("n_name").alias("nation"), F.col("o_orderpriority").alias("priority"))
         .agg(
@@ -207,7 +222,9 @@ def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q3_shipping_priority(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
     """TPC-H Q3-shaped: unshipped-order revenue by order, top-k.
-    Customer dim broadcast; lineitem⋈orders is the one fact-fact hash
+    The filtered-customer join carries no hint (a 1/5 segment of
+    customer still scales with the dataset — AQE broadcasts it at
+    runtime when small); lineitem⋈orders is the one fact-fact hash
     join (both sides filtered before the shuffle — predicate pushdown
     carries the date filters into the scans); top-k via sorted limit
     (TakeOrderedAndProject), never a global sort materialization."""
@@ -220,7 +237,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str, k: int = 20) -> DataF
     revenue = disc_price_expr()
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy(
             "o_orderkey",
             F.to_date("o_orderdate").alias("order_date"),
@@ -253,12 +270,13 @@ def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lineitem ⋈ part (broadcast) → revenue per part brand."""
+    """lineitem ⋈ part → revenue per part brand. part scales with the
+    dataset, so the join carries no broadcast hint (AQE decides)."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     revenue = disc_price_expr()
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.sum(revenue).cast("double").alias("revenue"),
@@ -547,8 +565,10 @@ def q18_large_orders(
     """TPC-H Q18-shaped: orders whose total line quantity exceeds
     ``threshold``, top-k by order value. The HAVING filter runs on the
     lineitem pre-aggregate BEFORE any join — at scale the survivor set
-    is tiny (46 rows at sf0.01), so the subsequent orders/customer
-    joins are broadcast-sized probes, and top-k is a
+    is sparse (46 rows at sf0.01), so AQE converts the subsequent
+    orders/customer joins to broadcast probes at runtime (no hint: the
+    survivor count still grows with the dataset, so forcing it is the
+    module-docstring anti-pattern), and top-k is a
     TakeOrderedAndProject, never a global sort."""
     li = _t(spark, sf_dir, "lineitem")
     big = (
@@ -559,7 +579,7 @@ def q18_large_orders(
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
         .select(
             F.col("c_name").alias("customer_name"),
@@ -1166,8 +1186,9 @@ def q8_market_share(
 
     Plan shape: a 7-way join where the share is a CONDITIONAL aggregate
     (CASE inside SUM) over the same rows as the denominator — one
-    shuffle, not two queries. part is filtered on type before its
-    broadcast; region prunes the customer side via two broadcast hops.
+    shuffle, not two queries. part is filtered on type before the join
+    (no hint — a fixed fraction of part still scales; AQE decides);
+    region prunes the customer side via two broadcast hops.
     Share math: exact decimal sums → one IEEE double division, so the
     value is bit-identical cross-engine (functions/exact.py contract)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1190,7 +1211,7 @@ def q8_market_share(
     # same decimal type as `vol` with no literal-zero type juggling.
     nat_vol = F.when(F.col("supp_nation") == nation, vol)
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
@@ -1273,8 +1294,9 @@ def q14_promo_revenue(
     spark: SparkSession, sf_dir: str, month: str = "1996-03"
 ) -> DataFrame:
     """TPC-H Q14: promo part types' percentage of one month's revenue.
-    Conditional-aggregate ratio in ONE pass (no self-join); part is a
-    broadcast dim; exact decimal sums → one double multiply+divide."""
+    Conditional-aggregate ratio in ONE pass (no self-join); part joins
+    unhinted (it scales with the dataset — AQE broadcasts at runtime
+    when small); exact decimal sums → one double multiply+divide."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= f"{month}-01") & (F.col("l_shipdate") < "1996-04-01")
     )
@@ -1282,7 +1304,7 @@ def q14_promo_revenue(
     vol = disc_price_expr()
     promo_vol = F.when(F.col("p_type") == "PROMO", vol)  # NULL else; SUM skips
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             (
                 F.lit(100.0)
@@ -1303,13 +1325,15 @@ def q17_small_quantity_revenue(
     Plan shape: the correlated `l_quantity < 0.2 * avg(per part)` is
     decorrelated by hand into (a) a per-part aggregate over ONLY the
     brand's parts (part filter applied before both legs) and (b) a
-    broadcast join of that tiny aggregate back onto the same filtered
-    lines — the textbook Catalyst rewrite, stated explicitly so the
-    shape is pinned. avg = exact decimal sum / count → double, so the
+    join of that sparse aggregate back onto the same filtered lines —
+    the textbook Catalyst rewrite, stated explicitly so the shape is
+    pinned. Neither side carries a hint (one brand is still a fixed
+    fraction of part, which scales — AQE broadcasts at runtime when
+    small). avg = exact decimal sum / count → double, so the
     0.2× threshold compares bit-identically cross-engine."""
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == brand)
     li = _t(spark, sf_dir, "lineitem")
-    brand_lines = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+    brand_lines = li.join(part, li.l_partkey == part.p_partkey).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     per_part = brand_lines.groupBy(F.col("l_partkey").alias("pp_key")).agg(
@@ -1319,7 +1343,7 @@ def q17_small_quantity_revenue(
         ).alias("avg_qty")
     )
     return (
-        brand_lines.join(F.broadcast(per_part), F.col("l_partkey") == F.col("pp_key"))
+        brand_lines.join(per_part, F.col("l_partkey") == F.col("pp_key"))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
             (dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly")
@@ -1331,9 +1355,10 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19: revenue from three disjunctive (brand, size-range,
     quantity-range) branches — the optimizer stress case where an OR of
     conjunctions must still push the common join key and let the
-    per-branch predicates evaluate post-probe. part is broadcast; the
-    OR involves columns from BOTH tables so it runs at the join, not
-    the scan (matching the original's plan)."""
+    per-branch predicates evaluate post-probe. part joins unhinted
+    (module broadcast policy — AQE decides); the OR involves columns
+    from BOTH tables so it runs at the join, not the scan (matching
+    the original's plan)."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     branch = (
@@ -1354,7 +1379,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(branch)
         .agg(F.sum(disc_price_expr()).cast("double").alias("revenue"))
     )
@@ -1516,8 +1541,9 @@ def q9_red_parts_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined with ONE double multiply+subtract, so engines agree
     bit-for-bit regardless of decimal scale-propagation differences.
 
-    Plan shape: part filtered on the name BEFORE its broadcast; nation
-    broadcast; one shuffle for the (nation, year) aggregate."""
+    Plan shape: part filtered on the name BEFORE its join (unhinted —
+    a name-filtered fraction of part still scales; AQE decides); nation
+    broadcast by hint; one shuffle for the (nation, year) aggregate."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
     orders = _t(spark, sf_dir, "orders")
@@ -1527,7 +1553,7 @@ def q9_red_parts_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity"
     ).cast("decimal(12,2)")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nat), supplier.s_nationkey == nat.n_nationkey)
@@ -1552,9 +1578,11 @@ def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     original, whose comment column this testdata lacks). Supply
     relationships come from lineitem (no partsupp table).
 
-    Plan shape: the NOT IN supplier set is a tiny broadcast ANTI join
-    applied to lineitem BEFORE the part join and the count-distinct
-    shuffle — the exclusion never touches the aggregate."""
+    Plan shape: the NOT IN supplier set is an ANTI join applied to
+    lineitem BEFORE the part join and the count-distinct shuffle — the
+    exclusion never touches the aggregate. Neither the supplier subset
+    nor the type-filtered part carries a hint (both scale with the
+    dataset; AQE converts to broadcast at runtime when small)."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_type") != "PROMO")
     bad = (
@@ -1563,8 +1591,8 @@ def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
@@ -1624,29 +1652,35 @@ def q21_late_sole_supplier(
 
 
 def sales_monthly_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Monthly revenue with the same-month-last-year comparison
-    (LAG 12 over the month series) and the YoY percentage — the
-    seasonality view every sales dashboard opens with.
+    """Monthly revenue with the same-month-last-year comparison and
+    the YoY percentage — the seasonality view every sales dashboard
+    opens with.
 
-    The LAG runs over the ~|months| aggregate (bounded time dimension;
-    pmod non-foldable-constant partition per packing.py). The YoY pct
-    is one double subtraction/division over decimal-exact monthly
-    sums — identical arithmetic both engines; months with no
-    prior-year counterpart yield NULL."""
-    from pyspark.sql.window import Window
-
+    The prior-year lookup is a CALENDAR self-join on
+    ``month = add_months(month, 12)`` — not a positional ``LAG(12)``,
+    which is only same-month-last-year if the month series is gapless
+    (one empty month would silently shift every later comparison onto
+    the wrong month; round-4 ADVICE). The self-join runs over the
+    ~|months| aggregate (bounded time dimension), so both sides are
+    tiny at any data scale. The YoY pct is one double
+    subtraction/division over decimal-exact monthly sums — identical
+    arithmetic both engines; months with no prior-year counterpart
+    yield NULL."""
     orders = _t(spark, sf_dir, "orders")
     monthly = orders.groupBy(
         F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("month")
     ).agg(dsum("o_totalprice", alias="revenue"))
-    w = Window.partitionBy(
-        F.pmod(F.month("month"), F.lit(1))
-    ).orderBy("month")
-    prev = F.lag("revenue", 12).over(w)
-    return monthly.select(
+    prior = monthly.select(
+        F.col("month").alias("_pmonth"), F.col("revenue").alias("prev_year_revenue")
+    )
+    joined = monthly.join(
+        prior, monthly.month == F.add_months(F.col("_pmonth"), 12), "left"
+    )
+    prev = F.col("prev_year_revenue")
+    return joined.select(
         "month",
         "revenue",
-        prev.alias("prev_year_revenue"),
+        prev,
         (
             (F.col("revenue") - prev) * F.lit(100.0) / prev
         ).alias("yoy_pct"),
@@ -1671,7 +1705,7 @@ def brand_basket_affinity(
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     ob = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
     )
@@ -1779,7 +1813,7 @@ def parts_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     per_brand = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.sum(

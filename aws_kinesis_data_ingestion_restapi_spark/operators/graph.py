@@ -23,8 +23,21 @@ not grow with iterations (the standard iterative-DataFrame trap).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
+
+#: Convergence telemetry of the most recent :func:`connected_components`
+#: run (same pattern as dedup.LAST_SSJOIN_REPORT): ``rounds_used``,
+#: ``max_iter``, and ``relabeled`` (nodes relabeled per round, ending
+#: with the 0 that proved fixpoint). Callers surface this so a corpus
+#: whose diameter creeps toward ``max_iter`` is visible BEFORE a later
+#: run raises mid-pipeline — check ``rounds_used`` against ``max_iter``
+#: after clustering a new corpus shape.
+LAST_CC_REPORT: dict = {}
 
 
 def connected_components(
@@ -62,7 +75,8 @@ def connected_components(
         "node", F.col("node").alias("component")
     ).localCheckpoint(eager=True)
 
-    for _ in range(max_iter):
+    relabeled: list[int] = []
+    for rounds in range(1, max_iter + 1):
         nbr_min = (
             edges.join(labels, edges.v == labels.node)
             .groupBy("u")
@@ -79,8 +93,24 @@ def connected_components(
             )
         ).localCheckpoint(eager=True)
         changed = updated.filter(F.col("_new") < F.col("component")).count()
+        relabeled.append(changed)
         labels = updated.select("node", F.col("_new").alias("component"))
         if changed == 0:
+            LAST_CC_REPORT.clear()
+            LAST_CC_REPORT.update(
+                {"rounds_used": rounds, "max_iter": max_iter,
+                 "relabeled": relabeled}
+            )
+            _LOG.info(
+                "connected_components converged in %d/%d rounds "
+                "(relabeled per round: %s)", rounds, max_iter, relabeled
+            )
+            if rounds > max_iter - 3:
+                _LOG.warning(
+                    "connected_components used %d of max_iter=%d rounds — "
+                    "this graph's diameter is near the guard rail; raise "
+                    "max_iter before the corpus grows", rounds, max_iter
+                )
             return labels
     raise RuntimeError(
         f"connected_components did not converge within max_iter={max_iter} "
@@ -117,7 +147,13 @@ def pagerank(
     Every node must have at least one out-edge (callers with dangling
     nodes should add reverse edges or self-loops first — the bipartite
     wrapper in registry_ext does the former, which also makes the walk
-    undirected).
+    undirected). Nodes with zero IN-edges need no special handling:
+    each round rebuilds the rank vector over the full node universe
+    with the aggregated in-flow coalesced to zero, so an in-degree-0
+    node retains the base rank and keeps contributing to its
+    out-neighbors every round (round-4 ADVICE: the earlier form
+    reassigned ranks to the per-dst aggregate, silently dropping such
+    nodes after round 1).
 
     Scale shape: each round is one equi-join (ranks ⋈ edges on src)
     plus one aggregate (sum by dst) — both hash shuffles on node keys
@@ -137,21 +173,30 @@ def pagerank(
         F.col(s).alias("src"), F.col(d).alias("dst")
     ).localCheckpoint(eager=False)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    ranks = deg.select("src", F.lit(scale).cast("long").alias("rank"))
+    # Full node universe: sources ∪ sinks. Rebuilding the rank vector
+    # over this set each round keeps in-degree-0 nodes alive (base
+    # rank, still contributing) and sink nodes present in the output.
+    universe = (
+        deg.select("src")
+        .union(e.select(F.col("dst").alias("src")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ranks = universe.select("src", F.lit(scale).cast("long").alias("rank"))
     base = ((100 - damping_pct) * scale) // 100
     for _ in range(iterations):
-        contribs = (
+        in_flow = (
             e.join(ranks, "src")
             .join(deg, "src")
             .select("dst", F.expr("rank DIV out_deg").alias("contrib"))
+            .groupBy(F.col("dst").alias("src"))
+            .agg(F.sum("contrib").alias("_in"))
         )
-        ranks = (
-            contribs.groupBy(F.col("dst").alias("src"))
-            .agg(
-                (
-                    F.lit(base).cast("long")
-                    + F.expr(f"{damping_pct} * sum(contrib) DIV 100")
-                ).alias("rank")
-            )
+        ranks = universe.join(in_flow, "src", "left").select(
+            "src",
+            (
+                F.lit(base).cast("long")
+                + F.expr(f"{damping_pct} * coalesce(_in, 0L) DIV 100")
+            ).alias("rank"),
         )
     return ranks.select(F.col("src").alias("node"), "rank")

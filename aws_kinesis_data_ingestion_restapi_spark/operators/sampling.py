@@ -54,7 +54,7 @@ def quality_weighted_sample(
     score_col: str = "quality_score",
     id_col: str = "doc_id",
     resolution: int = 1_000_000,
-) -> Column | DataFrame:
+) -> DataFrame:
     """Importance sampling for corpus curation: keep each row with
     probability equal to its quality score in [0, 1] — high-quality
     documents survive almost surely, boilerplate mostly drops, and the

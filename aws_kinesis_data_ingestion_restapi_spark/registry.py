@@ -274,7 +274,7 @@ QUERY_FNS: dict[str, QueryFn] = {
     "parts_abc_analysis": analytics.parts_abc_analysis,
     # market-basket lift (order-key-bounded co-occurrence self-join)
     "brand_basket_affinity": analytics.brand_basket_affinity,
-    # monthly seasonality with LAG-12 YoY comparison
+    # monthly seasonality, YoY via calendar self-join (gap-immune)
     "sales_monthly_yoy": analytics.sales_monthly_yoy,
     # DAU / trailing-7-day WAU via contribution explode
     "events_active_users": analytics.events_active_users,
@@ -938,12 +938,11 @@ ORACLE_SQL: dict[str, str] = {
             FROM orders
             GROUP BY 1
         )
-        SELECT month, revenue,
-               LAG(revenue, 12) OVER (ORDER BY month) AS prev_year_revenue,
-               (revenue - LAG(revenue, 12) OVER (ORDER BY month)) * 100.0
-                 / LAG(revenue, 12) OVER (ORDER BY month) AS yoy_pct
-        FROM m
-        ORDER BY month
+        SELECT m.month, m.revenue,
+               p.revenue AS prev_year_revenue,
+               (m.revenue - p.revenue) * 100.0 / p.revenue AS yoy_pct
+        FROM m LEFT JOIN m p ON m.month = p.month + INTERVAL 12 MONTH
+        ORDER BY m.month
     """,
     "brand_basket_affinity": """
         WITH ob AS (

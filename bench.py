@@ -189,7 +189,11 @@ ANALYTICS_QUERIES = [
 #: line inside the driver's 2000-char capture).
 REF_BENCH_KEYS = {
     "total_sales_per_country": "ref_country",
-    "average_order_value": "avg_order",
+    # "ref_avg" (round-5): was "avg_order" in BENCH_r01-r04 — renamed to
+    # keep the documented ref_* convention for all five Athena-path
+    # queries (round-4 ADVICE); cross-round comparisons should map
+    # avg_order ↔ ref_avg. Noted in BENCH_NOTES.
+    "average_order_value": "ref_avg",
     "total_income_per_payment_method": "ref_income",
     "most_sales_products": "ref_products",
     "order_and_client_details": "ref_clients",

@@ -784,6 +784,26 @@ def test_connected_components_without_universe(spark):
     assert got == {5: 5, 6: 5, 7: 5}
 
 
+def test_connected_components_reports_convergence_rounds(spark):
+    """Telemetry contract (round-4 VERDICT ask #5): after a run,
+    LAST_CC_REPORT carries rounds_used / max_iter / per-round relabel
+    counts so a diameter creeping toward max_iter is visible before a
+    later corpus raises mid-pipeline. Min-label propagation moves the
+    minimum one hop per round, so the 5-node path needs ~diameter
+    rounds + the fixpoint-confirming round; the final count is 0."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import graph
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], ["a", "b"]
+    )
+    graph.connected_components(pairs, max_iter=10)
+    rep = graph.LAST_CC_REPORT
+    assert rep["max_iter"] == 10
+    assert 2 <= rep["rounds_used"] <= 6
+    assert rep["relabeled"][-1] == 0
+    assert len(rep["relabeled"]) == rep["rounds_used"]
+
+
 def test_repetition_stats(spark):
     rows = [
         (0, "a a a a"),                # one token repeated
@@ -970,6 +990,28 @@ def test_pagerank_exact_star_graph(spark):
     assert len(leaf_ranks) == 1  # exact tie
     assert ranks[0] > leaf_ranks.pop()
     assert all(v > 0 for v in ranks.values())
+
+
+def test_pagerank_keeps_in_degree_zero_nodes(spark):
+    """Directed chain 1→2→3: node 1 has out-edges but NO in-edges. It
+    must stay in the rank vector at the base rank every round and keep
+    feeding node 2 (round-4 ADVICE: the old per-dst-aggregate form
+    dropped it after round 1, starving the rest of the chain). Node 3
+    is a sink (kept in the output; its mass legitimately leaks — the
+    documented dangling-node contract)."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import graph
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    ranks = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(edges, iterations=3).collect()
+    }
+    assert set(ranks) == {1, 2, 3}
+    base = (15 * graph.ONE) // 100
+    assert ranks[1] == base  # base rank retained, not dropped
+    # node 2 receives node 1's full (out_deg=1) damped contribution
+    assert ranks[2] == base + (85 * base) // 100
+    assert ranks[3] > ranks[1]  # fed through 2 — nonzero in-flow
 
 
 def test_pq_encode_and_adc_on_clustered_vectors(spark):
