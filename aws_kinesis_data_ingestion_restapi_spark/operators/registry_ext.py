@@ -395,6 +395,12 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs near-dup — the O(n²) ORACLE BASELINE for the
+    LSH family, kept registered so the driver gate can verify the
+    exact form. Deliberately NOT in bench.py's query list: its cost
+    is quadratic by definition, and the production paths it validates
+    (emb_near_dup_lsh / emb_near_dup_lsh_multi) ARE benched
+    (BENCH_NOTES round 5)."""
     return similarity.near_dup_pairs(_embs(spark, sf_dir), d2_max=1.2)
 
 

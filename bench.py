@@ -321,6 +321,21 @@ def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _reclaim(spark) -> None:
+    """Untimed driver GC between measured queries. Spark's
+    ContextCleaner releases dead shuffle files, broadcast blocks, and
+    localCheckpoint RDDs only when the driver-side references are
+    garbage-collected, and its own periodic GC fires every 30 MINUTES
+    (spark.cleaner.periodicGC.interval) — far longer than this whole
+    bench. Without this, block-manager litter from ~100 earlier
+    queries inflates the tail of the sequence (round-4's
+    'unattributed regressions': q3 measured 3.4 s at position ~10 of
+    the full bench vs 1.0 s isolated or with any short prefix —
+    reproduced and attributed round 5). Runs OUTSIDE the timing
+    windows; per-query numbers measure the query, not the litter."""
+    spark.sparkContext._jvm.System.gc()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -355,6 +370,7 @@ def main() -> None:
 
         # --- general analytics over the raw testdata ---
         for name in ANALYTICS_QUERIES:
+            _reclaim(spark)  # untimed; see _reclaim docstring
             t0 = time.perf_counter()
             _noop(QUERY_FNS[name](spark, sf_dir))
             timings[name] = round(time.perf_counter() - t0, 3)
