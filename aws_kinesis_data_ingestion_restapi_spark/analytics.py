@@ -2110,3 +2110,311 @@ def sql_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
              ) t
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: completing the TPC-H battery (Q2/Q6/Q11/Q13/Q15/Q20 shapes,
+# adapted to the reduced schema — no partsupp table, so lineitem serves
+# as the supply relation where the original reads inventory).
+# ---------------------------------------------------------------------------
+
+
+def q2_min_cost_supplier(
+    spark: SparkSession, sf_dir: str, region: str = "ASIA",
+    ptype: str = "LARGE", k: int = 100,
+) -> DataFrame:
+    """TPC-H Q2 shape: for each part of one type, the supplier(s) in
+    one region offering the MINIMUM price — the correlated-min
+    subquery decorrelated by hand into a per-part aggregate joined
+    back on (part, price == min), Q2's plan-defining structure.
+
+    Adaptation: no partsupp, so the supply relation is lineitem
+    (supplier s shipped part p) and the offer price is MIN
+    l_extendedprice, exact in DECIMAL(12,2) so the equality join-back
+    matches bit-identically cross-engine (a float min would not).
+    Ties: every (supplier, part) pair achieving the min survives,
+    deduplicated — same as the original.
+
+    Scale shape: the region/nation dims ride hinted broadcasts
+    (bounded); supplier and the filtered part join unhinted (they
+    scale — module policy). The min aggregate and the join-back reuse
+    the same (partkey)-hashed exchange; top-k is TakeOrdered."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == ptype)
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region_df = _t(spark, sf_dir, "region").filter(F.col("r_name") == region)
+
+    offers = (
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region_df), nation.n_regionkey == region_df.r_regionkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .select(
+            "l_partkey", "l_suppkey", "s_name", "s_acctbal",
+            F.col("n_name").alias("nation"),
+            F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+        )
+    )
+    min_price = offers.groupBy(F.col("l_partkey").alias("mp_key")).agg(
+        F.min("price").alias("min_price")
+    )
+    return (
+        offers.join(
+            min_price,
+            (offers.l_partkey == min_price.mp_key)
+            & (offers.price == min_price.min_price),
+        )
+        .select(
+            "s_acctbal", "s_name", "nation",
+            F.col("l_partkey").alias("part_key"),
+            F.col("min_price").cast("double").alias("min_price"),
+        )
+        .distinct()
+        .orderBy(F.desc("s_acctbal"), "nation", "s_name", "part_key")
+        .limit(k)
+    )
+
+
+def q6_forecast_revenue(
+    spark: SparkSession, sf_dir: str, year: int = 1996,
+) -> DataFrame:
+    """TPC-H Q6: the pure scan-filter-aggregate revenue forecast —
+    date-range + discount-band + quantity predicates ALL pushed into
+    the parquet scan (pinned in tests/test_plans.py), one global
+    aggregate, no join, no shuffle beyond the 1-row final combine.
+    revenue = SUM(l_extendedprice × l_discount), exact decimal
+    (12,2)×(4,2) products summed, one final double cast.
+
+    The discount band compares DECIMAL(4,2) against exact literals —
+    floating-point 0.05/0.07 never decide membership (the classic Q6
+    float-predicate trap)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    revenue_term = F.col("l_extendedprice").cast("decimal(12,2)") * disc
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(f"{year}-01-01"))
+            & (F.col("l_shipdate") < F.lit(f"{year + 1}-01-01"))
+            & (disc >= F.lit("0.05").cast("decimal(4,2)"))
+            & (disc <= F.lit("0.07").cast("decimal(4,2)"))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(revenue_term).cast("double").alias("revenue"))
+    )
+
+
+def q11_important_parts(
+    spark: SparkSession, sf_dir: str, nation: str = "NATION_5",
+    per_mille: int = 2,
+) -> DataFrame:
+    """TPC-H Q11 shape: parts whose supply value from one nation's
+    suppliers exceeds a FRACTION of that nation's total supply value —
+    a grouped aggregate HAVING-compared against a scalar subquery over
+    the same rows (the global total rides a 1-row broadcast; the
+    grouped side reuses its own exchange).
+
+    Adaptation: supply value = Σ l_extendedprice × l_quantity from
+    lineitem (no partsupp). Sums are exact decimal; the threshold
+    compares the IDENTICAL double projections of those decimals
+    (``double(value)·1000 > double(total)·per_mille``) — a
+    decimal-domain multiply would push the 38-digit cap on the total
+    side and trigger Spark's precision-loss rounding, while the
+    double casts of equal decimals are bit-identical in both engines,
+    so membership decisions match even on boundary values."""
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == nation)
+    value_term = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * F.col("l_quantity").cast("decimal(6,2)")
+    )
+    supply = (
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nat), supplier.s_nationkey == nat.n_nationkey)
+        .select("l_partkey", value_term.alias("val"))
+    )
+    per_part = supply.groupBy(F.col("l_partkey").alias("part_key")).agg(
+        F.sum("val").alias("value_dec")
+    )
+    total = per_part.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_dec").cast("double") * F.lit(1000.0)
+            > F.col("total_dec").cast("double") * F.lit(float(per_mille))
+        )
+        .select(
+            "part_key", F.col("value_dec").cast("double").alias("supply_value")
+        )
+        .orderBy(F.desc("supply_value"), "part_key")
+    )
+
+
+def q13_order_count_distribution(
+    spark: SparkSession, sf_dir: str, excluded: str = "1-URGENT",
+) -> DataFrame:
+    """TPC-H Q13: the distribution of orders-per-customer — a LEFT
+    OUTER join (customers with zero qualifying orders count at 0, the
+    row the inner-join form silently drops) under a pushed exclusion
+    filter, then a second aggregate over the first's output. Two
+    shuffles total: custkey, then count-value (the second over the
+    ~|customers| aggregate)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != excluded
+    )
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q15_top_supplier(
+    spark: SparkSession, sf_dir: str, quarter_start: str = "1996-01-01",
+) -> DataFrame:
+    """TPC-H Q15: the supplier(s) with maximum quarterly revenue — the
+    revenue view aggregated once, its MAX taken as a 1-row broadcast,
+    and the equality join-back keeping every tie (the original's
+    correlated `= (SELECT MAX(...))`). The equality compares the
+    EXACT decimal revenue, never its double projection, so ties are
+    engine-identical."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= quarter_start)
+        & (F.col("l_shipdate") < F.add_months(F.lit(quarter_start), 3))
+    )
+    supplier = _t(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(disc_price_expr()).alias("rev_dec")
+    )
+    max_rev = revenue.agg(F.max("rev_dec").alias("max_rev"))
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("rev_dec") == F.col("max_rev"))
+        .join(supplier, F.col("supplier_no") == supplier.s_suppkey)
+        .select(
+            F.col("s_suppkey").alias("supplier_key"),
+            "s_name",
+            F.col("rev_dec").cast("double").alias("total_revenue"),
+        )
+        .orderBy("supplier_key")
+    )
+
+
+def q20_promotion_suppliers(
+    spark: SparkSession, sf_dir: str, token: str = "blue",
+    year: int = 1996, min_qty: int = 60, nation: str | None = None,
+) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved MORE than a threshold
+    quantity of a named part family in one year — the original's
+    nested-semi-join chain (part name filter → per-(supplier, part)
+    quantity aggregate with HAVING → semi-join into supplier), kept
+    intact. Adaptation: shipped quantity from lineitem stands in for
+    availqty (no partsupp); the 50%-of-shipments threshold becomes the
+    absolute ``min_qty``.
+
+    Scale shape: the name filter prunes part BEFORE the supply join
+    (unhinted — scales); the HAVING runs on the (suppkey, partkey)
+    aggregate below the semi-join, so supplier only ever probes the
+    qualifying-supplier key set; output is the supplier projection,
+    sorted."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(f"{year}-01-01"))
+        & (F.col("l_shipdate") < F.lit(f"{year + 1}-01-01"))
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains(token))
+    supplier = _t(spark, sf_dir, "supplier")
+    qualifying = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(dsum("l_quantity", alias="qty"))
+        .filter(F.col("qty") > min_qty)
+        .select("l_suppkey")
+    )
+    out = supplier.join(
+        qualifying, supplier.s_suppkey == qualifying.l_suppkey, "left_semi"
+    )
+    if nation is not None:
+        nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == nation)
+        out = out.join(F.broadcast(nat), out.s_nationkey == nat.n_nationkey)
+    return out.select(
+        F.col("s_suppkey").alias("supplier_key"), "s_name", "s_acctbal"
+    ).orderBy("supplier_key")
+
+
+# ---------------------------------------------------------------------------
+# Round 5: scale operators as oracle-checked queries (X19/X76)
+# ---------------------------------------------------------------------------
+
+
+def salted_events_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X76 (salted_join) as a driver-verified query: events ⋈ a
+    per-type dim on the LOW-CARDINALITY event_type key — exactly the
+    key shape where a shuffle join serializes each key through one
+    reducer (5 types ⇒ parallelism 5). salted_join spreads every key
+    over n_salts reducers (measured 2.9× on a 50%-hot-key fixture,
+    scripts/skew_bench.py → BENCH_NOTES r5); the oracle is the PLAIN
+    join — proving the salt changes only the shuffle shape, never a
+    bit of the result. Weighted sum runs in exact decimal."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.scale import (
+        salted_join,
+    )
+
+    events = _t(spark, sf_dir, "events").select("event_type", "value")
+    dim = (
+        events.select("event_type")
+        .distinct()
+        .withColumn("type_weight", F.length("event_type"))
+    )
+    joined = salted_join(events, dim, ["event_type"], n_salts=16)
+    weighted = F.col("value").cast("decimal(18,4)") * F.col(
+        "type_weight"
+    ).cast("decimal(3,0)")
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(weighted).cast("double").alias("weighted_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def bucketed_sales_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X19 (bucketed co-located join) as a driver-verified query:
+    orders and customer persisted as catalog tables hash-bucketed by
+    the join key (write_bucketed — the write-time shuffle), then
+    joined THROUGH the bucket layout: the sort-merge join runs with
+    ZERO exchange on either side (pinned in tests/test_plans.py::
+    test_bucketed_sales_join_no_join_exchange; the only shuffle in
+    the plan is the final segment aggregate). At 100 TB this is the
+    recurring-join pattern: pay the custkey shuffle once at ingest,
+    never per query. Oracle = the plain join+aggregate."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.scale import (
+        write_bucketed,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    write_bucketed(orders, "bkt_orders_gate", ["o_custkey"], n_buckets=8,
+                   sort_cols=["o_custkey"])
+    write_bucketed(customer, "bkt_customer_gate", ["c_custkey"], n_buckets=8,
+                   sort_cols=["c_custkey"])
+    bo = spark.table("bkt_orders_gate")
+    bc = spark.table("bkt_customer_gate")
+    return (
+        bo.hint("merge")  # SMJ so the bucket layout carries the join
+        .join(bc, bo.o_custkey == bc.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", alias="total_sales"),
+        )
+        .orderBy("segment")
+    )

@@ -58,6 +58,19 @@ def salted_agg(
     but its input is ≤ n_salts rows per key, so the second shuffle is
     negligible. With AQE on, non-skewed data pays almost nothing extra
     (the phase-1 partitions coalesce).
+
+    Honest measurement (scripts/skew_bench.py, 32M rows with a 50%
+    hot key → BENCH_NOTES round 5): for THESE re-aggregable functions
+    Spark's map-side partial aggregation already collapses a hot key
+    to one partial row per input partition, so hot-key skew cannot
+    reach the shuffle and the salted form costs ~1.5× extra (its
+    additional exchange) rather than winning. Keep salted_agg for
+    composed partials that must stay keyed by (key, salt) — e.g.
+    feeding :func:`salted_join`'s output or engines without map-side
+    combine; for a plain skewed groupBy-sum, the built-in aggregate
+    is already the right plan. The operators where skew genuinely
+    kills and salting genuinely wins are JOINS (salted_join: 2.9×
+    measured) and WINDOWS (two-level prefix form: 1.85× measured).
     """
     partial = _salted_partial(df, key_cols, aggs, n_salts)
     return partial.groupBy(*key_cols).agg(
@@ -89,6 +102,50 @@ def _salted_partial(
     return df.groupBy(*key_cols, salt).agg(
         *[_PARTIAL[fn](col).alias(f"_p_{name}") for name, (fn, col) in aggs.items()]
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-salted equi-join: spread a hot join key over ``n_salts``
+    reducers by salting the fact side and REPLICATING the dim side.
+
+    A hot key in a shuffle join sends its entire fact slice to one
+    reducer — the task that runs 16× longer than the rest of the
+    stage. AQE's skew-join split covers sort-merge joins above its
+    byte threshold at runtime; this is the PLAN-level form for when
+    the salt must survive into downstream operators or AQE cannot see
+    the skew (measured numbers: scripts/skew_bench.py → BENCH_NOTES
+    round 5). The fact side gains ``_salt = spark_partition_id() %
+    n_salts`` (deterministic per task — retries reproduce the same
+    groups; same contract as ``_salted_partial``), the dim side
+    explodes each row into all ``n_salts`` salt values, and the join
+    runs on ``on + [_salt]`` — the hot key's rows now hash to
+    ``n_salts`` distinct reducers.
+
+    Cost: the dim shuffle grows ``n_salts``× — use a BOUNDED dim (the
+    point is a dim too big to broadcast but far smaller than the
+    fact). Only fact-side-preserving join types are allowed: an
+    unmatched DIM row would surface once per salt under
+    right/full/outer semantics.
+    """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join replicates the dim side {n_salts}x; join type "
+            f"{how!r} would duplicate unmatched dim rows — use one of "
+            f"{sorted(allowed)}"
+        )
+    f = fact.withColumn("_salt", F.spark_partition_id() % n_salts)
+    d = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return f.join(d, [*on, "_salt"], how).drop("_salt")
 
 
 def incremental_agg_merge(
@@ -150,7 +207,23 @@ def write_bucketed(
     the same ``n_buckets`` sort-merge-join with NO exchange — the
     shuffle is paid once at write time instead of per query. This is
     the Spark analog of co-located/partitioned joins in MPP warehouses.
+
+    ``mode="overwrite"`` is idempotent across SESSIONS too: with an
+    in-memory catalog, a previous session's managed-table directory
+    survives in the warehouse while its metadata does not, and
+    ``saveAsTable`` then fails with LOCATION_ALREADY_EXISTS — the
+    stale location is dropped first (metadata via DROP TABLE, the
+    orphaned directory via the Hadoop FS API).
     """
+    spark = df.sparkSession
+    if mode == "overwrite" and not spark.catalog.tableExists(table):
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        p = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table.lower()}")
+        fs = p.getFileSystem(conf)
+        if fs.exists(p):
+            fs.delete(p, True)
     writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

@@ -69,7 +69,7 @@ from pyspark.sql import functions as F  # noqa: E402
 ANALYTICS_QUERIES = [
     "q1_pricing_summary",
     "sales_per_nation",
-    "sales_rollup",
+    "rollup",
     "sales_monthly_yoy",
     "sales_cube",
     "sales_pivot_by_priority",
@@ -91,6 +91,14 @@ ANALYTICS_QUERIES = [
     "q9_red_parts_profit",
     "q16_supplier_diversity",
     "q21_late_sole_supplier",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q11_important_parts",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q20_promotion_suppliers",
+    "salted_events_join",
+    "bucketed_sales_join",
     "payment_type_share",
     "customers_with_urgent_orders",
     "customers_without_urgent_orders",
@@ -125,6 +133,7 @@ ANALYTICS_QUERIES = [
     "sql_lateral_top_orders",
     "sql_recursive_rollup",
     "pipeline_envelope_decode",
+    "pipeline_partition_scan",
     "serving_last_write_wins",
     # window-function surface
     "top_orders_per_customer",
@@ -205,20 +214,20 @@ REF_BENCH_KEYS = {
 #: at centisecond precision. 1:1, documented here and in BENCH_NOTES.
 BENCH_KEY_ALIASES = {
     "streaming_late_data_policy": "st_late",
-    "streaming_payment_match": "st_payment",
+    "streaming_payment_match": "stpay",
     "streaming_dedup_replay": "st_dedup",
     "customers_without_urgent_orders": "anti_urgent",
     "customers_with_urgent_orders": "semi_urgent",
     "dedup_simhash_fingerprints": "simhash_fp",
     "sketch_distinct_trigrams": "sketch",
-    "sql_lateral_top_orders": "lateral_topk",
+    "sql_lateral_top_orders": "lateral",
     "sql_above_average_orders": "above_avg",
     "serving_last_write_wins": "serving_lww",
     "sales_pivot_by_priority": "sales_pivot",
-    "text_stratified_sample": "strat_sample",
+    "text_stratified_sample": "strat",
     "q12_ship_delay_classes": "q12_delay",
     "q17_small_quantity_revenue": "q17_small",
-    "q19_disjunctive_revenue": "q19_disjunct",
+    "q19_disjunctive_revenue": "q19disj",
     "q22_dormant_customers": "q22_dormant",
     # round-4 widening: 90 registry entries no longer fit the 2000-char
     # capture at centisecond precision with full names — shorten the
@@ -226,53 +235,54 @@ BENCH_KEY_ALIASES = {
     "q5_local_supplier_volume": "q5_local",
     "customer_running_spend": "run_spend",
     "events_sessionization": "sessions",
-    "salted_priority_sales": "salted_sales",
-    "top_parts_by_revenue": "top_parts_rev",
-    "q3_shipping_priority": "q3_ship_prio",
+    "salted_priority_sales": "saltsales",
+    "top_parts_by_revenue": "topparts",
+    "q3_shipping_priority": "q3ship",
     "fuzzy_customer_names": "fuzzy_cust",
     "dedup_canonical_docs": "canonical",
     "events_tumbling_30s": "tumble30",
     "text_pack_sequences": "text_pack",
-    "dedup_exact_recrawl": "dedup_exact",
+    "dedup_exact_recrawl": "dexact",
     "dedup_ngram_jaccard": "dedup_ngram",
-    "dedup_simhash_pairs": "dedup_simhash",
-    "dedup_contamination": "dedup_contam",
-    "mm_extract_features": "mm_features",
+    "dedup_simhash_pairs": "simhash",
+    "dedup_contamination": "contam",
+    "mm_extract_features": "mmfeat",
     "asof_priority_rates": "asof_rates",
     "etl_derive_tables": "etl_derive",
     "curation_pipeline": "curation",
-    "events_json_props": "events_json",
-    "profile_documents": "profile_docs",
+    "events_json_props": "ejson",
+    "profile_documents": "profile",
     "incremental_sales_rollup": "incr_rollup",
-    "dedup_minhash_lsh": "dedup_minhash",
-    "text_quality_score": "text_quality",
+    "dedup_minhash_lsh": "minhash",
+    "text_quality_score": "tquality",
     "text_language_id": "text_langid",
     "mm_resize_images": "mm_resize",
     "mm_frame_sample": "mm_frames",
     "cdc_snapshot_diff": "cdc_diff",
-    "docs_expectations": "docs_expect",
+    "docs_expectations": "dexpect",
     "text_bm25_search": "text_bm25",
     "events_rolling_hour_avg": "roll_avg",
-    "events_ntile_quartiles": "events_ntile",
-    "events_value_outliers_mad": "events_mad",
-    "dedup_substring_hotspots": "dedup_substr",
-    "q4_late_order_priority": "q4_late_prio",
+    "events_ntile_quartiles": "ntile",
+    "events_value_outliers_mad": "emad",
+    "dedup_substring_hotspots": "substr",
+    "q4_late_order_priority": "q4late",
     "q9_red_parts_profit": "q9_profit",
-    "q16_supplier_diversity": "q16_supp_div",
-    "q21_late_sole_supplier": "q21_late_supp",
+    "q16_supplier_diversity": "q16div",
+    "q21_late_sole_supplier": "q21late",
     "streaming_enriched_nation_totals": "st_enriched",
-    "streaming_running_totals_final": "st_running",
-    "pipeline_envelope_decode": "pl_envelope",
+    "streaming_running_totals_final": "strun",
+    "pipeline_envelope_decode": "plenv",
+    "pipeline_partition_scan": "plpart",
     "pipeline_streaming_drain": "pl_stream",
     "top_orders_per_customer": "top_orders",
-    "events_value_histogram": "events_hist",
-    "emb_near_dup_lsh_multi": "emb_nd_multi",
+    "events_value_histogram": "ehist",
+    "emb_near_dup_lsh_multi": "ndmulti",
     "emb_near_dup_lsh": "emb_nd_lsh",
     "ann_topk_brute": "ann_brute",
     "ann_topk_lsh": "ann_lsh",
     "ann_topk_ivf": "ann_ivf",
     "cdc_scd2_history": "scd2",
-    "streaming_session_windows": "st_sessions",
+    "streaming_session_windows": "stsess",
     "customer_retention": "retention",
     "payment_type_share": "pay_share",
     "events_cohort_retention": "cohort",
@@ -281,33 +291,42 @@ BENCH_KEY_ALIASES = {
     "graph_pagerank_suppliers": "pagerank",
     "sql_recursive_rollup": "recursive",
     "events_concurrency_curve": "concurrency",
-    "events_transition_matrix": "transitions",
+    "events_transition_matrix": "transit",
     "emb_pq_codes": "pq_codes",
     "ann_topk_pq": "ann_pq",
     "customer_rfm_segments": "rfm",
     "events_active_users": "dau_wau",
     "q1_pricing_summary": "q1_pricing",
     "q7_volume_shipping": "q7_volume",
-    "q10_returned_items": "q10_returns",
+    "q10_returned_items": "q10ret",
     "q8_market_share": "q8_share",
     "q18_large_orders": "q18_large",
-    "sales_per_nation": "sales_nation",
+    "sales_per_nation": "natsales",
     "events_type_mode": "type_mode",
     "text_fingerprint": "text_fp",
     "text_pii_redact": "pii_redact",
-    "sketch_heavy_hitters": "cm_hitters",
+    "sketch_heavy_hitters": "cmhh",
     "events_drift_tvd": "drift_tvd",
     "parts_abc_analysis": "abc",
     "brand_basket_affinity": "basket",
     "text_vocab_growth": "vocab",
-    "sales_monthly_yoy": "yoy_monthly",
+    "sales_monthly_yoy": "yoymon",
     "q14_promo_revenue": "q14_promo",
-    "text_token_stats": "tok_stats",
+    # round-5 additions (final line only, 1:1)
+    "q2_min_cost_supplier": "q2_mincost",
+    "q6_forecast_revenue": "q6_forecast",
+    "q11_important_parts": "q11_parts",
+    "q13_order_count_distribution": "q13_dist",
+    "q15_top_supplier": "q15_top",
+    "q20_promotion_suppliers": "q20_promo",
+    "salted_events_join": "salt_join",
+    "bucketed_sales_join": "bkt_join",
+    "text_token_stats": "toks",
     "dedup_components": "components",
     "text_repetition": "repetition",
     "events_variant_props": "variant",
     "events_gapfill": "gapfill",
-    "text_length_quantiles": "len_quant",
+    "text_length_quantiles": "lenq",
     "dedup_ensemble": "ensemble",
     "mm_asset_stats": "mm_stats",
     "mm_fingerprint": "mm_fp",

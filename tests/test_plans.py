@@ -87,6 +87,22 @@ def test_partition_pruning_on_derived_table(spark, tmp_path):
     assert df.count() == 10
 
 
+def test_pipeline_partition_scan_prunes(spark):
+    """The catalog-path month query (registry.pipeline_partition_scan)
+    must prune at the DIRECTORY level: PartitionFilters on both year
+    and month in the scan, and the file index must contain ONLY the
+    year=1995/month=03 partition's files — at 100 TB this is the
+    difference between reading one month and reading the table."""
+    df = QUERY_FNS["pipeline_partition_scan"](spark, SF_DIR)
+    assert has_partition_filters(df, "year")
+    assert has_partition_filters(df, "month")
+    files = df.inputFiles()
+    assert files, "expected a non-empty pruned file list"
+    assert all("year=1995" in f and "month=03" in f for f in files), files[:3]
+    # and the values actually come back (the partition isn't empty)
+    assert df.count() > 0
+
+
 def test_unused_join_branches_pruned(spark):
     """``build_order_events`` assembles events from 5 TPC-H tables,
     but ``to_orders`` only projects top-level order fields — Catalyst
@@ -447,6 +463,70 @@ def test_concurrency_sweep_no_global_raw_window(spark):
     plan = explain_str(QUERY_FNS["events_concurrency_curve"](spark, SF_DIR))
     assert plan.count("Window (") == 2
     assert "windowspecdefinition(_blk#" in plan
+
+
+def test_q6_all_predicates_pushed_no_join(spark):
+    """Q6 is the pure pushed-filter aggregate: the date range and
+    quantity predicates must reach the parquet scan, the plan must
+    contain no join, and the scan must read only the 3 needed cols."""
+    df = QUERY_FNS["q6_forecast_revenue"](spark, SF_DIR)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    assert "Join" not in explain_str(df)
+    (cols,) = read_schema_columns(df)
+    assert set(cols) == {"l_extendedprice", "l_discount", "l_quantity",
+                         "l_shipdate"}
+
+
+def test_q2_min_join_back_no_cartesian(spark):
+    """Q2's decorrelated min must join back as an equi-join on
+    (partkey, price) — never a cartesian or per-row subquery."""
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    plan = explain_str(QUERY_FNS["q2_min_cost_supplier"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q13_left_outer_preserved(spark):
+    """Q13's zero-order customers exist only if the left outer join
+    survives planning (an inner rewrite would drop the c_count=0 row)."""
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    df = QUERY_FNS["q13_order_count_distribution"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert "LeftOuter" in plan or "left_outer" in plan.lower()
+
+
+def test_bucketed_sales_join_no_join_exchange(spark):
+    """The bucketed tables must sort-merge-join with NO exchange below
+    the join — the only shuffle in the whole plan is the final segment
+    aggregate. This is the write-once/join-forever contract at 100 TB."""
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    df = QUERY_FNS["bucketed_sales_join"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert "SortMergeJoin" in plan
+    # both scans read the bucket layout (the exchange-free evidence)...
+    assert plan.count("Bucketed: true") == 2, plan[:2500]
+    # ...and the only Exchanges are ABOVE the join: the groupBy hash
+    # exchange + the orderBy range exchange. A shuffled join would
+    # add two more below it. ("Exchange (" counts tree nodes only —
+    # the formatted detail section repeats node labels.)
+    assert plan.count("Exchange (") == 2, plan[:2500]
+
+
+def test_salted_events_join_spreads_key(spark):
+    """The salted join must join on (event_type, _salt) — the salt
+    column visible in the join keys is what spreads each low-
+    cardinality key over n_salts reducers."""
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    plan = explain_str(QUERY_FNS["salted_events_join"](spark, SF_DIR))
+    assert "_salt" in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_pq_codes_broadcast_codebook_no_cartesian(spark):

@@ -91,6 +91,43 @@ def test_salted_agg_rejects_non_reaggregable(skewed):
         salted_agg(skewed, ["k"], {"a": ("avg", "v")})
 
 
+def test_salted_join_matches_plain_join(spark, skewed):
+    """salted_join must produce exactly the plain join's rows — the
+    salt changes only the shuffle shape (2.9× on a 50%-hot-key join,
+    scripts/skew_bench.py → BENCH_NOTES r5)."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.scale import (
+        salted_join,
+    )
+
+    dim = spark.createDataFrame(
+        [("hot", 100)] + [(f"k{i}", i) for i in range(20)], ["k", "attr"]
+    )
+    fact = skewed.repartition(8)
+    plain = sorted(
+        (r["k"], r["n"], r["attr"]) for r in fact.join(dim, "k").collect()
+    )
+    salted = sorted(
+        (r["k"], r["n"], r["attr"])
+        for r in salted_join(fact, dim, ["k"], n_salts=8).collect()
+    )
+    assert salted == plain
+    # left join keeps unmatched FACT rows exactly once
+    dim_missing_hot = dim.filter("k <> 'hot'")
+    left = salted_join(fact, dim_missing_hot, ["k"], n_salts=8, how="left")
+    assert left.count() == fact.count()
+    assert left.filter("k = 'hot' AND attr IS NULL").count() == 900
+
+
+def test_salted_join_rejects_dim_duplicating_types(spark, skewed):
+    from aws_kinesis_data_ingestion_restapi_spark.operators.scale import (
+        salted_join,
+    )
+
+    dim = spark.createDataFrame([("hot", 1)], ["k", "attr"])
+    with pytest.raises(ValueError, match="right"):
+        salted_join(skewed, dim, ["k"], how="right")
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     """Two tables bucketed by the join key must sort-merge-join with
     zero Exchange nodes — the write-time shuffle replaces every
