@@ -121,6 +121,12 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.repetition_stats(_docs(spark, sf_dir))
 
 
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X77: bigram collocation mining by exact-count LIFT (log-free
+    PMI ranking — see text.collocation_lift)."""
+    return text.collocation_lift(_docs(spark, sf_dir))
+
+
 def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps-law vocabulary-growth curve: cumulative distinct-token
     count vs cumulative token count in deterministic doc_id ingestion
@@ -379,6 +385,12 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.topk_ivf(_embs(spark, sf_dir), n_queries=10, k=5)
+
+
+def emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X78: one exact Lloyd iteration (assignment + per-cluster size
+    and centroid drift) — see similarity.kmeans_step."""
+    return similarity.kmeans_step(_embs(spark, sf_dir))
 
 
 def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -662,6 +674,7 @@ EXT_QUERY_FNS = {
     "text_stratified_sample": text_stratified_sample,
     "text_quality_sample": text_quality_sample,
     "text_vocab_growth": text_vocab_growth,
+    "text_collocations": text_collocations,
     "text_repetition": text_repetition,
     "text_bm25_search": text_bm25_search,
     "docs_expectations": docs_expectations,
@@ -686,6 +699,7 @@ EXT_QUERY_FNS = {
     "ann_topk_brute": ann_topk_brute,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
+    "emb_kmeans_step": emb_kmeans_step,
     "emb_pq_codes": emb_pq_codes,
     "ann_topk_pq": ann_topk_pq,
     "emb_near_dup": emb_near_dup,
@@ -1157,6 +1171,38 @@ EXT_ORACLE_SQL = {
     """,
     # θ-sample distinct sketch: same md5 prefix filter, same ×16 scale
     # — the ESTIMATE matches bit-for-bit, sampling error included
+    # bigram collocation lift: positional adjacent pairs (occurrences,
+    # not distinct), exact integer counts, lift written in the SAME
+    # left-associative double expression as the Spark side
+    "text_collocations": f"""
+        WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+        uni AS (
+            SELECT w, COUNT(*) AS n_w
+            FROM toks, UNNEST(t) AS u(w)
+            GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(SUM(len(t)) AS DOUBLE) AS n_tokens,
+                   CAST(SUM(GREATEST(len(t) - 1, 0)) AS DOUBLE) AS n_bigrams
+            FROM toks
+        ),
+        pairs AS (
+            SELECT t[i] AS w1, t[i + 1] AS w2, COUNT(*) AS n_pair
+            FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 5
+        )
+        SELECT w1, w2, n_pair,
+               CAST(n_pair AS DOUBLE) * n_tokens * n_tokens
+                 / (n_bigrams * CAST(u1.n_w AS DOUBLE)
+                    * CAST(u2.n_w AS DOUBLE)) AS lift
+        FROM pairs
+        JOIN uni u1 ON pairs.w1 = u1.w
+        JOIN uni u2 ON pairs.w2 = u2.w
+        CROSS JOIN tot
+        ORDER BY lift DESC, w1, w2
+        LIMIT 50
+    """,
     # Heaps curve: new-at-doc = min-doc-per-token; running sums
     "text_vocab_growth": f"""
         WITH toks AS (
@@ -1692,6 +1738,52 @@ EXT_ORACLE_SQL = {
             FROM adc
         )
         WHERE rn <= 5
+    """,
+    # one Lloyd step: IVF assignment (same (d2, cell) tie-break),
+    # per-cluster size + exact-integer centroid drift numerator, ONE
+    # double division written identically to the Spark expression
+    "emb_kmeans_step": f"""
+        WITH stride AS (
+            SELECT GREATEST(CAST(floor(sqrt(COUNT(*))) AS BIGINT), 1) AS s
+            FROM embeddings
+        ),
+        comp AS ({_COMP}),
+        cent AS (
+            SELECT vec_id AS cell FROM embeddings
+            WHERE vec_id % (SELECT s FROM stride) = 0
+        ),
+        cd AS (
+            SELECT a.vec_id, c.cell,
+                   SUM((a.qx - b.qx) * (a.qx - b.qx)) AS d2
+            FROM comp a
+            JOIN cent c ON TRUE
+            JOIN comp b ON b.vec_id = c.cell AND b.i = a.i
+            GROUP BY 1, 2
+        ),
+        assign AS (
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, cell) AS r
+                FROM cd
+            ) WHERE r = 1
+        ),
+        sums AS (
+            SELECT s.cell, c.i, SUM(c.qx) AS sm, COUNT(*) AS n
+            FROM assign s JOIN comp c ON c.vec_id = s.vec_id
+            GROUP BY 1, 2
+        ),
+        perdim AS (
+            SELECT sums.cell, n, ABS(sm - n * b.qx) AS dnum
+            FROM sums JOIN comp b ON b.vec_id = sums.cell AND b.i = sums.i
+        )
+        SELECT cell AS cell_id,
+               CAST(MAX(n) AS BIGINT) AS n_members,
+               CAST(SUM(dnum) AS DOUBLE)
+                 / (CAST(MAX(n) AS DOUBLE) * COUNT(*) * 10000) AS drift
+        FROM perdim
+        GROUP BY 1
+        ORDER BY 1
     """,
     "ann_topk_ivf": f"""
         WITH stride AS (

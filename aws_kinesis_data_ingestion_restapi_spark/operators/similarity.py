@@ -567,3 +567,74 @@ def topk_pq(
             unscale(F.col("_d2")).alias("adc_dist"),
         )
     )
+
+
+def kmeans_step(
+    embs: DataFrame,
+    centroid_stride: int | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One exact Lloyd iteration over the quantized corpus — the
+    clustering primitive behind IVF index training, embedding-space
+    corpus maps, and semantic dedup bucketing, expressed entirely in
+    DataFrame ops (no driver-side model, no MLlib dependency).
+
+    Assignment reuses the IVF contract: nearest deterministic stride
+    centroid by EXACT scaled-int squared distance, (d2, cell)
+    tie-break — so a DuckDB oracle replays the identical step. The
+    re-estimation statistics come back per cluster:
+
+      n_members  cluster size after assignment
+      drift      mean per-dimension |new centroid − old centroid| in
+                 ORIGINAL units: Σ_i |sum_i − n·old_i| (exact int64)
+                 divided once, in double, by n·dim·SCALE — both
+                 engines compute the identical value, and a Lloyd
+                 LOOP caller stops when max(drift) < ε.
+
+    Scale shape: one broadcast n×K assignment with partial-aggregated
+    struct-min (one shuffled row per vector — the IVF build cost), a
+    posexplode to (cell, dim) partial sums (the shuffle carries
+    K·dim rows after map-side combine, not n·dim), and the old
+    centroids join back on the K·dim aggregate. Iterating = calling
+    this per round on the REASSIGNED centroids; each round is the
+    same bounded pair of shuffles (the pagerank scale argument).
+    """
+    base = embs.select(F.col(id_col), quantized().alias("v"))
+    if centroid_stride is None:
+        centroid_stride = auto_stride(embs.count())
+    cents = base.filter((F.col(id_col) % centroid_stride) == 0).select(
+        F.col(id_col).alias("cell"), F.col("v").alias("cv")
+    )
+    expanded = base.join(F.broadcast(cents)).select(
+        id_col,
+        "v",
+        F.struct(
+            dist2_i(F.col("v"), F.col("cv")).alias("d2"),
+            F.col("cell").alias("cell"),
+        ).alias("dc"),
+    )
+    assign = (
+        expanded.groupBy(id_col)
+        .agg(F.min("dc").alias("m"), F.first("v").alias("v"))
+        .select(id_col, F.col("m.cell").alias("cell"), "v")
+    )
+    sums = (
+        assign.select("cell", F.posexplode("v").alias("i", "x"))
+        .groupBy("cell", "i")
+        .agg(F.sum("x").alias("sm"), F.count(F.lit(1)).alias("n"))
+    )
+    oldc = cents.select("cell", F.posexplode("cv").alias("i", "ox"))
+    per_dim = sums.join(oldc, ["cell", "i"]).select(
+        "cell", "n", F.abs(F.col("sm") - F.col("n") * F.col("ox")).alias("dnum")
+    )
+    drift = F.sum("dnum").cast("double") / (
+        F.max("n").cast("double") * F.count(F.lit(1)) * F.lit(SCALE)
+    )
+    return (
+        per_dim.groupBy(F.col("cell").alias("cell_id"))
+        .agg(
+            F.max("n").alias("n_members"),
+            drift.alias("drift"),
+        )
+        .orderBy("cell_id")
+    )

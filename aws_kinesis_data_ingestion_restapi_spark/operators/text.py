@@ -368,3 +368,74 @@ def bm25_rank(
     return top.select(
         "doc_id", "score", F.row_number().over(w).cast("int").alias("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# collocation mining (bigram lift)
+# ---------------------------------------------------------------------------
+
+
+def collocation_lift(docs: DataFrame, min_count: int = 5, k: int = 50) -> DataFrame:
+    """Word-bigram collocation mining: adjacent token pairs scored by
+    LIFT — P(w1,w2) / (P(w1)·P(w2)), the log-free PMI equivalent
+    (same ranking as PMI, but every operation is a correctly-rounded
+    IEEE multiply/divide of exact integer counts, so both engines
+    produce bit-identical scores; log-domain PMI would not). The
+    corpus-statistics step of classic phrase detection (Mikolov et
+    al.'s word2vec phrases use the same count ratio).
+
+    lift = (n_pair · N · N) / (M · n_w1 · n_w2), with N total tokens
+    and M total bigrams — exact in doubles while n_pair·N² < 2^53
+    (holds through ~10M-token corpora with any realistic pair counts;
+    beyond that, move the products to DECIMAL(38,0)).
+
+    Scale shape: one explode shuffle for unigram counts, one
+    slice-zip explode shuffle for pair counts (positional bigrams —
+    NO distinct, occurrences count), the two unigram joins hit the
+    vocab-sized aggregate (unhinted — vocabulary scales; AQE decides),
+    and N/M ride a 1-row broadcast. min_count prunes the pair frame
+    BEFORE the joins.
+    """
+    toks = docs.select(tokens_col().alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    totals = toks.agg(
+        F.sum(F.size("t")).cast("double").alias("n_tokens"),
+        F.sum(F.greatest(F.size("t") - 1, F.lit(0)))
+        .cast("double")
+        .alias("n_bigrams"),
+    )
+    zipped = F.arrays_zip(
+        F.slice("t", 1, F.greatest(F.size("t") - 1, F.lit(0))),
+        F.slice("t", 2, F.greatest(F.size("t") - 1, F.lit(0))),
+    )
+    pairs = (
+        toks.select(F.explode(zipped).alias("p"))
+        .select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2"))
+    lift = (
+        F.col("n_pair").cast("double")
+        * F.col("n_tokens")
+        * F.col("n_tokens")
+        / (
+            F.col("n_bigrams")
+            * F.col("n_w1").cast("double")
+            * F.col("n_w2").cast("double")
+        )
+    )
+    return (
+        pairs.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select("w1", "w2", "n_pair", lift.alias("lift"))
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(k)
+    )

@@ -1687,6 +1687,8 @@ _GATE_HEAD = [
     "q20_promotion_suppliers",
     "salted_events_join",
     "bucketed_sales_join",
+    "text_collocations",
+    "emb_kmeans_step",
     # never driver-proven (added after the r4 window froze; only
     # builder-run GATE_r04.log evidence) — VERDICT r4 ask #2.
     "sales_monthly_yoy",   # ALSO changed r5: LAG-12 → calendar self-join
@@ -1732,10 +1734,8 @@ _GATE_HEAD = [
     "ann_topk_lsh",
     "emb_near_dup_lsh",
     "dedup_simhash_fingerprints",
-    # r3-era driver greens, now two rounds old
-    "customer_retention",
-    "q5_local_supplier_volume",
-    "dedup_components",     # connected_components telemetry touched r5
+    # r3-era driver green two rounds old; operator touched r5
+    "dedup_components",
 ]
 _GATE_TAIL = [
     # driver-verified round 4 (CORRECTNESS_r04 50/50 green) and
@@ -1787,6 +1787,8 @@ _GATE_TAIL = [
     # committed full-gate log every round)
     "customers_with_urgent_orders",
     "customers_without_urgent_orders",
+    "customer_retention",
+    "q5_local_supplier_volume",
     "salted_priority_sales",
     "streaming_payment_match",
     "events_sessionization",

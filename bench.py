@@ -152,6 +152,7 @@ ANALYTICS_QUERIES = [
     "text_stratified_sample",
     "text_quality_sample",
     "text_vocab_growth",
+    "text_collocations",
     "dedup_exact_recrawl",
     "dedup_substring_hotspots",
     "dedup_ngram_jaccard",
@@ -167,6 +168,7 @@ ANALYTICS_QUERIES = [
     "ann_topk_lsh",
     "ann_topk_ivf",
     "emb_near_dup_lsh",
+    "emb_kmeans_step",
     "emb_pq_codes",
     "ann_topk_pq",
     "emb_near_dup_lsh_multi",
@@ -320,6 +322,8 @@ BENCH_KEY_ALIASES = {
     "q15_top_supplier": "q15_top",
     "q20_promotion_suppliers": "q20_promo",
     "salted_events_join": "salt_join",
+    "text_collocations": "colloc",
+    "emb_kmeans_step": "kmeans",
     "bucketed_sales_join": "bkt_join",
     "text_token_stats": "toks",
     "dedup_components": "components",

@@ -1056,3 +1056,62 @@ def test_pq_encode_and_adc_on_clustered_vectors(spark):
         assert top[(q, 1)] in {0, 1, 2} and top[(q, 1)] != q
     for q in (3, 4, 5):
         assert top[(q, 1)] in {3, 4, 5} and top[(q, 1)] != q
+
+
+def test_collocation_lift_ranks_fixed_phrase(spark):
+    """A corpus where 'new york' always co-occurs but 'the' pairs with
+    everything: the fixed phrase must out-lift the promiscuous pairs,
+    counts must be positional occurrences (not distinct), and lift
+    must be the exact count ratio."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import text
+
+    rows = [(i, "the cat saw the dog in new york") for i in range(5)] + [
+        (9, "new york is in the news")
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = text.collocation_lift(docs, min_count=2, k=10).collect()
+    by_pair = {(r["w1"], r["w2"]): r for r in out}
+    ny = by_pair[("new", "york")]
+    assert ny["n_pair"] == 6  # every occurrence counts
+    # exact lift: n_pair * N^2 / (M * n_new * n_york)
+    n_tokens = 5 * 8 + 6
+    n_bigrams = 5 * 7 + 5
+    expected = 6 * n_tokens * n_tokens / (n_bigrams * 6 * 6)
+    assert ny["lift"] == expected
+    the_cat = by_pair.get(("the", "cat"))
+    assert the_cat is None or the_cat["lift"] < ny["lift"]
+
+
+def test_kmeans_step_two_tight_clusters(spark):
+    """Vectors split into two tight clusters around the two stride
+    centroids (ids 0 and 2 at stride 2): every vector must land in
+    its own cluster, and drift must be small (members hug the
+    centroid) and exactly reproducible."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import similarity
+
+    a = [1.0, 0.0, 0.0, 0.0]
+    b = [0.0, 1.0, 0.0, 0.0]
+
+    def near(v, eps):
+        return [x + eps for x in v]
+
+    rows = [
+        (0, a), (1, near(a, 0.01)),
+        (2, b), (3, near(b, 0.01)),
+    ]
+    embs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        r["cell_id"]: r
+        for r in similarity.kmeans_step(embs, centroid_stride=2).collect()
+    }
+    assert set(out) == {0, 2}
+    assert out[0]["n_members"] == 2 and out[2]["n_members"] == 2
+    # drift: cluster mean moves half the 0.01 offset on every dim
+    # drift = sum_i |sum_i - n*old_i| / (n * dim * SCALE)
+    # per dim: |(10000 + 10100) - 2*10000| = 100 on dim0... each of 4
+    # dims has |offset*SCALE| = 100 once → total 4*100 = 400 per
+    # cluster? dim0: sum=20100, n*old=20000 → 100; dims 1-3 for
+    # cluster 0: sum=100, n*old=0 → 100 each. total=400.
+    expected = 400 / (2 * 4 * 10000)
+    assert out[0]["drift"] == expected
+    assert out[2]["drift"] == expected
