@@ -127,6 +127,24 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.collocation_lift(_docs(spark, sf_dir))
 
 
+def docs_sample_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X79: deterministic fixed-size corpus sample (hash-rank top-k —
+    see sampling.sample_fixed_k)."""
+    return sampling.sample_fixed_k(_docs(spark, sf_dir))
+
+
+def docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X80: reproducible disjoint train/val/test assignment by stable
+    hash bucket (sampling.train_val_test_split)."""
+    return sampling.train_val_test_split(_docs(spark, sf_dir))
+
+
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X81: data-mixture token allocation under a global budget
+    (sampling.mixture_plan)."""
+    return sampling.mixture_plan(_docs(spark, sf_dir))
+
+
 def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps-law vocabulary-growth curve: cumulative distinct-token
     count vs cumulative token count in deterministic doc_id ingestion
@@ -675,6 +693,9 @@ EXT_QUERY_FNS = {
     "text_quality_sample": text_quality_sample,
     "text_vocab_growth": text_vocab_growth,
     "text_collocations": text_collocations,
+    "docs_sample_fixed": docs_sample_fixed,
+    "docs_split_assign": docs_split_assign,
+    "corpus_mixture_plan": corpus_mixture_plan,
     "text_repetition": text_repetition,
     "text_bm25_search": text_bm25_search,
     "docs_expectations": docs_expectations,
@@ -1171,6 +1192,51 @@ EXT_ORACLE_SQL = {
     """,
     # θ-sample distinct sketch: same md5 prefix filter, same ×16 scale
     # — the ESTIMATE matches bit-for-bit, sampling error included
+    # hash-rank fixed-k sample: identical md5 ordering both engines
+    "docs_sample_fixed": """
+        SELECT doc_id, lang, source
+        FROM documents
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        LIMIT 200
+    """,
+    # stable-hash split assignment (same md5-prefix bucket arithmetic
+    # as text_stratified_sample)
+    "docs_split_assign": """
+        SELECT doc_id, lang, source,
+               CASE WHEN h < 90 THEN 'train'
+                    WHEN h < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id, lang, source,
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 7)) AS BIGINT) % 100 AS h
+            FROM documents
+        )
+    """,
+    # mixture allocation: integer weight*budget DIV Σw (both engines
+    # floor on positives), one double division for the fill ratio
+    "corpus_mixture_plan": rf"""
+        WITH per_source AS (
+            SELECT source,
+                   CAST(CAST(substr(source, 4, 10) AS INTEGER) % 3 + 1
+                        AS BIGINT) AS weight,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(len(string_split_regex(lower(trim(text)),
+                                                '\s+'))) AS BIGINT)
+                       AS avail_tokens
+            FROM documents GROUP BY 1, 2
+        ),
+        wtot AS (SELECT CAST(SUM(weight) AS BIGINT) AS wsum FROM per_source)
+        SELECT source, weight, n_docs, avail_tokens,
+               weight * 100000 // wsum AS target_tokens,
+               LEAST(avail_tokens, weight * 100000 // wsum)
+                   AS alloc_tokens,
+               CAST(LEAST(avail_tokens, weight * 100000 // wsum)
+                    AS DOUBLE)
+                 / CAST(weight * 100000 // wsum AS DOUBLE) AS fill_ratio
+        FROM per_source, wtot
+        ORDER BY source
+    """,
     # bigram collocation lift: positional adjacent pairs (occurrences,
     # not distinct), exact integer counts, lift written in the SAME
     # left-associative double expression as the Spark side

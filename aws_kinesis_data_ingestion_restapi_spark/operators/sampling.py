@@ -70,3 +70,98 @@ def quality_weighted_sample(
     c = F.col(id_col).cast("string")
     h = F.conv(F.substring(F.md5(c), 1, _HEX), 16, 10).cast("long")
     return scored.filter((h % resolution) < F.col(score_col) * resolution)
+
+
+def sample_fixed_k(
+    docs: DataFrame, k: int = 200, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic fixed-SIZE sample (the reservoir-sampling use
+    case, distribution-style): rank every row by the stable md5 of
+    its id and keep the first ``k`` — uniform-ish over ids, exactly
+    reproducible on any cluster/partitioning/engine, and guaranteed
+    EXACTLY k rows (rate-based sampling only hits k in expectation).
+    Compiles to TakeOrderedAndProject — no global sort ever
+    materializes; at 100 TB each partition keeps its local top-k and
+    only k·partitions candidate rows move."""
+    h = F.md5(F.col(id_col).cast("string"))
+    return (
+        docs.select(id_col, "lang", "source", h.alias("_h"))
+        .orderBy("_h", id_col)
+        .limit(k)
+        .drop("_h")
+    )
+
+
+def train_val_test_split(
+    docs: DataFrame,
+    train_pct: int = 90,
+    val_pct: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by stable hash bucket —
+    the split every training pipeline needs to be REPRODUCIBLE and
+    DISJOINT by construction (a row's bucket is a pure function of
+    its id: re-runs, late-arriving shards, and other engines all
+    agree; no coordination, no stored split table). Map-side only.
+
+    Buckets [0, train_pct) → train, [train_pct, train_pct+val_pct) →
+    val, rest → test."""
+    b = hash_bucket(id_col, buckets=100)
+    split = (
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select(id_col, "lang", "source", split.alias("split"))
+
+
+def mixture_plan(
+    docs: DataFrame,
+    budget_tokens: int = 100_000,
+    weights_mod: int = 3,
+) -> DataFrame:
+    """Training-mixture allocation: given per-source token inventories
+    and per-source sampling weights, allocate a global token budget
+    proportionally and report the fill ratio — the planning step of
+    LLaMA-style data-mixture recipes (web × w1, books × w2, ...),
+    here with deterministic weights w = 1 + (source number mod
+    ``weights_mod``) so the oracle replays the identical plan.
+
+    All allocation arithmetic is integer (weight × budget DIV Σw) —
+    exact and engine-identical; only the final fill/demand ratios are
+    single double divisions. The per-source aggregate is one shuffle
+    over |sources| groups; the Σw total rides a 1-row broadcast."""
+    toks = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    per_source = (
+        docs.select(
+            "source",
+            toks.cast("long").alias("_t"),
+            (
+                F.substring("source", 4, 10).cast("int") % weights_mod + 1
+            ).cast("long").alias("weight"),
+        )
+        .groupBy("source", "weight")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_t").alias("avail_tokens"),
+        )
+    )
+    wtot = per_source.agg(F.sum("weight").alias("_wsum"))
+    target = F.expr(f"weight * {budget_tokens} DIV _wsum")
+    alloc = F.least(F.col("avail_tokens"), F.col("_target"))
+    return (
+        per_source.crossJoin(F.broadcast(wtot))
+        .withColumn("_target", target)
+        .select(
+            "source",
+            "weight",
+            "n_docs",
+            "avail_tokens",
+            F.col("_target").alias("target_tokens"),
+            alloc.alias("alloc_tokens"),
+            (
+                alloc.cast("double") / F.col("_target").cast("double")
+            ).alias("fill_ratio"),
+        )
+        .orderBy("source")
+    )

@@ -1689,6 +1689,9 @@ _GATE_HEAD = [
     "bucketed_sales_join",
     "text_collocations",
     "emb_kmeans_step",
+    "docs_sample_fixed",
+    "docs_split_assign",
+    "corpus_mixture_plan",
     # never driver-proven (added after the r4 window froze; only
     # builder-run GATE_r04.log evidence) — VERDICT r4 ask #2.
     "sales_monthly_yoy",   # ALSO changed r5: LAG-12 → calendar self-join
@@ -1730,9 +1733,6 @@ _GATE_HEAD = [
     "text_stratified_sample",
     "dedup_exact_recrawl",
     "ann_topk_brute",
-    "emb_near_dup",
-    "ann_topk_lsh",
-    "emb_near_dup_lsh",
     "dedup_simhash_fingerprints",
     # r3-era driver green two rounds old; operator touched r5
     "dedup_components",
@@ -1785,6 +1785,9 @@ _GATE_TAIL = [
     # r3-era entries rotated back out of the head to make room for the
     # 8 round-5 queries — each keeps its r3 driver green + the
     # committed full-gate log every round)
+    "emb_near_dup",
+    "ann_topk_lsh",
+    "emb_near_dup_lsh",
     "customers_with_urgent_orders",
     "customers_without_urgent_orders",
     "customer_retention",

@@ -153,6 +153,9 @@ ANALYTICS_QUERIES = [
     "text_quality_sample",
     "text_vocab_growth",
     "text_collocations",
+    "docs_sample_fixed",
+    "docs_split_assign",
+    "corpus_mixture_plan",
     "dedup_exact_recrawl",
     "dedup_substring_hotspots",
     "dedup_ngram_jaccard",
@@ -220,12 +223,12 @@ BENCH_KEY_ALIASES = {
     "streaming_dedup_replay": "st_dedup",
     "customers_without_urgent_orders": "anti_urgent",
     "customers_with_urgent_orders": "semi_urgent",
-    "dedup_simhash_fingerprints": "simhash_fp",
+    "dedup_simhash_fingerprints": "shfp",
     "sketch_distinct_trigrams": "sketch",
     "sql_lateral_top_orders": "lateral",
     "sql_above_average_orders": "above_avg",
-    "serving_last_write_wins": "serving_lww",
-    "sales_pivot_by_priority": "sales_pivot",
+    "serving_last_write_wins": "lww",
+    "sales_pivot_by_priority": "pivot",
     "text_stratified_sample": "strat",
     "q12_ship_delay_classes": "q12_delay",
     "q17_small_quantity_revenue": "q17_small",
@@ -245,12 +248,12 @@ BENCH_KEY_ALIASES = {
     "events_tumbling_30s": "tumble30",
     "text_pack_sequences": "text_pack",
     "dedup_exact_recrawl": "dexact",
-    "dedup_ngram_jaccard": "dedup_ngram",
+    "dedup_ngram_jaccard": "ngram",
     "dedup_simhash_pairs": "simhash",
     "dedup_contamination": "contam",
     "mm_extract_features": "mmfeat",
     "asof_priority_rates": "asof_rates",
-    "etl_derive_tables": "etl_derive",
+    "etl_derive_tables": "etl",
     "curation_pipeline": "curation",
     "events_json_props": "ejson",
     "profile_documents": "profile",
@@ -275,7 +278,7 @@ BENCH_KEY_ALIASES = {
     "streaming_running_totals_final": "strun",
     "pipeline_envelope_decode": "plenv",
     "pipeline_partition_scan": "plpart",
-    "pipeline_streaming_drain": "pl_stream",
+    "pipeline_streaming_drain": "plstr",
     "top_orders_per_customer": "top_orders",
     "events_value_histogram": "ehist",
     "emb_near_dup_lsh_multi": "ndmulti",
@@ -324,6 +327,9 @@ BENCH_KEY_ALIASES = {
     "salted_events_join": "salt_join",
     "text_collocations": "colloc",
     "emb_kmeans_step": "kmeans",
+    "docs_sample_fixed": "fixk",
+    "docs_split_assign": "tvtsplit",
+    "corpus_mixture_plan": "mixplan",
     "bucketed_sales_join": "bkt_join",
     "text_token_stats": "toks",
     "dedup_components": "components",

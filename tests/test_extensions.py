@@ -1115,3 +1115,37 @@ def test_kmeans_step_two_tight_clusters(spark):
     expected = 400 / (2 * 4 * 10000)
     assert out[0]["drift"] == expected
     assert out[2]["drift"] == expected
+
+
+def test_curation_trio_deterministic_and_disjoint(spark):
+    """sample_fixed_k returns EXACTLY k rows and is stable across
+    repartitionings; the split is disjoint+exhaustive with ~90/5/5
+    mass; the mixture plan never allocates more than availability and
+    hits the integer target exactly."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import sampling
+
+    rows = [(i, f"text {' '.join(['w'] * (i % 7 + 1))}", "en", f"src{i % 4}")
+            for i in range(300)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+
+    s1 = {r["doc_id"] for r in sampling.sample_fixed_k(docs, k=50).collect()}
+    s2 = {
+        r["doc_id"]
+        for r in sampling.sample_fixed_k(docs.repartition(13), k=50).collect()
+    }
+    assert len(s1) == 50 and s1 == s2
+
+    split = sampling.train_val_test_split(docs).collect()
+    by = {}
+    for r in split:
+        by.setdefault(r["split"], set()).add(r["doc_id"])
+    assert set(by) <= {"train", "val", "test"}
+    assert sum(len(v) for v in by.values()) == 300
+    assert len(by["train"]) > 200  # ~90%
+
+    plan = {r["source"]: r for r in sampling.mixture_plan(
+        docs, budget_tokens=1000).collect()}
+    for r in plan.values():
+        assert r["alloc_tokens"] <= r["avail_tokens"]
+        assert r["alloc_tokens"] <= r["target_tokens"]
+        assert r["fill_ratio"] <= 1.0
