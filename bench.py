@@ -69,7 +69,7 @@ from pyspark.sql import functions as F  # noqa: E402
 ANALYTICS_QUERIES = [
     "q1_pricing_summary",
     "sales_per_nation",
-    "rollup",
+    "sales_rollup",
     "sales_monthly_yoy",
     "sales_cube",
     "sales_pivot_by_priority",
@@ -307,6 +307,7 @@ BENCH_KEY_ALIASES = {
     "q8_market_share": "q8_share",
     "q18_large_orders": "q18_large",
     "sales_per_nation": "natsales",
+    "sales_rollup": "rollup",
     "events_type_mode": "type_mode",
     "text_fingerprint": "text_fp",
     "text_pii_redact": "pii_redact",
