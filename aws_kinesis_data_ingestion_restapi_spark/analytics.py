@@ -2418,3 +2418,102 @@ def bucketed_sales_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: exact streaming-friendly statistics (corr / OLS trend)
+# ---------------------------------------------------------------------------
+
+
+def events_value_hour_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between event value and hour-of-day, per
+    event type — built from the five EXACT sufficient statistics
+    (n, Σx, Σx², Σy², Σxy in int64/decimal), with the textbook
+    formula evaluated once in doubles written identically in both
+    engines. Spark's built-in ``corr()`` streams float partials whose
+    summation order varies with partitioning — cross-engine (and even
+    run-to-run) low-bit drift; sufficient-statistics-then-formula is
+    both deterministic AND the re-aggregable form incremental/
+    streaming maintenance needs (fold Σ's, not correlations).
+
+    One partial+final hash aggregate over one scan; no joins."""
+    events = _t(spark, sf_dir, "events")
+    ts = as_timestamp(events, "ts")
+    x = F.hour(ts).cast("long")
+    y = F.col("value").cast("decimal(12,4)")
+    prep = events.select(
+        "event_type",
+        x.alias("x"),
+        y.alias("y"),
+        (y * y).alias("yy"),
+        (x.cast("decimal(2,0)") * y).alias("xy"),
+    )
+    per = prep.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum("yy").alias("syy"),
+        F.sum("xy").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return per.select(
+        "event_type", "n", corr.alias("value_hour_corr")
+    ).orderBy("event_type")
+
+
+def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type activity TREND: ordinary-least-squares slope and
+    intercept of daily event counts over the day index — "is this
+    event type growing?", the dashboard regression. Same exact-
+    sufficient-statistics discipline as the correlation query: the
+    daily aggregate is exact integers, Σx/Σx²/Σc/Σxc stay int64, and
+    slope/intercept are two double expressions written identically in
+    both engines (x = days since epoch, so the statistics are
+    partition-independent).
+
+    Two shuffles: (type, day) count, then the |types| aggregate —
+    the regression itself never sees row-level data (re-aggregable,
+    incremental-maintenance-ready)."""
+    events = _t(spark, sf_dir, "events")
+    day = F.to_date(F.date_trunc("day", as_timestamp(events, "ts")))
+    daily = (
+        events.select(F.col("event_type"), day.alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "event_type",
+            F.datediff("day", F.lit("1970-01-01")).cast("long").alias("x"),
+            F.col("c"),
+        )
+    )
+    per = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("x") * F.col("c")).alias("sxc"),
+    )
+    n = F.col("n_days").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sc = F.col("sc").cast("double")
+    sxc = F.col("sxc").cast("double")
+    slope = (n * sxc - sx * sc) / (n * sxx - sx * sx)
+    return (
+        per.select(
+            "event_type",
+            "n_days",
+            slope.alias("slope"),
+            ((sc - slope * sx) / n).alias("intercept"),
+        )
+        .orderBy("event_type")
+    )

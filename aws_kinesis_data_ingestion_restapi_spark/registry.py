@@ -291,6 +291,9 @@ QUERY_FNS: dict[str, QueryFn] = {
     # round-5: scale operators as oracle-checked queries
     "salted_events_join": analytics.salted_events_join,
     "bucketed_sales_join": analytics.bucketed_sales_join,
+    # round-5: exact sufficient-statistics analytics (corr / OLS)
+    "events_value_hour_corr": analytics.events_value_hour_corr,
+    "events_daily_trend": analytics.events_daily_trend,
     # FULL OUTER year-over-year reconciliation
     "sales_yoy_full_outer": analytics.sales_yoy_full_outer,
     # cohort retention matrix (first-seen week × activity week)
@@ -428,6 +431,75 @@ ORACLE_SQL: dict[str, str] = {
                (SELECT CAST(COUNT(*) AS INTEGER) FROM lineitem l
                  WHERE l.l_orderkey = o.o_orderkey) AS n_products
         FROM orders o
+    """,
+    # exact sufficient statistics → one double formula, identical text
+    # both engines (Spark's corr() would float-drift cross-engine)
+    "events_value_hour_corr": """
+        WITH per AS (
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   SUM(y) AS sy,
+                   SUM(yy) AS syy,
+                   SUM(xy) AS sxy
+            FROM (
+                SELECT event_type,
+                       CAST(hour(ts) AS BIGINT) AS x,
+                       CAST(value AS DECIMAL(12,4)) AS y,
+                       CAST(value AS DECIMAL(12,4))
+                         * CAST(value AS DECIMAL(12,4)) AS yy,
+                       CAST(CAST(hour(ts) AS BIGINT) AS DECIMAL(2,0))
+                         * CAST(value AS DECIMAL(12,4)) AS xy
+                FROM events
+            )
+            GROUP BY 1
+        )
+        SELECT event_type, n,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                   AS value_hour_corr
+        FROM per
+        ORDER BY 1
+    """,
+    "events_daily_trend": """
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(datediff('day', DATE '1970-01-01',
+                                 CAST(date_trunc('day', ts) AS DATE))
+                        AS BIGINT) AS x,
+                   COUNT(*) AS c
+            FROM events
+            GROUP BY 1, CAST(date_trunc('day', ts) AS DATE)
+        ),
+        per AS (
+            SELECT event_type,
+                   COUNT(*) AS n_days,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(c) AS BIGINT) AS sc,
+                   CAST(SUM(x * c) AS BIGINT) AS sxc
+            FROM daily
+            GROUP BY 1
+        )
+        SELECT event_type, n_days,
+               (CAST(n_days AS DOUBLE) * CAST(sxc AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sc AS DOUBLE))
+               / (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+               (CAST(sc AS DOUBLE)
+                - (CAST(n_days AS DOUBLE) * CAST(sxc AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sc AS DOUBLE))
+                  / (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * CAST(sx AS DOUBLE))
+               / CAST(n_days AS DOUBLE) AS intercept
+        FROM per
+        ORDER BY 1
     """,
     # one row per order; the Hive partition values derive from the
     # (parsed) order_date, so year=1995/month=03 ≡ the orderdate month.
@@ -1692,6 +1764,8 @@ _GATE_HEAD = [
     "docs_sample_fixed",
     "docs_split_assign",
     "corpus_mixture_plan",
+    "events_value_hour_corr",
+    "events_daily_trend",
     # never driver-proven (added after the r4 window froze; only
     # builder-run GATE_r04.log evidence) — VERDICT r4 ask #2.
     "sales_monthly_yoy",   # ALSO changed r5: LAG-12 → calendar self-join
@@ -1732,8 +1806,6 @@ _GATE_HEAD = [
     "text_pack_sequences",
     "text_stratified_sample",
     "dedup_exact_recrawl",
-    "ann_topk_brute",
-    "dedup_simhash_fingerprints",
     # r3-era driver green two rounds old; operator touched r5
     "dedup_components",
 ]
@@ -1785,6 +1857,8 @@ _GATE_TAIL = [
     # r3-era entries rotated back out of the head to make room for the
     # 8 round-5 queries — each keeps its r3 driver green + the
     # committed full-gate log every round)
+    "ann_topk_brute",
+    "dedup_simhash_fingerprints",
     "emb_near_dup",
     "ann_topk_lsh",
     "emb_near_dup_lsh",

@@ -121,6 +121,8 @@ ANALYTICS_QUERIES = [
     "events_cohort_retention",
     "events_active_users",
     "events_drift_tvd",
+    "events_value_hour_corr",
+    "events_daily_trend",
     "events_concurrency_curve",
     "events_transition_matrix",
     "profile_documents",
@@ -331,6 +333,8 @@ BENCH_KEY_ALIASES = {
     "docs_sample_fixed": "fixk",
     "docs_split_assign": "tvtsplit",
     "corpus_mixture_plan": "mixplan",
+    "events_value_hour_corr": "vhcorr",
+    "events_daily_trend": "dtrend",
     "bucketed_sales_join": "bkt_join",
     "text_token_stats": "toks",
     "dedup_components": "components",
