@@ -357,6 +357,7 @@ from aws_kinesis_data_ingestion_restapi_spark.streaming.registry_stream import (
     streaming_enriched_nation_totals,
     streaming_late_data_policy,
     streaming_payment_match,
+    streaming_payment_match_outer,
     streaming_running_totals_final,
     streaming_session_windows,
 )
@@ -365,6 +366,7 @@ QUERY_FNS["streaming_dedup_replay"] = streaming_dedup_replay
 QUERY_FNS["streaming_running_totals_final"] = streaming_running_totals_final
 QUERY_FNS["streaming_enriched_nation_totals"] = streaming_enriched_nation_totals
 QUERY_FNS["streaming_payment_match"] = streaming_payment_match
+QUERY_FNS["streaming_payment_match_outer"] = streaming_payment_match_outer
 QUERY_FNS["streaming_late_data_policy"] = streaming_late_data_policy
 QUERY_FNS["streaming_session_windows"] = streaming_session_windows
 
@@ -1653,6 +1655,28 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders
         WHERE o_orderkey % 96 <= 72
     """,
+    # LEFT OUTER form: matches emit on arrival; unmatched orders emit
+    # with NULL payment columns only once the global watermark
+    # (max(o_ts) - 1 h) proves no match can arrive (o_ts + 72 h < wm);
+    # the unmatched tail inside the final watermark window is withheld
+    # — the engine's pinned outer-emission rule (registry_stream.py)
+    "streaming_payment_match_outer": """
+        WITH base AS (
+            SELECT CAST(o_orderkey AS VARCHAR) AS order_id,
+                   CAST(o_custkey AS VARCHAR) AS customer_id,
+                   o_totalprice AS amount,
+                   o_orderdate AS o_ts,
+                   o_orderkey % 96 AS delay_hours
+            FROM orders
+        ),
+        wm AS (SELECT MAX(o_ts) - INTERVAL 1 HOUR AS w FROM base)
+        SELECT order_id, customer_id, amount,
+               CASE WHEN delay_hours <= 72 THEN delay_hours END
+                   AS delay_hours
+        FROM base, wm
+        WHERE delay_hours <= 72
+           OR o_ts + INTERVAL 72 HOUR < w
+    """,
     "profile_documents": """
         SELECT * FROM (
             SELECT 'lang' AS "column",
@@ -1766,6 +1790,7 @@ _GATE_HEAD = [
     "corpus_mixture_plan",
     "events_value_hour_corr",
     "events_daily_trend",
+    "streaming_payment_match_outer",
     # never driver-proven (added after the r4 window froze; only
     # builder-run GATE_r04.log evidence) — VERDICT r4 ask #2.
     "sales_monthly_yoy",   # ALSO changed r5: LAG-12 → calendar self-join
@@ -1806,8 +1831,6 @@ _GATE_HEAD = [
     "text_pack_sequences",
     "text_stratified_sample",
     "dedup_exact_recrawl",
-    # r3-era driver green two rounds old; operator touched r5
-    "dedup_components",
 ]
 _GATE_TAIL = [
     # driver-verified round 4 (CORRECTNESS_r04 50/50 green) and
@@ -1857,6 +1880,7 @@ _GATE_TAIL = [
     # r3-era entries rotated back out of the head to make room for the
     # 8 round-5 queries — each keeps its r3 driver green + the
     # committed full-gate log every round)
+    "dedup_components",
     "ann_topk_brute",
     "dedup_simhash_fingerprints",
     "emb_near_dup",

@@ -195,6 +195,7 @@ ANALYTICS_QUERIES = [
     "streaming_running_totals_final",
     "streaming_enriched_nation_totals",
     "streaming_payment_match",
+    "streaming_payment_match_outer",
     "streaming_late_data_policy",
     "streaming_session_windows",
 ]
@@ -290,14 +291,14 @@ BENCH_KEY_ALIASES = {
     "ann_topk_ivf": "ann_ivf",
     "cdc_scd2_history": "scd2",
     "streaming_session_windows": "stsess",
-    "customer_retention": "retention",
+    "customer_retention": "reten",
     "payment_type_share": "pay_share",
     "events_cohort_retention": "cohort",
     "text_quality_sample": "qual_sample",
     "sales_yoy_full_outer": "yoy_full",
     "graph_pagerank_suppliers": "pagerank",
-    "sql_recursive_rollup": "recursive",
-    "events_concurrency_curve": "concurrency",
+    "sql_recursive_rollup": "recur",
+    "events_concurrency_curve": "concur",
     "events_transition_matrix": "transit",
     "emb_pq_codes": "pq_codes",
     "ann_topk_pq": "ann_pq",
@@ -335,10 +336,11 @@ BENCH_KEY_ALIASES = {
     "corpus_mixture_plan": "mixplan",
     "events_value_hour_corr": "vhcorr",
     "events_daily_trend": "dtrend",
+    "streaming_payment_match_outer": "stouter",
     "bucketed_sales_join": "bkt_join",
     "text_token_stats": "toks",
-    "dedup_components": "components",
-    "text_repetition": "repetition",
+    "dedup_components": "comps",
+    "text_repetition": "repeat",
     "events_variant_props": "variant",
     "events_gapfill": "gapfill",
     "text_length_quantiles": "lenq",
