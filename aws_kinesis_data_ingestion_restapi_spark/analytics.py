@@ -2517,3 +2517,69 @@ def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def events_attribution(
+    spark: SparkSession, sf_dir: str, window_hours: int = 24
+) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to
+    the user's most recent view/click/signup within ``window_hours``
+    BEFORE it (strictly — same-instant events don't self-attribute),
+    else 'none'. The analytics shape behind every campaign dashboard.
+
+    Plan: ONE window over (user, exact epoch-ns order) carrying a
+    struct of the last touch — never a purchases×touches range join
+    (which explodes on active users). The struct keeps the touch's
+    time and type atomically consistent; the oracle uses two
+    IGNORE-NULLS LAST_VALUEs over the same predicate, which pick the
+    same row by construction. Time math is exact int64 nanoseconds
+    (functions.exact.as_epoch_nanos); shares are one double
+    expression. One shuffle on user_id, then the ≤5-row aggregate."""
+    from pyspark.sql.window import Window
+    from aws_kinesis_data_ingestion_restapi_spark.functions.exact import (
+        as_epoch_nanos,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    ns = as_epoch_nanos(events, "ts")
+    is_touch = F.col("event_type").isin("view", "click", "signup")
+    base = events.select(
+        "user_id", "event_type", ns.alias("ns"),
+        F.when(is_touch, F.struct(ns.alias("t_ns"),
+                                  F.col("event_type").alias("t_type"))
+               ).alias("touch"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ns")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    horizon = window_hours * 3_600_000_000_000
+    conv = (
+        base.withColumn("last_touch", F.last("touch", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(
+                F.col("last_touch").isNotNull()
+                & (F.col("ns") - F.col("last_touch.t_ns") <= horizon),
+                F.col("last_touch.t_type"),
+            )
+            .otherwise("none")
+            .alias("touch_type")
+        )
+    )
+    total = conv.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        conv.groupBy("touch_type")
+        .agg(F.count(F.lit(1)).alias("n_conversions"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "touch_type",
+            "n_conversions",
+            (
+                F.col("n_conversions").cast("double") * F.lit(100.0)
+                / F.col("n_total").cast("double")
+            ).alias("pct"),
+        )
+        .orderBy("touch_type")
+    )

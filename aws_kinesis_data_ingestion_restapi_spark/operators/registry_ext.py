@@ -127,6 +127,12 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.collocation_lift(_docs(spark, sf_dir))
 
 
+def text_build_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X84: inverted-index build — term -> (df, sorted posting list);
+    see text.build_postings."""
+    return text.build_postings(_docs(spark, sf_dir))
+
+
 def docs_sample_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X79: deterministic fixed-size corpus sample (hash-rank top-k —
     see sampling.sample_fixed_k)."""
@@ -693,6 +699,7 @@ EXT_QUERY_FNS = {
     "text_quality_sample": text_quality_sample,
     "text_vocab_growth": text_vocab_growth,
     "text_collocations": text_collocations,
+    "text_build_postings": text_build_postings,
     "docs_sample_fixed": docs_sample_fixed,
     "docs_split_assign": docs_split_assign,
     "corpus_mixture_plan": corpus_mixture_plan,
@@ -1236,6 +1243,20 @@ EXT_ORACLE_SQL = {
                  / CAST(weight * 100000 // wsum AS DOUBLE) AS fill_ratio
         FROM per_source, wtot
         ORDER BY source
+    """,
+    # inverted index: presence-based (term, doc) pairs, sorted lists
+    "text_build_postings": f"""
+        SELECT tok AS term,
+               COUNT(*) AS df,
+               list_sort(list(doc_id)) AS postings
+        FROM (
+            SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+            )
+        )
+        GROUP BY 1
+        HAVING COUNT(*) >= 5
+        ORDER BY 1
     """,
     # bigram collocation lift: positional adjacent pairs (occurrences,
     # not distinct), exact integer counts, lift written in the SAME

@@ -439,3 +439,31 @@ def collocation_lift(docs: DataFrame, min_count: int = 5, k: int = 50) -> DataFr
         .orderBy(F.desc("lift"), "w1", "w2")
         .limit(k)
     )
+
+
+def build_postings(docs: DataFrame, min_df: int = 5) -> DataFrame:
+    """Inverted-index build: term → (document frequency, SORTED
+    posting list of doc_ids) — the materialization step under every
+    search/retrieval system (BM25 here consumes the same (doc, term)
+    stream transiently; this persists it). Presence-based: one posting
+    per (term, doc) regardless of term frequency.
+
+    Scale shape: distinct-(doc, term) explode → ONE hash shuffle on
+    the term; collect_list runs on the already-grouped postings (the
+    array IS the operator, same argument as the event product arrays)
+    and sort_array makes the list deterministic — no global sort, no
+    driver-side index. ``min_df`` prunes hapax terms AFTER the count
+    (they dominate vocabulary; real indexes drop or tier them)."""
+    pairs = (
+        docs.select("doc_id", F.explode(tokens_col()).alias("term"))
+        .distinct()
+    )
+    return (
+        pairs.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+        .filter(F.col("df") >= min_df)
+        .orderBy("term")
+    )

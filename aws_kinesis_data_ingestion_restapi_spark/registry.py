@@ -294,6 +294,8 @@ QUERY_FNS: dict[str, QueryFn] = {
     # round-5: exact sufficient-statistics analytics (corr / OLS)
     "events_value_hour_corr": analytics.events_value_hour_corr,
     "events_daily_trend": analytics.events_daily_trend,
+    # round-5: last-touch attribution (one window, no range join)
+    "events_attribution": analytics.events_attribution,
     # FULL OUTER year-over-year reconciliation
     "sales_yoy_full_outer": analytics.sales_yoy_full_outer,
     # cohort retention matrix (first-seen week × activity week)
@@ -433,6 +435,43 @@ ORACLE_SQL: dict[str, str] = {
                (SELECT CAST(COUNT(*) AS INTEGER) FROM lineitem l
                  WHERE l.l_orderkey = o.o_orderkey) AS n_products
         FROM orders o
+    """,
+    # last-touch attribution: two IGNORE-NULLS LAST_VALUEs over the
+    # same touch predicate pick the same row the Spark struct carries;
+    # exact epoch-ns arithmetic; strict 1-PRECEDING frame
+    "events_attribution": """
+        WITH e AS (
+            SELECT user_id, event_type, epoch_ns(ts) AS ns FROM events
+        ),
+        lt AS (
+            SELECT user_id, event_type, ns,
+                   LAST_VALUE(CASE WHEN event_type IN
+                                   ('view','click','signup')
+                              THEN ns END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ns
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS t_ns,
+                   LAST_VALUE(CASE WHEN event_type IN
+                                   ('view','click','signup')
+                              THEN event_type END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ns
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS t_type
+            FROM e
+        ),
+        conv AS (
+            SELECT CASE WHEN t_ns IS NOT NULL
+                         AND ns - t_ns <= 86400000000000
+                        THEN t_type ELSE 'none' END AS touch_type
+            FROM lt WHERE event_type = 'purchase'
+        ),
+        tot AS (SELECT COUNT(*) AS n_total FROM conv)
+        SELECT touch_type, COUNT(*) AS n_conversions,
+               CAST(COUNT(*) AS DOUBLE) * 100.0
+                 / CAST(n_total AS DOUBLE) AS pct
+        FROM conv, tot
+        GROUP BY 1, n_total
+        ORDER BY 1
     """,
     # exact sufficient statistics → one double formula, identical text
     # both engines (Spark's corr() would float-drift cross-engine)

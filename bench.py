@@ -123,6 +123,7 @@ ANALYTICS_QUERIES = [
     "events_drift_tvd",
     "events_value_hour_corr",
     "events_daily_trend",
+    "events_attribution",
     "events_concurrency_curve",
     "events_transition_matrix",
     "profile_documents",
@@ -155,6 +156,7 @@ ANALYTICS_QUERIES = [
     "text_quality_sample",
     "text_vocab_growth",
     "text_collocations",
+    "text_build_postings",
     "docs_sample_fixed",
     "docs_split_assign",
     "corpus_mixture_plan",
@@ -337,6 +339,8 @@ BENCH_KEY_ALIASES = {
     "events_value_hour_corr": "vhcorr",
     "events_daily_trend": "dtrend",
     "streaming_payment_match_outer": "stouter",
+    "events_attribution": "attrib",
+    "text_build_postings": "post",
     "bucketed_sales_join": "bkt_join",
     "text_token_stats": "toks",
     "dedup_components": "comps",
