@@ -200,3 +200,61 @@ def pagerank(
             ).alias("rank"),
         )
     return ranks.select(F.col("src").alias("node"), "rank")
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Exact triangle count by DEGREE ORIENTATION — the O(m^1.5)
+    distributed algorithm (Suri & Vassilvitskii, WWW'11 "MapReduce
+    triangle counting"; the arboricity bound is Chiba-Nishizeki):
+    orient every undirected edge from its lower-(degree, id) endpoint
+    to the higher one, count wedges only at each edge's SOURCE, and
+    close them against the oriented edge set. Each triangle
+    x ≺ y ≺ z is counted exactly once (as the wedge x→y, x→z closed
+    by y→z), and no node generates more than O(√m) wedges — the
+    skew-killer that naive wedge counting at high-degree hubs lacks.
+
+    ``edges``: two-column undirected edge list (any names, taken
+    positionally; self-loops and duplicates removed here). Returns a
+    1-row frame (n_nodes, n_edges, n_triangles) — exact integers.
+
+    Scale shape: degree join, one wedge self-join on the oriented
+    source (bounded per node by the orientation), one closing
+    equi-join on (x, y) — all hash shuffles on node keys; no
+    adjacency materialization, no driver-side graph."""
+    a, b = edges.columns[:2]
+    e0 = (
+        edges.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e0.select(F.col("u").alias("n"))
+        .union(e0.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    withdeg = (
+        e0.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    ku = F.struct(F.col("du").alias("d"), F.col("u").alias("n"))
+    kv = F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
+    directed = withdeg.select(
+        F.when(ku < kv, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(ku < kv, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(ku < kv, kv).otherwise(ku).alias("dstk"),
+    )
+    w1 = directed.select("src", F.col("dst").alias("x"), F.col("dstk").alias("xk"))
+    w2 = directed.select("src", F.col("dst").alias("y"), F.col("dstk").alias("yk"))
+    wedges = w1.join(w2, "src").filter(F.col("xk") < F.col("yk")).select("x", "y")
+    closing = directed.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    tri = wedges.join(closing, ["x", "y"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    ne = e0.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        nn.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(tri))
+        .select("n_nodes", "n_edges", "n_triangles")
+    )

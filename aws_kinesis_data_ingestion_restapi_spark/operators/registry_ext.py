@@ -527,6 +527,43 @@ def _orders_snapshots(spark: SparkSession, sf_dir: str):
     return old, new.unionByName(inserts)
 
 
+def graph_triangles_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X86: exact triangle count over the supplier 10-NN CO-SUPPLY
+    graph by degree orientation — graph.triangle_count. Each supplier
+    keeps edges to its 10 strongest partners (most distinct shared
+    parts, tie-break on the lower partner id); triangle density over
+    that similarity graph is the standard cohesion signal.
+
+    The k-NN restriction is the SCALE design, not a shortcut: the raw
+    same-part relation saturates into a near-complete graph as the
+    corpus grows (at sf0.1 it is literally K_1000 — C(1000,3) ≈ 1.7e8
+    triangles, all noise), while the k-NN graph stays ≤ n·k edges at
+    any SF, which is also what bounds the wedge join. Pair weights
+    come from one per-part self-join (bounded per part) + a count
+    shuffle; the top-k is a per-supplier window over the pair
+    aggregate; the triangle pass then runs on ≤ n·k edges."""
+    from pyspark.sql.window import Window
+
+    ensure_runtime_confs(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    ps = li.distinct()
+    a = ps.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("sa"))
+    b = ps.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("sb"))
+    weights = (
+        a.join(b, "p")
+        .filter(F.col("sa") != F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    wk = Window.partitionBy("sa").orderBy(F.desc("w"), F.asc("sb"))
+    edges = (
+        weights.withColumn("_r", F.row_number().over(wk))
+        .filter(F.col("_r") <= 10)
+        .select("sa", "sb")
+    )
+    return graph.triangle_count(edges)
+
+
 def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the bipartite customer–supplier purchase graph
     (edge ⇔ the customer ordered from the supplier), 3 exact
@@ -700,6 +737,7 @@ EXT_QUERY_FNS = {
     "text_vocab_growth": text_vocab_growth,
     "text_collocations": text_collocations,
     "text_build_postings": text_build_postings,
+    "graph_triangles_cosupply": graph_triangles_cosupply,
     "docs_sample_fixed": docs_sample_fixed,
     "docs_split_assign": docs_split_assign,
     "corpus_mixture_plan": corpus_mixture_plan,
@@ -1243,6 +1281,62 @@ EXT_ORACLE_SQL = {
                  / CAST(weight * 100000 // wsum AS DOUBLE) AS fill_ratio
         FROM per_source, wtot
         ORDER BY source
+    """,
+    # degree-oriented exact triangle count over the 10-NN co-supply
+    # graph; (d, n) row comparisons replicate the Spark struct
+    # ordering field-for-field
+    "graph_triangles_cosupply": """
+        WITH ps AS (
+            SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+        ),
+        weights AS (
+            SELECT a.s AS sa, b.s AS sb, COUNT(*) AS w
+            FROM ps a JOIN ps b ON a.p = b.p AND a.s != b.s
+            GROUP BY 1, 2
+        ),
+        knn AS (
+            SELECT sa, sb FROM (
+                SELECT sa, sb,
+                       ROW_NUMBER() OVER (PARTITION BY sa
+                                          ORDER BY w DESC, sb) AS r
+                FROM weights
+            ) WHERE r <= 10
+        ),
+        e0 AS (
+            SELECT DISTINCT LEAST(sa, sb) AS u, GREATEST(sa, sb) AS v
+            FROM knn WHERE sa != sb
+        ),
+        deg AS (
+            SELECT n, COUNT(*) AS d FROM (
+                SELECT u AS n FROM e0 UNION ALL SELECT v AS n FROM e0
+            ) GROUP BY 1
+        ),
+        directed AS (
+            SELECT CASE WHEN (du.d, u) < (dv.d, v) THEN u ELSE v END
+                       AS src,
+                   CASE WHEN (du.d, u) < (dv.d, v) THEN v ELSE u END
+                       AS dst,
+                   CASE WHEN (du.d, u) < (dv.d, v) THEN dv.d ELSE du.d
+                       END AS dstd,
+                   CASE WHEN (du.d, u) < (dv.d, v) THEN v ELSE u END
+                       AS dstn
+            FROM e0
+            JOIN deg du ON u = du.n
+            JOIN deg dv ON v = dv.n
+        ),
+        wedges AS (
+            SELECT w1.dst AS x, w2.dst AS y
+            FROM directed w1 JOIN directed w2 ON w1.src = w2.src
+            WHERE (w1.dstd, w1.dstn) < (w2.dstd, w2.dstn)
+        ),
+        tri AS (
+            SELECT COUNT(*) AS n_triangles
+            FROM wedges JOIN directed ON x = src AND y = dst
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM e0) AS n_edges,
+               CAST(n_triangles AS BIGINT) AS n_triangles
+        FROM tri
     """,
     # inverted index: presence-based (term, doc) pairs, sorted lists
     "text_build_postings": f"""

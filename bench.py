@@ -170,6 +170,7 @@ ANALYTICS_QUERIES = [
     "dedup_ensemble",
     "dedup_components",
     "graph_pagerank_suppliers",
+    "graph_triangles_cosupply",
     "dedup_canonical_docs",
     "ann_topk_brute",
     "ann_topk_lsh",
@@ -341,6 +342,7 @@ BENCH_KEY_ALIASES = {
     "streaming_payment_match_outer": "stouter",
     "events_attribution": "attrib",
     "text_build_postings": "post",
+    "graph_triangles_cosupply": "tri",
     "bucketed_sales_join": "bkt_join",
     "text_token_stats": "toks",
     "dedup_components": "comps",

@@ -1149,3 +1149,21 @@ def test_curation_trio_deterministic_and_disjoint(spark):
         assert r["alloc_tokens"] <= r["avail_tokens"]
         assert r["alloc_tokens"] <= r["target_tokens"]
         assert r["fill_ratio"] <= 1.0
+
+
+def test_triangle_count_known_graphs(spark):
+    """K4 has 4 triangles; a square with one diagonal has 2; duplicate
+    and reversed edges must not double-count."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import graph
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    # duplicates + reversed edges on purpose
+    edges = spark.createDataFrame(k4 + [(b, a) for a, b in k4], ["x", "y"])
+    r = graph.triangle_count(edges).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 6, 4)
+
+    square_diag = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)], ["x", "y"]
+    )
+    r = graph.triangle_count(square_diag).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 5, 2)
