@@ -174,3 +174,160 @@ def test_countmin_never_underestimates(spark, seed):
     assert set(est) == set(exact)
     for item, n in exact.items():
         assert est[item] >= n, (item, est[item], n)
+
+
+@given(seed=st.integers(0, 10**6))
+@settings(**_SETTINGS)
+def test_triangle_count_matches_bruteforce(spark, seed):
+    """For ANY random graph, degree-oriented counting equals the
+    brute-force triple enumeration (and is invariant to edge
+    duplication/reversal, which the canonicalization absorbs)."""
+    rng = random.Random(seed)
+    n = rng.randint(3, 9)
+    pairs = [(a, b) for a in range(n) for b in range(n) if a < b]
+    chosen = [p for p in pairs if rng.random() < 0.5]
+    if not chosen:
+        chosen = [pairs[0]]
+    noisy = chosen + [(b, a) for a, b in chosen if rng.random() < 0.5]
+    edges = spark.createDataFrame(noisy, ["x", "y"])
+    got = graph.triangle_count(edges).collect()[0]
+
+    es = set(chosen)
+    truth = sum(
+        1
+        for i in range(n)
+        for j in range(i + 1, n)
+        for k in range(j + 1, n)
+        if (i, j) in es and (i, k) in es and (j, k) in es
+    )
+    nodes = {v for e in chosen for v in e}
+    assert got["n_triangles"] == truth
+    assert got["n_edges"] == len(es)
+    assert got["n_nodes"] == len(nodes)
+
+
+@given(seed=st.integers(0, 10**6))
+@settings(**_SETTINGS)
+def test_collocation_lift_matches_bruteforce(spark, seed):
+    """For ANY corpus, pair counts are positional occurrences and the
+    lift equals the exact count formula computed in pure Python (same
+    double expression, same associativity)."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import text
+
+    rng = random.Random(seed)
+    vocab = ["a", "b", "c", "d"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+        for i in range(rng.randint(1, 8))
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["w1"], r["w2"]): (r["n_pair"], r["lift"])
+        for r in text.collocation_lift(docs, min_count=1, k=1000).collect()
+    }
+
+    uni: dict[str, int] = {}
+    pair: dict[tuple, int] = {}
+    n_tok = n_big = 0
+    for _, t in rows:
+        toks = t.lower().strip().split()
+        n_tok += len(toks)
+        n_big += max(len(toks) - 1, 0)
+        for w in toks:
+            uni[w] = uni.get(w, 0) + 1
+        for wa, wb in zip(toks, toks[1:]):
+            pair[(wa, wb)] = pair.get((wa, wb), 0) + 1
+    truth = {
+        p: (c, c * float(n_tok) * float(n_tok)
+            / (float(n_big) * float(uni[p[0]]) * float(uni[p[1]])))
+        for p, c in pair.items()
+    }
+    assert got == truth
+
+
+@given(seed=st.integers(0, 10**6))
+@settings(**_SETTINGS)
+def test_kmeans_step_assignment_matches_bruteforce(spark, seed):
+    """For ANY vector set, every cluster's member count equals the
+    brute-force nearest-centroid assignment under the quantized
+    distance with the (d2, cell) tie-break."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import similarity
+
+    rng = random.Random(seed)
+    dim = rng.choice([2, 4])
+    n = rng.randint(4, 12)
+    stride = rng.choice([2, 3])
+    vecs = {
+        i: [round(rng.uniform(-1, 1), 3) for _ in range(dim)]
+        for i in range(n)
+    }
+    embs = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], ["vec_id", "embedding"]
+    )
+    got = {
+        r["cell_id"]: r["n_members"]
+        for r in similarity.kmeans_step(embs, centroid_stride=stride).collect()
+    }
+
+    q = {i: [round(x * 10000) for x in v] for i, v in vecs.items()}
+    cells = [i for i in sorted(vecs) if i % stride == 0]
+    assign: dict[int, int] = {}
+    for i, qv in q.items():
+        best = min(
+            cells,
+            key=lambda c: (sum((a - b) ** 2 for a, b in zip(qv, q[c])), c),
+        )
+        assign[i] = best
+    truth: dict[int, int] = {}
+    for c in assign.values():
+        truth[c] = truth.get(c, 0) + 1
+    assert got == truth
+
+
+@given(seed=st.integers(0, 10**6))
+@settings(**_SETTINGS)
+def test_attribution_matches_bruteforce(spark, seed):
+    """For ANY event sequence, each purchase credits the chronologically
+    last prior touch within the window, else 'none' — checked against
+    a pure-Python replay."""
+    from aws_kinesis_data_ingestion_restapi_spark import analytics
+    import datetime
+
+    rng = random.Random(seed)
+    types = ["view", "click", "signup", "purchase", "error"]
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(rng.randint(1, 4)):
+        t = t0
+        for _ in range(rng.randint(1, 12)):
+            t = t + datetime.timedelta(hours=rng.randint(1, 30))
+            rows.append((eid, f"u{u}", rng.choice(types), t))
+            eid += 1
+    events = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "ts"]
+    )
+
+    import unittest.mock as mock
+    with mock.patch.object(analytics, "_t", lambda s, d, n: events):
+        got = {
+            r["touch_type"]: r["n_conversions"]
+            for r in analytics.events_attribution(spark, "ignored").collect()
+        }
+
+    truth: dict[str, int] = {}
+    by_user: dict[str, list] = {}
+    for _, u, ty, t in sorted(rows, key=lambda r: (r[1], r[3])):
+        by_user.setdefault(u, []).append((t, ty))
+    for u, seq in by_user.items():
+        for i, (t, ty) in enumerate(seq):
+            if ty != "purchase":
+                continue
+            credit = "none"
+            for pt, pty in reversed(seq[:i]):
+                if pty in ("view", "click", "signup"):
+                    if (t - pt) <= datetime.timedelta(hours=24):
+                        credit = pty
+                    break
+            truth[credit] = truth.get(credit, 0) + 1
+    assert got == truth
