@@ -411,6 +411,31 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.topk_ivf(_embs(spark, sf_dir), n_queries=10, k=5)
 
 
+def emb_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X87: cross-lingual bitext mining (the CCMatrix/LASER recipe's
+    candidate step): embedding near-duplicate pairs whose documents
+    are in DIFFERENT languages — translation-pair candidates for
+    parallel-corpus construction. Candidates come from the multi-table
+    sign-LSH path (same recall closure as emb_near_dup_lsh_multi),
+    the exact scaled-int distance filter verifies, and the language
+    join + inequality keeps only cross-lingual pairs. The lang joins
+    hit the docs dim by id — AQE broadcasts at runtime; no hint
+    (documents scale)."""
+    pairs = similarity.near_dup_lsh_multi(_embs(spark, sf_dir), d2_max=1.2)
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    la = docs.select(F.col("doc_id").alias("vec_a"),
+                     F.col("lang").alias("lang_a"))
+    lb = docs.select(F.col("doc_id").alias("vec_b"),
+                     F.col("lang").alias("lang_b"))
+    return (
+        pairs.join(la, "vec_a")
+        .join(lb, "vec_b")
+        .filter(F.col("lang_a") != F.col("lang_b"))
+        .select("vec_a", "vec_b", "lang_a", "lang_b", "dist2")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 def emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X78: one exact Lloyd iteration (assignment + per-cluster size
     and centroid drift) — see similarity.kmeans_step."""
@@ -766,6 +791,7 @@ EXT_QUERY_FNS = {
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
     "emb_kmeans_step": emb_kmeans_step,
+    "emb_bitext_mine": emb_bitext_mine,
     "emb_pq_codes": emb_pq_codes,
     "ann_topk_pq": ann_topk_pq,
     "emb_near_dup": emb_near_dup,
@@ -2116,4 +2142,15 @@ EXT_ORACLE_SQL["dedup_ensemble"] = f"""
                 + (e.dist2 IS NOT NULL)::INT AS BIGINT) AS n_signals
     FROM tsig t
     FULL OUTER JOIN esig e ON t.doc_a = e.doc_a AND t.doc_b = e.doc_b
+"""
+
+# bitext mining: the multi-table LSH near-dup oracle joined to the
+# document languages, cross-lingual pairs only
+EXT_ORACLE_SQL["emb_bitext_mine"] = f"""
+    SELECT vec_a, vec_b, da.lang AS lang_a, db.lang AS lang_b, dist2
+    FROM ({EXT_ORACLE_SQL["emb_near_dup_lsh_multi"]}) p
+    JOIN documents da ON p.vec_a = da.doc_id
+    JOIN documents db ON p.vec_b = db.doc_id
+    WHERE da.lang != db.lang
+    ORDER BY vec_a, vec_b
 """

@@ -180,6 +180,7 @@ ANALYTICS_QUERIES = [
     "emb_pq_codes",
     "ann_topk_pq",
     "emb_near_dup_lsh_multi",
+    "emb_bitext_mine",
     "mm_asset_stats",
     "mm_fingerprint",
     "mm_extract_features",
@@ -343,6 +344,7 @@ BENCH_KEY_ALIASES = {
     "events_attribution": "attrib",
     "text_build_postings": "post",
     "graph_triangles_cosupply": "tri",
+    "emb_bitext_mine": "bitext",
     "bucketed_sales_join": "bkt_join",
     "text_token_stats": "toks",
     "dedup_components": "comps",
