@@ -2532,9 +2532,15 @@ def events_attribution(
     (which explodes on active users). The struct keeps the touch's
     time and type atomically consistent; the oracle uses two
     IGNORE-NULLS LAST_VALUEs over the same predicate, which pick the
-    same row by construction. Time math is exact int64 nanoseconds
-    (functions.exact.as_epoch_nanos); shares are one double
-    expression. One shuffle on user_id, then the ≤5-row aggregate."""
+    same row by construction. The window orders by (ns, event_id) —
+    without the stable secondary key, two events of one user at the
+    same instant would leave frame order engine-dependent and the
+    'before' contract data-luck-dependent (same total order as
+    events_sessionization; round-5 ADVICE). "Before" therefore means
+    strictly earlier in (ns, event_id) order. Time math is exact
+    int64 nanoseconds (functions.exact.as_epoch_nanos); shares are
+    one double expression. One shuffle on user_id, then the ≤5-row
+    aggregate."""
     from pyspark.sql.window import Window
     from aws_kinesis_data_ingestion_restapi_spark.functions.exact import (
         as_epoch_nanos,
@@ -2544,14 +2550,14 @@ def events_attribution(
     ns = as_epoch_nanos(events, "ts")
     is_touch = F.col("event_type").isin("view", "click", "signup")
     base = events.select(
-        "user_id", "event_type", ns.alias("ns"),
+        "user_id", "event_type", "event_id", ns.alias("ns"),
         F.when(is_touch, F.struct(ns.alias("t_ns"),
                                   F.col("event_type").alias("t_type"))
                ).alias("touch"),
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ns")
+        .orderBy("ns", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     horizon = window_hours * 3_600_000_000_000

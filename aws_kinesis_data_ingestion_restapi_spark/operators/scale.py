@@ -141,6 +141,16 @@ def salted_join(
             f"{how!r} would duplicate unmatched dim rows — use one of "
             f"{sorted(allowed)}"
         )
+    # withColumn would silently OVERWRITE a caller's '_salt' and the
+    # tail drop() would then destroy their data (round-5 ADVICE)
+    clash = [s for s, df_ in (("fact", fact), ("dim", dim))
+             if "_salt" in df_.columns]
+    if clash:
+        raise ValueError(
+            f"salted_join uses an internal '_salt' column but the "
+            f"{' and '.join(clash)} input already has one — rename it "
+            "before salting"
+        )
     f = fact.withColumn("_salt", F.spark_partition_id() % n_salts)
     d = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
@@ -213,16 +223,42 @@ def write_bucketed(
     survives in the warehouse while its metadata does not, and
     ``saveAsTable`` then fails with LOCATION_ALREADY_EXISTS — the
     stale location is dropped first (metadata via DROP TABLE, the
-    orphaned directory via the Hadoop FS API).
+    orphaned directory via the Hadoop FS API). The path is resolved
+    the way the session catalog lays out managed tables —
+    ``{wh}/{tbl}`` for the default database, ``{wh}/{db}.db/{tbl}``
+    for a qualified name — and only deleted when it actually LOOKS
+    like a prior saveAsTable output (contains _SUCCESS or part-*
+    files), so a name that collides with an unrelated directory
+    raises instead of silently destroying it (round-5 ADVICE).
     """
     spark = df.sparkSession
     if mode == "overwrite" and not spark.catalog.tableExists(table):
+        parts = table.lower().split(".")
+        if len(parts) == 1:
+            db, tbl = spark.catalog.currentDatabase().lower(), parts[0]
+        elif len(parts) == 2:
+            db, tbl = parts
+        else:
+            raise ValueError(f"unsupported table identifier: {table!r}")
         jvm = spark.sparkContext._jvm
         conf = spark.sparkContext._jsc.hadoopConfiguration()
         wh = spark.conf.get("spark.sql.warehouse.dir")
-        p = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table.lower()}")
+        sub = tbl if db == "default" else f"{db}.db/{tbl}"
+        p = jvm.org.apache.hadoop.fs.Path(f"{wh}/{sub}")
         fs = p.getFileSystem(conf)
         if fs.exists(p):
+            children = [st.getPath().getName() for st in fs.listStatus(p)]
+            is_table_dir = any(
+                c == "_SUCCESS" or c.startswith("part-") for c in children
+            )
+            if not is_table_dir:
+                raise RuntimeError(
+                    f"stale-location cleanup for {table!r} found {p} but it "
+                    "does not look like a previous saveAsTable output "
+                    f"(children: {sorted(children)[:5]}); refusing to delete "
+                    "an unrelated directory — remove it manually or choose "
+                    "another table name"
+                )
             fs.delete(p, True)
     writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:

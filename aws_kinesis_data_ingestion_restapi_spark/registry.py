@@ -120,7 +120,14 @@ def pipeline_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the derived tables — a month slice reads year=/month= directories
     only; everything else is never opened. The oracle checks the same
     aggregate straight from ``orders`` (amount = o_totalprice,
-    payment_type = o_orderpriority, one row per order)."""
+    payment_type = o_orderpriority, one row per order).
+
+    The scratch directory is FIXED per session (keyed on the Spark
+    applicationId) rather than a fresh mkdtemp per invocation — the
+    query runs in both the gate and the bench, and per-call dirs
+    accumulated unbounded temp litter across repeated runs (round-5
+    ADVICE); overwrite-mode writes make reuse idempotent."""
+    import os
     import tempfile
 
     from aws_kinesis_data_ingestion_restapi_spark.catalog import (
@@ -128,7 +135,11 @@ def pipeline_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from aws_kinesis_data_ingestion_restapi_spark.sinks import write_partitioned
 
-    base = tempfile.mkdtemp(prefix="pp_scan_")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"pp_scan_{spark.sparkContext.applicationId}",
+    )
+    os.makedirs(base, exist_ok=True)
     events = analytics.build_order_events(spark, sf_dir)
     pd_df = to_purchase_details(events, with_partitions=True)
     write_partitioned(
@@ -438,23 +449,27 @@ ORACLE_SQL: dict[str, str] = {
     """,
     # last-touch attribution: two IGNORE-NULLS LAST_VALUEs over the
     # same touch predicate pick the same row the Spark struct carries;
-    # exact epoch-ns arithmetic; strict 1-PRECEDING frame
+    # exact epoch-ns arithmetic; strict 1-PRECEDING frame. ORDER BY
+    # (ns, event_id) — the stable secondary key pins tie order
+    # cross-engine (round-5 ADVICE; same total order as the Spark
+    # window in analytics.events_attribution)
     "events_attribution": """
         WITH e AS (
-            SELECT user_id, event_type, epoch_ns(ts) AS ns FROM events
+            SELECT user_id, event_type, event_id, epoch_ns(ts) AS ns
+            FROM events
         ),
         lt AS (
             SELECT user_id, event_type, ns,
                    LAST_VALUE(CASE WHEN event_type IN
                                    ('view','click','signup')
                               THEN ns END IGNORE NULLS)
-                     OVER (PARTITION BY user_id ORDER BY ns
+                     OVER (PARTITION BY user_id ORDER BY ns, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND 1 PRECEDING) AS t_ns,
                    LAST_VALUE(CASE WHEN event_type IN
                                    ('view','click','signup')
                               THEN event_type END IGNORE NULLS)
-                     OVER (PARTITION BY user_id ORDER BY ns
+                     OVER (PARTITION BY user_id ORDER BY ns, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND 1 PRECEDING) AS t_type
             FROM e

@@ -217,3 +217,59 @@ def test_incremental_agg_merge_equals_full_agg(spark):
         )
     with pytest.raises(ValueError):
         incremental_agg_merge(None, df, ["k"], {"a": ("avg", "v")})
+
+
+def test_salted_join_rejects_salt_column_collision(spark, skewed):
+    """A caller-owned '_salt' column must raise, not be silently
+    overwritten and dropped (round-5 ADVICE)."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.scale import (
+        salted_join,
+    )
+
+    dim = spark.createDataFrame([("hot", 1)], ["k", "attr"])
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(skewed.withColumn("_salt", F.lit(1)), dim, ["k"])
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(skewed, dim.withColumn("_salt", F.lit(1)), ["k"])
+
+
+def _wh_local(spark) -> str:
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    return wh[len("file:"):] if wh.startswith("file:") else wh
+
+
+def test_write_bucketed_recovers_stale_qualified_location(spark):
+    """Cross-session stale-location cleanup must resolve a
+    database-qualified name to {wh}/{db}.db/{tbl} — the old
+    {wh}/{db.tbl} guess missed the real directory and saveAsTable
+    died with LOCATION_ALREADY_EXISTS (round-5 ADVICE)."""
+    import os
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS scaledb")
+    loc = os.path.join(_wh_local(spark), "scaledb.db", "bkt_stale")
+    os.makedirs(loc, exist_ok=True)
+    # what a prior session's saveAsTable leaves behind once the
+    # in-memory catalog forgets the table
+    open(os.path.join(loc, "_SUCCESS"), "w").close()
+    open(os.path.join(loc, "part-00000-dead.c000.snappy.parquet"), "w").close()
+    df = spark.range(0, 50).select(F.col("id").alias("k"))
+    write_bucketed(df, "scaledb.bkt_stale", ["k"], n_buckets=4)
+    assert spark.table("scaledb.bkt_stale").count() == 50
+    spark.sql("DROP TABLE scaledb.bkt_stale")
+
+
+def test_write_bucketed_refuses_unrelated_directory(spark):
+    """The stale-location delete must only fire on directories that
+    look like prior saveAsTable output — an unrelated directory that
+    happens to collide with the table name survives (round-5 ADVICE)."""
+    import os
+
+    loc = os.path.join(_wh_local(spark), "precious_dir")
+    os.makedirs(loc, exist_ok=True)
+    keep = os.path.join(loc, "notes.txt")
+    with open(keep, "w") as f:
+        f.write("keep me")
+    df = spark.range(0, 10).select(F.col("id").alias("k"))
+    with pytest.raises(RuntimeError, match="refusing"):
+        write_bucketed(df, "precious_dir", ["k"], n_buckets=2)
+    assert os.path.exists(keep)
