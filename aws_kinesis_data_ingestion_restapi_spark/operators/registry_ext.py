@@ -494,6 +494,58 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.topk_pq(_embs(spark, sf_dir), n_queries=10, k=5)
 
 
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X88: the ANN QUALITY metric the X6/X66 family was missing
+    (VERDICT r5 stretch ask): recall@k of every approximate top-k
+    method — sign-LSH bucket, IVF probe, PQ/ADC — measured against
+    the exact brute-force ground truth, as an oracle-paired query.
+    recall@k = |approx ∩ exact| / (n_queries·k); an approximate index
+    without a measured recall number is a speedup claim with no
+    quality denominator.
+
+    Exactness: all four top-k sets are fully deterministic (scaled
+    int64 dot products, ties on neighbor id — similarity._topk), so
+    the intersection COUNTS are exact integers and recall is the one
+    double division written identically in the oracle (which replays
+    each method's own registered SQL as a CTE — the audit reuses the
+    same formulas the per-method gate rows already pin).
+
+    Scale shape: ground truth is computed ONCE (localCheckpoint) and
+    reused by the three ≤(n_queries·k)-row hash joins; at corpus
+    scale the truth set for a FIXED query panel stays tiny — recall
+    auditing is cheap even when the index is 100 TB, because only the
+    panel's neighbor lists move."""
+    embs = _embs(spark, sf_dir)
+    nq, k = 10, 5
+    exact = (
+        similarity.topk_brute(embs, n_queries=nq, k=k)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    methods = {
+        "ivf": similarity.topk_ivf,
+        "lsh": similarity.topk_lsh,
+        "pq": similarity.topk_pq,
+    }
+    out = None
+    for name, fn in sorted(methods.items()):
+        approx = fn(embs, n_queries=nq, k=k).select("query_id", "neighbor_id")
+        hits = (
+            approx.join(exact, ["query_id", "neighbor_id"])
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(F.lit(name).alias("method"), "n_hits")
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out.select(
+        "method",
+        "n_hits",
+        F.lit(nq * k).cast("long").alias("n_truth"),
+        (F.col("n_hits").cast("double") / F.lit(float(nq * k))).alias(
+            "recall_at_k"
+        ),
+    ).orderBy("method")
+
+
 def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs near-dup — the O(n²) ORACLE BASELINE for the
     LSH family, kept registered so the driver gate can verify the
@@ -833,6 +885,7 @@ EXT_QUERY_FNS = {
     "emb_bitext_mine": emb_bitext_mine,
     "emb_pq_codes": emb_pq_codes,
     "ann_topk_pq": ann_topk_pq,
+    "ann_recall_audit": ann_recall_audit,
     "emb_near_dup": emb_near_dup,
     "emb_near_dup_lsh": emb_near_dup_lsh,
     "emb_near_dup_lsh_multi": emb_near_dup_lsh_multi,
@@ -2181,6 +2234,32 @@ EXT_ORACLE_SQL["dedup_ensemble"] = f"""
                 + (e.dist2 IS NOT NULL)::INT AS BIGINT) AS n_signals
     FROM tsig t
     FULL OUTER JOIN esig e ON t.doc_a = e.doc_a AND t.doc_b = e.doc_b
+"""
+
+# recall@k audit: each approximate method's own registered oracle SQL
+# replayed as a CTE against the brute-force oracle — the audit reuses
+# exactly the formulas the per-method gate rows pin, so the
+# intersection counts are exact by construction
+EXT_ORACLE_SQL["ann_recall_audit"] = f"""
+    WITH brute AS ({EXT_ORACLE_SQL["ann_topk_brute"]}),
+    m_ivf AS ({EXT_ORACLE_SQL["ann_topk_ivf"]}),
+    m_lsh AS ({EXT_ORACLE_SQL["ann_topk_lsh"]}),
+    m_pq AS ({EXT_ORACLE_SQL["ann_topk_pq"]}),
+    hits AS (
+        SELECT 'ivf' AS method, COUNT(*) AS n_hits
+        FROM m_ivf JOIN brute USING (query_id, neighbor_id)
+        UNION ALL
+        SELECT 'lsh' AS method, COUNT(*) AS n_hits
+        FROM m_lsh JOIN brute USING (query_id, neighbor_id)
+        UNION ALL
+        SELECT 'pq' AS method, COUNT(*) AS n_hits
+        FROM m_pq JOIN brute USING (query_id, neighbor_id)
+    )
+    SELECT method, CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(50 AS BIGINT) AS n_truth,
+           CAST(n_hits AS DOUBLE) / 50.0 AS recall_at_k
+    FROM hits
+    ORDER BY method
 """
 
 # bitext mining: the multi-table LSH near-dup oracle joined to the

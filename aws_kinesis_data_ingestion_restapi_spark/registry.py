@@ -161,6 +161,80 @@ def pipeline_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The small-files MAINTENANCE path (scale.compact_table) driven
+    end-to-end under the oracle (VERDICT r5 ask #5): simulate
+    streaming append litter — three disjoint slices of ``orders``
+    appended as separate micro-batches, 8 tasks each, partitioned by
+    o_orderpriority, i.e. up to 3×8 files PER partition directory —
+    then compact to bounded-size files preserving the Hive layout,
+    and answer a per-priority aggregate THROUGH the compacted table.
+
+    The file-count contract is asserted HARD in here (raise if
+    compaction failed to reduce the file count) and surfaced to the
+    oracle as the ``files_reduced`` column — the data columns prove
+    compaction moved bytes without changing a single value (the
+    oracle aggregates ``orders`` directly). The exact counts are
+    pinned in tests/test_scale.py, not here, because post-compaction
+    file count depends on scan packing, not on query semantics.
+
+    Scale shape: at 100 TB this runs per fresh partition as an
+    incremental job; compaction is a scan + rewrite with
+    maxRecordsPerFile — no shuffle at all (the Hive layout is
+    preserved by partitionBy on write).
+
+    Scratch dir: fixed per session (applicationId-keyed), same
+    litter-avoidance contract as pipeline_partition_scan."""
+    import os
+    import tempfile
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators.scale import (
+        compact_table,
+    )
+    from aws_kinesis_data_ingestion_restapi_spark.sources.tables import (
+        load_table,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"compact_{spark.sparkContext.applicationId}",
+    )
+    path = f"{base}/orders_smallfiles"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    for i in range(3):  # disjoint slices ⇒ the union is exactly orders
+        mode = "overwrite" if i == 0 else "append"
+        (
+            orders.filter(F.col("o_orderkey") % 3 == i)
+            .repartition(8)
+            .write.mode(mode)
+            .partitionBy("o_orderpriority")
+            .parquet(path)
+        )
+    files_before = len(spark.read.parquet(path).inputFiles())
+    files_after = compact_table(
+        spark, path, partition_cols=["o_orderpriority"]
+    )
+    if files_after >= files_before:
+        raise RuntimeError(
+            f"compaction did not reduce the file count "
+            f"({files_before} -> {files_after})"
+        )
+    t = spark.read.parquet(path)
+    return (
+        t.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_amount"),
+        )
+        .withColumn("files_reduced", F.lit(True))
+        .orderBy("o_orderpriority")
+    )
+
+
 # ---------------------------------------------------------------------------
 # 2. ref_* — the five reference analytics queries over derived tables
 # ---------------------------------------------------------------------------
@@ -247,6 +321,7 @@ QUERY_FNS: dict[str, QueryFn] = {
     "pipeline_purchase_details": pipeline_purchase_details,
     "pipeline_envelope_decode": pipeline_envelope_decode,
     "pipeline_partition_scan": pipeline_partition_scan,
+    "pipeline_compaction": pipeline_compaction,
     "ref_total_sales_per_country": ref_total_sales_per_country,
     "ref_average_order_value": ref_average_order_value,
     "ref_total_income_per_payment_method": ref_total_income_per_payment_method,
@@ -301,6 +376,7 @@ QUERY_FNS: dict[str, QueryFn] = {
     "q20_promotion_suppliers": analytics.q20_promotion_suppliers,
     # round-5: scale operators as oracle-checked queries
     "salted_events_join": analytics.salted_events_join,
+    "salted_lineitem_agg": analytics.salted_lineitem_agg,
     "bucketed_sales_join": analytics.bucketed_sales_join,
     # round-5: exact sufficient-statistics analytics (corr / OLS)
     "events_value_hour_corr": analytics.events_value_hour_corr,
@@ -671,6 +747,35 @@ ORACLE_SQL: dict[str, str] = {
         FROM supplier
         WHERE s_suppkey IN (SELECT l_suppkey FROM qualifying)
         ORDER BY supplier_key
+    """,
+    # the compacted table must hold EXACTLY the orders rows (three
+    # disjoint o_orderkey%3 slices re-appended, then rewritten) —
+    # the oracle aggregates orders directly; files_reduced mirrors
+    # the hard in-query file-count assertion
+    "pipeline_compaction": f"""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               {_DSUM2.format(c='o_totalprice')} AS total_amount,
+               TRUE AS files_reduced
+        FROM orders
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    # salted two-phase agg vs the plain GROUP BY: the salt may only
+    # change the shuffle shape, never a value; sums stay decimal until
+    # the final double cast on both engines
+    "salted_lineitem_agg": """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_qty,
+               CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS max_price,
+               CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS min_price
+        FROM lineitem
+        GROUP BY 1, 2
+        ORDER BY 1, 2
     """,
     "salted_events_join": """
         WITH dim AS (
@@ -1827,16 +1932,81 @@ ORACLE_SQL.update(EXT_ORACLE_SQL)
 # park stable, already-driver-verified, untouched baselines at the
 # tail, where falling past position 50 loses nothing.
 _GATE_HEAD = [
-    # new in round 5 — first driver verification this round.
+    # new in round 6 — first driver verification this round
+    # (compaction + salted_agg through the oracle surface, VERDICT r5
+    # ask #5; the ANN recall metric, ask #7).
+    "pipeline_compaction",
+    "salted_lineitem_agg",
+    "ann_recall_audit",
+    # never driver-proven (added after the r5 window froze) —
+    # VERDICT r5 ask #1. events_attribution ALSO changed r6
+    # ((ns, event_id) tie-break, round-5 ADVICE).
+    "events_attribution",
+    "text_build_postings",
+    "graph_triangles_cosupply",
+    "emb_bitext_mine",
+    # changed in round 6 — re-prove under the driver: shared LSH+CC
+    # label cache (components/canonical), per-session scratch dir
+    # (partition_scan), salted_join/write_bucketed guards.
+    "dedup_components",
+    "dedup_canonical_docs",
     "pipeline_partition_scan",
+    "salted_events_join",
+    "bucketed_sales_join",
+    # r3-era greens named by VERDICT r5 ask #1 for rotation.
+    "customers_with_urgent_orders",
+    "customers_without_urgent_orders",
+    "customer_retention",
+    # rest of the r3-green block — oldest driver evidence in the
+    # registry; cycle all of it through while slots are free.
+    "q5_local_supplier_volume",
+    "salted_priority_sales",
+    "streaming_payment_match",
+    "events_sessionization",
+    "sketch_distinct_trigrams",
+    "profile_documents",
+    "incremental_sales_rollup",
+    "text_repetition",
+    "sales_pivot_by_priority",
+    "fuzzy_customer_names",
+    "streaming_late_data_policy",
+    "sql_above_average_orders",
+    "events_variant_props",
+    "events_value_histogram",
+    "events_type_mode",
+    "ann_topk_brute",
+    "dedup_simhash_fingerprints",
+    "emb_near_dup",
+    "ann_topk_lsh",
+    "emb_near_dup_lsh",
+    # r4-green entries not re-proven since round 4 — next-oldest
+    # evidence fills the remaining window slots.
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q12_ship_delay_classes",
+    "q22_dormant_customers",
+    "q4_late_order_priority",
+    "q21_late_sole_supplier",
+    "events_rolling_hour_avg",
+    "events_ntile_quartiles",
+    "events_value_outliers_mad",
+    "dedup_substring_hotspots",
+    "cdc_scd2_history",
+    "streaming_session_windows",
+    "events_cohort_retention",
+    "text_quality_sample",
+    "sales_yoy_full_outer",
+]
+_GATE_TAIL = [
+    # driver-verified round 5 (CORRECTNESS_r05 50/50 green) and
+    # untouched since — parked behind the window; the committed
+    # full-registry GATE log still covers them every round.
     "q2_min_cost_supplier",
     "q6_forecast_revenue",
     "q11_important_parts",
     "q13_order_count_distribution",
     "q15_top_supplier",
     "q20_promotion_suppliers",
-    "salted_events_join",
-    "bucketed_sales_join",
     "text_collocations",
     "emb_kmeans_step",
     "docs_sample_fixed",
@@ -1845,18 +2015,13 @@ _GATE_HEAD = [
     "events_value_hour_corr",
     "events_daily_trend",
     "streaming_payment_match_outer",
-    # never driver-proven (added after the r4 window froze; only
-    # builder-run GATE_r04.log evidence) — VERDICT r4 ask #2.
-    "sales_monthly_yoy",   # ALSO changed r5: LAG-12 → calendar self-join
+    "sales_monthly_yoy",
     "brand_basket_affinity",
     "text_vocab_growth",
-    # changed in round 5 (broadcast-hint policy sweep / operator fixes)
-    # — re-prove under the driver even though plan-only changes cannot
-    # alter values.
     "sales_per_nation",
     "sales_rollup",
     "q3_shipping_priority",
-    "graph_pagerank_suppliers",  # pagerank universe/coalesce rewrite
+    "graph_pagerank_suppliers",
     "top_parts_by_revenue",
     "q8_market_share",
     "q14_promo_revenue",
@@ -1866,8 +2031,6 @@ _GATE_HEAD = [
     "q19_disjunctive_revenue",
     "q9_red_parts_profit",
     "parts_abc_analysis",
-    # r2-era: last driver green is two-plus rounds old (gate-log
-    # evidence since) — the strongest signal is a fresh driver row.
     "pipeline_orders",
     "pipeline_product_details",
     "pipeline_shipping_addresses",
@@ -1885,26 +2048,9 @@ _GATE_HEAD = [
     "text_pack_sequences",
     "text_stratified_sample",
     "dedup_exact_recrawl",
-]
-_GATE_TAIL = [
-    # driver-verified round 4 (CORRECTNESS_r04 50/50 green) and
-    # untouched since — parked behind the window; the committed
-    # full-registry GATE log still covers them every round.
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q12_ship_delay_classes",
-    "q22_dormant_customers",
-    "q4_late_order_priority",
-    "q21_late_sole_supplier",
-    "events_rolling_hour_avg",
-    "events_ntile_quartiles",
-    "events_value_outliers_mad",
-    "dedup_substring_hotspots",
-    "cdc_scd2_history",
-    "streaming_session_windows",
-    "events_cohort_retention",
-    "text_quality_sample",
-    "sales_yoy_full_outer",
+    # r4-green, untouched, double-covered by pytest — still behind
+    # the window this round (the 50 slots went to the r6/never-proven
+    # set and the r3-era block above).
     "sql_recursive_rollup",
     "events_concurrency_curve",
     "events_transition_matrix",
@@ -1915,7 +2061,6 @@ _GATE_TAIL = [
     "sketch_heavy_hitters",
     "events_drift_tvd",
     "text_bm25_search",
-    "dedup_canonical_docs",
     "events_gapfill",
     "events_funnel",
     "sales_cube",
@@ -1930,34 +2075,6 @@ _GATE_TAIL = [
     "events_daily_stats",
     "events_json_props",
     "events_tumbling_30s",
-    # r3-green, untouched, double-covered by pytest (the last block's
-    # r3-era entries rotated back out of the head to make room for the
-    # 8 round-5 queries — each keeps its r3 driver green + the
-    # committed full-gate log every round)
-    "dedup_components",
-    "ann_topk_brute",
-    "dedup_simhash_fingerprints",
-    "emb_near_dup",
-    "ann_topk_lsh",
-    "emb_near_dup_lsh",
-    "customers_with_urgent_orders",
-    "customers_without_urgent_orders",
-    "customer_retention",
-    "q5_local_supplier_volume",
-    "salted_priority_sales",
-    "streaming_payment_match",
-    "events_sessionization",
-    "sketch_distinct_trigrams",
-    "profile_documents",
-    "incremental_sales_rollup",
-    "text_repetition",
-    "sales_pivot_by_priority",
-    "fuzzy_customer_names",
-    "streaming_late_data_policy",
-    "sql_above_average_orders",
-    "events_variant_props",
-    "events_value_histogram",
-    "events_type_mode",
 ]
 
 

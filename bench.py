@@ -98,6 +98,7 @@ ANALYTICS_QUERIES = [
     "q15_top_supplier",
     "q20_promotion_suppliers",
     "salted_events_join",
+    "salted_lineitem_agg",
     "bucketed_sales_join",
     "payment_type_share",
     "customers_with_urgent_orders",
@@ -137,6 +138,7 @@ ANALYTICS_QUERIES = [
     "sql_recursive_rollup",
     "pipeline_envelope_decode",
     "pipeline_partition_scan",
+    "pipeline_compaction",
     "serving_last_write_wins",
     # window-function surface
     "top_orders_per_customer",
@@ -175,6 +177,7 @@ ANALYTICS_QUERIES = [
     "ann_topk_brute",
     "ann_topk_lsh",
     "ann_topk_ivf",
+    "ann_recall_audit",
     "emb_near_dup_lsh",
     "emb_kmeans_step",
     "emb_pq_codes",
@@ -228,8 +231,8 @@ BENCH_KEY_ALIASES = {
     "streaming_late_data_policy": "st_late",
     "streaming_payment_match": "stpay",
     "streaming_dedup_replay": "st_dedup",
-    "customers_without_urgent_orders": "anti_urgent",
-    "customers_with_urgent_orders": "semi_urgent",
+    "customers_without_urgent_orders": "antiu",
+    "customers_with_urgent_orders": "semiu",
     "dedup_simhash_fingerprints": "shfp",
     "sketch_distinct_trigrams": "sketch",
     "sql_lateral_top_orders": "lateral",
@@ -237,10 +240,10 @@ BENCH_KEY_ALIASES = {
     "serving_last_write_wins": "lww",
     "sales_pivot_by_priority": "pivot",
     "text_stratified_sample": "strat",
-    "q12_ship_delay_classes": "q12_delay",
-    "q17_small_quantity_revenue": "q17_small",
+    "q12_ship_delay_classes": "q12d",
+    "q17_small_quantity_revenue": "q17s",
     "q19_disjunctive_revenue": "q19disj",
-    "q22_dormant_customers": "q22_dormant",
+    "q22_dormant_customers": "q22d",
     # round-4 widening: 90 registry entries no longer fit the 2000-char
     # capture at centisecond precision with full names — shorten the
     # remaining long tail (still 1:1, final line only).
@@ -250,8 +253,8 @@ BENCH_KEY_ALIASES = {
     "salted_priority_sales": "saltsales",
     "top_parts_by_revenue": "topparts",
     "q3_shipping_priority": "q3ship",
-    "fuzzy_customer_names": "fuzzy_cust",
-    "dedup_canonical_docs": "canonical",
+    "fuzzy_customer_names": "fuzzy",
+    "dedup_canonical_docs": "canon",
     "events_tumbling_30s": "tumble30",
     "text_pack_sequences": "text_pack",
     "dedup_exact_recrawl": "dexact",
@@ -259,17 +262,17 @@ BENCH_KEY_ALIASES = {
     "dedup_simhash_pairs": "simhash",
     "dedup_contamination": "contam",
     "mm_extract_features": "mmfeat",
-    "asof_priority_rates": "asof_rates",
+    "asof_priority_rates": "asof",
     "etl_derive_tables": "etl",
     "curation_pipeline": "curation",
     "events_json_props": "ejson",
     "profile_documents": "profile",
-    "incremental_sales_rollup": "incr_rollup",
+    "incremental_sales_rollup": "incr",
     "dedup_minhash_lsh": "minhash",
     "text_quality_score": "tquality",
-    "text_language_id": "text_langid",
-    "mm_resize_images": "mm_resize",
-    "mm_frame_sample": "mm_frames",
+    "text_language_id": "tlang",
+    "mm_resize_images": "mmrz",
+    "mm_frame_sample": "mmfr",
     "cdc_snapshot_diff": "cdc_diff",
     "docs_expectations": "dexpect",
     "text_bm25_search": "text_bm25",
@@ -278,19 +281,19 @@ BENCH_KEY_ALIASES = {
     "events_value_outliers_mad": "emad",
     "dedup_substring_hotspots": "substr",
     "q4_late_order_priority": "q4late",
-    "q9_red_parts_profit": "q9_profit",
+    "q9_red_parts_profit": "q9p",
     "q16_supplier_diversity": "q16div",
     "q21_late_sole_supplier": "q21late",
-    "streaming_enriched_nation_totals": "st_enriched",
+    "streaming_enriched_nation_totals": "stenr",
     "streaming_running_totals_final": "strun",
     "pipeline_envelope_decode": "plenv",
     "pipeline_partition_scan": "plpart",
     "pipeline_streaming_drain": "plstr",
-    "top_orders_per_customer": "top_orders",
+    "top_orders_per_customer": "topord",
     "events_value_histogram": "ehist",
     "emb_near_dup_lsh_multi": "ndmulti",
-    "emb_near_dup_lsh": "emb_nd_lsh",
-    "ann_topk_brute": "ann_brute",
+    "emb_near_dup_lsh": "ndlsh",
+    "ann_topk_brute": "annb",
     "ann_topk_lsh": "ann_lsh",
     "ann_topk_ivf": "ann_ivf",
     "cdc_scd2_history": "scd2",
@@ -298,7 +301,7 @@ BENCH_KEY_ALIASES = {
     "customer_retention": "reten",
     "payment_type_share": "pay_share",
     "events_cohort_retention": "cohort",
-    "text_quality_sample": "qual_sample",
+    "text_quality_sample": "qsamp",
     "sales_yoy_full_outer": "yoy_full",
     "graph_pagerank_suppliers": "pagerank",
     "sql_recursive_rollup": "recur",
@@ -308,31 +311,31 @@ BENCH_KEY_ALIASES = {
     "ann_topk_pq": "ann_pq",
     "customer_rfm_segments": "rfm",
     "events_active_users": "dau_wau",
-    "q1_pricing_summary": "q1_pricing",
-    "q7_volume_shipping": "q7_volume",
+    "q1_pricing_summary": "q1p",
+    "q7_volume_shipping": "q7v",
     "q10_returned_items": "q10ret",
     "q8_market_share": "q8_share",
-    "q18_large_orders": "q18_large",
+    "q18_large_orders": "q18l",
     "sales_per_nation": "natsales",
     "sales_rollup": "rollup",
     "events_type_mode": "type_mode",
     "text_fingerprint": "text_fp",
-    "text_pii_redact": "pii_redact",
+    "text_pii_redact": "pii",
     "sketch_heavy_hitters": "cmhh",
     "events_drift_tvd": "drift_tvd",
     "parts_abc_analysis": "abc",
     "brand_basket_affinity": "basket",
     "text_vocab_growth": "vocab",
     "sales_monthly_yoy": "yoymon",
-    "q14_promo_revenue": "q14_promo",
+    "q14_promo_revenue": "q14p",
     # round-5 additions (final line only, 1:1)
-    "q2_min_cost_supplier": "q2_mincost",
-    "q6_forecast_revenue": "q6_forecast",
-    "q11_important_parts": "q11_parts",
+    "q2_min_cost_supplier": "q2m",
+    "q6_forecast_revenue": "q6f",
+    "q11_important_parts": "q11p",
     "q13_order_count_distribution": "q13_dist",
     "q15_top_supplier": "q15_top",
-    "q20_promotion_suppliers": "q20_promo",
-    "salted_events_join": "salt_join",
+    "q20_promotion_suppliers": "q20p",
+    "salted_events_join": "sjoin",
     "text_collocations": "colloc",
     "emb_kmeans_step": "kmeans",
     "docs_sample_fixed": "fixk",
@@ -342,6 +345,10 @@ BENCH_KEY_ALIASES = {
     "events_daily_trend": "dtrend",
     "streaming_payment_match_outer": "stouter",
     "events_attribution": "attrib",
+    # round-6 additions (final line only, 1:1)
+    "pipeline_compaction": "plcomp",
+    "salted_lineitem_agg": "salt_agg",
+    "ann_recall_audit": "recall",
     "text_build_postings": "post",
     "graph_triangles_cosupply": "tri",
     "emb_bitext_mine": "bitext",

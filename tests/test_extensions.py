@@ -1167,3 +1167,66 @@ def test_triangle_count_known_graphs(spark):
     )
     r = graph.triangle_count(square_diag).collect()[0]
     assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 5, 2)
+
+
+def test_connected_components_warns_near_guard_rail(spark, caplog):
+    """VERDICT r5 ask #4, the adversarial-diameter path: a graph whose
+    diameter converges only just inside max_iter must emit the
+    near-guard-rail WARNING (the telemetry consumer's early signal
+    before a grown corpus hits the RuntimeError, which
+    tests/test_tolerant_reader.py pins). Min-label propagation moves
+    the minimum one hop per synchronous round, so the 6-edge path
+    relabels for 6 rounds + 1 fixpoint-confirming round = 7 of
+    max_iter=8 — inside the rail, past the warning threshold."""
+    import logging
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators import graph
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], ["a", "b"]
+    )
+    with caplog.at_level(
+        logging.WARNING,
+        logger="aws_kinesis_data_ingestion_restapi_spark.operators.graph",
+    ):
+        out = graph.connected_components(pairs, max_iter=8)
+        assert {r["component"] for r in out.collect()} == {0}
+    rep = graph.LAST_CC_REPORT
+    assert rep["rounds_used"] == 7 and rep["max_iter"] == 8
+    assert rep["rounds_used"] > rep["max_iter"] - 3
+    assert any(
+        "near the guard rail" in r.message for r in caplog.records
+    ), f"expected the near-max_iter warning; got {[r.message for r in caplog.records]}"
+
+
+def test_ann_recall_audit_consistent_with_member_queries(spark):
+    """X88 invariants: the audit's n_hits per method must equal the
+    hand-computed |method_topk ∩ brute_topk| from the same member
+    queries the gate pins individually, n_truth is the fixed panel
+    size, and recall is their exact ratio."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        ann_recall_audit,
+        ann_topk_brute,
+        ann_topk_ivf,
+        ann_topk_lsh,
+        ann_topk_pq,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    audit = {r["method"]: r for r in ann_recall_audit(spark, sf).collect()}
+    assert set(audit) == {"ivf", "lsh", "pq"}
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_topk_brute(spark, sf).collect()
+    }
+    members = {"ivf": ann_topk_ivf, "lsh": ann_topk_lsh, "pq": ann_topk_pq}
+    for m, fn in members.items():
+        approx = {
+            (r["query_id"], r["neighbor_id"]) for r in fn(spark, sf).collect()
+        }
+        want = len(approx & brute)
+        row = audit[m]
+        assert row["n_hits"] == want, (m, row["n_hits"], want)
+        assert row["n_truth"] == 50
+        assert row["recall_at_k"] == want / 50.0
+        assert 0.0 <= row["recall_at_k"] <= 1.0

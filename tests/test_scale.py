@@ -273,3 +273,19 @@ def test_write_bucketed_refuses_unrelated_directory(spark):
     with pytest.raises(RuntimeError, match="refusing"):
         write_bucketed(df, "precious_dir", ["k"], n_buckets=2)
     assert os.path.exists(keep)
+
+
+def test_pipeline_compaction_reruns_in_one_session(spark):
+    """The registry query uses a FIXED per-session scratch dir (same
+    litter contract as pipeline_partition_scan) — it runs in both the
+    gate and the bench of one session, so the second invocation must
+    rebuild from scratch (overwrite + disjoint-slice appends) and
+    return the identical aggregate."""
+    from aws_kinesis_data_ingestion_restapi_spark.registry import QUERY_FNS
+
+    sf = "/root/testdata/sf0.001"
+    first = QUERY_FNS["pipeline_compaction"](spark, sf).collect()
+    second = QUERY_FNS["pipeline_compaction"](spark, sf).collect()
+    assert first == second
+    assert len(first) == 5  # one row per o_orderpriority
+    assert all(r["files_reduced"] for r in first)

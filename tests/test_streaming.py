@@ -287,3 +287,102 @@ def test_streaming_dedup_on_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def _delete_wal_commit(checkpoint: str, batch_id: int) -> None:
+    """Simulate a crash in the window between a batch's sink work and
+    its checkpoint commit: the offsets WAL entry survives (the batch's
+    input set is pinned) but the commit marker is gone, so a restarted
+    query MUST re-execute exactly that batch. This is checkpoint
+    surgery rather than a literal kill -9, but it reproduces the
+    identical recovery state deterministically (no race against the
+    micro-batch loop)."""
+    commit = os.path.join(checkpoint, "commits", str(batch_id))
+    assert os.path.exists(commit), f"no commit marker for batch {batch_id}"
+    os.remove(commit)
+    # the local checksum-fs keeps a .N.crc sibling; a stale one makes
+    # the re-commit rename fail as a phantom concurrent query
+    crc = os.path.join(checkpoint, "commits", f".{batch_id}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+
+def test_native_file_sink_exactly_once_across_crash_restart(spark, tmp_path):
+    """SURVEY §7.3 streaming exactly-once (VERDICT r5 ask #6), native
+    file sink: a query killed after writing batch 0's files but before
+    recording its commit must NOT duplicate those rows when the
+    restarted query replays batch 0 — the parquet sink's own
+    _spark_metadata log recognizes the committed batch and skips the
+    re-write; readers go through that log and see each record once."""
+    inp = tmp_path / "in"
+    inp.mkdir()
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    _write_ndjson(os.path.join(str(inp), "b0.json"), envelope_records(8, seed=21))
+
+    def run():
+        stream = read_envelope_json  # noqa: F841 (clarity: file source)
+        decoded = __import__(
+            "aws_kinesis_data_ingestion_restapi_spark.sources.events",
+            fromlist=["read_envelope_stream"],
+        ).read_envelope_stream(spark, str(inp), max_files_per_trigger=1)
+        q = (
+            decoded.select("customer_id", "order_id")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run()
+    assert spark.read.parquet(out).count() == 8
+    # crash window: batch 0's files are on disk + in the sink log, the
+    # WAL commit is not; a new file arrives before the restart
+    _delete_wal_commit(ck, 0)
+    _write_ndjson(os.path.join(str(inp), "b1.json"), envelope_records(7, seed=22))
+    run()
+    got = spark.read.parquet(out)
+    assert got.count() == 15, "replayed batch 0 must not be re-emitted"
+    assert got.select("customer_id", "order_id").distinct().count() == 15
+
+
+def test_pipeline_restart_replays_into_idempotent_serving(spark, stream_dirs):
+    """SURVEY §7.3 at-least-once + idempotent serving (VERDICT r5 ask
+    #6), foreachBatch pipeline: after a crash between batch 0's sink
+    work and its commit, the restart re-runs batch 0 through ALL
+    sinks. The table appends are at-least-once by contract (duplicates
+    expected — downstream dedup is the documented consumer posture);
+    the serving store must CONVERGE: exactly one row per
+    (customer_id, order_id) key, the same end state as a crash-free
+    run — the DynamoDB put_item analog."""
+    d = stream_dirs
+    recs0 = envelope_records(8, seed=31)
+    _write_ndjson(os.path.join(d["input"], "b0.json"), recs0)
+    _run(spark, d)
+    _delete_wal_commit(d["checkpoint"], 0)
+    recs1 = envelope_records(7, seed=32)
+    _write_ndjson(os.path.join(d["input"], "b1.json"), recs1)
+    _run(spark, d)
+
+    keys = {
+        (json.loads(base64.b64decode(r["Data"]))["customer_id"],
+         json.loads(base64.b64decode(r["Data"]))["order_id"])
+        for r in recs0 + recs1
+    }
+    serving = spark.read.parquet(d["serving"])
+    rows = serving.select("customer_id", "order_id").collect()
+    got = [(r["customer_id"], r["order_id"]) for r in rows]
+    assert len(got) == len(set(got)), "serving store grew duplicate keys"
+    assert set(got) == keys, "serving store must converge to every key once"
+    # the replayed batch hit the table sink twice — at-least-once,
+    # every record present (8 dup + 8 + 7), none lost
+    orders = spark.read.parquet(f"{d['warehouse']}/orders")
+    assert orders.count() >= 15
+    # the serving key is (customer_id, order_id); bare order_ids are
+    # reused across generator calls by design
+    assert (
+        orders.select("customer_id", "order_id").distinct().count()
+        == len(keys)
+    )
