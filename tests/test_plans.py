@@ -539,3 +539,36 @@ def test_pq_codes_broadcast_codebook_no_cartesian(spark):
         plan = explain_str(QUERY_FNS[name](spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastHashJoin" in plan, name
+
+
+def test_salted_lineitem_agg_two_phase_plan(spark):
+    """The salted aggregate must show BOTH phases in the plan: a
+    phase-1 exchange that hash-partitions on (key..., _salt) — the
+    deterministic spark_partition_id salt that spreads a hot key over
+    n_salts reducers — and a phase-2 exchange on the bare key. With
+    the final orderBy's range exchange that is exactly three
+    exchanges; a collapsed (single-phase) plan would drop to two."""
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    plan = explain_str(QUERY_FNS["salted_lineitem_agg"](spark, SF_DIR))
+    # Catalyst renames the alias: the salt survives as
+    # SPARK_PARTITION_ID() % 8 projected into a _groupingexpression
+    assert "SPARK_PARTITION_ID()" in plan
+    assert "_groupingexpression" in plan
+    # phase 1 groups by 3 keys (key + salt), phase 2 by the bare pair
+    assert "Keys [3]: [l_returnflag" in plan
+    assert "Keys [2]: [l_returnflag" in plan
+    assert plan.count("Exchange (") == 3, plan[:2500]
+
+
+def test_ann_recall_audit_no_cartesian_truth_reused(spark):
+    """The recall audit must close each method against the ground
+    truth via equi-joins (never a cartesian), and the truth side must
+    come from the localCheckpointed scan (computed once), visible as
+    'Scan ExistingRDD' rather than three repeated brute-force
+    window pipelines."""
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    plan = explain_str(QUERY_FNS["ann_recall_audit"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan ExistingRDD") >= 3, plan[:2500]
