@@ -568,19 +568,31 @@ def simhash_docs(docs: DataFrame, shingle_words: int = 3) -> DataFrame:
 
 
 def simhash_near_pairs(
-    docs: DataFrame, max_hamming: int = 3, shingle_words: int = 3
+    docs: DataFrame,
+    max_hamming: int = 3,
+    shingle_words: int = 3,
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs with hamming distance ≤ max_hamming.
 
     Candidates by pigeonhole banding: 60 bits → 4 bands of 15; hamming
     ≤ 3 means at least one band is identical, so the equi-join on
     (band, band_value) has NO false negatives and replaces the O(n²)
-    scan with a hash shuffle. Exact popcount filter afterwards."""
+    scan with a hash shuffle. Exact popcount filter afterwards.
+
+    ``fingerprints``: a precomputed :func:`simhash_docs` frame
+    (doc_id, simhash) to band instead of recomputing — callers that
+    also materialize the fingerprints themselves (the registry's
+    session cache) pass it so one session hashes the corpus once."""
     if max_hamming >= _SIMHASH_BANDS:
         raise ValueError("pigeonhole banding requires max_hamming < 4")
     # barrier: materialize fingerprints once; the banding self-join
     # reuses the exchange instead of recomputing simhash per branch
-    sims = simhash_docs(docs, shingle_words).repartition(F.col("doc_id"))
+    sims = (
+        fingerprints
+        if fingerprints is not None
+        else simhash_docs(docs, shingle_words).repartition(F.col("doc_id"))
+    )
     band_structs = F.array(
         *[
             F.struct(

@@ -249,17 +249,75 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Session-scoped cache of MinHash-LSH component labels, keyed on
-#: (applicationId, sf_dir, LSH parameter tuple). dedup_components and
-#: dedup_canonical_docs are both self-contained registry queries over
-#: the IDENTICAL pair graph + connected-components run; without
-#: sharing, a gate/bench session computes the most expensive pipeline
-#: in the registry twice (~38 s of the round-5 committed bench for one
-#: ~12 s pipeline — VERDICT r5 ask #2). The cached frame is the
-#: already-localCheckpoint-materialized labels, so holding the
-#: DataFrame reference keeps its blocks alive with no extra persist;
-#: entries from dead sessions are evicted by applicationId.
-_CC_LABEL_CACHE: dict[tuple, DataFrame] = {}
+#: Session-scoped frame cache keyed on (applicationId, tag, params).
+#: Several registry queries are self-contained compositions over the
+#: IDENTICAL expensive sub-pipeline (the MinHash-LSH pair graph feeds
+#: dedup_minhash_lsh + dedup_ensemble + components/canonical; the
+#: SimHash fingerprint frame feeds dedup_simhash_fingerprints +
+#: dedup_simhash_pairs); without sharing, one gate/bench session
+#: computes each pipeline 2-4× (~38 s of the round-5 committed bench
+#: was the LSH+CC pipeline alone, computed twice — VERDICT r5 ask
+#: #2). Self-contained entries stay the contract — the cache only
+#: memoizes; values are unaffected, and the driver's DuckDB oracle
+#: still recomputes everything independently. Holding the DataFrame
+#: reference keeps its localCheckpoint blocks alive (no persist
+#: bookkeeping); entries from dead sessions are evicted by
+#: applicationId.
+_SESSION_FRAME_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _session_cached(spark: SparkSession, key: tuple, build) -> DataFrame:
+    app = spark.sparkContext.applicationId
+    full = (app, *key)
+    cached = _SESSION_FRAME_CACHE.get(full)
+    if cached is not None:
+        return cached
+    for k in [k for k in _SESSION_FRAME_CACHE if k[0] != app]:
+        del _SESSION_FRAME_CACHE[k]
+    frame = build()
+    _SESSION_FRAME_CACHE[full] = frame
+    return frame
+
+
+def _minhash_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    num_perm: int = 32,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """The MinHash-LSH near-dup pair graph over the documents table,
+    computed (and localCheckpoint-materialized) at most once per
+    (session, sf_dir, parameters). Pair frames are near-dup-sized
+    (≪ corpus), so pinning the materialized result is cheap at any
+    SF; the shingle→minhash→band pipeline it saves is the most
+    expensive text scan in the registry."""
+    return _session_cached(
+        spark,
+        ("minhash_pairs", sf_dir, num_perm, bands, threshold, shingle_words),
+        lambda: dedup.minhash_lsh_pairs(
+            _docs(spark, sf_dir), num_perm=num_perm, bands=bands,
+            threshold=threshold, shingle_words=shingle_words,
+        ).localCheckpoint(eager=False),
+    )
+
+
+def _simhash_fps(
+    spark: SparkSession, sf_dir: str, shingle_words: int = 3
+) -> DataFrame:
+    """The 60-bit SimHash fingerprint frame (doc_id, simhash),
+    computed at most once per (session, sf_dir, shingle_words) — one
+    int64 row per document, trivially pinnable, and the shingle-hash
+    explode it saves is ~10 s of the sf0.1 bench when both simhash
+    queries run in one session."""
+    return _session_cached(
+        spark,
+        ("simhash_fps", sf_dir, shingle_words),
+        lambda: dedup.simhash_docs(
+            _docs(spark, sf_dir), shingle_words=shingle_words
+        ).localCheckpoint(eager=False),
+    )
 
 
 def _lsh_component_labels(
@@ -272,22 +330,22 @@ def _lsh_component_labels(
 ) -> DataFrame:
     """(node, component) labels of the MinHash-LSH near-dup graph over
     the documents table — singletons included — computed at most once
-    per (session, sf_dir, parameters)."""
-    app = spark.sparkContext.applicationId
-    key = (app, sf_dir, num_perm, bands, threshold, shingle_words)
-    cached = _CC_LABEL_CACHE.get(key)
-    if cached is not None:
-        return cached
-    for k in [k for k in _CC_LABEL_CACHE if k[0] != app]:  # dead sessions
-        del _CC_LABEL_CACHE[k]
-    docs = _docs(spark, sf_dir)
-    pairs = dedup.minhash_lsh_pairs(
-        docs, num_perm=num_perm, bands=bands, threshold=threshold,
-        shingle_words=shingle_words,
-    ).select("doc_a", "doc_b")
-    comp = graph.connected_components(pairs, nodes=docs.select("doc_id"))
-    _CC_LABEL_CACHE[key] = comp
-    return comp
+    per (session, sf_dir, parameters). Rides the shared
+    :func:`_minhash_pairs` pair graph."""
+
+    def build() -> DataFrame:
+        docs = _docs(spark, sf_dir)
+        pairs = _minhash_pairs(
+            spark, sf_dir, num_perm=num_perm, bands=bands,
+            threshold=threshold, shingle_words=shingle_words,
+        ).select("doc_a", "doc_b")
+        return graph.connected_components(pairs, nodes=docs.select("doc_id"))
+
+    return _session_cached(
+        spark,
+        ("cc_labels", sf_dir, num_perm, bands, threshold, shingle_words),
+        build,
+    )
 
 
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -378,17 +436,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_lsh_pairs(
-        _docs(spark, sf_dir), num_perm=32, bands=4, threshold=0.5, shingle_words=3
-    )
+    return _minhash_pairs(spark, sf_dir)
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+    return dedup.simhash_near_pairs(
+        _docs(spark, sf_dir), max_hamming=3,
+        fingerprints=_simhash_fps(spark, sf_dir),
+    )
 
 
 def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_docs(_docs(spark, sf_dir))
+    return _simhash_fps(spark, sf_dir)
 
 
 def dedup_substring_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -403,9 +462,7 @@ def dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     production dedup reviewer thresholds on. Signals are computed by
     the standalone operators; this is pure composition (one extra
     hash shuffle on the short pair key)."""
-    t = dedup.minhash_lsh_pairs(
-        _docs(spark, sf_dir), num_perm=32, bands=4, threshold=0.5, shingle_words=3
-    )
+    t = _minhash_pairs(spark, sf_dir)
     e = similarity.near_dup_lsh_multi(_embs(spark, sf_dir), d2_max=1.2).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"), "dist2"
     )

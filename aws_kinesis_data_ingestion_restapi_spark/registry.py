@@ -1945,11 +1945,15 @@ _GATE_HEAD = [
     "text_build_postings",
     "graph_triangles_cosupply",
     "emb_bitext_mine",
-    # changed in round 6 — re-prove under the driver: shared LSH+CC
-    # label cache (components/canonical), per-session scratch dir
-    # (partition_scan), salted_join/write_bucketed guards.
+    # changed in round 6 — re-prove under the driver: shared
+    # session-cached sub-pipelines (LSH pair graph, CC labels, SimHash
+    # fingerprints), per-session scratch dir (partition_scan),
+    # salted_join/write_bucketed guards.
     "dedup_components",
     "dedup_canonical_docs",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "dedup_ensemble",
     "pipeline_partition_scan",
     "salted_events_join",
     "bucketed_sales_join",
@@ -1993,11 +1997,13 @@ _GATE_HEAD = [
     "dedup_substring_hotspots",
     "cdc_scd2_history",
     "streaming_session_windows",
+]
+_GATE_TAIL = [
+    # r4-green entries bumped back out of the head by the three
+    # cache-path re-proofs above; next rotation's first candidates.
     "events_cohort_retention",
     "text_quality_sample",
     "sales_yoy_full_outer",
-]
-_GATE_TAIL = [
     # driver-verified round 5 (CORRECTNESS_r05 50/50 green) and
     # untouched since — parked behind the window; the committed
     # full-registry GATE log still covers them every round.
