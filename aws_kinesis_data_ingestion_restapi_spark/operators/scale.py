@@ -291,14 +291,27 @@ def compact_table(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(tmp)
-    # atomic-ish swap via filesystem rename (driver-side, metadata-only)
+    # Rename-aside swap (same discipline as sinks._swap_buckets): the
+    # original data stays on disk under the aside name until the new
+    # directory is in place, so a crash at any point leaves either the
+    # old table, the old table + a stray tmp/aside dir, or the new
+    # table — never NO table. The earlier delete-then-rename form had
+    # a window where a crash lost the original.
     jvm = spark.sparkContext._jvm
     jsc = spark.sparkContext._jsc
     conf = jsc.hadoopConfiguration()
     fs = jvm.org.apache.hadoop.fs.FileSystem.get(conf)
     p_old = jvm.org.apache.hadoop.fs.Path(path)
     p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
-    fs.delete(p_old, True)
-    fs.rename(p_tmp, p_old)
+    aside = path.rstrip("/") + "__compact_aside"
+    p_aside = jvm.org.apache.hadoop.fs.Path(aside)
+    if fs.exists(p_aside):  # debris from an earlier crashed swap
+        fs.delete(p_aside, True)
+    fs.rename(p_old, p_aside)
+    if not fs.rename(p_tmp, p_old):
+        # restore the original before surfacing the failure
+        fs.rename(p_aside, p_old)
+        raise RuntimeError(f"compaction swap failed; {path} restored")
+    fs.delete(p_aside, True)
     files = spark.read.parquet(path).inputFiles()
     return len(files)
