@@ -503,6 +503,16 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.topk_lsh(_embs(spark, sf_dir), n_queries=10, k=5)
 
 
+def ann_topk_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table sign-LSH top-k (similarity.topk_lsh_multi): the
+    recall repair the audit motivated — single-bucket topk_lsh
+    measured recall@5 = 0.02 on this corpus (BENCH_NOTES r6), and
+    stacking the same 3 bucketings the near-dup path uses buys the
+    geometric miss-probability decay at the cost of ≤3× candidate
+    rows."""
+    return similarity.topk_lsh_multi(_embs(spark, sf_dir), n_queries=10, k=5)
+
+
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.topk_ivf(_embs(spark, sf_dir), n_queries=10, k=5)
 
@@ -582,6 +592,7 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     methods = {
         "ivf": similarity.topk_ivf,
         "lsh": similarity.topk_lsh,
+        "lsh_multi": similarity.topk_lsh_multi,
         "pq": similarity.topk_pq,
     }
     out = None
@@ -937,6 +948,7 @@ EXT_QUERY_FNS = {
     "events_range_follow": events_range_follow,
     "ann_topk_brute": ann_topk_brute,
     "ann_topk_lsh": ann_topk_lsh,
+    "ann_topk_lsh_multi": ann_topk_lsh_multi,
     "ann_topk_ivf": ann_topk_ivf,
     "emb_kmeans_step": emb_kmeans_step,
     "emb_bitext_mine": emb_bitext_mine,
@@ -2141,6 +2153,34 @@ EXT_ORACLE_SQL = {
         GROUP BY 1
         ORDER BY 1
     """,
+    "ann_topk_lsh_multi": f"""
+        WITH comp AS ({_COMP}),
+        mbkt AS ({_MULTI_BUCKET}),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM mbkt q
+            JOIN mbkt c ON q.t = c.t AND q.bucket = c.bucket
+            WHERE q.vec_id < 10 AND q.vec_id != c.vec_id
+        ),
+        dots AS (
+            SELECT cand.query_id, cand.neighbor_id,
+                   SUM(a.qx * b.qx) AS s
+            FROM cand
+            JOIN comp a ON a.vec_id = cand.query_id
+            JOIN comp b ON b.vec_id = cand.neighbor_id AND a.i = b.i
+            GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id,
+               CAST(rank AS INTEGER) AS rank,
+               CAST(s AS DOUBLE) / 100000000.0 AS score
+        FROM (
+            SELECT query_id, neighbor_id, s,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY s DESC, neighbor_id) AS rank
+            FROM dots
+        )
+        WHERE rank <= 5
+    """,
     "ann_topk_ivf": f"""
         WITH stride AS (
             SELECT GREATEST(CAST(floor(sqrt(COUNT(*))) AS BIGINT), 1) AS s
@@ -2301,6 +2341,7 @@ EXT_ORACLE_SQL["ann_recall_audit"] = f"""
     WITH brute AS ({EXT_ORACLE_SQL["ann_topk_brute"]}),
     m_ivf AS ({EXT_ORACLE_SQL["ann_topk_ivf"]}),
     m_lsh AS ({EXT_ORACLE_SQL["ann_topk_lsh"]}),
+    m_lshm AS ({EXT_ORACLE_SQL["ann_topk_lsh_multi"]}),
     m_pq AS ({EXT_ORACLE_SQL["ann_topk_pq"]}),
     hits AS (
         SELECT 'ivf' AS method, COUNT(*) AS n_hits
@@ -2308,6 +2349,9 @@ EXT_ORACLE_SQL["ann_recall_audit"] = f"""
         UNION ALL
         SELECT 'lsh' AS method, COUNT(*) AS n_hits
         FROM m_lsh JOIN brute USING (query_id, neighbor_id)
+        UNION ALL
+        SELECT 'lsh_multi' AS method, COUNT(*) AS n_hits
+        FROM m_lshm JOIN brute USING (query_id, neighbor_id)
         UNION ALL
         SELECT 'pq' AS method, COUNT(*) AS n_hits
         FROM m_pq JOIN brute USING (query_id, neighbor_id)

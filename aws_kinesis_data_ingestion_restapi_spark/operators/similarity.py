@@ -176,6 +176,58 @@ def topk_lsh(
     return _topk(scored, k)
 
 
+def topk_lsh_multi(
+    embs: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    bits: int = SIGN_BITS,
+    n_tables: int = N_TABLES,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Multi-table sign-LSH approximate top-k: candidates are the
+    UNION of the query's bucket across ``n_tables`` independent
+    bucketings (table t reads components [t·bits, (t+1)·bits)) — the
+    retrieval analog of :func:`near_dup_lsh_multi`, closing
+    :func:`topk_lsh`'s single-bucket recall gap the same way: a true
+    neighbor is missed only if it straddles a hyperplane in EVERY
+    table, so the miss probability decays geometrically with
+    ``n_tables`` (the measured effect is ann_recall_audit's job).
+
+    Scale shape: the (id, table, bucket) assignment explode carries
+    ids + short ints only; the candidate join hits a BROADCAST query
+    panel (n_queries·n_tables rows), the candidate set dedupes on the
+    (query, neighbor) key, and vectors are fetched by one id
+    equi-join before the exact scaled-int scoring — the corpus never
+    cross-joins anything, and per-query work stays proportional to
+    its buckets' occupancy."""
+    base = embs.select(F.col(id_col), quantized().alias("v"))
+    tabled = lsh_tables(base, bits=bits, n_tables=n_tables, id_col=id_col)
+    q = tabled.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), "t", "bucket"
+    )
+    c = tabled.select(F.col(id_col).alias("neighbor_id"), "t", "bucket")
+    cand = (
+        c.join(F.broadcast(q), ["t", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    qv = base.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    cv = base.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"))
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot_i(F.col("qv"), F.col("cv")).alias("_score_i"),
+        )
+    )
+    return _topk(scored, k)
+
+
 def topk_ivf(
     embs: DataFrame,
     n_queries: int = 10,

@@ -1938,6 +1938,7 @@ _GATE_HEAD = [
     "pipeline_compaction",
     "salted_lineitem_agg",
     "ann_recall_audit",
+    "ann_topk_lsh_multi",
     # never driver-proven (added after the r5 window froze) —
     # VERDICT r5 ask #1. events_attribution ALSO changed r6
     # ((ns, event_id) tie-break, round-5 ADVICE).
@@ -1996,9 +1997,9 @@ _GATE_HEAD = [
     "events_value_outliers_mad",
     "dedup_substring_hotspots",
     "cdc_scd2_history",
-    "streaming_session_windows",
 ]
 _GATE_TAIL = [
+    "streaming_session_windows",
     # r4-green entries bumped back out of the head by the three
     # cache-path re-proofs above; next rotation's first candidates.
     "events_cohort_retention",

@@ -177,6 +177,7 @@ ANALYTICS_QUERIES = [
     "ann_topk_brute",
     "ann_topk_lsh",
     "ann_topk_ivf",
+    "ann_topk_lsh_multi",
     "ann_recall_audit",
     "emb_near_dup_lsh",
     "emb_kmeans_step",
@@ -349,6 +350,7 @@ BENCH_KEY_ALIASES = {
     "pipeline_compaction": "plcomp",
     "salted_lineitem_agg": "salt_agg",
     "ann_recall_audit": "recall",
+    "ann_topk_lsh_multi": "annlshm",
     "text_build_postings": "post",
     "graph_triangles_cosupply": "tri",
     "emb_bitext_mine": "bitext",

@@ -1209,17 +1209,19 @@ def test_ann_recall_audit_consistent_with_member_queries(spark):
         ann_topk_brute,
         ann_topk_ivf,
         ann_topk_lsh,
+        ann_topk_lsh_multi,
         ann_topk_pq,
     )
 
     sf = "/root/testdata/sf0.001"
     audit = {r["method"]: r for r in ann_recall_audit(spark, sf).collect()}
-    assert set(audit) == {"ivf", "lsh", "pq"}
+    assert set(audit) == {"ivf", "lsh", "lsh_multi", "pq"}
     brute = {
         (r["query_id"], r["neighbor_id"])
         for r in ann_topk_brute(spark, sf).collect()
     }
-    members = {"ivf": ann_topk_ivf, "lsh": ann_topk_lsh, "pq": ann_topk_pq}
+    members = {"ivf": ann_topk_ivf, "lsh": ann_topk_lsh,
+               "lsh_multi": ann_topk_lsh_multi, "pq": ann_topk_pq}
     for m, fn in members.items():
         approx = {
             (r["query_id"], r["neighbor_id"]) for r in fn(spark, sf).collect()
@@ -1230,3 +1232,6 @@ def test_ann_recall_audit_consistent_with_member_queries(spark):
         assert row["n_truth"] == 50
         assert row["recall_at_k"] == want / 50.0
         assert 0.0 <= row["recall_at_k"] <= 1.0
+    # multi-table candidates are a superset of the single bucket's and
+    # scores are exact, so multi recall can never be lower
+    assert audit["lsh_multi"]["n_hits"] >= audit["lsh"]["n_hits"]
