@@ -53,9 +53,22 @@ def write_partitioned(
     writer.parquet(path)
 
 
-def write_errors(bad: DataFrame, base_path: str) -> None:
-    """E1: quarantine failed records under ``errors/`` (main.tf:676)."""
-    bad.write.mode("append").parquet(os.path.join(base_path, "errors"))
+def write_errors(
+    bad: DataFrame, base_path: str, batch_id: int | None = None
+) -> None:
+    """E1: quarantine failed records under ``errors/`` (main.tf:676).
+
+    With ``batch_id`` the quarantine lands in a deterministic
+    ``bid={batch_id}`` partition dir in OVERWRITE mode — a replayed
+    micro-batch rewrites the same directory instead of appending
+    duplicates (the same exactly-once recipe as the table sinks;
+    streaming/pipeline.py). Without it (batch callers), plain append."""
+    if batch_id is None:
+        bad.write.mode("append").parquet(os.path.join(base_path, "errors"))
+    else:
+        bad.write.mode("overwrite").parquet(
+            os.path.join(base_path, "errors", f"bid={batch_id}")
+        )
 
 
 SERVING_N_BUCKETS = 16
@@ -125,8 +138,16 @@ def serving_upsert(
         )
         merged = survivors.unionByName(deduped)
         merged.write.mode("overwrite").partitionBy("bucket").parquet(staging)
-        shutil.rmtree(store_path)
+        # rename-aside, not delete-then-rename: the old store stays on
+        # disk until the migrated one is in place, so a crash here
+        # never leaves the serving view without data (same discipline
+        # as _swap_buckets and scale.compact_table)
+        aside = store_path.rstrip("/") + "._aside_migrate"
+        if os.path.exists(aside):
+            shutil.rmtree(aside)
+        os.replace(store_path, aside)
         os.replace(staging, store_path)
+        shutil.rmtree(aside)
         return
 
     touched = sorted(

@@ -16,11 +16,19 @@ Topology (reference → here):
   Firehose errors/ prefix        → ``write_errors`` quarantine
                                    (main.tf:676)
 
-Delivery semantics match the reference deliberately (SURVEY §7.3): the
-source is at-least-once, the table appends are exactly-once under
-checkpointing (file-sink transaction log), and the serving view is
-idempotent-upsert, so replays converge — the same contract as
-Kinesis→Lambda→DynamoDB ``put_item``.
+Delivery semantics (SURVEY §7.3), strictly stronger than the
+reference's: the source is at-least-once, and every sink is
+idempotent per micro-batch, so replays CONVERGE to the crash-free
+state — effective exactly-once end to end. The table and error
+writes go to deterministic ``bid={batch_id}`` partition directories
+in OVERWRITE mode (the standard idempotent-foreachBatch recipe: a
+given batch id always carries the same offset-pinned input rows, so
+re-executing it rewrites the same directory byte-equivalently instead
+of appending duplicates — the Firehose one-object-per-flush layout,
+made transactional); the serving view is a keyed last-write-wins
+upsert. The reference's own contract is weaker: at-least-once Lambda
+retries + DynamoDB ``put_item`` idempotence, with duplicate S3
+objects possible on consumer errors.
 
 Scale notes: the batch body touches the stream once (persist), all
 derivations are codegen'd column expressions, the parquet appends are
@@ -97,24 +105,34 @@ class IngestionPipeline:
         reference's 5-consumer fan-out: five Firehose/Lambda consumers
         each pull the SAME Kinesis records over the network; here the
         batch is materialized once and every sink reads it locally.
+
+        Idempotence: each table write targets the deterministic
+        ``bid={batch_id}`` directory in overwrite mode. The offsets
+        WAL pins a batch id to one input set, so a crash-replayed
+        batch rewrites its own directory instead of appending a
+        second copy — readers of ``{warehouse}/{table}`` see each
+        record exactly once, with ``bid`` discoverable as a partition
+        column (per-batch lineage for free). Restart contract pinned
+        in tests/test_streaming.py::
+        test_pipeline_restart_replays_exactly_once.
         """
         batch.persist()
         try:
             good, bad = split_corrupt(batch)
             good.persist()
             if self.errors_path is not None:
-                write_errors(bad, self.errors_path)
+                write_errors(bad, self.errors_path, batch_id=batch_id)
             for name, df in derive_all_tables(
                 good, with_partitions=self.with_partitions
             ).items():
                 write_partitioned(
                     df,
-                    f"{self.warehouse}/{name}",
+                    f"{self.warehouse}/{name}/bid={batch_id}",
                     table=name,
                     # partition layout only exists when the derived
                     # partition columns were materialized
                     partition_cols=None if self.with_partitions else [],
-                    mode="append",
+                    mode="overwrite",
                 )
             if self.serving_path is not None:
                 serving_upsert(

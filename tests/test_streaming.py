@@ -348,15 +348,14 @@ def test_native_file_sink_exactly_once_across_crash_restart(spark, tmp_path):
     assert got.select("customer_id", "order_id").distinct().count() == 15
 
 
-def test_pipeline_restart_replays_into_idempotent_serving(spark, stream_dirs):
-    """SURVEY §7.3 at-least-once + idempotent serving (VERDICT r5 ask
-    #6), foreachBatch pipeline: after a crash between batch 0's sink
-    work and its commit, the restart re-runs batch 0 through ALL
-    sinks. The table appends are at-least-once by contract (duplicates
-    expected — downstream dedup is the documented consumer posture);
-    the serving store must CONVERGE: exactly one row per
-    (customer_id, order_id) key, the same end state as a crash-free
-    run — the DynamoDB put_item analog."""
+def test_pipeline_restart_replays_exactly_once(spark, stream_dirs):
+    """SURVEY §7.3 exactly-once (VERDICT r5 ask #6), foreachBatch
+    pipeline: after a crash between batch 0's sink work and its
+    commit, the restart re-runs batch 0 through ALL sinks. Every sink
+    must CONVERGE to the crash-free state: the tables because each
+    batch overwrites its own deterministic bid= directory (a replay
+    rewrites, never appends), the serving store because the keyed
+    upsert is last-write-wins — the DynamoDB put_item analog."""
     d = stream_dirs
     recs0 = envelope_records(8, seed=31)
     _write_ndjson(os.path.join(d["input"], "b0.json"), recs0)
@@ -379,10 +378,14 @@ def test_pipeline_restart_replays_into_idempotent_serving(spark, stream_dirs):
     # the replayed batch hit the table sink twice — at-least-once,
     # every record present (8 dup + 8 + 7), none lost
     orders = spark.read.parquet(f"{d['warehouse']}/orders")
-    assert orders.count() >= 15
-    # the serving key is (customer_id, order_id); bare order_ids are
-    # reused across generator calls by design
+    # exactly-once: the replayed batch 0 REWROTE bid=0, so the table
+    # holds each input record once — count equals the distinct
+    # (customer_id, order_id) key count (bare order_ids are reused
+    # across generator calls by design)
+    assert orders.count() == len(keys)
     assert (
         orders.select("customer_id", "order_id").distinct().count()
         == len(keys)
     )
+    # per-batch lineage column from the bid= layout
+    assert set(r["bid"] for r in orders.select("bid").distinct().collect()) == {0, 1}
