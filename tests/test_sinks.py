@@ -166,3 +166,72 @@ def test_apply_changes_drops_fully_deleted_bucket(spark, tmp_path):
         if e.startswith("bucket=") and os.listdir(os.path.join(store, e))
     ]
     assert remaining == []
+
+
+def test_upsert_recovers_from_crashed_swap_debris(spark, tmp_path):
+    """A crash between _swap_buckets' two renames leaves a hidden
+    ._old_bucket=K aside dir. The NEXT upsert touching that bucket
+    must clear the debris and land the new values — and readers never
+    see the aside (leading dot = hidden to Spark listing)."""
+    import shutil
+
+    store = str(tmp_path / "serving")
+    keys = [(f"c{i}", f"o{i}") for i in range(50)]
+    serving_upsert(spark, _rows(spark, keys, "pending"), store, n_buckets=N_BUCKETS)
+
+    target = keys[3]
+    b = _rows(spark, [target], "x").select(
+        _bucket_expr(N_BUCKETS).alias("b")
+    ).first()["b"]
+    # simulate the crash window: the old bucket was renamed aside and
+    # the process died before the cleanup
+    src = os.path.join(store, f"bucket={b}")
+    aside = os.path.join(store, f"._old_bucket={b}")
+    shutil.copytree(src, aside)
+
+    serving_upsert(spark, _rows(spark, [target], "shipped"), store,
+                   n_buckets=N_BUCKETS)
+    assert not os.path.exists(aside), "crash debris must be cleared"
+    out = spark.read.parquet(store)
+    assert out.count() == 50
+    got = out.filter(
+        (F.col("customer_id") == target[0]) & (F.col("order_id") == target[1])
+    ).collect()
+    assert len(got) == 1 and got[0]["status"] == "shipped"
+
+
+def test_legacy_migration_survives_stale_aside(spark, tmp_path):
+    """The flat→bucketed migration swaps via rename-aside; a stale
+    aside sibling from an earlier crashed migration must not block the
+    next one, and every legacy row must survive the migration."""
+    store = str(tmp_path / "serving_legacy")
+    # legacy FLAT layout: plain parquet, no bucket= dirs
+    _rows(spark, [(f"c{i}", f"o{i}") for i in range(30)], "old").write.parquet(store)
+    os.makedirs(store.rstrip("/") + "._aside_migrate", exist_ok=True)
+    with open(os.path.join(store.rstrip("/") + "._aside_migrate", "junk"), "w") as f:
+        f.write("stale")
+
+    serving_upsert(spark, _rows(spark, [("c1", "o1")], "new"), store,
+                   n_buckets=N_BUCKETS)
+    assert not os.path.exists(store.rstrip("/") + "._aside_migrate")
+    out = spark.read.parquet(store)
+    assert out.count() == 30
+    assert out.filter(F.col("order_id") == "o1").first()["status"] == "new"
+    assert "bucket" in out.columns  # migrated to the bucketed layout
+
+
+def test_write_errors_batch_mode_empty_and_replay(spark, tmp_path):
+    """bid-keyed quarantine: an empty batch writes an empty (readable)
+    bid dir, and replaying a batch id REWRITES it instead of
+    appending duplicates."""
+    from aws_kinesis_data_ingestion_restapi_spark.sinks import write_errors
+
+    base = str(tmp_path / "q")
+    empty = _rows(spark, [], "ProcessingFailed")
+    write_errors(empty, base, batch_id=0)
+    two = _rows(spark, [("c1", "o1"), ("c2", "o2")], "ProcessingFailed")
+    write_errors(two, base, batch_id=1)
+    write_errors(two, base, batch_id=1)  # replay
+    out = spark.read.parquet(os.path.join(base, "errors"))
+    assert out.count() == 2
+    assert sorted(r["bid"] for r in out.select("bid").collect()) == [1, 1]
