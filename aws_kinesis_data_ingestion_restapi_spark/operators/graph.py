@@ -119,6 +119,120 @@ def connected_components(
     )
 
 
+def _large_star(d: DataFrame) -> DataFrame:
+    """One large-star round over a BIDIRECTIONAL edge frame (u, v):
+    every node u connects its LARGER neighbors to min(Γ(u) ∪ {u}).
+    Output edges are canonical (big, small) — v > u ≥ m always."""
+    mins = d.groupBy("u").agg(F.min("v").alias("_mn"))
+    mins = mins.select("u", F.least("_mn", F.col("u")).alias("m"))
+    return (
+        d.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("big"), F.col("m").alias("small"))
+        .filter(F.col("big") != F.col("small"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round over CANONICAL (big, small) edges: every
+    node u connects its smaller-or-equal neighborhood (and itself) to
+    its minimum. Keeps the (big, small) canonical form."""
+    mins = e.groupBy("big").agg(F.min("small").alias("m"))
+    relink = (
+        e.join(mins, "big")
+        .filter(F.col("small") != F.col("m"))
+        .select(F.col("small").alias("big"), F.col("m").alias("small"))
+    )
+    selfedge = mins.select(F.col("big"), F.col("m").alias("small"))
+    return (
+        relink.unionByName(selfedge)
+        .filter(F.col("big") != F.col("small"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components by the ALTERNATING-STAR algorithm
+    (Kiveris et al., SoCC'14 "Connected Components in MapReduce and
+    Beyond") — the O(log n)-round form for adversarial long-chain
+    graphs, where :func:`connected_components`' min-label propagation
+    needs diameter-many rounds (its docstring names this variant as
+    the escape hatch; this is that escape hatch, delivered).
+
+    Identical contract and output as :func:`connected_components`:
+    (node, component) with component = the component's minimum node
+    id, singletons included via ``nodes``. Each round is a
+    large-star then a small-star — per round two groupBy-min
+    aggregations and two equi-joins on node keys, lineage truncated
+    with localCheckpoint; convergence is an edge-set fixpoint (the
+    canonical (big, small) form makes set equality meaningful), after
+    which every surviving edge points directly at its component root.
+
+    Scale shape: no driver-side graph, no adjacency beyond the edge
+    list, and — unlike min-label — round count independent of
+    diameter: a 200-edge path converges in ~6 rounds here vs 201
+    there (pinned in tests/test_extensions.py). Telemetry lands in
+    :data:`LAST_CC_REPORT` with ``algorithm: "star"``."""
+    a, b = pairs.columns[:2]
+    e = (
+        pairs.select(
+            F.greatest(F.col(a), F.col(b)).alias("big"),
+            F.least(F.col(a), F.col(b)).alias("small"),
+        )
+        .filter(F.col("big") != F.col("small"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edge_counts: list[int] = []
+    for rounds in range(1, max_iter + 1):
+        d = e.select(F.col("big").alias("u"), F.col("small").alias("v")).union(
+            e.select(F.col("small").alias("u"), F.col("big").alias("v"))
+        )
+        nxt = _small_star(_large_star(d)).localCheckpoint(eager=True)
+        changed = (
+            nxt.exceptAll(e).limit(1).count() + e.exceptAll(nxt).limit(1).count()
+        )
+        edge_counts.append(nxt.count())
+        e = nxt
+        if changed == 0:
+            LAST_CC_REPORT.clear()
+            LAST_CC_REPORT.update(
+                {"rounds_used": rounds, "max_iter": max_iter,
+                 "edges_per_round": edge_counts, "algorithm": "star"}
+            )
+            _LOG.info(
+                "connected_components_star converged in %d/%d rounds",
+                rounds, max_iter,
+            )
+            # stars: every edge is node→root; roots and singletons map
+            # to themselves
+            labels = e.select(
+                F.col("big").alias("node"), F.col("small").alias("component")
+            )
+            universe = pairs.select(F.col(a).alias("node")).union(
+                pairs.select(F.col(b).alias("node"))
+            )
+            if nodes is not None:
+                universe = universe.union(
+                    nodes.select(F.col(nodes.columns[0]).alias("node"))
+                )
+            selfroots = universe.distinct().join(
+                labels.select("node"), "node", "left_anti"
+            ).select("node", F.col("node").alias("component"))
+            return labels.unionByName(selfroots)
+    raise RuntimeError(
+        f"connected_components_star did not converge within "
+        f"max_iter={max_iter} rounds — the alternating-star fixpoint "
+        "should need O(log n) rounds; this indicates a pathological "
+        "input (inspect the edge frame) rather than a tuning problem"
+    )
+
+
 # Fixed-point scale for exact pagerank arithmetic. Overflow bound: the
 # per-node aggregate is damping_pct * Σ contributions ≤ 85 × in_deg ×
 # ONE (worst case: every in-neighbor has out-degree 1), so int64 holds

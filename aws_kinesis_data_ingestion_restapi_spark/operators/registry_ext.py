@@ -363,6 +363,27 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X89: the same near-dup cluster labels via the ALTERNATING-STAR
+    algorithm (graph.connected_components_star — Kiveris et al.,
+    SoCC'14), whose round count is O(log n), independent of component
+    diameter. Near-dup graphs are usually clique-like and both forms
+    converge fast; the star form is the one that survives a
+    long-chain corpus (transitive paraphrase chains): on a 200-edge
+    path min-label RAISES at max_iter=30 while star converges in ≤12
+    rounds (tests/test_extensions.py). Output contract identical to
+    dedup_components — the oracle is the very same recursive-CTE
+    closure — and the pair graph rides the session cache."""
+    docs = _docs(spark, sf_dir)
+    pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    comp = graph.connected_components_star(
+        pairs, nodes=docs.select("doc_id")
+    )
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("component_id")
+    )
+
+
 def sketch_distinct_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language approximate distinct word-trigram count via the
     deterministic θ-sample sketch (operators/sketch.py): md5 hashes
@@ -931,6 +952,7 @@ EXT_QUERY_FNS = {
     "sketch_distinct_trigrams": sketch_distinct_trigrams,
     "sketch_heavy_hitters": sketch_heavy_hitters,
     "dedup_components": dedup_components,
+    "dedup_components_star": dedup_components_star,
     "graph_pagerank_suppliers": graph_pagerank_suppliers,
     "dedup_canonical_docs": dedup_canonical_docs,
     "curation_pipeline": curation_pipeline,
@@ -2289,6 +2311,10 @@ EXT_ORACLE_SQL = {
 EXT_ORACLE_SQL["dedup_components"] = EXT_ORACLE_SQL["dedup_components"].format(
     minhash_pairs=EXT_ORACLE_SQL["dedup_minhash_lsh"]
 )
+
+# the star-algorithm variant computes the IDENTICAL labels — one
+# oracle text serves both (different Spark algorithms, same closure)
+EXT_ORACLE_SQL["dedup_components_star"] = EXT_ORACLE_SQL["dedup_components"]
 
 # the apply step: same transitive closure, then survivors (component
 # min-id rows) with their collapsed cluster size joined back to the

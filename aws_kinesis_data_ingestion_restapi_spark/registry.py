@@ -1951,6 +1951,7 @@ _GATE_HEAD = [
     # fingerprints), per-session scratch dir (partition_scan),
     # salted_join/write_bucketed guards.
     "dedup_components",
+    "dedup_components_star",
     "dedup_canonical_docs",
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
@@ -1996,9 +1997,9 @@ _GATE_HEAD = [
     "events_ntile_quartiles",
     "events_value_outliers_mad",
     "dedup_substring_hotspots",
-    "cdc_scd2_history",
 ]
 _GATE_TAIL = [
+    "cdc_scd2_history",
     "streaming_session_windows",
     # r4-green entries bumped back out of the head by the three
     # cache-path re-proofs above; next rotation's first candidates.

@@ -171,6 +171,7 @@ ANALYTICS_QUERIES = [
     "dedup_contamination",
     "dedup_ensemble",
     "dedup_components",
+    "dedup_components_star",
     "graph_pagerank_suppliers",
     "graph_triangles_cosupply",
     "dedup_canonical_docs",
@@ -357,6 +358,7 @@ BENCH_KEY_ALIASES = {
     "bucketed_sales_join": "bkt_join",
     "text_token_stats": "toks",
     "dedup_components": "comps",
+    "dedup_components_star": "cstar",
     "text_repetition": "repeat",
     "events_variant_props": "variant",
     "events_gapfill": "gapfill",

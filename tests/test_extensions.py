@@ -1235,3 +1235,60 @@ def test_ann_recall_audit_consistent_with_member_queries(spark):
     # multi-table candidates are a superset of the single bucket's and
     # scores are exact, so multi recall can never be lower
     assert audit["lsh_multi"]["n_hits"] >= audit["lsh"]["n_hits"]
+
+
+def test_star_cc_matches_minlabel_on_random_graphs(spark):
+    """connected_components_star must produce EXACTLY the labels of
+    the min-label form on arbitrary graphs — same (node, component)
+    contract, component = component-min id, singletons included."""
+    import random
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators import graph
+
+    rng = random.Random(606)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(10, 60))
+        ]
+        edges = [(a_, b_) for a_, b_ in edges if a_ != b_]
+        pairs = spark.createDataFrame(edges or [(0, 1)], ["a", "b"])
+        nodes = spark.range(n).select(F.col("id").alias("node"))
+        want = {
+            (r["node"], r["component"])
+            for r in graph.connected_components(
+                pairs, nodes=nodes, max_iter=60
+            ).collect()
+        }
+        got_rows = graph.connected_components_star(
+            pairs, nodes=nodes
+        ).collect()
+        got = {(r["node"], r["component"]) for r in got_rows}
+        # labels are a FUNCTION (one component per node) and identical
+        assert len(got_rows) == len({r["node"] for r in got_rows})
+        assert got == want, f"trial {trial}: star != min-label"
+
+
+def test_star_cc_logarithmic_on_adversarial_diameter(spark):
+    """The 100 TB story for long-chain graphs: a 200-edge path has
+    diameter 200, so min-label propagation needs ~201 rounds (it
+    RAISES at max_iter=30 — the guard-rail contract); alternating-star
+    collapses the same chain in O(log n) rounds. This is the measured
+    form of the escape hatch the min-label docstring promises."""
+    import pytest as _pytest
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators import graph
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], ["a", "b"]
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        graph.connected_components(chain, max_iter=30)
+
+    labels = graph.connected_components_star(chain, max_iter=30).collect()
+    assert {r["component"] for r in labels} == {0}
+    assert len(labels) == 201
+    rep = graph.LAST_CC_REPORT
+    assert rep["algorithm"] == "star"
+    assert rep["rounds_used"] <= 12, rep  # log-ish, not diameter-ish
