@@ -15,8 +15,10 @@ adjacency materialization beyond the edge list. Iteration count is
 bounded by the component diameter; near-dup graphs are clique-like
 (diameter 1-3), so the loop converges in 2-4 rounds. For adversarial
 long-chain graphs the alternating large-star/small-star variant
-(Kiveris et al., SoCC'14) converges in O(log n) rounds — the loop
-below is the simple form, with ``max_iter`` as the guard rail.
+(Kiveris et al., SoCC'14) converges in O(log n) rounds —
+implemented below as :func:`connected_components_star` (identical
+labels, property-tested) — while this loop is the simple form, with
+``max_iter`` as the guard rail.
 ``localCheckpoint`` truncates the lineage each round so the plan does
 not grow with iterations (the standard iterative-DataFrame trap).
 """
