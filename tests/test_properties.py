@@ -331,3 +331,45 @@ def test_attribution_matches_bruteforce(spark, seed):
                     break
             truth[credit] = truth.get(credit, 0) + 1
     assert got == truth
+
+
+@given(seed=st.integers(0, 10**6))
+@settings(**_SETTINGS)
+def test_star_cc_equals_union_find_bruteforce(spark, seed):
+    """connected_components_star must label ANY graph exactly like a
+    driver-side union-find: component = the component's minimum node
+    id, every universe node present exactly once (singletons map to
+    themselves). Hunts ordering/fixpoint bugs in the large-star /
+    small-star rounds that the fixed-seed tests could only sample."""
+    rng = random.Random(seed)
+    n = rng.randrange(2, 25)
+    m = rng.randrange(0, 40)
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        edges = [(0, 1)]
+
+    # brute force: union-find with min-root bookkeeping
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    want = {node: find(node) for node in range(n)}
+
+    pairs = spark.createDataFrame(edges, ["a", "b"])
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    rows = graph.connected_components_star(pairs, nodes=nodes).collect()
+    assert len(rows) == n  # exactly one label per universe node
+    got = {r["node"]: r["component"] for r in rows}
+    assert got == want, f"seed {seed}: star CC != union-find"
