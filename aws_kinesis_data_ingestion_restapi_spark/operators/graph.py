@@ -190,16 +190,22 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    edge_counts: list[int] = []
+    edge_counts: list[int] = [e.count()]
     for rounds in range(1, max_iter + 1):
         d = e.select(F.col("big").alias("u"), F.col("small").alias("v")).union(
             e.select(F.col("small").alias("u"), F.col("big").alias("v"))
         )
         nxt = _small_star(_large_star(d)).localCheckpoint(eager=True)
+        # both frames are distinct sets, so equal cardinality plus
+        # one-direction emptiness proves set equality — one exceptAll
+        # probe per round, not two (the count doubles as telemetry)
+        n_nxt = nxt.count()
         changed = (
-            nxt.exceptAll(e).limit(1).count() + e.exceptAll(nxt).limit(1).count()
+            1
+            if n_nxt != edge_counts[-1]
+            else nxt.exceptAll(e).limit(1).count()
         )
-        edge_counts.append(nxt.count())
+        edge_counts.append(n_nxt)
         e = nxt
         if changed == 0:
             LAST_CC_REPORT.clear()
