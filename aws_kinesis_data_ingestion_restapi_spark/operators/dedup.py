@@ -434,27 +434,18 @@ def minhash_signatures(
     return shingled.select("doc_id", sig.alias("sig"))
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame,
-    num_perm: int = 32,
-    bands: int = 4,
-    threshold: float = 0.5,
-    shingle_words: int = 3,
+def minhash_band_keys(
+    sigs: DataFrame, num_perm: int = 32, bands: int = 4
 ) -> DataFrame:
-    """MinHash near-dup pairs via LSH banding.
+    """(doc_id, band, band_key) LSH banding of a signature frame.
 
-    Signature rows are split into ``bands`` bands of num_perm/bands
-    rows; documents sharing any band key become candidates (equi-join
-    shuffle on the band key — never all-pairs), then the estimated
-    Jaccard (matching signature fraction) filters at ``threshold``.
-    """
+    This IS the persistable index of an incremental dedup deployment:
+    written once for the corpus (bucketed by band_key at scale) and
+    probed by each new batch — see :func:`incremental_dedup_delta`.
+    Factored out of :func:`minhash_lsh_pairs` so the self-join and the
+    corpus-probe paths band identically (and identically to the DuckDB
+    oracle's banding CTE)."""
     rows_per_band = num_perm // bands
-    # second barrier: materialize the signatures once; the banding
-    # self-join and the verification joins below then REUSE the same
-    # exchange instead of recomputing signatures per plan branch
-    sigs = minhash_signatures(docs, num_perm, shingle_words).repartition(
-        F.col("doc_id")
-    )
     band_structs = F.array(
         *[
             F.struct(
@@ -472,9 +463,51 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = sigs.select(
-        "doc_id", F.explode(band_structs).alias("bk")
-    ).select("doc_id", "bk.band", "bk.band_key")
+    return sigs.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", "bk.band", "bk.band_key"
+    )
+
+
+def _est_jaccard_col(num_perm: int) -> Column:
+    """Matching-signature fraction of ``sig_a`` vs ``sig_b`` — the
+    exact-integer MinHash Jaccard estimate, one double division."""
+    matches = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(num_perm)),
+            lambda i: F.element_at("sig_a", i) == F.element_at("sig_b", i),
+        )
+    )
+    return matches.cast("double") / F.lit(float(num_perm))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_perm: int = 32,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle_words: int = 3,
+    sigs: DataFrame | None = None,
+) -> DataFrame:
+    """MinHash near-dup pairs via LSH banding.
+
+    Signature rows are split into ``bands`` bands of num_perm/bands
+    rows; documents sharing any band key become candidates (equi-join
+    shuffle on the band key — never all-pairs), then the estimated
+    Jaccard (matching signature fraction) filters at ``threshold``.
+
+    ``sigs`` lets a caller supply an already-materialized signature
+    frame (e.g. a session-shared one) — it must be the output of
+    :func:`minhash_signatures` with the same ``num_perm`` /
+    ``shingle_words``; ``docs`` is ignored in that case.
+    """
+    if sigs is None:
+        # second barrier: materialize the signatures once; the banding
+        # self-join and the verification joins below then REUSE the same
+        # exchange instead of recomputing signatures per plan branch
+        sigs = minhash_signatures(docs, num_perm, shingle_words).repartition(
+            F.col("doc_id")
+        )
+    banded = minhash_band_keys(sigs, num_perm, bands)
     cand = (
         banded.alias("a")
         .join(
@@ -490,18 +523,149 @@ def minhash_lsh_pairs(
     )
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    matches = F.size(
-        F.filter(
-            F.sequence(F.lit(1), F.lit(num_perm)),
-            lambda i: F.element_at("sig_a", i) == F.element_at("sig_b", i),
-        )
-    )
-    est = matches.cast("double") / F.lit(float(num_perm))
+    est = _est_jaccard_col(num_perm)
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def incremental_dedup_delta(
+    corpus_sigs: DataFrame,
+    delta_sigs: DataFrame,
+    num_perm: int = 32,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Single-pass incremental dedup of a new batch against a corpus.
+
+    THE dedup shape a 100 TB deployment actually runs: the corpus's
+    LSH index (:func:`minhash_band_keys` rows + signatures) is a
+    write-once persisted artifact, and each new crawl batch is deduped
+    by PROBING it — the corpus is never re-shingled, never re-hashed,
+    and above all never self-joined. Both probe joins here are
+    equi-joins on (band, band_key):
+
+    - delta × corpus-index: shuffles only the delta side when the
+      corpus index is bucketed by band_key (AQE broadcasts the delta
+      bands outright when the batch is small);
+    - delta × delta: bounded by the batch size, independent of corpus
+      size.
+
+    Per delta document the verdict is, in precedence order:
+
+    - ``dup_of_corpus``: some corpus document matches at
+      ``threshold`` (best match = highest estimated Jaccard, ties to
+      the smallest corpus doc_id);
+    - ``dup_in_delta``: no corpus match, but an EARLIER (smaller
+      doc_id) corpus-surviving delta document matches — keep-first
+      within the batch, matched only against docs that themselves
+      survived the corpus check (a doc already dropped as a corpus
+      duplicate can't be a keeper);
+    - ``novel``: neither.
+
+    Single-pass means NOT transitively closed: a later doc matching
+    only a doc that was itself a dup_in_delta is reported novel. That
+    is the standard streaming-ingest contract (each batch is filtered
+    once, survivors join the corpus index); full transitive closure is
+    what the connected-components family is for.
+
+    Returns (doc_id, verdict, match_doc_id, est_jaccard) for every
+    delta document; match columns are NULL for novel docs. All
+    arithmetic is exact integers until the one final double division,
+    so the output is bit-identical to the SQL oracle."""
+    corpus_bands = minhash_band_keys(corpus_sigs, num_perm, bands)
+    delta_bands = minhash_band_keys(delta_sigs, num_perm, bands)
+    est = _est_jaccard_col(num_perm)
+
+    def verified(cand: DataFrame, left_sigs: DataFrame, right_sigs: DataFrame
+                 ) -> DataFrame:
+        sa = left_sigs.select(
+            F.col("doc_id").alias("delta_id"), F.col("sig").alias("sig_a")
+        )
+        sb = right_sigs.select(
+            F.col("doc_id").alias("match_id"), F.col("sig").alias("sig_b")
+        )
+        return (
+            cand.join(sa, "delta_id")
+            .join(sb, "match_id")
+            .select("delta_id", "match_id", est.alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= threshold)
+        )
+
+    def best_match(matches: DataFrame) -> DataFrame:
+        w = Window.partitionBy("delta_id").orderBy(
+            F.desc("est_jaccard"), "match_id"
+        )
+        return (
+            matches.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    corpus_cand = (
+        delta_bands.alias("d")
+        .join(
+            corpus_bands.alias("c"),
+            (F.col("d.band") == F.col("c.band"))
+            & (F.col("d.band_key") == F.col("c.band_key")),
+        )
+        .select(
+            F.col("d.doc_id").alias("delta_id"),
+            F.col("c.doc_id").alias("match_id"),
+        )
+        .distinct()
+    )
+    corpus_dup = best_match(verified(corpus_cand, delta_sigs, corpus_sigs))
+
+    survivors = delta_sigs.select("doc_id", "sig").join(
+        corpus_dup.select(F.col("delta_id").alias("doc_id")),
+        "doc_id",
+        "left_anti",
+    )
+    surv_bands = minhash_band_keys(survivors, num_perm, bands)
+    delta_cand = (
+        surv_bands.alias("a")
+        .join(
+            surv_bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("b.doc_id").alias("delta_id"),
+            F.col("a.doc_id").alias("match_id"),
+        )
+        .distinct()
+    )
+    delta_dup = best_match(verified(delta_cand, survivors, survivors))
+
+    c = corpus_dup.select(
+        "delta_id",
+        F.col("match_id").alias("c_match"),
+        F.col("est_jaccard").alias("c_est"),
+    )
+    d = delta_dup.select(
+        "delta_id",
+        F.col("match_id").alias("d_match"),
+        F.col("est_jaccard").alias("d_est"),
+    )
+    return (
+        delta_sigs.select(F.col("doc_id").alias("delta_id"))
+        .join(c, "delta_id", "left")
+        .join(d, "delta_id", "left")
+        .select(
+            F.col("delta_id").alias("doc_id"),
+            F.when(F.col("c_match").isNotNull(), F.lit("dup_of_corpus"))
+            .when(F.col("d_match").isNotNull(), F.lit("dup_in_delta"))
+            .otherwise(F.lit("novel"))
+            .alias("verdict"),
+            F.coalesce("c_match", "d_match").alias("match_doc_id"),
+            F.coalesce("c_est", "d_est").alias("est_jaccard"),
+        )
+        .orderBy("doc_id")
     )
 
 

@@ -1939,6 +1939,7 @@ _GATE_HEAD = [
     "salted_lineitem_agg",
     "ann_recall_audit",
     "ann_topk_lsh_multi",
+    "dedup_incremental_delta",
     # never driver-proven (added after the r5 window froze) —
     # VERDICT r5 ask #1. events_attribution ALSO changed r6
     # ((ns, event_id) tie-break, round-5 ADVICE).
@@ -1996,7 +1997,8 @@ _GATE_HEAD = [
     "events_rolling_hour_avg",
     "events_ntile_quartiles",
     "events_value_outliers_mad",
-    "dedup_substring_hotspots",
+    # dedup_substring_hotspots rotated out for dedup_incremental_delta
+    # (r3/r4 driver greens + every gate log keep it covered).
 ]
 _GATE_TAIL = [
     "cdc_scd2_history",

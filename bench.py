@@ -166,6 +166,7 @@ ANALYTICS_QUERIES = [
     "dedup_substring_hotspots",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_incremental_delta",
     "dedup_simhash_pairs",
     "dedup_simhash_fingerprints",
     "dedup_contamination",
@@ -271,6 +272,7 @@ BENCH_KEY_ALIASES = {
     "profile_documents": "profile",
     "incremental_sales_rollup": "incr",
     "dedup_minhash_lsh": "minhash",
+    "dedup_incremental_delta": "incrd",
     "text_quality_score": "tquality",
     "text_language_id": "tlang",
     "mm_resize_images": "mmrz",

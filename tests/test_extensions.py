@@ -189,6 +189,53 @@ def test_minhash_lsh_catches_exact_dup(docs):
     assert pairs[(0, 1)] == 1.0
 
 
+def test_incremental_dedup_delta_semantics(spark):
+    """Hand-built signature frames pin every branch of the
+    incremental delta-vs-corpus contract exactly: corpus-dup
+    precedence, the keep-first-among-SURVIVORS rule, best-match
+    tie-breaks, and novel NULLs. Bands are 8 consecutive positions of
+    a 32-long signature; est = matching fraction, so every value
+    below is an exact fraction of 32."""
+    sig = lambda *runs: [v for v, n in runs for _ in range(n)]  # noqa: E731
+    corpus = spark.createDataFrame(
+        [
+            (1, sig((1, 24), (5, 8))),
+            (2, sig((7, 32),)),
+            (3, sig((7, 32),)),  # same as 2 — tie-break target
+        ],
+        "doc_id bigint, sig array<bigint>",
+    )
+    delta = spark.createDataFrame(
+        [
+            (100, sig((1, 24), (2, 8))),  # 0.75 vs corpus 1
+            (101, sig((9, 24), (2, 8))),  # matches only 100 (0.25)
+            (102, sig((9, 24), (3, 8))),  # 0.75 vs 101
+            (103, sig((1, 24), (3, 8))),  # 0.75 vs corpus 1 AND 0.25 vs 102
+            (104, sig((7, 32),)),         # 1.0 vs corpus 2 and 3
+            (105, sig((8, 32),)),         # matches nothing
+        ],
+        "doc_id bigint, sig array<bigint>",
+    )
+    out = {
+        r["doc_id"]: (r["verdict"], r["match_doc_id"], r["est_jaccard"])
+        for r in dedup.incremental_dedup_delta(
+            corpus, delta, num_perm=32, bands=4, threshold=0.25
+        ).collect()
+    }
+    assert out[100] == ("dup_of_corpus", 1, 0.75)
+    # 101's only match is 100, which was dropped as a corpus dup —
+    # not a survivor, so 101 is NOVEL (the single-pass contract)
+    assert out[101] == ("novel", None, None)
+    # ...and as a novel survivor, 101 IS a valid keeper for 102
+    assert out[102] == ("dup_in_delta", 101, 0.75)
+    # corpus match wins over the in-delta match (precedence)
+    assert out[103] == ("dup_of_corpus", 1, 0.75)
+    # equal-est corpus matches break to the smallest corpus doc_id
+    assert out[104] == ("dup_of_corpus", 2, 1.0)
+    assert out[105] == ("novel", None, None)
+    assert len(out) == 6
+
+
 def test_simhash_hamming_zero_for_exact_dup(docs):
     pairs = {
         (r["doc_a"], r["doc_b"]): r["hamming"]
