@@ -335,6 +335,74 @@ def test_attribution_matches_bruteforce(spark, seed):
 
 @given(seed=st.integers(0, 10**6))
 @settings(**_SETTINGS)
+def test_incremental_dedup_equals_bruteforce_replay(spark, seed):
+    """incremental_dedup_delta must agree with a sequential Python
+    replay of its contract on ANY signature frames: corpus-probe best
+    match (est desc, id asc), keep-first among corpus-SURVIVING
+    earlier delta docs, precedence, novel NULLs. Small alphabets make
+    band collisions and est ties common — exactly where the
+    survivor/ordering logic can go wrong."""
+    rng = random.Random(seed)
+    num_perm, bands = 8, 2
+    rows_per_band = num_perm // bands
+    threshold = rng.choice([0.25, 0.5, 0.75])
+    n_corpus = rng.randrange(1, 8)
+    n_delta = rng.randrange(1, 8)
+    mk_sig = lambda: [rng.randrange(3) for _ in range(num_perm)]  # noqa: E731
+    corpus = {i: mk_sig() for i in range(n_corpus)}
+    delta = {100 + i: mk_sig() for i in range(n_delta)}
+
+    def bands_of(sig):
+        return {
+            (b, tuple(sig[b * rows_per_band:(b + 1) * rows_per_band]))
+            for b in range(bands)
+        }
+
+    def est(sa, sb):
+        return sum(x == y for x, y in zip(sa, sb)) / num_perm
+
+    def best(did, sig, pool):
+        cands = [
+            (mid, est(sig, ms))
+            for mid, ms in pool.items()
+            if bands_of(sig) & bands_of(ms)
+        ]
+        cands = [(m, e) for m, e in cands if e >= threshold]
+        if not cands:
+            return None
+        return min(cands, key=lambda t: (-t[1], t[0]))
+
+    want = {}
+    survivors = {}
+    for did in sorted(delta):
+        hit = best(did, delta[did], corpus)
+        if hit is not None:
+            want[did] = ("dup_of_corpus", hit[0], hit[1])
+            continue
+        survivors[did] = delta[did]  # corpus survivor (keeper candidate)
+        earlier = {k: v for k, v in survivors.items() if k < did}
+        dhit = best(did, delta[did], earlier)
+        want[did] = (
+            ("dup_in_delta", dhit[0], dhit[1]) if dhit else ("novel", None, None)
+        )
+
+    cdf = spark.createDataFrame(
+        list(corpus.items()), "doc_id bigint, sig array<bigint>"
+    )
+    ddf = spark.createDataFrame(
+        list(delta.items()), "doc_id bigint, sig array<bigint>"
+    )
+    got = {
+        r["doc_id"]: (r["verdict"], r["match_doc_id"], r["est_jaccard"])
+        for r in dedup.incremental_dedup_delta(
+            cdf, ddf, num_perm=num_perm, bands=bands, threshold=threshold
+        ).collect()
+    }
+    assert got == want, f"seed {seed}"
+
+
+@given(seed=st.integers(0, 10**6))
+@settings(**_SETTINGS)
 def test_star_cc_equals_union_find_bruteforce(spark, seed):
     """connected_components_star must label ANY graph exactly like a
     driver-side union-find: component = the component's minimum node
