@@ -572,3 +572,18 @@ def test_ann_recall_audit_no_cartesian_truth_reused(spark):
     plan = explain_str(QUERY_FNS["ann_recall_audit"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert plan.count("Scan ExistingRDD") >= 3, plan[:2500]
+
+
+def test_incremental_dedup_probe_shape(spark):
+    """The delta-vs-corpus probe must be pure equi-joins on the band
+    key (never a cartesian), pick best matches through the rank
+    pushdown (WindowGroupLimit — top-1 per delta doc without
+    materializing full rank partitions), and drop corpus-dup'd docs
+    from the in-batch pass via a left-anti join — the three plan
+    features that keep per-batch cost independent of corpus size."""
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    plan = explain_str(QUERY_FNS["dedup_incremental_delta"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "LeftAnti" in plan
