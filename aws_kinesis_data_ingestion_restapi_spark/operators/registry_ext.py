@@ -249,6 +249,61 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-quantile-sketch audit (operators/sketch.
+    quantile_sketch_histogram/_estimates): p50/p90/p99 of events.value
+    from the log₂-binned histogram, side-by-side with the exact rank
+    quantile and the relative error — the same measured-not-claimed
+    contract as the Count-Min and θ-sketch audits. The sketch path is
+    ONE bounded groupBy (≤ a few hundred bins shuffle rows, KB-sized,
+    re-aggregable across partitions/days/clusters); the exact side is
+    the baseline a production run would NOT compute, here a
+    distinct-value cumulative — bounded because the value domain is
+    price-cents (≤ ~60k distinct at any SF), not a global row sort.
+    Both quantile definitions are rank-exact (value at row
+    ⌈q·n/100⌉), integer arithmetic until the value itself — no
+    interpolation formulas to float-drift across engines."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    q_pcts = [50, 90, 99]
+    hist = sketch.quantile_sketch_histogram(events, "value")
+    est = sketch.quantile_sketch_estimates(hist, q_pcts)
+
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dv = (
+        events.groupBy("value")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .select("value", F.sum("_c").over(w).alias("cum"))
+    )
+    exact = (
+        est.select("q_pct", "n")
+        .join(
+            dv,
+            F.lit(100) * F.col("cum")
+            >= F.col("q_pct").cast("long") * F.col("n"),
+        )
+        .groupBy("q_pct")
+        .agg(F.min("value").alias("exact"))
+    )
+    return (
+        est.join(exact, "q_pct")
+        .select(
+            "q_pct",
+            "n",
+            "est",
+            "exact",
+            (
+                F.abs(F.col("est") - F.col("exact"))
+                / F.nullif(F.col("exact"), F.lit(0.0))
+            ).alias("rel_err"),
+        )
+        .orderBy("q_pct")
+    )
+
+
 #: Session-scoped frame cache keyed on (applicationId, tag, params).
 #: Several registry queries are self-contained compositions over the
 #: IDENTICAL expensive sub-pipeline (the MinHash-LSH pair graph feeds
@@ -1003,6 +1058,7 @@ EXT_QUERY_FNS = {
     "docs_expectations": docs_expectations,
     "sketch_distinct_trigrams": sketch_distinct_trigrams,
     "sketch_heavy_hitters": sketch_heavy_hitters,
+    "sketch_value_quantiles": sketch_value_quantiles,
     "dedup_components": dedup_components,
     "dedup_components_star": dedup_components_star,
     "graph_pagerank_suppliers": graph_pagerank_suppliers,
@@ -1668,6 +1724,59 @@ EXT_ORACLE_SQL = {
     """,
     # count-min audit: 4×256 sketch, md5-seeded rows, min-of-counters
     # estimate; overestimate = est - exact must be >= 0 by construction
+    "sketch_value_quantiles": """
+        WITH s0 AS (
+            SELECT GREATEST(CAST(FLOOR(value * 100) AS BIGINT),
+                            CAST(0 AS BIGINT)) AS s, value
+            FROM events
+        ),
+        b AS (
+            SELECT
+                CASE WHEN s <= 3 THEN s
+                     ELSE 4 * (length(bin(s)) - 1)
+                          + CAST(FLOOR(s / POWER(2.0, length(bin(s)) - 3))
+                                 AS BIGINT) - 4
+                END AS bin_idx,
+                CASE WHEN s = 0 THEN 0.0
+                     WHEN s <= 3 THEN (CAST(s AS DOUBLE) + 0.5) / 100.0
+                     ELSE (FLOOR(s / POWER(2.0, length(bin(s)) - 3)) + 0.5)
+                          * POWER(2.0, length(bin(s)) - 3) / 100.0
+                END AS rep
+            FROM s0
+        ),
+        hist AS (
+            SELECT bin_idx, rep, COUNT(*) AS cnt FROM b GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT bin_idx, rep,
+                   CAST(SUM(cnt) OVER (ORDER BY bin_idx) AS BIGINT) AS cum,
+                   CAST(SUM(cnt) OVER () AS BIGINT) AS n
+            FROM hist
+        ),
+        qs AS (SELECT unnest([50, 90, 99]) AS q_pct),
+        est AS (
+            SELECT q_pct, n, rep AS est FROM (
+                SELECT q.q_pct, c.n, c.rep,
+                       ROW_NUMBER() OVER (PARTITION BY q.q_pct
+                                          ORDER BY c.bin_idx) AS rn
+                FROM qs q JOIN cum c ON 100 * c.cum >= q.q_pct * c.n
+            ) WHERE rn = 1
+        ),
+        dv AS (
+            SELECT value,
+                   CAST(SUM(c) OVER (ORDER BY value) AS BIGINT) AS cum
+            FROM (SELECT value, COUNT(*) AS c FROM events GROUP BY 1)
+        ),
+        ex AS (
+            SELECT e.q_pct, MIN(d.value) AS exact
+            FROM est e JOIN dv d ON 100 * d.cum >= e.q_pct * e.n
+            GROUP BY 1
+        )
+        SELECT e.q_pct, e.n, e.est, x.exact,
+               ABS(e.est - x.exact) / NULLIF(x.exact, 0.0) AS rel_err
+        FROM est e JOIN ex x ON e.q_pct = x.q_pct
+        ORDER BY e.q_pct
+    """,
     "sketch_heavy_hitters": f"""
         WITH tk AS (SELECT {_TOKS} AS t FROM documents),
         occ AS (

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def theta_distinct(
@@ -115,4 +116,96 @@ def countmin_estimates(
         cand_cells.join(F.broadcast(cells), ["d", "c"])
         .groupBy("item")
         .agg(F.min("n").alias("cm_estimate"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# mergeable quantile sketch (log-binned histogram, DDSketch-style)
+# ---------------------------------------------------------------------------
+
+#: sub-bins per octave = 4 (the two bits after the leading bit), so a
+#: bucket [t·2^e, (t+1)·2^e) with t ∈ [4,8) has width/(2·lower) ≤
+#: 1/(2·4) = 12.5 % worst-case relative half-width — the γ≈2^(1/4)
+#: resolution of the DDSketch family (Masson et al., VLDB '19) with
+#: EXACT integer bin indices (no log(); floor-scaled cents + binary
+#: digit count + one exact power-of-two division), so bin assignment
+#: is bit-identical in any engine.
+QSKETCH_SCALE = 100  # fixed-point cents — value resolution 0.01
+
+
+def quantile_sketch_histogram(
+    df: DataFrame, value: Column | str
+) -> DataFrame:
+    """Log₂-binned histogram of a non-negative value column:
+    (bin_idx, rep, cnt) with rep = the bucket's midpoint.
+
+    THE property that justifies a sketch at 100 TB: this is a GROUP BY
+    on a few hundred possible bins — map-side partial aggregation
+    shrinks the shuffle to |bins| rows per task, the summary is
+    ~KB-sized no matter the input, and two summaries MERGE by adding
+    counts (re-aggregable across partitions, days, or clusters —
+    unlike an exact percentile, which needs the full value multiset).
+    Quantile queries then read the cumulative histogram
+    (:func:`quantile_sketch_estimates`).
+
+    Bins (scaled = floor(value·100), exact IEEE both engines):
+    scaled = 0 → idx 0 (rep 0); 1 ≤ scaled ≤ 3 → idx = scaled (rep
+    the cent mid); scaled ≥ 4 → with e = ⌊log₂ scaled⌋ − 2 (binary
+    digit count, no float log) and t = ⌊scaled / 2^e⌋ ∈ [4,8):
+    idx = 4·(e+2) + (t−4), rep = (t+0.5)·2^e — monotone in value,
+    ≤ 12.5 % relative half-width."""
+    v = F.col(value) if isinstance(value, str) else value
+    # clamp at 0: the sketch's domain is non-negative values, and a
+    # stray negative must not silently land in a garbage bin
+    scaled = F.greatest(F.floor(v * QSKETCH_SCALE).cast("long"), F.lit(0))
+    msb = (F.length(F.bin(scaled)) - 1).cast("long")  # ⌊log₂⌋, exact
+    e = msb - 2
+    p2e = F.pow(F.lit(2.0), e.cast("double"))  # exact for e < 53
+    t = F.floor(scaled.cast("double") / p2e).cast("long")
+    idx = (
+        F.when(scaled <= 3, scaled)
+        .otherwise(4 * msb + t - 4)
+        .alias("bin_idx")
+    )
+    rep = (
+        F.when(scaled == 0, F.lit(0.0))
+        .when(
+            scaled <= 3,
+            (scaled.cast("double") + 0.5) / F.lit(float(QSKETCH_SCALE)),
+        )
+        .otherwise((t.cast("double") + 0.5) * p2e / F.lit(float(QSKETCH_SCALE)))
+        .alias("rep")
+    )
+    return (
+        df.select(idx, rep)
+        .groupBy("bin_idx", "rep")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def quantile_sketch_estimates(
+    hist: DataFrame, q_pcts: list[int]
+) -> DataFrame:
+    """(q_pct, n, est) quantile estimates from a log-binned histogram:
+    est = rep of the first bin where the cumulative count reaches
+    ⌈q·n/100⌉. The rank comparison is pure int64 (100·cum ≥ q·n) — no
+    float thresholds to disagree across engines. The histogram is
+    bins-sized, so the window and the per-q min-scan are driver-trivial
+    no matter the input scale."""
+    w = Window.orderBy("bin_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "bin_idx", "rep", F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    qs = hist.sparkSession.createDataFrame(
+        [(int(q),) for q in q_pcts], "q_pct int"
+    )
+    return (
+        cum.crossJoin(F.broadcast(qs))
+        .filter(F.lit(100) * F.col("cum") >= F.col("q_pct") * F.col("n"))
+        .groupBy("q_pct", "n")
+        .agg(F.min(F.struct("bin_idx", "rep")).alias("_m"))
+        .select("q_pct", "n", F.col("_m.rep").alias("est"))
     )

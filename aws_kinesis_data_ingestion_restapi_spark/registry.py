@@ -1940,6 +1940,7 @@ _GATE_HEAD = [
     "ann_recall_audit",
     "ann_topk_lsh_multi",
     "dedup_incremental_delta",
+    "sketch_value_quantiles",
     # never driver-proven (added after the r5 window froze) —
     # VERDICT r5 ask #1. events_attribution ALSO changed r6
     # ((ns, event_id) tie-break, round-5 ADVICE).
@@ -1994,11 +1995,11 @@ _GATE_HEAD = [
     "q22_dormant_customers",
     "q4_late_order_priority",
     "q21_late_sole_supplier",
-    "events_rolling_hour_avg",
     "events_ntile_quartiles",
     "events_value_outliers_mad",
-    # dedup_substring_hotspots rotated out for dedup_incremental_delta
-    # (r3/r4 driver greens + every gate log keep it covered).
+    # dedup_substring_hotspots and events_rolling_hour_avg rotated out
+    # for dedup_incremental_delta and sketch_value_quantiles (both
+    # hold r3/r4 driver greens + every gate log).
 ]
 _GATE_TAIL = [
     "cdc_scd2_history",

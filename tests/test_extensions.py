@@ -931,6 +931,98 @@ def test_theta_distinct_estimate_tracks_truth(spark):
     assert got["dup"]["n_sampled"] <= 20
 
 
+def test_quantile_sketch_bins_and_estimates(spark):
+    """Bin assignment at the edges (0, the exact 1..3 cents, octave
+    boundaries), the ≤12.5% relative half-width guarantee, and the
+    rank rule of the estimator — all pinned with hand-chosen values."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import sketch
+
+    vals = [0.0, 0.01, 0.03, 0.04, 0.07, 0.08, 1.0, 10.24, 163.84]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    hist = {
+        r["bin_idx"]: (r["rep"], r["cnt"])
+        for r in sketch.quantile_sketch_histogram(df, "value").collect()
+    }
+    assert hist[0] == (0.0, 1)                   # zero bin
+    assert hist[1] == (0.015, 1) and hist[3] == (0.035, 1)
+    assert hist[8] == (0.045, 1)                 # scaled 4 → first octave bin
+    assert hist[11] == (0.075, 1)                # scaled 7 → last sub-bin
+    assert hist[12] == (0.09, 1)                 # scaled 8 → next octave
+    # full replay: every value's bin and rep match the integer spec,
+    # and each rep sits within 12.5% of its bucket's true value range
+    import math
+
+    for v in vals:
+        s = math.floor(v * 100)
+        if s <= 3:
+            idx, rep = s, 0.0 if s == 0 else (s + 0.5) / 100
+        else:
+            msb = s.bit_length() - 1
+            t = s >> (msb - 2)
+            idx = 4 * msb + t - 4
+            rep = (t + 0.5) * 2.0 ** (msb - 2) / 100
+        assert hist[idx][0] == rep, v
+        if s >= 4:
+            assert abs(rep * 100 - s) / s <= 0.125 + 1e-12, v
+        else:
+            assert abs(rep * 100 - s) <= 0.5 + 1e-9, v  # cent floor
+    est = {
+        r["q_pct"]: (r["n"], r["est"])
+        for r in sketch.quantile_sketch_estimates(
+            sketch.quantile_sketch_histogram(df, "value"), [50, 99]
+        ).collect()
+    }
+    assert est[50][0] == 9 and est[99][0] == 9
+    # rank ⌈0.5·9⌉ = 5 → the 5th value (0.07)'s bin rep = 0.075
+    assert est[50][1] == 0.075
+    # rank ⌈0.99·9⌉ = 9 → the max value's bin
+    assert est[99][1] == hist[max(hist)][0]
+
+
+def test_quantile_sketch_merges_exactly(spark):
+    """The mergeability contract: histograms of two disjoint halves,
+    merged by adding counts, must equal the whole-data histogram —
+    and therefore give identical quantile estimates. This is what
+    makes the sketch re-aggregable across partitions/days/clusters."""
+    import random as _random
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators import sketch
+
+    rng = _random.Random(7)
+    vals = [round(rng.uniform(0, 500), 2) for _ in range(400)]
+    whole = spark.createDataFrame([(v,) for v in vals], "value double")
+    h1 = sketch.quantile_sketch_histogram(
+        spark.createDataFrame([(v,) for v in vals[:150]], "value double"),
+        "value",
+    )
+    h2 = sketch.quantile_sketch_histogram(
+        spark.createDataFrame([(v,) for v in vals[150:]], "value double"),
+        "value",
+    )
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("bin_idx", "rep")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    want = {
+        (r["bin_idx"], r["rep"]): r["cnt"]
+        for r in sketch.quantile_sketch_histogram(whole, "value").collect()
+    }
+    got = {(r["bin_idx"], r["rep"]): r["cnt"] for r in merged.collect()}
+    assert got == want
+    e_whole = {
+        r["q_pct"]: r["est"]
+        for r in sketch.quantile_sketch_estimates(
+            sketch.quantile_sketch_histogram(whole, "value"), [50, 90, 99]
+        ).collect()
+    }
+    e_merged = {
+        r["q_pct"]: r["est"]
+        for r in sketch.quantile_sketch_estimates(merged, [50, 90, 99]).collect()
+    }
+    assert e_merged == e_whole
+
+
 def test_fuzzy_two_table_join_vs_brute(spark):
     from aws_kinesis_data_ingestion_restapi_spark.operators.fuzzy import (
         fuzzy_join,
