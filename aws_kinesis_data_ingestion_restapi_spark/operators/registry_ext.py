@@ -1152,6 +1152,32 @@ _MULTI_BUCKET = f"""
         WHERE (tt.t + 1) * {similarity.SIGN_BITS} <= len(embedding)
 """
 
+#: log₂-binned quantile-sketch binning of events.value (the SQL twin
+#: of operators/sketch.quantile_sketch_histogram's bin expressions) —
+#: shared by the batch audit oracle and the streaming-drain oracle in
+#: registry.py.
+QSKETCH_BIN_SQL = """
+        s0 AS (
+            SELECT GREATEST(CAST(FLOOR(value * 100) AS BIGINT),
+                            CAST(0 AS BIGINT)) AS s, value
+            FROM events
+        ),
+        b AS (
+            SELECT
+                CASE WHEN s <= 3 THEN s
+                     ELSE 4 * (length(bin(s)) - 1)
+                          + CAST(FLOOR(s / POWER(2.0, length(bin(s)) - 3))
+                                 AS BIGINT) - 4
+                END AS bin_idx,
+                CASE WHEN s = 0 THEN 0.0
+                     WHEN s <= 3 THEN (CAST(s AS DOUBLE) + 0.5) / 100.0
+                     ELSE (FLOOR(s / POWER(2.0, length(bin(s)) - 3)) + 0.5)
+                          * POWER(2.0, length(bin(s)) - 3) / 100.0
+                END AS rep
+            FROM s0
+        )
+"""
+
 _MINHASH_SIGS = f"""
         toks AS (
             SELECT doc_id,
@@ -1724,26 +1750,8 @@ EXT_ORACLE_SQL = {
     """,
     # count-min audit: 4×256 sketch, md5-seeded rows, min-of-counters
     # estimate; overestimate = est - exact must be >= 0 by construction
-    "sketch_value_quantiles": """
-        WITH s0 AS (
-            SELECT GREATEST(CAST(FLOOR(value * 100) AS BIGINT),
-                            CAST(0 AS BIGINT)) AS s, value
-            FROM events
-        ),
-        b AS (
-            SELECT
-                CASE WHEN s <= 3 THEN s
-                     ELSE 4 * (length(bin(s)) - 1)
-                          + CAST(FLOOR(s / POWER(2.0, length(bin(s)) - 3))
-                                 AS BIGINT) - 4
-                END AS bin_idx,
-                CASE WHEN s = 0 THEN 0.0
-                     WHEN s <= 3 THEN (CAST(s AS DOUBLE) + 0.5) / 100.0
-                     ELSE (FLOOR(s / POWER(2.0, length(bin(s)) - 3)) + 0.5)
-                          * POWER(2.0, length(bin(s)) - 3) / 100.0
-                END AS rep
-            FROM s0
-        ),
+    "sketch_value_quantiles": f"""
+        WITH {QSKETCH_BIN_SQL},
         hist AS (
             SELECT bin_idx, rep, COUNT(*) AS cnt FROM b GROUP BY 1, 2
         ),

@@ -449,6 +449,7 @@ from aws_kinesis_data_ingestion_restapi_spark.streaming.registry_stream import (
     streaming_payment_match_outer,
     streaming_running_totals_final,
     streaming_session_windows,
+    streaming_value_quantiles,
 )
 
 QUERY_FNS["streaming_dedup_replay"] = streaming_dedup_replay
@@ -458,11 +459,13 @@ QUERY_FNS["streaming_payment_match"] = streaming_payment_match
 QUERY_FNS["streaming_payment_match_outer"] = streaming_payment_match_outer
 QUERY_FNS["streaming_late_data_policy"] = streaming_late_data_policy
 QUERY_FNS["streaming_session_windows"] = streaming_session_windows
+QUERY_FNS["streaming_value_quantiles"] = streaming_value_quantiles
 
 # merge the dedup / similarity / text-analysis extension surface
 from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (  # noqa: E402
     EXT_ORACLE_SQL,
     EXT_QUERY_FNS,
+    QSKETCH_BIN_SQL,
 )
 
 QUERY_FNS.update(EXT_QUERY_FNS)
@@ -1922,6 +1925,51 @@ ORACLE_SQL: dict[str, str] = {
 
 ORACLE_SQL.update(EXT_ORACLE_SQL)
 
+# Drained complete-mode state of the streaming quantile-sketch
+# histogram after two full deliveries: every bin count doubled, so
+# n = 2N while the rank-rule estimates are bit-identical to the
+# single-delivery read (100·2c ≥ q·2n ⟺ 100·c ≥ q·n) —
+# replay_invariant is the value-checked claim, not an assumption.
+ORACLE_SQL["streaming_value_quantiles"] = f"""
+    WITH {QSKETCH_BIN_SQL},
+    hist AS (
+        SELECT bin_idx, rep, COUNT(*) AS cnt FROM b GROUP BY 1, 2
+    ),
+    cum2 AS (
+        SELECT bin_idx, rep,
+               CAST(SUM(2 * cnt) OVER (ORDER BY bin_idx) AS BIGINT) AS cum,
+               CAST(SUM(2 * cnt) OVER () AS BIGINT) AS n
+        FROM hist
+    ),
+    cum1 AS (
+        SELECT bin_idx, rep,
+               CAST(SUM(cnt) OVER (ORDER BY bin_idx) AS BIGINT) AS cum,
+               CAST(SUM(cnt) OVER () AS BIGINT) AS n
+        FROM hist
+    ),
+    qs AS (SELECT unnest([50, 90, 99]) AS q_pct),
+    est2 AS (
+        SELECT q_pct, n, rep AS est FROM (
+            SELECT q.q_pct, c.n, c.rep,
+                   ROW_NUMBER() OVER (PARTITION BY q.q_pct
+                                      ORDER BY c.bin_idx) AS rn
+            FROM qs q JOIN cum2 c ON 100 * c.cum >= q.q_pct * c.n
+        ) WHERE rn = 1
+    ),
+    est1 AS (
+        SELECT q_pct, rep AS est_single FROM (
+            SELECT q.q_pct, c.rep,
+                   ROW_NUMBER() OVER (PARTITION BY q.q_pct
+                                      ORDER BY c.bin_idx) AS rn
+            FROM qs q JOIN cum1 c ON 100 * c.cum >= q.q_pct * c.n
+        ) WHERE rn = 1
+    )
+    SELECT e2.q_pct, e2.n, e2.est, e1.est_single,
+           e2.est = e1.est_single AS replay_invariant
+    FROM est2 e2 JOIN est1 e1 ON e2.q_pct = e1.q_pct
+    ORDER BY e2.q_pct
+"""
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering
 # ---------------------------------------------------------------------------
@@ -1941,6 +1989,7 @@ _GATE_HEAD = [
     "ann_topk_lsh_multi",
     "dedup_incremental_delta",
     "sketch_value_quantiles",
+    "streaming_value_quantiles",
     # never driver-proven (added after the r5 window froze) —
     # VERDICT r5 ask #1. events_attribution ALSO changed r6
     # ((ns, event_id) tie-break, round-5 ADVICE).
@@ -1995,11 +2044,12 @@ _GATE_HEAD = [
     "q22_dormant_customers",
     "q4_late_order_priority",
     "q21_late_sole_supplier",
-    "events_ntile_quartiles",
     "events_value_outliers_mad",
-    # dedup_substring_hotspots and events_rolling_hour_avg rotated out
-    # for dedup_incremental_delta and sketch_value_quantiles (both
-    # hold r3/r4 driver greens + every gate log).
+    # dedup_substring_hotspots, events_rolling_hour_avg and
+    # events_ntile_quartiles rotated out for the round-6 additions
+    # dedup_incremental_delta / sketch_value_quantiles /
+    # streaming_value_quantiles (all three rotated-out queries hold
+    # r3/r4 driver greens + every gate log).
 ]
 _GATE_TAIL = [
     "cdc_scd2_history",

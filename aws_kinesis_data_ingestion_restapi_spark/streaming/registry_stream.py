@@ -470,3 +470,69 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _drain(agg, "append", "ssess")
     shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+def streaming_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUSLY-MAINTAINED quantile sketch: the events value
+    stream aggregated into the log₂-binned histogram
+    (operators/sketch.quantile_sketch_histogram applied to the STREAM
+    — the identical code path batch uses), drained in complete mode
+    after TWO full deliveries, then read with
+    quantile_sketch_estimates.
+
+    This makes the sketch's two scale claims literal:
+
+    - streaming state = the histogram itself — ≤ a few hundred bin
+      counters, bounded forever, no watermark needed (a complete-mode
+      agg over an unbounded key space would be a leak; over a
+      log-bounded bin space it is THE way to keep live percentiles of
+      an infinite stream at 100 TB/day);
+    - merge-by-adding-counts — each micro-batch's partial histogram
+      folds into the state exactly like the batch unionByName merge
+      the unit test pins.
+
+    The replay doubles every count (n = 2N), and the output pins rank
+    SCALE-INVARIANCE: est must be bit-identical to the single-delivery
+    estimate (100·2c ≥ q·2n ⟺ 100·c ≥ q·n), surfaced as est_single +
+    replay_invariant so the oracle value-checks the claim rather than
+    trusting it."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import sketch
+
+    events = analytics._t(spark, sf_dir, "events")
+    base = events.select("event_id", "value")
+    d = tempfile.mkdtemp(prefix="stream_quant_")
+    stream_dir = os.path.join(d, "in")
+    os.makedirs(stream_dir)
+    staged = os.path.join(d, "staged")
+    base.write.mode("overwrite").json(staged)
+    src = os.path.join(d, "delivery.json")
+    with open(src, "wb") as out:
+        for p in sorted(glob.glob(os.path.join(staged, "part-*"))):
+            with open(p, "rb") as f:
+                shutil.copyfileobj(f, out)
+    for i in range(2):
+        shutil.copyfile(src, os.path.join(stream_dir, f"b{i}.json"))
+    stream = (
+        spark.readStream.schema("event_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(stream_dir)
+    )
+    hist_state = sketch.quantile_sketch_histogram(stream, "value")
+    drained = _drain(hist_state, "complete", "squant")
+    shutil.rmtree(d, ignore_errors=True)
+    q_pcts = [50, 90, 99]
+    est2 = sketch.quantile_sketch_estimates(drained, q_pcts)
+    est1 = sketch.quantile_sketch_estimates(
+        sketch.quantile_sketch_histogram(base, "value"), q_pcts
+    ).select("q_pct", F.col("est").alias("est_single"))
+    return (
+        est2.join(est1, "q_pct")
+        .select(
+            "q_pct",
+            "n",
+            "est",
+            "est_single",
+            (F.col("est") == F.col("est_single")).alias("replay_invariant"),
+        )
+        .orderBy("q_pct")
+    )

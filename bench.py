@@ -209,6 +209,7 @@ ANALYTICS_QUERIES = [
     "streaming_payment_match_outer",
     "streaming_late_data_policy",
     "streaming_session_windows",
+    "streaming_value_quantiles",
 ]
 
 
@@ -233,6 +234,7 @@ REF_BENCH_KEYS = {
 #: at centisecond precision. 1:1, documented here and in BENCH_NOTES.
 BENCH_KEY_ALIASES = {
     "streaming_late_data_policy": "st_late",
+    "streaming_value_quantiles": "stq",
     "streaming_payment_match": "stpay",
     "streaming_dedup_replay": "st_dedup",
     "customers_without_urgent_orders": "antiu",
