@@ -335,6 +335,41 @@ def test_attribution_matches_bruteforce(spark, seed):
 
 @given(seed=st.integers(0, 10**6))
 @settings(**_SETTINGS)
+def test_quantile_sketch_error_bound_holds(spark, seed):
+    """For ANY non-negative data: every quantile estimate must sit
+    within the sketch's guarantee of the true rank quantile — 12.5%
+    relative half-width once values clear the cent-resolution floor
+    (scaled ≥ 4), half a cent absolute below it — and the histogram's
+    total count must equal the row count. Hunts bin-edge arithmetic
+    drift that the fixed-edge unit test can only sample."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import sketch
+
+    rng = random.Random(seed)
+    n = rng.randrange(5, 120)
+    scale = rng.choice([1.0, 10.0, 500.0, 40000.0])
+    vals = [round(rng.uniform(0, scale), 2) for _ in range(n)]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    hist = sketch.quantile_sketch_histogram(df, "value")
+    rows = hist.collect()
+    assert sum(r["cnt"] for r in rows) == n
+    q_pcts = [50, 90, 99]
+    est = {
+        r["q_pct"]: r["est"]
+        for r in sketch.quantile_sketch_estimates(hist, q_pcts).collect()
+    }
+    ordered = sorted(vals)
+    for q in q_pcts:
+        rank = -(-q * n // 100)  # ⌈q·n/100⌉
+        true = ordered[rank - 1]
+        s = int(true * 100 + 1e-9)  # cents (values are 2-decimal)
+        if s >= 4:
+            assert abs(est[q] - true) / true <= 0.125 + 1e-9, (seed, q)
+        else:
+            assert abs(est[q] - true) <= 0.005 + 1e-9, (seed, q)
+
+
+@given(seed=st.integers(0, 10**6))
+@settings(**_SETTINGS)
 def test_incremental_dedup_equals_bruteforce_replay(spark, seed):
     """incremental_dedup_delta must agree with a sequential Python
     replay of its contract on ANY signature frames: corpus-probe best
