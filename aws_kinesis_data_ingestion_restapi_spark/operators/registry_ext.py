@@ -304,6 +304,63 @@ def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_type_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED quantile-sketch audit: per-event-type p50/p90/p99 from
+    the log₂-binned histogram keyed by event_type — the
+    per-endpoint/per-tenant percentile shape, |keys|·|bins| summary
+    rows — against the exact per-group rank quantile, with the
+    relative error surfaced. Same exactness contract as the global
+    audit (sketch_value_quantiles); the per-group exact side rides the
+    same bounded cents domain."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    q_pcts = [50, 90, 99]
+    hist = sketch.quantile_sketch_histogram(
+        events, "value", group_cols=["event_type"]
+    )
+    est = sketch.quantile_sketch_estimates(
+        hist, q_pcts, group_cols=["event_type"]
+    )
+
+    w = Window.partitionBy("event_type").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dv = (
+        events.groupBy("event_type", "value")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .select("event_type", "value", F.sum("_c").over(w).alias("cum"))
+    )
+    exact = (
+        est.select("event_type", "q_pct", "n")
+        .join(
+            dv.withColumnRenamed("event_type", "_et"),
+            (F.col("_et") == F.col("event_type"))
+            & (
+                F.lit(100) * F.col("cum")
+                >= F.col("q_pct").cast("long") * F.col("n")
+            ),
+        )
+        .groupBy("event_type", "q_pct")
+        .agg(F.min("value").alias("exact"))
+    )
+    return (
+        est.join(exact, ["event_type", "q_pct"])
+        .select(
+            "event_type",
+            "q_pct",
+            "n",
+            "est",
+            "exact",
+            (
+                F.abs(F.col("est") - F.col("exact"))
+                / F.nullif(F.col("exact"), F.lit(0.0))
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type", "q_pct")
+    )
+
+
 #: Session-scoped frame cache keyed on (applicationId, tag, params).
 #: Several registry queries are self-contained compositions over the
 #: IDENTICAL expensive sub-pipeline (the MinHash-LSH pair graph feeds
@@ -1059,6 +1116,7 @@ EXT_QUERY_FNS = {
     "sketch_distinct_trigrams": sketch_distinct_trigrams,
     "sketch_heavy_hitters": sketch_heavy_hitters,
     "sketch_value_quantiles": sketch_value_quantiles,
+    "events_type_value_quantiles": events_type_value_quantiles,
     "dedup_components": dedup_components,
     "dedup_components_star": dedup_components_star,
     "graph_pagerank_suppliers": graph_pagerank_suppliers,
@@ -1158,12 +1216,13 @@ _MULTI_BUCKET = f"""
 #: registry.py.
 QSKETCH_BIN_SQL = """
         s0 AS (
-            SELECT GREATEST(CAST(FLOOR(value * 100) AS BIGINT),
+            SELECT event_type,
+                   GREATEST(CAST(FLOOR(value * 100) AS BIGINT),
                             CAST(0 AS BIGINT)) AS s, value
             FROM events
         ),
         b AS (
-            SELECT
+            SELECT event_type,
                 CASE WHEN s <= 3 THEN s
                      ELSE 4 * (length(bin(s)) - 1)
                           + CAST(FLOOR(s / POWER(2.0, length(bin(s)) - 3))
@@ -1784,6 +1843,48 @@ EXT_ORACLE_SQL = {
                ABS(e.est - x.exact) / NULLIF(x.exact, 0.0) AS rel_err
         FROM est e JOIN ex x ON e.q_pct = x.q_pct
         ORDER BY e.q_pct
+    """,
+    "events_type_value_quantiles": f"""
+        WITH {QSKETCH_BIN_SQL},
+        hist AS (
+            SELECT event_type, bin_idx, rep, COUNT(*) AS cnt
+            FROM b GROUP BY 1, 2, 3
+        ),
+        cum AS (
+            SELECT event_type, bin_idx, rep,
+                   CAST(SUM(cnt) OVER (PARTITION BY event_type
+                                       ORDER BY bin_idx) AS BIGINT) AS cum,
+                   CAST(SUM(cnt) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS n
+            FROM hist
+        ),
+        qs AS (SELECT unnest([50, 90, 99]) AS q_pct),
+        est AS (
+            SELECT event_type, q_pct, n, rep AS est FROM (
+                SELECT c.event_type, q.q_pct, c.n, c.rep,
+                       ROW_NUMBER() OVER (PARTITION BY c.event_type, q.q_pct
+                                          ORDER BY c.bin_idx) AS rn
+                FROM qs q JOIN cum c ON 100 * c.cum >= q.q_pct * c.n
+            ) WHERE rn = 1
+        ),
+        dv AS (
+            SELECT event_type, value,
+                   CAST(SUM(c) OVER (PARTITION BY event_type
+                                     ORDER BY value) AS BIGINT) AS cum
+            FROM (SELECT event_type, value, COUNT(*) AS c
+                  FROM events GROUP BY 1, 2)
+        ),
+        ex AS (
+            SELECT e.event_type, e.q_pct, MIN(d.value) AS exact
+            FROM est e JOIN dv d ON d.event_type = e.event_type
+                               AND 100 * d.cum >= e.q_pct * e.n
+            GROUP BY 1, 2
+        )
+        SELECT e.event_type, e.q_pct, e.n, e.est, x.exact,
+               ABS(e.est - x.exact) / NULLIF(x.exact, 0.0) AS rel_err
+        FROM est e JOIN ex x ON e.event_type = x.event_type
+                            AND e.q_pct = x.q_pct
+        ORDER BY e.event_type, e.q_pct
     """,
     "sketch_heavy_hitters": f"""
         WITH tk AS (SELECT {_TOKS} AS t FROM documents),

@@ -134,10 +134,14 @@ QSKETCH_SCALE = 100  # fixed-point cents — value resolution 0.01
 
 
 def quantile_sketch_histogram(
-    df: DataFrame, value: Column | str
+    df: DataFrame, value: Column | str, group_cols: list[str] | None = None
 ) -> DataFrame:
     """Log₂-binned histogram of a non-negative value column:
-    (bin_idx, rep, cnt) with rep = the bucket's midpoint.
+    (*group_cols, bin_idx, rep, cnt) with rep = the bucket's midpoint.
+    With ``group_cols`` the sketch is maintained PER KEY — the
+    per-endpoint/per-tenant percentile shape — at |keys|·|bins| summary
+    rows, still map-side-combining and still merge-by-adding-counts
+    per key.
 
     THE property that justifies a sketch at 100 TB: this is a GROUP BY
     on a few hundred possible bins — map-side partial aggregation
@@ -176,28 +180,34 @@ def quantile_sketch_histogram(
         .otherwise((t.cast("double") + 0.5) * p2e / F.lit(float(QSKETCH_SCALE)))
         .alias("rep")
     )
+    g = list(group_cols or [])
     return (
-        df.select(idx, rep)
-        .groupBy("bin_idx", "rep")
+        df.select(*g, idx, rep)
+        .groupBy(*g, "bin_idx", "rep")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 
 def quantile_sketch_estimates(
-    hist: DataFrame, q_pcts: list[int]
+    hist: DataFrame, q_pcts: list[int], group_cols: list[str] | None = None
 ) -> DataFrame:
-    """(q_pct, n, est) quantile estimates from a log-binned histogram:
-    est = rep of the first bin where the cumulative count reaches
-    ⌈q·n/100⌉. The rank comparison is pure int64 (100·cum ≥ q·n) — no
-    float thresholds to disagree across engines. The histogram is
-    bins-sized, so the window and the per-q min-scan are driver-trivial
-    no matter the input scale."""
-    w = Window.orderBy("bin_idx").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    """(*group_cols, q_pct, n, est) quantile estimates from a
+    log-binned histogram: est = rep of the first bin where the
+    cumulative count reaches ⌈q·n/100⌉ (per group when ``group_cols``
+    is given — pass the SAME cols the histogram was built with). The
+    rank comparison is pure int64 (100·cum ≥ q·n) — no float
+    thresholds to disagree across engines. The histogram is bins-sized
+    (×|keys| when grouped), so the window and the per-q min-scan stay
+    summary-sized no matter the input scale."""
+    g = list(group_cols or [])
+    w = (
+        Window.partitionBy(*g)
+        .orderBy("bin_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = hist.select(
-        "bin_idx", "rep", F.sum("cnt").over(w).alias("cum"),
-        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+        *g, "bin_idx", "rep", F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy(*g)).alias("n"),
     )
     qs = hist.sparkSession.createDataFrame(
         [(int(q),) for q in q_pcts], "q_pct int"
@@ -205,7 +215,7 @@ def quantile_sketch_estimates(
     return (
         cum.crossJoin(F.broadcast(qs))
         .filter(F.lit(100) * F.col("cum") >= F.col("q_pct") * F.col("n"))
-        .groupBy("q_pct", "n")
+        .groupBy(*g, "q_pct", "n")
         .agg(F.min(F.struct("bin_idx", "rep")).alias("_m"))
-        .select("q_pct", "n", F.col("_m.rep").alias("est"))
+        .select(*g, "q_pct", "n", F.col("_m.rep").alias("est"))
     )

@@ -1989,6 +1989,7 @@ _GATE_HEAD = [
     "ann_topk_lsh_multi",
     "dedup_incremental_delta",
     "sketch_value_quantiles",
+    "events_type_value_quantiles",
     "streaming_value_quantiles",
     # never driver-proven (added after the r5 window froze) —
     # VERDICT r5 ask #1. events_attribution ALSO changed r6
@@ -2044,9 +2045,9 @@ _GATE_HEAD = [
     "q22_dormant_customers",
     "q4_late_order_priority",
     "q21_late_sole_supplier",
-    "events_value_outliers_mad",
-    # dedup_substring_hotspots, events_rolling_hour_avg and
-    # events_ntile_quartiles rotated out for the round-6 additions
+    # dedup_substring_hotspots, events_rolling_hour_avg,
+    # events_ntile_quartiles and events_value_outliers_mad rotated out
+    # for the round-6 additions
     # dedup_incremental_delta / sketch_value_quantiles /
     # streaming_value_quantiles (all three rotated-out queries hold
     # r3/r4 driver greens + every gate log).

@@ -132,6 +132,7 @@ ANALYTICS_QUERIES = [
     "sketch_distinct_trigrams",
     "sketch_heavy_hitters",
     "sketch_value_quantiles",
+    "events_type_value_quantiles",
     "incremental_sales_rollup",
     "salted_priority_sales",
     "sql_above_average_orders",
@@ -330,6 +331,7 @@ BENCH_KEY_ALIASES = {
     "text_pii_redact": "pii",
     "sketch_heavy_hitters": "cmhh",
     "sketch_value_quantiles": "qsk",
+    "events_type_value_quantiles": "qskg",
     "events_drift_tvd": "drift_tvd",
     "parts_abc_analysis": "abc",
     "brand_basket_affinity": "basket",

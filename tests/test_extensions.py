@@ -1023,6 +1023,41 @@ def test_quantile_sketch_merges_exactly(spark):
     assert e_merged == e_whole
 
 
+def test_quantile_sketch_grouped_equals_per_group(spark):
+    """The grouped sketch must be exactly the global sketch applied
+    to each key's rows independently — same bins, same counts, same
+    estimates — so per-key percentiles carry every global guarantee."""
+    import random as _random
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators import sketch
+
+    rng = _random.Random(11)
+    rows = [
+        (g, round(rng.uniform(0, 300), 2))
+        for g in ("a", "b", "c")
+        for _ in range(120)
+    ]
+    df = spark.createDataFrame(rows, "g string, value double")
+    grouped = sketch.quantile_sketch_estimates(
+        sketch.quantile_sketch_histogram(df, "value", group_cols=["g"]),
+        [50, 90, 99],
+        group_cols=["g"],
+    )
+    got = {
+        (r["g"], r["q_pct"]): (r["n"], r["est"]) for r in grouped.collect()
+    }
+    assert len(got) == 9
+    for g in ("a", "b", "c"):
+        solo = sketch.quantile_sketch_estimates(
+            sketch.quantile_sketch_histogram(
+                df.filter(F.col("g") == g), "value"
+            ),
+            [50, 90, 99],
+        )
+        for r in solo.collect():
+            assert got[(g, r["q_pct"])] == (r["n"], r["est"]), (g, r["q_pct"])
+
+
 def test_fuzzy_two_table_join_vs_brute(spark):
     from aws_kinesis_data_ingestion_restapi_spark.operators.fuzzy import (
         fuzzy_join,
