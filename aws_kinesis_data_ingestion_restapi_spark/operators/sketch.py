@@ -181,6 +181,11 @@ def quantile_sketch_histogram(
         .alias("rep")
     )
     g = list(group_cols or [])
+    reserved = {"bin_idx", "rep", "cnt"} & set(g)
+    if reserved:
+        # the summary's own column names; silently shadowing a group
+        # key would corrupt the caller's data (the salted_join lesson)
+        raise ValueError(f"group_cols collide with sketch columns: {reserved}")
     return (
         df.select(*g, idx, rep)
         .groupBy(*g, "bin_idx", "rep")
@@ -200,6 +205,9 @@ def quantile_sketch_estimates(
     (×|keys| when grouped), so the window and the per-q min-scan stay
     summary-sized no matter the input scale."""
     g = list(group_cols or [])
+    reserved = {"q_pct", "n", "est", "cum"} & set(g)
+    if reserved:
+        raise ValueError(f"group_cols collide with estimate columns: {reserved}")
     w = (
         Window.partitionBy(*g)
         .orderBy("bin_idx")

@@ -1056,6 +1056,19 @@ def test_quantile_sketch_grouped_equals_per_group(spark):
         )
         for r in solo.collect():
             assert got[(g, r["q_pct"])] == (r["n"], r["est"]), (g, r["q_pct"])
+    # reserved-name guard: a group key named like a summary column
+    # must raise, not silently shadow
+    with pytest.raises(ValueError):
+        sketch.quantile_sketch_histogram(
+            df.withColumnRenamed("g", "rep"), "value", group_cols=["rep"]
+        )
+    with pytest.raises(ValueError):
+        sketch.quantile_sketch_estimates(
+            sketch.quantile_sketch_histogram(df, "value", group_cols=["g"])
+            .withColumnRenamed("g", "est"),
+            [50],
+            group_cols=["est"],
+        )
 
 
 def test_fuzzy_two_table_join_vs_brute(spark):
