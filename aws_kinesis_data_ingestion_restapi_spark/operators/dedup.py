@@ -481,7 +481,7 @@ def _est_jaccard_col(num_perm: int) -> Column:
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame,
+    docs: DataFrame | None,
     num_perm: int = 32,
     bands: int = 4,
     threshold: float = 0.5,
@@ -566,11 +566,15 @@ def incremental_dedup_delta(
       duplicate can't be a keeper);
     - ``novel``: neither.
 
-    Single-pass means NOT transitively closed: a later doc matching
-    only a doc that was itself a dup_in_delta is reported novel. That
-    is the standard streaming-ingest contract (each batch is filtered
-    once, survivors join the corpus index); full transitive closure is
-    what the connected-components family is for.
+    Single-pass means in-batch clusters resolve to their EARLIEST
+    member, not to a transitive canonical: every corpus-surviving doc
+    (novel OR dup_in_delta) is a valid keeper for later docs, so a
+    chain A←B←C reports C as dup_in_delta of B even though B was
+    itself dropped as a dup of A — follow match_doc_id links (or run
+    the connected-components family) when a retained canonical is
+    needed. That is the standard streaming-ingest contract: each
+    batch is filtered once, and only docs marked novel join the
+    corpus index.
 
     Returns (doc_id, verdict, match_doc_id, est_jaccard) for every
     delta document; match columns are NULL for novel docs. All
@@ -618,14 +622,23 @@ def incremental_dedup_delta(
         )
         .distinct()
     )
-    corpus_dup = best_match(verified(corpus_cand, delta_sigs, corpus_sigs))
+    # materialize the probe result once: corpus_dup feeds the survivor
+    # anti-join (twice: band side + sig side), the in-batch verify, and
+    # the final assembly — without the barrier the delta×corpus probe
+    # subtree (two verify joins + the best-match window) is re-planned
+    # up to 4×. Near-dup-sized, so pinning it is cheap at any SF (the
+    # same reasoning as minhash_lsh_pairs' signature barrier).
+    corpus_dup = best_match(
+        verified(corpus_cand, delta_sigs, corpus_sigs)
+    ).localCheckpoint(eager=False)
 
+    dropped = corpus_dup.select(F.col("delta_id").alias("doc_id"))
     survivors = delta_sigs.select("doc_id", "sig").join(
-        corpus_dup.select(F.col("delta_id").alias("doc_id")),
-        "doc_id",
-        "left_anti",
+        dropped, "doc_id", "left_anti"
     )
-    surv_bands = minhash_band_keys(survivors, num_perm, bands)
+    # survivors' band keys: filter the already-built delta_bands
+    # instead of re-hashing every surviving signature
+    surv_bands = delta_bands.join(dropped, "doc_id", "left_anti")
     delta_cand = (
         surv_bands.alias("a")
         .join(

@@ -209,9 +209,13 @@ def connected_components_star(
         e = nxt
         if changed == 0:
             LAST_CC_REPORT.clear()
+            # edges_per_round carries exactly one entry per round (the
+            # same shape contract as min-label's "relabeled"); the
+            # pre-round-1 canonical edge count gets its own key
             LAST_CC_REPORT.update(
                 {"rounds_used": rounds, "max_iter": max_iter,
-                 "edges_per_round": edge_counts, "algorithm": "star"}
+                 "initial_edges": edge_counts[0],
+                 "edges_per_round": edge_counts[1:], "algorithm": "star"}
             )
             _LOG.info(
                 "connected_components_star converged in %d/%d rounds",

@@ -249,6 +249,70 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quantile_audit(
+    spark: SparkSession, sf_dir: str, group_cols: list[str]
+) -> DataFrame:
+    """ONE audit implementation for the global and grouped quantile-
+    sketch queries (the axis the sketch operators already parameterize
+    via group_cols — keeping a single copy is what stops the Spark and
+    oracle rank/rel_err definitions drifting apart): sketch p50/p90/p99
+    vs the exact rank quantile, per group when grouped. The exact side
+    is the baseline a production run would NOT compute — a
+    distinct-value cumulative, bounded because the value domain is
+    price-cents (≤ ~60k distinct at any SF), not a global row sort;
+    NULL/NaN rows are excluded on BOTH sides exactly like the sketch
+    itself. Both quantile definitions are rank-exact (value at row
+    ⌈q·n/100⌉), integer arithmetic until the value itself — no
+    interpolation formulas to float-drift across engines."""
+    from pyspark.sql.window import Window
+
+    g = list(group_cols)
+    events = load_table(spark, sf_dir, "events")
+    clean = events.filter(
+        F.col("value").isNotNull() & ~F.isnan(F.col("value").cast("double"))
+    )
+    q_pcts = [50, 90, 99]
+    hist = sketch.quantile_sketch_histogram(events, "value", group_cols=g)
+    est = sketch.quantile_sketch_estimates(hist, q_pcts, group_cols=g)
+
+    w = Window.partitionBy(*g).orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dv = (
+        clean.groupBy(*g, "value")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .select(*g, "value", F.sum("_c").over(w).alias("cum"))
+    )
+    for c in g:
+        dv = dv.withColumnRenamed(c, f"_g_{c}")
+    cond = F.lit(100) * F.col("cum") >= F.col("q_pct").cast("long") * F.col(
+        "n"
+    )
+    for c in g:
+        cond = cond & (F.col(f"_g_{c}") == F.col(c))
+    exact = (
+        est.select(*g, "q_pct", "n")
+        .join(dv, cond)
+        .groupBy(*g, "q_pct")
+        .agg(F.min("value").alias("exact"))
+    )
+    return (
+        est.join(exact, [*g, "q_pct"])
+        .select(
+            *g,
+            "q_pct",
+            "n",
+            "est",
+            "exact",
+            (
+                F.abs(F.col("est") - F.col("exact"))
+                / F.nullif(F.col("exact"), F.lit(0.0))
+            ).alias("rel_err"),
+        )
+        .orderBy(*g, "q_pct")
+    )
+
+
 def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-quantile-sketch audit (operators/sketch.
     quantile_sketch_histogram/_estimates): p50/p90/p99 of events.value
@@ -256,109 +320,18 @@ def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile and the relative error — the same measured-not-claimed
     contract as the Count-Min and θ-sketch audits. The sketch path is
     ONE bounded groupBy (≤ a few hundred bins shuffle rows, KB-sized,
-    re-aggregable across partitions/days/clusters); the exact side is
-    the baseline a production run would NOT compute, here a
-    distinct-value cumulative — bounded because the value domain is
-    price-cents (≤ ~60k distinct at any SF), not a global row sort.
-    Both quantile definitions are rank-exact (value at row
-    ⌈q·n/100⌉), integer arithmetic until the value itself — no
-    interpolation formulas to float-drift across engines."""
-    from pyspark.sql.window import Window
-
-    events = load_table(spark, sf_dir, "events")
-    q_pcts = [50, 90, 99]
-    hist = sketch.quantile_sketch_histogram(events, "value")
-    est = sketch.quantile_sketch_estimates(hist, q_pcts)
-
-    w = Window.orderBy("value").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    dv = (
-        events.groupBy("value")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .select("value", F.sum("_c").over(w).alias("cum"))
-    )
-    exact = (
-        est.select("q_pct", "n")
-        .join(
-            dv,
-            F.lit(100) * F.col("cum")
-            >= F.col("q_pct").cast("long") * F.col("n"),
-        )
-        .groupBy("q_pct")
-        .agg(F.min("value").alias("exact"))
-    )
-    return (
-        est.join(exact, "q_pct")
-        .select(
-            "q_pct",
-            "n",
-            "est",
-            "exact",
-            (
-                F.abs(F.col("est") - F.col("exact"))
-                / F.nullif(F.col("exact"), F.lit(0.0))
-            ).alias("rel_err"),
-        )
-        .orderBy("q_pct")
-    )
+    re-aggregable across partitions/days/clusters). See
+    :func:`_quantile_audit` for the shared audit shape."""
+    return _quantile_audit(spark, sf_dir, [])
 
 
 def events_type_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUPED quantile-sketch audit: per-event-type p50/p90/p99 from
-    the log₂-binned histogram keyed by event_type — the
-    per-endpoint/per-tenant percentile shape, |keys|·|bins| summary
-    rows — against the exact per-group rank quantile, with the
-    relative error surfaced. Same exactness contract as the global
-    audit (sketch_value_quantiles); the per-group exact side rides the
-    same bounded cents domain."""
-    from pyspark.sql.window import Window
-
-    events = load_table(spark, sf_dir, "events")
-    q_pcts = [50, 90, 99]
-    hist = sketch.quantile_sketch_histogram(
-        events, "value", group_cols=["event_type"]
-    )
-    est = sketch.quantile_sketch_estimates(
-        hist, q_pcts, group_cols=["event_type"]
-    )
-
-    w = Window.partitionBy("event_type").orderBy("value").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    dv = (
-        events.groupBy("event_type", "value")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .select("event_type", "value", F.sum("_c").over(w).alias("cum"))
-    )
-    exact = (
-        est.select("event_type", "q_pct", "n")
-        .join(
-            dv.withColumnRenamed("event_type", "_et"),
-            (F.col("_et") == F.col("event_type"))
-            & (
-                F.lit(100) * F.col("cum")
-                >= F.col("q_pct").cast("long") * F.col("n")
-            ),
-        )
-        .groupBy("event_type", "q_pct")
-        .agg(F.min("value").alias("exact"))
-    )
-    return (
-        est.join(exact, ["event_type", "q_pct"])
-        .select(
-            "event_type",
-            "q_pct",
-            "n",
-            "est",
-            "exact",
-            (
-                F.abs(F.col("est") - F.col("exact"))
-                / F.nullif(F.col("exact"), F.lit(0.0))
-            ).alias("rel_err"),
-        )
-        .orderBy("event_type", "q_pct")
-    )
+    """GROUPED quantile-sketch audit: per-event-type p50/p90/p99 —
+    the per-endpoint/per-tenant percentile shape, |keys|·|bins|
+    summary rows — against the exact per-group rank quantile. Same
+    exactness contract as the global audit; one shared implementation
+    (:func:`_quantile_audit`)."""
+    return _quantile_audit(spark, sf_dir, ["event_type"])
 
 
 #: Session-scoped frame cache keyed on (applicationId, tag, params).
@@ -606,8 +579,8 @@ _DELTA_PCT = 7  # doc_id % 10 >= 7 → delta
 
 def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental delta-vs-corpus dedup (operators/dedup.
-    incremental_dedup_delta): the 20% doc_id tail plays the new crawl
-    batch, the other 80% the already-indexed corpus. The corpus is
+    incremental_dedup_delta): the 30% doc_id tail plays the new crawl
+    batch, the other 70% the already-indexed corpus. The corpus is
     probed through its band index — never self-joined, never
     re-scanned per batch — which is the only dedup access pattern that
     survives a corpus 1000× the batch size. Signatures ride the
@@ -1220,6 +1193,7 @@ QSKETCH_BIN_SQL = """
                    GREATEST(CAST(FLOOR(value * 100) AS BIGINT),
                             CAST(0 AS BIGINT)) AS s, value
             FROM events
+            WHERE value IS NOT NULL AND NOT isnan(value)
         ),
         b AS (
             SELECT event_type,
@@ -1236,6 +1210,59 @@ QSKETCH_BIN_SQL = """
             FROM s0
         )
 """
+
+def _qsketch_audit_sql(group_col: str | None) -> str:
+    """ONE SQL template for the global and grouped quantile-sketch
+    audit oracles — the same single-copy principle as the Spark-side
+    :func:`_quantile_audit`: the rank rule, the NULL/NaN exclusion and
+    the rel_err formula exist once, with the group key as the only
+    parameter."""
+    k = f"{group_col}, " if group_col else ""
+    ck = f"c.{group_col}, " if group_col else ""
+    ek = f"e.{group_col}, " if group_col else ""
+    pb = f"PARTITION BY {group_col} " if group_col else ""
+    pbn = f"PARTITION BY {group_col}" if group_col else ""
+    eq_dv = f"d.{group_col} = e.{group_col} AND " if group_col else ""
+    eq_x = f"e.{group_col} = x.{group_col} AND " if group_col else ""
+    return f"""
+        WITH {QSKETCH_BIN_SQL},
+        hist AS (
+            SELECT {k}bin_idx, rep, COUNT(*) AS cnt FROM b GROUP BY ALL
+        ),
+        cum AS (
+            SELECT {k}bin_idx, rep,
+                   CAST(SUM(cnt) OVER ({pb}ORDER BY bin_idx)
+                        AS BIGINT) AS cum,
+                   CAST(SUM(cnt) OVER ({pbn}) AS BIGINT) AS n
+            FROM hist
+        ),
+        qs AS (SELECT unnest([50, 90, 99]) AS q_pct),
+        est AS (
+            SELECT {k}q_pct, n, rep AS est FROM (
+                SELECT {ck}q.q_pct, c.n, c.rep,
+                       ROW_NUMBER() OVER (PARTITION BY {ck}q.q_pct
+                                          ORDER BY c.bin_idx) AS rn
+                FROM qs q JOIN cum c ON 100 * c.cum >= q.q_pct * c.n
+            ) WHERE rn = 1
+        ),
+        dv AS (
+            SELECT {k}value,
+                   CAST(SUM(c) OVER ({pb}ORDER BY value) AS BIGINT) AS cum
+            FROM (SELECT {k}value, COUNT(*) AS c FROM events
+                  WHERE value IS NOT NULL AND NOT isnan(value)
+                  GROUP BY ALL)
+        ),
+        ex AS (
+            SELECT {ek}e.q_pct, MIN(d.value) AS exact
+            FROM est e JOIN dv d ON {eq_dv}100 * d.cum >= e.q_pct * e.n
+            GROUP BY ALL
+        )
+        SELECT {ek}e.q_pct, e.n, e.est, x.exact,
+               ABS(e.est - x.exact) / NULLIF(x.exact, 0.0) AS rel_err
+        FROM est e JOIN ex x ON {eq_x}e.q_pct = x.q_pct
+        ORDER BY {ek}e.q_pct
+    """
+
 
 _MINHASH_SIGS = f"""
         toks AS (
@@ -1809,83 +1836,8 @@ EXT_ORACLE_SQL = {
     """,
     # count-min audit: 4×256 sketch, md5-seeded rows, min-of-counters
     # estimate; overestimate = est - exact must be >= 0 by construction
-    "sketch_value_quantiles": f"""
-        WITH {QSKETCH_BIN_SQL},
-        hist AS (
-            SELECT bin_idx, rep, COUNT(*) AS cnt FROM b GROUP BY 1, 2
-        ),
-        cum AS (
-            SELECT bin_idx, rep,
-                   CAST(SUM(cnt) OVER (ORDER BY bin_idx) AS BIGINT) AS cum,
-                   CAST(SUM(cnt) OVER () AS BIGINT) AS n
-            FROM hist
-        ),
-        qs AS (SELECT unnest([50, 90, 99]) AS q_pct),
-        est AS (
-            SELECT q_pct, n, rep AS est FROM (
-                SELECT q.q_pct, c.n, c.rep,
-                       ROW_NUMBER() OVER (PARTITION BY q.q_pct
-                                          ORDER BY c.bin_idx) AS rn
-                FROM qs q JOIN cum c ON 100 * c.cum >= q.q_pct * c.n
-            ) WHERE rn = 1
-        ),
-        dv AS (
-            SELECT value,
-                   CAST(SUM(c) OVER (ORDER BY value) AS BIGINT) AS cum
-            FROM (SELECT value, COUNT(*) AS c FROM events GROUP BY 1)
-        ),
-        ex AS (
-            SELECT e.q_pct, MIN(d.value) AS exact
-            FROM est e JOIN dv d ON 100 * d.cum >= e.q_pct * e.n
-            GROUP BY 1
-        )
-        SELECT e.q_pct, e.n, e.est, x.exact,
-               ABS(e.est - x.exact) / NULLIF(x.exact, 0.0) AS rel_err
-        FROM est e JOIN ex x ON e.q_pct = x.q_pct
-        ORDER BY e.q_pct
-    """,
-    "events_type_value_quantiles": f"""
-        WITH {QSKETCH_BIN_SQL},
-        hist AS (
-            SELECT event_type, bin_idx, rep, COUNT(*) AS cnt
-            FROM b GROUP BY 1, 2, 3
-        ),
-        cum AS (
-            SELECT event_type, bin_idx, rep,
-                   CAST(SUM(cnt) OVER (PARTITION BY event_type
-                                       ORDER BY bin_idx) AS BIGINT) AS cum,
-                   CAST(SUM(cnt) OVER (PARTITION BY event_type)
-                        AS BIGINT) AS n
-            FROM hist
-        ),
-        qs AS (SELECT unnest([50, 90, 99]) AS q_pct),
-        est AS (
-            SELECT event_type, q_pct, n, rep AS est FROM (
-                SELECT c.event_type, q.q_pct, c.n, c.rep,
-                       ROW_NUMBER() OVER (PARTITION BY c.event_type, q.q_pct
-                                          ORDER BY c.bin_idx) AS rn
-                FROM qs q JOIN cum c ON 100 * c.cum >= q.q_pct * c.n
-            ) WHERE rn = 1
-        ),
-        dv AS (
-            SELECT event_type, value,
-                   CAST(SUM(c) OVER (PARTITION BY event_type
-                                     ORDER BY value) AS BIGINT) AS cum
-            FROM (SELECT event_type, value, COUNT(*) AS c
-                  FROM events GROUP BY 1, 2)
-        ),
-        ex AS (
-            SELECT e.event_type, e.q_pct, MIN(d.value) AS exact
-            FROM est e JOIN dv d ON d.event_type = e.event_type
-                               AND 100 * d.cum >= e.q_pct * e.n
-            GROUP BY 1, 2
-        )
-        SELECT e.event_type, e.q_pct, e.n, e.est, x.exact,
-               ABS(e.est - x.exact) / NULLIF(x.exact, 0.0) AS rel_err
-        FROM est e JOIN ex x ON e.event_type = x.event_type
-                            AND e.q_pct = x.q_pct
-        ORDER BY e.event_type, e.q_pct
-    """,
+    "sketch_value_quantiles": _qsketch_audit_sql(None),
+    "events_type_value_quantiles": _qsketch_audit_sql("event_type"),
     "sketch_heavy_hitters": f"""
         WITH tk AS (SELECT {_TOKS} AS t FROM documents),
         occ AS (

@@ -159,8 +159,12 @@ def quantile_sketch_histogram(
     idx = 4·(e+2) + (t−4), rep = (t+0.5)·2^e — monotone in value,
     ≤ 12.5 % relative half-width."""
     v = F.col(value) if isinstance(value, str) else value
-    # clamp at 0: the sketch's domain is non-negative values, and a
-    # stray negative must not silently land in a garbage bin
+    # NULL/NaN rows are SKIPPED (standard SQL aggregate semantics) —
+    # without the filter, greatest() null-skipping and NaN→0 casts
+    # would silently count both as value 0.0, dragging every quantile
+    # toward 0; negatives clamp to 0 so a stray one cannot land in a
+    # garbage bin. Mirrored verbatim in the oracle SQL.
+    df = df.filter(v.isNotNull() & ~F.isnan(v.cast("double")))
     scaled = F.greatest(F.floor(v * QSKETCH_SCALE).cast("long"), F.lit(0))
     msb = (F.length(F.bin(scaled)) - 1).cast("long")  # ⌊log₂⌋, exact
     e = msb - 2

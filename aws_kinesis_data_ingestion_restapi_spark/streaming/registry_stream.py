@@ -48,19 +48,42 @@ from aws_kinesis_data_ingestion_restapi_spark.streaming.stateful import (
 _seq = itertools.count()
 
 
-def _order_stream(spark: SparkSession, sf_dir: str, replays: int = 2):
-    """Write the sf_dir order stream once (distributed ``write.json``,
-    no driver collect), file-copy it into ``replays`` identical NDJSON
-    batch files, and open a micro-batched file stream over them (one
-    file per trigger ⇒ the second file is a full at-least-once
-    redelivery).
+def _replayed_stream(
+    spark: SparkSession, df: DataFrame, schema: str, replays: int, prefix: str
+):
+    """The shared stream fixture: write ``df`` as NDJSON once
+    (distributed ``write.json``, no driver collect — the driver merely
+    concatenates part files), copy the delivery into ``replays``
+    identical batch files, and open a micro-batched file stream (one
+    file per trigger ⇒ every file after the first is a full
+    at-least-once redelivery). Returns (stream, tmpdir); the caller
+    removes tmpdir after the drain."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    staged = os.path.join(d, "staged")
+    df.write.mode("overwrite").json(staged)
+    stream_dir = os.path.join(d, "in")
+    os.makedirs(stream_dir)
+    src = os.path.join(d, "delivery.json")
+    with open(src, "wb") as out:
+        for part in sorted(glob.glob(os.path.join(staged, "part-*"))):
+            with open(part, "rb") as f:
+                shutil.copyfileobj(f, out)
+    for i in range(replays):
+        shutil.copyfile(src, os.path.join(stream_dir, f"b{i}.json"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(stream_dir)
+    )
+    return stream, d
 
-    The five stream columns come straight off ``orders`` with the SAME
-    expressions build_order_events uses for them (its nested
-    product-array construction — the expensive collect_list shuffle —
-    contributes nothing to these columns, so the fixture skips it; the
-    JSON encode runs at full scan parallelism and the driver merely
-    concatenates part files)."""
+
+def _order_stream(spark: SparkSession, sf_dir: str, replays: int = 2):
+    """The replayed order stream: five columns straight off ``orders``
+    with the SAME expressions build_order_events uses for them (its
+    nested product-array construction — the expensive collect_list
+    shuffle — contributes nothing to these columns, so the fixture
+    skips it)."""
     orders = analytics._t(spark, sf_dir, "orders")
     events = orders.select(
         F.col("o_custkey").cast("string").alias("customer_id"),
@@ -71,28 +94,11 @@ def _order_stream(spark: SparkSession, sf_dir: str, replays: int = 2):
         F.col("o_orderstatus").alias("status"),
         F.col("o_totalprice").alias("amount"),
     )
-    d = tempfile.mkdtemp(prefix="stream_gate_")
-    staged = os.path.join(d, "staged")
-    events.write.mode("overwrite").json(staged)
-    stream_dir = os.path.join(d, "in")
-    os.makedirs(stream_dir)
-    src = os.path.join(d, "delivery.json")
-    with open(src, "wb") as out:
-        for part in sorted(glob.glob(os.path.join(staged, "part-*"))):
-            with open(part, "rb") as f:
-                shutil.copyfileobj(f, out)
-    for i in range(replays):
-        shutil.copyfile(src, os.path.join(stream_dir, f"b{i}.json"))
     schema = (
         "customer_id string, order_id string, order_date string, "
         "status string, amount double"
     )
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .json(stream_dir)
-    )
-    return stream, d
+    return _replayed_stream(spark, events, schema, replays, "stream_gate_")
 
 
 def _drain(decorated: DataFrame, mode: str, name: str) -> DataFrame:
@@ -437,21 +443,12 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
         "value",
     )
-    d = tempfile.mkdtemp(prefix="stream_sess_")
-    stream_dir = os.path.join(d, "in")
-    os.makedirs(stream_dir)
-    staged = os.path.join(d, "staged")
-    base.write.mode("overwrite").json(staged)
-    target = os.path.join(stream_dir, "b0.json")
-    with open(target, "wb") as out:
-        for p in sorted(glob.glob(os.path.join(staged, "part-*"))):
-            with open(p, "rb") as f:
-                shutil.copyfileobj(f, out)
-    stream = (
-        spark.readStream.schema("user_id long, ts string, value double")
-        .json(stream_dir)
-        .withColumn("ts", F.to_timestamp("ts"))
-        .withWatermark("ts", "1 hour")
+    raw, d = _replayed_stream(
+        spark, base, "user_id long, ts string, value double", 1,
+        "stream_sess_",
+    )
+    stream = raw.withColumn("ts", F.to_timestamp("ts")).withWatermark(
+        "ts", "1 hour"
     )
     agg = (
         stream.groupBy("user_id", F.session_window("ts", "30 minutes").alias("s"))
@@ -500,22 +497,8 @@ def streaming_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = analytics._t(spark, sf_dir, "events")
     base = events.select("event_id", "value")
-    d = tempfile.mkdtemp(prefix="stream_quant_")
-    stream_dir = os.path.join(d, "in")
-    os.makedirs(stream_dir)
-    staged = os.path.join(d, "staged")
-    base.write.mode("overwrite").json(staged)
-    src = os.path.join(d, "delivery.json")
-    with open(src, "wb") as out:
-        for p in sorted(glob.glob(os.path.join(staged, "part-*"))):
-            with open(p, "rb") as f:
-                shutil.copyfileobj(f, out)
-    for i in range(2):
-        shutil.copyfile(src, os.path.join(stream_dir, f"b{i}.json"))
-    stream = (
-        spark.readStream.schema("event_id long, value double")
-        .option("maxFilesPerTrigger", 1)
-        .json(stream_dir)
+    stream, d = _replayed_stream(
+        spark, base, "event_id long, value double", 2, "stream_quant_"
     )
     hist_state = sketch.quantile_sketch_histogram(stream, "value")
     drained = _drain(hist_state, "complete", "squant")

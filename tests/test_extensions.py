@@ -977,6 +977,16 @@ def test_quantile_sketch_bins_and_estimates(spark):
     assert est[50][1] == 0.075
     # rank ⌈0.99·9⌉ = 9 → the max value's bin
     assert est[99][1] == hist[max(hist)][0]
+    # NULL and NaN rows must be SKIPPED (SQL aggregate semantics), not
+    # silently binned as 0.0 — n and the bin-0 count must be unchanged
+    dirty = spark.createDataFrame(
+        [(v,) for v in vals] + [(None,), (float("nan"),)], "value double"
+    )
+    hist_dirty = {
+        r["bin_idx"]: (r["rep"], r["cnt"])
+        for r in sketch.quantile_sketch_histogram(dirty, "value").collect()
+    }
+    assert hist_dirty == hist
 
 
 def test_quantile_sketch_merges_exactly(spark):
@@ -1479,3 +1489,7 @@ def test_star_cc_logarithmic_on_adversarial_diameter(spark):
     rep = graph.LAST_CC_REPORT
     assert rep["algorithm"] == "star"
     assert rep["rounds_used"] <= 12, rep  # log-ish, not diameter-ish
+    # telemetry shape contract: one entry per round (same as the
+    # min-label report's "relabeled"), initial count kept separately
+    assert len(rep["edges_per_round"]) == rep["rounds_used"], rep
+    assert rep["initial_edges"] == 200
