@@ -501,6 +501,8 @@ def minhash_lsh_pairs(
     ``shingle_words``; ``docs`` is ignored in that case.
     """
     if sigs is None:
+        if docs is None:
+            raise ValueError("provide docs or sigs")
         # second barrier: materialize the signatures once; the banding
         # self-join and the verification joins below then REUSE the same
         # exchange instead of recomputing signatures per plan branch

@@ -282,35 +282,57 @@ def compact_table(
     batch count. At 100 TB, filter to fresh partitions and run this as
     an incremental maintenance job per partition.
     """
-    df = spark.read.parquet(path)
-    writer = (
-        df.write.mode("overwrite")
-        .option("maxRecordsPerFile", target_rows_per_file)
-    )
-    tmp = path.rstrip("/") + "__compact_tmp"
-    if partition_cols:
-        writer = writer.partitionBy(*partition_cols)
-    writer.parquet(tmp)
-    # Rename-aside swap (same discipline as sinks._swap_buckets): the
-    # original data stays on disk under the aside name until the new
-    # directory is in place, so a crash at any point leaves either the
-    # old table, the old table + a stray tmp/aside dir, or the new
-    # table — never NO table. The earlier delete-then-rename form had
-    # a window where a crash lost the original.
     jvm = spark.sparkContext._jvm
     jsc = spark.sparkContext._jsc
     conf = jsc.hadoopConfiguration()
     fs = jvm.org.apache.hadoop.fs.FileSystem.get(conf)
     p_old = jvm.org.apache.hadoop.fs.Path(path)
+    tmp = path.rstrip("/") + "__compact_tmp"
     p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
     aside = path.rstrip("/") + "__compact_aside"
     p_aside = jvm.org.apache.hadoop.fs.Path(aside)
-    if fs.exists(p_aside):  # debris from an earlier crashed swap
-        fs.delete(p_aside, True)
-    fs.rename(p_old, p_aside)
+
+    # crash recovery FIRST: a prior run that died between its two
+    # renames left the table's only copy under the aside name with
+    # nothing at `path` — rename it back before reading. An aside
+    # next to an intact table is a stale copy; delete it. A stray tmp
+    # is always a dead staged write.
+    if fs.exists(p_aside):
+        if fs.exists(p_old):
+            fs.delete(p_aside, True)
+        elif not fs.rename(p_aside, p_old):
+            raise RuntimeError(
+                f"could not restore {path} from crashed-compaction aside"
+            )
+    if fs.exists(p_tmp):
+        fs.delete(p_tmp, True)
+
+    df = spark.read.parquet(path)
+    writer = (
+        df.write.mode("overwrite")
+        .option("maxRecordsPerFile", target_rows_per_file)
+    )
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(tmp)
+    # Rename-aside swap (same discipline as sinks._swap_buckets): the
+    # original data stays on disk under the aside name until the new
+    # directory is in place, so a crash at any point leaves the data
+    # recoverable — between the two renames it sits under the aside
+    # name, which the entry recovery above renames back on the next
+    # run. The earlier delete-then-rename form had a window where a
+    # crash lost the original. Hadoop rename reports most failures by
+    # returning false, not raising — every return value is checked.
+    if not fs.rename(p_old, p_aside):
+        fs.delete(p_tmp, True)
+        raise RuntimeError(f"compaction aside rename failed; {path} untouched")
     if not fs.rename(p_tmp, p_old):
         # restore the original before surfacing the failure
-        fs.rename(p_aside, p_old)
+        if not fs.rename(p_aside, p_old):
+            raise RuntimeError(
+                f"compaction swap failed AND restore failed; data is intact "
+                f"under {aside}"
+            )
         raise RuntimeError(f"compaction swap failed; {path} restored")
     fs.delete(p_aside, True)
     files = spark.read.parquet(path).inputFiles()

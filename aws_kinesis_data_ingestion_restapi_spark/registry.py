@@ -102,6 +102,23 @@ def pipeline_envelope_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _session_scratch(spark: SparkSession, prefix: str) -> str:
+    """Fixed per-session scratch dir (applicationId-keyed): per-call
+    mkdtemp accumulated unbounded temp litter across repeated
+    gate/bench runs (round-5 ADVICE); overwrite-mode writes make
+    reuse idempotent. One helper so every scratch consumer shares the
+    same contract."""
+    import os
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"{prefix}_{spark.sparkContext.applicationId}",
+    )
+    os.makedirs(base, exist_ok=True)
+    return base
+
+
 def pipeline_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K2+K5 end-to-end through the CATALOG path: write
     ``purchase_details`` in the reference's Hive layout
@@ -127,19 +144,12 @@ def pipeline_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     query runs in both the gate and the bench, and per-call dirs
     accumulated unbounded temp litter across repeated runs (round-5
     ADVICE); overwrite-mode writes make reuse idempotent."""
-    import os
-    import tempfile
-
     from aws_kinesis_data_ingestion_restapi_spark.catalog import (
         create_external_tables,
     )
     from aws_kinesis_data_ingestion_restapi_spark.sinks import write_partitioned
 
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"pp_scan_{spark.sparkContext.applicationId}",
-    )
-    os.makedirs(base, exist_ok=True)
+    base = _session_scratch(spark, "pp_scan")
     events = analytics.build_order_events(spark, sf_dir)
     pd_df = to_purchase_details(events, with_partitions=True)
     write_partitioned(
@@ -185,9 +195,6 @@ def pipeline_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scratch dir: fixed per session (applicationId-keyed), same
     litter-avoidance contract as pipeline_partition_scan."""
-    import os
-    import tempfile
-
     from aws_kinesis_data_ingestion_restapi_spark.operators.scale import (
         compact_table,
     )
@@ -195,10 +202,7 @@ def pipeline_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table,
     )
 
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"compact_{spark.sparkContext.applicationId}",
-    )
+    base = _session_scratch(spark, "compact")
     path = f"{base}/orders_smallfiles"
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"

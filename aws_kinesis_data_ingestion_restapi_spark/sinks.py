@@ -123,6 +123,12 @@ def serving_upsert(
     )
     staging = store_path.rstrip("/") + f"._staging_{uuid.uuid4().hex}"
 
+    # crash recovery FIRST — before any existence check or read: a
+    # prior run may have died inside a rename-aside window, leaving
+    # the only copy of the store (or of a bucket) under an aside name
+    _recover_migrate_debris(store_path)
+    _recover_swap_debris(store_path)
+
     if not os.path.exists(store_path):
         deduped.write.mode("overwrite").partitionBy("bucket").parquet(store_path)
         return
@@ -140,8 +146,11 @@ def serving_upsert(
         merged.write.mode("overwrite").partitionBy("bucket").parquet(staging)
         # rename-aside, not delete-then-rename: the old store stays on
         # disk until the migrated one is in place, so a crash here
-        # never leaves the serving view without data (same discipline
-        # as _swap_buckets and scale.compact_table)
+        # never loses data — a crash BETWEEN the two replaces leaves
+        # the store under the aside name, and _recover_migrate_debris
+        # (run at the top of every upsert) renames it back before the
+        # next read (same discipline as _swap_buckets and
+        # scale.compact_table)
         aside = store_path.rstrip("/") + "._aside_migrate"
         if os.path.exists(aside):
             shutil.rmtree(aside)
@@ -165,21 +174,66 @@ def serving_upsert(
     _swap_buckets(staging, store_path, touched)
 
 
+def _recover_migrate_debris(store_path: str) -> None:
+    """Recovery for a crash inside the legacy-migration rename-aside
+    window: if the store is MISSING but its migration aside exists,
+    the aside IS the store (the crash hit between the two replaces) —
+    rename it back so the flat store re-migrates on this run. An
+    aside next to an intact store is a stale copy from after the
+    second replace; delete it."""
+    aside = store_path.rstrip("/") + "._aside_migrate"
+    if not os.path.exists(aside):
+        return
+    if os.path.exists(store_path):
+        shutil.rmtree(aside)
+    else:
+        os.replace(aside, store_path)
+
+
+def _recover_swap_debris(store_path: str) -> None:
+    """Recovery for a crash inside a bucket's rename-aside window: an
+    ``._old_bucket=K`` aside whose ``bucket=K`` dir is MISSING holds
+    that bucket's ONLY rows (the crash hit between the two replaces) —
+    rename it back BEFORE any read, or the partition-pruned scan sees
+    zero existing rows for K and every key not in the new batch is
+    lost. An aside whose bucket dir exists is a stale copy from after
+    the second replace; delete it. Crashed staging dirs (uuid-named,
+    hidden) are unreferenced litter, not data — readers never see
+    them."""
+    if not os.path.isdir(store_path):
+        return
+    for entry in os.listdir(store_path):
+        if not entry.startswith("._old_bucket="):
+            continue
+        aside = os.path.join(store_path, entry)
+        dst = os.path.join(
+            store_path, "bucket=" + entry.split("=", 1)[1]
+        )
+        if os.path.exists(dst):
+            shutil.rmtree(aside)
+        else:
+            os.replace(aside, dst)
+
+
 def _swap_buckets(staging: str, store_path: str, touched: list[int]) -> None:
     """Swap each touched bucket via rename-aside: old data stays
     readable (under a hidden aside dir) until the new dir is in place,
-    so the unrecoverable window is two pure renames — not the
-    delete-then-rename gap a rmtree-first swap would leave. Cross-
-    bucket atomicity still needs a transactional table format
-    (Delta/Iceberg MERGE INTO — the documented production target). A
-    touched bucket with NO staged dir (every row deleted) is removed."""
+    so a crash anywhere leaves every bucket's rows on disk — between
+    the two replaces they sit under the aside name, which
+    :func:`_recover_swap_debris` renames back at the next upsert's
+    entry. Cross-bucket atomicity still needs a transactional table
+    format (Delta/Iceberg MERGE INTO — the documented production
+    target). A touched bucket with NO staged dir (every row deleted)
+    is removed."""
     for b in touched:
         src = os.path.join(staging, f"bucket={b}")
         dst = os.path.join(store_path, f"bucket={b}")
         # leading dot: Spark's file listing ignores hidden entries, so
         # a crash-leftover aside dir is invisible to readers
         aside = os.path.join(store_path, f"._old_bucket={b}")
-        if os.path.exists(aside):  # leftover from an earlier crash
+        if os.path.exists(aside):
+            # entry recovery ran before the store was read, so any
+            # aside still present alongside its bucket is stale
             shutil.rmtree(aside)
         had_old = os.path.exists(dst)
         if had_old:
@@ -223,6 +277,10 @@ def serving_apply_changes(
     all_keys = keyed.select(*SERVING_KEYS).withColumn(
         "bucket", _bucket_expr(n_buckets)
     )
+
+    # same crash recovery as serving_upsert, before any read
+    _recover_migrate_debris(store_path)
+    _recover_swap_debris(store_path)
 
     if not os.path.exists(store_path):
         ups.write.mode("overwrite").partitionBy("bucket").parquet(store_path)

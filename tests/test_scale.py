@@ -172,6 +172,34 @@ def test_compact_table_reduces_files_keeps_layout(spark, tmp_path):
     assert out.filter(F.col("part") == "1").count() == n_part1
 
 
+def test_compact_recovers_table_lost_mid_swap(spark, tmp_path):
+    """A compaction crash BETWEEN its two renames leaves NOTHING at
+    the table path — the data sits under the __compact_aside name
+    (plus a dead __compact_tmp). The next compact_table must restore
+    the table before reading, and the value set must be unchanged."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "t2")
+    df = spark.range(0, 3000).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("part")
+    )
+    for _ in range(3):
+        df.repartition(4).write.mode("append").partitionBy("part").parquet(path)
+    # simulate the mid-swap crash: the table was renamed aside and the
+    # tmp never landed
+    shutil.copytree(path, path + "__compact_tmp")
+    os.replace(path, path + "__compact_aside")
+    assert not os.path.exists(path)
+
+    n_after = compact_table(spark, path, partition_cols=["part"])
+    assert n_after > 0
+    assert not os.path.exists(path + "__compact_aside")
+    assert not os.path.exists(path + "__compact_tmp")
+    out = spark.read.parquet(path)
+    assert out.count() == 9000, "pre-crash rows must survive the recovery"
+
+
 def test_incremental_agg_merge_equals_full_agg(spark):
     """Folding deltas one at a time must equal the one-shot aggregate —
     including a delta introducing a brand-new key and an empty delta."""

@@ -200,6 +200,59 @@ def test_upsert_recovers_from_crashed_swap_debris(spark, tmp_path):
     assert len(got) == 1 and got[0]["status"] == "shipped"
 
 
+def test_upsert_restores_bucket_lost_mid_swap(spark, tmp_path):
+    """The OTHER crash window: the process died BETWEEN the two
+    renames, so bucket=K is GONE and ._old_bucket=K holds its only
+    rows. The next upsert must rename the aside back BEFORE reading —
+    otherwise the pruned scan sees zero existing rows for K and every
+    key not in the new batch is silently lost."""
+    store = str(tmp_path / "serving")
+    keys = [(f"c{i}", f"o{i}") for i in range(50)]
+    serving_upsert(spark, _rows(spark, keys, "pending"), store,
+                   n_buckets=N_BUCKETS)
+
+    target = keys[3]
+    b = _rows(spark, [target], "x").select(
+        _bucket_expr(N_BUCKETS).alias("b")
+    ).first()["b"]
+    # simulate the mid-swap crash: dst renamed away, new dir never
+    # landed — the aside is the bucket's ONLY copy
+    src = os.path.join(store, f"bucket={b}")
+    aside = os.path.join(store, f"._old_bucket={b}")
+    os.replace(src, aside)
+
+    serving_upsert(spark, _rows(spark, [target], "shipped"), store,
+                   n_buckets=N_BUCKETS)
+    assert not os.path.exists(aside)
+    out = spark.read.parquet(store)
+    assert out.count() == 50, "keys sharing the crashed bucket must survive"
+    got = out.filter(
+        (F.col("customer_id") == target[0]) & (F.col("order_id") == target[1])
+    ).collect()
+    assert len(got) == 1 and got[0]["status"] == "shipped"
+
+
+def test_legacy_migration_restores_store_lost_mid_swap(spark, tmp_path):
+    """A migration crash BETWEEN its two replaces leaves NOTHING at
+    the store path and the whole flat store under ._aside_migrate.
+    The next upsert must restore it (and then re-migrate) instead of
+    bootstrapping a fresh store from the current batch."""
+    store = str(tmp_path / "serving_legacy2")
+    _rows(spark, [(f"c{i}", f"o{i}") for i in range(30)], "old").write.parquet(
+        store
+    )
+    os.replace(store, store.rstrip("/") + "._aside_migrate")
+    assert not os.path.exists(store)
+
+    serving_upsert(spark, _rows(spark, [("c1", "o1")], "new"), store,
+                   n_buckets=N_BUCKETS)
+    assert not os.path.exists(store.rstrip("/") + "._aside_migrate")
+    out = spark.read.parquet(store)
+    assert out.count() == 30, "pre-crash rows must survive the recovery"
+    assert out.filter(F.col("order_id") == "o1").first()["status"] == "new"
+    assert "bucket" in out.columns
+
+
 def test_legacy_migration_survives_stale_aside(spark, tmp_path):
     """The flat→bucketed migration swaps via rename-aside; a stale
     aside sibling from an earlier crashed migration must not block the

@@ -11,7 +11,10 @@ import os
 import pytest
 
 from aws_kinesis_data_ingestion_restapi_spark.sources import envelope_records
-from aws_kinesis_data_ingestion_restapi_spark.sources.events import read_envelope_json
+from aws_kinesis_data_ingestion_restapi_spark.sources.events import (
+    read_envelope_json,
+    read_envelope_stream,
+)
 from aws_kinesis_data_ingestion_restapi_spark.streaming import (
     run_pipeline_once,
     tumbling_order_stats,
@@ -321,11 +324,9 @@ def test_native_file_sink_exactly_once_across_crash_restart(spark, tmp_path):
     _write_ndjson(os.path.join(str(inp), "b0.json"), envelope_records(8, seed=21))
 
     def run():
-        stream = read_envelope_json  # noqa: F841 (clarity: file source)
-        decoded = __import__(
-            "aws_kinesis_data_ingestion_restapi_spark.sources.events",
-            fromlist=["read_envelope_stream"],
-        ).read_envelope_stream(spark, str(inp), max_files_per_trigger=1)
+        decoded = read_envelope_stream(
+            spark, str(inp), max_files_per_trigger=1
+        )
         q = (
             decoded.select("customer_id", "order_id")
             .writeStream.format("parquet")
