@@ -150,6 +150,42 @@ def test_apply_changes_roundtrips_snapshot_diff(spark, tmp_path):
     assert contents() == want
 
 
+def test_apply_changes_restores_bucket_lost_mid_swap(spark, tmp_path):
+    """serving_apply_changes shares serving_upsert's rename-aside swap
+    and must run the same entry recovery: with bucket=K gone and
+    ._old_bucket=K holding its only rows, applying a change feed that
+    touches K must first restore the aside — otherwise every
+    unchanged key in K is silently dropped from the store."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.cdc import snapshot_diff
+    from aws_kinesis_data_ingestion_restapi_spark.sinks import serving_apply_changes
+
+    store = str(tmp_path / "store_crash")
+    v1 = _snap(spark, [(f"c{i}", f"o{i}", 1.0 * i) for i in range(40)])
+    serving_upsert(spark, v1, store, n_buckets=N_BUCKETS)
+    # v2 updates exactly one key; find that key's bucket and crash it
+    v2 = _snap(
+        spark,
+        [(f"c{i}", f"o{i}", 1.0 * i if i != 3 else 999.0) for i in range(40)],
+    )
+    b = _rows(spark, [("c3", "o3")], "x").select(
+        _bucket_expr(N_BUCKETS).alias("b")
+    ).first()["b"]
+    os.replace(
+        os.path.join(store, f"bucket={b}"),
+        os.path.join(store, f"._old_bucket={b}"),
+    )
+
+    changes = snapshot_diff(v1, v2, keys=SERVING_KEYS, compare_cols=["amount"])
+    serving_apply_changes(spark, changes, v2, store, n_buckets=N_BUCKETS)
+    got = sorted(
+        (r["customer_id"], r["order_id"], r["amount"])
+        for r in spark.read.parquet(store).collect()
+    )
+    assert got == sorted(tuple(r) for r in v2.collect()), (
+        "unchanged keys sharing the crashed bucket must survive"
+    )
+
+
 def test_apply_changes_drops_fully_deleted_bucket(spark, tmp_path):
     """Deleting every key of a bucket removes its directory."""
     from aws_kinesis_data_ingestion_restapi_spark.operators.cdc import snapshot_diff
