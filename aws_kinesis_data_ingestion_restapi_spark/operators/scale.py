@@ -285,8 +285,11 @@ def compact_table(
     jvm = spark.sparkContext._jvm
     jsc = spark.sparkContext._jsc
     conf = jsc.hadoopConfiguration()
-    fs = jvm.org.apache.hadoop.fs.FileSystem.get(conf)
     p_old = jvm.org.apache.hadoop.fs.Path(path)
+    # resolve the filesystem FROM the path, not the default FS — a
+    # table on s3a:// under an hdfs:// defaultFS would otherwise make
+    # every exists/rename below throw Wrong-FS before recovery runs
+    fs = p_old.getFileSystem(conf)
     tmp = path.rstrip("/") + "__compact_tmp"
     p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
     aside = path.rstrip("/") + "__compact_aside"
@@ -294,16 +297,27 @@ def compact_table(
 
     # crash recovery FIRST: a prior run that died between its two
     # renames left the table's only copy under the aside name with
-    # nothing at `path` — rename it back before reading. An aside
-    # next to an intact table is a stale copy; delete it. A stray tmp
-    # is always a dead staged write.
+    # nothing at `path`. If the staged tmp it left behind is COMMITTED
+    # (_SUCCESS present), the crashed run had finished its entire
+    # compaction write — complete its swap (tmp → path, drop aside)
+    # instead of discarding the finished output and redoing the whole
+    # job from the small-file original; otherwise restore the aside.
+    # A tmp next to an intact table is always a dead staged write.
     if fs.exists(p_aside):
         if fs.exists(p_old):
             fs.delete(p_aside, True)
-        elif not fs.rename(p_aside, p_old):
-            raise RuntimeError(
-                f"could not restore {path} from crashed-compaction aside"
-            )
+        else:
+            p_tmp_done = jvm.org.apache.hadoop.fs.Path(tmp + "/_SUCCESS")
+            if (
+                fs.exists(p_tmp)
+                and fs.exists(p_tmp_done)
+                and fs.rename(p_tmp, p_old)
+            ):
+                fs.delete(p_aside, True)
+            elif not fs.rename(p_aside, p_old):
+                raise RuntimeError(
+                    f"could not restore {path} from crashed-compaction aside"
+                )
     if fs.exists(p_tmp):
         fs.delete(p_tmp, True)
 

@@ -126,8 +126,7 @@ def serving_upsert(
     # crash recovery FIRST — before any existence check or read: a
     # prior run may have died inside a rename-aside window, leaving
     # the only copy of the store (or of a bucket) under an aside name
-    _recover_migrate_debris(store_path)
-    _recover_swap_debris(store_path)
+    _recover_debris(store_path)
 
     if not os.path.exists(store_path):
         deduped.write.mode("overwrite").partitionBy("bucket").parquet(store_path)
@@ -144,19 +143,7 @@ def serving_upsert(
         )
         merged = survivors.unionByName(deduped)
         merged.write.mode("overwrite").partitionBy("bucket").parquet(staging)
-        # rename-aside, not delete-then-rename: the old store stays on
-        # disk until the migrated one is in place, so a crash here
-        # never loses data — a crash BETWEEN the two replaces leaves
-        # the store under the aside name, and _recover_migrate_debris
-        # (run at the top of every upsert) renames it back before the
-        # next read (same discipline as _swap_buckets and
-        # scale.compact_table)
-        aside = store_path.rstrip("/") + "._aside_migrate"
-        if os.path.exists(aside):
-            shutil.rmtree(aside)
-        os.replace(store_path, aside)
-        os.replace(staging, store_path)
-        shutil.rmtree(aside)
+        _replace_store(staging, store_path)
         return
 
     touched = sorted(
@@ -174,45 +161,72 @@ def serving_upsert(
     _swap_buckets(staging, store_path, touched)
 
 
-def _recover_migrate_debris(store_path: str) -> None:
-    """Recovery for a crash inside the legacy-migration rename-aside
-    window: if the store is MISSING but its migration aside exists,
-    the aside IS the store (the crash hit between the two replaces) —
-    rename it back so the flat store re-migrates on this run. An
-    aside next to an intact store is a stale copy from after the
-    second replace; delete it."""
-    aside = store_path.rstrip("/") + "._aside_migrate"
+def _restore_or_drop_aside(aside: str, primary: str) -> None:
+    """The one recovery rule both rename-aside schemes share: an
+    aside whose primary is MISSING holds the only copy (the crash hit
+    between the two replaces) — rename it back; an aside next to an
+    intact primary is a stale copy from after the second replace —
+    delete it."""
     if not os.path.exists(aside):
         return
-    if os.path.exists(store_path):
+    if os.path.exists(primary):
         shutil.rmtree(aside)
     else:
-        os.replace(aside, store_path)
+        os.replace(aside, primary)
 
 
-def _recover_swap_debris(store_path: str) -> None:
-    """Recovery for a crash inside a bucket's rename-aside window: an
-    ``._old_bucket=K`` aside whose ``bucket=K`` dir is MISSING holds
-    that bucket's ONLY rows (the crash hit between the two replaces) —
-    rename it back BEFORE any read, or the partition-pruned scan sees
-    zero existing rows for K and every key not in the new batch is
-    lost. An aside whose bucket dir exists is a stale copy from after
-    the second replace; delete it. Crashed staging dirs (uuid-named,
-    hidden) are unreferenced litter, not data — readers never see
-    them."""
-    if not os.path.isdir(store_path):
-        return
-    for entry in os.listdir(store_path):
-        if not entry.startswith("._old_bucket="):
-            continue
-        aside = os.path.join(store_path, entry)
-        dst = os.path.join(
-            store_path, "bucket=" + entry.split("=", 1)[1]
-        )
-        if os.path.exists(dst):
-            shutil.rmtree(aside)
-        else:
-            os.replace(aside, dst)
+def _recover_debris(store_path: str) -> None:
+    """Entry-time crash recovery, run before ANY read of the store.
+
+    Three debris classes, in dependency order:
+
+    1. Legacy-migration aside (``<store>._aside_migrate``): restore
+       or drop via the shared rule — a restored store is flat and
+       re-migrates on this run.
+    2. Per-bucket asides (``._old_bucket=K`` inside the store): a
+       missing ``bucket=K`` means the aside holds that bucket's ONLY
+       rows; without the restore the partition-pruned scan sees zero
+       existing rows for K and every key not in the new batch is
+       silently lost.
+    3. Crashed staging siblings (``<store>._staging_<uuid>``): a run
+       that died between its staging write and the swap leaves a full
+       merged copy of the touched buckets under a uuid name no later
+       run ever references — readers never see it (hidden), but each
+       crash would otherwise leak a store-sized directory forever.
+
+    Single-writer contract (documented on serving_upsert): no
+    concurrent upsert's LIVE staging dir can be present here."""
+    _restore_or_drop_aside(
+        store_path.rstrip("/") + "._aside_migrate", store_path
+    )
+    if os.path.isdir(store_path):
+        for entry in os.listdir(store_path):
+            if entry.startswith("._old_bucket="):
+                _restore_or_drop_aside(
+                    os.path.join(store_path, entry),
+                    os.path.join(store_path, "bucket=" + entry.split("=", 1)[1]),
+                )
+    parent, name = os.path.split(store_path.rstrip("/"))
+    parent = parent or "."
+    if os.path.isdir(parent):
+        for entry in os.listdir(parent):
+            if entry.startswith(name + "._staging_"):
+                shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
+
+
+def _replace_store(staging: str, store_path: str) -> None:
+    """Whole-store rename-aside swap (migration path): the old store
+    stays on disk under the aside name until the new one is in place,
+    so a crash BETWEEN the two replaces leaves the store recoverable —
+    :func:`_recover_debris` renames the aside back at the next entry.
+    The aside-exists guard is defensive only: entry recovery already
+    cleared any aside before the caller read the store."""
+    aside = store_path.rstrip("/") + "._aside_migrate"
+    if os.path.exists(aside):
+        shutil.rmtree(aside)
+    os.replace(store_path, aside)
+    os.replace(staging, store_path)
+    shutil.rmtree(aside)
 
 
 def _swap_buckets(staging: str, store_path: str, touched: list[int]) -> None:
@@ -220,7 +234,7 @@ def _swap_buckets(staging: str, store_path: str, touched: list[int]) -> None:
     readable (under a hidden aside dir) until the new dir is in place,
     so a crash anywhere leaves every bucket's rows on disk — between
     the two replaces they sit under the aside name, which
-    :func:`_recover_swap_debris` renames back at the next upsert's
+    :func:`_recover_debris` renames back at the next upsert's
     entry. Cross-bucket atomicity still needs a transactional table
     format (Delta/Iceberg MERGE INTO — the documented production
     target). A touched bucket with NO staged dir (every row deleted)
@@ -279,12 +293,25 @@ def serving_apply_changes(
     )
 
     # same crash recovery as serving_upsert, before any read
-    _recover_migrate_debris(store_path)
-    _recover_swap_debris(store_path)
+    _recover_debris(store_path)
 
     if not os.path.exists(store_path):
         ups.write.mode("overwrite").partitionBy("bucket").parquet(store_path)
         return
+
+    if not _is_bucketed_layout(store_path):
+        # a flat store can reach this path two ways: a legacy layout
+        # never upserted against, or a migration-crash restore by
+        # _recover_debris just above. Either way the bucketed read
+        # below would fail on the missing 'bucket' column — migrate
+        # first (pure re-bucket, no batch fused in), then apply the
+        # change feed through the normal partial path.
+        flat = spark.read.parquet(store_path).withColumn(
+            "bucket", _bucket_expr(n_buckets)
+        )
+        staging = store_path.rstrip("/") + f"._staging_{uuid.uuid4().hex}"
+        flat.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+        _replace_store(staging, store_path)
 
     touched = sorted(r[0] for r in all_keys.select("bucket").distinct().collect())
     if not touched:

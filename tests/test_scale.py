@@ -200,6 +200,57 @@ def test_compact_recovers_table_lost_mid_swap(spark, tmp_path):
     assert out.count() == 9000, "pre-crash rows must survive the recovery"
 
 
+def test_compact_completes_crashed_swap_from_committed_tmp(spark, tmp_path):
+    """If the crash hit AFTER the staged write committed (_SUCCESS in
+    the tmp) but before the final rename, the finished output must be
+    swapped in rather than thrown away and recompacted from the
+    original. Real crash debris has value-identical tmp and aside;
+    the sentinel values here exist only to observe which branch ran."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "t3")
+    df = spark.range(0, 3000).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("part")
+    )
+    df.repartition(4).write.partitionBy("part").parquet(path)
+    # committed tmp with sentinel ids (id+100000), then the mid-swap
+    # crash state: table renamed aside, tmp never renamed in
+    spark.range(100000, 103000).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("part")
+    ).write.partitionBy("part").parquet(path + "__compact_tmp")
+    os.replace(path, path + "__compact_aside")
+
+    n_after = compact_table(spark, path, partition_cols=["part"])
+    assert n_after > 0
+    assert not os.path.exists(path + "__compact_aside")
+    assert not os.path.exists(path + "__compact_tmp")
+    out = spark.read.parquet(path)
+    assert out.count() == 3000
+    assert out.agg(F.min("id")).first()[0] == 100000, (
+        "the committed tmp, not the aside, must win the recovery"
+    )
+
+    # and the inverse: an UNcommitted tmp (no _SUCCESS) is dead — the
+    # aside must be restored instead
+    path2 = str(tmp_path / "t4")
+    df.repartition(4).write.partitionBy("part").parquet(path2)
+    spark.range(100000, 103000).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("part")
+    ).write.partitionBy("part").parquet(path2 + "__compact_tmp")
+    os.remove(os.path.join(path2 + "__compact_tmp", "_SUCCESS"))
+    os.replace(path2, path2 + "__compact_aside")
+    compact_table(spark, path2, partition_cols=["part"])
+    out2 = spark.read.parquet(path2)
+    assert out2.count() == 3000
+    assert out2.agg(F.max("id")).first()[0] == 2999, (
+        "an uncommitted tmp must lose to the aside restore"
+    )
+    assert not os.path.exists(path2 + "__compact_aside")
+    assert not os.path.exists(path2 + "__compact_tmp")
+    shutil.rmtree(path, ignore_errors=True)
+
+
 def test_incremental_agg_merge_equals_full_agg(spark):
     """Folding deltas one at a time must equal the one-shot aggregate —
     including a delta introducing a brand-new key and an empty delta."""

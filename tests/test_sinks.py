@@ -186,6 +186,51 @@ def test_apply_changes_restores_bucket_lost_mid_swap(spark, tmp_path):
     )
 
 
+def test_apply_changes_migrates_flat_store_first(spark, tmp_path):
+    """A flat (never-bucketed) store — including one just restored by
+    the migration-crash recovery — must be migrated to the bucketed
+    layout before the change feed is applied; the old code read it
+    assuming a 'bucket' column and threw."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.cdc import snapshot_diff
+    from aws_kinesis_data_ingestion_restapi_spark.sinks import serving_apply_changes
+
+    store = str(tmp_path / "store_flat")
+    v1 = _snap(spark, [(f"c{i}", f"o{i}", 1.0 * i) for i in range(20)])
+    v1.write.parquet(store)  # legacy flat layout, no bucket column
+    v2 = _snap(
+        spark,
+        [(f"c{i}", f"o{i}", 1.0 * i if i != 2 else 77.0) for i in range(20)],
+    )
+    changes = snapshot_diff(v1, v2, keys=SERVING_KEYS, compare_cols=["amount"])
+    serving_apply_changes(spark, changes, v2, store, n_buckets=N_BUCKETS)
+    out = spark.read.parquet(store)
+    assert "bucket" in out.columns, "store must come out bucketed"
+    got = sorted(
+        (r["customer_id"], r["order_id"], r["amount"]) for r in out.collect()
+    )
+    assert got == sorted(tuple(r) for r in v2.collect())
+
+
+def test_upsert_reclaims_crashed_staging_litter(spark, tmp_path):
+    """A run that dies between its staging write and the swap leaves a
+    full merged copy under <store>._staging_<uuid> that no later run
+    references — entry recovery must reclaim it or every crash leaks
+    a store-sized directory."""
+    store = str(tmp_path / "serving_lit")
+    serving_upsert(
+        spark, _rows(spark, [("c1", "o1")], "a"), store, n_buckets=N_BUCKETS
+    )
+    litter = store + "._staging_deadbeefcafe"
+    os.makedirs(os.path.join(litter, "bucket=0"))
+    with open(os.path.join(litter, "bucket=0", "junk"), "w") as f:
+        f.write("x")
+    serving_upsert(
+        spark, _rows(spark, [("c2", "o2")], "b"), store, n_buckets=N_BUCKETS
+    )
+    assert not os.path.exists(litter)
+    assert spark.read.parquet(store).count() == 2
+
+
 def test_apply_changes_drops_fully_deleted_bucket(spark, tmp_path):
     """Deleting every key of a bucket removes its directory."""
     from aws_kinesis_data_ingestion_restapi_spark.operators.cdc import snapshot_diff
