@@ -270,6 +270,10 @@ COUNT_JOIN_BUDGET = 2000
 #: at plan-construction time.
 LAST_SSJOIN_REPORT: dict = {}
 
+#: At most one persisted auto-mode grams frame per session (see the
+#: unpersist note inside ngram_jaccard_pairs).
+_AUTO_GRAMS_CACHE: list = []
+
 
 def ngram_jaccard_pairs(
     docs: DataFrame,
@@ -284,8 +288,9 @@ def ngram_jaccard_pairs(
     ``method``:
     - ``'auto'`` (default): one cheap aggregate over the token index
       measures Σdf and Σdf² — the actual join volume of the count-join
-      form — and picks ``'countjoin'`` when Σdf² ≤ 200·Σdf (bounded
-      fan-out), else ``'prefix'``. Measured, not guessed: the two
+      form — and picks ``'countjoin'`` when Σdf² ≤
+      :data:`COUNT_JOIN_BUDGET`·Σdf (bounded fan-out), else
+      ``'prefix'``. Measured, not guessed: the two
       forms differ 10× in either direction depending on the df
       distribution. Auto mode is EAGER: it runs the stats job (and
       persists the shingle frame for reuse) at construction time, and
@@ -312,8 +317,18 @@ def ngram_jaccard_pairs(
             # the price of a measured, not guessed, plan choice. The
             # grams frame is persisted first so the tokenize+shingle
             # work is paid once and reused by the join below instead
-            # of recomputed from the parquet scan.
+            # of recomputed from the parquet scan. The PREVIOUS auto
+            # call's frame is unpersisted here: no caller ever gets a
+            # handle to do it, so without this a session that loops
+            # the auto path (gate runs, notebooks) pins one dead
+            # cached frame per call forever. At most ONE grams frame
+            # stays cached per session; an older returned plan simply
+            # recomputes if executed after a newer auto call.
             grams = grams.persist()
+            for prev in _AUTO_GRAMS_CACHE:
+                prev.unpersist(False)
+            _AUTO_GRAMS_CACHE.clear()
+            _AUTO_GRAMS_CACHE.append(grams)
             stats = (
                 grams.select(F.explode("grams").alias("tok"))
                 .groupBy("tok")
@@ -410,14 +425,27 @@ def minhash_signatures(
     projection is deliberate: higher-order array expressions are
     interpreted (not codegen'd), and without an exchange barrier
     Catalyst collapses the projections and re-derives the whole shingle
-    array once per permutation."""
+    array once per permutation.
+
+    Documents whose shingle set is EMPTY (NULL text or fewer than
+    ``shingle_words`` tokens) are EXCLUDED from the frame: Jaccard
+    over an empty set is undefined, and the all-NULL signature such a
+    doc would otherwise get collapses to the identical ``md5("")``
+    band key in EVERY band downstream — s short docs in a corpus
+    would become O(s²) mutual LSH candidates while two byte-identical
+    short docs still estimated 0.0 (NULL component comparisons drop
+    out). Short docs are the exact-dedup family's job
+    (:func:`exact_dedup` hashes the raw text)."""
     t = F.col("_toks")
     feats = word_ngrams(shingle_words, t) if shingle_words > 1 else distinct_tokens(t)
     hashed = F.transform(
         feats, lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long")
     )
-    shingled = tokenized(docs).select("doc_id", hashed.alias("_hs")).repartition(
-        F.col("doc_id")
+    shingled = (
+        tokenized(docs)
+        .select("doc_id", hashed.alias("_hs"))
+        .filter(F.size("_hs") > 0)
+        .repartition(F.col("doc_id"))
     )
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_perm - 1)),
@@ -445,6 +473,15 @@ def minhash_band_keys(
     Factored out of :func:`minhash_lsh_pairs` so the self-join and the
     corpus-probe paths band identically (and identically to the DuckDB
     oracle's banding CTE)."""
+    if bands <= 0 or num_perm % bands != 0:
+        # silent truncation would band over only the first
+        # bands·(num_perm//bands) components — a different b·r
+        # collision curve than requested; bands > num_perm is worse
+        # (empty slices → one constant band key for every doc → full
+        # cross-product in the band join)
+        raise ValueError(
+            f"bands={bands} must evenly divide num_perm={num_perm}"
+        )
     rows_per_band = num_perm // bands
     band_structs = F.array(
         *[
@@ -709,7 +746,15 @@ def simhash_docs(docs: DataFrame, shingle_words: int = 3) -> DataFrame:
     per-bit SUM aggregates over the un-inflated (doc, hash) frame —
     same arithmetic, no explosion — ran ~40% SLOWER at sf0.1; the
     60-wide generated aggregate loses to the narrow explode form, so
-    the explode stays.)"""
+    the explode stays.)
+
+    Documents whose shingle set is empty (NULL text or fewer than
+    ``shingle_words`` tokens) produce no explode rows and are ABSENT
+    from the fingerprint frame — :func:`simhash_near_pairs` therefore
+    never reports them, even as exact duplicates of each other. Same
+    contract (and same reason) as :func:`minhash_signatures`: a
+    similarity sketch over an empty feature set is undefined; short
+    docs belong to :func:`exact_dedup`."""
     tk = F.col("_toks")
     feats = word_ngrams(shingle_words, tk) if shingle_words > 1 else distinct_tokens(tk)
     # hash each shingle once (array<long>); the repartition barrier

@@ -621,10 +621,100 @@ def topk_pq(
     )
 
 
+def _kmeans_base_and_cents(
+    embs: DataFrame,
+    centroid_stride: int | None,
+    centroids: DataFrame | None,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared Lloyd plumbing: the quantized corpus and the round's
+    centroid frame — either the caller's ``centroids`` (cell, cv) from
+    a previous :func:`kmeans_new_centroids`, or the deterministic
+    stride sample for round one."""
+    base = embs.select(F.col(id_col), quantized().alias("v"))
+    if centroids is not None:
+        return base, centroids.select("cell", "cv")
+    if centroid_stride is None:
+        centroid_stride = auto_stride(embs.count())
+    cents = base.filter((F.col(id_col) % centroid_stride) == 0).select(
+        F.col(id_col).alias("cell"), F.col("v").alias("cv")
+    )
+    return base, cents
+
+
+def kmeans_new_centroids(
+    embs: DataFrame,
+    centroid_stride: int | None = None,
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """The re-estimated centroids after one Lloyd assignment — the
+    piece an actual Lloyd LOOP feeds back into the next round (cell,
+    cv), in the same quantized-int64 space the assignment uses.
+
+    Per-dimension mean = round-half-up(Σx / n) computed in exact
+    integer arithmetic (``(2Σx + n) div 2n``) — no float division, so
+    repeated rounds stay engine-portable. A cluster that lost every
+    member simply disappears (standard Lloyd drop; K shrinks).
+
+    Loop usage::
+
+        cents = None
+        for _ in range(rounds):
+            cents = kmeans_new_centroids(embs, centroids=cents)
+            stats = kmeans_step(embs, centroids=cents)
+            # stop when stats.agg(max(drift)) < eps
+    """
+    base, cents = _kmeans_base_and_cents(
+        embs, centroid_stride, centroids, id_col
+    )
+    assign = _kmeans_assign(base, cents, id_col)
+    per_dim = (
+        assign.select("cell", F.posexplode("v").alias("i", "x"))
+        .groupBy("cell", "i")
+        .agg(F.sum("x").alias("sm"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "cell",
+            "i",
+            F.floor(
+                (2 * F.col("sm") + F.col("n")) / (2 * F.col("n"))
+            ).cast("long").alias("m"),
+        )
+    )
+    return (
+        per_dim.groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "m"))),
+                lambda s: s["m"],
+            ).alias("cv")
+        )
+    )
+
+
+def _kmeans_assign(base: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """Nearest-centroid assignment: broadcast n×K struct-min with the
+    exact (d2, cell) tie-break the IVF contract uses."""
+    expanded = base.join(F.broadcast(cents)).select(
+        id_col,
+        "v",
+        F.struct(
+            dist2_i(F.col("v"), F.col("cv")).alias("d2"),
+            F.col("cell").alias("cell"),
+        ).alias("dc"),
+    )
+    return (
+        expanded.groupBy(id_col)
+        .agg(F.min("dc").alias("m"), F.first("v").alias("v"))
+        .select(id_col, F.col("m.cell").alias("cell"), "v")
+    )
+
+
 def kmeans_step(
     embs: DataFrame,
     centroid_stride: int | None = None,
     id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """One exact Lloyd iteration over the quantized corpus — the
     clustering primitive behind IVF index training, embedding-space
@@ -647,29 +737,17 @@ def kmeans_step(
     struct-min (one shuffled row per vector — the IVF build cost), a
     posexplode to (cell, dim) partial sums (the shuffle carries
     K·dim rows after map-side combine, not n·dim), and the old
-    centroids join back on the K·dim aggregate. Iterating = calling
-    this per round on the REASSIGNED centroids; each round is the
-    same bounded pair of shuffles (the pagerank scale argument).
+    centroids join back on the K·dim aggregate. Iterating = feeding
+    :func:`kmeans_new_centroids` output back in via ``centroids``
+    (this function alone always measures the same round-one drift —
+    it returns statistics, not the reassigned centroid vectors); each
+    round is the same bounded pair of shuffles (the pagerank scale
+    argument).
     """
-    base = embs.select(F.col(id_col), quantized().alias("v"))
-    if centroid_stride is None:
-        centroid_stride = auto_stride(embs.count())
-    cents = base.filter((F.col(id_col) % centroid_stride) == 0).select(
-        F.col(id_col).alias("cell"), F.col("v").alias("cv")
+    base, cents = _kmeans_base_and_cents(
+        embs, centroid_stride, centroids, id_col
     )
-    expanded = base.join(F.broadcast(cents)).select(
-        id_col,
-        "v",
-        F.struct(
-            dist2_i(F.col("v"), F.col("cv")).alias("d2"),
-            F.col("cell").alias("cell"),
-        ).alias("dc"),
-    )
-    assign = (
-        expanded.groupBy(id_col)
-        .agg(F.min("dc").alias("m"), F.first("v").alias("v"))
-        .select(id_col, F.col("m.cell").alias("cell"), "v")
-    )
+    assign = _kmeans_assign(base, cents, id_col)
     sums = (
         assign.select("cell", F.posexplode("v").alias("i", "x"))
         .groupBy("cell", "i")

@@ -112,10 +112,16 @@ def countmin_estimates(
             ])
         ).alias("dc"),
     ).select("item", F.col("dc.d").alias("d"), F.col("dc.c").alias("c"))
+    # LEFT join + coalesce-to-0: an empty counter cell is a 0, not a
+    # missing row. An inner join would silently DROP a candidate whose
+    # every cell is empty (no estimate at all) and would min() over
+    # only the colliding cells otherwise — returning a positive
+    # estimate where the sketch's true answer is 0. A candidate the
+    # stream never contained must come back as cm_estimate = 0.
     return (
-        cand_cells.join(F.broadcast(cells), ["d", "c"])
+        cand_cells.join(F.broadcast(cells), ["d", "c"], "left")
         .groupBy("item")
-        .agg(F.min("n").alias("cm_estimate"))
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cm_estimate"))
     )
 
 

@@ -57,7 +57,8 @@ def _replayed_stream(
     identical batch files, and open a micro-batched file stream (one
     file per trigger ⇒ every file after the first is a full
     at-least-once redelivery). Returns (stream, tmpdir); the caller
-    removes tmpdir after the drain."""
+    passes tmpdir to ``_drain(cleanup_dir=...)`` so it is removed on
+    every exit path, including a failed drain."""
     d = tempfile.mkdtemp(prefix=prefix)
     staged = os.path.join(d, "staged")
     df.write.mode("overwrite").json(staged)
@@ -101,22 +102,40 @@ def _order_stream(spark: SparkSession, sf_dir: str, replays: int = 2):
     return _replayed_stream(spark, events, schema, replays, "stream_gate_")
 
 
-def _drain(decorated: DataFrame, mode: str, name: str) -> DataFrame:
+def _drain(
+    decorated: DataFrame, mode: str, name: str, cleanup_dir: str | None = None
+) -> DataFrame:
+    """Run an availableNow drain into a memory sink and return the
+    drained table. ``cleanup_dir`` (the adapter's NDJSON dump) and the
+    checkpoint are removed on EVERY exit path — a failed or timed-out
+    drain must not leak multi-copy table dumps across gate retries."""
     qname = f"{name}_{next(_seq)}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{qname}_")
-    q = (
-        decorated.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(qname)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    # The memory sink holds the drained rows; the checkpoint is dead
-    # weight once the availableNow query terminates. Don't leak it
-    # across repeated gate runs.
-    shutil.rmtree(ckpt, ignore_errors=True)
+    try:
+        q = (
+            decorated.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        # awaitTermination(timeout) returns False on TIMEOUT with the
+        # query still running — returning the memory table then would
+        # silently hand back a truncated result. Stop the query and
+        # raise instead; a gate row must fail loudly, never truncate.
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(
+                f"streaming drain {qname} did not finish within 600s; "
+                "refusing to return a partially-filled memory table"
+            )
+    finally:
+        # The memory sink holds the drained rows; the checkpoint is
+        # dead weight once the availableNow query terminates.
+        shutil.rmtree(ckpt, ignore_errors=True)
+        if cleanup_dir is not None:
+            shutil.rmtree(cleanup_dir, ignore_errors=True)
     return decorated.sparkSession.table(qname)
 
 
@@ -145,8 +164,7 @@ def streaming_enriched_nation_totals(spark: SparkSession, sf_dir: str) -> DataFr
             dsum("amount", alias="total_amount"),
         )
     )
-    out = _drain(totals, "complete", "senrich")
-    shutil.rmtree(d, ignore_errors=True)
+    out = _drain(totals, "complete", "senrich", cleanup_dir=d)
     return out.orderBy("nation")
 
 
@@ -161,8 +179,7 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit-tested for the custom-state cases)."""
     stream, d = _order_stream(spark, sf_dir, replays=2)
     deduped = streaming_dedup_builtin(stream)
-    out = _drain(deduped, "append", "sdedup")
-    shutil.rmtree(d, ignore_errors=True)
+    out = _drain(deduped, "append", "sdedup", cleanup_dir=d)
     return out
 
 
@@ -179,8 +196,7 @@ def streaming_running_totals_final(spark: SparkSession, sf_dir: str) -> DataFram
         F.struct(F.col("amount")).alias("purchaise_details"),
     )
     totals = streaming_running_totals(nested)
-    drained = _drain(totals, "update", "stotals")
-    shutil.rmtree(d, ignore_errors=True)
+    drained = _drain(totals, "update", "stotals", cleanup_dir=d)
     return (
         drained.groupBy("customer_id")
         .agg(
@@ -191,20 +207,14 @@ def streaming_running_totals_final(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-def streaming_payment_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-stream event-time interval join: an order stream joined
-    against a payment stream on order_id where the payment lands
-    within 72 h of the order. Payments are synthesized with a
-    deterministic per-order delay of (o_orderkey mod 96) hours, so
-    orders with delay > 72 h provably drop out of the inner join —
-    the time-range predicate is exercised, not decorative.
-
-    Both sides carry watermarks; with the range condition that bounds
-    the join state (Spark evicts rows older than watermark − range),
-    which is THE scale requirement for stream-stream joins — without
-    it state grows with the stream. The drained result is plain SQL
-    over orders (registry.ORACLE_SQL), so the gate hash-checks values.
-    """
+def _payment_match_streams(spark: SparkSession, sf_dir: str, prefix: str):
+    """Shared plumbing of the two stream-stream interval-join gates
+    (inner + leftOuter): the synthesized payment stream (per-order
+    delay = o_orderkey mod 96 hours), the dual NDJSON dumps, the
+    metadata-file sweep, and both watermarked readStreams. One
+    definition so a fix to the interval, watermark, schemas, or sweep
+    cannot silently apply to only one of the two gates. Returns
+    (left, right, tmpdir); the caller passes tmpdir to _drain."""
     orders = analytics._t(spark, sf_dir, "orders")
     base = orders.select(
         F.col("o_orderkey").cast("string").alias("order_id"),
@@ -218,7 +228,7 @@ def streaming_payment_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p_ts"),
         (F.col("o_orderkey") % 96).cast("long").alias("delay_hours"),
     )
-    d = tempfile.mkdtemp(prefix="stream_join_")
+    d = tempfile.mkdtemp(prefix=prefix)
     a_dir, b_dir = os.path.join(d, "orders"), os.path.join(d, "payments")
     base.select("order_id", "customer_id", "amount", "o_ts").write.mode(
         "overwrite"
@@ -246,20 +256,46 @@ def streaming_payment_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("p_ts", F.to_timestamp("p_ts"))
         .withWatermark("p_ts", "1 hour")
     )
+    return left, right, d
+
+
+def _payment_match_drain(
+    spark: SparkSession, sf_dir: str, how: str, prefix: str, qname: str
+) -> DataFrame:
+    left, right, d = _payment_match_streams(spark, sf_dir, prefix)
     joined = left.join(
         right,
         F.expr(
             "order_id = p_order_id AND "
             "p_ts >= o_ts AND p_ts <= o_ts + INTERVAL 72 HOURS"
         ),
+        how,
     )
-    out = _drain(
+    return _drain(
         joined.select("order_id", "customer_id", "amount", "delay_hours"),
         "append",
-        "sjoin",
+        qname,
+        cleanup_dir=d,
     )
-    shutil.rmtree(d, ignore_errors=True)
-    return out
+
+
+def streaming_payment_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time interval join: an order stream joined
+    against a payment stream on order_id where the payment lands
+    within 72 h of the order. Payments are synthesized with a
+    deterministic per-order delay of (o_orderkey mod 96) hours, so
+    orders with delay > 72 h provably drop out of the inner join —
+    the time-range predicate is exercised, not decorative.
+
+    Both sides carry watermarks; with the range condition that bounds
+    the join state (Spark evicts rows older than watermark − range),
+    which is THE scale requirement for stream-stream joins — without
+    it state grows with the stream. The drained result is plain SQL
+    over orders (registry.ORACLE_SQL), so the gate hash-checks values.
+    """
+    return _payment_match_drain(
+        spark, sf_dir, "inner", "stream_join_", "sjoin"
+    )
 
 
 def streaming_payment_match_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -281,62 +317,9 @@ def streaming_payment_match_outer(spark: SparkSession, sf_dir: str) -> DataFrame
 
     State stays bounded exactly as in the inner form: the range
     condition lets Spark evict rows older than watermark − 72 h."""
-    orders = analytics._t(spark, sf_dir, "orders")
-    base = orders.select(
-        F.col("o_orderkey").cast("string").alias("order_id"),
-        F.col("o_custkey").cast("string").alias("customer_id"),
-        F.col("o_totalprice").alias("amount"),
-        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_ts"),
-        F.date_format(
-            F.col("o_orderdate")
-            + F.make_interval(hours=(F.col("o_orderkey") % 96).cast("int")),
-            "yyyy-MM-dd HH:mm:ss",
-        ).alias("p_ts"),
-        (F.col("o_orderkey") % 96).cast("long").alias("delay_hours"),
+    return _payment_match_drain(
+        spark, sf_dir, "leftOuter", "stream_ojoin_", "sojoin"
     )
-    d = tempfile.mkdtemp(prefix="stream_ojoin_")
-    a_dir, b_dir = os.path.join(d, "orders"), os.path.join(d, "payments")
-    base.select("order_id", "customer_id", "amount", "o_ts").write.mode(
-        "overwrite"
-    ).json(a_dir)
-    base.select("order_id", "p_ts", "delay_hours").write.mode(
-        "overwrite"
-    ).json(b_dir)
-    for sub in (a_dir, b_dir):
-        for f in glob.glob(os.path.join(sub, "_*")):
-            os.remove(f)
-    left = (
-        spark.readStream.schema(
-            "order_id string, customer_id string, amount double, o_ts string"
-        )
-        .json(a_dir)
-        .withColumn("o_ts", F.to_timestamp("o_ts"))
-        .withWatermark("o_ts", "1 hour")
-    )
-    right = (
-        spark.readStream.schema(
-            "order_id string, p_ts string, delay_hours long"
-        )
-        .json(b_dir)
-        .withColumnRenamed("order_id", "p_order_id")
-        .withColumn("p_ts", F.to_timestamp("p_ts"))
-        .withWatermark("p_ts", "1 hour")
-    )
-    joined = left.join(
-        right,
-        F.expr(
-            "order_id = p_order_id AND "
-            "p_ts >= o_ts AND p_ts <= o_ts + INTERVAL 72 HOURS"
-        ),
-        "leftOuter",
-    )
-    out = _drain(
-        joined.select("order_id", "customer_id", "amount", "delay_hours"),
-        "append",
-        "sojoin",
-    )
-    shutil.rmtree(d, ignore_errors=True)
-    return out
 
 
 def streaming_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -411,8 +394,7 @@ def streaming_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date(F.col("w.start")).alias("day"), "n_events", "total_value"
         )
     )
-    out = _drain(agg, "append", "slate")
-    shutil.rmtree(d, ignore_errors=True)
+    out = _drain(agg, "append", "slate", cleanup_dir=d)
     return out
 
 
@@ -464,8 +446,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    out = _drain(agg, "append", "ssess")
-    shutil.rmtree(d, ignore_errors=True)
+    out = _drain(agg, "append", "ssess", cleanup_dir=d)
     return out
 
 
@@ -501,8 +482,7 @@ def streaming_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, base, "event_id long, value double", 2, "stream_quant_"
     )
     hist_state = sketch.quantile_sketch_histogram(stream, "value")
-    drained = _drain(hist_state, "complete", "squant")
-    shutil.rmtree(d, ignore_errors=True)
+    drained = _drain(hist_state, "complete", "squant", cleanup_dir=d)
     q_pcts = [50, 90, 99]
     est2 = sketch.quantile_sketch_estimates(drained, q_pcts)
     est1 = sketch.quantile_sketch_estimates(

@@ -189,6 +189,48 @@ def test_minhash_lsh_catches_exact_dup(docs):
     assert pairs[(0, 1)] == 1.0
 
 
+def test_minhash_short_docs_excluded_not_cross_matched(spark):
+    """Docs below the shingle width are EXCLUDED from the signature
+    frame: the all-NULL signature they previously got collapsed to
+    md5('') in EVERY band, so all short docs became mutual LSH
+    candidates (O(s²) pairs) while two identical short docs still
+    estimated 0.0. Short docs are exact_dedup's job."""
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (10, "xy"),
+        (11, "xy"),  # identical short doc
+        (12, "zq"),  # different short doc
+        (13, None),  # NULL text
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(d)
+    assert {r["doc_id"] for r in sigs.collect()} == {0, 1}
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(d, threshold=0.5).collect()
+    }
+    assert pairs == {(0, 1)}, "no md5('') bucket cross-products"
+    groups = {
+        r["keep_id"]: r["n_copies"]
+        for r in dedup.exact_dedup(d.filter(F.col("text").isNotNull())).collect()
+    }
+    assert groups[10] == 2, "exact dedup catches the short identical pair"
+
+
+def test_minhash_band_keys_rejects_nondivisible_bands(spark):
+    """Silent truncation banded over only the first bands·(num_perm
+    // bands) components — a different collision curve than asked
+    for; bands > num_perm produced one constant band key per doc."""
+    sigs = spark.createDataFrame(
+        [(1, [float(i) for i in range(32)])], "doc_id long, sig array<double>"
+    )
+    with pytest.raises(ValueError):
+        dedup.minhash_band_keys(sigs, num_perm=32, bands=5)
+    with pytest.raises(ValueError):
+        dedup.minhash_band_keys(sigs, num_perm=32, bands=0)
+
+
 def test_incremental_dedup_delta_semantics(spark):
     """Hand-built signature frames pin every branch of the
     incremental delta-vs-corpus contract exactly: corpus-dup
@@ -1277,6 +1319,55 @@ def test_collocation_lift_ranks_fixed_phrase(spark):
     assert ny["lift"] == expected
     the_cat = by_pair.get(("the", "cat"))
     assert the_cat is None or the_cat["lift"] < ny["lift"]
+
+
+def test_countmin_absent_candidate_estimates_zero(spark):
+    """A candidate the stream never contained must come back with
+    cm_estimate 0 — the old inner join either dropped it from the
+    output entirely (all cells empty) or min'd over only its
+    colliding cells (positive estimate for a zero-count item)."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import sketch
+
+    items = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3, "item string"
+    )
+    cands = spark.createDataFrame(
+        [("a",), ("b",), ("ghost",)], "item string"
+    )
+    got = {
+        r["item"]: r["cm_estimate"]
+        for r in sketch.countmin_estimates(items, cands).collect()
+    }
+    assert got["a"] >= 5 and got["b"] >= 3
+    assert "ghost" in got, "absent candidate must not vanish"
+    assert got["ghost"] == 0
+
+
+def test_kmeans_lloyd_loop_converges(spark):
+    """The actual Lloyd loop: kmeans_new_centroids feeds the next
+    round via the centroids parameter. With stable assignments the
+    round-two centroids ARE the cluster means, so round-two drift
+    collapses to (quantization-level) zero — the loop the docstring
+    promises is now actually expressible."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import similarity
+
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.8, 0.0]),
+        (2, [0.0, 1.0]), (3, [0.0, 0.8]),
+    ]
+    embs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    d1 = max(
+        r["drift"]
+        for r in similarity.kmeans_step(embs, centroid_stride=2).collect()
+    )
+    c1 = similarity.kmeans_new_centroids(embs, centroid_stride=2)
+    d2 = max(
+        r["drift"]
+        for r in similarity.kmeans_step(embs, centroids=c1).collect()
+    )
+    assert d1 > 1e-3, "round one must actually move (off-center seeds)"
+    assert d2 <= d1
+    assert d2 < 1e-4, "means vs means: only integer-rounding residue"
 
 
 def test_kmeans_step_two_tight_clusters(spark):
