@@ -43,6 +43,29 @@ _ATHENA_NAME_RE = re.compile(
 )
 
 
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe that works for ANY filesystem the session can
+    reach. ``os.path.exists`` is always False for non-local URIs
+    (s3a://, hdfs://), which made the registration loops silently
+    skip every table of a remote layout and return an empty dict."""
+    if "://" not in path:
+        return os.path.exists(path)
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf).exists(p)
+
+
+def _sql_str(value: str) -> str:
+    """Escape a string for embedding in a single-quoted SQL literal."""
+    return value.replace("'", "''")
+
+
+def _sql_ident(name: str) -> str:
+    """Backtick-quote an identifier (database or table segment)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def register_parquet_table(spark: SparkSession, name: str, path: str) -> DataFrame:
     """Register a parquet directory as a temp view (partition columns
     are discovered from the Hive-style layout and ARE queryable —
@@ -57,7 +80,7 @@ def register_derived_tables(spark: SparkSession, base_path: str) -> dict[str, Da
     out: dict[str, DataFrame] = {}
     for name in DERIVED_TABLES:
         path = os.path.join(base_path, name)
-        if os.path.exists(path):
+        if _path_exists(spark, path):
             out[name] = register_parquet_table(spark, name, path)
     return out
 
@@ -76,22 +99,31 @@ def create_external_tables(
     """
     out: dict[str, DataFrame] = {}
     if database is not None:
-        spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {_sql_ident(database)}")
     for name in DERIVED_TABLES:
         path = os.path.join(base_path, name)
-        if not os.path.exists(path):
+        if not _path_exists(spark, path):
             continue
-        qualified = f"{database}.{name}" if database else name
+        # identifiers backticked, the location single-quote-escaped: a
+        # legal POSIX path containing an apostrophe (or a database
+        # name needing quoting) must not break the interpolated DDL
+        qualified = (
+            f"{_sql_ident(database)}.{_sql_ident(name)}"
+            if database
+            else _sql_ident(name)
+        )
         spark.sql(f"DROP TABLE IF EXISTS {qualified}")
         spark.sql(
-            f"CREATE TABLE {qualified} USING PARQUET LOCATION '{path}'"
+            f"CREATE TABLE {qualified} USING PARQUET "
+            f"LOCATION '{_sql_str(path)}'"
         )
         if TABLE_PARTITIONS.get(name):
             try:
                 spark.sql(f"ALTER TABLE {qualified} RECOVER PARTITIONS")
             except Exception:  # non-partitioned layout written flat
                 pass
-        out[name] = spark.table(qualified)
+        plain = f"{database}.{name}" if database else name
+        out[name] = spark.table(plain)
     return out
 
 

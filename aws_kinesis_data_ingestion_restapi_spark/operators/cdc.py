@@ -24,24 +24,45 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: Field separator for the row digest — a control char that cannot
-#: appear in the rendered values.
-_SEP = "\x1f"
-_NULL = "<NULL>"
-
-
 def row_digest(cols: list[str | Column]) -> Column:
-    """Order-sensitive md5 digest of the given columns, null-safe
-    (NULL renders as a sentinel distinct from any real value). The
-    rendering only needs to be injective WITHIN an engine — diff
-    verdicts depend on digest equality, never on the digest value."""
-    parts = [
-        F.coalesce(
-            (F.col(c) if isinstance(c, str) else c).cast("string"), F.lit(_NULL)
+    """Order-sensitive md5 digest of the given columns over an
+    INJECTIVE rendering: each field is either ``-`` (NULL) or
+    ``<length>:<value>``. The length prefix means no value content —
+    a literal separator, a string equal to any sentinel — can shift
+    field boundaries or collide with NULL (the earlier
+    sentinel+separator rendering collided a real '<NULL>' string with
+    SQL NULL). The rendering only needs to be injective WITHIN an
+    engine — diff verdicts depend on digest equality, never on the
+    digest value."""
+    parts = []
+    for c in cols:
+        s = (F.col(c) if isinstance(c, str) else c).cast("string")
+        parts.append(
+            F.when(s.isNull(), F.lit("-")).otherwise(
+                F.concat(F.length(s).cast("string"), F.lit(":"), s)
+            )
         )
-        for c in cols
+    return F.md5(F.concat_ws("|", *parts))
+
+
+def _null_safe_key_join(
+    old: DataFrame, new: DataFrame, keys: list[str]
+) -> tuple[DataFrame, list[Column]]:
+    """Full-outer join of two keyed snapshots with NULL-SAFE key
+    equality: a key that is NULL in both snapshots is ONE key (plain
+    equality would report it as a simultaneous delete + insert).
+    Returns (joined, coalesced key output columns)."""
+    o = old.withColumnsRenamed({k: f"_ko_{i}" for i, k in enumerate(keys)})
+    n = new.withColumnsRenamed({k: f"_kn_{i}" for i, k in enumerate(keys)})
+    cond = None
+    for i in range(len(keys)):
+        c = F.col(f"_ko_{i}").eqNullSafe(F.col(f"_kn_{i}"))
+        cond = c if cond is None else cond & c
+    out_keys = [
+        F.coalesce(f"_ko_{i}", f"_kn_{i}").alias(k)
+        for i, k in enumerate(keys)
     ]
-    return F.md5(F.concat_ws(_SEP, *parts))
+    return o.join(n, cond, "full_outer"), out_keys
 
 
 def snapshot_diff(
@@ -56,9 +77,9 @@ def snapshot_diff(
     pipeline applies downstream."""
     o = old.select(*keys, row_digest(compare_cols).alias("_h_old"))
     n = new.select(*keys, row_digest(compare_cols).alias("_h_new"))
-    j = o.join(n, keys, "full_outer")
+    j, out_keys = _null_safe_key_join(o, n, keys)
     classified = j.select(
-        *keys,
+        *out_keys,
         F.when(F.col("_h_old").isNull(), "insert")
         .when(F.col("_h_new").isNull(), "delete")
         .when(F.col("_h_old") != F.col("_h_new"), "update")
@@ -102,7 +123,7 @@ def scd2_apply(
     n_attrs = [F.col(c).alias(f"_n_{c}") for c in compare_cols]
     o = old.select(*keys, *o_attrs, row_digest(compare_cols).alias("_h_old"))
     n = new.select(*keys, *n_attrs, row_digest(compare_cols).alias("_h_new"))
-    j = o.join(n, keys, "full_outer")
+    j, out_keys = _null_safe_key_join(o, n, keys)
 
     def interval(side: str, valid_from: int, valid_to: int | None) -> Column:
         return F.struct(
@@ -123,7 +144,7 @@ def scd2_apply(
         .when(F.col("_h_old") != F.col("_h_new"), F.array(closed_old, open_new))
         .otherwise(F.array(open_old))
     )
-    exploded = j.select(*keys, F.explode(rows).alias("_iv"))
+    exploded = j.select(*out_keys, F.explode(rows).alias("_iv"))
     return exploded.select(
         *keys,
         *[F.col(f"_iv.{c}").alias(c) for c in compare_cols],

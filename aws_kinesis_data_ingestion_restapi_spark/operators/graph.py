@@ -42,6 +42,25 @@ _LOG = logging.getLogger(__name__)
 LAST_CC_REPORT: dict = {}
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free a localCheckpoint's storage blocks NOW.
+
+    ``DataFrame.unpersist`` is a no-op for checkpoint blocks — they
+    hang off the backing RDD, not the cache manager (verified
+    empirically: getRDDStorageInfo still lists the blocks after
+    unpersist, and drops them after this). Without an explicit
+    release, a deep iterative run pins one full label/edge-frame copy
+    PER ROUND in executor storage until the 30-minute periodic
+    ContextCleaner catches up — the exact litter class BENCH_NOTES
+    measured inflating later queries 2-4×."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        # plan isn't a bare LogicalRDD (wrapped/optimized differently)
+        # — fall back to eventual ContextCleaner reclamation
+        pass
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame | None = None,
@@ -77,7 +96,14 @@ def connected_components(
         "node", F.col("node").alias("component")
     ).localCheckpoint(eager=True)
 
+    if max_iter < 1:
+        # an empty loop would leave `changed` unbound and the raise
+        # below would die with UnboundLocalError instead of the
+        # convergence message
+        raise ValueError(f"max_iter={max_iter} must be >= 1")
+
     relabeled: list[int] = []
+    prev_ckpt: DataFrame = labels  # the initial checkpoint dies after round 1
     for rounds in range(1, max_iter + 1):
         nbr_min = (
             edges.join(labels, edges.v == labels.node)
@@ -94,6 +120,12 @@ def connected_components(
                 ).alias("_new"),
             )
         ).localCheckpoint(eager=True)
+        # the new checkpoint fully replaces the previous round's —
+        # release those blocks now, or a deep run pins up to max_iter
+        # label-frame copies in executor storage until the (30-min)
+        # periodic ContextCleaner catches up
+        _release_local_checkpoint(prev_ckpt)
+        prev_ckpt = updated
         changed = updated.filter(F.col("_new") < F.col("component")).count()
         relabeled.append(changed)
         labels = updated.select("node", F.col("_new").alias("component"))
@@ -113,7 +145,9 @@ def connected_components(
                     "this graph's diameter is near the guard rail; raise "
                     "max_iter before the corpus grows", rounds, max_iter
                 )
+            _release_local_checkpoint(edges)
             return labels
+    _release_local_checkpoint(edges)
     raise RuntimeError(
         f"connected_components did not converge within max_iter={max_iter} "
         f"rounds (last round still relabeled {changed} nodes); labels would "
@@ -206,6 +240,7 @@ def connected_components_star(
             else nxt.exceptAll(e).limit(1).count()
         )
         edge_counts.append(n_nxt)
+        _release_local_checkpoint(e)  # the replaced round's edge set
         e = nxt
         if changed == 0:
             LAST_CC_REPORT.clear()

@@ -41,9 +41,16 @@ PUNCT_CLASS = "[^.,;:!?]"
 
 
 def tokens_col(text: Column | str = "text") -> Column:
-    """Lowercased whitespace tokenization (the shared tokenizer)."""
+    """Lowercased whitespace tokenization (the shared tokenizer).
+
+    Empty/whitespace-only text yields an EMPTY array: split of ''
+    returns [''] (one empty-string token), which would make every
+    blank doc look like a 1-token doc to token_stats, repetition
+    analysis, and every shingle builder. array_remove is a no-op for
+    any non-blank doc (trim + \\s+ never produce '' tokens inside),
+    so only the blank-doc edge changes."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.split(F.lower(F.trim(c)), "\\s+")
+    return F.array_remove(F.split(F.lower(F.trim(c)), "\\s+"), "")
 
 
 def _stop_hits(tokens: Column, lang: str) -> Column:
@@ -87,12 +94,23 @@ def quality_score(docs: DataFrame) -> DataFrame:
     sum_tok_len = F.aggregate(
         tokens, F.lit(0), lambda acc, t: acc + F.length(t)
     )
-    mean_tok_len = sum_tok_len.cast("double") / n_tokens
-    punct_ratio = (
+    # every ratio is guarded for the blank-document edge: text='' has
+    # zero length AND zero tokens, and under Spark 4's default ANSI
+    # mode the unguarded punct_ratio division is a job-killing
+    # DIVIDE_BY_ZERO (one blank row poisoned the whole batch); the
+    # token ratios would quietly go NaN. A blank doc scores all-zero
+    # components instead.
+    mean_tok_len = F.when(
+        n_tokens > 0, sum_tok_len.cast("double") / n_tokens
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        F.length("text") > 0,
         F.length(F.regexp_replace("text", PUNCT_CLASS, "")).cast("double")
-        / F.length("text")
-    )
-    stop_density = _stop_hits(tokens, "en").cast("double") / n_tokens
+        / F.length("text"),
+    ).otherwise(F.lit(0.0))
+    stop_density = F.when(
+        n_tokens > 0, _stop_hits(tokens, "en").cast("double") / n_tokens
+    ).otherwise(F.lit(0.0))
     len_ok = F.when((n_tokens >= 10) & (n_tokens <= 10000), 1.0).otherwise(0.0)
     mtl_ok = F.when((mean_tok_len >= 3.0) & (mean_tok_len <= 12.0), 1.0).otherwise(0.0)
     score = (

@@ -37,9 +37,14 @@ def decode_envelope(envelopes: DataFrame, data_col: str = "Data") -> DataFrame:
     # stream; try_to_binary yields NULL, which split_corrupt quarantines.
     raw = F.try_to_binary(F.col(data_col), F.lit("base64")).cast("string")
     parsed = F.from_json(raw, ORDER_EVENT_SCHEMA)
-    return envelopes.select(parsed.alias("event"), raw.alias("_raw")).select(
-        "event.*", "_raw"
-    )
+    # _raw falls back to the ORIGINAL transport payload when the
+    # base64 decode itself failed — a NULL _raw would quarantine a
+    # record nobody can inspect or replay, losing exactly the bytes
+    # the errors/ prefix exists to keep
+    return envelopes.select(
+        parsed.alias("event"),
+        F.coalesce(raw, F.col(data_col)).alias("_raw"),
+    ).select("event.*", "_raw")
 
 
 def split_corrupt(decoded: DataFrame) -> tuple[DataFrame, DataFrame]:

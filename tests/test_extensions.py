@@ -71,6 +71,24 @@ def test_quality_score_bounds(docs):
         assert 0.0 <= row["quality_score"] <= 1.0
 
 
+def test_blank_docs_score_and_count_as_zero(spark):
+    """text='' and whitespace-only docs: under ANSI mode the unguarded
+    punct ratio was a job-killing DIVIDE_BY_ZERO (one blank row
+    poisoned the batch), and split-of-'' made every blank doc look
+    like a 1-token doc. Blank docs must flow through with zero tokens
+    and all-zero score components."""
+    rows = [(0, "real words here ok"), (1, ""), (2, "   "), (3, None)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    ts = {r["doc_id"]: r for r in text.token_stats(d).collect()}
+    assert ts[1]["n_tokens"] == 0 and ts[2]["n_tokens"] == 0
+    assert ts[0]["n_tokens"] == 4
+    qs = {r["doc_id"]: r for r in text.quality_score(d).collect()}
+    for blank in (1, 2):
+        assert qs[blank]["n_tokens"] == 0
+        assert qs[blank]["mean_token_len"] == 0.0
+        assert 0.0 <= qs[blank]["quality_score"] <= 1.0
+
+
 def test_pii_redaction(spark):
     rows = [
         (0, "mail a@b.io and c.d+x@e-f.org, call +1-555-0042"),
@@ -636,6 +654,34 @@ def test_snapshot_diff_classification(spark):
     assert full[1] == "unchanged" and len(full) == 5
 
 
+def test_row_digest_injective_and_null_safe_keys(spark):
+    """Two adversarial digest collisions of the old rendering and the
+    NULL-key edge: a real '<NULL>' string must differ from SQL NULL,
+    separator-bearing values must not shift field boundaries, and a
+    key NULL in both snapshots is ONE key, not delete+insert."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import cdc
+
+    old = spark.createDataFrame(
+        [(1, None, "x"), (2, "a\x1fb", "c"), (None, "same", "v")],
+        "k int, c1 string, c2 string",
+    )
+    new = spark.createDataFrame(
+        [(1, "<NULL>", "x"), (2, "a", "b\x1fc"), (None, "same", "v")],
+        "k int, c1 string, c2 string",
+    )
+    out = {
+        r["k"]: r["change_type"]
+        for r in cdc.snapshot_diff(
+            old, new, keys=["k"], compare_cols=["c1", "c2"],
+            include_unchanged=True,
+        ).collect()
+    }
+    assert out[1] == "update", "NULL vs literal '<NULL>' must differ"
+    assert out[2] == "update", "separator content must not shift fields"
+    assert out[None] == "unchanged", "NULL key matches null-safely"
+    assert len(out) == 3
+
+
 def test_asof_join_semantics(spark):
     from datetime import datetime as dt
 
@@ -891,6 +937,16 @@ def test_connected_components_reports_convergence_rounds(spark):
     assert 2 <= rep["rounds_used"] <= 6
     assert rep["relabeled"][-1] == 0
     assert len(rep["relabeled"]) == rep["rounds_used"]
+
+
+def test_connected_components_rejects_nonpositive_max_iter(spark):
+    """max_iter=0 skipped the loop entirely and the exhaustion raise
+    then died on an unbound local instead of a real message."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import graph
+
+    pairs = spark.createDataFrame([(1, 2)], ["a", "b"])
+    with pytest.raises(ValueError):
+        graph.connected_components(pairs, max_iter=0)
 
 
 def test_repetition_stats(spark):

@@ -62,3 +62,19 @@ def test_corrupt_records_quarantined_not_fatal(spark):
     bad_rows = bad.collect()
     assert len(bad_rows) == 2
     assert all(r["result"] == "ProcessingFailed" for r in bad_rows)
+
+
+def test_transport_corrupt_record_keeps_original_payload(spark):
+    """Base64-corrupt transport records decode to NULL; the quarantine
+    row must carry the ORIGINAL Data field — a NULL raw_payload would
+    quarantine bytes nobody can inspect or replay."""
+    records = envelope_records(2, seed=7)
+    records.append(
+        {"StreamName": "s", "PartitionKey": "k", "Data": "!!!not-base64!!!"}
+    )
+    env_df = spark.createDataFrame(records, ENVELOPE_SCHEMA)
+    good, bad = split_corrupt(decode_envelope(env_df))
+    assert good.count() == 2
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1
+    assert bad_rows[0]["raw_payload"] == "!!!not-base64!!!"
