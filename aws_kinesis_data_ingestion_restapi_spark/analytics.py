@@ -254,8 +254,13 @@ def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     INTEGER data at dyadic probabilities (.25/.5/.75) interpolate
     exactly in IEEE doubles, so the values are engine-portable —
     unlike float-valued percentile estimation, which is not."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.text import (
+        tokens_col,
+    )
+
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    n_tokens = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast("long")
+    # shared tokenizer (empty text -> 0 tokens, not the raw split's 1)
+    n_tokens = F.size(tokens_col()).cast("long")
     return (
         docs.select("lang", n_tokens.alias("n_tokens"))
         .groupBy("lang")
@@ -406,11 +411,7 @@ def payment_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_type = orders.groupBy(
         F.col("o_orderpriority").alias("payment_type")
     ).agg(dsum("o_totalprice", alias="total_income"))
-    total = per_type.agg(
-        F.sum(F.col("total_income").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("_grand")
-    )
+    total = per_type.agg(dsum("total_income", alias="_grand"))
     return (
         per_type.crossJoin(F.broadcast(total))
         .select(
@@ -754,7 +755,7 @@ def sales_pivot_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .pivot("o_orderpriority", list(ORDER_PRIORITIES))
-        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+        .agg(dsum("o_totalprice"))
     )
     renamed = wide.select(
         "nation",
@@ -1094,16 +1095,18 @@ def events_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     med = _grouped_median(events, "value")
+    # med_value rides the dev projection — re-joining the identical
+    # broadcast just to recover it would recompute the median subtree
     dev = events.join(F.broadcast(med), "event_type").select(
         "event_type",
         "value",
+        "med_value",
         F.abs(F.col("value") - F.col("med_value")).alias("abs_dev"),
     )
     mad = _grouped_median(dev.select("event_type", F.col("abs_dev").alias("value")),
                           "value").withColumnRenamed("med_value", "mad")
     return (
-        dev.join(F.broadcast(med), "event_type")
-        .join(F.broadcast(mad), "event_type")
+        dev.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -1242,7 +1245,9 @@ def q10_returned_items(
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= since)
-        & (F.col("o_orderdate") < "1996-04-01")
+        # derived, not hardcoded: a non-default `since` must still
+        # cover exactly one quarter (same pattern as q15_top_supplier)
+        & (F.col("o_orderdate") < F.add_months(F.lit(since), 3))
     )
     customer = _t(spark, sf_dir, "customer")
     nat = _t(spark, sf_dir, "nation")
@@ -1298,7 +1303,10 @@ def q14_promo_revenue(
     unhinted (it scales with the dataset — AQE broadcasts at runtime
     when small); exact decimal sums → one double multiply+divide."""
     li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= f"{month}-01") & (F.col("l_shipdate") < "1996-04-01")
+        (F.col("l_shipdate") >= f"{month}-01")
+        # derived end: one month for ANY `month` value, not just the
+        # default (the hardcoded end made other months empty or wide)
+        & (F.col("l_shipdate") < F.add_months(F.lit(f"{month}-01"), 1))
     )
     part = _t(spark, sf_dir, "part")
     vol = disc_price_expr()
@@ -1337,10 +1345,7 @@ def q17_small_quantity_revenue(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     per_part = brand_lines.groupBy(F.col("l_partkey").alias("pp_key")).agg(
-        (
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
-            / F.count("l_quantity")
-        ).alias("avg_qty")
+        davg("l_quantity", alias="avg_qty")
     )
     return (
         brand_lines.join(per_part, F.col("l_partkey") == F.col("pp_key"))
@@ -1404,8 +1409,7 @@ def q22_dormant_customers(
     nat = _t(spark, sf_dir, "nation")
     avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
         (
-            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
-            / F.count("c_acctbal")
+            davg("c_acctbal")
         ).alias("avg_bal")
     )
     recent = orders.filter(F.col("o_orderdate") >= cutoff).select("o_custkey")

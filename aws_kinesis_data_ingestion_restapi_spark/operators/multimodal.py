@@ -156,6 +156,16 @@ def decode_bmp_rgb(payload: bytes) -> bytes:
         raise ValueError("mini decoder handles 24bpp uncompressed BMP only")
     top_down, height = height < 0, abs(height)
     stride = ((width * 3 + 3) // 4) * 4
+    # a truncated file would silently yield short/empty row slices and
+    # plausible-but-wrong byte stats; PIL raises here too. The bound is
+    # the last byte actually read (final row's pixels — its padding may
+    # legally be absent).
+    needed = data_off + (height - 1) * stride + width * 3 if height > 0 else 0
+    if len(payload) < needed:
+        raise ValueError(
+            f"truncated BMP: pixel data needs {needed} bytes, "
+            f"payload has {len(payload)}"
+        )
     out = bytearray()
     row_order = range(height) if top_down else range(height - 1, -1, -1)
     for r in row_order:
@@ -206,7 +216,11 @@ def _decode_real(kind: str, payload: bytes) -> dict:
             return _byte_stats(data.tobytes())
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return _byte_stats(decode_wav_pcm(payload))
-    elif codec_available("video"):  # pragma: no cover - av absent here
+    elif kind == "video" and codec_available("video"):
+        # pragma: no cover - av absent here. The kind check matters: a
+        # bare codec_available branch routed ANY unknown kind into
+        # av.open on an arbitrary payload (InvalidDataError) instead
+        # of the documented NotImplementedError below.
         import io
 
         import av

@@ -42,7 +42,12 @@ from aws_kinesis_data_ingestion_restapi_spark.sources.tables import load_table
 # shared SQL fragments (DuckDB dialect), mirroring operators.text/dedup
 # ---------------------------------------------------------------------------
 
-_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+# mirrors text.tokens_col: blank text tokenizes to the EMPTY list (the
+# raw split returns [''] — a 1-token phantom)
+_TOKS = (
+    r"list_filter(string_split_regex(lower(trim(text)), '\s+'),"
+    r" t -> t != '')"
+)
 
 
 def _sql_list(words: tuple[str, ...]) -> str:
@@ -1693,11 +1698,14 @@ EXT_ORACLE_SQL = {
     "corpus_mixture_plan": rf"""
         WITH per_source AS (
             SELECT source,
-                   CAST(CAST(substr(source, 4, 10) AS INTEGER) % 3 + 1
+                   CAST(COALESCE(TRY_CAST(NULLIF(
+                            regexp_extract(source, '([0-9]+)$', 1), '')
+                            AS INTEGER), 0) % 3 + 1
                         AS BIGINT) AS weight,
                    COUNT(*) AS n_docs,
-                   CAST(SUM(len(string_split_regex(lower(trim(text)),
-                                                '\s+'))) AS BIGINT)
+                   CAST(SUM(len(list_filter(
+                            string_split_regex(lower(trim(text)), '\s+'),
+                            t -> t != ''))) AS BIGINT)
                        AS avail_tokens
             FROM documents GROUP BY 1, 2
         ),

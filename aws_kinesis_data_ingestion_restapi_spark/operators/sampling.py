@@ -67,13 +67,18 @@ def quality_weighted_sample(
     layout/engine. (2^28 is not an exact multiple of the resolution, so
     the top of the range carries a ~0.3% bias — irrelevant for curation
     and identical in both engines.) Map-side filter, no shuffle."""
-    c = F.col(id_col).cast("string")
-    h = F.conv(F.substring(F.md5(c), 1, _HEX), 16, 10).cast("long")
-    return scored.filter((h % resolution) < F.col(score_col) * resolution)
+    # the shared hash, not an inline re-spelling: one definition of
+    # the engine-portability-critical expression
+    return scored.filter(
+        hash_bucket(id_col, resolution) < F.col(score_col) * resolution
+    )
 
 
 def sample_fixed_k(
-    docs: DataFrame, k: int = 200, id_col: str = "doc_id"
+    docs: DataFrame,
+    k: int = 200,
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = ("lang", "source"),
 ) -> DataFrame:
     """Deterministic fixed-SIZE sample (the reservoir-sampling use
     case, distribution-style): rank every row by the stable md5 of
@@ -82,10 +87,12 @@ def sample_fixed_k(
     EXACTLY k rows (rate-based sampling only hits k in expectation).
     Compiles to TakeOrderedAndProject — no global sort ever
     materializes; at 100 TB each partition keeps its local top-k and
-    only k·partitions candidate rows move."""
+    only k·partitions candidate rows move. ``keep_cols`` defaults to
+    the documents-table carry-through; pass () for an arbitrary
+    frame."""
     h = F.md5(F.col(id_col).cast("string"))
     return (
-        docs.select(id_col, "lang", "source", h.alias("_h"))
+        docs.select(id_col, *keep_cols, h.alias("_h"))
         .orderBy("_h", id_col)
         .limit(k)
         .drop("_h")
@@ -97,6 +104,7 @@ def train_val_test_split(
     train_pct: int = 90,
     val_pct: int = 5,
     id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = ("lang", "source"),
 ) -> DataFrame:
     """Deterministic train/val/test assignment by stable hash bucket —
     the split every training pipeline needs to be REPRODUCIBLE and
@@ -105,14 +113,15 @@ def train_val_test_split(
     agree; no coordination, no stored split table). Map-side only.
 
     Buckets [0, train_pct) → train, [train_pct, train_pct+val_pct) →
-    val, rest → test."""
+    val, rest → test. ``keep_cols`` defaults to the documents-table
+    carry-through; pass () for an arbitrary frame."""
     b = hash_bucket(id_col, buckets=100)
     split = (
         F.when(b < train_pct, F.lit("train"))
         .when(b < train_pct + val_pct, F.lit("val"))
         .otherwise(F.lit("test"))
     )
-    return docs.select(id_col, "lang", "source", split.alias("split"))
+    return docs.select(id_col, *keep_cols, split.alias("split"))
 
 
 def mixture_plan(
@@ -131,14 +140,29 @@ def mixture_plan(
     exact and engine-identical; only the final fill/demand ratios are
     single double divisions. The per-source aggregate is one shuffle
     over |sources| groups; the Σw total rides a 1-row broadcast."""
-    toks = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    from aws_kinesis_data_ingestion_restapi_spark.operators.text import (
+        tokens_col,
+    )
+
+    # shared tokenizer, not a raw split: split('') returns [''] and
+    # would count every blank doc as 1 available token, contradicting
+    # token_stats/pack_sequences for the same document
+    toks = F.size(tokens_col())
+    # the weight's source number comes from a digit-tail extract, not
+    # a positional substring: CAST(substr(source,4) AS INT) is an ANSI
+    # CAST_INVALID_INPUT crash for any real-world source name ('web',
+    # 'books'); a name with no digit tail gets number 0 → weight 1
+    src_num = F.coalesce(
+        F.nullif(
+            F.regexp_extract(F.col("source"), r"(\d+)$", 1), F.lit("")
+        ).cast("int"),
+        F.lit(0),
+    )
     per_source = (
         docs.select(
             "source",
             toks.cast("long").alias("_t"),
-            (
-                F.substring("source", 4, 10).cast("int") % weights_mod + 1
-            ).cast("long").alias("weight"),
+            (src_num % weights_mod + 1).cast("long").alias("weight"),
         )
         .groupBy("source", "weight")
         .agg(

@@ -905,12 +905,12 @@ ORACLE_SQL: dict[str, str] = {
     "text_length_quantiles": r"""
         SELECT lang,
                COUNT(*) AS n_docs,
-               quantile_cont(len(string_split_regex(lower(trim(text)),
-                   '\s+')), 0.25) AS p25,
-               quantile_cont(len(string_split_regex(lower(trim(text)),
-                   '\s+')), 0.5) AS p50,
-               quantile_cont(len(string_split_regex(lower(trim(text)),
-                   '\s+')), 0.75) AS p75
+               quantile_cont(len(list_filter(string_split_regex(lower(trim(text)),
+                   '\s+'), t -> t != '')), 0.25) AS p25,
+               quantile_cont(len(list_filter(string_split_regex(lower(trim(text)),
+                   '\s+'), t -> t != '')), 0.5) AS p50,
+               quantile_cont(len(list_filter(string_split_regex(lower(trim(text)),
+                   '\s+'), t -> t != '')), 0.75) AS p75
         FROM documents
         GROUP BY lang
         ORDER BY lang
