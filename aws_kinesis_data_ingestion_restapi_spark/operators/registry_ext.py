@@ -1278,12 +1278,15 @@ _MINHASH_SIGS = f"""
             FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
         ),
         sigs AS (
+            -- len(hs) > 0 mirrors minhash_signatures' empty-shingle
+            -- exclusion: a doc below the shingle width has no MinHash
+            -- representation in EITHER engine
             SELECT doc_id,
                    list_transform(generate_series(0, 31),
                        i -> list_min(list_transform(hs,
                             h -> ((2*i+1)*h + 1000003*(i+1)) % 2147483647)))
                        AS sig
-            FROM toks
+            FROM toks WHERE len(hs) > 0
         )
 """
 

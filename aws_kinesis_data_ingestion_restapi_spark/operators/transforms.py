@@ -26,16 +26,20 @@ from pyspark.sql import functions as F
 _TS = "_event_ts"  # internal parsed-timestamp column
 
 
-def parse_event_timestamp(events: DataFrame) -> DataFrame:
-    """T2: parse ``order_date`` (ISO-8601 + trailing "Z") to timestamp.
+def event_timestamp_expr() -> "F.Column":
+    """The T2 parse contract as a bare expression — the ONE definition
+    of the trailing-Z rule, shared by the table derivations and the
+    streaming aggregates (``rstrip("Z")`` in the reference strips ALL
+    trailing Z's; mirrored with ``regexp_replace(..., 'Z+$', '')``.
+    The producer emits exactly one Z, but the contract is the
+    lambda's, not the producer's)."""
+    return F.to_timestamp(F.regexp_replace(F.col("order_date"), "Z+$", ""))
 
-    ``rstrip("Z")`` in the reference strips ALL trailing Z's; mirrored
-    with ``regexp_replace(..., 'Z+$', '')``. The producer emits exactly
-    one Z, but the contract is the lambda's, not the producer's.
-    """
-    return events.withColumn(
-        _TS, F.to_timestamp(F.regexp_replace(F.col("order_date"), "Z+$", ""))
-    )
+
+def parse_event_timestamp(events: DataFrame) -> DataFrame:
+    """T2: parse ``order_date`` (ISO-8601 + trailing "Z") to timestamp
+    (see :func:`event_timestamp_expr` for the contract)."""
+    return events.withColumn(_TS, event_timestamp_expr())
 
 
 def with_partition_columns(events: DataFrame) -> DataFrame:

@@ -48,6 +48,7 @@ from pyspark.sql.streaming import StreamingQuery
 from aws_kinesis_data_ingestion_restapi_spark.operators.transforms import (
     derive_all_tables,
     to_serving_items,
+    event_timestamp_expr,
 )
 from aws_kinesis_data_ingestion_restapi_spark.sinks import (
     serving_upsert,
@@ -117,6 +118,7 @@ class IngestionPipeline:
         test_pipeline_restart_replays_exactly_once.
         """
         batch.persist()
+        good = None
         try:
             good, bad = split_corrupt(batch)
             good.persist()
@@ -140,8 +142,12 @@ class IngestionPipeline:
                 )
             # T11 audit log (the lambdas' "Successfully processed N records")
             log.info("batch %d: processed", batch_id)
-            good.unpersist()
         finally:
+            # unpersist on EVERY path: a sink failure followed by
+            # crash-replays would otherwise leak one cached copy of
+            # the good slice per attempt
+            if good is not None:
+                good.unpersist()
             batch.unpersist()
 
     # -- query lifecycle -------------------------------------------------------
@@ -203,7 +209,15 @@ def run_pipeline_once(
         trigger={"availableNow": True},
     )
     try:
-        query.awaitTermination(timeout_s)
+        # awaitTermination(timeout) returns False on TIMEOUT with the
+        # drain still running — returning normally then would report a
+        # PARTIAL backfill as success (same contract as the gate
+        # adapters' _drain: fail loudly, never truncate)
+        if not query.awaitTermination(timeout_s):
+            raise RuntimeError(
+                f"pipeline drain did not finish within {timeout_s}s; "
+                "the warehouse holds only part of the input"
+            )
     finally:
         if query.isActive:
             query.stop()
@@ -223,7 +237,7 @@ def session_order_stats(
     eviction — without it session state grows forever); batch mode runs
     the identical expression and is the oracle-checkable equivalent.
     """
-    ts = F.to_timestamp(F.regexp_replace(F.col("order_date"), "Z+$", ""))
+    ts = event_timestamp_expr()  # the shared T2 trailing-Z contract
     df = decoded_stream.withColumn("_event_ts", ts)
     if df.isStreaming:
         df = df.withWatermark("_event_ts", watermark_delay)
@@ -257,7 +271,7 @@ def tumbling_order_stats(
     Works on both a streaming and a batch DataFrame of decoded events
     (the batch form is the oracle-checkable equivalent).
     """
-    ts = F.to_timestamp(F.regexp_replace(F.col("order_date"), "Z+$", ""))
+    ts = event_timestamp_expr()  # the shared T2 trailing-Z contract
     df = decoded_stream.withColumn("_event_ts", ts)
     if df.isStreaming:
         df = df.withWatermark("_event_ts", watermark_delay)

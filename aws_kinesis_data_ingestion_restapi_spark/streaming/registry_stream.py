@@ -48,6 +48,29 @@ from aws_kinesis_data_ingestion_restapi_spark.streaming.stateful import (
 _seq = itertools.count()
 
 
+def _dump_single_ndjson(
+    df: DataFrame,
+    workdir: str,
+    stage_name: str,
+    target: str,
+    mtime: int | None = None,
+) -> None:
+    """Write ``df`` as ONE NDJSON file at ``target``: distributed
+    ``write.json`` then a driver-side part concat (no collect — the
+    driver only streams bytes). The single shared definition of the
+    delivery-assembly rule (sorted part order, byte concat) every
+    streaming fixture uses. ``mtime`` pins the file's modification
+    time — the file source orders batches by mtime, not name."""
+    staged = os.path.join(workdir, stage_name)
+    df.write.mode("overwrite").json(staged)
+    with open(target, "wb") as out:
+        for part in sorted(glob.glob(os.path.join(staged, "part-*"))):
+            with open(part, "rb") as f:
+                shutil.copyfileobj(f, out)
+    if mtime is not None:
+        os.utime(target, (mtime, mtime))
+
+
 def _replayed_stream(
     spark: SparkSession, df: DataFrame, schema: str, replays: int, prefix: str
 ):
@@ -60,15 +83,10 @@ def _replayed_stream(
     passes tmpdir to ``_drain(cleanup_dir=...)`` so it is removed on
     every exit path, including a failed drain."""
     d = tempfile.mkdtemp(prefix=prefix)
-    staged = os.path.join(d, "staged")
-    df.write.mode("overwrite").json(staged)
     stream_dir = os.path.join(d, "in")
     os.makedirs(stream_dir)
     src = os.path.join(d, "delivery.json")
-    with open(src, "wb") as out:
-        for part in sorted(glob.glob(os.path.join(staged, "part-*"))):
-            with open(part, "rb") as f:
-                shutil.copyfileobj(f, out)
+    _dump_single_ndjson(df, d, "staged", src)
     for i in range(replays):
         shutil.copyfile(src, os.path.join(stream_dir, f"b{i}.json"))
     stream = (
@@ -368,15 +386,10 @@ def streaming_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("b1_late", base.filter(F.col("ts") < cutoff)),
         )
     ):
-        staged = os.path.join(d, name)
-        part.write.mode("overwrite").json(staged)
-        target = os.path.join(stream_dir, f"{name}.json")
-        with open(target, "wb") as out:
-            for p in sorted(glob.glob(os.path.join(staged, "part-*"))):
-                with open(p, "rb") as f:
-                    shutil.copyfileobj(f, out)
-        mtime = 1_700_000_000 + i * 600
-        os.utime(target, (mtime, mtime))
+        _dump_single_ndjson(
+            part, d, name, os.path.join(stream_dir, f"{name}.json"),
+            mtime=1_700_000_000 + i * 600,
+        )
     stream = (
         spark.readStream.schema("event_id long, ts string, value double")
         .option("maxFilesPerTrigger", 1)

@@ -173,6 +173,15 @@ def streaming_dedup_builtin(
     event time (the native analog of the custom form's TTL).
     """
     if watermark is not None:
+        # dropDuplicates does NOT evict keyed state when the watermark
+        # advances unless the event-time column is part of the key
+        # subset — plain dropDuplicates under a watermark would grow
+        # state with every distinct key forever, the exact failure
+        # this parameter exists to prevent. WithinWatermark is the
+        # real native TTL: a key's state drops once the watermark
+        # passes its event time + delay (a far-later replay re-emits
+        # — the same contract as the custom form's TTL).
         events = events.withWatermark(*watermark)
+        return events.dropDuplicatesWithinWatermark(list(key_cols))
     return events.dropDuplicates(list(key_cols))
 

@@ -508,6 +508,17 @@ def main() -> None:
         )
         if len(line) <= 1990:
             break
+    else:
+        # even deciseconds overflowed (pathological run): emit the
+        # headline WITHOUT per-query detail rather than an oversized
+        # line the driver's last-2000-chars capture would clip
+        # mid-JSON — a parseable summary beats unparseable detail,
+        # and the verbose line above still carries every timing.
+        line = json.dumps(
+            {"metric": "wall", "value": total, "unit": "sec",
+             "queries": {}, "sf": sf},
+            separators=(",", ":"),
+        )
     print(line)
     spark.stop()
 

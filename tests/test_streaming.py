@@ -292,6 +292,38 @@ def test_streaming_dedup_on_rocksdb_state_store(spark, tmp_path):
             spark.conf.set(key, old)
 
 
+def test_streaming_dedup_watermark_bounds_state(spark):
+    """The watermarked form must route through
+    dropDuplicatesWithinWatermark: plain dropDuplicates under a
+    watermark never evicts keyed state (the event-time column is not
+    in the key subset), so the 'bounded state' the parameter promises
+    was a no-op. Pin the plan node AND the end-to-end replay
+    semantics (duplicates within the watermark still emit once)."""
+    from aws_kinesis_data_ingestion_restapi_spark.streaming.registry_stream import (
+        _drain,
+        _order_stream,
+    )
+    from aws_kinesis_data_ingestion_restapi_spark.streaming.stateful import (
+        streaming_dedup_builtin,
+    )
+
+    from pyspark.sql import functions as F
+
+    stream, d = _order_stream(spark, "/root/testdata/sf0.001", replays=2)
+    stream = stream.withColumn(
+        "o_ts", F.to_timestamp(F.regexp_replace("order_date", "Z+$", ""))
+    )
+    deduped = streaming_dedup_builtin(
+        stream, watermark=("o_ts", "10 minutes")
+    )
+    plan = deduped._jdf.queryExecution().logical().toString()
+    assert "DeduplicateWithinWatermark" in plan, plan[:300]
+    out = _drain(deduped, "append", "wmdedup", cleanup_dir=d)
+    n = out.count()
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    assert n == orders.select("o_custkey", "o_orderkey").distinct().count()
+
+
 def _delete_wal_commit(checkpoint: str, batch_id: int) -> None:
     """Simulate a crash in the window between a batch's sink work and
     its checkpoint commit: the offsets WAL entry survives (the batch's
