@@ -441,10 +441,19 @@ def minhash_signatures(
     hashed = F.transform(
         feats, lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long")
     )
+    # The exclusion filter is a TOKEN-COUNT predicate, deliberately:
+    # the shingle set is empty exactly when the doc has fewer than
+    # shingle_words tokens, and size(_toks) pushes down to the scan as
+    # ONE split per row. A filter on the _hs array itself looks
+    # equivalent but is a performance trap — Catalyst pushes it
+    # through the projections, inlining the tokenize into every
+    # element_at of the shingle lambda (O(tokens²) per doc in the
+    # filter; measured 45-100× on the sf0.1 corpus).
+    min_toks = shingle_words if shingle_words > 1 else 1
     shingled = (
         tokenized(docs)
+        .filter(F.size("_toks") >= min_toks)
         .select("doc_id", hashed.alias("_hs"))
-        .filter(F.size("_hs") > 0)
         .repartition(F.col("doc_id"))
     )
     sig = F.transform(
