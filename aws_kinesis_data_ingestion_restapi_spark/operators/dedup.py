@@ -526,6 +526,29 @@ def _est_jaccard_col(num_perm: int) -> Column:
     return matches.cast("double") / F.lit(float(num_perm))
 
 
+def minhash_candidate_pairs(banded: DataFrame) -> DataFrame:
+    """Distinct band-collision candidate pairs (doc_a < doc_b) of a
+    :func:`minhash_band_keys` frame — the banding stage's output
+    BEFORE the estimate-threshold filter, factored out so
+    :func:`minhash_lsh_pairs` and the LSH quality audit
+    (registry_ext.dedup_lsh_quality) measure the IDENTICAL candidate
+    generation: an equi-join shuffle on (band, band_key), never
+    all-pairs."""
+    return (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame | None,
     num_perm: int = 32,
@@ -556,19 +579,7 @@ def minhash_lsh_pairs(
             F.col("doc_id")
         )
     banded = minhash_band_keys(sigs, num_perm, bands)
-    cand = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    cand = minhash_candidate_pairs(banded)
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     est = _est_jaccard_col(num_perm)

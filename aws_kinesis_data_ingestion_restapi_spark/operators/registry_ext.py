@@ -653,6 +653,78 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.contamination_report(docs, benchmark, n=5, min_overlap=1)
 
 
+def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X89: the MinHash-LSH QUALITY audit — precision/recall of the
+    production near-dup path against EXACT shingle-Jaccard ground
+    truth, the dedup analogue of :func:`ann_recall_audit`: an
+    approximate dedup deployed at 100 TB without a measured
+    false-positive/false-negative rate is an unquantified data-loss
+    claim.
+
+    Ground truth: the exact distributed set-similarity join
+    (dedup.ngram_jaccard_pairs) over the IDENTICAL hashed 3-word
+    shingle sets MinHash sketches (same 28-bit md5 shingle hash —
+    dedup.hashed_ngrams vs minhash_signatures), at the same τ=0.5.
+    Two audited stages, sharing the session-cached signature frame
+    with the production queries so the audit measures what ships:
+
+    - ``candidates``: band-collision pairs (dedup.
+      minhash_candidate_pairs — the same helper minhash_lsh_pairs
+      calls). Recall here isolates BANDING misses (the 1-(1-j^r)^b
+      curve); precision is expected-low (that is what the estimate
+      filter is for).
+    - ``emitted``: the registered dedup_minhash_lsh output
+      (est_jaccard ≥ τ). Recall drops vs candidates only through
+      ESTIMATOR noise (32-perm variance); precision is what a
+      reviewer deleting documents actually experiences.
+
+    Exactness: all three pair sets are deterministic; the counts are
+    exact integers and precision/recall is one double division
+    written identically in the oracle. Scale shape: truth rides the
+    prefix-filter/count-join ssjoin (never all-pairs), the stage
+    joins are ≤pair-sized equi-joins; at corpus scale a production
+    audit would run this on a fixed document sample — the shape is
+    unchanged, only the input filter."""
+    sigs = _minhash_sigs(spark, sf_dir)
+    banded = dedup.minhash_band_keys(sigs, num_perm=32, bands=4)
+    cand = dedup.minhash_candidate_pairs(banded)
+    emitted = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    truth = _session_cached(
+        spark,
+        ("jaccard_truth", sf_dir, 3, 0.5),
+        lambda: dedup.ngram_jaccard_pairs(
+            _docs(spark, sf_dir), n=3, threshold=0.5
+        ).select("doc_a", "doc_b").localCheckpoint(eager=False),
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    out = None
+    for stage, pairs in [("candidates", cand), ("emitted", emitted)]:
+        n_pairs = pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+        n_hits = pairs.join(truth, ["doc_a", "doc_b"]).agg(
+            F.count(F.lit(1)).alias("n_hits")
+        )
+        row = (
+            n_pairs.crossJoin(F.broadcast(n_hits))
+            .crossJoin(F.broadcast(n_truth))
+            .select(F.lit(stage).alias("stage"), "n_pairs", "n_truth", "n_hits")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "stage",
+        "n_pairs",
+        "n_truth",
+        "n_hits",
+        F.when(
+            F.col("n_pairs") > 0,
+            F.col("n_hits").cast("double") / F.col("n_pairs"),
+        ).alias("pair_precision"),
+        F.when(
+            F.col("n_truth") > 0,
+            F.col("n_hits").cast("double") / F.col("n_truth"),
+        ).alias("pair_recall"),
+    ).orderBy("stage")
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -1109,6 +1181,7 @@ EXT_QUERY_FNS = {
     "dedup_substring_hotspots": dedup_substring_hotspots,
     "dedup_contamination": dedup_contamination,
     "dedup_ensemble": dedup_ensemble,
+    "dedup_lsh_quality": dedup_lsh_quality,
     "cdc_snapshot_diff": cdc_snapshot_diff,
     "cdc_scd2_history": cdc_scd2_history,
     "asof_priority_rates": asof_priority_rates,
@@ -2700,6 +2773,65 @@ EXT_ORACLE_SQL["ann_recall_audit"] = f"""
            CAST(n_hits AS DOUBLE) / 50.0 AS recall_at_k
     FROM hits
     ORDER BY method
+"""
+
+# LSH quality audit: the registered minhash-pair oracle (emitted) and
+# its banding CTE (candidates) scored against exact shingle-Jaccard
+# ground truth — the truth CTE is the dedup_ngram_jaccard oracle at
+# the MinHash family's own n=3 / τ=0.5, so every pair set is pinned
+# by SQL the per-stage gate rows already verify
+EXT_ORACLE_SQL["dedup_lsh_quality"] = f"""
+    WITH truth AS (
+        WITH g AS (
+            SELECT doc_id,
+                   list_distinct(list_transform({_shingles(3)},
+                       s -> CAST(concat('0x', substr(md5(s), 1,
+                            {dedup.GRAM_HASH_HEX})) AS BIGINT))) AS grams
+            FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM g a JOIN g b ON a.doc_id < b.doc_id
+        WHERE len(a.grams) > 0 AND len(b.grams) > 0
+          AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+              / len(list_distinct(a.grams || b.grams)) >= 0.5
+    ),
+    cand AS (
+        WITH {_MINHASH_SIGS},
+        banded AS (
+            SELECT doc_id, b,
+                   md5(array_to_string(
+                       list_transform(sig[b*8+1 : b*8+8],
+                                      x -> CAST(x AS VARCHAR)), ',')) AS band_key
+            FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b)
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        FROM banded a
+        JOIN banded c ON a.b = c.b AND a.band_key = c.band_key
+                     AND a.doc_id < c.doc_id
+    ),
+    emitted AS ({EXT_ORACLE_SQL["dedup_minhash_lsh"]}),
+    stages AS (
+        SELECT 'candidates' AS stage,
+               (SELECT COUNT(*) FROM cand) AS n_pairs,
+               (SELECT COUNT(*) FROM cand c JOIN truth t
+                    ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS n_hits
+        UNION ALL
+        SELECT 'emitted',
+               (SELECT COUNT(*) FROM emitted),
+               (SELECT COUNT(*) FROM emitted e JOIN truth t
+                    ON e.doc_a = t.doc_a AND e.doc_b = t.doc_b)
+    )
+    SELECT stage,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CASE WHEN n_pairs > 0
+                THEN CAST(n_hits AS DOUBLE) / n_pairs END AS pair_precision,
+           CASE WHEN (SELECT COUNT(*) FROM truth) > 0
+                THEN CAST(n_hits AS DOUBLE)
+                     / (SELECT COUNT(*) FROM truth) END AS pair_recall
+    FROM stages
+    ORDER BY stage
 """
 
 # bitext mining: the multi-table LSH near-dup oracle joined to the

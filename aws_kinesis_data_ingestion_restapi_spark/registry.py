@@ -1987,6 +1987,7 @@ _GATE_HEAD = [
     # new in round 6 — first driver verification this round
     # (compaction + salted_agg through the oracle surface, VERDICT r5
     # ask #5; the ANN recall metric, ask #7).
+    "dedup_lsh_quality",
     "pipeline_compaction",
     "salted_lineitem_agg",
     "ann_recall_audit",
@@ -2048,7 +2049,9 @@ _GATE_HEAD = [
     "q12_ship_delay_classes",
     "q22_dormant_customers",
     "q4_late_order_priority",
-    "q21_late_sole_supplier",
+    # q21_late_sole_supplier rotated out (r4 driver green + every
+    # gate log) to keep the window at 50 with round-6's
+    # dedup_lsh_quality added at the top.
     # dedup_substring_hotspots, events_rolling_hour_avg,
     # events_ntile_quartiles and events_value_outliers_mad rotated out
     # for the round-6 additions
@@ -2057,6 +2060,7 @@ _GATE_HEAD = [
     # r3/r4 driver greens + every gate log).
 ]
 _GATE_TAIL = [
+    "q21_late_sole_supplier",
     "cdc_scd2_history",
     "streaming_session_windows",
     # r4-green entries bumped back out of the head by the three

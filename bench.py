@@ -173,6 +173,7 @@ ANALYTICS_QUERIES = [
     "dedup_simhash_fingerprints",
     "dedup_contamination",
     "dedup_ensemble",
+    "dedup_lsh_quality",
     "dedup_components",
     "dedup_components_star",
     "graph_pagerank_suppliers",
@@ -359,6 +360,7 @@ BENCH_KEY_ALIASES = {
     "pipeline_compaction": "plcomp",
     "salted_lineitem_agg": "salt_agg",
     "ann_recall_audit": "recall",
+    "dedup_lsh_quality": "lshq",
     "ann_topk_lsh_multi": "annlshm",
     "text_build_postings": "post",
     "graph_triangles_cosupply": "tri",

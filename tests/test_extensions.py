@@ -1640,3 +1640,59 @@ def test_star_cc_logarithmic_on_adversarial_diameter(spark):
     # min-label report's "relabeled"), initial count kept separately
     assert len(rep["edges_per_round"]) == rep["rounds_used"], rep
     assert rep["initial_edges"] == 200
+
+
+def test_dedup_lsh_quality_consistent_with_member_queries(spark):
+    """X89 invariants, hand-recomputed from the member operators the
+    gate pins individually: n_hits = |stage_pairs ∩ exact_pairs|,
+    n_truth = |exact 3-shingle Jaccard ≥ 0.5|, precision/recall their
+    exact ratios; emitted pairs are a subset of candidates, so
+    emitted precision can never be lower than candidate precision at
+    equal hits."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import dedup
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        _docs,
+        _minhash_pairs,
+        _minhash_sigs,
+        dedup_lsh_quality,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    audit = {r["stage"]: r for r in dedup_lsh_quality(spark, sf).collect()}
+    assert set(audit) == {"candidates", "emitted"}
+
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(
+            _docs(spark, sf), n=3, threshold=0.5
+        ).collect()
+    }
+    banded = dedup.minhash_band_keys(
+        _minhash_sigs(spark, sf), num_perm=32, bands=4
+    )
+    stages = {
+        "candidates": {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup.minhash_candidate_pairs(banded).collect()
+        },
+        "emitted": {
+            (r["doc_a"], r["doc_b"])
+            for r in _minhash_pairs(spark, sf).collect()
+        },
+    }
+    assert stages["emitted"] <= stages["candidates"]
+    for stage, pairs in stages.items():
+        row = audit[stage]
+        hits = len(pairs & truth)
+        assert row["n_pairs"] == len(pairs), (stage, row["n_pairs"])
+        assert row["n_truth"] == len(truth)
+        assert row["n_hits"] == hits, (stage, row["n_hits"], hits)
+        if pairs:
+            assert row["pair_precision"] == hits / len(pairs)
+        else:
+            assert row["pair_precision"] is None
+        if truth:
+            assert row["pair_recall"] == hits / len(truth)
+    # the estimate filter can only DROP pairs: emitted recall ≤
+    # candidate recall, and every emitted hit was a candidate hit
+    assert audit["emitted"]["n_hits"] <= audit["candidates"]["n_hits"]
