@@ -587,3 +587,14 @@ def test_incremental_dedup_probe_shape(spark):
     assert "CartesianProduct" not in plan
     assert "WindowGroupLimit" in plan
     assert "LeftAnti" in plan
+
+
+def test_events_zorder_scan_pushes_both_dimensions(spark):
+    """The z-ordered read-back must push BOTH box predicates (ts and
+    value) into the parquet scan — footer min/max pruning only fires
+    on pushed filters, and a post-scan filter would make the layout
+    pointless."""
+    df = QUERY_FNS["events_zorder_scan"](spark, SF_DIR)
+    pushed = " ".join(pushed_filters(df))
+    assert "ts" in pushed, pushed
+    assert "value" in pushed, pushed

@@ -368,3 +368,150 @@ def test_pipeline_compaction_reruns_in_one_session(spark):
     assert first == second
     assert len(first) == 5  # one row per o_orderpriority
     assert all(r["files_reduced"] for r in first)
+
+
+# ---------------------------------------------------------------------------
+# z-order layout
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from aws_kinesis_data_ingestion_restapi_spark.operators.scale import (
+        zorder_key,
+    )
+
+    df = spark.createDataFrame([(3, 2), (0, 0), (1, 1), (7, 0)], ["x", "y"])
+    z = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", zorder_key([F.col("x"), F.col("y")], bits=3).alias("z")
+        ).collect()
+    }
+    # x bits land at even positions, y bits at odd: (3,2)=0b11,0b10 →
+    # 0b1101 = 13; (1,1) → 0b11 = 3; (7,0) → 0b010101 = 21
+    assert z[(3, 2)] == 13
+    assert z[(0, 0)] == 0
+    assert z[(1, 1)] == 3
+    assert z[(7, 0)] == 21
+
+
+def test_quantize_clamps_and_rejects_bad_range(spark):
+    from aws_kinesis_data_ingestion_restapi_spark.operators.scale import (
+        quantize,
+    )
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (500.0,), (1500.0,), (None,)], ["v"]
+    )
+    got = [
+        r["q"]
+        for r in df.select(
+            quantize(F.col("v"), lo=0.0, hi=1000.0, bits=4).alias("q")
+        ).collect()
+    ]
+    assert got[0] == 0 and got[1] == 0          # clamped low
+    assert got[2] == 7                          # 500/1000 * 15
+    assert got[3] == 15                         # clamped high
+    assert got[4] is None                       # NULL passes through
+    with pytest.raises(ValueError, match="hi > lo"):
+        quantize(F.col("v"), lo=1.0, hi=1.0)
+
+
+def test_write_zordered_rejects_zkey_collision(spark):
+    from aws_kinesis_data_ingestion_restapi_spark.operators.scale import (
+        write_zordered,
+        zorder_key,
+    )
+
+    df = spark.range(4).select(
+        F.col("id").alias("x"), F.col("id").alias("y"),
+        F.lit(0).alias("_zkey"),
+    )
+    with pytest.raises(ValueError, match="_zkey"):
+        write_zordered(
+            df, "/tmp/never-written", zorder_key([F.col("x"), F.col("y")])
+        )
+
+
+def test_zorder_layout_skips_files(spark, tmp_path):
+    """The measured 100 TB claim: for a 2-D box predicate, the z-order
+    layout's parquet footer min/max prune MORE files than a linear
+    sort on one dimension — counted from the actual footers, not
+    asserted from theory. Both layouts hold identical data (checked),
+    so the difference is purely physical."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators.scale import (
+        quantize,
+        write_zordered,
+        zorder_key,
+    )
+
+    # two INDEPENDENT pseudo-uniform dimensions (xxhash64 of disjoint
+    # inputs) — two linear functions of id would put every point on a
+    # 1-D line in (x, y) space and both layouts would prune equally
+    n = 200_000
+    df = spark.range(n).select(
+        F.pmod(F.xxhash64("id"), F.lit(1000)).alias("x"),
+        F.pmod(F.xxhash64(F.col("id") + 5_000_000), F.lit(1000)).alias("y"),
+    )
+    zpath, lpath = str(tmp_path / "zorder"), str(tmp_path / "linear")
+    z = zorder_key(
+        [
+            quantize(F.col("x"), 0.0, 1000.0, bits=10),
+            quantize(F.col("y"), 0.0, 1000.0, bits=10),
+        ],
+        bits=10,
+    )
+    write_zordered(df, zpath, z, n_files=256)
+    (
+        df.repartitionByRange(256, F.col("x"))
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+
+    def files_touched(path: str, box: dict) -> int:
+        touched = 0
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            hit_any_rg = False
+            for rg in range(md.num_row_groups):
+                ok = True
+                for col, (lo, hi) in box.items():
+                    st = md.row_group(rg).column(names.index(col)).statistics
+                    if st.min >= hi or st.max < lo:
+                        ok = False
+                        break
+                if ok:
+                    hit_any_rg = True
+                    break
+            touched += hit_any_rg
+        return touched
+
+    # identical data in both layouts (measured at the square box)
+    pred = (
+        (F.col("x") >= 100) & (F.col("x") < 150)
+        & (F.col("y") >= 300) & (F.col("y") < 350)
+    )
+    zc = spark.read.parquet(zpath).filter(pred).count()
+    lc = spark.read.parquet(lpath).filter(pred).count()
+    assert zc == lc == df.filter(pred).count()
+
+    # balanced 2-D box (half-open [lo, hi)): both dims selective —
+    # z-order must beat the linear layout (measured 8 vs 14 files)
+    square = {"x": (100, 150), "y": (300, 350)}
+    z_sq, l_sq = files_touched(zpath, square), files_touched(lpath, square)
+    assert z_sq < l_sq, (z_sq, l_sq)
+    # NON-leading-dimension predicate (y only): the linear layout
+    # prunes NOTHING (every file spans the full y range — measured
+    # 256/256 touched) while z-order keeps y locality in every file
+    # (measured 22/256). This is the case multi-dimensional
+    # clustering exists for; pinned at an 8× margin.
+    yband = {"y": (300, 310)}
+    z_y, l_y = files_touched(zpath, yband), files_touched(lpath, yband)
+    assert l_y == 256, l_y  # linear: full scan, no pruning at all
+    assert z_y <= l_y // 8, (z_y, l_y)
