@@ -654,7 +654,7 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X89: the MinHash-LSH QUALITY audit — precision/recall of the
+    """X92: the MinHash-LSH QUALITY audit — precision/recall of the
     production near-dup path against EXACT shingle-Jaccard ground
     truth, the dedup analogue of :func:`ann_recall_audit`: an
     approximate dedup deployed at 100 TB without a measured
@@ -685,9 +685,15 @@ def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins are ≤pair-sized equi-joins; at corpus scale a production
     audit would run this on a fixed document sample — the shape is
     unchanged, only the input filter."""
-    sigs = _minhash_sigs(spark, sf_dir)
-    banded = dedup.minhash_band_keys(sigs, num_perm=32, bands=4)
-    cand = dedup.minhash_candidate_pairs(banded)
+    cand = _session_cached(
+        spark,
+        ("minhash_cands", sf_dir, 32, 4, 3),
+        lambda: dedup.minhash_candidate_pairs(
+            dedup.minhash_band_keys(
+                _minhash_sigs(spark, sf_dir), num_perm=32, bands=4
+            )
+        ).localCheckpoint(eager=False),
+    )
     emitted = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     truth = _session_cached(
         spark,
@@ -1362,6 +1368,19 @@ _MINHASH_SIGS = f"""
             FROM toks WHERE len(hs) > 0
         )
 """
+
+def _banded_sql(src: str) -> str:
+    """LSH banding CTE body over a (doc_id, sig) relation named ``src``
+    — 4 bands x 8 signature rows (num_perm=32), the EXACT banding
+    minhash_band_keys computes. One definition so the five oracle
+    uses (pair self-join, delta probe x3, quality audit) can never
+    drift from each other or from production banding."""
+    return f"""SELECT doc_id, b,
+                   md5(array_to_string(
+                       list_transform(sig[b*8+1 : b*8+8],
+                                      x -> CAST(x AS VARCHAR)), ',')) AS band_key
+            FROM {src}, (SELECT unnest(generate_series(0, 3)) AS b)"""
+
 
 _SIMHASH = f"""
         feats AS (
@@ -2258,11 +2277,7 @@ EXT_ORACLE_SQL = {
     "dedup_minhash_lsh": f"""
         WITH {_MINHASH_SIGS},
         banded AS (
-            SELECT doc_id, b,
-                   md5(array_to_string(
-                       list_transform(sig[b*8+1 : b*8+8],
-                                      x -> CAST(x AS VARCHAR)), ',')) AS band_key
-            FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b)
+            {_banded_sql('sigs')}
         ),
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
@@ -2286,18 +2301,10 @@ EXT_ORACLE_SQL = {
         base AS (SELECT * FROM sigs WHERE doc_id % 10 < 7),
         delta AS (SELECT * FROM sigs WHERE doc_id % 10 >= 7),
         bb AS (
-            SELECT doc_id, b,
-                   md5(array_to_string(
-                       list_transform(sig[b*8+1 : b*8+8],
-                                      x -> CAST(x AS VARCHAR)), ',')) AS band_key
-            FROM base, (SELECT unnest(generate_series(0, 3)) AS b)
+            {_banded_sql('base')}
         ),
         db AS (
-            SELECT doc_id, b,
-                   md5(array_to_string(
-                       list_transform(sig[b*8+1 : b*8+8],
-                                      x -> CAST(x AS VARCHAR)), ',')) AS band_key
-            FROM delta, (SELECT unnest(generate_series(0, 3)) AS b)
+            {_banded_sql('delta')}
         ),
         ccand AS (
             SELECT DISTINCT d.doc_id AS delta_id, c.doc_id AS match_id
@@ -2323,11 +2330,7 @@ EXT_ORACLE_SQL = {
             WHERE doc_id NOT IN (SELECT delta_id FROM cdup)
         ),
         sb2 AS (
-            SELECT doc_id, b,
-                   md5(array_to_string(
-                       list_transform(sig[b*8+1 : b*8+8],
-                                      x -> CAST(x AS VARCHAR)), ',')) AS band_key
-            FROM surv, (SELECT unnest(generate_series(0, 3)) AS b)
+            {_banded_sql('surv')}
         ),
         dcand AS (
             SELECT DISTINCT l.doc_id AS delta_id, e.doc_id AS match_id
@@ -2798,11 +2801,7 @@ EXT_ORACLE_SQL["dedup_lsh_quality"] = f"""
     cand AS (
         WITH {_MINHASH_SIGS},
         banded AS (
-            SELECT doc_id, b,
-                   md5(array_to_string(
-                       list_transform(sig[b*8+1 : b*8+8],
-                                      x -> CAST(x AS VARCHAR)), ',')) AS band_key
-            FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b)
+            {_banded_sql('sigs')}
         )
         SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
         FROM banded a

@@ -392,16 +392,31 @@ def zorder_key(cols: list[Column], bits: int = 16) -> Column:
 
     ``bits * len(cols)`` must fit a signed long (≤ 62); the expression
     is a flat chain of shift/AND/OR terms — whole-stage codegen, no
-    UDF."""
+    UDF.
+
+    Inputs MUST fit ``bits`` bits (quantize with the SAME ``bits``) —
+    enforced per row with one assert_true per column: silently
+    dropping high bits would collide far-apart points and collapse
+    the clustering benefit to noise with no error anywhere."""
     k = len(cols)
     if k < 2:
         raise ValueError("zorder_key needs at least 2 columns")
     if bits * k > 62:
         raise ValueError(f"bits={bits} × {k} cols exceeds a signed long")
+    lim = F.lit(1 << bits).cast("long")
     z = F.lit(0).cast("long")
-    for i in range(bits):
-        for j, c in enumerate(cols):
-            bit = F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1).cast("long"))
+    for j, c in enumerate(cols):
+        cl = c.cast("long")
+        guard = F.assert_true(
+            cl.isNull() | ((cl >= 0) & (cl < lim)),
+            F.lit(f"zorder_key: column {j} outside [0, 2^{bits})"),
+        )
+        # assert_true yields NULL on pass (raises otherwise); OR-ing
+        # it in as a zero keeps one guard per column in the plan at
+        # zero arithmetic cost
+        z = z.bitwiseOR(F.coalesce(guard.cast("long"), F.lit(0).cast("long")))
+        for i in range(bits):
+            bit = F.shiftright(cl, i).bitwiseAND(F.lit(1).cast("long"))
             z = z.bitwiseOR(F.shiftleft(bit, i * k + j))
     return z
 

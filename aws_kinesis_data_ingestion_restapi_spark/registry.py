@@ -240,7 +240,7 @@ def pipeline_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def events_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The multi-dimensional DATA-LAYOUT path (scale.zorder_key /
+    """X93: the multi-dimensional DATA-LAYOUT path (scale.zorder_key /
     write_zordered) driven end-to-end under the oracle: rewrite the
     events table clustered on the Morton interleave of (ts, value),
     then answer a 2-D box predicate (a 3-day window AND a value band)
@@ -262,9 +262,18 @@ def events_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Quantization grid: ts over the generator's [2024-01-01,
     2024-02-01) UTC epoch range, value clamped to [0, 500) — both
-    16-bit, interleaved into one 32-bit key. Scratch dir fixed per
-    session (applicationId-keyed), same litter contract as
+    16-bit, interleaved into one 32-bit key. ``ts`` is normalized
+    through functions.exact.as_timestamp BEFORE the rewrite (the
+    events parquet has shipped as TIMESTAMP(NANOS)-as-long, NTZ, and
+    zoned across generator versions — every other events query
+    branches the same way), so the clustered copy always carries a
+    real timestamp column and the read-back box predicate stays a
+    pushable scan filter. Scratch dir fixed per session
+    (applicationId-keyed), same litter contract as
     pipeline_partition_scan."""
+    from aws_kinesis_data_ingestion_restapi_spark.functions.exact import (
+        as_timestamp,
+    )
     from aws_kinesis_data_ingestion_restapi_spark.operators import scale
     from aws_kinesis_data_ingestion_restapi_spark.sources.tables import (
         load_table,
@@ -273,6 +282,9 @@ def events_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _session_scratch(spark, "zorder")
     path = f"{base}/events_z"
     events = load_table(spark, sf_dir, "events")
+    events = events.withColumn(
+        "ts", as_timestamp(events, "ts").cast("timestamp")
+    )
     z = scale.zorder_key(
         [
             scale.quantize(

@@ -1643,7 +1643,7 @@ def test_star_cc_logarithmic_on_adversarial_diameter(spark):
 
 
 def test_dedup_lsh_quality_consistent_with_member_queries(spark):
-    """X89 invariants, hand-recomputed from the member operators the
+    """X92 invariants, hand-recomputed from the member operators the
     gate pins individually: n_hits = |stage_pairs ∩ exact_pairs|,
     n_truth = |exact 3-shingle Jaccard ≥ 0.5|, precision/recall their
     exact ratios; emitted pairs are a subset of candidates, so

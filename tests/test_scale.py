@@ -515,3 +515,18 @@ def test_zorder_layout_skips_files(spark, tmp_path):
     z_y, l_y = files_touched(zpath, yband), files_touched(lpath, yband)
     assert l_y == 256, l_y  # linear: full scan, no pruning at all
     assert z_y <= l_y // 8, (z_y, l_y)
+
+
+def test_zorder_key_raises_on_out_of_range_input(spark):
+    """A quantize/zorder_key bits mismatch must FAIL LOUDLY: silently
+    dropping high bits would collide far-apart points and collapse the
+    clustering benefit with no error anywhere."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.scale import (
+        zorder_key,
+    )
+
+    df = spark.createDataFrame([(5, 3), (9, 0)], ["x", "y"])  # 9 ≥ 2^3
+    with pytest.raises(Exception, match="outside"):
+        df.select(
+            zorder_key([F.col("x"), F.col("y")], bits=3).alias("z")
+        ).collect()
