@@ -2785,18 +2785,33 @@ EXT_ORACLE_SQL["ann_recall_audit"] = f"""
 # by SQL the per-stage gate rows already verify
 EXT_ORACLE_SQL["dedup_lsh_quality"] = f"""
     WITH truth AS (
+        -- exact Jaccard >= 0.5 pairs in the COUNT-JOIN form (the same
+        -- identity Spark's auto-selected ssjoin uses on this corpus):
+        -- |A∩B| by counting shared grams per pair, |A∪B| = la+lb-i.
+        -- Equivalent to the all-pairs list_intersect spec but never
+        -- materializes the n²/2 pair space (381 s -> seconds at the
+        -- 5000-doc sf0.1 parity run); grams are distinct per doc so
+        -- COUNT(*) IS the intersection size, and a zero-overlap pair
+        -- (absent here, present in all-pairs) can never pass tau>0.
         WITH g AS (
             SELECT doc_id,
                    list_distinct(list_transform({_shingles(3)},
                        s -> CAST(concat('0x', substr(md5(s), 1,
                             {dedup.GRAM_HASH_HEX})) AS BIGINT))) AS grams
             FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+        ),
+        tok AS (
+            SELECT doc_id, len(grams) AS l, unnest(grams) AS gr FROM g
+        ),
+        ov AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   COUNT(*) AS i,
+                   ANY_VALUE(a.l) AS la, ANY_VALUE(b.l) AS lb
+            FROM tok a JOIN tok b ON a.gr = b.gr AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
         )
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM g a JOIN g b ON a.doc_id < b.doc_id
-        WHERE len(a.grams) > 0 AND len(b.grams) > 0
-          AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-              / len(list_distinct(a.grams || b.grams)) >= 0.5
+        SELECT doc_a, doc_b FROM ov
+        WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.5
     ),
     cand AS (
         WITH {_MINHASH_SIGS},
