@@ -598,3 +598,42 @@ def test_events_zorder_scan_pushes_both_dimensions(spark):
     pushed = " ".join(pushed_filters(df))
     assert "ts" in pushed, pushed
     assert "value" in pushed, pushed
+
+
+def test_runtime_bloom_filter_reduces_fact_scan(spark):
+    """The engine's 100 TB fact ⋈ filtered-dim path gets a map-side
+    semi-join reduction for FREE: with runtime bloom filters on
+    (session default), Catalyst builds a bloom_filter_agg over the
+    selective dim's join keys and injects might_contain(...) into the
+    fact scan's filter — fact rows that cannot join die before the
+    shuffle. The default applicationSideScanSizeThreshold (10 GiB) is
+    exactly the at-scale regime; the test lowers it so the at-scale
+    plan shape is visible (and pinned) at test scale."""
+    thr = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    bcast = "spark.sql.autoBroadcastJoinThreshold"
+    old_thr, old_bcast = spark.conf.get(thr), spark.conf.get(bcast)
+    try:
+        spark.conf.set(thr, "0")
+        spark.conf.set(bcast, "-1")  # shuffle join, the bloom-eligible shape
+        from aws_kinesis_data_ingestion_restapi_spark.sources.tables import (
+            load_table,
+        )
+
+        li = load_table(spark, SF_DIR, "lineitem")
+        orders = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        # and the reduced join still answers correctly
+        rows = j.collect()
+        assert len(rows) == 1 and rows[0]["o_orderpriority"] == "1-URGENT"
+    finally:
+        spark.conf.set(thr, old_thr)
+        spark.conf.set(bcast, old_bcast)
