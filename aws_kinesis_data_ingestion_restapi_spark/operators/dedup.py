@@ -556,6 +556,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     shingle_words: int = 3,
     sigs: DataFrame | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash near-dup pairs via LSH banding.
 
@@ -568,6 +569,11 @@ def minhash_lsh_pairs(
     frame (e.g. a session-shared one) — it must be the output of
     :func:`minhash_signatures` with the same ``num_perm`` /
     ``shingle_words``; ``docs`` is ignored in that case.
+    ``candidates`` additionally skips the banding self-join — it must
+    be :func:`minhash_candidate_pairs` output over the same
+    parameters (the registry session-caches that frame so the pair
+    query and the quality audit share ONE candidate computation).
+    Same passthrough contract as ``ngram_jaccard_pairs(candidates=)``.
     """
     if sigs is None:
         if docs is None:
@@ -578,8 +584,11 @@ def minhash_lsh_pairs(
         sigs = minhash_signatures(docs, num_perm, shingle_words).repartition(
             F.col("doc_id")
         )
-    banded = minhash_band_keys(sigs, num_perm, bands)
-    cand = minhash_candidate_pairs(banded)
+    if candidates is None:
+        candidates = minhash_candidate_pairs(
+            minhash_band_keys(sigs, num_perm, bands)
+        )
+    cand = candidates
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     est = _est_jaccard_col(num_perm)

@@ -393,6 +393,35 @@ def _minhash_sigs(
     )
 
 
+def _minhash_cands(
+    spark: SparkSession,
+    sf_dir: str,
+    num_perm: int = 32,
+    bands: int = 4,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """The band-collision candidate pair frame (the banding self-join,
+    the most expensive stage after the signature scan), computed at
+    most once per (session, sf_dir, parameters) and shared by the
+    pair query (via ``minhash_lsh_pairs(candidates=)``) and the
+    quality audit — the audit therefore measures the EXACT frame
+    production filters, not a recomputation."""
+    return _session_cached(
+        spark,
+        ("minhash_cands", sf_dir, num_perm, bands, shingle_words),
+        lambda: dedup.minhash_candidate_pairs(
+            dedup.minhash_band_keys(
+                _minhash_sigs(
+                    spark, sf_dir,
+                    num_perm=num_perm, shingle_words=shingle_words,
+                ),
+                num_perm=num_perm,
+                bands=bands,
+            )
+        ).localCheckpoint(eager=False),
+    )
+
+
 def _minhash_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -405,15 +434,22 @@ def _minhash_pairs(
     computed (and localCheckpoint-materialized) at most once per
     (session, sf_dir, parameters). Pair frames are near-dup-sized
     (≪ corpus), so pinning the materialized result is cheap at any
-    SF; the signature scan it rides is itself shared via
-    :func:`_minhash_sigs`."""
+    SF; the signature scan and the banding self-join it rides are
+    themselves shared via :func:`_minhash_sigs` /
+    :func:`_minhash_cands`."""
     return _session_cached(
         spark,
         ("minhash_pairs", sf_dir, num_perm, bands, threshold, shingle_words),
         lambda: dedup.minhash_lsh_pairs(
             None, num_perm=num_perm, bands=bands,
             threshold=threshold, shingle_words=shingle_words,
-            sigs=_minhash_sigs(spark, sf_dir, num_perm, shingle_words),
+            sigs=_minhash_sigs(
+                spark, sf_dir, num_perm=num_perm, shingle_words=shingle_words,
+            ),
+            candidates=_minhash_cands(
+                spark, sf_dir,
+                num_perm=num_perm, bands=bands, shingle_words=shingle_words,
+            ),
         ).localCheckpoint(eager=False),
     )
 
@@ -685,15 +721,7 @@ def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins are ≤pair-sized equi-joins; at corpus scale a production
     audit would run this on a fixed document sample — the shape is
     unchanged, only the input filter."""
-    cand = _session_cached(
-        spark,
-        ("minhash_cands", sf_dir, 32, 4, 3),
-        lambda: dedup.minhash_candidate_pairs(
-            dedup.minhash_band_keys(
-                _minhash_sigs(spark, sf_dir), num_perm=32, bands=4
-            )
-        ).localCheckpoint(eager=False),
-    )
+    cand = _minhash_cands(spark, sf_dir)
     emitted = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     truth = _session_cached(
         spark,
