@@ -476,3 +476,44 @@ def test_star_cc_equals_union_find_bruteforce(spark, seed):
     assert len(rows) == n  # exactly one label per universe node
     got = {r["node"]: r["component"] for r in rows}
     assert got == want, f"seed {seed}: star CC != union-find"
+
+
+@given(texts=st.lists(_doc, min_size=2, max_size=6), seed=st.integers(0, 10**6))
+@settings(**_SETTINGS)
+def test_minhash_lsh_never_misses_exact_duplicates(spark, texts, seed):
+    """The LSH no-false-negative theorem for the degenerate case, on
+    arbitrary corpora: two documents with IDENTICAL token streams (and
+    >= shingle_words tokens) have identical signatures, hence identical
+    keys in EVERY band — they MUST appear as a candidate pair and be
+    emitted with est_jaccard exactly 1.0. Also pins the stage-subset
+    invariant the X92 audit reports on: emitted ⊆ candidates."""
+    # plant a guaranteed exact duplicate of the first sufficiently long
+    # doc (if any); hypothesis also generates its own collisions
+    rng = random.Random(seed)
+    texts = list(texts)
+    long_docs = [t for t in texts if len(t.split()) >= 3]
+    if long_docs:
+        texts.append(rng.choice(long_docs))
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+
+    sigs = dedup.minhash_signatures(docs, num_perm=16, shingle_words=3)
+    banded = dedup.minhash_band_keys(sigs, num_perm=16, bands=4)
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_candidate_pairs(banded).collect()
+    }
+    emitted = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in dedup.minhash_lsh_pairs(
+            docs, num_perm=16, bands=4, threshold=0.5, shingle_words=3
+        ).collect()
+    }
+    assert set(emitted) <= cand
+    # every exact-duplicate pair (>= 3 tokens) is a candidate AND
+    # emitted at est exactly 1.0
+    norm = [" ".join(t.lower().strip().split()) for t in texts]
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            if norm[i] == norm[j] and len(norm[i].split()) >= 3:
+                assert (i, j) in cand, (i, j, norm[i])
+                assert emitted.get((i, j)) == 1.0, (i, j, emitted.get((i, j)))
