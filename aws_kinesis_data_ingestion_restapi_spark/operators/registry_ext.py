@@ -759,6 +759,76 @@ def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("stage")
 
 
+def dedup_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X95: cross-signal agreement report — every near-dup SIGNAL the
+    ensemble consumes (MinHash-LSH text pairs, SimHash hamming≤3
+    pairs, multi-table embedding near-dup pairs) scored against the
+    ONE exact shingle-Jaccard ≥ 0.5 ground truth. dedup_ensemble
+    merges the signals and counts them per pair, but emits no quality
+    stats; a reviewer thresholding n_signals needs exactly this
+    table: how precise each signal is alone and how much of the
+    text-duplicate truth it sees. (For SimHash and embeddings the
+    recall column is agreement with the JACCARD notion of duplicate,
+    labeled as such — SimHash approximates shingle-set cosine and
+    embeddings a vector metric, so a sub-1.0 number is signal
+    divergence, not a defect; that divergence IS the ensemble's
+    reason to exist.)
+
+    Every component frame is session-shared (signature/candidate/
+    fingerprint caches, the localCheckpointed truth), so the report's
+    marginal cost in a gate/bench session is three pair-sized joins.
+    Same exactness contract as the X92 audit: counts are exact
+    integers, precision/recall one double division, oracle splices
+    the signals' own registered SQL against the shared truth
+    fragment."""
+    truth = _session_cached(
+        spark,
+        ("jaccard_truth", sf_dir, 3, 0.5),
+        lambda: dedup.ngram_jaccard_pairs(
+            _docs(spark, sf_dir), n=3, threshold=0.5
+        ).select("doc_a", "doc_b").localCheckpoint(eager=False),
+    )
+    signals = {
+        "minhash": _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b"),
+        "simhash": dedup.simhash_near_pairs(
+            None, max_hamming=3, fingerprints=_simhash_fps(spark, sf_dir)
+        ).select("doc_a", "doc_b"),
+        "embedding": similarity.near_dup_lsh_multi(
+            _embs(spark, sf_dir), d2_max=1.2
+        ).select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        ),
+    }
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    out = None
+    for name in sorted(signals):
+        pairs = signals[name]
+        n_pairs = pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+        n_hits = pairs.join(truth, ["doc_a", "doc_b"]).agg(
+            F.count(F.lit(1)).alias("n_hits")
+        )
+        row = (
+            n_pairs.crossJoin(F.broadcast(n_hits))
+            .crossJoin(F.broadcast(n_truth))
+            .select(F.lit(name).alias("signal"), "n_pairs", "n_truth", "n_hits")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "signal",
+        "n_pairs",
+        "n_truth",
+        "n_hits",
+        F.when(
+            F.col("n_pairs") > 0,
+            F.col("n_hits").cast("double") / F.col("n_pairs"),
+        ).alias("pair_precision"),
+        F.when(
+            F.col("n_truth") > 0,
+            F.col("n_hits").cast("double") / F.col("n_truth"),
+        ).alias("jaccard_agreement"),
+    ).orderBy("signal")
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -1216,6 +1286,7 @@ EXT_QUERY_FNS = {
     "dedup_contamination": dedup_contamination,
     "dedup_ensemble": dedup_ensemble,
     "dedup_lsh_quality": dedup_lsh_quality,
+    "dedup_signal_agreement": dedup_signal_agreement,
     "cdc_snapshot_diff": cdc_snapshot_diff,
     "cdc_scd2_history": cdc_scd2_history,
     "asof_priority_rates": asof_priority_rates,
@@ -2811,8 +2882,11 @@ EXT_ORACLE_SQL["ann_recall_audit"] = f"""
 # ground truth — the truth CTE is the dedup_ngram_jaccard oracle at
 # the MinHash family's own n=3 / τ=0.5, so every pair set is pinned
 # by SQL the per-stage gate rows already verify
-EXT_ORACLE_SQL["dedup_lsh_quality"] = f"""
-    WITH truth AS (
+#: exact shingle-Jaccard >= 0.5 ground-truth pair set (count-join
+#: form) — ONE definition shared by the per-stage LSH audit and the
+#: cross-signal agreement report so the two can never score against
+#: different truths.
+_JACCARD_TRUTH = f"""
         -- exact Jaccard >= 0.5 pairs in the COUNT-JOIN form (the same
         -- identity Spark's auto-selected ssjoin uses on this corpus):
         -- |A∩B| by counting shared grams per pair, |A∪B| = la+lb-i.
@@ -2840,7 +2914,10 @@ EXT_ORACLE_SQL["dedup_lsh_quality"] = f"""
         )
         SELECT doc_a, doc_b FROM ov
         WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.5
-    ),
+"""
+
+EXT_ORACLE_SQL["dedup_lsh_quality"] = f"""
+    WITH truth AS ({_JACCARD_TRUTH}),
     cand AS (
         WITH {_MINHASH_SIGS},
         banded AS (
@@ -2874,6 +2951,45 @@ EXT_ORACLE_SQL["dedup_lsh_quality"] = f"""
                      / (SELECT COUNT(*) FROM truth) END AS pair_recall
     FROM stages
     ORDER BY stage
+"""
+
+# cross-signal agreement: each signal's own registered SQL scored
+# against the shared truth fragment — the ensemble-threshold table
+EXT_ORACLE_SQL["dedup_signal_agreement"] = f"""
+    WITH truth AS ({_JACCARD_TRUTH}),
+    s_minhash AS ({EXT_ORACLE_SQL["dedup_minhash_lsh"]}),
+    s_simhash AS ({EXT_ORACLE_SQL["dedup_simhash_pairs"]}),
+    s_embedding AS (
+        SELECT vec_a AS doc_a, vec_b AS doc_b
+        FROM ({EXT_ORACLE_SQL["emb_near_dup_lsh_multi"]})
+    ),
+    stages AS (
+        SELECT 'embedding' AS signal,
+               (SELECT COUNT(*) FROM s_embedding) AS n_pairs,
+               (SELECT COUNT(*) FROM s_embedding e JOIN truth t
+                    ON e.doc_a = t.doc_a AND e.doc_b = t.doc_b) AS n_hits
+        UNION ALL
+        SELECT 'minhash',
+               (SELECT COUNT(*) FROM s_minhash),
+               (SELECT COUNT(*) FROM s_minhash m JOIN truth t
+                    ON m.doc_a = t.doc_a AND m.doc_b = t.doc_b)
+        UNION ALL
+        SELECT 'simhash',
+               (SELECT COUNT(*) FROM s_simhash),
+               (SELECT COUNT(*) FROM s_simhash x JOIN truth t
+                    ON x.doc_a = t.doc_a AND x.doc_b = t.doc_b)
+    )
+    SELECT signal,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CASE WHEN n_pairs > 0
+                THEN CAST(n_hits AS DOUBLE) / n_pairs END AS pair_precision,
+           CASE WHEN (SELECT COUNT(*) FROM truth) > 0
+                THEN CAST(n_hits AS DOUBLE)
+                     / (SELECT COUNT(*) FROM truth) END AS jaccard_agreement
+    FROM stages
+    ORDER BY signal
 """
 
 # bitext mining: the multi-table LSH near-dup oracle joined to the

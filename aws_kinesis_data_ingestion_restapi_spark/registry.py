@@ -2077,6 +2077,7 @@ _GATE_HEAD = [
     # (compaction + salted_agg through the oracle surface, VERDICT r5
     # ask #5; the ANN recall metric, ask #7).
     "dedup_lsh_quality",
+    "dedup_signal_agreement",
     "events_zorder_scan",
     "pipeline_compaction",
     "salted_lineitem_agg",
@@ -2137,7 +2138,6 @@ _GATE_HEAD = [
     "q7_volume_shipping",
     "q10_returned_items",
     "q12_ship_delay_classes",
-    "q22_dormant_customers",
     # q4_late_order_priority and q21_late_sole_supplier rotated out (r4 driver green + every
     # gate log) to keep the window at 50 with round-6's
     # dedup_lsh_quality added at the top.
@@ -2149,6 +2149,7 @@ _GATE_HEAD = [
     # r3/r4 driver greens + every gate log).
 ]
 _GATE_TAIL = [
+    "q22_dormant_customers",
     "q4_late_order_priority",
     "q21_late_sole_supplier",
     "cdc_scd2_history",

@@ -174,6 +174,7 @@ ANALYTICS_QUERIES = [
     "dedup_contamination",
     "dedup_ensemble",
     "dedup_lsh_quality",
+    "dedup_signal_agreement",
     "events_zorder_scan",
     "dedup_components",
     "dedup_components_star",
@@ -362,6 +363,7 @@ BENCH_KEY_ALIASES = {
     "salted_lineitem_agg": "salt_agg",
     "ann_recall_audit": "recall",
     "dedup_lsh_quality": "lshq",
+    "dedup_signal_agreement": "sigagree",
     "events_zorder_scan": "zscan",
     "ann_topk_lsh_multi": "annlshm",
     "text_build_postings": "post",

@@ -1696,3 +1696,67 @@ def test_dedup_lsh_quality_consistent_with_member_queries(spark):
     # the estimate filter can only DROP pairs: emitted recall ≤
     # candidate recall, and every emitted hit was a candidate hit
     assert audit["emitted"]["n_hits"] <= audit["candidates"]["n_hits"]
+
+
+def test_dedup_signal_agreement_consistent_with_members(spark):
+    """X95 invariants: each signal row's counts must equal the
+    hand-computed overlap of that signal's own member operator with
+    the exact-Jaccard truth; the minhash row must match the X92
+    audit's emitted stage exactly (same frames, same truth)."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import (
+        dedup,
+        similarity,
+    )
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        _docs,
+        _embs,
+        _minhash_pairs,
+        _simhash_fps,
+        dedup_lsh_quality,
+        dedup_signal_agreement,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["signal"]: r for r in dedup_signal_agreement(spark, sf).collect()}
+    assert set(rows) == {"minhash", "simhash", "embedding"}
+
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(
+            _docs(spark, sf), n=3, threshold=0.5
+        ).collect()
+    }
+    members = {
+        "minhash": {
+            (r["doc_a"], r["doc_b"])
+            for r in _minhash_pairs(spark, sf).collect()
+        },
+        "simhash": {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup.simhash_near_pairs(
+                None, max_hamming=3, fingerprints=_simhash_fps(spark, sf)
+            ).collect()
+        },
+        "embedding": {
+            (r["vec_a"], r["vec_b"])
+            for r in similarity.near_dup_lsh_multi(
+                _embs(spark, sf), d2_max=1.2
+            ).collect()
+        },
+    }
+    for name, pairs in members.items():
+        row = rows[name]
+        hits = len(pairs & truth)
+        assert row["n_pairs"] == len(pairs), (name, row["n_pairs"])
+        assert row["n_truth"] == len(truth)
+        assert row["n_hits"] == hits, (name, row["n_hits"], hits)
+        assert row["n_hits"] <= min(row["n_pairs"], row["n_truth"])
+    # the minhash row IS the X92 audit's emitted stage — same frames,
+    # same truth, so the numbers must be identical
+    emitted = {
+        r["stage"]: r for r in dedup_lsh_quality(spark, sf).collect()
+    }["emitted"]
+    assert (rows["minhash"]["n_pairs"], rows["minhash"]["n_hits"]) == (
+        emitted["n_pairs"],
+        emitted["n_hits"],
+    )
