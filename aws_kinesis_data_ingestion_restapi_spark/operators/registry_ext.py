@@ -134,8 +134,20 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def text_build_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X84: inverted-index build — term -> (df, sorted posting list);
-    see text.build_postings."""
-    return text.build_postings(_docs(spark, sf_dir))
+    see text.build_postings.
+
+    Registry surface note: the library API returns the posting list as
+    ``array<string>`` (the natural index shape), but every registry
+    query must emit only scalar columns (the driver's pandas
+    canonicalizer sorts cell values and cannot hash arrays — the one
+    ERR of 150 in CORRECTNESS_r06). The list is already
+    deterministically sorted, so a space-joined string is a lossless,
+    canonical scalar encoding of it."""
+    return text.build_postings(_docs(spark, sf_dir)).select(
+        "term",
+        "df",
+        F.array_join(F.col("postings"), " ").alias("postings"),
+    )
 
 
 def docs_sample_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1971,10 +1983,12 @@ EXT_ORACLE_SQL = {
         FROM tri
     """,
     # inverted index: presence-based (term, doc) pairs, sorted lists
+    # (space-joined to a scalar string — the registry surface contract
+    # forbids array-typed output columns; see text_build_postings)
     "text_build_postings": f"""
         SELECT tok AS term,
                COUNT(*) AS df,
-               list_sort(list(doc_id)) AS postings
+               array_to_string(list_sort(list(doc_id)), ' ') AS postings
         FROM (
             SELECT DISTINCT doc_id, tok FROM (
                 SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
