@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from aws_kinesis_data_ingestion_restapi_spark.operators.ckpt import materialize
 from pyspark.sql.window import Window
 
 from aws_kinesis_data_ingestion_restapi_spark.operators.text import tokens_col
@@ -698,7 +700,7 @@ def incremental_dedup_delta(
     # same reasoning as minhash_lsh_pairs' signature barrier).
     corpus_dup = best_match(
         verified(corpus_cand, delta_sigs, corpus_sigs)
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
 
     dropped = corpus_dup.select(F.col("delta_id").alias("doc_id"))
     survivors = delta_sigs.select("doc_id", "sig").join(

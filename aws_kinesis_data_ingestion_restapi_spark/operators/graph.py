@@ -19,8 +19,11 @@ long-chain graphs the alternating large-star/small-star variant
 implemented below as :func:`connected_components_star` (identical
 labels, property-tested) — while this loop is the simple form, with
 ``max_iter`` as the guard rail.
-``localCheckpoint`` truncates the lineage each round so the plan does
-not grow with iterations (the standard iterative-DataFrame trap).
+Lineage is truncated each round via :mod:`.ckpt` (localCheckpoint by
+default, reliable ``df.checkpoint()`` when a checkpoint dir is
+configured — the executor-loss-safe mode for real clusters) so the
+plan does not grow with iterations (the standard iterative-DataFrame
+trap).
 """
 
 from __future__ import annotations
@@ -29,6 +32,8 @@ import logging
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from aws_kinesis_data_ingestion_restapi_spark.operators.ckpt import materialize, release
 
 _LOG = logging.getLogger(__name__)
 
@@ -42,23 +47,10 @@ _LOG = logging.getLogger(__name__)
 LAST_CC_REPORT: dict = {}
 
 
-def _release_local_checkpoint(df: DataFrame) -> None:
-    """Free a localCheckpoint's storage blocks NOW.
-
-    ``DataFrame.unpersist`` is a no-op for checkpoint blocks — they
-    hang off the backing RDD, not the cache manager (verified
-    empirically: getRDDStorageInfo still lists the blocks after
-    unpersist, and drops them after this). Without an explicit
-    release, a deep iterative run pins one full label/edge-frame copy
-    PER ROUND in executor storage until the 30-minute periodic
-    ContextCleaner catches up — the exact litter class BENCH_NOTES
-    measured inflating later queries 2-4×."""
-    try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        # plan isn't a bare LogicalRDD (wrapped/optimized differently)
-        # — fall back to eventual ContextCleaner reclamation
-        pass
+#: Back-compat alias — the block-release helper moved to ckpt.release
+#: (shared with dedup/registry_ext) when the reliable-checkpoint knob
+#: landed; see operators/ckpt.py for the local-vs-reliable policy.
+_release_local_checkpoint = release
 
 
 def connected_components(
@@ -85,16 +77,17 @@ def connected_components(
     edges = pairs.select(
         F.col(a).alias("u"), F.col(b).alias("v")
     ).union(pairs.select(F.col(b).alias("u"), F.col(a).alias("v")))
-    edges = edges.distinct().localCheckpoint(eager=True)
+    edges = materialize(edges.distinct(), eager=True)
 
     universe = edges.select(F.col("u").alias("node"))
     if nodes is not None:
         universe = universe.union(
             nodes.select(F.col(nodes.columns[0]).alias("node"))
         )
-    labels = universe.distinct().select(
-        "node", F.col("node").alias("component")
-    ).localCheckpoint(eager=True)
+    labels = materialize(
+        universe.distinct().select("node", F.col("node").alias("component")),
+        eager=True,
+    )
 
     if max_iter < 1:
         # an empty loop would leave `changed` unbound and the raise
@@ -119,7 +112,8 @@ def connected_components(
                     F.col("component"), F.coalesce("_nbr", F.col("component"))
                 ).alias("_new"),
             )
-        ).localCheckpoint(eager=True)
+        )
+        updated = materialize(updated, eager=True)
         # the new checkpoint fully replaces the previous round's —
         # release those blocks now, or a deep run pins up to max_iter
         # label-frame copies in executor storage until the (30-min)
@@ -205,7 +199,7 @@ def connected_components_star(
     id, singletons included via ``nodes``. Each round is a
     large-star then a small-star — per round two groupBy-min
     aggregations and two equi-joins on node keys, lineage truncated
-    with localCheckpoint; convergence is an edge-set fixpoint (the
+    via ckpt.materialize; convergence is an edge-set fixpoint (the
     canonical (big, small) form makes set equality meaningful), after
     which every surviving edge points directly at its component root.
 
@@ -222,14 +216,14 @@ def connected_components_star(
         )
         .filter(F.col("big") != F.col("small"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    e = materialize(e, eager=True)
     edge_counts: list[int] = [e.count()]
     for rounds in range(1, max_iter + 1):
         d = e.select(F.col("big").alias("u"), F.col("small").alias("v")).union(
             e.select(F.col("small").alias("u"), F.col("big").alias("v"))
         )
-        nxt = _small_star(_large_star(d)).localCheckpoint(eager=True)
+        nxt = materialize(_small_star(_large_star(d)), eager=True)
         # both frames are distinct sets, so equal cardinality plus
         # one-direction emptiness proves set equality — one exceptAll
         # probe per round, not two (the count doubles as telemetry)
@@ -321,18 +315,19 @@ def pagerank(
     that AQE co-partitions; no driver-side graph, no adjacency matrix.
     Fixed iteration count (rank quality, not convergence detection, is
     the contract — the standard production choice; at 100 TB each
-    round is a bounded pair of shuffles). ``localCheckpoint`` is
-    unnecessary at 3 rounds; callers iterating deeper should truncate
-    lineage as connected_components does."""
+    round is a bounded pair of shuffles). Per-round lineage
+    truncation is unnecessary at 3 rounds; callers iterating deeper
+    should truncate lineage as connected_components does."""
     s, d = edges.columns[0], edges.columns[1]
     # Materialize the edge list once: every iteration joins it, and an
     # upstream edge DERIVATION (e.g. the orders⋈lineitem bipartite
     # build) would otherwise re-execute per iteration per use — the
     # iterative-DataFrame lineage trap connected_components documents.
-    # localCheckpoint truncates the plan to the cached blocks.
-    e = edges.select(
-        F.col(s).alias("src"), F.col(d).alias("dst")
-    ).localCheckpoint(eager=False)
+    # ckpt.materialize truncates the plan to the materialized frame.
+    e = materialize(
+        edges.select(F.col(s).alias("src"), F.col(d).alias("dst")),
+        eager=False,
+    )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     # Full node universe: sources ∪ sinks. Rebuilding the rank vector
     # over this set each round keeps in-degree-0 nodes alive (base
@@ -341,8 +336,8 @@ def pagerank(
         deg.select("src")
         .union(e.select(F.col("dst").alias("src")))
         .distinct()
-        .localCheckpoint(eager=False)
     )
+    universe = materialize(universe, eager=False)
     ranks = universe.select("src", F.lit(scale).cast("long").alias("rank"))
     base = ((100 - damping_pct) * scale) // 100
     for _ in range(iterations):

@@ -18,6 +18,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from aws_kinesis_data_ingestion_restapi_spark.operators.ckpt import materialize
+
 from aws_kinesis_data_ingestion_restapi_spark.operators import (
     asof,
     cdc,
@@ -401,7 +403,7 @@ def _minhash_sigs(
         lambda: dedup.minhash_signatures(
             _docs(spark, sf_dir), num_perm=num_perm,
             shingle_words=shingle_words,
-        ).repartition(F.col("doc_id")).localCheckpoint(eager=False),
+        ).repartition(F.col("doc_id")).transform(materialize),
     )
 
 
@@ -430,7 +432,7 @@ def _minhash_cands(
                 num_perm=num_perm,
                 bands=bands,
             )
-        ).localCheckpoint(eager=False),
+        ).transform(materialize),
     )
 
 
@@ -462,7 +464,7 @@ def _minhash_pairs(
                 spark, sf_dir,
                 num_perm=num_perm, bands=bands, shingle_words=shingle_words,
             ),
-        ).localCheckpoint(eager=False),
+        ).transform(materialize),
     )
 
 
@@ -479,7 +481,7 @@ def _simhash_fps(
         ("simhash_fps", sf_dir, shingle_words),
         lambda: dedup.simhash_docs(
             _docs(spark, sf_dir), shingle_words=shingle_words
-        ).localCheckpoint(eager=False),
+        ).transform(materialize),
     )
 
 
@@ -740,7 +742,7 @@ def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("jaccard_truth", sf_dir, 3, 0.5),
         lambda: dedup.ngram_jaccard_pairs(
             _docs(spark, sf_dir), n=3, threshold=0.5
-        ).select("doc_a", "doc_b").localCheckpoint(eager=False),
+        ).select("doc_a", "doc_b").transform(materialize),
     )
     n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     out = None
@@ -798,7 +800,7 @@ def dedup_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("jaccard_truth", sf_dir, 3, 0.5),
         lambda: dedup.ngram_jaccard_pairs(
             _docs(spark, sf_dir), n=3, threshold=0.5
-        ).select("doc_a", "doc_b").localCheckpoint(eager=False),
+        ).select("doc_a", "doc_b").transform(materialize),
     )
     signals = {
         "minhash": _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b"),
@@ -938,7 +940,7 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (
         similarity.topk_brute(embs, n_queries=nq, k=k)
         .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     methods = {
         "ivf": similarity.topk_ivf,

@@ -939,6 +939,51 @@ def test_connected_components_reports_convergence_rounds(spark):
     assert len(rep["relabeled"]) == rep["rounds_used"]
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """The ckpt knob (round-6 VERDICT ask #4): with a reliable
+    checkpoint dir configured, iterative operators use df.checkpoint()
+    (survives executor loss on real clusters) instead of
+    localCheckpoint — and the labels are bit-identical, because the
+    policy only changes WHERE the materialized frame lives. Runs both
+    CC algorithms under the conf knob, checks checkpoint files actually
+    landed in the dir, then restores the default."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import ckpt, graph
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 10)], ["doc_a", "doc_b"]
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 20, 99]], ["doc_id"]
+    )
+    expected = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 10, 99: 99}
+
+    ckdir = str(tmp_path / "reliable_ck")
+    spark.conf.set(ckpt.CHECKPOINT_DIR_CONF, ckdir)
+    try:
+        got_min = {
+            r["node"]: r["component"]
+            for r in graph.connected_components(pairs, nodes=nodes).collect()
+        }
+        got_star = {
+            r["node"]: r["component"]
+            for r in graph.connected_components_star(pairs, nodes=nodes).collect()
+        }
+    finally:
+        spark.conf.unset(ckpt.CHECKPOINT_DIR_CONF)
+    assert got_min == expected
+    assert got_star == expected
+    # proof the reliable path actually ran: Spark wrote rdd checkpoint
+    # data under the configured dir
+    ck_files = [p for p in (tmp_path / "reliable_ck").rglob("*") if p.is_file()]
+    assert ck_files, "no checkpoint files written — knob did not engage"
+    # and with the knob off the default (local) path still works
+    got_default = {
+        r["node"]: r["component"]
+        for r in graph.connected_components(pairs, nodes=nodes).collect()
+    }
+    assert got_default == expected
+
+
 def test_connected_components_rejects_nonpositive_max_iter(spark):
     """max_iter=0 skipped the loop entirely and the exhaustion raise
     then died on an unbound local instead of a real message."""
