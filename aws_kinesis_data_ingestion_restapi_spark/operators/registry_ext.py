@@ -2945,6 +2945,10 @@ EXT_ORACLE_SQL["dedup_lsh_quality"] = f"""
                      AND a.doc_id < c.doc_id
     ),
     emitted AS ({EXT_ORACLE_SQL["dedup_minhash_lsh"]}),
+    -- n_truth computed ONCE and cross-joined (one row), mirroring the
+    -- Spark side — the earlier form re-evaluated the expensive truth
+    -- CTE from three scalar subqueries per stage (r6 ADVICE)
+    nt AS (SELECT COUNT(*) AS n_truth FROM truth),
     stages AS (
         SELECT 'candidates' AS stage,
                (SELECT COUNT(*) FROM cand) AS n_pairs,
@@ -2958,14 +2962,13 @@ EXT_ORACLE_SQL["dedup_lsh_quality"] = f"""
     )
     SELECT stage,
            CAST(n_pairs AS BIGINT) AS n_pairs,
-           CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST(n_truth AS BIGINT) AS n_truth,
            CAST(n_hits AS BIGINT) AS n_hits,
            CASE WHEN n_pairs > 0
                 THEN CAST(n_hits AS DOUBLE) / n_pairs END AS pair_precision,
-           CASE WHEN (SELECT COUNT(*) FROM truth) > 0
-                THEN CAST(n_hits AS DOUBLE)
-                     / (SELECT COUNT(*) FROM truth) END AS pair_recall
-    FROM stages
+           CASE WHEN n_truth > 0
+                THEN CAST(n_hits AS DOUBLE) / n_truth END AS pair_recall
+    FROM stages CROSS JOIN nt
     ORDER BY stage
 """
 
@@ -2979,6 +2982,7 @@ EXT_ORACLE_SQL["dedup_signal_agreement"] = f"""
         SELECT vec_a AS doc_a, vec_b AS doc_b
         FROM ({EXT_ORACLE_SQL["emb_near_dup_lsh_multi"]})
     ),
+    nt AS (SELECT COUNT(*) AS n_truth FROM truth),
     stages AS (
         SELECT 'embedding' AS signal,
                (SELECT COUNT(*) FROM s_embedding) AS n_pairs,
@@ -2997,14 +3001,13 @@ EXT_ORACLE_SQL["dedup_signal_agreement"] = f"""
     )
     SELECT signal,
            CAST(n_pairs AS BIGINT) AS n_pairs,
-           CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST(n_truth AS BIGINT) AS n_truth,
            CAST(n_hits AS BIGINT) AS n_hits,
            CASE WHEN n_pairs > 0
                 THEN CAST(n_hits AS DOUBLE) / n_pairs END AS pair_precision,
-           CASE WHEN (SELECT COUNT(*) FROM truth) > 0
-                THEN CAST(n_hits AS DOUBLE)
-                     / (SELECT COUNT(*) FROM truth) END AS jaccard_agreement
-    FROM stages
+           CASE WHEN n_truth > 0
+                THEN CAST(n_hits AS DOUBLE) / n_truth END AS jaccard_agreement
+    FROM stages CROSS JOIN nt
     ORDER BY signal
 """
 

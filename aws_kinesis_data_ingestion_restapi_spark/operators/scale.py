@@ -357,17 +357,23 @@ def quantize(c: Column, lo: float, hi: float, bits: int = 16) -> Column:
     """Clamp-quantize a numeric column onto the integer grid
     [0, 2**bits): the per-dimension preprocessing for
     :func:`zorder_key`. Values at/below ``lo`` map to 0, at/above
-    ``hi`` to 2**bits - 1; NULL stays NULL (a NULL in any z-order
-    dimension yields a NULL key, which range-partitioning groups
-    together — the right place for them). Pure codegen arithmetic."""
+    ``hi`` to 2**bits - 1; NULL and NaN both map to NULL (a NULL in
+    any z-order dimension yields a NULL key, which range-partitioning
+    groups together — the right place for unorderable values; without
+    the NaN guard the non-ANSI double→long cast sends every NaN to
+    bucket 0, silently clustering a NaN-heavy dimension into the low
+    bucket). Layout-only either way — read-back filters use the raw
+    columns — but NULL is the honest bucket. Pure codegen arithmetic."""
     if hi <= lo:
         raise ValueError(f"quantize needs hi > lo, got [{lo}, {hi}]")
     n = (1 << bits) - 1
-    scaled = (c.cast("double") - F.lit(float(lo))) / F.lit(float(hi - lo)) * n
+    dbl = c.cast("double")
+    scaled = (dbl - F.lit(float(lo))) / F.lit(float(hi - lo)) * n
     # greatest/least SKIP nulls in Spark (a NULL input would silently
-    # clamp to 0) — the when-guard keeps NULL → NULL as documented
+    # clamp to 0) — the when-guard keeps NULL → NULL as documented;
+    # isnan only accepts float/double, hence the cast inside the guard
     return F.when(
-        c.isNotNull(),
+        c.isNotNull() & ~F.isnan(dbl),
         F.least(
             F.lit(n).cast("long"),
             F.greatest(F.lit(0).cast("long"), scaled.cast("long")),

@@ -401,7 +401,8 @@ def test_quantize_clamps_and_rejects_bad_range(spark):
     )
 
     df = spark.createDataFrame(
-        [(-5.0,), (0.0,), (500.0,), (1500.0,), (None,)], ["v"]
+        [(-5.0,), (0.0,), (500.0,), (1500.0,), (None,), (float("nan"),)],
+        ["v"],
     )
     got = [
         r["q"]
@@ -413,6 +414,9 @@ def test_quantize_clamps_and_rejects_bad_range(spark):
     assert got[2] == 7                          # 500/1000 * 15
     assert got[3] == 15                         # clamped high
     assert got[4] is None                       # NULL passes through
+    # NaN maps to NULL like NULL — without the isnan guard the
+    # non-ANSI double→long cast sent every NaN to bucket 0 (r6 ADVICE)
+    assert got[5] is None
     with pytest.raises(ValueError, match="hi > lo"):
         quantize(F.col("v"), lo=1.0, hi=1.0)
 
