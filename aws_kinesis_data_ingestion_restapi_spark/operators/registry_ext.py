@@ -901,6 +901,15 @@ def emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kmeans_step(_embs(spark, sf_dir))
 
 
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X96: semantic dedup, SemDeDup-shape (public arXiv 2303.09540) —
+    k-means cells bound the candidate space (never all-pairs),
+    within-cell exact scaled-int distances connect dup groups,
+    keep-one-per-group by min vec_id. One row per vector:
+    (vec_id, cell, component, keep). See similarity.semantic_dedup."""
+    return similarity.semantic_dedup(_embs(spark, sf_dir))
+
+
 def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization codes + reconstruction error over the
     embeddings table (similarity.pq_encode)."""
@@ -1310,6 +1319,7 @@ EXT_QUERY_FNS = {
     "ann_topk_lsh_multi": ann_topk_lsh_multi,
     "ann_topk_ivf": ann_topk_ivf,
     "emb_kmeans_step": emb_kmeans_step,
+    "dedup_semantic": dedup_semantic,
     "emb_bitext_mine": emb_bitext_mine,
     "emb_pq_codes": emb_pq_codes,
     "ann_topk_pq": ann_topk_pq,
@@ -2819,6 +2829,61 @@ EXT_ORACLE_SQL["dedup_components"] = EXT_ORACLE_SQL["dedup_components"].format(
 # the star-algorithm variant computes the IDENTICAL labels — one
 # oracle text serves both (different Spark algorithms, same closure)
 EXT_ORACLE_SQL["dedup_components_star"] = EXT_ORACLE_SQL["dedup_components"]
+
+# semantic dedup: the IVF assignment replayed verbatim (stride
+# centroids, exact int d2, (d2, cell) tie-break), within-cell pairs
+# under the threshold, then the same recursive-CTE transitive closure
+# the text-dedup components use — keep = min-id representative
+EXT_ORACLE_SQL["dedup_semantic"] = f"""
+    WITH RECURSIVE
+    stride AS (
+        SELECT GREATEST(CAST(floor(sqrt(COUNT(*))) AS BIGINT), 1) AS s
+        FROM embeddings
+    ),
+    comp AS ({_COMP}),
+    cent AS (
+        SELECT vec_id AS cell FROM embeddings
+        WHERE vec_id % (SELECT s FROM stride) = 0
+    ),
+    cd AS (
+        SELECT a.vec_id, c.cell,
+               SUM((a.qx - b.qx) * (a.qx - b.qx)) AS d2
+        FROM comp a
+        JOIN cent c ON TRUE
+        JOIN comp b ON b.vec_id = c.cell AND b.i = a.i
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cell) AS r
+        FROM cd
+    ),
+    assign AS (SELECT vec_id, cell FROM ranked WHERE r = 1),
+    pairs AS (
+        SELECT sa.vec_id AS vec_a, sb.vec_id AS vec_b
+        FROM assign sa
+        JOIN assign sb ON sa.cell = sb.cell AND sa.vec_id < sb.vec_id
+        JOIN comp a ON a.vec_id = sa.vec_id
+        JOIN comp b ON b.vec_id = sb.vec_id AND b.i = a.i
+        GROUP BY 1, 2
+        HAVING SUM((a.qx - b.qx) * (a.qx - b.qx)) <= 120000000
+    ),
+    edges AS (
+        SELECT vec_a AS u, vec_b AS v FROM pairs
+        UNION
+        SELECT vec_b AS u, vec_a AS v FROM pairs
+    ),
+    reach(u, r) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+    ),
+    labels AS (SELECT u AS vec_id, MIN(r) AS component FROM reach GROUP BY u)
+    SELECT a.vec_id, a.cell, l.component,
+           a.vec_id = l.component AS keep
+    FROM assign a JOIN labels l USING (vec_id)
+"""
 
 # the apply step: same transitive closure, then survivors (component
 # min-id rows) with their collapsed cluster size joined back to the

@@ -464,6 +464,74 @@ def near_dup_pairs(
     )
 
 
+def semantic_dedup(
+    embs: DataFrame,
+    d2_max: float = 1.2,
+    centroid_stride: int | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Semantic deduplication, SemDeDup-shape (Abbas et al., 2023
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication" — public arXiv 2303.09540): cluster the embedding
+    space with k-means, compare pairs ONLY within a cluster, connect
+    the pairs under the distance threshold into components, and keep
+    one representative per component. The widely-deployed LLM-corpus
+    dedup family that exact/MinHash text dedup misses: paraphrases and
+    re-renderings that share meaning but few shingles.
+
+    Returns one row per vector: (vec_id, cell, component, keep) —
+    ``component`` is the minimum vec_id of the vector's semantic-dup
+    group (itself when it has no within-cluster dup), ``keep`` is the
+    keep-one-per-group decision (vec_id == component). Deterministic
+    end to end: stride-sampled centroids, exact scaled-int distances,
+    (d2, cell) assignment tie-break, min-id components — a DuckDB
+    oracle replays every stage.
+
+    Candidate contract (same scoping as the LSH families): a pair is
+    considered iff BOTH vectors land in the same k-means cell. Pairs
+    split across cells are out of contract by design — that bound is
+    the entire reason the operator scales (SemDeDup §3 makes the same
+    trade; the property test pins emitted == exact ∩ same-cell).
+
+    Scale shape: one broadcast n×K assignment (the IVF build cost),
+    one equi-join on the cell id for candidates — NEVER all-pairs;
+    with K ≈ √n stride centroids the expected within-cell quadratic
+    totals ~n^1.5 comparisons, the triangle-counting budget — then
+    bounded-round CC over the (sparse) dup pairs. No driver-side
+    model, no MLlib dependency."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import graph
+
+    base, cents = _kmeans_base_and_cents(embs, centroid_stride, None, id_col)
+    assign = _kmeans_assign(base, cents, id_col)
+    d2_max_i = round(d2_max * SCALE2)
+    a = assign.select(
+        F.col(id_col).alias("vec_a"), "cell", F.col("v").alias("va")
+    ).repartition(F.col("cell"))
+    b = assign.select(F.col(id_col).alias("vec_b"), "cell", F.col("v").alias("vb"))
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b", dist2_i(F.col("va"), F.col("vb")).alias("_d2_i")
+        )
+        .filter(F.col("_d2_i") <= F.lit(d2_max_i))
+        .select("vec_a", "vec_b")
+    )
+    labels = graph.connected_components(
+        pairs, nodes=assign.select(F.col(id_col))
+    )
+    return (
+        assign.select(F.col(id_col), "cell")
+        .join(labels, F.col(id_col) == labels.node)
+        .select(
+            F.col(id_col),
+            "cell",
+            "component",
+            (F.col(id_col) == F.col("component")).alias("keep"),
+        )
+    )
+
+
 PQ_M = 4  # product-quantization subspaces
 
 

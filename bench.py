@@ -173,6 +173,7 @@ ANALYTICS_QUERIES = [
     "dedup_simhash_fingerprints",
     "dedup_contamination",
     "dedup_ensemble",
+    "dedup_semantic",
     "dedup_lsh_quality",
     "dedup_signal_agreement",
     "events_zorder_scan",
@@ -378,6 +379,7 @@ BENCH_KEY_ALIASES = {
     "events_gapfill": "gapfill",
     "text_length_quantiles": "lenq",
     "dedup_ensemble": "ensemble",
+    "dedup_semantic": "semdd",
     "mm_asset_stats": "mm_stats",
     "mm_fingerprint": "mm_fp",
     "events_funnel": "funnel",
