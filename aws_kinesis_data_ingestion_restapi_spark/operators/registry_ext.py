@@ -943,8 +943,32 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     reused by the three ≤(n_queries·k)-row hash joins; at corpus
     scale the truth set for a FIXED query panel stays tiny — recall
     auditing is cheap even when the index is 100 TB, because only the
-    panel's neighbor lists move."""
-    embs = _embs(spark, sf_dir)
+    panel's neighbor lists move.
+
+    Caveat (BENCH_NOTES r6): the driver's near-uniform synthetic
+    embeddings defeat sign-LSH by construction, so THIS entry's
+    recalls are a degenerate-geometry floor; :func:`ann_recall_clustered`
+    runs the identical audit on the deterministic clustered fixture
+    where the methods separate in their intended regime."""
+    return _recall_audit_over(_embs(spark, sf_dir))
+
+
+def ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X97: the recall@k audit on NON-DEGENERATE geometry — the same
+    four methods and ground-truth protocol as :func:`ann_recall_audit`,
+    but over similarity.clustered_embeddings (deterministic ±0.125
+    per-cluster offsets; 8 centers on 3 id bits). On this fixture the
+    methods separate as designed — measured at sf0.01: ivf 0.84 >
+    lsh_multi 0.34 > pq 0.18 ≈ lsh 0.16 (vs 0.32/0.10/0.06/0.02 on
+    the uniform corpus), exercising the multi-table>single-table claim
+    on geometry where buckets actually carry neighborhood signal."""
+    return _recall_audit_over(
+        similarity.clustered_embeddings(_embs(spark, sf_dir))
+    )
+
+
+def _recall_audit_over(embs: DataFrame) -> DataFrame:
+    """Shared audit body: exact truth once, three panel-sized joins."""
     nq, k = 10, 5
     exact = (
         similarity.topk_brute(embs, n_queries=nq, k=k)
@@ -1324,6 +1348,7 @@ EXT_QUERY_FNS = {
     "emb_pq_codes": emb_pq_codes,
     "ann_topk_pq": ann_topk_pq,
     "ann_recall_audit": ann_recall_audit,
+    "ann_recall_clustered": ann_recall_clustered,
     "emb_near_dup": emb_near_dup,
     "emb_near_dup_lsh": emb_near_dup_lsh,
     "emb_near_dup_lsh_multi": emb_near_dup_lsh_multi,
@@ -2957,6 +2982,33 @@ EXT_ORACLE_SQL["ann_recall_audit"] = f"""
     FROM hits
     ORDER BY method
 """
+
+# clustered-fixture recall audit: a CTE named `embeddings` SHADOWS the
+# registered view (DuckDB CTE binding precedence; the base table is
+# reached via the explicit main. schema qualifier), so every method
+# fragment of the verbatim audit SQL below transparently reads the
+# shifted corpus — the exact splice similarity.clustered_embeddings
+# performs on the Spark side. The shift is one IEEE double addition of
+# the binary-exact ±0.125 per-cluster offset (cluster = vec_id mod 8,
+# sign = cluster bit ((i-1) mod 3)), applied BEFORE quantization in
+# both engines.
+_CLUSTERED_EMB = """
+    SELECT vec_id,
+           list_transform(
+               generate_series(1, len(embedding)),
+               i -> CAST(embedding[i] AS DOUBLE)
+                    + CASE WHEN ((vec_id % 8)
+                                 // CAST(pow(2, (i - 1) % 3) AS BIGINT))
+                                % 2 = 1
+                           THEN 0.125 ELSE -0.125 END
+           ) AS embedding
+    FROM main.embeddings
+"""
+_audit_sql = EXT_ORACLE_SQL["ann_recall_audit"].lstrip()
+assert _audit_sql.upper().startswith("WITH")
+EXT_ORACLE_SQL["ann_recall_clustered"] = (
+    f"WITH embeddings AS ({_CLUSTERED_EMB}),\n    " + _audit_sql[len("WITH"):]
+)
 
 # LSH quality audit: the registered minhash-pair oracle (emitted) and
 # its banding CTE (candidates) scored against exact shingle-Jaccard

@@ -464,6 +464,49 @@ def near_dup_pairs(
     )
 
 
+N_FIXTURE_CLUSTERS = 8  # clustered fixture: 2^3 centers, bit period 3
+FIXTURE_AMP = 0.125  # exactly representable in binary — exact IEEE add
+
+
+def clustered_embeddings(
+    embs: DataFrame, amp: float = FIXTURE_AMP, id_col: str = "vec_id"
+) -> DataFrame:
+    """Deterministic CLUSTERED view of an embedding corpus — the
+    fixture geometry the recall audit needs (round-6 VERDICT ask #5):
+    the driver's synthetic embeddings are near-uniform on the sphere,
+    which defeats sign-LSH BY CONSTRUCTION (no bucket carries
+    neighborhood signal — measured recall 0.02, BENCH_NOTES r6), so
+    audit numbers on that corpus can't separate the methods.
+
+    Each vector is shifted onto one of 8 cluster centers: cluster id =
+    vec_id mod 8, and center component d = ±amp with the sign taken
+    from cluster bit (d mod 3) — every third dimension repeats one of
+    the three id bits, so centers differ on ~dim/3 components and
+    inter-cluster distance dominates intra-cluster spread while the
+    original vector survives as per-cluster noise. amp tunes the
+    signal-to-noise: 0.125 separates all four methods without
+    saturating any (measured at sf0.01: ivf 0.84 > lsh_multi 0.34 >
+    pq 0.18 ≈ lsh 0.16 vs 0.02-0.40 on the uniform corpus); 0.25
+    saturates lsh_multi at 1.0 (numbers in BENCH_NOTES). All arithmetic
+    stays inside the cross-engine determinism contract: amp = 0.25 is
+    binary-exact, the shift is one IEEE double addition performed
+    identically by Spark and the DuckDB oracle on the same float32
+    inputs, and quantization happens AFTER the shift in both engines.
+
+    Returns (id_col, embedding) — drop-in for every top-k/near-dup
+    operator in this module."""
+    cl = (F.col(id_col) % N_FIXTURE_CLUSTERS).cast("long")
+    shifted = F.transform(
+        F.col("embedding"),
+        lambda x, i: x.cast("double")
+        + F.when(
+            (F.floor(cl / F.pow(F.lit(2.0), (i % 3)).cast("long")) % 2) == 1,
+            F.lit(float(amp)),
+        ).otherwise(F.lit(-float(amp))),
+    )
+    return embs.select(F.col(id_col), shifted.alias("embedding"))
+
+
 def semantic_dedup(
     embs: DataFrame,
     d2_max: float = 1.2,

@@ -187,6 +187,7 @@ ANALYTICS_QUERIES = [
     "ann_topk_ivf",
     "ann_topk_lsh_multi",
     "ann_recall_audit",
+    "ann_recall_clustered",
     "emb_near_dup_lsh",
     "emb_kmeans_step",
     "emb_pq_codes",
@@ -363,6 +364,7 @@ BENCH_KEY_ALIASES = {
     "pipeline_compaction": "plcomp",
     "salted_lineitem_agg": "salt_agg",
     "ann_recall_audit": "recall",
+    "ann_recall_clustered": "recallc",
     "dedup_lsh_quality": "lshq",
     "dedup_signal_agreement": "sigagree",
     "events_zorder_scan": "zscan",

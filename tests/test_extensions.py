@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import random
 
 import pytest
@@ -1504,6 +1505,45 @@ def test_kmeans_step_two_tight_clusters(spark):
     expected = 400 / (2 * 4 * 10000)
     assert out[0]["drift"] == expected
     assert out[2]["drift"] == expected
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/testdata/sf0.001"), reason="testdata missing"
+)
+def test_clustered_fixture_separates_ann_methods(spark):
+    """The clustered embedding fixture (round-6 VERDICT ask #5): on
+    non-degenerate geometry the approximate methods must behave as
+    designed — more IVF probes can only add candidate cells, so
+    recall@k is monotone in nprobe, and the multi-table LSH union can
+    only add candidates over the single table. (On the near-uniform
+    raw corpus these relationships are noise — that's exactly why the
+    fixture exists.)"""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import similarity
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ce = similarity.clustered_embeddings(embs)
+    # deterministic and id-preserving
+    assert ce.count() == embs.count()
+    a = ce.orderBy("vec_id").collect()
+    b = similarity.clustered_embeddings(embs).orderBy("vec_id").collect()
+    assert a == b
+    exact = (
+        similarity.topk_brute(ce, n_queries=10, k=5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+
+    def recall(df):
+        return df.select("query_id", "neighbor_id").join(
+            exact, ["query_id", "neighbor_id"]
+        ).count()
+
+    r1 = recall(similarity.topk_ivf(ce, n_queries=10, k=5, nprobe=1))
+    r5 = recall(similarity.topk_ivf(ce, n_queries=10, k=5, nprobe=5))
+    assert r1 <= r5
+    single = recall(similarity.topk_lsh(ce, n_queries=10, k=5))
+    multi = recall(similarity.topk_lsh_multi(ce, n_queries=10, k=5))
+    assert single <= multi
 
 
 def test_semantic_dedup_candidate_contract(spark):
