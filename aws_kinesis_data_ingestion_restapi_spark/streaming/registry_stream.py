@@ -26,6 +26,7 @@ gate); the operators themselves never touch the driver.
 
 from __future__ import annotations
 
+import atexit
 import glob
 import itertools
 import os
@@ -46,6 +47,12 @@ from aws_kinesis_data_ingestion_restapi_spark.streaming.stateful import (
 )
 
 _seq = itertools.count()
+
+#: (applicationId, sf_dir) -> (orders_dir, payments_dir): the dual
+#: payment-join NDJSON feed, generated once and shared by the inner
+#: and leftOuter gates (checkpoints stay per-drain; see
+#: _payment_match_streams).
+_PAYMENT_FEED_CACHE: dict = {}
 
 
 def _dump_single_ndjson(
@@ -232,31 +239,46 @@ def _payment_match_streams(spark: SparkSession, sf_dir: str, prefix: str):
     metadata-file sweep, and both watermarked readStreams. One
     definition so a fix to the interval, watermark, schemas, or sweep
     cannot silently apply to only one of the two gates. Returns
-    (left, right, tmpdir); the caller passes tmpdir to _drain."""
-    orders = analytics._t(spark, sf_dir, "orders")
-    base = orders.select(
-        F.col("o_orderkey").cast("string").alias("order_id"),
-        F.col("o_custkey").cast("string").alias("customer_id"),
-        F.col("o_totalprice").alias("amount"),
-        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_ts"),
-        F.date_format(
-            F.col("o_orderdate")
-            + F.make_interval(hours=(F.col("o_orderkey") % 96).cast("int")),
-            "yyyy-MM-dd HH:mm:ss",
-        ).alias("p_ts"),
-        (F.col("o_orderkey") % 96).cast("long").alias("delay_hours"),
-    )
-    d = tempfile.mkdtemp(prefix=prefix)
-    a_dir, b_dir = os.path.join(d, "orders"), os.path.join(d, "payments")
-    base.select("order_id", "customer_id", "amount", "o_ts").write.mode(
-        "overwrite"
-    ).json(a_dir)
-    base.select("order_id", "p_ts", "delay_hours").write.mode(
-        "overwrite"
-    ).json(b_dir)
-    for sub in (a_dir, b_dir):
-        for f in glob.glob(os.path.join(sub, "_*")):
-            os.remove(f)
+    (left, right); the shared feed dir outlives the drains and is
+    removed at process exit."""
+    # The dual NDJSON dump is identical for the inner and leftOuter
+    # gates (only the join mode differs), so it is generated ONCE per
+    # (session, sf_dir) and shared — the second drain skips the whole
+    # orders-table write (r6 VERDICT ask #7). Sharing is safe because
+    # checkpoints are NOT shared: every _drain call creates a fresh
+    # checkpoint dir, and a fresh file-source checkpoint re-reads all
+    # feed files from scratch. The shared dirs are swept at process
+    # exit instead of per-drain (atexit below).
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _PAYMENT_FEED_CACHE:
+        a_dir, b_dir = _PAYMENT_FEED_CACHE[key]
+    else:
+        orders = analytics._t(spark, sf_dir, "orders")
+        base = orders.select(
+            F.col("o_orderkey").cast("string").alias("order_id"),
+            F.col("o_custkey").cast("string").alias("customer_id"),
+            F.col("o_totalprice").alias("amount"),
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_ts"),
+            F.date_format(
+                F.col("o_orderdate")
+                + F.make_interval(hours=(F.col("o_orderkey") % 96).cast("int")),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("p_ts"),
+            (F.col("o_orderkey") % 96).cast("long").alias("delay_hours"),
+        )
+        d = tempfile.mkdtemp(prefix=prefix)
+        a_dir, b_dir = os.path.join(d, "orders"), os.path.join(d, "payments")
+        base.select("order_id", "customer_id", "amount", "o_ts").write.mode(
+            "overwrite"
+        ).json(a_dir)
+        base.select("order_id", "p_ts", "delay_hours").write.mode(
+            "overwrite"
+        ).json(b_dir)
+        for sub in (a_dir, b_dir):
+            for f in glob.glob(os.path.join(sub, "_*")):
+                os.remove(f)
+        _PAYMENT_FEED_CACHE[key] = (a_dir, b_dir)
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
     left = (
         spark.readStream.schema(
             "order_id string, customer_id string, amount double, o_ts string"
@@ -274,13 +296,13 @@ def _payment_match_streams(spark: SparkSession, sf_dir: str, prefix: str):
         .withColumn("p_ts", F.to_timestamp("p_ts"))
         .withWatermark("p_ts", "1 hour")
     )
-    return left, right, d
+    return left, right
 
 
 def _payment_match_drain(
     spark: SparkSession, sf_dir: str, how: str, prefix: str, qname: str
 ) -> DataFrame:
-    left, right, d = _payment_match_streams(spark, sf_dir, prefix)
+    left, right = _payment_match_streams(spark, sf_dir, prefix)
     joined = left.join(
         right,
         F.expr(
@@ -293,7 +315,6 @@ def _payment_match_drain(
         joined.select("order_id", "customer_id", "amount", "delay_hours"),
         "append",
         qname,
-        cleanup_dir=d,
     )
 
 
