@@ -2073,49 +2073,109 @@ ORACLE_SQL["streaming_value_quantiles"] = f"""
 # park stable, already-driver-verified, untouched baselines at the
 # tail, where falling past position 50 loses nothing.
 _GATE_HEAD = [
-    # new in round 6 — first driver verification this round
-    # (compaction + salted_agg through the oracle surface, VERDICT r5
-    # ask #5; the ANN recall metric, ask #7).
+    # --- new in round 7: first driver verification ---
+    "dedup_semantic",
+    "ann_recall_clustered",
+    # --- changed in round 7: re-prove under the driver ---
+    # text_build_postings: array->scalar surface (the only never-
+    # driver-green query of r6; fix = r6 VERDICT ask #1).
+    "text_build_postings",
+    # oracle SQL rewritten (n_truth one-row CTE, r6 ADVICE #3):
     "dedup_lsh_quality",
     "dedup_signal_agreement",
-    "events_zorder_scan",
-    "pipeline_compaction",
-    "salted_lineitem_agg",
+    # audit body refactored into _recall_audit_over:
     "ann_recall_audit",
-    "ann_topk_lsh_multi",
-    "dedup_incremental_delta",
-    "sketch_value_quantiles",
-    "events_type_value_quantiles",
-    "streaming_value_quantiles",
-    # never driver-proven (added after the r5 window froze) —
-    # VERDICT r5 ask #1. events_attribution ALSO changed r6
-    # ((ns, event_id) tie-break, round-5 ADVICE).
-    "events_attribution",
-    "text_build_postings",
-    "graph_triangles_cosupply",
-    "emb_bitext_mine",
-    # changed in round 6 — re-prove under the driver: shared
-    # session-cached sub-pipelines (LSH pair graph, CC labels, SimHash
-    # fingerprints), per-session scratch dir (partition_scan),
-    # salted_join/write_bucketed guards.
+    # payment-join feed now shared per (session, sf_dir) — both gates
+    # must re-prove under the driver in the SAME session:
+    "streaming_payment_match",
+    "streaming_payment_match_outer",
+    # quantize NaN guard (r6 ADVICE #1) sits on the z-order write path:
+    "events_zorder_scan",
+    # --- the 15 r3-era driver greens (r6 VERDICT ask #3) ---
+    "text_length_quantiles",
+    "serving_last_write_wins",
+    "top_orders_per_customer",
+    "customer_running_spend",
+    "payment_type_share",
+    "streaming_dedup_replay",
+    "streaming_running_totals_final",
+    "streaming_enriched_nation_totals",
+    "curation_pipeline",
+    "dedup_ngram_jaccard",
+    "dedup_contamination",
+    "cdc_snapshot_diff",
+    "asof_priority_rates",
+    "events_range_follow",
+    "ann_topk_ivf",
+    # --- ckpt.materialize refactor (r6 VERDICT ask #4) touched the
+    # session-cache / CC / pagerank lineage-truncation sites; default
+    # behavior is unchanged (localCheckpoint) but these ride those
+    # frames — re-prove them under the driver this round ---
     "dedup_components",
     "dedup_components_star",
     "dedup_canonical_docs",
     "dedup_minhash_lsh",
-    "dedup_simhash_pairs",
     "dedup_ensemble",
+    "dedup_incremental_delta",
+    "graph_pagerank_suppliers",
+    "graph_triangles_cosupply",
+    "emb_bitext_mine",
+    # --- oldest remaining driver evidence (r4-era) fills the window ---
+    "cdc_scd2_history",
+    "streaming_session_windows",
+    "events_cohort_retention",
+    "text_quality_sample",
+    "sales_yoy_full_outer",
+    "sql_recursive_rollup",
+    "events_concurrency_curve",
+    "events_transition_matrix",
+    "emb_pq_codes",
+    "ann_topk_pq",
+    "customer_rfm_segments",
+    "events_active_users",
+    "sketch_heavy_hitters",
+    "events_drift_tvd",
+    "text_bm25_search",
+    "events_gapfill",
+    "events_funnel",
+    # Rotated OUT to the tail this round (every one holds an r6
+    # driver green in CORRECTNESS_r06 plus both committed GATE_r06
+    # logs): pipeline_compaction, salted_lineitem_agg,
+    # ann_topk_lsh_multi, sketch_value_quantiles,
+    # events_type_value_quantiles, streaming_value_quantiles,
+    # events_attribution, dedup_simhash_pairs, pipeline_partition_scan,
+    # salted_events_join, bucketed_sales_join,
+    # customers_with_urgent_orders, customers_without_urgent_orders,
+    # customer_retention, q5_local_supplier_volume,
+    # salted_priority_sales, events_sessionization,
+    # sketch_distinct_trigrams, profile_documents,
+    # incremental_sales_rollup, text_repetition,
+    # sales_pivot_by_priority, fuzzy_customer_names,
+    # streaming_late_data_policy, sql_above_average_orders,
+    # events_variant_props, events_value_histogram, events_type_mode,
+    # ann_topk_brute, dedup_simhash_fingerprints, emb_near_dup,
+    # ann_topk_lsh, emb_near_dup_lsh, q7_volume_shipping,
+    # q10_returned_items, q12_ship_delay_classes.
+]
+_GATE_TAIL = [
+    # r6-driver-green entries rotated out of the round-7 window
+    # (fresh greens in CORRECTNESS_r06 + both GATE_r06 logs):
+    "pipeline_compaction",
+    "salted_lineitem_agg",
+    "ann_topk_lsh_multi",
+    "sketch_value_quantiles",
+    "events_type_value_quantiles",
+    "streaming_value_quantiles",
+    "events_attribution",
+    "dedup_simhash_pairs",
     "pipeline_partition_scan",
     "salted_events_join",
     "bucketed_sales_join",
-    # r3-era greens named by VERDICT r5 ask #1 for rotation.
     "customers_with_urgent_orders",
     "customers_without_urgent_orders",
     "customer_retention",
-    # rest of the r3-green block — oldest driver evidence in the
-    # registry; cycle all of it through while slots are free.
     "q5_local_supplier_volume",
     "salted_priority_sales",
-    "streaming_payment_match",
     "events_sessionization",
     "sketch_distinct_trigrams",
     "profile_documents",
@@ -2133,35 +2193,14 @@ _GATE_HEAD = [
     "emb_near_dup",
     "ann_topk_lsh",
     "emb_near_dup_lsh",
-    # r4-green entries not re-proven since round 4 — next-oldest
-    # evidence fills the remaining window slots.
     "q7_volume_shipping",
     "q10_returned_items",
     "q12_ship_delay_classes",
-    # q4_late_order_priority and q21_late_sole_supplier rotated out (r4 driver green + every
-    # gate log) to keep the window at 50 with round-6's
-    # dedup_lsh_quality added at the top.
-    # dedup_substring_hotspots, events_rolling_hour_avg,
-    # events_ntile_quartiles and events_value_outliers_mad rotated out
-    # for the round-6 additions
-    # dedup_incremental_delta / sketch_value_quantiles /
-    # streaming_value_quantiles (all three rotated-out queries hold
-    # r3/r4 driver greens + every gate log).
-]
-_GATE_TAIL = [
+    # previously parked (driver-verified r4/r5/r6, untouched; the
+    # committed full-registry GATE logs cover them every round):
     "q22_dormant_customers",
     "q4_late_order_priority",
     "q21_late_sole_supplier",
-    "cdc_scd2_history",
-    "streaming_session_windows",
-    # r4-green entries bumped back out of the head by the three
-    # cache-path re-proofs above; next rotation's first candidates.
-    "events_cohort_retention",
-    "text_quality_sample",
-    "sales_yoy_full_outer",
-    # driver-verified round 5 (CORRECTNESS_r05 50/50 green) and
-    # untouched since — parked behind the window; the committed
-    # full-registry GATE log still covers them every round.
     "q2_min_cost_supplier",
     "q6_forecast_revenue",
     "q11_important_parts",
@@ -2175,14 +2214,12 @@ _GATE_TAIL = [
     "corpus_mixture_plan",
     "events_value_hour_corr",
     "events_daily_trend",
-    "streaming_payment_match_outer",
     "sales_monthly_yoy",
     "brand_basket_affinity",
     "text_vocab_growth",
     "sales_per_nation",
     "sales_rollup",
     "q3_shipping_priority",
-    "graph_pagerank_suppliers",
     "top_parts_by_revenue",
     "q8_market_share",
     "q14_promo_revenue",
@@ -2209,21 +2246,6 @@ _GATE_TAIL = [
     "text_pack_sequences",
     "text_stratified_sample",
     "dedup_exact_recrawl",
-    # r4-green, untouched, double-covered by pytest — still behind
-    # the window this round (the 50 slots went to the r6/never-proven
-    # set and the r3-era block above).
-    "sql_recursive_rollup",
-    "events_concurrency_curve",
-    "events_transition_matrix",
-    "emb_pq_codes",
-    "ann_topk_pq",
-    "customer_rfm_segments",
-    "events_active_users",
-    "sketch_heavy_hitters",
-    "events_drift_tvd",
-    "text_bm25_search",
-    "events_gapfill",
-    "events_funnel",
     "sales_cube",
     "sql_lateral_top_orders",
     "docs_expectations",
