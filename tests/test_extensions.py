@@ -985,6 +985,26 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     assert got_default == expected
 
 
+def test_checkpoint_env_var_takes_precedence(spark, tmp_path, monkeypatch):
+    """SPARK_GRAFT_CHECKPOINT_DIR (the deployment knob) engages the
+    reliable path without any session conf, and wins over the conf
+    when both are set."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import ckpt
+
+    env_dir = str(tmp_path / "env_ck")
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", env_dir)
+    spark.conf.set(ckpt.CHECKPOINT_DIR_CONF, str(tmp_path / "conf_ck"))
+    try:
+        df = spark.createDataFrame([(1,), (2,)], ["x"])
+        out = ckpt.materialize(df, eager=True)
+        assert sorted(r["x"] for r in out.collect()) == [1, 2]
+    finally:
+        spark.conf.unset(ckpt.CHECKPOINT_DIR_CONF)
+    env_files = [p for p in (tmp_path / "env_ck").rglob("*") if p.is_file()]
+    assert env_files, "env knob did not engage"
+    assert not (tmp_path / "conf_ck").exists(), "conf must lose to env"
+
+
 def test_connected_components_rejects_nonpositive_max_iter(spark):
     """max_iter=0 skipped the loop entirely and the exhaustion raise
     then died on an unbound local instead of a real message."""
