@@ -546,20 +546,7 @@ def semantic_dedup(
 
     base, cents = _kmeans_base_and_cents(embs, centroid_stride, None, id_col)
     assign = _kmeans_assign(base, cents, id_col)
-    d2_max_i = round(d2_max * SCALE2)
-    a = assign.select(
-        F.col(id_col).alias("vec_a"), "cell", F.col("v").alias("va")
-    ).repartition(F.col("cell"))
-    b = assign.select(F.col(id_col).alias("vec_b"), "cell", F.col("v").alias("vb"))
-    pairs = (
-        a.join(b, "cell")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a", "vec_b", dist2_i(F.col("va"), F.col("vb")).alias("_d2_i")
-        )
-        .filter(F.col("_d2_i") <= F.lit(d2_max_i))
-        .select("vec_a", "vec_b")
-    )
+    pairs = semantic_dup_pairs(assign, d2_max=d2_max, id_col=id_col)
     labels = graph.connected_components(
         pairs, nodes=assign.select(F.col(id_col))
     )
@@ -572,6 +559,32 @@ def semantic_dedup(
             "component",
             (F.col(id_col) == F.col("component")).alias("keep"),
         )
+    )
+
+
+def semantic_dup_pairs(
+    assign: DataFrame, d2_max: float = 1.2, id_col: str = "vec_id"
+) -> DataFrame:
+    """The candidate+verify stage of :func:`semantic_dedup`, factored
+    out (same precedent as dedup.minhash_candidate_pairs for the LSH
+    audit) so plan tests pin the shape production runs: ``assign`` is
+    the (id, cell, v) k-means assignment; candidates are the SAME-CELL
+    pairs only — one equi-join on the cell id, never all-pairs — and
+    the verify is the exact scaled-int distance filter. Returns
+    (vec_a, vec_b) with vec_a < vec_b."""
+    d2_max_i = round(d2_max * SCALE2)
+    a = assign.select(
+        F.col(id_col).alias("vec_a"), "cell", F.col("v").alias("va")
+    ).repartition(F.col("cell"))
+    b = assign.select(F.col(id_col).alias("vec_b"), "cell", F.col("v").alias("vb"))
+    return (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b", dist2_i(F.col("va"), F.col("vb")).alias("_d2_i")
+        )
+        .filter(F.col("_d2_i") <= F.lit(d2_max_i))
+        .select("vec_a", "vec_b")
     )
 
 
