@@ -152,6 +152,27 @@ def text_build_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X98: fastText-shape hashed-linear quality scoring — hashed
+    unigram+bigram features, linear weights, mean-weight score; zero
+    shuffle (one codegen projection). Weights are the documented
+    deterministic stand-in; see text.hashed_linear_score."""
+    return text.hashed_linear_score(_docs(spark, sf_dir))
+
+
+def curation_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X99: per-source document cap (RefinedWeb/C4 anti-domination) —
+    keep the top-10 quality-ranked docs per source; rank-then-filter
+    compiles to the WindowGroupLimit map-side pushdown (plan-pinned).
+    See sampling.per_source_cap."""
+    docs = _docs(spark, sf_dir)
+    scored = text.quality_score(docs).select("doc_id", "quality_score")
+    joined = docs.select("doc_id", "source").join(scored, "doc_id")
+    return sampling.per_source_cap(joined, cap=10).select(
+        "doc_id", "source", "quality_score", "src_rank"
+    )
+
+
 def docs_sample_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X79: deterministic fixed-size corpus sample (hash-rank top-k —
     see sampling.sample_fixed_k)."""
@@ -1298,6 +1319,8 @@ def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXT_QUERY_FNS = {
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
+    "text_model_quality": text_model_quality,
+    "curation_source_caps": curation_source_caps,
     "text_language_id": text_language_id,
     "text_fingerprint": text_fingerprint,
     "text_pii_redact": text_pii_redact,
@@ -2952,6 +2975,61 @@ EXT_ORACLE_SQL["dedup_ensemble"] = f"""
     FROM tsig t
     FULL OUTER JOIN esig e ON t.doc_a = e.doc_a AND t.doc_b = e.doc_b
 """
+
+# fastText-shape hashed-linear scorer: same 28-bit md5-prefix hash
+# idiom as the dedup shingles, weights = hash mod (2·SPAN+1) − SPAN,
+# integer sum exact, ONE final division (list_sum of an empty list is
+# NULL in DuckDB where Spark's aggregate init gives 0 — coalesced)
+EXT_ORACLE_SQL["text_model_quality"] = f"""
+    WITH c AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    f AS (
+        SELECT doc_id,
+               list_concat(
+                   toks,
+                   CASE WHEN len(toks) >= 2
+                        THEN list_transform(
+                                 generate_series(1, len(toks) - 1),
+                                 i -> concat_ws(' ', toks[i], toks[i + 1]))
+                        ELSE [] END
+               ) AS feats
+        FROM c
+    ),
+    s AS (
+        SELECT doc_id,
+               CAST(len(feats) AS BIGINT) AS n_features,
+               CAST(COALESCE(list_sum(list_transform(feats,
+                    x -> CAST(concat('0x', substr(md5(x), 1, 7)) AS BIGINT)
+                         % 2001 - 1000)), 0) AS BIGINT) AS raw_score
+        FROM f
+    )
+    SELECT doc_id, n_features, raw_score,
+           CASE WHEN n_features > 0
+                THEN CAST(raw_score AS DOUBLE)
+                     / CAST(n_features * 1000 AS DOUBLE)
+                ELSE 0.0 END AS model_score
+    FROM s
+"""
+
+# per-source cap: the registered quality-score oracle replayed as the
+# ranking priority, rank-then-filter — mirrors sampling.per_source_cap
+EXT_ORACLE_SQL["curation_source_caps"] = f"""
+    WITH q AS ({{q}}),
+    j AS (
+        SELECT d.doc_id, d.source, q.quality_score
+        FROM documents d JOIN q ON d.doc_id = q.doc_id
+    ),
+    r AS (
+        SELECT doc_id, source, quality_score,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY quality_score DESC, doc_id)
+                   AS src_rank
+        FROM j
+    )
+    SELECT doc_id, source, quality_score,
+           CAST(src_rank AS INTEGER) AS src_rank
+    FROM r
+    WHERE src_rank <= 10
+""".replace("{q}", EXT_ORACLE_SQL["text_quality_score"])
 
 # recall@k audit: each approximate method's own registered oracle SQL
 # replayed as a CTE against the brute-force oracle — the audit reuses

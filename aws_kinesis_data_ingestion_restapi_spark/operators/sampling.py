@@ -189,3 +189,37 @@ def mixture_plan(
         )
         .orderBy("source")
     )
+
+
+def per_source_cap(
+    scored_docs: DataFrame,
+    cap: int = 10,
+    source_col: str = "source",
+    priority_col: str = "quality_score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source document cap — the RefinedWeb/C4 anti-domination
+    rule: no single domain/source may contribute more than ``cap``
+    documents, and when a source exceeds it, keep the BEST ones
+    (ranked by ``priority_col`` descending, id ascending for a full
+    deterministic order). Returns the surviving rows with their
+    ``src_rank``.
+
+    Scale shape: rank-then-filter compiles to Spark's WindowGroupLimit
+    pushdown (plan-pinned in tests/test_plans.py) — each map task
+    keeps only its local top-``cap`` per source BEFORE the shuffle, so
+    the exchange carries ≤ cap·tasks rows per source instead of the
+    source's full volume. That is what makes the cap survive the
+    hot-domain skew it exists to police: the 100×-over-cap domain is
+    exactly the one whose rows die map-side."""
+    if cap < 1:
+        raise ValueError(f"cap={cap} must be >= 1")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(source_col).orderBy(
+        F.desc(priority_col), F.col(id_col).asc()
+    )
+    return (
+        scored_docs.withColumn("src_rank", F.row_number().over(w))
+        .filter(F.col("src_rank") <= cap)
+    )

@@ -2076,6 +2076,8 @@ _GATE_HEAD = [
     # --- new in round 7: first driver verification ---
     "dedup_semantic",
     "ann_recall_clustered",
+    "text_model_quality",
+    "curation_source_caps",
     # --- changed in round 7: re-prove under the driver ---
     # text_build_postings: array->scalar surface (the only never-
     # driver-green query of r6; fix = r6 VERDICT ask #1).
@@ -2136,8 +2138,9 @@ _GATE_HEAD = [
     "sketch_heavy_hitters",
     "events_drift_tvd",
     "text_bm25_search",
-    "events_gapfill",
-    "events_funnel",
+    # (events_gapfill and events_funnel yielded their refresh slots to
+    # the late round-7 additions text_model_quality /
+    # curation_source_caps — both hold r4 greens + every gate log.)
     # Rotated OUT to the tail this round (every one holds an r6
     # driver green in CORRECTNESS_r06 plus both committed GATE_r06
     # logs): pipeline_compaction, salted_lineitem_agg,
@@ -2158,6 +2161,8 @@ _GATE_HEAD = [
     # q10_returned_items, q12_ship_delay_classes.
 ]
 _GATE_TAIL = [
+    "events_gapfill",
+    "events_funnel",
     # r6-driver-green entries rotated out of the round-7 window
     # (fresh greens in CORRECTNESS_r06 + both GATE_r06 logs):
     "pipeline_compaction",

@@ -161,6 +161,8 @@ ANALYTICS_QUERIES = [
     "text_vocab_growth",
     "text_collocations",
     "text_build_postings",
+    "text_model_quality",
+    "curation_source_caps",
     "docs_sample_fixed",
     "docs_split_assign",
     "corpus_mixture_plan",
@@ -370,6 +372,8 @@ BENCH_KEY_ALIASES = {
     "events_zorder_scan": "zscan",
     "ann_topk_lsh_multi": "annlshm",
     "text_build_postings": "post",
+    "text_model_quality": "ftq",
+    "curation_source_caps": "srccap",
     "graph_triangles_cosupply": "tri",
     "emb_bitext_mine": "bitext",
     "bucketed_sales_join": "bkt_join",

@@ -1942,3 +1942,68 @@ def test_dedup_signal_agreement_consistent_with_members(spark):
         emitted["n_pairs"],
         emitted["n_hits"],
     )
+
+
+def test_hashed_linear_score_brute_force(spark):
+    """The fastText-shape scorer replicated feature-by-feature in
+    Python: hashed unigram+bigram features, weight = hash28 mod
+    (2·SPAN+1) − SPAN, raw = Σ weights over occurrences, score =
+    raw/(n·SPAN); empty doc scores (0, 0, 0.0)."""
+    import hashlib
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators import text as T
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "one"),          # single token: no bigrams
+        (2, ""),             # empty: 0 features, score 0.0
+        (3, "a b a b a"),    # repeated features count per OCCURRENCE
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_features"], r["raw_score"], r["model_score"])
+        for r in T.hashed_linear_score(docs).collect()
+    }
+
+    span = T.FT_WEIGHT_SPAN
+
+    def w(feat: str) -> int:
+        h = int(hashlib.md5(feat.encode()).hexdigest()[:7], 16)
+        return h % (2 * span + 1) - span
+
+    for doc_id, txt in rows:
+        toks = txt.split()
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        raw = sum(w(f) for f in feats)
+        n = len(feats)
+        score = raw / (n * span) if n else 0.0
+        assert got[doc_id] == (n, raw, score), (doc_id, got[doc_id])
+
+
+def test_per_source_cap_keeps_best_and_caps(spark):
+    """Cap semantics: at most `cap` rows per source survive, the
+    survivors are the TOP-priority rows (ties to the smaller id), and
+    the result is reproducible across partitionings."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import sampling
+
+    rows = [
+        # source A: 4 docs, cap 2 → keep scores .9 (id 2) and .8 (id 0)
+        (0, "A", 0.8), (1, "A", 0.5), (2, "A", 0.9), (3, "A", 0.5),
+        # source B: tie on score → smaller id wins the last slot
+        (10, "B", 0.7), (11, "B", 0.7), (12, "B", 0.7),
+        # source C: under the cap → all kept
+        (20, "C", 0.1),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "quality_score"])
+    got = {
+        (r["doc_id"], r["src_rank"])
+        for r in sampling.per_source_cap(df, cap=2).collect()
+    }
+    assert got == {(2, 1), (0, 2), (10, 1), (11, 2), (20, 1)}
+    got_repart = {
+        (r["doc_id"], r["src_rank"])
+        for r in sampling.per_source_cap(df.repartition(7), cap=2).collect()
+    }
+    assert got_repart == got
+    with pytest.raises(ValueError):
+        sampling.per_source_cap(df, cap=0)

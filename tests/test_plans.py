@@ -735,3 +735,32 @@ def test_bucketed_band_index_probe_no_corpus_exchange(spark, tmp_path):
     finally:
         spark.conf.set(bcast, old_bcast)
         spark.sql("DROP TABLE IF EXISTS band_index_plan_pin")
+
+
+def test_source_caps_window_group_limit_pushdown(spark):
+    """The per-source cap's rank-then-filter must compile to
+    WindowGroupLimit — each map task keeps only its local top-cap per
+    source BEFORE the shuffle, so a 100×-over-cap hot domain dies
+    map-side instead of flooding one reducer. Also: zero shuffle in
+    the scorer itself (the quality join is the only exchange-feeding
+    stage)."""
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    plan = explain_str(QUERY_FNS["curation_source_caps"](spark, SF_DIR))
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_model_quality_zero_shuffle(spark):
+    """The hashed-linear scorer is ONE codegen projection: no
+    exchange, no join — the property that lets a quality model score
+    100 TB as a pure scan. (The registry entry reads through
+    spread_scan, whose single round-robin exchange exists only for
+    the one-row-group local fixtures — pinned here over a raw read.)"""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import text
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = explain_str(text.hashed_linear_score(docs))
+    assert "Exchange" not in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
