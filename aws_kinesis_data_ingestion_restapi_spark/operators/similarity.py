@@ -512,6 +512,7 @@ def semantic_dedup(
     d2_max: float = 1.2,
     centroid_stride: int | None = None,
     id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Semantic deduplication, SemDeDup-shape (Abbas et al., 2023
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -541,10 +542,19 @@ def semantic_dedup(
     with K ≈ √n stride centroids the expected within-cell quadratic
     totals ~n^1.5 comparisons, the triangle-counting budget — then
     bounded-round CC over the (sparse) dup pairs. No driver-side
-    model, no MLlib dependency."""
+    model, no MLlib dependency.
+
+    ``centroids``: pass a (cell, cv) frame from a
+    :func:`kmeans_new_centroids` Lloyd loop to cluster around TRAINED
+    centers (what SemDeDup proper does) instead of the deterministic
+    stride seeds — the oracle-paired registry query uses the stride
+    form because DuckDB can replay it, but the operator contract is
+    identical either way."""
     from aws_kinesis_data_ingestion_restapi_spark.operators import graph
 
-    base, cents = _kmeans_base_and_cents(embs, centroid_stride, None, id_col)
+    base, cents = _kmeans_base_and_cents(
+        embs, centroid_stride, centroids, id_col
+    )
     assign = _kmeans_assign(base, cents, id_col)
     pairs = semantic_dup_pairs(assign, d2_max=d2_max, id_col=id_col)
     labels = graph.connected_components(

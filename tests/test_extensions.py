@@ -2007,3 +2007,40 @@ def test_per_source_cap_keeps_best_and_caps(spark):
     assert got_repart == got
     with pytest.raises(ValueError):
         sampling.per_source_cap(df, cap=0)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/testdata/sf0.001"), reason="testdata missing"
+)
+def test_registry_dedup_pipeline_under_reliable_checkpoint(spark, tmp_path):
+    """End-to-end knob proof over a REAL registry entry: the full
+    LSH+CC dedup_components pipeline (session-cached signature frames,
+    pair graph, CC rounds — every materialize site in the path) runs
+    with the reliable-checkpoint knob set and returns bit-identical
+    labels to the default local path. Fresh cache keys per run are
+    forced by clearing the session cache."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import (
+        ckpt,
+        registry_ext,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def run():
+        registry_ext._SESSION_FRAME_CACHE.clear()
+        return sorted(
+            (r["doc_id"], r["component_id"])
+            for r in registry_ext.dedup_components(spark, sf).collect()
+        )
+
+    base = run()
+    spark.conf.set(ckpt.CHECKPOINT_DIR_CONF, str(tmp_path / "ck"))
+    try:
+        reliable = run()
+    finally:
+        spark.conf.unset(ckpt.CHECKPOINT_DIR_CONF)
+        registry_ext._SESSION_FRAME_CACHE.clear()
+    assert reliable == base
+    assert [p for p in (tmp_path / "ck").rglob("*") if p.is_file()], (
+        "knob did not engage on the registry pipeline"
+    )
