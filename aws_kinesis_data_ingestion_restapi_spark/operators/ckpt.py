@@ -13,8 +13,7 @@ kills — routine at 1000-executor scale) the blocks it held are simply
 GONE and the job dies with a "checkpoint block not found" error instead
 of recomputing. The production answer is a RELIABLE checkpoint
 (``df.checkpoint()``) to a fault-tolerant filesystem (HDFS/S3): slower
-per round (a write + read of the frame), but executor loss costs a task
-retry, not the job.
+per round, but executor loss costs a task retry, not the job.
 
 :func:`materialize` is the single switch point. Default: local.
 When a checkpoint directory is configured — the
@@ -23,25 +22,46 @@ session conf ``spark.graft.checkpointDir`` (checked in that order) —
 every call becomes a reliable ``df.checkpoint()`` into it. The knob is
 read PER CALL, so a long-lived session can be switched without restart,
 and results are bit-identical either way (checkpointing only changes
-WHERE the materialized frame lives, never its rows — pinned by
-tests/test_extensions.py::test_connected_components_reliable_checkpoint).
+WHERE the materialized frame lives, never its rows — pinned end-to-end
+by tests/test_extensions.py over both the raw CC operators and the full
+registry dedup_components pipeline).
 
-Cleanup: reliable checkpoint files are reclaimed by Spark's
-ContextCleaner only when ``spark.cleaner.referenceTracking
-.cleanCheckpoints=true``; deployments should set that (or lifecycle the
-checkpoint bucket). :func:`release` frees LOCAL checkpoint blocks
-eagerly (see its docstring) and is a safe no-op for reliable ones.
+Reliable-path cost model (and why the persist): Spark writes reliable
+checkpoint files in a SEPARATE job that recomputes the RDD from lineage
+— an unpersisted frame would therefore compute TWICE (once for the
+first action, once for the checkpoint write). ``materialize`` persists
+the source frame first so the checkpoint write job reads the cache:
+one compute + one cache read + one file write. Eager frames drop the
+cache immediately after the checkpoint materializes; lazy frames keep
+it (they are the session-cached reuse-many-times class, where the
+lingering cache is a feature, and :func:`release`/the ContextCleaner
+reclaim it).
+
+Cleanup: superseded reliable checkpoints are deleted EAGERLY by
+:func:`release` (their file directory is removed directly — waiting on
+the ContextCleaner needs ``spark.cleaner.referenceTracking
+.cleanCheckpoints=true`` AND a driver GC, neither guaranteed timely;
+the session factory enables the conf anyway as the backstop).
 """
 
 from __future__ import annotations
 
 import os
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 #: Runtime session conf consulted by :func:`materialize` (the env var
 #: SPARK_GRAFT_CHECKPOINT_DIR takes precedence when both are set).
 CHECKPOINT_DIR_CONF = "spark.graft.checkpointDir"
+
+#: applicationId -> raw target dir last passed to setCheckpointDir.
+#: sc.getCheckpointDir() returns a fully-qualified per-context
+#: '<target>/<uuid>' path, never the raw target (verified on this
+#: build), so idempotence must be tracked HERE — comparing against
+#: getCheckpointDir would re-set (one mkdir RPC + one orphan UUID dir)
+#: on every single materialize call.
+_LAST_SET_DIR: dict[str, str] = {}
 
 
 def reliable_dir(df: DataFrame) -> str | None:
@@ -64,30 +84,50 @@ def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
     if target is None:
         return df.localCheckpoint(eager=eager)
     sc = df.sparkSession.sparkContext
-    # df.checkpoint() requires the SparkContext checkpoint dir; assert
-    # it idempotently so flipping the conf mid-session just works.
-    if sc.getCheckpointDir() != target:
+    app = sc.applicationId
+    if _LAST_SET_DIR.get(app) != target:
         sc.setCheckpointDir(target)
-    return df.checkpoint(eager=eager)
+        _LAST_SET_DIR[app] = target
+    # persist so the checkpoint write job reads the cache instead of
+    # recomputing the whole lineage (see module docstring)
+    persisted = df.persist(StorageLevel.MEMORY_AND_DISK)
+    out = persisted.checkpoint(eager=eager)
+    if eager:
+        # checkpoint files exist; the cache served its one read
+        persisted.unpersist(False)
+    return out
 
 
 def release(df: DataFrame) -> None:
-    """Free a LOCAL checkpoint's storage blocks NOW.
+    """Free a superseded checkpoint's storage NOW.
 
-    ``DataFrame.unpersist`` is a no-op for checkpoint blocks — they
-    hang off the backing RDD, not the cache manager (verified
-    empirically: getRDDStorageInfo still lists the blocks after
-    unpersist, and drops them after this). Without an explicit
-    release, a deep iterative run pins one full label/edge-frame copy
+    LOCAL checkpoints: ``DataFrame.unpersist`` is a no-op for
+    checkpoint blocks — they hang off the backing RDD, not the cache
+    manager (verified empirically: getRDDStorageInfo still lists the
+    blocks after unpersist, and drops them after this). Without an
+    explicit release, a deep iterative run pins one full frame copy
     PER ROUND in executor storage until the 30-minute periodic
-    ContextCleaner catches up — the exact litter class BENCH_NOTES
-    measured inflating later queries 2-4×.
+    ContextCleaner catches up — the litter class BENCH_NOTES measured
+    inflating later queries 2-4×.
 
-    For RELIABLE checkpoints this is a harmless no-op (their data is
-    files, not storage blocks; the ContextCleaner deletes them when
-    cleanCheckpoints is on and the RDD is garbage-collected)."""
+    RELIABLE checkpoints: the data is FILES, and Spark deletes them
+    only when ``cleanCheckpoints`` is on and the driver GCs the RDD —
+    neither timely nor guaranteed, so a deep run would otherwise
+    accumulate one full frame copy per round on the checkpoint
+    filesystem. The checkpoint directory is deleted directly here.
+
+    Only call on frames that are fully superseded — a released
+    reliable checkpoint cannot be read again."""
     try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        rdd = df._jdf.queryExecution().analyzed().rdd()
+        rdd.unpersist(False)
+        ckfile = rdd.getCheckpointFile()
+        if ckfile.isDefined():
+            sc = df.sparkSession.sparkContext
+            jvm = sc._jvm
+            path = jvm.org.apache.hadoop.fs.Path(ckfile.get())
+            fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+            fs.delete(path, True)
     except Exception:
         # plan isn't a bare LogicalRDD (wrapped/optimized differently)
         # — fall back to eventual ContextCleaner reclamation

@@ -162,13 +162,15 @@ def text_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def curation_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X99: per-source document cap (RefinedWeb/C4 anti-domination) —
-    keep the top-10 quality-ranked docs per source; rank-then-filter
-    compiles to the WindowGroupLimit map-side pushdown (plan-pinned).
-    See sampling.per_source_cap."""
-    docs = _docs(spark, sf_dir)
-    scored = text.quality_score(docs).select("doc_id", "quality_score")
-    joined = docs.select("doc_id", "source").join(scored, "doc_id")
-    return sampling.per_source_cap(joined, cap=10).select(
+    keep the top-10 quality-ranked docs per source; the score and the
+    source attribute come from ONE corpus scan (quality_score's
+    passthrough — no doc_id self-join), and rank-then-filter compiles
+    to the WindowGroupLimit map-side pushdown (plan-pinned). See
+    sampling.per_source_cap."""
+    scored = text.quality_score(
+        _docs(spark, sf_dir), passthrough=("source",)
+    ).select("doc_id", "source", "quality_score")
+    return sampling.per_source_cap(scored, cap=10).select(
         "doc_id", "source", "quality_score", "src_rank"
     )
 

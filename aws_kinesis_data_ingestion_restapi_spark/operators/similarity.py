@@ -483,13 +483,16 @@ def clustered_embeddings(
     from cluster bit (d mod 3) — every third dimension repeats one of
     the three id bits, so centers differ on ~dim/3 components and
     inter-cluster distance dominates intra-cluster spread while the
-    original vector survives as per-cluster noise. amp tunes the
+    original vector survives as per-cluster noise. amp is binary-exact
+    by contract (0.125 default; any k/2^m works) and tunes the
     signal-to-noise: 0.125 separates all four methods without
     saturating any (measured at sf0.01: ivf 0.84 > lsh_multi 0.34 >
     pq 0.18 ≈ lsh 0.16 vs 0.02-0.40 on the uniform corpus); 0.25
     saturates lsh_multi at 1.0 (numbers in BENCH_NOTES). All arithmetic
-    stays inside the cross-engine determinism contract: amp = 0.25 is
-    binary-exact, the shift is one IEEE double addition performed
+    stays inside the cross-engine determinism contract: the default
+    amp = 0.125 (FIXTURE_AMP — the value the registry entry and its
+    DuckDB oracle hardcode) is binary-exact, and the shift is one IEEE
+    double addition performed
     identically by Spark and the DuckDB oracle on the same float32
     inputs, and quantization happens AFTER the shift in both engines.
 

@@ -80,7 +80,7 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
+def quality_score(docs: DataFrame, passthrough: tuple[str, ...] = ()) -> DataFrame:
     """CCNet/Gopher-style quality heuristics, combined into score∈[0,1].
 
     Components (all cross-engine-deterministic arithmetic):
@@ -88,6 +88,12 @@ def quality_score(docs: DataFrame) -> DataFrame:
       mean_tok_len  average token length in the natural-language band
       punct_ratio   punctuation chars per char (soft penalty)
       stop_density  English stopword density (soft reward)
+
+    ``passthrough``: extra ``docs`` columns carried into the output
+    unchanged, so downstream consumers (per-source caps, stratified
+    samplers) get score + attributes from ONE scan instead of
+    re-reading the corpus and shuffle-joining on doc_id — at 100 TB
+    the difference between one pass and two plus an exchange.
     """
     tokens = F.col("_toks")
     n_tokens = F.size(tokens)
@@ -122,8 +128,11 @@ def quality_score(docs: DataFrame) -> DataFrame:
     # no rounding: int/int IEEE divisions and same-order double sums are
     # already bit-identical across engines, while ROUND implementations
     # differ in tie handling
-    return docs.select("doc_id", "text", tokens_col().alias("_toks")).select(
+    return docs.select(
+        "doc_id", "text", *passthrough, tokens_col().alias("_toks")
+    ).select(
         "doc_id",
+        *passthrough,
         n_tokens.cast("long").alias("n_tokens"),
         mean_tok_len.alias("mean_token_len"),
         punct_ratio.alias("punct_ratio"),

@@ -74,6 +74,11 @@ def get_spark(
         # which Spark's vectorized reader rejects; read as long (ns
         # since epoch) and convert with functions.nanos_ts().
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Backstop for the reliable-checkpoint knob (operators/ckpt):
+        # let the ContextCleaner delete checkpoint files of GC'd RDDs.
+        # Eager deletion of superseded rounds is ckpt.release's job;
+        # this catches whatever release couldn't attribute.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)

@@ -267,6 +267,11 @@ def _payment_match_streams(spark: SparkSession, sf_dir: str, prefix: str):
             (F.col("o_orderkey") % 96).cast("long").alias("delay_hours"),
         )
         d = tempfile.mkdtemp(prefix=prefix)
+        # register cleanup BEFORE the dumps: a failed write.json (disk
+        # full, interrupt) must not leak the dir across gate retries —
+        # the same every-exit-path rule _drain enforces for its own
+        # checkpoints
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
         a_dir, b_dir = os.path.join(d, "orders"), os.path.join(d, "payments")
         base.select("order_id", "customer_id", "amount", "o_ts").write.mode(
             "overwrite"
@@ -278,7 +283,6 @@ def _payment_match_streams(spark: SparkSession, sf_dir: str, prefix: str):
             for f in glob.glob(os.path.join(sub, "_*")):
                 os.remove(f)
         _PAYMENT_FEED_CACHE[key] = (a_dir, b_dir)
-        atexit.register(shutil.rmtree, d, ignore_errors=True)
     left = (
         spark.readStream.schema(
             "order_id string, customer_id string, amount double, o_ts string"

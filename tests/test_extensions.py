@@ -977,6 +977,15 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     # data under the configured dir
     ck_files = [p for p in (tmp_path / "reliable_ck").rglob("*") if p.is_file()]
     assert ck_files, "no checkpoint files written — knob did not engage"
+    # and superseded rounds were deleted EAGERLY (ckpt.release removes
+    # the checkpoint dir; without it a deep run accumulates one full
+    # frame copy per round on the checkpoint filesystem): the two CC
+    # runs above take several rounds each but leave at most one
+    # surviving rdd-* dir per run
+    surviving = [
+        p for p in (tmp_path / "reliable_ck").rglob("rdd-*") if p.is_dir()
+    ]
+    assert len(surviving) <= 2, surviving
     # and with the knob off the default (local) path still works
     got_default = {
         r["node"]: r["component"]

@@ -741,14 +741,15 @@ def test_source_caps_window_group_limit_pushdown(spark):
     """The per-source cap's rank-then-filter must compile to
     WindowGroupLimit — each map task keeps only its local top-cap per
     source BEFORE the shuffle, so a 100×-over-cap hot domain dies
-    map-side instead of flooding one reducer. Also: zero shuffle in
-    the scorer itself (the quality join is the only exchange-feeding
-    stage)."""
+    map-side instead of flooding one reducer. And the whole pre-window
+    stage is one scan + projection — no doc_id self-join."""
     from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
 
     plan = explain_str(QUERY_FNS["curation_source_caps"](spark, SF_DIR))
     assert "WindowGroupLimit" in plan, plan[:2000]
-    assert "CartesianProduct" not in plan
+    # score + source come from ONE scan (quality_score passthrough) —
+    # zero joins anywhere: the pre-window stage is a pure projection
+    assert "Join" not in plan, plan[:2000]
 
 
 def test_model_quality_zero_shuffle(spark):
