@@ -517,3 +517,72 @@ def test_minhash_lsh_never_misses_exact_duplicates(spark, texts, seed):
             if norm[i] == norm[j] and len(norm[i].split()) >= 3:
                 assert (i, j) in cand, (i, j, norm[i])
                 assert emitted.get((i, j)) == 1.0, (i, j, emitted.get((i, j)))
+
+
+_word = st.sampled_from(["spark", "row", "agg", "key", "scan", "fast", "a"])
+_text = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+
+
+@given(texts=st.lists(_text, min_size=1, max_size=6))
+@settings(**_SETTINGS)
+def test_hashed_linear_score_matches_bruteforce(spark, texts):
+    """For ANY corpus: the fastText-shape score equals the pure-Python
+    reimplementation (hashed unigram+bigram occurrences, md5-prefix
+    weights, exact integer sum, one division) — including empty docs,
+    single-token docs (no bigrams) and repeated features."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import text as T
+
+    rows = list(enumerate(texts))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_features"], r["raw_score"], r["model_score"])
+        for r in T.hashed_linear_score(docs).collect()
+    }
+    span = T.FT_WEIGHT_SPAN
+    for doc_id, txt in rows:
+        toks = txt.split()
+        feats = toks + [f"{x} {y}" for x, y in zip(toks, toks[1:])]
+        raw = sum(
+            int(hashlib.md5(f.encode()).hexdigest()[:7], 16) % (2 * span + 1)
+            - span
+            for f in feats
+        )
+        n = len(feats)
+        expected = (n, raw, raw / (n * span) if n else 0.0)
+        assert got[doc_id] == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 40),           # doc_id (may collide -> dedup below)
+            st.sampled_from(["A", "B", "C"]),
+            st.integers(0, 5),            # priority as small int (exact ties)
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    cap=st.integers(1, 4),
+)
+@settings(**_SETTINGS)
+def test_per_source_cap_invariants(spark, rows, cap):
+    """For ANY frame and cap: (1) at most `cap` survivors per source;
+    (2) the survivors are exactly the top-priority rows under
+    (priority DESC, id ASC); (3) src_rank is 1..k dense per source."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import sampling
+
+    uniq = {r[0]: r for r in rows}.values()
+    rows = sorted(uniq)
+    df = spark.createDataFrame(rows, ["doc_id", "source", "quality_score"])
+    got = [
+        (r["source"], r["src_rank"], r["doc_id"])
+        for r in sampling.per_source_cap(df, cap=cap).collect()
+    ]
+    by_source: dict[str, list] = {}
+    for doc_id, source, prio in rows:
+        by_source.setdefault(source, []).append((-prio, doc_id))
+    expected = []
+    for source, members in by_source.items():
+        for rank, (_, doc_id) in enumerate(sorted(members)[:cap], start=1):
+            expected.append((source, rank, doc_id))
+    assert sorted(got) == sorted(expected)
