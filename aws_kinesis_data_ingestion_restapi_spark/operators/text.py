@@ -536,18 +536,11 @@ def hashed_linear_score(docs: DataFrame) -> DataFrame:
     the sum all happen inside one codegen projection per row
     (F.aggregate over the feature array); nothing leaves the map side
     until whatever the caller does next. That is the property that
-    lets a quality model score 100 TB as a pure scan."""
-    t = F.col("_toks")
-    n = F.size(t)
-    bigrams = F.when(
-        n >= 2,
-        F.zip_with(
-            F.slice(t, 1, F.greatest(n - 1, F.lit(0))),
-            F.slice(t, 2, F.greatest(n - 1, F.lit(0))),
-            lambda a, b: F.concat_ws(" ", a, b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    feats = F.concat(t, bigrams)
+    lets a quality model score 100 TB as a pure scan.
+
+    For ACTUAL trained weights, use :func:`linear_score_with_weights`
+    — same features, same algebra, weights from a broadcast table."""
+    feats = _scorer_features(F.col("_toks"))
     span = F.lit(FT_WEIGHT_SPAN)
     mod = F.lit(2 * FT_WEIGHT_SPAN + 1)
     weight = lambda x: (
@@ -564,5 +557,79 @@ def hashed_linear_score(docs: DataFrame) -> DataFrame:
         F.when(
             n_feats > 0,
             raw.cast("double") / (n_feats * span).cast("double"),
+        ).otherwise(F.lit(0.0)).alias("model_score"),
+    )
+
+
+def _scorer_features(t: Column) -> Column:
+    """The scorer's feature array: word unigrams + positional bigrams
+    (ONE definition shared by the inline-weights and trained-weights
+    paths, so the two can never disagree on the feature space)."""
+    n = F.size(t)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(t, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(t, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(t, bigrams)
+
+
+def feature_hash(c: Column) -> Column:
+    """The scorer's 28-bit feature hash (md5-prefix, the dedup-shingle
+    idiom) — the key a trained-weights table must be built on."""
+    return F.conv(F.substring(F.md5(c), 1, 7), 16, 10).cast("long")
+
+
+def linear_score_with_weights(
+    docs: DataFrame, weights: DataFrame, span: int = FT_WEIGHT_SPAN
+) -> DataFrame:
+    """The TRAINED-MODEL path of :func:`hashed_linear_score`: identical
+    features (``_scorer_features``), identical score algebra, but the
+    per-feature weight comes from a caller-supplied ``weights`` table
+    — (feature_hash int64, weight int64) as exported from a trained
+    fastText/linear model, keyed on :func:`feature_hash`. Features
+    absent from the table contribute weight 0 (the standard OOV rule).
+    Output schema matches hashed_linear_score exactly, so thresholds,
+    per-source caps and weighted samplers downstream are unchanged.
+
+    Scale shape: feature explode (map-side) → BROADCAST hash join
+    against the model (a trained model is MBs — always broadcastable)
+    → one partial-aggregated doc_id shuffle for the per-doc sum. That
+    shuffle is the only cost the trained path adds over the inline
+    path's pure scan; rows carry (doc_id, weight) longs only.
+    ``explode_outer`` keeps empty documents in the output (0 features,
+    score 0.0) — plain explode would silently drop them."""
+    feats = docs.select("doc_id", tokens_col().alias("_toks")).select(
+        "doc_id", F.explode_outer(_scorer_features(F.col("_toks"))).alias("feat")
+    )
+    hashed = feats.select(
+        "doc_id",
+        F.col("feat").isNotNull().alias("_has"),
+        feature_hash(F.col("feat")).alias("feature_hash"),
+    )
+    joined = hashed.join(
+        F.broadcast(weights.select("feature_hash", "weight")),
+        "feature_hash",
+        "left",
+    )
+    per_doc = joined.groupBy("doc_id").agg(
+        F.sum(F.col("_has").cast("long")).alias("n_features"),
+        F.sum(
+            F.when(F.col("_has"), F.coalesce(F.col("weight"), F.lit(0)))
+            .otherwise(F.lit(0))
+            .cast("long")
+        ).alias("raw_score"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_features",
+        "raw_score",
+        F.when(
+            F.col("n_features") > 0,
+            F.col("raw_score").cast("double")
+            / (F.col("n_features") * F.lit(span)).cast("double"),
         ).otherwise(F.lit(0.0)).alias("model_score"),
     )

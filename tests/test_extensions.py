@@ -2053,3 +2053,54 @@ def test_registry_dedup_pipeline_under_reliable_checkpoint(spark, tmp_path):
     assert [p for p in (tmp_path / "ck").rglob("*") if p.is_file()], (
         "knob did not engage on the registry pipeline"
     )
+
+
+def test_linear_score_trained_weights_path_matches_inline(spark):
+    """The broadcast-weights path is the inline path with the weight
+    source swapped: feeding it a table that materializes the stand-in
+    hash weights must reproduce hashed_linear_score EXACTLY (including
+    empty docs, which explode_outer keeps); and features missing from
+    the table contribute 0 (the OOV rule)."""
+    import hashlib
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators import text as T
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "one"),
+        (2, ""),                       # empty doc must survive the join path
+        (3, "a b a b a"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    span = T.FT_WEIGHT_SPAN
+
+    def w(feat: str) -> int:
+        h = int(hashlib.md5(feat.encode()).hexdigest()[:7], 16)
+        return h % (2 * span + 1) - span
+
+    feats = set()
+    for _, txt in rows:
+        toks = txt.split()
+        feats.update(toks)
+        feats.update(f"{x} {y}" for x, y in zip(toks, toks[1:]))
+    weights = spark.createDataFrame(
+        [(int(hashlib.md5(f.encode()).hexdigest()[:7], 16), w(f)) for f in feats],
+        ["feature_hash", "weight"],
+    )
+    inline = {
+        r["doc_id"]: (r["n_features"], r["raw_score"], r["model_score"])
+        for r in T.hashed_linear_score(docs).collect()
+    }
+    trained = {
+        r["doc_id"]: (r["n_features"], r["raw_score"], r["model_score"])
+        for r in T.linear_score_with_weights(docs, weights).collect()
+    }
+    assert trained == inline
+    # OOV rule: an empty model scores every doc 0 (features still counted)
+    empty_model = spark.createDataFrame([], "feature_hash long, weight long")
+    oov = {
+        r["doc_id"]: (r["n_features"], r["raw_score"], r["model_score"])
+        for r in T.linear_score_with_weights(docs, empty_model).collect()
+    }
+    assert oov[0][0] == inline[0][0] and oov[0][1] == 0 and oov[0][2] == 0.0
+    assert oov[2] == (0, 0, 0.0)
