@@ -31,6 +31,15 @@ from aws_kinesis_data_ingestion_restapi_spark.schema import TABLE_PARTITIONS
 SERVING_KEYS = ["customer_id", "order_id"]
 
 
+#: Columnar formats write_partitioned accepts — both built into Spark
+#: (no external jars), both footer-statistics formats so the pruning
+#: story (min/max row-group skipping, partition directories) is
+#: identical. Parquet is the default and the reference's format
+#: (Firehose parquet conversion, main.tf:654-719); ORC is the drop-in
+#: alternative for Hive-ecosystem consumers.
+COLUMNAR_FORMATS = ("parquet", "orc")
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
@@ -38,19 +47,28 @@ def write_partitioned(
     partition_cols: list[str] | None = None,
     mode: str = "append",
     max_records_per_file: int = 1_000_000,
+    format: str = "parquet",
 ) -> None:
-    """K1+K2: partitioned Snappy-Parquet write.
+    """K1+K2: partitioned Snappy columnar write (parquet by default,
+    ORC via ``format="orc"`` — same layout, same pruning semantics).
 
     ``maxRecordsPerFile`` bounds file sizes like the Firehose 128 MB
     buffer (main.tf:668) bounds flush sizes — at 100 TB you want many
     right-sized files per partition, not one giant or thousands tiny.
     """
+    if format not in COLUMNAR_FORMATS:
+        raise ValueError(
+            f"format={format!r} not supported; choose from {COLUMNAR_FORMATS}"
+        )
     if partition_cols is None and table is not None:
         partition_cols = TABLE_PARTITIONS.get(table, [])
     writer = df.write.mode(mode).option("maxRecordsPerFile", max_records_per_file)
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
-    writer.parquet(path)
+    if format == "orc":
+        writer.option("compression", "snappy").orc(path)
+    else:
+        writer.parquet(path)
 
 
 def write_errors(

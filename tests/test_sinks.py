@@ -369,3 +369,38 @@ def test_write_errors_batch_mode_empty_and_replay(spark, tmp_path):
     out = spark.read.parquet(os.path.join(base, "errors"))
     assert out.count() == 2
     assert sorted(r["bid"] for r in out.select("bid").collect()) == [1, 1]
+
+
+def test_write_partitioned_orc_round_trip(spark, tmp_path):
+    """format="orc" writes the same Hive layout with the same
+    values — ORC is the built-in columnar alternative for
+    Hive-ecosystem consumers; partition-directory pruning and footer
+    statistics work the same way. Bad format names fail loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aws_kinesis_data_ingestion_restapi_spark.sinks import write_partitioned
+
+    df = spark.createDataFrame(
+        [(f"o{i:05d}", ["ES", "US"][i % 2], 10.0 * i) for i in range(20)],
+        ["order_id", "country", "amount"],
+    )
+    p = str(tmp_path / "orc_out")
+    write_partitioned(
+        df, p, partition_cols=["country"], mode="overwrite", format="orc"
+    )
+    back = spark.read.orc(p)
+    assert back.count() == 20
+    assert set(back.columns) == {"order_id", "country", "amount"}
+    # partition pruning works on the ORC layout too
+    es = back.filter(F.col("country") == "ES")
+    assert es.count() == 10
+    # directory-level pruning reaches the ORC scan (inputFiles() does
+    # not reflect runtime pruning on this read path — assert the plan)
+    from aws_kinesis_data_ingestion_restapi_spark.plans import (
+        has_partition_filters,
+    )
+
+    assert has_partition_filters(es, "country")
+    with pytest.raises(ValueError, match="not supported"):
+        write_partitioned(df, p, format="avro")
