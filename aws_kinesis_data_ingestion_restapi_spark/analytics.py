@@ -336,6 +336,37 @@ def events_tumbling_30s(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING (overlapping) window aggregate — 1 h windows advancing
+    every 15 min, the shape monitoring dashboards and SLO burn rates
+    actually use (tumbling shows a boundary-straddling burst as two
+    half-bursts; the 4 overlapping views keep it whole). Each event
+    belongs to window/slide = 4 windows; Spark's F.window(…, slide)
+    implements that as a window EXPLODE before the aggregate, so the
+    shuffle carries 4× the event count — the standard, documented cost
+    of sliding windows (at 100 TB choose slide accordingly; the
+    streaming form takes the identical F.window plus a watermark).
+    Epoch-aligned starts, matching the oracle's k∈[0,4) replay."""
+    events = _t(spark, sf_dir, "events")
+    w = F.window(as_timestamp(events, "ts"), "1 hour", "15 minutes")
+    return (
+        events.groupBy(w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", scale=6, alias="total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "total_value",
+            "n_users",
+        )
+        .orderBy("window_start")
+    )
+
+
 def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-on-read JSON extraction from the props column — the same
     capability as the reference's JSON-payload decode (S4), applied to

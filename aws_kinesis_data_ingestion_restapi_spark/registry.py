@@ -415,6 +415,7 @@ QUERY_FNS: dict[str, QueryFn] = {
     "events_daily_stats": analytics.events_daily_stats,
     "events_json_props": analytics.events_json_props,
     "events_tumbling_30s": analytics.events_tumbling_30s,
+    "events_sliding_1h_15m": analytics.events_sliding_1h_15m,
     "serving_last_write_wins": serving_last_write_wins,
     "top_orders_per_customer": analytics.top_orders_per_customer,
     "customer_running_spend": analytics.customer_running_spend,
@@ -1028,6 +1029,22 @@ ORACLE_SQL: dict[str, str] = {
                {_DSUM6.format(c='value')} AS total_value
         FROM events
         GROUP BY 1
+        ORDER BY 1
+    """,
+    # sliding windows: every event replayed into its 4 overlapping
+    # 1h/15min windows (k in [0,4)) — the same epoch-floor arithmetic
+    # as the tumbling oracle, shifted k slides back
+    "events_sliding_1h_15m": f"""
+        SELECT CAST(to_timestamp(s) AS TIMESTAMP) AS window_start,
+               CAST(to_timestamp(s + 3600) AS TIMESTAMP) AS window_end,
+               COUNT(*) AS n_events,
+               {_DSUM6.format(c='value')} AS total_value,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM (
+            SELECT (FLOOR(epoch(ts) / 900) - k) * 900 AS s, value, user_id
+            FROM events, UNNEST([0, 1, 2, 3]) AS t(k)
+        )
+        GROUP BY 1, 2
         ORDER BY 1
     """,
     "events_tumbling_30s": f"""
@@ -2078,6 +2095,7 @@ _GATE_HEAD = [
     "ann_recall_clustered",
     "text_model_quality",
     "curation_source_caps",
+    "events_sliding_1h_15m",
     # --- changed in round 7: re-prove under the driver ---
     # text_build_postings: array->scalar surface (the only never-
     # driver-green query of r6; fix = r6 VERDICT ask #1).
@@ -2136,7 +2154,6 @@ _GATE_HEAD = [
     "customer_rfm_segments",
     "events_active_users",
     "sketch_heavy_hitters",
-    "events_drift_tvd",
     "text_bm25_search",
     # (events_gapfill and events_funnel yielded their refresh slots to
     # the late round-7 additions text_model_quality /
@@ -2161,6 +2178,7 @@ _GATE_HEAD = [
     # q10_returned_items, q12_ship_delay_classes.
 ]
 _GATE_TAIL = [
+    "events_drift_tvd",
     "events_gapfill",
     "events_funnel",
     # r6-driver-green entries rotated out of the round-7 window

@@ -111,6 +111,7 @@ ANALYTICS_QUERIES = [
     "events_json_props",
     "events_variant_props",
     "events_tumbling_30s",
+    "events_sliding_1h_15m",
     "events_sessionization",
     "events_value_histogram",
     "events_type_mode",
@@ -270,6 +271,7 @@ BENCH_KEY_ALIASES = {
     "fuzzy_customer_names": "fuzzy",
     "dedup_canonical_docs": "canon",
     "events_tumbling_30s": "tumble30",
+    "events_sliding_1h_15m": "slide1h",
     "text_pack_sequences": "text_pack",
     "dedup_exact_recrawl": "dexact",
     "dedup_ngram_jaccard": "ngram",
