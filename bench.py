@@ -242,16 +242,25 @@ REF_BENCH_KEYS = {
 #: driver parses uses these, so ~80 entries fit its 2000-char capture
 #: at centisecond precision. 1:1, documented here and in BENCH_NOTES.
 BENCH_KEY_ALIASES = {
-    "streaming_late_data_policy": "st_late",
+    # round-8: the five previously-unaliased names + sales_cube, to
+    # keep the compact line <=1900 chars after this round's new
+    # queries (rename mapping in BENCH_NOTES "alias renames").
+    "ref_country": "refc",
+    "ref_products": "refp",
+    "ref_clients": "refcl",
+    "ref_income": "refi",
+    "ref_avg": "refa",
+    "sales_cube": "cube",
+    "streaming_late_data_policy": "stl",
     "streaming_value_quantiles": "stq",
     "streaming_payment_match": "stpay",
-    "streaming_dedup_replay": "st_dedup",
+    "streaming_dedup_replay": "stdd",
     "customers_without_urgent_orders": "antiu",
     "customers_with_urgent_orders": "semiu",
     "dedup_simhash_fingerprints": "shfp",
     "sketch_distinct_trigrams": "sketch",
     "sql_lateral_top_orders": "lateral",
-    "sql_above_average_orders": "above_avg",
+    "sql_above_average_orders": "aavg",
     "serving_last_write_wins": "lww",
     "sales_pivot_by_priority": "pivot",
     "text_stratified_sample": "strat",
@@ -262,17 +271,17 @@ BENCH_KEY_ALIASES = {
     # round-4 widening: 90 registry entries no longer fit the 2000-char
     # capture at centisecond precision with full names — shorten the
     # remaining long tail (still 1:1, final line only).
-    "q5_local_supplier_volume": "q5_local",
-    "customer_running_spend": "run_spend",
-    "events_sessionization": "sessions",
-    "salted_priority_sales": "saltsales",
-    "top_parts_by_revenue": "topparts",
+    "q5_local_supplier_volume": "q5l",
+    "customer_running_spend": "rsp",
+    "events_sessionization": "sess",
+    "salted_priority_sales": "ssal",
+    "top_parts_by_revenue": "tpp",
     "q3_shipping_priority": "q3ship",
     "fuzzy_customer_names": "fuzzy",
     "dedup_canonical_docs": "canon",
-    "events_tumbling_30s": "tumble30",
-    "events_sliding_1h_15m": "slide1h",
-    "text_pack_sequences": "text_pack",
+    "events_tumbling_30s": "tmb30",
+    "events_sliding_1h_15m": "sl1h",
+    "text_pack_sequences": "tpk",
     "dedup_exact_recrawl": "dexact",
     "dedup_ngram_jaccard": "ngram",
     "dedup_simhash_pairs": "simhash",
@@ -292,8 +301,8 @@ BENCH_KEY_ALIASES = {
     "mm_frame_sample": "mmfr",
     "cdc_snapshot_diff": "cdc_diff",
     "docs_expectations": "dexpect",
-    "text_bm25_search": "text_bm25",
-    "events_rolling_hour_avg": "roll_avg",
+    "text_bm25_search": "bm25",
+    "events_rolling_hour_avg": "ravg",
     "events_ntile_quartiles": "ntile",
     "events_value_outliers_mad": "emad",
     "dedup_substring_hotspots": "substr",
@@ -316,11 +325,11 @@ BENCH_KEY_ALIASES = {
     "cdc_scd2_history": "scd2",
     "streaming_session_windows": "stsess",
     "customer_retention": "reten",
-    "payment_type_share": "pay_share",
+    "payment_type_share": "psh",
     "events_cohort_retention": "cohort",
     "text_quality_sample": "qsamp",
-    "sales_yoy_full_outer": "yoy_full",
-    "graph_pagerank_suppliers": "pagerank",
+    "sales_yoy_full_outer": "yoyf",
+    "graph_pagerank_suppliers": "pgr",
     "sql_recursive_rollup": "recur",
     "events_concurrency_curve": "concur",
     "events_transition_matrix": "transit",
@@ -331,17 +340,17 @@ BENCH_KEY_ALIASES = {
     "q1_pricing_summary": "q1p",
     "q7_volume_shipping": "q7v",
     "q10_returned_items": "q10ret",
-    "q8_market_share": "q8_share",
+    "q8_market_share": "q8m",
     "q18_large_orders": "q18l",
-    "sales_per_nation": "natsales",
+    "sales_per_nation": "nsal",
     "sales_rollup": "rollup",
-    "events_type_mode": "type_mode",
+    "events_type_mode": "tmode",
     "text_fingerprint": "text_fp",
     "text_pii_redact": "pii",
     "sketch_heavy_hitters": "cmhh",
     "sketch_value_quantiles": "qsk",
     "events_type_value_quantiles": "qskg",
-    "events_drift_tvd": "drift_tvd",
+    "events_drift_tvd": "tvd",
     "parts_abc_analysis": "abc",
     "brand_basket_affinity": "basket",
     "text_vocab_growth": "vocab",
@@ -351,14 +360,14 @@ BENCH_KEY_ALIASES = {
     "q2_min_cost_supplier": "q2m",
     "q6_forecast_revenue": "q6f",
     "q11_important_parts": "q11p",
-    "q13_order_count_distribution": "q13_dist",
+    "q13_order_count_distribution": "q13",
     "q15_top_supplier": "q15_top",
     "q20_promotion_suppliers": "q20p",
     "salted_events_join": "sjoin",
     "text_collocations": "colloc",
     "emb_kmeans_step": "kmeans",
     "docs_sample_fixed": "fixk",
-    "docs_split_assign": "tvtsplit",
+    "docs_split_assign": "tvt",
     "corpus_mixture_plan": "mixplan",
     "events_value_hour_corr": "vhcorr",
     "events_daily_trend": "dtrend",
@@ -366,7 +375,7 @@ BENCH_KEY_ALIASES = {
     "events_attribution": "attrib",
     # round-6 additions (final line only, 1:1)
     "pipeline_compaction": "plcomp",
-    "salted_lineitem_agg": "salt_agg",
+    "salted_lineitem_agg": "sagg",
     "ann_recall_audit": "recall",
     "ann_recall_clustered": "recallc",
     "dedup_lsh_quality": "lshq",
@@ -378,21 +387,21 @@ BENCH_KEY_ALIASES = {
     "curation_source_caps": "srccap",
     "graph_triangles_cosupply": "tri",
     "emb_bitext_mine": "bitext",
-    "bucketed_sales_join": "bkt_join",
+    "bucketed_sales_join": "bktj",
     "text_token_stats": "toks",
     "dedup_components": "comps",
     "dedup_components_star": "cstar",
     "text_repetition": "repeat",
-    "events_variant_props": "variant",
-    "events_gapfill": "gapfill",
+    "events_variant_props": "vrnt",
+    "events_gapfill": "gapf",
     "text_length_quantiles": "lenq",
-    "dedup_ensemble": "ensemble",
+    "dedup_ensemble": "ens",
     "dedup_semantic": "semdd",
-    "mm_asset_stats": "mm_stats",
+    "mm_asset_stats": "mmst",
     "mm_fingerprint": "mm_fp",
     "events_funnel": "funnel",
-    "events_daily_stats": "e_daily",
-    "events_range_follow": "e_range",
+    "events_daily_stats": "edy",
+    "events_range_follow": "erg",
 }
 
 
