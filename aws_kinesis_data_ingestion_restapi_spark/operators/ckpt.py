@@ -95,6 +95,14 @@ def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
     if eager:
         # checkpoint files exist; the cache served its one read
         persisted.unpersist(False)
+    else:
+        # Lazy path: the checkpoint has not materialized yet, so the
+        # cache must outlive this call (it serves the write job when
+        # the first action fires). Remember it on the returned frame
+        # so release() can drop it — without this, a long-running
+        # incremental loop with the knob on accumulates one
+        # MEMORY_AND_DISK copy per round until driver GC.
+        out._graft_ckpt_source = persisted
     return out
 
 
@@ -118,6 +126,14 @@ def release(df: DataFrame) -> None:
 
     Only call on frames that are fully superseded — a released
     reliable checkpoint cannot be read again."""
+    # Reliable lazy path: drop the pre-checkpoint MEMORY_AND_DISK
+    # cache materialize() left alive to feed the checkpoint write job.
+    source = getattr(df, "_graft_ckpt_source", None)
+    if source is not None:
+        try:
+            source.unpersist(False)
+        except Exception:
+            pass
     try:
         rdd = df._jdf.queryExecution().analyzed().rdd()
         rdd.unpersist(False)

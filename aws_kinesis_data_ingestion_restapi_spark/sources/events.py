@@ -168,7 +168,7 @@ def rate_envelope_stream(
     def product(k):
         return F.struct(
             F.concat(
-                F.lit("p"), F.lpad(((k * 7919) % 1000000).cast("string"), 5, "0")
+                F.lit("p"), F.lpad(((k * 7919) % 100000).cast("string"), 5, "0")
             ).alias("product_id"),
             pick(g.PRODUCT_NAMES, k * 13).alias("name"),
             ((k % 5) + 1).cast("int").alias("quantity"),

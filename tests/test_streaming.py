@@ -472,7 +472,19 @@ def test_pipeline_runs_on_continuous_rate_source(spark, tmp_path):
     row = orders.limit(1).collect()[0]
     assert row["order_id"].startswith("o") and len(row["order_id"]) == 6
     products = spark.read.parquet(f"{wh}/product_details")
-    assert products.count() == 2 * n, "exactly 2 products per order"
+    # stop() can interrupt foreachBatch BETWEEN the per-table writes of
+    # the final batch, so whole-table equality is racy: compare only
+    # bids committed to BOTH tables (bid= partition dirs make each
+    # batch's rows identifiable).
+    common = (
+        orders.select("bid").distinct()
+        .join(products.select("bid").distinct(), "bid")
+    )
+    n_common = orders.join(common, "bid").count()
+    assert n_common > 0, "no batch committed to both tables"
+    assert (
+        products.join(common, "bid").count() == 2 * n_common
+    ), "exactly 2 products per order on fully committed batches"
     amounts = spark.read.parquet(f"{wh}/purchase_details")
     bad = amounts.filter("amount < 10.0 OR amount > 100.0").count()
     assert bad == 0, "amounts outside the producer domain"
