@@ -946,6 +946,18 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.topk_pq(_embs(spark, sf_dir), n_queries=10, k=5)
 
 
+def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed search with exact re-rank (r7 VERDICT ask #1 —
+    the last 100 TB design gap): ann_topk_pq ADC-scans EVERY corpus
+    code per query; here the ADC join is keyed on the coarse IVF cell
+    so per-query work is (n/K)·nprobe·m lookups, then the top-20 ADC
+    shortlist is re-ranked by exact scaled-int dot product
+    (similarity.topk_ivfpq; IVFADC+R, Jégou et al. 2011). Recall on
+    the clustered fixture sits between flat PQ and IVF-flat —
+    measured in BENCH_NOTES r8."""
+    return similarity.topk_ivfpq(_embs(spark, sf_dir), n_queries=10, k=5)
+
+
 def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X88: the ANN QUALITY metric the X6/X66 family was missing
     (VERDICT r5 stretch ask): recall@k of every approximate top-k
@@ -1372,6 +1384,7 @@ EXT_QUERY_FNS = {
     "emb_bitext_mine": emb_bitext_mine,
     "emb_pq_codes": emb_pq_codes,
     "ann_topk_pq": ann_topk_pq,
+    "ann_topk_ivfpq": ann_topk_ivfpq,
     "ann_recall_audit": ann_recall_audit,
     "ann_recall_clustered": ann_recall_clustered,
     "emb_near_dup": emb_near_dup,
@@ -2692,6 +2705,104 @@ EXT_ORACLE_SQL = {
             FROM adc
         )
         WHERE rn <= 5
+    """,
+    # IVF-PQ + exact re-rank: the ivf oracle's coarse assignment/probes
+    # restrict the pq oracle's ADC (join through assign ∘ probes), then
+    # the top-20 ADC shortlist is re-scored by the exact dot product —
+    # same stride seeds both quantizers, identical tie-breaks
+    "ann_topk_ivfpq": f"""
+        WITH stride AS (
+            SELECT GREATEST(CAST(floor(sqrt(COUNT(*))) AS BIGINT), 1) AS s
+            FROM embeddings
+        ),
+        comp AS ({_COMP}),
+        cent AS (
+            SELECT vec_id AS cell FROM embeddings
+            WHERE vec_id % (SELECT s FROM stride) = 0
+        ),
+        ccd AS (
+            SELECT a.vec_id, c.cell,
+                   SUM((a.qx - b.qx) * (a.qx - b.qx)) AS d2
+            FROM comp a
+            JOIN cent c ON TRUE
+            JOIN comp b ON b.vec_id = c.cell AND b.i = a.i
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cell) AS r
+            FROM ccd
+        ),
+        assign AS (SELECT vec_id, cell FROM ranked WHERE r = 1),
+        probes AS (
+            SELECT vec_id AS query_id, cell FROM ranked
+            WHERE vec_id < 10 AND r <= {similarity.N_PROBES}
+        ),
+        dims AS (SELECT vec_id, len(embedding) AS d FROM embeddings),
+        subs AS (
+            SELECT c.vec_id,
+                   CAST((c.i - 1) // (d.d // 4) AS INT) AS sub,
+                   CAST((c.i - 1) % (d.d // 4) AS INT) AS pos,
+                   c.qx
+            FROM comp c JOIN dims d USING (vec_id)
+            WHERE (c.i - 1) // (d.d // 4) < 4
+        ),
+        pcd AS (
+            SELECT a.vec_id, a.sub, b.vec_id AS pcell,
+                   CAST(SUM((a.qx - b.qx) * (a.qx - b.qx)) AS BIGINT) AS d2
+            FROM subs a
+            JOIN subs b ON b.sub = a.sub AND b.pos = a.pos
+            WHERE b.vec_id % (SELECT s FROM stride) = 0
+            GROUP BY 1, 2, 3
+        ),
+        codes AS (
+            SELECT vec_id AS neighbor_id, sub, pcell FROM (
+                SELECT vec_id, sub, pcell,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                          ORDER BY d2, pcell) AS rn
+                FROM pcd
+            ) WHERE rn = 1
+        ),
+        dtab AS (
+            SELECT vec_id AS query_id, sub, pcell, d2 AS qd2
+            FROM pcd WHERE vec_id < 10
+        ),
+        adc AS (
+            SELECT d.query_id, c.neighbor_id,
+                   CAST(SUM(d.qd2) AS BIGINT) AS adc_d2
+            FROM codes c
+            JOIN assign s ON s.vec_id = c.neighbor_id
+            JOIN probes p ON p.cell = s.cell
+            JOIN dtab d ON d.query_id = p.query_id
+                       AND d.sub = c.sub AND d.pcell = c.pcell
+            WHERE d.query_id != c.neighbor_id
+            GROUP BY 1, 2
+        ),
+        short AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY adc_d2, neighbor_id) AS ar
+                FROM adc
+            ) WHERE ar <= 20
+        ),
+        dots AS (
+            SELECT sh.query_id, sh.neighbor_id, SUM(a.qx * b.qx) AS sc
+            FROM short sh
+            JOIN comp a ON a.vec_id = sh.query_id
+            JOIN comp b ON b.vec_id = sh.neighbor_id AND b.i = a.i
+            GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+               CAST(sc AS DOUBLE) / 100000000.0 AS score
+        FROM (
+            SELECT query_id, neighbor_id, sc,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY sc DESC, neighbor_id) AS rank
+            FROM dots
+        )
+        WHERE rank <= 5
     """,
     # one Lloyd step: IVF assignment (same (d2, cell) tie-break),
     # per-cluster size + exact-integer centroid drift numerator, ONE

@@ -758,6 +758,146 @@ def topk_pq(
     )
 
 
+def topk_ivfpq(
+    embs: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    m: int = PQ_M,
+    centroid_stride: int | None = None,
+    nprobe: int = N_PROBES,
+    refine: int = 20,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ composed search with exact re-ranking — the deployment
+    shape of a 100 TB vector store (Jégou et al. TPAMI'11 §5 "IVFADC";
+    Jégou et al. ICASSP'11 "Searching in one billion vectors"
+    re-ranking; FAISS IndexIVFPQ + refine): a coarse IVF partition
+    bounds WHICH vectors each query compares, PQ codes bound WHAT a
+    comparison costs, and an exact re-rank of the top-``refine`` ADC
+    shortlist restores ranking fidelity. :func:`topk_pq` alone
+    ADC-scans every corpus code per query (m lookups × all n vectors);
+    here the ADC join is keyed on the coarse cell, so a code row meets
+    only the queries probing ITS cell and per-query ADC work is
+    (n/K)·nprobe·m lookups — the n → n/K·nprobe reduction is the
+    entire reason IVF-PQ, not flat PQ, is what ships at scale. The
+    refine stage then fetches only ``refine`` full vectors per query
+    by id (a panel-sized join) for exact scaled-int scoring.
+
+    Design note, measured not asserted (BENCH_NOTES r8): textbook
+    IVFADC encodes per-cell RESIDUALS; that variant was implemented
+    and measured WORSE here (clustered-fixture recall 0.08 vs 0.18
+    raw even probing every cell) because the deterministic coarse
+    "centroids" are stride-sampled corpus vectors, not trained means —
+    residuals against them are as spread as the raw data, so the
+    codebook gains nothing and loses the cluster signal raw codes
+    keep. Raw-code ADC + exact refine is the shape whose accuracy the
+    shared stride geometry actually supports, and keeps the codes
+    table identical to :func:`pq_encode`'s contract.
+
+    Deterministic end to end: ONE stride (⌊√n⌋ by default) seeds the
+    coarse centroids and every per-subspace codebook, distances are
+    exact scaled-int64, assignment/probe ties break on the lower cell
+    id, ADC shortlist ties on the neighbor id, final ranking ties on
+    the neighbor id — the DuckDB oracle replays the identical index.
+
+    Scale shape: coarse assignment is the broadcast n×K struct-min of
+    :func:`topk_ivf` (one shuffled row per vector); the probe panel
+    (n_queries·nprobe rows) and distance tables (n_queries·m·K rows)
+    are broadcast; the ADC join's key includes the coarse cell —
+    plan-pinned: unprobed cells' codes never enter the lookup — then
+    partial aggregation sums the m lookups per (query, vector); the
+    refine join moves ``refine`` ids per query, never the corpus."""
+    base = embs.select(F.col(id_col), quantized().alias("v"))
+    if centroid_stride is None:
+        centroid_stride = auto_stride(embs.count())
+    # coarse IVF geometry — one expansion feeds assignment and probes
+    cents = base.filter((F.col(id_col) % centroid_stride) == 0).select(
+        F.col(id_col).alias("cell"), F.col("v").alias("cv")
+    )
+    expanded = base.join(F.broadcast(cents)).select(
+        id_col,
+        F.struct(
+            dist2_i(F.col("v"), F.col("cv")).alias("d2"), F.col("cell").alias("cell")
+        ).alias("dc"),
+    )
+    assign = (
+        expanded.groupBy(id_col)
+        .agg(F.min("dc").alias("m"))
+        .select(F.col(id_col).alias("neighbor_id"), F.col("m.cell").alias("cell"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_d2").asc(), F.col("cell").asc()
+    )
+    probes = (
+        expanded.filter(F.col(id_col) < n_queries)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("dc.cell").alias("cell"),
+            F.col("dc.d2").alias("_d2"),
+        )
+        .withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= nprobe)
+        .select("query_id", "cell")
+    )
+    # PQ codes + per-query distance tables — same stride, same
+    # codebooks as topk_pq (stride passed through: count() runs once)
+    subs, pcents = _pq_parts(embs, m, centroid_stride, id_col)
+    codes = _pq_assign(subs, pcents, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        "sub",
+        F.col("best.cell").alias("pcell"),
+    )
+    dtab = (
+        subs.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("query_id"), "sub", "sv")
+        .join(F.broadcast(pcents), "sub")
+        .select(
+            "query_id",
+            "sub",
+            F.col("cell").alias("pcell"),
+            dist2_i(F.col("sv"), F.col("cv")).alias("qd2"),
+        )
+    )
+    # THE IVF-PQ step: attach each code row's coarse cell and join the
+    # broadcast probe panel on it BELOW the ADC lookup — per query,
+    # only its nprobe cells' codes reach the distance tables
+    cand = (
+        codes.join(assign, "neighbor_id")
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "sub", "pcell")
+    )
+    adc = (
+        cand.join(F.broadcast(dtab), ["query_id", "sub", "pcell"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("qd2").alias("_adc"))
+    )
+    # exact re-rank of the top-`refine` ADC shortlist (IVFADC+R):
+    # fetch full vectors for `refine` ids per query only
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("_adc").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        adc.withColumn("_ar", F.row_number().over(wa))
+        .filter(F.col("_ar") <= refine)
+        .select("query_id", "neighbor_id")
+    )
+    qv = base.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    cv = base.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"))
+    scored = (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot_i(F.col("qv"), F.col("cv")).alias("_score_i"),
+        )
+    )
+    return _topk(scored, k)
+
+
 def _kmeans_base_and_cents(
     embs: DataFrame,
     centroid_stride: int | None,

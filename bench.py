@@ -195,6 +195,7 @@ ANALYTICS_QUERIES = [
     "emb_kmeans_step",
     "emb_pq_codes",
     "ann_topk_pq",
+    "ann_topk_ivfpq",
     "emb_near_dup_lsh_multi",
     "emb_bitext_mine",
     "mm_asset_stats",
@@ -335,6 +336,7 @@ BENCH_KEY_ALIASES = {
     "events_transition_matrix": "transit",
     "emb_pq_codes": "pq_codes",
     "ann_topk_pq": "ann_pq",
+    "ann_topk_ivfpq": "ivfpq",
     "customer_rfm_segments": "rfm",
     "events_active_users": "dau_wau",
     "q1_pricing_summary": "q1p",

@@ -765,3 +765,41 @@ def test_model_quality_zero_shuffle(spark):
     plan = explain_str(text.hashed_linear_score(docs))
     assert "Exchange" not in plan, plan[:2000]
     assert "Join" not in plan, plan[:2000]
+
+
+def test_ivfpq_cell_filter_below_adc_join(spark):
+    """The IVF-PQ scale claim at the plan level (r7 VERDICT ask #1):
+    the coarse-cell restriction must sit BELOW the ADC lookup join —
+    codes meet the broadcast probe panel on the cell key first, so
+    unprobed cells' codes never reach the distance tables and per-query
+    ADC work is (n/K)·nprobe·m, not n·m (the defect this operator
+    exists to fix in topk_pq). Physical-plan detail sections number
+    children lower than parents, so the pin is an ordering over the
+    operator ids: cell-join < pcell-ADC-join < sum(qd2) aggregate."""
+    import re
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators import similarity
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = explain_str(similarity.topk_ivfpq(embs, n_queries=10, k=5))
+    cell_join = adc_join = adc_sum = None
+    for m in re.finditer(
+        r"\((\d+)\) (BroadcastHashJoin|HashAggregate)[^\n]*\n(.*?)(?=\n\(|\Z)",
+        plan,
+        re.S,
+    ):
+        num, op, body = int(m.group(1)), m.group(2), m.group(3)
+        if op == "BroadcastHashJoin":
+            keys = re.search(r"Left keys \[\d+\]: \[([^\]]*)\]", body)
+            keys = keys.group(1) if keys else ""
+            if "pcell#" in keys:
+                adc_join = num
+            elif keys.startswith("cell#"):
+                cell_join = num
+        elif op == "HashAggregate" and "sum(qd2" in body:
+            adc_sum = num  # keeps the FINAL (highest) sum agg
+    assert cell_join is not None, plan[:3000]
+    assert adc_join is not None, plan[:3000]
+    assert adc_sum is not None, plan[:3000]
+    assert cell_join < adc_join < adc_sum, (cell_join, adc_join, adc_sum)
