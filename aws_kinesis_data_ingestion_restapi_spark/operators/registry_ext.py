@@ -193,6 +193,17 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.mixture_plan(_docs(spark, sf_dir))
 
 
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge learning over the documents corpus (r7
+    VERDICT ask #3 — the tokenizer-training primitive the text family
+    lacked): 8 rounds of exact pair-count → broadcast top merge →
+    window re-segmentation over the distinct-word frequency table.
+    One row per learned merge (round, left_sym, right_sym, merged,
+    pair_count); the oracle unrolls the identical 8 rounds as chained
+    CTEs. See text.bpe_merges."""
+    return text.bpe_merges(_docs(spark, sf_dir), k=8)
+
+
 def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps-law vocabulary-growth curve: cumulative distinct-token
     count vs cumulative token count in deterministic doc_id ingestion
@@ -1342,6 +1353,7 @@ EXT_QUERY_FNS = {
     "text_stratified_sample": text_stratified_sample,
     "text_quality_sample": text_quality_sample,
     "text_vocab_growth": text_vocab_growth,
+    "text_bpe_merges": text_bpe_merges,
     "text_collocations": text_collocations,
     "text_build_postings": text_build_postings,
     "graph_triangles_cosupply": graph_triangles_cosupply,
@@ -3329,3 +3341,74 @@ EXT_ORACLE_SQL["emb_bitext_mine"] = f"""
     WHERE da.lang != db.lang
     ORDER BY vec_a, vec_b
 """
+
+
+def _bpe_oracle_sql(k: int) -> str:
+    """The text_bpe_merges oracle: k BPE rounds UNROLLED as chained
+    CTEs (DuckDB replays the exact loop text.bpe_merges runs — same
+    greedy left-to-right island selection, same (count DESC, left,
+    right) tie-break, exact integer pair counts over word
+    frequencies). Generated, not hand-written, so the round template
+    is stated once."""
+    ctes = [
+        """w AS (
+        SELECT word, COUNT(*) AS freq FROM (
+            SELECT unnest(string_split_regex(text, '\\s+')) AS word
+            FROM documents
+        ) WHERE len(word) > 0 GROUP BY 1
+    )""",
+        """t0 AS (
+        SELECT word, freq, i AS pos, substr(word, CAST(i AS INT), 1) AS tok
+        FROM w, unnest(generate_series(1, len(word))) AS u(i)
+    )""",
+    ]
+    outs = []
+    for r in range(1, k + 1):
+        p = r - 1
+        ctes.append(f"""a{r} AS (
+        SELECT word, freq, pos, tok,
+               LEAD(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt
+        FROM t{p}
+    )""")
+        ctes.append(f"""m{r} AS (
+        SELECT tok AS l, nxt AS rt, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM a{r} WHERE nxt IS NOT NULL GROUP BY 1, 2
+        ORDER BY cnt DESC, l, rt LIMIT 1
+    )""")
+        ctes.append(f"""c{r} AS (
+        SELECT a.*, (a.tok = m.l AND a.nxt = m.rt) AS cand
+        FROM a{r} a, m{r} m
+    )""")
+        ctes.append(f"""g{r} AS (
+        SELECT *, CASE WHEN cand THEN pos - ROW_NUMBER() OVER (
+            PARTITION BY word, cand ORDER BY pos) END AS grp
+        FROM c{r}
+    )""")
+        ctes.append(f"""s{r} AS (
+        SELECT *, cand AND (ROW_NUMBER() OVER (
+            PARTITION BY word, grp ORDER BY pos) % 2 = 1) AS sel
+        FROM g{r}
+    )""")
+        ctes.append(f"""r{r} AS (
+        SELECT *, COALESCE(LAG(sel) OVER (
+            PARTITION BY word ORDER BY pos), false) AS absorbed
+        FROM s{r}
+    )""")
+        ctes.append(f"""t{r} AS (
+        SELECT word, freq,
+               ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+               CASE WHEN sel THEN tok || nxt ELSE tok END AS tok
+        FROM r{r} WHERE NOT absorbed
+    )""")
+        outs.append(
+            f"SELECT {r} AS round, l AS left_sym, rt AS right_sym,"
+            f" l || rt AS merged, cnt AS pair_count FROM m{r}"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n    "
+        + "\n    UNION ALL ".join(outs)
+        + "\n    ORDER BY round"
+    )
+
+
+EXT_ORACLE_SQL["text_bpe_merges"] = _bpe_oracle_sql(8)

@@ -633,3 +633,123 @@ def linear_score_with_weights(
             / (F.col("n_features") * F.lit(span)).cast("double"),
         ).otherwise(F.lit(0.0)).alias("model_score"),
     )
+
+
+def bpe_merges(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributed BPE merge learning — the tokenizer-TRAINING
+    primitive (Sennrich et al. 2016 "Neural Machine Translation of
+    Rare Words with Subword Units"; the job every LLM corpus runs
+    before anything else sees a token id). ``k`` rounds of: exact
+    corpus-wide adjacent-pair counts → the single most frequent pair
+    (ties: higher count, then lexicographic left, then right) →
+    re-segment every word by merging that pair greedily left-to-right
+    non-overlapping (the reference BPE convention: after a merge the
+    scan resumes AFTER the merged token).
+
+    Returns one row per learned merge, scalar columns only:
+    ``(round, left_sym, right_sym, merged, pair_count)``. Counts are
+    exact integers over word FREQUENCIES, so a DuckDB oracle replays
+    all k rounds bit-identically (the registry entry unrolls them as
+    chained CTEs). If the vocabulary exhausts before round k (no
+    adjacent pair left anywhere), later rounds simply emit no row —
+    lazily, with no driver-side branching.
+
+    Scale shape — the standard distributed-BPE decomposition: pair
+    counting and re-segmentation run over the DISTINCT-WORD frequency
+    table, not the corpus (at web scale, |distinct words| ≪ corpus;
+    the one corpus-sized job is the initial word count). Each round
+    is two word-partitioned window passes (candidate marking + greedy
+    island selection — both in the SAME shuffle layout, Spark plans
+    one Exchange) plus one pair-count aggregate with map-side partial
+    sums and a 1-row broadcast of the winning pair; lineage is
+    truncated per round via ckpt.materialize exactly like the CC /
+    k-means iteration patterns, so plan size stays O(1) in k.
+
+    Greedy selection without a UDF: a candidate position is one whose
+    (tok, next-tok) equals the round's pair; maximal runs of
+    CONSECUTIVE candidates (only possible when left == right, e.g.
+    "a a a a") conflict pairwise, and greedy-left-to-right keeps the
+    1st, 3rd, ... of each run — the islands trick (grp = pos − rank
+    within candidates) makes that one window expression. A selected
+    position absorbs its successor (dropped via lag(sel)); dense
+    positions are re-issued by row_number for the next round."""
+    from pyspark.sql.window import Window
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators.ckpt import (
+        materialize,
+    )
+
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    toks = words.select(
+        "word",
+        "freq",
+        F.posexplode(
+            F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+        ).alias("pos", "tok"),
+    )
+    toks = materialize(toks, eager=True)
+
+    ww = Window.partitionBy("word").orderBy("pos")
+    out = None
+    for rnd in range(1, k + 1):
+        a = toks.withColumn("nxt", F.lead("tok").over(ww))
+        top = (
+            a.filter(F.col("nxt").isNotNull())
+            .groupBy(F.col("tok").alias("left_sym"), F.col("nxt").alias("right_sym"))
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(
+                F.col("pair_count").desc(),
+                F.col("left_sym").asc(),
+                F.col("right_sym").asc(),
+            )
+            .limit(1)
+        )
+        top = materialize(top, eager=True)
+        row = top.select(
+            F.lit(rnd).alias("round"),
+            "left_sym",
+            "right_sym",
+            F.concat("left_sym", "right_sym").alias("merged"),
+            F.col("pair_count").cast("long"),
+        )
+        out = row if out is None else out.unionByName(row)
+        # re-segment: mark candidates, greedy-select via island parity,
+        # absorb successors, re-issue dense positions
+        c = a.join(F.broadcast(top)).withColumn(
+            "cand",
+            (F.col("tok") == F.col("left_sym"))
+            & (F.col("nxt") == F.col("right_sym")),
+        )
+        wc = Window.partitionBy("word", "cand").orderBy("pos")
+        g = c.withColumn(
+            "grp",
+            F.when(F.col("cand"), F.col("pos") - F.row_number().over(wc)),
+        )
+        wg = Window.partitionBy("word", "grp").orderBy("pos")
+        s = g.withColumn(
+            "sel",
+            F.col("cand") & (F.row_number().over(wg) % 2 == 1),
+        )
+        r = s.withColumn("absorbed", F.lag("sel", 1, False).over(ww))
+        toks = (
+            r.filter(~F.col("absorbed"))
+            .select(
+                "word",
+                "freq",
+                F.row_number().over(ww).alias("pos"),
+                F.when(F.col("sel"), F.concat("tok", "nxt"))
+                .otherwise(F.col("tok"))
+                .alias("tok"),
+            )
+        )
+        toks = materialize(toks, eager=True)
+    return out.orderBy("round")

@@ -160,6 +160,7 @@ ANALYTICS_QUERIES = [
     "text_stratified_sample",
     "text_quality_sample",
     "text_vocab_growth",
+    "text_bpe_merges",
     "text_collocations",
     "text_build_postings",
     "text_model_quality",
@@ -356,6 +357,7 @@ BENCH_KEY_ALIASES = {
     "parts_abc_analysis": "abc",
     "brand_basket_affinity": "basket",
     "text_vocab_growth": "vocab",
+    "text_bpe_merges": "bpe",
     "sales_monthly_yoy": "yoymon",
     "q14_promo_revenue": "q14p",
     # round-5 additions (final line only, 1:1)

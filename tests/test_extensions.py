@@ -2136,3 +2136,56 @@ def test_linear_score_trained_weights_path_matches_inline(spark):
     }
     assert oov[0][0] == inline[0][0] and oov[0][1] == 0 and oov[0][2] == 0.0
     assert oov[2] == (0, 0, 0.0)
+
+
+def test_bpe_merges_match_reference_python_bpe(spark):
+    """k distributed merge rounds must reproduce a brute-force Python
+    BPE (Sennrich et al. 2016 reference algorithm: count pairs over
+    word frequencies, merge the top pair greedily left-to-right
+    non-overlapping, repeat) — including the overlapping-run case
+    ("aaaa" merging (a,a) yields TWO merges, and the next round can
+    merge (aa,aa)) and the exhaustion case (rounds past vocabulary
+    exhaustion emit no row instead of crashing)."""
+    from collections import Counter
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators.text import bpe_merges
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest low aaaa aaaa",
+        "to be or not to be",
+    ]
+    k = 25  # far past exhaustion for this fixture
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = [tuple(r) for r in bpe_merges(docs, k=k).collect()]
+
+    words = Counter(w for t in texts for w in t.split())
+    segs = {w: list(w) for w in words}
+    expected = []
+    for rnd in range(1, k + 1):
+        pc = Counter()
+        for w, f in words.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        (l, r), cnt = sorted(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[0]
+        expected.append((rnd, l, r, l + r, cnt))
+        for w in words:
+            s = segs[w]
+            ns, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    ns.append(l + r)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            segs[w] = ns
+    assert got == expected
+    assert len(got) < k  # the fixture really exhausts
