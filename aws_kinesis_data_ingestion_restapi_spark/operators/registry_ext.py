@@ -1266,6 +1266,21 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X: image near-dup via perceptual hash (r7 VERDICT ask #4 —
+    bridges the multimodal decode family and the hamming-band dedup
+    machinery): dHash over the mapInPandas decode path (deterministic
+    character-code downsample), 4×16-bit pigeonhole bands (exhaustive
+    for hamming ≤ 3), exact popcount verify. Runs over the assets
+    PLUS their deterministic re-renders (multimodal.rerendered_assets
+    — the corpus has no duplicate image payloads of its own), so the
+    emitted pairs are the engineered re-encodes, each within hamming
+    ≤ 2 by construction. See multimodal.phash_near_dup."""
+    return multimodal.phash_near_dup(
+        multimodal.rerendered_assets(_docs(spark, sf_dir))
+    ).orderBy("asset_a", "asset_b")
+
+
 #: lang domain for the expectations entry — shared with the oracle SQL
 DOC_LANG_DOMAIN = ("de", "en", "es", "fr", "zh")
 
@@ -1405,6 +1420,7 @@ EXT_QUERY_FNS = {
     "mm_asset_stats": mm_asset_stats,
     "mm_fingerprint": mm_fingerprint,
     "mm_frame_sample": mm_frame_sample,
+    "mm_phash_near_dup": mm_phash_near_dup,
     "mm_extract_features": mm_extract_features,
     "mm_resize_images": mm_resize_images,
 }
@@ -1813,6 +1829,60 @@ EXT_ORACLE_SQL = {
                md5(substring(text, CAST(i * {_FC} + 1 AS INT), {_FC}))
                    AS frame_md5
         FROM fr WHERE i % {_FS} = 0
+    """,
+    # pHash near-dup: replays the dHash arithmetic (character-code
+    # grid downsample -> row gradients -> 4x16-bit bands) on the same
+    # image payloads + the deterministic re-renders, then the
+    # pigeonhole band join and exact popcount verify
+    "mm_phash_near_dup": """
+        WITH imgdocs AS (
+            SELECT doc_id, text FROM documents
+            WHERE doc_id % 3 = 0 AND len(text) > 0
+            UNION ALL
+            SELECT doc_id + 30000000,
+                   substr(text, 1, len(text) // 2) || 'z' ||
+                   substr(text, len(text) // 2 + 2)
+            FROM documents WHERE doc_id % 30 = 0 AND len(text) > 0
+        ),
+        px AS (
+            SELECT d.doc_id AS asset_id, t1.r, t2.c,
+                   unicode(substr(d.text,
+                       CAST(((t1.r * 9 + t2.c) * len(d.text)) // 72 + 1
+                            AS INT), 1)) AS p
+            FROM imgdocs d,
+                 unnest(generate_series(0, 7)) AS t1(r),
+                 unnest(generate_series(0, 8)) AS t2(c)
+        ),
+        bits AS (
+            SELECT a.asset_id, a.r, a.c,
+                   CASE WHEN a.p < b.p THEN 1 ELSE 0 END AS bit
+            FROM px a
+            JOIN px b ON b.asset_id = a.asset_id AND b.r = a.r
+                     AND b.c = a.c + 1
+            WHERE a.c < 8
+        ),
+        bands AS (
+            SELECT asset_id, CAST(r // 2 AS INT) AS band,
+                   CAST(SUM(bit * CAST(pow(2, (r % 2) * 8 + c) AS BIGINT))
+                        AS BIGINT) AS val
+            FROM bits GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT DISTINCT a.asset_id AS asset_a, b.asset_id AS asset_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.val = b.val
+                        AND a.asset_id < b.asset_id
+        ),
+        ham AS (
+            SELECT c.asset_a, c.asset_b,
+                   CAST(SUM(bit_count(xor(x.val, y.val))) AS INT) AS hamming
+            FROM cand c
+            JOIN bands x ON x.asset_id = c.asset_a
+            JOIN bands y ON y.asset_id = c.asset_b AND y.band = x.band
+            GROUP BY 1, 2
+        )
+        SELECT asset_a, asset_b, hamming FROM ham WHERE hamming <= 3
+        ORDER BY asset_a, asset_b
     """,
     "text_token_stats": f"""
         SELECT doc_id,

@@ -201,6 +201,7 @@ ANALYTICS_QUERIES = [
     "emb_bitext_mine",
     "mm_asset_stats",
     "mm_fingerprint",
+    "mm_phash_near_dup",
     "mm_extract_features",
     "mm_frame_sample",
     "mm_resize_images",
@@ -403,6 +404,7 @@ BENCH_KEY_ALIASES = {
     "dedup_semantic": "semdd",
     "mm_asset_stats": "mmst",
     "mm_fingerprint": "mm_fp",
+    "mm_phash_near_dup": "mmph",
     "events_funnel": "funnel",
     "events_daily_stats": "edy",
     "events_range_follow": "erg",
