@@ -529,6 +529,7 @@ from aws_kinesis_data_ingestion_restapi_spark.streaming.registry_stream import (
     streaming_payment_match_outer,
     streaming_running_totals_final,
     streaming_session_windows,
+    streaming_sliding_1h_15m,
     streaming_value_quantiles,
 )
 
@@ -539,6 +540,7 @@ QUERY_FNS["streaming_payment_match"] = streaming_payment_match
 QUERY_FNS["streaming_payment_match_outer"] = streaming_payment_match_outer
 QUERY_FNS["streaming_late_data_policy"] = streaming_late_data_policy
 QUERY_FNS["streaming_session_windows"] = streaming_session_windows
+QUERY_FNS["streaming_sliding_1h_15m"] = streaming_sliding_1h_15m
 QUERY_FNS["streaming_value_quantiles"] = streaming_value_quantiles
 
 # merge the dedup / similarity / text-analysis extension surface
@@ -1880,6 +1882,26 @@ ORACLE_SQL: dict[str, str] = {
         FROM s
         GROUP BY user_id, sid
         HAVING MAX(ts) + INTERVAL 30 MINUTE <= (SELECT w FROM wm)
+    """,
+    # streaming sliding windows: the batch k-in-[0,4) window explode
+    # bounded by the final watermark (end <= wm emission rule)
+    "streaming_sliding_1h_15m": f"""
+        WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+        sl AS (
+            SELECT CAST(to_timestamp(s) AS TIMESTAMP) AS window_start,
+                   CAST(to_timestamp(s + 3600) AS TIMESTAMP) AS window_end,
+                   COUNT(*) AS n_events,
+                   {_DSUM6.format(c='value')} AS total_value
+            FROM (
+                SELECT (FLOOR(epoch(ts) / 900) - k) * 900 AS s, value
+                FROM events, UNNEST([0, 1, 2, 3]) AS t(k)
+            )
+            GROUP BY 1, 2
+        )
+        SELECT window_start, window_end, n_events, total_value
+        FROM sl
+        WHERE window_end <= (SELECT w FROM wm)
+        ORDER BY window_start
     """,
     # PIVOT == conditional aggregation per cell; fixed priority domain
     "sales_pivot_by_priority": """

@@ -537,3 +537,54 @@ def streaming_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_pct")
     )
+
+
+def streaming_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING form of the sliding-window aggregate (r7 VERDICT ask
+    #6 — X100 landed batch-only and its own docstring promised this):
+    the event stream aggregated over 1 h windows advancing every
+    15 min under a 1-hour watermark, append mode — each event feeds
+    window/slide = 4 open windows, and the watermark is what BOUNDS
+    that state (4 windows per slide step stay open per key-space;
+    without it a sliding agg retains every window forever — the whole
+    point of running sliding windows IN the stream at 100 TB).
+
+    Emission boundary: append mode emits exactly the windows whose END
+    the final watermark (max(ts) − 1 h) has passed — the ≤ 4 unfinished
+    tail windows are withheld. SQL-expressible, so the oracle replays
+    the identical k∈[0,4) window explode filtered to window_end ≤ wm
+    (the same observed end ≤ wm rule streaming_late_data_policy pins,
+    non-contractual caveat included by reference).
+
+    n_users is deliberately absent vs the batch form: streaming
+    aggregations do not support exact COUNT(DISTINCT) (state would be
+    unbounded per window); the batch query keeps it, the stream keeps
+    the bounded aggregates."""
+    events = analytics._t(spark, sf_dir, "events")
+    base = events.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "value",
+    )
+    raw, d = _replayed_stream(
+        spark, base, "event_id long, ts string, value double", 1,
+        "stream_slide_",
+    )
+    stream = raw.withColumn("ts", F.to_timestamp("ts")).withWatermark(
+        "ts", "1 hour"
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", scale=6, alias="total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    out = _drain(agg, "append", "sslide", cleanup_dir=d)
+    return out.orderBy("window_start")

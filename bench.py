@@ -221,6 +221,7 @@ ANALYTICS_QUERIES = [
     "streaming_payment_match_outer",
     "streaming_late_data_policy",
     "streaming_session_windows",
+    "streaming_sliding_1h_15m",
     "streaming_value_quantiles",
 ]
 
@@ -327,6 +328,7 @@ BENCH_KEY_ALIASES = {
     "ann_topk_ivf": "ann_ivf",
     "cdc_scd2_history": "scd2",
     "streaming_session_windows": "stsess",
+    "streaming_sliding_1h_15m": "stsl",
     "customer_retention": "reten",
     "payment_type_share": "psh",
     "events_cohort_retention": "cohort",
