@@ -1023,6 +1023,7 @@ def _recall_audit_over(embs: DataFrame) -> DataFrame:
     )
     methods = {
         "ivf": similarity.topk_ivf,
+        "ivfpq": similarity.topk_ivfpq,
         "lsh": similarity.topk_lsh,
         "lsh_multi": similarity.topk_lsh_multi,
         "pq": similarity.topk_pq,
@@ -3233,12 +3234,16 @@ EXT_ORACLE_SQL["curation_source_caps"] = f"""
 EXT_ORACLE_SQL["ann_recall_audit"] = f"""
     WITH brute AS ({EXT_ORACLE_SQL["ann_topk_brute"]}),
     m_ivf AS ({EXT_ORACLE_SQL["ann_topk_ivf"]}),
+    m_ivfpq AS ({EXT_ORACLE_SQL["ann_topk_ivfpq"]}),
     m_lsh AS ({EXT_ORACLE_SQL["ann_topk_lsh"]}),
     m_lshm AS ({EXT_ORACLE_SQL["ann_topk_lsh_multi"]}),
     m_pq AS ({EXT_ORACLE_SQL["ann_topk_pq"]}),
     hits AS (
         SELECT 'ivf' AS method, COUNT(*) AS n_hits
         FROM m_ivf JOIN brute USING (query_id, neighbor_id)
+        UNION ALL
+        SELECT 'ivfpq' AS method, COUNT(*) AS n_hits
+        FROM m_ivfpq JOIN brute USING (query_id, neighbor_id)
         UNION ALL
         SELECT 'lsh' AS method, COUNT(*) AS n_hits
         FROM m_lsh JOIN brute USING (query_id, neighbor_id)
