@@ -2112,28 +2112,92 @@ ORACLE_SQL["streaming_value_quantiles"] = f"""
 # park stable, already-driver-verified, untouched baselines at the
 # tail, where falling past position 50 loses nothing.
 _GATE_HEAD = [
-    # --- new in round 7: first driver verification ---
-    "dedup_semantic",
+    # ROTATION BOOKKEEPING — round 8 (generated from the staleness
+    # sweep over CORRECTNESS_r01–r07; see scripts in the r8 commit
+    # message). Window = 4 never-driver-checked r8 additions + the 2
+    # audits whose output changed this round (ivfpq method added) + 3
+    # ckpt.materialize/release riders (the lazy-path unpersist fix) +
+    # the 41 stalest driver greens (every remaining r4-era entry and
+    # the oldest r5-era block). Rotated OUT to the tail (all hold r7
+    # driver greens in CORRECTNESS_r07 plus both GATE_r07 logs):
+    # dedup_semantic, text_model_quality, curation_source_caps, events_sliding_1h_15m, text_build_postings, dedup_lsh_quality,
+    # dedup_signal_agreement, streaming_payment_match, streaming_payment_match_outer, events_zorder_scan, text_length_quantiles, serving_last_write_wins,
+    # top_orders_per_customer, customer_running_spend, payment_type_share, streaming_dedup_replay, streaming_running_totals_final, streaming_enriched_nation_totals,
+    # curation_pipeline, dedup_ngram_jaccard, dedup_contamination, cdc_snapshot_diff, asof_priority_rates, events_range_follow,
+    # ann_topk_ivf, dedup_components_star, dedup_canonical_docs, dedup_minhash_lsh, dedup_ensemble, graph_triangles_cosupply,
+    # emb_bitext_mine, cdc_scd2_history, streaming_session_windows, events_cohort_retention, text_quality_sample, sales_yoy_full_outer,
+    # sql_recursive_rollup, events_concurrency_curve, events_transition_matrix, emb_pq_codes, ann_topk_pq, customer_rfm_segments,
+    # events_active_users, sketch_heavy_hitters, text_bm25_search.
+    # --- new in round 8: first driver verification ---
+    "ann_topk_ivfpq",
+    "text_bpe_merges",
+    "mm_phash_near_dup",
+    "streaming_sliding_1h_15m",
+    # --- changed in round 8: +ivfpq method row ---
+    "ann_recall_audit",
     "ann_recall_clustered",
+    # --- ckpt lazy-path release fix riders ---
+    "dedup_components",
+    "graph_pagerank_suppliers",
+    "dedup_incremental_delta",
+    # --- stalest driver greens: the full r4-era block ---
+    "dedup_substring_hotspots",
+    "docs_expectations",
+    "emb_near_dup_lsh_multi",
+    "events_daily_stats",
+    "events_drift_tvd",
+    "events_funnel",
+    "events_gapfill",
+    "events_json_props",
+    "events_ntile_quartiles",
+    "events_rolling_hour_avg",
+    "events_tumbling_30s",
+    "events_value_outliers_mad",
+    "mm_asset_stats",
+    "mm_extract_features",
+    "mm_fingerprint",
+    "mm_frame_sample",
+    "mm_resize_images",
+    "pipeline_envelope_decode",
+    "q1_pricing_summary",
+    "q21_late_sole_supplier",
+    "q22_dormant_customers",
+    "q4_late_order_priority",
+    "sales_cube",
+    "sql_lateral_top_orders",
+    # --- then the oldest r5-era block ---
+    "brand_basket_affinity",
+    "corpus_mixture_plan",
+    "dedup_exact_recrawl",
+    "docs_sample_fixed",
+    "docs_split_assign",
+    "emb_kmeans_step",
+    "events_daily_trend",
+    "events_value_hour_corr",
+    "parts_abc_analysis",
+    "pipeline_orders",
+    "pipeline_product_details",
+    "pipeline_purchase_details",
+    "pipeline_shipping_addresses",
+    "q11_important_parts",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+]
+_GATE_TAIL = [
+    # r7-green entries rotated out of the round-8 window first, then
+    # the long-parked remainder (driver-verified r5–r7; the committed
+    # full-registry GATE logs cover every tail entry every round):
+    "dedup_semantic",
     "text_model_quality",
     "curation_source_caps",
     "events_sliding_1h_15m",
-    # --- changed in round 7: re-prove under the driver ---
-    # text_build_postings: array->scalar surface (the only never-
-    # driver-green query of r6; fix = r6 VERDICT ask #1).
     "text_build_postings",
-    # oracle SQL rewritten (n_truth one-row CTE, r6 ADVICE #3):
     "dedup_lsh_quality",
     "dedup_signal_agreement",
-    # audit body refactored into _recall_audit_over:
-    "ann_recall_audit",
-    # payment-join feed now shared per (session, sf_dir) — both gates
-    # must re-prove under the driver in the SAME session:
     "streaming_payment_match",
     "streaming_payment_match_outer",
-    # quantize NaN guard (r6 ADVICE #1) sits on the z-order write path:
     "events_zorder_scan",
-    # --- the 15 r3-era driver greens (r6 VERDICT ask #3) ---
     "text_length_quantiles",
     "serving_last_write_wins",
     "top_orders_per_customer",
@@ -2149,20 +2213,12 @@ _GATE_HEAD = [
     "asof_priority_rates",
     "events_range_follow",
     "ann_topk_ivf",
-    # --- ckpt.materialize refactor (r6 VERDICT ask #4) touched the
-    # session-cache / CC / pagerank lineage-truncation sites; default
-    # behavior is unchanged (localCheckpoint) but these ride those
-    # frames — re-prove them under the driver this round ---
-    "dedup_components",
     "dedup_components_star",
     "dedup_canonical_docs",
     "dedup_minhash_lsh",
     "dedup_ensemble",
-    "dedup_incremental_delta",
-    "graph_pagerank_suppliers",
     "graph_triangles_cosupply",
     "emb_bitext_mine",
-    # --- oldest remaining driver evidence (r4-era) fills the window ---
     "cdc_scd2_history",
     "streaming_session_windows",
     "events_cohort_retention",
@@ -2177,34 +2233,6 @@ _GATE_HEAD = [
     "events_active_users",
     "sketch_heavy_hitters",
     "text_bm25_search",
-    # (events_gapfill and events_funnel yielded their refresh slots to
-    # the late round-7 additions text_model_quality /
-    # curation_source_caps — both hold r4 greens + every gate log.)
-    # Rotated OUT to the tail this round (every one holds an r6
-    # driver green in CORRECTNESS_r06 plus both committed GATE_r06
-    # logs): pipeline_compaction, salted_lineitem_agg,
-    # ann_topk_lsh_multi, sketch_value_quantiles,
-    # events_type_value_quantiles, streaming_value_quantiles,
-    # events_attribution, dedup_simhash_pairs, pipeline_partition_scan,
-    # salted_events_join, bucketed_sales_join,
-    # customers_with_urgent_orders, customers_without_urgent_orders,
-    # customer_retention, q5_local_supplier_volume,
-    # salted_priority_sales, events_sessionization,
-    # sketch_distinct_trigrams, profile_documents,
-    # incremental_sales_rollup, text_repetition,
-    # sales_pivot_by_priority, fuzzy_customer_names,
-    # streaming_late_data_policy, sql_above_average_orders,
-    # events_variant_props, events_value_histogram, events_type_mode,
-    # ann_topk_brute, dedup_simhash_fingerprints, emb_near_dup,
-    # ann_topk_lsh, emb_near_dup_lsh, q7_volume_shipping,
-    # q10_returned_items, q12_ship_delay_classes.
-]
-_GATE_TAIL = [
-    "events_drift_tvd",
-    "events_gapfill",
-    "events_funnel",
-    # r6-driver-green entries rotated out of the round-7 window
-    # (fresh greens in CORRECTNESS_r06 + both GATE_r06 logs):
     "pipeline_compaction",
     "salted_lineitem_agg",
     "ann_topk_lsh_multi",
@@ -2241,43 +2269,22 @@ _GATE_TAIL = [
     "q7_volume_shipping",
     "q10_returned_items",
     "q12_ship_delay_classes",
-    # previously parked (driver-verified r4/r5/r6, untouched; the
-    # committed full-registry GATE logs cover them every round):
-    "q22_dormant_customers",
-    "q4_late_order_priority",
-    "q21_late_sole_supplier",
     "q2_min_cost_supplier",
     "q6_forecast_revenue",
-    "q11_important_parts",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
     "q20_promotion_suppliers",
     "text_collocations",
-    "emb_kmeans_step",
-    "docs_sample_fixed",
-    "docs_split_assign",
-    "corpus_mixture_plan",
-    "events_value_hour_corr",
-    "events_daily_trend",
     "sales_monthly_yoy",
-    "brand_basket_affinity",
     "text_vocab_growth",
     "sales_per_nation",
     "sales_rollup",
     "q3_shipping_priority",
     "top_parts_by_revenue",
     "q8_market_share",
-    "q14_promo_revenue",
     "q16_supplier_diversity",
     "q17_small_quantity_revenue",
     "q18_large_orders",
     "q19_disjunctive_revenue",
     "q9_red_parts_profit",
-    "parts_abc_analysis",
-    "pipeline_orders",
-    "pipeline_product_details",
-    "pipeline_shipping_addresses",
-    "pipeline_purchase_details",
     "ref_total_sales_per_country",
     "ref_average_order_value",
     "ref_total_income_per_payment_method",
@@ -2290,19 +2297,6 @@ _GATE_TAIL = [
     "text_pii_redact",
     "text_pack_sequences",
     "text_stratified_sample",
-    "dedup_exact_recrawl",
-    "sales_cube",
-    "sql_lateral_top_orders",
-    "docs_expectations",
-    "mm_asset_stats",
-    "mm_fingerprint",
-    "mm_frame_sample",
-    "mm_extract_features",
-    "mm_resize_images",
-    "emb_near_dup_lsh_multi",
-    "events_daily_stats",
-    "events_json_props",
-    "events_tumbling_30s",
 ]
 
 
