@@ -204,6 +204,14 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_merges(_docs(spark, sf_dir), k=8)
 
 
+def text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY side of the BPE pair: per-doc subword statistics under
+    the 8 learned merges — (doc_id, n_words, n_bpe_tokens). Learn and
+    apply share one loop (text.bpe_segment), so the segmentation is by
+    construction the one text_bpe_merges' table implies."""
+    return text.bpe_segment(_docs(spark, sf_dir), k=8)
+
+
 def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps-law vocabulary-growth curve: cumulative distinct-token
     count vs cumulative token count in deterministic doc_id ingestion
@@ -1370,6 +1378,7 @@ EXT_QUERY_FNS = {
     "text_quality_sample": text_quality_sample,
     "text_vocab_growth": text_vocab_growth,
     "text_bpe_merges": text_bpe_merges,
+    "text_bpe_segment": text_bpe_segment,
     "text_collocations": text_collocations,
     "text_build_postings": text_build_postings,
     "graph_triangles_cosupply": graph_triangles_cosupply,
@@ -3418,7 +3427,7 @@ EXT_ORACLE_SQL["emb_bitext_mine"] = f"""
 """
 
 
-def _bpe_oracle_sql(k: int) -> str:
+def _bpe_oracle_sql(k: int, final: str = "merges") -> str:
     """The text_bpe_merges oracle: k BPE rounds UNROLLED as chained
     CTEs (DuckDB replays the exact loop text.bpe_merges runs — same
     greedy left-to-right island selection, same (count DESC, left,
@@ -3452,7 +3461,7 @@ def _bpe_oracle_sql(k: int) -> str:
     )""")
         ctes.append(f"""c{r} AS (
         SELECT a.*, (a.tok = m.l AND a.nxt = m.rt) AS cand
-        FROM a{r} a, m{r} m
+        FROM a{r} a LEFT JOIN m{r} m ON TRUE
     )""")
         ctes.append(f"""g{r} AS (
         SELECT *, CASE WHEN cand THEN pos - ROW_NUMBER() OVER (
@@ -3460,8 +3469,8 @@ def _bpe_oracle_sql(k: int) -> str:
         FROM c{r}
     )""")
         ctes.append(f"""s{r} AS (
-        SELECT *, cand AND (ROW_NUMBER() OVER (
-            PARTITION BY word, grp ORDER BY pos) % 2 = 1) AS sel
+        SELECT *, COALESCE(cand AND (ROW_NUMBER() OVER (
+            PARTITION BY word, grp ORDER BY pos) % 2 = 1), false) AS sel
         FROM g{r}
     )""")
         ctes.append(f"""r{r} AS (
@@ -3479,11 +3488,31 @@ def _bpe_oracle_sql(k: int) -> str:
             f"SELECT {r} AS round, l AS left_sym, rt AS right_sym,"
             f" l || rt AS merged, cnt AS pair_count FROM m{r}"
         )
-    return (
-        "WITH " + ",\n    ".join(ctes) + "\n    "
-        + "\n    UNION ALL ".join(outs)
-        + "\n    ORDER BY round"
-    )
+    if final == "merges":
+        tail = (
+            "\n    ".join(["\n    UNION ALL ".join(outs)])
+            + "\n    ORDER BY round"
+        )
+    else:  # per-doc segmentation statistics over the final token table
+        ctes.append(f"""wt AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS n_bpe
+        FROM t{k} GROUP BY 1
+    )""")
+        ctes.append("""docw AS (
+        SELECT doc_id, word FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(text, '\\s+')) AS word
+            FROM documents
+        ) WHERE len(word) > 0
+    )""")
+        tail = (
+            "SELECT d.doc_id, COUNT(*) AS n_words,\n"
+            "           CAST(SUM(wt.n_bpe) AS BIGINT) AS n_bpe_tokens\n"
+            "    FROM docw d JOIN wt USING (word)\n"
+            "    GROUP BY 1 ORDER BY 1"
+        )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + tail
 
 
 EXT_ORACLE_SQL["text_bpe_merges"] = _bpe_oracle_sql(8)
+EXT_ORACLE_SQL["text_bpe_segment"] = _bpe_oracle_sql(8, final="segment")

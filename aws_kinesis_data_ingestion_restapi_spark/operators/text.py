@@ -677,18 +677,63 @@ def bpe_merges(
     within candidates) makes that one window expression. A selected
     position absorbs its successor (dropped via lag(sel)); dense
     positions are re-issued by row_number for the next round."""
+    out, _toks = _bpe_loop(_word_freqs(docs, text_col), k)
+    return out.orderBy("round")
+
+
+def bpe_segment(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """APPLY side of the tokenizer-training pair: segment the corpus
+    with the k merges :func:`bpe_merges` learns (the identical loop —
+    learn and apply share one code path, so the segmentation is BY
+    CONSTRUCTION the one the merge table implies) and report per-doc
+    subword statistics: ``(doc_id, n_words, n_bpe_tokens)`` — the
+    numbers a mixture plan / packing stage budgets with once a real
+    tokenizer exists. Exact integers end to end; the oracle reuses
+    the merge oracle's unrolled CTE chain with a per-doc final
+    aggregate. Scale shape: the k-round loop runs on the distinct-word
+    table; the corpus-sized work is one explode + one hash join of
+    words to their token counts + one per-doc aggregate."""
+    _out, toks = _bpe_loop(_word_freqs(docs, text_col), k)
+    per_word = toks.groupBy("word").agg(F.count(F.lit(1)).alias("n_bpe"))
+    docw = docs.select(
+        F.col("doc_id"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("word"),
+    ).filter(F.length("word") > 0)
+    return (
+        docw.join(per_word, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_bpe").cast("long").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _word_freqs(docs: DataFrame, text_col: str) -> DataFrame:
+    """Distinct-word frequency table — the distributed object the BPE
+    loop iterates over."""
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _bpe_loop(words: DataFrame, k: int):
+    """The shared k-round merge loop: returns (merge rows, final token
+    table). See bpe_merges for the algorithm and scale notes."""
     from pyspark.sql.window import Window
 
     from aws_kinesis_data_ingestion_restapi_spark.operators.ckpt import (
         materialize,
     )
 
-    words = (
-        docs.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("word"))
-        .filter(F.length("word") > 0)
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
     toks = words.select(
         "word",
         "freq",
@@ -724,7 +769,11 @@ def bpe_merges(
         out = row if out is None else out.unionByName(row)
         # re-segment: mark candidates, greedy-select via island parity,
         # absorb successors, re-issue dense positions
-        c = a.join(F.broadcast(top)).withColumn(
+        # LEFT join against the 1-row broadcast top: when the
+        # vocabulary is exhausted (empty top) re-segmentation must be
+        # the IDENTITY, not an empty frame — bpe_segment returns the
+        # final token table, which must survive idle rounds
+        c = a.join(F.broadcast(top), F.lit(True), "left").withColumn(
             "cand",
             (F.col("tok") == F.col("left_sym"))
             & (F.col("nxt") == F.col("right_sym")),
@@ -735,9 +784,15 @@ def bpe_merges(
             F.when(F.col("cand"), F.col("pos") - F.row_number().over(wc)),
         )
         wg = Window.partitionBy("word", "grp").orderBy("pos")
+        # coalesce: cand is NULL on last-of-word rows (nxt NULL) and
+        # on idle rounds — NULL sel would null-propagate through
+        # lag(absorbed) and silently drop rows at the filter
         s = g.withColumn(
             "sel",
-            F.col("cand") & (F.row_number().over(wg) % 2 == 1),
+            F.coalesce(
+                F.col("cand") & (F.row_number().over(wg) % 2 == 1),
+                F.lit(False),
+            ),
         )
         r = s.withColumn("absorbed", F.lag("sel", 1, False).over(ww))
         toks = (
@@ -752,4 +807,4 @@ def bpe_merges(
             )
         )
         toks = materialize(toks, eager=True)
-    return out.orderBy("round")
+    return out, toks

@@ -2131,6 +2131,7 @@ _GATE_HEAD = [
     # --- new in round 8: first driver verification ---
     "ann_topk_ivfpq",
     "text_bpe_merges",
+    "text_bpe_segment",
     "mm_phash_near_dup",
     "streaming_sliding_1h_15m",
     # --- changed in round 8: +ivfpq method row ---
@@ -2182,9 +2183,9 @@ _GATE_HEAD = [
     "q11_important_parts",
     "q13_order_count_distribution",
     "q14_promo_revenue",
-    "q15_top_supplier",
 ]
 _GATE_TAIL = [
+    "q15_top_supplier",
     # r7-green entries rotated out of the round-8 window first, then
     # the long-parked remainder (driver-verified r5–r7; the committed
     # full-registry GATE logs cover every tail entry every round):

@@ -161,6 +161,7 @@ ANALYTICS_QUERIES = [
     "text_quality_sample",
     "text_vocab_growth",
     "text_bpe_merges",
+    "text_bpe_segment",
     "text_collocations",
     "text_build_postings",
     "text_model_quality",
@@ -361,6 +362,7 @@ BENCH_KEY_ALIASES = {
     "brand_basket_affinity": "basket",
     "text_vocab_growth": "vocab",
     "text_bpe_merges": "bpe",
+    "text_bpe_segment": "bpeseg",
     "sales_monthly_yoy": "yoymon",
     "q14_promo_revenue": "q14p",
     # round-5 additions (final line only, 1:1)

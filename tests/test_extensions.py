@@ -2189,6 +2189,19 @@ def test_bpe_merges_match_reference_python_bpe(spark):
             segs[w] = ns
     assert got == expected
     assert len(got) < k  # the fixture really exhausts
+    # apply side: per-doc subword counts under the same merges must
+    # match the reference segmentation exactly
+    from aws_kinesis_data_ingestion_restapi_spark.operators.text import (
+        bpe_segment,
+    )
+
+    seg = {r.doc_id: (r.n_words, r.n_bpe_tokens) for r in
+           bpe_segment(docs, k=k).collect()}
+    expected_seg = {
+        i: (len(t.split()), sum(len(segs[w]) for w in t.split()))
+        for i, t in enumerate(texts)
+    }
+    assert seg == expected_seg
 
 
 def test_phash_near_dup_pinned_pairs_and_exhaustive_banding(spark):
