@@ -1775,6 +1775,7 @@ def test_ann_recall_audit_consistent_with_member_queries(spark):
         ann_recall_audit,
         ann_topk_brute,
         ann_topk_ivf,
+        ann_topk_ivfpq,
         ann_topk_lsh,
         ann_topk_lsh_multi,
         ann_topk_pq,
@@ -1782,12 +1783,13 @@ def test_ann_recall_audit_consistent_with_member_queries(spark):
 
     sf = "/root/testdata/sf0.001"
     audit = {r["method"]: r for r in ann_recall_audit(spark, sf).collect()}
-    assert set(audit) == {"ivf", "lsh", "lsh_multi", "pq"}
+    assert set(audit) == {"ivf", "ivfpq", "lsh", "lsh_multi", "pq"}
     brute = {
         (r["query_id"], r["neighbor_id"])
         for r in ann_topk_brute(spark, sf).collect()
     }
-    members = {"ivf": ann_topk_ivf, "lsh": ann_topk_lsh,
+    members = {"ivf": ann_topk_ivf, "ivfpq": ann_topk_ivfpq,
+               "lsh": ann_topk_lsh,
                "lsh_multi": ann_topk_lsh_multi, "pq": ann_topk_pq}
     for m, fn in members.items():
         approx = {
