@@ -212,6 +212,14 @@ def text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_segment(_docs(spark, sf_dir), k=8)
 
 
+def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X105: DSIR-shape importance weighting (arXiv 2302.03169) —
+    target-vs-raw hashed-feature ratio per doc, exact int64 bucket
+    weights so the oracle replays it. Target domain = the lang='en'
+    corpus slice. See text.dsir_importance."""
+    return text.dsir_importance(_docs(spark, sf_dir))
+
+
 def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps-law vocabulary-growth curve: cumulative distinct-token
     count vs cumulative token count in deterministic doc_id ingestion
@@ -1379,6 +1387,7 @@ EXT_QUERY_FNS = {
     "text_vocab_growth": text_vocab_growth,
     "text_bpe_merges": text_bpe_merges,
     "text_bpe_segment": text_bpe_segment,
+    "text_dsir_importance": text_dsir_importance,
     "text_collocations": text_collocations,
     "text_build_postings": text_build_postings,
     "graph_triangles_cosupply": graph_triangles_cosupply,
@@ -3516,3 +3525,38 @@ def _bpe_oracle_sql(k: int, final: str = "merges") -> str:
 
 EXT_ORACLE_SQL["text_bpe_merges"] = _bpe_oracle_sql(8)
 EXT_ORACLE_SQL["text_bpe_segment"] = _bpe_oracle_sql(8, final="segment")
+
+
+# DSIR importance: add-one target/raw ratio per 28-bit-hash bucket,
+# quantized once to int64 (the embeddings idiom), exact per-doc sums
+EXT_ORACLE_SQL["text_dsir_importance"] = f"""
+    WITH tk AS (
+        SELECT doc_id, (lang = 'en') AS is_t, unnest({_TOKS}) AS tok
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, is_t,
+               CAST(concat('0x', substr(md5(tok), 1, 7)) AS BIGINT)
+                   % {text.DSIR_BUCKETS} AS bucket
+        FROM tk
+    ),
+    c AS (
+        SELECT bucket, COUNT(*) AS r_cnt,
+               SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS t_cnt
+        FROM b GROUP BY 1
+    ),
+    w AS (
+        SELECT bucket,
+               CAST(ROUND({float(text.DSIR_SCALE)} * (t_cnt + 1)
+                          / (r_cnt + 1), 0) AS BIGINT) AS w
+        FROM c
+    )
+    SELECT b.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(w.w) AS BIGINT) AS raw_weight,
+           CAST(SUM(w.w) AS DOUBLE)
+               / ({float(text.DSIR_SCALE)} * COUNT(*)) AS importance
+    FROM b JOIN w USING (bucket)
+    GROUP BY 1
+    ORDER BY 1
+"""

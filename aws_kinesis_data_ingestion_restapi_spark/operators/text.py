@@ -808,3 +808,85 @@ def _bpe_loop(words: DataFrame, k: int):
         )
         toks = materialize(toks, eager=True)
     return out, toks
+
+
+DSIR_BUCKETS = 256  # hashed-feature buckets for the importance ratio
+DSIR_SCALE = 1_000_000  # per-bucket weight quantization (int64 exact)
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_lang: str = "en",
+    buckets: int = DSIR_BUCKETS,
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-shape data-selection importance weighting (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling",
+    public arXiv 2302.03169): score every raw document by how much its
+    hashed-feature distribution looks like a TARGET domain relative to
+    the raw corpus — the importance-resampling step that upgrades
+    random corpus sampling into target-aware selection. Target here =
+    the ``lang == target_lang`` slice of the same corpus (the
+    practical stand-in for "a trusted target set" on this fixture; a
+    real deployment passes any target corpus through the same
+    aggregation).
+
+    Exact-arithmetic rendition of the paper's log-ratio scoring, so a
+    DuckDB oracle replays it bit-for-bit: per hashed bucket b the
+    add-one ratio (t_b+1)/(r_b+1) is quantized ONCE to int64
+    (round(10⁶·ratio) — one IEEE multiply+divide+round per bucket,
+    identical in both engines, the embeddings-quantization idiom);
+    a document's raw weight is the exact int64 SUM of its tokens'
+    bucket weights (order-independent, unlike a float log-sum), and
+    ``importance`` = raw_weight / (10⁶·n_tokens) — the mean bucket
+    ratio, monotone in the paper's mean log-ratio ranking whenever
+    ratios are comparable, and deterministic everywhere. Downstream,
+    X60's weighted sampler / X99's caps consume it unchanged.
+
+    Scale shape: one corpus scan + token explode (map-side), ONE
+    shuffle for the B-bucket count aggregate (B=256 rows — the
+    "model" is broadcast-size by construction), a broadcast hash join
+    of tokens to bucket weights, and one partially-aggregated doc_id
+    shuffle for the per-doc sum — a 100 TB corpus is scored in two
+    scans with nothing driver-side."""
+    toks = docs.select(
+        "doc_id",
+        (F.col("lang") == target_lang).alias("is_t"),
+        F.explode(tokens_col(text_col)).alias("tok"),
+    )
+    b = toks.select(
+        "doc_id",
+        "is_t",
+        (feature_hash(F.col("tok")) % buckets).alias("bucket"),
+    )
+    counts = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("r_cnt"),
+        F.sum(F.col("is_t").cast("long")).alias("t_cnt"),
+    )
+    w = counts.select(
+        "bucket",
+        F.round(
+            F.lit(float(DSIR_SCALE)) * (F.col("t_cnt") + 1) / (F.col("r_cnt") + 1),
+            0,
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    return (
+        b.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w").alias("raw_weight"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "raw_weight",
+            (
+                F.col("raw_weight").cast("double")
+                / (F.lit(float(DSIR_SCALE)) * F.col("n_tokens"))
+            ).alias("importance"),
+        )
+        .orderBy("doc_id")
+    )

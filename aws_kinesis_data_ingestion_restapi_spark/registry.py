@@ -2132,6 +2132,7 @@ _GATE_HEAD = [
     "ann_topk_ivfpq",
     "text_bpe_merges",
     "text_bpe_segment",
+    "text_dsir_importance",
     "mm_phash_near_dup",
     "streaming_sliding_1h_15m",
     # --- changed in round 8: +ivfpq method row ---
@@ -2182,9 +2183,9 @@ _GATE_HEAD = [
     "pipeline_shipping_addresses",
     "q11_important_parts",
     "q13_order_count_distribution",
-    "q14_promo_revenue",
 ]
 _GATE_TAIL = [
+    "q14_promo_revenue",
     "q15_top_supplier",
     # r7-green entries rotated out of the round-8 window first, then
     # the long-parked remainder (driver-verified r5–r7; the committed

@@ -162,6 +162,7 @@ ANALYTICS_QUERIES = [
     "text_vocab_growth",
     "text_bpe_merges",
     "text_bpe_segment",
+    "text_dsir_importance",
     "text_collocations",
     "text_build_postings",
     "text_model_quality",
@@ -363,6 +364,7 @@ BENCH_KEY_ALIASES = {
     "text_vocab_growth": "vocab",
     "text_bpe_merges": "bpe",
     "text_bpe_segment": "bpeseg",
+    "text_dsir_importance": "dsir",
     "sales_monthly_yoy": "yoymon",
     "q14_promo_revenue": "q14p",
     # round-5 additions (final line only, 1:1)

@@ -2255,3 +2255,58 @@ def test_phash_near_dup_pinned_pairs_and_exhaustive_banding(spark):
     }
     assert emitted == brute
     assert len(emitted) >= 17  # the engineered re-render pairs exist
+
+
+def test_dsir_importance_matches_brute_force(spark):
+    """X105 exactness: the operator's per-doc raw weights must equal a
+    brute-force Python replication (md5-prefix bucket hash, add-one
+    target/raw ratio quantized to int64, exact integer sums) on the
+    real corpus — and the target-language slice must outscore the
+    rest on average (the whole point of importance weighting: target-
+    looking documents rank higher)."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators.text import (
+        DSIR_BUCKETS,
+        DSIR_SCALE,
+        dsir_importance,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = docs.select("doc_id", "text", "lang").collect()
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:7], 16) % DSIR_BUCKETS
+
+    r_cnt: Counter = Counter()
+    t_cnt: Counter = Counter()
+    per_doc = defaultdict(list)
+    is_t = {}
+    for r in rows:
+        toks = [t for t in r.text.lower().strip().split() if t]
+        is_t[r.doc_id] = r.lang == "en"
+        for t in toks:
+            b = bucket(t)
+            r_cnt[b] += 1
+            if r.lang == "en":
+                t_cnt[b] += 1
+            per_doc[r.doc_id].append(b)
+    w = {
+        b: int(round(DSIR_SCALE * (t_cnt[b] + 1) / (r_cnt[b] + 1)))
+        for b in r_cnt
+    }
+    expect = {
+        d: (len(bs), sum(w[b] for b in bs)) for d, bs in per_doc.items()
+    }
+    got = {
+        r.doc_id: (r.n_tokens, r.raw_weight)
+        for r in dsir_importance(docs).collect()
+    }
+    assert got == expect
+    imps = {d: rw / (DSIR_SCALE * n) for d, (n, rw) in expect.items()}
+    mean_t = sum(v for d, v in imps.items() if is_t[d]) / sum(is_t.values())
+    mean_o = sum(v for d, v in imps.items() if not is_t[d]) / (
+        len(is_t) - sum(is_t.values())
+    )
+    assert mean_t > mean_o
