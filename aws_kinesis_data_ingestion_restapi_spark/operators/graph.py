@@ -414,3 +414,70 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(tri))
         .select("n_nodes", "n_edges", "n_triangles")
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 8,
+    rounds: int = 8,
+    u_col: str = "u",
+    v_col: str = "v",
+) -> DataFrame:
+    """Bounded-round k-core peeling — the degeneracy-based community /
+    spam filter web-graph curation pipelines run (Seidman 1983 k-core;
+    the standard distributed rendition peels iteratively: drop every
+    node with degree < k, recompute, repeat). The contract is a FIXED
+    number of peel rounds in BOTH engines, so results are equal by
+    construction whether or not the peel has converged — the same
+    bounded-iteration honesty as the PageRank/k-means entries (a
+    convergence assertion on the registered fixture lives in pytest,
+    so there the output IS the true k-core).
+
+    Input: an undirected edge list (deduped here to u < v canonical
+    form). Output: one row per surviving node, (node, degree) with
+    the degree measured in the SURVIVING subgraph, ordered by node.
+
+    Scale shape: each round is one degree aggregate (map-side partial
+    count on short keys) + two semi-joins of the edge list against
+    the ≥k survivor set — all equi-joins on node ids, no all-pairs
+    anywhere; lineage is truncated per round via ckpt.materialize so
+    plan depth stays O(1) in rounds, the CC/k-means pattern."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.ckpt import (
+        materialize,
+        release,
+    )
+
+    e = (
+        edges.select(
+            F.least(F.col(u_col), F.col(v_col)).alias("u"),
+            F.greatest(F.col(u_col), F.col(v_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    e = materialize(e, eager=True)
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("u").alias("n"))
+            .unionByName(e.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("n")
+        prev = e
+        e = (
+            e.join(keep.select(F.col("n").alias("u")), "u", "left_semi")
+            .join(keep.select(F.col("n").alias("v")), "v", "left_semi")
+            .select("u", "v")
+        )
+        e = materialize(e, eager=True)
+        release(prev)
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionByName(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return deg.select(
+        F.col("n").alias("node"), F.col("d").cast("long").alias("degree")
+    ).orderBy("node")

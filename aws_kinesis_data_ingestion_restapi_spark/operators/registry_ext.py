@@ -1197,6 +1197,27 @@ def graph_triangles_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.triangle_count(edges)
 
 
+def graph_kcore_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X106: k-core decomposition (bounded peel) over the bipartite
+    customer-supplier purchase graph — the degeneracy filter web-graph
+    curation uses to isolate densely-connected cores (k=40, 8 peel
+    rounds, converged on this fixture: pinned in pytest). Suppliers
+    are offset by 10^9 into a disjoint node-id space. Returns the
+    surviving (node, degree) rows. See graph.kcore_peel."""
+    ensure_runtime_confs(spark)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("u"),
+            (F.col("l_suppkey") + 1_000_000_000).alias("v"),
+        )
+        .distinct()
+    )
+    return graph.kcore_peel(e, k=40, rounds=8)
+
+
 def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the bipartite customer–supplier purchase graph
     (edge ⇔ the customer ordered from the supplier), 3 exact
@@ -1404,6 +1425,7 @@ EXT_QUERY_FNS = {
     "dedup_components": dedup_components,
     "dedup_components_star": dedup_components_star,
     "graph_pagerank_suppliers": graph_pagerank_suppliers,
+    "graph_kcore_purchases": graph_kcore_purchases,
     "dedup_canonical_docs": dedup_canonical_docs,
     "curation_pipeline": curation_pipeline,
     "dedup_exact_recrawl": dedup_exact_recrawl,
@@ -3560,3 +3582,47 @@ EXT_ORACLE_SQL["text_dsir_importance"] = f"""
     GROUP BY 1
     ORDER BY 1
 """
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    """graph_kcore_purchases oracle: the bounded peel UNROLLED as
+    chained CTEs (one degree aggregate + one survivor semi-join pair
+    per round — the same generated-not-hand-written discipline as the
+    BPE oracle)."""
+    ctes = [
+        """e0 AS MATERIALIZED (
+        SELECT DISTINCT o_custkey AS u,
+               l_suppkey + 1000000000 AS v
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        # AS MATERIALIZED is load-bearing: DuckDB would otherwise
+        # inline the single-reference CTEs and re-evaluate the chain
+        # exponentially (3^rounds base-table scans -> "too many open
+        # files" at 8 rounds)
+        ctes.append(f"""d{r} AS MATERIALIZED (
+        SELECT n, COUNT(*) AS d FROM (
+            SELECT u AS n FROM e{p} UNION ALL SELECT v FROM e{p}
+        ) GROUP BY 1
+    )""")
+        ctes.append(f"""k{r} AS (SELECT n FROM d{r} WHERE d >= {k})""")
+        ctes.append(f"""e{r} AS MATERIALIZED (
+        SELECT e.u, e.v FROM e{p} e
+        JOIN k{r} a ON e.u = a.n
+        JOIN k{r} b ON e.v = b.n
+    )""")
+    ctes.append(f"""df AS (
+        SELECT n, COUNT(*) AS d FROM (
+            SELECT u AS n FROM e{rounds} UNION ALL SELECT v FROM e{rounds}
+        ) GROUP BY 1
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + "\n    SELECT n AS node, CAST(d AS BIGINT) AS degree FROM df"
+        + "\n    ORDER BY 1"
+    )
+
+
+EXT_ORACLE_SQL["graph_kcore_purchases"] = _kcore_oracle_sql(40, 8)

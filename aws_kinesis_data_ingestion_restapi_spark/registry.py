@@ -2141,6 +2141,7 @@ _GATE_HEAD = [
     # --- ckpt lazy-path release fix riders ---
     "dedup_components",
     "graph_pagerank_suppliers",
+    "graph_kcore_purchases",
     "dedup_incremental_delta",
     # --- stalest driver greens: the full r4-era block ---
     "dedup_substring_hotspots",
@@ -2182,9 +2183,9 @@ _GATE_HEAD = [
     "pipeline_purchase_details",
     "pipeline_shipping_addresses",
     "q11_important_parts",
-    "q13_order_count_distribution",
 ]
 _GATE_TAIL = [
+    "q13_order_count_distribution",
     "q14_promo_revenue",
     "q15_top_supplier",
     # r7-green entries rotated out of the round-8 window first, then

@@ -186,6 +186,7 @@ ANALYTICS_QUERIES = [
     "dedup_components",
     "dedup_components_star",
     "graph_pagerank_suppliers",
+    "graph_kcore_purchases",
     "graph_triangles_cosupply",
     "dedup_canonical_docs",
     "ann_topk_brute",
@@ -337,6 +338,7 @@ BENCH_KEY_ALIASES = {
     "text_quality_sample": "qsamp",
     "sales_yoy_full_outer": "yoyf",
     "graph_pagerank_suppliers": "pgr",
+    "graph_kcore_purchases": "kcore",
     "sql_recursive_rollup": "recur",
     "events_concurrency_curve": "concur",
     "events_transition_matrix": "transit",

@@ -2310,3 +2310,49 @@ def test_dsir_importance_matches_brute_force(spark):
         len(is_t) - sum(is_t.values())
     )
     assert mean_t > mean_o
+
+
+def test_kcore_peel_engineered_and_converged(spark):
+    """X106 semantics pinned two ways. Engineered: a 4-clique with a
+    pendant chain at k=3 peels down to exactly the clique (every
+    survivor degree 3) — the chain dies in cascading rounds, which a
+    single degree filter would miss. Registry fixture: the bounded
+    8-round peel has CONVERGED on the purchase graph (one more round
+    changes nothing), so the registered output is the true k-core."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.graph import kcore_peel
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        graph_kcore_purchases,
+    )
+
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    # node 10 starts at degree 3 (two clique anchors + node 12), but 12
+    # has degree 1 — so 10 only dies in round TWO, after 12's removal
+    # drops it to degree 2: a genuine cascade a one-shot filter misses
+    tail = [(0, 10), (1, 10), (10, 12)]
+    edges = spark.createDataFrame(clique + tail, ["u", "v"])
+    out = {r.node: r.degree for r in kcore_peel(edges, k=3, rounds=5).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+    one_round = {r.node for r in kcore_peel(edges, k=3, rounds=1).collect()}
+    two_rounds = {r.node for r in kcore_peel(edges, k=3, rounds=2).collect()}
+    assert 10 in one_round and 12 not in one_round
+    assert 10 not in two_rounds
+    sf = "/root/testdata/sf0.001"
+    r8 = sorted(map(tuple, graph_kcore_purchases(spark, sf).collect()))
+    from aws_kinesis_data_ingestion_restapi_spark.operators import graph
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("u"),
+            (F.col("l_suppkey") + 1_000_000_000).alias("v"),
+        )
+        .distinct()
+    )
+    r9 = sorted(map(tuple, graph.kcore_peel(e, k=40, rounds=9).collect()))
+    assert r8 == r9
