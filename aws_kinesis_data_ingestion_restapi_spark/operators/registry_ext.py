@@ -1375,6 +1375,24 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bm25_rank(_docs(spark, sf_dir), list(BM25_QUERY_TERMS), top_n=25)
 
 
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X107: hybrid lexical+semantic retrieval fused by reciprocal-
+    rank fusion (Cormack et al. 2009) — the two-leg stack modern
+    search runs: leg 1 = BM25 top-25 for the fixed term panel
+    (text_bm25_search's exact ranking), leg 2 = exact embedding
+    top-25 for the seed document vec_id=0 (query-by-document;
+    doc_id and vec_id are aligned in this corpus). RRF needs no
+    score normalization — precisely why it is the standard combiner
+    for legs with incomparable scales. See text.rrf_fuse."""
+    lex = text.bm25_rank(
+        _docs(spark, sf_dir), list(BM25_QUERY_TERMS), top_n=25
+    ).select("doc_id", "rank")
+    sem = similarity.topk_brute(
+        _embs(spark, sf_dir), n_queries=1, k=25
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return text.rrf_fuse([lex, sem], top_n=10)
+
+
 def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(
         multimodal.synthesize_assets(_docs(spark, sf_dir))
@@ -1417,6 +1435,7 @@ EXT_QUERY_FNS = {
     "corpus_mixture_plan": corpus_mixture_plan,
     "text_repetition": text_repetition,
     "text_bm25_search": text_bm25_search,
+    "retrieval_hybrid_rrf": retrieval_hybrid_rrf,
     "docs_expectations": docs_expectations,
     "sketch_distinct_trigrams": sketch_distinct_trigrams,
     "sketch_heavy_hitters": sketch_heavy_hitters,
@@ -3626,3 +3645,50 @@ def _kcore_oracle_sql(k: int, rounds: int) -> str:
 
 
 EXT_ORACLE_SQL["graph_kcore_purchases"] = _kcore_oracle_sql(40, 8)
+
+
+# hybrid RRF: the registered BM25 oracle as the lexical leg, an exact
+# top-25 dot-product ranking for seed vec 0 as the semantic leg, each
+# contribution quantized round(1e12/(60+rank)) so sums are int64-exact
+EXT_ORACLE_SQL["retrieval_hybrid_rrf"] = f"""
+    WITH lex AS ({EXT_ORACLE_SQL["text_bm25_search"]}),
+    comp AS ({_COMP}),
+    dots AS (
+        SELECT b.vec_id AS doc_id, SUM(a.qx * b.qx) AS sc
+        FROM comp a
+        JOIN comp b ON b.i = a.i AND b.vec_id != 0
+        WHERE a.vec_id = 0
+        GROUP BY 1
+    ),
+    sem AS (
+        SELECT doc_id, rank FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY sc DESC, doc_id) AS rank
+            FROM dots
+        ) WHERE rank <= 25
+    ),
+    contrib AS (
+        SELECT doc_id,
+               CAST(ROUND(1000000000000.0 / (60 + rank), 0) AS BIGINT) AS c
+        FROM lex
+        UNION ALL
+        SELECT doc_id,
+               CAST(ROUND(1000000000000.0 / (60 + rank), 0) AS BIGINT)
+        FROM sem
+    ),
+    fused AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_legs,
+               CAST(SUM(c) AS BIGINT) AS s
+        FROM contrib GROUP BY 1
+    )
+    SELECT doc_id, n_legs,
+           CAST(s AS DOUBLE) / 1000000000000.0 AS rrf_score,
+           CAST(rank AS INT) AS rank
+    FROM (
+        SELECT doc_id, n_legs, s,
+               ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rank
+        FROM fused
+    )
+    WHERE rank <= 10
+    ORDER BY rank
+"""

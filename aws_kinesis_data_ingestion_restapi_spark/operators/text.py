@@ -890,3 +890,64 @@ def dsir_importance(
         )
         .orderBy("doc_id")
     )
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion constant
+RRF_SCALE = 10**12  # per-contribution quantization (int64-exact sums)
+
+
+def rrf_fuse(
+    legs: list[DataFrame],
+    k_const: int = RRF_K,
+    top_n: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) — the
+    standard hybrid-retrieval combiner: each ranker leg contributes
+    1/(k + rank) per document and the fused ranking orders by the
+    sum. RRF is deliberately score-agnostic (ranks only), which is
+    why it is THE fusion for legs with incomparable score scales —
+    e.g. BM25 odds vs cosine similarity, the lexical+semantic pair
+    every modern retrieval stack runs.
+
+    Exactness: each contribution is quantized ONCE to int64
+    (round(10¹²/(k+rank)) — one IEEE division+round on integer
+    inputs, identical cross-engine), so per-doc sums are exact
+    order-independent integers for ANY number of legs (a float
+    1/(k+r) sum would be association-order-dependent at ≥3 legs) and
+    the final score divides once. Ties break on doc_id.
+
+    Input legs: DataFrames with (doc_id, rank) — rank 1-based within
+    the leg's top-N. Output: (doc_id, n_legs, rrf_score, rank) for
+    the fused top-``top_n``.
+
+    Scale shape: legs are already top-N panels (metadata-sized), so
+    the union + one aggregate + one global top-n is panel-scale work
+    regardless of corpus size — fusion cost is independent of n."""
+    u = None
+    for df in legs:
+        c = df.select(
+            "doc_id",
+            F.round(
+                F.lit(float(RRF_SCALE)) / (F.lit(k_const) + F.col("rank")), 0
+            )
+            .cast("long")
+            .alias("c"),
+        )
+        u = c if u is None else u.unionByName(c)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("_s").desc(), F.col("doc_id").asc())
+    return (
+        u.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_legs"), F.sum("c").alias("_s"))
+        .select(
+            "doc_id",
+            F.col("n_legs").cast("long"),
+            (F.col("_s").cast("double") / F.lit(float(RRF_SCALE))).alias(
+                "rrf_score"
+            ),
+            F.row_number().over(w).cast("int").alias("rank"),
+        )
+        .filter(F.col("rank") <= top_n)
+        .orderBy("rank")
+    )

@@ -2133,6 +2133,7 @@ _GATE_HEAD = [
     "text_bpe_merges",
     "text_bpe_segment",
     "text_dsir_importance",
+    "retrieval_hybrid_rrf",
     "mm_phash_near_dup",
     "streaming_sliding_1h_15m",
     # --- changed in round 8: +ivfpq method row ---
@@ -2182,9 +2183,9 @@ _GATE_HEAD = [
     "pipeline_product_details",
     "pipeline_purchase_details",
     "pipeline_shipping_addresses",
-    "q11_important_parts",
 ]
 _GATE_TAIL = [
+    "q11_important_parts",
     "q13_order_count_distribution",
     "q14_promo_revenue",
     "q15_top_supplier",

@@ -155,6 +155,7 @@ ANALYTICS_QUERIES = [
     "text_pii_redact",
     "text_repetition",
     "text_bm25_search",
+    "retrieval_hybrid_rrf",
     "text_length_quantiles",
     "text_pack_sequences",
     "text_stratified_sample",
@@ -309,6 +310,7 @@ BENCH_KEY_ALIASES = {
     "cdc_snapshot_diff": "cdc_diff",
     "docs_expectations": "dexpect",
     "text_bm25_search": "bm25",
+    "retrieval_hybrid_rrf": "rrf",
     "events_rolling_hour_avg": "ravg",
     "events_ntile_quartiles": "ntile",
     "events_value_outliers_mad": "emad",

@@ -2356,3 +2356,29 @@ def test_kcore_peel_engineered_and_converged(spark):
     )
     r9 = sorted(map(tuple, graph.kcore_peel(e, k=40, rounds=9).collect()))
     assert r8 == r9
+
+
+def test_rrf_fuse_reference_semantics(spark):
+    """X107 invariants on engineered legs: a doc in BOTH legs'
+    mid-ranks outranks either leg's #1 (the consensus property RRF
+    exists for), contributions follow round(1e12/(60+rank)) exactly,
+    and n_legs counts the contributing rankers."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.text import (
+        RRF_SCALE,
+        rrf_fuse,
+    )
+
+    lex = spark.createDataFrame([(100, 1), (7, 2), (8, 3)], ["doc_id", "rank"])
+    sem = spark.createDataFrame([(200, 1), (7, 2), (9, 3)], ["doc_id", "rank"])
+    out = {r.doc_id: r for r in rrf_fuse([lex, sem], top_n=10).collect()}
+    # doc 7 (rank 2 in both) must beat both single-leg #1s
+    assert out[7].rank == 1 and out[7].n_legs == 2
+    assert out[100].n_legs == 1 and out[200].n_legs == 1
+    assert out[100].rank < out[200].rank or out[100].rank > out[200].rank
+    # exact contribution arithmetic
+    expect_7 = 2 * round(RRF_SCALE / 62) / RRF_SCALE
+    assert out[7].rrf_score == expect_7
+    expect_100 = round(RRF_SCALE / 61) / RRF_SCALE
+    assert out[100].rrf_score == expect_100
+    # 100 vs 200 tie on score -> doc_id break
+    assert out[100].rank == 2 and out[200].rank == 3
