@@ -526,6 +526,7 @@ from aws_kinesis_data_ingestion_restapi_spark.streaming.registry_stream import (
     streaming_enriched_nation_totals,
     streaming_late_data_policy,
     streaming_payment_match,
+    streaming_payment_match_full,
     streaming_payment_match_outer,
     streaming_running_totals_final,
     streaming_session_windows,
@@ -538,6 +539,7 @@ QUERY_FNS["streaming_running_totals_final"] = streaming_running_totals_final
 QUERY_FNS["streaming_enriched_nation_totals"] = streaming_enriched_nation_totals
 QUERY_FNS["streaming_payment_match"] = streaming_payment_match
 QUERY_FNS["streaming_payment_match_outer"] = streaming_payment_match_outer
+QUERY_FNS["streaming_payment_match_full"] = streaming_payment_match_full
 QUERY_FNS["streaming_late_data_policy"] = streaming_late_data_policy
 QUERY_FNS["streaming_session_windows"] = streaming_session_windows
 QUERY_FNS["streaming_sliding_1h_15m"] = streaming_sliding_1h_15m
@@ -1971,6 +1973,34 @@ ORACLE_SQL: dict[str, str] = {
         WHERE delay_hours <= 72
            OR o_ts + INTERVAL 72 HOUR < w
     """,
+    # FULL OUTER: matched + both finalized unmatched tails (left rule
+    # = the leftOuter rule; right rule = watermark passes p_ts, since
+    # candidate orders satisfy o_ts <= p_ts). Boundaries measured then
+    # pinned — see streaming_payment_match_full's docstring.
+    "streaming_payment_match_full": """
+        WITH base AS (
+            SELECT CAST(o_orderkey AS VARCHAR) AS order_key,
+                   CAST(o_custkey AS VARCHAR) AS customer_id,
+                   o_totalprice AS amount,
+                   o_orderdate AS o_ts,
+                   o_orderdate + INTERVAL (o_orderkey % 96) HOUR AS p_ts,
+                   o_orderkey % 96 AS delay_hours
+            FROM orders
+        ),
+        wm AS (SELECT MAX(o_ts) - INTERVAL 1 HOUR AS w FROM base)
+        SELECT order_key, customer_id, amount, delay_hours
+        FROM base WHERE delay_hours <= 72
+        UNION ALL
+        SELECT order_key, customer_id, amount,
+               CAST(NULL AS BIGINT) AS delay_hours
+        FROM base, wm
+        WHERE delay_hours > 72 AND o_ts + INTERVAL 72 HOUR < w
+        UNION ALL
+        SELECT order_key, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+               delay_hours
+        FROM base, wm
+        WHERE delay_hours > 72 AND p_ts < w
+    """,
     "profile_documents": """
         SELECT * FROM (
             SELECT 'lang' AS "column",
@@ -2136,6 +2166,7 @@ _GATE_HEAD = [
     "retrieval_hybrid_rrf",
     "mm_phash_near_dup",
     "streaming_sliding_1h_15m",
+    "streaming_payment_match_full",
     # --- changed in round 8: +ivfpq method row ---
     "ann_recall_audit",
     "ann_recall_clustered",
@@ -2182,9 +2213,9 @@ _GATE_HEAD = [
     "pipeline_orders",
     "pipeline_product_details",
     "pipeline_purchase_details",
-    "pipeline_shipping_addresses",
 ]
 _GATE_TAIL = [
+    "pipeline_shipping_addresses",
     "q11_important_parts",
     "q13_order_count_distribution",
     "q14_promo_revenue",

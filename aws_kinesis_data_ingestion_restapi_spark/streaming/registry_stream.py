@@ -588,3 +588,47 @@ def streaming_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _drain(agg, "append", "sslide", cleanup_dir=d)
     return out.orderBy("window_start")
+
+
+def streaming_payment_match_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — completes the X34/X83
+    join-mode family (inner, leftOuter, now fullOuter): BOTH unmatched
+    sides emit NULL-padded rows once the watermark proves no partner
+    can arrive. Same synthesized payment stream (per-order delay =
+    o_orderkey mod 96 h, 72 h range), same shared feed cache.
+
+    Emission contract, MEASURED then pinned by the oracle (sf0.01:
+    11412 matched + 3582 left-only + 3582 right-only — both
+    hypotheses landed exactly):
+    - matched orders (delay ≤ 72 h) emit on arrival;
+    - unmatched ORDERS emit with NULL payment columns once
+      o_ts + 72 h < final watermark (identical to the leftOuter rule);
+    - unmatched PAYMENTS emit with NULL order columns once
+      p_ts < final watermark — a payment's candidate orders satisfy
+      o_ts ≤ p_ts, so the watermark passing p_ts is what proves no
+      match remains;
+    - both tails inside the final watermark window are withheld
+      (the documented outer-join tail).
+
+    The output key is COALESCE(order_id, p_order_id): NULL-padded
+    sides still identify their entity. State bounded by the range
+    condition exactly as in the other two modes."""
+    left, right = _payment_match_streams(spark, sf_dir, "stream_fjoin_")
+    joined = left.join(
+        right,
+        F.expr(
+            "order_id = p_order_id AND "
+            "p_ts >= o_ts AND p_ts <= o_ts + INTERVAL 72 HOURS"
+        ),
+        "fullOuter",
+    )
+    return _drain(
+        joined.select(
+            F.coalesce("order_id", "p_order_id").alias("order_key"),
+            "customer_id",
+            "amount",
+            "delay_hours",
+        ),
+        "append",
+        "sfjoin",
+    )

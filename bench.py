@@ -223,6 +223,7 @@ ANALYTICS_QUERIES = [
     "streaming_enriched_nation_totals",
     "streaming_payment_match",
     "streaming_payment_match_outer",
+    "streaming_payment_match_full",
     "streaming_late_data_policy",
     "streaming_session_windows",
     "streaming_sliding_1h_15m",
@@ -387,6 +388,7 @@ BENCH_KEY_ALIASES = {
     "events_value_hour_corr": "vhcorr",
     "events_daily_trend": "dtrend",
     "streaming_payment_match_outer": "stouter",
+    "streaming_payment_match_full": "stfull",
     "events_attribution": "attrib",
     # round-6 additions (final line only, 1:1)
     "pipeline_compaction": "plcomp",
