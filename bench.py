@@ -293,7 +293,7 @@ BENCH_KEY_ALIASES = {
     "text_pack_sequences": "tpk",
     "dedup_exact_recrawl": "dexact",
     "dedup_ngram_jaccard": "ngram",
-    "dedup_simhash_pairs": "simhash",
+    "dedup_simhash_pairs": "sh",
     "dedup_contamination": "contam",
     "mm_extract_features": "mmfeat",
     "asof_priority_rates": "asof",
@@ -302,7 +302,7 @@ BENCH_KEY_ALIASES = {
     "events_json_props": "ejson",
     "profile_documents": "profile",
     "incremental_sales_rollup": "incr",
-    "dedup_minhash_lsh": "minhash",
+    "dedup_minhash_lsh": "mh",
     "dedup_incremental_delta": "incrd",
     "text_quality_score": "tquality",
     "text_language_id": "tlang",
@@ -327,7 +327,7 @@ BENCH_KEY_ALIASES = {
     "pipeline_streaming_drain": "plstr",
     "top_orders_per_customer": "topord",
     "events_value_histogram": "ehist",
-    "emb_near_dup_lsh_multi": "ndmulti",
+    "emb_near_dup_lsh_multi": "ndm",
     "emb_near_dup_lsh": "ndlsh",
     "ann_topk_brute": "annb",
     "ann_topk_lsh": "ann_lsh",
@@ -393,12 +393,12 @@ BENCH_KEY_ALIASES = {
     # round-6 additions (final line only, 1:1)
     "pipeline_compaction": "plcomp",
     "salted_lineitem_agg": "sagg",
-    "ann_recall_audit": "recall",
-    "ann_recall_clustered": "recallc",
+    "ann_recall_audit": "rca",
+    "ann_recall_clustered": "rcc",
     "dedup_lsh_quality": "lshq",
     "dedup_signal_agreement": "sigagree",
     "events_zorder_scan": "zscan",
-    "ann_topk_lsh_multi": "annlshm",
+    "ann_topk_lsh_multi": "alm",
     "text_build_postings": "post",
     "text_model_quality": "ftq",
     "curation_source_caps": "srccap",
