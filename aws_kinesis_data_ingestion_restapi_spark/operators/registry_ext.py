@@ -985,6 +985,20 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.topk_ivfpq(_embs(spark, sf_dir), n_queries=10, k=5)
 
 
+def ann_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X109: Matryoshka-style dimension-truncation recall audit
+    (arXiv 2205.13147 evaluation): exact top-k over the first
+    d ∈ {8,16,32,64} quantized components scored against the full-64
+    truth, on the clustered fixture (the geometry where prefix
+    capacity is measurable — raw-corpus numbers sit near the random
+    floor). The d=64 row is recall 1.0 by construction. Measured at
+    sf0.01: 0.12 / 0.32 / 0.38 / 1.0. See
+    similarity.truncation_recall_audit."""
+    return similarity.truncation_recall_audit(
+        similarity.clustered_embeddings(_embs(spark, sf_dir))
+    )
+
+
 def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X88: the ANN QUALITY metric the X6/X66 family was missing
     (VERDICT r5 stretch ask): recall@k of every approximate top-k
@@ -1474,6 +1488,7 @@ EXT_QUERY_FNS = {
     "ann_topk_ivfpq": ann_topk_ivfpq,
     "ann_recall_audit": ann_recall_audit,
     "ann_recall_clustered": ann_recall_clustered,
+    "ann_truncation_audit": ann_truncation_audit,
     "emb_near_dup": emb_near_dup,
     "emb_near_dup_lsh": emb_near_dup_lsh,
     "emb_near_dup_lsh_multi": emb_near_dup_lsh_multi,
@@ -3691,4 +3706,88 @@ EXT_ORACLE_SQL["retrieval_hybrid_rrf"] = f"""
     )
     WHERE rank <= 10
     ORDER BY rank
+"""
+
+
+# truncation audit: per prefix length d, exact top-5 over components
+# i <= d (slice AFTER quantization, identical integer arithmetic),
+# scored against the full-dim truth; embeddings CTE shadows the view
+# with the clustered fixture exactly as ann_recall_clustered does
+EXT_ORACLE_SQL["ann_truncation_audit"] = f"""
+    WITH embeddings AS ({_CLUSTERED_EMB}),
+    comp AS ({_COMP}),
+    truth AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY SUM(a.qx * b.qx) DESC, b.vec_id) AS r
+            FROM comp a
+            JOIN comp b ON b.i = a.i AND b.vec_id != a.vec_id
+            WHERE a.vec_id < 10
+            GROUP BY a.vec_id, b.vec_id
+        ) WHERE r <= 5
+    ),
+    hits AS (
+        SELECT 8 AS dim, COUNT(*) AS n_hits
+        FROM (
+            SELECT query_id, neighbor_id FROM (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY SUM(a.qx * b.qx) DESC, b.vec_id) AS r
+                FROM comp a
+                JOIN comp b ON b.i = a.i AND b.vec_id != a.vec_id
+                WHERE a.vec_id < 10 AND a.i <= 8 AND b.i <= 8
+                GROUP BY a.vec_id, b.vec_id
+            ) WHERE r <= 5
+        ) t JOIN truth USING (query_id, neighbor_id)
+        UNION ALL
+        SELECT 16 AS dim, COUNT(*) AS n_hits
+        FROM (
+            SELECT query_id, neighbor_id FROM (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY SUM(a.qx * b.qx) DESC, b.vec_id) AS r
+                FROM comp a
+                JOIN comp b ON b.i = a.i AND b.vec_id != a.vec_id
+                WHERE a.vec_id < 10 AND a.i <= 16 AND b.i <= 16
+                GROUP BY a.vec_id, b.vec_id
+            ) WHERE r <= 5
+        ) t JOIN truth USING (query_id, neighbor_id)
+        UNION ALL
+        SELECT 32 AS dim, COUNT(*) AS n_hits
+        FROM (
+            SELECT query_id, neighbor_id FROM (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY SUM(a.qx * b.qx) DESC, b.vec_id) AS r
+                FROM comp a
+                JOIN comp b ON b.i = a.i AND b.vec_id != a.vec_id
+                WHERE a.vec_id < 10 AND a.i <= 32 AND b.i <= 32
+                GROUP BY a.vec_id, b.vec_id
+            ) WHERE r <= 5
+        ) t JOIN truth USING (query_id, neighbor_id)
+        UNION ALL
+        SELECT 64 AS dim, COUNT(*) AS n_hits
+        FROM (
+            SELECT query_id, neighbor_id FROM (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY SUM(a.qx * b.qx) DESC, b.vec_id) AS r
+                FROM comp a
+                JOIN comp b ON b.i = a.i AND b.vec_id != a.vec_id
+                WHERE a.vec_id < 10 AND a.i <= 64 AND b.i <= 64
+                GROUP BY a.vec_id, b.vec_id
+            ) WHERE r <= 5
+        ) t JOIN truth USING (query_id, neighbor_id)
+    )
+    SELECT dim, CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(50 AS BIGINT) AS n_truth,
+           CAST(n_hits AS DOUBLE) / 50.0 AS recall_at_k
+    FROM hits
+    ORDER BY dim
 """

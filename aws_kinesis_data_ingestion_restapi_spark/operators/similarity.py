@@ -1045,3 +1045,80 @@ def kmeans_step(
         )
         .orderBy("cell_id")
     )
+
+
+TRUNC_DIMS = (8, 16, 32, 64)  # truncation audit prefix lengths
+
+
+def truncation_recall_audit(
+    embs: DataFrame,
+    dims: tuple = TRUNC_DIMS,
+    n_queries: int = 10,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Dimension-truncation recall audit — the evaluation behind
+    Matryoshka-style embedding deployment (Kusupati et al. 2022,
+    arXiv 2205.13147: serve the first d components of a D-dim
+    embedding and pay d/D of the storage/compute): for each prefix
+    length d, exact top-k by dot product over ONLY the first d
+    quantized components, scored as recall@k against the full-D
+    truth. The capacity-vs-cost curve a 100 TB vector store reads
+    before deciding what to keep hot.
+
+    Same exactness protocol as the other audits: scaled-int64 dot
+    products on the sliced prefix (slice happens AFTER quantization,
+    so the oracle replays it with the identical integer arithmetic),
+    neighbor-id tie-breaks, exact integer intersection counts, one
+    final division. The d = full-dimension row is recall 1.0 BY
+    CONSTRUCTION (it IS the truth query) — pinned in pytest as the
+    audit's self-consistency anchor.
+
+    Scale shape: one broadcast query panel per d against the corpus
+    scan (the topk_brute shape — no corpus shuffle beyond the top-k
+    window), truth computed once; panel-sized joins score it."""
+    truth = (
+        topk_brute(embs, n_queries=n_queries, k=k, id_col=id_col)
+        .select("query_id", "neighbor_id")
+    )
+    from aws_kinesis_data_ingestion_restapi_spark.operators.ckpt import (
+        materialize,
+    )
+
+    truth = materialize(truth)
+    base = embs.select(F.col(id_col), quantized().alias("v"))
+    out = None
+    for d in dims:
+        sliced = base.select(
+            id_col, F.slice("v", 1, d).alias("v")
+        )
+        q = sliced.filter(F.col(id_col) < n_queries).select(
+            F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+        )
+        c = sliced.select(
+            F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv")
+        )
+        scored = c.join(
+            F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+        ).select(
+            "query_id",
+            "neighbor_id",
+            dot_i(F.col("qv"), F.col("cv")).alias("_score_i"),
+        )
+        hits = (
+            _topk(scored, k)
+            .select("query_id", "neighbor_id")
+            .join(truth, ["query_id", "neighbor_id"])
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(F.lit(d).alias("dim"), "n_hits")
+        )
+        out = hits if out is None else out.unionByName(hits)
+    n_truth = n_queries * k
+    return out.select(
+        "dim",
+        F.col("n_hits").cast("long"),
+        F.lit(n_truth).cast("long").alias("n_truth"),
+        (F.col("n_hits").cast("double") / F.lit(float(n_truth))).alias(
+            "recall_at_k"
+        ),
+    ).orderBy("dim")

@@ -2170,6 +2170,7 @@ _GATE_HEAD = [
     # --- changed in round 8: +ivfpq method row ---
     "ann_recall_audit",
     "ann_recall_clustered",
+    "ann_truncation_audit",
     # --- ckpt lazy-path release fix riders ---
     "dedup_components",
     "graph_pagerank_suppliers",
@@ -2212,9 +2213,9 @@ _GATE_HEAD = [
     "parts_abc_analysis",
     "pipeline_orders",
     "pipeline_product_details",
-    "pipeline_purchase_details",
 ]
 _GATE_TAIL = [
+    "pipeline_purchase_details",
     "pipeline_shipping_addresses",
     "q11_important_parts",
     "q13_order_count_distribution",

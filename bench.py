@@ -196,6 +196,7 @@ ANALYTICS_QUERIES = [
     "ann_topk_lsh_multi",
     "ann_recall_audit",
     "ann_recall_clustered",
+    "ann_truncation_audit",
     "emb_near_dup_lsh",
     "emb_kmeans_step",
     "emb_pq_codes",
@@ -395,6 +396,7 @@ BENCH_KEY_ALIASES = {
     "salted_lineitem_agg": "sagg",
     "ann_recall_audit": "rca",
     "ann_recall_clustered": "rcc",
+    "ann_truncation_audit": "trunc",
     "dedup_lsh_quality": "lshq",
     "dedup_signal_agreement": "sigagree",
     "events_zorder_scan": "zscan",

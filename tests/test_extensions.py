@@ -2382,3 +2382,20 @@ def test_rrf_fuse_reference_semantics(spark):
     assert out[100].rrf_score == expect_100
     # 100 vs 200 tie on score -> doc_id break
     assert out[100].rank == 2 and out[200].rank == 3
+
+
+def test_truncation_audit_full_dim_is_truth(spark):
+    """X109 self-consistency: the full-dimension row of the truncation
+    audit must be recall 1.0 exactly (it IS the truth ranking), and
+    every prefix recall lies in [0, 1] with the full-dim row maximal.
+    On the clustered fixture the measured prefix curve is monotone —
+    asserted loosely (d=8 <= d=32) to stay robust to fixture noise."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import similarity
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ce = similarity.clustered_embeddings(embs)
+    rows = {r.dim: r for r in similarity.truncation_recall_audit(ce).collect()}
+    assert rows[64].recall_at_k == 1.0 and rows[64].n_hits == 50
+    for d, r in rows.items():
+        assert 0.0 <= r.recall_at_k <= 1.0 and r.n_truth == 50
+    assert rows[8].recall_at_k <= rows[32].recall_at_k <= 1.0
