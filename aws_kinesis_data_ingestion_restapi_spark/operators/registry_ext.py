@@ -187,6 +187,39 @@ def docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.train_val_test_split(_docs(spark, sf_dir))
 
 
+def docs_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X110: LEAKAGE-SAFE train/val/test assignment — the fix for the
+    contamination X80's per-document hash split cannot prevent: when
+    near-duplicates of one document land in different splits, the
+    test set is contaminated by construction (the documented eval
+    hazard of duplicated web corpora — e.g. Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better", §6).
+    The split hash is taken over the near-dup COMPONENT id (the
+    MinHash-LSH transitive closure every dedup query shares via the
+    session label cache), so an entire duplicate cluster moves as one
+    unit and NO LSH near-dup pair can ever straddle a split —
+    pinned in pytest over the actual pair graph. Same 90/5/5
+    md5-bucket arithmetic as X80; singletons hash like before (their
+    component id is their own doc_id)."""
+    comp = _lsh_component_labels(spark, sf_dir)
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("component").cast("string")), 1, 7), 16, 10
+        ).cast("long")
+        % 100
+    )
+    return (
+        comp.select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("component_id"),
+            F.when(h < 90, "train").when(h < 95, "val").otherwise("test").alias(
+                "split"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X81: data-mixture token allocation under a global budget
     (sampling.mixture_plan)."""
@@ -1446,6 +1479,7 @@ EXT_QUERY_FNS = {
     "graph_triangles_cosupply": graph_triangles_cosupply,
     "docs_sample_fixed": docs_sample_fixed,
     "docs_split_assign": docs_split_assign,
+    "docs_split_leakage_safe": docs_split_leakage_safe,
     "corpus_mixture_plan": corpus_mixture_plan,
     "text_repetition": text_repetition,
     "text_bm25_search": text_bm25_search,
@@ -3790,4 +3824,23 @@ EXT_ORACLE_SQL["ann_truncation_audit"] = f"""
            CAST(n_hits AS DOUBLE) / 50.0 AS recall_at_k
     FROM hits
     ORDER BY dim
+"""
+
+
+# leakage-safe split: the components closure (same spliced minhash
+# oracle, nested as a subquery) hashed on the COMPONENT id with X80's
+# 90/5/5 arithmetic
+EXT_ORACLE_SQL["docs_split_leakage_safe"] = f"""
+    WITH hashed AS (
+        SELECT doc_id, component_id,
+               CAST(concat('0x', substr(md5(CAST(component_id AS VARCHAR)),
+                                        1, 7)) AS BIGINT) % 100 AS h
+        FROM ({EXT_ORACLE_SQL["dedup_components"]})
+    )
+    SELECT doc_id, component_id,
+           CASE WHEN h < 90 THEN 'train'
+                WHEN h < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM hashed
+    ORDER BY doc_id
 """

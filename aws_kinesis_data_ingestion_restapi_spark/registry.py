@@ -2212,9 +2212,9 @@ _GATE_HEAD = [
     "events_value_hour_corr",
     "parts_abc_analysis",
     "pipeline_orders",
-    "pipeline_product_details",
 ]
 _GATE_TAIL = [
+    "pipeline_product_details",
     "pipeline_purchase_details",
     "pipeline_shipping_addresses",
     "q11_important_parts",
@@ -2251,6 +2251,7 @@ _GATE_TAIL = [
     "ann_topk_ivf",
     "dedup_components_star",
     "dedup_canonical_docs",
+    "docs_split_leakage_safe",
     "dedup_minhash_lsh",
     "dedup_ensemble",
     "graph_triangles_cosupply",

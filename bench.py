@@ -170,6 +170,7 @@ ANALYTICS_QUERIES = [
     "curation_source_caps",
     "docs_sample_fixed",
     "docs_split_assign",
+    "docs_split_leakage_safe",
     "corpus_mixture_plan",
     "dedup_exact_recrawl",
     "dedup_substring_hotspots",
@@ -385,6 +386,7 @@ BENCH_KEY_ALIASES = {
     "emb_kmeans_step": "kmeans",
     "docs_sample_fixed": "fixk",
     "docs_split_assign": "tvt",
+    "docs_split_leakage_safe": "tvtc",
     "corpus_mixture_plan": "mixplan",
     "events_value_hour_corr": "vhcorr",
     "events_daily_trend": "dtrend",

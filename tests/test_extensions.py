@@ -2399,3 +2399,47 @@ def test_truncation_audit_full_dim_is_truth(spark):
     for d, r in rows.items():
         assert 0.0 <= r.recall_at_k <= 1.0 and r.n_truth == 50
     assert rows[8].recall_at_k <= rows[32].recall_at_k <= 1.0
+
+
+def test_leakage_safe_split_no_pair_straddles(spark):
+    """X110 contract: every MinHash-LSH near-dup pair must land in ONE
+    split (the whole point — X80's per-doc hash provably violates
+    this when any component is non-trivial), components map 1:1 to
+    splits, and the 90/5/5 buckets are all populated."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        _minhash_pairs,
+        docs_split_leakage_safe,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = docs_split_leakage_safe(spark, sf)
+    assign = {r.doc_id: (r.component_id, r.split) for r in out.collect()}
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in _minhash_pairs(spark, sf).select("doc_a", "doc_b").collect()
+    ]
+    assert pairs, "fixture must contain near-dup pairs for this to test anything"
+    for a, b in pairs:
+        assert assign[a][1] == assign[b][1], (a, b)
+        assert assign[a][0] == assign[b][0]
+    comp_splits = {}
+    for comp, split in assign.values():
+        comp_splits.setdefault(comp, set()).add(split)
+    assert all(len(v) == 1 for v in comp_splits.values())
+    assert {s for _, s in assign.values()} == {"train", "val", "test"}
+    # and the per-DOC hash (X80) would have straddled at least one
+    # non-trivial component on this fixture — the hazard is real here
+    import hashlib
+
+    def doc_split(d):
+        h = int(hashlib.md5(str(d).encode()).hexdigest()[:7], 16) % 100
+        return "train" if h < 90 else ("val" if h < 95 else "test")
+
+    nontrivial = [c for c, n in
+                  __import__("collections").Counter(
+                      c for c, _ in assign.values()).items() if n > 1]
+    straddled = any(
+        len({doc_split(d) for d, (c, _) in assign.items() if c == comp}) > 1
+        for comp in nontrivial
+    )
+    assert straddled, "fixture too uniform to demonstrate the hazard"
