@@ -2176,6 +2176,7 @@ _GATE_HEAD = [
     "graph_pagerank_suppliers",
     "graph_kcore_purchases",
     "dedup_incremental_delta",
+    "docs_split_leakage_safe",
     # --- stalest driver greens: the full r4-era block ---
     "dedup_substring_hotspots",
     "docs_expectations",
@@ -2251,7 +2252,6 @@ _GATE_TAIL = [
     "ann_topk_ivf",
     "dedup_components_star",
     "dedup_canonical_docs",
-    "docs_split_leakage_safe",
     "dedup_minhash_lsh",
     "dedup_ensemble",
     "graph_triangles_cosupply",
