@@ -284,7 +284,7 @@ BENCH_KEY_ALIASES = {
     # remaining long tail (still 1:1, final line only).
     "q5_local_supplier_volume": "q5l",
     "customer_running_spend": "rsp",
-    "events_sessionization": "sess",
+    "events_sessionization": "ses",
     "salted_priority_sales": "ssal",
     "top_parts_by_revenue": "tpp",
     "q3_shipping_priority": "q3ship",
@@ -314,9 +314,9 @@ BENCH_KEY_ALIASES = {
     "docs_expectations": "dexpect",
     "text_bm25_search": "bm25",
     "retrieval_hybrid_rrf": "rrf",
-    "events_rolling_hour_avg": "ravg",
-    "events_ntile_quartiles": "ntile",
-    "events_value_outliers_mad": "emad",
+    "events_rolling_hour_avg": "rav",
+    "events_ntile_quartiles": "ntl",
+    "events_value_outliers_mad": "emd",
     "dedup_substring_hotspots": "substr",
     "q4_late_order_priority": "q4late",
     "q9_red_parts_profit": "q9p",
@@ -328,7 +328,7 @@ BENCH_KEY_ALIASES = {
     "pipeline_partition_scan": "plpart",
     "pipeline_streaming_drain": "plstr",
     "top_orders_per_customer": "topord",
-    "events_value_histogram": "ehist",
+    "events_value_histogram": "ehi",
     "emb_near_dup_lsh_multi": "ndm",
     "emb_near_dup_lsh": "ndlsh",
     "ann_topk_brute": "annb",
@@ -337,16 +337,16 @@ BENCH_KEY_ALIASES = {
     "cdc_scd2_history": "scd2",
     "streaming_session_windows": "stsess",
     "streaming_sliding_1h_15m": "stsl",
-    "customer_retention": "reten",
+    "customer_retention": "ret",
     "payment_type_share": "psh",
-    "events_cohort_retention": "cohort",
+    "events_cohort_retention": "coh",
     "text_quality_sample": "qsamp",
     "sales_yoy_full_outer": "yoyf",
     "graph_pagerank_suppliers": "pgr",
     "graph_kcore_purchases": "kcore",
     "sql_recursive_rollup": "recur",
-    "events_concurrency_curve": "concur",
-    "events_transition_matrix": "transit",
+    "events_concurrency_curve": "conc",
+    "events_transition_matrix": "trans",
     "emb_pq_codes": "pq_codes",
     "ann_topk_pq": "ann_pq",
     "ann_topk_ivfpq": "ivfpq",
@@ -392,7 +392,7 @@ BENCH_KEY_ALIASES = {
     "events_daily_trend": "dtrend",
     "streaming_payment_match_outer": "stouter",
     "streaming_payment_match_full": "stfull",
-    "events_attribution": "attrib",
+    "events_attribution": "attr",
     # round-6 additions (final line only, 1:1)
     "pipeline_compaction": "plcomp",
     "salted_lineitem_agg": "sagg",
