@@ -1032,6 +1032,20 @@ def ann_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X111: hard-negative mining for contrastive training (the DPR
+    recipe): per panel query, the top-5 most similar CLUSTERED-fixture
+    vectors from a DIFFERENT cluster (label = vec_id mod 8 — the
+    fixture's ground-truth class), exact scaled-int scoring. The
+    negatives that matter are precisely the near-but-wrong ones.
+    See similarity.hard_negatives."""
+    embs = similarity.clustered_embeddings(_embs(spark, sf_dir))
+    labels = embs.select(
+        "vec_id", (F.col("vec_id") % 8).cast("long").alias("label")
+    )
+    return similarity.hard_negatives(embs, labels, n_queries=10, k=5)
+
+
 def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X88: the ANN QUALITY metric the X6/X66 family was missing
     (VERDICT r5 stretch ask): recall@k of every approximate top-k
@@ -1523,6 +1537,7 @@ EXT_QUERY_FNS = {
     "ann_recall_audit": ann_recall_audit,
     "ann_recall_clustered": ann_recall_clustered,
     "ann_truncation_audit": ann_truncation_audit,
+    "emb_hard_negatives": emb_hard_negatives,
     "emb_near_dup": emb_near_dup,
     "emb_near_dup_lsh": emb_near_dup_lsh,
     "emb_near_dup_lsh_multi": emb_near_dup_lsh_multi,
@@ -3843,4 +3858,34 @@ EXT_ORACLE_SQL["docs_split_leakage_safe"] = f"""
                 ELSE 'test' END AS split
     FROM hashed
     ORDER BY doc_id
+"""
+
+
+# hard negatives: clustered-fixture corpus, label = vec_id % 8, top-5
+# cross-label by exact quantized dot per panel query
+EXT_ORACLE_SQL["emb_hard_negatives"] = f"""
+    WITH embeddings AS ({_CLUSTERED_EMB}),
+    comp AS ({_COMP}),
+    dots AS (
+        SELECT a.vec_id AS query_id,
+               a.vec_id % 8 AS query_label,
+               b.vec_id AS neighbor_id,
+               b.vec_id % 8 AS negative_label,
+               SUM(a.qx * b.qx) AS sc
+        FROM comp a
+        JOIN comp b ON b.i = a.i AND b.vec_id != a.vec_id
+        WHERE a.vec_id < 10 AND a.vec_id % 8 != b.vec_id % 8
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT query_id, CAST(query_label AS BIGINT) AS query_label,
+           neighbor_id, CAST(negative_label AS BIGINT) AS negative_label,
+           CAST(rank AS INT) AS rank,
+           CAST(sc AS DOUBLE) / 100000000.0 AS score
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY sc DESC, neighbor_id) AS rank
+        FROM dots
+    )
+    WHERE rank <= 5
+    ORDER BY query_id, rank
 """

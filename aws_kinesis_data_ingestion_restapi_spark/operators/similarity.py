@@ -1122,3 +1122,65 @@ def truncation_recall_audit(
             "recall_at_k"
         ),
     ).orderBy("dim")
+
+
+def hard_negatives(
+    embs: DataFrame,
+    labels: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Hard-negative mining — the contrastive-training data step
+    (dense-retrieval training à la DPR, Karpukhin et al. 2020: the
+    negatives that move the model are the ones the CURRENT embedding
+    space ranks closest while being wrong): for each panel query, the
+    top-k most similar corpus vectors whose LABEL differs from the
+    query's. ``labels`` is any (id_col, label) frame — class ids,
+    source domains, near-dup components.
+
+    Exactness protocol as everywhere in this module: scaled-int64 dot
+    products, neighbor-id tie-breaks. Scale shape: labels join the
+    corpus by id (AQE-broadcast when small), the query panel is
+    broadcast against one corpus scan, and the label-mismatch filter
+    prunes BEFORE the per-query top-k window — the shuffle carries
+    candidate rows, not the corpus."""
+    lab = labels.select(F.col(id_col), F.col("label"))
+    base = embs.select(F.col(id_col), quantized().alias("v")).join(lab, id_col)
+    q = base.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    c = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("label").alias("clabel"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .filter(F.col("qlabel") != F.col("clabel"))
+        .select(
+            "query_id",
+            F.col("qlabel").alias("query_label"),
+            "neighbor_id",
+            F.col("clabel").alias("negative_label"),
+            dot_i(F.col("qv"), F.col("cv")).alias("_score_i"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_score_i").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "negative_label",
+            "rank",
+            unscale(F.col("_score_i")).alias("score"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -2171,6 +2171,7 @@ _GATE_HEAD = [
     "ann_recall_audit",
     "ann_recall_clustered",
     "ann_truncation_audit",
+    "emb_hard_negatives",
     # --- ckpt lazy-path release fix riders ---
     "dedup_components",
     "graph_pagerank_suppliers",
@@ -2212,9 +2213,9 @@ _GATE_HEAD = [
     "events_daily_trend",
     "events_value_hour_corr",
     "parts_abc_analysis",
-    "pipeline_orders",
 ]
 _GATE_TAIL = [
+    "pipeline_orders",
     "pipeline_product_details",
     "pipeline_purchase_details",
     "pipeline_shipping_addresses",

@@ -198,6 +198,7 @@ ANALYTICS_QUERIES = [
     "ann_recall_audit",
     "ann_recall_clustered",
     "ann_truncation_audit",
+    "emb_hard_negatives",
     "emb_near_dup_lsh",
     "emb_kmeans_step",
     "emb_pq_codes",
@@ -366,13 +367,13 @@ BENCH_KEY_ALIASES = {
     "sketch_value_quantiles": "qsk",
     "events_type_value_quantiles": "qskg",
     "events_drift_tvd": "tvd",
-    "parts_abc_analysis": "abc",
-    "brand_basket_affinity": "basket",
-    "text_vocab_growth": "vocab",
+    "parts_abc_analysis": "ab",
+    "brand_basket_affinity": "bskt",
+    "text_vocab_growth": "voc",
     "text_bpe_merges": "bpe",
     "text_bpe_segment": "bpeseg",
     "text_dsir_importance": "dsir",
-    "sales_monthly_yoy": "yoymon",
+    "sales_monthly_yoy": "yoym",
     "q14_promo_revenue": "q14p",
     # round-5 additions (final line only, 1:1)
     "q2_min_cost_supplier": "q2m",
@@ -382,7 +383,7 @@ BENCH_KEY_ALIASES = {
     "q15_top_supplier": "q15_top",
     "q20_promotion_suppliers": "q20p",
     "salted_events_join": "sjoin",
-    "text_collocations": "colloc",
+    "text_collocations": "coll",
     "emb_kmeans_step": "kmeans",
     "docs_sample_fixed": "fixk",
     "docs_split_assign": "tvt",
@@ -399,6 +400,7 @@ BENCH_KEY_ALIASES = {
     "ann_recall_audit": "rca",
     "ann_recall_clustered": "rcc",
     "ann_truncation_audit": "trunc",
+    "emb_hard_negatives": "hneg",
     "dedup_lsh_quality": "lshq",
     "dedup_signal_agreement": "sigagree",
     "events_zorder_scan": "zscan",

@@ -2443,3 +2443,37 @@ def test_leakage_safe_split_no_pair_straddles(spark):
         for comp in nontrivial
     )
     assert straddled, "fixture too uniform to demonstrate the hazard"
+
+
+def test_hard_negatives_cross_label_only(spark):
+    """X111 contract: every mined negative carries a label different
+    from its query's, rows are exactly k per query, and on an
+    engineered geometry the mined negative IS the nearest cross-label
+    vector (not merely any cross-label one)."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    # label 0: x-axis cluster; label 1: y-axis; a "hard" y vector sits
+    # close to x (0.8, 0.6) while an easy one is pure y
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),
+        (10, [0.8, 0.6, 0.0, 0.0]),   # hard negative for label 0
+        (11, [0.0, 1.0, 0.0, 0.0]),   # easy negative
+    ]
+    embs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    labels = spark.createDataFrame(
+        [(0, 0), (1, 0), (10, 1), (11, 1)], ["vec_id", "label"]
+    )
+    out = hard_negatives(embs, labels, n_queries=1, k=2).collect()
+    assert [r.neighbor_id for r in out] == [10, 11]  # hard one first
+    assert all(r.query_label == 0 and r.negative_label == 1 for r in out)
+    # registry fixture: k rows per query, all cross-label
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        emb_hard_negatives,
+    )
+
+    got = emb_hard_negatives(spark, "/root/testdata/sf0.001").collect()
+    assert len(got) == 50
+    assert all(r.query_label != r.negative_label for r in got)
