@@ -727,9 +727,10 @@ def _word_freqs(docs: DataFrame, text_col: str) -> DataFrame:
 
 def _bpe_loop(words: DataFrame, k: int):
     """The shared k-round merge loop: returns (merge rows, final token
-    table). See bpe_merges for the algorithm and scale notes."""
-    from pyspark.sql.window import Window
-
+    table). See bpe_merges for the algorithm and scale notes. Each
+    round's PLAN comes from :func:`_bpe_round` (the pure-plan seam the
+    shuffle-count test pins); this loop adds the lineage truncation
+    (materialize per round) that keeps plan depth O(1) in k."""
     from aws_kinesis_data_ingestion_restapi_spark.operators.ckpt import (
         materialize,
     )
@@ -743,10 +744,40 @@ def _bpe_loop(words: DataFrame, k: int):
     )
     toks = materialize(toks, eager=True)
 
-    ww = Window.partitionBy("word").orderBy("pos")
     out = None
     for rnd in range(1, k + 1):
-        a = toks.withColumn("nxt", F.lead("tok").over(ww))
+        top, new_toks = _bpe_round(toks)
+        top = materialize(top, eager=True)
+        # rebuild the re-segmentation over the MATERIALIZED top (the
+        # unmaterialized plan would recompute the pair aggregate
+        # inside the broadcast)
+        _, new_toks = _bpe_round(toks, top=top)
+        row = top.select(
+            F.lit(rnd).alias("round"),
+            "left_sym",
+            "right_sym",
+            F.concat("left_sym", "right_sym").alias("merged"),
+            F.col("pair_count").cast("long"),
+        )
+        out = row if out is None else out.unionByName(row)
+        toks = materialize(new_toks, eager=True)
+    return out, toks
+
+
+def _bpe_round(toks: DataFrame, top: DataFrame | None = None):
+    """ONE BPE merge round as a pure plan over a (word, freq, pos,
+    tok) token table: returns (top pair frame, re-segmented token
+    table). Factored out so tests can pin the round's physical shape
+    — every window (candidate lead, island rank, parity rank,
+    absorbed lag, dense re-position) partitions by ``word``, so Spark
+    plans ONE word-layout Exchange for the whole re-segmentation; the
+    pair count is the only other shuffle, and the top pair reaches the
+    candidates as a 1-row broadcast."""
+    from pyspark.sql.window import Window
+
+    ww = Window.partitionBy("word").orderBy("pos")
+    a = toks.withColumn("nxt", F.lead("tok").over(ww))
+    if top is None:
         top = (
             a.filter(F.col("nxt").isNotNull())
             .groupBy(F.col("tok").alias("left_sym"), F.col("nxt").alias("right_sym"))
@@ -758,56 +789,46 @@ def _bpe_loop(words: DataFrame, k: int):
             )
             .limit(1)
         )
-        top = materialize(top, eager=True)
-        row = top.select(
-            F.lit(rnd).alias("round"),
-            "left_sym",
-            "right_sym",
-            F.concat("left_sym", "right_sym").alias("merged"),
-            F.col("pair_count").cast("long"),
+    # re-segment: mark candidates, greedy-select via island parity,
+    # absorb successors, re-issue dense positions
+    # LEFT join against the 1-row broadcast top: when the vocabulary
+    # is exhausted (empty top) re-segmentation must be the IDENTITY,
+    # not an empty frame — bpe_segment returns the final token table,
+    # which must survive idle rounds
+    c = a.join(F.broadcast(top), F.lit(True), "left").withColumn(
+        "cand",
+        (F.col("tok") == F.col("left_sym"))
+        & (F.col("nxt") == F.col("right_sym")),
+    )
+    wc = Window.partitionBy("word", "cand").orderBy("pos")
+    g = c.withColumn(
+        "grp",
+        F.when(F.col("cand"), F.col("pos") - F.row_number().over(wc)),
+    )
+    wg = Window.partitionBy("word", "grp").orderBy("pos")
+    # coalesce: cand is NULL on last-of-word rows (nxt NULL) and on
+    # idle rounds — NULL sel would null-propagate through
+    # lag(absorbed) and silently drop rows at the filter
+    s = g.withColumn(
+        "sel",
+        F.coalesce(
+            F.col("cand") & (F.row_number().over(wg) % 2 == 1),
+            F.lit(False),
+        ),
+    )
+    r = s.withColumn("absorbed", F.lag("sel", 1, False).over(ww))
+    new_toks = (
+        r.filter(~F.col("absorbed"))
+        .select(
+            "word",
+            "freq",
+            F.row_number().over(ww).alias("pos"),
+            F.when(F.col("sel"), F.concat("tok", "nxt"))
+            .otherwise(F.col("tok"))
+            .alias("tok"),
         )
-        out = row if out is None else out.unionByName(row)
-        # re-segment: mark candidates, greedy-select via island parity,
-        # absorb successors, re-issue dense positions
-        # LEFT join against the 1-row broadcast top: when the
-        # vocabulary is exhausted (empty top) re-segmentation must be
-        # the IDENTITY, not an empty frame — bpe_segment returns the
-        # final token table, which must survive idle rounds
-        c = a.join(F.broadcast(top), F.lit(True), "left").withColumn(
-            "cand",
-            (F.col("tok") == F.col("left_sym"))
-            & (F.col("nxt") == F.col("right_sym")),
-        )
-        wc = Window.partitionBy("word", "cand").orderBy("pos")
-        g = c.withColumn(
-            "grp",
-            F.when(F.col("cand"), F.col("pos") - F.row_number().over(wc)),
-        )
-        wg = Window.partitionBy("word", "grp").orderBy("pos")
-        # coalesce: cand is NULL on last-of-word rows (nxt NULL) and
-        # on idle rounds — NULL sel would null-propagate through
-        # lag(absorbed) and silently drop rows at the filter
-        s = g.withColumn(
-            "sel",
-            F.coalesce(
-                F.col("cand") & (F.row_number().over(wg) % 2 == 1),
-                F.lit(False),
-            ),
-        )
-        r = s.withColumn("absorbed", F.lag("sel", 1, False).over(ww))
-        toks = (
-            r.filter(~F.col("absorbed"))
-            .select(
-                "word",
-                "freq",
-                F.row_number().over(ww).alias("pos"),
-                F.when(F.col("sel"), F.concat("tok", "nxt"))
-                .otherwise(F.col("tok"))
-                .alias("tok"),
-            )
-        )
-        toks = materialize(toks, eager=True)
-    return out, toks
+    )
+    return top, new_toks
 
 
 DSIR_BUCKETS = 256  # hashed-feature buckets for the importance ratio

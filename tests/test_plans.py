@@ -803,3 +803,100 @@ def test_ivfpq_cell_filter_below_adc_join(spark):
     assert adc_join is not None, plan[:3000]
     assert adc_sum is not None, plan[:3000]
     assert cell_join < adc_join < adc_sum, (cell_join, adc_join, adc_sum)
+
+
+def test_bpe_round_single_word_exchange(spark):
+    """X102's per-round scale claim, plan-pinned: every window of the
+    re-segmentation (candidate lead, island rank, parity rank,
+    absorbed lag, dense re-position) partitions by `word`, so the
+    WHOLE round compiles to exactly ONE data Exchange (the word
+    layout) with only re-sorts between the five windows, and the top
+    pair reaches the candidates as a 1-row broadcast — never a
+    shuffle join. A second data exchange appearing here means a
+    window stopped sharing the word layout and every merge round
+    would shuffle the token table twice."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators.text import _bpe_round
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    words = (
+        docs.select(F.explode(F.split("text", r"\s+")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    toks = words.select(
+        "word",
+        "freq",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, length(word)),"
+                " i -> substring(word, i, 1))"
+            )
+        ).alias("pos", "tok"),
+    ).localCheckpoint(eager=True)
+    top, _ = _bpe_round(toks)
+    top = top.localCheckpoint(eager=True)
+    _, new_toks = _bpe_round(toks, top=top)
+    plan = explain_str(new_toks)
+    tree = plan.split("\n\n(")[0]
+    data_exchanges = len(re.findall(r"\+- Exchange ", tree)) + len(
+        re.findall(r":- Exchange ", tree)
+    )
+    assert data_exchanges == 1, tree
+    assert tree.count("Window") == 5, tree
+    assert "BroadcastExchange" in tree, tree
+    assert "SortMergeJoin" not in tree, tree
+    # and the one exchange is the word layout
+    m = re.search(r"\(\d+\) Exchange[^\n]*\n.*?Arguments: ([^\n]*)", plan, re.S)
+    assert "hashpartitioning(word" in m.group(1), m.group(1)
+
+
+def test_dsir_importance_two_scans_broadcast_model(spark):
+    """X105's scale claim, plan-pinned: DSIR scoring is exactly TWO
+    corpus scans (one builds the 256-bucket count "model", one streams
+    tokens through it) with the model reaching the token stream as a
+    BROADCAST hash join — never a shuffle join of corpus against
+    corpus — plus the two partial-aggregated exchanges (bucket counts,
+    per-doc sums) and the final order sort. A SortMergeJoin or a third
+    scan appearing here means the 100-TB-as-two-scans property broke."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.text import (
+        dsir_importance,
+    )
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = explain_str(dsir_importance(docs))
+    tree = plan.split("\n\n(")[0]
+    assert tree.count("Scan parquet") == 2, tree
+    assert tree.count("BroadcastHashJoin") == 1, tree
+    assert "SortMergeJoin" not in tree, tree
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+
+
+def test_phash_near_dup_equi_joins_only(spark):
+    """X104's scale claim, plan-pinned: pHash candidates come from the
+    pigeonhole (band, band_val) EQUI-join and the popcount verify from
+    id equi-joins — three hash joins, zero nested-loop/cartesian
+    operators. An asset-level cross product appearing here means the
+    banding stopped bounding the pair space."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import multimodal
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = explain_str(
+        multimodal.phash_near_dup(multimodal.rerendered_assets(docs))
+    )
+    tree = plan.split("\n\n(")[0]
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    assert "CartesianProduct" not in tree, tree
+    n_joins = (
+        tree.count("BroadcastHashJoin")
+        + tree.count("SortMergeJoin")
+        + tree.count("ShuffledHashJoin")
+    )
+    assert n_joins == 3, tree
