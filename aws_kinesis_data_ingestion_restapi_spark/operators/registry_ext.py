@@ -253,6 +253,14 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.dsir_importance(_docs(spark, sf_dir))
 
 
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X112: per-doc shingle novelty in ingestion order — the
+    crawl-redundancy curve (shingle-level twin of X73 Heaps growth);
+    gram definition shared verbatim with the dedup family. See
+    text.ngram_novelty."""
+    return text.ngram_novelty(_docs(spark, sf_dir))
+
+
 def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps-law vocabulary-growth curve: cumulative distinct-token
     count vs cumulative token count in deterministic doc_id ingestion
@@ -1485,6 +1493,7 @@ EXT_QUERY_FNS = {
     "text_stratified_sample": text_stratified_sample,
     "text_quality_sample": text_quality_sample,
     "text_vocab_growth": text_vocab_growth,
+    "text_ngram_novelty": text_ngram_novelty,
     "text_bpe_merges": text_bpe_merges,
     "text_bpe_segment": text_bpe_segment,
     "text_dsir_importance": text_dsir_importance,
@@ -3888,4 +3897,27 @@ EXT_ORACLE_SQL["emb_hard_negatives"] = f"""
     )
     WHERE rank <= 5
     ORDER BY query_id, rank
+"""
+
+
+# shingle novelty: min-doc-per-gram over the SAME distinct hashed
+# 3-gram sets the Jaccard truth uses, joined back per (gram, doc)
+EXT_ORACLE_SQL["text_ngram_novelty"] = f"""
+    WITH g AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform({_shingles(3)},
+                   s -> CAST(concat('0x', substr(md5(s), 1,
+                        {dedup.GRAM_HASH_HEX})) AS BIGINT)))) AS gram
+        FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+    ),
+    firsts AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY 1)
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS novelty
+    FROM g JOIN firsts f USING (gram)
+    GROUP BY 1
+    ORDER BY 1
 """

@@ -972,3 +972,50 @@ def rrf_fuse(
         .filter(F.col("rank") <= top_n)
         .orderBy("rank")
     )
+
+
+def ngram_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document n-gram NOVELTY in deterministic ingestion order —
+    the crawl-redundancy signal (how much of each new document's
+    shingle set the corpus has already seen; the curve crawl pipelines
+    watch to decide when a source is mined out, and the shingle-level
+    twin of X73's Heaps vocabulary growth): a document's gram is
+    NOVEL iff no lower-doc_id document carries it. Uses EXACTLY the
+    dedup family's shingle definition (dedup.hashed_ngrams — 3-gram,
+    28-bit md5 prefix), so "seen" here means the same thing the
+    Jaccard/MinHash operators mean by it.
+
+    Output per doc with ≥1 gram: (doc_id, n_grams, n_novel, novelty),
+    novelty = n_novel / n_grams (one division on exact counts).
+
+    Scale shape — the X73 idiom at the shingle level: a gram is novel
+    at its MIN doc_id (one hash shuffle on the gram key with map-side
+    partial min — never a prefix-scan per doc), joined back to the
+    exploded gram stream on (gram, doc), then one partially-aggregated
+    doc_id shuffle. Two corpus-token-sized shuffles total."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import dedup
+
+    grams = dedup.tokenized(docs).select(
+        "doc_id",
+        F.explode(dedup.hashed_ngrams(n, F.col("_toks"))).alias("gram"),
+    )
+    firsts = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(firsts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("long")
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_grams")).alias(
+                "novelty"
+            ),
+        )
+        .orderBy("doc_id")
+    )

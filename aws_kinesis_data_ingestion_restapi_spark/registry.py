@@ -2163,6 +2163,7 @@ _GATE_HEAD = [
     "text_bpe_merges",
     "text_bpe_segment",
     "text_dsir_importance",
+    "text_ngram_novelty",
     "retrieval_hybrid_rrf",
     "mm_phash_near_dup",
     "streaming_sliding_1h_15m",
@@ -2209,12 +2210,12 @@ _GATE_HEAD = [
     "dedup_exact_recrawl",
     "docs_sample_fixed",
     "docs_split_assign",
-    "emb_kmeans_step",
     "events_daily_trend",
     "events_value_hour_corr",
     "parts_abc_analysis",
 ]
 _GATE_TAIL = [
+    "emb_kmeans_step",
     "pipeline_orders",
     "pipeline_product_details",
     "pipeline_purchase_details",

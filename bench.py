@@ -161,6 +161,7 @@ ANALYTICS_QUERIES = [
     "text_stratified_sample",
     "text_quality_sample",
     "text_vocab_growth",
+    "text_ngram_novelty",
     "text_bpe_merges",
     "text_bpe_segment",
     "text_dsir_importance",
@@ -351,7 +352,7 @@ BENCH_KEY_ALIASES = {
     "emb_pq_codes": "pq_codes",
     "ann_topk_pq": "ann_pq",
     "ann_topk_ivfpq": "ivfpq",
-    "customer_rfm_segments": "rfm",
+    "customer_rfm_segments": "rf",
     "events_active_users": "dau_wau",
     "q1_pricing_summary": "q1p",
     "q7_volume_shipping": "q7v",
@@ -370,6 +371,7 @@ BENCH_KEY_ALIASES = {
     "parts_abc_analysis": "ab",
     "brand_basket_affinity": "bskt",
     "text_vocab_growth": "voc",
+    "text_ngram_novelty": "nov",
     "text_bpe_merges": "bpe",
     "text_bpe_segment": "bpeseg",
     "text_dsir_importance": "dsir",
@@ -423,7 +425,7 @@ BENCH_KEY_ALIASES = {
     "mm_asset_stats": "mmst",
     "mm_fingerprint": "mm_fp",
     "mm_phash_near_dup": "mmph",
-    "events_funnel": "funnel",
+    "events_funnel": "fnl",
     "events_daily_stats": "edy",
     "events_range_follow": "erg",
 }

@@ -2477,3 +2477,27 @@ def test_hard_negatives_cross_label_only(spark):
     got = emb_hard_negatives(spark, "/root/testdata/sf0.001").collect()
     assert len(got) == 50
     assert all(r.query_label != r.negative_label for r in got)
+
+
+def test_ngram_novelty_reference_semantics(spark):
+    """X112 invariants on an engineered corpus: doc 0 is fully novel
+    (novelty 1.0), an exact recrawl of it is fully redundant (0.0), a
+    half-overlap doc scores its exact novel fraction, and grams mean
+    the SAME thing as the dedup family's (3-gram over lowercased
+    whitespace tokens, distinct per doc)."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.text import (
+        ngram_novelty,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta"
+    half = "alpha beta gamma delta nu xi omicron pi"
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, half)], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in ngram_novelty(docs).collect()}
+    assert out[0].novelty == 1.0 and out[0].n_grams == 4
+    assert out[1].novelty == 0.0 and out[1].n_grams == 4
+    # half: 6 grams, 2 shared with base (alpha beta gamma / beta gamma
+    # delta), 4 novel
+    assert out[2].n_grams == 6 and out[2].n_novel == 4
+    assert out[2].novelty == 4 / 6
