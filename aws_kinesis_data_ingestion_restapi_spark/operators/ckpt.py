@@ -102,6 +102,13 @@ def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
         # so release() can drop it — without this, a long-running
         # incremental loop with the knob on accumulates one
         # MEMORY_AND_DISK copy per round until driver GC.
+        #
+        # CONTRACT: the attribute lives on THIS object only. Any
+        # intervening transform (.select, .filter, ...) returns a new
+        # DataFrame without it, so release() on a derived frame
+        # silently skips the cache drop and falls back to driver-GC
+        # reclamation. Callers must keep and release the frame
+        # materialize() returned (see release() docstring).
         out._graft_ckpt_source = persisted
     return out
 
@@ -125,7 +132,15 @@ def release(df: DataFrame) -> None:
     filesystem. The checkpoint directory is deleted directly here.
 
     Only call on frames that are fully superseded — a released
-    reliable checkpoint cannot be read again."""
+    reliable checkpoint cannot be read again.
+
+    Pass the EXACT frame :func:`materialize` returned, not a derived
+    frame (``mat.select(...)`` etc.): the lazy reliable path tracks
+    its pre-checkpoint cache via an attribute on that object, and the
+    checkpoint-file lookup below needs the plan to still be the bare
+    LogicalRDD. On a derived frame both lookups miss and this
+    degrades (safely, but silently) to eventual ContextCleaner/GC
+    reclamation — the litter class this function exists to avoid."""
     # Reliable lazy path: drop the pre-checkpoint MEMORY_AND_DISK
     # cache materialize() left alive to feed the checkpoint write job.
     source = getattr(df, "_graft_ckpt_source", None)

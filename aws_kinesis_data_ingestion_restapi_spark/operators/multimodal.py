@@ -547,10 +547,17 @@ def rerendered_assets(docs: DataFrame) -> DataFrame:
     replaced at the text midpoint — the byte content changes (md5
     differs, exact dedup misses it) while at most one dHash grid cell
     is resampled, flipping ≤ 2 gradient bits, so the pair sits within
-    the d ≤ 3 emission threshold BY CONSTRUCTION: the re-encoded-image
-    case perceptual hashing exists for. Pure column arithmetic; the
-    DuckDB oracle re-derives the identical re-render."""
-    rr = docs.filter((F.col("doc_id") % 30 == 0) & (F.length("text") > 0)).select(
+    the d ≤ 3 emission threshold BY CONSTRUCTION — *for texts of ≥ 72
+    chars*, where the 72-cell grid samples each character at most
+    once. A shorter text's midpoint char can back several cells and
+    push hamming past d_max, silently dropping the engineered pair
+    (r8 ADVICE), so re-render candidates are length-guarded: the
+    selection keeps only docs the guarantee actually holds for (at
+    sf0.1 this excludes 3 of 167 candidates). Pure column arithmetic;
+    the DuckDB oracle re-derives the identical guarded re-render."""
+    rr = docs.filter(
+        (F.col("doc_id") % 30 == 0) & (F.length("text") >= 72)
+    ).select(
         (F.col("doc_id") + 30_000_000).alias("doc_id"),
         F.expr(
             "substring(text, 1, length(text) DIV 2) || 'z' || "

@@ -1056,6 +1056,7 @@ def truncation_recall_audit(
     n_queries: int = 10,
     k: int = 5,
     id_col: str = "vec_id",
+    truth: DataFrame | None = None,
 ) -> DataFrame:
     """Dimension-truncation recall audit — the evaluation behind
     Matryoshka-style embedding deployment (Kusupati et al. 2022,
@@ -1076,16 +1077,24 @@ def truncation_recall_audit(
 
     Scale shape: one broadcast query panel per d against the corpus
     scan (the topk_brute shape — no corpus shuffle beyond the top-k
-    window), truth computed once; panel-sized joins score it."""
-    truth = (
-        topk_brute(embs, n_queries=n_queries, k=k, id_col=id_col)
-        .select("query_id", "neighbor_id")
-    )
-    from aws_kinesis_data_ingestion_restapi_spark.operators.ckpt import (
-        materialize,
-    )
+    window), truth computed once; panel-sized joins score it.
 
-    truth = materialize(truth)
+    ``truth`` (optional): a pre-materialized (query_id, neighbor_id)
+    full-dimension truth panel. When None, one is built and
+    checkpoint-pinned HERE — and, the result being lazy, it stays
+    pinned until driver GC (r8 ADVICE litter note). Call sites that
+    run the audit repeatedly in one session should build the panel
+    once and share it — the registry wrapper does, via the session
+    frame cache — so N invocations pin ONE checkpoint, not N."""
+    if truth is None:
+        from aws_kinesis_data_ingestion_restapi_spark.operators.ckpt import (
+            materialize,
+        )
+
+        truth = materialize(
+            topk_brute(embs, n_queries=n_queries, k=k, id_col=id_col)
+            .select("query_id", "neighbor_id")
+        )
     base = embs.select(F.col(id_col), quantized().alias("v"))
     out = None
     for d in dims:

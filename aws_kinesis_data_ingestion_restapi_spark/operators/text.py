@@ -938,8 +938,13 @@ def rrf_fuse(
     the final score divides once. Ties break on doc_id.
 
     Input legs: DataFrames with (doc_id, rank) — rank 1-based within
-    the leg's top-N. Output: (doc_id, n_legs, rrf_score, rank) for
-    the fused top-``top_n``.
+    the leg's top-N, and AT MOST ONE ROW PER doc_id PER LEG (r8
+    ADVICE input contract): ``n_legs`` is COUNT(*) of contributions,
+    so a leg that listed a doc twice would double-count both the
+    score and n_legs with no guard. Rank-distinct top-N panels — what
+    every ranker here emits (row_number, never rank/dense_rank) —
+    satisfy this by construction. Output: (doc_id, n_legs,
+    rrf_score, rank) for the fused top-``top_n``.
 
     Scale shape: legs are already top-N panels (metadata-sized), so
     the union + one aggregate + one global top-n is panel-scale work

@@ -271,15 +271,15 @@ BENCH_KEY_ALIASES = {
     "customers_without_urgent_orders": "antiu",
     "customers_with_urgent_orders": "semiu",
     "dedup_simhash_fingerprints": "shfp",
-    "sketch_distinct_trigrams": "sketch",
-    "sql_lateral_top_orders": "lateral",
+    "sketch_distinct_trigrams": "skt",
+    "sql_lateral_top_orders": "lat",
     "sql_above_average_orders": "aavg",
     "serving_last_write_wins": "lww",
     "sales_pivot_by_priority": "pivot",
     "text_stratified_sample": "strat",
     "q12_ship_delay_classes": "q12d",
     "q17_small_quantity_revenue": "q17s",
-    "q19_disjunctive_revenue": "q19disj",
+    "q19_disjunctive_revenue": "q19",
     "q22_dormant_customers": "q22d",
     # round-4 widening: 90 registry entries no longer fit the 2000-char
     # capture at centisecond precision with full names — shorten the
@@ -289,7 +289,7 @@ BENCH_KEY_ALIASES = {
     "events_sessionization": "ses",
     "salted_priority_sales": "ssal",
     "top_parts_by_revenue": "tpp",
-    "q3_shipping_priority": "q3ship",
+    "q3_shipping_priority": "q3s",
     "fuzzy_customer_names": "fuzzy",
     "dedup_canonical_docs": "canon",
     "events_tumbling_30s": "tmb30",
@@ -302,42 +302,42 @@ BENCH_KEY_ALIASES = {
     "mm_extract_features": "mmfeat",
     "asof_priority_rates": "asof",
     "etl_derive_tables": "etl",
-    "curation_pipeline": "curation",
+    "curation_pipeline": "cur",
     "events_json_props": "ejson",
-    "profile_documents": "profile",
+    "profile_documents": "prf",
     "incremental_sales_rollup": "incr",
     "dedup_minhash_lsh": "mh",
     "dedup_incremental_delta": "incrd",
-    "text_quality_score": "tquality",
+    "text_quality_score": "tq",
     "text_language_id": "tlang",
     "mm_resize_images": "mmrz",
     "mm_frame_sample": "mmfr",
-    "cdc_snapshot_diff": "cdc_diff",
-    "docs_expectations": "dexpect",
+    "cdc_snapshot_diff": "cdcd",
+    "docs_expectations": "dxp",
     "text_bm25_search": "bm25",
     "retrieval_hybrid_rrf": "rrf",
     "events_rolling_hour_avg": "rav",
     "events_ntile_quartiles": "ntl",
     "events_value_outliers_mad": "emd",
-    "dedup_substring_hotspots": "substr",
-    "q4_late_order_priority": "q4late",
+    "dedup_substring_hotspots": "sub",
+    "q4_late_order_priority": "q4l",
     "q9_red_parts_profit": "q9p",
-    "q16_supplier_diversity": "q16div",
-    "q21_late_sole_supplier": "q21late",
+    "q16_supplier_diversity": "q16",
+    "q21_late_sole_supplier": "q21",
     "streaming_enriched_nation_totals": "stenr",
     "streaming_running_totals_final": "strun",
     "pipeline_envelope_decode": "plenv",
-    "pipeline_partition_scan": "plpart",
+    "pipeline_partition_scan": "plp",
     "pipeline_streaming_drain": "plstr",
     "top_orders_per_customer": "topord",
     "events_value_histogram": "ehi",
     "emb_near_dup_lsh_multi": "ndm",
     "emb_near_dup_lsh": "ndlsh",
     "ann_topk_brute": "annb",
-    "ann_topk_lsh": "ann_lsh",
-    "ann_topk_ivf": "ann_ivf",
+    "ann_topk_lsh": "alsh",
+    "ann_topk_ivf": "aivf",
     "cdc_scd2_history": "scd2",
-    "streaming_session_windows": "stsess",
+    "streaming_session_windows": "sts",
     "streaming_sliding_1h_15m": "stsl",
     "customer_retention": "ret",
     "payment_type_share": "psh",
@@ -349,20 +349,20 @@ BENCH_KEY_ALIASES = {
     "sql_recursive_rollup": "recur",
     "events_concurrency_curve": "conc",
     "events_transition_matrix": "trans",
-    "emb_pq_codes": "pq_codes",
-    "ann_topk_pq": "ann_pq",
+    "emb_pq_codes": "pqc",
+    "ann_topk_pq": "apq",
     "ann_topk_ivfpq": "ivfpq",
     "customer_rfm_segments": "rf",
-    "events_active_users": "dau_wau",
+    "events_active_users": "dw",
     "q1_pricing_summary": "q1p",
     "q7_volume_shipping": "q7v",
-    "q10_returned_items": "q10ret",
+    "q10_returned_items": "q10",
     "q8_market_share": "q8m",
     "q18_large_orders": "q18l",
     "sales_per_nation": "nsal",
-    "sales_rollup": "rollup",
+    "sales_rollup": "rup",
     "events_type_mode": "tmode",
-    "text_fingerprint": "text_fp",
+    "text_fingerprint": "tfp",
     "text_pii_redact": "pii",
     "sketch_heavy_hitters": "cmhh",
     "sketch_value_quantiles": "qsk",
@@ -373,7 +373,7 @@ BENCH_KEY_ALIASES = {
     "text_vocab_growth": "voc",
     "text_ngram_novelty": "nov",
     "text_bpe_merges": "bpe",
-    "text_bpe_segment": "bpeseg",
+    "text_bpe_segment": "bps",
     "text_dsir_importance": "dsir",
     "sales_monthly_yoy": "yoym",
     "q14_promo_revenue": "q14p",
@@ -382,41 +382,41 @@ BENCH_KEY_ALIASES = {
     "q6_forecast_revenue": "q6f",
     "q11_important_parts": "q11p",
     "q13_order_count_distribution": "q13",
-    "q15_top_supplier": "q15_top",
+    "q15_top_supplier": "q15",
     "q20_promotion_suppliers": "q20p",
     "salted_events_join": "sjoin",
     "text_collocations": "coll",
-    "emb_kmeans_step": "kmeans",
+    "emb_kmeans_step": "km",
     "docs_sample_fixed": "fixk",
     "docs_split_assign": "tvt",
     "docs_split_leakage_safe": "tvtc",
-    "corpus_mixture_plan": "mixplan",
-    "events_value_hour_corr": "vhcorr",
+    "corpus_mixture_plan": "mxp",
+    "events_value_hour_corr": "vhc",
     "events_daily_trend": "dtrend",
-    "streaming_payment_match_outer": "stouter",
-    "streaming_payment_match_full": "stfull",
+    "streaming_payment_match_outer": "sto",
+    "streaming_payment_match_full": "stf",
     "events_attribution": "attr",
     # round-6 additions (final line only, 1:1)
-    "pipeline_compaction": "plcomp",
+    "pipeline_compaction": "plc",
     "salted_lineitem_agg": "sagg",
     "ann_recall_audit": "rca",
     "ann_recall_clustered": "rcc",
     "ann_truncation_audit": "trunc",
     "emb_hard_negatives": "hneg",
     "dedup_lsh_quality": "lshq",
-    "dedup_signal_agreement": "sigagree",
+    "dedup_signal_agreement": "sga",
     "events_zorder_scan": "zscan",
     "ann_topk_lsh_multi": "alm",
     "text_build_postings": "post",
     "text_model_quality": "ftq",
     "curation_source_caps": "srccap",
     "graph_triangles_cosupply": "tri",
-    "emb_bitext_mine": "bitext",
+    "emb_bitext_mine": "btx",
     "bucketed_sales_join": "bktj",
     "text_token_stats": "toks",
     "dedup_components": "comps",
     "dedup_components_star": "cstar",
-    "text_repetition": "repeat",
+    "text_repetition": "rep",
     "events_variant_props": "vrnt",
     "events_gapfill": "gapf",
     "text_length_quantiles": "lenq",

@@ -2254,7 +2254,21 @@ def test_phash_near_dup_pinned_pairs_and_exhaustive_banding(spark):
         for r in multimodal.phash_near_dup(assets).collect()
     }
     assert emitted == brute
-    assert len(emitted) >= 17  # the engineered re-render pairs exist
+    # The r8-ADVICE length guard makes the engineered-pair guarantee
+    # REAL: every re-render candidate that passed the >=72-char guard
+    # must emit its (base, base+30M) pair — no silent drops. (The
+    # sf0.001 fixture has exactly one 58-char candidate the guard
+    # excludes; before the guard its pair could legitimately vanish.)
+    docs_pd = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .selectExpr("doc_id", "length(text) AS n")
+        .where("doc_id % 30 = 0")
+        .collect()
+    )
+    guarded = [r.doc_id for r in docs_pd if r.n >= 72]
+    assert len(guarded) >= 16
+    for did in guarded:
+        assert (did, did + 30_000_000) in emitted
 
 
 def test_dsir_importance_matches_brute_force(spark):
