@@ -1026,6 +1026,22 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.topk_ivfpq(_embs(spark, sf_dir), n_queries=10, k=5)
 
 
+def ann_topk_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X113: IVF-PQ over k-means-TRAINED quantizers (r8 VERDICT ask
+    #1, the recall capstone): identical cell-restricted ADC + exact
+    re-rank plan as ann_topk_ivfpq, but the coarse centroids and the
+    per-subspace PQ codebooks are KM_TRAIN_ROUNDS exact Lloyd mean-
+    updates of the stride seed — the train step every deployed
+    IVF-PQ index runs before add() — instead of raw stride-sampled
+    corpus vectors, which r8 measured as the recall bottleneck.
+    Bounded-round contract like PageRank/BPE: the oracle replays the
+    training as unrolled CTEs (similarity.topk_ivfpq_trained).
+    Clustered-fixture recall measured in BENCH_NOTES r9."""
+    return similarity.topk_ivfpq_trained(
+        _embs(spark, sf_dir), n_queries=10, k=5
+    )
+
+
 def ann_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X109: Matryoshka-style dimension-truncation recall audit
     (arXiv 2205.13147 evaluation): exact top-k over the first
@@ -1068,8 +1084,10 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X88: the ANN QUALITY metric the X6/X66 family was missing
     (VERDICT r5 stretch ask): recall@k of every approximate top-k
-    method — sign-LSH bucket, IVF probe, PQ/ADC — measured against
-    the exact brute-force ground truth, as an oracle-paired query.
+    method — sign-LSH bucket (single + multi-table), IVF probe,
+    PQ/ADC, IVF-PQ, and (r9) the trained-quantizer residual IVFADC —
+    measured against the exact brute-force ground truth, as an
+    oracle-paired query.
     recall@k = |approx ∩ exact| / (n_queries·k); an approximate index
     without a measured recall number is a speedup claim with no
     quality denominator.
@@ -1097,13 +1115,15 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X97: the recall@k audit on NON-DEGENERATE geometry — the same
-    four methods and ground-truth protocol as :func:`ann_recall_audit`,
+    methods and ground-truth protocol as :func:`ann_recall_audit`,
     but over similarity.clustered_embeddings (deterministic ±0.125
     per-cluster offsets; 8 centers on 3 id bits). On this fixture the
     methods separate as designed — measured at sf0.01: ivf 0.84 >
-    lsh_multi 0.34 > pq 0.18 ≈ lsh 0.16 (vs 0.32/0.10/0.06/0.02 on
-    the uniform corpus), exercising the multi-table>single-table claim
-    on geometry where buckets actually carry neighborhood signal."""
+    ivfpq_t 0.66 (r9 trained residual IVFADC) > ivfpq 0.52 >
+    lsh_multi 0.34 > pq 0.18 ≈ lsh 0.16 (vs near-floor on the
+    uniform corpus), exercising both the multi-table>single-table
+    claim and the trained>stride quantizer claim on geometry where
+    buckets actually carry neighborhood signal."""
     return _recall_audit_over(
         similarity.clustered_embeddings(_embs(spark, sf_dir))
     )
@@ -1120,6 +1140,7 @@ def _recall_audit_over(embs: DataFrame) -> DataFrame:
     methods = {
         "ivf": similarity.topk_ivf,
         "ivfpq": similarity.topk_ivfpq,
+        "ivfpq_t": similarity.topk_ivfpq_trained,
         "lsh": similarity.topk_lsh,
         "lsh_multi": similarity.topk_lsh_multi,
         "pq": similarity.topk_pq,
@@ -1554,6 +1575,7 @@ EXT_QUERY_FNS = {
     "emb_pq_codes": emb_pq_codes,
     "ann_topk_pq": ann_topk_pq,
     "ann_topk_ivfpq": ann_topk_ivfpq,
+    "ann_topk_ivfpq_trained": ann_topk_ivfpq_trained,
     "ann_recall_audit": ann_recall_audit,
     "ann_recall_clustered": ann_recall_clustered,
     "ann_truncation_audit": ann_truncation_audit,
@@ -3372,6 +3394,185 @@ EXT_ORACLE_SQL["curation_source_caps"] = f"""
     WHERE src_rank <= 10
 """.replace("{q}", EXT_ORACLE_SQL["text_quality_score"])
 
+def _ivfpq_trained_oracle_sql(
+    rounds: int = similarity.KM_TRAIN_ROUNDS,
+) -> str:
+    """GENERATED oracle for ann_topk_ivfpq_trained (residual IVFADC
+    on trained quantizers): the bounded Lloyd training unrolled as
+    CTE chains (the BPE/k-core unrolling pattern) — ``rounds`` coarse
+    rounds over the full-dimension components, then, AFTER the final
+    coarse assignment fixes the residuals, ``rounds`` codebook rounds
+    over the residual subvectors — followed by the residual search
+    (per-(query, probed-cell) distance tables, cell-keyed ADC, exact
+    top-20 re-rank). AS MATERIALIZED on every round CTE — each round
+    is referenced by the next assignment AND the next means, and
+    DuckDB would otherwise inline the chain into base-scan blowup
+    (the k-core oracle lesson). Mean arithmetic mirrors Spark
+    exactly: floor((2·Σx + n) / (2.0·n)) — one IEEE double division +
+    floor, identical in both engines; every tie-break inherited."""
+    head = f"""
+        WITH stride AS (
+            SELECT GREATEST(CAST(floor(sqrt(COUNT(*))) AS BIGINT), 1) AS s
+            FROM embeddings
+        ),
+        comp AS ({_COMP}),
+        dims AS (SELECT vec_id, len(embedding) AS d FROM embeddings),
+        cent_r0 AS MATERIALIZED (
+            SELECT vec_id AS cell, i, qx FROM comp
+            WHERE vec_id % (SELECT s FROM stride) = 0
+        )"""
+    coarse = []
+    for r in range(1, rounds + 1):
+        coarse.append(f""",
+        casg_r{r} AS MATERIALIZED (
+            SELECT vec_id, cell FROM (
+                SELECT a.vec_id, c.cell,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY SUM((a.qx - c.qx) * (a.qx - c.qx)),
+                                    c.cell) AS r
+                FROM comp a JOIN cent_r{r - 1} c ON c.i = a.i
+                GROUP BY a.vec_id, c.cell
+            ) WHERE r = 1
+        ),
+        cent_r{r} AS MATERIALIZED (
+            SELECT s.cell, c.i,
+                   CAST(floor((2 * SUM(c.qx) + COUNT(*))
+                              / (2.0 * COUNT(*))) AS BIGINT) AS qx
+            FROM casg_r{r} s JOIN comp c USING (vec_id)
+            GROUP BY 1, 2
+        )""")
+    mid = f""",
+        ccd AS (
+            SELECT a.vec_id, c.cell,
+                   SUM((a.qx - c.qx) * (a.qx - c.qx)) AS d2
+            FROM comp a JOIN cent_r{rounds} c ON c.i = a.i
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cell) AS r
+            FROM ccd
+        ),
+        assign AS (SELECT vec_id, cell FROM ranked WHERE r = 1),
+        probes AS (
+            SELECT vec_id AS query_id, cell FROM ranked
+            WHERE vec_id < 10 AND r <= {similarity.N_PROBES}
+        ),
+        rsubs AS MATERIALIZED (
+            SELECT a.vec_id,
+                   CAST((a.i - 1) // (d.d // 4) AS INT) AS sub,
+                   CAST((a.i - 1) % (d.d // 4) AS INT) AS pos,
+                   a.qx - c.qx AS rx
+            FROM comp a
+            JOIN assign s USING (vec_id)
+            JOIN cent_r{rounds} c ON c.cell = s.cell AND c.i = a.i
+            JOIN dims d ON d.vec_id = a.vec_id
+            WHERE (a.i - 1) // (d.d // 4) < 4
+        ),
+        pbook_r0 AS MATERIALIZED (
+            SELECT sub, vec_id AS cell, pos, rx FROM rsubs
+            WHERE vec_id % (SELECT s FROM stride) = 0
+        )"""
+    books = []
+    for r in range(1, rounds + 1):
+        books.append(f""",
+        pasg_r{r} AS MATERIALIZED (
+            SELECT vec_id, sub, cell FROM (
+                SELECT a.vec_id, a.sub, c.cell,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY a.vec_id, a.sub
+                           ORDER BY SUM((a.rx - c.rx) * (a.rx - c.rx)),
+                                    c.cell) AS r
+                FROM rsubs a
+                JOIN pbook_r{r - 1} c ON c.sub = a.sub AND c.pos = a.pos
+                GROUP BY a.vec_id, a.sub, c.cell
+            ) WHERE r = 1
+        ),
+        pbook_r{r} AS MATERIALIZED (
+            SELECT s.sub, s.cell, a.pos,
+                   CAST(floor((2 * SUM(a.rx) + COUNT(*))
+                              / (2.0 * COUNT(*))) AS BIGINT) AS rx
+            FROM pasg_r{r} s
+            JOIN rsubs a ON a.vec_id = s.vec_id AND a.sub = s.sub
+            GROUP BY 1, 2, 3
+        )""")
+    tail = f""",
+        pcd AS (
+            SELECT a.vec_id, a.sub, c.cell AS pcell,
+                   CAST(SUM((a.rx - c.rx) * (a.rx - c.rx)) AS BIGINT) AS d2
+            FROM rsubs a
+            JOIN pbook_r{rounds} c ON c.sub = a.sub AND c.pos = a.pos
+            GROUP BY 1, 2, 3
+        ),
+        codes AS (
+            SELECT vec_id AS neighbor_id, sub, pcell FROM (
+                SELECT vec_id, sub, pcell,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                          ORDER BY d2, pcell) AS rn
+                FROM pcd
+            ) WHERE rn = 1
+        ),
+        qsubs AS (
+            SELECT p.query_id, p.cell,
+                   CAST((a.i - 1) // (d.d // 4) AS INT) AS sub,
+                   CAST((a.i - 1) % (d.d // 4) AS INT) AS pos,
+                   a.qx - c.qx AS rx
+            FROM comp a
+            JOIN probes p ON p.query_id = a.vec_id
+            JOIN cent_r{rounds} c ON c.cell = p.cell AND c.i = a.i
+            JOIN dims d ON d.vec_id = a.vec_id
+            WHERE (a.i - 1) // (d.d // 4) < 4
+        ),
+        dtab AS (
+            SELECT q.query_id, q.cell, q.sub, b.cell AS pcell,
+                   CAST(SUM((q.rx - b.rx) * (q.rx - b.rx)) AS BIGINT) AS qd2
+            FROM qsubs q
+            JOIN pbook_r{rounds} b ON b.sub = q.sub AND b.pos = q.pos
+            GROUP BY 1, 2, 3, 4
+        ),
+        adc AS (
+            SELECT d.query_id, c.neighbor_id,
+                   CAST(SUM(d.qd2) AS BIGINT) AS adc_d2
+            FROM codes c
+            JOIN assign s ON s.vec_id = c.neighbor_id
+            JOIN probes p ON p.cell = s.cell
+            JOIN dtab d ON d.query_id = p.query_id AND d.cell = p.cell
+                       AND d.sub = c.sub AND d.pcell = c.pcell
+            WHERE d.query_id != c.neighbor_id
+            GROUP BY 1, 2
+        ),
+        short AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY adc_d2, neighbor_id) AS ar
+                FROM adc
+            ) WHERE ar <= 20
+        ),
+        dots AS (
+            SELECT sh.query_id, sh.neighbor_id, SUM(a.qx * b.qx) AS sc
+            FROM short sh
+            JOIN comp a ON a.vec_id = sh.query_id
+            JOIN comp b ON b.vec_id = sh.neighbor_id AND b.i = a.i
+            GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+               CAST(sc AS DOUBLE) / 100000000.0 AS score
+        FROM (
+            SELECT query_id, neighbor_id, sc,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY sc DESC, neighbor_id) AS rank
+            FROM dots
+        )
+        WHERE rank <= 5
+    """
+    return head + "".join(coarse) + mid + "".join(books) + tail
+
+
+EXT_ORACLE_SQL["ann_topk_ivfpq_trained"] = _ivfpq_trained_oracle_sql()
+
 # recall@k audit: each approximate method's own registered oracle SQL
 # replayed as a CTE against the brute-force oracle — the audit reuses
 # exactly the formulas the per-method gate rows pin, so the
@@ -3380,6 +3581,7 @@ EXT_ORACLE_SQL["ann_recall_audit"] = f"""
     WITH brute AS ({EXT_ORACLE_SQL["ann_topk_brute"]}),
     m_ivf AS ({EXT_ORACLE_SQL["ann_topk_ivf"]}),
     m_ivfpq AS ({EXT_ORACLE_SQL["ann_topk_ivfpq"]}),
+    m_ivfpqt AS ({EXT_ORACLE_SQL["ann_topk_ivfpq_trained"]}),
     m_lsh AS ({EXT_ORACLE_SQL["ann_topk_lsh"]}),
     m_lshm AS ({EXT_ORACLE_SQL["ann_topk_lsh_multi"]}),
     m_pq AS ({EXT_ORACLE_SQL["ann_topk_pq"]}),
@@ -3389,6 +3591,9 @@ EXT_ORACLE_SQL["ann_recall_audit"] = f"""
         UNION ALL
         SELECT 'ivfpq' AS method, COUNT(*) AS n_hits
         FROM m_ivfpq JOIN brute USING (query_id, neighbor_id)
+        UNION ALL
+        SELECT 'ivfpq_t' AS method, COUNT(*) AS n_hits
+        FROM m_ivfpqt JOIN brute USING (query_id, neighbor_id)
         UNION ALL
         SELECT 'lsh' AS method, COUNT(*) AS n_hits
         FROM m_lsh JOIN brute USING (query_id, neighbor_id)

@@ -767,6 +767,8 @@ def topk_ivfpq(
     nprobe: int = N_PROBES,
     refine: int = 20,
     id_col: str = "vec_id",
+    coarse_cents: DataFrame | None = None,
+    pq_cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ composed search with exact re-ranking — the deployment
     shape of a 100 TB vector store (Jégou et al. TPAMI'11 §5 "IVFADC";
@@ -806,14 +808,21 @@ def topk_ivfpq(
     are broadcast; the ADC join's key includes the coarse cell —
     plan-pinned: unprobed cells' codes never enter the lookup — then
     partial aggregation sums the m lookups per (query, vector); the
-    refine join moves ``refine`` ids per query, never the corpus."""
+    refine join moves ``refine`` ids per query, never the corpus.
+
+    ``coarse_cents`` (cell, cv) / ``pq_cents`` (sub, cell, cv):
+    optional TRAINED quantizers (see :func:`topk_ivfpq_trained`) —
+    the search plan is identical, only the broadcast dims change."""
     base = embs.select(F.col(id_col), quantized().alias("v"))
     if centroid_stride is None:
         centroid_stride = auto_stride(embs.count())
     # coarse IVF geometry — one expansion feeds assignment and probes
-    cents = base.filter((F.col(id_col) % centroid_stride) == 0).select(
-        F.col(id_col).alias("cell"), F.col("v").alias("cv")
-    )
+    if coarse_cents is not None:
+        cents = coarse_cents.select("cell", "cv")
+    else:
+        cents = base.filter((F.col(id_col) % centroid_stride) == 0).select(
+            F.col(id_col).alias("cell"), F.col("v").alias("cv")
+        )
     expanded = base.join(F.broadcast(cents)).select(
         id_col,
         F.struct(
@@ -842,6 +851,8 @@ def topk_ivfpq(
     # PQ codes + per-query distance tables — same stride, same
     # codebooks as topk_pq (stride passed through: count() runs once)
     subs, pcents = _pq_parts(embs, m, centroid_stride, id_col)
+    if pq_cents is not None:
+        pcents = pq_cents.select("sub", "cell", "cv")
     codes = _pq_assign(subs, pcents, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         "sub",
@@ -1045,6 +1056,380 @@ def kmeans_step(
         )
         .orderBy("cell_id")
     )
+
+
+#: Lloyd rounds the trained-quantizer path runs (mean-updates applied
+#: to the stride seed). Bounded-iteration contract like PageRank/
+#: k-core: the SAME fixed count in both engines, so results are equal
+#: by construction; the value is chosen from measured recall on the
+#: clustered fixture (BENCH_NOTES r9: residual IVFADC recall@5 =
+#: 0.60 / 0.60 / 0.66 at coarse+book rounds 2/2, 3/2, 3/3).
+KM_TRAIN_ROUNDS = 3
+
+
+def train_coarse_centroids(
+    embs: DataFrame,
+    rounds: int = KM_TRAIN_ROUNDS,
+    centroid_stride: int | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """k-means-TRAINED coarse centroids for the IVF family — the
+    train step every deployed IVF index runs (FAISS trains its coarse
+    quantizer with Lloyd iterations before add()): start from the
+    deterministic stride seed and apply ``rounds`` exact
+    :func:`kmeans_new_centroids` mean-updates. Returns (cell, cv) in
+    the quantized int64 space — drop-in for the ``coarse_cents``
+    override of :func:`topk_ivf` / :func:`topk_ivfpq`.
+
+    Cells keep their seed label through every round, clusters that
+    lose all members drop (standard Lloyd; K can shrink), and every
+    round is exact integer arithmetic (round-half-up means), so a
+    DuckDB oracle replays the full chain as ``rounds`` unrolled CTEs.
+
+    Scale shape: each round is the IVF build cost (broadcast n×K
+    struct-min, one shuffled row per vector) plus one K·dim mean
+    aggregate; lineage truncates per round via ckpt.materialize (the
+    CC/k-core pattern), so plan depth is O(1) in rounds."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.ckpt import (
+        materialize,
+        release,
+    )
+
+    cents = None
+    for _ in range(rounds):
+        prev = cents
+        cents = materialize(
+            kmeans_new_centroids(
+                embs,
+                centroid_stride=centroid_stride,
+                id_col=id_col,
+                centroids=prev,
+            ),
+            eager=True,
+        )
+        if prev is not None:
+            release(prev)
+    return cents
+
+
+def pq_new_codebooks(
+    embs: DataFrame,
+    m: int = PQ_M,
+    centroid_stride: int | None = None,
+    id_col: str = "vec_id",
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """One Lloyd mean-update of the per-subspace PQ codebooks — the
+    subspace analog of :func:`kmeans_new_centroids` (PQ training IS
+    m independent k-means, one per subvector slice: Jégou et al.
+    TPAMI'11 §II.C). ``codebooks`` = (sub, cell, cv) from a previous
+    round, or None to seed from the deterministic stride sample.
+    Returns the re-estimated (sub, cell, cv) with the same exact
+    integer round-half-up means, (d2, cell) assignment tie-break,
+    and drop-empty-clusters semantics as the full-dimension step.
+
+    Scale shape: assignment is a broadcast join on ``sub`` (the
+    codebooks are m·K rows) with partial-aggregated struct-min — one
+    shuffled row per (vector, subspace) — then a posexplode to
+    (sub, cell, pos) partial sums: the mean shuffle carries
+    m·K·(dim/m) = K·dim rows after map-side combine, never n·dim."""
+    subs, seed = _pq_parts(embs, m, centroid_stride, id_col)
+    cents = seed if codebooks is None else codebooks.select("sub", "cell", "cv")
+    return _subspace_lloyd_round(subs, cents, id_col)
+
+
+def _subspace_lloyd_round(
+    subs: DataFrame, cents: DataFrame, id_col: str
+) -> DataFrame:
+    """One Lloyd mean-update over any (id, sub, sv) subvector frame —
+    the shared core of :func:`pq_new_codebooks` (raw subvectors) and
+    the residual-codebook training inside
+    :func:`topk_ivfpq_trained` (coarse-residual subvectors)."""
+    assigned = (
+        subs.join(F.broadcast(cents), "sub")
+        .select(
+            id_col,
+            "sub",
+            "sv",
+            F.struct(
+                dist2_i(F.col("sv"), F.col("cv")).alias("d2"),
+                F.col("cell").alias("cell"),
+            ).alias("dc"),
+        )
+        .groupBy(id_col, "sub")
+        .agg(F.min("dc").alias("best"), F.first("sv").alias("sv"))
+    )
+    per_dim = (
+        assigned.select(
+            "sub",
+            F.col("best.cell").alias("cell"),
+            F.posexplode("sv").alias("i", "x"),
+        )
+        .groupBy("sub", "cell", "i")
+        .agg(F.sum("x").alias("sm"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "sub",
+            "cell",
+            "i",
+            F.floor((2 * F.col("sm") + F.col("n")) / (2 * F.col("n")))
+            .cast("long")
+            .alias("m"),
+        )
+    )
+    return per_dim.groupBy("sub", "cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "m"))),
+            lambda s: s["m"],
+        ).alias("cv")
+    )
+
+
+def train_subspace_codebooks(
+    subs: DataFrame,
+    rounds: int = KM_TRAIN_ROUNDS,
+    centroid_stride: int | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``rounds`` Lloyd mean-updates over an (id, sub, sv) subvector
+    frame, seeded from the deterministic stride sample of the SAME
+    frame, with per-round lineage truncation. The generic train loop
+    behind :func:`train_pq_codebooks` (raw subvectors) and the
+    residual codebooks of :func:`topk_ivfpq_trained`."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.ckpt import (
+        materialize,
+        release,
+    )
+
+    books = subs.filter((F.col(id_col) % centroid_stride) == 0).select(
+        "sub", F.col(id_col).alias("cell"), F.col("sv").alias("cv")
+    )
+    for r in range(rounds):
+        prev = books if r > 0 else None
+        books = materialize(
+            _subspace_lloyd_round(subs, books, id_col), eager=True
+        )
+        if prev is not None:
+            release(prev)
+    return books
+
+
+def train_pq_codebooks(
+    embs: DataFrame,
+    rounds: int = KM_TRAIN_ROUNDS,
+    m: int = PQ_M,
+    centroid_stride: int | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """k-means-TRAINED per-subspace PQ codebooks over RAW subvectors:
+    ``rounds`` exact :func:`pq_new_codebooks` mean-updates from the
+    stride seed, with per-round lineage truncation. Returns
+    (sub, cell, cv) — drop-in for the ``pq_cents`` override of
+    :func:`topk_ivfpq` (the raw-code trained variant measured in
+    scripts/bench_ivfpq_training.py)."""
+    if centroid_stride is None:
+        centroid_stride = auto_stride(embs.count())
+    subs, _ = _pq_parts(embs, m, centroid_stride, id_col)
+    return train_subspace_codebooks(
+        subs, rounds=rounds, centroid_stride=centroid_stride, id_col=id_col
+    )
+
+
+def topk_ivfpq_trained(
+    embs: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    m: int = PQ_M,
+    rounds: int = KM_TRAIN_ROUNDS,
+    centroid_stride: int | None = None,
+    nprobe: int = N_PROBES,
+    refine: int = 20,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Residual IVFADC over k-means-TRAINED quantizers + exact
+    re-rank — the r8 VERDICT quality capstone, and the TEXTBOOK
+    IVF-PQ (Jégou et al. TPAMI'11 §5: PQ codes encode the residual
+    v − centroid(cell), so the codebooks only have to cover the
+    within-cell spread): coarse centroids are ``rounds`` exact Lloyd
+    mean-updates of the stride seed (:func:`train_coarse_centroids`),
+    the per-subspace codebooks are ``rounds`` Lloyd updates trained
+    on the COARSE RESIDUALS, and each query builds one residual
+    distance table PER PROBED CELL (q − centroid_cell vs codebook).
+
+    Why residual here when :func:`topk_ivfpq` ships raw codes:
+    measured, both rounds. r8 measured residual encoding on
+    stride-sampled "centroids" at recall 0.08 — corpus vectors are
+    not means, residuals against them are as spread as raw data —
+    and shipped raw codes (0.52). r9 re-measured on trained means,
+    confirming the attribution: residual 0.60/0.66 at 2/3 rounds vs
+    raw-code-trained 0.54/0.58, vs stride baseline 0.52 (clustered
+    fixture, sf0.01; scripts/bench_ivfpq_training.py, numbers in
+    BENCH_NOTES r9). Trained means are precisely what makes the
+    textbook encoding win.
+
+    Deterministic end to end: stride seed → exact integer mean
+    updates → exact scaled-int residuals and distances, every
+    tie-break inherited ((d2, cell) assignment, probe (d2, cell),
+    ADC (dist, neighbor), final (score desc, neighbor)) — the DuckDB
+    oracle replays the training as unrolled CTEs (the BPE/k-core
+    pattern) and then the identical residual search.
+
+    Scale shape: training rounds are the bounded IVF build cost
+    (broadcast n×K struct-min + K·dim mean aggregates, lineage
+    truncated per round); the search is the :func:`topk_ivfpq` plan
+    with the residual distance tables keyed (query, cell, sub, cell')
+    — n_queries·nprobe·m·K rows, still broadcast-size — so the ADC
+    join stays cell-restricted and per-query work stays
+    (n/K)·nprobe·m lookups."""
+    base = embs.select(F.col(id_col), quantized().alias("v"))
+    if centroid_stride is None:
+        centroid_stride = auto_stride(embs.count())
+    cents = train_coarse_centroids(
+        embs, rounds=rounds, centroid_stride=centroid_stride, id_col=id_col
+    ).select("cell", "cv")
+    # final coarse assignment + probe lists (one expansion feeds both)
+    expanded = base.join(F.broadcast(cents)).select(
+        id_col,
+        "v",
+        F.struct(
+            dist2_i(F.col("v"), F.col("cv")).alias("d2"),
+            F.col("cell").alias("cell"),
+        ).alias("dc"),
+    )
+    assign = (
+        expanded.groupBy(id_col)
+        .agg(F.min("dc").alias("mm"), F.first("v").alias("v"))
+        .select(id_col, F.col("mm.cell").alias("cell"), "v")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_d2").asc(), F.col("cell").asc()
+    )
+    probes = (
+        expanded.filter(F.col(id_col) < n_queries)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("dc.cell").alias("cell"),
+            F.col("dc.d2").alias("_d2"),
+        )
+        .withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= nprobe)
+        .select("query_id", "cell")
+    )
+    # residual subvectors of every vector vs its assigned centroid
+    resid = assign.join(F.broadcast(cents), "cell").select(
+        id_col,
+        "cell",
+        F.zip_with("v", "cv", lambda a, b: a - b).alias("rv"),
+    )
+    rsubs = (
+        resid.select(
+            id_col,
+            "cell",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+            F.col("rv"),
+        )
+        .select(
+            id_col,
+            "cell",
+            "sub",
+            F.expr(
+                f"slice(rv, sub * (size(rv) DIV {m}) + 1, size(rv) DIV {m})"
+            ).alias("sv"),
+        )
+    )
+    # codebooks trained on the residuals (coarse cell column dropped:
+    # the codebook's own `cell` label must not collide)
+    rs = rsubs.select(id_col, "sub", "sv")
+    books = train_subspace_codebooks(
+        rs, rounds=rounds, centroid_stride=centroid_stride, id_col=id_col
+    )
+    codes = (
+        rs.join(F.broadcast(books), "sub")
+        .select(
+            id_col,
+            "sub",
+            F.struct(
+                dist2_i(F.col("sv"), F.col("cv")).alias("d2"),
+                F.col("cell").alias("cell"),
+            ).alias("dc"),
+        )
+        .groupBy(id_col, "sub")
+        .agg(F.min("dc").alias("best"))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            "sub",
+            F.col("best.cell").alias("pcell"),
+        )
+    )
+    # per-(query, probed cell) residual distance tables
+    qres = (
+        base.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("query_id"), "v")
+        .join(F.broadcast(probes), "query_id")
+        .join(F.broadcast(cents), "cell")
+        .select(
+            "query_id",
+            "cell",
+            F.zip_with("v", "cv", lambda a, b: a - b).alias("rv"),
+        )
+    )
+    qsubs = (
+        qres.select(
+            "query_id",
+            "cell",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+            F.col("rv"),
+        )
+        .select(
+            "query_id",
+            "cell",
+            "sub",
+            F.expr(
+                f"slice(rv, sub * (size(rv) DIV {m}) + 1, size(rv) DIV {m})"
+            ).alias("sv"),
+        )
+    )
+    dtab = qsubs.join(
+        F.broadcast(books.withColumnRenamed("cell", "pcell")), "sub"
+    ).select(
+        "query_id",
+        "cell",
+        "sub",
+        "pcell",
+        dist2_i(F.col("sv"), F.col("cv")).alias("qd2"),
+    )
+    # cell-restricted ADC: a code row meets only the queries probing
+    # its coarse cell, and the lookup key carries that cell
+    adc = (
+        codes.join(assign.select(F.col(id_col).alias("neighbor_id"), "cell"),
+                   "neighbor_id")
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(F.broadcast(dtab), ["query_id", "cell", "sub", "pcell"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("qd2").alias("_adc"))
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("_adc").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        adc.withColumn("_ar", F.row_number().over(wa))
+        .filter(F.col("_ar") <= refine)
+        .select("query_id", "neighbor_id")
+    )
+    qv = base.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    nv = base.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("nv"))
+    scored = (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot_i(F.col("qv"), F.col("nv")).alias("_score_i"),
+        )
+    )
+    return _topk(scored, k)
 
 
 TRUNC_DIMS = (8, 16, 32, 64)  # truncation audit prefix lengths

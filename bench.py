@@ -205,6 +205,7 @@ ANALYTICS_QUERIES = [
     "emb_pq_codes",
     "ann_topk_pq",
     "ann_topk_ivfpq",
+    "ann_topk_ivfpq_trained",
     "emb_near_dup_lsh_multi",
     "emb_bitext_mine",
     "mm_asset_stats",
@@ -352,6 +353,8 @@ BENCH_KEY_ALIASES = {
     "emb_pq_codes": "pqc",
     "ann_topk_pq": "apq",
     "ann_topk_ivfpq": "ivfpq",
+    # round-9 additions (final line only, 1:1)
+    "ann_topk_ivfpq_trained": "ivfpqt",
     "customer_rfm_segments": "rf",
     "events_active_users": "dw",
     "q1_pricing_summary": "q1p",

@@ -1501,6 +1501,85 @@ def test_kmeans_lloyd_loop_converges(spark):
     assert d2 < 1e-4, "means vs means: only integer-rounding residue"
 
 
+def test_pq_codebook_lloyd_round_exact_means(spark):
+    """X113 training arithmetic, brute-force-pinned: one subspace
+    Lloyd round (pq_new_codebooks) must produce the exact round-half-
+    up integer means per (sub, cell, dim), and a second round on
+    stable assignments must be a fixed point (means of means)."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import similarity
+
+    rows = [
+        (0, [1.0, 0.0, 0.5, 0.5]),
+        (1, [0.9, 0.1, 0.5, 0.5]),
+        (2, [0.0, 1.0, -0.5, -0.5]),
+        (3, [0.1, 0.9, -0.5, -0.5]),
+    ]
+    embs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    books1 = {
+        (r.sub, r.cell): list(r.cv)
+        for r in similarity.pq_new_codebooks(
+            embs, m=2, centroid_stride=2
+        ).collect()
+    }
+    # sub 0 pairs {0,1} and {2,3}; floor((2*Σ+n)/(2n)) means:
+    # cell0 = [9500, 500] (19000/2, 1000/2 half-up→floor(500.5)=500)
+    assert books1 == {
+        (0, 0): [9500, 500],
+        (0, 2): [500, 9500],
+        (1, 0): [5000, 5000],
+        (1, 2): [-5000, -5000],
+    }, books1
+    c1 = spark.createDataFrame(
+        [(s, c, v) for (s, c), v in books1.items()], ["sub", "cell", "cv"]
+    )
+    books2 = {
+        (r.sub, r.cell): list(r.cv)
+        for r in similarity.pq_new_codebooks(
+            embs, m=2, centroid_stride=2, codebooks=c1
+        ).collect()
+    }
+    assert books2 == books1, "stable assignment must be a Lloyd fixed point"
+
+
+def test_ivfpq_trained_recall_beats_stride_on_clustered(spark):
+    """The r9 capstone's reason to exist, pinned: on the clustered
+    fixture the trained-quantizer residual IVFADC must strictly beat
+    the stride-quantizer raw-code IVF-PQ at identical search
+    parameters (measured at sf0.001: 0.56 vs 0.22; at sf0.01:
+    0.66 vs 0.52 — scripts/bench_ivfpq_training.py)."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import similarity
+
+    embs = similarity.clustered_embeddings(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ).cache()
+    stride = similarity.auto_stride(embs.count())
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.topk_brute(embs).collect()
+    }
+    r_stride = len(
+        {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.topk_ivfpq(
+                embs, centroid_stride=stride
+            ).collect()
+        }
+        & truth
+    )
+    r_trained = len(
+        {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.topk_ivfpq_trained(
+                embs, centroid_stride=stride
+            ).collect()
+        }
+        & truth
+    )
+    embs.unpersist()
+    assert r_trained > r_stride, (r_trained, r_stride)
+    assert r_trained >= 20, r_trained  # recall >= 0.4 of the 50-pair truth
+
+
 def test_kmeans_step_two_tight_clusters(spark):
     """Vectors split into two tight clusters around the two stride
     centroids (ids 0 and 2 at stride 2): every vector must land in
@@ -1776,6 +1855,7 @@ def test_ann_recall_audit_consistent_with_member_queries(spark):
         ann_topk_brute,
         ann_topk_ivf,
         ann_topk_ivfpq,
+        ann_topk_ivfpq_trained,
         ann_topk_lsh,
         ann_topk_lsh_multi,
         ann_topk_pq,
@@ -1783,12 +1863,15 @@ def test_ann_recall_audit_consistent_with_member_queries(spark):
 
     sf = "/root/testdata/sf0.001"
     audit = {r["method"]: r for r in ann_recall_audit(spark, sf).collect()}
-    assert set(audit) == {"ivf", "ivfpq", "lsh", "lsh_multi", "pq"}
+    assert set(audit) == {
+        "ivf", "ivfpq", "ivfpq_t", "lsh", "lsh_multi", "pq"
+    }
     brute = {
         (r["query_id"], r["neighbor_id"])
         for r in ann_topk_brute(spark, sf).collect()
     }
     members = {"ivf": ann_topk_ivf, "ivfpq": ann_topk_ivfpq,
+               "ivfpq_t": ann_topk_ivfpq_trained,
                "lsh": ann_topk_lsh,
                "lsh_multi": ann_topk_lsh_multi, "pq": ann_topk_pq}
     for m, fn in members.items():

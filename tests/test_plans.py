@@ -805,6 +805,42 @@ def test_ivfpq_cell_filter_below_adc_join(spark):
     assert cell_join < adc_join < adc_sum, (cell_join, adc_join, adc_sum)
 
 
+def test_ivfpq_trained_cell_filter_below_adc_join(spark):
+    """The trained-quantizer residual IVFADC (r9) must keep the SAME
+    at-scale property its stride sibling pins above: the coarse-cell
+    restriction sits BELOW the ADC lookup join — codes meet the
+    broadcast probe panel on the cell key first, so unprobed cells'
+    codes never reach the residual distance tables. Training changes
+    the quantizers, never the search plan shape."""
+    import re
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators import similarity
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = explain_str(similarity.topk_ivfpq_trained(embs, n_queries=10, k=5))
+    cell_join = adc_join = adc_sum = None
+    for m in re.finditer(
+        r"\((\d+)\) (BroadcastHashJoin|HashAggregate)[^\n]*\n(.*?)(?=\n\(|\Z)",
+        plan,
+        re.S,
+    ):
+        num, op, body = int(m.group(1)), m.group(2), m.group(3)
+        if op == "BroadcastHashJoin":
+            keys = re.search(r"Left keys \[\d+\]: \[([^\]]*)\]", body)
+            keys = keys.group(1) if keys else ""
+            if "pcell#" in keys:
+                adc_join = num
+            elif keys.startswith("cell#"):
+                cell_join = num
+        elif op == "HashAggregate" and "sum(qd2" in body:
+            adc_sum = num  # keeps the FINAL (highest) sum agg
+    assert cell_join is not None, plan[:3000]
+    assert adc_join is not None, plan[:3000]
+    assert adc_sum is not None, plan[:3000]
+    assert cell_join < adc_join < adc_sum, (cell_join, adc_join, adc_sum)
+
+
 def test_bpe_round_single_word_exchange(spark):
     """X102's per-round scale claim, plan-pinned: every window of the
     re-segmentation (candidate lead, island rank, parity rank,
