@@ -1405,6 +1405,55 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pHash near-dup pair frame over assets + re-renders,
+    computed (and localCheckpoint-materialized) at most once per
+    (session, sf_dir) — shared by mm_phash_near_dup (the pair report)
+    and mm_canonical_assets (the CC closure + keep-list), the
+    :func:`_minhash_pairs` pattern for images. The frame is pair-
+    count-sized (≪ corpus), trivially pinnable."""
+    return _session_cached(
+        spark,
+        ("phash_pairs", sf_dir),
+        lambda: materialize(
+            multimodal.phash_near_dup(
+                multimodal.rerendered_assets(_docs(spark, sf_dir))
+            )
+        ),
+    )
+
+
+def mm_canonical_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X114: the image dedup APPLY step (r8 VERDICT ask #3 — X104
+    emits near-dup PAIRS; a real multimodal pipeline dedups to a
+    KEEP-LIST): the pHash pair graph is closed into connected
+    components (min-asset-id label, every phash-eligible image asset
+    labeled, singletons included — the X35 machinery), then one
+    canonical survivor per component with the number of assets it
+    collapsed — the X45 analog for images. On the re-render fixture
+    every engineered (base, re-render) cluster collapses to one
+    canonical asset of cluster_size ≥ 2, pinned in pytest. The pair
+    graph rides the :func:`_phash_pairs` session cache; the oracle
+    nests the verbatim pHash pair SQL under the same recursive
+    closure dedup_components uses."""
+    docs = _docs(spark, sf_dir)
+    assets = multimodal.rerendered_assets(docs)
+    # the node universe = assets the pHash path can fingerprint:
+    # images with a non-empty payload (content = 4-byte magic + text)
+    nodes = assets.filter(
+        (F.col("kind") == "image") & (F.length("content") > 4)
+    ).select("asset_id")
+    comp = graph.connected_components(
+        _phash_pairs(spark, sf_dir).select("asset_a", "asset_b"),
+        nodes=nodes,
+    )
+    return (
+        comp.groupBy(F.col("component").alias("asset_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+        .orderBy("asset_id")
+    )
+
+
 def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X: image near-dup via perceptual hash (r7 VERDICT ask #4 —
     bridges the multimodal decode family and the hamming-band dedup
@@ -1414,10 +1463,9 @@ def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     PLUS their deterministic re-renders (multimodal.rerendered_assets
     — the corpus has no duplicate image payloads of its own), so the
     emitted pairs are the engineered re-encodes, each within hamming
-    ≤ 2 by construction. See multimodal.phash_near_dup."""
-    return multimodal.phash_near_dup(
-        multimodal.rerendered_assets(_docs(spark, sf_dir))
-    ).orderBy("asset_a", "asset_b")
+    ≤ 2 by construction. Rides the :func:`_phash_pairs` session cache
+    shared with mm_canonical_assets. See multimodal.phash_near_dup."""
+    return _phash_pairs(spark, sf_dir).orderBy("asset_a", "asset_b")
 
 
 #: lang domain for the expectations entry — shared with the oracle SQL
@@ -1587,6 +1635,7 @@ EXT_QUERY_FNS = {
     "mm_fingerprint": mm_fingerprint,
     "mm_frame_sample": mm_frame_sample,
     "mm_phash_near_dup": mm_phash_near_dup,
+    "mm_canonical_assets": mm_canonical_assets,
     "mm_extract_features": mm_extract_features,
     "mm_resize_images": mm_resize_images,
 }
@@ -3240,6 +3289,41 @@ EXT_ORACLE_SQL["dedup_components"] = EXT_ORACLE_SQL["dedup_components"].format(
 # the star-algorithm variant computes the IDENTICAL labels — one
 # oracle text serves both (different Spark algorithms, same closure)
 EXT_ORACLE_SQL["dedup_components_star"] = EXT_ORACLE_SQL["dedup_components"]
+
+# image canonical keep-list (X114): the verbatim pHash pair SQL nested
+# under the SAME recursive min-label closure dedup_components uses,
+# then one survivor per component with its collapse count; the node
+# universe restates the pHash oracle's imgdocs eligibility (base
+# images with non-empty text + the length-guarded re-renders)
+EXT_ORACLE_SQL["mm_canonical_assets"] = f"""
+    WITH RECURSIVE
+    ph AS ({EXT_ORACLE_SQL["mm_phash_near_dup"]}),
+    nodes AS (
+        SELECT doc_id AS asset_id FROM documents
+        WHERE doc_id % 3 = 0 AND len(text) > 0
+        UNION ALL
+        SELECT doc_id + 30000000 AS asset_id FROM documents
+        WHERE doc_id % 30 = 0 AND len(text) >= 72
+    ),
+    edges AS (
+        SELECT asset_a AS u, asset_b AS v FROM ph
+        UNION
+        SELECT asset_b AS u, asset_a AS v FROM ph
+    ),
+    reach(u, r) AS (
+        SELECT asset_id, asset_id FROM nodes
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+    ),
+    comp AS (
+        SELECT u AS asset_id, MIN(r) AS component_id FROM reach GROUP BY u
+    )
+    SELECT component_id AS asset_id,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size
+    FROM comp
+    GROUP BY 1
+    ORDER BY 1
+"""
 
 # semantic dedup: the IVF assignment replayed verbatim (stride
 # centroids, exact int d2, (d2, cell) tie-break), within-cell pairs

@@ -211,6 +211,7 @@ ANALYTICS_QUERIES = [
     "mm_asset_stats",
     "mm_fingerprint",
     "mm_phash_near_dup",
+    "mm_canonical_assets",
     "mm_extract_features",
     "mm_frame_sample",
     "mm_resize_images",
@@ -355,6 +356,7 @@ BENCH_KEY_ALIASES = {
     "ann_topk_ivfpq": "ivfpq",
     # round-9 additions (final line only, 1:1)
     "ann_topk_ivfpq_trained": "ivfpqt",
+    "mm_canonical_assets": "mmca",
     "customer_rfm_segments": "rf",
     "events_active_users": "dw",
     "q1_pricing_summary": "q1p",

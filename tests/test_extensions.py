@@ -2354,6 +2354,36 @@ def test_phash_near_dup_pinned_pairs_and_exhaustive_banding(spark):
         assert (did, did + 30_000_000) in emitted
 
 
+def test_mm_canonical_assets_collapses_engineered_clusters(spark):
+    """X114 keep-list contract (r8 VERDICT ask #3): every engineered
+    (base, re-render) pHash cluster must collapse to ONE canonical
+    asset — the BASE doc_id (the component minimum, since the
+    re-render id is base + 30M) — with cluster_size counting both;
+    the re-render ids must never appear as canonicals; every other
+    eligible image asset survives as a singleton; and the keep-list
+    partitions the eligible-asset universe exactly (Σ cluster_size =
+    n_eligible)."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        mm_canonical_assets,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r.asset_id: r.cluster_size
+            for r in mm_canonical_assets(spark, sf).collect()}
+    docs = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .selectExpr("doc_id", "length(text) AS n")
+        .where("doc_id % 3 = 0")
+        .collect()
+    )
+    eligible = {r.doc_id for r in docs if r.n > 0}
+    guarded = {r.doc_id for r in docs if r.doc_id % 30 == 0 and r.n >= 72}
+    for did in guarded:
+        assert rows.get(did, 0) >= 2, (did, rows.get(did))
+        assert did + 30_000_000 not in rows
+    assert sum(rows.values()) == len(eligible) + len(guarded)
+
+
 def test_dsir_importance_matches_brute_force(spark):
     """X105 exactness: the operator's per-doc raw weights must equal a
     brute-force Python replication (md5-prefix bucket hash, add-one
