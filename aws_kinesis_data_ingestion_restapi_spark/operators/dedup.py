@@ -474,7 +474,8 @@ def minhash_signatures(
 
 
 def minhash_band_keys(
-    sigs: DataFrame, num_perm: int = 32, bands: int = 4
+    sigs: DataFrame, num_perm: int = 32, bands: int = 4,
+    carry: tuple = (),
 ) -> DataFrame:
     """(doc_id, band, band_key) LSH banding of a signature frame.
 
@@ -483,7 +484,13 @@ def minhash_band_keys(
     probed by each new batch — see :func:`incremental_dedup_delta`.
     Factored out of :func:`minhash_lsh_pairs` so the self-join and the
     corpus-probe paths band identically (and identically to the DuckDB
-    oracle's banding CTE)."""
+    oracle's banding CTE).
+
+    ``carry``: extra column names passed through the band explode
+    unchanged — the STREAMING probe path carries ``sig`` this way so
+    the verify stage never has to re-join the signature onto its own
+    stream (a stream-stream self-join Structured Streaming would
+    reject without watermarks; batch callers leave it empty)."""
     if bands <= 0 or num_perm % bands != 0:
         # silent truncation would band over only the first
         # bands·(num_perm//bands) components — a different b·r
@@ -511,9 +518,9 @@ def minhash_band_keys(
             for b in range(bands)
         ]
     )
-    return sigs.select("doc_id", F.explode(band_structs).alias("bk")).select(
-        "doc_id", "bk.band", "bk.band_key"
-    )
+    return sigs.select(
+        "doc_id", *carry, F.explode(band_structs).alias("bk")
+    ).select("doc_id", *carry, "bk.band", "bk.band_key")
 
 
 def _est_jaccard_col(num_perm: int) -> Column:

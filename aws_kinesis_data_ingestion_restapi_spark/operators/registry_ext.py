@@ -3290,6 +3290,49 @@ EXT_ORACLE_SQL["dedup_components"] = EXT_ORACLE_SQL["dedup_components"].format(
 # oracle text serves both (different Spark algorithms, same closure)
 EXT_ORACLE_SQL["dedup_components_star"] = EXT_ORACLE_SQL["dedup_components"]
 
+# streaming incremental dedup (X115): the CORPUS-PROBE subset of the
+# X90 oracle — the adapter's drained+reduced result is exactly the
+# single-copy corpus verdict despite the double delivery (replay
+# idempotence IS what the value-hash proves; the query fn lives in
+# streaming/registry_stream.py)
+EXT_ORACLE_SQL["streaming_dedup_delta"] = f"""
+    WITH {_MINHASH_SIGS},
+    base AS (SELECT * FROM sigs WHERE doc_id % 10 < {_DELTA_PCT}),
+    delta AS (SELECT * FROM sigs WHERE doc_id % 10 >= {_DELTA_PCT}),
+    bb AS (
+        {_banded_sql('base')}
+    ),
+    db AS (
+        {_banded_sql('delta')}
+    ),
+    ccand AS (
+        SELECT DISTINCT d.doc_id AS delta_id, c.doc_id AS match_id
+        FROM db d JOIN bb c ON d.b = c.b AND d.band_key = c.band_key
+    ),
+    cver AS (
+        SELECT delta_id, match_id,
+               CAST(len(list_filter(generate_series(1, 32),
+                    i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32.0 AS est
+        FROM ccand
+        JOIN delta sa ON sa.doc_id = delta_id
+        JOIN base sb ON sb.doc_id = match_id
+    ),
+    cdup AS (
+        SELECT delta_id, match_id, est FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY delta_id
+                      ORDER BY est DESC, match_id) AS rn
+            FROM cver WHERE est >= 0.5
+        ) WHERE rn = 1
+    )
+    SELECT d.doc_id,
+           (c.delta_id IS NOT NULL) AS is_dup,
+           c.match_id AS match_doc_id,
+           c.est AS est_jaccard
+    FROM delta d
+    LEFT JOIN cdup c ON c.delta_id = d.doc_id
+    ORDER BY d.doc_id
+"""
+
 # image canonical keep-list (X114): the verbatim pHash pair SQL nested
 # under the SAME recursive min-label closure dedup_components uses,
 # then one survivor per component with its collapse count; the node

@@ -522,6 +522,7 @@ QUERY_FNS: dict[str, QueryFn] = {
 # deliveries identical), and running totals drain to exactly 2× the
 # per-customer batch aggregate — so both get full ORACLE_SQL entries.
 from aws_kinesis_data_ingestion_restapi_spark.streaming.registry_stream import (  # noqa: E402
+    streaming_dedup_delta,
     streaming_dedup_replay,
     streaming_enriched_nation_totals,
     streaming_late_data_policy,
@@ -535,6 +536,7 @@ from aws_kinesis_data_ingestion_restapi_spark.streaming.registry_stream import (
 )
 
 QUERY_FNS["streaming_dedup_replay"] = streaming_dedup_replay
+QUERY_FNS["streaming_dedup_delta"] = streaming_dedup_delta
 QUERY_FNS["streaming_running_totals_final"] = streaming_running_totals_final
 QUERY_FNS["streaming_enriched_nation_totals"] = streaming_enriched_nation_totals
 QUERY_FNS["streaming_payment_match"] = streaming_payment_match

@@ -225,6 +225,7 @@ ANALYTICS_QUERIES = [
     # stateful / stream-static / stream-stream forms (each drains a
     # real stream)
     "streaming_dedup_replay",
+    "streaming_dedup_delta",
     "streaming_running_totals_final",
     "streaming_enriched_nation_totals",
     "streaming_payment_match",
@@ -357,6 +358,7 @@ BENCH_KEY_ALIASES = {
     # round-9 additions (final line only, 1:1)
     "ann_topk_ivfpq_trained": "ivfpqt",
     "mm_canonical_assets": "mmca",
+    "streaming_dedup_delta": "sdl",
     "customer_rfm_segments": "rf",
     "events_active_users": "dw",
     "q1_pricing_summary": "q1p",

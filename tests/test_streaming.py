@@ -488,3 +488,37 @@ def test_pipeline_runs_on_continuous_rate_source(spark, tmp_path):
     amounts = spark.read.parquet(f"{wh}/purchase_details")
     bad = amounts.filter("amount < 10.0 OR amount > 100.0").count()
     assert bad == 0, "amounts outside the producer domain"
+
+
+def test_streaming_dedup_delta_matches_batch_corpus_verdicts(spark):
+    """X115 ≡ X90 on the shared contract: the streaming band-index
+    probe (drained under double delivery) must emit exactly the batch
+    operator's dup_of_corpus verdicts — same docs flagged, same best
+    match, same estimate — and novel docs everywhere else. The
+    double-delivery fixture makes this a replay-idempotence proof:
+    matching the single-copy batch result is only possible if the
+    second delivery changed nothing."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        dedup_incremental_delta,
+    )
+    from aws_kinesis_data_ingestion_restapi_spark.streaming.registry_stream import (
+        streaming_dedup_delta,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    s = {
+        r.doc_id: (r.is_dup, r.match_doc_id, r.est_jaccard)
+        for r in streaming_dedup_delta(spark, sf).collect()
+    }
+    b = {r.doc_id: r for r in dedup_incremental_delta(spark, sf).collect()}
+    assert set(s) == set(b)
+    n_dup = 0
+    for did, (is_dup, mid, est) in s.items():
+        rb = b[did]
+        assert is_dup == (rb.verdict == "dup_of_corpus"), (did, rb.verdict)
+        if is_dup:
+            n_dup += 1
+            assert mid == rb.match_doc_id and est == rb.est_jaccard
+        else:
+            assert mid is None and est is None
+    assert n_dup > 0, "fixture must exercise the corpus-dup path"
