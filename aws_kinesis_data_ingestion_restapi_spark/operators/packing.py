@@ -61,11 +61,31 @@ def pack_sequences(
     ``block=None`` auto-sizes to max(MIN_BLOCK, ⌈√n⌉). Results are
     block-size independent (property-tested); only the plan changes.
     """
+    return pack_counts(
+        docs.select(
+            "doc_id", F.size(tokens_col()).cast("long").alias("n_tokens")
+        ),
+        budget=budget,
+        block=block,
+    )
+
+
+def pack_counts(
+    counts: DataFrame,
+    budget: int = DEFAULT_BUDGET,
+    block: int | None = None,
+) -> DataFrame:
+    """:func:`pack_sequences` over an EXPLICIT (doc_id, n_tokens)
+    frame — the "swap in a real tokenizer's counts upstream" seam its
+    docstring promises, made callable (r8 VERDICT ask #6 wires X103's
+    BPE subword counts through here). Same two-level prefix sum, same
+    output contract; only the token-count source changes. The packed
+    universe is exactly ``counts``'s documents."""
     if block is None:
-        block = max(MIN_BLOCK, math.isqrt(docs.count()) + 1)
-    toked = docs.select(
+        block = max(MIN_BLOCK, math.isqrt(counts.count()) + 1)
+    toked = counts.select(
         "doc_id",
-        F.size(tokens_col()).cast("long").alias("n_tokens"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
         # integer DIV: exact in int64 (float division truncates above
         # 2^53); trunc-toward-zero stays monotone, all blocking needs
         F.expr(f"doc_id DIV {int(block)}").alias("_blk"),

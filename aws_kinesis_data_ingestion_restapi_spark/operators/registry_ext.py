@@ -237,12 +237,55 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_merges(_docs(spark, sf_dir), k=8)
 
 
+def _bpe_seg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc BPE segmentation statistics (doc_id, n_words,
+    n_bpe_tokens) under the 8 learned merges, computed (and
+    localCheckpoint-materialized) at most once per (session, sf_dir)
+    — shared by text_bpe_segment and the two budgeting consumers
+    text_pack_bpe / corpus_mixture_bpe, so a gate/bench session runs
+    the 8-round loop once, not three times."""
+    return _session_cached(
+        spark,
+        ("bpe_seg", sf_dir, 8),
+        lambda: materialize(text.bpe_segment(_docs(spark, sf_dir), k=8)),
+    )
+
+
 def text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPLY side of the BPE pair: per-doc subword statistics under
     the 8 learned merges — (doc_id, n_words, n_bpe_tokens). Learn and
     apply share one loop (text.bpe_segment), so the segmentation is by
-    construction the one text_bpe_merges' table implies."""
-    return text.bpe_segment(_docs(spark, sf_dir), k=8)
+    construction the one text_bpe_merges' table implies. Rides the
+    :func:`_bpe_seg_counts` session cache."""
+    return _bpe_seg_counts(spark, sf_dir)
+
+
+def text_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X116: sequence packing budgeted on REAL subword counts (r8
+    VERDICT ask #6 — X13 packs whitespace tokens; an actual training
+    run budgets shards in TOKENIZER tokens): the X103 per-doc
+    n_bpe_tokens feed packing.pack_counts through the explicit-counts
+    seam. Same two-level prefix sum, same shard arithmetic, same
+    512-token budget; the packed universe is the segmentable corpus
+    (docs with ≥1 word). Oracle = the unrolled 8-round BPE CTE chain
+    with the X13 prefix-sum arithmetic as its tail."""
+    counts = _bpe_seg_counts(spark, sf_dir).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
+    )
+    return packing.pack_counts(counts)
+
+
+def corpus_mixture_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X116: mixture allocation budgeted on REAL subword counts — the
+    X81 plan with per-source token inventories measured in X103 BPE
+    tokens (what a training run actually spends) instead of
+    whitespace tokens. Same integer weight×budget DIV Σw allocation;
+    inventory covers the segmentable corpus. Oracle = the BPE CTE
+    chain with the X81 allocation arithmetic as its tail."""
+    counts = _bpe_seg_counts(spark, sf_dir).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
+    )
+    return sampling.mixture_plan(_docs(spark, sf_dir), counts=counts)
 
 
 def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1576,6 +1619,8 @@ EXT_QUERY_FNS = {
     "text_ngram_novelty": text_ngram_novelty,
     "text_bpe_merges": text_bpe_merges,
     "text_bpe_segment": text_bpe_segment,
+    "text_pack_bpe": text_pack_bpe,
+    "corpus_mixture_bpe": corpus_mixture_bpe,
     "text_dsir_importance": text_dsir_importance,
     "text_collocations": text_collocations,
     "text_build_postings": text_build_postings,
@@ -3973,17 +4018,76 @@ def _bpe_oracle_sql(k: int, final: str = "merges") -> str:
             FROM documents
         ) WHERE len(word) > 0
     )""")
-        tail = (
-            "SELECT d.doc_id, COUNT(*) AS n_words,\n"
-            "           CAST(SUM(wt.n_bpe) AS BIGINT) AS n_bpe_tokens\n"
-            "    FROM docw d JOIN wt USING (word)\n"
-            "    GROUP BY 1 ORDER BY 1"
-        )
+        if final in ("pack", "mixture"):
+            # the per-doc subword counts both budgeting tails consume
+            ctes.append("""seg AS (
+        SELECT d.doc_id, CAST(SUM(wt.n_bpe) AS BIGINT) AS n_tokens
+        FROM docw d JOIN wt USING (word)
+        GROUP BY 1
+    )""")
+        if final == "segment":
+            tail = (
+                "SELECT d.doc_id, COUNT(*) AS n_words,\n"
+                "           CAST(SUM(wt.n_bpe) AS BIGINT) AS n_bpe_tokens\n"
+                "    FROM docw d JOIN wt USING (word)\n"
+                "    GROUP BY 1 ORDER BY 1"
+            )
+        elif final == "pack":
+            # the X13 prefix-sum shard arithmetic over BPE counts
+            budget = packing.DEFAULT_BUDGET
+            ctes.append("""pc AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cb
+        FROM seg
+    )""")
+            tail = (
+                f"SELECT doc_id, n_tokens,\n"
+                f"           CAST(cb // {budget} AS BIGINT) AS shard_id,\n"
+                f"           CAST(cb % {budget} AS BIGINT) AS shard_offset,\n"
+                f"           CAST(CASE WHEN n_tokens > 0 THEN\n"
+                f"               (cb + n_tokens - 1) // {budget}\n"
+                f"               - cb // {budget} + 1\n"
+                f"           ELSE 1 END AS BIGINT) AS n_shards_spanned\n"
+                f"    FROM pc"
+            )
+        else:  # mixture: the X81 allocation arithmetic over BPE counts
+            assert final == "mixture", final
+            ctes.append(r"""per_source AS (
+        SELECT source,
+               CAST(COALESCE(TRY_CAST(NULLIF(
+                        regexp_extract(source, '([0-9]+)$', 1), '')
+                        AS INTEGER), 0) % 3 + 1
+                    AS BIGINT) AS weight,
+               COUNT(*) AS n_docs,
+               CAST(SUM(seg.n_tokens) AS BIGINT) AS avail_tokens
+        FROM documents JOIN seg USING (doc_id) GROUP BY 1, 2
+    )""")
+            ctes.append(
+                """wtot AS (
+        SELECT CAST(SUM(weight) AS BIGINT) AS wsum FROM per_source
+    )"""
+            )
+            tail = (
+                "SELECT source, weight, n_docs, avail_tokens,\n"
+                "           weight * 100000 // wsum AS target_tokens,\n"
+                "           LEAST(avail_tokens, weight * 100000 // wsum)\n"
+                "               AS alloc_tokens,\n"
+                "           CAST(LEAST(avail_tokens,"
+                " weight * 100000 // wsum) AS DOUBLE)\n"
+                "             / CAST(weight * 100000 // wsum AS DOUBLE)"
+                " AS fill_ratio\n"
+                "    FROM per_source, wtot\n"
+                "    ORDER BY source"
+            )
     return "WITH " + ",\n    ".join(ctes) + "\n    " + tail
 
 
 EXT_ORACLE_SQL["text_bpe_merges"] = _bpe_oracle_sql(8)
 EXT_ORACLE_SQL["text_bpe_segment"] = _bpe_oracle_sql(8, final="segment")
+EXT_ORACLE_SQL["text_pack_bpe"] = _bpe_oracle_sql(8, final="pack")
+EXT_ORACLE_SQL["corpus_mixture_bpe"] = _bpe_oracle_sql(8, final="mixture")
 
 
 # DSIR importance: add-one target/raw ratio per 28-bit-hash bucket,

@@ -128,6 +128,7 @@ def mixture_plan(
     docs: DataFrame,
     budget_tokens: int = 100_000,
     weights_mod: int = 3,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Training-mixture allocation: given per-source token inventories
     and per-source sampling weights, allocate a global token budget
@@ -139,7 +140,14 @@ def mixture_plan(
     All allocation arithmetic is integer (weight × budget DIV Σw) —
     exact and engine-identical; only the final fill/demand ratios are
     single double divisions. The per-source aggregate is one shuffle
-    over |sources| groups; the Σw total rides a 1-row broadcast."""
+    over |sources| groups; the Σw total rides a 1-row broadcast.
+
+    ``counts``: optional EXPLICIT (doc_id, n_tokens) frame — the
+    real-tokenizer seam (r8 VERDICT ask #6 budgets on X103's BPE
+    subword counts). When given, the inventory covers exactly the
+    counted documents (inner join — a doc a tokenizer can't count
+    contributes no budgetable tokens); default stays the whitespace
+    tokenizer over every doc."""
     from aws_kinesis_data_ingestion_restapi_spark.operators.text import (
         tokens_col,
     )
@@ -147,7 +155,11 @@ def mixture_plan(
     # shared tokenizer, not a raw split: split('') returns [''] and
     # would count every blank doc as 1 available token, contradicting
     # token_stats/pack_sequences for the same document
-    toks = F.size(tokens_col())
+    if counts is not None:
+        docs = docs.select("doc_id", "source").join(
+            counts.select("doc_id", "n_tokens"), "doc_id"
+        )
+    toks = F.col("n_tokens") if counts is not None else F.size(tokens_col())
     # the weight's source number comes from a digit-tail extract, not
     # a positional substring: CAST(substr(source,4) AS INT) is an ANSI
     # CAST_INVALID_INPUT crash for any real-world source name ('web',

@@ -164,6 +164,8 @@ ANALYTICS_QUERIES = [
     "text_ngram_novelty",
     "text_bpe_merges",
     "text_bpe_segment",
+    "text_pack_bpe",
+    "corpus_mixture_bpe",
     "text_dsir_importance",
     "text_collocations",
     "text_build_postings",
@@ -359,6 +361,8 @@ BENCH_KEY_ALIASES = {
     "ann_topk_ivfpq_trained": "ivfpqt",
     "mm_canonical_assets": "mmca",
     "streaming_dedup_delta": "sdl",
+    "text_pack_bpe": "tpkb",
+    "corpus_mixture_bpe": "mxb",
     "customer_rfm_segments": "rf",
     "events_active_users": "dw",
     "q1_pricing_summary": "q1p",

@@ -2628,3 +2628,47 @@ def test_ngram_novelty_reference_semantics(spark):
     # delta), 4 novel
     assert out[2].n_grams == 6 and out[2].n_novel == 4
     assert out[2].novelty == 4 / 6
+
+
+def test_bpe_budgeting_consumes_segmentation_counts(spark):
+    """X116 composition contract: the BPE-budgeted packing and mixture
+    entries must budget on EXACTLY the X103 segmentation counts —
+    pack rows carry each doc's n_bpe_tokens and the brute-force
+    doc_id-order prefix-sum shard arithmetic, and the mixture
+    inventory per source is the exact sum of its docs' BPE counts."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.packing import (
+        DEFAULT_BUDGET,
+    )
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        corpus_mixture_bpe,
+        text_bpe_segment,
+        text_pack_bpe,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    seg = {r.doc_id: r.n_bpe_tokens
+           for r in text_bpe_segment(spark, sf).collect()}
+    packed = {r.doc_id: r for r in text_pack_bpe(spark, sf).collect()}
+    assert set(packed) == set(seg)
+    cum = 0
+    for did in sorted(seg):
+        r = packed[did]
+        assert r.n_tokens == seg[did]
+        assert r.shard_id == cum // DEFAULT_BUDGET
+        assert r.shard_offset == cum % DEFAULT_BUDGET
+        want_span = (
+            (cum + seg[did] - 1) // DEFAULT_BUDGET - cum // DEFAULT_BUDGET + 1
+            if seg[did] > 0 else 1
+        )
+        assert r.n_shards_spanned == want_span
+        cum += seg[did]
+    srcs = {
+        r.doc_id: r.source
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "source").collect()
+    }
+    want_avail: dict = {}
+    for did, n in seg.items():
+        want_avail[srcs[did]] = want_avail.get(srcs[did], 0) + n
+    mix = {r.source: r for r in corpus_mixture_bpe(spark, sf).collect()}
+    assert {s: r.avail_tokens for s, r in mix.items()} == want_avail
