@@ -965,6 +965,117 @@ def substring_hotspots(
     )
 
 
+def duplicated_spans(
+    docs: DataFrame, n: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """Exact substring duplication at SPAN granularity — the maximal
+    per-document spans every position of which lies inside an
+    ``n``-token window shared VERBATIM with ≥ ``min_docs`` distinct
+    documents. This is the distributed rendition of exact-substring
+    training-data dedup (Lee et al., ACL'22 "Deduplicating Training
+    Data Makes Language Models Better" §4.1 ExactSubstr — their
+    single-machine pass builds a suffix array over the concatenated
+    corpus and removes duplicated spans ≥ 50 tokens): a suffix array
+    does not distribute, but the SET OF POSITIONS it would remove is
+    exactly the union of cross-document duplicated length-n windows —
+    computable with one positional shingle explode, one
+    distinct-docs-per-gram aggregate, one semi-join back, and a
+    per-document islands merge. X56 (:func:`substring_hotspots`)
+    reports the duplicated FRACTION per doc; this emits the actual
+    spans a removal pass would cut.
+
+    Output: (doc_id, span_start, span_len, n_windows) — 1-based token
+    position, maximal run of consecutive duplicated windows, so
+    span_len = n_windows + n − 1; adjacent windows may match
+    DIFFERENT partner documents (maximality is within-doc, the same
+    union-of-removals semantics as ExactSubstr).
+
+    Grams are 60-bit md5 prefixes (the simhash-family hash width):
+    exact cross-engine, with a negligible collision-to-false-span
+    probability the dedup family already accepts at 28 bits.
+
+    Scale shape: the positional explode is corpus-token-sized (the
+    X56 cost); the distinct (gram, doc) pre-aggregate is map-side
+    partial; the probe back is a semi-join on the 60-bit int key; the
+    islands window partitions BY doc_id — never a global sort, never
+    a suffix array, no driver state."""
+    toked = tokenized(docs)
+    size = F.size("_toks")
+    pgrams = toked.filter(size >= n).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), size - (n - 1)),
+                lambda i: F.struct(
+                    i.cast("int").alias("pos"),
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws(" ", F.slice("_toks", i, n))),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    )
+                    .cast("long")
+                    .alias("g"),
+                ),
+            )
+        ).alias("pg"),
+    ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
+    gram_docs = (
+        pgrams.select("g", "doc_id")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("g")
+    )
+    dup = pgrams.join(gram_docs, "g", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        dup.withColumn("_grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "_grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (n - 1) - F.min("pos") + 1)
+            .cast("int")
+            .alias("span_len"),
+            F.count(F.lit(1)).cast("int").alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_len", "n_windows")
+        .orderBy("doc_id", "span_start")
+    )
+
+
+def spliced_docs(docs: DataFrame) -> DataFrame:
+    """documents + engineered PARTIAL-OVERLAP splices — the fixture
+    geometry :func:`duplicated_spans` needs (the rerendered_assets
+    precedent): the corpus's own duplicates are mostly WHOLE-document
+    recrawls, whose spans trivially cover the doc; span BOUNDARIES
+    only get exercised by partial overlap. Every 40th document with
+    ≥ 24 tokens contributes doc_id + 40_000_000 whose text is tokens
+    5..20 of the base (one verbatim 16-token span) followed by a
+    unique marker token ('xsplice' + base doc_id) that kills rightward
+    extension — so the splice's duplicated span is exactly its
+    16-token prefix and the base's span covers positions 5..20
+    (modulo the corpus's own additional duplications). Pure column
+    arithmetic on the shared tokenizer; the oracle re-derives the
+    identical splice."""
+    toks = tokens_col()
+    spliced = docs.filter(
+        (F.col("doc_id") % 40 == 0) & (F.size(toks) >= 24)
+    ).select(
+        (F.col("doc_id") + 40_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat_ws(" ", F.slice(toks, 5, 16)),
+            F.concat(F.lit("xsplice"), F.col("doc_id").cast("string")),
+        ).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(spliced)
+
+
 # ---------------------------------------------------------------------------
 # benchmark decontamination (n-gram overlap against an eval set)
 # ---------------------------------------------------------------------------

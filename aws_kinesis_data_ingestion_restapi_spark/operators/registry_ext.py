@@ -801,6 +801,21 @@ def dedup_substring_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.substring_hotspots(_docs(spark, sf_dir), n=8, min_docs=2)
 
 
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X117: exact-substring dedup at span granularity (r8 VERDICT
+    stretch ask — Lee et al. ACL'22 ExactSubstr): the maximal per-doc
+    spans whose every 8-token window is shared verbatim with another
+    document, over the corpus PLUS engineered partial-overlap splices
+    (dedup.spliced_docs — corpus duplicates are whole-doc recrawls,
+    so span boundaries need the fixture). Bounded design: positional
+    shingle explode + distinct-docs-per-gram + semi-join + per-doc
+    islands merge — never a suffix array, never a global sort. See
+    dedup.duplicated_spans."""
+    return dedup.duplicated_spans(
+        dedup.spliced_docs(_docs(spark, sf_dir)), n=8, min_docs=2
+    )
+
+
 def dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-signal near-dup report: the union of text-signal pairs
     (MinHash-LSH) and embedding-signal pairs (multi-table sign-LSH),
@@ -1650,6 +1665,7 @@ EXT_QUERY_FNS = {
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_simhash_fingerprints": dedup_simhash_fingerprints,
     "dedup_substring_hotspots": dedup_substring_hotspots,
+    "dedup_exact_substring": dedup_exact_substring,
     "dedup_contamination": dedup_contamination,
     "dedup_ensemble": dedup_ensemble,
     "dedup_lsh_quality": dedup_lsh_quality,
@@ -3376,6 +3392,51 @@ EXT_ORACLE_SQL["streaming_dedup_delta"] = f"""
     FROM delta d
     LEFT JOIN cdup c ON c.delta_id = d.doc_id
     ORDER BY d.doc_id
+"""
+
+# exact-substring spans (X117): positional 8-token shingles over the
+# corpus + the engineered splices, 60-bit md5 gram hash, distinct-docs
+# filter, islands merge — the identical pipeline duplicated_spans runs
+EXT_ORACLE_SQL["dedup_exact_substring"] = f"""
+    WITH docs2 AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 40000000 AS doc_id,
+               array_to_string(list_slice(toks, 5, 20), ' ')
+                   || ' xsplice' || CAST(doc_id AS VARCHAR) AS text
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        WHERE doc_id % 40 = 0 AND len(toks) >= 24
+    ),
+    tk AS (
+        SELECT doc_id, {_TOKS} AS toks FROM docs2
+    ),
+    pg AS (
+        SELECT doc_id, CAST(i AS INT) AS pos,
+               CAST(concat('0x', substr(md5(array_to_string(
+                        list_slice(toks, CAST(i AS INT),
+                                   CAST(i + 7 AS INT)), ' ')),
+                    1, 15)) AS BIGINT) AS g
+        FROM tk, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+        WHERE len(toks) >= 8
+    ),
+    gd AS (
+        SELECT g FROM (SELECT DISTINCT g, doc_id FROM pg)
+        GROUP BY g HAVING COUNT(*) >= 2
+    ),
+    dup AS (SELECT p.doc_id, p.pos FROM pg p JOIN gd USING (g)),
+    isl AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY pos) AS grp
+        FROM dup
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS INT) AS span_start,
+           CAST(MAX(pos) + 7 - MIN(pos) + 1 AS INT) AS span_len,
+           CAST(COUNT(*) AS INT) AS n_windows
+    FROM isl
+    GROUP BY doc_id, grp
+    ORDER BY doc_id, span_start
 """
 
 # image canonical keep-list (X114): the verbatim pHash pair SQL nested

@@ -177,6 +177,7 @@ ANALYTICS_QUERIES = [
     "corpus_mixture_plan",
     "dedup_exact_recrawl",
     "dedup_substring_hotspots",
+    "dedup_exact_substring",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_incremental_delta",
@@ -363,6 +364,7 @@ BENCH_KEY_ALIASES = {
     "streaming_dedup_delta": "sdl",
     "text_pack_bpe": "tpkb",
     "corpus_mixture_bpe": "mxb",
+    "dedup_exact_substring": "xsub",
     "customer_rfm_segments": "rf",
     "events_active_users": "dw",
     "q1_pricing_summary": "q1p",

@@ -2672,3 +2672,58 @@ def test_bpe_budgeting_consumes_segmentation_counts(spark):
         want_avail[srcs[did]] = want_avail.get(srcs[did], 0) + n
     mix = {r.source: r for r in corpus_mixture_bpe(spark, sf).collect()}
     assert {s: r.avail_tokens for s, r in mix.items()} == want_avail
+
+
+def test_duplicated_spans_exact_vs_brute_force(spark):
+    """X117 exactness + engineered geometry: the operator's spans must
+    equal a brute-force Python recomputation (positional 8-grams,
+    cross-doc duplicated windows, maximal-run merge) over the real
+    corpus + splices; and every engineered splice must show its
+    16-token prefix as one span (9 windows, span_len 16 = the
+    unique marker killing rightward extension) with the base doc's
+    spans covering the copied region 5..20."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import dedup
+
+    n = 8
+    docs = dedup.spliced_docs(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+    toks = {
+        r.doc_id: r.t
+        for r in docs.selectExpr(
+            "doc_id",
+            "array_remove(split(lower(trim(text)), '\\\\s+'), '') AS t",
+        ).collect()
+    }
+    gram_docs: dict = {}
+    pos_grams: dict = {}
+    for did, t in toks.items():
+        for i in range(len(t) - n + 1):
+            g = " ".join(t[i : i + n])
+            gram_docs.setdefault(g, set()).add(did)
+            pos_grams.setdefault(did, []).append((i + 1, g))
+    want = set()
+    for did, pl in pos_grams.items():
+        dups = [p for p, g in pl if len(gram_docs[g]) >= 2]
+        run: list = []
+        for p in dups + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                want.add((did, run[0], run[-1] + n - 1 - run[0] + 1, len(run)))
+                run = []
+            if p is not None:
+                run.append(p)
+    got = {
+        (r.doc_id, r.span_start, r.span_len, r.n_windows)
+        for r in dedup.duplicated_spans(docs, n=n).collect()
+    }
+    assert got == want
+    # engineered geometry
+    spliced_ids = [d for d in toks if d >= 40_000_000]
+    assert spliced_ids, "fixture must produce splices"
+    for sid in spliced_ids:
+        assert (sid, 1, 16, 9) in got, sid
+        base = sid - 40_000_000
+        base_spans = [s for s in got if s[0] == base]
+        assert any(
+            s[1] <= 5 and s[1] + s[2] - 1 >= 20 for s in base_spans
+        ), (base, base_spans)

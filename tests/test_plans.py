@@ -936,3 +936,25 @@ def test_phash_near_dup_equi_joins_only(spark):
         + tree.count("ShuffledHashJoin")
     )
     assert n_joins == 3, tree
+
+
+def test_duplicated_spans_bounded_plan(spark):
+    """X117's scale claim, plan-pinned: exact-substring spans compile
+    to equi-joins only (the gram probe is a semi-join on the 60-bit
+    int key) with the islands window partitioned BY doc_id — no
+    cartesian/nested-loop operator, no global un-partitioned window,
+    no suffix-array-style global sort of the corpus."""
+    import re
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators import dedup
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = explain_str(dedup.duplicated_spans(dedup.spliced_docs(docs)))
+    tree = plan.split("\n\n(")[0]
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    assert "CartesianProduct" not in tree, tree
+    # the islands window partitions by doc_id (never a global window)
+    m = re.search(r"\(\d+\) Window[^\n]*\n(.*?)(?=\n\(|\Z)", plan, re.S)
+    assert m is not None, plan[:3000]
+    assert "doc_id#" in m.group(1), m.group(1)
