@@ -2143,202 +2143,191 @@ ORACLE_SQL["streaming_value_quantiles"] = f"""
 # Keep never-verified and recently-changed queries inside that window;
 # park stable, already-driver-verified, untouched baselines at the
 # tail, where falling past position 50 loses nothing.
+# --- BEGIN GENERATED GATE ORDER (scripts/gen_gate_head.py) ---
+# Window = 6 never-driver-checked additions + 8 changed
+# entries + the 36 stalest driver greens (last green in
+# round(s) [5], from CORRECTNESS_r*.json). Regenerate with
+#   python scripts/gen_gate_head.py
+# (pytest runs --check; hand-edits here go stale and FAIL).
 _GATE_HEAD = [
-    # ROTATION BOOKKEEPING — round 8 (generated from the staleness
-    # sweep over CORRECTNESS_r01–r07; see scripts in the r8 commit
-    # message). Window = 4 never-driver-checked r8 additions + the 2
-    # audits whose output changed this round (ivfpq method added) + 3
-    # ckpt.materialize/release riders (the lazy-path unpersist fix) +
-    # the 41 stalest driver greens (every remaining r4-era entry and
-    # the oldest r5-era block). Rotated OUT to the tail (all hold r7
-    # driver greens in CORRECTNESS_r07 plus both GATE_r07 logs):
-    # dedup_semantic, text_model_quality, curation_source_caps, events_sliding_1h_15m, text_build_postings, dedup_lsh_quality,
-    # dedup_signal_agreement, streaming_payment_match, streaming_payment_match_outer, events_zorder_scan, text_length_quantiles, serving_last_write_wins,
-    # top_orders_per_customer, customer_running_spend, payment_type_share, streaming_dedup_replay, streaming_running_totals_final, streaming_enriched_nation_totals,
-    # curation_pipeline, dedup_ngram_jaccard, dedup_contamination, cdc_snapshot_diff, asof_priority_rates, events_range_follow,
-    # ann_topk_ivf, dedup_components_star, dedup_canonical_docs, dedup_minhash_lsh, dedup_ensemble, graph_triangles_cosupply,
-    # emb_bitext_mine, cdc_scd2_history, streaming_session_windows, events_cohort_retention, text_quality_sample, sales_yoy_full_outer,
-    # sql_recursive_rollup, events_concurrency_curve, events_transition_matrix, emb_pq_codes, ann_topk_pq, customer_rfm_segments,
-    # events_active_users, sketch_heavy_hitters, text_bm25_search.
-    # --- new in round 8: first driver verification ---
-    "ann_topk_ivfpq",
-    "text_bpe_merges",
-    "text_bpe_segment",
-    "text_dsir_importance",
-    "text_ngram_novelty",
-    "retrieval_hybrid_rrf",
-    "mm_phash_near_dup",
-    "streaming_sliding_1h_15m",
-    "streaming_payment_match_full",
-    # --- changed in round 8: +ivfpq method row ---
-    "ann_recall_audit",
-    "ann_recall_clustered",
-    "ann_truncation_audit",
-    "emb_hard_negatives",
-    # --- ckpt lazy-path release fix riders ---
-    "dedup_components",
-    "graph_pagerank_suppliers",
-    "graph_kcore_purchases",
-    "dedup_incremental_delta",
-    "docs_split_leakage_safe",
-    # --- stalest driver greens: the full r4-era block ---
-    "dedup_substring_hotspots",
-    "docs_expectations",
-    "emb_near_dup_lsh_multi",
-    "events_daily_stats",
-    "events_drift_tvd",
-    "events_funnel",
-    "events_gapfill",
-    "events_json_props",
-    "events_ntile_quartiles",
-    "events_rolling_hour_avg",
-    "events_tumbling_30s",
-    "events_value_outliers_mad",
-    "mm_asset_stats",
-    "mm_extract_features",
-    "mm_fingerprint",
-    "mm_frame_sample",
-    "mm_resize_images",
-    "pipeline_envelope_decode",
-    "q1_pricing_summary",
-    "q21_late_sole_supplier",
-    "q22_dormant_customers",
-    "q4_late_order_priority",
-    "sales_cube",
-    "sql_lateral_top_orders",
-    # --- then the oldest r5-era block ---
-    "brand_basket_affinity",
-    "corpus_mixture_plan",
-    "dedup_exact_recrawl",
-    "docs_sample_fixed",
-    "docs_split_assign",
-    "events_daily_trend",
-    "events_value_hour_corr",
-    "parts_abc_analysis",
+    "ann_topk_ivfpq_trained",  # last driver green: r0
+    "mm_canonical_assets",  # last driver green: r0
+    "streaming_dedup_delta",  # last driver green: r0
+    "text_pack_bpe",  # last driver green: r0
+    "corpus_mixture_bpe",  # last driver green: r0
+    "dedup_exact_substring",  # last driver green: r0
+    "ann_recall_audit",  # last driver green: r8
+    "ann_recall_clustered",  # last driver green: r8
+    "mm_phash_near_dup",  # last driver green: r8
+    "ann_topk_ivfpq",  # last driver green: r8
+    "ann_truncation_audit",  # last driver green: r8
+    "text_bpe_segment",  # last driver green: r8
+    "text_pack_sequences",  # last driver green: r5
+    "corpus_mixture_plan",  # last driver green: r8
+    "emb_kmeans_step",  # last driver green: r5
+    "pipeline_orders",  # last driver green: r5
+    "pipeline_product_details",  # last driver green: r5
+    "pipeline_purchase_details",  # last driver green: r5
+    "pipeline_shipping_addresses",  # last driver green: r5
+    "q11_important_parts",  # last driver green: r5
+    "q13_order_count_distribution",  # last driver green: r5
+    "q14_promo_revenue",  # last driver green: r5
+    "q15_top_supplier",  # last driver green: r5
+    "q16_supplier_diversity",  # last driver green: r5
+    "q17_small_quantity_revenue",  # last driver green: r5
+    "q18_large_orders",  # last driver green: r5
+    "q19_disjunctive_revenue",  # last driver green: r5
+    "q20_promotion_suppliers",  # last driver green: r5
+    "q2_min_cost_supplier",  # last driver green: r5
+    "q3_shipping_priority",  # last driver green: r5
+    "q6_forecast_revenue",  # last driver green: r5
+    "q8_market_share",  # last driver green: r5
+    "q9_red_parts_profit",  # last driver green: r5
+    "ref_average_order_value",  # last driver green: r5
+    "ref_most_sales_products",  # last driver green: r5
+    "ref_order_and_client_details",  # last driver green: r5
+    "ref_total_income_per_payment_method",  # last driver green: r5
+    "ref_total_sales_per_country",  # last driver green: r5
+    "sales_monthly_yoy",  # last driver green: r5
+    "sales_per_nation",  # last driver green: r5
+    "sales_rollup",  # last driver green: r5
+    "text_collocations",  # last driver green: r5
+    "text_fingerprint",  # last driver green: r5
+    "text_language_id",  # last driver green: r5
+    "text_pii_redact",  # last driver green: r5
+    "text_quality_score",  # last driver green: r5
+    "text_stratified_sample",  # last driver green: r5
+    "text_token_stats",  # last driver green: r5
+    "text_vocab_growth",  # last driver green: r5
+    "top_parts_by_revenue",  # last driver green: r5
 ]
 _GATE_TAIL = [
-    "emb_kmeans_step",
-    "pipeline_orders",
-    "pipeline_product_details",
-    "pipeline_purchase_details",
-    "pipeline_shipping_addresses",
-    "q11_important_parts",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    # r7-green entries rotated out of the round-8 window first, then
-    # the long-parked remainder (driver-verified r5–r7; the committed
-    # full-registry GATE logs cover every tail entry every round):
-    "dedup_semantic",
-    "text_model_quality",
-    "curation_source_caps",
-    "events_sliding_1h_15m",
-    "text_build_postings",
-    "dedup_lsh_quality",
-    "dedup_signal_agreement",
-    "streaming_payment_match",
-    "streaming_payment_match_outer",
-    "events_zorder_scan",
-    "text_length_quantiles",
-    "serving_last_write_wins",
-    "top_orders_per_customer",
-    "customer_running_spend",
-    "payment_type_share",
-    "streaming_dedup_replay",
-    "streaming_running_totals_final",
-    "streaming_enriched_nation_totals",
-    "curation_pipeline",
-    "dedup_ngram_jaccard",
-    "dedup_contamination",
-    "cdc_snapshot_diff",
-    "asof_priority_rates",
-    "events_range_follow",
-    "ann_topk_ivf",
-    "dedup_components_star",
-    "dedup_canonical_docs",
-    "dedup_minhash_lsh",
-    "dedup_ensemble",
-    "graph_triangles_cosupply",
-    "emb_bitext_mine",
-    "cdc_scd2_history",
-    "streaming_session_windows",
-    "events_cohort_retention",
-    "text_quality_sample",
-    "sales_yoy_full_outer",
-    "sql_recursive_rollup",
-    "events_concurrency_curve",
-    "events_transition_matrix",
-    "emb_pq_codes",
-    "ann_topk_pq",
-    "customer_rfm_segments",
-    "events_active_users",
-    "sketch_heavy_hitters",
-    "text_bm25_search",
-    "pipeline_compaction",
-    "salted_lineitem_agg",
-    "ann_topk_lsh_multi",
-    "sketch_value_quantiles",
-    "events_type_value_quantiles",
-    "streaming_value_quantiles",
-    "events_attribution",
-    "dedup_simhash_pairs",
-    "pipeline_partition_scan",
-    "salted_events_join",
-    "bucketed_sales_join",
-    "customers_with_urgent_orders",
-    "customers_without_urgent_orders",
-    "customer_retention",
-    "q5_local_supplier_volume",
-    "salted_priority_sales",
-    "events_sessionization",
-    "sketch_distinct_trigrams",
-    "profile_documents",
-    "incremental_sales_rollup",
-    "text_repetition",
-    "sales_pivot_by_priority",
-    "fuzzy_customer_names",
-    "streaming_late_data_policy",
-    "sql_above_average_orders",
-    "events_variant_props",
-    "events_value_histogram",
-    "events_type_mode",
-    "ann_topk_brute",
-    "dedup_simhash_fingerprints",
-    "emb_near_dup",
-    "ann_topk_lsh",
-    "emb_near_dup_lsh",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q12_ship_delay_classes",
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q20_promotion_suppliers",
-    "text_collocations",
-    "sales_monthly_yoy",
-    "text_vocab_growth",
-    "sales_per_nation",
-    "sales_rollup",
-    "q3_shipping_priority",
-    "top_parts_by_revenue",
-    "q8_market_share",
-    "q16_supplier_diversity",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q9_red_parts_profit",
-    "ref_total_sales_per_country",
-    "ref_average_order_value",
-    "ref_total_income_per_payment_method",
-    "ref_most_sales_products",
-    "ref_order_and_client_details",
-    "text_fingerprint",
-    "text_token_stats",
-    "text_language_id",
-    "text_quality_score",
-    "text_pii_redact",
-    "text_pack_sequences",
-    "text_stratified_sample",
+    "brand_basket_affinity",  # last driver green: r8
+    "dedup_components",  # last driver green: r8
+    "dedup_exact_recrawl",  # last driver green: r8
+    "dedup_incremental_delta",  # last driver green: r8
+    "dedup_substring_hotspots",  # last driver green: r8
+    "docs_expectations",  # last driver green: r8
+    "docs_sample_fixed",  # last driver green: r8
+    "docs_split_assign",  # last driver green: r8
+    "docs_split_leakage_safe",  # last driver green: r8
+    "emb_hard_negatives",  # last driver green: r8
+    "emb_near_dup_lsh_multi",  # last driver green: r8
+    "events_daily_stats",  # last driver green: r8
+    "events_daily_trend",  # last driver green: r8
+    "events_drift_tvd",  # last driver green: r8
+    "events_funnel",  # last driver green: r8
+    "events_gapfill",  # last driver green: r8
+    "events_json_props",  # last driver green: r8
+    "events_ntile_quartiles",  # last driver green: r8
+    "events_rolling_hour_avg",  # last driver green: r8
+    "events_tumbling_30s",  # last driver green: r8
+    "events_value_hour_corr",  # last driver green: r8
+    "events_value_outliers_mad",  # last driver green: r8
+    "graph_kcore_purchases",  # last driver green: r8
+    "graph_pagerank_suppliers",  # last driver green: r8
+    "mm_asset_stats",  # last driver green: r8
+    "mm_extract_features",  # last driver green: r8
+    "mm_fingerprint",  # last driver green: r8
+    "mm_frame_sample",  # last driver green: r8
+    "mm_resize_images",  # last driver green: r8
+    "parts_abc_analysis",  # last driver green: r8
+    "pipeline_envelope_decode",  # last driver green: r8
+    "q1_pricing_summary",  # last driver green: r8
+    "q21_late_sole_supplier",  # last driver green: r8
+    "q22_dormant_customers",  # last driver green: r8
+    "q4_late_order_priority",  # last driver green: r8
+    "retrieval_hybrid_rrf",  # last driver green: r8
+    "sales_cube",  # last driver green: r8
+    "sql_lateral_top_orders",  # last driver green: r8
+    "streaming_payment_match_full",  # last driver green: r8
+    "streaming_sliding_1h_15m",  # last driver green: r8
+    "text_bpe_merges",  # last driver green: r8
+    "text_dsir_importance",  # last driver green: r8
+    "text_ngram_novelty",  # last driver green: r8
+    "ann_topk_ivf",  # last driver green: r7
+    "ann_topk_pq",  # last driver green: r7
+    "asof_priority_rates",  # last driver green: r7
+    "cdc_scd2_history",  # last driver green: r7
+    "cdc_snapshot_diff",  # last driver green: r7
+    "curation_pipeline",  # last driver green: r7
+    "curation_source_caps",  # last driver green: r7
+    "customer_rfm_segments",  # last driver green: r7
+    "customer_running_spend",  # last driver green: r7
+    "dedup_canonical_docs",  # last driver green: r7
+    "dedup_components_star",  # last driver green: r7
+    "dedup_contamination",  # last driver green: r7
+    "dedup_ensemble",  # last driver green: r7
+    "dedup_lsh_quality",  # last driver green: r7
+    "dedup_minhash_lsh",  # last driver green: r7
+    "dedup_ngram_jaccard",  # last driver green: r7
+    "dedup_semantic",  # last driver green: r7
+    "dedup_signal_agreement",  # last driver green: r7
+    "emb_bitext_mine",  # last driver green: r7
+    "emb_pq_codes",  # last driver green: r7
+    "events_active_users",  # last driver green: r7
+    "events_cohort_retention",  # last driver green: r7
+    "events_concurrency_curve",  # last driver green: r7
+    "events_range_follow",  # last driver green: r7
+    "events_sliding_1h_15m",  # last driver green: r7
+    "events_transition_matrix",  # last driver green: r7
+    "events_zorder_scan",  # last driver green: r7
+    "graph_triangles_cosupply",  # last driver green: r7
+    "payment_type_share",  # last driver green: r7
+    "sales_yoy_full_outer",  # last driver green: r7
+    "serving_last_write_wins",  # last driver green: r7
+    "sketch_heavy_hitters",  # last driver green: r7
+    "sql_recursive_rollup",  # last driver green: r7
+    "streaming_dedup_replay",  # last driver green: r7
+    "streaming_enriched_nation_totals",  # last driver green: r7
+    "streaming_payment_match",  # last driver green: r7
+    "streaming_payment_match_outer",  # last driver green: r7
+    "streaming_running_totals_final",  # last driver green: r7
+    "streaming_session_windows",  # last driver green: r7
+    "text_bm25_search",  # last driver green: r7
+    "text_build_postings",  # last driver green: r7
+    "text_length_quantiles",  # last driver green: r7
+    "text_model_quality",  # last driver green: r7
+    "text_quality_sample",  # last driver green: r7
+    "top_orders_per_customer",  # last driver green: r7
+    "ann_topk_brute",  # last driver green: r6
+    "ann_topk_lsh",  # last driver green: r6
+    "ann_topk_lsh_multi",  # last driver green: r6
+    "bucketed_sales_join",  # last driver green: r6
+    "customer_retention",  # last driver green: r6
+    "customers_with_urgent_orders",  # last driver green: r6
+    "customers_without_urgent_orders",  # last driver green: r6
+    "dedup_simhash_fingerprints",  # last driver green: r6
+    "dedup_simhash_pairs",  # last driver green: r6
+    "emb_near_dup",  # last driver green: r6
+    "emb_near_dup_lsh",  # last driver green: r6
+    "events_attribution",  # last driver green: r6
+    "events_sessionization",  # last driver green: r6
+    "events_type_mode",  # last driver green: r6
+    "events_type_value_quantiles",  # last driver green: r6
+    "events_value_histogram",  # last driver green: r6
+    "events_variant_props",  # last driver green: r6
+    "fuzzy_customer_names",  # last driver green: r6
+    "incremental_sales_rollup",  # last driver green: r6
+    "pipeline_compaction",  # last driver green: r6
+    "pipeline_partition_scan",  # last driver green: r6
+    "profile_documents",  # last driver green: r6
+    "q10_returned_items",  # last driver green: r6
+    "q12_ship_delay_classes",  # last driver green: r6
+    "q5_local_supplier_volume",  # last driver green: r6
+    "q7_volume_shipping",  # last driver green: r6
+    "sales_pivot_by_priority",  # last driver green: r6
+    "salted_events_join",  # last driver green: r6
+    "salted_lineitem_agg",  # last driver green: r6
+    "salted_priority_sales",  # last driver green: r6
+    "sketch_distinct_trigrams",  # last driver green: r6
+    "sketch_value_quantiles",  # last driver green: r6
+    "sql_above_average_orders",  # last driver green: r6
+    "streaming_late_data_policy",  # last driver green: r6
+    "streaming_value_quantiles",  # last driver green: r6
+    "text_repetition",  # last driver green: r6
 ]
+# --- END GENERATED GATE ORDER ---
 
 
 def _gate_order(d: dict) -> dict:

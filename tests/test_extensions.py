@@ -2727,3 +2727,39 @@ def test_duplicated_spans_exact_vs_brute_force(spark):
         assert any(
             s[1] <= 5 and s[1] + s[2] - 1 >= 20 for s in base_spans
         ), (base, base_spans)
+
+
+def test_gate_head_is_generated_and_current():
+    """r8 VERDICT ask #7: the driver-window rotation is GENERATED
+    (scripts/gen_gate_head.py) from the committed CORRECTNESS history
+    + the round's declared must-rotate list — this pin runs the
+    script's --check mode, so a hand-edit or a query added without
+    regenerating fails the suite instead of silently dropping out of
+    the driver's 50-entry window (the rotation gotcha that bit r7 and
+    r8)."""
+    import importlib.util
+    import subprocess
+    import sys as _sys
+
+    root = "/root/repo"
+    r = subprocess.run(
+        [_sys.executable, "scripts/gen_gate_head.py", "--check"],
+        cwd=root, capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    spec = importlib.util.spec_from_file_location(
+        "gen_gate_head", f"{root}/scripts/gen_gate_head.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from aws_kinesis_data_ingestion_restapi_spark.registry import (
+        _GATE_HEAD,
+        _GATE_TAIL,
+        QUERY_FNS,
+    )
+
+    assert len(_GATE_HEAD) == mod.WINDOW == 50
+    for n in mod.MUST_ROTATE:
+        assert n in _GATE_HEAD, n
+    assert list(QUERY_FNS)[:50] == _GATE_HEAD
+    assert set(QUERY_FNS) == set(_GATE_HEAD) | set(_GATE_TAIL)
