@@ -1084,6 +1084,34 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.topk_ivfpq(_embs(spark, sf_dir), n_queries=10, k=5)
 
 
+def _ivfpqt_quantizers(
+    spark: SparkSession, sf_dir: str, clustered: bool
+) -> tuple[DataFrame, DataFrame]:
+    """The trained (coarse centroids, residual codebooks) pair for
+    the given fixture, trained at most once per (session, sf_dir,
+    fixture) — shared by ann_topk_ivfpq_trained and the ivfpq_t
+    method row of BOTH recall audits, so a gate/bench session pays
+    the 2·KM_TRAIN_ROUNDS Lloyd rounds once per fixture instead of
+    once per consumer (measured +7-8 s per audit without this).
+    Training already materializes eagerly per round, so the cached
+    frames are checkpoint-backed K-row dims."""
+    def embs() -> DataFrame:
+        e = _embs(spark, sf_dir)
+        return similarity.clustered_embeddings(e) if clustered else e
+
+    coarse = _session_cached(
+        spark,
+        ("ivfpqt_coarse", sf_dir, clustered),
+        lambda: similarity.train_coarse_centroids(embs()),
+    )
+    books = _session_cached(
+        spark,
+        ("ivfpqt_books", sf_dir, clustered),
+        lambda: similarity.train_residual_books(embs(), coarse),
+    )
+    return coarse, books
+
+
 def ann_topk_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X113: IVF-PQ over k-means-TRAINED quantizers (r8 VERDICT ask
     #1, the recall capstone): identical cell-restricted ADC + exact
@@ -1094,9 +1122,13 @@ def ann_topk_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus vectors, which r8 measured as the recall bottleneck.
     Bounded-round contract like PageRank/BPE: the oracle replays the
     training as unrolled CTEs (similarity.topk_ivfpq_trained).
-    Clustered-fixture recall measured in BENCH_NOTES r9."""
+    Clustered-fixture recall measured in BENCH_NOTES r9. Quantizers
+    ride the :func:`_ivfpqt_quantizers` session cache shared with
+    both recall audits."""
+    coarse, books = _ivfpqt_quantizers(spark, sf_dir, clustered=False)
     return similarity.topk_ivfpq_trained(
-        _embs(spark, sf_dir), n_queries=10, k=5
+        _embs(spark, sf_dir), n_queries=10, k=5,
+        coarse_cents=coarse, books=books,
     )
 
 
@@ -1168,7 +1200,10 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     recalls are a degenerate-geometry floor; :func:`ann_recall_clustered`
     runs the identical audit on the deterministic clustered fixture
     where the methods separate in their intended regime."""
-    return _recall_audit_over(_embs(spark, sf_dir))
+    return _recall_audit_over(
+        _embs(spark, sf_dir),
+        ivfpqt=_ivfpqt_quantizers(spark, sf_dir, clustered=False),
+    )
 
 
 def ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1183,22 +1218,38 @@ def ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     claim and the trained>stride quantizer claim on geometry where
     buckets actually carry neighborhood signal."""
     return _recall_audit_over(
-        similarity.clustered_embeddings(_embs(spark, sf_dir))
+        similarity.clustered_embeddings(_embs(spark, sf_dir)),
+        ivfpqt=_ivfpqt_quantizers(spark, sf_dir, clustered=True),
     )
 
 
-def _recall_audit_over(embs: DataFrame) -> DataFrame:
-    """Shared audit body: exact truth once, three panel-sized joins."""
+def _recall_audit_over(
+    embs: DataFrame, ivfpqt: tuple | None = None
+) -> DataFrame:
+    """Shared audit body: exact truth once, panel-sized joins per
+    method. ``ivfpqt``: the session-cached (coarse, books) trained
+    quantizers (see :func:`_ivfpqt_quantizers`); None trains inline
+    (identical arithmetic, just not shared)."""
     nq, k = 10, 5
     exact = (
         similarity.topk_brute(embs, n_queries=nq, k=k)
         .select("query_id", "neighbor_id")
         .transform(materialize)
     )
+
+    def ivfpq_t(e: DataFrame, n_queries: int, k: int) -> DataFrame:
+        return similarity.topk_ivfpq_trained(
+            e,
+            n_queries=n_queries,
+            k=k,
+            coarse_cents=ivfpqt[0] if ivfpqt else None,
+            books=ivfpqt[1] if ivfpqt else None,
+        )
+
     methods = {
         "ivf": similarity.topk_ivf,
         "ivfpq": similarity.topk_ivfpq,
-        "ivfpq_t": similarity.topk_ivfpq_trained,
+        "ivfpq_t": ivfpq_t,
         "lsh": similarity.topk_lsh,
         "lsh_multi": similarity.topk_lsh_multi,
         "pq": similarity.topk_pq,

@@ -1234,6 +1234,50 @@ def train_pq_codebooks(
     )
 
 
+def train_residual_books(
+    embs: DataFrame,
+    coarse_cents: DataFrame,
+    rounds: int = KM_TRAIN_ROUNDS,
+    m: int = PQ_M,
+    centroid_stride: int | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The residual-codebook train step of :func:`topk_ivfpq_trained`,
+    factored out so a session can train ONCE and share the books
+    across every consumer (the search entry + both recall audits —
+    the registry wires this through the session frame cache): assign
+    each vector to its trained coarse cell, take subvectors of the
+    residual v − centroid(cell), and run ``rounds`` subspace Lloyd
+    updates. Identical arithmetic to the in-search derivation (same
+    struct-min assignment, same slices), so books trained here equal
+    books trained inline."""
+    base = embs.select(F.col(id_col), quantized().alias("v"))
+    if centroid_stride is None:
+        centroid_stride = auto_stride(embs.count())
+    cents = coarse_cents.select("cell", "cv")
+    assign = _kmeans_assign(base, cents, id_col)
+    resid = assign.join(F.broadcast(cents), "cell").select(
+        id_col, F.zip_with("v", "cv", lambda a, b: a - b).alias("rv")
+    )
+    rs = (
+        resid.select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+            F.col("rv"),
+        )
+        .select(
+            id_col,
+            "sub",
+            F.expr(
+                f"slice(rv, sub * (size(rv) DIV {m}) + 1, size(rv) DIV {m})"
+            ).alias("sv"),
+        )
+    )
+    return train_subspace_codebooks(
+        rs, rounds=rounds, centroid_stride=centroid_stride, id_col=id_col
+    )
+
+
 def topk_ivfpq_trained(
     embs: DataFrame,
     n_queries: int = 10,
@@ -1244,6 +1288,8 @@ def topk_ivfpq_trained(
     nprobe: int = N_PROBES,
     refine: int = 20,
     id_col: str = "vec_id",
+    coarse_cents: DataFrame | None = None,
+    books: DataFrame | None = None,
 ) -> DataFrame:
     """Residual IVFADC over k-means-TRAINED quantizers + exact
     re-rank — the r8 VERDICT quality capstone, and the TEXTBOOK
@@ -1279,13 +1325,31 @@ def topk_ivfpq_trained(
     with the residual distance tables keyed (query, cell, sub, cell')
     — n_queries·nprobe·m·K rows, still broadcast-size — so the ADC
     join stays cell-restricted and per-query work stays
-    (n/K)·nprobe·m lookups."""
+    (n/K)·nprobe·m lookups.
+
+    ``coarse_cents`` / ``books``: pre-trained quantizers (from
+    :func:`train_coarse_centroids` / :func:`train_residual_books`) —
+    pass both to skip training entirely (the registry shares one
+    trained pair per session across this search and both recall
+    audits via the session frame cache)."""
     base = embs.select(F.col(id_col), quantized().alias("v"))
-    if centroid_stride is None:
+    if (coarse_cents is None or books is None) and centroid_stride is None:
         centroid_stride = auto_stride(embs.count())
-    cents = train_coarse_centroids(
-        embs, rounds=rounds, centroid_stride=centroid_stride, id_col=id_col
-    ).select("cell", "cv")
+    if coarse_cents is None:
+        coarse_cents = train_coarse_centroids(
+            embs, rounds=rounds, centroid_stride=centroid_stride,
+            id_col=id_col,
+        )
+    cents = coarse_cents.select("cell", "cv")
+    if books is None:
+        books = train_residual_books(
+            embs,
+            coarse_cents,
+            rounds=rounds,
+            m=m,
+            centroid_stride=centroid_stride,
+            id_col=id_col,
+        )
     # final coarse assignment + probe lists (one expansion feeds both)
     expanded = base.join(F.broadcast(cents)).select(
         id_col,
@@ -1336,12 +1400,10 @@ def topk_ivfpq_trained(
             ).alias("sv"),
         )
     )
-    # codebooks trained on the residuals (coarse cell column dropped:
-    # the codebook's own `cell` label must not collide)
+    # codes against the (possibly shared pre-trained) codebooks —
+    # coarse cell column dropped: the codebook's own `cell` label
+    # must not collide
     rs = rsubs.select(id_col, "sub", "sv")
-    books = train_subspace_codebooks(
-        rs, rounds=rounds, centroid_stride=centroid_stride, id_col=id_col
-    )
     codes = (
         rs.join(F.broadcast(books), "sub")
         .select(
