@@ -1048,6 +1048,71 @@ def duplicated_spans(
     )
 
 
+def remove_duplicated_spans(
+    docs: DataFrame, n: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """The APPLY step of exact-substring dedup — what ExactSubstr
+    actually does to the corpus (Lee et al. ACL'22 §4.1 REMOVE the
+    duplicated spans; :func:`duplicated_spans` reports them): every
+    token position covered by a maximal duplicated span is cut, and
+    the document is re-emitted from its surviving tokens.
+
+    Output per doc: (doc_id, n_tokens, n_removed, clean_text) —
+    clean_text is the TOKENIZED-NORMALIZED surviving text (lowercased,
+    single-spaced: reconstruction happens in token space, the same
+    normalization every dedup signal here reads), '' when the doc is
+    entirely duplicated, and the full normalized text when nothing
+    matched. n_removed = Σ span lengths (spans never overlap — they
+    are maximal runs).
+
+    Scale shape: the span report is the :func:`duplicated_spans`
+    cost; applying it is ONE equi-join of the (doc_id → spans array)
+    frame back onto the tokenized corpus plus per-row expression work
+    O(tokens · spans-per-doc) — no extra shuffle beyond the
+    spans-per-doc aggregate, no position explode on the corpus side."""
+    spans = duplicated_spans(docs, n=n, min_docs=min_docs)
+    sp = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_len")).alias("_spans")
+    )
+    toked = tokenized(docs).join(sp, "doc_id", "left")
+    size = F.size("_toks")
+    spans_arr = F.coalesce(
+        F.col("_spans"),
+        F.array().cast("array<struct<span_start:int,span_len:int>>"),
+    )
+    kept = F.filter(
+        # empty-doc guard: sequence(1, 0) counts DOWN in Spark — the
+        # word_ngrams lesson; emit an empty struct array instead
+        F.when(
+            size >= 1,
+            F.transform(
+                F.sequence(F.lit(1), size),
+                lambda i: F.struct(
+                    i.cast("int").alias("p"),
+                    F.element_at("_toks", i).alias("t"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<p:int,t:string>>")),
+        lambda st: ~F.exists(
+            spans_arr,
+            lambda s: (s["span_start"] <= st["p"])
+            & (st["p"] < s["span_start"] + s["span_len"]),
+        ),
+    )
+    return (
+        toked.select("doc_id", size.alias("_n"), kept.alias("_kept"))
+        .select(
+            "doc_id",
+            F.col("_n").cast("int").alias("n_tokens"),
+            (F.col("_n") - F.size("_kept")).cast("int").alias("n_removed"),
+            F.concat_ws(
+                " ", F.transform("_kept", lambda st: st["t"])
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def spliced_docs(docs: DataFrame) -> DataFrame:
     """documents + engineered PARTIAL-OVERLAP splices — the fixture
     geometry :func:`duplicated_spans` needs (the rerendered_assets

@@ -816,6 +816,20 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_remove_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X118: the exact-substring REMOVAL apply — X117 reports the
+    duplicated spans; this cuts them and re-emits each document from
+    its surviving tokens (Lee et al. ACL'22: the dedup that happens
+    TO the corpus, the family's X45/X114 analog at sub-document
+    granularity). Same fixture, same 8-token windows. Output:
+    (doc_id, n_tokens, n_removed, clean_text) with clean_text the
+    tokenized-normalized survivor text. See
+    dedup.remove_duplicated_spans."""
+    return dedup.remove_duplicated_spans(
+        dedup.spliced_docs(_docs(spark, sf_dir)), n=8, min_docs=2
+    )
+
+
 def dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-signal near-dup report: the union of text-signal pairs
     (MinHash-LSH) and embedding-signal pairs (multi-table sign-LSH),
@@ -1717,6 +1731,7 @@ EXT_QUERY_FNS = {
     "dedup_simhash_fingerprints": dedup_simhash_fingerprints,
     "dedup_substring_hotspots": dedup_substring_hotspots,
     "dedup_exact_substring": dedup_exact_substring,
+    "dedup_remove_substrings": dedup_remove_substrings,
     "dedup_contamination": dedup_contamination,
     "dedup_ensemble": dedup_ensemble,
     "dedup_lsh_quality": dedup_lsh_quality,
@@ -3445,11 +3460,12 @@ EXT_ORACLE_SQL["streaming_dedup_delta"] = f"""
     ORDER BY d.doc_id
 """
 
-# exact-substring spans (X117): positional 8-token shingles over the
-# corpus + the engineered splices, 60-bit md5 gram hash, distinct-docs
-# filter, islands merge — the identical pipeline duplicated_spans runs
-EXT_ORACLE_SQL["dedup_exact_substring"] = f"""
-    WITH docs2 AS (
+# exact-substring spans (X117/X118 shared CTE chain): positional
+# 8-token shingles over the corpus + the engineered splices, 60-bit
+# md5 gram hash, distinct-docs filter, islands merge — the identical
+# pipeline duplicated_spans runs; X117's report and X118's removal
+# apply are two tails over the same chain
+_XSUB_CTES = f"""docs2 AS (
         SELECT doc_id, text FROM documents
         UNION ALL
         SELECT doc_id + 40000000 AS doc_id,
@@ -3480,7 +3496,10 @@ EXT_ORACLE_SQL["dedup_exact_substring"] = f"""
                pos - ROW_NUMBER() OVER (PARTITION BY doc_id
                                         ORDER BY pos) AS grp
         FROM dup
-    )
+    )"""
+
+EXT_ORACLE_SQL["dedup_exact_substring"] = f"""
+    WITH {_XSUB_CTES}
     SELECT doc_id,
            CAST(MIN(pos) AS INT) AS span_start,
            CAST(MAX(pos) + 7 - MIN(pos) + 1 AS INT) AS span_len,
@@ -3488,6 +3507,38 @@ EXT_ORACLE_SQL["dedup_exact_substring"] = f"""
     FROM isl
     GROUP BY doc_id, grp
     ORDER BY doc_id, span_start
+"""
+
+# X118: cut every covered position, re-emit survivors in token order
+EXT_ORACLE_SQL["dedup_remove_substrings"] = f"""
+    WITH {_XSUB_CTES},
+    spans AS (
+        SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
+        FROM isl GROUP BY doc_id, grp
+    ),
+    tpos AS (
+        SELECT doc_id, CAST(i AS INT) AS pos,
+               toks[CAST(i AS INT)] AS tok
+        FROM tk, unnest(generate_series(1, len(toks))) AS u(i)
+    ),
+    kept AS (
+        SELECT t.doc_id, t.pos, t.tok FROM tpos t
+        WHERE NOT EXISTS (
+            SELECT 1 FROM spans s
+            WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.s AND s.e
+        )
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(tok, ' ' ORDER BY pos) AS txt
+        FROM kept GROUP BY doc_id
+    )
+    SELECT tk.doc_id,
+           CAST(len(tk.toks) AS INT) AS n_tokens,
+           CAST(len(tk.toks) - COALESCE(agg.n_kept, 0) AS INT) AS n_removed,
+           COALESCE(agg.txt, '') AS clean_text
+    FROM tk LEFT JOIN agg USING (doc_id)
+    ORDER BY tk.doc_id
 """
 
 # image canonical keep-list (X114): the verbatim pHash pair SQL nested

@@ -2144,8 +2144,8 @@ ORACLE_SQL["streaming_value_quantiles"] = f"""
 # park stable, already-driver-verified, untouched baselines at the
 # tail, where falling past position 50 loses nothing.
 # --- BEGIN GENERATED GATE ORDER (scripts/gen_gate_head.py) ---
-# Window = 6 never-driver-checked additions + 8 changed
-# entries + the 36 stalest driver greens (last green in
+# Window = 7 never-driver-checked additions + 8 changed
+# entries + the 35 stalest driver greens (last green in
 # round(s) [5], from CORRECTNESS_r*.json). Regenerate with
 #   python scripts/gen_gate_head.py
 # (pytest runs --check; hand-edits here go stale and FAIL).
@@ -2156,6 +2156,7 @@ _GATE_HEAD = [
     "text_pack_bpe",  # last driver green: r0
     "corpus_mixture_bpe",  # last driver green: r0
     "dedup_exact_substring",  # last driver green: r0
+    "dedup_remove_substrings",  # last driver green: r0
     "ann_recall_audit",  # last driver green: r8
     "ann_recall_clustered",  # last driver green: r8
     "mm_phash_near_dup",  # last driver green: r8
@@ -2199,7 +2200,6 @@ _GATE_HEAD = [
     "text_stratified_sample",  # last driver green: r5
     "text_token_stats",  # last driver green: r5
     "text_vocab_growth",  # last driver green: r5
-    "top_parts_by_revenue",  # last driver green: r5
 ]
 _GATE_TAIL = [
     "brand_basket_affinity",  # last driver green: r8
@@ -2326,6 +2326,7 @@ _GATE_TAIL = [
     "streaming_late_data_policy",  # last driver green: r6
     "streaming_value_quantiles",  # last driver green: r6
     "text_repetition",  # last driver green: r6
+    "top_parts_by_revenue",  # last driver green: r5
 ]
 # --- END GENERATED GATE ORDER ---
 

@@ -178,6 +178,7 @@ ANALYTICS_QUERIES = [
     "dedup_exact_recrawl",
     "dedup_substring_hotspots",
     "dedup_exact_substring",
+    "dedup_remove_substrings",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_incremental_delta",
@@ -365,6 +366,7 @@ BENCH_KEY_ALIASES = {
     "text_pack_bpe": "tpkb",
     "corpus_mixture_bpe": "mxb",
     "dedup_exact_substring": "xsub",
+    "dedup_remove_substrings": "xrm",
     "customer_rfm_segments": "rf",
     "events_active_users": "dw",
     "q1_pricing_summary": "q1p",

@@ -44,6 +44,7 @@ MUST_ROTATE = [
     "text_pack_bpe",
     "corpus_mixture_bpe",
     "dedup_exact_substring",
+    "dedup_remove_substrings",
     # --- output changed in round 9 ---
     "ann_recall_audit",        # +ivfpq_t method row
     "ann_recall_clustered",    # +ivfpq_t method row

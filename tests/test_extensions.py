@@ -2763,3 +2763,45 @@ def test_gate_head_is_generated_and_current():
         assert n in _GATE_HEAD, n
     assert list(QUERY_FNS)[:50] == _GATE_HEAD
     assert set(QUERY_FNS) == set(_GATE_HEAD) | set(_GATE_TAIL)
+
+
+def test_remove_duplicated_spans_consistent_with_report(spark):
+    """X118 apply ≡ X117 report: n_removed per doc must equal the sum
+    of the doc's reported span lengths, clean_text must be the
+    original normalized tokens minus exactly the covered positions
+    (recomputed brute-force), and the engineered splices — whose
+    duplicated span is their whole 16-token prefix — must survive as
+    ONLY their unique marker token."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import dedup
+
+    docs = dedup.spliced_docs(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+    spans: dict = {}
+    for r in dedup.duplicated_spans(docs).collect():
+        spans.setdefault(r.doc_id, []).append((r.span_start, r.span_len))
+    toks = {
+        r.doc_id: r.t
+        for r in docs.selectExpr(
+            "doc_id",
+            "array_remove(split(lower(trim(text)), '\\\\s+'), '') AS t",
+        ).collect()
+    }
+    out = {r.doc_id: r for r in
+           dedup.remove_duplicated_spans(docs).collect()}
+    assert set(out) == set(toks)
+    for did, t in toks.items():
+        covered = set()
+        for s, ln in spans.get(did, []):
+            covered.update(range(s, s + ln))
+        r = out[did]
+        assert r.n_tokens == len(t)
+        assert r.n_removed == len(covered)
+        want = " ".join(
+            tok for i, tok in enumerate(t, start=1) if i not in covered
+        )
+        assert r.clean_text == want, did
+    spliced = [d for d in toks if d >= 40_000_000]
+    assert spliced
+    for sid in spliced:
+        assert out[sid].clean_text == toks[sid][-1], sid  # marker only
