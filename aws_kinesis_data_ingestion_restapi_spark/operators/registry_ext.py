@@ -1138,11 +1138,14 @@ def ann_topk_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     training as unrolled CTEs (similarity.topk_ivfpq_trained).
     Clustered-fixture recall measured in BENCH_NOTES r9. Quantizers
     ride the :func:`_ivfpqt_quantizers` session cache shared with
-    both recall audits."""
+    both recall audits. refine=IVFPQT_REFINE (50): the r9 sweep
+    showed trained recall is shortlist-bound at nprobe=3 — 0.66 at
+    refine 20 vs 0.92 at 50, ABOVE ivf-flat's 0.84 — and 50 exact
+    fetches per query is still panel-sized."""
     coarse, books = _ivfpqt_quantizers(spark, sf_dir, clustered=False)
     return similarity.topk_ivfpq_trained(
         _embs(spark, sf_dir), n_queries=10, k=5,
-        coarse_cents=coarse, books=books,
+        refine=IVFPQT_REFINE, coarse_cents=coarse, books=books,
     )
 
 
@@ -1225,12 +1228,12 @@ def ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     methods and ground-truth protocol as :func:`ann_recall_audit`,
     but over similarity.clustered_embeddings (deterministic ±0.125
     per-cluster offsets; 8 centers on 3 id bits). On this fixture the
-    methods separate as designed — measured at sf0.01: ivf 0.84 >
-    ivfpq_t 0.66 (r9 trained residual IVFADC) > ivfpq 0.52 >
-    lsh_multi 0.34 > pq 0.18 ≈ lsh 0.16 (vs near-floor on the
-    uniform corpus), exercising both the multi-table>single-table
-    claim and the trained>stride quantizer claim on geometry where
-    buckets actually carry neighborhood signal."""
+    methods separate as designed — measured at sf0.01: ivfpq_t 0.92
+    (r9 trained residual IVFADC at its shipped refine=50) >
+    ivf 0.84 > ivfpq 0.52 > lsh_multi 0.34 > pq 0.18 ≈ lsh 0.16 (vs
+    near-floor on the uniform corpus), exercising the multi-table>
+    single-table claim and the trained>stride quantizer claim on
+    geometry where buckets actually carry neighborhood signal."""
     return _recall_audit_over(
         similarity.clustered_embeddings(_embs(spark, sf_dir)),
         ivfpqt=_ivfpqt_quantizers(spark, sf_dir, clustered=True),
@@ -1256,6 +1259,7 @@ def _recall_audit_over(
             e,
             n_queries=n_queries,
             k=k,
+            refine=IVFPQT_REFINE,
             coarse_cents=ivfpqt[0] if ivfpqt else None,
             books=ivfpqt[1] if ivfpqt else None,
         )
@@ -3729,8 +3733,17 @@ EXT_ORACLE_SQL["curation_source_caps"] = f"""
     WHERE src_rank <= 10
 """.replace("{q}", EXT_ORACLE_SQL["text_quality_score"])
 
+#: Exact re-rank depth of the TRAINED entry — measured, not copied
+#: from the stride entry's 20 (BENCH_NOTES r9 sweep): at nprobe=3 the
+#: trained recall is shortlist-bound, not coverage-bound (nprobe 1/2
+#: match ivf-flat exactly; refine 20/50/100 → 0.66/0.92/0.94), so 50
+#: — still a panel-sized fetch — buys recall ABOVE ivf-flat's 0.84.
+IVFPQT_REFINE = 50
+
+
 def _ivfpq_trained_oracle_sql(
     rounds: int = similarity.KM_TRAIN_ROUNDS,
+    refine: int = IVFPQT_REFINE,
 ) -> str:
     """GENERATED oracle for ann_topk_ivfpq_trained (residual IVFADC
     on trained quantizers): the bounded Lloyd training unrolled as
@@ -3884,7 +3897,7 @@ def _ivfpq_trained_oracle_sql(
                        ROW_NUMBER() OVER (PARTITION BY query_id
                                           ORDER BY adc_d2, neighbor_id) AS ar
                 FROM adc
-            ) WHERE ar <= 20
+            ) WHERE ar <= {refine}
         ),
         dots AS (
             SELECT sh.query_id, sh.neighbor_id, SUM(a.qx * b.qx) AS sc
