@@ -1688,6 +1688,81 @@ def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X119: TRAINED bigram-LM quality scoring — the CCNet-shape
+    "train an LM on the corpus, score docs by how well it predicts
+    them" filter (Wenzek et al. 2020), as an exact conditional-model
+    rendition: add-one-smoothed P(w2|w1) quantized once to int64,
+    per-doc mean in-context probability. The conditional complement
+    to X105's unigram DSIR ratio. See text.lm_bigram_score."""
+    return text.lm_bigram_score(_docs(spark, sf_dir))
+
+
+def text_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X120: vector-space tf-idf retrieval (log-free quantized idf,
+    int64-exact inner-product scores) for the same fixed term panel
+    X43 ranks — the second, deliberately-disagreeing lexical leg the
+    X107 fusion stack wants. See text.tfidf_rank."""
+    return text.tfidf_rank(
+        _docs(spark, sf_dir), list(BM25_QUERY_TERMS), top_n=25
+    )
+
+
+def retrieval_hybrid_rrf3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X120: THREE-leg hybrid retrieval fused by RRF — BM25 (X43) +
+    vector-space tf-idf (X120) + exact semantic top-k for the seed
+    document, the lexical-pair-plus-dense stack production search
+    deploys. Same rrf_fuse contract as X107 (panel-scale fusion
+    regardless of corpus size); legs with incomparable score scales
+    are exactly RRF's use case."""
+    lex = text.bm25_rank(
+        _docs(spark, sf_dir), list(BM25_QUERY_TERMS), top_n=25
+    ).select("doc_id", "rank")
+    vsm = text.tfidf_rank(
+        _docs(spark, sf_dir), list(BM25_QUERY_TERMS), top_n=25
+    ).select("doc_id", "rank")
+    sem = similarity.topk_brute(
+        _embs(spark, sf_dir), n_queries=1, k=25
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return text.rrf_fuse([lex, vsm, sem], top_n=10)
+
+
+def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X121: fixed-window RAG chunking with overlap and (doc_id,
+    chunk_idx) provenance — pure map-side window arithmetic, no
+    shuffle. See text.chunk_documents."""
+    return text.chunk_documents(_docs(spark, sf_dir))
+
+
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X122: APPLY side of X5 — the decontamination step actually
+    run before training: drop every corpus document sharing ≥1
+    distinct 5-gram with the benchmark set (docs 0-24, X5's exact
+    flag definition) and emit the KEPT corpus. Broadcast benchmark
+    gram probe (X5's plan) feeding a left-anti join on doc_id — the
+    flagged side is rare-hit-sized, never corpus-sized."""
+    docs = _docs(spark, sf_dir)
+    benchmark = docs.filter(F.col("doc_id") < 25)
+    flagged = dedup.contamination_report(
+        docs, benchmark, n=5, min_overlap=1
+    ).select("doc_id")
+    return (
+        docs.join(flagged, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X123: leading principal component by bounded matrix-free power
+    iteration + every vector's PC1 projection — the anisotropy
+    diagnostic (Mu & Viswanath 2018) run before cosine work. Exact
+    int64 bounded-round contract like kmeans/BPE; the oracle replays
+    the identical 4 rounds as unrolled CTEs. See
+    similarity.pca_power_projection."""
+    return similarity.pca_power_projection(_embs(spark, sf_dir))
+
+
 EXT_QUERY_FNS = {
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
@@ -1706,6 +1781,12 @@ EXT_QUERY_FNS = {
     "text_pack_bpe": text_pack_bpe,
     "corpus_mixture_bpe": corpus_mixture_bpe,
     "text_dsir_importance": text_dsir_importance,
+    "text_lm_score": text_lm_score,
+    "text_tfidf_search": text_tfidf_search,
+    "retrieval_hybrid_rrf3": retrieval_hybrid_rrf3,
+    "docs_chunk_overlap": docs_chunk_overlap,
+    "dedup_decontaminate": dedup_decontaminate,
+    "emb_pca_power": emb_pca_power,
     "text_collocations": text_collocations,
     "text_build_postings": text_build_postings,
     "graph_triangles_cosupply": graph_triangles_cosupply,
@@ -4543,6 +4624,236 @@ EXT_ORACLE_SQL["text_ngram_novelty"] = f"""
            CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
                 AS DOUBLE) / COUNT(*) AS novelty
     FROM g JOIN firsts f USING (gram)
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+
+# X119: the oracle trains the identical add-one bigram model (counts
+# on exact integers, ONE round(10^9 * (c2+1)/(c1+V)) quantization per
+# distinct bigram) and re-scores every doc with int64 sums — parallel
+# unnest zips (w1, w2) from the same token list the Spark transform
+# slices.
+EXT_ORACLE_SQL["text_lm_score"] = f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    big AS (
+        SELECT doc_id,
+               unnest(t[1:len(t) - 1]) AS w1,
+               unnest(t[2:len(t)]) AS w2
+        FROM tok WHERE len(t) >= 2
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1),
+    voc AS (
+        SELECT COUNT(DISTINCT w) AS v
+        FROM (SELECT unnest(t) AS w FROM tok)
+    ),
+    model AS (
+        SELECT c2.w1, c2.w2,
+               CAST(ROUND(1000000000.0 * (c2 + 1) / (c1 + v), 0)
+                    AS BIGINT) AS w
+        FROM c2 JOIN c1 USING (w1) CROSS JOIN voc
+    )
+    SELECT b.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(m.w) AS BIGINT) AS raw_lm_weight,
+           CAST(SUM(m.w) AS DOUBLE) / (1000000000.0 * COUNT(*))
+               AS lm_score
+    FROM big b JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+
+# X120: same pruned-postings shape as the BM25 oracle; idf quantized
+# once on exact integer inputs, scores are int64 sums
+EXT_ORACLE_SQL["text_tfidf_search"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    n AS (SELECT COUNT(*) AS n_docs FROM toks),
+    hits AS (
+        SELECT doc_id, tok, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+        WHERE tok IN ({_BM25_TERMS})
+        GROUP BY 1, 2
+    ),
+    dfs AS (SELECT tok, COUNT(*) AS df FROM hits GROUP BY 1),
+    idf AS (
+        SELECT tok,
+               CAST(ROUND(1000000.0 * (n_docs + 1) / (df + 1), 0)
+                    AS BIGINT) AS idf_w
+        FROM dfs CROSS JOIN n
+    ),
+    scored AS (
+        SELECT h.doc_id, COUNT(*) AS n_terms, SUM(h.tf * i.idf_w) AS raw
+        FROM hits h JOIN idf i USING (tok) GROUP BY 1
+    )
+    SELECT doc_id, n_terms,
+           CAST(raw AS DOUBLE) / 1000000.0 AS score,
+           CAST(ROW_NUMBER() OVER (ORDER BY raw DESC, doc_id) AS INT)
+               AS rank
+    FROM scored
+    ORDER BY raw DESC, doc_id
+    LIMIT 25
+"""
+
+
+# X120 fusion: the X107 oracle with the tf-idf leg unioned in — each
+# leg is its own full oracle, fusion arithmetic unchanged
+EXT_ORACLE_SQL["retrieval_hybrid_rrf3"] = f"""
+    WITH lex AS ({EXT_ORACLE_SQL["text_bm25_search"]}),
+    vsm AS ({EXT_ORACLE_SQL["text_tfidf_search"]}),
+    comp AS ({_COMP}),
+    dots AS (
+        SELECT b.vec_id AS doc_id, SUM(a.qx * b.qx) AS sc
+        FROM comp a
+        JOIN comp b ON b.i = a.i AND b.vec_id != 0
+        WHERE a.vec_id = 0
+        GROUP BY 1
+    ),
+    sem AS (
+        SELECT doc_id, rank FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY sc DESC, doc_id) AS rank
+            FROM dots
+        ) WHERE rank <= 25
+    ),
+    contrib AS (
+        SELECT doc_id,
+               CAST(ROUND(1000000000000.0 / (60 + rank), 0) AS BIGINT) AS c
+        FROM lex
+        UNION ALL
+        SELECT doc_id,
+               CAST(ROUND(1000000000000.0 / (60 + rank), 0) AS BIGINT)
+        FROM vsm
+        UNION ALL
+        SELECT doc_id,
+               CAST(ROUND(1000000000000.0 / (60 + rank), 0) AS BIGINT)
+        FROM sem
+    ),
+    fused AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_legs,
+               CAST(SUM(c) AS BIGINT) AS s
+        FROM contrib GROUP BY 1
+    )
+    SELECT doc_id, n_legs,
+           CAST(s AS DOUBLE) / 1000000000000.0 AS rrf_score,
+           CAST(rank AS INT) AS rank
+    FROM (
+        SELECT doc_id, n_legs, s,
+               ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rank
+        FROM fused
+    )
+    WHERE rank <= 10
+    ORDER BY rank
+"""
+
+
+# X121: identical integer window arithmetic — ceil-div via
+# (n - W + S - 1) // S, 1-based inclusive list slices
+EXT_ORACLE_SQL["docs_chunk_overlap"] = f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    base AS (SELECT doc_id, t, len(t) AS n FROM tok WHERE len(t) >= 1),
+    idx AS (
+        SELECT doc_id, t,
+               unnest(generate_series(0,
+                   CASE WHEN n <= {text.CHUNK_TOKENS} THEN 0
+                        ELSE (n - {text.CHUNK_TOKENS}
+                              + {text.CHUNK_STRIDE} - 1)
+                             // {text.CHUNK_STRIDE} END)) AS chunk_idx
+        FROM base
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(t[chunk_idx * {text.CHUNK_STRIDE} + 1 :
+                      chunk_idx * {text.CHUNK_STRIDE}
+                      + {text.CHUNK_TOKENS}]) AS BIGINT)
+               AS n_chunk_tokens,
+           array_to_string(t[chunk_idx * {text.CHUNK_STRIDE} + 1 :
+                             chunk_idx * {text.CHUNK_STRIDE}
+                             + {text.CHUNK_TOKENS}], ' ') AS chunk_text
+    FROM idx
+    ORDER BY doc_id, chunk_idx
+"""
+
+
+# X122: the X5 flag definition verbatim, applied as NOT IN — kept
+# corpus = documents minus any-shared-5-gram hits
+EXT_ORACLE_SQL["dedup_decontaminate"] = f"""
+    WITH cg AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform({_shingles(5)},
+                   s -> CAST(concat('0x', substr(md5(s), 1,
+                        {dedup.GRAM_HASH_HEX})) AS BIGINT)))) AS gram
+        FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+    ),
+    bg AS (SELECT doc_id AS bench_id, gram FROM cg WHERE doc_id < 25),
+    flagged AS (
+        SELECT DISTINCT c.doc_id FROM cg c JOIN bg b ON c.gram = b.gram
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM flagged)
+    ORDER BY d.doc_id
+"""
+
+
+def _pca_rounds_sql(rounds: int) -> str:
+    """Unrolled power-iteration rounds (the kmeans/BPE oracle idiom):
+    each round = exact int64 dots keyed on vec_id, the downscale
+    round, exact int64 per-dimension outer sums, the max-|vd|
+    rescale, and the sqrt-norm requantization — all on exact integer
+    inputs so both engines agree bit-for-bit.
+
+    Every CTE is MATERIALIZED and the 1-row scalars join in via CROSS
+    JOIN, never correlated scalar subqueries: DuckDB inlines CTEs, so
+    a per-row ``(SELECT m FROM m_r)`` would re-evaluate the entire
+    upstream round chain per row per round — measured as an
+    exponential blowup (the first draft of this oracle burned 17 min
+    of CPU at sf0.01 before being killed)."""
+    parts = []
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    d{r} AS MATERIALIZED (
+        SELECT c.vec_id, SUM(c.qx * v.vq) AS dot
+        FROM comp c JOIN v{r - 1} v ON c.i = v.i GROUP BY 1
+    ),
+    q{r} AS MATERIALIZED (
+        SELECT vec_id,
+               CAST(ROUND(CAST(dot AS DOUBLE) / 1000000.0, 0) AS BIGINT)
+                   AS dq
+        FROM d{r}
+    ),
+    w{r} AS MATERIALIZED (
+        SELECT c.i, SUM(c.qx * q.dq) AS vd
+        FROM comp c JOIN q{r} q USING (vec_id) GROUP BY 1
+    ),
+    m{r} AS MATERIALIZED (SELECT MAX(ABS(vd)) AS m FROM w{r}),
+    r{r} AS MATERIALIZED (
+        SELECT i, CAST(ROUND(1000000.0 * vd / m, 0) AS BIGINT) AS vr
+        FROM w{r} CROSS JOIN m{r}
+    ),
+    n{r} AS MATERIALIZED (SELECT SUM(vr * vr) AS n2 FROM r{r}),
+    v{r} AS MATERIALIZED (
+        SELECT i, CAST(ROUND(1000000.0 * vr /
+                   sqrt(CAST(n2 AS DOUBLE)), 0)
+                   AS BIGINT) AS vq
+        FROM r{r} CROSS JOIN n{r}
+    )""")
+    return ",".join(parts)
+
+
+# X123: the 4 power-iteration rounds unrolled; v0 = uniform direction
+EXT_ORACLE_SQL["emb_pca_power"] = f"""
+    WITH comp AS MATERIALIZED ({_COMP}),
+    v0 AS MATERIALIZED (
+        SELECT DISTINCT i, CAST({similarity.V_SCALE} AS BIGINT) AS vq
+        FROM comp
+    ),
+    {_pca_rounds_sql(similarity.PCA_ROUNDS)}
+    SELECT c.vec_id,
+           CAST(SUM(c.qx * v.vq) AS BIGINT) AS pc1_q,
+           CAST(SUM(c.qx * v.vq) AS DOUBLE)
+               / {float(similarity.SCALE * similarity.V_SCALE)} AS pc1
+    FROM comp c JOIN v{similarity.PCA_ROUNDS} v ON c.i = v.i
     GROUP BY 1
     ORDER BY 1
 """

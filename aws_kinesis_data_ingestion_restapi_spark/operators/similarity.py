@@ -1640,3 +1640,123 @@ def hard_negatives(
         )
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# X123: PCA by matrix-free power iteration
+# ---------------------------------------------------------------------------
+
+PCA_ROUNDS = 4  # bounded power-iteration rounds (replayed by the oracle)
+V_SCALE = 10**6  # iterate-vector component quantization
+DQ_DIV = float(10**6)  # per-row dot downscale before the outer sum
+
+
+def pca_power_projection(
+    embs: DataFrame, rounds: int = PCA_ROUNDS, id_col: str = "vec_id"
+) -> DataFrame:
+    """X123: leading principal component by MATRIX-FREE power
+    iteration, and every vector's projection onto it — the embedding-
+    whitening / dominant-direction diagnostic a training pipeline
+    runs before similarity work (anisotropic embedding spaces
+    concentrate cosine mass on the top component; knowing PC1 and the
+    per-vector loadings is how you detect and fix that, cf. the
+    all-but-the-top post-processing of Mu & Viswanath 2018, arXiv
+    1702.01417).
+
+    Never forms the d×d covariance: each round applies the Gram
+    operator as two corpus passes, v ← Σ_rows ⟨x,v⟩·x, then
+    renormalizes — the standard matrix-free power step, so cost is
+    O(n·d) per round at ANY dimension and the only state is the
+    d-row iterate.
+
+    Exactness (the kmeans/BPE bounded-round contract — both engines
+    replay the IDENTICAL fixed rounds, so equality is by
+    construction, not convergence): embeddings ride the verified
+    round(x·10⁴) int64 quantization; the iterate is int64-quantized
+    at 10⁶; per-row dots and per-dimension outer sums are exact int64
+    aggregates (order-independent); the two per-round float steps
+    (max-|component| rescale, then sqrt-norm division — IEEE sqrt is
+    correctly rounded) are each ONE multiply+divide+round on exact
+    integer inputs, bit-identical across engines. The max-rescale
+    bounds every squared term at 10¹² so the norm sum stays in int64
+    at any corpus size. Start iterate = the uniform all-ones
+    direction (deterministic; a corpus whose PC1 is exactly
+    orthogonal to it would need a different seed — not a property
+    real embedding corpora have).
+
+    Scale shape: per round, ONE shuffle keyed on the row id (the
+    per-row dot, map-side partial) and ONE keyed on the dimension
+    index (d rows out after map-side combine); the d-row iterate is a
+    broadcast join side; lineage truncates per round via
+    ckpt.materialize exactly like kmeans/PageRank. Output:
+    (vec_id, pc1_q, pc1) — the quantized and original-unit
+    projections, ordered by id for the gate."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.ckpt import (
+        materialize,
+        release,
+    )
+
+    comp = embs.select(
+        F.col(id_col), F.posexplode(quantized()).alias("i", "qx")
+    )
+    v = comp.select("i").distinct().select(
+        "i", F.lit(V_SCALE).cast("long").alias("vq")
+    )
+    prev: DataFrame | None = None
+    for _ in range(rounds):
+        dots = (
+            comp.join(F.broadcast(v), "i")
+            .groupBy(id_col)
+            .agg(F.sum(F.col("qx") * F.col("vq")).alias("dot"))
+        )
+        dq = dots.select(
+            id_col,
+            F.round(F.col("dot").cast("double") / F.lit(DQ_DIV), 0)
+            .cast("long")
+            .alias("dq"),
+        )
+        vd = (
+            comp.join(dq, id_col)
+            .groupBy("i")
+            .agg(F.sum(F.col("qx") * F.col("dq")).alias("vd"))
+        )
+        m = vd.agg(F.max(F.abs(F.col("vd"))).alias("m"))
+        vr = vd.crossJoin(F.broadcast(m)).select(
+            "i",
+            F.round(
+                F.lit(float(V_SCALE)) * F.col("vd") / F.col("m"), 0
+            )
+            .cast("long")
+            .alias("vr"),
+        )
+        n2 = vr.agg(F.sum(F.col("vr") * F.col("vr")).alias("n2"))
+        nxt = vr.crossJoin(F.broadcast(n2)).select(
+            "i",
+            F.round(
+                F.lit(float(V_SCALE))
+                * F.col("vr")
+                / F.sqrt(F.col("n2").cast("double")),
+                0,
+            )
+            .cast("long")
+            .alias("vq"),
+        )
+        v = materialize(nxt, eager=True)
+        if prev is not None:
+            release(prev)
+        prev = v
+    out = (
+        comp.join(F.broadcast(v), "i")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("qx") * F.col("vq")).alias("pc1_q"))
+        .select(
+            id_col,
+            "pc1_q",
+            (
+                F.col("pc1_q").cast("double")
+                / F.lit(float(SCALE * V_SCALE))
+            ).alias("pc1"),
+        )
+        .orderBy(id_col)
+    )
+    return out

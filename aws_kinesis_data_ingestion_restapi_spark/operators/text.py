@@ -1024,3 +1024,218 @@ def ngram_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+LM_SCALE = 10**9  # per-bigram conditional-probability quantization
+
+
+def lm_bigram_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """X119: TRAINED bigram-LM quality scoring — the CCNet-style
+    "train a language model on the corpus, score every document by
+    how well the model predicts it" filter (Wenzek et al. 2020 score
+    with a KenLM 5-gram; the distributed rendition here trains an
+    add-one-smoothed bigram model, the same estimator family, over
+    the same corpus it scores). Unlike X105's DSIR unigram bucket
+    ratio this is an in-context CONDITIONAL model: the score of a
+    token depends on its predecessor, so word-salad with plausible
+    unigrams but implausible transitions ranks low.
+
+    Exact-arithmetic rendition so a DuckDB oracle replays it
+    bit-for-bit (the X105 idiom): each bigram's smoothed conditional
+    probability P(w2|w1) = (c2+1)/(c1+V) is quantized ONCE to int64
+    (round(10⁹·P) — one IEEE multiply+divide+round on exact integer
+    inputs, identical in both engines); a document's raw weight is
+    the exact int64 SUM of its bigrams' quantized probabilities
+    (order-independent, unlike a float log-sum), and ``lm_score`` =
+    raw / (10⁹·n_bigrams) — the mean in-context probability, the
+    monotone order-free stand-in for mean log-probability that both
+    engines agree on exactly. Low score = the model is surprised =
+    the CCNet "tail" bucket.
+
+    Scale shape: bigrams are built MAP-SIDE from each doc's token
+    array (transform over a slice — no positional self-join); the
+    model is two partial-aggregated shuffles over the bigram stream
+    (c2 on the bigram key, c1 on the context key) + a 1-row distinct-
+    vocab broadcast; scoring joins the stream back to the model on
+    the bigram key — a shuffle hash join that AQE downgrades to
+    broadcast when the trained model is small. Docs with <2 tokens
+    have no bigrams and are (documented) absent from the output."""
+    toks = docs.select(
+        "doc_id", tokens_col(text_col).alias("tk")
+    ).filter(F.size("tk") >= 2)
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(tk, 1, size(tk) - 1),"
+                " (x, i) -> struct(x AS w1, tk[i + 1] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = docs.select(
+        F.explode(tokens_col(text_col)).alias("w")
+    ).agg(F.countDistinct("w").alias("v"))
+    model = (
+        c2.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.lit(float(LM_SCALE))
+                * (F.col("c2") + 1)
+                / (F.col("c1") + F.col("v")),
+                0,
+            )
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    return (
+        bg.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("w").alias("raw_lm_weight"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "raw_lm_weight",
+            (
+                F.col("raw_lm_weight").cast("double")
+                / (F.lit(float(LM_SCALE)) * F.col("n_bigrams"))
+            ).alias("lm_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TFIDF_SCALE = 10**6  # idf weight quantization (int64-exact sums)
+
+
+def tfidf_rank(
+    docs: DataFrame, query_terms: list[str], top_n: int = 25
+) -> DataFrame:
+    """X120: classic vector-space tf-idf retrieval (term-at-a-time
+    inner product) — the second lexical ranker next to X43's BM25:
+    no tf saturation, no length normalization, score = Σ_t tf_{d,t} ·
+    idf_t over the query terms. Having BOTH rankers is what makes the
+    X107 fusion stack honest (RRF exists to combine rankers that
+    disagree; BM25 vs raw tf-idf is the textbook disagreeing pair —
+    tf-idf favors long term-stuffed docs, BM25 saturates them).
+
+    Log-free idf, quantized once (the X105/X119 idiom): idf_w =
+    round(10⁶·(N+1)/(df+1)) on exact integer inputs — identical in
+    both engines, monotone in the textbook log idf; per-doc score is
+    the exact int64 Σ tf·idf_w (order-independent), reported as
+    raw/10⁶ after ONE shared division.
+
+    Scale shape (the X43 plan): the `isin(query_terms)` filter prunes
+    the token stream BEFORE the (doc, term) tf exchange — shuffle
+    volume ∝ query-term hits, not corpus tokens; per-term dfs and the
+    1-row corpus count are metadata-scale broadcasts; the final top-n
+    is TakeOrdered (distributed heap), never a global sort."""
+    from pyspark.sql.window import Window
+
+    toked = docs.select("doc_id", tokens_col().alias("_toks"))
+    n_docs = toked.agg(F.count(F.lit(1)).alias("n_docs"))
+    hits = (
+        toked.select("doc_id", F.explode("_toks").alias("tok"))
+        .filter(F.col("tok").isin(list(query_terms)))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfs = hits.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfs.crossJoin(F.broadcast(n_docs)).select(
+        "tok",
+        F.round(
+            F.lit(float(TFIDF_SCALE))
+            * (F.col("n_docs") + 1)
+            / (F.col("df") + 1),
+            0,
+        )
+        .cast("long")
+        .alias("idf_w"),
+    )
+    scored = (
+        hits.join(F.broadcast(idf), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum(F.col("tf") * F.col("idf_w")).alias("raw_score"),
+        )
+    )
+    top = scored.orderBy(F.col("raw_score").desc(), F.col("doc_id")).limit(
+        top_n
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("raw_score").desc(), F.col("doc_id")
+    )
+    return top.select(
+        "doc_id",
+        "n_terms",
+        (F.col("raw_score").cast("double") / F.lit(float(TFIDF_SCALE))).alias(
+            "score"
+        ),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
+CHUNK_TOKENS = 32  # RAG chunk width (tokens)
+CHUNK_STRIDE = 24  # chunk start stride — 8-token overlap
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+    text_col: str = "text",
+) -> DataFrame:
+    """X121: fixed-window document chunking with overlap — the RAG /
+    context-window prep step every retrieval corpus runs (split each
+    document into ``chunk_tokens``-token windows whose starts are
+    ``stride`` tokens apart, keeping (doc_id, chunk_idx) provenance so
+    retrieved chunks can be traced back and neighboring chunks
+    stitched). The final window is the ragged remainder; every token
+    appears in ≥1 chunk; integer-only window arithmetic
+    (ceil-div as (n - W + S - 1) DIV S) so both engines compute the
+    identical chunk set.
+
+    Scale shape: pure MAP — tokenize, a per-doc `sequence` of chunk
+    starts exploded, and an array `slice` per chunk; no shuffle, no
+    UDF, trivially parallel at any corpus size (chunking 100 TB is a
+    scan). Output order (doc_id, chunk_idx) is the gate's sort, not a
+    plan requirement."""
+    toks = docs.select(
+        "doc_id", tokens_col(text_col).alias("tk")
+    ).filter(F.size("tk") >= 1)
+    last = (
+        f"CASE WHEN size(tk) <= {chunk_tokens} THEN 0 "
+        f"ELSE (size(tk) - {chunk_tokens} + {stride} - 1) DIV {stride} END"
+    )
+    return (
+        toks.select(
+            "doc_id",
+            "tk",
+            F.explode(
+                F.sequence(F.lit(0), F.expr(last).cast("int"))
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.expr(
+                f"slice(tk, chunk_idx * {stride} + 1, {chunk_tokens})"
+            ).alias("ck"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("ck").cast("long").alias("n_chunk_tokens"),
+            F.array_join("ck", " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )

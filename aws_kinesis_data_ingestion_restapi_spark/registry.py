@@ -2146,7 +2146,7 @@ ORACLE_SQL["streaming_value_quantiles"] = f"""
 # --- BEGIN GENERATED GATE ORDER (scripts/gen_gate_head.py) ---
 # Window = 7 never-driver-checked additions + 8 changed
 # entries + the 35 stalest driver greens (last green in
-# round(s) [5], from CORRECTNESS_r*.json). Regenerate with
+# round(s) [0, 5], from CORRECTNESS_r*.json). Regenerate with
 #   python scripts/gen_gate_head.py
 # (pytest runs --check; hand-edits here go stale and FAIL).
 _GATE_HEAD = [
@@ -2165,6 +2165,12 @@ _GATE_HEAD = [
     "text_bpe_segment",  # last driver green: r8
     "text_pack_sequences",  # last driver green: r5
     "corpus_mixture_plan",  # last driver green: r8
+    "dedup_decontaminate",  # last driver green: r0
+    "docs_chunk_overlap",  # last driver green: r0
+    "emb_pca_power",  # last driver green: r0
+    "retrieval_hybrid_rrf3",  # last driver green: r0
+    "text_lm_score",  # last driver green: r0
+    "text_tfidf_search",  # last driver green: r0
     "emb_kmeans_step",  # last driver green: r5
     "pipeline_orders",  # last driver green: r5
     "pipeline_product_details",  # last driver green: r5
@@ -2194,12 +2200,6 @@ _GATE_HEAD = [
     "sales_rollup",  # last driver green: r5
     "text_collocations",  # last driver green: r5
     "text_fingerprint",  # last driver green: r5
-    "text_language_id",  # last driver green: r5
-    "text_pii_redact",  # last driver green: r5
-    "text_quality_score",  # last driver green: r5
-    "text_stratified_sample",  # last driver green: r5
-    "text_token_stats",  # last driver green: r5
-    "text_vocab_growth",  # last driver green: r5
 ]
 _GATE_TAIL = [
     "brand_basket_affinity",  # last driver green: r8
@@ -2326,6 +2326,12 @@ _GATE_TAIL = [
     "streaming_late_data_policy",  # last driver green: r6
     "streaming_value_quantiles",  # last driver green: r6
     "text_repetition",  # last driver green: r6
+    "text_language_id",  # last driver green: r5
+    "text_pii_redact",  # last driver green: r5
+    "text_quality_score",  # last driver green: r5
+    "text_stratified_sample",  # last driver green: r5
+    "text_token_stats",  # last driver green: r5
+    "text_vocab_growth",  # last driver green: r5
     "top_parts_by_revenue",  # last driver green: r5
 ]
 # --- END GENERATED GATE ORDER ---

@@ -167,6 +167,10 @@ ANALYTICS_QUERIES = [
     "text_pack_bpe",
     "corpus_mixture_bpe",
     "text_dsir_importance",
+    "text_lm_score",
+    "text_tfidf_search",
+    "retrieval_hybrid_rrf3",
+    "docs_chunk_overlap",
     "text_collocations",
     "text_build_postings",
     "text_model_quality",
@@ -185,6 +189,7 @@ ANALYTICS_QUERIES = [
     "dedup_simhash_pairs",
     "dedup_simhash_fingerprints",
     "dedup_contamination",
+    "dedup_decontaminate",
     "dedup_ensemble",
     "dedup_semantic",
     "dedup_lsh_quality",
@@ -206,6 +211,7 @@ ANALYTICS_QUERIES = [
     "emb_hard_negatives",
     "emb_near_dup_lsh",
     "emb_kmeans_step",
+    "emb_pca_power",
     "emb_pq_codes",
     "ann_topk_pq",
     "ann_topk_ivfpq",
@@ -297,26 +303,26 @@ BENCH_KEY_ALIASES = {
     "salted_priority_sales": "ssal",
     "top_parts_by_revenue": "tpp",
     "q3_shipping_priority": "q3s",
-    "fuzzy_customer_names": "fuzzy",
-    "dedup_canonical_docs": "canon",
-    "events_tumbling_30s": "tmb30",
+    "fuzzy_customer_names": "fuz",
+    "dedup_canonical_docs": "can",
+    "events_tumbling_30s": "tmb",
     "events_sliding_1h_15m": "sl1h",
     "text_pack_sequences": "tpk",
-    "dedup_exact_recrawl": "dexact",
-    "dedup_ngram_jaccard": "ngram",
+    "dedup_exact_recrawl": "dex",
+    "dedup_ngram_jaccard": "ngr",
     "dedup_simhash_pairs": "sh",
-    "dedup_contamination": "contam",
-    "mm_extract_features": "mmfeat",
+    "dedup_contamination": "ctm",
+    "mm_extract_features": "mmf",
     "asof_priority_rates": "asof",
     "etl_derive_tables": "etl",
     "curation_pipeline": "cur",
-    "events_json_props": "ejson",
+    "events_json_props": "ejs",
     "profile_documents": "prf",
     "incremental_sales_rollup": "incr",
     "dedup_minhash_lsh": "mh",
-    "dedup_incremental_delta": "incrd",
+    "dedup_incremental_delta": "inc",
     "text_quality_score": "tq",
-    "text_language_id": "tlang",
+    "text_language_id": "tlg",
     "mm_resize_images": "mmrz",
     "mm_frame_sample": "mmfr",
     "cdc_snapshot_diff": "cdcd",
@@ -333,10 +339,10 @@ BENCH_KEY_ALIASES = {
     "q21_late_sole_supplier": "q21",
     "streaming_enriched_nation_totals": "stenr",
     "streaming_running_totals_final": "strun",
-    "pipeline_envelope_decode": "plenv",
+    "pipeline_envelope_decode": "ple",
     "pipeline_partition_scan": "plp",
     "pipeline_streaming_drain": "plstr",
-    "top_orders_per_customer": "topord",
+    "top_orders_per_customer": "topo",
     "events_value_histogram": "ehi",
     "emb_near_dup_lsh_multi": "ndm",
     "emb_near_dup_lsh": "ndlsh",
@@ -349,24 +355,31 @@ BENCH_KEY_ALIASES = {
     "customer_retention": "ret",
     "payment_type_share": "psh",
     "events_cohort_retention": "coh",
-    "text_quality_sample": "qsamp",
+    "text_quality_sample": "qsm",
     "sales_yoy_full_outer": "yoyf",
     "graph_pagerank_suppliers": "pgr",
-    "graph_kcore_purchases": "kcore",
-    "sql_recursive_rollup": "recur",
+    "graph_kcore_purchases": "kco",
+    "sql_recursive_rollup": "rec",
     "events_concurrency_curve": "conc",
-    "events_transition_matrix": "trans",
+    "events_transition_matrix": "trn",
     "emb_pq_codes": "pqc",
     "ann_topk_pq": "apq",
     "ann_topk_ivfpq": "ivfpq",
     # round-9 additions (final line only, 1:1)
-    "ann_topk_ivfpq_trained": "ivfpqt",
+    "ann_topk_ivfpq_trained": "ipqt",
     "mm_canonical_assets": "mmca",
     "streaming_dedup_delta": "sdl",
     "text_pack_bpe": "tpkb",
     "corpus_mixture_bpe": "mxb",
     "dedup_exact_substring": "xsub",
     "dedup_remove_substrings": "xrm",
+    # round-9 session-2 additions (X119-X123)
+    "text_lm_score": "lm",
+    "text_tfidf_search": "tfi",
+    "retrieval_hybrid_rrf3": "rrf3",
+    "docs_chunk_overlap": "chu",
+    "dedup_decontaminate": "dcn",
+    "emb_pca_power": "pca",
     "customer_rfm_segments": "rf",
     "events_active_users": "dw",
     "q1_pricing_summary": "q1p",
@@ -376,7 +389,7 @@ BENCH_KEY_ALIASES = {
     "q18_large_orders": "q18l",
     "sales_per_nation": "nsal",
     "sales_rollup": "rup",
-    "events_type_mode": "tmode",
+    "events_type_mode": "tmo",
     "text_fingerprint": "tfp",
     "text_pii_redact": "pii",
     "sketch_heavy_hitters": "cmhh",
@@ -407,7 +420,7 @@ BENCH_KEY_ALIASES = {
     "docs_split_leakage_safe": "tvtc",
     "corpus_mixture_plan": "mxp",
     "events_value_hour_corr": "vhc",
-    "events_daily_trend": "dtrend",
+    "events_daily_trend": "dtr",
     "streaming_payment_match_outer": "sto",
     "streaming_payment_match_full": "stf",
     "events_attribution": "attr",
@@ -420,23 +433,23 @@ BENCH_KEY_ALIASES = {
     "emb_hard_negatives": "hneg",
     "dedup_lsh_quality": "lshq",
     "dedup_signal_agreement": "sga",
-    "events_zorder_scan": "zscan",
+    "events_zorder_scan": "zsc",
     "ann_topk_lsh_multi": "alm",
     "text_build_postings": "post",
     "text_model_quality": "ftq",
-    "curation_source_caps": "srccap",
+    "curation_source_caps": "scap",
     "graph_triangles_cosupply": "tri",
     "emb_bitext_mine": "btx",
     "bucketed_sales_join": "bktj",
     "text_token_stats": "toks",
-    "dedup_components": "comps",
-    "dedup_components_star": "cstar",
+    "dedup_components": "cmp",
+    "dedup_components_star": "cst",
     "text_repetition": "rep",
     "events_variant_props": "vrnt",
     "events_gapfill": "gapf",
     "text_length_quantiles": "lenq",
     "dedup_ensemble": "ens",
-    "dedup_semantic": "semdd",
+    "dedup_semantic": "sdd",
     "mm_asset_stats": "mmst",
     "mm_fingerprint": "mm_fp",
     "mm_phash_near_dup": "mmph",

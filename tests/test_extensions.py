@@ -2805,3 +2805,131 @@ def test_remove_duplicated_spans_consistent_with_report(spark):
     assert spliced
     for sid in spliced:
         assert out[sid].clean_text == toks[sid][-1], sid  # marker only
+
+
+# ---------------------------------------------------------------------------
+# X119-X123: bigram LM scoring, tf-idf retrieval, chunking, decontaminate, PCA
+# ---------------------------------------------------------------------------
+
+
+def test_lm_bigram_score_hand_computed(spark):
+    # corpus bigrams: doc0 = (a,b),(b,a),(a,b); doc1 = (a,b),(b,c),(c,a)
+    # c2: ab=3 ba=1 bc=1 ca=1; contexts c1: a=3 b=2 c=1; V=3
+    # P(b|a)=4/6  P(a|b)=2/5  P(c|b)=2/5  P(a|c)=2/4
+    rows = [(0, "a b a b"), (1, "a b c a")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in text.lm_bigram_score(df).collect()}
+    w_ab = round(1e9 * 4 / 6)  # 666666667
+    w_ba = round(1e9 * 2 / 5)
+    w_bc = round(1e9 * 2 / 5)
+    w_ca = round(1e9 * 2 / 4)
+    assert out[0]["n_bigrams"] == 3
+    assert out[0]["raw_lm_weight"] == 2 * w_ab + w_ba
+    assert out[1]["raw_lm_weight"] == w_ab + w_bc + w_ca
+    assert out[0]["lm_score"] == pytest.approx((2 * w_ab + w_ba) / 3e9)
+    # the model is conditional: doc0 repeats the corpus's most likely
+    # transition and must outscore doc1's rarer path
+    assert out[0]["lm_score"] > out[1]["lm_score"]
+
+
+def test_lm_bigram_score_skips_sub_bigram_docs(spark):
+    rows = [(0, "a b"), (1, "solo"), (2, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"] for r in text.lm_bigram_score(df).collect()}
+    assert got == {0}
+
+
+def test_tfidf_rank_hand_computed(spark):
+    rows = [
+        (0, "cat cat cat cat cat"),
+        (1, "cat dog"),
+        (2, "bird"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in text.tfidf_rank(df, ["cat", "dog"]).collect()}
+    # N=3; df(cat)=2 -> idf_w=round(1e6*4/3); df(dog)=1 -> 2e6
+    w_cat, w_dog = round(1e6 * 4 / 3), 2_000_000
+    assert out[0]["score"] == pytest.approx(5 * w_cat / 1e6)
+    assert out[1]["score"] == pytest.approx((w_cat + w_dog) / 1e6)
+    assert out[0]["rank"] == 1 and out[1]["rank"] == 2
+    assert 2 not in out  # no query term, never a candidate
+    assert out[1]["n_terms"] == 2
+
+
+def test_chunk_documents_windows_and_coverage(spark):
+    toks80 = " ".join(f"t{i}" for i in range(80))
+    rows = [(0, toks80), (1, "a b c"), (2, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = text.chunk_documents(df).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # ceil((80-32)/24)+1 = 3 chunks; starts 0,24,48; all full width
+    c0 = sorted(by_doc[0], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_idx"] for r in c0] == [0, 1, 2]
+    assert [r["n_chunk_tokens"] for r in c0] == [32, 32, 32]
+    assert c0[0]["chunk_text"].split()[0] == "t0"
+    assert c0[1]["chunk_text"].split()[0] == "t24"
+    assert c0[2]["chunk_text"].split()[-1] == "t79"
+    # stride < width => consecutive chunks overlap by 8 tokens
+    assert c0[0]["chunk_text"].split()[24:] == c0[1]["chunk_text"].split()[:8]
+    # every token is covered
+    covered = {t for r in c0 for t in r["chunk_text"].split()}
+    assert covered == {f"t{i}" for i in range(80)}
+    # short doc: one ragged chunk; empty doc: no chunks
+    assert [r["n_chunk_tokens"] for r in by_doc[1]] == [3]
+    assert 2 not in by_doc
+
+
+def test_decontaminate_drops_benchmark_and_its_dups(docs):
+    bench = docs.filter(F.col("doc_id") == 0)
+    flagged = dedup.contamination_report(
+        docs, bench, n=5, min_overlap=1
+    ).select("doc_id")
+    kept = docs.join(flagged, "doc_id", "left_anti")
+    ids = {r["doc_id"] for r in kept.collect()}
+    # benchmark doc, its exact dup, and the near-dup sharing a 5-gram
+    # ("sat on the mat. the") are all removed
+    assert ids & {0, 1, 2} == set()
+    # unrelated doc and the shingle-less doc survive
+    assert {3, 4, 5} <= ids
+
+
+def test_pca_power_matches_numpy_direction(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    u = np.array([3.0, 1.0, 0.0, -1.0, 0.5, 0.0])
+    u = u / np.linalg.norm(u)
+    coef = rng.uniform(-2.0, 2.0, size=24)
+    x = np.outer(coef, u) + 0.05 * rng.standard_normal((24, 6))
+    rows = [(i, [float(v) for v in x[i]]) for i in range(24)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    out = similarity.pca_power_projection(df)
+    got = np.array(
+        [r["pc1"] for r in sorted(out.collect(), key=lambda r: r["vec_id"])]
+    )
+    # independent truth: numpy eigendecomposition of the covariance
+    xq = np.round(x * 10000) / 10000.0  # the operator's quantization
+    cov = xq.T @ xq
+    w, v = np.linalg.eigh(cov)
+    truth = xq @ v[:, -1]
+    cos = abs(truth @ got) / (np.linalg.norm(truth) * np.linalg.norm(got))
+    assert cos > 0.999
+    # projections of strongly opposite rows have opposite signs
+    i_max, i_min = int(np.argmax(coef)), int(np.argmin(coef))
+    assert got[i_max] * got[i_min] < 0
+
+
+def test_rrf_fuse_three_legs(spark):
+    def leg(order):
+        return spark.createDataFrame(
+            [(d, i + 1) for i, d in enumerate(order)], ["doc_id", "rank"]
+        )
+
+    l1, l2, l3 = leg([7, 1, 2]), leg([7, 2, 3]), leg([7, 3, 1])
+    out = sorted(text.rrf_fuse([l1, l2, l3]).collect(), key=lambda r: r["rank"])
+    assert out[0]["doc_id"] == 7 and out[0]["n_legs"] == 3
+    assert all(r["n_legs"] <= 3 for r in out)

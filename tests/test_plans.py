@@ -958,3 +958,57 @@ def test_duplicated_spans_bounded_plan(spark):
     m = re.search(r"\(\d+\) Window[^\n]*\n(.*?)(?=\n\(|\Z)", plan, re.S)
     assert m is not None, plan[:3000]
     assert "doc_id#" in m.group(1), m.group(1)
+
+
+def test_chunking_is_pure_map(spark):
+    """X121's scale claim, plan-proven: chunking is tokenize + a
+    per-doc sequence explode + array slices — NO shuffle, NO join.
+    A chunker that exchanged the corpus would turn a 100 TB scan
+    into a 100 TB shuffle for no reason."""
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    plan = explain_str(QUERY_FNS["docs_chunk_overlap"](spark, SF_DIR))
+    # permitted exchanges: the _docs() input round-robin repartition
+    # and the gate's final sort (rangepartitioning). NO keyed shuffle
+    # (hashpartitioning = an aggregate/join exchange) may appear.
+    assert "hashpartitioning" not in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+
+
+def test_tfidf_filters_terms_mapside_and_no_cartesian(spark):
+    """X120 inherits the X43 plan contract: the query-term IN-filter
+    is a real map-side Filter on the exploded token stream (shuffle
+    volume ∝ term hits, not corpus tokens), metadata frames ride
+    broadcasts, no cartesian blow-up."""
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    plan = explain_str(QUERY_FNS["text_tfidf_search"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "spark" in plan and "vector" in plan  # the IN-list literals
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_lm_score_bigrams_are_mapside(spark):
+    """X119's scale claim: bigrams come from a map-side transform over
+    each doc's token array — the plan must contain NO self-join of the
+    token stream on (doc, position); the only joins are the model
+    lookup and the 1-row vocab broadcast."""
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    plan = explain_str(QUERY_FNS["text_lm_score"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # positional self-join would appear as a SortMergeJoin on doc_id
+    # BELOW the first aggregate; the bigram builder is a Generate of
+    # explode(transform(slice(...))) — pin that exact shape
+    assert "explode(transform(slice(" in plan, plan[:2000]
+
+
+def test_pca_power_output_plan_shapes(spark):
+    """X123: the per-round iterate is broadcast-joined to the exploded
+    component stream (d-row frame side), never shuffled corpus-v-
+    corpus; no cartesian product."""
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    plan = explain_str(QUERY_FNS["emb_pca_power"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan[:2000]
