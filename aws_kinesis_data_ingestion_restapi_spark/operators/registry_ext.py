@@ -1753,14 +1753,195 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pca_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The X123 PC1 projection frame, computed (and localCheckpoint-
+    materialized) at most once per (session, sf_dir) — shared by
+    emb_pca_power (the projection report) and emb_anisotropy_audit
+    (the variance-ratio consumer), the `_bpe_seg_counts` pattern."""
+    return _session_cached(
+        spark,
+        ("pca_proj", sf_dir, similarity.PCA_ROUNDS),
+        lambda: materialize(
+            similarity.pca_power_projection(_embs(spark, sf_dir))
+        ),
+    )
+
+
 def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X123: leading principal component by bounded matrix-free power
     iteration + every vector's PC1 projection — the anisotropy
     diagnostic (Mu & Viswanath 2018) run before cosine work. Exact
     int64 bounded-round contract like kmeans/BPE; the oracle replays
-    the identical 4 rounds as unrolled CTEs. See
+    the identical 4 rounds as unrolled CTEs. Rides the
+    :func:`_pca_proj` session cache. See
     similarity.pca_power_projection."""
-    return similarity.pca_power_projection(_embs(spark, sf_dir))
+    return _pca_proj(spark, sf_dir)
+
+
+def emb_anisotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X123 audit row: WHAT FRACTION of the corpus's total second
+    moment lives on PC1 — the single number that says whether the
+    embedding space is anisotropic enough to distort cosine ranking
+    (Mu & Viswanath 2018 measure exactly this before deciding to
+    remove top components). anisotropy = Σ proj² / Σ ‖x‖², both exact
+    int64 sums in the SAME 10⁸-scaled units (projections re-quantized
+    once to the component scale — round(pc1_q/10⁶) — so the squared
+    sums stay in int64 at any corpus size), ONE final division.
+    Rides the :func:`_pca_proj` session cache; the corpus pass for
+    ‖x‖² is one map-side aggregate."""
+    proj = _pca_proj(spark, sf_dir)
+    pq = proj.select(
+        F.round(F.col("pc1_q").cast("double") / F.lit(1e6), 0)
+        .cast("long")
+        .alias("pq")
+    )
+    top = pq.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.col("pq") * F.col("pq")).alias("ss_pc1_q"),
+    )
+    tot = (
+        _embs(spark, sf_dir)
+        .select(F.posexplode(similarity.quantized()).alias("i", "qx"))
+        .agg(F.sum(F.col("qx") * F.col("qx")).alias("ss_total_q"))
+    )
+    return top.crossJoin(F.broadcast(tot)).select(
+        "n_vecs",
+        "ss_pc1_q",
+        "ss_total_q",
+        (
+            F.col("ss_pc1_q").cast("double") / F.col("ss_total_q")
+        ).alias("anisotropy"),
+    )
+
+
+def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X124: per-language tokenizer FERTILITY (BPE tokens per word) —
+    the standard tokenizer-evaluation statistic (a tokenizer trained
+    on one language mix over-segments under-represented languages;
+    fertility by language is how that is measured and how vocab
+    budgets get rebalanced). Consumes X103's per-doc subword counts
+    through the :func:`_bpe_seg_counts` session cache (one 8-round
+    loop per session), joins the language column, and aggregates
+    exact integer totals; fertility = one double division on exact
+    int64 sums. Universe = the segmentable corpus (docs with ≥1
+    word)."""
+    counts = _bpe_seg_counts(spark, sf_dir)
+    langs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return (
+        counts.join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_words",
+            "total_bpe_tokens",
+            (
+                F.col("total_bpe_tokens").cast("double")
+                / F.col("total_words")
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
+def text_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X125: ensemble quality scoring — the production curation move
+    of COMBINING independent quality signals instead of trusting one
+    (heuristic X9 + hashed-linear model X98 + trained bigram-LM X119;
+    each catches junk the others miss: rule-breaking formatting,
+    off-distribution features, implausible transitions). Each signal
+    is min-max normalized to [0, 10⁶] with ONE quantization
+    (round(10⁶·(s−min)/(max−min)) on engine-identical doubles;
+    constant signals normalize to 0), and the ensemble is the exact
+    int64 sum of the three — order-free, replayed verbatim by the
+    oracle from the three signals' own oracle CTEs. Min/max are 1-row
+    broadcast frames (IEEE min/max are order-independent), so the
+    plan is three signal scans + map-side normalization — no
+    corpus-wide rank window, which would not scale. Universe = docs
+    scoreable by all three legs (≥2 tokens for the LM)."""
+    docs = _docs(spark, sf_dir)
+    legs = [
+        (
+            "q_heur",
+            text.quality_score(docs).select(
+                "doc_id", F.col("quality_score").alias("s")
+            ),
+        ),
+        (
+            "q_model",
+            text.hashed_linear_score(docs).select(
+                "doc_id", F.col("model_score").alias("s")
+            ),
+        ),
+        (
+            "q_lm",
+            text.lm_bigram_score(docs).select(
+                "doc_id", F.col("lm_score").alias("s")
+            ),
+        ),
+    ]
+    normed = None
+    for name, leg in legs:
+        mm = leg.agg(F.min("s").alias("mn"), F.max("s").alias("mx"))
+        n = leg.crossJoin(F.broadcast(mm)).select(
+            "doc_id",
+            F.when(F.col("mx") == F.col("mn"), F.lit(0))
+            .otherwise(
+                F.round(
+                    F.lit(1e6)
+                    * (F.col("s") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn")),
+                    0,
+                )
+            )
+            .cast("long")
+            .alias(name),
+        )
+        normed = n if normed is None else normed.join(n, "doc_id")
+    total = F.col("q_heur") + F.col("q_model") + F.col("q_lm")
+    return normed.select(
+        "doc_id",
+        "q_heur",
+        "q_model",
+        "q_lm",
+        total.alias("ensemble_q"),
+        (total.cast("double") / F.lit(3e6)).alias("ensemble"),
+    ).orderBy("doc_id")
+
+
+def dedup_chunks_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X126: exact dedup of the RAG chunk store — X121's chunks are
+    what retrieval actually indexes, and recrawled/duplicated
+    documents produce byte-identical chunks that waste index space
+    and bias retrieval toward duplicated content. Groups chunks by
+    text, keeps the lexicographically-first (doc_id, chunk_idx) as
+    the canonical copy, reports every duplicated chunk with its copy
+    count (the X1 keep-first contract at chunk granularity). At
+    deployment scale the group key would be a 128-bit content hash
+    with the text verified inside the group; grouping on the text
+    here keeps the oracle byte-exact and the shuffle carries one
+    chunk either way."""
+    ch = text.chunk_documents(_docs(spark, sf_dir))
+    return (
+        ch.groupBy("chunk_text")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(F.struct("doc_id", "chunk_idx")).alias("first"),
+        )
+        .filter(F.col("n_copies") >= 2)
+        .select(
+            F.col("first.doc_id").alias("first_doc"),
+            F.col("first.chunk_idx").alias("first_chunk"),
+            "n_copies",
+            "chunk_text",
+        )
+        .orderBy("first_doc", "first_chunk")
+    )
 
 
 EXT_QUERY_FNS = {
@@ -1787,6 +1968,10 @@ EXT_QUERY_FNS = {
     "docs_chunk_overlap": docs_chunk_overlap,
     "dedup_decontaminate": dedup_decontaminate,
     "emb_pca_power": emb_pca_power,
+    "emb_anisotropy_audit": emb_anisotropy_audit,
+    "text_bpe_fertility": text_bpe_fertility,
+    "text_quality_ensemble": text_quality_ensemble,
+    "dedup_chunks_exact": dedup_chunks_exact,
     "text_collocations": text_collocations,
     "text_build_postings": text_build_postings,
     "graph_triangles_cosupply": graph_triangles_cosupply,
@@ -4289,6 +4474,24 @@ def _bpe_oracle_sql(k: int, final: str = "merges") -> str:
                 "    FROM docw d JOIN wt USING (word)\n"
                 "    GROUP BY 1 ORDER BY 1"
             )
+        elif final == "fertility":
+            # X124: per-language totals over the same per-doc stats
+            ctes.append("""seg2 AS (
+        SELECT d.doc_id, COUNT(*) AS n_words,
+               CAST(SUM(wt.n_bpe) AS BIGINT) AS n_bpe_tokens
+        FROM docw d JOIN wt USING (word)
+        GROUP BY 1
+    )""")
+            tail = (
+                "SELECT lang, COUNT(*) AS n_docs,\n"
+                "           CAST(SUM(n_words) AS BIGINT) AS total_words,\n"
+                "           CAST(SUM(n_bpe_tokens) AS BIGINT)"
+                " AS total_bpe_tokens,\n"
+                "           CAST(SUM(n_bpe_tokens) AS DOUBLE)"
+                " / SUM(n_words) AS fertility\n"
+                "    FROM documents JOIN seg2 USING (doc_id)\n"
+                "    GROUP BY 1 ORDER BY 1"
+            )
         elif final == "pack":
             # the X13 prefix-sum shard arithmetic over BPE counts
             budget = packing.DEFAULT_BUDGET
@@ -4856,4 +5059,99 @@ EXT_ORACLE_SQL["emb_pca_power"] = f"""
     FROM comp c JOIN v{similarity.PCA_ROUNDS} v ON c.i = v.i
     GROUP BY 1
     ORDER BY 1
+"""
+
+
+# X124: the generated BPE chain with the per-language fertility tail
+EXT_ORACLE_SQL["text_bpe_fertility"] = _bpe_oracle_sql(8, final="fertility")
+
+
+# X123 audit: the PCA round chain + the variance-ratio tails — same
+# MATERIALIZED/CROSS JOIN discipline as emb_pca_power
+EXT_ORACLE_SQL["emb_anisotropy_audit"] = f"""
+    WITH comp AS MATERIALIZED ({_COMP}),
+    v0 AS MATERIALIZED (
+        SELECT DISTINCT i, CAST({similarity.V_SCALE} AS BIGINT) AS vq
+        FROM comp
+    ),
+    {_pca_rounds_sql(similarity.PCA_ROUNDS)},
+    proj AS MATERIALIZED (
+        SELECT c.vec_id, CAST(SUM(c.qx * v.vq) AS BIGINT) AS pc1_q
+        FROM comp c JOIN v{similarity.PCA_ROUNDS} v ON c.i = v.i
+        GROUP BY 1
+    ),
+    pq AS (
+        SELECT CAST(ROUND(CAST(pc1_q AS DOUBLE) / 1000000.0, 0)
+                    AS BIGINT) AS pq
+        FROM proj
+    ),
+    top AS (
+        SELECT COUNT(*) AS n_vecs,
+               CAST(SUM(pq * pq) AS BIGINT) AS ss_pc1_q
+        FROM pq
+    ),
+    tot AS (SELECT CAST(SUM(qx * qx) AS BIGINT) AS ss_total_q FROM comp)
+    SELECT n_vecs, ss_pc1_q, ss_total_q,
+           CAST(ss_pc1_q AS DOUBLE) / ss_total_q AS anisotropy
+    FROM top CROSS JOIN tot
+"""
+
+
+# X125: each leg is its own full oracle; min-max quantization and the
+# int64 ensemble sum replayed verbatim
+EXT_ORACLE_SQL["text_quality_ensemble"] = f"""
+    WITH hq AS MATERIALIZED ({EXT_ORACLE_SQL["text_quality_score"]}),
+    mq AS MATERIALIZED ({EXT_ORACLE_SQL["text_model_quality"]}),
+    lq AS MATERIALIZED ({EXT_ORACLE_SQL["text_lm_score"]}),
+    h2 AS (SELECT doc_id, quality_score AS s FROM hq),
+    m2 AS (SELECT doc_id, model_score AS s FROM mq),
+    l2 AS (SELECT doc_id, lm_score AS s FROM lq),
+    hmm AS (SELECT MIN(s) AS mn, MAX(s) AS mx FROM h2),
+    mmm AS (SELECT MIN(s) AS mn, MAX(s) AS mx FROM m2),
+    lmm AS (SELECT MIN(s) AS mn, MAX(s) AS mx FROM l2),
+    hn AS (
+        SELECT doc_id,
+               CASE WHEN mx = mn THEN 0
+                    ELSE CAST(ROUND(1000000.0 * (s - mn) / (mx - mn), 0)
+                              AS BIGINT) END AS q_heur
+        FROM h2 CROSS JOIN hmm
+    ),
+    mn2 AS (
+        SELECT doc_id,
+               CASE WHEN mx = mn THEN 0
+                    ELSE CAST(ROUND(1000000.0 * (s - mn) / (mx - mn), 0)
+                              AS BIGINT) END AS q_model
+        FROM m2 CROSS JOIN mmm
+    ),
+    ln2 AS (
+        SELECT doc_id,
+               CASE WHEN mx = mn THEN 0
+                    ELSE CAST(ROUND(1000000.0 * (s - mn) / (mx - mn), 0)
+                              AS BIGINT) END AS q_lm
+        FROM l2 CROSS JOIN lmm
+    )
+    SELECT h.doc_id, q_heur, q_model, q_lm,
+           q_heur + q_model + q_lm AS ensemble_q,
+           CAST(q_heur + q_model + q_lm AS DOUBLE) / 3000000.0
+               AS ensemble
+    FROM hn h JOIN mn2 USING (doc_id) JOIN ln2 USING (doc_id)
+    ORDER BY h.doc_id
+"""
+
+
+# X126: the X121 chunk oracle + the keep-first duplicate report
+EXT_ORACLE_SQL["dedup_chunks_exact"] = f"""
+    WITH ch AS MATERIALIZED ({EXT_ORACLE_SQL["docs_chunk_overlap"]}),
+    r AS (
+        SELECT chunk_text, doc_id, chunk_idx,
+               COUNT(*) OVER (PARTITION BY chunk_text) AS n_copies,
+               ROW_NUMBER() OVER (PARTITION BY chunk_text
+                                  ORDER BY doc_id, chunk_idx) AS rn
+        FROM ch
+    )
+    SELECT doc_id AS first_doc, chunk_idx AS first_chunk,
+           CAST(n_copies AS BIGINT) AS n_copies, chunk_text
+    FROM r
+    WHERE rn = 1 AND n_copies >= 2
+    ORDER BY 1, 2
 """

@@ -2165,11 +2165,15 @@ _GATE_HEAD = [
     "text_bpe_segment",  # last driver green: r8
     "text_pack_sequences",  # last driver green: r5
     "corpus_mixture_plan",  # last driver green: r8
+    "dedup_chunks_exact",  # last driver green: r0
     "dedup_decontaminate",  # last driver green: r0
     "docs_chunk_overlap",  # last driver green: r0
+    "emb_anisotropy_audit",  # last driver green: r0
     "emb_pca_power",  # last driver green: r0
     "retrieval_hybrid_rrf3",  # last driver green: r0
+    "text_bpe_fertility",  # last driver green: r0
     "text_lm_score",  # last driver green: r0
+    "text_quality_ensemble",  # last driver green: r0
     "text_tfidf_search",  # last driver green: r0
     "emb_kmeans_step",  # last driver green: r5
     "pipeline_orders",  # last driver green: r5
@@ -2196,10 +2200,6 @@ _GATE_HEAD = [
     "ref_total_income_per_payment_method",  # last driver green: r5
     "ref_total_sales_per_country",  # last driver green: r5
     "sales_monthly_yoy",  # last driver green: r5
-    "sales_per_nation",  # last driver green: r5
-    "sales_rollup",  # last driver green: r5
-    "text_collocations",  # last driver green: r5
-    "text_fingerprint",  # last driver green: r5
 ]
 _GATE_TAIL = [
     "brand_basket_affinity",  # last driver green: r8
@@ -2326,6 +2326,10 @@ _GATE_TAIL = [
     "streaming_late_data_policy",  # last driver green: r6
     "streaming_value_quantiles",  # last driver green: r6
     "text_repetition",  # last driver green: r6
+    "sales_per_nation",  # last driver green: r5
+    "sales_rollup",  # last driver green: r5
+    "text_collocations",  # last driver green: r5
+    "text_fingerprint",  # last driver green: r5
     "text_language_id",  # last driver green: r5
     "text_pii_redact",  # last driver green: r5
     "text_quality_score",  # last driver green: r5

@@ -166,8 +166,10 @@ ANALYTICS_QUERIES = [
     "text_bpe_segment",
     "text_pack_bpe",
     "corpus_mixture_bpe",
+    "text_bpe_fertility",
     "text_dsir_importance",
     "text_lm_score",
+    "text_quality_ensemble",
     "text_tfidf_search",
     "retrieval_hybrid_rrf3",
     "docs_chunk_overlap",
@@ -190,6 +192,7 @@ ANALYTICS_QUERIES = [
     "dedup_simhash_fingerprints",
     "dedup_contamination",
     "dedup_decontaminate",
+    "dedup_chunks_exact",
     "dedup_ensemble",
     "dedup_semantic",
     "dedup_lsh_quality",
@@ -212,6 +215,7 @@ ANALYTICS_QUERIES = [
     "emb_near_dup_lsh",
     "emb_kmeans_step",
     "emb_pca_power",
+    "emb_anisotropy_audit",
     "emb_pq_codes",
     "ann_topk_pq",
     "ann_topk_ivfpq",
@@ -380,6 +384,10 @@ BENCH_KEY_ALIASES = {
     "docs_chunk_overlap": "chu",
     "dedup_decontaminate": "dcn",
     "emb_pca_power": "pca",
+    "emb_anisotropy_audit": "ani",
+    "text_bpe_fertility": "fert",
+    "text_quality_ensemble": "qens",
+    "dedup_chunks_exact": "chd",
     "customer_rfm_segments": "rf",
     "events_active_users": "dw",
     "q1_pricing_summary": "q1p",

@@ -2933,3 +2933,121 @@ def test_rrf_fuse_three_legs(spark):
     out = sorted(text.rrf_fuse([l1, l2, l3]).collect(), key=lambda r: r["rank"])
     assert out[0]["doc_id"] == 7 and out[0]["n_legs"] == 3
     assert all(r["n_legs"] <= 3 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# X123-X126: anisotropy audit, BPE fertility, quality ensemble, chunk dedup
+# ---------------------------------------------------------------------------
+
+
+def test_anisotropy_audit_detects_dominant_direction(spark):
+    import numpy as np
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators import (
+        registry_ext as rx,
+    )
+
+    rng = np.random.RandomState(3)
+    u = np.array([1.0, 1.0, 0.0, 0.0]) / math.sqrt(2)
+    strong = np.outer(rng.uniform(-2, 2, 30), u) + 0.01 * rng.standard_normal((30, 4))
+    iso = rng.standard_normal((30, 4))
+
+    def audit(x):
+        rows = [(i, [float(v) for v in x[i]]) for i in range(len(x))]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+            "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+        )
+        proj = similarity.pca_power_projection(df)
+        pq = proj.select(
+            F.round(F.col("pc1_q").cast("double") / F.lit(1e6), 0)
+            .cast("long")
+            .alias("pq")
+        )
+        top = pq.agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.col("pq") * F.col("pq")).alias("ss_pc1_q"),
+        )
+        tot = df.select(
+            F.posexplode(similarity.quantized()).alias("i", "qx")
+        ).agg(F.sum(F.col("qx") * F.col("qx")).alias("ss_total_q"))
+        row = top.crossJoin(F.broadcast(tot)).collect()[0]
+        return row["ss_pc1_q"] / row["ss_total_q"]
+
+    a_strong, a_iso = audit(strong), audit(iso)
+    assert a_strong > 0.95  # one direction carries ~all the mass
+    assert a_iso < 0.6  # isotropic data spreads over 4 dims
+    assert a_strong > a_iso
+
+
+def test_bpe_fertility_consistent_with_segmentation(spark):
+    from aws_kinesis_data_ingestion_restapi_spark.operators import (
+        registry_ext as rx,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    fert = {r["lang"]: r for r in rx.text_bpe_fertility(spark, sf).collect()}
+    seg = rx._bpe_seg_counts(spark, sf)
+    langs = rx._docs(spark, sf).select("doc_id", "lang")
+    brute = (
+        seg.join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_words").alias("w"), F.sum("n_bpe_tokens").alias("b")
+        )
+        .collect()
+    )
+    for r in brute:
+        f = fert[r["lang"]]
+        assert f["total_words"] == r["w"]
+        assert f["total_bpe_tokens"] == r["b"]
+        assert f["fertility"] == pytest.approx(r["b"] / r["w"])
+        # a word is at least one BPE token
+        assert f["fertility"] >= 1.0
+
+
+def test_quality_ensemble_normalization(spark):
+    from aws_kinesis_data_ingestion_restapi_spark.operators import (
+        registry_ext as rx,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = rx.text_quality_ensemble(spark, sf).collect()
+    assert out, "ensemble must cover the scoreable corpus"
+    for r in out:
+        for c in ("q_heur", "q_model", "q_lm"):
+            assert 0 <= r[c] <= 1_000_000
+        assert r["ensemble_q"] == r["q_heur"] + r["q_model"] + r["q_lm"]
+        assert r["ensemble"] == pytest.approx(r["ensemble_q"] / 3e6)
+    # min-max normalization attains both endpoints on every signal
+    for c in ("q_heur", "q_model", "q_lm"):
+        vals = [r[c] for r in out]
+        assert min(vals) == 0 and max(vals) == 1_000_000
+
+
+def test_chunk_dedup_keeps_first_copy(spark):
+    shared = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (3, shared),  # duplicated content, higher doc_id
+        (1, shared),  # lexicographically-first copy
+        (2, "totally different " + " ".join(f"u{i}" for i in range(30))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    ch = text.chunk_documents(df)
+    dup = (
+        ch.groupBy("chunk_text")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(F.struct("doc_id", "chunk_idx")).alias("first"),
+        )
+        .filter(F.col("n_copies") >= 2)
+        .select(
+            F.col("first.doc_id").alias("first_doc"),
+            F.col("first.chunk_idx").alias("first_chunk"),
+            "n_copies",
+        )
+        .collect()
+    )
+    assert dup, "identical docs must produce duplicated chunks"
+    for r in dup:
+        assert r["first_doc"] == 1  # canonical copy = lowest doc_id
+        assert r["n_copies"] == 2
