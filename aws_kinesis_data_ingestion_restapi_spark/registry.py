@@ -524,6 +524,7 @@ QUERY_FNS: dict[str, QueryFn] = {
 from aws_kinesis_data_ingestion_restapi_spark.streaming.registry_stream import (  # noqa: E402
     streaming_dedup_delta,
     streaming_dedup_replay,
+    streaming_drift_tvd,
     streaming_enriched_nation_totals,
     streaming_late_data_policy,
     streaming_payment_match,
@@ -545,6 +546,7 @@ QUERY_FNS["streaming_payment_match_full"] = streaming_payment_match_full
 QUERY_FNS["streaming_late_data_policy"] = streaming_late_data_policy
 QUERY_FNS["streaming_session_windows"] = streaming_session_windows
 QUERY_FNS["streaming_sliding_1h_15m"] = streaming_sliding_1h_15m
+QUERY_FNS["streaming_drift_tvd"] = streaming_drift_tvd
 QUERY_FNS["streaming_value_quantiles"] = streaming_value_quantiles
 
 # merge the dedup / similarity / text-analysis extension surface
@@ -1907,6 +1909,49 @@ ORACLE_SQL: dict[str, str] = {
         WHERE window_end <= (SELECT w FROM wm)
         ORDER BY window_start
     """,
+    # X127 streaming TVD drift: tumbling 6 h windows, the pinned
+    # end ≤ wm emission rule, then X70's decimal cross-product TVD per
+    # closed window against the full-corpus baseline (absent types
+    # contribute b_t/(2T) via the grid). Scalars ride CROSS JOINs,
+    # not per-row scalar subqueries (the PCA-oracle lesson).
+    "streaming_drift_tvd": """
+        WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+        base AS (
+            SELECT event_type, CAST(COUNT(*) AS DECIMAL(19,0)) AS b
+            FROM events GROUP BY 1
+        ),
+        bt AS (SELECT CAST(SUM(b) AS BIGINT) AS t FROM base),
+        win AS (
+            SELECT CAST(to_timestamp(FLOOR(epoch(ts) / 21600) * 21600)
+                        AS TIMESTAMP) AS window_start,
+                   CAST(to_timestamp(FLOOR(epoch(ts) / 21600) * 21600
+                        + 21600) AS TIMESTAMP) AS window_end,
+                   event_type, COUNT(*) AS n
+            FROM events GROUP BY 1, 2, 3
+        ),
+        keep AS (
+            SELECT * FROM win WHERE window_end <= (SELECT w FROM wm)
+        ),
+        tot AS (
+            SELECT window_start, window_end,
+                   CAST(SUM(n) AS BIGINT) AS nw
+            FROM keep GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT t.window_start, t.window_end, t.nw, bt.t,
+                   ABS(CAST(COALESCE(k.n, 0) AS DECIMAL(19,0)) * bt.t
+                       - b.b * t.nw) AS _diff
+            FROM tot t CROSS JOIN base b CROSS JOIN bt
+            LEFT JOIN keep k ON k.window_start = t.window_start
+                            AND k.event_type = b.event_type
+        )
+        SELECT window_start, window_end, nw AS n_events,
+               CAST(SUM(_diff) AS DOUBLE)
+                 / (2.0 * CAST(nw AS DOUBLE) * CAST(t AS DOUBLE)) AS tvd
+        FROM grid
+        GROUP BY window_start, window_end, nw, t
+        ORDER BY 1
+    """,
     # PIVOT == conditional aggregation per cell; fixed priority domain
     "sales_pivot_by_priority": """
         SELECT n_name AS nation,
@@ -2171,6 +2216,7 @@ _GATE_HEAD = [
     "emb_anisotropy_audit",  # last driver green: r0
     "emb_pca_power",  # last driver green: r0
     "retrieval_hybrid_rrf3",  # last driver green: r0
+    "streaming_drift_tvd",  # last driver green: r0
     "text_bpe_fertility",  # last driver green: r0
     "text_lm_score",  # last driver green: r0
     "text_quality_ensemble",  # last driver green: r0
@@ -2199,7 +2245,6 @@ _GATE_HEAD = [
     "ref_order_and_client_details",  # last driver green: r5
     "ref_total_income_per_payment_method",  # last driver green: r5
     "ref_total_sales_per_country",  # last driver green: r5
-    "sales_monthly_yoy",  # last driver green: r5
 ]
 _GATE_TAIL = [
     "brand_basket_affinity",  # last driver green: r8
@@ -2326,6 +2371,7 @@ _GATE_TAIL = [
     "streaming_late_data_policy",  # last driver green: r6
     "streaming_value_quantiles",  # last driver green: r6
     "text_repetition",  # last driver green: r6
+    "sales_monthly_yoy",  # last driver green: r5
     "sales_per_nation",  # last driver green: r5
     "sales_rollup",  # last driver green: r5
     "text_collocations",  # last driver green: r5

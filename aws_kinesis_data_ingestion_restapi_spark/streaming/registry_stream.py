@@ -724,3 +724,107 @@ def streaming_payment_match_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append",
         "sfjoin",
     )
+
+
+def streaming_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X127: STREAMING form of X70's TVD drift gate — the deployment
+    shape of distribution monitoring: a continuously-trained pipeline
+    does not diff two static periods after the fact, it watches the
+    LIVE stream and scores every CLOSED window against the trusted
+    reference distribution before admitting that window's data.
+
+    Stream side (the stateful part): per-(6 h tumbling window,
+    event_type) counts under a 1-hour watermark in append mode — the
+    watermark BOUNDS the open-window state and fixes the emission set
+    (windows whose end ≤ final watermark, the pinned rule
+    streaming_late_data_policy documents). The drift arithmetic runs
+    on the DRAINED panel (closed windows × ≤5 types — metadata-scale)
+    against the STATIC corpus baseline using X70's log-free decimal
+    cross-product TVD: per type |n_w·T − b_t·N_w| in DECIMAL(19,0),
+    ONE final division per window; types ABSENT from a window
+    contribute b_t/(2T) via the baseline grid (a panel crossJoin of
+    broadcast metadata frames, never corpus-sized).
+
+    SQL-expressible end to end: the oracle replays the tumbling
+    window explode, the wm emission filter, and the identical TVD
+    arithmetic."""
+    events = analytics._t(spark, sf_dir, "events")
+    base_cols = events.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "event_type",
+    )
+    raw, d = _replayed_stream(
+        spark,
+        base_cols,
+        "event_id long, ts string, event_type string",
+        1,
+        "stream_drift_",
+    )
+    stream = raw.withColumn("ts", F.to_timestamp("ts")).withWatermark(
+        "ts", "1 hour"
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )
+    panel = _drain(agg, "append", "sdrift", cleanup_dir=d)
+    baseline = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("b")
+    )
+    btot = baseline.agg(F.sum("b").cast("long").alias("t"))
+    tot = panel.groupBy("window_start", "window_end").agg(
+        F.sum("n").cast("long").alias("nw")
+    )
+    # self-join of the drained panel (tot derives from it): rename the
+    # probe side's keys so the analyzer never sees conflicting refs
+    probe = panel.select(
+        F.col("window_start").alias("_ws"),
+        F.col("event_type").alias("_et"),
+        "n",
+    )
+    grid = (
+        tot.crossJoin(F.broadcast(baseline))
+        .join(
+            probe,
+            (F.col("window_start") == F.col("_ws"))
+            & (F.col("event_type") == F.col("_et")),
+            "left",
+        )
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "window_start",
+            "window_end",
+            "nw",
+            "t",
+            F.abs(
+                F.coalesce(F.col("n"), F.lit(0)).cast("decimal(19,0)")
+                * F.col("t")
+                - F.col("b").cast("decimal(19,0)") * F.col("nw")
+            ).alias("_diff"),
+        )
+    )
+    return (
+        grid.groupBy("window_start", "window_end", "nw", "t")
+        .agg(F.sum("_diff").alias("_sd"))
+        .select(
+            "window_start",
+            "window_end",
+            F.col("nw").alias("n_events"),
+            (
+                F.col("_sd").cast("double")
+                / (
+                    F.lit(2.0)
+                    * F.col("nw").cast("double")
+                    * F.col("t").cast("double")
+                )
+            ).alias("tvd"),
+        )
+        .orderBy("window_start")
+    )

@@ -248,6 +248,7 @@ ANALYTICS_QUERIES = [
     "streaming_late_data_policy",
     "streaming_session_windows",
     "streaming_sliding_1h_15m",
+    "streaming_drift_tvd",
     "streaming_value_quantiles",
 ]
 
@@ -356,6 +357,7 @@ BENCH_KEY_ALIASES = {
     "cdc_scd2_history": "scd2",
     "streaming_session_windows": "sts",
     "streaming_sliding_1h_15m": "stsl",
+    "streaming_drift_tvd": "sdft",
     "customer_retention": "ret",
     "payment_type_share": "psh",
     "events_cohort_retention": "coh",

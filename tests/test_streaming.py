@@ -522,3 +522,63 @@ def test_streaming_dedup_delta_matches_batch_corpus_verdicts(spark):
         else:
             assert mid is None and est is None
     assert n_dup > 0, "fixture must exercise the corpus-dup path"
+
+
+def test_streaming_drift_tvd_matches_batch_and_withholds_tail(spark):
+    """X127: the drained per-window TVDs must equal a batch
+    recomputation over the same tumbling windows + baseline, and the
+    append-mode emission must withhold every window the final
+    watermark (max ts - 1 h) has not closed."""
+    from aws_kinesis_data_ingestion_restapi_spark import analytics
+    from aws_kinesis_data_ingestion_restapi_spark.streaming.registry_stream import (
+        streaming_drift_tvd,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = streaming_drift_tvd(spark, sf).collect()
+    assert out, "drain must emit closed windows"
+
+    events = analytics._t(spark, sf, "events").select("ts", "event_type")
+    rows = events.collect()
+    import collections
+    import datetime
+
+    base = collections.Counter(r["event_type"] for r in rows)
+    total = sum(base.values())
+    max_ts = max(r["ts"] for r in rows)
+    wm = max_ts - datetime.timedelta(hours=1)
+
+    win = collections.defaultdict(collections.Counter)
+    for r in rows:
+        s = int(r["ts"].timestamp() // 21600) * 21600
+        win[s][r["event_type"]] += 1
+
+    expected = {}
+    for s, cnt in win.items():
+        end = datetime.datetime.utcfromtimestamp(s + 21600)
+        if end > wm.replace(tzinfo=None) if wm.tzinfo else end > wm:
+            continue
+        nw = sum(cnt.values())
+        diff = sum(
+            abs(cnt.get(t, 0) * total - b * nw) for t, b in base.items()
+        )
+        expected[datetime.datetime.utcfromtimestamp(s)] = (
+            nw,
+            diff / (2.0 * nw * total),
+        )
+
+    got = {
+        r["window_start"].replace(tzinfo=None): (r["n_events"], r["tvd"])
+        for r in out
+    }
+    assert set(got) == set(expected)
+    for k, (nw, tvd) in expected.items():
+        assert got[k][0] == nw
+        assert got[k][1] == pytest.approx(tvd, rel=1e-12)
+        assert 0.0 <= got[k][1] <= 1.0
+    # the unfinished tail is withheld
+    assert all(
+        r["window_end"].replace(tzinfo=None)
+        <= (wm.replace(tzinfo=None) if wm.tzinfo else wm)
+        for r in out
+    )
