@@ -1291,6 +1291,139 @@ def _recall_audit_over(
     ).orderBy("method")
 
 
+def ann_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X128: LABEL-relevance audit of the whole ANN stack — the
+    downstream-task metric X88/X97 deliberately don't measure: X88
+    scores each method against the EXACT top-k (index fidelity);
+    this scores each method — including exact brute as the ceiling —
+    against what retrieval is FOR: whether the returned neighbors
+    share the query's class label (precision@5) and how early the
+    first same-class hit appears (MRR). An index can be 100%
+    faithful to an exact search that is itself useless for the task;
+    the two audits together separate index loss from embedding loss.
+
+    Exactness: the top-5 panels are the methods' own deterministic
+    registered forms (the oracle replays each method's registered SQL
+    verbatim as CTEs); relevance is an integer label equality; MRR
+    contributions are quantized ONCE per query (round(10⁶/first_rel_
+    rank), 0 when no hit in the top-5) and summed in int64; the two
+    reported ratios are one division each. Queries absent from a
+    method's output (an empty LSH bucket) contribute 0 through the
+    fixed n_queries denominator.
+
+    Scale shape: identical to X88 — fixed query panel, so only
+    panel-sized neighbor lists move regardless of corpus size; labels
+    join in as a broadcast.
+
+    On the driver's near-uniform embeddings the labels are geometry-
+    independent, so every method — brute included — sits at the
+    1/n_labels random floor: measured embedding loss, zero index
+    loss. :func:`ann_label_audit_clustered` runs the identical audit
+    where the label IS the geometric cluster, separating the methods
+    in their intended regime."""
+    return _label_audit_over(
+        _embs(spark, sf_dir),
+        _ivfpqt_quantizers(spark, sf_dir, clustered=False),
+    )
+
+
+def ann_label_audit_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X128 on NON-DEGENERATE task geometry: the clustered fixture
+    (X97's deterministic ±0.125 offsets) with label = the generating
+    cluster id (vec_id mod 8) — ground truth the embedding geometry
+    actually encodes, so precision@5/MRR now measure how much task
+    relevance each INDEX preserves below the brute ceiling."""
+    embs = similarity.clustered_embeddings(_embs(spark, sf_dir)).withColumn(
+        "label", (F.col("vec_id") % 8).cast("int")
+    )
+    return _label_audit_over(
+        embs, _ivfpqt_quantizers(spark, sf_dir, clustered=True)
+    )
+
+
+def _label_audit_over(embs: DataFrame, ivfpqt: tuple) -> DataFrame:
+    """Shared X128 body (the `_recall_audit_over` pattern)."""
+    labels = embs.select("vec_id", "label")
+    nq, k = 10, 5
+
+    def ivfpq_t(e: DataFrame, n_queries: int, k: int) -> DataFrame:
+        return similarity.topk_ivfpq_trained(
+            e,
+            n_queries=n_queries,
+            k=k,
+            refine=IVFPQT_REFINE,
+            coarse_cents=ivfpqt[0],
+            books=ivfpqt[1],
+        )
+
+    methods = {
+        "brute": similarity.topk_brute,
+        "ivf": similarity.topk_ivf,
+        "ivfpq": similarity.topk_ivfpq,
+        "ivfpq_t": ivfpq_t,
+        "lsh": similarity.topk_lsh,
+        "lsh_multi": similarity.topk_lsh_multi,
+        "pq": similarity.topk_pq,
+    }
+    out = None
+    for name, fn in sorted(methods.items()):
+        top = fn(embs, n_queries=nq, k=k).select(
+            "query_id", "neighbor_id", "rank"
+        )
+        rel = (
+            top.join(
+                F.broadcast(
+                    labels.select(
+                        F.col("vec_id").alias("query_id"),
+                        F.col("label").alias("ql"),
+                    )
+                ),
+                "query_id",
+            )
+            .join(
+                F.broadcast(
+                    labels.select(
+                        F.col("vec_id").alias("neighbor_id"),
+                        F.col("label").alias("nl"),
+                    )
+                ),
+                "neighbor_id",
+            )
+            .select(
+                "query_id", "rank", (F.col("ql") == F.col("nl")).alias("rel")
+            )
+        )
+        fr = rel.filter("rel").groupBy("query_id").agg(
+            F.min("rank").alias("fr")
+        )
+        rr = (
+            rel.select("query_id")
+            .distinct()
+            .join(fr, "query_id", "left")
+            .select(
+                F.coalesce(
+                    F.round(F.lit(1e6) / F.col("fr"), 0).cast("long"),
+                    F.lit(0).cast("long"),
+                ).alias("rrq")
+            )
+        )
+        nrel = rel.agg(F.sum(F.col("rel").cast("long")).alias("n_rel"))
+        mrr = rr.agg(F.sum("rrq").alias("mrr_q"))
+        row = nrel.crossJoin(mrr).select(
+            F.lit(name).alias("method"), "n_rel", "mrr_q"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "method",
+        "n_rel",
+        "mrr_q",
+        (F.col("n_rel").cast("double") / F.lit(float(nq * k))).alias(
+            "precision_at_k"
+        ),
+        (F.col("mrr_q").cast("double") / F.lit(1e6 * nq)).alias("mrr"),
+    ).orderBy("method")
+
+
 def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs near-dup — the O(n²) ORACLE BASELINE for the
     LSH family, kept registered so the driver gate can verify the
@@ -1968,6 +2101,8 @@ EXT_QUERY_FNS = {
     "docs_chunk_overlap": docs_chunk_overlap,
     "dedup_decontaminate": dedup_decontaminate,
     "emb_pca_power": emb_pca_power,
+    "ann_label_audit": ann_label_audit,
+    "ann_label_audit_clustered": ann_label_audit_clustered,
     "emb_anisotropy_audit": emb_anisotropy_audit,
     "text_bpe_fertility": text_bpe_fertility,
     "text_quality_ensemble": text_quality_ensemble,
@@ -5155,3 +5290,78 @@ EXT_ORACLE_SQL["dedup_chunks_exact"] = f"""
     WHERE rn = 1 AND n_copies >= 2
     ORDER BY 1, 2
 """
+
+
+def _label_audit_sql() -> str:
+    """X128 oracle, generated: each method's registered top-5 SQL
+    replayed as a MATERIALIZED CTE, label relevance and the quantized
+    MRR contributions computed per method, 1-row aggregates joined
+    via CROSS JOIN (never per-row scalar subqueries — the PCA-oracle
+    lesson)."""
+    methods = {
+        "brute": EXT_ORACLE_SQL["ann_topk_brute"],
+        "ivf": EXT_ORACLE_SQL["ann_topk_ivf"],
+        "ivfpq": EXT_ORACLE_SQL["ann_topk_ivfpq"],
+        "ivfpq_t": EXT_ORACLE_SQL["ann_topk_ivfpq_trained"],
+        "lsh": EXT_ORACLE_SQL["ann_topk_lsh"],
+        "lsh_multi": EXT_ORACLE_SQL["ann_topk_lsh_multi"],
+        "pq": EXT_ORACLE_SQL["ann_topk_pq"],
+    }
+    ctes, unions = [], []
+    for name, sql in sorted(methods.items()):
+        s = name.replace("_", "")
+        ctes.append(f"m_{s} AS MATERIALIZED ({sql})")
+        ctes.append(f"""rel_{s} AS (
+        SELECT m.query_id, m.rank, (ql.label = nl.label) AS rel
+        FROM m_{s} m
+        JOIN embeddings ql ON ql.vec_id = m.query_id
+        JOIN embeddings nl ON nl.vec_id = m.neighbor_id
+    )""")
+        ctes.append(
+            f"fr_{s} AS (SELECT query_id, MIN(rank) AS fr "
+            f"FROM rel_{s} WHERE rel GROUP BY 1)"
+        )
+        ctes.append(f"""rr_{s} AS (
+        SELECT COALESCE(CAST(ROUND(1000000.0 / fr, 0) AS BIGINT), 0) AS rrq
+        FROM (SELECT DISTINCT query_id FROM m_{s}) q
+        LEFT JOIN fr_{s} USING (query_id)
+    )""")
+        ctes.append(
+            f"a_{s} AS (SELECT CAST(SUM(CASE WHEN rel THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS n_rel FROM rel_{s})"
+        )
+        ctes.append(
+            f"b_{s} AS (SELECT CAST(SUM(rrq) AS BIGINT) AS mrr_q "
+            f"FROM rr_{s})"
+        )
+        unions.append(
+            f"SELECT '{name}' AS method, n_rel, mrr_q "
+            f"FROM a_{s} CROSS JOIN b_{s}"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + "\n    SELECT method, n_rel, mrr_q,\n"
+        + "           CAST(n_rel AS DOUBLE) / 50.0 AS precision_at_k,\n"
+        + "           CAST(mrr_q AS DOUBLE) / 10000000.0 AS mrr\n"
+        + "    FROM (\n        "
+        + "\n        UNION ALL ".join(unions)
+        + "\n    )\n    ORDER BY method"
+    )
+
+
+EXT_ORACLE_SQL["ann_label_audit"] = _label_audit_sql()
+
+
+# X128 clustered variant: the embeddings CTE shadows the view with the
+# clustered fixture AND replaces the label with the generating cluster
+# id, exactly as the Spark side does
+_lbl_audit_sql = EXT_ORACLE_SQL["ann_label_audit"].lstrip()
+assert _lbl_audit_sql.upper().startswith("WITH")
+EXT_ORACLE_SQL["ann_label_audit_clustered"] = (
+    "WITH embeddings AS (SELECT vec_id, embedding,"
+    " CAST(vec_id % 8 AS INTEGER) AS label FROM ("
+    + _CLUSTERED_EMB
+    + ")),\n    "
+    + _lbl_audit_sql[len("WITH"):]
+)

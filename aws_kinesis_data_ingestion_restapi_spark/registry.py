@@ -2210,6 +2210,8 @@ _GATE_HEAD = [
     "text_bpe_segment",  # last driver green: r8
     "text_pack_sequences",  # last driver green: r5
     "corpus_mixture_plan",  # last driver green: r8
+    "ann_label_audit",  # last driver green: r0
+    "ann_label_audit_clustered",  # last driver green: r0
     "dedup_chunks_exact",  # last driver green: r0
     "dedup_decontaminate",  # last driver green: r0
     "docs_chunk_overlap",  # last driver green: r0
@@ -2243,8 +2245,6 @@ _GATE_HEAD = [
     "ref_average_order_value",  # last driver green: r5
     "ref_most_sales_products",  # last driver green: r5
     "ref_order_and_client_details",  # last driver green: r5
-    "ref_total_income_per_payment_method",  # last driver green: r5
-    "ref_total_sales_per_country",  # last driver green: r5
 ]
 _GATE_TAIL = [
     "brand_basket_affinity",  # last driver green: r8
@@ -2371,6 +2371,8 @@ _GATE_TAIL = [
     "streaming_late_data_policy",  # last driver green: r6
     "streaming_value_quantiles",  # last driver green: r6
     "text_repetition",  # last driver green: r6
+    "ref_total_income_per_payment_method",  # last driver green: r5
+    "ref_total_sales_per_country",  # last driver green: r5
     "sales_monthly_yoy",  # last driver green: r5
     "sales_per_nation",  # last driver green: r5
     "sales_rollup",  # last driver green: r5

@@ -216,6 +216,8 @@ ANALYTICS_QUERIES = [
     "emb_kmeans_step",
     "emb_pca_power",
     "emb_anisotropy_audit",
+    "ann_label_audit",
+    "ann_label_audit_clustered",
     "emb_pq_codes",
     "ann_topk_pq",
     "ann_topk_ivfpq",
@@ -387,6 +389,8 @@ BENCH_KEY_ALIASES = {
     "dedup_decontaminate": "dcn",
     "emb_pca_power": "pca",
     "emb_anisotropy_audit": "ani",
+    "ann_label_audit": "lba",
+    "ann_label_audit_clustered": "lbc",
     "text_bpe_fertility": "fert",
     "text_quality_ensemble": "qens",
     "dedup_chunks_exact": "chd",

@@ -3051,3 +3051,34 @@ def test_chunk_dedup_keeps_first_copy(spark):
     for r in dup:
         assert r["first_doc"] == 1  # canonical copy = lowest doc_id
         assert r["n_copies"] == 2
+
+
+def test_label_audit_separates_embedding_loss_from_index_loss(spark):
+    from aws_kinesis_data_ingestion_restapi_spark.operators import (
+        registry_ext as rx,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    raw = {r["method"]: r for r in rx.ann_label_audit(spark, sf).collect()}
+    clu = {
+        r["method"]: r
+        for r in rx.ann_label_audit_clustered(spark, sf).collect()
+    }
+    assert set(raw) == set(clu) and len(raw) == 7
+    for rows in (raw, clu):
+        for r in rows.values():
+            assert 0.0 <= r["precision_at_k"] <= 1.0
+            assert 0.0 <= r["mrr"] <= 1.0
+            # a same-label hit in the top-5 implies MRR >= 1/5 ... and
+            # precision>0 iff some hit exists iff mrr>0
+            assert (r["precision_at_k"] > 0) == (r["mrr"] > 0)
+    # embedding loss vs index loss: on the raw fixture labels are
+    # geometry-independent (brute itself is near the random floor);
+    # on the clustered fixture label IS the geometry and brute is
+    # near-perfect
+    assert raw["brute"]["precision_at_k"] < 0.5
+    assert clu["brute"]["precision_at_k"] >= 0.8
+    # multi-table LSH dominates single-table on clustered geometry
+    assert (
+        clu["lsh_multi"]["precision_at_k"] >= clu["lsh"]["precision_at_k"]
+    )
