@@ -2671,3 +2671,71 @@ def events_attribution(
         )
         .orderBy("touch_type")
     )
+
+
+EWMA_WINDOW_DAYS = 20  # trailing window; weights 2^19 .. 2^0
+
+
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X130: exponentially-weighted moving average of the daily value
+    total — the trend line monitoring dashboards actually draw (EWMA
+    reacts to level shifts faster than a flat rolling mean and damps
+    single-day spikes; it is also the smoother behind anomaly bands).
+
+    Exact-by-construction smoothing, no libm: half-life decay α = ½
+    makes every weight a POWER OF TWO — over the trailing 20-day
+    window, day age k ∈ [0, 19] weighs 2^(19−k), so the weighted sum
+    is exact int64 arithmetic on the once-quantized daily totals
+    (round(100·daily_sum) on the decimal-exact per-day aggregate) and
+    ewma = num / (100·den) is ONE double division. Gap-aware: absent
+    days contribute nothing and the denominator only sums PRESENT
+    days' weights — a quiet calendar does not drag the average.
+
+    Scale shape: events collapse to ONE row per day first (map-side
+    partial aggregate — the only corpus-sized work); the trailing
+    window is then a banded self-join on the DAY table, metadata-
+    scale by nature (the time axis grows with days, not data
+    volume)."""
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        as_timestamp(events, "ts").cast("date").alias("day")
+    ).agg(
+        F.round(
+            F.lit(100)
+            * F.sum(F.col("value").cast("decimal(18,6)")).cast("double"),
+            0,
+        )
+        .cast("long")
+        .alias("vq")
+    )
+    a = daily.select(F.col("day").alias("d"))
+    b = daily.select(F.col("day").alias("d2"), "vq")
+    w = (
+        a.join(
+            b,
+            (F.col("d2") >= F.date_sub(F.col("d"), EWMA_WINDOW_DAYS - 1))
+            & (F.col("d2") <= F.col("d")),
+        )
+        .select(
+            "d",
+            "vq",
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"{EWMA_WINDOW_DAYS - 1} - datediff(d, d2))"
+            ).alias("wt"),
+        )
+        .groupBy(F.col("d").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(F.col("vq") * F.col("wt")).alias("num"),
+            F.sum("wt").alias("den"),
+        )
+    )
+    return w.select(
+        "day",
+        "n_days",
+        (
+            F.col("num").cast("double")
+            / (F.lit(100.0) * F.col("den").cast("double"))
+        ).alias("ewma"),
+    ).orderBy("day")

@@ -1996,7 +1996,23 @@ def text_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast frames (IEEE min/max are order-independent), so the
     plan is three signal scans + map-side normalization — no
     corpus-wide rank window, which would not scale. Universe = docs
-    scoreable by all three legs (≥2 tokens for the LM)."""
+    scoreable by all three legs (≥2 tokens for the LM). Rides the
+    :func:`_ensemble_scores` session cache (shared with the X129
+    curriculum plan)."""
+    return _ensemble_scores(spark, sf_dir)
+
+
+def _ensemble_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X125 ensemble frame, computed (and localCheckpoint-
+    materialized) at most once per (session, sf_dir)."""
+    return _session_cached(
+        spark,
+        ("ensemble", sf_dir),
+        lambda: materialize(_ensemble_build(spark, sf_dir)),
+    )
+
+
+def _ensemble_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     legs = [
         (
@@ -2045,6 +2061,84 @@ def text_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         total.alias("ensemble_q"),
         (total.cast("double") / F.lit(3e6)).alias("ensemble"),
     ).orderBy("doc_id")
+
+
+CURRICULUM_BUDGET = 50_000  # per-phase token budget
+
+
+def corpus_curriculum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X129: quality-curriculum mixture plan — the phase schedule of
+    curriculum training (start on the highest-quality slice, widen
+    the admitted pool each phase): docs are tiered by the X125
+    ensemble score with FIXED integer thresholds (ensemble_q ≥ 2·10⁶
+    → high, ≥ 10⁶ → mid, else low — exact int comparisons, no
+    corpus-wide rank window), and each phase p ∈ {1, 2, 3} allocates a
+    50k-token budget across its ADMITTED tiers (tier rank ≤ p)
+    proportionally to inventory with X81's integer arithmetic
+    (avail·B DIV admitted_total, capped at avail, fill ratio = one
+    division). Token inventory = the shared whitespace tokenizer.
+
+    Scale shape: after the per-tier aggregate everything is a ≤9-row
+    metadata grid; the only corpus-sized work is the ensemble (rides
+    the :func:`_ensemble_scores` session cache) + one token-count
+    scan."""
+    ens = _ensemble_scores(spark, sf_dir).select("doc_id", "ensemble_q")
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.size(text.tokens_col()).alias("n_tokens")
+    )
+    tiers = (
+        ens.join(toks, "doc_id")
+        .select(
+            "n_tokens",
+            F.when(F.col("ensemble_q") >= 2_000_000, F.lit("high"))
+            .when(F.col("ensemble_q") >= 1_000_000, F.lit("mid"))
+            .otherwise(F.lit("low"))
+            .alias("tier"),
+            F.when(F.col("ensemble_q") >= 2_000_000, F.lit(1))
+            .when(F.col("ensemble_q") >= 1_000_000, F.lit(2))
+            .otherwise(F.lit(3))
+            .alias("tier_rank"),
+        )
+        .groupBy("tier", "tier_rank")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("avail_tokens"),
+        )
+    )
+    phases = spark.range(1, 4).select(
+        F.col("id").cast("int").alias("phase")
+    )
+    grid = tiers.crossJoin(F.broadcast(phases)).filter(
+        F.col("tier_rank") <= F.col("phase")
+    )
+    ptot = grid.groupBy("phase").agg(
+        F.sum("avail_tokens").alias("phase_total")
+    )
+    b = CURRICULUM_BUDGET
+    return (
+        grid.join(ptot, "phase")
+        .select(
+            "phase",
+            "tier",
+            "n_docs",
+            "avail_tokens",
+            F.expr(f"avail_tokens * {b} DIV phase_total").alias(
+                "target_tokens"
+            ),
+            F.expr(
+                f"least(avail_tokens, avail_tokens * {b} DIV phase_total)"
+            ).alias("alloc_tokens"),
+            F.expr(
+                f"CASE WHEN avail_tokens * {b} DIV phase_total = 0"
+                f" THEN 1.0 ELSE"
+                f" CAST(least(avail_tokens,"
+                f" avail_tokens * {b} DIV phase_total) AS DOUBLE)"
+                f" / CAST(avail_tokens * {b} DIV phase_total AS DOUBLE)"
+                f" END"
+            ).alias("fill_ratio"),
+        )
+        .orderBy("phase", "tier")
+    )
 
 
 def dedup_chunks_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2107,6 +2201,7 @@ EXT_QUERY_FNS = {
     "text_bpe_fertility": text_bpe_fertility,
     "text_quality_ensemble": text_quality_ensemble,
     "dedup_chunks_exact": dedup_chunks_exact,
+    "corpus_curriculum_plan": corpus_curriculum_plan,
     "text_collocations": text_collocations,
     "text_build_postings": text_build_postings,
     "graph_triangles_cosupply": graph_triangles_cosupply,
@@ -5365,3 +5460,52 @@ EXT_ORACLE_SQL["ann_label_audit_clustered"] = (
     + ")),\n    "
     + _lbl_audit_sql[len("WITH"):]
 )
+
+
+# X129: the X125 ensemble oracle feeding fixed-threshold tiers, the
+# 3-phase admitted grid, and X81's integer allocation arithmetic
+EXT_ORACLE_SQL["corpus_curriculum_plan"] = f"""
+    WITH ens AS MATERIALIZED ({EXT_ORACLE_SQL["text_quality_ensemble"]}),
+    tok AS (SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents),
+    tiers AS (
+        SELECT tier, tier_rank, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS avail_tokens
+        FROM (
+            SELECT CASE WHEN ensemble_q >= 2000000 THEN 'high'
+                        WHEN ensemble_q >= 1000000 THEN 'mid'
+                        ELSE 'low' END AS tier,
+                   CASE WHEN ensemble_q >= 2000000 THEN 1
+                        WHEN ensemble_q >= 1000000 THEN 2
+                        ELSE 3 END AS tier_rank,
+                   n_tokens
+            FROM ens JOIN tok USING (doc_id)
+        )
+        GROUP BY 1, 2
+    ),
+    phases AS (SELECT CAST(unnest([1, 2, 3]) AS INTEGER) AS phase),
+    grid AS (
+        SELECT phase, tier, n_docs, avail_tokens
+        FROM tiers CROSS JOIN phases
+        WHERE tier_rank <= phase
+    ),
+    ptot AS (
+        SELECT phase, CAST(SUM(avail_tokens) AS BIGINT) AS phase_total
+        FROM grid GROUP BY 1
+    )
+    SELECT g.phase, g.tier, g.n_docs, g.avail_tokens,
+           g.avail_tokens * {CURRICULUM_BUDGET} // p.phase_total
+               AS target_tokens,
+           LEAST(g.avail_tokens,
+                 g.avail_tokens * {CURRICULUM_BUDGET} // p.phase_total)
+               AS alloc_tokens,
+           CASE WHEN g.avail_tokens * {CURRICULUM_BUDGET}
+                     // p.phase_total = 0 THEN 1.0
+                ELSE CAST(LEAST(g.avail_tokens,
+                          g.avail_tokens * {CURRICULUM_BUDGET}
+                          // p.phase_total) AS DOUBLE)
+                     / CAST(g.avail_tokens * {CURRICULUM_BUDGET}
+                            // p.phase_total AS DOUBLE)
+           END AS fill_ratio
+    FROM grid g JOIN ptot p USING (phase)
+    ORDER BY g.phase, g.tier
+"""

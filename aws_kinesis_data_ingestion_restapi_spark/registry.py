@@ -505,6 +505,8 @@ QUERY_FNS: dict[str, QueryFn] = {
     "customer_rfm_segments": analytics.customer_rfm_segments,
     # distribution drift (log-free TVD, decimal cross-products)
     "events_drift_tvd": analytics.events_drift_tvd,
+    # X130 exact EWMA trend: power-of-two half-life weights, int64 sums
+    "events_ewma_daily": analytics.events_ewma_daily,
     # Pareto / ABC classification (integer fixed-point boundaries)
     "parts_abc_analysis": analytics.parts_abc_analysis,
     # market-basket lift (order-key-bounded co-occurrence self-join)
@@ -1523,6 +1525,25 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY lift DESC, brand_a, brand_b
         LIMIT 20
     """,
+    # X130: one daily decimal-exact aggregate quantized once, then the
+    # trailing banded self-join on the day table with 2^(19-k) weights
+    "events_ewma_daily": """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(ROUND(100 * CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                        AS DOUBLE), 0) AS BIGINT) AS vq
+            FROM events GROUP BY 1
+        )
+        SELECT a.day, COUNT(*) AS n_days,
+               CAST(SUM(b.vq * CAST(pow(2, 19 - (a.day - b.day))
+                    AS BIGINT)) AS DOUBLE)
+                 / (100.0 * CAST(SUM(CAST(pow(2, 19 - (a.day - b.day))
+                    AS BIGINT)) AS DOUBLE)) AS ewma
+        FROM daily a
+        JOIN daily b ON b.day BETWEEN a.day - 19 AND a.day
+        GROUP BY 1
+        ORDER BY 1
+    """,
     "events_drift_tvd": """
         WITH pt AS (
             SELECT event_type,
@@ -2212,11 +2233,13 @@ _GATE_HEAD = [
     "corpus_mixture_plan",  # last driver green: r8
     "ann_label_audit",  # last driver green: r0
     "ann_label_audit_clustered",  # last driver green: r0
+    "corpus_curriculum_plan",  # last driver green: r0
     "dedup_chunks_exact",  # last driver green: r0
     "dedup_decontaminate",  # last driver green: r0
     "docs_chunk_overlap",  # last driver green: r0
     "emb_anisotropy_audit",  # last driver green: r0
     "emb_pca_power",  # last driver green: r0
+    "events_ewma_daily",  # last driver green: r0
     "retrieval_hybrid_rrf3",  # last driver green: r0
     "streaming_drift_tvd",  # last driver green: r0
     "text_bpe_fertility",  # last driver green: r0
@@ -2243,8 +2266,6 @@ _GATE_HEAD = [
     "q8_market_share",  # last driver green: r5
     "q9_red_parts_profit",  # last driver green: r5
     "ref_average_order_value",  # last driver green: r5
-    "ref_most_sales_products",  # last driver green: r5
-    "ref_order_and_client_details",  # last driver green: r5
 ]
 _GATE_TAIL = [
     "brand_basket_affinity",  # last driver green: r8
@@ -2371,6 +2392,8 @@ _GATE_TAIL = [
     "streaming_late_data_policy",  # last driver green: r6
     "streaming_value_quantiles",  # last driver green: r6
     "text_repetition",  # last driver green: r6
+    "ref_most_sales_products",  # last driver green: r5
+    "ref_order_and_client_details",  # last driver green: r5
     "ref_total_income_per_payment_method",  # last driver green: r5
     "ref_total_sales_per_country",  # last driver green: r5
     "sales_monthly_yoy",  # last driver green: r5

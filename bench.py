@@ -123,6 +123,7 @@ ANALYTICS_QUERIES = [
     "events_cohort_retention",
     "events_active_users",
     "events_drift_tvd",
+    "events_ewma_daily",
     "events_value_hour_corr",
     "events_daily_trend",
     "events_attribution",
@@ -170,6 +171,7 @@ ANALYTICS_QUERIES = [
     "text_dsir_importance",
     "text_lm_score",
     "text_quality_ensemble",
+    "corpus_curriculum_plan",
     "text_tfidf_search",
     "retrieval_hybrid_rrf3",
     "docs_chunk_overlap",
@@ -393,6 +395,8 @@ BENCH_KEY_ALIASES = {
     "ann_label_audit_clustered": "lbc",
     "text_bpe_fertility": "fert",
     "text_quality_ensemble": "qens",
+    "corpus_curriculum_plan": "curp",
+    "events_ewma_daily": "ewma",
     "dedup_chunks_exact": "chd",
     "customer_rfm_segments": "rf",
     "events_active_users": "dw",

@@ -3082,3 +3082,62 @@ def test_label_audit_separates_embedding_loss_from_index_loss(spark):
     assert (
         clu["lsh_multi"]["precision_at_k"] >= clu["lsh"]["precision_at_k"]
     )
+
+
+def test_curriculum_plan_invariants(spark):
+    from aws_kinesis_data_ingestion_restapi_spark.operators import (
+        registry_ext as rx,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = rx.corpus_curriculum_plan(spark, sf).collect()
+    assert rows
+    by_phase = {}
+    for r in rows:
+        by_phase.setdefault(r["phase"], []).append(r)
+        assert r["alloc_tokens"] <= r["avail_tokens"]
+        assert r["alloc_tokens"] <= r["target_tokens"] or r["target_tokens"] == 0
+        assert 0.0 < r["fill_ratio"] <= 1.0
+    assert set(by_phase) == {1, 2, 3}
+    # the admitted pool widens monotonically with the phase
+    tiers_per_phase = [
+        {r["tier"] for r in by_phase[p]} for p in (1, 2, 3)
+    ]
+    assert tiers_per_phase[0] <= tiers_per_phase[1] <= tiers_per_phase[2]
+    # integer proportional allocation never over-spends the budget
+    for p, rs in by_phase.items():
+        assert sum(r["target_tokens"] for r in rs) <= rx.CURRICULUM_BUDGET
+
+
+def test_ewma_daily_matches_brute_python(spark):
+    from aws_kinesis_data_ingestion_restapi_spark import analytics
+
+    sf = "/root/testdata/sf0.001"
+    out = {
+        r["day"]: r for r in analytics.events_ewma_daily(spark, sf).collect()
+    }
+    events = analytics._t(spark, sf, "events").select("ts", "value").collect()
+    import collections
+    import decimal
+
+    daily = collections.defaultdict(decimal.Decimal)
+    for r in events:
+        daily[r["ts"].date()] += decimal.Decimal(str(round(r["value"], 6)))
+    vq = {d: int(round(100 * float(v))) for d, v in daily.items()}
+    for d, row in out.items():
+        num = den = 0
+        n = 0
+        for d2, v in vq.items():
+            k = (d - d2).days
+            if 0 <= k <= 19:
+                w = 1 << (19 - k)
+                num += v * w
+                den += w
+                n += 1
+        assert row["n_days"] == n
+        assert row["ewma"] == pytest.approx(num / (100.0 * den), rel=1e-12)
+    # EWMA is a convex combination of daily totals: bounded by min/max
+    lo = min(float(v) / 1.0 for v in daily.values())
+    hi = max(float(v) for v in daily.values())
+    for row in out.values():
+        assert lo - 1e-6 <= row["ewma"] <= hi + 1e-6
