@@ -2063,6 +2063,46 @@ def _ensemble_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X131: the source-level near-dup contamination MATRIX — which
+    sources copy from which: every MinHash near-dup pair mapped to
+    its (source, source) cell, direction canonicalized by name so
+    mirror-imaged syndication lands in one cell. The report a crawl
+    pipeline reads to decide which feeds to drop or down-weight
+    (off-diagonal mass = cross-source syndication; diagonal mass =
+    within-source recrawl). Rides the :func:`_minhash_pairs` session
+    cache — the matrix costs two broadcast source joins over the
+    pair-sized frame, nothing corpus-sized."""
+    pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    joined = pairs.join(
+        F.broadcast(
+            src.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("source").alias("sa"),
+            )
+        ),
+        "doc_a",
+    ).join(
+        F.broadcast(
+            src.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("source").alias("sb"),
+            )
+        ),
+        "doc_b",
+    )
+    return (
+        joined.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
 CURRICULUM_BUDGET = 50_000  # per-phase token budget
 
 
@@ -2202,6 +2242,7 @@ EXT_QUERY_FNS = {
     "text_quality_ensemble": text_quality_ensemble,
     "dedup_chunks_exact": dedup_chunks_exact,
     "corpus_curriculum_plan": corpus_curriculum_plan,
+    "dedup_source_matrix": dedup_source_matrix,
     "text_collocations": text_collocations,
     "text_build_postings": text_build_postings,
     "graph_triangles_cosupply": graph_triangles_cosupply,
@@ -5508,4 +5549,21 @@ EXT_ORACLE_SQL["corpus_curriculum_plan"] = f"""
            END AS fill_ratio
     FROM grid g JOIN ptot p USING (phase)
     ORDER BY g.phase, g.tier
+"""
+
+
+# X131: the registered MinHash pair oracle mapped to canonicalized
+# (source, source) cells
+EXT_ORACLE_SQL["dedup_source_matrix"] = f"""
+    WITH pairs AS MATERIALIZED ({EXT_ORACLE_SQL["dedup_minhash_lsh"]}),
+    j AS (
+        SELECT LEAST(da.source, db.source) AS source_a,
+               GREATEST(da.source, db.source) AS source_b
+        FROM pairs p
+        JOIN documents da ON da.doc_id = p.doc_a
+        JOIN documents db ON db.doc_id = p.doc_b
+    )
+    SELECT source_a, source_b, COUNT(*) AS n_pairs
+    FROM j GROUP BY 1, 2
+    ORDER BY 1, 2
 """

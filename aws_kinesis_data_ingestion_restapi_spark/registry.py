@@ -2236,6 +2236,7 @@ _GATE_HEAD = [
     "corpus_curriculum_plan",  # last driver green: r0
     "dedup_chunks_exact",  # last driver green: r0
     "dedup_decontaminate",  # last driver green: r0
+    "dedup_source_matrix",  # last driver green: r0
     "docs_chunk_overlap",  # last driver green: r0
     "emb_anisotropy_audit",  # last driver green: r0
     "emb_pca_power",  # last driver green: r0
@@ -2265,7 +2266,6 @@ _GATE_HEAD = [
     "q6_forecast_revenue",  # last driver green: r5
     "q8_market_share",  # last driver green: r5
     "q9_red_parts_profit",  # last driver green: r5
-    "ref_average_order_value",  # last driver green: r5
 ]
 _GATE_TAIL = [
     "brand_basket_affinity",  # last driver green: r8
@@ -2392,6 +2392,7 @@ _GATE_TAIL = [
     "streaming_late_data_policy",  # last driver green: r6
     "streaming_value_quantiles",  # last driver green: r6
     "text_repetition",  # last driver green: r6
+    "ref_average_order_value",  # last driver green: r5
     "ref_most_sales_products",  # last driver green: r5
     "ref_order_and_client_details",  # last driver green: r5
     "ref_total_income_per_payment_method",  # last driver green: r5

@@ -195,6 +195,7 @@ ANALYTICS_QUERIES = [
     "dedup_contamination",
     "dedup_decontaminate",
     "dedup_chunks_exact",
+    "dedup_source_matrix",
     "dedup_ensemble",
     "dedup_semantic",
     "dedup_lsh_quality",
@@ -398,6 +399,7 @@ BENCH_KEY_ALIASES = {
     "corpus_curriculum_plan": "curp",
     "events_ewma_daily": "ewma",
     "dedup_chunks_exact": "chd",
+    "dedup_source_matrix": "smx",
     "customer_rfm_segments": "rf",
     "events_active_users": "dw",
     "q1_pricing_summary": "q1p",

@@ -3141,3 +3141,21 @@ def test_ewma_daily_matches_brute_python(spark):
     hi = max(float(v) for v in daily.values())
     for row in out.values():
         assert lo - 1e-6 <= row["ewma"] <= hi + 1e-6
+
+
+def test_source_matrix_partitions_pair_count(spark):
+    from aws_kinesis_data_ingestion_restapi_spark.operators import (
+        registry_ext as rx,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cells = rx.dedup_source_matrix(spark, sf).collect()
+    n_pairs = rx._minhash_pairs(spark, sf).count()
+    # the matrix partitions the pair set exactly
+    assert sum(r["n_pairs"] for r in cells) == n_pairs
+    for r in cells:
+        # canonicalized direction: one cell per unordered source pair
+        assert r["source_a"] <= r["source_b"]
+        assert r["n_pairs"] >= 1
+    keys = [(r["source_a"], r["source_b"]) for r in cells]
+    assert len(keys) == len(set(keys))
