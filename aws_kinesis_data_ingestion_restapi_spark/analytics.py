@@ -2739,3 +2739,106 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(100.0) * F.col("den").cast("double"))
         ).alias("ewma"),
     ).orderBy("day")
+
+
+def events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X133: anomaly flags on the daily value total — the monitoring
+    composition X130 + X55 exist for: each day's total is compared to
+    the LEAK-FREE trailing EWMA (the X130 power-of-two smoother over
+    days d−20…d−1, EXCLUDING the day being judged), and a day is
+    anomalous when its deviation exceeds 3× the MAD of all deviations
+    (the robust band X55 uses — a level shift or outage day flags,
+    a noisy-but-typical day doesn't).
+
+    Exactness: deviation = (vq·den − num) / (100·den) — exact int64
+    numerator (the common-denominator form; vq, num, den all int64),
+    ONE division per day, so deviations are engine-identical doubles;
+    MAD is an exact order statistic over them (lower median, ties on
+    day — deterministic in both engines); the 3× band compare is one
+    IEEE multiply. Days with no prior window (the first day) are
+    excluded — there is nothing leak-free to judge them against.
+
+    Scale: one map-side daily aggregate is the only corpus-sized
+    work; everything after runs on the day table (the X130 argument —
+    the time axis grows with days, not data volume), including the
+    single ~days-row median window, the RRF-panel class of bounded
+    global windows."""
+    from pyspark.sql.window import Window
+
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        as_timestamp(events, "ts").cast("date").alias("day")
+    ).agg(
+        F.round(
+            F.lit(100)
+            * F.sum(F.col("value").cast("decimal(18,6)")).cast("double"),
+            0,
+        )
+        .cast("long")
+        .alias("vq")
+    )
+    a = daily.select(F.col("day").alias("d"), F.col("vq").alias("v0"))
+    b = daily.select(F.col("day").alias("d2"), "vq")
+    ew = (
+        a.join(
+            b,
+            (F.col("d2") >= F.date_sub(F.col("d"), EWMA_WINDOW_DAYS))
+            & (F.col("d2") < F.col("d")),
+        )
+        .select(
+            "d",
+            "v0",
+            "vq",
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"{EWMA_WINDOW_DAYS - 1} - (datediff(d, d2) - 1))"
+            ).alias("wt"),
+        )
+        .groupBy(F.col("d").alias("day"))
+        .agg(
+            F.max("v0").alias("vq"),
+            F.sum(F.col("vq") * F.col("wt")).alias("num"),
+            F.sum("wt").alias("den"),
+        )
+        .select(
+            "day",
+            (F.col("vq").cast("double") / F.lit(100.0)).alias(
+                "daily_total"
+            ),
+            (
+                F.col("num").cast("double")
+                / (F.lit(100.0) * F.col("den").cast("double"))
+            ).alias("ewma_prev"),
+            (
+                (F.col("vq") * F.col("den") - F.col("num")).cast("double")
+                / (F.lit(100.0) * F.col("den").cast("double"))
+            ).alias("deviation"),
+        )
+    )
+    n = ew.agg(F.count(F.lit(1)).alias("n"))
+    # single-partition BY DESIGN over the ~days-sized frame (the
+    # packing idiom: pmod over a column keeps the ordered window
+    # global without constant-folding to an empty partition spec)
+    wmed = Window.partitionBy(F.pmod(F.dayofmonth("day"), F.lit(1))).orderBy(
+        F.abs(F.col("deviation")), F.col("day")
+    )
+    med = (
+        ew.withColumn("_r", F.row_number().over(wmed))
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("_r") == F.expr("(n + 1) DIV 2"))
+        .select(F.abs(F.col("deviation")).alias("mad"))
+    )
+    return (
+        ew.crossJoin(F.broadcast(med))
+        .select(
+            "day",
+            "daily_total",
+            "ewma_prev",
+            "deviation",
+            "mad",
+            (F.abs(F.col("deviation")) > F.lit(3.0) * F.col("mad")).alias(
+                "is_anomaly"
+            ),
+        )
+        .orderBy("day")
+    )

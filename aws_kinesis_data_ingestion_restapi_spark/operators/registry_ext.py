@@ -1860,6 +1860,13 @@ def retrieval_hybrid_rrf3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.rrf_fuse([lex, vsm, sem], top_n=10)
 
 
+def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X134: per-document top-3 tf-idf keywords — the tagging/
+    indexing primitive; per-doc panels via a doc-partitioned window,
+    never a global rank. See text.keywords_tfidf."""
+    return text.keywords_tfidf(_docs(spark, sf_dir), k=3)
+
+
 def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X121: fixed-window RAG chunking with overlap and (doc_id,
     chunk_idx) provenance — pure map-side window arithmetic, no
@@ -2063,6 +2070,38 @@ def _ensemble_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+CHUNK_UID_MOD = 1024  # chunk uid = doc_id·1024 + chunk_idx
+
+
+def docs_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X132: pack the RAG CHUNK store into fixed-budget training
+    shards — the step that turns X121's chunk stream into the
+    contiguous shards a context-window training run reads (same X13
+    two-level prefix-sum arithmetic, same 512-token budget, unit =
+    chunk instead of document). Chunk identity rides a composite uid
+    (doc_id·1024 + chunk_idx — exact while chunk_idx < 1024, which a
+    32-token window over these documents guarantees by orders of
+    magnitude; the multiplier is the first thing to raise for a
+    book-length corpus), so packing order is exactly (doc_id,
+    chunk_idx) and provenance decodes back out of the uid in the
+    final projection."""
+    ch = text.chunk_documents(_docs(spark, sf_dir)).select(
+        (F.col("doc_id") * CHUNK_UID_MOD + F.col("chunk_idx")).alias(
+            "doc_id"
+        ),
+        F.col("n_chunk_tokens").alias("n_tokens"),
+    )
+    packed = packing.pack_counts(ch)
+    return packed.select(
+        F.expr(f"doc_id DIV {CHUNK_UID_MOD}").alias("src_doc_id"),
+        (F.col("doc_id") % CHUNK_UID_MOD).alias("chunk_idx"),
+        "n_tokens",
+        "shard_id",
+        "shard_offset",
+        "n_shards_spanned",
+    ).orderBy("src_doc_id", "chunk_idx")
+
+
 def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X131: the source-level near-dup contamination MATRIX — which
     sources copy from which: every MinHash near-dup pair mapped to
@@ -2243,6 +2282,8 @@ EXT_QUERY_FNS = {
     "dedup_chunks_exact": dedup_chunks_exact,
     "corpus_curriculum_plan": corpus_curriculum_plan,
     "dedup_source_matrix": dedup_source_matrix,
+    "docs_pack_chunks": docs_pack_chunks,
+    "text_keywords": text_keywords,
     "text_collocations": text_collocations,
     "text_build_postings": text_build_postings,
     "graph_triangles_cosupply": graph_triangles_cosupply,
@@ -5566,4 +5607,63 @@ EXT_ORACLE_SQL["dedup_source_matrix"] = f"""
     SELECT source_a, source_b, COUNT(*) AS n_pairs
     FROM j GROUP BY 1, 2
     ORDER BY 1, 2
+"""
+
+
+# X132: the X121 chunk oracle + composite uid + the X13 prefix-sum
+# shard arithmetic at the chunk grain
+EXT_ORACLE_SQL["docs_pack_chunks"] = f"""
+    WITH ch AS MATERIALIZED ({EXT_ORACLE_SQL["docs_chunk_overlap"]}),
+    c2 AS (
+        SELECT doc_id * {CHUNK_UID_MOD} + chunk_idx AS uid,
+               n_chunk_tokens AS n_tokens
+        FROM ch
+    ),
+    pc AS (
+        SELECT uid, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (ORDER BY uid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cb
+        FROM c2
+    )
+    SELECT CAST(uid // {CHUNK_UID_MOD} AS BIGINT) AS src_doc_id,
+           CAST(uid % {CHUNK_UID_MOD} AS BIGINT) AS chunk_idx,
+           n_tokens,
+           CAST(cb // 512 AS BIGINT) AS shard_id,
+           CAST(cb % 512 AS BIGINT) AS shard_offset,
+           CAST(CASE WHEN n_tokens > 0 THEN
+               (cb + n_tokens - 1) // 512 - cb // 512 + 1
+           ELSE 1 END AS BIGINT) AS n_shards_spanned
+    FROM pc
+    ORDER BY 1, 2
+"""
+
+
+# X134: full-vocabulary tf/df aggregates, the X120 idf quantization,
+# per-doc top-3 panels
+EXT_ORACLE_SQL["text_keywords"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    n AS (SELECT COUNT(*) AS n_docs FROM toks),
+    tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+        GROUP BY 1, 2
+    ),
+    dfs AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+    idf AS (
+        SELECT tok,
+               CAST(ROUND(1000000.0 * (n_docs + 1) / (df + 1), 0)
+                    AS BIGINT) AS idf_w
+        FROM dfs CROSS JOIN n
+    )
+    SELECT doc_id, tok AS keyword, tf, tf * idf_w AS score_q,
+           CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT doc_id, tok, tf, idf_w,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY tf * idf_w DESC, tok) AS rank
+        FROM tf JOIN idf USING (tok)
+    )
+    WHERE rank <= 3
+    ORDER BY doc_id, rank
 """

@@ -1239,3 +1239,54 @@ def chunk_documents(
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+def keywords_tfidf(docs: DataFrame, k: int = 3) -> DataFrame:
+    """X134: per-document keyword extraction by tf·idf — the tagging/
+    indexing primitive (each doc's top-k most distinctive terms feed
+    facets, routing, and weak labels). Same quantized log-free idf as
+    X120 (round(10⁶·(N+1)/(df+1)) on exact integers), per-term score
+    = exact int64 tf·idf_w, top-k per doc by (score DESC, term ASC).
+
+    Scale shape: one (doc, term) tf aggregate over the exploded token
+    stream, a vocab-sized df aggregate joined back on the term key
+    (AQE broadcasts it when vocabulary is small), and the top-k
+    window partitioned BY DOCUMENT — per-doc panels, never a global
+    rank."""
+    from pyspark.sql.window import Window
+
+    toked = docs.select("doc_id", tokens_col().alias("_toks"))
+    n_docs = toked.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = (
+        toked.select("doc_id", F.explode("_toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfs = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfs.crossJoin(F.broadcast(n_docs)).select(
+        "tok",
+        F.round(
+            F.lit(float(TFIDF_SCALE))
+            * (F.col("n_docs") + 1)
+            / (F.col("df") + 1),
+            0,
+        )
+        .cast("long")
+        .alias("idf_w"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("tf") * F.col("idf_w")).desc(), F.col("tok")
+    )
+    return (
+        tf.join(idf, "tok")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            F.col("tok").alias("keyword"),
+            "tf",
+            (F.col("tf") * F.col("idf_w")).alias("score_q"),
+            "rank",
+        )
+        .orderBy("doc_id", "rank")
+    )

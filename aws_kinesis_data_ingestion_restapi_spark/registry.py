@@ -507,6 +507,8 @@ QUERY_FNS: dict[str, QueryFn] = {
     "events_drift_tvd": analytics.events_drift_tvd,
     # X130 exact EWMA trend: power-of-two half-life weights, int64 sums
     "events_ewma_daily": analytics.events_ewma_daily,
+    # X133 leak-free EWMA-residual anomaly flags, 3×MAD band
+    "events_anomaly_days": analytics.events_anomaly_days,
     # Pareto / ABC classification (integer fixed-point boundaries)
     "parts_abc_analysis": analytics.parts_abc_analysis,
     # market-basket lift (order-key-bounded co-occurrence self-join)
@@ -1544,6 +1546,49 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY 1
         ORDER BY 1
     """,
+    # X133: the X130 trailing window shifted one day back (leak-free),
+    # exact common-denominator deviations, lower-median MAD, 3× band
+    "events_anomaly_days": """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(ROUND(100 * CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                        AS DOUBLE), 0) AS BIGINT) AS vq
+            FROM events GROUP BY 1
+        ),
+        ew AS (
+            SELECT a.day, MAX(a.vq) AS vq,
+                   CAST(SUM(b.vq * CAST(pow(2, 19 - ((a.day - b.day) - 1))
+                        AS BIGINT)) AS BIGINT) AS num,
+                   CAST(SUM(CAST(pow(2, 19 - ((a.day - b.day) - 1))
+                        AS BIGINT)) AS BIGINT) AS den
+            FROM daily a
+            JOIN daily b ON b.day BETWEEN a.day - 20 AND a.day - 1
+            GROUP BY 1
+        ),
+        dev AS (
+            SELECT day,
+                   CAST(vq AS DOUBLE) / 100.0 AS daily_total,
+                   CAST(num AS DOUBLE) / (100.0 * CAST(den AS DOUBLE))
+                       AS ewma_prev,
+                   CAST(vq * den - num AS DOUBLE)
+                       / (100.0 * CAST(den AS DOUBLE)) AS deviation
+            FROM ew
+        ),
+        nn AS (SELECT COUNT(*) AS n FROM dev),
+        med AS (
+            SELECT ABS(deviation) AS mad FROM (
+                SELECT deviation,
+                       ROW_NUMBER() OVER (ORDER BY ABS(deviation), day)
+                           AS r
+                FROM dev
+            ) CROSS JOIN nn
+            WHERE r = (n + 1) // 2
+        )
+        SELECT day, daily_total, ewma_prev, deviation, mad,
+               (ABS(deviation) > 3.0 * mad) AS is_anomaly
+        FROM dev CROSS JOIN med
+        ORDER BY 1
+    """,
     "events_drift_tvd": """
         WITH pt AS (
             SELECT event_type,
@@ -2238,12 +2283,15 @@ _GATE_HEAD = [
     "dedup_decontaminate",  # last driver green: r0
     "dedup_source_matrix",  # last driver green: r0
     "docs_chunk_overlap",  # last driver green: r0
+    "docs_pack_chunks",  # last driver green: r0
     "emb_anisotropy_audit",  # last driver green: r0
     "emb_pca_power",  # last driver green: r0
+    "events_anomaly_days",  # last driver green: r0
     "events_ewma_daily",  # last driver green: r0
     "retrieval_hybrid_rrf3",  # last driver green: r0
     "streaming_drift_tvd",  # last driver green: r0
     "text_bpe_fertility",  # last driver green: r0
+    "text_keywords",  # last driver green: r0
     "text_lm_score",  # last driver green: r0
     "text_quality_ensemble",  # last driver green: r0
     "text_tfidf_search",  # last driver green: r0
@@ -2263,9 +2311,6 @@ _GATE_HEAD = [
     "q20_promotion_suppliers",  # last driver green: r5
     "q2_min_cost_supplier",  # last driver green: r5
     "q3_shipping_priority",  # last driver green: r5
-    "q6_forecast_revenue",  # last driver green: r5
-    "q8_market_share",  # last driver green: r5
-    "q9_red_parts_profit",  # last driver green: r5
 ]
 _GATE_TAIL = [
     "brand_basket_affinity",  # last driver green: r8
@@ -2392,6 +2437,9 @@ _GATE_TAIL = [
     "streaming_late_data_policy",  # last driver green: r6
     "streaming_value_quantiles",  # last driver green: r6
     "text_repetition",  # last driver green: r6
+    "q6_forecast_revenue",  # last driver green: r5
+    "q8_market_share",  # last driver green: r5
+    "q9_red_parts_profit",  # last driver green: r5
     "ref_average_order_value",  # last driver green: r5
     "ref_most_sales_products",  # last driver green: r5
     "ref_order_and_client_details",  # last driver green: r5

@@ -124,6 +124,7 @@ ANALYTICS_QUERIES = [
     "events_active_users",
     "events_drift_tvd",
     "events_ewma_daily",
+    "events_anomaly_days",
     "events_value_hour_corr",
     "events_daily_trend",
     "events_attribution",
@@ -172,9 +173,11 @@ ANALYTICS_QUERIES = [
     "text_lm_score",
     "text_quality_ensemble",
     "corpus_curriculum_plan",
+    "text_keywords",
     "text_tfidf_search",
     "retrieval_hybrid_rrf3",
     "docs_chunk_overlap",
+    "docs_pack_chunks",
     "text_collocations",
     "text_build_postings",
     "text_model_quality",
@@ -398,6 +401,9 @@ BENCH_KEY_ALIASES = {
     "text_quality_ensemble": "qens",
     "corpus_curriculum_plan": "curp",
     "events_ewma_daily": "ewma",
+    "docs_pack_chunks": "pkc",
+    "text_keywords": "kw",
+    "events_anomaly_days": "anom",
     "dedup_chunks_exact": "chd",
     "dedup_source_matrix": "smx",
     "customer_rfm_segments": "rf",

@@ -3159,3 +3159,67 @@ def test_source_matrix_partitions_pair_count(spark):
         assert r["n_pairs"] >= 1
     keys = [(r["source_a"], r["source_b"]) for r in cells]
     assert len(keys) == len(set(keys))
+
+
+def test_pack_chunks_consistent_with_chunker(spark):
+    from aws_kinesis_data_ingestion_restapi_spark.operators import (
+        registry_ext as rx,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    packed = rx.docs_pack_chunks(spark, sf).collect()
+    chunks = text.chunk_documents(rx._docs(spark, sf)).collect()
+    assert len(packed) == len(chunks)
+    by_key = {(r["doc_id"], r["chunk_idx"]): r for r in chunks}
+    # brute prefix-sum replay in (doc, idx) order
+    cb = 0
+    for r in sorted(packed, key=lambda r: (r["src_doc_id"], r["chunk_idx"])):
+        src = by_key[(r["src_doc_id"], r["chunk_idx"])]
+        assert r["n_tokens"] == src["n_chunk_tokens"]
+        assert r["shard_id"] == cb // 512
+        assert r["shard_offset"] == cb % 512
+        cb += r["n_tokens"]
+
+
+def test_keywords_rank_and_panels(spark):
+    rows = [
+        (0, "zebra zebra zebra common common"),
+        (1, "common common quartz quartz"),
+        (2, "common plain words here common"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = text.keywords_tfidf(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d, rs in by_doc.items():
+        assert [r["rank"] for r in sorted(rs, key=lambda r: r["rank"])] == list(
+            range(1, len(rs) + 1)
+        )
+        assert len(rs) <= 2
+    # rare term stuffed 3x beats the everywhere-term
+    top0 = min(by_doc[0], key=lambda r: r["rank"])
+    assert top0["keyword"] == "zebra" and top0["tf"] == 3
+    top1 = min(by_doc[1], key=lambda r: r["rank"])
+    assert top1["keyword"] == "quartz"
+
+
+def test_anomaly_days_flags_injected_spike(spark):
+    from aws_kinesis_data_ingestion_restapi_spark import analytics
+
+    sf = "/root/testdata/sf0.001"
+    out = analytics.events_anomaly_days(spark, sf).collect()
+    assert out
+    for r in out:
+        # leak-free: ewma_prev never includes the judged day, so a
+        # perfectly flat series would have deviation 0; bands sane
+        assert r["mad"] >= 0.0
+        assert r["is_anomaly"] == (abs(r["deviation"]) > 3.0 * r["mad"])
+    # the first day has no trailing window and must be absent
+    days = sorted(r["day"] for r in out)
+    ewma = {
+        r["day"]: r
+        for r in analytics.events_ewma_daily(spark, sf).collect()
+    }
+    assert min(ewma) not in set(days)
+    assert len(days) == len(ewma) - 1
