@@ -284,63 +284,63 @@ BENCH_KEY_ALIASES = {
     # round-8: the five previously-unaliased names + sales_cube, to
     # keep the compact line <=1900 chars after this round's new
     # queries (rename mapping in BENCH_NOTES "alias renames").
-    "ref_country": "refc",
-    "ref_products": "refp",
-    "ref_clients": "refcl",
-    "ref_income": "refi",
-    "ref_avg": "refa",
-    "sales_cube": "cube",
+    "ref_country": "rfk",
+    "ref_products": "rfp",
+    "ref_clients": "rfc",
+    "ref_income": "rfi",
+    "ref_avg": "rfa",
+    "sales_cube": "cub",
     "streaming_late_data_policy": "stl",
     "streaming_value_quantiles": "stq",
-    "streaming_payment_match": "stpay",
-    "streaming_dedup_replay": "stdd",
-    "customers_without_urgent_orders": "antiu",
-    "customers_with_urgent_orders": "semiu",
-    "dedup_simhash_fingerprints": "shfp",
+    "streaming_payment_match": "spy",
+    "streaming_dedup_replay": "sdd2",
+    "customers_without_urgent_orders": "atu",
+    "customers_with_urgent_orders": "smu",
+    "dedup_simhash_fingerprints": "sfp",
     "sketch_distinct_trigrams": "skt",
     "sql_lateral_top_orders": "lat",
-    "sql_above_average_orders": "aavg",
+    "sql_above_average_orders": "aav",
     "serving_last_write_wins": "lww",
-    "sales_pivot_by_priority": "pivot",
-    "text_stratified_sample": "strat",
-    "q12_ship_delay_classes": "q12d",
-    "q17_small_quantity_revenue": "q17s",
+    "sales_pivot_by_priority": "piv",
+    "text_stratified_sample": "str",
+    "q12_ship_delay_classes": "q12",
+    "q17_small_quantity_revenue": "q17",
     "q19_disjunctive_revenue": "q19",
-    "q22_dormant_customers": "q22d",
+    "q22_dormant_customers": "q22",
     # round-4 widening: 90 registry entries no longer fit the 2000-char
     # capture at centisecond precision with full names — shorten the
     # remaining long tail (still 1:1, final line only).
     "q5_local_supplier_volume": "q5l",
     "customer_running_spend": "rsp",
     "events_sessionization": "ses",
-    "salted_priority_sales": "ssal",
+    "salted_priority_sales": "ssl",
     "top_parts_by_revenue": "tpp",
     "q3_shipping_priority": "q3s",
     "fuzzy_customer_names": "fuz",
     "dedup_canonical_docs": "can",
     "events_tumbling_30s": "tmb",
-    "events_sliding_1h_15m": "sl1h",
+    "events_sliding_1h_15m": "sl1",
     "text_pack_sequences": "tpk",
     "dedup_exact_recrawl": "dex",
     "dedup_ngram_jaccard": "ngr",
     "dedup_simhash_pairs": "sh",
     "dedup_contamination": "ctm",
     "mm_extract_features": "mmf",
-    "asof_priority_rates": "asof",
+    "asof_priority_rates": "aso",
     "etl_derive_tables": "etl",
     "curation_pipeline": "cur",
     "events_json_props": "ejs",
     "profile_documents": "prf",
-    "incremental_sales_rollup": "incr",
+    "incremental_sales_rollup": "inr",
     "dedup_minhash_lsh": "mh",
     "dedup_incremental_delta": "inc",
     "text_quality_score": "tq",
     "text_language_id": "tlg",
-    "mm_resize_images": "mmrz",
-    "mm_frame_sample": "mmfr",
-    "cdc_snapshot_diff": "cdcd",
+    "mm_resize_images": "mrz",
+    "mm_frame_sample": "mfr",
+    "cdc_snapshot_diff": "cdd",
     "docs_expectations": "dxp",
-    "text_bm25_search": "bm25",
+    "text_bm25_search": "b25",
     "retrieval_hybrid_rrf": "rrf",
     "events_rolling_hour_avg": "rav",
     "events_ntile_quartiles": "ntl",
@@ -350,60 +350,60 @@ BENCH_KEY_ALIASES = {
     "q9_red_parts_profit": "q9p",
     "q16_supplier_diversity": "q16",
     "q21_late_sole_supplier": "q21",
-    "streaming_enriched_nation_totals": "stenr",
-    "streaming_running_totals_final": "strun",
+    "streaming_enriched_nation_totals": "sen",
+    "streaming_running_totals_final": "sru",
     "pipeline_envelope_decode": "ple",
     "pipeline_partition_scan": "plp",
-    "pipeline_streaming_drain": "plstr",
-    "top_orders_per_customer": "topo",
+    "pipeline_streaming_drain": "pls",
+    "top_orders_per_customer": "tpo",
     "events_value_histogram": "ehi",
     "emb_near_dup_lsh_multi": "ndm",
-    "emb_near_dup_lsh": "ndlsh",
-    "ann_topk_brute": "annb",
-    "ann_topk_lsh": "alsh",
-    "ann_topk_ivf": "aivf",
-    "cdc_scd2_history": "scd2",
+    "emb_near_dup_lsh": "ndl",
+    "ann_topk_brute": "anb",
+    "ann_topk_lsh": "als",
+    "ann_topk_ivf": "aiv",
+    "cdc_scd2_history": "sc2",
     "streaming_session_windows": "sts",
-    "streaming_sliding_1h_15m": "stsl",
-    "streaming_drift_tvd": "sdft",
+    "streaming_sliding_1h_15m": "ssw",
+    "streaming_drift_tvd": "sdf",
     "customer_retention": "ret",
     "payment_type_share": "psh",
     "events_cohort_retention": "coh",
     "text_quality_sample": "qsm",
-    "sales_yoy_full_outer": "yoyf",
+    "sales_yoy_full_outer": "yyf",
     "graph_pagerank_suppliers": "pgr",
     "graph_kcore_purchases": "kco",
     "sql_recursive_rollup": "rec",
-    "events_concurrency_curve": "conc",
+    "events_concurrency_curve": "cnc",
     "events_transition_matrix": "trn",
     "emb_pq_codes": "pqc",
     "ann_topk_pq": "apq",
-    "ann_topk_ivfpq": "ivfpq",
+    "ann_topk_ivfpq": "ipq",
     # round-9 additions (final line only, 1:1)
-    "ann_topk_ivfpq_trained": "ipqt",
-    "mm_canonical_assets": "mmca",
+    "ann_topk_ivfpq_trained": "ipt",
+    "mm_canonical_assets": "mca",
     "streaming_dedup_delta": "sdl",
-    "text_pack_bpe": "tpkb",
+    "text_pack_bpe": "tpb",
     "corpus_mixture_bpe": "mxb",
-    "dedup_exact_substring": "xsub",
+    "dedup_exact_substring": "xsb",
     "dedup_remove_substrings": "xrm",
     # round-9 session-2 additions (X119-X123)
     "text_lm_score": "lm",
     "text_tfidf_search": "tfi",
-    "retrieval_hybrid_rrf3": "rrf3",
+    "retrieval_hybrid_rrf3": "rr3",
     "docs_chunk_overlap": "chu",
     "dedup_decontaminate": "dcn",
     "emb_pca_power": "pca",
     "emb_anisotropy_audit": "ani",
     "ann_label_audit": "lba",
     "ann_label_audit_clustered": "lbc",
-    "text_bpe_fertility": "fert",
-    "text_quality_ensemble": "qens",
-    "corpus_curriculum_plan": "curp",
-    "events_ewma_daily": "ewma",
+    "text_bpe_fertility": "frt",
+    "text_quality_ensemble": "qen",
+    "corpus_curriculum_plan": "cpl",
+    "events_ewma_daily": "ewm",
     "docs_pack_chunks": "pkc",
     "text_keywords": "kw",
-    "events_anomaly_days": "anom",
+    "events_anomaly_days": "ano",
     "dedup_chunks_exact": "chd",
     "dedup_source_matrix": "smx",
     "customer_rfm_segments": "rf",
@@ -412,73 +412,73 @@ BENCH_KEY_ALIASES = {
     "q7_volume_shipping": "q7v",
     "q10_returned_items": "q10",
     "q8_market_share": "q8m",
-    "q18_large_orders": "q18l",
-    "sales_per_nation": "nsal",
+    "q18_large_orders": "q18",
+    "sales_per_nation": "nsl",
     "sales_rollup": "rup",
     "events_type_mode": "tmo",
     "text_fingerprint": "tfp",
     "text_pii_redact": "pii",
-    "sketch_heavy_hitters": "cmhh",
+    "sketch_heavy_hitters": "cmh",
     "sketch_value_quantiles": "qsk",
-    "events_type_value_quantiles": "qskg",
+    "events_type_value_quantiles": "qkg",
     "events_drift_tvd": "tvd",
     "parts_abc_analysis": "ab",
-    "brand_basket_affinity": "bskt",
+    "brand_basket_affinity": "bsk",
     "text_vocab_growth": "voc",
     "text_ngram_novelty": "nov",
     "text_bpe_merges": "bpe",
     "text_bpe_segment": "bps",
-    "text_dsir_importance": "dsir",
-    "sales_monthly_yoy": "yoym",
-    "q14_promo_revenue": "q14p",
+    "text_dsir_importance": "dsr",
+    "sales_monthly_yoy": "yym",
+    "q14_promo_revenue": "q14",
     # round-5 additions (final line only, 1:1)
     "q2_min_cost_supplier": "q2m",
     "q6_forecast_revenue": "q6f",
-    "q11_important_parts": "q11p",
+    "q11_important_parts": "q11",
     "q13_order_count_distribution": "q13",
     "q15_top_supplier": "q15",
-    "q20_promotion_suppliers": "q20p",
-    "salted_events_join": "sjoin",
-    "text_collocations": "coll",
+    "q20_promotion_suppliers": "q20",
+    "salted_events_join": "sjo",
+    "text_collocations": "col",
     "emb_kmeans_step": "km",
-    "docs_sample_fixed": "fixk",
+    "docs_sample_fixed": "fxk",
     "docs_split_assign": "tvt",
-    "docs_split_leakage_safe": "tvtc",
+    "docs_split_leakage_safe": "tvs",
     "corpus_mixture_plan": "mxp",
     "events_value_hour_corr": "vhc",
     "events_daily_trend": "dtr",
     "streaming_payment_match_outer": "sto",
     "streaming_payment_match_full": "stf",
-    "events_attribution": "attr",
+    "events_attribution": "atr",
     # round-6 additions (final line only, 1:1)
     "pipeline_compaction": "plc",
-    "salted_lineitem_agg": "sagg",
+    "salted_lineitem_agg": "sag",
     "ann_recall_audit": "rca",
     "ann_recall_clustered": "rcc",
-    "ann_truncation_audit": "trunc",
-    "emb_hard_negatives": "hneg",
-    "dedup_lsh_quality": "lshq",
+    "ann_truncation_audit": "tru",
+    "emb_hard_negatives": "hng",
+    "dedup_lsh_quality": "lsq",
     "dedup_signal_agreement": "sga",
     "events_zorder_scan": "zsc",
     "ann_topk_lsh_multi": "alm",
-    "text_build_postings": "post",
+    "text_build_postings": "pst",
     "text_model_quality": "ftq",
-    "curation_source_caps": "scap",
+    "curation_source_caps": "scp",
     "graph_triangles_cosupply": "tri",
     "emb_bitext_mine": "btx",
-    "bucketed_sales_join": "bktj",
-    "text_token_stats": "toks",
+    "bucketed_sales_join": "bkj",
+    "text_token_stats": "tks",
     "dedup_components": "cmp",
     "dedup_components_star": "cst",
     "text_repetition": "rep",
-    "events_variant_props": "vrnt",
-    "events_gapfill": "gapf",
-    "text_length_quantiles": "lenq",
+    "events_variant_props": "vrt",
+    "events_gapfill": "gpf",
+    "text_length_quantiles": "lnq",
     "dedup_ensemble": "ens",
     "dedup_semantic": "sdd",
-    "mm_asset_stats": "mmst",
-    "mm_fingerprint": "mm_fp",
-    "mm_phash_near_dup": "mmph",
+    "mm_asset_stats": "mst",
+    "mm_fingerprint": "mfp",
+    "mm_phash_near_dup": "mph",
     "events_funnel": "fnl",
     "events_daily_stats": "edy",
     "events_range_follow": "erg",

@@ -1006,9 +1006,13 @@ def test_lm_score_bigrams_are_mapside(spark):
 def test_pca_power_output_plan_shapes(spark):
     """X123: the per-round iterate is broadcast-joined to the exploded
     component stream (d-row frame side), never shuffled corpus-v-
-    corpus; no cartesian product."""
+    corpus; no cartesian product. Calls the operator directly — the
+    registry wrapper serves the _pca_proj session cache, whose plan
+    is a checkpoint scan with no joins left to pin."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import similarity
     from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
 
-    plan = explain_str(QUERY_FNS["emb_pca_power"](spark, SF_DIR))
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = explain_str(similarity.pca_power_projection(embs))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan, plan[:2000]
