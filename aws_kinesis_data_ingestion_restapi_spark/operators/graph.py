@@ -481,3 +481,63 @@ def kcore_peel(
     return deg.select(
         F.col("n").alias("node"), F.col("d").cast("long").alias("degree")
     ).orderBy("node")
+
+
+LPA_ROUNDS = 4  # bounded synchronous rounds (replayed by the oracle)
+
+
+def label_propagation(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
+    """X135: community detection by SYNCHRONOUS label propagation
+    (Raghavan et al. 2007) with a deterministic tie-break — the
+    near-linear community pass web-graph curation runs between the
+    connectivity extremes the family already covers (X35 CC = "any
+    path connects", X106 k-core = "densely embedded"; LPA finds the
+    in-between: groups denser inside than across).
+
+    Determinism (the CC/PageRank/k-core bounded-round contract):
+    every node starts as its own label; each round every node adopts
+    the label with the highest neighbor multiplicity, ties broken by
+    SMALLEST label — an exact integer argmax both engines replay
+    identically, computed as max(struct(count, −label)) so the
+    aggregate keeps a map-side partial (never a per-node sort).
+    Synchronous updates + a fixed round count ⇒ no dependence on
+    visit order (the asynchronous variant's nondeterminism is
+    exactly what this rendition removes). A fixed small round count
+    is also the production shape: LPA label quality plateaus within
+    a few rounds and unbounded iteration oscillates on bipartite
+    structure.
+
+    Scale shape per round: one hash join of the d-directed edge list
+    to the label frame on the source node + one (node, label)
+    aggregate with map-side combine + the argmax aggregate — two
+    keyed shuffles, lineage truncated per round via ckpt.materialize.
+    Output: (node, community) for every node with an edge."""
+    ed = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    labels = ed.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    prev: DataFrame | None = None
+    for _ in range(rounds):
+        counts = (
+            ed.join(labels, ed.u == labels.node)
+            .groupBy(F.col("v").alias("n2"), "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        nxt = (
+            counts.groupBy(F.col("n2").alias("node"))
+            .agg(
+                F.max(
+                    F.struct(F.col("cnt"), (-F.col("lbl")).alias("neg"))
+                ).alias("m")
+            )
+            .select("node", (-F.col("m.neg")).alias("lbl"))
+        )
+        labels = materialize(nxt, eager=True)
+        if prev is not None:
+            release(prev)
+        prev = labels
+    return labels.select(
+        "node", F.col("lbl").alias("community")
+    ).orderBy("node")

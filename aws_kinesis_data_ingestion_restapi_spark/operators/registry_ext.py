@@ -1217,10 +1217,7 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     recalls are a degenerate-geometry floor; :func:`ann_recall_clustered`
     runs the identical audit on the deterministic clustered fixture
     where the methods separate in their intended regime."""
-    return _recall_audit_over(
-        _embs(spark, sf_dir),
-        ivfpqt=_ivfpqt_quantizers(spark, sf_dir, clustered=False),
-    )
+    return _recall_audit_over(_audit_topk_panels(spark, sf_dir, False))
 
 
 def ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1234,25 +1231,24 @@ def ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-floor on the uniform corpus), exercising the multi-table>
     single-table claim and the trained>stride quantizer claim on
     geometry where buckets actually carry neighborhood signal."""
-    return _recall_audit_over(
-        similarity.clustered_embeddings(_embs(spark, sf_dir)),
-        ivfpqt=_ivfpqt_quantizers(spark, sf_dir, clustered=True),
-    )
+    return _recall_audit_over(_audit_topk_panels(spark, sf_dir, True))
 
 
-def _recall_audit_over(
-    embs: DataFrame, ivfpqt: tuple | None = None
-) -> DataFrame:
-    """Shared audit body: exact truth once, panel-sized joins per
-    method. ``ivfpqt``: the session-cached (coarse, books) trained
-    quantizers (see :func:`_ivfpqt_quantizers`); None trains inline
-    (identical arithmetic, just not shared)."""
-    nq, k = 10, 5
-    exact = (
-        similarity.topk_brute(embs, n_queries=nq, k=k)
-        .select("query_id", "neighbor_id")
-        .transform(materialize)
-    )
+def _audit_topk_panels(
+    spark: SparkSession, sf_dir: str, clustered: bool
+) -> dict[str, DataFrame]:
+    """The 7 per-method top-5 panels (query_id, neighbor_id, rank),
+    each computed (and localCheckpoint-materialized) at most once per
+    (session, sf_dir, fixture) — the X88 recall audit, the X97
+    clustered audit, and both X128 label audits consume the SAME
+    panels, so a gate/bench session runs each method's search once
+    instead of twice (measured: the label audits were paying the full
+    7-method cost the recall audits had already paid). Panels are
+    ≤50 rows each; pinning them is free."""
+    embs = _embs(spark, sf_dir)
+    if clustered:
+        embs = similarity.clustered_embeddings(embs)
+    ivfpqt = _ivfpqt_quantizers(spark, sf_dir, clustered=clustered)
 
     def ivfpq_t(e: DataFrame, n_queries: int, k: int) -> DataFrame:
         return similarity.topk_ivfpq_trained(
@@ -1260,11 +1256,12 @@ def _recall_audit_over(
             n_queries=n_queries,
             k=k,
             refine=IVFPQT_REFINE,
-            coarse_cents=ivfpqt[0] if ivfpqt else None,
-            books=ivfpqt[1] if ivfpqt else None,
+            coarse_cents=ivfpqt[0],
+            books=ivfpqt[1],
         )
 
     methods = {
+        "brute": similarity.topk_brute,
         "ivf": similarity.topk_ivf,
         "ivfpq": similarity.topk_ivfpq,
         "ivfpq_t": ivfpq_t,
@@ -1272,9 +1269,28 @@ def _recall_audit_over(
         "lsh_multi": similarity.topk_lsh_multi,
         "pq": similarity.topk_pq,
     }
+    return {
+        name: _session_cached(
+            spark,
+            ("audit_topk", sf_dir, clustered, name),
+            lambda fn=fn: materialize(
+                fn(embs, n_queries=10, k=5).select(
+                    "query_id", "neighbor_id", "rank"
+                )
+            ),
+        )
+        for name, fn in methods.items()
+    }
+
+
+def _recall_audit_over(panels: dict[str, DataFrame]) -> DataFrame:
+    """Shared audit body: the brute panel IS the exact truth; each
+    approximate panel joins it (≤(n_queries·k)-row hash joins)."""
+    nq, k = 10, 5
+    exact = panels["brute"].select("query_id", "neighbor_id")
     out = None
-    for name, fn in sorted(methods.items()):
-        approx = fn(embs, n_queries=nq, k=k).select("query_id", "neighbor_id")
+    for name in sorted(m for m in panels if m != "brute"):
+        approx = panels[name].select("query_id", "neighbor_id")
         hits = (
             approx.join(exact, ["query_id", "neighbor_id"])
             .agg(F.count(F.lit(1)).alias("n_hits"))
@@ -1322,8 +1338,8 @@ def ann_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     where the label IS the geometric cluster, separating the methods
     in their intended regime."""
     return _label_audit_over(
-        _embs(spark, sf_dir),
-        _ivfpqt_quantizers(spark, sf_dir, clustered=False),
+        _audit_topk_panels(spark, sf_dir, False),
+        _embs(spark, sf_dir).select("vec_id", "label"),
     )
 
 
@@ -1333,43 +1349,24 @@ def ann_label_audit_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster id (vec_id mod 8) — ground truth the embedding geometry
     actually encodes, so precision@5/MRR now measure how much task
     relevance each INDEX preserves below the brute ceiling."""
-    embs = similarity.clustered_embeddings(_embs(spark, sf_dir)).withColumn(
-        "label", (F.col("vec_id") % 8).cast("int")
+    labels = _embs(spark, sf_dir).select(
+        "vec_id", (F.col("vec_id") % 8).cast("int").alias("label")
     )
     return _label_audit_over(
-        embs, _ivfpqt_quantizers(spark, sf_dir, clustered=True)
+        _audit_topk_panels(spark, sf_dir, True), labels
     )
 
 
-def _label_audit_over(embs: DataFrame, ivfpqt: tuple) -> DataFrame:
-    """Shared X128 body (the `_recall_audit_over` pattern)."""
-    labels = embs.select("vec_id", "label")
+def _label_audit_over(
+    panels: dict[str, DataFrame], labels: DataFrame
+) -> DataFrame:
+    """Shared X128 body over the shared :func:`_audit_topk_panels`;
+    ``labels`` is any (vec_id, label) frame — the raw column or the
+    clustered fixture's generating-cluster id."""
     nq, k = 10, 5
-
-    def ivfpq_t(e: DataFrame, n_queries: int, k: int) -> DataFrame:
-        return similarity.topk_ivfpq_trained(
-            e,
-            n_queries=n_queries,
-            k=k,
-            refine=IVFPQT_REFINE,
-            coarse_cents=ivfpqt[0],
-            books=ivfpqt[1],
-        )
-
-    methods = {
-        "brute": similarity.topk_brute,
-        "ivf": similarity.topk_ivf,
-        "ivfpq": similarity.topk_ivfpq,
-        "ivfpq_t": ivfpq_t,
-        "lsh": similarity.topk_lsh,
-        "lsh_multi": similarity.topk_lsh_multi,
-        "pq": similarity.topk_pq,
-    }
     out = None
-    for name, fn in sorted(methods.items()):
-        top = fn(embs, n_queries=nq, k=k).select(
-            "query_id", "neighbor_id", "rank"
-        )
+    for name in sorted(panels):
+        top = panels[name]
         rel = (
             top.join(
                 F.broadcast(
@@ -1577,6 +1574,29 @@ def graph_kcore_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return graph.kcore_peel(e, k=40, rounds=8)
+
+
+def graph_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X135: label-propagation communities over the same bipartite
+    customer-supplier purchase graph X106 peels — 4 synchronous
+    rounds, smallest-label tie-break, the deterministic bounded-round
+    contract. See graph.label_propagation."""
+    ensure_runtime_confs(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    e = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("u"),
+            (F.col("l_suppkey") + 1_000_000_000).alias("v"),
+        )
+        .distinct()
+    )
+    return graph.label_propagation(e)
 
 
 def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2303,6 +2323,7 @@ EXT_QUERY_FNS = {
     "dedup_components_star": dedup_components_star,
     "graph_pagerank_suppliers": graph_pagerank_suppliers,
     "graph_kcore_purchases": graph_kcore_purchases,
+    "graph_communities_lpa": graph_communities_lpa,
     "dedup_canonical_docs": dedup_canonical_docs,
     "curation_pipeline": curation_pipeline,
     "dedup_exact_recrawl": dedup_exact_recrawl,
@@ -5667,3 +5688,43 @@ EXT_ORACLE_SQL["text_keywords"] = f"""
     WHERE rank <= 3
     ORDER BY doc_id, rank
 """
+
+
+def _lpa_oracle_sql(rounds: int) -> str:
+    """X135 oracle, generated: the LPA rounds unrolled (the kmeans/
+    BPE/PCA idiom) — per round a (node, label) multiplicity count and
+    the (cnt DESC, lbl ASC) argmax via ROW_NUMBER; MATERIALIZED CTEs
+    keep DuckDB's inlining linear."""
+    ctes = [
+        """e0 AS MATERIALIZED (
+        SELECT DISTINCT o_custkey AS u, l_suppkey + 1000000000 AS v
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    )""",
+        """ed AS MATERIALIZED (
+        SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+    )""",
+        "l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lbl FROM ed)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""c{r} AS MATERIALIZED (
+        SELECT ed.v AS node, l.lbl, COUNT(*) AS cnt
+        FROM ed JOIN l{r - 1} l ON l.node = ed.u
+        GROUP BY 1, 2
+    )""")
+        ctes.append(f"""l{r} AS MATERIALIZED (
+        SELECT node, lbl FROM (
+            SELECT node, lbl,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY cnt DESC, lbl) AS r
+            FROM c{r}
+        ) WHERE r = 1
+    )""")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node, lbl AS community FROM l{rounds}"
+        + "\n    ORDER BY node"
+    )
+
+
+EXT_ORACLE_SQL["graph_communities_lpa"] = _lpa_oracle_sql(graph.LPA_ROUNDS)

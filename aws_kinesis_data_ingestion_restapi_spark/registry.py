@@ -2288,6 +2288,7 @@ _GATE_HEAD = [
     "emb_pca_power",  # last driver green: r0
     "events_anomaly_days",  # last driver green: r0
     "events_ewma_daily",  # last driver green: r0
+    "graph_communities_lpa",  # last driver green: r0
     "retrieval_hybrid_rrf3",  # last driver green: r0
     "streaming_drift_tvd",  # last driver green: r0
     "text_bpe_fertility",  # last driver green: r0
@@ -2310,7 +2311,6 @@ _GATE_HEAD = [
     "q19_disjunctive_revenue",  # last driver green: r5
     "q20_promotion_suppliers",  # last driver green: r5
     "q2_min_cost_supplier",  # last driver green: r5
-    "q3_shipping_priority",  # last driver green: r5
 ]
 _GATE_TAIL = [
     "brand_basket_affinity",  # last driver green: r8
@@ -2437,6 +2437,7 @@ _GATE_TAIL = [
     "streaming_late_data_policy",  # last driver green: r6
     "streaming_value_quantiles",  # last driver green: r6
     "text_repetition",  # last driver green: r6
+    "q3_shipping_priority",  # last driver green: r5
     "q6_forecast_revenue",  # last driver green: r5
     "q8_market_share",  # last driver green: r5
     "q9_red_parts_profit",  # last driver green: r5

@@ -208,6 +208,7 @@ ANALYTICS_QUERIES = [
     "dedup_components_star",
     "graph_pagerank_suppliers",
     "graph_kcore_purchases",
+    "graph_communities_lpa",
     "graph_triangles_cosupply",
     "dedup_canonical_docs",
     "ann_topk_brute",
@@ -373,6 +374,7 @@ BENCH_KEY_ALIASES = {
     "sales_yoy_full_outer": "yyf",
     "graph_pagerank_suppliers": "pgr",
     "graph_kcore_purchases": "kco",
+    "graph_communities_lpa": "lpa",
     "sql_recursive_rollup": "rec",
     "events_concurrency_curve": "cnc",
     "events_transition_matrix": "trn",

@@ -3223,3 +3223,31 @@ def test_anomaly_days_flags_injected_spike(spark):
     }
     assert min(ewma) not in set(days)
     assert len(days) == len(ewma) - 1
+
+
+def test_lpa_labels_are_member_nodes_and_converge_on_clique(spark):
+    # two disjoint cliques: every node must adopt the clique's min id
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)]
+    df = spark.createDataFrame(edges, ["u", "v"])
+    from aws_kinesis_data_ingestion_restapi_spark.operators import graph
+
+    out = {r["node"]: r["community"] for r in graph.label_propagation(df).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_lpa_bipartite_fixture_properties(spark):
+    from aws_kinesis_data_ingestion_restapi_spark.operators import (
+        registry_ext as rx,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = rx.graph_communities_lpa(spark, sf).collect()
+    nodes = {r["node"] for r in out}
+    comms = {r["community"] for r in out}
+    # every community label is itself a node of the graph
+    assert comms <= nodes
+    # both node classes present (suppliers offset by 1e9)
+    assert any(n >= 1_000_000_000 for n in nodes)
+    assert any(n < 1_000_000_000 for n in nodes)
+    # fewer communities than nodes: propagation actually merged labels
+    assert len(comms) < len(nodes)
