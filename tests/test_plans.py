@@ -1016,3 +1016,48 @@ def test_pca_power_output_plan_shapes(spark):
     plan = explain_str(similarity.pca_power_projection(embs))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_lpa_round_plan_shapes(spark):
+    """X135: per-round work is one edge-label equi-join + the (node,
+    label) aggregate + the argmax aggregate — keyed exchanges bounded
+    by the round count, no cartesian product, and the argmax is an
+    aggregate (map-side partial), never a per-node row_number sort."""
+    import re
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators import graph
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], ["u", "v"]
+    )
+    # one UN-materialized round exposes the full round plan (the
+    # registry path truncates lineage per round via localCheckpoint)
+    from aws_kinesis_data_ingestion_restapi_spark.operators.ckpt import (
+        materialize as _mat,
+    )
+
+    ed = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    labels = ed.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    counts = (
+        ed.join(labels, ed.u == labels.node)
+        .groupBy(F.col("v").alias("n2"), "lbl")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    nxt = (
+        counts.groupBy(F.col("n2").alias("node"))
+        .agg(
+            F.max(F.struct(F.col("cnt"), (-F.col("lbl")).alias("neg"))).alias(
+                "m"
+            )
+        )
+        .select("node", (-F.col("m.neg")).alias("lbl"))
+    )
+    plan = explain_str(nxt)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan  # argmax is an aggregate, not a sort
+    assert "partial_max" in plan or "partial max" in plan.lower(), plan[:2500]
