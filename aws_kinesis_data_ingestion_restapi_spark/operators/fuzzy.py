@@ -125,3 +125,76 @@ def fuzzy_join(
         .groupBy("left_key", "right_key")
         .agg(F.min("dist").alias("dist"))
     )
+
+
+def resolve_entities(
+    df: DataFrame,
+    key: str,
+    text: str,
+    attrs: tuple[str, ...] = (),
+    max_distance: int = 1,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Entity resolution composed end-to-end (r9 VERDICT ask #2): the
+    record-linkage pipeline curation teams run weekly — BLOCK →
+    VERIFY → CLOSE → canonical entity id.
+
+    - **Block**: deletion-neighborhood candidates on ``text`` (the
+      :func:`fuzzy_self_join` guarantee — zero false negatives at
+      edit distance ≤ 1, linear blowup, never a cross product).
+    - **Verify**: agreement on every column in ``attrs`` — folded
+      INTO the candidate equi-join key rather than applied as a
+      post-join filter, so disagreeing records never meet in the
+      shuffle at all and Levenshtein runs only on pairs that already
+      agree on attributes. At 100 TB this is the difference between
+      "verify prunes candidates" and "verification is free because
+      blocking never generated them".
+    - **Close**: min-label connected components over the verified
+      pair graph (operators/graph.py), ``df``'s full key set as the
+      node universe, so unmatched records become singleton entities
+      of themselves.
+
+    Returns one row per input record: (``key``, entity_id) with
+    entity_id = the entity's minimum record key — deterministic,
+    join-backable, and stable under re-runs.
+    """
+    from aws_kinesis_data_ingestion_restapi_spark.operators.graph import (
+        connected_components,
+    )
+
+    if max_distance != 1:
+        raise ValueError("deletion-neighborhood blocking implements k=1")
+    attr_cols = [F.col(a) for a in attrs]
+    base = df.select(
+        F.col(key).alias("_k"),
+        F.col(text).alias("_s"),
+        *attr_cols,
+        F.explode(_deletion_variants(text)).alias("_v"),
+    )
+    a = base.select(
+        F.col("_k").alias("key_a"), F.col("_s").alias("_sa"), "_v", *attrs
+    )
+    b = base.select(
+        F.col("_k").alias("key_b"), F.col("_s").alias("_sb"), "_v", *attrs
+    )
+    cand = (
+        a.join(b, ["_v", *attrs])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "_sa", "_sb")
+    )
+    verified = (
+        cand.select(
+            "key_a", "key_b", F.levenshtein("_sa", "_sb").alias("dist")
+        )
+        .filter(F.col("dist") <= max_distance)
+        .select("key_a", "key_b")
+        .distinct()
+    )
+    comp = connected_components(
+        verified,
+        nodes=df.select(key),
+        max_iter=max_iter,
+    )
+    return comp.select(
+        F.col("node").alias(key), F.col("component").alias("entity_id")
+    )

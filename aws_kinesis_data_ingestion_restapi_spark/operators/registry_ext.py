@@ -1560,43 +1560,69 @@ def graph_kcore_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer-supplier purchase graph — the degeneracy filter web-graph
     curation uses to isolate densely-connected cores (k=40, 8 peel
     rounds, converged on this fixture: pinned in pytest). Suppliers
-    are offset by 10^9 into a disjoint node-id space. Returns the
+    are offset by 10^9 into a disjoint node-id space (overflow-guarded
+    per row — see :func:`_purchase_bipartite_edges`). Returns the
     surviving (node, degree) rows. See graph.kcore_peel."""
     ensure_runtime_confs(spark)
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    e = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(
-            F.col("o_custkey").alias("u"),
-            (F.col("l_suppkey") + 1_000_000_000).alias("v"),
-        )
-        .distinct()
+    return graph.kcore_peel(
+        _purchase_bipartite_edges(spark, sf_dir), k=40, rounds=8
     )
-    return graph.kcore_peel(e, k=40, rounds=8)
 
 
-def graph_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X135: label-propagation communities over the same bipartite
-    customer-supplier purchase graph X106 peels — 4 synchronous
-    rounds, smallest-label tie-break, the deterministic bounded-round
-    contract. See graph.label_propagation."""
-    ensure_runtime_confs(spark)
+#: Supplier node-id offset for the bipartite purchase graph; customer
+#: keys must stay strictly below it or node ids collide.
+SUPPLIER_NODE_OFFSET = 1_000_000_000
+
+
+def _purchase_bipartite_edges(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distinct (customer, supplier) purchase edges with supplier ids
+    offset into a disjoint range. r9 ADVICE: a custkey crossing the
+    offset (~SF 6700) would merge customer and supplier nodes
+    IDENTICALLY in both engines, so the oracle gate is blind to it —
+    a per-row raise_error guard fails the query loudly instead."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
     )
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
-    e = (
+    guarded_cust = (
+        F.when(
+            F.col("o_custkey") >= SUPPLIER_NODE_OFFSET,
+            F.raise_error(
+                F.lit(
+                    "purchase graph: o_custkey crosses the supplier "
+                    f"node offset {SUPPLIER_NODE_OFFSET} — node id "
+                    "spaces are no longer disjoint; raise the offset"
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.col("o_custkey"))
+        .alias("u")
+    )
+    return (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
-            F.col("o_custkey").alias("u"),
-            (F.col("l_suppkey") + 1_000_000_000).alias("v"),
+            guarded_cust,
+            (F.col("l_suppkey") + SUPPLIER_NODE_OFFSET).alias("v"),
         )
         .distinct()
     )
-    return graph.label_propagation(e)
+
+
+def graph_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X135: label-propagation communities over the same bipartite
+    customer-supplier purchase graph X106 peels — 4 synchronous
+    rounds, smallest-label tie-break, the deterministic bounded-round
+    contract. Offset-guarded edge construction shared with X106 —
+    see :func:`_purchase_bipartite_edges`. See
+    graph.label_propagation."""
+    ensure_runtime_confs(spark)
+    return graph.label_propagation(
+        _purchase_bipartite_edges(spark, sf_dir)
+    )
 
 
 def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2104,11 +2130,27 @@ def docs_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     magnitude; the multiplier is the first thing to raise for a
     book-length corpus), so packing order is exactly (doc_id,
     chunk_idx) and provenance decodes back out of the uid in the
-    final projection."""
+    final projection. A per-row raise_error guard fails the query
+    loudly if any chunk_idx reaches CHUNK_UID_MOD (r9 ADVICE: an
+    overflow would alias uids identically in both engines, so the
+    DuckDB gate could never see it — failing is the only honest
+    behavior)."""
     ch = text.chunk_documents(_docs(spark, sf_dir)).select(
-        (F.col("doc_id") * CHUNK_UID_MOD + F.col("chunk_idx")).alias(
-            "doc_id"
-        ),
+        F.when(
+            F.col("chunk_idx") >= CHUNK_UID_MOD,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "docs_pack_chunks: chunk_idx overflows the "
+                        f"uid modulus {CHUNK_UID_MOD} for doc_id "
+                    ),
+                    F.col("doc_id").cast("string"),
+                    F.lit(" — raise CHUNK_UID_MOD"),
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.col("doc_id") * CHUNK_UID_MOD + F.col("chunk_idx"))
+        .alias("doc_id"),
         F.col("n_chunk_tokens").alias("n_tokens"),
     )
     packed = packing.pack_counts(ch)

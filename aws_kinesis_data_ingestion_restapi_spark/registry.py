@@ -2255,64 +2255,114 @@ ORACLE_SQL["streaming_value_quantiles"] = f"""
 # park stable, already-driver-verified, untouched baselines at the
 # tail, where falling past position 50 loses nothing.
 # --- BEGIN GENERATED GATE ORDER (scripts/gen_gate_head.py) ---
-# Window = 7 never-driver-checked additions + 8 changed
-# entries + the 35 stalest driver greens (last green in
-# round(s) [0, 5], from CORRECTNESS_r*.json). Regenerate with
+# Window = 0 never-driver-checked additions + 0 changed
+# entries + the 50 stalest driver greens (last green in
+# round(s) [5, 6], from CORRECTNESS_r*.json). Regenerate with
 #   python scripts/gen_gate_head.py
 # (pytest runs --check; hand-edits here go stale and FAIL).
 _GATE_HEAD = [
-    "ann_topk_ivfpq_trained",  # last driver green: r0
-    "mm_canonical_assets",  # last driver green: r0
-    "streaming_dedup_delta",  # last driver green: r0
-    "text_pack_bpe",  # last driver green: r0
-    "corpus_mixture_bpe",  # last driver green: r0
-    "dedup_exact_substring",  # last driver green: r0
-    "dedup_remove_substrings",  # last driver green: r0
-    "ann_recall_audit",  # last driver green: r8
-    "ann_recall_clustered",  # last driver green: r8
-    "mm_phash_near_dup",  # last driver green: r8
-    "ann_topk_ivfpq",  # last driver green: r8
-    "ann_truncation_audit",  # last driver green: r8
-    "text_bpe_segment",  # last driver green: r8
-    "text_pack_sequences",  # last driver green: r5
-    "corpus_mixture_plan",  # last driver green: r8
-    "ann_label_audit",  # last driver green: r0
-    "ann_label_audit_clustered",  # last driver green: r0
-    "corpus_curriculum_plan",  # last driver green: r0
-    "dedup_chunks_exact",  # last driver green: r0
-    "dedup_decontaminate",  # last driver green: r0
-    "dedup_source_matrix",  # last driver green: r0
-    "docs_chunk_overlap",  # last driver green: r0
-    "docs_pack_chunks",  # last driver green: r0
-    "emb_anisotropy_audit",  # last driver green: r0
-    "emb_pca_power",  # last driver green: r0
-    "events_anomaly_days",  # last driver green: r0
-    "events_ewma_daily",  # last driver green: r0
-    "graph_communities_lpa",  # last driver green: r0
-    "retrieval_hybrid_rrf3",  # last driver green: r0
-    "streaming_drift_tvd",  # last driver green: r0
-    "text_bpe_fertility",  # last driver green: r0
-    "text_keywords",  # last driver green: r0
-    "text_lm_score",  # last driver green: r0
-    "text_quality_ensemble",  # last driver green: r0
-    "text_tfidf_search",  # last driver green: r0
-    "emb_kmeans_step",  # last driver green: r5
-    "pipeline_orders",  # last driver green: r5
-    "pipeline_product_details",  # last driver green: r5
-    "pipeline_purchase_details",  # last driver green: r5
-    "pipeline_shipping_addresses",  # last driver green: r5
-    "q11_important_parts",  # last driver green: r5
-    "q13_order_count_distribution",  # last driver green: r5
-    "q14_promo_revenue",  # last driver green: r5
-    "q15_top_supplier",  # last driver green: r5
-    "q16_supplier_diversity",  # last driver green: r5
-    "q17_small_quantity_revenue",  # last driver green: r5
-    "q18_large_orders",  # last driver green: r5
-    "q19_disjunctive_revenue",  # last driver green: r5
-    "q20_promotion_suppliers",  # last driver green: r5
-    "q2_min_cost_supplier",  # last driver green: r5
+    "q3_shipping_priority",  # last driver green: r5
+    "q6_forecast_revenue",  # last driver green: r5
+    "q8_market_share",  # last driver green: r5
+    "q9_red_parts_profit",  # last driver green: r5
+    "ref_average_order_value",  # last driver green: r5
+    "ref_most_sales_products",  # last driver green: r5
+    "ref_order_and_client_details",  # last driver green: r5
+    "ref_total_income_per_payment_method",  # last driver green: r5
+    "ref_total_sales_per_country",  # last driver green: r5
+    "sales_monthly_yoy",  # last driver green: r5
+    "sales_per_nation",  # last driver green: r5
+    "sales_rollup",  # last driver green: r5
+    "text_collocations",  # last driver green: r5
+    "text_fingerprint",  # last driver green: r5
+    "text_language_id",  # last driver green: r5
+    "text_pii_redact",  # last driver green: r5
+    "text_quality_score",  # last driver green: r5
+    "text_stratified_sample",  # last driver green: r5
+    "text_token_stats",  # last driver green: r5
+    "text_vocab_growth",  # last driver green: r5
+    "top_parts_by_revenue",  # last driver green: r5
+    "ann_topk_brute",  # last driver green: r6
+    "ann_topk_lsh",  # last driver green: r6
+    "ann_topk_lsh_multi",  # last driver green: r6
+    "bucketed_sales_join",  # last driver green: r6
+    "customer_retention",  # last driver green: r6
+    "customers_with_urgent_orders",  # last driver green: r6
+    "customers_without_urgent_orders",  # last driver green: r6
+    "dedup_simhash_fingerprints",  # last driver green: r6
+    "dedup_simhash_pairs",  # last driver green: r6
+    "emb_near_dup",  # last driver green: r6
+    "emb_near_dup_lsh",  # last driver green: r6
+    "events_attribution",  # last driver green: r6
+    "events_sessionization",  # last driver green: r6
+    "events_type_mode",  # last driver green: r6
+    "events_type_value_quantiles",  # last driver green: r6
+    "events_value_histogram",  # last driver green: r6
+    "events_variant_props",  # last driver green: r6
+    "fuzzy_customer_names",  # last driver green: r6
+    "incremental_sales_rollup",  # last driver green: r6
+    "pipeline_compaction",  # last driver green: r6
+    "pipeline_partition_scan",  # last driver green: r6
+    "profile_documents",  # last driver green: r6
+    "q10_returned_items",  # last driver green: r6
+    "q12_ship_delay_classes",  # last driver green: r6
+    "q5_local_supplier_volume",  # last driver green: r6
+    "q7_volume_shipping",  # last driver green: r6
+    "sales_pivot_by_priority",  # last driver green: r6
+    "salted_events_join",  # last driver green: r6
+    "salted_lineitem_agg",  # last driver green: r6
 ]
 _GATE_TAIL = [
+    "ann_label_audit",  # last driver green: r9
+    "ann_label_audit_clustered",  # last driver green: r9
+    "ann_recall_audit",  # last driver green: r9
+    "ann_recall_clustered",  # last driver green: r9
+    "ann_topk_ivfpq",  # last driver green: r9
+    "ann_topk_ivfpq_trained",  # last driver green: r9
+    "ann_truncation_audit",  # last driver green: r9
+    "corpus_curriculum_plan",  # last driver green: r9
+    "corpus_mixture_bpe",  # last driver green: r9
+    "corpus_mixture_plan",  # last driver green: r9
+    "dedup_chunks_exact",  # last driver green: r9
+    "dedup_decontaminate",  # last driver green: r9
+    "dedup_exact_substring",  # last driver green: r9
+    "dedup_remove_substrings",  # last driver green: r9
+    "dedup_source_matrix",  # last driver green: r9
+    "docs_chunk_overlap",  # last driver green: r9
+    "docs_pack_chunks",  # last driver green: r9
+    "emb_anisotropy_audit",  # last driver green: r9
+    "emb_kmeans_step",  # last driver green: r9
+    "emb_pca_power",  # last driver green: r9
+    "events_anomaly_days",  # last driver green: r9
+    "events_ewma_daily",  # last driver green: r9
+    "graph_communities_lpa",  # last driver green: r9
+    "mm_canonical_assets",  # last driver green: r9
+    "mm_phash_near_dup",  # last driver green: r9
+    "pipeline_orders",  # last driver green: r9
+    "pipeline_product_details",  # last driver green: r9
+    "pipeline_purchase_details",  # last driver green: r9
+    "pipeline_shipping_addresses",  # last driver green: r9
+    "q11_important_parts",  # last driver green: r9
+    "q13_order_count_distribution",  # last driver green: r9
+    "q14_promo_revenue",  # last driver green: r9
+    "q15_top_supplier",  # last driver green: r9
+    "q16_supplier_diversity",  # last driver green: r9
+    "q17_small_quantity_revenue",  # last driver green: r9
+    "q18_large_orders",  # last driver green: r9
+    "q19_disjunctive_revenue",  # last driver green: r9
+    "q20_promotion_suppliers",  # last driver green: r9
+    "q2_min_cost_supplier",  # last driver green: r9
+    "retrieval_hybrid_rrf3",  # last driver green: r9
+    "streaming_dedup_delta",  # last driver green: r9
+    "streaming_drift_tvd",  # last driver green: r9
+    "text_bpe_fertility",  # last driver green: r9
+    "text_bpe_segment",  # last driver green: r9
+    "text_keywords",  # last driver green: r9
+    "text_lm_score",  # last driver green: r9
+    "text_pack_bpe",  # last driver green: r9
+    "text_pack_sequences",  # last driver green: r9
+    "text_quality_ensemble",  # last driver green: r9
+    "text_tfidf_search",  # last driver green: r9
     "brand_basket_affinity",  # last driver green: r8
     "dedup_components",  # last driver green: r8
     "dedup_exact_recrawl",  # last driver green: r8
@@ -2401,35 +2451,6 @@ _GATE_TAIL = [
     "text_model_quality",  # last driver green: r7
     "text_quality_sample",  # last driver green: r7
     "top_orders_per_customer",  # last driver green: r7
-    "ann_topk_brute",  # last driver green: r6
-    "ann_topk_lsh",  # last driver green: r6
-    "ann_topk_lsh_multi",  # last driver green: r6
-    "bucketed_sales_join",  # last driver green: r6
-    "customer_retention",  # last driver green: r6
-    "customers_with_urgent_orders",  # last driver green: r6
-    "customers_without_urgent_orders",  # last driver green: r6
-    "dedup_simhash_fingerprints",  # last driver green: r6
-    "dedup_simhash_pairs",  # last driver green: r6
-    "emb_near_dup",  # last driver green: r6
-    "emb_near_dup_lsh",  # last driver green: r6
-    "events_attribution",  # last driver green: r6
-    "events_sessionization",  # last driver green: r6
-    "events_type_mode",  # last driver green: r6
-    "events_type_value_quantiles",  # last driver green: r6
-    "events_value_histogram",  # last driver green: r6
-    "events_variant_props",  # last driver green: r6
-    "fuzzy_customer_names",  # last driver green: r6
-    "incremental_sales_rollup",  # last driver green: r6
-    "pipeline_compaction",  # last driver green: r6
-    "pipeline_partition_scan",  # last driver green: r6
-    "profile_documents",  # last driver green: r6
-    "q10_returned_items",  # last driver green: r6
-    "q12_ship_delay_classes",  # last driver green: r6
-    "q5_local_supplier_volume",  # last driver green: r6
-    "q7_volume_shipping",  # last driver green: r6
-    "sales_pivot_by_priority",  # last driver green: r6
-    "salted_events_join",  # last driver green: r6
-    "salted_lineitem_agg",  # last driver green: r6
     "salted_priority_sales",  # last driver green: r6
     "sketch_distinct_trigrams",  # last driver green: r6
     "sketch_value_quantiles",  # last driver green: r6
@@ -2437,27 +2458,6 @@ _GATE_TAIL = [
     "streaming_late_data_policy",  # last driver green: r6
     "streaming_value_quantiles",  # last driver green: r6
     "text_repetition",  # last driver green: r6
-    "q3_shipping_priority",  # last driver green: r5
-    "q6_forecast_revenue",  # last driver green: r5
-    "q8_market_share",  # last driver green: r5
-    "q9_red_parts_profit",  # last driver green: r5
-    "ref_average_order_value",  # last driver green: r5
-    "ref_most_sales_products",  # last driver green: r5
-    "ref_order_and_client_details",  # last driver green: r5
-    "ref_total_income_per_payment_method",  # last driver green: r5
-    "ref_total_sales_per_country",  # last driver green: r5
-    "sales_monthly_yoy",  # last driver green: r5
-    "sales_per_nation",  # last driver green: r5
-    "sales_rollup",  # last driver green: r5
-    "text_collocations",  # last driver green: r5
-    "text_fingerprint",  # last driver green: r5
-    "text_language_id",  # last driver green: r5
-    "text_pii_redact",  # last driver green: r5
-    "text_quality_score",  # last driver green: r5
-    "text_stratified_sample",  # last driver green: r5
-    "text_token_stats",  # last driver green: r5
-    "text_vocab_growth",  # last driver green: r5
-    "top_parts_by_revenue",  # last driver green: r5
 ]
 # --- END GENERATED GATE ORDER ---
 

@@ -34,35 +34,39 @@ REGISTRY = os.path.join(
 )
 WINDOW = 50
 
-#: Round-9 rotation set: every query that is NEW this round or whose
+#: Round-10 rotation set: every query that is NEW this round or whose
 #: OUTPUT or IMPLEMENTATION changed (next round: replace this list).
+#: Grown in place during the round — regenerate after each addition.
 MUST_ROTATE = [
-    # --- new in round 9: first driver verification ---
-    "ann_topk_ivfpq_trained",
-    "mm_canonical_assets",
-    "streaming_dedup_delta",
-    "text_pack_bpe",
-    "corpus_mixture_bpe",
-    "dedup_exact_substring",
-    "dedup_remove_substrings",
-    # --- output changed in round 9 ---
-    "ann_recall_audit",        # +ivfpq_t method row
-    "ann_recall_clustered",    # +ivfpq_t method row
-    "mm_phash_near_dup",       # length-guarded re-render fixture
-    # --- implementation changed (same output), rotated for safety ---
-    "ann_topk_ivfpq",          # coarse_cents/pq_cents overrides
-    "ann_truncation_audit",    # session-cached truth panel
-    "text_bpe_segment",        # rides the _bpe_seg_counts cache
-    "text_pack_sequences",     # pack_counts refactor
-    "corpus_mixture_plan",     # counts seam
 ]
 
 
-def last_green_rounds() -> dict[str, int]:
+def _tracked_correctness() -> set[str]:
+    """Basenames of CORRECTNESS files known to git — a file the driver
+    deposited AFTER the builder's round close is untracked, and the
+    --check fallback ignores it so a fresh round doesn't start red
+    (r9 ADVICE). Round close still fails hard: by then the round's
+    file is committed and the strict compare governs."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "ls-files", "CORRECTNESS_r*.json"],
+            cwd=ROOT, capture_output=True, text=True, check=True,
+        ).stdout
+    except Exception:
+        return set()
+    return {os.path.basename(p) for p in out.split()}
+
+
+def last_green_rounds(tracked_only: bool = False) -> dict[str, int]:
     """name -> highest round with a fully-green driver row (never-
     checked names are absent → treated as round 0 = stalest)."""
+    tracked = _tracked_correctness() if tracked_only else None
     out: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
+        if tracked is not None and os.path.basename(path) not in tracked:
+            continue
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         rnd = int(m.group(1))
         try:
@@ -82,12 +86,14 @@ def last_green_rounds() -> dict[str, int]:
     return out
 
 
-def compute_order() -> tuple[list[str], list[str], dict[str, int]]:
+def compute_order(
+    tracked_only: bool = False,
+) -> tuple[list[str], list[str], dict[str, int]]:
     sys.path.insert(0, ROOT)
     from aws_kinesis_data_ingestion_restapi_spark.registry import QUERY_FNS
 
     names = list(QUERY_FNS)
-    greens = last_green_rounds()
+    greens = last_green_rounds(tracked_only=tracked_only)
     missing = [n for n in MUST_ROTATE if n not in names]
     assert not missing, f"MUST_ROTATE names not in registry: {missing}"
     rest = [n for n in names if n not in MUST_ROTATE]
@@ -142,6 +148,16 @@ def main() -> int:
     if "--check" in sys.argv:
         m = pat.search(src)
         if m is None or m.group(0) != block:
+            # Tolerate staleness caused ONLY by a CORRECTNESS file the
+            # driver deposited after round close (untracked in git) —
+            # the next builder session regenerates before first commit.
+            head_t, tail_t, greens_t = compute_order(tracked_only=True)
+            if m is not None and m.group(0) == render(head_t, tail_t, greens_t):
+                print(
+                    "gate order current vs committed history "
+                    "(ignoring post-close driver CORRECTNESS deposit)"
+                )
+                return 0
             print("gate order is STALE — run: python scripts/gen_gate_head.py")
             return 1
         print("gate order up to date")

@@ -3251,3 +3251,55 @@ def test_lpa_bipartite_fixture_properties(spark):
     assert any(n < 1_000_000_000 for n in nodes)
     # fewer communities than nodes: propagation actually merged labels
     assert len(comms) < len(nodes)
+
+
+def test_overflow_guards_fire_loudly(spark):
+    """r9 ADVICE: the docs_pack_chunks composite-uid modulus and the
+    purchase-graph supplier offset would overflow IDENTICALLY in both
+    engines, so the oracle gate cannot see it — the only honest
+    behavior is a loud per-row failure. Pin that both guard
+    expressions raise on out-of-range input and pass through valid
+    rows unchanged."""
+    from pyspark.errors import SparkRuntimeException
+    from aws_kinesis_data_ingestion_restapi_spark.operators import (
+        registry_ext as rx,
+    )
+
+    # uid guard shape (docs_pack_chunks)
+    df = spark.createDataFrame(
+        [(7, 3), (8, rx.CHUNK_UID_MOD)], ["doc_id", "chunk_idx"]
+    )
+    guard = (
+        F.when(
+            F.col("chunk_idx") >= rx.CHUNK_UID_MOD,
+            F.raise_error(F.lit("chunk_idx overflow")).cast("long"),
+        )
+        .otherwise(
+            F.col("doc_id") * rx.CHUNK_UID_MOD + F.col("chunk_idx")
+        )
+        .alias("uid")
+    )
+    ok = df.filter(F.col("chunk_idx") < rx.CHUNK_UID_MOD).select(guard)
+    assert [r["uid"] for r in ok.collect()] == [7 * rx.CHUNK_UID_MOD + 3]
+    with pytest.raises(SparkRuntimeException, match="chunk_idx overflow"):
+        df.select(guard).collect()
+
+    # supplier-offset guard (purchase bipartite graph): valid fixture
+    # keys pass; an injected custkey at the offset fails loudly
+    sf = "/root/testdata/sf0.001"
+    edges = rx._purchase_bipartite_edges(spark, sf)
+    assert edges.limit(1).count() == 1
+    bad = spark.createDataFrame(
+        [(rx.SUPPLIER_NODE_OFFSET + 5,)], ["o_custkey"]
+    ).select(
+        F.when(
+            F.col("o_custkey") >= rx.SUPPLIER_NODE_OFFSET,
+            F.raise_error(
+                F.lit("custkey crosses supplier offset")
+            ).cast("long"),
+        )
+        .otherwise(F.col("o_custkey"))
+        .alias("u")
+    )
+    with pytest.raises(SparkRuntimeException, match="crosses supplier offset"):
+        bad.collect()

@@ -543,32 +543,36 @@ def test_streaming_drift_tvd_matches_batch_and_withholds_tail(spark):
     import collections
     import datetime
 
+    # Spark collects session-TZ-naive datetimes; do ALL the window
+    # arithmetic in epoch seconds with timezone.utc attached so the
+    # expected window starts are identical on any host TZ (r9 ADVICE:
+    # naive .timestamp()/utcfromtimestamp shifted on non-UTC hosts).
+    utc = datetime.timezone.utc
+
+    def _epoch(ts):
+        return (ts if ts.tzinfo else ts.replace(tzinfo=utc)).timestamp()
+
     base = collections.Counter(r["event_type"] for r in rows)
     total = sum(base.values())
-    max_ts = max(r["ts"] for r in rows)
-    wm = max_ts - datetime.timedelta(hours=1)
+    wm_epoch = max(_epoch(r["ts"]) for r in rows) - 3600
 
     win = collections.defaultdict(collections.Counter)
     for r in rows:
-        s = int(r["ts"].timestamp() // 21600) * 21600
+        s = int(_epoch(r["ts"]) // 21600) * 21600
         win[s][r["event_type"]] += 1
 
     expected = {}
     for s, cnt in win.items():
-        end = datetime.datetime.utcfromtimestamp(s + 21600)
-        if end > wm.replace(tzinfo=None) if wm.tzinfo else end > wm:
+        if s + 21600 > wm_epoch:
             continue
         nw = sum(cnt.values())
         diff = sum(
             abs(cnt.get(t, 0) * total - b * nw) for t, b in base.items()
         )
-        expected[datetime.datetime.utcfromtimestamp(s)] = (
-            nw,
-            diff / (2.0 * nw * total),
-        )
+        expected[s] = (nw, diff / (2.0 * nw * total))
 
     got = {
-        r["window_start"].replace(tzinfo=None): (r["n_events"], r["tvd"])
+        int(_epoch(r["window_start"])): (r["n_events"], r["tvd"])
         for r in out
     }
     assert set(got) == set(expected)
@@ -577,8 +581,4 @@ def test_streaming_drift_tvd_matches_batch_and_withholds_tail(spark):
         assert got[k][1] == pytest.approx(tvd, rel=1e-12)
         assert 0.0 <= got[k][1] <= 1.0
     # the unfinished tail is withheld
-    assert all(
-        r["window_end"].replace(tzinfo=None)
-        <= (wm.replace(tzinfo=None) if wm.tzinfo else wm)
-        for r in out
-    )
+    assert all(_epoch(r["window_end"]) <= wm_epoch for r in out)
