@@ -25,6 +25,7 @@ from aws_kinesis_data_ingestion_restapi_spark.operators import (
     cdc,
     dedup,
     expectations,
+    fuzzy,
     graph,
     multimodal,
     packing,
@@ -1625,6 +1626,37 @@ def graph_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def er_entity_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X136: the composed ENTITY-RESOLUTION pipeline (r9 VERDICT ask
+    #2) — the record-linkage run a curation team schedules weekly,
+    assembled from parts that are each already oracle-green: X39
+    deletion-neighborhood blocking on the name (fuzzy.py — zero false
+    negatives at edit distance ≤ 1, linear candidate blowup),
+    attribute-agreement verification on (nationkey, mktsegment)
+    folded INTO the blocking equi-join key (disagreeing records never
+    meet in the shuffle), and X35 min-label closure into canonical
+    entity ids. One row per customer record: its entity id (the
+    entity's minimum custkey), the entity's record count, and whether
+    this record IS the canonical one. The oracle nests the
+    quadratic-reference fuzzy verify under the recursive-CTE closure
+    (the docs_split_leakage_safe pattern). See
+    fuzzy.resolve_entities."""
+    from pyspark.sql.window import Window
+
+    ensure_runtime_confs(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    ents = fuzzy.resolve_entities(
+        cust, "c_custkey", "c_name", attrs=("c_nationkey", "c_mktsegment")
+    )
+    w = Window.partitionBy("entity_id")
+    return ents.select(
+        F.col("c_custkey").alias("custkey"),
+        "entity_id",
+        F.count(F.lit(1)).over(w).alias("n_records"),
+        (F.col("c_custkey") == F.col("entity_id")).alias("canonical"),
+    ).orderBy("custkey")
+
+
 def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the bipartite customer–supplier purchase graph
     (edge ⇔ the customer ordered from the supplier), 3 exact
@@ -2363,6 +2395,7 @@ EXT_QUERY_FNS = {
     "events_type_value_quantiles": events_type_value_quantiles,
     "dedup_components": dedup_components,
     "dedup_components_star": dedup_components_star,
+    "er_entity_ids": er_entity_ids,
     "graph_pagerank_suppliers": graph_pagerank_suppliers,
     "graph_kcore_purchases": graph_kcore_purchases,
     "graph_communities_lpa": graph_communities_lpa,
@@ -5770,3 +5803,35 @@ def _lpa_oracle_sql(rounds: int) -> str:
 
 
 EXT_ORACLE_SQL["graph_communities_lpa"] = _lpa_oracle_sql(graph.LPA_ROUNDS)
+
+
+# X136 entity resolution: the quadratic-reference verify (equi-filter
+# on the agreement attributes FIRST — it is the blocking key in the
+# engine — then one levenshtein per surviving pair) nested under the
+# recursive-CTE closure; n_records/canonical derive from the labels.
+EXT_ORACLE_SQL["er_entity_ids"] = """
+    WITH RECURSIVE
+    pairs AS (
+        SELECT a.c_custkey AS u, b.c_custkey AS v
+        FROM customer a
+        JOIN customer b
+          ON a.c_custkey < b.c_custkey
+         AND a.c_nationkey = b.c_nationkey
+         AND a.c_mktsegment = b.c_mktsegment
+         AND levenshtein(a.c_name, b.c_name) <= 1
+    ),
+    edges AS (
+        SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs
+    ),
+    reach(u, r) AS (
+        SELECT c_custkey, c_custkey FROM customer
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+    ),
+    lab AS (SELECT u AS custkey, MIN(r) AS entity_id FROM reach GROUP BY u)
+    SELECT custkey, entity_id,
+           COUNT(*) OVER (PARTITION BY entity_id) AS n_records,
+           custkey = entity_id AS canonical
+    FROM lab
+    ORDER BY custkey
+"""

@@ -2255,12 +2255,13 @@ ORACLE_SQL["streaming_value_quantiles"] = f"""
 # park stable, already-driver-verified, untouched baselines at the
 # tail, where falling past position 50 loses nothing.
 # --- BEGIN GENERATED GATE ORDER (scripts/gen_gate_head.py) ---
-# Window = 0 never-driver-checked additions + 0 changed
-# entries + the 50 stalest driver greens (last green in
+# Window = 1 never-driver-checked additions + 0 changed
+# entries + the 49 stalest driver greens (last green in
 # round(s) [5, 6], from CORRECTNESS_r*.json). Regenerate with
 #   python scripts/gen_gate_head.py
 # (pytest runs --check; hand-edits here go stale and FAIL).
 _GATE_HEAD = [
+    "er_entity_ids",  # last driver green: r0
     "q3_shipping_priority",  # last driver green: r5
     "q6_forecast_revenue",  # last driver green: r5
     "q8_market_share",  # last driver green: r5
@@ -2310,7 +2311,6 @@ _GATE_HEAD = [
     "q7_volume_shipping",  # last driver green: r6
     "sales_pivot_by_priority",  # last driver green: r6
     "salted_events_join",  # last driver green: r6
-    "salted_lineitem_agg",  # last driver green: r6
 ]
 _GATE_TAIL = [
     "ann_label_audit",  # last driver green: r9
@@ -2451,6 +2451,7 @@ _GATE_TAIL = [
     "text_model_quality",  # last driver green: r7
     "text_quality_sample",  # last driver green: r7
     "top_orders_per_customer",  # last driver green: r7
+    "salted_lineitem_agg",  # last driver green: r6
     "salted_priority_sales",  # last driver green: r6
     "sketch_distinct_trigrams",  # last driver green: r6
     "sketch_value_quantiles",  # last driver green: r6

@@ -210,6 +210,7 @@ ANALYTICS_QUERIES = [
     "graph_kcore_purchases",
     "graph_communities_lpa",
     "graph_triangles_cosupply",
+    "er_entity_ids",
     "dedup_canonical_docs",
     "ann_topk_brute",
     "ann_topk_lsh",
@@ -392,6 +393,8 @@ BENCH_KEY_ALIASES = {
     # round-9 session-2 additions (X119-X123)
     "text_lm_score": "lm",
     "text_tfidf_search": "tfi",
+    # round-10 additions (final line only, 1:1)
+    "er_entity_ids": "eri",
     "retrieval_hybrid_rrf3": "rr3",
     "docs_chunk_overlap": "chu",
     "dedup_decontaminate": "dcn",

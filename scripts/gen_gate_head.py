@@ -38,6 +38,8 @@ WINDOW = 50
 #: OUTPUT or IMPLEMENTATION changed (next round: replace this list).
 #: Grown in place during the round — regenerate after each addition.
 MUST_ROTATE = [
+    # --- new in round 10: first driver verification ---
+    "er_entity_ids",
 ]
 
 

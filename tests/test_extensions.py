@@ -3303,3 +3303,64 @@ def test_overflow_guards_fire_loudly(spark):
     )
     with pytest.raises(SparkRuntimeException, match="crosses supplier offset"):
         bad.collect()
+
+
+def test_entity_resolution_composed_fixture(spark):
+    """X136 pin on an engineered multi-variant entity fixture: the
+    BLOCK→VERIFY→CLOSE composition must (a) merge typo variants that
+    agree on attributes, (b) chain transitively (a~b, b~c ⇒ one
+    entity even though ed(a,c)=2), (c) REFUSE to merge a name twin
+    whose attributes disagree, and (d) label untouched records as
+    singleton entities of themselves."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.fuzzy import (
+        resolve_entities,
+    )
+
+    rows = [
+        # entity A: transitive typo chain, same (nation, segment)
+        (1, "acme corp", 7, "retail"),
+        (2, "acme corq", 7, "retail"),   # ed 1 from #1
+        (3, "acme corqs", 7, "retail"),  # ed 1 from #2, ed 2 from #1
+        # name twin of #1 but different nation: must NOT merge
+        (4, "acme corp", 8, "retail"),
+        # name twin of #1 but different segment: must NOT merge
+        (5, "acme corp", 7, "wholesale"),
+        # entity B: insert/delete variant pair
+        (6, "globex", 3, "retail"),
+        (7, "globexx", 3, "retail"),
+        # unrelated singleton
+        (8, "initech", 3, "retail"),
+    ]
+    df = spark.createDataFrame(rows, ["rec_id", "name", "nation", "segment"])
+    out = {
+        r["rec_id"]: r["entity_id"]
+        for r in resolve_entities(
+            df, "rec_id", "name", attrs=("nation", "segment")
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 6, 7: 6, 8: 8}
+
+
+def test_er_entity_ids_invariants(spark):
+    """X136 registry-query invariants at sf0.001: labels partition the
+    customer universe, every entity id is a member record, n_records
+    sums back to the record count, and canonical marks exactly the
+    min-key record of each entity."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import (
+        registry_ext as rx,
+    )
+
+    out = rx.er_entity_ids(spark, "/root/testdata/sf0.001").collect()
+    keys = [r["custkey"] for r in out]
+    assert len(keys) == len(set(keys)) == 150
+    ents = {}
+    for r in out:
+        ents.setdefault(r["entity_id"], []).append(r)
+    for eid, members in ents.items():
+        assert eid == min(m["custkey"] for m in members)
+        assert all(m["n_records"] == len(members) for m in members)
+        assert [m["canonical"] for m in members].count(True) == 1
+        canon = next(m for m in members if m["canonical"])
+        assert canon["custkey"] == eid
+    # the fixture actually exercises merging (not all singletons)
+    assert any(len(m) > 1 for m in ents.values())
