@@ -1066,12 +1066,46 @@ def kmeans_step(
 #: 0.60 / 0.60 / 0.66 at coarse+book rounds 2/2, 3/2, 3/3).
 KM_TRAIN_ROUNDS = 3
 
+#: FAISS-standard bounded training set (r9 VERDICT ask #3): Lloyd
+#: rounds run over a FIXED-size deterministic sample instead of the
+#: full corpus, so training cost is O(sample·K) per round — constant
+#: in corpus size — while add/search stay full-corpus. Full-corpus
+#: training measured n^1.5 (98 s at 32k vectors, BENCH_NOTES r9).
+TRAIN_SAMPLE_N = 1024
+#: Pinned coarse-quantizer K under sampled training (auto_stride's
+#: K≈√n would re-couple the broadcast size to the corpus).
+TRAIN_K = 24
+
+
+def train_sample(
+    embs: DataFrame, n: int = TRAIN_SAMPLE_N, id_col: str = "vec_id"
+) -> DataFrame:
+    """Deterministic fixed-size training sample: the X79 md5
+    hash-rank top-n (sampling.sample_fixed_k) over the embedding
+    frame — exactly reproducible in both engines (ORDER BY
+    md5(CAST(id AS VARCHAR)), id LIMIT n), and compiled to
+    TakeOrderedAndProject, so no global sort materializes at 100 TB.
+    The K seed centroids are the top-``TRAIN_K`` PREFIX of the same
+    ordering — one contract, two limits."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.sampling import (
+        sample_fixed_k,
+    )
+
+    return sample_fixed_k(
+        embs.select(id_col, "embedding"),
+        k=n,
+        id_col=id_col,
+        keep_cols=("embedding",),
+    )
+
 
 def train_coarse_centroids(
     embs: DataFrame,
     rounds: int = KM_TRAIN_ROUNDS,
     centroid_stride: int | None = None,
     id_col: str = "vec_id",
+    sample_n: int | None = None,
+    k_seeds: int | None = None,
 ) -> DataFrame:
     """k-means-TRAINED coarse centroids for the IVF family — the
     train step every deployed IVF index runs (FAISS trains its coarse
@@ -1089,11 +1123,39 @@ def train_coarse_centroids(
     Scale shape: each round is the IVF build cost (broadcast n×K
     struct-min, one shuffled row per vector) plus one K·dim mean
     aggregate; lineage truncates per round via ckpt.materialize (the
-    CC/k-core pattern), so plan depth is O(1) in rounds."""
+    CC/k-core pattern), so plan depth is O(1) in rounds.
+
+    ``sample_n`` (the SHIPPED path — see :data:`TRAIN_SAMPLE_N`):
+    train on the deterministic md5 hash-rank sample instead of the
+    full corpus, seeded from the top-``k_seeds`` prefix of the same
+    ordering — per-round cost becomes O(sample_n·k_seeds), constant
+    in corpus size. ``sample_n=None`` keeps the legacy full-corpus
+    stride-seeded path (the A/B reference)."""
     from aws_kinesis_data_ingestion_restapi_spark.operators.ckpt import (
         materialize,
         release,
     )
+
+    if sample_n is not None:
+        k_seeds = k_seeds if k_seeds is not None else TRAIN_K
+        train = materialize(
+            train_sample(embs, n=sample_n, id_col=id_col), eager=True
+        )
+        cents = materialize(
+            train_sample(embs, n=k_seeds, id_col=id_col).select(
+                F.col(id_col).alias("cell"), quantized().alias("cv")
+            ),
+            eager=True,
+        )
+        for _ in range(rounds):
+            prev = cents
+            cents = materialize(
+                kmeans_new_centroids(train, centroids=prev, id_col=id_col),
+                eager=True,
+            )
+            release(prev)
+        release(train)
+        return cents
 
     cents = None
     for _ in range(rounds):
@@ -1189,20 +1251,26 @@ def train_subspace_codebooks(
     rounds: int = KM_TRAIN_ROUNDS,
     centroid_stride: int | None = None,
     id_col: str = "vec_id",
+    seed_books: DataFrame | None = None,
 ) -> DataFrame:
     """``rounds`` Lloyd mean-updates over an (id, sub, sv) subvector
     frame, seeded from the deterministic stride sample of the SAME
-    frame, with per-round lineage truncation. The generic train loop
-    behind :func:`train_pq_codebooks` (raw subvectors) and the
-    residual codebooks of :func:`topk_ivfpq_trained`."""
+    frame (or an explicit ``seed_books`` (sub, cell, cv) frame — the
+    sampled-training path), with per-round lineage truncation. The
+    generic train loop behind :func:`train_pq_codebooks` (raw
+    subvectors) and the residual codebooks of
+    :func:`topk_ivfpq_trained`."""
     from aws_kinesis_data_ingestion_restapi_spark.operators.ckpt import (
         materialize,
         release,
     )
 
-    books = subs.filter((F.col(id_col) % centroid_stride) == 0).select(
-        "sub", F.col(id_col).alias("cell"), F.col("sv").alias("cv")
-    )
+    if seed_books is not None:
+        books = seed_books.select("sub", "cell", "cv")
+    else:
+        books = subs.filter((F.col(id_col) % centroid_stride) == 0).select(
+            "sub", F.col(id_col).alias("cell"), F.col("sv").alias("cv")
+        )
     for r in range(rounds):
         prev = books if r > 0 else None
         books = materialize(
@@ -1241,6 +1309,8 @@ def train_residual_books(
     m: int = PQ_M,
     centroid_stride: int | None = None,
     id_col: str = "vec_id",
+    sample_n: int | None = None,
+    k_seeds: int | None = None,
 ) -> DataFrame:
     """The residual-codebook train step of :func:`topk_ivfpq_trained`,
     factored out so a session can train ONCE and share the books
@@ -1250,10 +1320,29 @@ def train_residual_books(
     residual v − centroid(cell), and run ``rounds`` subspace Lloyd
     updates. Identical arithmetic to the in-search derivation (same
     struct-min assignment, same slices), so books trained here equal
-    books trained inline."""
-    base = embs.select(F.col(id_col), quantized().alias("v"))
-    if centroid_stride is None:
-        centroid_stride = auto_stride(embs.count())
+    books trained inline.
+
+    ``sample_n`` (the SHIPPED path, matching
+    :func:`train_coarse_centroids`): assignment + residuals + Lloyd
+    rounds run over the md5 hash-rank sample only, seeded from the
+    top-``k_seeds`` prefix's residual subvectors — per-round cost
+    constant in corpus size. The full corpus is only touched at
+    encode time (inside the search), never during training."""
+    if sample_n is not None:
+        from aws_kinesis_data_ingestion_restapi_spark.operators.ckpt import (
+            materialize,
+            release,
+        )
+
+        k_seeds = k_seeds if k_seeds is not None else TRAIN_K
+        train = materialize(
+            train_sample(embs, n=sample_n, id_col=id_col), eager=True
+        )
+        base = train.select(F.col(id_col), quantized().alias("v"))
+    else:
+        if centroid_stride is None:
+            centroid_stride = auto_stride(embs.count())
+        base = embs.select(F.col(id_col), quantized().alias("v"))
     cents = coarse_cents.select("cell", "cv")
     assign = _kmeans_assign(base, cents, id_col)
     resid = assign.join(F.broadcast(cents), "cell").select(
@@ -1273,6 +1362,18 @@ def train_residual_books(
             ).alias("sv"),
         )
     )
+    if sample_n is not None:
+        seed_ids = train_sample(embs, n=k_seeds, id_col=id_col).select(
+            id_col
+        )
+        seed_books = rs.join(seed_ids, id_col).select(
+            "sub", F.col(id_col).alias("cell"), F.col("sv").alias("cv")
+        )
+        books = train_subspace_codebooks(
+            rs, rounds=rounds, id_col=id_col, seed_books=seed_books
+        )
+        release(train)
+        return books
     return train_subspace_codebooks(
         rs, rounds=rounds, centroid_stride=centroid_stride, id_col=id_col
     )

@@ -537,6 +537,7 @@ from aws_kinesis_data_ingestion_restapi_spark.streaming.registry_stream import (
     streaming_running_totals_final,
     streaming_session_windows,
     streaming_sliding_1h_15m,
+    streaming_topk_users,
     streaming_value_quantiles,
 )
 
@@ -551,6 +552,7 @@ QUERY_FNS["streaming_late_data_policy"] = streaming_late_data_policy
 QUERY_FNS["streaming_session_windows"] = streaming_session_windows
 QUERY_FNS["streaming_sliding_1h_15m"] = streaming_sliding_1h_15m
 QUERY_FNS["streaming_drift_tvd"] = streaming_drift_tvd
+QUERY_FNS["streaming_topk_users"] = streaming_topk_users
 QUERY_FNS["streaming_value_quantiles"] = streaming_value_quantiles
 
 # merge the dedup / similarity / text-analysis extension surface
@@ -2018,6 +2020,36 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY window_start, window_end, nw, t
         ORDER BY 1
     """,
+    # X137 streaming top-k heavy hitters: static replay of the tumbling
+    # counts, the wm emission rule (end <= max ts - 1 h), and the
+    # (count DESC, user_id) row_number per closed window; the TWICE-
+    # delivered fixture must not change a single emitted count (the
+    # replay-invariance pin) or the value-hash fails
+    "streaming_topk_users": """
+        WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+        win AS (
+            SELECT CAST(to_timestamp(FLOOR(epoch(ts) / 21600) * 21600)
+                        AS TIMESTAMP) AS window_start,
+                   CAST(to_timestamp(FLOOR(epoch(ts) / 21600) * 21600
+                        + 21600) AS TIMESTAMP) AS window_end,
+                   user_id, COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2, 3
+        ),
+        keep AS (
+            SELECT * FROM win WHERE window_end <= (SELECT w FROM wm)
+        ),
+        ranked AS (
+            SELECT window_start, window_end, user_id, n_events,
+                   ROW_NUMBER() OVER (PARTITION BY window_start
+                                      ORDER BY n_events DESC, user_id)
+                       AS rnk
+            FROM keep
+        )
+        SELECT window_start, window_end, CAST(rnk AS INTEGER) AS rank,
+               user_id, n_events
+        FROM ranked WHERE rnk <= 5
+        ORDER BY window_start, rank
+    """,
     # PIVOT == conditional aggregation per cell; fixed priority domain
     "sales_pivot_by_priority": """
         SELECT n_name AS nation,
@@ -2255,13 +2287,14 @@ ORACLE_SQL["streaming_value_quantiles"] = f"""
 # park stable, already-driver-verified, untouched baselines at the
 # tail, where falling past position 50 loses nothing.
 # --- BEGIN GENERATED GATE ORDER (scripts/gen_gate_head.py) ---
-# Window = 1 never-driver-checked additions + 0 changed
-# entries + the 49 stalest driver greens (last green in
+# Window = 2 never-driver-checked additions + 0 changed
+# entries + the 48 stalest driver greens (last green in
 # round(s) [5, 6], from CORRECTNESS_r*.json). Regenerate with
 #   python scripts/gen_gate_head.py
 # (pytest runs --check; hand-edits here go stale and FAIL).
 _GATE_HEAD = [
     "er_entity_ids",  # last driver green: r0
+    "streaming_topk_users",  # last driver green: r0
     "q3_shipping_priority",  # last driver green: r5
     "q6_forecast_revenue",  # last driver green: r5
     "q8_market_share",  # last driver green: r5
@@ -2310,7 +2343,6 @@ _GATE_HEAD = [
     "q5_local_supplier_volume",  # last driver green: r6
     "q7_volume_shipping",  # last driver green: r6
     "sales_pivot_by_priority",  # last driver green: r6
-    "salted_events_join",  # last driver green: r6
 ]
 _GATE_TAIL = [
     "ann_label_audit",  # last driver green: r9
@@ -2451,6 +2483,7 @@ _GATE_TAIL = [
     "text_model_quality",  # last driver green: r7
     "text_quality_sample",  # last driver green: r7
     "top_orders_per_customer",  # last driver green: r7
+    "salted_events_join",  # last driver green: r6
     "salted_lineitem_agg",  # last driver green: r6
     "salted_priority_sales",  # last driver green: r6
     "sketch_distinct_trigrams",  # last driver green: r6

@@ -828,3 +828,81 @@ def streaming_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+def streaming_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X137: streaming top-k heavy hitters — the live-dashboard form
+    the monitoring family lacked (r9 VERDICT ask #4): per CLOSED
+    tumbling window, the top-5 users by exact event count, under the
+    pinned X40 emission rule (append mode emits exactly the windows
+    whose end ≤ final watermark = max on-time ts − 1 h).
+
+    Replay-invariance is DESIGNED IN and pinned by the value-hash:
+    the fixture delivers the event dump TWICE (at-least-once
+    redelivery), and the pipeline counts exactly once anyway —
+    ``dropDuplicatesWithinWatermark`` on event_id ahead of the
+    windowed aggregate (the first multi-stateful-operator pipeline in
+    the surface: streaming dedup feeding a streaming agg in one
+    query, Spark 3.5+ semantics). Duplicates inside the watermark
+    horizon hit the dedup state; duplicates below it are dropped as
+    late by the watermark itself — either way an emitted window's
+    count equals the single-delivery count, which is exactly what
+    the static oracle computes.
+
+    The top-k ranking runs POST-drain on the drained counts panel
+    (row_number per window, (count DESC, user_id) tie-break) — the
+    panel is (closed windows × active users per window); the rank is
+    a per-window-partition window function, never a global sort.
+
+    Scale note: exact per-(window, user) counts shuffle on the
+    (window, user) composite — the state is bounded by the watermark
+    and the per-window active-user cardinality. For a key space too
+    hot for exact counts, X69's Count-Min sketch is the documented
+    degradation path; this query is the exact form a dashboard wants
+    when the key cardinality is operational (users, hosts, tenants).
+    """
+    events = analytics._t(spark, sf_dir, "events")
+    base_cols = events.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+    )
+    raw, d = _replayed_stream(
+        spark,
+        base_cols,
+        "event_id long, ts string, user_id long",
+        2,
+        "stream_topk_",
+    )
+    stream = raw.withColumn("ts", F.to_timestamp("ts")).withWatermark(
+        "ts", "1 hour"
+    )
+    deduped = stream.dropDuplicatesWithinWatermark(["event_id"])
+    agg = (
+        deduped.groupBy(F.window("ts", "6 hours").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    panel = _drain(agg, "append", "stopk", cleanup_dir=d)
+    from pyspark.sql.window import Window
+
+    wr = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("user_id").asc()
+    )
+    return (
+        panel.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "window_start",
+            "window_end",
+            F.col("rank").cast("int").alias("rank"),
+            "user_id",
+            "n_events",
+        )
+        .orderBy("window_start", "rank")
+    )

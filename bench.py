@@ -211,6 +211,7 @@ ANALYTICS_QUERIES = [
     "graph_communities_lpa",
     "graph_triangles_cosupply",
     "er_entity_ids",
+    "streaming_topk_users",
     "dedup_canonical_docs",
     "ann_topk_brute",
     "ann_topk_lsh",
@@ -395,6 +396,7 @@ BENCH_KEY_ALIASES = {
     "text_tfidf_search": "tfi",
     # round-10 additions (final line only, 1:1)
     "er_entity_ids": "eri",
+    "streaming_topk_users": "stk",
     "retrieval_hybrid_rrf3": "rr3",
     "docs_chunk_overlap": "chu",
     "dedup_decontaminate": "dcn",

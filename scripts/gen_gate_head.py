@@ -40,6 +40,7 @@ WINDOW = 50
 MUST_ROTATE = [
     # --- new in round 10: first driver verification ---
     "er_entity_ids",
+    "streaming_topk_users",
 ]
 
 

@@ -582,3 +582,57 @@ def test_streaming_drift_tvd_matches_batch_and_withholds_tail(spark):
         assert 0.0 <= got[k][1] <= 1.0
     # the unfinished tail is withheld
     assert all(_epoch(r["window_end"]) <= wm_epoch for r in out)
+
+
+def test_streaming_topk_users_replay_and_emission(spark):
+    """X137 pins: (a) the X40 emission rule — every emitted window's
+    end ≤ final watermark (max ts − 1 h); (b) REPLAY INVARIANCE — the
+    fixture delivers the dump twice, yet every emitted count equals
+    the single-delivery static count (dedup-within-watermark + the
+    late-drop rule make redelivery a no-op for closed windows); and
+    (c) exact top-5 per window under the (count DESC, user_id)
+    tie-break, checked against a brute recomputation."""
+    import collections
+    import datetime
+
+    from aws_kinesis_data_ingestion_restapi_spark import analytics
+    from aws_kinesis_data_ingestion_restapi_spark.streaming.registry_stream import (
+        streaming_topk_users,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = streaming_topk_users(spark, sf).collect()
+    assert out
+
+    utc = datetime.timezone.utc
+
+    def _epoch(ts):
+        return (ts if ts.tzinfo else ts.replace(tzinfo=utc)).timestamp()
+
+    rows = analytics._t(spark, sf, "events").select("ts", "user_id").collect()
+    wm_epoch = max(_epoch(r["ts"]) for r in rows) - 3600
+    # (a) emission rule
+    assert all(_epoch(r["window_end"]) <= wm_epoch for r in out)
+
+    # brute single-delivery top-5 per closed window
+    win = collections.defaultdict(collections.Counter)
+    for r in rows:
+        s = int(_epoch(r["ts"]) // 21600) * 21600
+        win[s][r["user_id"]] += 1
+    expected = {}
+    for s, cnt in win.items():
+        if s + 21600 > wm_epoch:
+            continue
+        top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        expected[s] = [
+            (rank + 1, uid, n) for rank, (uid, n) in enumerate(top)
+        ]
+    got = collections.defaultdict(list)
+    for r in out:
+        got[int(_epoch(r["window_start"]))].append(
+            (r["rank"], r["user_id"], r["n_events"])
+        )
+    # (b) + (c): exact counts (not doubled) and exact ranking
+    assert {k: sorted(v) for k, v in got.items()} == {
+        k: sorted(v) for k, v in expected.items()
+    }
