@@ -1109,7 +1109,14 @@ def _ivfpqt_quantizers(
     the 2·KM_TRAIN_ROUNDS Lloyd rounds once per fixture instead of
     once per consumer (measured +7-8 s per audit without this).
     Training already materializes eagerly per round, so the cached
-    frames are checkpoint-backed K-row dims."""
+    frames are checkpoint-backed K-row dims.
+
+    r10 (VERDICT ask #3): the shipped training path is SAMPLE-BOUNDED
+    — Lloyd rounds over the TRAIN_SAMPLE_N md5 hash-rank sample with
+    K pinned at TRAIN_K, the FAISS-standard fix for the measured
+    n^1.5 full-corpus training cost (98 s at 32k vectors r9 → flat
+    ~4.5 s sampled, recall within noise both fixtures/SFs —
+    scripts/bench_sampled_training.py, BENCH_NOTES r10)."""
     def embs() -> DataFrame:
         e = _embs(spark, sf_dir)
         return similarity.clustered_embeddings(e) if clustered else e
@@ -1117,12 +1124,21 @@ def _ivfpqt_quantizers(
     coarse = _session_cached(
         spark,
         ("ivfpqt_coarse", sf_dir, clustered),
-        lambda: similarity.train_coarse_centroids(embs()),
+        lambda: similarity.train_coarse_centroids(
+            embs(),
+            sample_n=similarity.TRAIN_SAMPLE_N,
+            k_seeds=similarity.TRAIN_K,
+        ),
     )
     books = _session_cached(
         spark,
         ("ivfpqt_books", sf_dir, clustered),
-        lambda: similarity.train_residual_books(embs(), coarse),
+        lambda: similarity.train_residual_books(
+            embs(),
+            coarse,
+            sample_n=similarity.TRAIN_SAMPLE_N,
+            k_seeds=similarity.TRAIN_K,
+        ),
     )
     return coarse, books
 
@@ -4431,17 +4447,29 @@ def _ivfpq_trained_oracle_sql(
     DuckDB would otherwise inline the chain into base-scan blowup
     (the k-core oracle lesson). Mean arithmetic mirrors Spark
     exactly: floor((2·Σx + n) / (2.0·n)) — one IEEE double division +
-    floor, identical in both engines; every tie-break inherited."""
+    floor, identical in both engines; every tie-break inherited.
+
+    r10: training is SAMPLE-BOUNDED (the shipped config) — Lloyd
+    rounds run over the TRAIN_SAMPLE_N md5 hash-rank sample, seeded
+    from the TRAIN_K prefix of the same ordering (one contract, two
+    LIMITs; the X79 sample the Spark side reuses). Final assignment,
+    residual encoding, and the search stay full-corpus."""
     head = f"""
-        WITH stride AS (
-            SELECT GREATEST(CAST(floor(sqrt(COUNT(*))) AS BIGINT), 1) AS s
-            FROM embeddings
+        WITH samp AS MATERIALIZED (
+            SELECT vec_id FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT {similarity.TRAIN_SAMPLE_N}
+        ),
+        seed AS MATERIALIZED (
+            SELECT vec_id FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT {similarity.TRAIN_K}
         ),
         comp AS ({_COMP}),
         dims AS (SELECT vec_id, len(embedding) AS d FROM embeddings),
         cent_r0 AS MATERIALIZED (
-            SELECT vec_id AS cell, i, qx FROM comp
-            WHERE vec_id % (SELECT s FROM stride) = 0
+            SELECT c.vec_id AS cell, c.i, c.qx
+            FROM comp c JOIN seed s ON s.vec_id = c.vec_id
         )"""
     coarse = []
     for r in range(1, rounds + 1):
@@ -4453,7 +4481,9 @@ def _ivfpq_trained_oracle_sql(
                            PARTITION BY a.vec_id
                            ORDER BY SUM((a.qx - c.qx) * (a.qx - c.qx)),
                                     c.cell) AS r
-                FROM comp a JOIN cent_r{r - 1} c ON c.i = a.i
+                FROM comp a
+                JOIN samp sm ON sm.vec_id = a.vec_id
+                JOIN cent_r{r - 1} c ON c.i = a.i
                 GROUP BY a.vec_id, c.cell
             ) WHERE r = 1
         ),
@@ -4494,8 +4524,8 @@ def _ivfpq_trained_oracle_sql(
             WHERE (a.i - 1) // (d.d // 4) < 4
         ),
         pbook_r0 AS MATERIALIZED (
-            SELECT sub, vec_id AS cell, pos, rx FROM rsubs
-            WHERE vec_id % (SELECT s FROM stride) = 0
+            SELECT r.sub, r.vec_id AS cell, r.pos, r.rx
+            FROM rsubs r JOIN seed s ON s.vec_id = r.vec_id
         )"""
     books = []
     for r in range(1, rounds + 1):
@@ -4508,6 +4538,7 @@ def _ivfpq_trained_oracle_sql(
                            ORDER BY SUM((a.rx - c.rx) * (a.rx - c.rx)),
                                     c.cell) AS r
                 FROM rsubs a
+                JOIN samp sm ON sm.vec_id = a.vec_id
                 JOIN pbook_r{r - 1} c ON c.sub = a.sub AND c.pos = a.pos
                 GROUP BY a.vec_id, a.sub, c.cell
             ) WHERE r = 1

@@ -1070,8 +1070,12 @@ KM_TRAIN_ROUNDS = 3
 #: rounds run over a FIXED-size deterministic sample instead of the
 #: full corpus, so training cost is O(sample·K) per round — constant
 #: in corpus size — while add/search stay full-corpus. Full-corpus
-#: training measured n^1.5 (98 s at 32k vectors, BENCH_NOTES r9).
-TRAIN_SAMPLE_N = 1024
+#: training measured n^1.5 (98 s at 32k vectors, BENCH_NOTES r9);
+#: sampled training measured FLAT (~4.5 s at 2k/8k/32k vectors) with
+#: recall within noise of full-corpus at both gate SFs (the shipped
+#: (512, 24) config — A/B table in BENCH_NOTES r10,
+#: scripts/bench_sampled_training.py).
+TRAIN_SAMPLE_N = 512
 #: Pinned coarse-quantizer K under sampled training (auto_stride's
 #: K≈√n would re-couple the broadcast size to the corpus).
 TRAIN_K = 24
@@ -1434,12 +1438,17 @@ def topk_ivfpq_trained(
     trained pair per session across this search and both recall
     audits via the session frame cache)."""
     base = embs.select(F.col(id_col), quantized().alias("v"))
-    if (coarse_cents is None or books is None) and centroid_stride is None:
-        centroid_stride = auto_stride(embs.count())
+    # Inline training defaults to the SHIPPED sample-bounded path
+    # (TRAIN_SAMPLE_N/TRAIN_K — constant training cost in corpus
+    # size); an explicit centroid_stride selects the legacy
+    # full-corpus stride-seeded path (the A/B reference).
+    sampled = centroid_stride is None
     if coarse_cents is None:
         coarse_cents = train_coarse_centroids(
             embs, rounds=rounds, centroid_stride=centroid_stride,
             id_col=id_col,
+            sample_n=TRAIN_SAMPLE_N if sampled else None,
+            k_seeds=TRAIN_K if sampled else None,
         )
     cents = coarse_cents.select("cell", "cv")
     if books is None:
@@ -1450,6 +1459,8 @@ def topk_ivfpq_trained(
             m=m,
             centroid_stride=centroid_stride,
             id_col=id_col,
+            sample_n=TRAIN_SAMPLE_N if sampled else None,
+            k_seeds=TRAIN_K if sampled else None,
         )
     # final coarse assignment + probe lists (one expansion feeds both)
     expanded = base.join(F.broadcast(cents)).select(

@@ -2287,14 +2287,19 @@ ORACLE_SQL["streaming_value_quantiles"] = f"""
 # park stable, already-driver-verified, untouched baselines at the
 # tail, where falling past position 50 loses nothing.
 # --- BEGIN GENERATED GATE ORDER (scripts/gen_gate_head.py) ---
-# Window = 2 never-driver-checked additions + 0 changed
-# entries + the 48 stalest driver greens (last green in
+# Window = 2 never-driver-checked additions + 5 changed
+# entries + the 43 stalest driver greens (last green in
 # round(s) [5, 6], from CORRECTNESS_r*.json). Regenerate with
 #   python scripts/gen_gate_head.py
 # (pytest runs --check; hand-edits here go stale and FAIL).
 _GATE_HEAD = [
     "er_entity_ids",  # last driver green: r0
     "streaming_topk_users",  # last driver green: r0
+    "ann_topk_ivfpq_trained",  # last driver green: r9
+    "ann_recall_audit",  # last driver green: r9
+    "ann_recall_clustered",  # last driver green: r9
+    "ann_label_audit",  # last driver green: r9
+    "ann_label_audit_clustered",  # last driver green: r9
     "q3_shipping_priority",  # last driver green: r5
     "q6_forecast_revenue",  # last driver green: r5
     "q8_market_share",  # last driver green: r5
@@ -2338,19 +2343,9 @@ _GATE_HEAD = [
     "pipeline_compaction",  # last driver green: r6
     "pipeline_partition_scan",  # last driver green: r6
     "profile_documents",  # last driver green: r6
-    "q10_returned_items",  # last driver green: r6
-    "q12_ship_delay_classes",  # last driver green: r6
-    "q5_local_supplier_volume",  # last driver green: r6
-    "q7_volume_shipping",  # last driver green: r6
-    "sales_pivot_by_priority",  # last driver green: r6
 ]
 _GATE_TAIL = [
-    "ann_label_audit",  # last driver green: r9
-    "ann_label_audit_clustered",  # last driver green: r9
-    "ann_recall_audit",  # last driver green: r9
-    "ann_recall_clustered",  # last driver green: r9
     "ann_topk_ivfpq",  # last driver green: r9
-    "ann_topk_ivfpq_trained",  # last driver green: r9
     "ann_truncation_audit",  # last driver green: r9
     "corpus_curriculum_plan",  # last driver green: r9
     "corpus_mixture_bpe",  # last driver green: r9
@@ -2483,6 +2478,11 @@ _GATE_TAIL = [
     "text_model_quality",  # last driver green: r7
     "text_quality_sample",  # last driver green: r7
     "top_orders_per_customer",  # last driver green: r7
+    "q10_returned_items",  # last driver green: r6
+    "q12_ship_delay_classes",  # last driver green: r6
+    "q5_local_supplier_volume",  # last driver green: r6
+    "q7_volume_shipping",  # last driver green: r6
+    "sales_pivot_by_priority",  # last driver green: r6
     "salted_events_join",  # last driver green: r6
     "salted_lineitem_agg",  # last driver green: r6
     "salted_priority_sales",  # last driver green: r6

@@ -41,6 +41,12 @@ MUST_ROTATE = [
     # --- new in round 10: first driver verification ---
     "er_entity_ids",
     "streaming_topk_users",
+    # --- output changed in round 10 (sample-bounded quantizer training) ---
+    "ann_topk_ivfpq_trained",
+    "ann_recall_audit",
+    "ann_recall_clustered",
+    "ann_label_audit",
+    "ann_label_audit_clustered",
 ]
 
 
