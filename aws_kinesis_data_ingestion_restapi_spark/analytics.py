@@ -2842,3 +2842,132 @@ def events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+#: CUSUM contract (X138): baseline = the first CUSUM_BASELINE_DAYS
+#: calendar days (the training prefix μ0 is estimated on — judged
+#: days never feed their own baseline, the X133 leak-free rule);
+#: allowance k = baseline_sum DIV CUSUM_ALLOWANCE_DIV (10 % of the
+#: baseline mean, floored — exact integer); alarm threshold
+#: h = baseline_sum (one baseline-day mean of CUMULATIVE excess, in
+#: the same scaled units).
+CUSUM_BASELINE_DAYS = 14
+CUSUM_ALLOWANCE_DIV = 10
+
+
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X138: two-sided CUSUM changepoint detection on the daily event
+    count (Page 1954) — the monitoring family's change-POINT
+    detector: X130/X133 flag single-day level deviations; CUSUM
+    accumulates small persistent drift and fires when the cumulative
+    evidence crosses h, which is how a slow 10 % regression that
+    never trips a per-day band still gets caught.
+
+    CONTRACT DECISION (r9 VERDICT ask #5 asked for it explicitly):
+    the textbook recursion S_t = max(0, S_{t−1} + z_t) looks
+    stateful, but it has the exact closed form
+        S_t = P_t − min(0, min_{j≤t} P_j),  P_t = Σ_{i≤t} z_i
+    (induction: max(0, P_{t−1} − m_{t−1} + z_t) = P_t − min(P_t,
+    m_{t−1})), so the whole detector is TWO window passes over the
+    day table — prefix sum, then running min — no
+    applyInPandasWithState, no bounded-horizon approximation, and a
+    FULL value oracle instead of a rows-only check.
+
+    Exact integer arithmetic end to end: with baseline (first
+    CUSUM_BASELINE_DAYS days) totals (sum_b, d_b),
+        z⁺_t = n_t·d_b − sum_b − (sum_b DIV 10)
+        z⁻_t = sum_b − n_t·d_b − (sum_b DIV 10)
+    (units: events × d_b; the DIV-10 allowance is the standard
+    k = δ/2 slack that keeps in-control noise from accumulating),
+    S from the closed form, alarm when S > sum_b, and
+    is_changepoint marks the FIRST alarm day (no alarms among
+    strictly-prior days). Judged days are strictly post-baseline.
+
+    Scale shape: the corpus collapses to one row per day map-side
+    (the only corpus-sized work); every window runs on the day table
+    — single-partition by design at metadata scale (tens-hundreds of
+    rows, the documented X130/X133 day-frame pattern)."""
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        as_timestamp(events, "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return cusum_scores(daily)
+
+
+def cusum_scores(daily: DataFrame) -> DataFrame:
+    """The day-table CUSUM core behind :func:`events_cusum_changepoint`
+    (factored out so the engineered level-shift fixture pins the exact
+    closed form against the brute recursion): input (day, n), output
+    (day, n_events, s_pos, s_neg, alarm, is_changepoint) for every
+    post-baseline day under the module-constant contract."""
+    from pyspark.sql.window import Window
+
+    widx = Window.orderBy("day")
+    idx = daily.withColumn("_i", F.row_number().over(widx))
+    base = idx.filter(F.col("_i") <= CUSUM_BASELINE_DAYS).agg(
+        F.sum("n").cast("long").alias("sum_b"),
+        F.count(F.lit(1)).alias("d_b"),
+    )
+    k = F.expr(f"sum_b DIV {CUSUM_ALLOWANCE_DIV}")
+    z = (
+        idx.crossJoin(F.broadcast(base))
+        .filter(F.col("_i") > F.col("d_b"))
+        .select(
+            "day",
+            "n",
+            "sum_b",
+            (F.col("n") * F.col("d_b") - F.col("sum_b") - k).alias("zpos"),
+            (F.col("sum_b") - F.col("n") * F.col("d_b") - k).alias("zneg"),
+        )
+    )
+    wcum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    p = z.select(
+        "day",
+        "n",
+        "sum_b",
+        F.sum("zpos").over(wcum).alias("ppos"),
+        F.sum("zneg").over(wcum).alias("pneg"),
+    )
+    s = p.select(
+        "day",
+        "n",
+        "sum_b",
+        (F.col("ppos") - F.least(F.lit(0), F.min("ppos").over(wcum)))
+        .cast("long")
+        .alias("s_pos"),
+        (F.col("pneg") - F.least(F.lit(0), F.min("pneg").over(wcum)))
+        .cast("long")
+        .alias("s_neg"),
+    )
+    a = s.select(
+        "day",
+        F.col("n").alias("n_events"),
+        "s_pos",
+        "s_neg",
+        (
+            (F.col("s_pos") > F.col("sum_b"))
+            | (F.col("s_neg") > F.col("sum_b"))
+        ).alias("alarm"),
+    )
+    wprior = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return a.select(
+        "day",
+        "n_events",
+        "s_pos",
+        "s_neg",
+        "alarm",
+        (
+            F.col("alarm")
+            & (
+                F.coalesce(
+                    F.sum(F.col("alarm").cast("int")).over(wprior),
+                    F.lit(0),
+                )
+                == 0
+            )
+        ).alias("is_changepoint"),
+    ).orderBy("day")

@@ -509,6 +509,7 @@ QUERY_FNS: dict[str, QueryFn] = {
     "events_ewma_daily": analytics.events_ewma_daily,
     # X133 leak-free EWMA-residual anomaly flags, 3×MAD band
     "events_anomaly_days": analytics.events_anomaly_days,
+    "events_cusum_changepoint": analytics.events_cusum_changepoint,
     # Pareto / ABC classification (integer fixed-point boundaries)
     "parts_abc_analysis": analytics.parts_abc_analysis,
     # market-basket lift (order-key-bounded co-occurrence self-join)
@@ -1550,6 +1551,60 @@ ORACLE_SQL: dict[str, str] = {
     """,
     # X133: the X130 trailing window shifted one day back (leak-free),
     # exact common-denominator deviations, lower-median MAD, 3× band
+    # X138 CUSUM via the exact closed form S_t = P_t - min(0, min_j P_j)
+    # over prefix sums (the max(0, S+z) recursion unrolled); identical
+    # integer units (events x d_b), allowance sum_b//10, alarm at
+    # S > sum_b, changepoint = first alarm day
+    "events_cusum_changepoint": """
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1
+        ),
+        idx AS (
+            SELECT day, n, ROW_NUMBER() OVER (ORDER BY day) AS i
+            FROM daily
+        ),
+        b AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS sum_b,
+                   CAST(COUNT(*) AS BIGINT) AS d_b
+            FROM idx WHERE i <= 14
+        ),
+        z AS (
+            SELECT day, n, b.sum_b,
+                   n * b.d_b - b.sum_b - (b.sum_b // 10) AS zpos,
+                   b.sum_b - n * b.d_b - (b.sum_b // 10) AS zneg
+            FROM idx CROSS JOIN b WHERE i > b.d_b
+        ),
+        p AS (
+            SELECT day, n, sum_b,
+                   SUM(zpos) OVER w AS ppos,
+                   SUM(zneg) OVER w AS pneg
+            FROM z
+            WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        ),
+        s AS (
+            SELECT day, n, sum_b,
+                   CAST(ppos - LEAST(0, MIN(ppos) OVER w) AS BIGINT)
+                       AS s_pos,
+                   CAST(pneg - LEAST(0, MIN(pneg) OVER w) AS BIGINT)
+                       AS s_neg
+            FROM p
+            WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        ),
+        a AS (
+            SELECT day, n AS n_events, s_pos, s_neg,
+                   (s_pos > sum_b OR s_neg > sum_b) AS alarm
+            FROM s
+        )
+        SELECT day, n_events, s_pos, s_neg, alarm,
+               alarm AND COALESCE(SUM(CASE WHEN alarm THEN 1 ELSE 0 END)
+                   OVER (ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) = 0 AS is_changepoint
+        FROM a
+        ORDER BY day
+    """,
     "events_anomaly_days": """
         WITH daily AS (
             SELECT CAST(ts AS DATE) AS day,
@@ -2287,14 +2342,15 @@ ORACLE_SQL["streaming_value_quantiles"] = f"""
 # park stable, already-driver-verified, untouched baselines at the
 # tail, where falling past position 50 loses nothing.
 # --- BEGIN GENERATED GATE ORDER (scripts/gen_gate_head.py) ---
-# Window = 2 never-driver-checked additions + 5 changed
-# entries + the 43 stalest driver greens (last green in
+# Window = 3 never-driver-checked additions + 5 changed
+# entries + the 42 stalest driver greens (last green in
 # round(s) [5, 6], from CORRECTNESS_r*.json). Regenerate with
 #   python scripts/gen_gate_head.py
 # (pytest runs --check; hand-edits here go stale and FAIL).
 _GATE_HEAD = [
     "er_entity_ids",  # last driver green: r0
     "streaming_topk_users",  # last driver green: r0
+    "events_cusum_changepoint",  # last driver green: r0
     "ann_topk_ivfpq_trained",  # last driver green: r9
     "ann_recall_audit",  # last driver green: r9
     "ann_recall_clustered",  # last driver green: r9
@@ -2342,7 +2398,6 @@ _GATE_HEAD = [
     "incremental_sales_rollup",  # last driver green: r6
     "pipeline_compaction",  # last driver green: r6
     "pipeline_partition_scan",  # last driver green: r6
-    "profile_documents",  # last driver green: r6
 ]
 _GATE_TAIL = [
     "ann_topk_ivfpq",  # last driver green: r9
@@ -2478,6 +2533,7 @@ _GATE_TAIL = [
     "text_model_quality",  # last driver green: r7
     "text_quality_sample",  # last driver green: r7
     "top_orders_per_customer",  # last driver green: r7
+    "profile_documents",  # last driver green: r6
     "q10_returned_items",  # last driver green: r6
     "q12_ship_delay_classes",  # last driver green: r6
     "q5_local_supplier_volume",  # last driver green: r6

@@ -212,6 +212,7 @@ ANALYTICS_QUERIES = [
     "graph_triangles_cosupply",
     "er_entity_ids",
     "streaming_topk_users",
+    "events_cusum_changepoint",
     "dedup_canonical_docs",
     "ann_topk_brute",
     "ann_topk_lsh",
@@ -397,6 +398,7 @@ BENCH_KEY_ALIASES = {
     # round-10 additions (final line only, 1:1)
     "er_entity_ids": "eri",
     "streaming_topk_users": "stk",
+    "events_cusum_changepoint": "csm",
     "retrieval_hybrid_rrf3": "rr3",
     "docs_chunk_overlap": "chu",
     "dedup_decontaminate": "dcn",

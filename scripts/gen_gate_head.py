@@ -41,6 +41,7 @@ MUST_ROTATE = [
     # --- new in round 10: first driver verification ---
     "er_entity_ids",
     "streaming_topk_users",
+    "events_cusum_changepoint",
     # --- output changed in round 10 (sample-bounded quantizer training) ---
     "ann_topk_ivfpq_trained",
     "ann_recall_audit",

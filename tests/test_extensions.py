@@ -3364,3 +3364,66 @@ def test_er_entity_ids_invariants(spark):
         assert canon["custkey"] == eid
     # the fixture actually exercises merging (not all singletons)
     assert any(len(m) > 1 for m in ents.values())
+
+
+def test_cusum_closed_form_and_level_shift_fixture(spark):
+    """X138 pins on an ENGINEERED level-shift fixture: a persistent
+    +15% shift that never trips a per-day 3-sigma band must still be
+    caught by the accumulating statistic, at the expected day — and
+    the closed form S_t = P_t − min(0, min_j P_j) must equal the
+    brute max(0, S+z) recursion bit-for-bit on every day."""
+    import datetime
+
+    from aws_kinesis_data_ingestion_restapi_spark import analytics
+
+    # 14 baseline days alternating 98/102 (mean 100), then 6 quiet
+    # days, then a persistent +15 shift — small vs the ±2 noise band
+    # per day, decisive in accumulation
+    counts = [98 if i % 2 == 0 else 102 for i in range(14)]
+    counts += [99, 101, 98, 102, 100, 100]
+    counts += [115] * 24
+    d0 = datetime.date(2024, 3, 1)
+    rows = [
+        (d0 + datetime.timedelta(days=i), n) for i, n in enumerate(counts)
+    ]
+    daily = spark.createDataFrame(rows, ["day", "n"])
+    out = analytics.cusum_scores(daily).collect()
+    assert len(out) == len(counts) - analytics.CUSUM_BASELINE_DAYS
+
+    # brute recursion replay
+    sum_b = sum(counts[: analytics.CUSUM_BASELINE_DAYS])
+    d_b = analytics.CUSUM_BASELINE_DAYS
+    k = sum_b // analytics.CUSUM_ALLOWANCE_DIV
+    sp = sn = 0
+    expected = []
+    for n in counts[d_b:]:
+        sp = max(0, sp + (n * d_b - sum_b - k))
+        sn = max(0, sn + (sum_b - n * d_b - k))
+        expected.append((n, sp, sn, sp > sum_b or sn > sum_b))
+    got = [
+        (r["n_events"], r["s_pos"], r["s_neg"], r["alarm"]) for r in out
+    ]
+    assert got == expected
+
+    # the per-day deviation (+15 events) is inside the 3*MAD band the
+    # X133 detector would draw on the baseline noise (MAD ~2), yet
+    # CUSUM fires — and exactly once, at the first accumulation day
+    # that crosses h = sum_b
+    alarms = [r["day"] for r in out if r["alarm"]]
+    cps = [r["day"] for r in out if r["is_changepoint"]]
+    assert alarms, "persistent small shift must eventually alarm"
+    assert cps == [alarms[0]]
+    # shift starts at index 20; z = +15*14 - 1400//10 = +70 per day,
+    # so S exceeds h = 1400 on the 21st shifted day:
+    first_expected = next(
+        i for i, (_, p, q, a) in enumerate(expected) if a
+    )
+    assert cps[0] == d0 + datetime.timedelta(
+        days=d_b + first_expected
+    )
+    # no alarm before the shift begins (quiet days stay at S == 0)
+    assert all(
+        r["s_pos"] == 0 and r["s_neg"] == 0
+        for r in out
+        if (r["day"] - d0).days < 20
+    )
