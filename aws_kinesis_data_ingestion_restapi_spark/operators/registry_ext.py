@@ -1642,6 +1642,66 @@ def graph_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _unigram_pair(spark: SparkSession, sf_dir: str):
+    """The trained unigram (final counts, final segmentation) pair,
+    computed at most once per (session, sf_dir) — text_unigram_vocab
+    and text_unigram_segment share one bounded EM loop (the
+    _bpe_seg_counts pattern), so a gate/bench session trains once."""
+    return _session_cached(
+        spark,
+        ("unigram", sf_dir, text.UNIGRAM_ROUNDS),
+        # the loop already materializes (and lineage-truncates) both
+        # returned frames eagerly — no extra checkpoint needed here
+        lambda: text._unigram_loop(
+            text._word_freqs(_docs(spark, sf_dir), "text"),
+            text.UNIGRAM_ROUNDS,
+        ),
+    )
+
+
+def text_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X139 LEARN side: unigram-LM (SentencePiece-shape) tokenizer
+    vocabulary by bounded hard-EM over the distinct-word table — the
+    BPE pair's sibling (r9 VERDICT ask #7). Top-200 (piece,
+    piece_len, cnt) rows by (count DESC, piece). The oracle unrolls
+    the full training — substring lattice, per-round Viterbi DP
+    position chain, recount + prune — as generated CTEs. See
+    text.unigram_vocab for the objective contract."""
+    counts, _seg = _unigram_pair(spark, sf_dir)
+    return (
+        counts.select(
+            "piece",
+            F.length("piece").cast("int").alias("piece_len"),
+            "cnt",
+        )
+        .orderBy(F.desc("cnt"), "piece")
+        .limit(200)
+    )
+
+
+def text_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X139 APPLY side: per-doc (doc_id, n_words, n_unigram_tokens)
+    under the trained unigram vocabulary — the same stats shape X103
+    reports for BPE, so packing/mixture budgeters can swap tokenizers
+    by swapping the counts frame. Learn/apply share one loop via the
+    :func:`_unigram_pair` session cache."""
+    _counts, seg = _unigram_pair(spark, sf_dir)
+    per_word = seg.select("word", F.col("k").alias("n_pieces"))
+    docw = _docs(spark, sf_dir).select(
+        F.col("doc_id"),
+        F.explode(F.split(F.col("text"), r"\s+")).alias("word"),
+    ).filter(F.length("word") > 0)
+    return (
+        docw.join(per_word, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_unigram_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def er_entity_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X136: the composed ENTITY-RESOLUTION pipeline (r9 VERDICT ask
     #2) — the record-linkage run a curation team schedules weekly,
@@ -2412,6 +2472,8 @@ EXT_QUERY_FNS = {
     "dedup_components": dedup_components,
     "dedup_components_star": dedup_components_star,
     "er_entity_ids": er_entity_ids,
+    "text_unigram_vocab": text_unigram_vocab,
+    "text_unigram_segment": text_unigram_segment,
     "graph_pagerank_suppliers": graph_pagerank_suppliers,
     "graph_kcore_purchases": graph_kcore_purchases,
     "graph_communities_lpa": graph_communities_lpa,
@@ -5866,3 +5928,128 @@ EXT_ORACLE_SQL["er_entity_ids"] = """
     FROM lab
     ORDER BY custkey
 """
+
+
+def _unigram_oracle_sql(
+    rounds: int = text.UNIGRAM_ROUNDS, final: str = "vocab"
+) -> str:
+    """X139 oracle, GENERATED (the BPE/LPA unrolling idiom): the
+    bounded hard-EM unigram training replayed as chained CTEs — the
+    substring lattice, the seed counts, and per EM round one Viterbi
+    DP unrolled position-by-position (UNIGRAM_MAX_WORD steps; each
+    step a ROW_NUMBER pick under the exact lexicographic objective
+    (k ASC, −s ASC, i ASC), paths carried as list columns so recount
+    needs no backtrace), then the recount + prune M-step; one final
+    E-step segments under the final vocabulary. AS MATERIALIZED on
+    every multiply-referenced CTE (the k-core inlining lesson)."""
+    L = text.UNIGRAM_MAX_WORD
+    P = text.UNIGRAM_MAX_PIECE
+    prune = text.UNIGRAM_PRUNE_MIN
+    ctes = [
+        f"""w AS MATERIALIZED (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+            SELECT unnest(string_split_regex(text, '\\s+')) AS word
+            FROM documents
+        ) WHERE len(word) > 0 AND len(word) <= {L} GROUP BY 1
+    )""",
+        f"""occs AS MATERIALIZED (
+        SELECT word, freq, i, j,
+               substr(word, CAST(i + 1 AS INT), CAST(j - i AS INT))
+                   AS piece
+        FROM w,
+             unnest(generate_series(0, len(word) - 1)) AS ui(i),
+             unnest(generate_series(i + 1,
+                                    least(i + {P}, len(word)))) AS uj(j)
+    )""",
+        """chars AS MATERIALIZED (
+        SELECT DISTINCT piece FROM occs WHERE len(piece) = 1
+    )""",
+        """cnt0 AS MATERIALIZED (
+        SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM occs GROUP BY 1
+    )""",
+    ]
+
+    def dp_chain(r: int, prev_cnt: str) -> str:
+        """Append one Viterbi pass's CTEs; returns the seg CTE name."""
+        ctes.append(f"""cand_{r} AS MATERIALIZED (
+        SELECT o.word, o.i, o.j, o.piece, c.cnt
+        FROM occs o JOIN {prev_cnt} c USING (piece)
+    )""")
+        ctes.append(f"""dp_{r}_0 AS (
+        SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS k,
+               CAST(0 AS BIGINT) AS s, CAST([] AS VARCHAR[]) AS path
+        FROM w
+    )""")
+        for j in range(1, L + 1):
+            prevs = " UNION ALL ".join(
+                f"SELECT * FROM dp_{r}_{i}"
+                for i in range(max(0, j - P), j)
+            )
+            ctes.append(f"""dp_{r}_{j} AS MATERIALIZED (
+        SELECT word, {j} AS pos, k, s, path FROM (
+            SELECT c.word, b.k + 1 AS k, b.s + c.cnt AS s,
+                   list_append(b.path, c.piece) AS path,
+                   ROW_NUMBER() OVER (PARTITION BY c.word
+                       ORDER BY b.k + 1, -(b.s + c.cnt), c.i) AS rn
+            FROM cand_{r} c
+            JOIN ({prevs}) b ON b.word = c.word AND b.pos = c.i
+            WHERE c.j = {j}
+        ) WHERE rn = 1
+    )""")
+        finals = " UNION ALL ".join(
+            f"SELECT word, k, s, path FROM dp_{r}_{j} "
+            f"WHERE len(word) = {j}"
+            for j in range(1, L + 1)
+        )
+        ctes.append(f"""seg_{r} AS MATERIALIZED (
+        SELECT f.word, w.freq, f.k, f.s, f.path
+        FROM ({finals}) f JOIN w USING (word)
+    )""")
+        return f"seg_{r}"
+
+    prev_cnt = "cnt0"
+    for r in range(1, rounds + 1):
+        seg = dp_chain(r, prev_cnt)
+        ctes.append(f"""rec_{r} AS MATERIALIZED (
+        SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+            SELECT word, freq, unnest(path) AS piece FROM {seg}
+        ) GROUP BY 1
+    )""")
+        ctes.append(f"""cnt{r} AS MATERIALIZED (
+        SELECT piece, MAX(cnt) AS cnt FROM (
+            SELECT piece, cnt FROM rec_{r} WHERE cnt >= {prune}
+            UNION ALL
+            SELECT c.piece, CAST(COALESCE(rec.cnt, 0) AS BIGINT) AS cnt
+            FROM chars c LEFT JOIN rec_{r} rec USING (piece)
+        ) GROUP BY 1
+    )""")
+        prev_cnt = f"cnt{r}"
+    seg_final = dp_chain(rounds + 1, prev_cnt)
+
+    if final == "vocab":
+        tail = f"""
+    SELECT piece, CAST(len(piece) AS INT) AS piece_len, cnt
+    FROM {prev_cnt}
+    ORDER BY cnt DESC, piece LIMIT 200"""
+    else:
+        ctes.append(f"""wt AS MATERIALIZED (
+        SELECT word, k AS n_pieces FROM {seg_final}
+    )""")
+        ctes.append("""docw AS (
+        SELECT doc_id, word FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(text, '\\s+')) AS word
+            FROM documents
+        ) WHERE len(word) > 0
+    )""")
+        tail = """
+    SELECT doc_id, COUNT(*) AS n_words,
+           CAST(SUM(n_pieces) AS BIGINT) AS n_unigram_tokens
+    FROM docw JOIN wt USING (word)
+    GROUP BY 1 ORDER BY 1"""
+    return "WITH " + ",\n    ".join(ctes) + tail
+
+
+EXT_ORACLE_SQL["text_unigram_vocab"] = _unigram_oracle_sql(final="vocab")
+EXT_ORACLE_SQL["text_unigram_segment"] = _unigram_oracle_sql(final="segment")

@@ -1290,3 +1290,247 @@ def keywords_tfidf(docs: DataFrame, k: int = 3) -> DataFrame:
         )
         .orderBy("doc_id", "rank")
     )
+
+
+#: Unigram-LM tokenizer contract (X139): words longer than
+#: UNIGRAM_MAX_WORD are excluded from training AND from the apply
+#: statistics (the X124 "segmentable corpus" universe rule); the DP
+#: unroll length follows this constant — raise it for a longer-word
+#: corpus and the loop and the generated oracle both widen with it.
+UNIGRAM_MAX_WORD = 8
+#: Maximum piece length in the seed vocabulary (SentencePiece's
+#: max_sentencepiece_length analogue).
+UNIGRAM_MAX_PIECE = 4
+#: Pieces whose recounted usage falls below this are pruned at each
+#: M-step (single characters are always retained for coverage).
+UNIGRAM_PRUNE_MIN = 1
+#: Bounded EM rounds (the bounded-iteration contract every trainer in
+#: this repo uses: k-means, BPE, PageRank, LPA).
+UNIGRAM_ROUNDS = 3
+
+
+def _unigram_occs(words: DataFrame) -> DataFrame:
+    """Every (word, i, j, piece) substring occurrence with piece
+    length ≤ UNIGRAM_MAX_PIECE over the capped distinct-word table:
+    the static candidate lattice all EM rounds share (built once,
+    checkpoint-materialized by the loop)."""
+    return (
+        words.select(
+            "word",
+            "freq",
+            F.explode(
+                F.sequence(F.lit(0), F.length("word") - 1)
+            ).alias("i"),
+        )
+        .select(
+            "word",
+            "freq",
+            "i",
+            F.explode(
+                F.sequence(
+                    F.col("i") + 1,
+                    F.least(
+                        F.col("i") + F.lit(UNIGRAM_MAX_PIECE),
+                        F.length("word"),
+                    ),
+                )
+            ).alias("j"),
+        )
+        .select(
+            "word",
+            "freq",
+            "i",
+            "j",
+            F.expr("substring(word, i + 1, j - i)").alias("piece"),
+        )
+    )
+
+
+def _unigram_viterbi(words: DataFrame, occs: DataFrame, scores: DataFrame):
+    """ONE exact Viterbi pass (the E-step): segment every word under
+    the current (piece, cnt) scores with the engine-portable
+    lexicographic objective — MINIMIZE piece count (fertility first:
+    the metric X124 measures and a vocab budget actually buys), then
+    MAXIMIZE the summed piece frequency, then smallest split point —
+    a strict total order per (word, position), so the DP is
+    deterministic in both engines with pure integer comparisons (the
+    documented stand-in for log-likelihood Viterbi: true unigram-LM
+    log-probs are libm territory, and ln is not IEEE-correctly-
+    rounded, so cross-engine bit-equality could flake; this objective
+    cannot). The optimal path rides the DP state as an array column
+    (unique (k, −s, i) keys mean the array never participates in the
+    comparison), so piece usage needs NO backtrace pass.
+
+    Returns (word, freq, k, s, path) at pos = len(word).
+
+    Every dp step is lineage-truncated (ckpt.materialize): a lazy
+    dp[j] plan would reference dp[j−1..j−P], whose plans reference
+    THEIR predecessors — exponential plan growth in j (measured: the
+    lazy form cost ~13 s per pass on a 31-word frame; truncated,
+    the whole 4-pass loop runs in a few seconds)."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.ckpt import (
+        materialize,
+    )
+
+    cand = materialize(
+        occs.join(F.broadcast(scores), "piece").select(
+            "word", "i", "j", "piece", "cnt"
+        ),
+        eager=True,
+    )
+    best = {
+        0: words.select(
+            "word",
+            F.lit(0).cast("long").alias("k"),
+            F.lit(0).cast("long").alias("s"),
+            F.array().cast("array<string>").alias("path"),
+        )
+    }
+    for j in range(1, UNIGRAM_MAX_WORD + 1):
+        prev = None
+        for i in range(max(0, j - UNIGRAM_MAX_PIECE), j):
+            tagged = best[i].withColumn("_pi", F.lit(i))
+            prev = tagged if prev is None else prev.unionByName(tagged)
+        cj = cand.filter(F.col("j") == F.lit(j))
+        step = cj.join(prev, ["word"]).filter(F.col("i") == F.col("_pi"))
+        new = (
+            step.groupBy("word")
+            .agg(
+                F.min(
+                    F.struct(
+                        (F.col("k") + 1).alias("k"),
+                        (-(F.col("s") + F.col("cnt"))).alias("negs"),
+                        F.col("i").alias("i"),
+                        F.concat(
+                            F.col("path"), F.array(F.col("piece"))
+                        ).alias("path"),
+                    )
+                ).alias("b")
+            )
+            .select(
+                "word",
+                F.col("b.k").alias("k"),
+                (-F.col("b.negs")).alias("s"),
+                F.col("b.path").alias("path"),
+            )
+        )
+        # every step truncated: measured 19.5 s/loop vs 52 s lazy
+        # (exponential plans) and 26.4 s with every-2nd-step
+        # truncation (1-level-lazy plans re-execute odd sub-DAGs in
+        # every consumer) — per-step eager is the measured optimum
+        best[j] = materialize(new, eager=True)
+    final = None
+    for j in range(1, UNIGRAM_MAX_WORD + 1):
+        part = best[j].filter(F.length("word") == j)
+        final = part if final is None else final.unionByName(part)
+    return final.join(words, "word").select("word", "freq", "k", "s", "path")
+
+
+def _unigram_loop(words: DataFrame, rounds: int):
+    """The shared bounded EM loop (learn and apply both ride it, the
+    X102 learn/apply-share-one-loop contract): seed counts = substring
+    occurrence frequencies; each round = one exact Viterbi E-step
+    (:func:`_unigram_viterbi`) + one M-step recount over the chosen
+    paths + prune (pieces below UNIGRAM_PRUNE_MIN drop; single
+    characters always survive for coverage); after ``rounds`` EM
+    rounds one final E-step segments under the FINAL vocabulary.
+    Per-round lineage truncation via ckpt.materialize (the CC/BPE
+    pattern). Returns (final counts, final per-word segmentation)."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.ckpt import (
+        materialize,
+        release,
+    )
+
+    words = materialize(
+        words.filter(F.length("word") <= UNIGRAM_MAX_WORD), eager=True
+    )
+    occs = materialize(_unigram_occs(words), eager=True)
+    chars = occs.filter(F.length("piece") == 1).select("piece").distinct()
+    counts = materialize(
+        occs.groupBy("piece").agg(F.sum("freq").cast("long").alias("cnt")),
+        eager=True,
+    )
+    for _ in range(rounds):
+        seg = materialize(_unigram_viterbi(words, occs, counts), eager=True)
+        used = seg.select("word", "freq", F.explode("path").alias("piece"))
+        recount = used.groupBy("piece").agg(
+            F.sum("freq").cast("long").alias("cnt")
+        )
+        kept = recount.filter(F.col("cnt") >= UNIGRAM_PRUNE_MIN)
+        char_rows = chars.join(recount, "piece", "left").select(
+            "piece", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt")
+        )
+        prev = counts
+        counts = materialize(
+            kept.unionByName(char_rows)
+            .groupBy("piece")
+            .agg(F.max("cnt").alias("cnt")),
+            eager=True,
+        )
+        release(prev)
+        release(seg)
+    seg = materialize(_unigram_viterbi(words, occs, counts), eager=True)
+    release(occs)
+    return counts, seg
+
+
+def unigram_vocab(
+    docs: DataFrame,
+    rounds: int = UNIGRAM_ROUNDS,
+    text_col: str = "text",
+    top: int = 200,
+) -> DataFrame:
+    """X139 LEARN side: the unigram-LM (SentencePiece-shape, Kudo
+    2018) tokenizer trained by bounded hard-EM (Viterbi-EM) over the
+    distinct-word frequency table — seed vocabulary = every substring
+    up to UNIGRAM_MAX_PIECE chars, E-step = exact-integer Viterbi
+    segmentation (see :func:`_unigram_viterbi` for the documented
+    objective substitution), M-step = path-usage recount + prune.
+    Returns the top-``top`` vocabulary rows (piece, piece_len, cnt)
+    by (count DESC, piece).
+
+    Scale shape: the loop runs on the DISTINCT-WORD table (≪ corpus —
+    the BPE decomposition); the candidate lattice is |word|·MAX_PIECE
+    rows per distinct word, built once; each DP step is one
+    word-keyed join against a broadcast vocabulary; the one
+    corpus-sized job is the initial word count."""
+    counts, _seg = _unigram_loop(_word_freqs(docs, text_col), rounds)
+    return (
+        counts.select(
+            "piece",
+            F.length("piece").cast("int").alias("piece_len"),
+            "cnt",
+        )
+        .orderBy(F.desc("cnt"), "piece")
+        .limit(top)
+    )
+
+
+def unigram_segment(
+    docs: DataFrame,
+    rounds: int = UNIGRAM_ROUNDS,
+    text_col: str = "text",
+) -> DataFrame:
+    """X139 APPLY side: per-doc subword statistics under the trained
+    unigram vocabulary — (doc_id, n_words, n_unigram_tokens), the
+    exact shape bpe_segment reports for X103 so every downstream
+    budgeter (packing, mixture) can swap tokenizers by swapping the
+    counts frame. Learn and apply share :func:`_unigram_loop`, so the
+    segmentation is BY CONSTRUCTION the one the vocabulary implies.
+    Universe = segmentable words (length ≤ UNIGRAM_MAX_WORD, the X124
+    rule)."""
+    _counts, seg = _unigram_loop(_word_freqs(docs, text_col), rounds)
+    per_word = seg.select("word", F.col("k").alias("n_pieces"))
+    docw = docs.select(
+        F.col("doc_id"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("word"),
+    ).filter(F.length("word") > 0)
+    return (
+        docw.join(per_word, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_unigram_tokens"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2342,8 +2342,8 @@ ORACLE_SQL["streaming_value_quantiles"] = f"""
 # park stable, already-driver-verified, untouched baselines at the
 # tail, where falling past position 50 loses nothing.
 # --- BEGIN GENERATED GATE ORDER (scripts/gen_gate_head.py) ---
-# Window = 3 never-driver-checked additions + 5 changed
-# entries + the 42 stalest driver greens (last green in
+# Window = 5 never-driver-checked additions + 5 changed
+# entries + the 40 stalest driver greens (last green in
 # round(s) [5, 6], from CORRECTNESS_r*.json). Regenerate with
 #   python scripts/gen_gate_head.py
 # (pytest runs --check; hand-edits here go stale and FAIL).
@@ -2351,6 +2351,8 @@ _GATE_HEAD = [
     "er_entity_ids",  # last driver green: r0
     "streaming_topk_users",  # last driver green: r0
     "events_cusum_changepoint",  # last driver green: r0
+    "text_unigram_vocab",  # last driver green: r0
+    "text_unigram_segment",  # last driver green: r0
     "ann_topk_ivfpq_trained",  # last driver green: r9
     "ann_recall_audit",  # last driver green: r9
     "ann_recall_clustered",  # last driver green: r9
@@ -2396,8 +2398,6 @@ _GATE_HEAD = [
     "events_variant_props",  # last driver green: r6
     "fuzzy_customer_names",  # last driver green: r6
     "incremental_sales_rollup",  # last driver green: r6
-    "pipeline_compaction",  # last driver green: r6
-    "pipeline_partition_scan",  # last driver green: r6
 ]
 _GATE_TAIL = [
     "ann_topk_ivfpq",  # last driver green: r9
@@ -2533,6 +2533,8 @@ _GATE_TAIL = [
     "text_model_quality",  # last driver green: r7
     "text_quality_sample",  # last driver green: r7
     "top_orders_per_customer",  # last driver green: r7
+    "pipeline_compaction",  # last driver green: r6
+    "pipeline_partition_scan",  # last driver green: r6
     "profile_documents",  # last driver green: r6
     "q10_returned_items",  # last driver green: r6
     "q12_ship_delay_classes",  # last driver green: r6

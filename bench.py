@@ -213,6 +213,8 @@ ANALYTICS_QUERIES = [
     "er_entity_ids",
     "streaming_topk_users",
     "events_cusum_changepoint",
+    "text_unigram_vocab",
+    "text_unigram_segment",
     "dedup_canonical_docs",
     "ann_topk_brute",
     "ann_topk_lsh",
@@ -399,6 +401,8 @@ BENCH_KEY_ALIASES = {
     "er_entity_ids": "eri",
     "streaming_topk_users": "stk",
     "events_cusum_changepoint": "csm",
+    "text_unigram_vocab": "ugv",
+    "text_unigram_segment": "ugs",
     "retrieval_hybrid_rrf3": "rr3",
     "docs_chunk_overlap": "chu",
     "dedup_decontaminate": "dcn",

@@ -42,6 +42,8 @@ MUST_ROTATE = [
     "er_entity_ids",
     "streaming_topk_users",
     "events_cusum_changepoint",
+    "text_unigram_vocab",
+    "text_unigram_segment",
     # --- output changed in round 10 (sample-bounded quantizer training) ---
     "ann_topk_ivfpq_trained",
     "ann_recall_audit",
