@@ -537,6 +537,7 @@ from aws_kinesis_data_ingestion_restapi_spark.streaming.registry_stream import (
     streaming_payment_match_outer,
     streaming_running_totals_final,
     streaming_session_windows,
+    streaming_cusum_gate,
     streaming_sliding_1h_15m,
     streaming_topk_users,
     streaming_value_quantiles,
@@ -554,6 +555,7 @@ QUERY_FNS["streaming_session_windows"] = streaming_session_windows
 QUERY_FNS["streaming_sliding_1h_15m"] = streaming_sliding_1h_15m
 QUERY_FNS["streaming_drift_tvd"] = streaming_drift_tvd
 QUERY_FNS["streaming_topk_users"] = streaming_topk_users
+QUERY_FNS["streaming_cusum_gate"] = streaming_cusum_gate
 QUERY_FNS["streaming_value_quantiles"] = streaming_value_quantiles
 
 # merge the dedup / similarity / text-analysis extension surface
@@ -585,6 +587,64 @@ _SHIPPING_FLAT = """
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
 """
+
+
+def _cusum_oracle(day_source: str) -> str:
+    """X138/X140 shared CUSUM oracle core (ONE template, two day
+    universes — the batch query feeds every day, the streaming gate
+    only watermark-CLOSED days — so the arithmetic cannot diverge):
+    the exact closed form S_t = P_t - min(0, min_j P_j) over prefix
+    sums, integer units (events x d_b), allowance sum_b // 10, alarm
+    at S > sum_b, changepoint = first alarm day."""
+    return f"""
+        WITH daily AS (
+            {day_source}
+        ),
+        idx AS (
+            SELECT day, n, ROW_NUMBER() OVER (ORDER BY day) AS i
+            FROM daily
+        ),
+        b AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS sum_b,
+                   CAST(COUNT(*) AS BIGINT) AS d_b
+            FROM idx WHERE i <= 14
+        ),
+        z AS (
+            SELECT day, n, b.sum_b,
+                   n * b.d_b - b.sum_b - (b.sum_b // 10) AS zpos,
+                   b.sum_b - n * b.d_b - (b.sum_b // 10) AS zneg
+            FROM idx CROSS JOIN b WHERE i > b.d_b
+        ),
+        p AS (
+            SELECT day, n, sum_b,
+                   SUM(zpos) OVER w AS ppos,
+                   SUM(zneg) OVER w AS pneg
+            FROM z
+            WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        ),
+        s AS (
+            SELECT day, n, sum_b,
+                   CAST(ppos - LEAST(0, MIN(ppos) OVER w) AS BIGINT)
+                       AS s_pos,
+                   CAST(pneg - LEAST(0, MIN(pneg) OVER w) AS BIGINT)
+                       AS s_neg
+            FROM p
+            WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        ),
+        a AS (
+            SELECT day, n AS n_events, s_pos, s_neg,
+                   (s_pos > sum_b OR s_neg > sum_b) AS alarm
+            FROM s
+        )
+        SELECT day, n_events, s_pos, s_neg, alarm,
+               alarm AND COALESCE(SUM(CASE WHEN alarm THEN 1 ELSE 0 END)
+                   OVER (ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) = 0 AS is_changepoint
+        FROM a
+        ORDER BY day
+    """
+
 
 ORACLE_SQL: dict[str, str] = {
     "pipeline_orders": """
@@ -1551,60 +1611,6 @@ ORACLE_SQL: dict[str, str] = {
     """,
     # X133: the X130 trailing window shifted one day back (leak-free),
     # exact common-denominator deviations, lower-median MAD, 3× band
-    # X138 CUSUM via the exact closed form S_t = P_t - min(0, min_j P_j)
-    # over prefix sums (the max(0, S+z) recursion unrolled); identical
-    # integer units (events x d_b), allowance sum_b//10, alarm at
-    # S > sum_b, changepoint = first alarm day
-    "events_cusum_changepoint": """
-        WITH daily AS (
-            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-                   COUNT(*) AS n
-            FROM events GROUP BY 1
-        ),
-        idx AS (
-            SELECT day, n, ROW_NUMBER() OVER (ORDER BY day) AS i
-            FROM daily
-        ),
-        b AS (
-            SELECT CAST(SUM(n) AS BIGINT) AS sum_b,
-                   CAST(COUNT(*) AS BIGINT) AS d_b
-            FROM idx WHERE i <= 14
-        ),
-        z AS (
-            SELECT day, n, b.sum_b,
-                   n * b.d_b - b.sum_b - (b.sum_b // 10) AS zpos,
-                   b.sum_b - n * b.d_b - (b.sum_b // 10) AS zneg
-            FROM idx CROSS JOIN b WHERE i > b.d_b
-        ),
-        p AS (
-            SELECT day, n, sum_b,
-                   SUM(zpos) OVER w AS ppos,
-                   SUM(zneg) OVER w AS pneg
-            FROM z
-            WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
-        ),
-        s AS (
-            SELECT day, n, sum_b,
-                   CAST(ppos - LEAST(0, MIN(ppos) OVER w) AS BIGINT)
-                       AS s_pos,
-                   CAST(pneg - LEAST(0, MIN(pneg) OVER w) AS BIGINT)
-                       AS s_neg
-            FROM p
-            WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
-        ),
-        a AS (
-            SELECT day, n AS n_events, s_pos, s_neg,
-                   (s_pos > sum_b OR s_neg > sum_b) AS alarm
-            FROM s
-        )
-        SELECT day, n_events, s_pos, s_neg, alarm,
-               alarm AND COALESCE(SUM(CASE WHEN alarm THEN 1 ELSE 0 END)
-                   OVER (ORDER BY day
-                         ROWS BETWEEN UNBOUNDED PRECEDING
-                         AND 1 PRECEDING), 0) = 0 AS is_changepoint
-        FROM a
-        ORDER BY day
-    """,
     "events_anomaly_days": """
         WITH daily AS (
             SELECT CAST(ts AS DATE) AS day,
@@ -2285,6 +2291,23 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+ORACLE_SQL["events_cusum_changepoint"] = _cusum_oracle(
+    """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1"""
+)
+# X140 streaming CUSUM gate: identical arithmetic over only the
+# watermark-CLOSED days (the streaming_late_data_policy boundary)
+ORACLE_SQL["streaming_cusum_gate"] = _cusum_oracle(
+    """SELECT day, n FROM (
+                SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1
+            )
+            WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY <=
+                  (SELECT max(ts) - INTERVAL 1 HOUR FROM events)"""
+)
+
 ORACLE_SQL.update(EXT_ORACLE_SQL)
 
 # Drained complete-mode state of the streaming quantile-sketch
@@ -2342,8 +2365,8 @@ ORACLE_SQL["streaming_value_quantiles"] = f"""
 # park stable, already-driver-verified, untouched baselines at the
 # tail, where falling past position 50 loses nothing.
 # --- BEGIN GENERATED GATE ORDER (scripts/gen_gate_head.py) ---
-# Window = 5 never-driver-checked additions + 5 changed
-# entries + the 40 stalest driver greens (last green in
+# Window = 6 never-driver-checked additions + 5 changed
+# entries + the 39 stalest driver greens (last green in
 # round(s) [5, 6], from CORRECTNESS_r*.json). Regenerate with
 #   python scripts/gen_gate_head.py
 # (pytest runs --check; hand-edits here go stale and FAIL).
@@ -2353,6 +2376,7 @@ _GATE_HEAD = [
     "events_cusum_changepoint",  # last driver green: r0
     "text_unigram_vocab",  # last driver green: r0
     "text_unigram_segment",  # last driver green: r0
+    "streaming_cusum_gate",  # last driver green: r0
     "ann_topk_ivfpq_trained",  # last driver green: r9
     "ann_recall_audit",  # last driver green: r9
     "ann_recall_clustered",  # last driver green: r9
@@ -2397,7 +2421,6 @@ _GATE_HEAD = [
     "events_value_histogram",  # last driver green: r6
     "events_variant_props",  # last driver green: r6
     "fuzzy_customer_names",  # last driver green: r6
-    "incremental_sales_rollup",  # last driver green: r6
 ]
 _GATE_TAIL = [
     "ann_topk_ivfpq",  # last driver green: r9
@@ -2533,6 +2556,7 @@ _GATE_TAIL = [
     "text_model_quality",  # last driver green: r7
     "text_quality_sample",  # last driver green: r7
     "top_orders_per_customer",  # last driver green: r7
+    "incremental_sales_rollup",  # last driver green: r6
     "pipeline_compaction",  # last driver green: r6
     "pipeline_partition_scan",  # last driver green: r6
     "profile_documents",  # last driver green: r6

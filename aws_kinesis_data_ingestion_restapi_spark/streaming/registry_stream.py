@@ -906,3 +906,37 @@ def streaming_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "rank")
     )
+
+
+def streaming_cusum_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X140: the STREAMING deployment shape of X138's CUSUM detector —
+    the live pipeline does not batch-scan history, it watches the
+    stream: per-day exact counts under a 1-hour watermark in append
+    mode (only watermark-CLOSED days emit — the X40 rule), then the
+    X138 closed-form CUSUM (analytics.cusum_scores — literally the
+    same function the batch query calls, so the two cannot diverge)
+    runs on the DRAINED day panel: baseline = the first 14 closed
+    days, two-sided alarm, first-alarm changepoint.
+
+    The stream side's state is one count per open day (watermark-
+    bounded); the CUSUM arithmetic runs post-drain on the metadata-
+    scale day table. The oracle shares the batch oracle's generated
+    core (one template, two day universes — here restricted to days
+    whose end ≤ final watermark)."""
+    events = analytics._t(spark, sf_dir, "events")
+    base_cols = events.select(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts")
+    )
+    raw, d = _replayed_stream(
+        spark, base_cols, "ts string", 1, "stream_cusum_"
+    )
+    stream = raw.withColumn("ts", F.to_timestamp("ts")).withWatermark(
+        "ts", "1 hour"
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.to_date(F.col("w.start")).alias("day"), "n")
+    )
+    panel = _drain(agg, "append", "scusum", cleanup_dir=d)
+    return analytics.cusum_scores(panel)

@@ -215,6 +215,7 @@ ANALYTICS_QUERIES = [
     "events_cusum_changepoint",
     "text_unigram_vocab",
     "text_unigram_segment",
+    "streaming_cusum_gate",
     "dedup_canonical_docs",
     "ann_topk_brute",
     "ann_topk_lsh",
@@ -403,6 +404,7 @@ BENCH_KEY_ALIASES = {
     "events_cusum_changepoint": "csm",
     "text_unigram_vocab": "ugv",
     "text_unigram_segment": "ugs",
+    "streaming_cusum_gate": "scu",
     "retrieval_hybrid_rrf3": "rr3",
     "docs_chunk_overlap": "chu",
     "dedup_decontaminate": "dcn",

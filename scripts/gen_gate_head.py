@@ -44,6 +44,7 @@ MUST_ROTATE = [
     "events_cusum_changepoint",
     "text_unigram_vocab",
     "text_unigram_segment",
+    "streaming_cusum_gate",
     # --- output changed in round 10 (sample-bounded quantizer training) ---
     "ann_topk_ivfpq_trained",
     "ann_recall_audit",
