@@ -1642,6 +1642,39 @@ def graph_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_components_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X141: incremental dedup-closure APPLY — the X90 crawl-delta
+    scenario carried through to CLUSTER STATE: the 70% doc_id head
+    plays yesterday's corpus (its components already labeled), the
+    30% tail plays the new crawl, and the update touches ONLY the
+    components a delta pair reaches (graph.incremental_components)
+    plus the delta's own nodes; every untouched component passes
+    through byte-identical. The oracle is the FULL-recompute
+    recursive closure (the very same SQL dedup_components pins), so
+    the driver's value hash proves incremental ≡ full, singleton
+    tail docs included. Pairs ride the session MinHash cache."""
+    docs = _docs(spark, sf_dir)
+    pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    is_delta_a = F.col("doc_a") % 10 >= _DELTA_PCT
+    is_delta_b = F.col("doc_b") % 10 >= _DELTA_PCT
+    base_pairs = pairs.filter(~is_delta_a & ~is_delta_b)
+    delta_pairs = pairs.filter(is_delta_a | is_delta_b)
+    base_docs = docs.filter(F.col("doc_id") % 10 < _DELTA_PCT)
+    delta_docs = docs.filter(F.col("doc_id") % 10 >= _DELTA_PCT)
+    base_labels = graph.connected_components(
+        base_pairs, nodes=base_docs.select("doc_id")
+    )
+    out = graph.incremental_components(
+        base_labels,
+        delta_pairs,
+        new_nodes=delta_docs.select("doc_id"),
+    )
+    return out.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("component_id"),
+    )
+
+
 def _unigram_pair(spark: SparkSession, sf_dir: str):
     """The trained unigram (final counts, final segmentation) pair,
     computed at most once per (session, sf_dir) — text_unigram_vocab
@@ -2471,6 +2504,7 @@ EXT_QUERY_FNS = {
     "events_type_value_quantiles": events_type_value_quantiles,
     "dedup_components": dedup_components,
     "dedup_components_star": dedup_components_star,
+    "dedup_components_delta": dedup_components_delta,
     "er_entity_ids": er_entity_ids,
     "text_unigram_vocab": text_unigram_vocab,
     "text_unigram_segment": text_unigram_segment,
@@ -4172,6 +4206,10 @@ EXT_ORACLE_SQL["dedup_components"] = EXT_ORACLE_SQL["dedup_components"].format(
 # the star-algorithm variant computes the IDENTICAL labels — one
 # oracle text serves both (different Spark algorithms, same closure)
 EXT_ORACLE_SQL["dedup_components_star"] = EXT_ORACLE_SQL["dedup_components"]
+
+# X141 incremental closure: the oracle IS the full-recompute closure —
+# the value hash proves incremental == full (the components_star idiom)
+EXT_ORACLE_SQL["dedup_components_delta"] = EXT_ORACLE_SQL["dedup_components"]
 
 # streaming incremental dedup (X115): the CORPUS-PROBE subset of the
 # X90 oracle — the adapter's drained+reduced result is exactly the

@@ -216,6 +216,7 @@ ANALYTICS_QUERIES = [
     "text_unigram_vocab",
     "text_unigram_segment",
     "streaming_cusum_gate",
+    "dedup_components_delta",
     "dedup_canonical_docs",
     "ann_topk_brute",
     "ann_topk_lsh",
@@ -405,6 +406,7 @@ BENCH_KEY_ALIASES = {
     "text_unigram_vocab": "ugv",
     "text_unigram_segment": "ugs",
     "streaming_cusum_gate": "scu",
+    "dedup_components_delta": "ccd",
     "retrieval_hybrid_rrf3": "rr3",
     "docs_chunk_overlap": "chu",
     "dedup_decontaminate": "dcn",

@@ -45,6 +45,7 @@ MUST_ROTATE = [
     "text_unigram_vocab",
     "text_unigram_segment",
     "streaming_cusum_gate",
+    "dedup_components_delta",
     # --- output changed in round 10 (sample-bounded quantizer training) ---
     "ann_topk_ivfpq_trained",
     "ann_recall_audit",

@@ -3510,3 +3510,43 @@ def test_unigram_learn_apply_consistency(spark):
     corpus_words = set(per_word)
     for r in vocab[:50]:
         assert any(r["piece"] in w for w in corpus_words), r["piece"]
+
+
+def test_incremental_components_merges_and_passthrough(spark):
+    """X141 pins: (a) a delta edge merging two base components
+    relabels BOTH to the global min; (b) brand-new nodes with no
+    edges become singletons; (c) untouched components pass through
+    byte-identical; (d) result equals a full CC recompute."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import graph
+
+    base_pairs = spark.createDataFrame(
+        [(1, 2), (5, 6), (10, 11)], ["u", "v"]
+    )
+    base_nodes = spark.createDataFrame(
+        [(n,) for n in [1, 2, 5, 6, 10, 11, 20]], ["node"]
+    )
+    base = graph.connected_components(base_pairs, nodes=base_nodes)
+    # delta: merge {1,2} with {5,6}; attach 30 to {10,11}; 40 isolated
+    delta = spark.createDataFrame([(2, 5), (30, 10)], ["u", "v"])
+    new_nodes = spark.createDataFrame([(30,), (40,)], ["node"])
+    out = {
+        r["node"]: r["component"]
+        for r in graph.incremental_components(
+            base, delta, new_nodes=new_nodes
+        ).collect()
+    }
+    assert out == {
+        1: 1, 2: 1, 5: 1, 6: 1,          # merged across base comps
+        10: 10, 11: 10, 30: 10,          # delta node joins base comp
+        20: 20,                          # untouched singleton
+        40: 40,                          # new isolated node
+    }
+    # (d) equivalence with full recompute
+    full = {
+        r["node"]: r["component"]
+        for r in graph.connected_components(
+            base_pairs.union(delta),
+            nodes=base_nodes.union(new_nodes),
+        ).collect()
+    }
+    assert out == full
