@@ -503,7 +503,16 @@ def phash_near_dup(assets: DataFrame, d_max: int = PHASH_D_MAX) -> DataFrame:
     the verify joins band vectors back by id — at corpus scale each
     step is an equi-join shuffle on short keys, the simhash argument
     verbatim (dedup.py simhash_near_pairs)."""
-    bands = phash_bands(assets)
+    return _band_near_dup(phash_bands(assets), d_max)
+
+
+def _band_near_dup(bands: DataFrame, d_max: int) -> DataFrame:
+    """Pigeonhole band join + exact popcount verify over any
+    (asset_id, band, band_val) fingerprint frame — shared by the
+    image dHash (:func:`phash_near_dup`) and the audio energy hash
+    (:func:`afp_near_dup`): the banding/verify machinery is
+    fingerprint-agnostic, which is the point of hashing at the
+    decode boundary."""
     a = bands.select(
         F.col("asset_id").alias("asset_a"), "band", "band_val"
     )
@@ -557,6 +566,103 @@ def rerendered_assets(docs: DataFrame) -> DataFrame:
     the DuckDB oracle re-derives the identical guarded re-render."""
     rr = docs.filter(
         (F.col("doc_id") % 30 == 0) & (F.length("text") >= 72)
+    ).select(
+        (F.col("doc_id") + 30_000_000).alias("doc_id"),
+        F.expr(
+            "substring(text, 1, length(text) DIV 2) || 'z' || "
+            "substring(text, length(text) DIV 2 + 2)"
+        ).alias("text"),
+    )
+    base = docs.select("doc_id", "text")
+    return synthesize_assets(base.unionByName(rr))
+
+
+def afp_bands(assets: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """X142: per-AUDIO-asset energy fingerprint, the acoustic sibling
+    of :func:`phash_bands` (the standard audio-fingerprint shape —
+    Chromaprint/Shazam-family hashes are sign-of-delta bits over a
+    time-frequency energy grid; this build uses sign-of-delta bits
+    over a 72-WINDOW time-energy profile, packed into the same
+    4 × 16-bit bands so the pigeonhole banding machinery is shared
+    verbatim).
+
+    Deterministic fake-decode contract (no audio codecs in this
+    container): window energy = Σ character codes over the payload's
+    w-th contiguous 72-way slice — windows PARTITION the payload, so
+    a one-character re-render perturbs exactly one window and flips
+    at most the 2 adjacent gradient bits, UNCONDITIONALLY (no length
+    guard needed, unlike the image grid's point samples — this is
+    why the fixture has no ≥72-char filter). With a real codec the
+    windows would be per-frame PCM energy from decode_wav_pcm;
+    everything downstream is unchanged."""
+    if not fake_decode:  # pragma: no cover - no codecs in this env
+        raise NotImplementedError(
+            "real-codec audio fingerprints need soundfile; the "
+            "deterministic fake decode is the oracle-checked path"
+        )
+    rows_n, cols_n = PHASH_GRID_ROWS, PHASH_GRID_COLS
+    cells = rows_n * cols_n
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                s = bytes(content)[4:].decode("utf-8")
+                n = len(s)
+                if n == 0:
+                    continue
+                energy = [
+                    sum(
+                        ord(ch)
+                        for ch in s[(w * n) // cells:((w + 1) * n) // cells]
+                    )
+                    for w in range(cells)
+                ]
+                grid = [
+                    energy[r * cols_n:(r + 1) * cols_n]
+                    for r in range(rows_n)
+                ]
+                for band in range(PHASH_BANDS):
+                    val = 0
+                    for rr in range(2):
+                        r = band * 2 + rr
+                        for c in range(cols_n - 1):
+                            if grid[r][c] < grid[r][c + 1]:
+                                val |= 1 << (rr * 8 + c)
+                    out.append(
+                        {"asset_id": asset_id, "band": band, "band_val": val}
+                    )
+            yield pd.DataFrame(out, columns=["asset_id", "band", "band_val"])
+
+    return (
+        assets.filter(F.col("kind") == "audio")
+        .select("asset_id", "content")
+        .mapInPandas(batches, schema=PHASH_SCHEMA)
+    )
+
+
+def afp_near_dup(assets: DataFrame, d_max: int = PHASH_D_MAX) -> DataFrame:
+    """Audio near-duplicate pairs by energy fingerprint — the same
+    pigeonhole band join + exact popcount verify the image pHash
+    rides (:func:`_band_near_dup`); only the fingerprint extractor
+    differs. Output (asset_a, asset_b, hamming)."""
+    return _band_near_dup(afp_bands(assets), d_max)
+
+
+def rerendered_audio_assets(docs: DataFrame) -> DataFrame:
+    """Assets plus deterministic audio RE-RENDERS (the fixture
+    geometry afp_near_dup needs — same precedent as
+    :func:`rerendered_assets`): every 30th AUDIO document
+    (doc_id ≡ 1 mod 30 → kind='audio' under the doc_id % 3 cycle) is
+    re-encoded as asset_id + 30_000_000 (≡ 0 mod 3, kind preserved)
+    with one character replaced at the text midpoint. Unlike the
+    image grid's point samples, the energy windows PARTITION the
+    payload, so the ≤2-bit guarantee holds for every length — no
+    ≥72-char guard."""
+    rr = docs.filter(
+        (F.col("doc_id") % 30 == 1) & (F.length("text") > 0)
     ).select(
         (F.col("doc_id") + 30_000_000).alias("doc_id"),
         F.expr(

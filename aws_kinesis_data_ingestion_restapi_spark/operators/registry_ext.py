@@ -1915,6 +1915,23 @@ def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _phash_pairs(spark, sf_dir).orderBy("asset_a", "asset_b")
 
 
+def mm_afp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X142: AUDIO near-dup via energy fingerprint — the acoustic
+    sibling of X104 (the multimodal dedup family covered images only;
+    real curation pipelines dedup audio too): sign-of-delta bits over
+    a 72-window time-energy profile (window SUMS of the payload — the
+    Chromaprint-family hash shape), packed into the same 4×16-bit
+    pigeonhole bands and verified by the same exact popcount
+    (multimodal._band_near_dup, shared verbatim with the image path).
+    Runs over the audio assets PLUS their deterministic re-renders
+    (multimodal.rerendered_audio_assets); because energy windows
+    PARTITION the payload, the one-char re-render flips ≤ 2 bits for
+    EVERY text length — no ≥72-char guard, unlike the image grid's
+    point samples. See multimodal.afp_near_dup."""
+    assets = multimodal.rerendered_audio_assets(_docs(spark, sf_dir))
+    return multimodal.afp_near_dup(assets).orderBy("asset_a", "asset_b")
+
+
 #: lang domain for the expectations entry — shared with the oracle SQL
 DOC_LANG_DOMAIN = ("de", "en", "es", "fr", "zh")
 
@@ -2552,6 +2569,7 @@ EXT_QUERY_FNS = {
     "mm_fingerprint": mm_fingerprint,
     "mm_frame_sample": mm_frame_sample,
     "mm_phash_near_dup": mm_phash_near_dup,
+    "mm_afp_near_dup": mm_afp_near_dup,
     "mm_canonical_assets": mm_canonical_assets,
     "mm_extract_features": mm_extract_features,
     "mm_resize_images": mm_resize_images,
@@ -6088,6 +6106,67 @@ def _unigram_oracle_sql(
     GROUP BY 1 ORDER BY 1"""
     return "WITH " + ",\n    ".join(ctes) + tail
 
+
+
+# X142 audio energy-fingerprint near-dup: window SUMS of character
+# codes over the 72-way payload partition (list arithmetic — empty
+# windows coalesce to 0), then the identical gradient-bit banding,
+# pigeonhole join and popcount verify the image oracle uses
+EXT_ORACLE_SQL["mm_afp_near_dup"] = """
+    WITH auddocs AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id % 3 = 1 AND len(text) > 0
+        UNION ALL
+        SELECT doc_id + 30000000,
+               substr(text, 1, len(text) // 2) || 'z' ||
+               substr(text, len(text) // 2 + 2)
+        FROM documents WHERE doc_id % 30 = 1 AND len(text) > 0
+    ),
+    px AS (
+        SELECT d.doc_id AS asset_id, t1.r, t2.c,
+               COALESCE(list_sum(list_transform(
+                   generate_series(
+                       CAST(((t1.r * 9 + t2.c) * len(d.text)) // 72 + 1
+                            AS INT),
+                       CAST((((t1.r * 9 + t2.c) + 1) * len(d.text)) // 72
+                            AS INT)),
+                   p -> unicode(substr(d.text, CAST(p AS INT), 1)))),
+                 0) AS p
+        FROM auddocs d,
+             unnest(generate_series(0, 7)) AS t1(r),
+             unnest(generate_series(0, 8)) AS t2(c)
+    ),
+    bits AS (
+        SELECT a.asset_id, a.r, a.c,
+               CASE WHEN a.p < b.p THEN 1 ELSE 0 END AS bit
+        FROM px a
+        JOIN px b ON b.asset_id = a.asset_id AND b.r = a.r
+                 AND b.c = a.c + 1
+        WHERE a.c < 8
+    ),
+    bands AS (
+        SELECT asset_id, CAST(r // 2 AS INT) AS band,
+               CAST(SUM(bit * CAST(pow(2, (r % 2) * 8 + c) AS BIGINT))
+                    AS BIGINT) AS val
+        FROM bits GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.asset_id AS asset_a, b.asset_id AS asset_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.val = b.val
+                    AND a.asset_id < b.asset_id
+    ),
+    ham AS (
+        SELECT c.asset_a, c.asset_b,
+               CAST(SUM(bit_count(xor(x.val, y.val))) AS INT) AS hamming
+        FROM cand c
+        JOIN bands x ON x.asset_id = c.asset_a
+        JOIN bands y ON y.asset_id = c.asset_b AND y.band = x.band
+        GROUP BY 1, 2
+    )
+    SELECT asset_a, asset_b, hamming FROM ham WHERE hamming <= 3
+    ORDER BY asset_a, asset_b
+"""
 
 EXT_ORACLE_SQL["text_unigram_vocab"] = _unigram_oracle_sql(final="vocab")
 EXT_ORACLE_SQL["text_unigram_segment"] = _unigram_oracle_sql(final="segment")

@@ -2365,8 +2365,8 @@ ORACLE_SQL["streaming_value_quantiles"] = f"""
 # park stable, already-driver-verified, untouched baselines at the
 # tail, where falling past position 50 loses nothing.
 # --- BEGIN GENERATED GATE ORDER (scripts/gen_gate_head.py) ---
-# Window = 7 never-driver-checked additions + 5 changed
-# entries + the 38 stalest driver greens (last green in
+# Window = 8 never-driver-checked additions + 5 changed
+# entries + the 37 stalest driver greens (last green in
 # round(s) [5, 6], from CORRECTNESS_r*.json). Regenerate with
 #   python scripts/gen_gate_head.py
 # (pytest runs --check; hand-edits here go stale and FAIL).
@@ -2378,6 +2378,7 @@ _GATE_HEAD = [
     "text_unigram_segment",  # last driver green: r0
     "streaming_cusum_gate",  # last driver green: r0
     "dedup_components_delta",  # last driver green: r0
+    "mm_afp_near_dup",  # last driver green: r0
     "ann_topk_ivfpq_trained",  # last driver green: r9
     "ann_recall_audit",  # last driver green: r9
     "ann_recall_clustered",  # last driver green: r9
@@ -2420,7 +2421,6 @@ _GATE_HEAD = [
     "events_type_mode",  # last driver green: r6
     "events_type_value_quantiles",  # last driver green: r6
     "events_value_histogram",  # last driver green: r6
-    "events_variant_props",  # last driver green: r6
 ]
 _GATE_TAIL = [
     "ann_topk_ivfpq",  # last driver green: r9
@@ -2556,6 +2556,7 @@ _GATE_TAIL = [
     "text_model_quality",  # last driver green: r7
     "text_quality_sample",  # last driver green: r7
     "top_orders_per_customer",  # last driver green: r7
+    "events_variant_props",  # last driver green: r6
     "fuzzy_customer_names",  # last driver green: r6
     "incremental_sales_rollup",  # last driver green: r6
     "pipeline_compaction",  # last driver green: r6

@@ -217,6 +217,7 @@ ANALYTICS_QUERIES = [
     "text_unigram_segment",
     "streaming_cusum_gate",
     "dedup_components_delta",
+    "mm_afp_near_dup",
     "dedup_canonical_docs",
     "ann_topk_brute",
     "ann_topk_lsh",
@@ -407,6 +408,7 @@ BENCH_KEY_ALIASES = {
     "text_unigram_segment": "ugs",
     "streaming_cusum_gate": "scu",
     "dedup_components_delta": "ccd",
+    "mm_afp_near_dup": "afp",
     "retrieval_hybrid_rrf3": "rr3",
     "docs_chunk_overlap": "chu",
     "dedup_decontaminate": "dcn",

@@ -46,6 +46,7 @@ MUST_ROTATE = [
     "text_unigram_segment",
     "streaming_cusum_gate",
     "dedup_components_delta",
+    "mm_afp_near_dup",
     # --- output changed in round 10 (sample-bounded quantizer training) ---
     "ann_topk_ivfpq_trained",
     "ann_recall_audit",

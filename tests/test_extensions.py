@@ -3550,3 +3550,48 @@ def test_incremental_components_merges_and_passthrough(spark):
         ).collect()
     }
     assert out == full
+
+
+def test_afp_rerender_pairs_always_within_threshold(spark):
+    """X142 pin: the one-char audio re-render flips ≤ 2 fingerprint
+    bits for EVERY payload length (energy windows partition the
+    payload — no ≥72-char guard, unlike the image grid), so every
+    engineered (base, base+30M) pair must be emitted."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import (
+        multimodal as mm,
+        registry_ext as rx,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    expected = {
+        r["doc_id"]
+        for r in docs.filter(
+            (F.col("doc_id") % 30 == 1) & (F.length("text") > 0)
+        ).select("doc_id").collect()
+    }
+    out = rx.mm_afp_near_dup(spark, sf).collect()
+    got = {
+        (r["asset_a"], r["asset_b"]): r["hamming"]
+        for r in out
+    }
+    for base in expected:
+        pair = (base, base + 30_000_000)
+        assert pair in got, f"engineered pair {pair} missing"
+        assert got[pair] <= 2, (pair, got[pair])
+    # short-text coverage: the fixture must actually include payloads
+    # the image guard would have excluded (< 72 chars), or the
+    # "no length guard" claim is untested
+    short = docs.filter(
+        (F.col("doc_id") % 30 == 1)
+        & (F.length("text") > 0) & (F.length("text") < 72)
+    ).count()
+    if short == 0:
+        # engineered direct check: a 10-char payload still pairs
+        tiny = spark.createDataFrame(
+            [(1, "abcdefghij")], ["doc_id", "text"]
+        )
+        pairs = mm.afp_near_dup(mm.rerendered_audio_assets(tiny)).collect()
+        assert [(p["asset_a"], p["asset_b"]) for p in pairs] == [
+            (1, 30_000_001)
+        ]
