@@ -176,6 +176,58 @@ def curation_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+
+
+def er_link_dirty_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X144: two-table record LINKAGE — the other half of entity
+    resolution (X136 is the self-join form; this is dirty-records-vs-
+    canonical-dimension, the master-data-management shape): an
+    engineered dirty list (every 10th customer's name with one char
+    replaced at the midpoint, the multimodal re-render idiom) is
+    matched against the canonical customer dimension with
+    fuzzy.fuzzy_join's deletion-neighborhood blocking — zero false
+    negatives at edit distance ≤ 1, linear candidate blowup, one
+    exact Levenshtein per candidate. Output = every (dirty record,
+    canonical record) pair within distance 1, so ambiguous dirty
+    names surface ALL their candidates (the honest linkage contract
+    — disambiguation is a downstream policy decision). Oracle = the
+    quadratic reference join."""
+    cust = load_table(spark, sf_dir, "customer")
+    dirty = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        (F.col("c_custkey") + 10_000_000).alias("dirty_id"),
+        F.expr(
+            "substring(c_name, 1, length(c_name) DIV 2) || 'z' || "
+            "substring(c_name, length(c_name) DIV 2 + 2)"
+        ).alias("dirty_name"),
+    )
+    links = fuzzy.fuzzy_join(
+        dirty, cust, "dirty_id", "dirty_name", "c_custkey", "c_name"
+    )
+    return links.select(
+        F.col("left_key").alias("dirty_id"),
+        F.col("right_key").alias("custkey"),
+        F.col("dist").cast("long").alias("dist"),
+    ).orderBy("dirty_id", "custkey")
+
+
+def docs_sample_fixed_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X143: deterministic fixed-k sample PER LANGUAGE (20 docs per
+    lang by stable md5 rank — the eval-set builder's "k uniform docs
+    per stratum, reproducible anywhere" primitive; X79 is the global
+    form, X23 the rate-based form). Rank-then-filter compiles to the
+    WindowGroupLimit map-side pushdown per_source_cap pins. See
+    sampling.sample_fixed_k_per_group."""
+    return (
+        sampling.sample_fixed_k_per_group(
+            _docs(spark, sf_dir), k=20, group_col="lang"
+        )
+        .select("doc_id", "lang", "source", F.col("grp_rank").cast("int").alias("grp_rank"))
+        .orderBy("lang", "grp_rank")
+    )
+
+
 def docs_sample_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X79: deterministic fixed-size corpus sample (hash-rank top-k —
     see sampling.sample_fixed_k)."""
@@ -2508,6 +2560,8 @@ EXT_QUERY_FNS = {
     "text_build_postings": text_build_postings,
     "graph_triangles_cosupply": graph_triangles_cosupply,
     "docs_sample_fixed": docs_sample_fixed,
+    "docs_sample_fixed_per_lang": docs_sample_fixed_per_lang,
+    "er_link_dirty_names": er_link_dirty_names,
     "docs_split_assign": docs_split_assign,
     "docs_split_leakage_safe": docs_split_leakage_safe,
     "corpus_mixture_plan": corpus_mixture_plan,
@@ -6166,6 +6220,39 @@ EXT_ORACLE_SQL["mm_afp_near_dup"] = """
     )
     SELECT asset_a, asset_b, hamming FROM ham WHERE hamming <= 3
     ORDER BY asset_a, asset_b
+"""
+
+
+# X143 per-group fixed-k: identical md5 rank inside each language
+EXT_ORACLE_SQL["docs_sample_fixed_per_lang"] = """
+    SELECT doc_id, lang, source, CAST(grp_rank AS INT) AS grp_rank
+    FROM (
+        SELECT doc_id, lang, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS grp_rank
+        FROM documents
+    )
+    WHERE grp_rank <= 20
+    ORDER BY lang, grp_rank
+"""
+
+
+# X144 linkage: the quadratic reference join over the same engineered
+# dirty list (midpoint 'z' substitution on every 10th customer name)
+EXT_ORACLE_SQL["er_link_dirty_names"] = """
+    WITH dirty AS (
+        SELECT c_custkey + 10000000 AS dirty_id,
+               substr(c_name, 1, len(c_name) // 2) || 'z' ||
+               substr(c_name, len(c_name) // 2 + 2) AS dirty_name
+        FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT d.dirty_id, c.c_custkey AS custkey,
+           CAST(levenshtein(d.dirty_name, c.c_name) AS BIGINT) AS dist
+    FROM dirty d JOIN customer c
+      ON levenshtein(d.dirty_name, c.c_name) <= 1
+    ORDER BY dirty_id, custkey
 """
 
 EXT_ORACLE_SQL["text_unigram_vocab"] = _unigram_oracle_sql(final="vocab")

@@ -235,3 +235,34 @@ def per_source_cap(
         scored_docs.withColumn("src_rank", F.row_number().over(w))
         .filter(F.col("src_rank") <= cap)
     )
+
+
+def sample_fixed_k_per_group(
+    docs: DataFrame,
+    k: int = 20,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """X143: deterministic fixed-k sample PER STRATUM — the
+    group-wise form of :func:`sample_fixed_k` (exactly k rows per
+    group when the group has ≥ k rows, all of them otherwise), ranked
+    by the stable md5 of the row id inside each group. The eval-set
+    builder's shape: "give me 20 uniform docs per language,
+    reproducibly, on any cluster".
+
+    Scale shape: rank-then-filter over a group-partitioned window —
+    the same WindowGroupLimit map-side pushdown per_source_cap pins
+    (each task keeps its local top-k per group BEFORE the shuffle),
+    so a billion-row language costs the exchange ≤ k·tasks rows."""
+    if k < 1:
+        raise ValueError(f"k={k} must be >= 1")
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        docs.select(id_col, group_col, *keep_cols)
+        .withColumn("grp_rank", F.row_number().over(w))
+        .filter(F.col("grp_rank") <= k)
+    )

@@ -218,6 +218,8 @@ ANALYTICS_QUERIES = [
     "streaming_cusum_gate",
     "dedup_components_delta",
     "mm_afp_near_dup",
+    "docs_sample_fixed_per_lang",
+    "er_link_dirty_names",
     "dedup_canonical_docs",
     "ann_topk_brute",
     "ann_topk_lsh",
@@ -409,6 +411,8 @@ BENCH_KEY_ALIASES = {
     "streaming_cusum_gate": "scu",
     "dedup_components_delta": "ccd",
     "mm_afp_near_dup": "afp",
+    "docs_sample_fixed_per_lang": "spl",
+    "er_link_dirty_names": "eld",
     "retrieval_hybrid_rrf3": "rr3",
     "docs_chunk_overlap": "chu",
     "dedup_decontaminate": "dcn",

@@ -47,6 +47,8 @@ MUST_ROTATE = [
     "streaming_cusum_gate",
     "dedup_components_delta",
     "mm_afp_near_dup",
+    "docs_sample_fixed_per_lang",
+    "er_link_dirty_names",
     # --- output changed in round 10 (sample-bounded quantizer training) ---
     "ann_topk_ivfpq_trained",
     "ann_recall_audit",
