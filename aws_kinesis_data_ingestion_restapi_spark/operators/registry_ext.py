@@ -212,6 +212,128 @@ def er_link_dirty_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("dirty_id", "custkey")
 
 
+
+
+def text_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X145: tokenizer A/B audit — per-language fertility of the BPE
+    tokenizer (X102/X103) vs the unigram-LM tokenizer (X139), the
+    comparison a pipeline team actually runs before pinning a
+    tokenizer (fertility by language is how vocab budgets get
+    rebalanced — X124's statistic, now as a two-tokenizer contrast).
+    Both segmentations ride their session caches (_bpe_seg_counts /
+    _unigram_pair), so this query adds two joins and one aggregate,
+    never a retrain; the doc universe is the inner join of both
+    tokenizers' segmentable corpora (identical on this corpus; the
+    join is the honest general form). Exact int64 sums, one double
+    division per fertility."""
+    bpe = _bpe_seg_counts(spark, sf_dir)
+    _counts, seg = _unigram_pair(spark, sf_dir)
+    per_word = seg.select("word", F.col("k").alias("n_pieces"))
+    docw = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), r"\s+")).alias("word"),
+    ).filter(F.length("word") > 0)
+    uni = (
+        docw.join(per_word, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("u_words"),
+            F.sum("n_pieces").cast("long").alias("u_tokens"),
+        )
+    )
+    both = bpe.join(uni, "doc_id").join(
+        _docs(spark, sf_dir).select("doc_id", "lang"), "doc_id"
+    )
+    return (
+        both.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("bpe_tokens"),
+            F.sum("u_tokens").cast("long").alias("unigram_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "bpe_tokens",
+            "unigram_tokens",
+            (
+                F.col("bpe_tokens").cast("double")
+                / F.col("n_words").cast("double")
+            ).alias("bpe_fertility"),
+            (
+                F.col("unigram_tokens").cast("double")
+                / F.col("n_words").cast("double")
+            ).alias("unigram_fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
+def docs_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X146: split-leakage AUDIT — the measurement that JUSTIFIES
+    X110: for each split policy (X80's naive per-doc hash vs X110's
+    component hash), how many MinHash near-dup pairs STRADDLE a split
+    boundary (train/test contamination by construction). The safe
+    policy's row is zero BY THEOREM (a component moves as one unit)
+    and the naive policy's row is the measured leak it prevents —
+    the before/after number a curation review wants on one line.
+    Pairs and component labels ride the session caches; the audit
+    itself is two label joins and one aggregate."""
+    pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    comp = _lsh_component_labels(spark, sf_dir)
+
+    def bucket(c):
+        return (
+            F.conv(F.substring(F.md5(c.cast("string")), 1, 7), 16, 10)
+            .cast("long") % 100
+        )
+
+    def split_of(b):
+        return (
+            F.when(b < 90, "train").when(b < 95, "val").otherwise("test")
+        )
+
+    naive = comp.select(
+        F.col("node").alias("doc_id"),
+        split_of(bucket(F.col("node"))).alias("s_naive"),
+        split_of(bucket(F.col("component"))).alias("s_safe"),
+    )
+    j = (
+        pairs.join(
+            naive.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("s_naive").alias("na"),
+                F.col("s_safe").alias("sa"),
+            ),
+            "doc_a",
+        )
+        .join(
+            naive.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("s_naive").alias("nb"),
+                F.col("s_safe").alias("sb"),
+            ),
+            "doc_b",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum((F.col("na") != F.col("nb")).cast("long")).alias(
+                "naive_straddle"
+            ),
+            F.sum((F.col("sa") != F.col("sb")).cast("long")).alias(
+                "safe_straddle"
+            ),
+        )
+    )
+    return j.selectExpr(
+        "stack(2, 'per_doc_hash', n_pairs, naive_straddle, "
+        "'component_hash', n_pairs, safe_straddle) "
+        "AS (split_policy, n_pairs, n_straddling)"
+    ).orderBy("split_policy")
+
+
 def docs_sample_fixed_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X143: deterministic fixed-k sample PER LANGUAGE (20 docs per
     lang by stable md5 rank — the eval-set builder's "k uniform docs
@@ -2562,6 +2684,8 @@ EXT_QUERY_FNS = {
     "docs_sample_fixed": docs_sample_fixed,
     "docs_sample_fixed_per_lang": docs_sample_fixed_per_lang,
     "er_link_dirty_names": er_link_dirty_names,
+    "text_tokenizer_compare": text_tokenizer_compare,
+    "docs_split_leakage_audit": docs_split_leakage_audit,
     "docs_split_assign": docs_split_assign,
     "docs_split_leakage_safe": docs_split_leakage_safe,
     "corpus_mixture_plan": corpus_mixture_plan,
@@ -6257,3 +6381,69 @@ EXT_ORACLE_SQL["er_link_dirty_names"] = """
 
 EXT_ORACLE_SQL["text_unigram_vocab"] = _unigram_oracle_sql(final="vocab")
 EXT_ORACLE_SQL["text_unigram_segment"] = _unigram_oracle_sql(final="segment")
+
+# X145 tokenizer A/B: both generated segment oracles composed, the
+# same inner-join universe and exact-int fertility arithmetic
+EXT_ORACLE_SQL["text_tokenizer_compare"] = f"""
+    WITH b AS ({{bpe}}),
+    u AS ({{uni}})
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(b.n_words) AS BIGINT) AS n_words,
+           CAST(SUM(b.n_bpe_tokens) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(u.n_unigram_tokens) AS BIGINT) AS unigram_tokens,
+           CAST(SUM(b.n_bpe_tokens) AS DOUBLE)
+               / CAST(SUM(b.n_words) AS DOUBLE) AS bpe_fertility,
+           CAST(SUM(u.n_unigram_tokens) AS DOUBLE)
+               / CAST(SUM(b.n_words) AS DOUBLE) AS unigram_fertility
+    FROM b
+    JOIN u USING (doc_id)
+    JOIN documents d USING (doc_id)
+    GROUP BY 1 ORDER BY 1
+""".format(
+    bpe=EXT_ORACLE_SQL["text_bpe_segment"],
+    uni=EXT_ORACLE_SQL["text_unigram_segment"],
+)
+
+# X146 split-leakage audit: the pair oracle + the closure oracle +
+# both split policies' bucket arithmetic, stacked to two rows
+EXT_ORACLE_SQL["docs_split_leakage_audit"] = """
+    WITH pairs AS ({pairs}),
+    comp AS ({comp}),
+    lab AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                        1, 7)) AS BIGINT) % 100 AS hn,
+               CAST(concat('0x', substr(md5(CAST(component_id AS VARCHAR)),
+                                        1, 7)) AS BIGINT) % 100 AS hs
+        FROM comp
+    ),
+    sp AS (
+        SELECT doc_id,
+               CASE WHEN hn < 90 THEN 'train' WHEN hn < 95 THEN 'val'
+                    ELSE 'test' END AS s_naive,
+               CASE WHEN hs < 90 THEN 'train' WHEN hs < 95 THEN 'val'
+                    ELSE 'test' END AS s_safe
+        FROM lab
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN a.s_naive != b.s_naive THEN 1 ELSE 0 END)
+                    AS BIGINT) AS naive_straddle,
+               CAST(SUM(CASE WHEN a.s_safe != b.s_safe THEN 1 ELSE 0 END)
+                    AS BIGINT) AS safe_straddle
+        FROM pairs p
+        JOIN sp a ON a.doc_id = p.doc_a
+        JOIN sp b ON b.doc_id = p.doc_b
+    )
+    SELECT 'component_hash' AS split_policy, n_pairs,
+           safe_straddle AS n_straddling FROM agg
+    UNION ALL
+    SELECT 'per_doc_hash' AS split_policy, n_pairs,
+           naive_straddle AS n_straddling FROM agg
+    ORDER BY split_policy
+""".format(
+    pairs=EXT_ORACLE_SQL["dedup_minhash_lsh"],
+    comp=EXT_ORACLE_SQL["dedup_components"],
+)
+

@@ -220,6 +220,8 @@ ANALYTICS_QUERIES = [
     "mm_afp_near_dup",
     "docs_sample_fixed_per_lang",
     "er_link_dirty_names",
+    "text_tokenizer_compare",
+    "docs_split_leakage_audit",
     "dedup_canonical_docs",
     "ann_topk_brute",
     "ann_topk_lsh",
@@ -413,6 +415,8 @@ BENCH_KEY_ALIASES = {
     "mm_afp_near_dup": "afp",
     "docs_sample_fixed_per_lang": "spl",
     "er_link_dirty_names": "eld",
+    "text_tokenizer_compare": "tkc",
+    "docs_split_leakage_audit": "slk",
     "retrieval_hybrid_rrf3": "rr3",
     "docs_chunk_overlap": "chu",
     "dedup_decontaminate": "dcn",

@@ -49,6 +49,8 @@ MUST_ROTATE = [
     "mm_afp_near_dup",
     "docs_sample_fixed_per_lang",
     "er_link_dirty_names",
+    "text_tokenizer_compare",
+    "docs_split_leakage_audit",
     # --- output changed in round 10 (sample-bounded quantizer training) ---
     "ann_topk_ivfpq_trained",
     "ann_recall_audit",
