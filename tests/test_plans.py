@@ -1061,3 +1061,71 @@ def test_lpa_round_plan_shapes(spark):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan  # argmax is an aggregate, not a sort
     assert "partial_max" in plan or "partial max" in plan.lower(), plan[:2500]
+
+
+def test_resolve_entities_blocking_is_equi_join_with_attrs(spark):
+    """X136's scale claim, plan-pinned: entity-resolution candidates
+    come from ONE equi-join whose key includes the deletion variant
+    AND every agreement attribute — attribute verification happens in
+    the shuffle key, not as a post-join filter — and nothing in the
+    plan is a nested-loop/cartesian operator."""
+    import re
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators.fuzzy import (
+        resolve_entities,
+    )
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    # plan of the verified-pairs stage (the closure loop materializes
+    # per round, so pin the stage the operator adds)
+    from aws_kinesis_data_ingestion_restapi_spark.operators import fuzzy
+
+    base = cust.select(
+        F.col("c_custkey").alias("_k"),
+        F.col("c_name").alias("_s"),
+        F.col("c_nationkey"),
+        F.col("c_mktsegment"),
+        F.explode(fuzzy._deletion_variants("c_name")).alias("_v"),
+    )
+    a = base.select(
+        F.col("_k").alias("key_a"), F.col("_s").alias("_sa"), "_v",
+        "c_nationkey", "c_mktsegment",
+    )
+    b = base.select(
+        F.col("_k").alias("key_b"), F.col("_s").alias("_sb"), "_v",
+        "c_nationkey", "c_mktsegment",
+    )
+    cand = a.join(b, ["_v", "c_nationkey", "c_mktsegment"]).filter(
+        F.col("key_a") < F.col("key_b")
+    )
+    plan = explain_str(cand)
+    tree = plan.split("\n\n(")[0]
+    assert "CartesianProduct" not in tree, tree
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    assert re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+                     tree), tree
+    m = re.search(r"Left keys \[\d+\]: \[([^\]]*)\]", plan)
+    assert m, plan
+    keys = m.group(1)
+    assert "_v" in keys and "c_nationkey" in keys and "c_mktsegment" in keys, keys
+
+
+def test_incremental_components_full_width_is_one_label_join(spark):
+    """X141's scale claim, plan-pinned: the touched-component
+    discovery is equi-joins of the label table against the delta
+    endpoints (hash joins only, no cartesian), and the untouched
+    passthrough is a LEFT ANTI join on the component key."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import graph
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    base = spark.createDataFrame(
+        [(i, i - (i % 3)) for i in range(60)], ["node", "component"]
+    )
+    delta = spark.createDataFrame([(1, 4), (7, 10)], ["u", "v"])
+    out = graph.incremental_components(base, delta)
+    plan = explain_str(out)
+    tree = plan.split("\n\n(")[0]
+    assert "CartesianProduct" not in tree, tree
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    assert "LeftAnti" in tree, tree
