@@ -877,6 +877,46 @@ def sketch_distinct_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+
+
+def sketch_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X147: sketch ACCURACY audit — X33's θ-sample distinct estimate
+    measured against the exact distinct count it approximates, per
+    language, with the signed relative error (the audit-the-sketch
+    discipline the ANN family already has via X88: an estimator
+    without a measured error number is a speedup claim with no
+    evidence). Deliberately pays the exact-distinct shuffle — this is
+    the occasional validation run, not the production path; at 100 TB
+    it runs on a sampled stratum or a golden day, and the production
+    dashboards keep reading the sketch."""
+    docs = _docs(spark, sf_dir)
+    grams = docs.select(
+        "lang", dedup.tokens_col().alias("_toks")
+    ).select(
+        "lang", F.explode(dedup.word_ngrams(3, F.col("_toks"))).alias("gram")
+    )
+    est = sketch.theta_distinct(grams, ["lang"], "gram", theta_hex_digits=1)
+    exact = grams.groupBy("lang").agg(
+        F.countDistinct("gram").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "lang")
+        .select(
+            "lang",
+            "n_sampled",
+            "est_distinct",
+            "exact_distinct",
+            (
+                (
+                    F.col("est_distinct") - F.col("exact_distinct")
+                ).cast("double")
+                / F.col("exact_distinct").cast("double")
+            ).alias("rel_err"),
+        )
+        .orderBy("lang")
+    )
+
+
 #: quality floor for the composed curation pipeline (score is a sum of
 #: exact IEEE terms — identical cross-engine, so >= agrees on boundaries)
 QUALITY_FLOOR = 0.82
@@ -2694,6 +2734,7 @@ EXT_QUERY_FNS = {
     "retrieval_hybrid_rrf": retrieval_hybrid_rrf,
     "docs_expectations": docs_expectations,
     "sketch_distinct_trigrams": sketch_distinct_trigrams,
+    "sketch_accuracy_audit": sketch_accuracy_audit,
     "sketch_heavy_hitters": sketch_heavy_hitters,
     "sketch_value_quantiles": sketch_value_quantiles,
     "events_type_value_quantiles": events_type_value_quantiles,
@@ -6377,6 +6418,32 @@ EXT_ORACLE_SQL["er_link_dirty_names"] = """
     FROM dirty d JOIN customer c
       ON levenshtein(d.dirty_name, c.c_name) <= 1
     ORDER BY dirty_id, custkey
+"""
+
+
+# X147 sketch accuracy: the theta estimate joined to the exact
+# distinct count, same shingle stream, signed relative error
+EXT_ORACLE_SQL["sketch_accuracy_audit"] = f"""
+    WITH g AS (
+        SELECT lang, unnest({_shingles(3)}) AS gram
+        FROM (SELECT lang, {_TOKS} AS t FROM documents)
+    ),
+    est AS (
+        SELECT lang,
+               COUNT(DISTINCT md5(gram)) AS n_sampled,
+               COUNT(DISTINCT md5(gram)) * 16 AS est_distinct
+        FROM g WHERE substr(md5(gram), 1, 1) = '0'
+        GROUP BY lang
+    ),
+    ex AS (
+        SELECT lang, COUNT(DISTINCT gram) AS exact_distinct
+        FROM g GROUP BY lang
+    )
+    SELECT lang, n_sampled, est_distinct, exact_distinct,
+           CAST(est_distinct - exact_distinct AS DOUBLE)
+               / CAST(exact_distinct AS DOUBLE) AS rel_err
+    FROM est JOIN ex USING (lang)
+    ORDER BY lang
 """
 
 EXT_ORACLE_SQL["text_unigram_vocab"] = _unigram_oracle_sql(final="vocab")

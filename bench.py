@@ -222,6 +222,7 @@ ANALYTICS_QUERIES = [
     "er_link_dirty_names",
     "text_tokenizer_compare",
     "docs_split_leakage_audit",
+    "sketch_accuracy_audit",
     "dedup_canonical_docs",
     "ann_topk_brute",
     "ann_topk_lsh",
@@ -417,6 +418,7 @@ BENCH_KEY_ALIASES = {
     "er_link_dirty_names": "eld",
     "text_tokenizer_compare": "tkc",
     "docs_split_leakage_audit": "slk",
+    "sketch_accuracy_audit": "ska",
     "retrieval_hybrid_rrf3": "rr3",
     "docs_chunk_overlap": "chu",
     "dedup_decontaminate": "dcn",

@@ -51,6 +51,7 @@ MUST_ROTATE = [
     "er_link_dirty_names",
     "text_tokenizer_compare",
     "docs_split_leakage_audit",
+    "sketch_accuracy_audit",
     # --- output changed in round 10 (sample-bounded quantizer training) ---
     "ann_topk_ivfpq_trained",
     "ann_recall_audit",
