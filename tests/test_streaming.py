@@ -636,3 +636,42 @@ def test_streaming_topk_users_replay_and_emission(spark):
     assert {k: sorted(v) for k, v in got.items()} == {
         k: sorted(v) for k, v in expected.items()
     }
+
+
+def test_streaming_cusum_matches_batch_on_closed_days(spark):
+    """X140 pin: the streaming CUSUM gate must equal the batch X138
+    detector evaluated over exactly the watermark-closed day universe
+    (same cusum_scores core, different day source) — the
+    batch/streaming consistency contract stated in the docstring."""
+    import datetime
+
+    from aws_kinesis_data_ingestion_restapi_spark import analytics
+    from aws_kinesis_data_ingestion_restapi_spark.streaming.registry_stream import (
+        streaming_cusum_gate,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = streaming_cusum_gate(spark, sf).collect()
+    assert out
+
+    utc = datetime.timezone.utc
+
+    def _epoch(ts):
+        return (ts if ts.tzinfo else ts.replace(tzinfo=utc)).timestamp()
+
+    events = analytics._t(spark, sf, "events").select("ts").collect()
+    wm = max(_epoch(r["ts"]) for r in events) - 3600
+    daily = {}
+    for r in events:
+        d = datetime.datetime.fromtimestamp(
+            int(_epoch(r["ts"]) // 86400) * 86400, tz=utc
+        ).date()
+        daily[d] = daily.get(d, 0) + 1
+    closed = sorted(d for d in daily if _epoch(
+        datetime.datetime(d.year, d.month, d.day, tzinfo=utc)
+    ) + 86400 <= wm)
+    rows = [(d, daily[d]) for d in closed]
+    batch = analytics.cusum_scores(
+        spark.createDataFrame(rows, ["day", "n"])
+    ).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in batch]
