@@ -917,6 +917,73 @@ def sketch_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X148: the corpus CURATION FUNNEL — the one-table health report
+    an owner reads after every pipeline run: how many documents (and
+    word tokens) survive each stage of the standard chain — raw →
+    exact dedup (keep-first) → near-dup canonical (one survivor per
+    MinHash-LSH component) → quality floor → decontamination — with
+    each stage's share of raw. Stage monotonicity is structural:
+    canonical survivors ARE exact keep-first survivors (the component
+    min has the smallest id among all its exact copies), and every
+    later stage filters the previous one. All inputs ride session
+    caches (component labels, MinHash pairs); each stage adds one
+    semi/anti join and the whole report is five metadata-scale
+    aggregates stacked."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.size(text.tokens_col()).cast("long").alias("ntok")
+    )
+    exact = dedup.dedup_keep_first(docs).select("doc_id")
+    comp = _lsh_component_labels(spark, sf_dir)
+    canon = comp.filter(F.col("node") == F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    qual = (
+        text.quality_score(docs)
+        .filter(F.col("quality_score") >= QUALITY_FLOOR)
+        .select("doc_id")
+    )
+    qf = canon.join(qual, "doc_id")
+    contam = dedup.contamination_report(
+        docs, docs.filter(F.col("doc_id") < 25), n=5, min_overlap=1
+    ).select("doc_id")
+    dec = qf.join(contam, "doc_id", "left_anti")
+
+    def stage(name: str, ids: DataFrame | None):
+        base = tok if ids is None else tok.join(ids, "doc_id")
+        return base.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("ntok"), F.lit(0)).cast("long").alias(
+                "n_tokens"
+            ),
+        )
+    stages = (
+        stage("1_raw", None)
+        .unionByName(stage("2_exact_dedup", exact))
+        .unionByName(stage("3_near_dedup", canon))
+        .unionByName(stage("4_quality_floor", qf))
+        .unionByName(stage("5_decontaminated", dec))
+    )
+    raw = tok.agg(F.count(F.lit(1)).alias("_raw_n"))
+    return (
+        stages.crossJoin(F.broadcast(raw))
+        .select(
+            "stage",
+            "n_docs",
+            "n_tokens",
+            (
+                F.col("n_docs").cast("double")
+                / F.col("_raw_n").cast("double")
+            ).alias("pct_docs"),
+        )
+        .orderBy("stage")
+    )
+
+
 #: quality floor for the composed curation pipeline (score is a sum of
 #: exact IEEE terms — identical cross-engine, so >= agrees on boundaries)
 QUALITY_FLOOR = 0.82
@@ -2735,6 +2802,7 @@ EXT_QUERY_FNS = {
     "docs_expectations": docs_expectations,
     "sketch_distinct_trigrams": sketch_distinct_trigrams,
     "sketch_accuracy_audit": sketch_accuracy_audit,
+    "corpus_funnel_report": corpus_funnel_report,
     "sketch_heavy_hitters": sketch_heavy_hitters,
     "sketch_value_quantiles": sketch_value_quantiles,
     "events_type_value_quantiles": events_type_value_quantiles,
@@ -6445,6 +6513,67 @@ EXT_ORACLE_SQL["sketch_accuracy_audit"] = f"""
     FROM est JOIN ex USING (lang)
     ORDER BY lang
 """
+
+
+# X148 curation funnel: every stage spliced from its standalone
+# oracle fragment (keep-first window / closure / quality formula /
+# contamination probe), five aggregates stacked with shares of raw
+EXT_ORACLE_SQL["corpus_funnel_report"] = """
+    WITH tok AS (
+        SELECT doc_id, CAST(len({toks}) AS BIGINT) AS ntok
+        FROM documents
+    ),
+    ex AS (
+        SELECT doc_id FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY text
+                                              ORDER BY doc_id) AS rn
+            FROM documents) WHERE rn = 1
+    ),
+    comp AS ({comp}),
+    can AS (SELECT doc_id FROM comp WHERE doc_id = component_id),
+    q AS ({quality}),
+    qf AS (
+        SELECT c.doc_id FROM can c JOIN q USING (doc_id)
+        WHERE q.quality_score >= {floor}
+    ),
+    cont AS ({contam}),
+    dec AS (
+        SELECT doc_id FROM qf
+        WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+    ),
+    raw AS (SELECT CAST(COUNT(*) AS BIGINT) AS rn FROM tok),
+    st AS (
+        SELECT '1_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COALESCE(SUM(ntok), 0) AS BIGINT) AS n_tokens
+        FROM tok
+        UNION ALL
+        SELECT '2_exact_dedup', CAST(COUNT(*) AS BIGINT),
+               CAST(COALESCE(SUM(ntok), 0) AS BIGINT)
+        FROM tok JOIN ex USING (doc_id)
+        UNION ALL
+        SELECT '3_near_dedup', CAST(COUNT(*) AS BIGINT),
+               CAST(COALESCE(SUM(ntok), 0) AS BIGINT)
+        FROM tok JOIN can USING (doc_id)
+        UNION ALL
+        SELECT '4_quality_floor', CAST(COUNT(*) AS BIGINT),
+               CAST(COALESCE(SUM(ntok), 0) AS BIGINT)
+        FROM tok JOIN qf USING (doc_id)
+        UNION ALL
+        SELECT '5_decontaminated', CAST(COUNT(*) AS BIGINT),
+               CAST(COALESCE(SUM(ntok), 0) AS BIGINT)
+        FROM tok JOIN dec USING (doc_id)
+    )
+    SELECT stage, n_docs, n_tokens,
+           CAST(n_docs AS DOUBLE) / CAST(raw.rn AS DOUBLE) AS pct_docs
+    FROM st CROSS JOIN raw
+    ORDER BY stage
+""".format(
+    toks=_TOKS,
+    comp=EXT_ORACLE_SQL["dedup_components"],
+    quality=EXT_ORACLE_SQL["text_quality_score"],
+    floor=QUALITY_FLOOR,
+    contam=EXT_ORACLE_SQL["dedup_contamination"],
+)
 
 EXT_ORACLE_SQL["text_unigram_vocab"] = _unigram_oracle_sql(final="vocab")
 EXT_ORACLE_SQL["text_unigram_segment"] = _unigram_oracle_sql(final="segment")

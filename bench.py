@@ -223,6 +223,7 @@ ANALYTICS_QUERIES = [
     "text_tokenizer_compare",
     "docs_split_leakage_audit",
     "sketch_accuracy_audit",
+    "corpus_funnel_report",
     "dedup_canonical_docs",
     "ann_topk_brute",
     "ann_topk_lsh",
@@ -419,6 +420,7 @@ BENCH_KEY_ALIASES = {
     "text_tokenizer_compare": "tkc",
     "docs_split_leakage_audit": "slk",
     "sketch_accuracy_audit": "ska",
+    "corpus_funnel_report": "fnl",
     "retrieval_hybrid_rrf3": "rr3",
     "docs_chunk_overlap": "chu",
     "dedup_decontaminate": "dcn",

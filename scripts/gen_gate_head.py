@@ -52,6 +52,7 @@ MUST_ROTATE = [
     "text_tokenizer_compare",
     "docs_split_leakage_audit",
     "sketch_accuracy_audit",
+    "corpus_funnel_report",
     # --- output changed in round 10 (sample-bounded quantizer training) ---
     "ann_topk_ivfpq_trained",
     "ann_recall_audit",

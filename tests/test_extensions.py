@@ -3595,3 +3595,26 @@ def test_afp_rerender_pairs_always_within_threshold(spark):
         assert [(p["asset_a"], p["asset_b"]) for p in pairs] == [
             (1, 30_000_001)
         ]
+
+
+def test_corpus_funnel_monotone_and_consistent(spark):
+    """X148 pins: the funnel is monotone non-increasing stage to
+    stage in BOTH docs and tokens (canonical ⊆ exact keep-first is
+    the structural theorem in the docstring), raw pct is exactly 1.0,
+    and the canonical-stage count equals dedup_canonical_docs'."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import (
+        registry_ext as rx,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = rx.corpus_funnel_report(spark, sf).collect()
+    assert [r["stage"] for r in rows] == [
+        "1_raw", "2_exact_dedup", "3_near_dedup",
+        "4_quality_floor", "5_decontaminated",
+    ]
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_docs"] <= a["n_docs"]
+        assert b["n_tokens"] <= a["n_tokens"]
+    assert rows[0]["pct_docs"] == 1.0
+    n_canon = rx.dedup_canonical_docs(spark, sf).count()
+    assert rows[2]["n_docs"] == n_canon
