@@ -919,6 +919,39 @@ def sketch_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+
+#: k-anonymity threshold for the privacy audit
+K_ANON = 5
+
+
+def customers_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X149: k-anonymity audit — the dataset-level privacy check next
+    to X12's row-level PII redaction (Sweeney 2002: a release is
+    k-anonymous iff every quasi-identifier combination matches ≥ k
+    records; cells below k re-identify individuals by linkage).
+    Quasi-identifiers here: (nation, market segment, account-balance
+    band of width 1000 — the classic numeric-QI binning). Emits every
+    VIOLATING cell with its group size — the suppression/
+    generalization worklist a privacy review hands back. One exact
+    GROUP BY; at 100 TB the QI aggregate is one map-side-combined
+    shuffle and the violating-cell output is tiny by definition
+    (big cells are the compliant ones)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias(
+                "balance_band"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") < K_ANON)
+        .orderBy("c_nationkey", "c_mktsegment", "balance_band")
+    )
+
+
 def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X148: the corpus CURATION FUNNEL — the one-table health report
     an owner reads after every pipeline run: how many documents (and
@@ -2803,6 +2836,7 @@ EXT_QUERY_FNS = {
     "sketch_distinct_trigrams": sketch_distinct_trigrams,
     "sketch_accuracy_audit": sketch_accuracy_audit,
     "corpus_funnel_report": corpus_funnel_report,
+    "customers_k_anonymity": customers_k_anonymity,
     "sketch_heavy_hitters": sketch_heavy_hitters,
     "sketch_value_quantiles": sketch_value_quantiles,
     "events_type_value_quantiles": events_type_value_quantiles,
@@ -6574,6 +6608,18 @@ EXT_ORACLE_SQL["corpus_funnel_report"] = """
     floor=QUALITY_FLOOR,
     contam=EXT_ORACLE_SQL["dedup_contamination"],
 )
+
+
+# X149 k-anonymity: identical QI binning + threshold
+EXT_ORACLE_SQL["customers_k_anonymity"] = """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS balance_band,
+           CAST(COUNT(*) AS BIGINT) AS group_size
+    FROM customer
+    GROUP BY 1, 2, 3
+    HAVING COUNT(*) < 5
+    ORDER BY 1, 2, 3
+"""
 
 EXT_ORACLE_SQL["text_unigram_vocab"] = _unigram_oracle_sql(final="vocab")
 EXT_ORACLE_SQL["text_unigram_segment"] = _unigram_oracle_sql(final="segment")

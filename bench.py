@@ -224,6 +224,7 @@ ANALYTICS_QUERIES = [
     "docs_split_leakage_audit",
     "sketch_accuracy_audit",
     "corpus_funnel_report",
+    "customers_k_anonymity",
     "dedup_canonical_docs",
     "ann_topk_brute",
     "ann_topk_lsh",
@@ -421,6 +422,7 @@ BENCH_KEY_ALIASES = {
     "docs_split_leakage_audit": "slk",
     "sketch_accuracy_audit": "ska",
     "corpus_funnel_report": "fnl",
+    "customers_k_anonymity": "kan",
     "retrieval_hybrid_rrf3": "rr3",
     "docs_chunk_overlap": "chu",
     "dedup_decontaminate": "dcn",

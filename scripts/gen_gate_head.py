@@ -53,6 +53,7 @@ MUST_ROTATE = [
     "docs_split_leakage_audit",
     "sketch_accuracy_audit",
     "corpus_funnel_report",
+    "customers_k_anonymity",
     # --- output changed in round 10 (sample-bounded quantizer training) ---
     "ann_topk_ivfpq_trained",
     "ann_recall_audit",
