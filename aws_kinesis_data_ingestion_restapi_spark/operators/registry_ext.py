@@ -1849,6 +1849,48 @@ def _orders_snapshots(spark: SparkSession, sf_dir: str):
     return old, new.unionByName(inserts)
 
 
+
+
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X150: point-in-time (time-travel) lookup over the SCD2 history
+    — the read side X57 was missing: reconstruct the dimension AS OF
+    each version v by the validity-interval predicate
+    (valid_from ≤ v AND (valid_to IS NULL OR v < valid_to)) and
+    aggregate it per status. The oracle computes the SAME aggregates
+    directly from the raw snapshot definitions, so the value hash is
+    the PROOF that the history reconstructs every snapshot exactly —
+    the invariant a warehouse time-travel reader depends on. The PIT
+    filter is a map-side predicate on the history scan (no join at
+    all for a version probe); at 100 TB an as-of-DATE variant is the
+    same predicate over date intervals."""
+    old, new = _orders_snapshots(spark, sf_dir)
+    hist = cdc.scd2_apply(
+        old,
+        new,
+        keys=["o_orderkey"],
+        compare_cols=["o_orderstatus", "o_totalprice"],
+    )
+    out = None
+    for v in (1, 2):
+        pit = hist.filter(
+            (F.col("valid_from") <= v)
+            & (F.col("valid_to").isNull() | (F.lit(v) < F.col("valid_to")))
+        )
+        agg = pit.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        ).select(
+            F.lit(v).alias("as_of_version"),
+            "o_orderstatus",
+            "n_orders",
+            "total_price",
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out.orderBy("as_of_version", "o_orderstatus")
+
+
 def graph_triangles_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X86: exact triangle count over the supplier 10-NN CO-SUPPLY
     graph by degree orientation — graph.triangle_count. Each supplier
@@ -2866,6 +2908,7 @@ EXT_QUERY_FNS = {
     "dedup_signal_agreement": dedup_signal_agreement,
     "cdc_snapshot_diff": cdc_snapshot_diff,
     "cdc_scd2_history": cdc_scd2_history,
+    "scd2_point_in_time": scd2_point_in_time,
     "asof_priority_rates": asof_priority_rates,
     "events_range_follow": events_range_follow,
     "ann_topk_brute": ann_topk_brute,
@@ -6619,6 +6662,34 @@ EXT_ORACLE_SQL["customers_k_anonymity"] = """
     GROUP BY 1, 2, 3
     HAVING COUNT(*) < 5
     ORDER BY 1, 2, 3
+"""
+
+
+# X150 PIT: the oracle aggregates the RAW snapshot definitions — a
+# value-hash match proves the SCD2 history reconstructs each snapshot
+EXT_ORACLE_SQL["scd2_point_in_time"] = """
+    WITH old AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    nw AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM old WHERE o_orderkey % 97 != 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice
+        FROM old WHERE o_orderkey % 101 = 0
+    )
+    SELECT 1 AS as_of_version, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM old GROUP BY 2
+    UNION ALL
+    SELECT 2, o_orderstatus, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+    FROM nw GROUP BY 2
+    ORDER BY as_of_version, o_orderstatus
 """
 
 EXT_ORACLE_SQL["text_unigram_vocab"] = _unigram_oracle_sql(final="vocab")

@@ -225,6 +225,7 @@ ANALYTICS_QUERIES = [
     "sketch_accuracy_audit",
     "corpus_funnel_report",
     "customers_k_anonymity",
+    "scd2_point_in_time",
     "dedup_canonical_docs",
     "ann_topk_brute",
     "ann_topk_lsh",
@@ -423,6 +424,7 @@ BENCH_KEY_ALIASES = {
     "sketch_accuracy_audit": "ska",
     "corpus_funnel_report": "fnl",
     "customers_k_anonymity": "kan",
+    "scd2_point_in_time": "pit",
     "retrieval_hybrid_rrf3": "rr3",
     "docs_chunk_overlap": "chu",
     "dedup_decontaminate": "dcn",

@@ -54,6 +54,7 @@ MUST_ROTATE = [
     "sketch_accuracy_audit",
     "corpus_funnel_report",
     "customers_k_anonymity",
+    "scd2_point_in_time",
     # --- output changed in round 10 (sample-bounded quantizer training) ---
     "ann_topk_ivfpq_trained",
     "ann_recall_audit",
