@@ -135,6 +135,30 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.collocation_lift(_docs(spark, sf_dir))
 
 
+
+
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X151: exact phrase search over the corpus — query phrase = the
+    first three tokens of doc 0 (data-derived, so both engines
+    compute the identical phrase with no literal in the contract).
+    Positional posting-list intersection (text.phrase_search): each
+    term probes its own posting list map-side against the broadcast
+    phrase, lists intersect on (doc_id, consecutive pos). The oracle
+    is the DIRECT token-array scan — an independent algorithm, so the
+    hash match validates the index intersection end to end."""
+    docs = _docs(spark, sf_dir)
+    ph = (
+        docs.filter(F.col("doc_id") == 0)
+        .select(text.tokens_col().alias("_t"))
+        .select(
+            F.col("_t")[0].alias("w1"),
+            F.col("_t")[1].alias("w2"),
+            F.col("_t")[2].alias("w3"),
+        )
+    )
+    return text.phrase_search(docs, ph)
+
+
 def text_build_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X84: inverted-index build — term -> (df, sorted posting list);
     see text.build_postings.
@@ -2862,6 +2886,7 @@ EXT_QUERY_FNS = {
     "text_keywords": text_keywords,
     "text_collocations": text_collocations,
     "text_build_postings": text_build_postings,
+    "text_phrase_search": text_phrase_search,
     "graph_triangles_cosupply": graph_triangles_cosupply,
     "docs_sample_fixed": docs_sample_fixed,
     "docs_sample_fixed_per_lang": docs_sample_fixed_per_lang,
@@ -6690,6 +6715,26 @@ EXT_ORACLE_SQL["scd2_point_in_time"] = """
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
     FROM nw GROUP BY 2
     ORDER BY as_of_version, o_orderstatus
+"""
+
+
+# X151 phrase search oracle: DIRECT token-array scan (independent of
+# the posting-intersection algorithm) for the same data-derived phrase
+EXT_ORACLE_SQL["text_phrase_search"] = f"""
+    WITH ph AS (
+        SELECT t[1] AS w1, t[2] AS w2, t[3] AS w3
+        FROM (SELECT {_TOKS} AS t FROM documents WHERE doc_id = 0)
+    ),
+    tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    hits AS (
+        SELECT doc_id, i
+        FROM tok, ph, unnest(generate_series(1, len(t) - 2)) AS u(i)
+        WHERE t[CAST(i AS INT)] = ph.w1
+          AND t[CAST(i AS INT) + 1] = ph.w2
+          AND t[CAST(i AS INT) + 2] = ph.w3
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM hits GROUP BY 1 ORDER BY 1
 """
 
 EXT_ORACLE_SQL["text_unigram_vocab"] = _unigram_oracle_sql(final="vocab")

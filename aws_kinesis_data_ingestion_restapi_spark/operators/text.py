@@ -1534,3 +1534,53 @@ def unigram_segment(
         )
         .orderBy("doc_id")
     )
+
+
+def phrase_search(docs: DataFrame, phrase: DataFrame) -> DataFrame:
+    """X151: exact PHRASE search via positional posting intersection —
+    the IR capability the ranked-retrieval family (BM25/tf-idf) lacks:
+    those are bag-of-words; "match these words IN THIS ORDER,
+    adjacent" needs positions. ``phrase`` is a 1-row (w1, w2, w3)
+    frame (broadcast — a query phrase is always tiny).
+
+    Plan shape — the classic positional-index intersection: the
+    corpus explodes once into (doc_id, pos, term) postings, each
+    phrase term selects its OWN posting list map-side (term equality
+    against the broadcast phrase — the inverted-index probe), and the
+    lists intersect by (doc_id, consecutive pos) equi-joins. Per-term
+    posting lists are the only rows that shuffle; a rare phrase costs
+    what its rarest term costs, never a corpus scan per term.
+
+    Returns (doc_id, n_occurrences) for documents containing the
+    phrase, occurrences counted at every start position."""
+    postings = docs.select(
+        "doc_id",
+        F.posexplode(tokens_col()).alias("pos", "term"),
+    )
+    b = F.broadcast(phrase)
+    p1 = postings.join(b, postings.term == phrase.w1).select(
+        "doc_id", F.col("pos").alias("p1")
+    )
+    p2 = postings.join(b, postings.term == phrase.w2).select(
+        F.col("doc_id").alias("d2"), F.col("pos").alias("p2")
+    )
+    p3 = postings.join(b, postings.term == phrase.w3).select(
+        F.col("doc_id").alias("d3"), F.col("pos").alias("p3")
+    )
+    hits = (
+        p1.join(
+            p2,
+            (F.col("doc_id") == F.col("d2"))
+            & (F.col("p2") == F.col("p1") + 1),
+        )
+        .join(
+            p3,
+            (F.col("doc_id") == F.col("d3"))
+            & (F.col("p3") == F.col("p1") + 2),
+        )
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy("doc_id")
+    )

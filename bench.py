@@ -226,6 +226,7 @@ ANALYTICS_QUERIES = [
     "corpus_funnel_report",
     "customers_k_anonymity",
     "scd2_point_in_time",
+    "text_phrase_search",
     "dedup_canonical_docs",
     "ann_topk_brute",
     "ann_topk_lsh",
@@ -425,6 +426,7 @@ BENCH_KEY_ALIASES = {
     "corpus_funnel_report": "fnl",
     "customers_k_anonymity": "kan",
     "scd2_point_in_time": "pit",
+    "text_phrase_search": "phr",
     "retrieval_hybrid_rrf3": "rr3",
     "docs_chunk_overlap": "chu",
     "dedup_decontaminate": "dcn",

@@ -55,6 +55,7 @@ MUST_ROTATE = [
     "corpus_funnel_report",
     "customers_k_anonymity",
     "scd2_point_in_time",
+    "text_phrase_search",
     # --- output changed in round 10 (sample-bounded quantizer training) ---
     "ann_topk_ivfpq_trained",
     "ann_recall_audit",
