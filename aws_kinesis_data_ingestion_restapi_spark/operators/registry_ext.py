@@ -976,6 +976,95 @@ def customers_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def corpus_content_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X152: order-insensitive CONTENT FINGERPRINT per table — the
+    "data version" a reproducibility audit pins before/after a
+    pipeline run (two runs over byte-identical inputs must print the
+    same line; a silent row mutation flips it). Per table: row hash =
+    first-15-hex md5 of a canonical '|'-joined projection (integer
+    and string columns only — float formatting is engine-dependent,
+    so doubles are excluded from the canonical form BY CONTRACT, and
+    the projection is documented per table), fingerprint = the
+    decimal(38) SUM of the row hashes reduced mod the largest 63-bit
+    prime (the sum is commutative, so the result is partitioning- and
+    order-independent; the wide accumulator + one modular reduction
+    avoids int64 overflow at any corpus size). One map-side scan +
+    one 1-row aggregate per table."""
+    MOD = 9223372036854775783  # largest prime < 2^63
+
+    def fp(df: DataFrame, table: str, cols: list[str]) -> DataFrame:
+        canon = F.concat_ws(
+            "|", *[F.col(c).cast("string") for c in cols]
+        )
+        h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+        return df.agg(
+            F.lit(table).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.pmod(F.sum(h.cast("decimal(38,0)")), F.lit(MOD))
+            .cast("long")
+            .alias("content_hash"),
+        )
+
+    docs = _docs(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        fp(docs, "documents", ["doc_id", "lang", "source", "text"])
+        .unionByName(
+            fp(
+                orders,
+                "orders",
+                ["o_orderkey", "o_custkey", "o_orderstatus"],
+            )
+        )
+        .unionByName(
+            fp(
+                cust,
+                "customer",
+                ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"],
+            )
+        )
+        .orderBy("table_name")
+    )
+
+
+def docs_sample_weighted_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X153: exactly-k WEIGHTED sample without replacement — X60's
+    quality-weighted sampler is rate-based (hits k only in
+    expectation); eval-set construction wants an exact size with
+    longer documents proportionally favored. Deterministic
+    integer-arithmetic priority sampling: key = md5-int64(doc_id)
+    DIV weight (weight = n_chars ≥ 1), keep the k smallest keys — a
+    documented stand-in for Efraimidis-Spirakis (whose u^(1/w) keys
+    need libm pow, not IEEE-correctly-rounded, so cross-engine
+    bit-equality could flake); the integer key is monotone in weight
+    in distribution (bigger weight → smaller key) and exactly
+    reproducible anywhere. Compiles to TakeOrderedAndProject — no
+    global sort."""
+    docs = _docs(spark, sf_dir)
+    w = F.greatest(F.col("n_chars").cast("long"), F.lit(1))
+    key = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT)"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.expr(
+                "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15),"
+                " 16, 10) AS BIGINT) DIV"
+                " GREATEST(CAST(n_chars AS BIGINT), 1)"
+            ).alias("priority_key"),
+        )
+        .orderBy(F.col("priority_key").asc(), F.col("doc_id").asc())
+        .limit(100)
+    )
+
+
 def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X148: the corpus CURATION FUNNEL — the one-table health report
     an owner reads after every pipeline run: how many documents (and
@@ -2904,6 +2993,8 @@ EXT_QUERY_FNS = {
     "sketch_accuracy_audit": sketch_accuracy_audit,
     "corpus_funnel_report": corpus_funnel_report,
     "customers_k_anonymity": customers_k_anonymity,
+    "corpus_content_hashes": corpus_content_hashes,
+    "docs_sample_weighted_k": docs_sample_weighted_k,
     "sketch_heavy_hitters": sketch_heavy_hitters,
     "sketch_value_quantiles": sketch_value_quantiles,
     "events_type_value_quantiles": events_type_value_quantiles,
@@ -6735,6 +6826,45 @@ EXT_ORACLE_SQL["text_phrase_search"] = f"""
     )
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
     FROM hits GROUP BY 1 ORDER BY 1
+"""
+
+
+# X152 content fingerprints: identical canonical projection + md5
+# prefix + commutative int64 sum
+EXT_ORACLE_SQL["corpus_content_hashes"] = """
+    SELECT 'customer' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws('|',
+                CAST(c_custkey AS VARCHAR), c_name,
+                CAST(c_nationkey AS VARCHAR), c_mktsegment)), 1, 15))
+                AS BIGINT) AS HUGEINT)) % 9223372036854775783 AS BIGINT)
+               AS content_hash
+    FROM customer
+    UNION ALL
+    SELECT 'documents', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws('|',
+                CAST(doc_id AS VARCHAR), lang, source, text)), 1, 15))
+                AS BIGINT) AS HUGEINT)) % 9223372036854775783 AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws('|',
+                CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+                o_orderstatus)), 1, 15)) AS BIGINT) AS HUGEINT))
+               % 9223372036854775783 AS BIGINT)
+    FROM orders
+    ORDER BY table_name
+"""
+
+# X153 weighted exactly-k: same integer priority key arithmetic
+EXT_ORACLE_SQL["docs_sample_weighted_k"] = """
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                         1, 15)) AS BIGINT)
+                // GREATEST(CAST(n_chars AS BIGINT), 1) AS BIGINT)
+               AS priority_key
+    FROM documents
+    ORDER BY priority_key, doc_id
+    LIMIT 100
 """
 
 EXT_ORACLE_SQL["text_unigram_vocab"] = _unigram_oracle_sql(final="vocab")

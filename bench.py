@@ -227,6 +227,8 @@ ANALYTICS_QUERIES = [
     "customers_k_anonymity",
     "scd2_point_in_time",
     "text_phrase_search",
+    "corpus_content_hashes",
+    "docs_sample_weighted_k",
     "dedup_canonical_docs",
     "ann_topk_brute",
     "ann_topk_lsh",
@@ -427,6 +429,8 @@ BENCH_KEY_ALIASES = {
     "customers_k_anonymity": "kan",
     "scd2_point_in_time": "pit",
     "text_phrase_search": "phr",
+    "corpus_content_hashes": "cch",
+    "docs_sample_weighted_k": "swk",
     "retrieval_hybrid_rrf3": "rr3",
     "docs_chunk_overlap": "chu",
     "dedup_decontaminate": "dcn",

@@ -56,6 +56,8 @@ MUST_ROTATE = [
     "customers_k_anonymity",
     "scd2_point_in_time",
     "text_phrase_search",
+    "corpus_content_hashes",
+    "docs_sample_weighted_k",
     # --- output changed in round 10 (sample-bounded quantizer training) ---
     "ann_topk_ivfpq_trained",
     "ann_recall_audit",
