@@ -1065,6 +1065,74 @@ def docs_sample_weighted_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def events_user_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X154: per-ENTITY anomaly detection — the monitoring family's
+    third axis (X133 flags corpus-level anomalous days, X138 flags
+    corpus-level change points; a compromised account or runaway
+    client is invisible to both because it hides inside the
+    aggregate): each user's daily event count is compared against
+    that user's OWN leak-free expanding baseline (all strictly-prior
+    days), and a day flags when count > 2× the trailing mean with at
+    least 7 days of history (the multiplier is the detector's
+    sensitivity knob — 2× flags the heavy-tail days on this traffic;
+    production tunes it per key class). The comparison is exact
+    integer cross-multiplication (n·prior_days > 2·prior_total — no
+    division decides a flag); the reported ratio is one double
+    division.
+
+    Scale shape: one map-side (user, day) aggregate, then expanding
+    windows PARTITIONED BY USER — at 100 TB this is the shape that
+    parallelizes (millions of small per-user frames), unlike the
+    day-table detectors whose windows are metadata-scale by design."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = daily.select(
+        "user_id",
+        "day",
+        F.col("n").alias("n_events"),
+        F.coalesce(F.count(F.lit(1)).over(w), F.lit(0)).alias(
+            "prior_days"
+        ),
+        F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long").alias(
+            "prior_total"
+        ),
+    )
+    return (
+        scored.filter(
+            (F.col("prior_days") >= 7)
+            & (
+                F.col("n_events") * F.col("prior_days")
+                > 2 * F.col("prior_total")
+            )
+        )
+        .select(
+            "user_id",
+            "day",
+            "n_events",
+            "prior_days",
+            "prior_total",
+            (
+                F.col("n_events").cast("double")
+                * F.col("prior_days").cast("double")
+                / F.col("prior_total").cast("double")
+            ).alias("ratio"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
 def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X148: the corpus CURATION FUNNEL — the one-table health report
     an owner reads after every pipeline run: how many documents (and
@@ -2995,6 +3063,7 @@ EXT_QUERY_FNS = {
     "customers_k_anonymity": customers_k_anonymity,
     "corpus_content_hashes": corpus_content_hashes,
     "docs_sample_weighted_k": docs_sample_weighted_k,
+    "events_user_anomalies": events_user_anomalies,
     "sketch_heavy_hitters": sketch_heavy_hitters,
     "sketch_value_quantiles": sketch_value_quantiles,
     "events_type_value_quantiles": events_type_value_quantiles,
@@ -6865,6 +6934,32 @@ EXT_ORACLE_SQL["docs_sample_weighted_k"] = """
     FROM documents
     ORDER BY priority_key, doc_id
     LIMIT 100
+"""
+
+
+# X154 per-user anomalies: identical expanding leak-free baseline,
+# integer cross-multiplied flag, one double division for the ratio
+EXT_ORACLE_SQL["events_user_anomalies"] = """
+    WITH daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    sc AS (
+        SELECT user_id, day, CAST(n AS BIGINT) AS n_events,
+               CAST(COALESCE(COUNT(*) OVER w, 0) AS BIGINT)
+                   AS prior_days,
+               CAST(COALESCE(SUM(n) OVER w, 0) AS BIGINT) AS prior_total
+        FROM daily
+        WINDOW w AS (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, day, n_events, prior_days, prior_total,
+           CAST(n_events AS DOUBLE) * CAST(prior_days AS DOUBLE)
+               / CAST(prior_total AS DOUBLE) AS ratio
+    FROM sc
+    WHERE prior_days >= 7 AND n_events * prior_days > 2 * prior_total
+    ORDER BY user_id, day
 """
 
 EXT_ORACLE_SQL["text_unigram_vocab"] = _unigram_oracle_sql(final="vocab")

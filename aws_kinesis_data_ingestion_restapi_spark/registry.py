@@ -2365,8 +2365,8 @@ ORACLE_SQL["streaming_value_quantiles"] = f"""
 # park stable, already-driver-verified, untouched baselines at the
 # tail, where falling past position 50 loses nothing.
 # --- BEGIN GENERATED GATE ORDER (scripts/gen_gate_head.py) ---
-# Window = 19 never-driver-checked additions + 5 changed
-# entries + the 26 stalest driver greens (last green in
+# Window = 20 never-driver-checked additions + 5 changed
+# entries + the 25 stalest driver greens (last green in
 # round(s) [5, 6], from CORRECTNESS_r*.json). Regenerate with
 #   python scripts/gen_gate_head.py
 # (pytest runs --check; hand-edits here go stale and FAIL).
@@ -2390,6 +2390,7 @@ _GATE_HEAD = [
     "text_phrase_search",  # last driver green: r0
     "corpus_content_hashes",  # last driver green: r0
     "docs_sample_weighted_k",  # last driver green: r0
+    "events_user_anomalies",  # last driver green: r0
     "ann_topk_ivfpq_trained",  # last driver green: r9
     "ann_recall_audit",  # last driver green: r9
     "ann_recall_clustered",  # last driver green: r9
@@ -2420,7 +2421,6 @@ _GATE_HEAD = [
     "ann_topk_lsh",  # last driver green: r6
     "ann_topk_lsh_multi",  # last driver green: r6
     "bucketed_sales_join",  # last driver green: r6
-    "customer_retention",  # last driver green: r6
 ]
 _GATE_TAIL = [
     "ann_topk_ivfpq",  # last driver green: r9
@@ -2556,6 +2556,7 @@ _GATE_TAIL = [
     "text_model_quality",  # last driver green: r7
     "text_quality_sample",  # last driver green: r7
     "top_orders_per_customer",  # last driver green: r7
+    "customer_retention",  # last driver green: r6
     "customers_with_urgent_orders",  # last driver green: r6
     "customers_without_urgent_orders",  # last driver green: r6
     "dedup_simhash_fingerprints",  # last driver green: r6

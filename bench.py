@@ -229,6 +229,7 @@ ANALYTICS_QUERIES = [
     "text_phrase_search",
     "corpus_content_hashes",
     "docs_sample_weighted_k",
+    "events_user_anomalies",
     "dedup_canonical_docs",
     "ann_topk_brute",
     "ann_topk_lsh",
@@ -431,6 +432,7 @@ BENCH_KEY_ALIASES = {
     "text_phrase_search": "phr",
     "corpus_content_hashes": "cch",
     "docs_sample_weighted_k": "swk",
+    "events_user_anomalies": "uan",
     "retrieval_hybrid_rrf3": "rr3",
     "docs_chunk_overlap": "chu",
     "dedup_decontaminate": "dcn",

@@ -58,6 +58,7 @@ MUST_ROTATE = [
     "text_phrase_search",
     "corpus_content_hashes",
     "docs_sample_weighted_k",
+    "events_user_anomalies",
     # --- output changed in round 10 (sample-bounded quantizer training) ---
     "ann_topk_ivfpq_trained",
     "ann_recall_audit",
