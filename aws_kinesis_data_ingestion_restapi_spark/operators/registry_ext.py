@@ -1086,13 +1086,21 @@ def events_user_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows PARTITIONED BY USER — at 100 TB this is the shape that
     parallelizes (millions of small per-user frames), unlike the
     day-table detectors whose windows are metadata-scale by design."""
-    from pyspark.sql.window import Window
-
     events = load_table(spark, sf_dir, "events")
     daily = events.groupBy(
         "user_id",
         F.col("ts").cast("date").alias("day"),
     ).agg(F.count(F.lit(1)).alias("n"))
+    return user_anomaly_scores(daily)
+
+
+def user_anomaly_scores(daily: DataFrame) -> DataFrame:
+    """The per-user expanding-baseline scoring core behind X154 —
+    factored out (the cusum_scores pattern) so the batch query and
+    the streaming gate score through ONE code path: input
+    (user_id, day, n), output the flagged rows."""
+    from pyspark.sql.window import Window
+
     w = (
         Window.partitionBy("user_id")
         .orderBy("day")
@@ -1636,6 +1644,43 @@ def _ivfpqt_quantizers(
         ),
     )
     return coarse, books
+
+
+
+
+def ann_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X156: IVF index-HEALTH report — per-coarse-cell inventory
+    sizes under the shipped trained quantizer, each cell's corpus
+    share. Cell balance IS the IVF performance contract: the
+    (n/K)·nprobe per-query bound assumes roughly even cells, so a
+    hot cell silently degrades every query that probes it — this is
+    the table an index operator looks at before retraining with more
+    rounds or a bigger sample. Rides the :func:`_ivfpqt_quantizers`
+    session cache (no retraining); one broadcast assignment pass +
+    one aggregate. Oracle = the trained-search oracle's own training
+    + assignment prefix (one generator, two finals — the arithmetic
+    cannot diverge from what the search actually uses)."""
+    coarse, _books = _ivfpqt_quantizers(spark, sf_dir, clustered=False)
+    embs = _embs(spark, sf_dir)
+    base = embs.select(F.col("vec_id"), similarity.quantized().alias("v"))
+    assign = similarity._kmeans_assign(
+        base, coarse.select("cell", "cv"), "vec_id"
+    )
+    tot = assign.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        assign.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cell",
+            "n_vectors",
+            (
+                F.col("n_vectors").cast("double")
+                / F.col("n").cast("double")
+            ).alias("share"),
+        )
+        .orderBy("cell")
+    )
 
 
 def ann_topk_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3107,6 +3152,7 @@ EXT_QUERY_FNS = {
     "ann_topk_pq": ann_topk_pq,
     "ann_topk_ivfpq": ann_topk_ivfpq,
     "ann_topk_ivfpq_trained": ann_topk_ivfpq_trained,
+    "ann_index_health": ann_index_health,
     "ann_recall_audit": ann_recall_audit,
     "ann_recall_clustered": ann_recall_clustered,
     "ann_truncation_audit": ann_truncation_audit,
@@ -5101,6 +5147,7 @@ IVFPQT_REFINE = 50
 def _ivfpq_trained_oracle_sql(
     rounds: int = similarity.KM_TRAIN_ROUNDS,
     refine: int = IVFPQT_REFINE,
+    final: str = "search",
 ) -> str:
     """GENERATED oracle for ann_topk_ivfpq_trained (residual IVFADC
     on trained quantizers): the bounded Lloyd training unrolled as
@@ -5161,7 +5208,7 @@ def _ivfpq_trained_oracle_sql(
             FROM casg_r{r} s JOIN comp c USING (vec_id)
             GROUP BY 1, 2
         )""")
-    mid = f""",
+    assign_frag = f""",
         ccd AS (
             SELECT a.vec_id, c.cell,
                    SUM((a.qx - c.qx) * (a.qx - c.qx)) AS d2
@@ -5174,7 +5221,24 @@ def _ivfpq_trained_oracle_sql(
                                       ORDER BY d2, cell) AS r
             FROM ccd
         ),
-        assign AS (SELECT vec_id, cell FROM ranked WHERE r = 1),
+        assign AS (SELECT vec_id, cell FROM ranked WHERE r = 1)"""
+    if final == "health":
+        # X156: the index-health report stops at the coarse assignment
+        # — per-cell inventory sizes + each cell's share of the corpus
+        return (
+            head
+            + "".join(coarse)
+            + assign_frag
+            + """,
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM assign)
+        SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(COUNT(*) AS DOUBLE) / CAST(tot.n AS DOUBLE) AS share
+        FROM assign CROSS JOIN tot
+        GROUP BY cell, tot.n
+        ORDER BY cell
+    """
+        )
+    mid = assign_frag + f""",
         probes AS (
             SELECT vec_id AS query_id, cell FROM ranked
             WHERE vec_id < 10 AND r <= {similarity.N_PROBES}
@@ -5292,6 +5356,10 @@ def _ivfpq_trained_oracle_sql(
 
 
 EXT_ORACLE_SQL["ann_topk_ivfpq_trained"] = _ivfpq_trained_oracle_sql()
+# X156: same generator, the health final — training + assignment prefix
+EXT_ORACLE_SQL["ann_index_health"] = _ivfpq_trained_oracle_sql(
+    final="health"
+)
 
 # recall@k audit: each approximate method's own registered oracle SQL
 # replayed as a CTE against the brute-force oracle — the audit reuses
@@ -6944,6 +7012,36 @@ EXT_ORACLE_SQL["events_user_anomalies"] = """
         SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
                COUNT(*) AS n
         FROM events GROUP BY 1, 2
+    ),
+    sc AS (
+        SELECT user_id, day, CAST(n AS BIGINT) AS n_events,
+               CAST(COALESCE(COUNT(*) OVER w, 0) AS BIGINT)
+                   AS prior_days,
+               CAST(COALESCE(SUM(n) OVER w, 0) AS BIGINT) AS prior_total
+        FROM daily
+        WINDOW w AS (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, day, n_events, prior_days, prior_total,
+           CAST(n_events AS DOUBLE) * CAST(prior_days AS DOUBLE)
+               / CAST(prior_total AS DOUBLE) AS ratio
+    FROM sc
+    WHERE prior_days >= 7 AND n_events * prior_days > 2 * prior_total
+    ORDER BY user_id, day
+"""
+
+
+# X155 streaming per-user anomalies: the X154 oracle restricted to
+# watermark-CLOSED days (the streaming_cusum_gate day-universe rule)
+EXT_ORACLE_SQL["streaming_user_anomalies"] = """
+    WITH daily AS (
+        SELECT user_id, day, n FROM (
+            SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY <=
+              (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
     ),
     sc AS (
         SELECT user_id, day, CAST(n AS BIGINT) AS n_events,

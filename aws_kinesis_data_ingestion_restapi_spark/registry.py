@@ -540,6 +540,7 @@ from aws_kinesis_data_ingestion_restapi_spark.streaming.registry_stream import (
     streaming_cusum_gate,
     streaming_sliding_1h_15m,
     streaming_topk_users,
+    streaming_user_anomalies,
     streaming_value_quantiles,
 )
 
@@ -556,6 +557,7 @@ QUERY_FNS["streaming_sliding_1h_15m"] = streaming_sliding_1h_15m
 QUERY_FNS["streaming_drift_tvd"] = streaming_drift_tvd
 QUERY_FNS["streaming_topk_users"] = streaming_topk_users
 QUERY_FNS["streaming_cusum_gate"] = streaming_cusum_gate
+QUERY_FNS["streaming_user_anomalies"] = streaming_user_anomalies
 QUERY_FNS["streaming_value_quantiles"] = streaming_value_quantiles
 
 # merge the dedup / similarity / text-analysis extension surface
@@ -2365,8 +2367,8 @@ ORACLE_SQL["streaming_value_quantiles"] = f"""
 # park stable, already-driver-verified, untouched baselines at the
 # tail, where falling past position 50 loses nothing.
 # --- BEGIN GENERATED GATE ORDER (scripts/gen_gate_head.py) ---
-# Window = 20 never-driver-checked additions + 5 changed
-# entries + the 25 stalest driver greens (last green in
+# Window = 22 never-driver-checked additions + 5 changed
+# entries + the 23 stalest driver greens (last green in
 # round(s) [5, 6], from CORRECTNESS_r*.json). Regenerate with
 #   python scripts/gen_gate_head.py
 # (pytest runs --check; hand-edits here go stale and FAIL).
@@ -2391,6 +2393,8 @@ _GATE_HEAD = [
     "corpus_content_hashes",  # last driver green: r0
     "docs_sample_weighted_k",  # last driver green: r0
     "events_user_anomalies",  # last driver green: r0
+    "streaming_user_anomalies",  # last driver green: r0
+    "ann_index_health",  # last driver green: r0
     "ann_topk_ivfpq_trained",  # last driver green: r9
     "ann_recall_audit",  # last driver green: r9
     "ann_recall_clustered",  # last driver green: r9
@@ -2419,8 +2423,6 @@ _GATE_HEAD = [
     "top_parts_by_revenue",  # last driver green: r5
     "ann_topk_brute",  # last driver green: r6
     "ann_topk_lsh",  # last driver green: r6
-    "ann_topk_lsh_multi",  # last driver green: r6
-    "bucketed_sales_join",  # last driver green: r6
 ]
 _GATE_TAIL = [
     "ann_topk_ivfpq",  # last driver green: r9
@@ -2556,6 +2558,8 @@ _GATE_TAIL = [
     "text_model_quality",  # last driver green: r7
     "text_quality_sample",  # last driver green: r7
     "top_orders_per_customer",  # last driver green: r7
+    "ann_topk_lsh_multi",  # last driver green: r6
+    "bucketed_sales_join",  # last driver green: r6
     "customer_retention",  # last driver green: r6
     "customers_with_urgent_orders",  # last driver green: r6
     "customers_without_urgent_orders",  # last driver green: r6

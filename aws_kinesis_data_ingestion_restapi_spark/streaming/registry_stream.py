@@ -940,3 +940,39 @@ def streaming_cusum_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     panel = _drain(agg, "append", "scusum", cleanup_dir=d)
     return analytics.cusum_scores(panel)
+
+
+def streaming_user_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X155: the STREAMING deployment shape of X154's per-entity
+    detector (the same relationship streaming_cusum_gate has to
+    X138): per-(user, day) exact counts under a 1-hour watermark in
+    append mode — only watermark-CLOSED days emit, the X40 rule —
+    drained to a (users × closed days) panel that feeds
+    registry_ext.user_anomaly_scores, LITERALLY the function the
+    batch query calls, so the two detectors cannot diverge. Stream
+    state is one counter per open (user, day); the scoring windows
+    run post-drain, partitioned by user."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        user_anomaly_scores,
+    )
+
+    events = analytics._t(spark, sf_dir, "events")
+    base_cols = events.select(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+    )
+    raw, d = _replayed_stream(
+        spark, base_cols, "ts string, user_id long", 1, "stream_uanom_"
+    )
+    stream = raw.withColumn("ts", F.to_timestamp("ts")).withWatermark(
+        "ts", "1 hour"
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 day").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id", F.to_date(F.col("w.start")).alias("day"), "n"
+        )
+    )
+    panel = _drain(agg, "append", "suanom", cleanup_dir=d)
+    return user_anomaly_scores(panel)

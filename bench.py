@@ -230,6 +230,8 @@ ANALYTICS_QUERIES = [
     "corpus_content_hashes",
     "docs_sample_weighted_k",
     "events_user_anomalies",
+    "streaming_user_anomalies",
+    "ann_index_health",
     "dedup_canonical_docs",
     "ann_topk_brute",
     "ann_topk_lsh",
@@ -433,6 +435,8 @@ BENCH_KEY_ALIASES = {
     "corpus_content_hashes": "cch",
     "docs_sample_weighted_k": "swk",
     "events_user_anomalies": "uan",
+    "streaming_user_anomalies": "sua",
+    "ann_index_health": "ihl",
     "retrieval_hybrid_rrf3": "rr3",
     "docs_chunk_overlap": "chu",
     "dedup_decontaminate": "dcn",

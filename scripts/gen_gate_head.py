@@ -59,6 +59,8 @@ MUST_ROTATE = [
     "corpus_content_hashes",
     "docs_sample_weighted_k",
     "events_user_anomalies",
+    "streaming_user_anomalies",
+    "ann_index_health",
     # --- output changed in round 10 (sample-bounded quantizer training) ---
     "ann_topk_ivfpq_trained",
     "ann_recall_audit",
