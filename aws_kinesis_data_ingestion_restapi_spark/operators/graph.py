@@ -564,9 +564,12 @@ def incremental_components(
     untouched component passes through byte-identical. Exactness:
     output ≡ connected_components(base edges ∪ delta edges) — the
     registry query's oracle literally reuses the full-recompute
-    closure SQL, making the equivalence a value-hashed proof, and
-    star graphs have diameter ≤ 2 so the inner CC converges in a few
-    rounds regardless of the ORIGINAL graph's diameter.
+    closure SQL, making the equivalence a value-hashed proof. The
+    inner closure runs :func:`connected_components_star` (r10
+    ADVICE): the base stars have diameter ≤ 2, but DELTA edges
+    chaining k distinct components build a path of diameter O(k), and
+    min-label propagation would need ~k rounds — the alternating-star
+    form converges in O(log n) rounds regardless of chain length.
 
     At 100 TB this is the difference between re-clustering the
     corpus nightly and touching |affected components| ≪ |corpus|:
@@ -593,7 +596,7 @@ def incremental_components(
         F.col("node").alias("u"), F.col("component").alias("v")
     )
     sub_nodes = affected.select("node").union(dnodes).distinct()
-    relabeled = connected_components(
+    relabeled = connected_components_star(
         star.union(dp), nodes=sub_nodes, max_iter=max_iter
     )
     untouched = base_labels.join(touched, "component", "left_anti")

@@ -204,6 +204,25 @@ def curation_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _dirty_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared dirty-record fixture behind X144 and the streaming
+    ER gate (X157): every 10th customer's name with one character
+    replaced at the midpoint (the multimodal re-render idiom), the
+    untouched attributes carried so attribute-agreement blocking has
+    its verify columns. Output: (dirty_id, dirty_name, c_nationkey,
+    c_mktsegment)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.filter(F.col("c_custkey") % 10 == 0).select(
+        (F.col("c_custkey") + 10_000_000).alias("dirty_id"),
+        F.expr(
+            "substring(c_name, 1, length(c_name) DIV 2) || 'z' || "
+            "substring(c_name, length(c_name) DIV 2 + 2)"
+        ).alias("dirty_name"),
+        "c_nationkey",
+        "c_mktsegment",
+    )
+
+
 def er_link_dirty_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X144: two-table record LINKAGE — the other half of entity
     resolution (X136 is the self-join form; this is dirty-records-vs-
@@ -249,7 +268,15 @@ def text_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a retrain; the doc universe is the inner join of both
     tokenizers' segmentable corpora (identical on this corpus; the
     join is the honest general form). Exact int64 sums, one double
-    division per fertility."""
+    division per fertility.
+
+    Each fertility uses ITS OWN tokenizer's word denominator (r10
+    ADVICE): the unigram segmenter only covers words of length ≤
+    UNIGRAM_MAX_WORD, so dividing its token sum by the uncapped BPE
+    word universe would bias unigram fertility low on any corpus with
+    longer words. ``u_words`` (the unigram-covered word count) is
+    reported and is the unigram ratio's denominator; ``n_words``
+    remains the BPE denominator."""
     bpe = _bpe_seg_counts(spark, sf_dir)
     _counts, seg = _unigram_pair(spark, sf_dir)
     per_word = seg.select("word", F.col("k").alias("n_pieces"))
@@ -273,6 +300,7 @@ def text_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("u_words").cast("long").alias("u_words"),
             F.sum("n_bpe_tokens").cast("long").alias("bpe_tokens"),
             F.sum("u_tokens").cast("long").alias("unigram_tokens"),
         )
@@ -280,6 +308,7 @@ def text_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "n_docs",
             "n_words",
+            "u_words",
             "bpe_tokens",
             "unigram_tokens",
             (
@@ -288,7 +317,7 @@ def text_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bpe_fertility"),
             (
                 F.col("unigram_tokens").cast("double")
-                / F.col("n_words").cast("double")
+                / F.col("u_words").cast("double")
             ).alias("unigram_fertility"),
         )
         .orderBy("lang")
@@ -986,7 +1015,13 @@ def corpus_content_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-15-hex md5 of a canonical '|'-joined projection (integer
     and string columns only — float formatting is engine-dependent,
     so doubles are excluded from the canonical form BY CONTRACT, and
-    the projection is documented per table), fingerprint = the
+    the projection is documented per table). The canonical form is
+    COLLISION-PROOF per field (r10 ADVICE — plain concat_ws skips
+    NULLs and cannot distinguish a '|' inside a value from the field
+    separator): NULL encodes as the bare token 'N' and every non-NULL
+    value is length-prefixed ('<len>:<value>'), so the prefix
+    disambiguates embedded separators and 'N' the value ('1:N') never
+    collides with N the sentinel. Fingerprint = the
     decimal(38) SUM of the row hashes reduced mod the largest 63-bit
     prime (the sum is commutative, so the result is partitioning- and
     order-independent; the wide accumulator + one modular reduction
@@ -994,10 +1029,14 @@ def corpus_content_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     one 1-row aggregate per table."""
     MOD = 9223372036854775783  # largest prime < 2^63
 
-    def fp(df: DataFrame, table: str, cols: list[str]) -> DataFrame:
-        canon = F.concat_ws(
-            "|", *[F.col(c).cast("string") for c in cols]
+    def tok(c: str):
+        s = F.col(c).cast("string")
+        return F.when(s.isNull(), F.lit("N")).otherwise(
+            F.concat(F.length(s).cast("string"), F.lit(":"), s)
         )
+
+    def fp(df: DataFrame, table: str, cols: list[str]) -> DataFrame:
+        canon = F.concat_ws("|", *[tok(c) for c in cols])
         h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
         return df.agg(
             F.lit(table).alias("table_name"),
@@ -1086,10 +1125,14 @@ def events_user_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows PARTITIONED BY USER — at 100 TB this is the shape that
     parallelizes (millions of small per-user frames), unlike the
     day-table detectors whose windows are metadata-scale by design."""
+    from aws_kinesis_data_ingestion_restapi_spark.functions.exact import (
+        as_timestamp,
+    )
+
     events = load_table(spark, sf_dir, "events")
     daily = events.groupBy(
         "user_id",
-        F.col("ts").cast("date").alias("day"),
+        as_timestamp(events, "ts").cast("date").alias("day"),
     ).agg(F.count(F.lit(1)).alias("n"))
     return user_anomaly_scores(daily)
 
@@ -6968,29 +7011,48 @@ EXT_ORACLE_SQL["text_phrase_search"] = f"""
 
 # X152 content fingerprints: identical canonical projection + md5
 # prefix + commutative int64 sum
-EXT_ORACLE_SQL["corpus_content_hashes"] = """
-    SELECT 'customer' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws('|',
-                CAST(c_custkey AS VARCHAR), c_name,
-                CAST(c_nationkey AS VARCHAR), c_mktsegment)), 1, 15))
+def _fp_tok_sql(col: str) -> str:
+    """DuckDB twin of corpus_content_hashes' ``tok``: NULL → bare
+    'N', else '<len>:<value>' (length prefix makes embedded '|'
+    unambiguous)."""
+    s = f"CAST({col} AS VARCHAR)"
+    return (
+        f"CASE WHEN {s} IS NULL THEN 'N' "
+        f"ELSE concat(CAST(len({s}) AS VARCHAR), ':', {s}) END"
+    )
+
+
+def _fp_table_sql(table: str, cols: list[str], first: bool) -> str:
+    canon = "concat_ws('|', " + ", ".join(_fp_tok_sql(c) for c in cols) + ")"
+    head = (
+        f"SELECT '{table}' AS table_name, "
+        "CAST(COUNT(*) AS BIGINT) AS n_rows,"
+        if first
+        else f"SELECT '{table}', CAST(COUNT(*) AS BIGINT),"
+    )
+    alias = " AS content_hash" if first else ""
+    return f"""
+    {head}
+           CAST(SUM(CAST(CAST(concat('0x', substr(md5({canon}), 1, 15))
                 AS BIGINT) AS HUGEINT)) % 9223372036854775783 AS BIGINT)
-               AS content_hash
-    FROM customer
-    UNION ALL
-    SELECT 'documents', CAST(COUNT(*) AS BIGINT),
-           CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws('|',
-                CAST(doc_id AS VARCHAR), lang, source, text)), 1, 15))
-                AS BIGINT) AS HUGEINT)) % 9223372036854775783 AS BIGINT)
-    FROM documents
-    UNION ALL
-    SELECT 'orders', CAST(COUNT(*) AS BIGINT),
-           CAST(SUM(CAST(CAST(concat('0x', substr(md5(concat_ws('|',
-                CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
-                o_orderstatus)), 1, 15)) AS BIGINT) AS HUGEINT))
-               % 9223372036854775783 AS BIGINT)
-    FROM orders
-    ORDER BY table_name
-"""
+               {alias}
+    FROM {table}"""
+
+
+EXT_ORACLE_SQL["corpus_content_hashes"] = (
+    _fp_table_sql(
+        "customer",
+        ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"],
+        True,
+    )
+    + "\n    UNION ALL"
+    + _fp_table_sql("documents", ["doc_id", "lang", "source", "text"], False)
+    + "\n    UNION ALL"
+    + _fp_table_sql(
+        "orders", ["o_orderkey", "o_custkey", "o_orderstatus"], False
+    )
+    + "\n    ORDER BY table_name\n"
+)
 
 # X153 weighted exactly-k: same integer priority key arithmetic
 EXT_ORACLE_SQL["docs_sample_weighted_k"] = """
@@ -7071,12 +7133,13 @@ EXT_ORACLE_SQL["text_tokenizer_compare"] = f"""
     SELECT d.lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(b.n_words) AS BIGINT) AS n_words,
+           CAST(SUM(u.n_words) AS BIGINT) AS u_words,
            CAST(SUM(b.n_bpe_tokens) AS BIGINT) AS bpe_tokens,
            CAST(SUM(u.n_unigram_tokens) AS BIGINT) AS unigram_tokens,
            CAST(SUM(b.n_bpe_tokens) AS DOUBLE)
                / CAST(SUM(b.n_words) AS DOUBLE) AS bpe_fertility,
            CAST(SUM(u.n_unigram_tokens) AS DOUBLE)
-               / CAST(SUM(b.n_words) AS DOUBLE) AS unigram_fertility
+               / CAST(SUM(u.n_words) AS DOUBLE) AS unigram_fertility
     FROM b
     JOIN u USING (doc_id)
     JOIN documents d USING (doc_id)

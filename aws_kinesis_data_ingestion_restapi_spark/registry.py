@@ -2367,64 +2367,107 @@ ORACLE_SQL["streaming_value_quantiles"] = f"""
 # park stable, already-driver-verified, untouched baselines at the
 # tail, where falling past position 50 loses nothing.
 # --- BEGIN GENERATED GATE ORDER (scripts/gen_gate_head.py) ---
-# Window = 22 never-driver-checked additions + 5 changed
-# entries + the 23 stalest driver greens (last green in
-# round(s) [5, 6], from CORRECTNESS_r*.json). Regenerate with
+# Window = 0 never-driver-checked additions + 11 changed
+# entries + the 39 stalest driver greens (last green in
+# round(s) [6, 7], from CORRECTNESS_r*.json). Regenerate with
 #   python scripts/gen_gate_head.py
 # (pytest runs --check; hand-edits here go stale and FAIL).
 _GATE_HEAD = [
-    "er_entity_ids",  # last driver green: r0
-    "streaming_topk_users",  # last driver green: r0
-    "events_cusum_changepoint",  # last driver green: r0
-    "text_unigram_vocab",  # last driver green: r0
-    "text_unigram_segment",  # last driver green: r0
-    "streaming_cusum_gate",  # last driver green: r0
-    "dedup_components_delta",  # last driver green: r0
-    "mm_afp_near_dup",  # last driver green: r0
-    "docs_sample_fixed_per_lang",  # last driver green: r0
-    "er_link_dirty_names",  # last driver green: r0
-    "text_tokenizer_compare",  # last driver green: r0
-    "docs_split_leakage_audit",  # last driver green: r0
-    "sketch_accuracy_audit",  # last driver green: r0
-    "corpus_funnel_report",  # last driver green: r0
-    "customers_k_anonymity",  # last driver green: r0
-    "scd2_point_in_time",  # last driver green: r0
-    "text_phrase_search",  # last driver green: r0
-    "corpus_content_hashes",  # last driver green: r0
-    "docs_sample_weighted_k",  # last driver green: r0
-    "events_user_anomalies",  # last driver green: r0
-    "streaming_user_anomalies",  # last driver green: r0
-    "ann_index_health",  # last driver green: r0
-    "ann_topk_ivfpq_trained",  # last driver green: r9
-    "ann_recall_audit",  # last driver green: r9
-    "ann_recall_clustered",  # last driver green: r9
-    "ann_label_audit",  # last driver green: r9
-    "ann_label_audit_clustered",  # last driver green: r9
-    "q3_shipping_priority",  # last driver green: r5
-    "q6_forecast_revenue",  # last driver green: r5
-    "q8_market_share",  # last driver green: r5
-    "q9_red_parts_profit",  # last driver green: r5
-    "ref_average_order_value",  # last driver green: r5
-    "ref_most_sales_products",  # last driver green: r5
-    "ref_order_and_client_details",  # last driver green: r5
-    "ref_total_income_per_payment_method",  # last driver green: r5
-    "ref_total_sales_per_country",  # last driver green: r5
-    "sales_monthly_yoy",  # last driver green: r5
-    "sales_per_nation",  # last driver green: r5
-    "sales_rollup",  # last driver green: r5
-    "text_collocations",  # last driver green: r5
-    "text_fingerprint",  # last driver green: r5
-    "text_language_id",  # last driver green: r5
-    "text_pii_redact",  # last driver green: r5
-    "text_quality_score",  # last driver green: r5
-    "text_stratified_sample",  # last driver green: r5
-    "text_token_stats",  # last driver green: r5
-    "text_vocab_growth",  # last driver green: r5
-    "top_parts_by_revenue",  # last driver green: r5
-    "ann_topk_brute",  # last driver green: r6
-    "ann_topk_lsh",  # last driver green: r6
+    "events_user_anomalies",  # last driver green: r10
+    "text_tokenizer_compare",  # last driver green: r10
+    "corpus_content_hashes",  # last driver green: r10
+    "dedup_components_delta",  # last driver green: r10
+    "streaming_late_data_policy",  # last driver green: r6
+    "streaming_session_windows",  # last driver green: r7
+    "streaming_sliding_1h_15m",  # last driver green: r8
+    "streaming_drift_tvd",  # last driver green: r9
+    "streaming_topk_users",  # last driver green: r10
+    "streaming_cusum_gate",  # last driver green: r10
+    "streaming_user_anomalies",  # last driver green: r10
+    "ann_topk_lsh_multi",  # last driver green: r6
+    "bucketed_sales_join",  # last driver green: r6
+    "customer_retention",  # last driver green: r6
+    "customers_with_urgent_orders",  # last driver green: r6
+    "customers_without_urgent_orders",  # last driver green: r6
+    "dedup_simhash_fingerprints",  # last driver green: r6
+    "dedup_simhash_pairs",  # last driver green: r6
+    "emb_near_dup",  # last driver green: r6
+    "emb_near_dup_lsh",  # last driver green: r6
+    "events_attribution",  # last driver green: r6
+    "events_sessionization",  # last driver green: r6
+    "events_type_mode",  # last driver green: r6
+    "events_type_value_quantiles",  # last driver green: r6
+    "events_value_histogram",  # last driver green: r6
+    "events_variant_props",  # last driver green: r6
+    "fuzzy_customer_names",  # last driver green: r6
+    "incremental_sales_rollup",  # last driver green: r6
+    "pipeline_compaction",  # last driver green: r6
+    "pipeline_partition_scan",  # last driver green: r6
+    "profile_documents",  # last driver green: r6
+    "q10_returned_items",  # last driver green: r6
+    "q12_ship_delay_classes",  # last driver green: r6
+    "q5_local_supplier_volume",  # last driver green: r6
+    "q7_volume_shipping",  # last driver green: r6
+    "sales_pivot_by_priority",  # last driver green: r6
+    "salted_events_join",  # last driver green: r6
+    "salted_lineitem_agg",  # last driver green: r6
+    "salted_priority_sales",  # last driver green: r6
+    "sketch_distinct_trigrams",  # last driver green: r6
+    "sketch_value_quantiles",  # last driver green: r6
+    "sql_above_average_orders",  # last driver green: r6
+    "streaming_value_quantiles",  # last driver green: r6
+    "text_repetition",  # last driver green: r6
+    "ann_topk_ivf",  # last driver green: r7
+    "ann_topk_pq",  # last driver green: r7
+    "asof_priority_rates",  # last driver green: r7
+    "cdc_scd2_history",  # last driver green: r7
+    "cdc_snapshot_diff",  # last driver green: r7
+    "curation_pipeline",  # last driver green: r7
 ]
 _GATE_TAIL = [
+    "ann_index_health",  # last driver green: r10
+    "ann_label_audit",  # last driver green: r10
+    "ann_label_audit_clustered",  # last driver green: r10
+    "ann_recall_audit",  # last driver green: r10
+    "ann_recall_clustered",  # last driver green: r10
+    "ann_topk_brute",  # last driver green: r10
+    "ann_topk_ivfpq_trained",  # last driver green: r10
+    "ann_topk_lsh",  # last driver green: r10
+    "corpus_funnel_report",  # last driver green: r10
+    "customers_k_anonymity",  # last driver green: r10
+    "docs_sample_fixed_per_lang",  # last driver green: r10
+    "docs_sample_weighted_k",  # last driver green: r10
+    "docs_split_leakage_audit",  # last driver green: r10
+    "er_entity_ids",  # last driver green: r10
+    "er_link_dirty_names",  # last driver green: r10
+    "events_cusum_changepoint",  # last driver green: r10
+    "mm_afp_near_dup",  # last driver green: r10
+    "q3_shipping_priority",  # last driver green: r10
+    "q6_forecast_revenue",  # last driver green: r10
+    "q8_market_share",  # last driver green: r10
+    "q9_red_parts_profit",  # last driver green: r10
+    "ref_average_order_value",  # last driver green: r10
+    "ref_most_sales_products",  # last driver green: r10
+    "ref_order_and_client_details",  # last driver green: r10
+    "ref_total_income_per_payment_method",  # last driver green: r10
+    "ref_total_sales_per_country",  # last driver green: r10
+    "sales_monthly_yoy",  # last driver green: r10
+    "sales_per_nation",  # last driver green: r10
+    "sales_rollup",  # last driver green: r10
+    "scd2_point_in_time",  # last driver green: r10
+    "sketch_accuracy_audit",  # last driver green: r10
+    "text_collocations",  # last driver green: r10
+    "text_fingerprint",  # last driver green: r10
+    "text_language_id",  # last driver green: r10
+    "text_phrase_search",  # last driver green: r10
+    "text_pii_redact",  # last driver green: r10
+    "text_quality_score",  # last driver green: r10
+    "text_stratified_sample",  # last driver green: r10
+    "text_token_stats",  # last driver green: r10
+    "text_unigram_segment",  # last driver green: r10
+    "text_unigram_vocab",  # last driver green: r10
+    "text_vocab_growth",  # last driver green: r10
+    "top_parts_by_revenue",  # last driver green: r10
     "ann_topk_ivfpq",  # last driver green: r9
     "ann_truncation_audit",  # last driver green: r9
     "corpus_curriculum_plan",  # last driver green: r9
@@ -2461,7 +2504,6 @@ _GATE_TAIL = [
     "q2_min_cost_supplier",  # last driver green: r9
     "retrieval_hybrid_rrf3",  # last driver green: r9
     "streaming_dedup_delta",  # last driver green: r9
-    "streaming_drift_tvd",  # last driver green: r9
     "text_bpe_fertility",  # last driver green: r9
     "text_bpe_segment",  # last driver green: r9
     "text_keywords",  # last driver green: r9
@@ -2509,16 +2551,9 @@ _GATE_TAIL = [
     "sales_cube",  # last driver green: r8
     "sql_lateral_top_orders",  # last driver green: r8
     "streaming_payment_match_full",  # last driver green: r8
-    "streaming_sliding_1h_15m",  # last driver green: r8
     "text_bpe_merges",  # last driver green: r8
     "text_dsir_importance",  # last driver green: r8
     "text_ngram_novelty",  # last driver green: r8
-    "ann_topk_ivf",  # last driver green: r7
-    "ann_topk_pq",  # last driver green: r7
-    "asof_priority_rates",  # last driver green: r7
-    "cdc_scd2_history",  # last driver green: r7
-    "cdc_snapshot_diff",  # last driver green: r7
-    "curation_pipeline",  # last driver green: r7
     "curation_source_caps",  # last driver green: r7
     "customer_rfm_segments",  # last driver green: r7
     "customer_running_spend",  # last driver green: r7
@@ -2551,47 +2586,12 @@ _GATE_TAIL = [
     "streaming_payment_match",  # last driver green: r7
     "streaming_payment_match_outer",  # last driver green: r7
     "streaming_running_totals_final",  # last driver green: r7
-    "streaming_session_windows",  # last driver green: r7
     "text_bm25_search",  # last driver green: r7
     "text_build_postings",  # last driver green: r7
     "text_length_quantiles",  # last driver green: r7
     "text_model_quality",  # last driver green: r7
     "text_quality_sample",  # last driver green: r7
     "top_orders_per_customer",  # last driver green: r7
-    "ann_topk_lsh_multi",  # last driver green: r6
-    "bucketed_sales_join",  # last driver green: r6
-    "customer_retention",  # last driver green: r6
-    "customers_with_urgent_orders",  # last driver green: r6
-    "customers_without_urgent_orders",  # last driver green: r6
-    "dedup_simhash_fingerprints",  # last driver green: r6
-    "dedup_simhash_pairs",  # last driver green: r6
-    "emb_near_dup",  # last driver green: r6
-    "emb_near_dup_lsh",  # last driver green: r6
-    "events_attribution",  # last driver green: r6
-    "events_sessionization",  # last driver green: r6
-    "events_type_mode",  # last driver green: r6
-    "events_type_value_quantiles",  # last driver green: r6
-    "events_value_histogram",  # last driver green: r6
-    "events_variant_props",  # last driver green: r6
-    "fuzzy_customer_names",  # last driver green: r6
-    "incremental_sales_rollup",  # last driver green: r6
-    "pipeline_compaction",  # last driver green: r6
-    "pipeline_partition_scan",  # last driver green: r6
-    "profile_documents",  # last driver green: r6
-    "q10_returned_items",  # last driver green: r6
-    "q12_ship_delay_classes",  # last driver green: r6
-    "q5_local_supplier_volume",  # last driver green: r6
-    "q7_volume_shipping",  # last driver green: r6
-    "sales_pivot_by_priority",  # last driver green: r6
-    "salted_events_join",  # last driver green: r6
-    "salted_lineitem_agg",  # last driver green: r6
-    "salted_priority_sales",  # last driver green: r6
-    "sketch_distinct_trigrams",  # last driver green: r6
-    "sketch_value_quantiles",  # last driver green: r6
-    "sql_above_average_orders",  # last driver green: r6
-    "streaming_late_data_policy",  # last driver green: r6
-    "streaming_value_quantiles",  # last driver green: r6
-    "text_repetition",  # last driver green: r6
 ]
 # --- END GENERATED GATE ORDER ---
 

@@ -37,7 +37,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aws_kinesis_data_ingestion_restapi_spark import analytics
-from aws_kinesis_data_ingestion_restapi_spark.functions.exact import dsum
+from aws_kinesis_data_ingestion_restapi_spark.functions.exact import (
+    as_timestamp,
+    dsum,
+)
 from aws_kinesis_data_ingestion_restapi_spark.streaming.enrichment import (
     enrich_stream,
 )
@@ -396,7 +399,7 @@ def streaming_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = "2024-01-05"
     base = events.select(
         "event_id",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.date_format(as_timestamp(events, "ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
         "value",
     )
     d = tempfile.mkdtemp(prefix="stream_late_")
@@ -460,7 +463,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = analytics._t(spark, sf_dir, "events")
     base = events.select(
         "user_id",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.date_format(as_timestamp(events, "ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
         "value",
     )
     raw, d = _replayed_stream(
@@ -563,7 +566,7 @@ def streaming_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = analytics._t(spark, sf_dir, "events")
     base = events.select(
         "event_id",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.date_format(as_timestamp(events, "ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
         "value",
     )
     raw, d = _replayed_stream(
@@ -751,7 +754,7 @@ def streaming_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = analytics._t(spark, sf_dir, "events")
     base_cols = events.select(
         "event_id",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.date_format(as_timestamp(events, "ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
         "event_type",
     )
     raw, d = _replayed_stream(
@@ -864,7 +867,7 @@ def streaming_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = analytics._t(spark, sf_dir, "events")
     base_cols = events.select(
         "event_id",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.date_format(as_timestamp(events, "ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
         "user_id",
     )
     raw, d = _replayed_stream(
@@ -925,7 +928,7 @@ def streaming_cusum_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose end ≤ final watermark)."""
     events = analytics._t(spark, sf_dir, "events")
     base_cols = events.select(
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts")
+        F.date_format(as_timestamp(events, "ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts")
     )
     raw, d = _replayed_stream(
         spark, base_cols, "ts string", 1, "stream_cusum_"
@@ -958,7 +961,7 @@ def streaming_user_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = analytics._t(spark, sf_dir, "events")
     base_cols = events.select(
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.date_format(as_timestamp(events, "ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
         "user_id",
     )
     raw, d = _replayed_stream(

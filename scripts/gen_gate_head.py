@@ -34,39 +34,23 @@ REGISTRY = os.path.join(
 )
 WINDOW = 50
 
-#: Round-10 rotation set: every query that is NEW this round or whose
+#: Round-11 rotation set: every query that is NEW this round or whose
 #: OUTPUT or IMPLEMENTATION changed (next round: replace this list).
 #: Grown in place during the round — regenerate after each addition.
 MUST_ROTATE = [
-    # --- new in round 10: first driver verification ---
-    "er_entity_ids",
+    # --- round 11: r10 ADVICE fixes (output or implementation changed) ---
+    "events_user_anomalies",       # as_timestamp day cast (ADVICE #1)
+    "text_tokenizer_compare",      # per-tokenizer denominators (ADVICE #2)
+    "corpus_content_hashes",       # NULL sentinel + length-prefix (ADVICE #4)
+    "dedup_components_delta",      # inner closure -> star CC (ADVICE #3)
+    # --- round 11: streaming ts hardened via as_timestamp (impl change) ---
+    "streaming_late_data_policy",
+    "streaming_session_windows",
+    "streaming_sliding_1h_15m",
+    "streaming_drift_tvd",
     "streaming_topk_users",
-    "events_cusum_changepoint",
-    "text_unigram_vocab",
-    "text_unigram_segment",
     "streaming_cusum_gate",
-    "dedup_components_delta",
-    "mm_afp_near_dup",
-    "docs_sample_fixed_per_lang",
-    "er_link_dirty_names",
-    "text_tokenizer_compare",
-    "docs_split_leakage_audit",
-    "sketch_accuracy_audit",
-    "corpus_funnel_report",
-    "customers_k_anonymity",
-    "scd2_point_in_time",
-    "text_phrase_search",
-    "corpus_content_hashes",
-    "docs_sample_weighted_k",
-    "events_user_anomalies",
     "streaming_user_anomalies",
-    "ann_index_health",
-    # --- output changed in round 10 (sample-bounded quantizer training) ---
-    "ann_topk_ivfpq_trained",
-    "ann_recall_audit",
-    "ann_recall_clustered",
-    "ann_label_audit",
-    "ann_label_audit_clustered",
 ]
 
 
