@@ -98,6 +98,8 @@ def fuzzy_join(
     right_key: str,
     right_text: str,
     max_distance: int = 1,
+    left_attrs: tuple[str, ...] = (),
+    right_attrs: tuple[str, ...] = (),
 ) -> DataFrame:
     """Two-table edit-distance join — match records against a reference
     list (the entity-resolution shape: dirty names vs a canonical
@@ -107,23 +109,79 @@ def fuzzy_join(
     recurs with different texts, the pair keeps the MINIMUM distance
     over its text combinations (the final per-pair min aggregate).
 
+    ``left_attrs``/``right_attrs`` (positionally paired) fold
+    attribute AGREEMENT into the candidate equi-join key — the
+    :func:`resolve_entities` verify discipline applied to the
+    two-table form: records disagreeing on any attribute never meet
+    in the shuffle, so verification costs nothing.
+
     Output: (left_key, right_key, dist).
     """
     if max_distance != 1:
         raise ValueError("deletion-neighborhood blocking implements k=1")
-    a = _exploded(left, left_key, left_text).select(
-        F.col("_k").alias("left_key"), F.col("_s").alias("_sa"), "_v"
+    if len(left_attrs) != len(right_attrs):
+        raise ValueError("left_attrs and right_attrs must pair up")
+    ats = [f"_at{i}" for i in range(len(left_attrs))]
+    a = left.select(
+        F.col(left_key).alias("left_key"),
+        F.col(left_text).alias("_sa"),
+        *[F.col(c).alias(n) for c, n in zip(left_attrs, ats)],
+        F.explode(_deletion_variants(left_text)).alias("_v"),
     )
-    b = _exploded(right, right_key, right_text).select(
-        F.col("_k").alias("right_key"), F.col("_s").alias("_sb"), "_v"
+    b = right.select(
+        F.col(right_key).alias("right_key"),
+        F.col(right_text).alias("_sb"),
+        *[F.col(c).alias(n) for c, n in zip(right_attrs, ats)],
+        F.explode(_deletion_variants(right_text)).alias("_v"),
     )
-    cand = a.join(b, "_v").select("left_key", "right_key", "_sa", "_sb")
+    cand = a.join(b, ["_v", *ats]).select(
+        "left_key", "right_key", "_sa", "_sb"
+    )
     dist = F.levenshtein("_sa", "_sb")
     return (
         cand.select("left_key", "right_key", dist.alias("dist"))
         .filter(F.col("dist") <= max_distance)
         .groupBy("left_key", "right_key")
         .agg(F.min("dist").alias("dist"))
+    )
+
+
+def link_verdicts(links: DataFrame, universe: DataFrame) -> DataFrame:
+    """Reduce a (left_key, right_key, dist) link table to one VERDICT
+    per left record over ``universe`` (a 1-column frame of every left
+    key): matched?, the canonical entity key (MINIMUM matching right
+    key — deterministic, the resolve_entities tie-break), that
+    candidate's distance, and the total candidate count. Records with
+    no link are NOVEL (matched=false, NULL entity).
+
+    Shared by the batch and streaming ER gates so the two deployment
+    shapes reduce through ONE code path and cannot diverge."""
+    # one aggregate, no join-back: the struct min orders by right_key
+    # first, so m.right_key IS the minimum candidate and m.dist its
+    # verified distance (links carries one row per pair)
+    bd = links.groupBy("left_key").agg(
+        F.min(F.struct(F.col("right_key"), F.col("dist"))).alias("m"),
+        F.count(F.lit(1)).alias("n_candidates"),
+    ).select(
+        "left_key",
+        F.col("m.right_key").alias("entity_key"),
+        F.col("m.dist").alias("dist"),
+        "n_candidates",
+    )
+    uk = universe.columns[0]
+    u = universe.select(F.col(uk).alias("left_key"))
+    return (
+        u.join(bd, "left_key", "left")
+        .select(
+            F.col("left_key").alias("record_key"),
+            F.col("entity_key").isNotNull().alias("matched"),
+            "entity_key",
+            F.col("dist").cast("long").alias("dist"),
+            F.coalesce(F.col("n_candidates"), F.lit(0))
+            .cast("long")
+            .alias("n_candidates"),
+        )
+        .orderBy("record_key")
     )
 
 

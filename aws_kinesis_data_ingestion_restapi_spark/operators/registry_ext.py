@@ -238,13 +238,7 @@ def er_link_dirty_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     — disambiguation is a downstream policy decision). Oracle = the
     quadratic reference join."""
     cust = load_table(spark, sf_dir, "customer")
-    dirty = cust.filter(F.col("c_custkey") % 10 == 0).select(
-        (F.col("c_custkey") + 10_000_000).alias("dirty_id"),
-        F.expr(
-            "substring(c_name, 1, length(c_name) DIV 2) || 'z' || "
-            "substring(c_name, length(c_name) DIV 2 + 2)"
-        ).alias("dirty_name"),
-    )
+    dirty = _dirty_customers(spark, sf_dir).select("dirty_id", "dirty_name")
     links = fuzzy.fuzzy_join(
         dirty, cust, "dirty_id", "dirty_name", "c_custkey", "c_name"
     )
@@ -972,6 +966,49 @@ def sketch_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+
+def docs_hll_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X158: MERGEABLE per-key distinct sketch + its accuracy audit
+    (r10 VERDICT ask #3) — per-language HLL-shape register estimate
+    of distinct 3-gram shingles (operators/sketch.py hll_registers /
+    hll_estimate: registers from md5 bits, bitlength via bin(), exact
+    fixed-point register sum — no float log, no engine-internal HLL
+    state, so the estimate value-hashes cross-engine) scored against
+    the exact distinct count with the signed relative error, one X147
+    audit row per key. What X33/X147 cannot do — MERGE: registers
+    combine by (key, reg) max across days/clusters, pinned
+    halves-merged ≡ whole-corpus in tests/test_extensions.py.
+
+    Scale shape: the sketch side is one projection + one ≤64-rows-
+    per-key aggregate (the production path); the exact side pays the
+    full distinct shuffle deliberately — this is the validation run,
+    not the dashboard query."""
+    docs = _docs(spark, sf_dir)
+    grams = docs.select(
+        "lang", dedup.tokens_col().alias("_toks")
+    ).select(
+        "lang", F.explode(dedup.word_ngrams(3, F.col("_toks"))).alias("gram")
+    )
+    regs = sketch.hll_registers(grams, ["lang"], "gram")
+    est = sketch.hll_estimate(regs, ["lang"])
+    exact = grams.groupBy("lang").agg(
+        F.countDistinct("gram").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "lang")
+        .select(
+            "lang",
+            "n_zero_regs",
+            "est_distinct",
+            "exact_distinct",
+            (
+                (F.col("est_distinct") - F.col("exact_distinct").cast("double"))
+                / F.col("exact_distinct").cast("double")
+            ).alias("rel_err"),
+        )
+        .orderBy("lang")
+    )
 
 
 #: k-anonymity threshold for the privacy audit
@@ -3147,6 +3184,7 @@ EXT_QUERY_FNS = {
     "docs_expectations": docs_expectations,
     "sketch_distinct_trigrams": sketch_distinct_trigrams,
     "sketch_accuracy_audit": sketch_accuracy_audit,
+    "docs_hll_distinct_audit": docs_hll_distinct_audit,
     "corpus_funnel_report": corpus_funnel_report,
     "customers_k_anonymity": customers_k_anonymity,
     "corpus_content_hashes": corpus_content_hashes,
@@ -6864,6 +6902,49 @@ EXT_ORACLE_SQL["er_link_dirty_names"] = """
 
 # X147 sketch accuracy: the theta estimate joined to the exact
 # distinct count, same shingle stream, signed relative error
+# X158 HLL audit: identical register arithmetic — first md5 byte mod
+# 64 buckets, rho = 61 - bitlength of the next 60 bits (61 for w=0),
+# exact fixed-point register sum in HUGEINT, the SAME pre-folded
+# double numerator, one division per key
+EXT_ORACLE_SQL["docs_hll_distinct_audit"] = f"""
+    WITH g AS (
+        SELECT lang, unnest({_shingles(3)}) AS gram
+        FROM (SELECT lang, {_TOKS} AS t FROM documents)
+    ),
+    h AS (SELECT DISTINCT lang, md5(gram) AS hx FROM g),
+    r AS (
+        SELECT lang,
+               CAST(concat('0x', substr(hx, 1, 2)) AS BIGINT) % 64 AS reg,
+               CAST(concat('0x', substr(hx, 3, 15)) AS BIGINT) AS w
+        FROM h
+    ),
+    m AS (
+        SELECT lang, reg,
+               MAX(CASE WHEN w = 0 THEN 61 ELSE 61 - len(bin(w)) END) AS rho
+        FROM r GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT lang,
+               SUM(CAST(1 AS HUGEINT) << (61 - rho))
+                   + (64 - COUNT(*)) * (CAST(1 AS HUGEINT) << 61) AS s_all,
+               CAST(64 - COUNT(*) AS BIGINT) AS n_zero_regs
+        FROM m GROUP BY 1
+    ),
+    ex AS (
+        SELECT lang, CAST(COUNT(DISTINCT gram) AS BIGINT) AS exact_distinct
+        FROM g GROUP BY 1
+    )
+    SELECT s.lang, s.n_zero_regs,
+           {sketch.HLL_EST_NUM!r} / CAST(s_all AS DOUBLE) AS est_distinct,
+           ex.exact_distinct,
+           ({sketch.HLL_EST_NUM!r} / CAST(s_all AS DOUBLE)
+                - CAST(exact_distinct AS DOUBLE))
+               / CAST(exact_distinct AS DOUBLE) AS rel_err
+    FROM s JOIN ex USING (lang)
+    ORDER BY lang
+"""
+
+
 EXT_ORACLE_SQL["sketch_accuracy_audit"] = f"""
     WITH g AS (
         SELECT lang, unnest({_shingles(3)}) AS gram

@@ -237,3 +237,97 @@ def quantile_sketch_estimates(
         .agg(F.min(F.struct("bin_idx", "rep")).alias("_m"))
         .select(*g, "q_pct", "n", F.col("_m.rep").alias("est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# X158: mergeable per-key distinct registers (HLL-shape, deterministic)
+# ---------------------------------------------------------------------------
+
+HLL_M = 64  # registers = 2^6 (bucket = first byte of md5 mod 64)
+HLL_WBITS = 60  # hashed word bits per item (15 hex digits after the bucket)
+#: Flajolet et al. '07 bias constant for m = 64
+HLL_ALPHA = 0.709
+#: the estimator numerator alpha·m²·2^WBITS+1, folded ONCE in Python so
+#: both engines divide by S with the identical double constant (no
+#: reliance on either engine's constant-folding order)
+HLL_EST_NUM = HLL_ALPHA * float(HLL_M * HLL_M) * float(1 << (HLL_WBITS + 1))
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], value: Column | str
+) -> DataFrame:
+    """Per-group HyperLogLog REGISTER table — the mergeable summary
+    X33's θ-sample is not (r10 VERDICT ask #3): X33 estimates one
+    global distinct count per run; production counting wants per-key
+    (per-language, per-source) distinct summaries that MERGE across
+    days and clusters (the X91 re-aggregability contract, for
+    distincts). A register row is (group, reg, rho): reg = first md5
+    byte mod 64, rho = 1 + leading zeros of the next 60 hashed bits
+    (computed as 61 - bitlength via ``bin()``, no float log — both
+    engines implement md5 and bin identically, so registers are
+    bit-for-bit reproducible and the ESTIMATE is oracle-checkable,
+    unlike engine-internal ``approx_count_distinct`` state).
+
+    Merging = groupBy(group, reg).max(rho) — associative, commutative,
+    idempotent, so summaries combine across any partitioning, any
+    day boundary, any cluster (pinned in tests/test_extensions.py:
+    halves merged ≡ whole corpus, register-exact).
+
+    Scale shape: one map-side projection + one (group, reg) aggregate
+    whose output is ≤ 64 rows per key regardless of input size; the
+    shuffle moves registers, never values."""
+    v = F.col(value) if isinstance(value, str) else value
+    h = F.md5(v)
+    reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % HLL_M
+    w = F.conv(F.substring(h, 3, 15), 16, 10).cast("long")
+    rho = F.when(w == F.lit(0), F.lit(HLL_WBITS + 1)).otherwise(
+        F.lit(HLL_WBITS + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.select(*group_cols, reg.alias("reg"), rho.alias("rho"))
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(*register_frames: DataFrame) -> DataFrame:
+    """Merge register tables (same schema) by register-max — the
+    cross-day / cross-cluster combine step."""
+    it = iter(register_frames)
+    u = next(it)
+    for f in it:
+        u = u.unionByName(f)
+    keys = [c for c in u.columns if c != "rho"]
+    return u.groupBy(*keys).agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Reduce a register table to the raw HLL estimate per group.
+
+    S = Σ_j 2^(61-ρ_j) over all 64 registers (absent registers are
+    ρ=0 → 2^61 each) is computed EXACTLY in fixed point (decimal(38)
+    integer sum — S ≤ 64·2^61 = 2^67, far inside 38 digits; no
+    float harmonic mean, no order-dependent double summation), then
+    ONE double division yields est = α·m²·2^61 / S. No small-range
+    linear-counting correction: ln is libm territory (not IEEE-exact
+    across engines), so the raw estimator ships and the audit query
+    MEASURES its error instead (the X147 discipline).
+
+    Output: group_cols + (n_zero_regs, est_distinct)."""
+    term = F.expr(
+        f"CAST(shiftleft(CAST(1 AS BIGINT), {HLL_WBITS + 1} - rho) "
+        "AS DECIMAL(38,0))"
+    )
+    two_w = F.lit(1 << (HLL_WBITS + 1)).cast("decimal(38,0)")
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(term).alias("_sp"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    s = F.col("_sp") + (F.lit(HLL_M) - F.col("_n")).cast(
+        "decimal(38,0)"
+    ) * two_w
+    return agg.select(
+        *group_cols,
+        (F.lit(HLL_M) - F.col("_n")).cast("long").alias("n_zero_regs"),
+        (F.lit(HLL_EST_NUM) / s.cast("double")).alias("est_distinct"),
+    )

@@ -529,6 +529,7 @@ QUERY_FNS: dict[str, QueryFn] = {
 from aws_kinesis_data_ingestion_restapi_spark.streaming.registry_stream import (  # noqa: E402
     streaming_dedup_delta,
     streaming_dedup_replay,
+    streaming_er_delta,
     streaming_drift_tvd,
     streaming_enriched_nation_totals,
     streaming_late_data_policy,
@@ -546,6 +547,7 @@ from aws_kinesis_data_ingestion_restapi_spark.streaming.registry_stream import (
 
 QUERY_FNS["streaming_dedup_replay"] = streaming_dedup_replay
 QUERY_FNS["streaming_dedup_delta"] = streaming_dedup_delta
+QUERY_FNS["streaming_er_delta"] = streaming_er_delta
 QUERY_FNS["streaming_running_totals_final"] = streaming_running_totals_final
 QUERY_FNS["streaming_enriched_nation_totals"] = streaming_enriched_nation_totals
 QUERY_FNS["streaming_payment_match"] = streaming_payment_match
@@ -2083,6 +2085,51 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY window_start, window_end, nw, t
         ORDER BY 1
     """,
+    # X157 streaming ER: static replay of the attr-agreement blocked
+    # linkage (the quadratic reference join IS the oracle — the
+    # deletion-neighborhood blocking guarantees zero false negatives at
+    # edit distance <= 1), reduced to per-record verdicts with the
+    # min-custkey tie-break; the TWICE-delivered delta must not add or
+    # change a single verdict (replay-idempotence) or the hash fails
+    "streaming_er_delta": """
+        WITH dirty AS (
+            SELECT c_custkey + 10000000 AS dirty_id,
+                   substr(c_name, 1, len(c_name) // 2) || 'z' ||
+                   substr(c_name, len(c_name) // 2 + 2) AS dirty_name,
+                   c_nationkey, c_mktsegment
+            FROM customer WHERE c_custkey % 10 = 0
+            UNION ALL
+            SELECT c_custkey + 20000000, 'zq-' || c_name,
+                   c_nationkey, c_mktsegment
+            FROM customer WHERE c_custkey % 10 = 5
+        ),
+        links AS (
+            SELECT d.dirty_id, c.c_custkey AS custkey,
+                   levenshtein(d.dirty_name, c.c_name) AS dist
+            FROM dirty d
+            JOIN customer c
+              ON d.c_nationkey = c.c_nationkey
+             AND d.c_mktsegment = c.c_mktsegment
+             AND levenshtein(d.dirty_name, c.c_name) <= 1
+        ),
+        best AS (
+            SELECT dirty_id, MIN(custkey) AS entity_custkey,
+                   COUNT(*) AS n_candidates
+            FROM links GROUP BY 1
+        ),
+        bd AS (
+            SELECT b.dirty_id, b.entity_custkey, l.dist, b.n_candidates
+            FROM best b JOIN links l
+              ON l.dirty_id = b.dirty_id AND l.custkey = b.entity_custkey
+        )
+        SELECT d.dirty_id,
+               bd.entity_custkey IS NOT NULL AS matched,
+               bd.entity_custkey,
+               CAST(bd.dist AS BIGINT) AS dist,
+               CAST(COALESCE(bd.n_candidates, 0) AS BIGINT) AS n_candidates
+        FROM dirty d LEFT JOIN bd USING (dirty_id)
+        ORDER BY d.dirty_id
+    """,
     # X137 streaming top-k heavy hitters: static replay of the tumbling
     # counts, the wm emission rule (end <= max ts - 1 h), and the
     # (count DESC, user_id) row_number per closed window; the TWICE-
@@ -2367,8 +2414,8 @@ ORACLE_SQL["streaming_value_quantiles"] = f"""
 # park stable, already-driver-verified, untouched baselines at the
 # tail, where falling past position 50 loses nothing.
 # --- BEGIN GENERATED GATE ORDER (scripts/gen_gate_head.py) ---
-# Window = 0 never-driver-checked additions + 11 changed
-# entries + the 39 stalest driver greens (last green in
+# Window = 2 never-driver-checked additions + 12 changed
+# entries + the 36 stalest driver greens (last green in
 # round(s) [6, 7], from CORRECTNESS_r*.json). Regenerate with
 #   python scripts/gen_gate_head.py
 # (pytest runs --check; hand-edits here go stale and FAIL).
@@ -2377,6 +2424,9 @@ _GATE_HEAD = [
     "text_tokenizer_compare",  # last driver green: r10
     "corpus_content_hashes",  # last driver green: r10
     "dedup_components_delta",  # last driver green: r10
+    "er_link_dirty_names",  # last driver green: r10
+    "streaming_er_delta",  # last driver green: r0
+    "docs_hll_distinct_audit",  # last driver green: r0
     "streaming_late_data_policy",  # last driver green: r6
     "streaming_session_windows",  # last driver green: r7
     "streaming_sliding_1h_15m",  # last driver green: r8
@@ -2420,9 +2470,6 @@ _GATE_HEAD = [
     "ann_topk_ivf",  # last driver green: r7
     "ann_topk_pq",  # last driver green: r7
     "asof_priority_rates",  # last driver green: r7
-    "cdc_scd2_history",  # last driver green: r7
-    "cdc_snapshot_diff",  # last driver green: r7
-    "curation_pipeline",  # last driver green: r7
 ]
 _GATE_TAIL = [
     "ann_index_health",  # last driver green: r10
@@ -2439,7 +2486,6 @@ _GATE_TAIL = [
     "docs_sample_weighted_k",  # last driver green: r10
     "docs_split_leakage_audit",  # last driver green: r10
     "er_entity_ids",  # last driver green: r10
-    "er_link_dirty_names",  # last driver green: r10
     "events_cusum_changepoint",  # last driver green: r10
     "mm_afp_near_dup",  # last driver green: r10
     "q3_shipping_priority",  # last driver green: r10
@@ -2554,6 +2600,9 @@ _GATE_TAIL = [
     "text_bpe_merges",  # last driver green: r8
     "text_dsir_importance",  # last driver green: r8
     "text_ngram_novelty",  # last driver green: r8
+    "cdc_scd2_history",  # last driver green: r7
+    "cdc_snapshot_diff",  # last driver green: r7
+    "curation_pipeline",  # last driver green: r7
     "curation_source_caps",  # last driver green: r7
     "customer_rfm_segments",  # last driver green: r7
     "customer_running_spend",  # last driver green: r7

@@ -43,6 +43,10 @@ MUST_ROTATE = [
     "text_tokenizer_compare",      # per-tokenizer denominators (ADVICE #2)
     "corpus_content_hashes",       # NULL sentinel + length-prefix (ADVICE #4)
     "dedup_components_delta",      # inner closure -> star CC (ADVICE #3)
+    "er_link_dirty_names",         # dirty fixture factored to helper
+    # --- new in round 11 ---
+    "streaming_er_delta",          # X157 streaming entity resolution
+    "docs_hll_distinct_audit",     # X158 mergeable HLL distinct sketch
     # --- round 11: streaming ts hardened via as_timestamp (impl change) ---
     "streaming_late_data_policy",
     "streaming_session_windows",

@@ -3618,3 +3618,56 @@ def test_corpus_funnel_monotone_and_consistent(spark):
     assert rows[0]["pct_docs"] == 1.0
     n_canon = rx.dedup_canonical_docs(spark, sf).count()
     assert rows[2]["n_docs"] == n_canon
+
+
+def test_hll_registers_merge_exactly_and_estimate_tracks_truth(spark):
+    """X158 mergeability contract: registers built on two disjoint
+    halves of the corpus and merged by (key, reg) max must equal the
+    whole-corpus registers BIT-FOR-BIT — hence identical estimates —
+    and every rho must sit in the [1, 61] domain. The raw estimator
+    must also land within the m=64 error envelope on real data."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import (
+        dedup,
+        sketch,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    grams = docs.select(
+        "doc_id", "lang", dedup.tokens_col().alias("_toks")
+    ).select(
+        "doc_id",
+        "lang",
+        F.explode(dedup.word_ngrams(3, F.col("_toks"))).alias("gram"),
+    )
+    whole = sketch.hll_registers(grams, ["lang"], "gram")
+    h0 = sketch.hll_registers(
+        grams.filter(F.col("doc_id") % 2 == 0), ["lang"], "gram"
+    )
+    h1 = sketch.hll_registers(
+        grams.filter(F.col("doc_id") % 2 == 1), ["lang"], "gram"
+    )
+    merged = sketch.hll_merge(h0, h1)
+
+    w = {(r.lang, r.reg): r.rho for r in whole.collect()}
+    m = {(r.lang, r.reg): r.rho for r in merged.collect()}
+    assert w == m, "merged halves must equal whole-corpus registers"
+    assert all(1 <= rho <= 61 for rho in w.values())
+
+    ew = {r.lang: r.est_distinct
+          for r in sketch.hll_estimate(whole, ["lang"]).collect()}
+    em = {r.lang: r.est_distinct
+          for r in sketch.hll_estimate(merged, ["lang"]).collect()}
+    assert ew == em, "identical registers must give identical estimates"
+
+    exact = {
+        r.lang: r.n
+        for r in grams.groupBy("lang")
+        .agg(F.countDistinct("gram").alias("n"))
+        .collect()
+    }
+    for lang, est in ew.items():
+        assert abs(est - exact[lang]) / exact[lang] < 0.5, (
+            lang,
+            est,
+            exact[lang],
+        )

@@ -675,3 +675,81 @@ def test_streaming_cusum_matches_batch_on_closed_days(spark):
         spark.createDataFrame(rows, ["day", "n"])
     ).collect()
     assert [tuple(r) for r in out] == [tuple(r) for r in batch]
+
+
+def test_streaming_er_delta_matches_batch_and_stays_stateless(spark):
+    """X157 ≡ the batch ER machinery on the identical fixture: the
+    streaming stream-static probe (drained under double delivery)
+    must produce exactly the verdicts of fuzzy_join(left_attrs=...) +
+    link_verdicts — same matches, same canonical entity, same
+    distance, same candidate counts — with the novel path exercised
+    and every matched link consistent with X144's (attr-free) links.
+    The in-stream stages are additionally pinned STATELESS: pure
+    projections, stream-static joins, and filters — no aggregate, no
+    dedup, no watermark — so state never accumulates across batches."""
+    import shutil
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators import fuzzy
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        er_link_dirty_names,
+    )
+    from aws_kinesis_data_ingestion_restapi_spark.sources.tables import (
+        load_table,
+    )
+    from aws_kinesis_data_ingestion_restapi_spark.streaming.registry_stream import (
+        _er_delta_stages,
+        streaming_er_delta,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    links_stream, d, dirty = _er_delta_stages(spark, sf)
+    try:
+        assert links_stream.isStreaming
+        plan = links_stream._jdf.queryExecution().analyzed().toString()
+        for stateful in ("Aggregate", "Deduplicate", "EventTimeWatermark"):
+            assert stateful not in plan, f"stream side must not {stateful}"
+        out = {
+            r.dirty_id: r for r in streaming_er_delta(spark, sf).collect()
+        }
+        cust = load_table(spark, sf, "customer")
+        links_b = fuzzy.fuzzy_join(
+            dirty,
+            cust,
+            "dirty_id",
+            "dirty_name",
+            "c_custkey",
+            "c_name",
+            left_attrs=("c_nationkey", "c_mktsegment"),
+            right_attrs=("c_nationkey", "c_mktsegment"),
+        )
+        batch = {
+            r.record_key: r
+            for r in fuzzy.link_verdicts(
+                links_b, dirty.select("dirty_id")
+            ).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    assert set(out) == set(batch)
+    for did, r in out.items():
+        rb = batch[did]
+        assert (r.matched, r.entity_custkey, r.dist, r.n_candidates) == (
+            rb.matched,
+            rb.entity_key,
+            rb.dist,
+            rb.n_candidates,
+        ), did
+    assert any(r.matched for r in out.values()), "matched path unexercised"
+    assert any(
+        not r.matched for r in out.values()
+    ), "novel path unexercised"
+    # attr-folded links are a SUBSET of X144's attr-free links on the
+    # shared (+10M) records — folding attrs can only prune candidates
+    x144 = {
+        (r.dirty_id, r.custkey)
+        for r in er_link_dirty_names(spark, sf).collect()
+    }
+    for did, r in out.items():
+        if r.matched and did < 20_000_000:
+            assert (did, r.entity_custkey) in x144, did
