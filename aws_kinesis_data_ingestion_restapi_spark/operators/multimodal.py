@@ -58,6 +58,10 @@ MAGIC = {"image": b"IMG0", "audio": b"AUD0", "video": b"VID0"}
 FORMATS = {"image": "png", "audio": "wav", "video": "mp4"}
 FRAME_CHARS = 256  # one fake video "frame" = 256 chars of payload
 FRAME_STRIDE = 2  # sample every 2nd frame
+# near-dup fingerprinting keyframes DENSER than the preview sampler:
+# at 256-char frames most corpus videos sample a single frame, and a
+# one-frame video carries no agreement signal (see video_near_dup)
+NEARDUP_FRAME_CHARS = 32
 
 ASSET_META_FIELDS = (
     "format string, width int, height int, channels int, "
@@ -577,6 +581,26 @@ def rerendered_assets(docs: DataFrame) -> DataFrame:
     return synthesize_assets(base.unionByName(rr))
 
 
+def _pack_grid_bands(asset_id, energy: list) -> list:
+    """Pack a 72-value grid (8 rows × 9 cols) into 4 × 16-bit
+    sign-of-delta band rows — the gradient-bit packing shared by the
+    audio energy fingerprint (:func:`afp_bands`) and the video
+    frame-hash fingerprint (:func:`vhash_bands`); the image dHash
+    packs the same geometry inside its own decode loop."""
+    rows_n, cols_n = PHASH_GRID_ROWS, PHASH_GRID_COLS
+    grid = [energy[r * cols_n:(r + 1) * cols_n] for r in range(rows_n)]
+    out = []
+    for band in range(PHASH_BANDS):
+        val = 0
+        for rr in range(2):
+            r = band * 2 + rr
+            for c in range(cols_n - 1):
+                if grid[r][c] < grid[r][c + 1]:
+                    val |= 1 << (rr * 8 + c)
+        out.append({"asset_id": asset_id, "band": band, "band_val": val})
+    return out
+
+
 def afp_bands(assets: DataFrame, fake_decode: bool = True) -> DataFrame:
     """X142: per-AUDIO-asset energy fingerprint, the acoustic sibling
     of :func:`phash_bands` (the standard audio-fingerprint shape —
@@ -620,20 +644,7 @@ def afp_bands(assets: DataFrame, fake_decode: bool = True) -> DataFrame:
                     )
                     for w in range(cells)
                 ]
-                grid = [
-                    energy[r * cols_n:(r + 1) * cols_n]
-                    for r in range(rows_n)
-                ]
-                for band in range(PHASH_BANDS):
-                    val = 0
-                    for rr in range(2):
-                        r = band * 2 + rr
-                        for c in range(cols_n - 1):
-                            if grid[r][c] < grid[r][c + 1]:
-                                val |= 1 << (rr * 8 + c)
-                    out.append(
-                        {"asset_id": asset_id, "band": band, "band_val": val}
-                    )
+                out.extend(_pack_grid_bands(asset_id, energy))
             yield pd.DataFrame(out, columns=["asset_id", "band", "band_val"])
 
     return (
@@ -663,6 +674,155 @@ def rerendered_audio_assets(docs: DataFrame) -> DataFrame:
     ≥72-char guard."""
     rr = docs.filter(
         (F.col("doc_id") % 30 == 1) & (F.length("text") > 0)
+    ).select(
+        (F.col("doc_id") + 30_000_000).alias("doc_id"),
+        F.expr(
+            "substring(text, 1, length(text) DIV 2) || 'z' || "
+            "substring(text, length(text) DIV 2 + 2)"
+        ).alias("text"),
+    )
+    base = docs.select("doc_id", "text")
+    return synthesize_assets(base.unionByName(rr))
+
+
+# ---------------------------------------------------------------------------
+# X159: video near-dup over ordered frame-hash sequences
+# ---------------------------------------------------------------------------
+
+
+def frame_hash_sequences(
+    assets: DataFrame,
+    frame_chars: int = FRAME_CHARS,
+    stride: int = FRAME_STRIDE,
+) -> DataFrame:
+    """Per-video ORDERED frame-hash sequence — :func:`sample_frames`'
+    extractor (identical frame blocks and stride), reduced to one
+    (asset_id, seq array<string>) row; order restored from frame_idx
+    before collect_list's nondeterministic arrival order can leak."""
+    frames = sample_frames(assets, frame_chars, stride)
+    return frames.groupBy("asset_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("frame_idx", "frame_md5"))),
+            lambda s: s["frame_md5"],
+        ).alias("seq")
+    )
+
+
+def video_near_dup(
+    assets: DataFrame,
+    frame_chars: int = NEARDUP_FRAME_CHARS,
+    stride: int = FRAME_STRIDE,
+    max_mismatch: int = 1,
+) -> DataFrame:
+    """X159: VIDEO near-duplicate pairs — the third modality of the
+    multimodal dedup family (image X104, audio X142): two videos are
+    near-dups when their ordered frame-hash sequences have EQUAL
+    length, differ in at most ``max_mismatch`` positions, AND agree
+    on at least one frame (the single-frame-corruption class: a
+    re-encode glitch, a stamped keyframe, an overlay on one frame).
+    The agreement floor keeps the relation meaningful at the short
+    end — without it every pair of 1-frame videos is vacuously
+    "within one edit" (measured: 14,181 such false pairs at sf0.001);
+    with it a 1-frame video matches only its exact dups. Fingerprint
+    frames default DENSER (32 chars) than the 256-char preview
+    sampler for the same reason: most corpus videos sample a single
+    256-char frame, and one frame carries no agreement signal.
+
+    Design note — why NOT the X104/X142 banded grid signature: pooled
+    sign-of-delta grids DEGENERATE on short frame sequences (a
+    1-sampled-frame video fills one grid cell; every such video
+    shares one near-constant signature — measured 16,653 hamming-0
+    FALSE pairs at sf0.001, where most corpus videos sample 1-4
+    frames). Sequences need sequence blocking: this is the X39
+    deletion-neighborhood guarantee LIFTED FROM CHARACTERS TO FRAME
+    TOKENS — two equal-length sequences with ≤ 1 mismatching token
+    necessarily share a one-token-deletion variant (delete the
+    mismatch position), so candidates come from an equi-join on
+    md5-hashed deletion variants (|seq|+1 variants per video, LINEAR
+    blowup, never all-pairs; the identity variant catches exact
+    sequence dups) and one exact positional comparison per candidate
+    verifies. Zero false negatives at ``max_mismatch`` = 1 by the
+    FastSS pigeonhole; tokens are fixed-width hex so the '|'-joined
+    variant string is unambiguous.
+
+    Scale shape: one shuffle on short variant hashes, Σ|bucket|²
+    candidates (engineered re-renders + true dups only), verify =
+    zip_with over two already-joined arrays. Output
+    (asset_a, asset_b, n_frames, n_diff)."""
+    if max_mismatch != 1:
+        raise ValueError("deletion-variant blocking is exhaustive for k=1")
+    seqs = frame_hash_sequences(assets, frame_chars, stride)
+    n = F.size("seq")
+    joined = F.md5(F.concat_ws("|", F.col("seq")))
+    # deletion variants only exist for n >= 2: a 1-frame video can
+    # only EXACT-match (agreement floor), and its empty-sequence
+    # variant would otherwise bucket every 1-frame video together —
+    # the quadratic blowup the blocking exists to avoid
+    dels = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.md5(
+                F.concat_ws(
+                    "|",
+                    F.concat(
+                        F.slice("seq", F.lit(1), i - F.lit(1)),
+                        F.slice("seq", i + F.lit(1), F.size("seq") - i),
+                    ),
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    variants = F.array_union(F.array(joined), dels)
+    var = seqs.select("asset_id", F.explode(variants).alias("_v"))
+    a = var.select(F.col("asset_id").alias("asset_a"), "_v")
+    b = var.select(F.col("asset_id").alias("asset_b"), "_v")
+    cand = (
+        a.join(b, "_v")
+        .filter(F.col("asset_a") < F.col("asset_b"))
+        .select("asset_a", "asset_b")
+        .dropDuplicates(["asset_a", "asset_b"])
+    )
+    sa = seqs.select(F.col("asset_id").alias("asset_a"), F.col("seq").alias("seq_a"))
+    sb = seqs.select(F.col("asset_id").alias("asset_b"), F.col("seq").alias("seq_b"))
+    n_diff = F.size(
+        F.filter(
+            F.zip_with("seq_a", "seq_b", lambda x, y: x != y),
+            lambda z: z,
+        )
+    )
+    return (
+        cand.join(sa, "asset_a")
+        .join(sb, "asset_b")
+        .filter(F.size("seq_a") == F.size("seq_b"))
+        .select(
+            "asset_a",
+            "asset_b",
+            F.size("seq_a").cast("long").alias("n_frames"),
+            n_diff.cast("long").alias("n_diff"),
+        )
+        .filter(
+            (F.col("n_diff") <= max_mismatch)
+            & (F.col("n_frames") - F.col("n_diff") >= 1)
+        )
+    )
+
+
+def rerendered_video_assets(docs: DataFrame) -> DataFrame:
+    """Assets plus deterministic VIDEO re-renders (the fixture
+    geometry video_near_dup needs — the X104/X142 precedent): every
+    30th VIDEO document (doc_id ≡ 2 mod 30 → kind='video' under the
+    doc_id % 3 cycle) is re-encoded as asset_id + 30_000_000 (≡ 0
+    mod 3 offset, kind preserved) with one character replaced at the
+    text midpoint. The edit lands inside exactly one 32-char
+    fingerprint frame, so the re-rendered sequence has EQUAL length
+    and at most one mismatching frame hash (zero when the edited
+    frame is unsampled or the replaced char was already 'z'). The
+    ≥96-char guard (the X104 length-guard precedent) ensures ≥ 3
+    total → ≥ 2 SAMPLED fingerprint frames, so the agreement floor
+    is satisfiable even when the edit hits a sampled frame."""
+    rr = docs.filter(
+        (F.col("doc_id") % 30 == 2) & (F.length("text") >= 96)
     ).select(
         (F.col("doc_id") + 30_000_000).alias("doc_id"),
         F.expr(

@@ -2594,6 +2594,25 @@ def mm_afp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.afp_near_dup(assets).orderBy("asset_a", "asset_b")
 
 
+def mm_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X159: VIDEO near-dup — closes the multimodal dedup triad
+    (image X104, audio X142): ordered frame-hash sequences from the
+    mm_frame_sample extractor (32-char fingerprint frames, stride 2),
+    candidates via an equi-join on md5-hashed one-frame-DELETION
+    variants (the X39 deletion-neighborhood guarantee lifted from
+    characters to frame tokens — linear blowup, exhaustive for ≤ 1
+    mismatch, never all-pairs), one exact positional comparison per
+    candidate verifies; emission = equal length, ≤ 1 mismatching
+    frame, ≥ 1 agreeing frame. Runs over the video assets PLUS their
+    deterministic re-renders (multimodal.rerendered_video_assets).
+    Why not the X104/X142 banded grid: pooled sign-of-delta
+    signatures degenerate on short frame sequences (measured 16,653
+    hamming-0 false pairs at sf0.001) — sequences need sequence
+    blocking. See multimodal.video_near_dup."""
+    assets = multimodal.rerendered_video_assets(_docs(spark, sf_dir))
+    return multimodal.video_near_dup(assets).orderBy("asset_a", "asset_b")
+
+
 #: lang domain for the expectations entry — shared with the oracle SQL
 DOC_LANG_DOMAIN = ("de", "en", "es", "fr", "zh")
 
@@ -3246,6 +3265,7 @@ EXT_QUERY_FNS = {
     "mm_frame_sample": mm_frame_sample,
     "mm_phash_near_dup": mm_phash_near_dup,
     "mm_afp_near_dup": mm_afp_near_dup,
+    "mm_video_near_dup": mm_video_near_dup,
     "mm_canonical_assets": mm_canonical_assets,
     "mm_extract_features": mm_extract_features,
     "mm_resize_images": mm_resize_images,
@@ -6810,6 +6830,46 @@ def _unigram_oracle_sql(
 # codes over the 72-way payload partition (list arithmetic — empty
 # windows coalesce to 0), then the identical gradient-bit banding,
 # pigeonhole join and popcount verify the image oracle uses
+# X159 video near-dup: the quadratic reference join within equal-
+# frame-count groups (an equi-join on length) over the identical
+# 32-char stride-2 frame-hash sequences; the blocking guarantees the
+# Spark side finds exactly these pairs (FastSS pigeonhole, k=1)
+EXT_ORACLE_SQL["mm_video_near_dup"] = """
+    WITH viddocs AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id % 3 = 2 AND len(text) > 0
+        UNION ALL
+        SELECT doc_id + 30000000,
+               substr(text, 1, len(text) // 2) || 'z' ||
+               substr(text, len(text) // 2 + 2)
+        FROM documents WHERE doc_id % 30 = 2 AND len(text) >= 96
+    ),
+    frames AS (
+        SELECT d.doc_id AS asset_id, t.i AS fidx,
+               md5(substr(d.text, CAST(t.i * 32 + 1 AS INT), 32)) AS fh
+        FROM viddocs d,
+             unnest(generate_series(0,
+                 CAST(ceil(len(d.text) / 32.0) AS BIGINT) - 1, 2)) AS t(i)
+    ),
+    seqs AS (
+        SELECT asset_id, list(fh ORDER BY fidx) AS seq
+        FROM frames GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+               len(a.seq) AS n_frames,
+               len(list_filter(range(1, len(a.seq) + 1),
+                               i -> a.seq[i] != b.seq[i])) AS n_diff
+        FROM seqs a JOIN seqs b
+          ON len(a.seq) = len(b.seq) AND a.asset_id < b.asset_id
+    )
+    SELECT asset_a, asset_b, CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(n_diff AS BIGINT) AS n_diff
+    FROM pairs WHERE n_diff <= 1 AND n_frames - n_diff >= 1
+    ORDER BY asset_a, asset_b
+"""
+
+
 EXT_ORACLE_SQL["mm_afp_near_dup"] = """
     WITH auddocs AS (
         SELECT doc_id, text FROM documents

@@ -2414,8 +2414,8 @@ ORACLE_SQL["streaming_value_quantiles"] = f"""
 # park stable, already-driver-verified, untouched baselines at the
 # tail, where falling past position 50 loses nothing.
 # --- BEGIN GENERATED GATE ORDER (scripts/gen_gate_head.py) ---
-# Window = 2 never-driver-checked additions + 12 changed
-# entries + the 36 stalest driver greens (last green in
+# Window = 3 never-driver-checked additions + 13 changed
+# entries + the 34 stalest driver greens (last green in
 # round(s) [6, 7], from CORRECTNESS_r*.json). Regenerate with
 #   python scripts/gen_gate_head.py
 # (pytest runs --check; hand-edits here go stale and FAIL).
@@ -2427,6 +2427,8 @@ _GATE_HEAD = [
     "er_link_dirty_names",  # last driver green: r10
     "streaming_er_delta",  # last driver green: r0
     "docs_hll_distinct_audit",  # last driver green: r0
+    "mm_video_near_dup",  # last driver green: r0
+    "mm_afp_near_dup",  # last driver green: r10
     "streaming_late_data_policy",  # last driver green: r6
     "streaming_session_windows",  # last driver green: r7
     "streaming_sliding_1h_15m",  # last driver green: r8
@@ -2468,8 +2470,6 @@ _GATE_HEAD = [
     "streaming_value_quantiles",  # last driver green: r6
     "text_repetition",  # last driver green: r6
     "ann_topk_ivf",  # last driver green: r7
-    "ann_topk_pq",  # last driver green: r7
-    "asof_priority_rates",  # last driver green: r7
 ]
 _GATE_TAIL = [
     "ann_index_health",  # last driver green: r10
@@ -2487,7 +2487,6 @@ _GATE_TAIL = [
     "docs_split_leakage_audit",  # last driver green: r10
     "er_entity_ids",  # last driver green: r10
     "events_cusum_changepoint",  # last driver green: r10
-    "mm_afp_near_dup",  # last driver green: r10
     "q3_shipping_priority",  # last driver green: r10
     "q6_forecast_revenue",  # last driver green: r10
     "q8_market_share",  # last driver green: r10
@@ -2600,6 +2599,8 @@ _GATE_TAIL = [
     "text_bpe_merges",  # last driver green: r8
     "text_dsir_importance",  # last driver green: r8
     "text_ngram_novelty",  # last driver green: r8
+    "ann_topk_pq",  # last driver green: r7
+    "asof_priority_rates",  # last driver green: r7
     "cdc_scd2_history",  # last driver green: r7
     "cdc_snapshot_diff",  # last driver green: r7
     "curation_pipeline",  # last driver green: r7

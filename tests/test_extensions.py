@@ -3671,3 +3671,58 @@ def test_hll_registers_merge_exactly_and_estimate_tracks_truth(spark):
             est,
             exact[lang],
         )
+
+
+def test_video_near_dup_must_match_and_must_not_match(spark):
+    """X159 pins. Must-match: every engineered video re-render pairs
+    with its source (n_diff ≤ 1, ≥ 1 agreeing frame). Must-NOT-match:
+    (a) a fully rewritten same-length video does NOT pair despite
+    sharing the frame COUNT, and (b) a 1-fingerprint-frame video does
+    NOT pair with a different 1-frame video (the agreement floor —
+    the vacuous-"within one edit" class measured at 14k false pairs
+    without it), while exact 1-frame dups still do."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import (
+        multimodal as mm,
+        registry_ext as rx,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    expected = {
+        r["doc_id"]
+        for r in docs.filter(
+            (F.col("doc_id") % 30 == 2) & (F.length("text") >= 96)
+        ).select("doc_id").collect()
+    }
+    assert expected, "fixture must engineer at least one re-render"
+    got = {
+        (r["asset_a"], r["asset_b"]): (r["n_frames"], r["n_diff"])
+        for r in rx.mm_video_near_dup(spark, sf).collect()
+    }
+    for base in expected:
+        pair = (base, base + 30_000_000)
+        assert pair in got, f"engineered pair {pair} missing"
+        nf, nd = got[pair]
+        assert nd <= 1 and nf - nd >= 1, (pair, nf, nd)
+
+    # engineered direct checks on a controlled corpus (doc_id % 3 == 2
+    # → video kind): 128-char texts = 4 fingerprint frames, 2 sampled
+    a = "a" * 64 + "b" * 64
+    a_one_frame_edit = "a" * 64 + "b" * 31 + "Z" + "b" * 32
+    a_rewrite = "c" * 64 + "d" * 64  # same length, every frame differs
+    tiny = spark.createDataFrame(
+        [(2, a), (5, a_one_frame_edit), (8, a_rewrite), (11, "x" * 20),
+         (14, "y" * 20), (17, "x" * 20)],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r["asset_a"], r["asset_b"])
+        for r in mm.video_near_dup(mm.synthesize_assets(tiny)).collect()
+    }
+    assert (2, 5) in pairs, "one-frame edit must match"
+    assert (2, 8) not in pairs, "full rewrite must not match"
+    assert (5, 8) not in pairs
+    # 20-char texts = 1 fingerprint frame: different content must not
+    # pair (agreement floor), identical content must
+    assert (11, 14) not in pairs, "distinct 1-frame videos must not match"
+    assert (11, 17) in pairs, "exact 1-frame dup must match"
