@@ -1042,6 +1042,144 @@ def customers_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: X160 generalization ladder: per level, (keep nation, keep segment,
+#: balance-band width or None='*'). Bounded, monotone — each level
+#: coarsens the previous — and shared by the Spark apply, the report
+#: query, and the generated unrolled-CTE oracle.
+K_GEN_LADDER = (
+    (True, True, 1000),
+    (True, True, 4000),
+    (True, True, None),
+    (True, False, None),
+    (False, False, None),
+)
+
+
+def _k_gen_qi_cols(level: int):
+    """Spark QI columns (qi_nation, qi_segment, qi_band) at a ladder
+    level — strings so every level shares one schema ('*' = dropped)."""
+    keep_n, keep_s, width = K_GEN_LADDER[level]
+    qi_n = (
+        F.col("c_nationkey").cast("string") if keep_n else F.lit("*")
+    )
+    qi_s = F.col("c_mktsegment") if keep_s else F.lit("*")
+    if width is None:
+        qi_b = F.lit("*")
+    else:
+        qi_b = F.concat(
+            F.lit(f"b{width}:"),
+            F.floor(F.col("c_acctbal") / width).cast("long").cast("string"),
+        )
+    return qi_n.alias("qi_nation"), qi_s.alias("qi_segment"), qi_b.alias("qi_band")
+
+
+def k_generalize_apply(cust: DataFrame, k: int = K_ANON) -> DataFrame:
+    """X160 APPLY side: make the customer release k-ANONYMOUS by
+    bounded deterministic generalization — the action X149 only
+    reports (the report→apply completion the dedup family got in
+    X45/X114/X118/X122). Round r evaluates the records still
+    unsatisfied at ladder level r: cells of size ≥ k FREEZE at that
+    level, smaller cells promote to level r+1 (strictly coarser QIs —
+    monotone by construction); records still below k after the
+    coarsest level ('*','*','*' — possible only when the whole
+    residue is < k rows) are SUPPRESSED. len(ladder) rounds, each one
+    map-side-combined aggregate + one broadcast-back join over a
+    shrinking residue; no iteration, the ladder is unrolled
+    statically.
+
+    Output: one row per input record —
+    (c_custkey, level, qi_nation, qi_segment, qi_band, suppressed);
+    pytest pins every non-suppressed cell ≥ k and every QI a
+    coarsening of the record's raw values."""
+    out_parts = []
+    remaining = cust.select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    for lvl in range(len(K_GEN_LADDER)):
+        qi = remaining.select("c_custkey", *_k_gen_qi_cols(lvl))
+        sizes = qi.groupBy("qi_nation", "qi_segment", "qi_band").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        labeled = qi.join(
+            F.broadcast(sizes), ["qi_nation", "qi_segment", "qi_band"]
+        )
+        frozen = labeled.filter(F.col("_n") >= k).select(
+            "c_custkey",
+            F.lit(lvl).alias("level"),
+            "qi_nation",
+            "qi_segment",
+            "qi_band",
+            F.lit(False).alias("suppressed"),
+        )
+        out_parts.append(frozen)
+        unsat = labeled.filter(F.col("_n") < k).select("c_custkey")
+        remaining = remaining.join(unsat, "c_custkey")
+    suppressed = remaining.select(
+        "c_custkey",
+        F.lit(len(K_GEN_LADDER)).alias("level"),
+        F.lit("*").alias("qi_nation"),
+        F.lit("*").alias("qi_segment"),
+        F.lit("*").alias("qi_band"),
+        F.lit(True).alias("suppressed"),
+    )
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.unionByName(p)
+    return out.unionByName(suppressed)
+
+
+def customers_k_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X160: the per-round k-GENERALIZATION report — what a privacy
+    review reads after :func:`k_generalize_apply` runs: for each
+    ladder level, how many records were evaluated there, how many
+    froze (reached k-anonymity at that granularity), and how many
+    promoted onward; the final level's promotions are the SUPPRESSED
+    residue. Derived from the apply output by one aggregate, so the
+    report can never disagree with the release."""
+    cust = load_table(spark, sf_dir, "customer")
+    assigned = k_generalize_apply(cust)
+    per_level = assigned.groupBy("level").agg(
+        F.count(F.lit(1)).alias("n_frozen")
+    )
+    n_levels = len(K_GEN_LADDER)
+    # include the suppressed pseudo-level so the grand total comes out
+    # of the same frame — no driver-side count()
+    levels = spark.range(n_levels + 1).select(
+        F.col("id").cast("int").alias("level")
+    )
+    j = levels.join(per_level, "level", "left").select(
+        "level", F.coalesce("n_frozen", F.lit(0)).alias("n_frozen")
+    )
+    from pyspark.sql.window import Window
+
+    before = Window.orderBy("level").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    everything = Window.orderBy("level").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        j.select(
+            "level",
+            (
+                F.sum("n_frozen").over(everything)
+                - F.coalesce(F.sum("n_frozen").over(before), F.lit(0))
+            ).cast("long").alias("n_candidates"),
+            F.col("n_frozen").cast("long").alias("n_satisfied"),
+        )
+        .filter(F.col("level") < n_levels)
+        .select(
+            "level",
+            "n_candidates",
+            "n_satisfied",
+            (F.col("n_candidates") - F.col("n_satisfied"))
+            .cast("long")
+            .alias("n_promoted"),
+        )
+        .orderBy("level")
+    )
+
+
 
 
 def corpus_content_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3206,6 +3344,7 @@ EXT_QUERY_FNS = {
     "docs_hll_distinct_audit": docs_hll_distinct_audit,
     "corpus_funnel_report": corpus_funnel_report,
     "customers_k_anonymity": customers_k_anonymity,
+    "customers_k_generalize": customers_k_generalize,
     "corpus_content_hashes": corpus_content_hashes,
     "docs_sample_weighted_k": docs_sample_weighted_k,
     "events_user_anomalies": events_user_anomalies,
@@ -7091,6 +7230,65 @@ EXT_ORACLE_SQL["corpus_funnel_report"] = """
 
 
 # X149 k-anonymity: identical QI binning + threshold
+# X160 k-generalization report: the ladder unrolled into one CTE
+# chain per level (generated from the SAME K_GEN_LADDER the Spark
+# apply walks — divergence is structurally impossible)
+def _k_gen_oracle_sql() -> str:
+    ctes = [
+        "u0 AS (SELECT c_custkey, c_nationkey, c_mktsegment, "
+        "c_acctbal FROM customer)"
+    ]
+    for lvl, (kn, ks, w) in enumerate(K_GEN_LADDER):
+        qn = "CAST(c_nationkey AS VARCHAR)" if kn else "'*'"
+        qs = "c_mktsegment" if ks else "'*'"
+        qb = (
+            f"'b{w}:' || CAST(CAST(floor(c_acctbal / {w}) AS BIGINT) "
+            "AS VARCHAR)"
+            if w
+            else "'*'"
+        )
+        ctes.append(
+            f"""q{lvl} AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal,
+               {qn} AS qi_n, {qs} AS qi_s, {qb} AS qi_b
+        FROM u{lvl})"""
+        )
+        ctes.append(
+            f"""g{lvl} AS (
+        SELECT qi_n, qi_s, qi_b, COUNT(*) AS n
+        FROM q{lvl} GROUP BY 1, 2, 3)"""
+        )
+        ctes.append(
+            f"""j{lvl} AS (
+        SELECT q.*, g.n FROM q{lvl} q
+        JOIN g{lvl} g USING (qi_n, qi_s, qi_b))"""
+        )
+        ctes.append(
+            f"""u{lvl + 1} AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal
+        FROM j{lvl} WHERE n < {K_ANON})"""
+        )
+    rows = []
+    for lvl in range(len(K_GEN_LADDER)):
+        rows.append(
+            f"""    SELECT {lvl} AS level,
+           CAST((SELECT COUNT(*) FROM u{lvl}) AS BIGINT) AS n_candidates,
+           CAST((SELECT COUNT(*) FROM j{lvl} WHERE n >= {K_ANON})
+               AS BIGINT) AS n_satisfied,
+           CAST((SELECT COUNT(*) FROM u{lvl + 1}) AS BIGINT) AS n_promoted"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + "\n"
+        + "\n    UNION ALL\n".join(rows)
+        + "\n    ORDER BY level"
+    )
+
+
+EXT_ORACLE_SQL["customers_k_generalize"] = _k_gen_oracle_sql()
+
+
 EXT_ORACLE_SQL["customers_k_anonymity"] = """
     SELECT c_nationkey, c_mktsegment,
            CAST(floor(c_acctbal / 1000) AS BIGINT) AS balance_band,

@@ -2414,9 +2414,9 @@ ORACLE_SQL["streaming_value_quantiles"] = f"""
 # park stable, already-driver-verified, untouched baselines at the
 # tail, where falling past position 50 loses nothing.
 # --- BEGIN GENERATED GATE ORDER (scripts/gen_gate_head.py) ---
-# Window = 3 never-driver-checked additions + 13 changed
-# entries + the 34 stalest driver greens (last green in
-# round(s) [6, 7], from CORRECTNESS_r*.json). Regenerate with
+# Window = 4 never-driver-checked additions + 13 changed
+# entries + the 33 stalest driver greens (last green in
+# round(s) [6], from CORRECTNESS_r*.json). Regenerate with
 #   python scripts/gen_gate_head.py
 # (pytest runs --check; hand-edits here go stale and FAIL).
 _GATE_HEAD = [
@@ -2429,6 +2429,7 @@ _GATE_HEAD = [
     "docs_hll_distinct_audit",  # last driver green: r0
     "mm_video_near_dup",  # last driver green: r0
     "mm_afp_near_dup",  # last driver green: r10
+    "customers_k_generalize",  # last driver green: r0
     "streaming_late_data_policy",  # last driver green: r6
     "streaming_session_windows",  # last driver green: r7
     "streaming_sliding_1h_15m",  # last driver green: r8
@@ -2469,7 +2470,6 @@ _GATE_HEAD = [
     "sql_above_average_orders",  # last driver green: r6
     "streaming_value_quantiles",  # last driver green: r6
     "text_repetition",  # last driver green: r6
-    "ann_topk_ivf",  # last driver green: r7
 ]
 _GATE_TAIL = [
     "ann_index_health",  # last driver green: r10
@@ -2599,6 +2599,7 @@ _GATE_TAIL = [
     "text_bpe_merges",  # last driver green: r8
     "text_dsir_importance",  # last driver green: r8
     "text_ngram_novelty",  # last driver green: r8
+    "ann_topk_ivf",  # last driver green: r7
     "ann_topk_pq",  # last driver green: r7
     "asof_priority_rates",  # last driver green: r7
     "cdc_scd2_history",  # last driver green: r7

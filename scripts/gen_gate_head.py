@@ -49,6 +49,7 @@ MUST_ROTATE = [
     "docs_hll_distinct_audit",     # X158 mergeable HLL distinct sketch
     "mm_video_near_dup",           # X159 video near-dup (frame sequences)
     "mm_afp_near_dup",             # band packing factored to shared helper
+    "customers_k_generalize",      # X160 k-anonymity APPLY report
     # --- round 11: streaming ts hardened via as_timestamp (impl change) ---
     "streaming_late_data_policy",
     "streaming_session_windows",

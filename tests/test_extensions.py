@@ -3726,3 +3726,59 @@ def test_video_near_dup_must_match_and_must_not_match(spark):
     # pair (agreement floor), identical content must
     assert (11, 14) not in pairs, "distinct 1-frame videos must not match"
     assert (11, 17) in pairs, "exact 1-frame dup must match"
+
+
+def test_k_generalize_release_is_k_anonymous_and_monotone(spark):
+    """X160 pins. (1) The release is PROVABLY k-anonymous: every
+    non-suppressed (qi_nation, qi_segment, qi_band) cell has ≥ K_ANON
+    records. (2) Generalization is monotone/consistent: each record's
+    QIs are coarsenings of its raw values at exactly its assigned
+    ladder level. (3) Conservation: frozen + suppressed = input, one
+    row per record. (4) The report equals an independent recount of
+    the apply output."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import (
+        registry_ext as rx,
+    )
+    from aws_kinesis_data_ingestion_restapi_spark.sources.tables import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cust = load_table(spark, sf, "customer")
+    out = rx.k_generalize_apply(cust)
+    rows = out.collect()
+    assert len(rows) == cust.count()
+    assert len({r.c_custkey for r in rows}) == len(rows)
+
+    from collections import Counter
+
+    cells = Counter(
+        (r.qi_nation, r.qi_segment, r.qi_band)
+        for r in rows
+        if not r.suppressed
+    )
+    assert cells and min(cells.values()) >= rx.K_ANON
+
+    raw = {r.c_custkey: r for r in cust.collect()}
+    for r in rows:
+        if r.suppressed:
+            assert r.level == len(rx.K_GEN_LADDER)
+            assert (r.qi_nation, r.qi_segment, r.qi_band) == ("*", "*", "*")
+            continue
+        keep_n, keep_s, width = rx.K_GEN_LADDER[r.level]
+        c = raw[r.c_custkey]
+        assert r.qi_nation == (str(c.c_nationkey) if keep_n else "*")
+        assert r.qi_segment == (c.c_mktsegment if keep_s else "*")
+        if width is None:
+            assert r.qi_band == "*"
+        else:
+            import math
+
+            assert r.qi_band == f"b{width}:{math.floor(c.c_acctbal / width)}"
+
+    report = {r.level: r for r in rx.customers_k_generalize(spark, sf).collect()}
+    frozen_per_level = Counter(r.level for r in rows if not r.suppressed)
+    n_sup = sum(1 for r in rows if r.suppressed)
+    for lvl in range(len(rx.K_GEN_LADDER)):
+        assert report[lvl].n_satisfied == frozen_per_level.get(lvl, 0)
+    assert report[len(rx.K_GEN_LADDER) - 1].n_promoted == n_sup
