@@ -2883,6 +2883,60 @@ def retrieval_hybrid_rrf3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.rrf_fuse([lex, vsm, sem], top_n=10)
 
 
+def retrieval_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X161: MMR retrieval DIVERSIFICATION (r10 VERDICT ask #6) — the
+    greedy maximal-marginal-relevance re-rank of the X120 RRF3 top-10
+    down to 5 results, the redundancy-control step the hybrid stack
+    was missing (an RRF list happily returns five near-identical
+    chunks; a RAG context wants coverage). Relevance = the fused
+    integer RRF accumulator normalized to millionths of the panel max
+    (rel_s·10⁶ DIV max_s — exact integer); redundancy = exact
+    quantized-int dot products between panel embeddings mapped to
+    [0, 10⁶] via (dot+10⁸ clamped at 0) DIV 200 (truncation == floor
+    on the non-negative domain, so Spark DIV and DuckDB // agree);
+    panel documents WITHOUT an embedding (the corpus has more docs
+    than vectors at sf0.1) carry zero penalty by contract. Selection
+    = similarity.mmr_select (λ=0.7 in integer tenths, id tie-breaks);
+    the oracle replays the greedy rounds as unrolled CTEs. Everything
+    after the panel fetch is panel-sized — ≤ 10² similarity rows, 5
+    bounded rounds."""
+    panel = materialize(
+        retrieval_hybrid_rrf3(spark, sf_dir).select(
+            "doc_id",
+            F.round(F.col("rrf_score") * F.lit(float(text.RRF_SCALE)), 0)
+            .cast("long")
+            .alias("rel_s"),
+        )
+    )
+    mx = panel.agg(F.max("rel_s").alias("max_s"))
+    panel_rel = panel.crossJoin(F.broadcast(mx)).select(
+        "doc_id",
+        F.expr("rel_s * 1000000 DIV max_s").alias("rel01"),
+    )
+    emb_q = _embs(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), similarity.quantized().alias("qv")
+    )
+    pe = panel.join(emb_q, "doc_id").select("doc_id", "qv")
+    a = pe.select(F.col("doc_id").alias("a_id"), F.col("qv").alias("qa"))
+    b = pe.select(F.col("doc_id").alias("b_id"), F.col("qv").alias("qb"))
+    sims = (
+        a.join(F.broadcast(b), F.col("a_id") != F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            similarity.dot_i(F.col("qa"), F.col("qb")).alias("dot_q"),
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.expr(
+                "GREATEST(dot_q + 100000000, CAST(0 AS BIGINT)) DIV 200"
+            ).alias("sim01"),
+        )
+    )
+    return similarity.mmr_select(panel_rel, sims)
+
+
 def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X134: per-document top-3 tf-idf keywords — the tagging/
     indexing primitive; per-doc panels via a doc-partitioned window,
@@ -3310,6 +3364,7 @@ EXT_QUERY_FNS = {
     "text_lm_score": text_lm_score,
     "text_tfidf_search": text_tfidf_search,
     "retrieval_hybrid_rrf3": retrieval_hybrid_rrf3,
+    "retrieval_mmr_topk": retrieval_mmr_topk,
     "docs_chunk_overlap": docs_chunk_overlap,
     "dedup_decontaminate": dedup_decontaminate,
     "emb_pca_power": emb_pca_power,
@@ -6363,6 +6418,74 @@ EXT_ORACLE_SQL["retrieval_hybrid_rrf3"] = f"""
     WHERE rank <= 10
     ORDER BY rank
 """
+
+
+# X161 MMR: the greedy selection replayed as unrolled per-round CTEs
+# over the SAME rrf3 panel oracle, integer rel/sim normalization, and
+# id tie-breaks; no-embedding panel docs coalesce to zero penalty
+def _mmr_oracle_sql() -> str:
+    body = f"""WITH rrf AS MATERIALIZED ({EXT_ORACLE_SQL["retrieval_hybrid_rrf3"]}),
+    panel AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(ROUND(rrf_score * 1000000000000.0, 0) AS BIGINT)
+                   AS rel_s
+        FROM rrf
+    ),
+    mx AS (SELECT MAX(rel_s) AS max_s FROM panel),
+    rel AS MATERIALIZED (
+        SELECT doc_id,
+               rel_s * 1000000 // (SELECT max_s FROM mx) AS rel01
+        FROM panel
+    ),
+    comp AS ({_COMP}),
+    pemb AS (
+        SELECT p.doc_id, c.i, c.qx
+        FROM panel p JOIN comp c ON c.vec_id = p.doc_id
+    ),
+    sims AS MATERIALIZED (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               GREATEST(SUM(a.qx * b.qx) + 100000000, 0) // 200 AS sim01
+        FROM pemb a JOIN pemb b ON a.i = b.i AND a.doc_id != b.doc_id
+        GROUP BY 1, 2
+    ),
+    sel1 AS MATERIALIZED (
+        SELECT doc_id, rel01, CAST(0 AS BIGINT) AS maxsim01,
+               CAST({similarity.MMR_LAMBDA_TENTHS} * rel01 AS BIGINT)
+                   AS mmr_q,
+               1 AS sel_rank
+        FROM rel ORDER BY mmr_q DESC, doc_id LIMIT 1
+    )"""
+    lam = similarity.MMR_LAMBDA_TENTHS
+    mu = 10 - lam
+    prev = "sel1"
+    for t in range(2, similarity.MMR_K + 1):
+        body += f""",
+    c{t} AS (
+        SELECT r.doc_id, r.rel01, COALESCE(m.maxsim01, 0) AS maxsim01
+        FROM rel r
+        LEFT JOIN (
+            SELECT s.a_id, MAX(s.sim01) AS maxsim01
+            FROM sims s JOIN {prev} x ON s.b_id = x.doc_id
+            GROUP BY 1
+        ) m ON m.a_id = r.doc_id
+        WHERE r.doc_id NOT IN (SELECT doc_id FROM {prev})
+    ),
+    p{t} AS (
+        SELECT doc_id, rel01, CAST(maxsim01 AS BIGINT) AS maxsim01,
+               CAST({lam} * rel01 - {mu} * maxsim01 AS BIGINT) AS mmr_q,
+               {t} AS sel_rank
+        FROM c{t} ORDER BY mmr_q DESC, doc_id LIMIT 1
+    ),
+    sel{t} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL SELECT * FROM p{t})"""
+        prev = f"sel{t}"
+    body += f"""
+    SELECT CAST(sel_rank AS INT) AS sel_rank, doc_id,
+           CAST(rel01 AS BIGINT) AS rel01, maxsim01, mmr_q
+    FROM {prev} ORDER BY sel_rank"""
+    return body
+
+
+EXT_ORACLE_SQL["retrieval_mmr_topk"] = _mmr_oracle_sql()
 
 
 # X121: identical integer window arithmetic — ceil-div via

@@ -1872,3 +1872,94 @@ def pca_power_projection(
         .orderBy(id_col)
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# X161: maximal-marginal-relevance re-ranking (retrieval diversification)
+# ---------------------------------------------------------------------------
+
+MMR_K = 5  # re-ranked results returned
+#: λ = 0.7 in integer tenths: mmr_q = 7·rel01 − 3·maxsim01 (the /10 is
+#: monotone and dropped, so scores stay exact int64)
+MMR_LAMBDA_TENTHS = 7
+
+
+def mmr_select(
+    panel_rel: DataFrame,
+    sims: DataFrame,
+    k: int = MMR_K,
+    lam_tenths: int = MMR_LAMBDA_TENTHS,
+) -> DataFrame:
+    """Greedy maximal-marginal-relevance selection (Carbonell &
+    Goldstein '98) over a RETRIEVED PANEL — the standard last step
+    before a RAG context window is filled: pick the most relevant
+    document, then repeatedly the document maximizing
+    λ·relevance − (1−λ)·(max similarity to anything already picked),
+    so a near-duplicate of a selected document is displaced by a
+    diverse one (pinned in tests/test_extensions.py).
+
+    Exactness contract: ``panel_rel`` = (doc_id, rel01) integer
+    relevance, ``sims`` = (a_id, b_id, sim01) integer pairwise
+    similarity (both directions); scores are λ-weighted int64
+    (mmr_q = lam·rel01 − (10−lam)·maxsim01), ties break on doc_id,
+    and documents with NO similarity row (no embedding) carry zero
+    penalty — deterministic on any engine. Panel-sized by
+    construction: k bounded rounds, each a ≤panel² join; rounds are
+    unrolled statically and materialized so the plan stays flat.
+
+    Output: (sel_rank, doc_id, rel01, maxsim01, mmr_q)."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.ckpt import (
+        materialize,
+    )
+
+    lam, mu = lam_tenths, 10 - lam_tenths
+    first = (
+        panel_rel.select(
+            "doc_id",
+            "rel01",
+            F.lit(0).cast("long").alias("maxsim01"),
+            (F.lit(lam) * F.col("rel01")).cast("long").alias("mmr_q"),
+            F.lit(1).alias("sel_rank"),
+        )
+        .orderBy(F.desc("mmr_q"), "doc_id")
+        .limit(1)
+    )
+    sel = materialize(first)
+    for t in range(2, k + 1):
+        ms = (
+            sims.join(
+                sel.select(F.col("doc_id").alias("b_id")), "b_id"
+            )
+            .groupBy("a_id")
+            .agg(F.max("sim01").alias("maxsim01"))
+        )
+        cand = panel_rel.join(sel.select("doc_id"), "doc_id", "left_anti")
+        scored = cand.join(
+            ms, cand["doc_id"] == ms["a_id"], "left"
+        ).select(
+            "doc_id",
+            "rel01",
+            F.coalesce("maxsim01", F.lit(0)).cast("long").alias("maxsim01"),
+        )
+        pick = (
+            scored.select(
+                "doc_id",
+                "rel01",
+                "maxsim01",
+                (
+                    F.lit(lam) * F.col("rel01")
+                    - F.lit(mu) * F.col("maxsim01")
+                ).cast("long").alias("mmr_q"),
+                F.lit(t).alias("sel_rank"),
+            )
+            .orderBy(F.desc("mmr_q"), "doc_id")
+            .limit(1)
+        )
+        sel = materialize(sel.unionByName(pick))
+    return sel.select(
+        F.col("sel_rank").cast("int").alias("sel_rank"),
+        "doc_id",
+        "rel01",
+        "maxsim01",
+        "mmr_q",
+    ).orderBy("sel_rank")

@@ -2414,8 +2414,8 @@ ORACLE_SQL["streaming_value_quantiles"] = f"""
 # park stable, already-driver-verified, untouched baselines at the
 # tail, where falling past position 50 loses nothing.
 # --- BEGIN GENERATED GATE ORDER (scripts/gen_gate_head.py) ---
-# Window = 4 never-driver-checked additions + 13 changed
-# entries + the 33 stalest driver greens (last green in
+# Window = 5 never-driver-checked additions + 13 changed
+# entries + the 32 stalest driver greens (last green in
 # round(s) [6], from CORRECTNESS_r*.json). Regenerate with
 #   python scripts/gen_gate_head.py
 # (pytest runs --check; hand-edits here go stale and FAIL).
@@ -2430,6 +2430,7 @@ _GATE_HEAD = [
     "mm_video_near_dup",  # last driver green: r0
     "mm_afp_near_dup",  # last driver green: r10
     "customers_k_generalize",  # last driver green: r0
+    "retrieval_mmr_topk",  # last driver green: r0
     "streaming_late_data_policy",  # last driver green: r6
     "streaming_session_windows",  # last driver green: r7
     "streaming_sliding_1h_15m",  # last driver green: r8
@@ -2469,7 +2470,6 @@ _GATE_HEAD = [
     "sketch_value_quantiles",  # last driver green: r6
     "sql_above_average_orders",  # last driver green: r6
     "streaming_value_quantiles",  # last driver green: r6
-    "text_repetition",  # last driver green: r6
 ]
 _GATE_TAIL = [
     "ann_index_health",  # last driver green: r10
@@ -2643,6 +2643,7 @@ _GATE_TAIL = [
     "text_model_quality",  # last driver green: r7
     "text_quality_sample",  # last driver green: r7
     "top_orders_per_customer",  # last driver green: r7
+    "text_repetition",  # last driver green: r6
 ]
 # --- END GENERATED GATE ORDER ---
 

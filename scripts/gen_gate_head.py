@@ -50,6 +50,7 @@ MUST_ROTATE = [
     "mm_video_near_dup",           # X159 video near-dup (frame sequences)
     "mm_afp_near_dup",             # band packing factored to shared helper
     "customers_k_generalize",      # X160 k-anonymity APPLY report
+    "retrieval_mmr_topk",          # X161 MMR diversification
     # --- round 11: streaming ts hardened via as_timestamp (impl change) ---
     "streaming_late_data_policy",
     "streaming_session_windows",

@@ -3782,3 +3782,41 @@ def test_k_generalize_release_is_k_anonymous_and_monotone(spark):
     for lvl in range(len(rx.K_GEN_LADDER)):
         assert report[lvl].n_satisfied == frozen_per_level.get(lvl, 0)
     assert report[len(rx.K_GEN_LADDER) - 1].n_promoted == n_sup
+
+
+def test_mmr_select_displaces_near_duplicate(spark):
+    """X161 consensus-vs-diversity pin: a near-duplicate of the top
+    selection must be DISPLACED by a less-relevant-but-diverse
+    document, then re-admitted only once its redundancy penalty is
+    the best remaining option. Panel: d1 top; d2 ≈ d1 (sim 10⁶) and
+    second-most relevant; d3 diverse and slightly less relevant; d4
+    weak. Pure-relevance order would be [1,2,3,4]; MMR(λ=0.7) must
+    pick [1, 3, 2, 4]."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import (
+        similarity as sim,
+    )
+
+    panel = spark.createDataFrame(
+        [(1, 1_000_000), (2, 999_000), (3, 900_000), (4, 100_000)],
+        ["doc_id", "rel01"],
+    )
+    pairs = [
+        (1, 2, 1_000_000),
+        (1, 3, 100_000),
+        (2, 3, 100_000),
+        (1, 4, 0),
+        (2, 4, 0),
+        (3, 4, 0),
+    ]
+    sims = spark.createDataFrame(
+        [(a, b, s) for a, b, s in pairs]
+        + [(b, a, s) for a, b, s in pairs],
+        ["a_id", "b_id", "sim01"],
+    )
+    out = sim.mmr_select(panel, sims, k=4).collect()
+    assert [r.doc_id for r in out] == [1, 3, 2, 4]
+    assert [r.sel_rank for r in out] == [1, 2, 3, 4]
+    # the displaced near-dup carries its full redundancy penalty
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[2].maxsim01 == 1_000_000
+    assert by_id[3].maxsim01 == 100_000
