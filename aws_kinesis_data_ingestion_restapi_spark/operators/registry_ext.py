@@ -1359,6 +1359,94 @@ def user_anomaly_scores(daily: DataFrame) -> DataFrame:
     )
 
 
+def _funnel_stage_ids(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[str, DataFrame]]:
+    """The X148 curation-chain survivor id-frames, factored so the
+    corpus-level funnel (X148) and the per-source funnel (X162) walk
+    LITERALLY the same stages: exact keep-first → near-dup canonical
+    → quality floor → decontaminated. Inputs ride the session caches
+    (component labels, MinHash pairs)."""
+    docs = _docs(spark, sf_dir)
+    exact = dedup.dedup_keep_first(docs).select("doc_id")
+    comp = _lsh_component_labels(spark, sf_dir)
+    canon = comp.filter(F.col("node") == F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    qual = (
+        text.quality_score(docs)
+        .filter(F.col("quality_score") >= QUALITY_FLOOR)
+        .select("doc_id")
+    )
+    qf = canon.join(qual, "doc_id")
+    contam = dedup.contamination_report(
+        docs, docs.filter(F.col("doc_id") < 25), n=5, min_overlap=1
+    ).select("doc_id")
+    dec = qf.join(contam, "doc_id", "left_anti")
+    return [
+        ("2_exact_dedup", exact),
+        ("3_near_dedup", canon),
+        ("4_quality_floor", qf),
+        ("5_decontaminated", dec),
+    ]
+
+
+def corpus_funnel_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X162: the X148 curation funnel KEYED BY SOURCE (r10 VERDICT ask
+    #8) — the table that decides FEED drops: X131's contamination
+    matrix says which source leaks benchmark text, this says which
+    source's documents actually survive the chain (a feed whose
+    survival collapses at the near-dup or quality stage is a
+    candidate for removal at the intake, the cheapest place). Same
+    stage id-frames as X148 (:func:`_funnel_stage_ids` — shared, so
+    the two reports cannot disagree), one per-source aggregate per
+    stage, and a (source × stage) grid left-join so a source that
+    loses EVERYTHING at a stage still shows its zero row (the row a
+    feed review is looking for). pct is of that source's OWN raw
+    count. Per-source monotonicity pinned in pytest."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.size(text.tokens_col()).cast("long").alias("ntok"),
+    )
+    universe = docs.select("source").distinct()
+
+    def stage(name: str, ids: DataFrame | None):
+        base = tok if ids is None else tok.join(ids, "doc_id")
+        agg = base.groupBy("source").agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("ntok").alias("_t"),
+        )
+        return universe.join(agg, "source", "left").select(
+            "source",
+            F.lit(name).alias("stage"),
+            F.coalesce("_n", F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce("_t", F.lit(0)).cast("long").alias("n_tokens"),
+        )
+
+    stages = stage("1_raw", None)
+    for name, ids in _funnel_stage_ids(spark, sf_dir):
+        stages = stages.unionByName(stage(name, ids))
+    raw = tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("_raw_n")
+    )
+    return (
+        stages.join(raw, "source")
+        .select(
+            "source",
+            "stage",
+            "n_docs",
+            "n_tokens",
+            (
+                F.col("n_docs").cast("double")
+                / F.col("_raw_n").cast("double")
+            ).alias("pct_docs"),
+        )
+        .orderBy("source", "stage")
+    )
+
+
 def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X148: the corpus CURATION FUNNEL — the one-table health report
     an owner reads after every pipeline run: how many documents (and
@@ -1376,21 +1464,6 @@ def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.size(text.tokens_col()).cast("long").alias("ntok")
     )
-    exact = dedup.dedup_keep_first(docs).select("doc_id")
-    comp = _lsh_component_labels(spark, sf_dir)
-    canon = comp.filter(F.col("node") == F.col("component")).select(
-        F.col("node").alias("doc_id")
-    )
-    qual = (
-        text.quality_score(docs)
-        .filter(F.col("quality_score") >= QUALITY_FLOOR)
-        .select("doc_id")
-    )
-    qf = canon.join(qual, "doc_id")
-    contam = dedup.contamination_report(
-        docs, docs.filter(F.col("doc_id") < 25), n=5, min_overlap=1
-    ).select("doc_id")
-    dec = qf.join(contam, "doc_id", "left_anti")
 
     def stage(name: str, ids: DataFrame | None):
         base = tok if ids is None else tok.join(ids, "doc_id")
@@ -1401,13 +1474,10 @@ def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_tokens"
             ),
         )
-    stages = (
-        stage("1_raw", None)
-        .unionByName(stage("2_exact_dedup", exact))
-        .unionByName(stage("3_near_dedup", canon))
-        .unionByName(stage("4_quality_floor", qf))
-        .unionByName(stage("5_decontaminated", dec))
-    )
+    ids_by_stage = _funnel_stage_ids(spark, sf_dir)
+    stages = stage("1_raw", None)
+    for name, ids in ids_by_stage:
+        stages = stages.unionByName(stage(name, ids))
     raw = tok.agg(F.count(F.lit(1)).alias("_raw_n"))
     return (
         stages.crossJoin(F.broadcast(raw))
@@ -3398,6 +3468,7 @@ EXT_QUERY_FNS = {
     "sketch_accuracy_audit": sketch_accuracy_audit,
     "docs_hll_distinct_audit": docs_hll_distinct_audit,
     "corpus_funnel_report": corpus_funnel_report,
+    "corpus_funnel_by_source": corpus_funnel_by_source,
     "customers_k_anonymity": customers_k_anonymity,
     "customers_k_generalize": customers_k_generalize,
     "corpus_content_hashes": corpus_content_hashes,
@@ -7343,6 +7414,79 @@ EXT_ORACLE_SQL["corpus_funnel_report"] = """
            CAST(n_docs AS DOUBLE) / CAST(raw.rn AS DOUBLE) AS pct_docs
     FROM st CROSS JOIN raw
     ORDER BY stage
+""".format(
+    toks=_TOKS,
+    comp=EXT_ORACLE_SQL["dedup_components"],
+    quality=EXT_ORACLE_SQL["text_quality_score"],
+    floor=QUALITY_FLOOR,
+    contam=EXT_ORACLE_SQL["dedup_contamination"],
+)
+
+
+# X162 per-source funnel: the X148 stage CTEs verbatim, grouped by
+# source over a (source x stage) grid so zero-survivor rows appear
+EXT_ORACLE_SQL["corpus_funnel_by_source"] = """
+    WITH tok AS (
+        SELECT doc_id, source, CAST(len({toks}) AS BIGINT) AS ntok
+        FROM documents
+    ),
+    ex AS (
+        SELECT doc_id FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY text
+                                              ORDER BY doc_id) AS rn
+            FROM documents) WHERE rn = 1
+    ),
+    comp AS ({comp}),
+    can AS (SELECT doc_id FROM comp WHERE doc_id = component_id),
+    q AS ({quality}),
+    qf AS (
+        SELECT c.doc_id FROM can c JOIN q USING (doc_id)
+        WHERE q.quality_score >= {floor}
+    ),
+    cont AS ({contam}),
+    dec AS (
+        SELECT doc_id FROM qf
+        WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+    ),
+    src AS (SELECT DISTINCT source FROM documents),
+    stages(stage) AS (VALUES ('1_raw'), ('2_exact_dedup'),
+                             ('3_near_dedup'), ('4_quality_floor'),
+                             ('5_decontaminated')),
+    st AS (
+        SELECT source, '1_raw' AS stage, CAST(COUNT(*) AS BIGINT)
+                   AS n_docs,
+               CAST(COALESCE(SUM(ntok), 0) AS BIGINT) AS n_tokens
+        FROM tok GROUP BY 1
+        UNION ALL
+        SELECT source, '2_exact_dedup', CAST(COUNT(*) AS BIGINT),
+               CAST(COALESCE(SUM(ntok), 0) AS BIGINT)
+        FROM tok JOIN ex USING (doc_id) GROUP BY 1
+        UNION ALL
+        SELECT source, '3_near_dedup', CAST(COUNT(*) AS BIGINT),
+               CAST(COALESCE(SUM(ntok), 0) AS BIGINT)
+        FROM tok JOIN can USING (doc_id) GROUP BY 1
+        UNION ALL
+        SELECT source, '4_quality_floor', CAST(COUNT(*) AS BIGINT),
+               CAST(COALESCE(SUM(ntok), 0) AS BIGINT)
+        FROM tok JOIN qf USING (doc_id) GROUP BY 1
+        UNION ALL
+        SELECT source, '5_decontaminated', CAST(COUNT(*) AS BIGINT),
+               CAST(COALESCE(SUM(ntok), 0) AS BIGINT)
+        FROM tok JOIN dec USING (doc_id) GROUP BY 1
+    ),
+    raw AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS rn
+        FROM tok GROUP BY 1
+    )
+    SELECT g.source, g.stage,
+           COALESCE(st.n_docs, 0) AS n_docs,
+           COALESCE(st.n_tokens, 0) AS n_tokens,
+           CAST(COALESCE(st.n_docs, 0) AS DOUBLE) / CAST(raw.rn AS DOUBLE)
+               AS pct_docs
+    FROM (SELECT s.source, t.stage FROM src s CROSS JOIN stages t) g
+    LEFT JOIN st ON st.source = g.source AND st.stage = g.stage
+    JOIN raw ON raw.source = g.source
+    ORDER BY g.source, g.stage
 """.format(
     toks=_TOKS,
     comp=EXT_ORACLE_SQL["dedup_components"],

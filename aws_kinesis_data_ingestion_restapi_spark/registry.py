@@ -2414,8 +2414,8 @@ ORACLE_SQL["streaming_value_quantiles"] = f"""
 # park stable, already-driver-verified, untouched baselines at the
 # tail, where falling past position 50 loses nothing.
 # --- BEGIN GENERATED GATE ORDER (scripts/gen_gate_head.py) ---
-# Window = 5 never-driver-checked additions + 13 changed
-# entries + the 32 stalest driver greens (last green in
+# Window = 6 never-driver-checked additions + 14 changed
+# entries + the 30 stalest driver greens (last green in
 # round(s) [6], from CORRECTNESS_r*.json). Regenerate with
 #   python scripts/gen_gate_head.py
 # (pytest runs --check; hand-edits here go stale and FAIL).
@@ -2431,6 +2431,8 @@ _GATE_HEAD = [
     "mm_afp_near_dup",  # last driver green: r10
     "customers_k_generalize",  # last driver green: r0
     "retrieval_mmr_topk",  # last driver green: r0
+    "corpus_funnel_by_source",  # last driver green: r0
+    "corpus_funnel_report",  # last driver green: r10
     "streaming_late_data_policy",  # last driver green: r6
     "streaming_session_windows",  # last driver green: r7
     "streaming_sliding_1h_15m",  # last driver green: r8
@@ -2468,8 +2470,6 @@ _GATE_HEAD = [
     "salted_priority_sales",  # last driver green: r6
     "sketch_distinct_trigrams",  # last driver green: r6
     "sketch_value_quantiles",  # last driver green: r6
-    "sql_above_average_orders",  # last driver green: r6
-    "streaming_value_quantiles",  # last driver green: r6
 ]
 _GATE_TAIL = [
     "ann_index_health",  # last driver green: r10
@@ -2480,7 +2480,6 @@ _GATE_TAIL = [
     "ann_topk_brute",  # last driver green: r10
     "ann_topk_ivfpq_trained",  # last driver green: r10
     "ann_topk_lsh",  # last driver green: r10
-    "corpus_funnel_report",  # last driver green: r10
     "customers_k_anonymity",  # last driver green: r10
     "docs_sample_fixed_per_lang",  # last driver green: r10
     "docs_sample_weighted_k",  # last driver green: r10
@@ -2643,6 +2642,8 @@ _GATE_TAIL = [
     "text_model_quality",  # last driver green: r7
     "text_quality_sample",  # last driver green: r7
     "top_orders_per_customer",  # last driver green: r7
+    "sql_above_average_orders",  # last driver green: r6
+    "streaming_value_quantiles",  # last driver green: r6
     "text_repetition",  # last driver green: r6
 ]
 # --- END GENERATED GATE ORDER ---

@@ -51,6 +51,8 @@ MUST_ROTATE = [
     "mm_afp_near_dup",             # band packing factored to shared helper
     "customers_k_generalize",      # X160 k-anonymity APPLY report
     "retrieval_mmr_topk",          # X161 MMR diversification
+    "corpus_funnel_by_source",     # X162 per-source curation funnel
+    "corpus_funnel_report",        # stage ids factored to shared helper
     # --- round 11: streaming ts hardened via as_timestamp (impl change) ---
     "streaming_late_data_policy",
     "streaming_session_windows",

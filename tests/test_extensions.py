@@ -3820,3 +3820,35 @@ def test_mmr_select_displaces_near_duplicate(spark):
     by_id = {r.doc_id: r for r in out}
     assert by_id[2].maxsim01 == 1_000_000
     assert by_id[3].maxsim01 == 100_000
+
+
+def test_corpus_funnel_by_source_monotone_and_sums_to_corpus(spark):
+    """X162 pins: per-source stage monotonicity (each stage ≤ the
+    previous, in docs AND tokens), per-source raw pct exactly 1.0,
+    every (source, stage) cell present (zero rows included), and each
+    stage's per-source counts sum to X148's corpus-level row."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import (
+        registry_ext as rx,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = rx.corpus_funnel_by_source(spark, sf).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.source, {})[r.stage] = r
+    stages = ["1_raw", "2_exact_dedup", "3_near_dedup",
+              "4_quality_floor", "5_decontaminated"]
+    for src, cells in by_src.items():
+        assert sorted(cells) == stages, (src, sorted(cells))
+        assert cells["1_raw"].pct_docs == 1.0
+        for a, b in zip(stages, stages[1:]):
+            assert cells[b].n_docs <= cells[a].n_docs, (src, a, b)
+            assert cells[b].n_tokens <= cells[a].n_tokens, (src, a, b)
+    corpus = {r.stage: r for r in rx.corpus_funnel_report(spark, sf).collect()}
+    for st in stages:
+        assert corpus[st].n_docs == sum(
+            c[st].n_docs for c in by_src.values()
+        ), st
+        assert corpus[st].n_tokens == sum(
+            c[st].n_tokens for c in by_src.values()
+        ), st
