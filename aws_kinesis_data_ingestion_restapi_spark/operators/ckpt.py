@@ -163,3 +163,68 @@ def release(df: DataFrame) -> None:
         # plan isn't a bare LogicalRDD (wrapped/optimized differently)
         # — fall back to eventual ContextCleaner reclamation
         pass
+
+
+#: Rounds per lineage truncation for bounded-round loops (r10 VERDICT
+#: ask #7). 1 = the historical materialize-every-round behavior; 2
+#: halves the per-round eager-job scheduler overhead that dominates
+#: these loops on gate-scale data while keeping plan depth bounded at
+#: `batch` rounds (fully-lazy was measured WORSE: 52 s vs 19.5 s on
+#: the unigram EM — plan explosion). Env-tunable for attribution runs.
+ROUND_BATCH = int(os.environ.get("SPARK_GRAFT_ROUND_BATCH", "2"))
+
+
+class RoundDriver:
+    """The shared bounded-round truncation driver — factors the
+    per-round ``materialize(..., eager=True)`` + ``release(prev)``
+    loop that k-core, LPA, CC, BPE, and the EM trainers each
+    hand-rolled (r10 VERDICT ask #7) into one policy object that
+    BATCHES truncations: the round state materializes every ``batch``
+    rounds (lazy plan in between, depth ≤ batch) and superseded
+    checkpoints release as soon as their successor is safely
+    materialized.
+
+    Exactness is untouched by construction: materialization never
+    changes rows, only where the frame lives — batching only changes
+    HOW OFTEN lineage truncates (value-hash gates over every adopting
+    operator re-prove bit-equality). Loops with per-round convergence
+    checks must keep ``batch=1`` (a check needs the round's rows) or
+    check at batch boundaries only — fixed-round loops (this repo's
+    bounded-round contract) need no care at all.
+    """
+
+    def __init__(self, batch: int | None = None):
+        self.batch = batch if batch is not None else ROUND_BATCH
+        if self.batch < 1:
+            raise ValueError("batch must be >= 1")
+        self._since = 0
+        self._owned: DataFrame | None = None
+
+    def adopt(self, df: DataFrame) -> DataFrame:
+        """Register an ALREADY-materialized frame (a loop's seed) so
+        the driver releases it when the first batched round lands."""
+        self._owned = df
+        return df
+
+    def step(self, df: DataFrame) -> DataFrame:
+        """Advance one round: truncate + swap ownership at batch
+        boundaries, pass the lazy plan through otherwise."""
+        self._since += 1
+        if self._since < self.batch:
+            return df
+        return self._truncate(df)
+
+    def finish(self, df: DataFrame) -> DataFrame:
+        """Materialize a pending lazy tail (no-op when the last round
+        landed exactly on a boundary)."""
+        if self._since == 0:
+            return df
+        return self._truncate(df)
+
+    def _truncate(self, df: DataFrame) -> DataFrame:
+        out = materialize(df, eager=True)
+        if self._owned is not None:
+            release(self._owned)
+        self._owned = out
+        self._since = 0
+        return out

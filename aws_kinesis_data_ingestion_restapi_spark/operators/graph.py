@@ -443,8 +443,8 @@ def kcore_peel(
     anywhere; lineage is truncated per round via ckpt.materialize so
     plan depth stays O(1) in rounds, the CC/k-means pattern."""
     from aws_kinesis_data_ingestion_restapi_spark.operators.ckpt import (
+        RoundDriver,
         materialize,
-        release,
     )
 
     e = (
@@ -455,7 +455,10 @@ def kcore_peel(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    e = materialize(e, eager=True)
+    # fixed-round loop, no per-round convergence check -> the shared
+    # RoundDriver batches lineage truncations (r10 ask #7)
+    drv = RoundDriver()
+    e = drv.adopt(materialize(e, eager=True))
     for _ in range(rounds):
         deg = (
             e.select(F.col("u").alias("n"))
@@ -464,14 +467,12 @@ def kcore_peel(
             .agg(F.count(F.lit(1)).alias("d"))
         )
         keep = deg.filter(F.col("d") >= k).select("n")
-        prev = e
-        e = (
+        e = drv.step(
             e.join(keep.select(F.col("n").alias("u")), "u", "left_semi")
             .join(keep.select(F.col("n").alias("v")), "v", "left_semi")
             .select("u", "v")
         )
-        e = materialize(e, eager=True)
-        release(prev)
+    e = drv.finish(e)
     deg = (
         e.select(F.col("u").alias("n"))
         .unionByName(e.select(F.col("v").alias("n")))
@@ -512,13 +513,18 @@ def label_propagation(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
     aggregate with map-side combine + the argmax aggregate — two
     keyed shuffles, lineage truncated per round via ckpt.materialize.
     Output: (node, community) for every node with an edge."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.ckpt import (
+        RoundDriver,
+    )
+
     ed = edges.select("u", "v").unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     labels = ed.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
-    prev: DataFrame | None = None
+    # fixed-round synchronous loop -> batched truncation (r10 ask #7)
+    drv = RoundDriver()
     for _ in range(rounds):
         counts = (
             ed.join(labels, ed.u == labels.node)
@@ -534,10 +540,8 @@ def label_propagation(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
             )
             .select("node", (-F.col("m.neg")).alias("lbl"))
         )
-        labels = materialize(nxt, eager=True)
-        if prev is not None:
-            release(prev)
-        prev = labels
+        labels = drv.step(nxt)
+    labels = drv.finish(labels)
     return labels.select(
         "node", F.col("lbl").alias("community")
     ).orderBy("node")

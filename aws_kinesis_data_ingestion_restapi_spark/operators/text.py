@@ -1357,73 +1357,69 @@ def _unigram_viterbi(words: DataFrame, occs: DataFrame, scores: DataFrame):
     documented stand-in for log-likelihood Viterbi: true unigram-LM
     log-probs are libm territory, and ln is not IEEE-correctly-
     rounded, so cross-engine bit-equality could flake; this objective
-    cannot). The optimal path rides the DP state as an array column
-    (unique (k, −s, i) keys mean the array never participates in the
-    comparison), so piece usage needs NO backtrace pass.
+    cannot).
 
-    Returns (word, freq, k, s, path) at pos = len(word).
+    The whole per-word DP runs INSIDE one higher-order-function
+    expression (``aggregate`` over positions 1..len, state = the dp
+    array of (k, negs, i, path) structs, step = ``array_min`` over
+    the word's candidate pieces ending at the position): each word's
+    candidates are collected once and the recurrence is evaluated
+    row-local in whole-stage codegen. The previous rendition built
+    the SAME dp as 8 chained join+aggregate frames with a per-step
+    eager materialize — ~9 Spark jobs and 2.5-5 s of DRIVER plan
+    analysis per pass on a 31-word frame (measured; the data is
+    microscopic, the per-DataFrame-op analysis was the cost). This
+    form is one job per pass, identical output by the same total
+    order (value-hash gates re-prove bit-equality), and at 100 TB it
+    is also the better shape: the shuffle moves one candidates row
+    per word instead of 8 rounds of dp state.
 
-    Every dp step is lineage-truncated (ckpt.materialize): a lazy
-    dp[j] plan would reference dp[j−1..j−P], whose plans reference
-    THEIR predecessors — exponential plan growth in j (measured: the
-    lazy form cost ~13 s per pass on a 31-word frame; truncated,
-    the whole 4-pass loop runs in a few seconds)."""
-    from aws_kinesis_data_ingestion_restapi_spark.operators.ckpt import (
-        materialize,
+    Returns (word, freq, k, s, path) at pos = len(word)."""
+    cands = (
+        occs.join(F.broadcast(scores), "piece")
+        .groupBy("word")
+        .agg(
+            F.collect_list(F.struct("i", "j", "piece", "cnt")).alias(
+                "_cands"
+            )
+        )
     )
-
-    cand = materialize(
-        occs.join(F.broadcast(scores), "piece").select(
-            "word", "i", "j", "piece", "cnt"
-        ),
-        eager=True,
-    )
-    best = {
-        0: words.select(
+    # dp state struct keeps negs (the NEGATED score) so min-struct
+    # comparison == (min k, max s, min i); path never decides (the
+    # (k, negs, i) key is unique per word — one piece per (i, j))
+    dp_expr = """
+        aggregate(
+          sequence(1, length(word)),
+          array(named_struct(
+            'k', CAST(0 AS BIGINT), 'negs', CAST(0 AS BIGINT),
+            'i', CAST(-1 AS BIGINT),
+            'path', CAST(array() AS array<string>))),
+          (acc, j) -> array_append(acc, array_min(
+            transform(
+              filter(_cands, c -> c.j = j),
+              c -> named_struct(
+                'k', element_at(acc, CAST(c.i + 1 AS INT)).k
+                         + CAST(1 AS BIGINT),
+                'negs', element_at(acc, CAST(c.i + 1 AS INT)).negs
+                         - c.cnt,
+                'i', CAST(c.i AS BIGINT),
+                'path', concat(
+                    element_at(acc, CAST(c.i + 1 AS INT)).path,
+                    array(c.piece)))))),
+          acc -> element_at(acc, CAST(length(word) + 1 AS INT))
+        )
+    """
+    return (
+        cands.join(words, "word")
+        .select("word", "freq", F.expr(dp_expr).alias("_b"))
+        .select(
             "word",
-            F.lit(0).cast("long").alias("k"),
-            F.lit(0).cast("long").alias("s"),
-            F.array().cast("array<string>").alias("path"),
+            "freq",
+            F.col("_b.k").alias("k"),
+            (-F.col("_b.negs")).alias("s"),
+            F.col("_b.path").alias("path"),
         )
-    }
-    for j in range(1, UNIGRAM_MAX_WORD + 1):
-        prev = None
-        for i in range(max(0, j - UNIGRAM_MAX_PIECE), j):
-            tagged = best[i].withColumn("_pi", F.lit(i))
-            prev = tagged if prev is None else prev.unionByName(tagged)
-        cj = cand.filter(F.col("j") == F.lit(j))
-        step = cj.join(prev, ["word"]).filter(F.col("i") == F.col("_pi"))
-        new = (
-            step.groupBy("word")
-            .agg(
-                F.min(
-                    F.struct(
-                        (F.col("k") + 1).alias("k"),
-                        (-(F.col("s") + F.col("cnt"))).alias("negs"),
-                        F.col("i").alias("i"),
-                        F.concat(
-                            F.col("path"), F.array(F.col("piece"))
-                        ).alias("path"),
-                    )
-                ).alias("b")
-            )
-            .select(
-                "word",
-                F.col("b.k").alias("k"),
-                (-F.col("b.negs")).alias("s"),
-                F.col("b.path").alias("path"),
-            )
-        )
-        # every step truncated: measured 19.5 s/loop vs 52 s lazy
-        # (exponential plans) and 26.4 s with every-2nd-step
-        # truncation (1-level-lazy plans re-execute odd sub-DAGs in
-        # every consumer) — per-step eager is the measured optimum
-        best[j] = materialize(new, eager=True)
-    final = None
-    for j in range(1, UNIGRAM_MAX_WORD + 1):
-        part = best[j].filter(F.length("word") == j)
-        final = part if final is None else final.unionByName(part)
-    return final.join(words, "word").select("word", "freq", "k", "s", "path")
+    )
 
 
 def _unigram_loop(words: DataFrame, rounds: int):
@@ -1451,24 +1447,37 @@ def _unigram_loop(words: DataFrame, rounds: int):
         eager=True,
     )
     for _ in range(rounds):
-        seg = materialize(_unigram_viterbi(words, occs, counts), eager=True)
+        # the E-step stays LAZY inside the round: the M-step recount
+        # is its only consumer, so folding Viterbi into the counts
+        # materialization halves the eager jobs per round (r10 ask #7
+        # — the scheduler overhead these microscopic frames pay is
+        # per-JOB, not per-row). The prune+char-coverage step is a
+        # single FULL join so the recount plan is referenced exactly
+        # once (two references would recompute Viterbi twice).
+        seg = _unigram_viterbi(words, occs, counts)
         used = seg.select("word", "freq", F.explode("path").alias("piece"))
         recount = used.groupBy("piece").agg(
             F.sum("freq").cast("long").alias("cnt")
         )
-        kept = recount.filter(F.col("cnt") >= UNIGRAM_PRUNE_MIN)
-        char_rows = chars.join(recount, "piece", "left").select(
-            "piece", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt")
-        )
         prev = counts
         counts = materialize(
-            kept.unionByName(char_rows)
-            .groupBy("piece")
-            .agg(F.max("cnt").alias("cnt")),
+            recount.join(
+                chars.select("piece", F.lit(True).alias("_ch")),
+                "piece",
+                "full",
+            )
+            .select(
+                "piece",
+                F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"),
+                F.coalesce("_ch", F.lit(False)).alias("_ch"),
+            )
+            .filter(
+                (F.col("cnt") >= UNIGRAM_PRUNE_MIN) | F.col("_ch")
+            )
+            .select("piece", "cnt"),
             eager=True,
         )
         release(prev)
-        release(seg)
     seg = materialize(_unigram_viterbi(words, occs, counts), eager=True)
     release(occs)
     return counts, seg

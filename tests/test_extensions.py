@@ -3852,3 +3852,37 @@ def test_corpus_funnel_by_source_monotone_and_sums_to_corpus(spark):
         assert corpus[st].n_tokens == sum(
             c[st].n_tokens for c in by_src.values()
         ), st
+
+
+def test_round_driver_batching_is_value_invariant(spark):
+    """r10 ask #7 pin: the shared RoundDriver only changes WHERE/WHEN
+    lineage truncates, never rows — LPA labels and k-core survivors
+    are bit-identical across batch sizes 1, 2, and 3 (3 also leaves a
+    pending lazy tail for finish() to flush on the 4-round LPA)."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import (
+        ckpt,
+        graph,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 4),
+         (7, 8), (8, 9), (9, 7), (7, 9), (1, 3)],
+        ["u", "v"],
+    )
+    results = {}
+    orig = ckpt.ROUND_BATCH
+    try:
+        for b in (1, 2, 3):
+            ckpt.ROUND_BATCH = b
+            lpa = tuple(
+                (r.node, r.community)
+                for r in graph.label_propagation(edges).collect()
+            )
+            kc = tuple(
+                (r.node, r.degree)
+                for r in graph.kcore_peel(edges, k=2, rounds=4).collect()
+            )
+            results[b] = (lpa, kc)
+    finally:
+        ckpt.ROUND_BATCH = orig
+    assert results[1] == results[2] == results[3]
