@@ -1011,6 +1011,65 @@ def docs_hll_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_hll_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X163: the X158 sketch's DEPLOYMENT shape — per-DAY distinct-
+    user registers plus a grand-total row whose registers are the
+    (day, reg)-MAX MERGE of the daily summaries (the production
+    pattern: each day's job emits 64 rows per key, totals roll up by
+    merge, the raw data is never re-scanned). The value-hash gate is
+    itself the mergeability proof ACROSS ENGINES: Spark's total row
+    comes from merging the daily registers, the oracle's total row is
+    computed DIRECTLY over all events — they can only hash-equal
+    because merge ≡ direct (the register-max associativity theorem,
+    also unit-pinned in tests). Every row audited against the exact
+    distinct count, the X147/X158 discipline."""
+    from aws_kinesis_data_ingestion_restapi_spark.functions.exact import (
+        as_timestamp,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    keyed = events.select(
+        as_timestamp(events, "ts").cast("date").cast("string").alias(
+            "scope"
+        ),
+        F.col("user_id").cast("string").alias("uid"),
+    )
+    daily_regs = sketch.hll_registers(keyed, ["scope"], "uid")
+    total_regs = sketch.hll_merge(
+        daily_regs.select(F.lit("total").alias("scope"), "reg", "rho")
+    )
+    est = sketch.hll_estimate(
+        daily_regs.unionByName(total_regs), ["scope"]
+    )
+    exact = (
+        keyed.groupBy("scope")
+        .agg(F.countDistinct("uid").alias("exact_distinct"))
+        .unionByName(
+            keyed.agg(
+                F.lit("total").alias("scope"),
+                F.countDistinct("uid").alias("exact_distinct"),
+            )
+        )
+    )
+    return (
+        est.join(exact, "scope")
+        .select(
+            "scope",
+            "n_zero_regs",
+            "est_distinct",
+            "exact_distinct",
+            (
+                (
+                    F.col("est_distinct")
+                    - F.col("exact_distinct").cast("double")
+                )
+                / F.col("exact_distinct").cast("double")
+            ).alias("rel_err"),
+        )
+        .orderBy("scope")
+    )
+
+
 #: k-anonymity threshold for the privacy audit
 K_ANON = 5
 
@@ -2722,6 +2781,36 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _afp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio energy-fingerprint pair frame over assets +
+    re-renders, session-cached (the :func:`_phash_pairs` pattern) —
+    shared by mm_afp_near_dup and mm_canonical_media."""
+    return _session_cached(
+        spark,
+        ("afp_pairs", sf_dir),
+        lambda: materialize(
+            multimodal.afp_near_dup(
+                multimodal.rerendered_audio_assets(_docs(spark, sf_dir))
+            )
+        ),
+    )
+
+
+def _video_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video frame-sequence pair frame over assets + re-renders,
+    session-cached — shared by mm_video_near_dup and
+    mm_canonical_media."""
+    return _session_cached(
+        spark,
+        ("video_pairs", sf_dir),
+        lambda: materialize(
+            multimodal.video_near_dup(
+                multimodal.rerendered_video_assets(_docs(spark, sf_dir))
+            )
+        ),
+    )
+
+
 def _phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pHash near-dup pair frame over assets + re-renders,
     computed (and localCheckpoint-materialized) at most once per
@@ -2771,6 +2860,56 @@ def mm_canonical_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_canonical_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X165: the CROSS-MODALITY canonical keep-list — X114's image
+    dedup APPLY extended to the whole asset store now that all three
+    modalities emit pairs (image X104, audio X142, video X159): the
+    union of the three pair graphs closes into connected components
+    (min-asset-id label, every fingerprintable asset in the node
+    universe, singletons included), one canonical survivor per
+    component with its modality and collapse count — the single
+    keep-list a multimodal ingest actually applies. Modalities can
+    never merge (asset ids keep kind ≡ doc_id mod 3 under the +30M
+    re-render offset), so the union costs nothing semantically and
+    buys one closure instead of three. All three pair frames ride
+    their session caches; kind is derived from the id arithmetic, no
+    join back to the store."""
+    docs = _docs(spark, sf_dir)
+    pairs = (
+        _phash_pairs(spark, sf_dir).select("asset_a", "asset_b")
+        .unionByName(_afp_pairs(spark, sf_dir).select("asset_a", "asset_b"))
+        .unionByName(
+            _video_pairs(spark, sf_dir).select("asset_a", "asset_b")
+        )
+    )
+    nodes = (
+        multimodal.rerendered_assets(docs)
+        .filter((F.col("kind") == "image") & (F.length("content") > 4))
+        .select("asset_id")
+        .unionByName(
+            multimodal.rerendered_audio_assets(docs)
+            .filter((F.col("kind") == "audio") & (F.length("content") > 4))
+            .select("asset_id")
+        )
+        .unionByName(
+            multimodal.rerendered_video_assets(docs)
+            .filter((F.col("kind") == "video") & (F.length("content") > 4))
+            .select("asset_id")
+        )
+    )
+    comp = graph.connected_components(pairs, nodes=nodes)
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in multimodal.KINDS]),
+        (F.col("asset_id") % 3 + 1).cast("int"),
+    )
+    return (
+        comp.groupBy(F.col("component").alias("asset_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+        .select("asset_id", kind.alias("kind"), "cluster_size")
+        .orderBy("asset_id")
+    )
+
+
 def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X: image near-dup via perceptual hash (r7 VERDICT ask #4 —
     bridges the multimodal decode family and the hamming-band dedup
@@ -2798,8 +2937,7 @@ def mm_afp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     PARTITION the payload, the one-char re-render flips ≤ 2 bits for
     EVERY text length — no ≥72-char guard, unlike the image grid's
     point samples. See multimodal.afp_near_dup."""
-    assets = multimodal.rerendered_audio_assets(_docs(spark, sf_dir))
-    return multimodal.afp_near_dup(assets).orderBy("asset_a", "asset_b")
+    return _afp_pairs(spark, sf_dir).orderBy("asset_a", "asset_b")
 
 
 def mm_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2817,8 +2955,7 @@ def mm_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures degenerate on short frame sequences (measured 16,653
     hamming-0 false pairs at sf0.001) — sequences need sequence
     blocking. See multimodal.video_near_dup."""
-    assets = multimodal.rerendered_video_assets(_docs(spark, sf_dir))
-    return multimodal.video_near_dup(assets).orderBy("asset_a", "asset_b")
+    return _video_pairs(spark, sf_dir).orderBy("asset_a", "asset_b")
 
 
 #: lang domain for the expectations entry — shared with the oracle SQL
@@ -3467,6 +3604,7 @@ EXT_QUERY_FNS = {
     "sketch_distinct_trigrams": sketch_distinct_trigrams,
     "sketch_accuracy_audit": sketch_accuracy_audit,
     "docs_hll_distinct_audit": docs_hll_distinct_audit,
+    "events_hll_users_daily": events_hll_users_daily,
     "corpus_funnel_report": corpus_funnel_report,
     "corpus_funnel_by_source": corpus_funnel_by_source,
     "customers_k_anonymity": customers_k_anonymity,
@@ -3531,6 +3669,7 @@ EXT_QUERY_FNS = {
     "mm_phash_near_dup": mm_phash_near_dup,
     "mm_afp_near_dup": mm_afp_near_dup,
     "mm_video_near_dup": mm_video_near_dup,
+    "mm_canonical_media": mm_canonical_media,
     "mm_canonical_assets": mm_canonical_assets,
     "mm_extract_features": mm_extract_features,
     "mm_resize_images": mm_resize_images,
@@ -7260,6 +7399,62 @@ EXT_ORACLE_SQL["mm_afp_near_dup"] = """
 """
 
 
+# X165 cross-modality keep-list: the three pair oracles unioned under
+# the same recursive closure; kind from the id arithmetic
+EXT_ORACLE_SQL["mm_canonical_media"] = f"""
+    WITH RECURSIVE
+    ph AS ({EXT_ORACLE_SQL["mm_phash_near_dup"]}),
+    af AS ({EXT_ORACLE_SQL["mm_afp_near_dup"]}),
+    vd AS ({EXT_ORACLE_SQL["mm_video_near_dup"]}),
+    allp AS (
+        SELECT asset_a, asset_b FROM ph
+        UNION ALL SELECT asset_a, asset_b FROM af
+        UNION ALL SELECT asset_a, asset_b FROM vd
+    ),
+    nodes AS (
+        SELECT doc_id AS asset_id FROM documents
+        WHERE doc_id % 3 = 0 AND len(text) > 0
+        UNION ALL
+        SELECT doc_id + 30000000 FROM documents
+        WHERE doc_id % 30 = 0 AND len(text) >= 72
+        UNION ALL
+        SELECT doc_id FROM documents
+        WHERE doc_id % 3 = 1 AND len(text) > 0
+        UNION ALL
+        SELECT doc_id + 30000000 FROM documents
+        WHERE doc_id % 30 = 1 AND len(text) > 0
+        UNION ALL
+        SELECT doc_id FROM documents
+        WHERE doc_id % 3 = 2 AND len(text) > 0
+        UNION ALL
+        SELECT doc_id + 30000000 FROM documents
+        WHERE doc_id % 30 = 2 AND len(text) >= 96
+    ),
+    edges AS (
+        SELECT asset_a AS u, asset_b AS v FROM allp
+        UNION
+        SELECT asset_b AS u, asset_a AS v FROM allp
+    ),
+    reach(u, r) AS (
+        SELECT asset_id, asset_id FROM nodes
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+    ),
+    comp AS (
+        SELECT u AS asset_id, MIN(r) AS component_id FROM reach GROUP BY u
+    )
+    SELECT component_id AS asset_id,
+           CASE CAST(component_id % 3 AS INT)
+                WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size
+    FROM comp
+    GROUP BY 1, 2
+    ORDER BY 1
+"""
+
+
+
 # X143 per-group fixed-k: identical md5 rank inside each language
 EXT_ORACLE_SQL["docs_sample_fixed_per_lang"] = """
     SELECT doc_id, lang, source, CAST(grp_rank AS INT) AS grp_rank
@@ -7727,6 +7922,55 @@ EXT_ORACLE_SQL["streaming_user_anomalies"] = """
     WHERE prior_days >= 7 AND n_events * prior_days > 2 * prior_total
     ORDER BY user_id, day
 """
+
+# X163 HLL daily+merge: per-day registers AND the total computed
+# DIRECTLY over all events — hash-equal to Spark's merged total only
+# because register merge ≡ direct (the cross-engine mergeability proof)
+EXT_ORACLE_SQL["events_hll_users_daily"] = """
+    WITH keyed AS (
+        SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR)
+                   AS scope,
+               CAST(user_id AS VARCHAR) AS uid
+        FROM events
+    ),
+    scoped AS (
+        SELECT scope, uid FROM keyed
+        UNION ALL
+        SELECT 'total', uid FROM keyed
+    ),
+    h AS (SELECT DISTINCT scope, md5(uid) AS hx FROM scoped),
+    r AS (
+        SELECT scope,
+               CAST(concat('0x', substr(hx, 1, 2)) AS BIGINT) % 64 AS reg,
+               CAST(concat('0x', substr(hx, 3, 15)) AS BIGINT) AS w
+        FROM h
+    ),
+    m AS (
+        SELECT scope, reg,
+               MAX(CASE WHEN w = 0 THEN 61 ELSE 61 - len(bin(w)) END) AS rho
+        FROM r GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT scope,
+               SUM(CAST(1 AS HUGEINT) << (61 - rho))
+                   + (64 - COUNT(*)) * (CAST(1 AS HUGEINT) << 61) AS s_all,
+               CAST(64 - COUNT(*) AS BIGINT) AS n_zero_regs
+        FROM m GROUP BY 1
+    ),
+    ex AS (
+        SELECT scope, CAST(COUNT(DISTINCT uid) AS BIGINT) AS exact_distinct
+        FROM scoped GROUP BY 1
+    )
+    SELECT s.scope, s.n_zero_regs,
+           {num!r} / CAST(s_all AS DOUBLE) AS est_distinct,
+           ex.exact_distinct,
+           ({num!r} / CAST(s_all AS DOUBLE)
+                - CAST(exact_distinct AS DOUBLE))
+               / CAST(exact_distinct AS DOUBLE) AS rel_err
+    FROM s JOIN ex USING (scope)
+    ORDER BY scope
+""".format(num=sketch.HLL_EST_NUM)
+
 
 EXT_ORACLE_SQL["text_unigram_vocab"] = _unigram_oracle_sql(final="vocab")
 EXT_ORACLE_SQL["text_unigram_segment"] = _unigram_oracle_sql(final="segment")

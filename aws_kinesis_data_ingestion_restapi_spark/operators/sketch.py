@@ -277,17 +277,25 @@ def hll_registers(
     whose output is ≤ 64 rows per key regardless of input size; the
     shuffle moves registers, never values."""
     v = F.col(value) if isinstance(value, str) else value
+    reg, rho = hll_reg_cols(v)
+    return (
+        df.select(*group_cols, reg.alias("reg"), rho.alias("rho"))
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_reg_cols(v: Column) -> tuple[Column, Column]:
+    """The per-item (reg, rho) column pair — factored so the batch
+    register builder and the STREAMING register aggregate
+    (streaming_hll_users) share one arithmetic."""
     h = F.md5(v)
     reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % HLL_M
     w = F.conv(F.substring(h, 3, 15), 16, 10).cast("long")
     rho = F.when(w == F.lit(0), F.lit(HLL_WBITS + 1)).otherwise(
         F.lit(HLL_WBITS + 1) - F.length(F.bin(w))
     )
-    return (
-        df.select(*group_cols, reg.alias("reg"), rho.alias("rho"))
-        .groupBy(*group_cols, "reg")
-        .agg(F.max("rho").alias("rho"))
-    )
+    return reg, rho
 
 
 def hll_merge(*register_frames: DataFrame) -> DataFrame:

@@ -530,6 +530,7 @@ from aws_kinesis_data_ingestion_restapi_spark.streaming.registry_stream import (
     streaming_dedup_delta,
     streaming_dedup_replay,
     streaming_er_delta,
+    streaming_hll_users,
     streaming_drift_tvd,
     streaming_enriched_nation_totals,
     streaming_late_data_policy,
@@ -548,6 +549,7 @@ from aws_kinesis_data_ingestion_restapi_spark.streaming.registry_stream import (
 QUERY_FNS["streaming_dedup_replay"] = streaming_dedup_replay
 QUERY_FNS["streaming_dedup_delta"] = streaming_dedup_delta
 QUERY_FNS["streaming_er_delta"] = streaming_er_delta
+QUERY_FNS["streaming_hll_users"] = streaming_hll_users
 QUERY_FNS["streaming_running_totals_final"] = streaming_running_totals_final
 QUERY_FNS["streaming_enriched_nation_totals"] = streaming_enriched_nation_totals
 QUERY_FNS["streaming_payment_match"] = streaming_payment_match
@@ -2085,6 +2087,60 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY window_start, window_end, nw, t
         ORDER BY 1
     """,
+    # X164 streaming HLL: the X163 register arithmetic restricted to
+    # watermark-CLOSED days; register MAX is idempotent, so the twice-
+    # delivered fixture cannot perturb a single register
+    "streaming_hll_users": """
+        WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+        keyed AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(user_id AS VARCHAR) AS uid
+            FROM events
+        ),
+        closed AS (
+            SELECT CAST(day AS VARCHAR) AS scope, uid FROM keyed
+            WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY
+                      <= (SELECT w FROM wm)
+        ),
+        h AS (SELECT DISTINCT scope, md5(uid) AS hx FROM closed),
+        r AS (
+            SELECT scope,
+                   CAST(concat('0x', substr(hx, 1, 2)) AS BIGINT) % 64
+                       AS reg,
+                   CAST(concat('0x', substr(hx, 3, 15)) AS BIGINT) AS w
+            FROM h
+        ),
+        m AS (
+            SELECT scope, reg,
+                   MAX(CASE WHEN w = 0 THEN 61
+                            ELSE 61 - len(bin(w)) END) AS rho
+            FROM r GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT scope,
+                   SUM(CAST(1 AS HUGEINT) << (61 - rho))
+                       + (64 - COUNT(*)) * (CAST(1 AS HUGEINT) << 61)
+                       AS s_all,
+                   CAST(64 - COUNT(*) AS BIGINT) AS n_zero_regs
+            FROM m GROUP BY 1
+        ),
+        ex AS (
+            SELECT scope,
+                   CAST(COUNT(DISTINCT uid) AS BIGINT) AS exact_distinct
+            FROM closed GROUP BY 1
+        )
+        SELECT s.scope, s.n_zero_regs,
+               {num!r} / CAST(s_all AS DOUBLE) AS est_distinct,
+               ex.exact_distinct,
+               ({num!r} / CAST(s_all AS DOUBLE)
+                    - CAST(exact_distinct AS DOUBLE))
+                   / CAST(exact_distinct AS DOUBLE) AS rel_err
+        FROM s JOIN ex USING (scope)
+        ORDER BY scope
+    """.format(num=__import__(
+        "aws_kinesis_data_ingestion_restapi_spark.operators.sketch",
+        fromlist=["HLL_EST_NUM"],
+    ).HLL_EST_NUM),
     # X157 streaming ER: static replay of the attr-agreement blocked
     # linkage (the quadratic reference join IS the oracle — the
     # deletion-neighborhood blocking guarantees zero false negatives at
@@ -2414,8 +2470,8 @@ ORACLE_SQL["streaming_value_quantiles"] = f"""
 # park stable, already-driver-verified, untouched baselines at the
 # tail, where falling past position 50 loses nothing.
 # --- BEGIN GENERATED GATE ORDER (scripts/gen_gate_head.py) ---
-# Window = 6 never-driver-checked additions + 14 changed
-# entries + the 30 stalest driver greens (last green in
+# Window = 9 never-driver-checked additions + 14 changed
+# entries + the 27 stalest driver greens (last green in
 # round(s) [6], from CORRECTNESS_r*.json). Regenerate with
 #   python scripts/gen_gate_head.py
 # (pytest runs --check; hand-edits here go stale and FAIL).
@@ -2433,6 +2489,9 @@ _GATE_HEAD = [
     "retrieval_mmr_topk",  # last driver green: r0
     "corpus_funnel_by_source",  # last driver green: r0
     "corpus_funnel_report",  # last driver green: r10
+    "events_hll_users_daily",  # last driver green: r0
+    "streaming_hll_users",  # last driver green: r0
+    "mm_canonical_media",  # last driver green: r0
     "streaming_late_data_policy",  # last driver green: r6
     "streaming_session_windows",  # last driver green: r7
     "streaming_sliding_1h_15m",  # last driver green: r8
@@ -2467,9 +2526,6 @@ _GATE_HEAD = [
     "sales_pivot_by_priority",  # last driver green: r6
     "salted_events_join",  # last driver green: r6
     "salted_lineitem_agg",  # last driver green: r6
-    "salted_priority_sales",  # last driver green: r6
-    "sketch_distinct_trigrams",  # last driver green: r6
-    "sketch_value_quantiles",  # last driver green: r6
 ]
 _GATE_TAIL = [
     "ann_index_health",  # last driver green: r10
@@ -2642,6 +2698,9 @@ _GATE_TAIL = [
     "text_model_quality",  # last driver green: r7
     "text_quality_sample",  # last driver green: r7
     "top_orders_per_customer",  # last driver green: r7
+    "salted_priority_sales",  # last driver green: r6
+    "sketch_distinct_trigrams",  # last driver green: r6
+    "sketch_value_quantiles",  # last driver green: r6
     "sql_above_average_orders",  # last driver green: r6
     "streaming_value_quantiles",  # last driver green: r6
     "text_repetition",  # last driver green: r6

@@ -1083,3 +1083,81 @@ def streaming_er_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dist",
         "n_candidates",
     )
+
+
+def streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X164: STREAMING mergeable distinct sketch — the X158 registers
+    maintained IN the stream (the monitoring family's first
+    approximate streaming aggregate, and the production shape for
+    "distinct users per day" at a volume where exact streaming
+    distinct would hold unbounded per-window state): each event maps
+    to its (register, rho) pair map-side (sketch.hll_reg_cols —
+    LITERALLY the batch arithmetic), a watermarked per-(day, reg) MAX
+    keeps AT MOST 64 state rows per open day regardless of traffic,
+    and append mode emits closed days only (the X40 rule).
+
+    Replay-idempotence is ALGEBRAIC here, not just tested: register
+    MAX is idempotent, so the double-delivery fixture cannot change a
+    single register — at-least-once delivery + idempotent merge =
+    exact sketch state, the exactly-once argument production systems
+    actually rely on. Post-drain, the estimate and the exact audit
+    (from the static batch over the same closed days) mirror X163's
+    columns, so the streaming and batch sketches are comparable row
+    for row."""
+    from aws_kinesis_data_ingestion_restapi_spark.functions.exact import (
+        as_timestamp as _as_ts,
+    )
+    from aws_kinesis_data_ingestion_restapi_spark.operators import (
+        sketch as sk,
+    )
+
+    events = analytics._t(spark, sf_dir, "events")
+    base = events.select(
+        F.date_format(
+            _as_ts(events, "ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        ).alias("ts"),
+        "user_id",
+    )
+    raw, d = _replayed_stream(
+        spark, base, "ts string, user_id long", 2, "stream_hll_"
+    )
+    stream = raw.withColumn("ts", F.to_timestamp("ts")).withWatermark(
+        "ts", "1 hour"
+    )
+    reg, rho = sk.hll_reg_cols(F.col("user_id").cast("string"))
+    regs = (
+        stream.select("ts", reg.alias("reg"), rho.alias("rho"))
+        .groupBy(F.window("ts", "1 day").alias("wnd"), "reg")
+        .agg(F.max("rho").alias("rho"))
+        .select(
+            F.to_date(F.col("wnd.start")).cast("string").alias("scope"),
+            "reg",
+            "rho",
+        )
+    )
+    drained = _drain(regs, "append", "shll", cleanup_dir=d)
+    est = sk.hll_estimate(drained, ["scope"])
+    keyed = events.select(
+        _as_ts(events, "ts").cast("date").cast("string").alias("scope"),
+        F.col("user_id").cast("string").alias("uid"),
+    )
+    exact = keyed.groupBy("scope").agg(
+        F.countDistinct("uid").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "scope")
+        .select(
+            "scope",
+            "n_zero_regs",
+            "est_distinct",
+            "exact_distinct",
+            (
+                (
+                    F.col("est_distinct")
+                    - F.col("exact_distinct").cast("double")
+                )
+                / F.col("exact_distinct").cast("double")
+            ).alias("rel_err"),
+        )
+        .orderBy("scope")
+    )

@@ -53,6 +53,9 @@ MUST_ROTATE = [
     "retrieval_mmr_topk",          # X161 MMR diversification
     "corpus_funnel_by_source",     # X162 per-source curation funnel
     "corpus_funnel_report",        # stage ids factored to shared helper
+    "events_hll_users_daily",      # X163 HLL deployment shape (daily+merge)
+    "streaming_hll_users",         # X164 streaming HLL registers
+    "mm_canonical_media",          # X165 cross-modality keep-list
     # --- round 11: streaming ts hardened via as_timestamp (impl change) ---
     "streaming_late_data_policy",
     "streaming_session_windows",

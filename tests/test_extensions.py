@@ -3886,3 +3886,26 @@ def test_round_driver_batching_is_value_invariant(spark):
     finally:
         ckpt.ROUND_BATCH = orig
     assert results[1] == results[2] == results[3]
+
+
+def test_mm_canonical_media_collapses_every_modality(spark):
+    """X165 pins: the cross-modality keep-list has ≥1 multi-asset
+    cluster in EACH modality (the engineered re-render pairs), every
+    canonical id is a base asset (min-label < the +30M re-render
+    offset), kinds follow the id arithmetic, and the keep-list is
+    duplicate-free."""
+    from collections import Counter
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators import (
+        registry_ext as rx,
+    )
+
+    out = rx.mm_canonical_media(spark, "/root/testdata/sf0.001").collect()
+    ids = [r.asset_id for r in out]
+    assert len(ids) == len(set(ids))
+    multi = Counter(r.kind for r in out if r.cluster_size >= 2)
+    for kind in ("image", "audio", "video"):
+        assert multi[kind] > 0, f"no collapsed {kind} cluster"
+    assert all(r.asset_id < 30_000_000 for r in out)
+    kinds = {0: "image", 1: "audio", 2: "video"}
+    assert all(r.kind == kinds[r.asset_id % 3] for r in out)
