@@ -3144,6 +3144,82 @@ def retrieval_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.mmr_select(panel_rel, sims)
 
 
+def _known_item_queries(docs: DataFrame) -> DataFrame:
+    """The engineered known-item eval panel (X166/X167): every doc
+    with doc_id < 20 becomes a query whose terms are its OWN top-3
+    tf-idf KEYWORDS (X134's extractor — how real eval sets are built:
+    distinctive terms, not positional ones; a first-tokens panel was
+    measured at recall@10 = 0.25 because the corpus's leading tokens
+    are generic). Data-derived, no literals in the contract; ground
+    truth is free: the relevant document IS the query's source."""
+    return (
+        text.keywords_tfidf(docs, k=3)
+        .filter(F.col("doc_id") < 20)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.col("keyword").alias("term"),
+        )
+        .distinct()
+    )
+
+
+def retrieval_known_item_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X166: known-item retrieval evaluation — the audit-the-retriever
+    discipline the ANN family has had since X88, finally applied to
+    the LEXICAL stack (BM25 shipped in X43 with no measured quality
+    number): a panel of data-derived queries (each document's own
+    first 3 tokens, ground truth = the document itself) is scored by
+    ONE batch BM25 corpus pass (text.bm25_rank_batch — shuffle ∝ term
+    hits, never queries × corpus), and each query reports where its
+    known item landed. Reciprocal rank is kept in exact integer ppm
+    (10⁶ DIV rank) so the X167 summary aggregates without
+    order-dependent double sums.
+
+    Output: (query_id, self_rank ≤ 10 or NULL, rr_ppm, hit_at_10)."""
+    docs = _docs(spark, sf_dir)
+    queries = _known_item_queries(docs)
+    ranked = text.bm25_rank_batch(docs, queries, top_n=10)
+    qids = queries.select("query_id").distinct()
+    self_hit = ranked.filter(F.col("doc_id") == F.col("query_id")).select(
+        "query_id", F.col("rank").alias("self_rank")
+    )
+    return (
+        qids.join(self_hit, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("self_rank").cast("int").alias("self_rank"),
+            F.coalesce(
+                F.expr("1000000 DIV self_rank"), F.lit(0)
+            ).cast("long").alias("rr_ppm"),
+            F.col("self_rank").isNotNull().alias("hit_at_10"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X167: the one-row retrieval quality summary over X166's panel —
+    MRR@10 and recall@10, each ONE double division over exact integer
+    sums (rr in ppm, hits as a count), so the aggregate is
+    order-independent and value-hashes cross-engine. The number a
+    team compares across tokenizer/analyzer changes before touching
+    the retrieval stack."""
+    per = retrieval_known_item_eval(spark, sf_dir)
+    return per.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(F.col("hit_at_10").cast("long")).cast("long").alias("n_hits"),
+        (
+            F.sum("rr_ppm").cast("double")
+            / F.lit(1000000.0)
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mrr_at_10"),
+        (
+            F.sum(F.col("hit_at_10").cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("recall_at_10"),
+    )
+
+
 def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X134: per-document top-3 tf-idf keywords — the tagging/
     indexing primitive; per-doc panels via a doc-partitioned window,
@@ -3572,6 +3648,8 @@ EXT_QUERY_FNS = {
     "text_tfidf_search": text_tfidf_search,
     "retrieval_hybrid_rrf3": retrieval_hybrid_rrf3,
     "retrieval_mmr_topk": retrieval_mmr_topk,
+    "retrieval_known_item_eval": retrieval_known_item_eval,
+    "retrieval_eval_mrr": retrieval_eval_mrr,
     "docs_chunk_overlap": docs_chunk_overlap,
     "dedup_decontaminate": dedup_decontaminate,
     "emb_pca_power": emb_pca_power,
@@ -8041,3 +8119,77 @@ EXT_ORACLE_SQL["docs_split_leakage_audit"] = """
     comp=EXT_ORACLE_SQL["dedup_components"],
 )
 
+
+# X166 known-item eval: the batch BM25 replayed with the identical
+# log-free formula, per-query panels from each doc's own first 3
+# distinct tokens, reciprocal rank in exact integer ppm
+EXT_ORACLE_SQL["retrieval_known_item_eval"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    kw AS ({EXT_ORACLE_SQL["text_keywords"]}),
+    q AS (
+        SELECT DISTINCT doc_id AS query_id, keyword AS term
+        FROM kw WHERE doc_id < 20
+    ),
+    lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+    stats AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM lens
+    ),
+    hits AS (
+        SELECT doc_id, tok, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+        WHERE tok IN (SELECT term FROM q)
+        GROUP BY 1, 2
+    ),
+    dfs AS (SELECT tok, COUNT(*) AS df FROM hits GROUP BY 1),
+    contrib AS (
+        SELECT h.doc_id, h.tok,
+               ((n_docs - df + 0.5) / (df + 0.5))
+                 * (tf * 2.2)
+                 / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))) AS c
+        FROM hits h
+        JOIN lens USING (doc_id)
+        JOIN dfs USING (tok)
+        CROSS JOIN stats
+    ),
+    per_q AS (
+        SELECT q.query_id, c.doc_id,
+               CAST(SUM(CAST(c.c AS DECIMAL(18,6))) AS DOUBLE) AS score
+        FROM contrib c JOIN q ON q.term = c.tok
+        GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT query_id, doc_id, rank FROM (
+            SELECT query_id, doc_id, score,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id) AS rank
+            FROM per_q
+        ) WHERE rank <= 10
+    ),
+    qid AS (SELECT DISTINCT query_id FROM q),
+    selfr AS (
+        SELECT query_id, rank AS self_rank FROM top
+        WHERE doc_id = query_id
+    )
+    SELECT qid.query_id,
+           CAST(selfr.self_rank AS INT) AS self_rank,
+           CAST(COALESCE(1000000 // selfr.self_rank, 0) AS BIGINT)
+               AS rr_ppm,
+           selfr.self_rank IS NOT NULL AS hit_at_10
+    FROM qid LEFT JOIN selfr USING (query_id)
+    ORDER BY query_id
+"""
+
+# X167 summary: one double division per metric over exact int sums
+EXT_ORACLE_SQL["retrieval_eval_mrr"] = f"""
+    WITH per AS ({{per}})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN hit_at_10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hits,
+           CAST(SUM(rr_ppm) AS DOUBLE) / 1000000.0
+               / CAST(COUNT(*) AS DOUBLE) AS mrr_at_10,
+           CAST(SUM(CASE WHEN hit_at_10 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS recall_at_10
+    FROM per
+""".format(per=EXT_ORACLE_SQL["retrieval_known_item_eval"])

@@ -1593,3 +1593,72 @@ def phrase_search(docs: DataFrame, phrase: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .orderBy("doc_id")
     )
+
+
+def bm25_rank_batch(
+    docs: DataFrame,
+    queries: DataFrame,
+    top_n: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """X166: BATCH BM25 — score MANY queries in ONE corpus pass (the
+    production retrieval-eval shape: an eval set of thousands of
+    queries cannot afford a corpus scan each; here the corpus
+    tokenizes once, the (doc, term) tf aggregate is pruned by the
+    UNION of all query term sets before its exchange, and each
+    per-(doc, term) contribution fans out to the queries containing
+    that term by a broadcast join — shuffle volume ∝ term hits, never
+    queries × corpus).
+
+    ``queries``: (query_id, term) — one row per DISTINCT query term.
+    Scoring is :func:`bm25_rank`'s log-free BM25 verbatim (same
+    pinned parenthesization, same decimal-exact per-doc sum); df is
+    term-global, so sharing the stats across queries changes nothing.
+    Output: (query_id, doc_id, score, rank ≤ top_n), rank per query
+    via a query-partitioned window (map-side group top-k, no global
+    sort)."""
+    from pyspark.sql.window import Window
+
+    from aws_kinesis_data_ingestion_restapi_spark.functions.exact import dsum
+
+    toked = docs.select("doc_id", tokens_col().alias("_toks"))
+    stats = toked.select(F.size("_toks").alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    terms = queries.select("term").distinct()
+    hits = (
+        toked.select(
+            "doc_id",
+            F.size("_toks").alias("_dl"),
+            F.explode("_toks").alias("tok"),
+        )
+        .join(F.broadcast(terms), F.col("tok") == F.col("term"))
+        .drop("term")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("_dl").alias("dl"))
+    )
+    dfs = hits.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = hits.join(F.broadcast(dfs), "tok").crossJoin(F.broadcast(stats))
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.col("avgdl"))
+    )
+    contrib = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+    per_q = (
+        scored.withColumn("_c", contrib)
+        .join(F.broadcast(queries), F.col("tok") == queries["term"])
+        .groupBy("query_id", "doc_id")
+        .agg(dsum(F.col("_c"), scale=6, alias="score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        per_q.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select("query_id", "doc_id", "score", F.col("rank").cast("int").alias("rank"))
+    )

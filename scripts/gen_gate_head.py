@@ -56,6 +56,8 @@ MUST_ROTATE = [
     "events_hll_users_daily",      # X163 HLL deployment shape (daily+merge)
     "streaming_hll_users",         # X164 streaming HLL registers
     "mm_canonical_media",          # X165 cross-modality keep-list
+    "retrieval_known_item_eval",   # X166 batch BM25 known-item eval
+    "retrieval_eval_mrr",          # X167 MRR/recall summary
     # --- round 11: streaming ts hardened via as_timestamp (impl change) ---
     "streaming_late_data_policy",
     "streaming_session_windows",

@@ -3909,3 +3909,31 @@ def test_mm_canonical_media_collapses_every_modality(spark):
     assert all(r.asset_id < 30_000_000 for r in out)
     kinds = {0: "image", 1: "audio", 2: "video"}
     assert all(r.kind == kinds[r.asset_id % 3] for r in out)
+
+
+def test_retrieval_known_item_eval_consistent_and_effective(spark):
+    """X166/X167 pins: per-query rows are self-consistent (rr_ppm =
+    10⁶ DIV self_rank, hit ⟺ rank present), the summary equals an
+    independent recount, and the keyword-derived panel actually finds
+    its known items (recall@10 ≥ 0.8 on the fixture — the first-
+    tokens panel this replaced measured 0.25)."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import (
+        registry_ext as rx,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    per = rx.retrieval_known_item_eval(spark, sf).collect()
+    assert per, "panel must be non-empty"
+    for r in per:
+        if r.hit_at_10:
+            assert 1 <= r.self_rank <= 10
+            assert r.rr_ppm == 1_000_000 // r.self_rank
+        else:
+            assert r.self_rank is None and r.rr_ppm == 0
+    (summ,) = rx.retrieval_eval_mrr(spark, sf).collect()
+    n = len(per)
+    hits = sum(1 for r in per if r.hit_at_10)
+    assert summ.n_queries == n and summ.n_hits == hits
+    assert summ.recall_at_10 == hits / n
+    assert abs(summ.mrr_at_10 - sum(r.rr_ppm for r in per) / 1e6 / n) < 1e-12
+    assert summ.recall_at_10 >= 0.8, summ.recall_at_10
