@@ -31,6 +31,7 @@ from aws_kinesis_data_ingestion_restapi_spark.operators import (
     packing,
     rangejoin,
     sampling,
+    scale,
     similarity,
     sketch,
     text,
@@ -108,6 +109,26 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.pii_redact(text.synthesize_pii(_docs(spark, sf_dir)))
+
+
+def text_pii_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X168: PII extraction inventory over the same deterministic
+    synthesis fixture X12 redacts — the table a deletion/DSAR
+    workflow joins against. One corpus scan, every occurrence kept.
+    See text.pii_extract."""
+    return (
+        text.pii_extract(text.synthesize_pii(_docs(spark, sf_dir)))
+        .orderBy("doc_id", "entity_type", "match_text")
+    )
+
+
+def events_user_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X169: join-key skew audit on the traffic key (events.user_id) —
+    the top-10 heaviest keys with corpus share and ratio-to-mean-load,
+    the histogram read BEFORE picking a salting factor (X76) or
+    trusting AQE's skew-join split. See scale.join_key_skew."""
+    events = load_table(spark, sf_dir, "events")
+    return scale.join_key_skew(events, "user_id", top_n=10)
 
 
 def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3634,6 +3655,8 @@ EXT_QUERY_FNS = {
     "text_language_id": text_language_id,
     "text_fingerprint": text_fingerprint,
     "text_pii_redact": text_pii_redact,
+    "text_pii_extract": text_pii_extract,
+    "events_user_skew": events_user_skew,
     "text_pack_sequences": text_pack_sequences,
     "text_stratified_sample": text_stratified_sample,
     "text_quality_sample": text_quality_sample,
@@ -8193,3 +8216,70 @@ EXT_ORACLE_SQL["retrieval_eval_mrr"] = f"""
                / CAST(COUNT(*) AS DOUBLE) AS recall_at_10
     FROM per
 """.format(per=EXT_ORACLE_SQL["retrieval_known_item_eval"])
+
+
+# X168 PII extraction: one UNION ALL branch per pattern class over the
+# same synthesized fixture, regexp_extract_all + unnest, every
+# occurrence kept (generated from text.PII_PATTERNS)
+def _pii_extract_oracle() -> str:
+    synth = """
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 2 = 0 THEN ' contact user'
+                    || CAST(doc_id AS VARCHAR) || '@example.com'
+                  ELSE '' END
+               || CASE WHEN doc_id % 3 = 0 THEN ' call +1-555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END
+               || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END
+               || CASE WHEN doc_id % 7 = 0 THEN ' ip 10.'
+                    || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+                  ELSE '' END
+               AS t
+        FROM documents"""
+    branches = []
+    for name, pat, _repl in text.PII_PATTERNS:
+        esc = pat.replace("'", "''")
+        branches.append(
+            f"""
+        SELECT doc_id, '{name}' AS entity_type,
+               unnest(regexp_extract_all(t, '{esc}')) AS match_text
+        FROM s"""
+        )
+    return (
+        "WITH s AS (" + synth + ")\n"
+        + "\n        UNION ALL\n".join(branches)
+        + "\n    ORDER BY doc_id, entity_type, match_text"
+    )
+
+
+EXT_ORACLE_SQL["text_pii_extract"] = _pii_extract_oracle()
+
+# X169 join-key skew: exact per-key counts, top-10, single-division
+# ratios against the 1-row stats
+EXT_ORACLE_SQL["events_user_skew"] = """
+    WITH counts AS (
+        SELECT user_id AS key_value, COUNT(*) AS n_rows
+        FROM events GROUP BY 1
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_keys, SUM(n_rows) AS n_total FROM counts
+    ),
+    top AS (
+        SELECT key_value, n_rows,
+               ROW_NUMBER() OVER (ORDER BY n_rows DESC, key_value)
+                   AS key_rank
+        FROM counts
+        ORDER BY n_rows DESC, key_value
+        LIMIT 10
+    )
+    SELECT CAST(key_rank AS INT) AS key_rank, key_value,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_rows AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
+           CAST(n_rows * n_keys AS DOUBLE) / CAST(n_total AS DOUBLE)
+               AS ratio_vs_avg
+    FROM top CROSS JOIN stats
+    ORDER BY key_rank
+"""

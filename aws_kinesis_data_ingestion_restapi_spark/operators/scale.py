@@ -457,3 +457,50 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def join_key_skew(
+    df: DataFrame, key: str, top_n: int = 10
+) -> DataFrame:
+    """X169: join-key SKEW audit — the measurement run BEFORE choosing
+    a join strategy at scale (X76's salted join and AQE's skew-join
+    handling both exist to absorb what this report detects; picking a
+    salting factor without the key histogram is guessing): per-key
+    row counts reduced to the ``top_n`` heaviest keys with their
+    corpus share and their ratio to the mean key load. A key whose
+    ratio_vs_avg is 100× means one shuffle partition does 100× the
+    work — the straggler that caps the whole stage at 1000 executors.
+
+    One map-side-combined aggregate + a TakeOrdered top-n + one
+    broadcast 1-row stats join; never a global sort. Ratios are
+    single double divisions over exact int64 counts. Output:
+    (key_rank, key value, n_rows, share, ratio_vs_avg)."""
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(F.col(key).alias("key_value")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("_n_keys"),
+        F.sum("n_rows").cast("long").alias("_n_total"),
+    )
+    top = counts.orderBy(F.desc("n_rows"), "key_value").limit(top_n)
+    w = Window.orderBy(F.desc("n_rows"), "key_value")
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .withColumn("key_rank", F.row_number().over(w).cast("int"))
+        .select(
+            "key_rank",
+            "key_value",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            (
+                F.col("n_rows").cast("double")
+                / F.col("_n_total").cast("double")
+            ).alias("share"),
+            (
+                (F.col("n_rows") * F.col("_n_keys")).cast("double")
+                / F.col("_n_total").cast("double")
+            ).alias("ratio_vs_avg"),
+        )
+        .orderBy("key_rank")
+    )

@@ -1662,3 +1662,37 @@ def bm25_rank_batch(
         .filter(F.col("rank") <= top_n)
         .select("query_id", "doc_id", "score", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def pii_extract(docs: DataFrame) -> DataFrame:
+    """X168: PII EXTRACTION table — the report side of X12's redactor
+    (redaction destroys; a privacy review first wants the inventory:
+    which documents leak which identifiers, with the matched spans,
+    the table a DSAR/deletion workflow joins against). Each
+    :data:`PII_PATTERNS` class is applied INDEPENDENTLY to the raw
+    text via ``regexp_extract_all`` (one corpus scan — the classes
+    ride one array-of-structs projection and two explodes), keeping
+    every occurrence. Same shared Java-regex/RE2 syntax subset as the
+    redactor, so the DuckDB oracle matches span for span.
+
+    Output: (doc_id, entity_type, match_text), one row per
+    occurrence."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("t"),
+                F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)).alias(
+                    "ms"
+                ),
+            )
+            for name, pat, _ in PII_PATTERNS
+        ]
+    )
+    return (
+        docs.select("doc_id", F.explode(entries).alias("e"))
+        .select(
+            "doc_id",
+            F.col("e.t").alias("entity_type"),
+            F.explode("e.ms").alias("match_text"),
+        )
+    )

@@ -58,6 +58,8 @@ MUST_ROTATE = [
     "mm_canonical_media",          # X165 cross-modality keep-list
     "retrieval_known_item_eval",   # X166 batch BM25 known-item eval
     "retrieval_eval_mrr",          # X167 MRR/recall summary
+    "text_pii_extract",            # X168 PII extraction inventory
+    "events_user_skew",            # X169 join-key skew audit
     # --- round 11: streaming ts hardened via as_timestamp (impl change) ---
     "streaming_late_data_policy",
     "streaming_session_windows",

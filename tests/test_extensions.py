@@ -3937,3 +3937,29 @@ def test_retrieval_known_item_eval_consistent_and_effective(spark):
     assert summ.recall_at_10 == hits / n
     assert abs(summ.mrr_at_10 - sum(r.rr_ppm for r in per) / 1e6 / n) < 1e-12
     assert summ.recall_at_10 >= 0.8, summ.recall_at_10
+
+
+def test_pii_extract_matches_redaction_counts(spark):
+    """X168 ≡ X12 on the shared fixture: for every document the
+    extraction inventory's per-class occurrence counts must equal the
+    redactor's reported match counts — report and action sides of the
+    same patterns cannot disagree. (Classes where sequential
+    redaction could shadow a later pattern would diverge here; the
+    fixture's classes are disjoint, making equality exact.)"""
+    from collections import Counter
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators import (
+        registry_ext as rx,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    inv = Counter()
+    for r in rx.text_pii_extract(spark, sf).collect():
+        inv[(r.doc_id, r.entity_type)] += 1
+    red = {
+        r.doc_id: r for r in rx.text_pii_redact(spark, sf).collect()
+    }
+    assert red, "redaction fixture empty"
+    for did, r in red.items():
+        for cls in ("email", "phone", "ssn", "ip"):
+            assert inv.get((did, cls), 0) == r[f"n_{cls}"], (did, cls)
