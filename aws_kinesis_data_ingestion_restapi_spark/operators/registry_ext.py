@@ -131,6 +131,127 @@ def events_user_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scale.join_key_skew(events, "user_id", top_n=10)
 
 
+def warehouse_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X170: referential-integrity audit over the warehouse's declared
+    FK edges — the cross-TABLE data-quality check X51's single-table
+    expectations don't cover (an orphaned fact row silently drops out
+    of every inner join that consumes it; at 100 TB the orphan count
+    is the difference between 'the join is correct' and 'revenue is
+    undercounted'). Per FK: child cardinality + orphan count via a
+    LEFT ANTI join (dimension side broadcast — each check costs one
+    scan of the child), orphan share as one double division."""
+    edges = [
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+         "nation", "n_nationkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey",
+         "region", "r_regionkey"),
+    ]
+    out = None
+    for name, child, ck, parent, pk in edges:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(
+            F.col(pk).alias("_pk")
+        )
+        orphans = c.join(
+            F.broadcast(p), c[ck] == F.col("_pk"), "left_anti"
+        )
+        row = (
+            c.agg(F.count(F.lit(1)).alias("child_rows"))
+            .crossJoin(
+                F.broadcast(
+                    orphans.agg(F.count(F.lit(1)).alias("orphan_rows"))
+                )
+            )
+            .select(
+                F.lit(name).alias("fk"),
+                F.col("child_rows").cast("long").alias("child_rows"),
+                F.col("orphan_rows").cast("long").alias("orphan_rows"),
+                (
+                    F.col("orphan_rows").cast("double")
+                    / F.col("child_rows").cast("double")
+                ).alias("orphan_share"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fk")
+
+
+#: X171 engineered deletion list: every 97th document (a prime stride,
+#: so the list cuts across langs/sources/modality cycles)
+DELETE_MOD = 97
+
+
+def corpus_delete_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X171: DELETION PROPAGATION — the right-to-be-forgotten apply: a
+    deletion list (doc_id ≡ 0 mod 97, engineered) must purge not just
+    the document store but every DERIVED store a pipeline maintains:
+    the RAG chunk store (X121), the inverted index (X84 — REBUILT on
+    the retained corpus, because removing a doc can push a term below
+    min_df: purge-by-filter would leave phantom terms), and the
+    embedding store. Per store: rows before, rows after, rows purged
+    — the completion evidence a deletion audit requires. Each store
+    costs one anti join / rebuild + a 1-row aggregate; at 100 TB the
+    deletion list broadcasts and every store purges in one scan."""
+    docs = _docs(spark, sf_dir)
+    is_del = F.col("doc_id") % DELETE_MOD == 0
+    kept_docs = docs.filter(~is_del)
+
+    def entry(name: str, before: DataFrame, after: DataFrame):
+        return (
+            before.agg(F.count(F.lit(1)).alias("rows_before"))
+            .crossJoin(
+                F.broadcast(
+                    after.agg(F.count(F.lit(1)).alias("rows_after"))
+                )
+            )
+            .select(
+                F.lit(name).alias("table_name"),
+                F.col("rows_before").cast("long").alias("rows_before"),
+                F.col("rows_after").cast("long").alias("rows_after"),
+                (F.col("rows_before") - F.col("rows_after"))
+                .cast("long")
+                .alias("rows_purged"),
+            )
+        )
+
+    embs = _embs(spark, sf_dir)
+    out = (
+        entry("documents", docs, kept_docs)
+        .unionByName(
+            entry(
+                "chunks",
+                text.chunk_documents(docs),
+                text.chunk_documents(kept_docs),
+            )
+        )
+        .unionByName(
+            entry(
+                "postings",
+                text.build_postings(docs),
+                text.build_postings(kept_docs),
+            )
+        )
+        .unionByName(
+            entry(
+                "embeddings",
+                embs,
+                embs.filter(~(F.col("vec_id") % DELETE_MOD == 0)),
+            )
+        )
+    )
+    return out.orderBy("table_name")
+
+
 def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.pack_sequences(_docs(spark, sf_dir))
 
@@ -3657,6 +3778,8 @@ EXT_QUERY_FNS = {
     "text_pii_redact": text_pii_redact,
     "text_pii_extract": text_pii_extract,
     "events_user_skew": events_user_skew,
+    "warehouse_fk_audit": warehouse_fk_audit,
+    "corpus_delete_apply": corpus_delete_apply,
     "text_pack_sequences": text_pack_sequences,
     "text_stratified_sample": text_stratified_sample,
     "text_quality_sample": text_quality_sample,
@@ -8283,3 +8406,102 @@ EXT_ORACLE_SQL["events_user_skew"] = """
     FROM top CROSS JOIN stats
     ORDER BY key_rank
 """
+
+
+# X170 FK audit: orphan counts via NOT IN per declared edge
+EXT_ORACLE_SQL["warehouse_fk_audit"] = """
+    WITH e AS (
+        SELECT 'orders.o_custkey->customer' AS fk,
+               (SELECT COUNT(*) FROM orders) AS child_rows,
+               (SELECT COUNT(*) FROM orders
+                WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+                   AS orphan_rows
+        UNION ALL
+        SELECT 'lineitem.l_orderkey->orders',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(*) FROM lineitem
+                WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        UNION ALL
+        SELECT 'lineitem.l_partkey->part',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(*) FROM lineitem
+                WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+        UNION ALL
+        SELECT 'lineitem.l_suppkey->supplier',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(*) FROM lineitem
+                WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+        UNION ALL
+        SELECT 'customer.c_nationkey->nation',
+               (SELECT COUNT(*) FROM customer),
+               (SELECT COUNT(*) FROM customer
+                WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+        UNION ALL
+        SELECT 'supplier.s_nationkey->nation',
+               (SELECT COUNT(*) FROM supplier),
+               (SELECT COUNT(*) FROM supplier
+                WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation))
+        UNION ALL
+        SELECT 'nation.n_regionkey->region',
+               (SELECT COUNT(*) FROM nation),
+               (SELECT COUNT(*) FROM nation
+                WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region))
+    )
+    SELECT fk, CAST(child_rows AS BIGINT) AS child_rows,
+           CAST(orphan_rows AS BIGINT) AS orphan_rows,
+           CAST(orphan_rows AS DOUBLE) / CAST(child_rows AS DOUBLE)
+               AS orphan_share
+    FROM e ORDER BY fk
+"""
+
+# X171 deletion propagation: every derived store recounted before and
+# after on the identical definitions (chunk window arithmetic, df >= 5
+# postings REBUILT on the retained corpus, vec_id-keyed embeddings)
+EXT_ORACLE_SQL["corpus_delete_apply"] = f"""
+    WITH tok_all AS (SELECT doc_id, {{toks}} AS t FROM documents),
+    tok_kept AS (SELECT * FROM tok_all WHERE doc_id % {{m}} != 0),
+    chunks_of AS (
+        SELECT doc_id,
+               CASE WHEN len(t) <= {{W}} THEN 1
+                    ELSE (len(t) - {{W}} + {{S}} - 1) // {{S}} + 1 END AS nc
+        FROM tok_all WHERE len(t) >= 1
+    ),
+    post_all AS (
+        SELECT tok FROM (
+            SELECT DISTINCT doc_id, unnest(t) AS tok FROM tok_all
+        ) GROUP BY tok HAVING COUNT(*) >= 5
+    ),
+    post_kept AS (
+        SELECT tok FROM (
+            SELECT DISTINCT doc_id, unnest(t) AS tok FROM tok_kept
+        ) GROUP BY tok HAVING COUNT(*) >= 5
+    ),
+    e AS (
+        SELECT 'documents' AS table_name,
+               (SELECT COUNT(*) FROM documents) AS b,
+               (SELECT COUNT(*) FROM documents
+                WHERE doc_id % {{m}} != 0) AS a
+        UNION ALL
+        SELECT 'chunks',
+               (SELECT COALESCE(SUM(nc), 0) FROM chunks_of),
+               (SELECT COALESCE(SUM(nc), 0) FROM chunks_of
+                WHERE doc_id % {{m}} != 0)
+        UNION ALL
+        SELECT 'postings',
+               (SELECT COUNT(*) FROM post_all),
+               (SELECT COUNT(*) FROM post_kept)
+        UNION ALL
+        SELECT 'embeddings',
+               (SELECT COUNT(*) FROM embeddings),
+               (SELECT COUNT(*) FROM embeddings WHERE vec_id % {{m}} != 0)
+    )
+    SELECT table_name, CAST(b AS BIGINT) AS rows_before,
+           CAST(a AS BIGINT) AS rows_after,
+           CAST(b - a AS BIGINT) AS rows_purged
+    FROM e ORDER BY table_name
+""".format(
+    toks=_TOKS,
+    m=DELETE_MOD,
+    W=text.CHUNK_TOKENS,
+    S=text.CHUNK_STRIDE,
+)

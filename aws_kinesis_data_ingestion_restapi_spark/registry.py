@@ -2470,8 +2470,8 @@ ORACLE_SQL["streaming_value_quantiles"] = f"""
 # park stable, already-driver-verified, untouched baselines at the
 # tail, where falling past position 50 loses nothing.
 # --- BEGIN GENERATED GATE ORDER (scripts/gen_gate_head.py) ---
-# Window = 13 never-driver-checked additions + 14 changed
-# entries + the 23 stalest driver greens (last green in
+# Window = 15 never-driver-checked additions + 14 changed
+# entries + the 21 stalest driver greens (last green in
 # round(s) [6], from CORRECTNESS_r*.json). Regenerate with
 #   python scripts/gen_gate_head.py
 # (pytest runs --check; hand-edits here go stale and FAIL).
@@ -2496,6 +2496,8 @@ _GATE_HEAD = [
     "retrieval_eval_mrr",  # last driver green: r0
     "text_pii_extract",  # last driver green: r0
     "events_user_skew",  # last driver green: r0
+    "warehouse_fk_audit",  # last driver green: r0
+    "corpus_delete_apply",  # last driver green: r0
     "streaming_late_data_policy",  # last driver green: r6
     "streaming_session_windows",  # last driver green: r7
     "streaming_sliding_1h_15m",  # last driver green: r8
@@ -2524,8 +2526,6 @@ _GATE_HEAD = [
     "pipeline_partition_scan",  # last driver green: r6
     "profile_documents",  # last driver green: r6
     "q10_returned_items",  # last driver green: r6
-    "q12_ship_delay_classes",  # last driver green: r6
-    "q5_local_supplier_volume",  # last driver green: r6
 ]
 _GATE_TAIL = [
     "ann_index_health",  # last driver green: r10
@@ -2698,6 +2698,8 @@ _GATE_TAIL = [
     "text_model_quality",  # last driver green: r7
     "text_quality_sample",  # last driver green: r7
     "top_orders_per_customer",  # last driver green: r7
+    "q12_ship_delay_classes",  # last driver green: r6
+    "q5_local_supplier_volume",  # last driver green: r6
     "q7_volume_shipping",  # last driver green: r6
     "sales_pivot_by_priority",  # last driver green: r6
     "salted_events_join",  # last driver green: r6

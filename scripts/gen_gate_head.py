@@ -60,6 +60,8 @@ MUST_ROTATE = [
     "retrieval_eval_mrr",          # X167 MRR/recall summary
     "text_pii_extract",            # X168 PII extraction inventory
     "events_user_skew",            # X169 join-key skew audit
+    "warehouse_fk_audit",          # X170 referential-integrity audit
+    "corpus_delete_apply",         # X171 deletion propagation
     # --- round 11: streaming ts hardened via as_timestamp (impl change) ---
     "streaming_late_data_policy",
     "streaming_session_windows",

@@ -3963,3 +3963,41 @@ def test_pii_extract_matches_redaction_counts(spark):
     for did, r in red.items():
         for cls in ("email", "phone", "ssn", "ip"):
             assert inv.get((did, cls), 0) == r[f"n_{cls}"], (did, cls)
+
+
+def test_corpus_delete_apply_purges_completely(spark):
+    """X171 pins: the deletion list is non-empty, every derived store
+    shrinks (or stays — postings may keep all terms when no term's df
+    crosses min_df), purge arithmetic is consistent, and NOTHING from
+    the deletion list survives in the purged chunk/embedding stores
+    (completion — the property a deletion audit certifies)."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import (
+        registry_ext as rx,
+        text as t,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r.table_name: r for r in
+            rx.corpus_delete_apply(spark, sf).collect()}
+    assert set(rows) == {"documents", "chunks", "postings", "embeddings"}
+    for r in rows.values():
+        assert r.rows_purged == r.rows_before - r.rows_after >= 0
+    assert rows["documents"].rows_purged > 0
+    assert rows["chunks"].rows_purged > 0
+
+    docs = rx._docs(spark, sf)
+    kept = docs.filter(F.col("doc_id") % rx.DELETE_MOD != 0)
+    leaked = (
+        t.chunk_documents(kept)
+        .filter(F.col("doc_id") % rx.DELETE_MOD == 0)
+        .count()
+    )
+    assert leaked == 0
+    # rebuilt postings reference no deleted doc
+    bad = (
+        t.build_postings(kept)
+        .select(F.explode("postings").alias("d"))
+        .filter(F.col("d") % rx.DELETE_MOD == 0)
+        .count()
+    )
+    assert bad == 0
