@@ -463,6 +463,8 @@ QUERY_FNS: dict[str, QueryFn] = {
     "events_daily_trend": analytics.events_daily_trend,
     # round-5: last-touch attribution (one window, no range join)
     "events_attribution": analytics.events_attribution,
+    # X172 position-based multi-touch attribution (exact integer ppm)
+    "events_attribution_positional": analytics.events_attribution_positional,
     # FULL OUTER year-over-year reconciliation
     "sales_yoy_full_outer": analytics.sales_yoy_full_outer,
     # cohort retention matrix (first-seen week × activity week)
@@ -507,6 +509,8 @@ QUERY_FNS: dict[str, QueryFn] = {
     "events_drift_tvd": analytics.events_drift_tvd,
     # X130 exact EWMA trend: power-of-two half-life weights, int64 sums
     "events_ewma_daily": analytics.events_ewma_daily,
+    # X173 seasonal-naive forecast backtest (calendar joins, int errors)
+    "events_seasonal_backtest": analytics.events_seasonal_backtest,
     # X133 leak-free EWMA-residual anomaly flags, 3×MAD band
     "events_anomaly_days": analytics.events_anomaly_days,
     "events_cusum_changepoint": analytics.events_cusum_changepoint,
@@ -693,6 +697,106 @@ ORACLE_SQL: dict[str, str] = {
     # (ns, event_id) — the stable secondary key pins tie order
     # cross-engine (round-5 ADVICE; same total order as the Spark
     # window in analytics.events_attribution)
+    # X173 backtest: identical calendar self-joins (gap-immune), exact
+    # integer error sums, single-division MAEs and ratio
+    "events_seasonal_backtest": """
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1
+        ),
+        ev AS (
+            SELECT t.n, m7.n AS n7, m1.n AS n1
+            FROM daily t
+            JOIN daily m7 ON t.day = m7.day + 7
+            JOIN daily m1 ON t.day = m1.day + 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(ABS(n - n7)) AS BIGINT) AS abs_err_seasonal,
+               CAST(SUM(ABS(n - n1)) AS BIGINT) AS abs_err_naive,
+               CAST(SUM(ABS(n - n7)) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS mae_seasonal,
+               CAST(SUM(ABS(n - n1)) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS mae_naive,
+               CAST(SUM(ABS(n - n7)) AS DOUBLE)
+                   / CAST(SUM(ABS(n - n1)) AS DOUBLE)
+                   AS seasonal_vs_naive
+        FROM ev
+    """,
+    # X172 positional attribution: identical value-RANGE frame, struct
+    # min/max first/last with (ns, event_id) tie-break, exact ppm
+    # credits (middle q = 200000 // (n-2), remainder to the LAST touch)
+    "events_attribution_positional": """
+        WITH e AS (
+            SELECT user_id, event_type, event_id, epoch_ns(ts) AS ns
+            FROM events
+        ),
+        fr AS (
+            SELECT user_id, event_type, ns,
+                   CASE WHEN event_type IN ('view', 'click', 'signup')
+                        THEN {'t_ns': ns, 't_id': event_id,
+                              't_type': event_type} END AS touch
+            FROM e
+        ),
+        agg AS (
+            SELECT event_type,
+                   count(touch) OVER w AS n,
+                   min(touch) OVER w AS first_t,
+                   max(touch) OVER w AS last_t,
+                   count(CASE WHEN touch.t_type = 'view' THEN 1 END)
+                       OVER w AS cnt_view,
+                   count(CASE WHEN touch.t_type = 'click' THEN 1 END)
+                       OVER w AS cnt_click,
+                   count(CASE WHEN touch.t_type = 'signup' THEN 1 END)
+                       OVER w AS cnt_signup
+            FROM fr
+            WINDOW w AS (PARTITION BY user_id ORDER BY ns
+                         RANGE BETWEEN 86400000000000 PRECEDING
+                                   AND 1 PRECEDING)
+        ),
+        p AS (SELECT * FROM agg WHERE event_type = 'purchase'),
+        st AS (
+            SELECT 'view' AS touch_type, CASE
+                 WHEN n = 0 THEN 0
+                 WHEN n = 1 THEN 1000000 * (CASE WHEN first_t.t_type = 'view' THEN 1 ELSE 0 END)
+                 WHEN n = 2 THEN 500000 * (CASE WHEN first_t.t_type = 'view' THEN 1 ELSE 0 END) + 500000 * (CASE WHEN last_t.t_type = 'view' THEN 1 ELSE 0 END)
+                 ELSE 400000 * (CASE WHEN first_t.t_type = 'view' THEN 1 ELSE 0 END)
+                    + (400000 + (200000 - (200000 // (n - 2)) * (n - 2)))
+                        * (CASE WHEN last_t.t_type = 'view' THEN 1 ELSE 0 END)
+                    + (200000 // (n - 2))
+                        * (cnt_view - (CASE WHEN first_t.t_type = 'view' THEN 1 ELSE 0 END) - (CASE WHEN last_t.t_type = 'view' THEN 1 ELSE 0 END))
+               END AS c FROM p
+            UNION ALL
+            SELECT 'click' AS touch_type, CASE
+                 WHEN n = 0 THEN 0
+                 WHEN n = 1 THEN 1000000 * (CASE WHEN first_t.t_type = 'click' THEN 1 ELSE 0 END)
+                 WHEN n = 2 THEN 500000 * (CASE WHEN first_t.t_type = 'click' THEN 1 ELSE 0 END) + 500000 * (CASE WHEN last_t.t_type = 'click' THEN 1 ELSE 0 END)
+                 ELSE 400000 * (CASE WHEN first_t.t_type = 'click' THEN 1 ELSE 0 END)
+                    + (400000 + (200000 - (200000 // (n - 2)) * (n - 2)))
+                        * (CASE WHEN last_t.t_type = 'click' THEN 1 ELSE 0 END)
+                    + (200000 // (n - 2))
+                        * (cnt_click - (CASE WHEN first_t.t_type = 'click' THEN 1 ELSE 0 END) - (CASE WHEN last_t.t_type = 'click' THEN 1 ELSE 0 END))
+               END AS c FROM p
+            UNION ALL
+            SELECT 'signup' AS touch_type, CASE
+                 WHEN n = 0 THEN 0
+                 WHEN n = 1 THEN 1000000 * (CASE WHEN first_t.t_type = 'signup' THEN 1 ELSE 0 END)
+                 WHEN n = 2 THEN 500000 * (CASE WHEN first_t.t_type = 'signup' THEN 1 ELSE 0 END) + 500000 * (CASE WHEN last_t.t_type = 'signup' THEN 1 ELSE 0 END)
+                 ELSE 400000 * (CASE WHEN first_t.t_type = 'signup' THEN 1 ELSE 0 END)
+                    + (400000 + (200000 - (200000 // (n - 2)) * (n - 2)))
+                        * (CASE WHEN last_t.t_type = 'signup' THEN 1 ELSE 0 END)
+                    + (200000 // (n - 2))
+                        * (cnt_signup - (CASE WHEN first_t.t_type = 'signup' THEN 1 ELSE 0 END) - (CASE WHEN last_t.t_type = 'signup' THEN 1 ELSE 0 END))
+               END AS c FROM p
+            UNION ALL
+            SELECT 'none', CASE WHEN n = 0 THEN 1000000 ELSE 0 END FROM p
+        ),
+        tot AS (SELECT COUNT(*) AS np FROM p)
+        SELECT touch_type, CAST(SUM(c) AS BIGINT) AS credit_ppm,
+               CAST(SUM(c) AS DOUBLE) / 1000000.0 / CAST(np AS DOUBLE)
+                   AS share
+        FROM st, tot GROUP BY 1, np ORDER BY 1
+    """,
     "events_attribution": """
         WITH e AS (
             SELECT user_id, event_type, event_id, epoch_ns(ts) AS ns
@@ -2470,8 +2574,8 @@ ORACLE_SQL["streaming_value_quantiles"] = f"""
 # park stable, already-driver-verified, untouched baselines at the
 # tail, where falling past position 50 loses nothing.
 # --- BEGIN GENERATED GATE ORDER (scripts/gen_gate_head.py) ---
-# Window = 15 never-driver-checked additions + 14 changed
-# entries + the 21 stalest driver greens (last green in
+# Window = 17 never-driver-checked additions + 14 changed
+# entries + the 19 stalest driver greens (last green in
 # round(s) [6], from CORRECTNESS_r*.json). Regenerate with
 #   python scripts/gen_gate_head.py
 # (pytest runs --check; hand-edits here go stale and FAIL).
@@ -2498,6 +2602,8 @@ _GATE_HEAD = [
     "events_user_skew",  # last driver green: r0
     "warehouse_fk_audit",  # last driver green: r0
     "corpus_delete_apply",  # last driver green: r0
+    "events_attribution_positional",  # last driver green: r0
+    "events_seasonal_backtest",  # last driver green: r0
     "streaming_late_data_policy",  # last driver green: r6
     "streaming_session_windows",  # last driver green: r7
     "streaming_sliding_1h_15m",  # last driver green: r8
@@ -2524,8 +2630,6 @@ _GATE_HEAD = [
     "incremental_sales_rollup",  # last driver green: r6
     "pipeline_compaction",  # last driver green: r6
     "pipeline_partition_scan",  # last driver green: r6
-    "profile_documents",  # last driver green: r6
-    "q10_returned_items",  # last driver green: r6
 ]
 _GATE_TAIL = [
     "ann_index_health",  # last driver green: r10
@@ -2698,6 +2802,8 @@ _GATE_TAIL = [
     "text_model_quality",  # last driver green: r7
     "text_quality_sample",  # last driver green: r7
     "top_orders_per_customer",  # last driver green: r7
+    "profile_documents",  # last driver green: r6
+    "q10_returned_items",  # last driver green: r6
     "q12_ship_delay_classes",  # last driver green: r6
     "q5_local_supplier_volume",  # last driver green: r6
     "q7_volume_shipping",  # last driver green: r6

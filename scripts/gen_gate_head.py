@@ -62,6 +62,8 @@ MUST_ROTATE = [
     "events_user_skew",            # X169 join-key skew audit
     "warehouse_fk_audit",          # X170 referential-integrity audit
     "corpus_delete_apply",         # X171 deletion propagation
+    "events_attribution_positional", # X172 U-shaped multi-touch
+    "events_seasonal_backtest",    # X173 forecast backtest
     # --- round 11: streaming ts hardened via as_timestamp (impl change) ---
     "streaming_late_data_policy",
     "streaming_session_windows",

@@ -4001,3 +4001,61 @@ def test_corpus_delete_apply_purges_completely(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_positional_attribution_credits_sum_exactly(spark):
+    """X172 pins: total credit across types = exactly 10⁶ ppm per
+    purchase (the integer remainder rule makes the sum exact), the
+    share column is the single-division of that, and the last-touch
+    family (X85) agrees with the n=1 single-touch class by
+    construction on engineered journeys."""
+    from aws_kinesis_data_ingestion_restapi_spark import analytics
+
+    sf = "/root/testdata/sf0.001"
+    rows = analytics.events_attribution_positional(spark, sf).collect()
+    total_ppm = sum(r.credit_ppm for r in rows)
+    n_purchases = (
+        analytics._t(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert total_ppm == 1_000_000 * n_purchases
+    for r in rows:
+        assert abs(r.share - r.credit_ppm / 1e6 / n_purchases) < 1e-12
+
+    # engineered journeys: u1 has touches [view, click, signup, view]
+    # before one purchase -> first view 40%, last view 40%+rem, middle
+    # click/signup get 200000 DIV 2 = 100000 each; u2 has one click
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    mk = lambda uid, eid, typ, secs: (  # noqa: E731
+        eid, t0 + dt.timedelta(seconds=secs), uid, typ, 1.0
+    )
+    ev = spark.createDataFrame(
+        [
+            mk(1, 1, "view", 0), mk(1, 2, "click", 10),
+            mk(1, 3, "signup", 20), mk(1, 4, "view", 30),
+            mk(1, 5, "purchase", 40),
+            mk(2, 6, "click", 0), mk(2, 7, "purchase", 5),
+            mk(3, 8, "purchase", 0),
+        ],
+        ["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    import tempfile, shutil
+
+    d = tempfile.mkdtemp(prefix="attr_fix_")
+    try:
+        ev.write.parquet(f"{d}/events.parquet")
+        out = {
+            r.touch_type: r.credit_ppm
+            for r in analytics.events_attribution_positional(
+                spark, d
+            ).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert out["view"] == 400_000 + 400_000  # first + last (rem = 0)
+    assert out["click"] == 100_000 + 1_000_000  # u1 middle + u2 single
+    assert out["signup"] == 100_000
+    assert out["none"] == 1_000_000  # u3's cold purchase
