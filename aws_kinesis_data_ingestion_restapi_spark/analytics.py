@@ -2840,6 +2840,106 @@ def events_seasonal_backtest(
     )
 
 
+#: X174 two-level prefix-max bucket width (events per bucket)
+LATENESS_BUCKET = 1024
+
+#: X174 disorder-depth histogram edges (ns) and their ORDERED labels
+LATENESS_EDGES = (
+    ("0_in_order", 0),
+    ("1_le_1s", 1_000_000_000),
+    ("2_le_10s", 10_000_000_000),
+    ("3_le_60s", 60_000_000_000),
+    ("4_le_10m", 600_000_000_000),
+    ("5_le_1h", 3_600_000_000_000),
+)
+LATENESS_OVERFLOW = "6_gt_1h"
+
+
+def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X174: event-time DISORDER profile — the measurement that
+    justifies a watermark delay (every streaming query in this engine
+    pins 1 hour; this is the table that says whether 1 hour actually
+    covers the tail): per event, disorder = how far the stream's
+    running-max event time had advanced past this event's timestamp
+    when it arrived (arrival order proxied by event_id — the
+    generator's insert order; a real deployment reads the log
+    offset), bucketed into an exponential lateness histogram with
+    cumulative coverage. 'cum_share at ≤1h' IS the fraction of events
+    a 1-hour watermark admits.
+
+    Scale shape: the strict prefix max is computed TWO-LEVEL (the
+    X64 sweep-line pattern) — per-1024-event buckets aggregate their
+    max, a metadata-scale window runs over bucket maxima, and the
+    within-bucket running max is partitioned by bucket — so there is
+    NO global single-partition window over the corpus; bucket counts
+    are map-side combined. Integer ns throughout; shares are single
+    divisions."""
+    from pyspark.sql.window import Window
+    from aws_kinesis_data_ingestion_restapi_spark.functions.exact import (
+        as_epoch_nanos,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    ns = as_epoch_nanos(events, "ts")
+    base = events.select(
+        "event_id",
+        ns.alias("ns"),
+        F.expr(f"event_id DIV {LATENESS_BUCKET}").alias("bk"),
+    )
+    bmax = base.groupBy("bk").agg(F.max("ns").alias("_bm"))
+    wprev = Window.orderBy("bk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bprev = bmax.select(
+        "bk", F.max("_bm").over(wprev).alias("prev_max")
+    )
+    wwin = (
+        Window.partitionBy("bk")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lo = F.lit(-(1 << 62)).cast("long")
+    within = base.withColumn("wmax", F.max("ns").over(wwin))
+    dis = F.greatest(
+        F.greatest(
+            F.coalesce(F.col("wmax"), lo),
+            F.coalesce(F.col("prev_max"), lo),
+        )
+        - F.col("ns"),
+        F.lit(0).cast("long"),
+    )
+    bucket = F.lit(LATENESS_OVERFLOW)
+    for label, edge in reversed(LATENESS_EDGES):
+        bucket = F.when(dis <= F.lit(edge), F.lit(label)).otherwise(bucket)
+    counted = (
+        within.join(F.broadcast(bprev), "bk")
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    wcum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        counted.select(
+            "bucket",
+            F.col("n_events").cast("long").alias("n_events"),
+            (
+                F.col("n_events").cast("double")
+                / F.sum("n_events").over(wall).cast("double")
+            ).alias("share"),
+            (
+                F.sum("n_events").over(wcum).cast("double")
+                / F.sum("n_events").over(wall).cast("double")
+            ).alias("cum_share"),
+        )
+        .orderBy("bucket")
+    )
+
+
 EWMA_WINDOW_DAYS = 20  # trailing window; weights 2^19 .. 2^0
 
 

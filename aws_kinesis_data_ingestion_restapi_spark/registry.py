@@ -511,6 +511,8 @@ QUERY_FNS: dict[str, QueryFn] = {
     "events_ewma_daily": analytics.events_ewma_daily,
     # X173 seasonal-naive forecast backtest (calendar joins, int errors)
     "events_seasonal_backtest": analytics.events_seasonal_backtest,
+    # X174 event-time disorder profile (two-level prefix max)
+    "events_lateness_profile": analytics.events_lateness_profile,
     # X133 leak-free EWMA-residual anomaly flags, 3×MAD band
     "events_anomaly_days": analytics.events_anomaly_days,
     "events_cusum_changepoint": analytics.events_cusum_changepoint,
@@ -534,6 +536,7 @@ from aws_kinesis_data_ingestion_restapi_spark.streaming.registry_stream import (
     streaming_dedup_delta,
     streaming_dedup_replay,
     streaming_er_delta,
+    streaming_fk_gate,
     streaming_hll_users,
     streaming_drift_tvd,
     streaming_enriched_nation_totals,
@@ -554,6 +557,7 @@ QUERY_FNS["streaming_dedup_replay"] = streaming_dedup_replay
 QUERY_FNS["streaming_dedup_delta"] = streaming_dedup_delta
 QUERY_FNS["streaming_er_delta"] = streaming_er_delta
 QUERY_FNS["streaming_hll_users"] = streaming_hll_users
+QUERY_FNS["streaming_fk_gate"] = streaming_fk_gate
 QUERY_FNS["streaming_running_totals_final"] = streaming_running_totals_final
 QUERY_FNS["streaming_enriched_nation_totals"] = streaming_enriched_nation_totals
 QUERY_FNS["streaming_payment_match"] = streaming_payment_match
@@ -697,6 +701,56 @@ ORACLE_SQL: dict[str, str] = {
     # (ns, event_id) — the stable secondary key pins tie order
     # cross-engine (round-5 ADVICE; same total order as the Spark
     # window in analytics.events_attribution)
+    # X175 streaming FK gate: the corrupted fixture's orphans by a
+    # plain NOT IN — the anti join's exact semantics; double delivery
+    # cannot add rows (post-drain DISTINCT)
+    "streaming_fk_gate": """
+        WITH feed AS (
+            SELECT o_orderkey AS order_id,
+                   CASE WHEN o_custkey % 13 = 0
+                        THEN o_custkey + 10000000
+                        ELSE o_custkey END AS customer_id
+            FROM orders
+        )
+        SELECT order_id, customer_id FROM feed
+        WHERE customer_id NOT IN (SELECT c_custkey FROM customer)
+        ORDER BY order_id
+    """,
+    # X174 lateness profile: the PLAIN strict-prefix-max window (the
+    # oracle may afford the global order the engine decomposes
+    # two-level), identical bucket edges and single-division shares
+    "events_lateness_profile": """
+        WITH e AS (SELECT event_id, epoch_ns(ts) AS ns FROM events),
+        d AS (
+            SELECT GREATEST(COALESCE(
+                       MAX(ns) OVER (ORDER BY event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING) - ns,
+                       0), 0) AS dis
+            FROM e
+        ),
+        b AS (
+            SELECT CASE
+                WHEN dis <= 0 THEN '0_in_order'
+                WHEN dis <= 1000000000 THEN '1_le_1s'
+                WHEN dis <= 10000000000 THEN '2_le_10s'
+                WHEN dis <= 60000000000 THEN '3_le_60s'
+                WHEN dis <= 600000000000 THEN '4_le_10m'
+                WHEN dis <= 3600000000000 THEN '5_le_1h'
+                ELSE '6_gt_1h' END AS bucket
+            FROM d
+        ),
+        c AS (SELECT bucket, COUNT(*) AS n FROM b GROUP BY 1)
+        SELECT bucket, CAST(n AS BIGINT) AS n_events,
+               CAST(n AS DOUBLE)
+                   / CAST(SUM(n) OVER () AS DOUBLE) AS share,
+               CAST(SUM(n) OVER (ORDER BY bucket
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS DOUBLE)
+                   / CAST(SUM(n) OVER () AS DOUBLE) AS cum_share
+        FROM c
+        ORDER BY bucket
+    """,
     # X173 backtest: identical calendar self-joins (gap-immune), exact
     # integer error sums, single-division MAEs and ratio
     "events_seasonal_backtest": """
@@ -2574,8 +2628,8 @@ ORACLE_SQL["streaming_value_quantiles"] = f"""
 # park stable, already-driver-verified, untouched baselines at the
 # tail, where falling past position 50 loses nothing.
 # --- BEGIN GENERATED GATE ORDER (scripts/gen_gate_head.py) ---
-# Window = 17 never-driver-checked additions + 14 changed
-# entries + the 19 stalest driver greens (last green in
+# Window = 19 never-driver-checked additions + 14 changed
+# entries + the 17 stalest driver greens (last green in
 # round(s) [6], from CORRECTNESS_r*.json). Regenerate with
 #   python scripts/gen_gate_head.py
 # (pytest runs --check; hand-edits here go stale and FAIL).
@@ -2604,6 +2658,8 @@ _GATE_HEAD = [
     "corpus_delete_apply",  # last driver green: r0
     "events_attribution_positional",  # last driver green: r0
     "events_seasonal_backtest",  # last driver green: r0
+    "events_lateness_profile",  # last driver green: r0
+    "streaming_fk_gate",  # last driver green: r0
     "streaming_late_data_policy",  # last driver green: r6
     "streaming_session_windows",  # last driver green: r7
     "streaming_sliding_1h_15m",  # last driver green: r8
@@ -2628,8 +2684,6 @@ _GATE_HEAD = [
     "events_variant_props",  # last driver green: r6
     "fuzzy_customer_names",  # last driver green: r6
     "incremental_sales_rollup",  # last driver green: r6
-    "pipeline_compaction",  # last driver green: r6
-    "pipeline_partition_scan",  # last driver green: r6
 ]
 _GATE_TAIL = [
     "ann_index_health",  # last driver green: r10
@@ -2802,6 +2856,8 @@ _GATE_TAIL = [
     "text_model_quality",  # last driver green: r7
     "text_quality_sample",  # last driver green: r7
     "top_orders_per_customer",  # last driver green: r7
+    "pipeline_compaction",  # last driver green: r6
+    "pipeline_partition_scan",  # last driver green: r6
     "profile_documents",  # last driver green: r6
     "q10_returned_items",  # last driver green: r6
     "q12_ship_delay_classes",  # last driver green: r6

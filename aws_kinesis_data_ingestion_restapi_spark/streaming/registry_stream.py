@@ -1161,3 +1161,43 @@ def streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("scope")
     )
+
+
+def streaming_fk_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X175: STREAMING referential-integrity gate — X170's audit moved
+    to the intake boundary (the cheapest place to stop an orphan: an
+    order referencing a customer the dimension has never seen should
+    quarantine ON ARRIVAL, not surface as undercounted revenue in a
+    nightly audit): the replayed order stream probes the customer
+    dimension by a STREAM-STATIC LEFT ANTI join on the customer key —
+    stateless, the dimension broadcast — and every orphan emits as a
+    verdict row. The fixture CORRUPTS every 13th order's customer key
+    (+10M offset) so the orphan path is exercised deterministically;
+    double delivery collapses post-drain (the X115 replay contract).
+
+    Output: (order_id, customer_id) for every orphaned order."""
+    orders = analytics._t(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.when(
+            F.col("o_custkey") % 13 == 0,
+            F.col("o_custkey") + 10_000_000,
+        )
+        .otherwise(F.col("o_custkey"))
+        .alias("customer_id"),
+    )
+    stream, d = _replayed_stream(
+        spark,
+        base,
+        "order_id bigint, customer_id bigint",
+        2,
+        "stream_fk_",
+    )
+    dim = analytics._t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("customer_id")
+    )
+    orphans = stream.join(F.broadcast(dim), "customer_id", "left_anti")
+    drained = _drain(orphans, "append", "sfk", cleanup_dir=d)
+    return drained.select("order_id", "customer_id").distinct().orderBy(
+        "order_id"
+    )

@@ -64,6 +64,8 @@ MUST_ROTATE = [
     "corpus_delete_apply",         # X171 deletion propagation
     "events_attribution_positional", # X172 U-shaped multi-touch
     "events_seasonal_backtest",    # X173 forecast backtest
+    "events_lateness_profile",     # X174 watermark-delay evidence
+    "streaming_fk_gate",           # X175 streaming referential gate
     # --- round 11: streaming ts hardened via as_timestamp (impl change) ---
     "streaming_late_data_policy",
     "streaming_session_windows",
