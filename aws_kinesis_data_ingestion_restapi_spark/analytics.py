@@ -2940,6 +2940,66 @@ def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: X176 trim fraction in percent (exact integer rank arithmetic)
+TRIM_PCT = 5
+
+
+def events_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X176: exact per-group TRIMMED mean — the robust-stats family's
+    third member (X55 MAD flags outliers, X26 audits quantiles; the
+    trimmed mean is the robust location estimate dashboards actually
+    plot when heavy tails make the raw mean lie): per event type,
+    drop the bottom and top floor(5% · n) values by EXACT rank
+    (stable (value, event_id) order — no approximate percentile
+    boundary) and average the rest with the decimal-exact sum
+    contract, raw mean alongside for the tail-impact contrast.
+
+    Scale shape: one value-ordered window per group (the per-key rank
+    shape that parallelizes), integer rank filter, map-side-combined
+    decimal sums, one division per mean."""
+    from pyspark.sql.window import Window
+    from aws_kinesis_data_ingestion_restapi_spark.functions.exact import (
+        dsum,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = events.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    k = F.expr(f"n * {TRIM_PCT} DIV 100")
+    kept = ranked.filter(
+        (F.col("rk") > k) & (F.col("rk") <= F.col("n") - k)
+    )
+    raw = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        dsum(F.col("value"), scale=6, alias="_sum_raw"),
+    )
+    trimmed = kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        dsum(F.col("value"), scale=6, alias="_sum_trim"),
+    )
+    return (
+        raw.join(trimmed, "event_type")
+        .select(
+            "event_type",
+            F.col("n_total").cast("long").alias("n_total"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+            (
+                F.col("_sum_raw") / F.col("n_total").cast("double")
+            ).alias("mean_raw"),
+            (
+                F.col("_sum_trim") / F.col("n_kept").cast("double")
+            ).alias("mean_trimmed"),
+        )
+        .orderBy("event_type")
+    )
+
+
 EWMA_WINDOW_DAYS = 20  # trailing window; weights 2^19 .. 2^0
 
 

@@ -131,6 +131,66 @@ def events_user_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scale.join_key_skew(events, "user_id", top_n=10)
 
 
+#: X177 completeness-profile scope: table -> audited columns (one
+#: constant drives BOTH the Spark plan and the generated oracle)
+NULL_PROFILE_TABLES = {
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"],
+    "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+    "events": ["event_id", "ts", "user_id", "event_type", "value",
+               "props"],
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus",
+               "o_totalprice", "o_orderdate", "o_orderpriority"],
+}
+
+
+def warehouse_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X177: per-(table, column) COMPLETENESS profile — the first
+    table a data-quality review opens (a column that silently went
+    90% NULL after an upstream schema change passes every FK and
+    domain check; only the completeness profile catches it). One
+    single-pass aggregate per table (count(*) + one conditional sum
+    per column, all map-side combined), unpivoted to rows through an
+    array-of-structs explode — never a scan per column."""
+    out = None
+    for table, cols in NULL_PROFILE_TABLES.items():
+        df = load_table(spark, sf_dir, table)
+        agg = df.agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.sum(F.col(c).isNull().cast("long")).alias(f"_z{i}")
+                for i, c in enumerate(cols)
+            ],
+        )
+        rows = agg.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(table).alias("table_name"),
+                            F.lit(c).alias("column_name"),
+                            F.col("_n").cast("long").alias("n_rows"),
+                            F.coalesce(F.col(f"_z{i}"), F.lit(0))
+                            .cast("long")
+                            .alias("n_null"),
+                        )
+                        for i, c in enumerate(cols)
+                    ]
+                )
+            ).alias("e")
+        ).select("e.*")
+        out = rows if out is None else out.unionByName(rows)
+    return out.select(
+        "table_name",
+        "column_name",
+        "n_rows",
+        "n_null",
+        (
+            F.col("n_null").cast("double") / F.col("n_rows").cast("double")
+        ).alias("null_share"),
+    ).orderBy("table_name", "column_name")
+
+
 def warehouse_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X170: referential-integrity audit over the warehouse's declared
     FK edges — the cross-TABLE data-quality check X51's single-table
@@ -3779,6 +3839,7 @@ EXT_QUERY_FNS = {
     "text_pii_extract": text_pii_extract,
     "events_user_skew": events_user_skew,
     "warehouse_fk_audit": warehouse_fk_audit,
+    "warehouse_null_profile": warehouse_null_profile,
     "corpus_delete_apply": corpus_delete_apply,
     "text_pack_sequences": text_pack_sequences,
     "text_stratified_sample": text_stratified_sample,
@@ -8505,3 +8566,35 @@ EXT_ORACLE_SQL["corpus_delete_apply"] = f"""
     W=text.CHUNK_TOKENS,
     S=text.CHUNK_STRIDE,
 )
+
+
+# X177 completeness profile: one single-pass aggregate CTE per table,
+# unpivoted by UNION (generated from NULL_PROFILE_TABLES)
+def _null_profile_oracle() -> str:
+    ctes, rows = [], []
+    for table, cols in NULL_PROFILE_TABLES.items():
+        sums = ",\n               ".join(
+            f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS z{i}"
+            for i, c in enumerate(cols)
+        )
+        ctes.append(
+            f"a_{table} AS (\n        SELECT COUNT(*) AS n,"
+            f"\n               {sums}\n        FROM {table})"
+        )
+        for i, c in enumerate(cols):
+            rows.append(
+                f"    SELECT '{table}' AS table_name, '{c}' AS column_name,"
+                f"\n           CAST(n AS BIGINT) AS n_rows,"
+                f"\n           CAST(COALESCE(z{i}, 0) AS BIGINT) AS n_null,"
+                f"\n           CAST(COALESCE(z{i}, 0) AS DOUBLE)"
+                f" / CAST(n AS DOUBLE) AS null_share"
+                f"\n    FROM a_{table}"
+            )
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n"
+        + "\n    UNION ALL\n".join(rows)
+        + "\n    ORDER BY table_name, column_name"
+    )
+
+
+EXT_ORACLE_SQL["warehouse_null_profile"] = _null_profile_oracle()

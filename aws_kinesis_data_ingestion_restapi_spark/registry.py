@@ -513,6 +513,8 @@ QUERY_FNS: dict[str, QueryFn] = {
     "events_seasonal_backtest": analytics.events_seasonal_backtest,
     # X174 event-time disorder profile (two-level prefix max)
     "events_lateness_profile": analytics.events_lateness_profile,
+    # X176 exact trimmed mean (rank-trim, decimal-exact sums)
+    "events_trimmed_mean": analytics.events_trimmed_mean,
     # X133 leak-free EWMA-residual anomaly flags, 3×MAD band
     "events_anomaly_days": analytics.events_anomaly_days,
     "events_cusum_changepoint": analytics.events_cusum_changepoint,
@@ -701,6 +703,39 @@ ORACLE_SQL: dict[str, str] = {
     # (ns, event_id) — the stable secondary key pins tie order
     # cross-engine (round-5 ADVICE; same total order as the Spark
     # window in analytics.events_attribution)
+    # X176 trimmed mean: identical stable rank, integer trim bound,
+    # decimal-exact sums, one division per mean
+    "events_trimmed_mean": """
+        WITH ranked AS (
+            SELECT event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS rk,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+        ),
+        kept AS (
+            SELECT event_type, value FROM ranked
+            WHERE rk > n * 5 // 100 AND rk <= n - n * 5 // 100
+        ),
+        raw AS (
+            SELECT event_type, COUNT(*) AS n_total,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       AS s_raw
+            FROM events GROUP BY 1
+        ),
+        tr AS (
+            SELECT event_type, COUNT(*) AS n_kept,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       AS s_trim
+            FROM kept GROUP BY 1
+        )
+        SELECT raw.event_type, CAST(n_total AS BIGINT) AS n_total,
+               CAST(n_kept AS BIGINT) AS n_kept,
+               s_raw / CAST(n_total AS DOUBLE) AS mean_raw,
+               s_trim / CAST(n_kept AS DOUBLE) AS mean_trimmed
+        FROM raw JOIN tr USING (event_type)
+        ORDER BY event_type
+    """,
     # X175 streaming FK gate: the corrupted fixture's orphans by a
     # plain NOT IN — the anti join's exact semantics; double delivery
     # cannot add rows (post-drain DISTINCT)
@@ -2628,8 +2663,8 @@ ORACLE_SQL["streaming_value_quantiles"] = f"""
 # park stable, already-driver-verified, untouched baselines at the
 # tail, where falling past position 50 loses nothing.
 # --- BEGIN GENERATED GATE ORDER (scripts/gen_gate_head.py) ---
-# Window = 19 never-driver-checked additions + 14 changed
-# entries + the 17 stalest driver greens (last green in
+# Window = 21 never-driver-checked additions + 14 changed
+# entries + the 15 stalest driver greens (last green in
 # round(s) [6], from CORRECTNESS_r*.json). Regenerate with
 #   python scripts/gen_gate_head.py
 # (pytest runs --check; hand-edits here go stale and FAIL).
@@ -2660,6 +2695,8 @@ _GATE_HEAD = [
     "events_seasonal_backtest",  # last driver green: r0
     "events_lateness_profile",  # last driver green: r0
     "streaming_fk_gate",  # last driver green: r0
+    "events_trimmed_mean",  # last driver green: r0
+    "warehouse_null_profile",  # last driver green: r0
     "streaming_late_data_policy",  # last driver green: r6
     "streaming_session_windows",  # last driver green: r7
     "streaming_sliding_1h_15m",  # last driver green: r8
@@ -2682,8 +2719,6 @@ _GATE_HEAD = [
     "events_type_value_quantiles",  # last driver green: r6
     "events_value_histogram",  # last driver green: r6
     "events_variant_props",  # last driver green: r6
-    "fuzzy_customer_names",  # last driver green: r6
-    "incremental_sales_rollup",  # last driver green: r6
 ]
 _GATE_TAIL = [
     "ann_index_health",  # last driver green: r10
@@ -2856,6 +2891,8 @@ _GATE_TAIL = [
     "text_model_quality",  # last driver green: r7
     "text_quality_sample",  # last driver green: r7
     "top_orders_per_customer",  # last driver green: r7
+    "fuzzy_customer_names",  # last driver green: r6
+    "incremental_sales_rollup",  # last driver green: r6
     "pipeline_compaction",  # last driver green: r6
     "pipeline_partition_scan",  # last driver green: r6
     "profile_documents",  # last driver green: r6

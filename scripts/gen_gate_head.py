@@ -66,6 +66,8 @@ MUST_ROTATE = [
     "events_seasonal_backtest",    # X173 forecast backtest
     "events_lateness_profile",     # X174 watermark-delay evidence
     "streaming_fk_gate",           # X175 streaming referential gate
+    "events_trimmed_mean",         # X176 exact rank-trimmed mean
+    "warehouse_null_profile",      # X177 completeness profile
     # --- round 11: streaming ts hardened via as_timestamp (impl change) ---
     "streaming_late_data_policy",
     "streaming_session_windows",
