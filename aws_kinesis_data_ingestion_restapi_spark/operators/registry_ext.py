@@ -3632,6 +3632,64 @@ def _ensemble_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def quality_scorer_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X178: quality-scorer AGREEMENT audit — the X95 cross-signal
+    discipline applied to the QUALITY family (X125 sums three scorers
+    into an ensemble; this measures whether they actually agree, the
+    number that decides if a scorer is redundant or catching junk the
+    others miss): Pearson r between each PAIR of normalized signals
+    (heuristic X9 / hashed-linear X98 / bigram-LM X119), computed
+    from exact integer sufficient statistics over the session-cached
+    ensemble frame (signals are already 0..10⁶ ints there) — sums in
+    decimal(38) so the audit survives any corpus size, one
+    sqrt-formula double per pair (IEEE sqrt is correctly rounded,
+    the X82 precedent)."""
+    ens = _ensemble_scores(spark, sf_dir)
+    pairs = [
+        ("heur_vs_model", "q_heur", "q_model"),
+        ("heur_vs_lm", "q_heur", "q_lm"),
+        ("model_vs_lm", "q_model", "q_lm"),
+    ]
+    out = None
+    for name, xc, yc in pairs:
+        x, y = F.col(xc), F.col(yc)
+        d38 = "decimal(38,0)"
+        per = ens.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x.cast(d38)).alias("sx"),
+            F.sum(y.cast(d38)).alias("sy"),
+            F.sum((x * x).cast(d38)).alias("sxx"),
+            F.sum((y * y).cast(d38)).alias("syy"),
+            F.sum((x * y).cast(d38)).alias("sxy"),
+        )
+        row = per.select(
+            F.lit(name).alias("pair"),
+            F.col("n").cast("long").alias("n_docs"),
+            (
+                (
+                    F.col("n").cast("double") * F.col("sxy").cast("double")
+                    - F.col("sx").cast("double") * F.col("sy").cast("double")
+                )
+                / (
+                    F.sqrt(
+                        F.col("n").cast("double")
+                        * F.col("sxx").cast("double")
+                        - F.col("sx").cast("double")
+                        * F.col("sx").cast("double")
+                    )
+                    * F.sqrt(
+                        F.col("n").cast("double")
+                        * F.col("syy").cast("double")
+                        - F.col("sy").cast("double")
+                        * F.col("sy").cast("double")
+                    )
+                )
+            ).alias("pearson_r"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("pair")
+
+
 CHUNK_UID_MOD = 1024  # chunk uid = doc_id·1024 + chunk_idx
 
 
@@ -3865,6 +3923,7 @@ EXT_QUERY_FNS = {
     "emb_anisotropy_audit": emb_anisotropy_audit,
     "text_bpe_fertility": text_bpe_fertility,
     "text_quality_ensemble": text_quality_ensemble,
+    "quality_scorer_agreement": quality_scorer_agreement,
     "dedup_chunks_exact": dedup_chunks_exact,
     "corpus_curriculum_plan": corpus_curriculum_plan,
     "dedup_source_matrix": dedup_source_matrix,
@@ -8598,3 +8657,44 @@ def _null_profile_oracle() -> str:
 
 
 EXT_ORACLE_SQL["warehouse_null_profile"] = _null_profile_oracle()
+
+
+# X178 scorer agreement: the ensemble oracle's normalized signals,
+# exact HUGEINT sufficient stats, the X82 sqrt-formula double
+def _scorer_agreement_oracle() -> str:
+    stanzas = []
+    for name, xc, yc in (
+        ("heur_vs_model", "q_heur", "q_model"),
+        ("heur_vs_lm", "q_heur", "q_lm"),
+        ("model_vs_lm", "q_model", "q_lm"),
+    ):
+        stanzas.append(
+            f"""    SELECT '{name}' AS pair,
+           CAST(n AS BIGINT) AS n_docs,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               AS pearson_r
+    FROM (
+        SELECT COUNT(*) AS n,
+               SUM(CAST({xc} AS HUGEINT)) AS sx,
+               SUM(CAST({yc} AS HUGEINT)) AS sy,
+               SUM(CAST({xc} AS HUGEINT) * CAST({xc} AS HUGEINT)) AS sxx,
+               SUM(CAST({yc} AS HUGEINT) * CAST({yc} AS HUGEINT)) AS syy,
+               SUM(CAST({xc} AS HUGEINT) * CAST({yc} AS HUGEINT)) AS sxy
+        FROM ens
+    )"""
+        )
+    return (
+        'WITH ens AS MATERIALIZED ('
+        + EXT_ORACLE_SQL["text_quality_ensemble"]
+        + ")\n"
+        + "\n    UNION ALL\n".join(stanzas)
+        + "\n    ORDER BY pair"
+    )
+
+
+EXT_ORACLE_SQL["quality_scorer_agreement"] = _scorer_agreement_oracle()

@@ -2663,8 +2663,8 @@ ORACLE_SQL["streaming_value_quantiles"] = f"""
 # park stable, already-driver-verified, untouched baselines at the
 # tail, where falling past position 50 loses nothing.
 # --- BEGIN GENERATED GATE ORDER (scripts/gen_gate_head.py) ---
-# Window = 21 never-driver-checked additions + 14 changed
-# entries + the 15 stalest driver greens (last green in
+# Window = 22 never-driver-checked additions + 14 changed
+# entries + the 14 stalest driver greens (last green in
 # round(s) [6], from CORRECTNESS_r*.json). Regenerate with
 #   python scripts/gen_gate_head.py
 # (pytest runs --check; hand-edits here go stale and FAIL).
@@ -2697,6 +2697,7 @@ _GATE_HEAD = [
     "streaming_fk_gate",  # last driver green: r0
     "events_trimmed_mean",  # last driver green: r0
     "warehouse_null_profile",  # last driver green: r0
+    "quality_scorer_agreement",  # last driver green: r0
     "streaming_late_data_policy",  # last driver green: r6
     "streaming_session_windows",  # last driver green: r7
     "streaming_sliding_1h_15m",  # last driver green: r8
@@ -2718,7 +2719,6 @@ _GATE_HEAD = [
     "events_type_mode",  # last driver green: r6
     "events_type_value_quantiles",  # last driver green: r6
     "events_value_histogram",  # last driver green: r6
-    "events_variant_props",  # last driver green: r6
 ]
 _GATE_TAIL = [
     "ann_index_health",  # last driver green: r10
@@ -2891,6 +2891,7 @@ _GATE_TAIL = [
     "text_model_quality",  # last driver green: r7
     "text_quality_sample",  # last driver green: r7
     "top_orders_per_customer",  # last driver green: r7
+    "events_variant_props",  # last driver green: r6
     "fuzzy_customer_names",  # last driver green: r6
     "incremental_sales_rollup",  # last driver green: r6
     "pipeline_compaction",  # last driver green: r6

@@ -281,6 +281,28 @@ ANALYTICS_QUERIES = [
     "streaming_sliding_1h_15m",
     "streaming_drift_tvd",
     "streaming_value_quantiles",
+    # --- round 11 additions ---
+    "streaming_er_delta",
+    "docs_hll_distinct_audit",
+    "mm_video_near_dup",
+    "customers_k_generalize",
+    "retrieval_mmr_topk",
+    "corpus_funnel_by_source",
+    "events_hll_users_daily",
+    "streaming_hll_users",
+    "mm_canonical_media",
+    "retrieval_known_item_eval",
+    "retrieval_eval_mrr",
+    "text_pii_extract",
+    "events_user_skew",
+    "warehouse_fk_audit",
+    "corpus_delete_apply",
+    "events_attribution_positional",
+    "events_seasonal_backtest",
+    "events_lateness_profile",
+    "streaming_fk_gate",
+    "events_trimmed_mean",
+    "warehouse_null_profile",
 ]
 
 
@@ -307,6 +329,28 @@ BENCH_KEY_ALIASES = {
     # round-8: the five previously-unaliased names + sales_cube, to
     # keep the compact line <=1900 chars after this round's new
     # queries (rename mapping in BENCH_NOTES "alias renames").
+    # round-11 additions (1:1, final line only)
+    "streaming_er_delta": "ser",
+    "docs_hll_distinct_audit": "hda",
+    "mm_video_near_dup": "vnd",
+    "customers_k_generalize": "kgn",
+    "retrieval_mmr_topk": "mmr",
+    "corpus_funnel_by_source": "fns",
+    "events_hll_users_daily": "hud",
+    "streaming_hll_users": "shl",
+    "mm_canonical_media": "cnm",
+    "retrieval_known_item_eval": "kie",
+    "retrieval_eval_mrr": "mrr",
+    "text_pii_extract": "pix",
+    "events_user_skew": "usk",
+    "warehouse_fk_audit": "fka",
+    "corpus_delete_apply": "dla",
+    "events_attribution_positional": "atp",
+    "events_seasonal_backtest": "snb",
+    "events_lateness_profile": "ltp",
+    "streaming_fk_gate": "sfg",
+    "events_trimmed_mean": "trm",
+    "warehouse_null_profile": "nlp",
     "ref_country": "rfk",
     "ref_products": "rfp",
     "ref_clients": "rfc",
@@ -428,7 +472,7 @@ BENCH_KEY_ALIASES = {
     "text_tokenizer_compare": "tkc",
     "docs_split_leakage_audit": "slk",
     "sketch_accuracy_audit": "ska",
-    "corpus_funnel_report": "fnl",
+    "corpus_funnel_report": "cfr",  # was "fnl" (collided with events_funnel)
     "customers_k_anonymity": "kan",
     "scd2_point_in_time": "pit",
     "text_phrase_search": "phr",

@@ -58,3 +58,33 @@ def test_registry_is_fully_oracle_paired():
     q = set(entry.queries())
     o = set(entry.oracle_sql())
     assert q == o, f"unpaired: queries-only={sorted(q - o)}, oracle-only={sorted(o - q)}"
+
+
+def test_bench_covers_every_registry_query_and_aliases_are_unique():
+    """Round-11 guard: bench.py's ANALYTICS_QUERIES is hand-grown and
+    went silently incomplete once (21 new queries missing) and its
+    compact-line aliases once COLLIDED (corpus_funnel_report and
+    events_funnel both "fnl", so the driver-parsed line dropped one
+    timing). Pin both invariants: every registry query outside the
+    dedicated ETL/Athena bench phases is listed, aliases are 1:1, and
+    no alias shadows a real query name."""
+    import bench
+    from aws_kinesis_data_ingestion_restapi_spark.registry import QUERY_FNS
+
+    missing = [
+        n
+        for n in QUERY_FNS
+        if n not in bench.ANALYTICS_QUERIES
+        and not n.startswith("pipeline_")
+        and not n.startswith("ref_")
+        and n != "emb_near_dup"
+    ]
+    assert not missing, f"queries not benched: {missing}"
+    unknown = [
+        n for n in bench.ANALYTICS_QUERIES if n not in QUERY_FNS
+    ]
+    assert not unknown, f"benched but not registered: {unknown}"
+    vals = list(bench.BENCH_KEY_ALIASES.values())
+    dupes = [v for v in set(vals) if vals.count(v) > 1]
+    assert not dupes, f"alias collisions: {dupes}"
+    assert not [v for v in vals if v in QUERY_FNS]
