@@ -8698,3 +8698,16 @@ def _scorer_agreement_oracle() -> str:
 
 
 EXT_ORACLE_SQL["quality_scorer_agreement"] = _scorer_agreement_oracle()
+
+
+# X179 streaming decontamination: the batch contamination oracle's
+# rows restricted to the delta universe — per-doc rows are
+# independent, so the filter IS the streaming verdict set; the
+# double-delivered fixture cannot add rows (post-drain DISTINCT)
+EXT_ORACLE_SQL["streaming_decontamination_gate"] = f"""
+    WITH full_report AS ({EXT_ORACLE_SQL["dedup_contamination"]})
+    SELECT doc_id, n_hit_grams, n_benchmark_docs
+    FROM full_report
+    WHERE doc_id % 10 >= {_DELTA_PCT}
+    ORDER BY doc_id
+"""

@@ -535,6 +535,7 @@ QUERY_FNS: dict[str, QueryFn] = {
 # deliveries identical), and running totals drain to exactly 2× the
 # per-customer batch aggregate — so both get full ORACLE_SQL entries.
 from aws_kinesis_data_ingestion_restapi_spark.streaming.registry_stream import (  # noqa: E402
+    streaming_decontamination_gate,
     streaming_dedup_delta,
     streaming_dedup_replay,
     streaming_er_delta,
@@ -560,6 +561,7 @@ QUERY_FNS["streaming_dedup_delta"] = streaming_dedup_delta
 QUERY_FNS["streaming_er_delta"] = streaming_er_delta
 QUERY_FNS["streaming_hll_users"] = streaming_hll_users
 QUERY_FNS["streaming_fk_gate"] = streaming_fk_gate
+QUERY_FNS["streaming_decontamination_gate"] = streaming_decontamination_gate
 QUERY_FNS["streaming_running_totals_final"] = streaming_running_totals_final
 QUERY_FNS["streaming_enriched_nation_totals"] = streaming_enriched_nation_totals
 QUERY_FNS["streaming_payment_match"] = streaming_payment_match
@@ -2663,8 +2665,8 @@ ORACLE_SQL["streaming_value_quantiles"] = f"""
 # park stable, already-driver-verified, untouched baselines at the
 # tail, where falling past position 50 loses nothing.
 # --- BEGIN GENERATED GATE ORDER (scripts/gen_gate_head.py) ---
-# Window = 22 never-driver-checked additions + 14 changed
-# entries + the 14 stalest driver greens (last green in
+# Window = 23 never-driver-checked additions + 14 changed
+# entries + the 13 stalest driver greens (last green in
 # round(s) [6], from CORRECTNESS_r*.json). Regenerate with
 #   python scripts/gen_gate_head.py
 # (pytest runs --check; hand-edits here go stale and FAIL).
@@ -2698,6 +2700,7 @@ _GATE_HEAD = [
     "events_trimmed_mean",  # last driver green: r0
     "warehouse_null_profile",  # last driver green: r0
     "quality_scorer_agreement",  # last driver green: r0
+    "streaming_decontamination_gate",  # last driver green: r0
     "streaming_late_data_policy",  # last driver green: r6
     "streaming_session_windows",  # last driver green: r7
     "streaming_sliding_1h_15m",  # last driver green: r8
@@ -2718,7 +2721,6 @@ _GATE_HEAD = [
     "events_sessionization",  # last driver green: r6
     "events_type_mode",  # last driver green: r6
     "events_type_value_quantiles",  # last driver green: r6
-    "events_value_histogram",  # last driver green: r6
 ]
 _GATE_TAIL = [
     "ann_index_health",  # last driver green: r10
@@ -2891,6 +2893,7 @@ _GATE_TAIL = [
     "text_model_quality",  # last driver green: r7
     "text_quality_sample",  # last driver green: r7
     "top_orders_per_customer",  # last driver green: r7
+    "events_value_histogram",  # last driver green: r6
     "events_variant_props",  # last driver green: r6
     "fuzzy_customer_names",  # last driver green: r6
     "incremental_sales_rollup",  # last driver green: r6

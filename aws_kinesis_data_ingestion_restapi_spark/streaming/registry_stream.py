@@ -1201,3 +1201,68 @@ def streaming_fk_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drained.select("order_id", "customer_id").distinct().orderBy(
         "order_id"
     )
+
+
+def streaming_decontamination_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X179: STREAMING decontamination — the third stream-static probe
+    (dedup X115, ER X157, FK X175) and the deployment shape of X5/
+    X122: newly arriving documents are checked for benchmark n-gram
+    overlap ON ARRIVAL (the eval-leak gate belongs at the intake — a
+    contaminated doc that reaches the training corpus costs a
+    re-crawl of the decontamination audit), by exploding each delta
+    doc's hashed 5-grams map-side (pure projections — the 28-bit
+    int-gram arithmetic X5 uses) and probing the BROADCAST distinct
+    benchmark gram set; every (doc, gram, bench_doc) hit emits,
+    stateless. Post-drain, double-delivery duplicates collapse and
+    the per-doc verdict aggregates exactly the batch report's
+    columns — pinned row-identical to contamination_report's delta
+    rows in the oracle.
+
+    Output: (doc_id, n_hit_grams, n_benchmark_docs) per contaminated
+    delta document."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import dedup
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        _DELTA_PCT,
+        _docs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") < 25)
+    bgrams = (
+        dedup.tokenized(bench)
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.explode(
+                dedup.hashed_ngrams(5, F.col("_toks"))
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    delta = docs.filter(F.col("doc_id") % 10 >= _DELTA_PCT).select(
+        "doc_id", "text"
+    )
+    stream, d = _replayed_stream(
+        spark, delta, "doc_id bigint, text string", 2, "stream_dcg_"
+    )
+    sgrams = stream.select(
+        "doc_id",
+        F.explode(
+            dedup.hashed_ngrams(5, dedup.tokens_col())
+        ).alias("gram"),
+    )
+    hits = sgrams.join(F.broadcast(bgrams), "gram").select(
+        "doc_id", "gram", "bench_id"
+    )
+    drained = _drain(hits, "append", "sdcg", cleanup_dir=d)
+    return (
+        drained.distinct()
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").cast("long").alias("n_hit_grams"),
+            F.countDistinct("bench_id")
+            .cast("long")
+            .alias("n_benchmark_docs"),
+        )
+        .filter(F.col("n_hit_grams") >= 1)
+        .orderBy("doc_id")
+    )

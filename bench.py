@@ -303,6 +303,8 @@ ANALYTICS_QUERIES = [
     "streaming_fk_gate",
     "events_trimmed_mean",
     "warehouse_null_profile",
+    "quality_scorer_agreement",
+    "streaming_decontamination_gate",
 ]
 
 
@@ -351,6 +353,8 @@ BENCH_KEY_ALIASES = {
     "streaming_fk_gate": "sfg",
     "events_trimmed_mean": "trm",
     "warehouse_null_profile": "nlp",
+    "quality_scorer_agreement": "qsa",
+    "streaming_decontamination_gate": "sdg",
     "ref_country": "rfk",
     "ref_products": "rfp",
     "ref_clients": "rfc",
@@ -705,14 +709,49 @@ def main() -> None:
         if len(line) <= 1990:
             break
     else:
-        # even deciseconds overflowed (pathological run): emit the
-        # headline WITHOUT per-query detail rather than an oversized
-        # line the driver's last-2000-chars capture would clip
-        # mid-JSON — a parseable summary beats unparseable detail,
-        # and the verbose line above still carries every timing.
+        # even deciseconds overflowed (the registry outgrew the
+        # driver's last-2000-chars capture at ~235 entries, round 11):
+        # emit the SLOWEST entries that fit plus an explicit omission
+        # marker — partial, honestly-labeled per-query detail beats an
+        # empty dict, and the verbose line above still carries every
+        # timing for local reading. Greedy by cost so the entries a
+        # perf review needs are exactly the ones that survive.
+        ranked = sorted(timings.items(), key=lambda kv: -kv[1])
+        kept: dict = {}
+        for k, v in ranked:
+            trial = dict(kept)
+            trial[BENCH_KEY_ALIASES.get(k, k)] = int(round(v * 10))
+            line = json.dumps(
+                {
+                    "metric": "wall",
+                    "value": total,
+                    "unit": "sec",
+                    "qunit": "ds",
+                    "n_omitted": len(timings) - len(trial),
+                    "omitted_total_ds": int(
+                        round(sum(x for _, x in ranked[len(trial):]) * 10)
+                    ),
+                    "queries": trial,
+                    "sf": sf,
+                },
+                separators=(",", ":"),
+            )
+            if len(line) > 1990:
+                break
+            kept = trial
         line = json.dumps(
-            {"metric": "wall", "value": total, "unit": "sec",
-             "queries": {}, "sf": sf},
+            {
+                "metric": "wall",
+                "value": total,
+                "unit": "sec",
+                "qunit": "ds",
+                "n_omitted": len(timings) - len(kept),
+                "omitted_total_ds": int(
+                    round(sum(x for _, x in ranked[len(kept):]) * 10)
+                ),
+                "queries": kept,
+                "sf": sf,
+            },
             separators=(",", ":"),
         )
     print(line)

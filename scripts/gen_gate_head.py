@@ -69,6 +69,7 @@ MUST_ROTATE = [
     "events_trimmed_mean",         # X176 exact rank-trimmed mean
     "warehouse_null_profile",      # X177 completeness profile
     "quality_scorer_agreement",    # X178 scorer agreement (Pearson)
+    "streaming_decontamination_gate",  # X179 streaming decontamination
     # --- round 11: streaming ts hardened via as_timestamp (impl change) ---
     "streaming_late_data_policy",
     "streaming_session_windows",

@@ -753,3 +753,36 @@ def test_streaming_er_delta_matches_batch_and_stays_stateless(spark):
     for did, r in out.items():
         if r.matched and did < 20_000_000:
             assert (did, r.entity_custkey) in x144, did
+
+
+def test_streaming_decontamination_matches_batch_delta_rows(spark):
+    """X179 ≡ X5 on the delta universe: the streaming gate's verdicts
+    (drained under double delivery) must equal contamination_report's
+    rows for delta documents exactly — same docs, same distinct-gram
+    and benchmark-doc counts — and the fixture must exercise at least
+    one contaminated delta doc."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import dedup
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        _DELTA_PCT,
+        _docs,
+    )
+    from aws_kinesis_data_ingestion_restapi_spark.streaming.registry_stream import (
+        streaming_decontamination_gate,
+    )
+
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    s = {
+        r.doc_id: (r.n_hit_grams, r.n_benchmark_docs)
+        for r in streaming_decontamination_gate(spark, sf).collect()
+    }
+    docs = _docs(spark, sf)
+    bench = docs.filter(F.col("doc_id") < 25)
+    b = {
+        r.doc_id: (r.n_hit_grams, r.n_benchmark_docs)
+        for r in dedup.contamination_report(docs, bench).collect()
+        if r.doc_id % 10 >= _DELTA_PCT
+    }
+    assert s == b
+    assert s, "fixture must contaminate at least one delta doc"
