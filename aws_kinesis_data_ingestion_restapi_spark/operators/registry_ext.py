@@ -3632,6 +3632,51 @@ def _ensemble_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def events_cms_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X181: the COUNT sketch's deployment shape — per-DAY Count-Min
+    cells merged to a range sketch (cell-wise SUM — sketch.cms_merge),
+    completing the mergeability trilogy: quantiles (X91), distincts
+    (X158/X163), now frequencies. Each day's job persists depth×width
+    counters; any range's heavy-hitter estimates come from the SUMMED
+    cells without re-reading the stream. As in X163, the value-hash
+    gate IS the cross-engine merge proof: Spark's estimates probe the
+    merged daily cells while the oracle builds the range sketch
+    DIRECTLY over all events — equal only because merge ≡ direct
+    (counter-sum associativity, also unit-pinned). Estimates audited
+    against exact counts with the CM overestimate (≥ 0 by theorem,
+    pinned in pytest)."""
+    from aws_kinesis_data_ingestion_restapi_spark.functions.exact import (
+        as_timestamp,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    keyed = events.select(
+        as_timestamp(events, "ts").cast("date").cast("string").alias(
+            "day"
+        ),
+        F.col("user_id").cast("string").alias("item"),
+    )
+    daily_cells = sketch.cms_cells(keyed, group_cols=["day"])
+    merged = sketch.cms_merge(daily_cells.select("d", "c", "n"))
+    candidates = keyed.select("item").distinct()
+    est = sketch.cms_probe(merged, candidates)
+    exact = keyed.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    return (
+        est.join(exact, "item")
+        .select(
+            F.col("item").alias("user_id"),
+            "cm_estimate",
+            "exact_count",
+            (F.col("cm_estimate") - F.col("exact_count"))
+            .cast("long")
+            .alias("overestimate"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def quality_scorer_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X178: quality-scorer AGREEMENT audit — the X95 cross-signal
     discipline applied to the QUALITY family (X125 sums three scorers
@@ -3924,6 +3969,7 @@ EXT_QUERY_FNS = {
     "text_bpe_fertility": text_bpe_fertility,
     "text_quality_ensemble": text_quality_ensemble,
     "quality_scorer_agreement": quality_scorer_agreement,
+    "events_cms_users_daily": events_cms_users_daily,
     "dedup_chunks_exact": dedup_chunks_exact,
     "corpus_curriculum_plan": corpus_curriculum_plan,
     "dedup_source_matrix": dedup_source_matrix,
@@ -8710,4 +8756,41 @@ EXT_ORACLE_SQL["streaming_decontamination_gate"] = f"""
     FROM full_report
     WHERE doc_id % 10 >= {_DELTA_PCT}
     ORDER BY doc_id
+"""
+
+
+# X181 CMS daily merge: the oracle builds the range sketch DIRECTLY
+# over all events (no day split) — hash-equal to Spark's merged daily
+# cells only because counter-sum merge ≡ direct
+EXT_ORACLE_SQL["events_cms_users_daily"] = """
+    WITH occ AS (
+        SELECT CAST(user_id AS VARCHAR) AS item FROM events
+    ),
+    cells AS (
+        SELECT dd.d,
+               CAST(concat('0x', substr(md5(CAST(dd.d AS VARCHAR) || ':'
+                    || item), 1, 7)) AS BIGINT) % 256 AS c,
+               COUNT(*) AS n
+        FROM occ, (SELECT unnest(generate_series(0, 3)) AS d) dd
+        GROUP BY 1, 2
+    ),
+    cand AS (SELECT DISTINCT item FROM occ),
+    est AS (
+        SELECT e.item, CAST(MIN(c2.n) AS BIGINT) AS cm_estimate
+        FROM cand e,
+             (SELECT unnest(generate_series(0, 3)) AS d) dd
+        JOIN cells c2
+          ON c2.d = dd.d
+         AND c2.c = CAST(concat('0x', substr(md5(CAST(dd.d AS VARCHAR)
+                    || ':' || e.item), 1, 7)) AS BIGINT) % 256
+        GROUP BY 1
+    ),
+    ex AS (
+        SELECT item, CAST(COUNT(*) AS BIGINT) AS exact_count
+        FROM occ GROUP BY 1
+    )
+    SELECT est.item AS user_id, cm_estimate, exact_count,
+           CAST(cm_estimate - exact_count AS BIGINT) AS overestimate
+    FROM est JOIN ex USING (item)
+    ORDER BY user_id
 """

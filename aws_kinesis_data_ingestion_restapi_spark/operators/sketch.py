@@ -83,31 +83,82 @@ def countmin_estimates(
 
     ``items``: one row per occurrence. ``candidates``: the items to
     estimate (small — e.g. the exact top-k being audited)."""
+    cells = cms_cells(items, item_col=item_col, depth=depth, width=width)
+    return cms_probe(
+        cells, candidates, item_col=item_col, depth=depth, width=width
+    )
+
+
+def _cms_cell(d: int, col: Column, width: int) -> Column:
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(str(d) + ":"), col)), 1, 7), 16, 10
+    ).cast("long")
+    return h % width
+
+
+def cms_cells(
+    items: DataFrame,
+    group_cols: list[str] | None = None,
+    item_col: str = "item",
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """The Count-Min SKETCH itself as a frame — (group_cols..., d, c,
+    n) counter cells, factored out of :func:`countmin_estimates` so
+    per-key (per-day, per-source) sketches can be built, PERSISTED,
+    and MERGED (:func:`cms_merge`): counters are sums, so summaries
+    combine across days/clusters by cell-wise addition — the X91/X158
+    re-aggregability contract for the counting family. One scan; the
+    ×depth fan-out is a map-side explode."""
     it = F.col(item_col)
-
-    def cell(d: int, col: Column) -> Column:
-        h = F.conv(
-            F.substring(F.md5(F.concat(F.lit(str(d) + ":"), col)), 1, 7), 16, 10
-        ).cast("long")
-        return h % width
-
-    # one scan of the occurrence stream; the ×depth fan-out is a
-    # map-side explode of (row, counter) structs, not repeated scans
+    gc = list(group_cols or [])
     flat = items.select(
+        *gc,
         F.explode(
             F.array(*[
-                F.struct(F.lit(d).alias("d"), cell(d, it).alias("c"))
+                F.struct(
+                    F.lit(d).alias("d"),
+                    _cms_cell(d, it, width).alias("c"),
+                )
                 for d in range(depth)
             ])
-        ).alias("dc")
-    ).select(F.col("dc.d").alias("d"), F.col("dc.c").alias("c"))
-    cells = flat.groupBy("d", "c").agg(F.count(F.lit(1)).alias("n"))
+        ).alias("dc"),
+    ).select(*gc, F.col("dc.d").alias("d"), F.col("dc.c").alias("c"))
+    return flat.groupBy(*gc, "d", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
 
+
+def cms_merge(*cell_frames: DataFrame) -> DataFrame:
+    """Merge Count-Min cell frames by cell-wise SUM (drop any group
+    columns first to merge across them) — associative and
+    commutative, so daily sketches roll up to any range without
+    re-reading the stream."""
+    it = iter(cell_frames)
+    u = next(it)
+    for f in it:
+        u = u.unionByName(f)
+    return u.groupBy("d", "c").agg(F.sum("n").cast("long").alias("n"))
+
+
+def cms_probe(
+    cells: DataFrame,
+    candidates: DataFrame,
+    item_col: str = "item",
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Estimate candidate frequencies against a (d, c, n) cell frame:
+    min over the candidate's depth counters."""
+    it = F.col(item_col)
     cand_cells = candidates.select(
         it.alias("item"),
         F.explode(
             F.array(*[
-                F.struct(F.lit(d).alias("d"), cell(d, it).alias("c"))
+                F.struct(
+                    F.lit(d).alias("d"),
+                    _cms_cell(d, it, width).alias("c"),
+                )
                 for d in range(depth)
             ])
         ).alias("dc"),

@@ -518,6 +518,8 @@ QUERY_FNS: dict[str, QueryFn] = {
     # X133 leak-free EWMA-residual anomaly flags, 3×MAD band
     "events_anomaly_days": analytics.events_anomaly_days,
     "events_cusum_changepoint": analytics.events_cusum_changepoint,
+    # X180 per-user CUSUM changepoints (entity-grain closed form)
+    "events_user_cusum": analytics.events_user_cusum,
     # Pareto / ABC classification (integer fixed-point boundaries)
     "parts_abc_analysis": analytics.parts_abc_analysis,
     # market-basket lift (order-key-bounded co-occurrence self-join)
@@ -705,6 +707,68 @@ ORACLE_SQL: dict[str, str] = {
     # (ns, event_id) — the stable secondary key pins tie order
     # cross-engine (round-5 ADVICE; same total order as the Spark
     # window in analytics.events_attribution)
+    # X180 per-user CUSUM: X138's exact expressions with user-
+    # partitioned windows (per-user baseline via conditional window
+    # sums, closed-form S, first-alarm flag)
+    "events_user_cusum": """
+        WITH daily AS (
+            SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        idx AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY day) AS i
+            FROM daily
+        ),
+        en AS (
+            SELECT user_id, day, n, i,
+                   CAST(SUM(CASE WHEN i <= 14 THEN n END)
+                        OVER (PARTITION BY user_id) AS BIGINT) AS sum_b,
+                   COUNT(CASE WHEN i <= 14 THEN 1 END)
+                        OVER (PARTITION BY user_id) AS d_b
+            FROM idx
+        ),
+        z AS (
+            SELECT user_id, day, n, sum_b,
+                   n * d_b - sum_b - (sum_b // 10) AS zpos,
+                   sum_b - n * d_b - (sum_b // 10) AS zneg
+            FROM en WHERE i > d_b
+        ),
+        p AS (
+            SELECT user_id, day, n, sum_b,
+                   SUM(zpos) OVER w AS ppos,
+                   SUM(zneg) OVER w AS pneg
+            FROM z
+            WINDOW w AS (PARTITION BY user_id ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)
+        ),
+        s AS (
+            SELECT user_id, day, n, sum_b,
+                   CAST(ppos - LEAST(0, MIN(ppos) OVER w) AS BIGINT)
+                       AS s_pos,
+                   CAST(pneg - LEAST(0, MIN(pneg) OVER w) AS BIGINT)
+                       AS s_neg
+            FROM p
+            WINDOW w AS (PARTITION BY user_id ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)
+        ),
+        a AS (
+            SELECT user_id, day, CAST(n AS BIGINT) AS n_events,
+                   s_pos, s_neg,
+                   (s_pos > sum_b OR s_neg > sum_b) AS alarm
+            FROM s
+        )
+        SELECT user_id, day, n_events, s_pos, s_neg, alarm,
+               alarm AND COALESCE(SUM(CASE WHEN alarm THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) = 0
+                   AS is_changepoint
+        FROM a ORDER BY user_id, day
+    """,
     # X176 trimmed mean: identical stable rank, integer trim bound,
     # decimal-exact sums, one division per mean
     "events_trimmed_mean": """
@@ -2665,8 +2729,8 @@ ORACLE_SQL["streaming_value_quantiles"] = f"""
 # park stable, already-driver-verified, untouched baselines at the
 # tail, where falling past position 50 loses nothing.
 # --- BEGIN GENERATED GATE ORDER (scripts/gen_gate_head.py) ---
-# Window = 23 never-driver-checked additions + 14 changed
-# entries + the 13 stalest driver greens (last green in
+# Window = 25 never-driver-checked additions + 15 changed
+# entries + the 10 stalest driver greens (last green in
 # round(s) [6], from CORRECTNESS_r*.json). Regenerate with
 #   python scripts/gen_gate_head.py
 # (pytest runs --check; hand-edits here go stale and FAIL).
@@ -2701,6 +2765,9 @@ _GATE_HEAD = [
     "warehouse_null_profile",  # last driver green: r0
     "quality_scorer_agreement",  # last driver green: r0
     "streaming_decontamination_gate",  # last driver green: r0
+    "events_user_cusum",  # last driver green: r0
+    "events_cms_users_daily",  # last driver green: r0
+    "sketch_heavy_hitters",  # last driver green: r7
     "streaming_late_data_policy",  # last driver green: r6
     "streaming_session_windows",  # last driver green: r7
     "streaming_sliding_1h_15m",  # last driver green: r8
@@ -2718,9 +2785,6 @@ _GATE_HEAD = [
     "emb_near_dup",  # last driver green: r6
     "emb_near_dup_lsh",  # last driver green: r6
     "events_attribution",  # last driver green: r6
-    "events_sessionization",  # last driver green: r6
-    "events_type_mode",  # last driver green: r6
-    "events_type_value_quantiles",  # last driver green: r6
 ]
 _GATE_TAIL = [
     "ann_index_health",  # last driver green: r10
@@ -2880,7 +2944,6 @@ _GATE_TAIL = [
     "payment_type_share",  # last driver green: r7
     "sales_yoy_full_outer",  # last driver green: r7
     "serving_last_write_wins",  # last driver green: r7
-    "sketch_heavy_hitters",  # last driver green: r7
     "sql_recursive_rollup",  # last driver green: r7
     "streaming_dedup_replay",  # last driver green: r7
     "streaming_enriched_nation_totals",  # last driver green: r7
@@ -2893,6 +2956,9 @@ _GATE_TAIL = [
     "text_model_quality",  # last driver green: r7
     "text_quality_sample",  # last driver green: r7
     "top_orders_per_customer",  # last driver green: r7
+    "events_sessionization",  # last driver green: r6
+    "events_type_mode",  # last driver green: r6
+    "events_type_value_quantiles",  # last driver green: r6
     "events_value_histogram",  # last driver green: r6
     "events_variant_props",  # last driver green: r6
     "fuzzy_customer_names",  # last driver green: r6

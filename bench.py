@@ -305,6 +305,8 @@ ANALYTICS_QUERIES = [
     "warehouse_null_profile",
     "quality_scorer_agreement",
     "streaming_decontamination_gate",
+    "events_user_cusum",
+    "events_cms_users_daily",
 ]
 
 
@@ -355,6 +357,8 @@ BENCH_KEY_ALIASES = {
     "warehouse_null_profile": "nlp",
     "quality_scorer_agreement": "qsa",
     "streaming_decontamination_gate": "sdg",
+    "events_user_cusum": "ucu",
+    "events_cms_users_daily": "cmd",
     "ref_country": "rfk",
     "ref_products": "rfp",
     "ref_clients": "rfc",

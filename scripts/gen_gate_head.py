@@ -70,6 +70,9 @@ MUST_ROTATE = [
     "warehouse_null_profile",      # X177 completeness profile
     "quality_scorer_agreement",    # X178 scorer agreement (Pearson)
     "streaming_decontamination_gate",  # X179 streaming decontamination
+    "events_user_cusum",           # X180 per-entity CUSUM changepoints
+    "events_cms_users_daily",      # X181 mergeable count sketch
+    "sketch_heavy_hitters",        # CMS refactored to cells/merge/probe
     # --- round 11: streaming ts hardened via as_timestamp (impl change) ---
     "streaming_late_data_policy",
     "streaming_session_windows",

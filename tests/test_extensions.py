@@ -4059,3 +4059,43 @@ def test_positional_attribution_credits_sum_exactly(spark):
     assert out["click"] == 100_000 + 1_000_000  # u1 middle + u2 single
     assert out["signup"] == 100_000
     assert out["none"] == 1_000_000  # u3's cold purchase
+
+
+def test_cms_cells_merge_exactly_and_never_underestimate(spark):
+    """X181 pins: per-day Count-Min cells merged by cell-wise sum
+    equal the directly-built whole-range cells BIT-FOR-BIT (counter-
+    sum associativity), estimates from the merged sketch never
+    underestimate (the CM theorem — overestimate ≥ 0 for every user),
+    and the daily split covers every occurrence (cell totals equal
+    depth × n_events)."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import (
+        registry_ext as rx,
+        sketch,
+    )
+    from aws_kinesis_data_ingestion_restapi_spark.functions.exact import (
+        as_timestamp,
+    )
+    from aws_kinesis_data_ingestion_restapi_spark.sources.tables import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    events = load_table(spark, sf, "events")
+    keyed = events.select(
+        as_timestamp(events, "ts").cast("date").cast("string").alias("day"),
+        F.col("user_id").cast("string").alias("item"),
+    )
+    daily = sketch.cms_cells(keyed, group_cols=["day"])
+    merged = {
+        (r.d, r.c): r.n
+        for r in sketch.cms_merge(daily.select("d", "c", "n")).collect()
+    }
+    direct = {
+        (r.d, r.c): r.n for r in sketch.cms_cells(keyed).collect()
+    }
+    assert merged == direct
+    n_events = events.count()
+    assert sum(merged.values()) == sketch.CM_DEPTH * n_events
+
+    rows = rx.events_cms_users_daily(spark, sf).collect()
+    assert rows and all(r.overestimate >= 0 for r in rows)
