@@ -2232,6 +2232,76 @@ def ann_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X182: IVF centroid-DRIFT monitor — the retrain trigger next to
+    X156's balance report (balance says the index is lopsided TODAY;
+    drift says the ARRIVING data no longer looks like what the
+    quantizer was trained on — the signal that schedules retraining
+    before recall quietly decays): base inventory (vec_id % 10 < 7)
+    vs delta arrivals (≥ 7, the X115 split) assigned under the SAME
+    shipped trained quantizer, per-cell shares compared, and the
+    X70-style EXACT total-variation distance between the two cell
+    distributions (integer cross-products |n_b·N_d − n_d·N_b|, one
+    double division) carried on every row as the one-number verdict.
+    Rides the :func:`_ivfpqt_quantizers` session cache — no
+    retraining; one broadcast assignment pass + metadata-scale
+    aggregates."""
+    coarse, _books = _ivfpqt_quantizers(spark, sf_dir, clustered=False)
+    embs = _embs(spark, sf_dir)
+    base = embs.select(F.col("vec_id"), similarity.quantized().alias("v"))
+    assign = similarity._kmeans_assign(
+        base, coarse.select("cell", "cv"), "vec_id"
+    )
+    sl = assign.select(
+        "cell",
+        (F.col("vec_id") % 10 >= 7).cast("int").alias("is_delta"),
+    )
+    per = sl.groupBy("cell").agg(
+        F.sum(1 - F.col("is_delta")).cast("long").alias("n_base"),
+        F.sum("is_delta").cast("long").alias("n_delta"),
+    )
+    tot = per.agg(
+        F.sum("n_base").cast("long").alias("nb"),
+        F.sum("n_delta").cast("long").alias("nd"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    tvd_row = j.agg(
+        F.sum(
+            F.abs(
+                F.col("n_base") * F.col("nd")
+                - F.col("n_delta") * F.col("nb")
+            )
+        ).alias("_s"),
+        F.max("nb").alias("_nb"),
+        F.max("nd").alias("_nd"),
+    ).select(
+        (
+            F.col("_s").cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("_nb").cast("double")
+                * F.col("_nd").cast("double")
+            )
+        ).alias("drift_tvd")
+    )
+    return (
+        j.crossJoin(F.broadcast(tvd_row))
+        .select(
+            "cell",
+            "n_base",
+            "n_delta",
+            (
+                F.col("n_base").cast("double") / F.col("nb").cast("double")
+            ).alias("base_share"),
+            (
+                F.col("n_delta").cast("double") / F.col("nd").cast("double")
+            ).alias("delta_share"),
+            "drift_tvd",
+        )
+        .orderBy("cell")
+    )
+
+
 def ann_topk_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X113: IVF-PQ over k-means-TRAINED quantizers (r8 VERDICT ask
     #1, the recall capstone): identical cell-restricted ADC + exact
@@ -4046,6 +4116,7 @@ EXT_QUERY_FNS = {
     "ann_topk_ivfpq": ann_topk_ivfpq,
     "ann_topk_ivfpq_trained": ann_topk_ivfpq_trained,
     "ann_index_health": ann_index_health,
+    "ann_centroid_drift": ann_centroid_drift,
     "ann_recall_audit": ann_recall_audit,
     "ann_recall_clustered": ann_recall_clustered,
     "ann_truncation_audit": ann_truncation_audit,
@@ -6133,6 +6204,46 @@ def _ivfpq_trained_oracle_sql(
         ORDER BY cell
     """
         )
+    if final == "drift":
+        # X182: base slice vs delta arrivals under the same trained
+        # quantizer — per-cell shares + exact cross-product TVD
+        return (
+            head
+            + "".join(coarse)
+            + assign_frag
+            + """,
+        sl AS (
+            SELECT cell,
+                   CASE WHEN vec_id % 10 >= 7 THEN 1 ELSE 0 END
+                       AS is_delta
+            FROM assign
+        ),
+        per AS (
+            SELECT cell,
+                   CAST(SUM(1 - is_delta) AS BIGINT) AS n_base,
+                   CAST(SUM(is_delta) AS BIGINT) AS n_delta
+            FROM sl GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_base) AS BIGINT) AS nb,
+                   CAST(SUM(n_delta) AS BIGINT) AS nd
+            FROM per
+        ),
+        tvd AS (
+            SELECT CAST(SUM(ABS(n_base * nd - n_delta * nb)) AS DOUBLE)
+                   / (2.0 * CAST(nb AS DOUBLE) * CAST(nd AS DOUBLE))
+                       AS drift_tvd
+            FROM per CROSS JOIN tot GROUP BY nb, nd
+        )
+        SELECT cell, n_base, n_delta,
+               CAST(n_base AS DOUBLE) / CAST(nb AS DOUBLE) AS base_share,
+               CAST(n_delta AS DOUBLE) / CAST(nd AS DOUBLE)
+                   AS delta_share,
+               tvd.drift_tvd
+        FROM per CROSS JOIN tot CROSS JOIN tvd
+        ORDER BY cell
+    """
+        )
     mid = assign_frag + f""",
         probes AS (
             SELECT vec_id AS query_id, cell FROM ranked
@@ -6254,6 +6365,11 @@ EXT_ORACLE_SQL["ann_topk_ivfpq_trained"] = _ivfpq_trained_oracle_sql()
 # X156: same generator, the health final — training + assignment prefix
 EXT_ORACLE_SQL["ann_index_health"] = _ivfpq_trained_oracle_sql(
     final="health"
+)
+# X182: same generator, the drift final — training + assignment +
+# base-vs-delta per-cell comparison
+EXT_ORACLE_SQL["ann_centroid_drift"] = _ivfpq_trained_oracle_sql(
+    final="drift"
 )
 
 # recall@k audit: each approximate method's own registered oracle SQL

@@ -307,6 +307,7 @@ ANALYTICS_QUERIES = [
     "streaming_decontamination_gate",
     "events_user_cusum",
     "events_cms_users_daily",
+    "ann_centroid_drift",
 ]
 
 
@@ -359,6 +360,7 @@ BENCH_KEY_ALIASES = {
     "streaming_decontamination_gate": "sdg",
     "events_user_cusum": "ucu",
     "events_cms_users_daily": "cmd",
+    "ann_centroid_drift": "acd",
     "ref_country": "rfk",
     "ref_products": "rfp",
     "ref_clients": "rfc",
