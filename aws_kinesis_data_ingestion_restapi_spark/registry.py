@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from aws_kinesis_data_ingestion_restapi_spark import analytics
 from aws_kinesis_data_ingestion_restapi_spark import queries as refq
 from aws_kinesis_data_ingestion_restapi_spark.functions.exact import davg, dsum
+from aws_kinesis_data_ingestion_restapi_spark.operators import sketch as _sketch
 from aws_kinesis_data_ingestion_restapi_spark.operators.transforms import (
     derive_all_tables,
     to_orders,
@@ -2396,10 +2397,7 @@ ORACLE_SQL: dict[str, str] = {
                    / CAST(exact_distinct AS DOUBLE) AS rel_err
         FROM s JOIN ex USING (scope)
         ORDER BY scope
-    """.format(num=__import__(
-        "aws_kinesis_data_ingestion_restapi_spark.operators.sketch",
-        fromlist=["HLL_EST_NUM"],
-    ).HLL_EST_NUM),
+    """.format(num=_sketch.HLL_EST_NUM),
     # X157 streaming ER: static replay of the attr-agreement blocked
     # linkage (the quadratic reference join IS the oracle — the
     # deletion-neighborhood blocking guarantees zero false negatives at
