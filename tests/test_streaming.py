@@ -786,3 +786,86 @@ def test_streaming_decontamination_matches_batch_delta_rows(spark):
     }
     assert s == b
     assert s, "fixture must contaminate at least one delta doc"
+
+
+def test_new_stream_gates_stay_stateless(spark):
+    """X175/X179 plan pins: the FK and decontamination gates must
+    analyze to pure projections + stream-static joins — no aggregate,
+    no dedup, no watermark — so state never accumulates (the X157
+    discipline). Build the in-stream stages exactly as the queries do
+    and inspect the analyzed plans without draining."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from aws_kinesis_data_ingestion_restapi_spark import analytics
+    from aws_kinesis_data_ingestion_restapi_spark.operators import dedup
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        _DELTA_PCT,
+        _docs,
+    )
+    from aws_kinesis_data_ingestion_restapi_spark.streaming import (
+        registry_stream as rs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    dirs = []
+    try:
+        orders = analytics._t(spark, sf, "orders")
+        base = orders.select(
+            F.col("o_orderkey").alias("order_id"),
+            F.when(
+                F.col("o_custkey") % 13 == 0,
+                F.col("o_custkey") + 10_000_000,
+            ).otherwise(F.col("o_custkey")).alias("customer_id"),
+        )
+        stream, d = rs._replayed_stream(
+            spark, base, "order_id bigint, customer_id bigint", 2, "pin_fk_"
+        )
+        dirs.append(d)
+        dim = analytics._t(spark, sf, "customer").select(
+            F.col("c_custkey").alias("customer_id")
+        )
+        fk = stream.join(F.broadcast(dim), "customer_id", "left_anti")
+
+        docs = _docs(spark, sf)
+        delta = docs.filter(F.col("doc_id") % 10 >= _DELTA_PCT).select(
+            "doc_id", "text"
+        )
+        s2, d2 = rs._replayed_stream(
+            spark, delta, "doc_id bigint, text string", 2, "pin_dcg_"
+        )
+        dirs.append(d2)
+        bgrams = (
+            dedup.tokenized(docs.filter(F.col("doc_id") < 25))
+            .select(
+                F.col("doc_id").alias("bench_id"),
+                F.explode(
+                    dedup.hashed_ngrams(5, F.col("_toks"))
+                ).alias("gram"),
+            )
+            .distinct()
+        )
+        dcg = s2.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(dedup.hashed_ngrams(5, dedup.tokens_col()))
+            ).alias("gram"),
+        ).join(F.broadcast(bgrams), "gram")
+
+        # the decontamination gate's STATIC side legitimately carries
+        # a batch Deduplicate (the benchmark gram .distinct()) inside
+        # the analyzed tree; stream-state risk comes only from
+        # aggregates/watermarks, which neither gate may have
+        checks = {
+            "fk": ("Aggregate", "Deduplicate", "EventTimeWatermark"),
+            "decontamination": ("Aggregate", "EventTimeWatermark"),
+        }
+        for name, df in (("fk", fk), ("decontamination", dcg)):
+            assert df.isStreaming
+            plan = df._jdf.queryExecution().analyzed().toString()
+            for stateful in checks[name]:
+                assert stateful not in plan, (name, stateful)
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
