@@ -586,3 +586,109 @@ def test_per_source_cap_invariants(spark, rows, cap):
         for rank, (_, doc_id) in enumerate(sorted(members)[:cap], start=1):
             expected.append((source, rank, doc_id))
     assert sorted(got) == sorted(expected)
+
+
+# --- round 11: mergeable-sketch and sequence-blocking universals ---
+
+_items = st.lists(
+    st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 50)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=_items, split=st.integers(1, 6))
+@settings(**_SETTINGS)
+def test_hll_merge_equals_whole_for_any_split(spark, rows, split):
+    """X158 universal: registers built on ANY disjoint split of the
+    items and merged by (key, reg) max equal the whole-data registers
+    — the mergeability theorem, not just the doc_id%2 example."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import sketch
+
+    df = spark.createDataFrame(
+        [(k, str(v), i % split) for i, (k, v) in enumerate(rows)],
+        ["k", "item", "part"],
+    )
+    whole = {
+        (r.k, r.reg): r.rho
+        for r in sketch.hll_registers(df, ["k"], "item").collect()
+    }
+    parts = [
+        sketch.hll_registers(df.filter(F.col("part") == p), ["k"], "item")
+        for p in range(split)
+    ]
+    merged = {
+        (r.k, r.reg): r.rho
+        for r in sketch.hll_merge(
+            *[f.select("k", "reg", "rho") for f in parts]
+        ).collect()
+    }
+    assert whole == merged
+
+
+@given(rows=_items, split=st.integers(1, 6))
+@settings(**_SETTINGS)
+def test_cms_merge_equals_whole_for_any_split(spark, rows, split):
+    """X181 universal: per-part Count-Min cells merged by cell-wise
+    sum equal the whole-data cells for ANY disjoint split."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import sketch
+
+    df = spark.createDataFrame(
+        [(str(v), i % split) for i, (_k, v) in enumerate(rows)],
+        ["item", "part"],
+    )
+    whole = {(r.d, r.c): r.n for r in sketch.cms_cells(df).collect()}
+    merged = {
+        (r.d, r.c): r.n
+        for r in sketch.cms_merge(
+            *[
+                sketch.cms_cells(df.filter(F.col("part") == p))
+                for p in range(split)
+            ]
+        ).collect()
+    }
+    assert whole == merged
+
+
+_seqs = st.lists(
+    st.lists(st.sampled_from(["x", "y", "z"]), min_size=1, max_size=6),
+    min_size=2,
+    max_size=8,
+)
+
+
+@given(seqs=_seqs)
+@settings(**_SETTINGS)
+def test_video_blocking_is_exhaustive_for_one_substitution(spark, seqs):
+    """X159 universal (the FastSS pigeonhole lifted to token
+    sequences): for ANY set of frame sequences, every pair with equal
+    length, ≤1 mismatching position, and ≥1 agreeing position is
+    emitted — verified against a brute-force Python reference."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import (
+        multimodal as mm,
+    )
+
+    # synthesize assets whose fingerprint frames are exactly the given
+    # tokens: frame_chars=1, stride=1 makes each char one frame; ids
+    # stride 3 so every asset is kind='video' (id % 3 == 2)
+    docs = spark.createDataFrame(
+        [(2 + 3 * i, "".join(s)) for i, s in enumerate(seqs)],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.asset_a, r.asset_b)
+        for r in mm.video_near_dup(
+            mm.synthesize_assets(docs), frame_chars=1, stride=1
+        ).collect()
+    }
+    expect = set()
+    data = [(2 + 3 * i, s) for i, s in enumerate(seqs)]
+    for i in range(len(data)):
+        for j in range(i + 1, len(data)):
+            (ida, sa), (idb, sb) = data[i], data[j]
+            if len(sa) != len(sb):
+                continue
+            diff = sum(1 for a, b in zip(sa, sb) if a != b)
+            if diff <= 1 and len(sa) - diff >= 1:
+                expect.add((min(ida, idb), max(ida, idb)))
+    assert got == expect
