@@ -3747,6 +3747,53 @@ def events_cms_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_mixture_actuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X183: mixture PLAN vs post-curation ACTUALS — the
+    build-readiness check run after the funnel and before packing
+    (X81 allocates the budget against the RAW inventory; curation
+    then removes duplicates, low-quality and contaminated docs, so a
+    source can silently become unable to FILL its allocation — this
+    is the table that catches it): per source, the plan's allocation
+    (mixture_plan over the raw corpus, verbatim) joined to the tokens
+    actually SURVIVING the full X148 chain (shared
+    :func:`_funnel_stage_ids` — the decontaminated stage), with the
+    integer shortfall and one coverage division. All counts exact
+    int64; the stage ids ride the session caches."""
+    docs = _docs(spark, sf_dir)
+    plan = sampling.mixture_plan(docs).select(
+        "source", "alloc_tokens"
+    )
+    dec_ids = dict(_funnel_stage_ids(spark, sf_dir))["5_decontaminated"]
+    survivors = docs.join(dec_ids, "doc_id").select(
+        "source", F.size(text.tokens_col()).cast("long").alias("ntok")
+    )
+    actual = survivors.groupBy("source").agg(
+        F.sum("ntok").cast("long").alias("actual_tokens")
+    )
+    return (
+        plan.join(actual, "source", "left")
+        .select(
+            "source",
+            "alloc_tokens",
+            F.coalesce("actual_tokens", F.lit(0))
+            .cast("long")
+            .alias("actual_tokens"),
+            F.greatest(
+                F.col("alloc_tokens")
+                - F.coalesce("actual_tokens", F.lit(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("shortfall_tokens"),
+            (
+                F.coalesce("actual_tokens", F.lit(0)).cast("double")
+                / F.col("alloc_tokens").cast("double")
+            ).alias("coverage"),
+        )
+        .orderBy("source")
+    )
+
+
 def quality_scorer_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X178: quality-scorer AGREEMENT audit — the X95 cross-signal
     discipline applied to the QUALITY family (X125 sums three scorers
@@ -4039,6 +4086,7 @@ EXT_QUERY_FNS = {
     "text_bpe_fertility": text_bpe_fertility,
     "text_quality_ensemble": text_quality_ensemble,
     "quality_scorer_agreement": quality_scorer_agreement,
+    "corpus_mixture_actuals": corpus_mixture_actuals,
     "events_cms_users_daily": events_cms_users_daily,
     "dedup_chunks_exact": dedup_chunks_exact,
     "corpus_curriculum_plan": corpus_curriculum_plan,
@@ -8910,3 +8958,53 @@ EXT_ORACLE_SQL["events_cms_users_daily"] = """
     FROM est JOIN ex USING (item)
     ORDER BY user_id
 """
+
+
+# X183 mixture actuals: the plan oracle joined to the funnel's
+# decontaminated-stage token inventory (same stage CTEs as X148/X162)
+EXT_ORACLE_SQL["corpus_mixture_actuals"] = """
+    WITH plan AS ({plan}),
+    tok AS (
+        SELECT doc_id, source, CAST(len({toks}) AS BIGINT) AS ntok
+        FROM documents
+    ),
+    ex AS (
+        SELECT doc_id FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY text
+                                              ORDER BY doc_id) AS rn
+            FROM documents) WHERE rn = 1
+    ),
+    comp AS ({comp}),
+    can AS (SELECT doc_id FROM comp WHERE doc_id = component_id),
+    q AS ({quality}),
+    qf AS (
+        SELECT c.doc_id FROM can c JOIN q USING (doc_id)
+        WHERE q.quality_score >= {floor}
+    ),
+    cont AS ({contam}),
+    dec AS (
+        SELECT doc_id FROM qf
+        WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+    ),
+    act AS (
+        SELECT source, CAST(SUM(ntok) AS BIGINT) AS actual_tokens
+        FROM tok JOIN dec USING (doc_id)
+        GROUP BY 1
+    )
+    SELECT p.source, p.alloc_tokens,
+           CAST(COALESCE(a.actual_tokens, 0) AS BIGINT) AS actual_tokens,
+           CAST(GREATEST(p.alloc_tokens
+                         - COALESCE(a.actual_tokens, 0), 0) AS BIGINT)
+               AS shortfall_tokens,
+           CAST(COALESCE(a.actual_tokens, 0) AS DOUBLE)
+               / CAST(p.alloc_tokens AS DOUBLE) AS coverage
+    FROM plan p LEFT JOIN act a USING (source)
+    ORDER BY p.source
+""".format(
+    plan=EXT_ORACLE_SQL["corpus_mixture_plan"],
+    toks=_TOKS,
+    comp=EXT_ORACLE_SQL["dedup_components"],
+    quality=EXT_ORACLE_SQL["text_quality_score"],
+    floor=QUALITY_FLOOR,
+    contam=EXT_ORACLE_SQL["dedup_contamination"],
+)

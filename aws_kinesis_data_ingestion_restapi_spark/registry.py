@@ -2727,8 +2727,8 @@ ORACLE_SQL["streaming_value_quantiles"] = f"""
 # park stable, already-driver-verified, untouched baselines at the
 # tail, where falling past position 50 loses nothing.
 # --- BEGIN GENERATED GATE ORDER (scripts/gen_gate_head.py) ---
-# Window = 26 never-driver-checked additions + 15 changed
-# entries + the 9 stalest driver greens (last green in
+# Window = 27 never-driver-checked additions + 15 changed
+# entries + the 8 stalest driver greens (last green in
 # round(s) [6], from CORRECTNESS_r*.json). Regenerate with
 #   python scripts/gen_gate_head.py
 # (pytest runs --check; hand-edits here go stale and FAIL).
@@ -2767,6 +2767,7 @@ _GATE_HEAD = [
     "events_cms_users_daily",  # last driver green: r0
     "sketch_heavy_hitters",  # last driver green: r7
     "ann_centroid_drift",  # last driver green: r0
+    "corpus_mixture_actuals",  # last driver green: r0
     "streaming_late_data_policy",  # last driver green: r6
     "streaming_session_windows",  # last driver green: r7
     "streaming_sliding_1h_15m",  # last driver green: r8
@@ -2782,7 +2783,6 @@ _GATE_HEAD = [
     "dedup_simhash_fingerprints",  # last driver green: r6
     "dedup_simhash_pairs",  # last driver green: r6
     "emb_near_dup",  # last driver green: r6
-    "emb_near_dup_lsh",  # last driver green: r6
 ]
 _GATE_TAIL = [
     "ann_index_health",  # last driver green: r10
@@ -2954,6 +2954,7 @@ _GATE_TAIL = [
     "text_model_quality",  # last driver green: r7
     "text_quality_sample",  # last driver green: r7
     "top_orders_per_customer",  # last driver green: r7
+    "emb_near_dup_lsh",  # last driver green: r6
     "events_attribution",  # last driver green: r6
     "events_sessionization",  # last driver green: r6
     "events_type_mode",  # last driver green: r6

@@ -308,6 +308,7 @@ ANALYTICS_QUERIES = [
     "events_user_cusum",
     "events_cms_users_daily",
     "ann_centroid_drift",
+    "corpus_mixture_actuals",
 ]
 
 
@@ -361,6 +362,7 @@ BENCH_KEY_ALIASES = {
     "events_user_cusum": "ucu",
     "events_cms_users_daily": "cmd",
     "ann_centroid_drift": "acd",
+    "corpus_mixture_actuals": "mxa",
     "ref_country": "rfk",
     "ref_products": "rfp",
     "ref_clients": "rfc",

@@ -74,6 +74,7 @@ MUST_ROTATE = [
     "events_cms_users_daily",      # X181 mergeable count sketch
     "sketch_heavy_hitters",        # CMS refactored to cells/merge/probe
     "ann_centroid_drift",          # X182 IVF drift monitor
+    "corpus_mixture_actuals",      # X183 plan-vs-actuals coverage
     # --- round 11: streaming ts hardened via as_timestamp (impl change) ---
     "streaming_late_data_policy",
     "streaming_session_windows",
