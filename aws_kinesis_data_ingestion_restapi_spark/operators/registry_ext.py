@@ -3794,6 +3794,107 @@ def corpus_mixture_actuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X184: language-ID CONFUSION matrix — the audit-the-classifier
+    discipline (X88 for ANN, X147 for sketches, X178 for quality
+    scorers) applied to X10: the heuristic's predictions cross-
+    tabulated against the corpus's declared labels, per-cell share of
+    the declared label, and the overall accuracy carried on every row
+    as the one-number verdict. The table that decides whether the
+    stopword heuristic is good enough for routing or a trained
+    identifier is warranted. One classify pass + a |langs|² aggregate."""
+    pred = text.language_id(_docs(spark, sf_dir))
+    conf = pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    per_label = conf.groupBy("labeled_lang").agg(
+        F.sum("n_docs").cast("long").alias("_label_n")
+    )
+    acc = pred.agg(
+        (
+            F.sum(
+                (F.col("labeled_lang") == F.col("predicted_lang")).cast(
+                    "long"
+                )
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("overall_accuracy")
+    )
+    return (
+        conf.join(per_label, "labeled_lang")
+        .crossJoin(F.broadcast(acc))
+        .select(
+            "labeled_lang",
+            "predicted_lang",
+            "n_docs",
+            (
+                F.col("n_docs").cast("double")
+                / F.col("_label_n").cast("double")
+            ).alias("share_of_label"),
+            "overall_accuracy",
+        )
+        .orderBy("labeled_lang", "predicted_lang")
+    )
+
+
+def docs_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X185: the training-shard MANIFEST — what a data loader actually
+    reads before touching a shard (X13 assigns docs to shards; the
+    loader wants the per-shard inventory): for every shard, how many
+    documents START in it, total tokens contributed by those docs,
+    the (first, last) doc ids, and how many docs straddle onward into
+    later shards. One aggregate over the packing assignment —
+    metadata-scale output by construction (one row per shard)."""
+    packed = packing.pack_sequences(_docs(spark, sf_dir))
+    return (
+        packed.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.sum(
+                (F.col("n_shards_spanned") > 1).cast("long")
+            ).cast("long").alias("n_straddlers"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+def events_weekly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X186: day-of-week × hour traffic PROFILE — the seasonality
+    matrix behind X173's backtest (the backtest says 'same day last
+    week' predicts well; this is the shape it exploits, and the grid
+    capacity planning reads): exact counts per (dow, hour) cell with
+    each cell's share of its day-of-week — one map-side-combined
+    aggregate, ≤ 7×24 output rows at any scale."""
+    from aws_kinesis_data_ingestion_restapi_spark.functions.exact import (
+        as_timestamp,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    ts = as_timestamp(events, "ts")
+    cells = events.groupBy(
+        F.dayofweek(ts).cast("int").alias("dow"),
+        F.hour(ts).cast("int").alias("hour"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    per_dow = cells.groupBy("dow").agg(
+        F.sum("n_events").cast("long").alias("_dn")
+    )
+    return (
+        cells.join(per_dow, "dow")
+        .select(
+            "dow",
+            "hour",
+            "n_events",
+            (
+                F.col("n_events").cast("double") / F.col("_dn").cast("double")
+            ).alias("share_of_dow"),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
 def quality_scorer_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X178: quality-scorer AGREEMENT audit — the X95 cross-signal
     discipline applied to the QUALITY family (X125 sums three scorers
@@ -4086,6 +4187,9 @@ EXT_QUERY_FNS = {
     "text_bpe_fertility": text_bpe_fertility,
     "text_quality_ensemble": text_quality_ensemble,
     "quality_scorer_agreement": quality_scorer_agreement,
+    "docs_language_confusion": docs_language_confusion,
+    "docs_pack_manifest": docs_pack_manifest,
+    "events_weekly_profile": events_weekly_profile,
     "corpus_mixture_actuals": corpus_mixture_actuals,
     "events_cms_users_daily": events_cms_users_daily,
     "dedup_chunks_exact": dedup_chunks_exact,
@@ -9007,4 +9111,71 @@ EXT_ORACLE_SQL["corpus_mixture_actuals"] = """
     quality=EXT_ORACLE_SQL["text_quality_score"],
     floor=QUALITY_FLOOR,
     contam=EXT_ORACLE_SQL["dedup_contamination"],
+)
+
+
+# X184 language-ID confusion: the classifier oracle cross-tabulated
+EXT_ORACLE_SQL["docs_language_confusion"] = """
+    WITH pred AS ({pred}),
+    conf AS (
+        SELECT labeled_lang, predicted_lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM pred GROUP BY 1, 2
+    ),
+    pl AS (
+        SELECT labeled_lang, SUM(n_docs) AS ln FROM conf GROUP BY 1
+    ),
+    acc AS (
+        SELECT CAST(SUM(CASE WHEN labeled_lang = predicted_lang
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS a
+        FROM pred
+    )
+    SELECT c.labeled_lang, c.predicted_lang, c.n_docs,
+           CAST(c.n_docs AS DOUBLE) / CAST(pl.ln AS DOUBLE)
+               AS share_of_label,
+           acc.a AS overall_accuracy
+    FROM conf c JOIN pl USING (labeled_lang) CROSS JOIN acc
+    ORDER BY 1, 2
+""".format(pred=EXT_ORACLE_SQL["text_language_id"])
+
+# X185 shard manifest: one aggregate over the packing oracle
+EXT_ORACLE_SQL["docs_pack_manifest"] = """
+    WITH packed AS ({packed})
+    SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+           CAST(SUM(CASE WHEN n_shards_spanned > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_straddlers
+    FROM packed GROUP BY 1 ORDER BY 1
+""".format(packed=EXT_ORACLE_SQL["text_pack_sequences"])
+
+# X186 weekly profile: DuckDB dayofweek is 0=Sunday, Spark is 1=Sunday
+EXT_ORACLE_SQL["events_weekly_profile"] = """
+    WITH cells AS (
+        SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+               CAST(hour(ts) AS INT) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    pd AS (SELECT dow, SUM(n_events) AS dn FROM cells GROUP BY 1)
+    SELECT c.dow, c.hour, c.n_events,
+           CAST(c.n_events AS DOUBLE) / CAST(pd.dn AS DOUBLE)
+               AS share_of_dow
+    FROM cells c JOIN pd USING (dow)
+    ORDER BY c.dow, c.hour
+"""
+
+
+# X187 streaming quality gate: the X9 oracle's rows restricted to the
+# delta universe and the below-floor band
+EXT_ORACLE_SQL["streaming_quality_gate"] = """
+    WITH q AS ({quality})
+    SELECT doc_id, n_tokens, quality_score FROM q
+    WHERE doc_id % 10 >= {delta} AND quality_score < {floor}
+    ORDER BY doc_id
+""".format(
+    quality=EXT_ORACLE_SQL["text_quality_score"],
+    delta=_DELTA_PCT,
+    floor=QUALITY_FLOOR,
 )

@@ -550,6 +550,7 @@ from aws_kinesis_data_ingestion_restapi_spark.streaming.registry_stream import (
     streaming_payment_match,
     streaming_payment_match_full,
     streaming_payment_match_outer,
+    streaming_quality_gate,
     streaming_running_totals_final,
     streaming_session_windows,
     streaming_cusum_gate,
@@ -565,6 +566,7 @@ QUERY_FNS["streaming_er_delta"] = streaming_er_delta
 QUERY_FNS["streaming_hll_users"] = streaming_hll_users
 QUERY_FNS["streaming_fk_gate"] = streaming_fk_gate
 QUERY_FNS["streaming_decontamination_gate"] = streaming_decontamination_gate
+QUERY_FNS["streaming_quality_gate"] = streaming_quality_gate
 QUERY_FNS["streaming_running_totals_final"] = streaming_running_totals_final
 QUERY_FNS["streaming_enriched_nation_totals"] = streaming_enriched_nation_totals
 QUERY_FNS["streaming_payment_match"] = streaming_payment_match
@@ -2727,8 +2729,8 @@ ORACLE_SQL["streaming_value_quantiles"] = f"""
 # park stable, already-driver-verified, untouched baselines at the
 # tail, where falling past position 50 loses nothing.
 # --- BEGIN GENERATED GATE ORDER (scripts/gen_gate_head.py) ---
-# Window = 27 never-driver-checked additions + 15 changed
-# entries + the 8 stalest driver greens (last green in
+# Window = 31 never-driver-checked additions + 15 changed
+# entries + the 4 stalest driver greens (last green in
 # round(s) [6], from CORRECTNESS_r*.json). Regenerate with
 #   python scripts/gen_gate_head.py
 # (pytest runs --check; hand-edits here go stale and FAIL).
@@ -2768,6 +2770,10 @@ _GATE_HEAD = [
     "sketch_heavy_hitters",  # last driver green: r7
     "ann_centroid_drift",  # last driver green: r0
     "corpus_mixture_actuals",  # last driver green: r0
+    "docs_language_confusion",  # last driver green: r0
+    "docs_pack_manifest",  # last driver green: r0
+    "events_weekly_profile",  # last driver green: r0
+    "streaming_quality_gate",  # last driver green: r0
     "streaming_late_data_policy",  # last driver green: r6
     "streaming_session_windows",  # last driver green: r7
     "streaming_sliding_1h_15m",  # last driver green: r8
@@ -2779,10 +2785,6 @@ _GATE_HEAD = [
     "bucketed_sales_join",  # last driver green: r6
     "customer_retention",  # last driver green: r6
     "customers_with_urgent_orders",  # last driver green: r6
-    "customers_without_urgent_orders",  # last driver green: r6
-    "dedup_simhash_fingerprints",  # last driver green: r6
-    "dedup_simhash_pairs",  # last driver green: r6
-    "emb_near_dup",  # last driver green: r6
 ]
 _GATE_TAIL = [
     "ann_index_health",  # last driver green: r10
@@ -2954,6 +2956,10 @@ _GATE_TAIL = [
     "text_model_quality",  # last driver green: r7
     "text_quality_sample",  # last driver green: r7
     "top_orders_per_customer",  # last driver green: r7
+    "customers_without_urgent_orders",  # last driver green: r6
+    "dedup_simhash_fingerprints",  # last driver green: r6
+    "dedup_simhash_pairs",  # last driver green: r6
+    "emb_near_dup",  # last driver green: r6
     "emb_near_dup_lsh",  # last driver green: r6
     "events_attribution",  # last driver green: r6
     "events_sessionization",  # last driver green: r6

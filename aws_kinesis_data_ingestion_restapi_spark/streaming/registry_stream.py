@@ -1270,3 +1270,35 @@ def streaming_decontamination_gate(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("n_hit_grams") >= 1)
         .orderBy("doc_id")
     )
+
+
+def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X187: STREAMING quality-floor gate — the last member of the
+    intake-gate family (dedup X115, ER X157, FK X175, decontamination
+    X179): arriving documents score through the X9 heuristic MAP-SIDE
+    (quality_score is pure column arithmetic — no state, no shuffle)
+    and below-floor documents emit as quarantine verdicts with their
+    component-level evidence. At 100 TB this is the cheapest possible
+    gate: the score rides the ingest scan; only rejects move.
+
+    Output: (doc_id, n_tokens, quality_score) per below-floor delta
+    document; double delivery collapses post-drain."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import text
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        _DELTA_PCT,
+        _docs,
+        QUALITY_FLOOR,
+    )
+
+    docs = _docs(spark, sf_dir)
+    delta = docs.filter(F.col("doc_id") % 10 >= _DELTA_PCT).select(
+        "doc_id", "text"
+    )
+    stream, d = _replayed_stream(
+        spark, delta, "doc_id bigint, text string", 2, "stream_qg_"
+    )
+    scored = text.quality_score(stream).filter(
+        F.col("quality_score") < QUALITY_FLOOR
+    ).select("doc_id", "n_tokens", "quality_score")
+    drained = _drain(scored, "append", "sqg", cleanup_dir=d)
+    return drained.distinct().orderBy("doc_id")

@@ -309,6 +309,10 @@ ANALYTICS_QUERIES = [
     "events_cms_users_daily",
     "ann_centroid_drift",
     "corpus_mixture_actuals",
+    "docs_language_confusion",
+    "docs_pack_manifest",
+    "events_weekly_profile",
+    "streaming_quality_gate",
 ]
 
 
@@ -363,6 +367,10 @@ BENCH_KEY_ALIASES = {
     "events_cms_users_daily": "cmd",
     "ann_centroid_drift": "acd",
     "corpus_mixture_actuals": "mxa",
+    "docs_language_confusion": "lcf",
+    "docs_pack_manifest": "pmf",
+    "events_weekly_profile": "wkp",
+    "streaming_quality_gate": "sqg",
     "ref_country": "rfk",
     "ref_products": "rfp",
     "ref_clients": "rfc",

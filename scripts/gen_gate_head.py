@@ -75,6 +75,10 @@ MUST_ROTATE = [
     "sketch_heavy_hitters",        # CMS refactored to cells/merge/probe
     "ann_centroid_drift",          # X182 IVF drift monitor
     "corpus_mixture_actuals",      # X183 plan-vs-actuals coverage
+    "docs_language_confusion",     # X184 language-ID accuracy audit
+    "docs_pack_manifest",          # X185 training-shard manifest
+    "events_weekly_profile",       # X186 dow x hour seasonality
+    "streaming_quality_gate",      # X187 streaming quality floor
     # --- round 11: streaming ts hardened via as_timestamp (impl change) ---
     "streaming_late_data_policy",
     "streaming_session_windows",
