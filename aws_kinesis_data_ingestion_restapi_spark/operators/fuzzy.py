@@ -149,18 +149,20 @@ def fuzzy_join(
 def link_verdicts(links: DataFrame, universe: DataFrame) -> DataFrame:
     """Reduce a (left_key, right_key, dist) link table to one VERDICT
     per left record over ``universe`` (a 1-column frame of every left
-    key): matched?, the canonical entity key (MINIMUM matching right
-    key — deterministic, the resolve_entities tie-break), that
-    candidate's distance, and the total candidate count. Records with
-    no link are NOVEL (matched=false, NULL entity).
+    key): matched?, the canonical entity key (the CLOSEST matching
+    right key, ties broken by minimum key — an exact match always
+    beats a distance-1 match; r11 ADVICE #1), that candidate's
+    distance, and the total candidate count. Records with no link are
+    NOVEL (matched=false, NULL entity).
 
     Shared by the batch and streaming ER gates so the two deployment
     shapes reduce through ONE code path and cannot diverge."""
-    # one aggregate, no join-back: the struct min orders by right_key
-    # first, so m.right_key IS the minimum candidate and m.dist its
-    # verified distance (links carries one row per pair)
+    # one aggregate, no join-back: the struct min orders by dist FIRST
+    # then right_key, so m.right_key IS the closest candidate (min key
+    # among equally-close ones) and m.dist its verified distance
+    # (links carries one row per pair)
     bd = links.groupBy("left_key").agg(
-        F.min(F.struct(F.col("right_key"), F.col("dist"))).alias("m"),
+        F.min(F.struct(F.col("dist"), F.col("right_key"))).alias("m"),
         F.count(F.lit(1)).alias("n_candidates"),
     ).select(
         "left_key",

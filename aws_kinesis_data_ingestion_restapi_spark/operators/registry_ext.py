@@ -3440,7 +3440,9 @@ def retrieval_known_item_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline the ANN family has had since X88, finally applied to
     the LEXICAL stack (BM25 shipped in X43 with no measured quality
     number): a panel of data-derived queries (each document's own
-    first 3 tokens, ground truth = the document itself) is scored by
+    top-3 tf-idf keywords, ground truth = the document itself; the
+    rejected first-3-tokens design measured recall@10 = 0.25 — see
+    _known_item_queries) is scored by
     ONE batch BM25 corpus pass (text.bm25_rank_batch — shuffle ∝ term
     hits, never queries × corpus), and each query reports where its
     known item landed. Reciprocal rank is kept in exact integer ppm
@@ -6988,11 +6990,11 @@ EXT_ORACLE_SQL["retrieval_hybrid_rrf"] = f"""
     ),
     contrib AS (
         SELECT doc_id,
-               CAST(ROUND(1000000000000.0 / (60 + rank), 0) AS BIGINT) AS c
+               CAST(ROUND({float(text.RRF_SCALE)!r} / (60 + rank), 0) AS BIGINT) AS c
         FROM lex
         UNION ALL
         SELECT doc_id,
-               CAST(ROUND(1000000000000.0 / (60 + rank), 0) AS BIGINT)
+               CAST(ROUND({float(text.RRF_SCALE)!r} / (60 + rank), 0) AS BIGINT)
         FROM sem
     ),
     fused AS (
@@ -7001,7 +7003,7 @@ EXT_ORACLE_SQL["retrieval_hybrid_rrf"] = f"""
         FROM contrib GROUP BY 1
     )
     SELECT doc_id, n_legs,
-           CAST(s AS DOUBLE) / 1000000000000.0 AS rrf_score,
+           CAST(s AS DOUBLE) / {float(text.RRF_SCALE)!r} AS rrf_score,
            CAST(rank AS INT) AS rank
     FROM (
         SELECT doc_id, n_legs, s,
@@ -7259,15 +7261,15 @@ EXT_ORACLE_SQL["retrieval_hybrid_rrf3"] = f"""
     ),
     contrib AS (
         SELECT doc_id,
-               CAST(ROUND(1000000000000.0 / (60 + rank), 0) AS BIGINT) AS c
+               CAST(ROUND({float(text.RRF_SCALE)!r} / (60 + rank), 0) AS BIGINT) AS c
         FROM lex
         UNION ALL
         SELECT doc_id,
-               CAST(ROUND(1000000000000.0 / (60 + rank), 0) AS BIGINT)
+               CAST(ROUND({float(text.RRF_SCALE)!r} / (60 + rank), 0) AS BIGINT)
         FROM vsm
         UNION ALL
         SELECT doc_id,
-               CAST(ROUND(1000000000000.0 / (60 + rank), 0) AS BIGINT)
+               CAST(ROUND({float(text.RRF_SCALE)!r} / (60 + rank), 0) AS BIGINT)
         FROM sem
     ),
     fused AS (
@@ -7276,7 +7278,7 @@ EXT_ORACLE_SQL["retrieval_hybrid_rrf3"] = f"""
         FROM contrib GROUP BY 1
     )
     SELECT doc_id, n_legs,
-           CAST(s AS DOUBLE) / 1000000000000.0 AS rrf_score,
+           CAST(s AS DOUBLE) / {float(text.RRF_SCALE)!r} AS rrf_score,
            CAST(rank AS INT) AS rank
     FROM (
         SELECT doc_id, n_legs, s,
@@ -7295,7 +7297,7 @@ def _mmr_oracle_sql() -> str:
     body = f"""WITH rrf AS MATERIALIZED ({EXT_ORACLE_SQL["retrieval_hybrid_rrf3"]}),
     panel AS MATERIALIZED (
         SELECT doc_id,
-               CAST(ROUND(rrf_score * 1000000000000.0, 0) AS BIGINT)
+               CAST(ROUND(rrf_score * {float(text.RRF_SCALE)!r}, 0) AS BIGINT)
                    AS rel_s
         FROM rrf
     ),
@@ -8842,44 +8844,47 @@ EXT_ORACLE_SQL["events_user_skew"] = """
 """
 
 
-# X170 FK audit: orphan counts via NOT IN per declared edge
+# X170 FK audit: orphan counts via NOT EXISTS per declared edge —
+# NOT EXISTS, not NOT IN, so the oracle carries the LEFT ANTI join's
+# exact NULL semantics (a NULL child key IS an orphan; a NULL parent
+# key never vacuously matches everything) — r11 ADVICE #2
 EXT_ORACLE_SQL["warehouse_fk_audit"] = """
     WITH e AS (
         SELECT 'orders.o_custkey->customer' AS fk,
                (SELECT COUNT(*) FROM orders) AS child_rows,
-               (SELECT COUNT(*) FROM orders
-                WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+               (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+                (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
                    AS orphan_rows
         UNION ALL
         SELECT 'lineitem.l_orderkey->orders',
                (SELECT COUNT(*) FROM lineitem),
-               (SELECT COUNT(*) FROM lineitem
-                WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+               (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+                (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
         UNION ALL
         SELECT 'lineitem.l_partkey->part',
                (SELECT COUNT(*) FROM lineitem),
-               (SELECT COUNT(*) FROM lineitem
-                WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+               (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+                (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
         UNION ALL
         SELECT 'lineitem.l_suppkey->supplier',
                (SELECT COUNT(*) FROM lineitem),
-               (SELECT COUNT(*) FROM lineitem
-                WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+               (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+                (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
         UNION ALL
         SELECT 'customer.c_nationkey->nation',
                (SELECT COUNT(*) FROM customer),
-               (SELECT COUNT(*) FROM customer
-                WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+               (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+                (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
         UNION ALL
         SELECT 'supplier.s_nationkey->nation',
                (SELECT COUNT(*) FROM supplier),
-               (SELECT COUNT(*) FROM supplier
-                WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation))
+               (SELECT COUNT(*) FROM supplier s WHERE NOT EXISTS
+                (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
         UNION ALL
         SELECT 'nation.n_regionkey->region',
                (SELECT COUNT(*) FROM nation),
-               (SELECT COUNT(*) FROM nation
-                WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region))
+               (SELECT COUNT(*) FROM nation n WHERE NOT EXISTS
+                (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
     )
     SELECT fk, CAST(child_rows AS BIGINT) AS child_rows,
            CAST(orphan_rows AS BIGINT) AS orphan_rows,

@@ -805,9 +805,11 @@ ORACLE_SQL: dict[str, str] = {
         FROM raw JOIN tr USING (event_type)
         ORDER BY event_type
     """,
-    # X175 streaming FK gate: the corrupted fixture's orphans by a
-    # plain NOT IN — the anti join's exact semantics; double delivery
-    # cannot add rows (post-drain DISTINCT)
+    # X175 streaming FK gate: the corrupted fixture's orphans by
+    # NOT EXISTS — the anti join's exact NULL semantics (a NULL child
+    # key IS an orphan, and a NULL parent key never vacuously empties
+    # the result the way NOT IN would — r11 ADVICE #2); double
+    # delivery cannot add rows (post-drain DISTINCT)
     "streaming_fk_gate": """
         WITH feed AS (
             SELECT o_orderkey AS order_id,
@@ -816,8 +818,9 @@ ORACLE_SQL: dict[str, str] = {
                         ELSE o_custkey END AS customer_id
             FROM orders
         )
-        SELECT order_id, customer_id FROM feed
-        WHERE customer_id NOT IN (SELECT c_custkey FROM customer)
+        SELECT order_id, customer_id FROM feed f
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = f.customer_id)
         ORDER BY order_id
     """,
     # X174 lateness profile: the PLAIN strict-prefix-max window (the
@@ -2404,8 +2407,10 @@ ORACLE_SQL: dict[str, str] = {
     # linkage (the quadratic reference join IS the oracle — the
     # deletion-neighborhood blocking guarantees zero false negatives at
     # edit distance <= 1), reduced to per-record verdicts with the
-    # min-custkey tie-break; the TWICE-delivered delta must not add or
-    # change a single verdict (replay-idempotence) or the hash fails
+    # CLOSEST-candidate rule (min dist, ties by min custkey — r11
+    # ADVICE #1: an exact match must beat a distance-1 match); the
+    # TWICE-delivered delta must not add or change a single verdict
+    # (replay-idempotence) or the hash fails
     "streaming_er_delta": """
         WITH dirty AS (
             SELECT c_custkey + 10000000 AS dirty_id,
@@ -2428,14 +2433,16 @@ ORACLE_SQL: dict[str, str] = {
              AND levenshtein(d.dirty_name, c.c_name) <= 1
         ),
         best AS (
-            SELECT dirty_id, MIN(custkey) AS entity_custkey,
+            SELECT dirty_id, MIN(dist) AS dist,
                    COUNT(*) AS n_candidates
             FROM links GROUP BY 1
         ),
         bd AS (
-            SELECT b.dirty_id, b.entity_custkey, l.dist, b.n_candidates
+            SELECT b.dirty_id, MIN(l.custkey) AS entity_custkey,
+                   b.dist, b.n_candidates
             FROM best b JOIN links l
-              ON l.dirty_id = b.dirty_id AND l.custkey = b.entity_custkey
+              ON l.dirty_id = b.dirty_id AND l.dist = b.dist
+            GROUP BY b.dirty_id, b.dist, b.n_candidates
         )
         SELECT d.dirty_id,
                bd.entity_custkey IS NOT NULL AS matched,
