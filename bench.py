@@ -725,13 +725,40 @@ def main() -> None:
         if len(line) <= 1990:
             break
     else:
-        # even deciseconds overflowed (the registry outgrew the
-        # driver's last-2000-chars capture at ~235 entries, round 11):
-        # emit the SLOWEST entries that fit plus an explicit omission
-        # marker — partial, honestly-labeled per-query detail beats an
-        # empty dict, and the verbose line above still carries every
-        # timing for local reading. Greedy by cost so the entries a
-        # perf review needs are exactly the ones that survive.
+        # Dict forms overflowed (the registry outgrew the driver's
+        # last-2000-chars capture at ~235 entries, round 11; r11
+        # VERDICT ask #2: keep n_omitted at 0). PACKED-STRING stage:
+        # "queries" becomes ONE space-separated string of
+        # "<alias>:<deciseconds>" pairs — ~7 chars/entry vs ~10 for
+        # the JSON dict — which carries EVERY entry at ds precision
+        # well under the cap (~1800 chars at 255 entries, headroom
+        # for ~25 more). qfmt="pack" labels the encoding;
+        # scripts/decode_bench_line.py (and BENCH_NOTES) decode it
+        # back to a {name: seconds} dict using BENCH_KEY_ALIASES.
+        packed = " ".join(
+            f"{BENCH_KEY_ALIASES.get(k, k)}:{int(round(v * 10))}"
+            for k, v in sorted(timings.items(), key=lambda kv: -kv[1])
+        )
+        line = json.dumps(
+            {
+                "metric": "wall",
+                "value": total,
+                "unit": "sec",
+                "qunit": "ds",
+                "qfmt": "pack",
+                "n_omitted": 0,
+                "queries": packed,
+                "sf": sf,
+            },
+            separators=(",", ":"),
+        )
+    if len(line) > 1990:
+        # even the packed string overflowed — emit the SLOWEST entries
+        # that fit plus an explicit omission marker — partial,
+        # honestly-labeled per-query detail beats an empty dict, and
+        # the verbose line above still carries every timing for local
+        # reading. Greedy by cost so the entries a perf review needs
+        # are exactly the ones that survive.
         ranked = sorted(timings.items(), key=lambda kv: -kv[1])
         kept: dict = {}
         for k, v in ranked:

@@ -88,3 +88,52 @@ def test_bench_covers_every_registry_query_and_aliases_are_unique():
     dupes = [v for v in set(vals) if vals.count(v) > 1]
     assert not dupes, f"alias collisions: {dupes}"
     assert not [v for v in vals if v in QUERY_FNS]
+
+
+def test_bench_packed_line_carries_every_entry_within_capture():
+    """r11 VERDICT ask #2: the compact FINAL line saturated the
+    driver's 2000-char capture and silently dropped 29 entries
+    (n_omitted=29). The fix is the packed-string stage — pin that it
+    (a) fits the capture at the CURRENT registry size under
+    pessimistic per-query costs, (b) carries every timing (n_omitted
+    semantics = 0), and (c) round-trips through
+    scripts/decode_bench_line.decode back to exact {name: sec}."""
+    import importlib.util
+    import json
+    import os
+
+    import bench
+
+    spec = importlib.util.spec_from_file_location(
+        "decode_bench_line",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "decode_bench_line.py"),
+    )
+    dec = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(dec)
+
+    # pessimistic timing profile: every entry 9.9 ds (2-digit), the
+    # ETL / streaming-drain tails at 3-digit ds — worse than any
+    # observed run (r11 real: 1745 chars at 245 entries)
+    timings = {n: 9.9 for n in bench.ANALYTICS_QUERIES}
+    timings.update({k: 9.9 for k in bench.REF_BENCH_KEYS.values()})
+    timings.update(
+        {"etl_derive_tables": 99.9, "pipeline_streaming_drain": 99.9}
+    )
+    packed = " ".join(
+        f"{bench.BENCH_KEY_ALIASES.get(k, k)}:{int(round(v * 10))}"
+        for k, v in sorted(timings.items(), key=lambda kv: -kv[1])
+    )
+    line = json.dumps(
+        {"metric": "wall", "value": round(sum(timings.values()), 3),
+         "unit": "sec", "qunit": "ds", "qfmt": "pack", "n_omitted": 0,
+         "queries": packed, "sf": 0.1},
+        separators=(",", ":"),
+    )
+    assert len(line) <= 1990, (
+        f"packed line {len(line)} chars overflows the driver capture — "
+        "shorten aliases before adding more queries"
+    )
+    out = dec.decode(json.loads(line))
+    assert set(out) == set(timings)
+    assert all(abs(out[k] - round(timings[k], 1)) < 1e-9 for k in timings)
