@@ -2736,64 +2736,110 @@ ORACLE_SQL["streaming_value_quantiles"] = f"""
 # park stable, already-driver-verified, untouched baselines at the
 # tail, where falling past position 50 loses nothing.
 # --- BEGIN GENERATED GATE ORDER (scripts/gen_gate_head.py) ---
-# Window = 31 never-driver-checked additions + 15 changed
-# entries + the 4 stalest driver greens (last green in
-# round(s) [6], from CORRECTNESS_r*.json). Regenerate with
+# Window = 0 never-driver-checked additions + 6 changed
+# entries + the 44 stalest driver greens (last green in
+# round(s) [6, 7], from CORRECTNESS_r*.json). Regenerate with
 #   python scripts/gen_gate_head.py
 # (pytest runs --check; hand-edits here go stale and FAIL).
 _GATE_HEAD = [
-    "events_user_anomalies",  # last driver green: r10
-    "text_tokenizer_compare",  # last driver green: r10
-    "corpus_content_hashes",  # last driver green: r10
-    "dedup_components_delta",  # last driver green: r10
-    "er_link_dirty_names",  # last driver green: r10
-    "streaming_er_delta",  # last driver green: r0
-    "docs_hll_distinct_audit",  # last driver green: r0
-    "mm_video_near_dup",  # last driver green: r0
-    "mm_afp_near_dup",  # last driver green: r10
-    "customers_k_generalize",  # last driver green: r0
-    "retrieval_mmr_topk",  # last driver green: r0
-    "corpus_funnel_by_source",  # last driver green: r0
-    "corpus_funnel_report",  # last driver green: r10
-    "events_hll_users_daily",  # last driver green: r0
-    "streaming_hll_users",  # last driver green: r0
-    "mm_canonical_media",  # last driver green: r0
-    "retrieval_known_item_eval",  # last driver green: r0
-    "retrieval_eval_mrr",  # last driver green: r0
-    "text_pii_extract",  # last driver green: r0
-    "events_user_skew",  # last driver green: r0
-    "warehouse_fk_audit",  # last driver green: r0
-    "corpus_delete_apply",  # last driver green: r0
-    "events_attribution_positional",  # last driver green: r0
-    "events_seasonal_backtest",  # last driver green: r0
-    "events_lateness_profile",  # last driver green: r0
-    "streaming_fk_gate",  # last driver green: r0
-    "events_trimmed_mean",  # last driver green: r0
-    "warehouse_null_profile",  # last driver green: r0
-    "quality_scorer_agreement",  # last driver green: r0
-    "streaming_decontamination_gate",  # last driver green: r0
-    "events_user_cusum",  # last driver green: r0
-    "events_cms_users_daily",  # last driver green: r0
-    "sketch_heavy_hitters",  # last driver green: r7
-    "ann_centroid_drift",  # last driver green: r0
-    "corpus_mixture_actuals",  # last driver green: r0
-    "docs_language_confusion",  # last driver green: r0
-    "docs_pack_manifest",  # last driver green: r0
-    "events_weekly_profile",  # last driver green: r0
-    "streaming_quality_gate",  # last driver green: r0
-    "streaming_late_data_policy",  # last driver green: r6
-    "streaming_session_windows",  # last driver green: r7
-    "streaming_sliding_1h_15m",  # last driver green: r8
-    "streaming_drift_tvd",  # last driver green: r9
-    "streaming_topk_users",  # last driver green: r10
-    "streaming_cusum_gate",  # last driver green: r10
-    "streaming_user_anomalies",  # last driver green: r10
-    "ann_topk_lsh_multi",  # last driver green: r6
-    "bucketed_sales_join",  # last driver green: r6
-    "customer_retention",  # last driver green: r6
-    "customers_with_urgent_orders",  # last driver green: r6
+    "streaming_er_delta",  # last driver green: r11
+    "warehouse_fk_audit",  # last driver green: r11
+    "streaming_fk_gate",  # last driver green: r11
+    "retrieval_mmr_topk",  # last driver green: r11
+    "retrieval_hybrid_rrf",  # last driver green: r8
+    "retrieval_hybrid_rrf3",  # last driver green: r9
+    "customers_without_urgent_orders",  # last driver green: r6
+    "dedup_simhash_fingerprints",  # last driver green: r6
+    "dedup_simhash_pairs",  # last driver green: r6
+    "emb_near_dup",  # last driver green: r6
+    "emb_near_dup_lsh",  # last driver green: r6
+    "events_attribution",  # last driver green: r6
+    "events_sessionization",  # last driver green: r6
+    "events_type_mode",  # last driver green: r6
+    "events_type_value_quantiles",  # last driver green: r6
+    "events_value_histogram",  # last driver green: r6
+    "events_variant_props",  # last driver green: r6
+    "fuzzy_customer_names",  # last driver green: r6
+    "incremental_sales_rollup",  # last driver green: r6
+    "pipeline_compaction",  # last driver green: r6
+    "pipeline_partition_scan",  # last driver green: r6
+    "profile_documents",  # last driver green: r6
+    "q10_returned_items",  # last driver green: r6
+    "q12_ship_delay_classes",  # last driver green: r6
+    "q5_local_supplier_volume",  # last driver green: r6
+    "q7_volume_shipping",  # last driver green: r6
+    "sales_pivot_by_priority",  # last driver green: r6
+    "salted_events_join",  # last driver green: r6
+    "salted_lineitem_agg",  # last driver green: r6
+    "salted_priority_sales",  # last driver green: r6
+    "sketch_distinct_trigrams",  # last driver green: r6
+    "sketch_value_quantiles",  # last driver green: r6
+    "sql_above_average_orders",  # last driver green: r6
+    "streaming_value_quantiles",  # last driver green: r6
+    "text_repetition",  # last driver green: r6
+    "ann_topk_ivf",  # last driver green: r7
+    "ann_topk_pq",  # last driver green: r7
+    "asof_priority_rates",  # last driver green: r7
+    "cdc_scd2_history",  # last driver green: r7
+    "cdc_snapshot_diff",  # last driver green: r7
+    "curation_pipeline",  # last driver green: r7
+    "curation_source_caps",  # last driver green: r7
+    "customer_rfm_segments",  # last driver green: r7
+    "customer_running_spend",  # last driver green: r7
+    "dedup_canonical_docs",  # last driver green: r7
+    "dedup_components_star",  # last driver green: r7
+    "dedup_contamination",  # last driver green: r7
+    "dedup_ensemble",  # last driver green: r7
+    "dedup_lsh_quality",  # last driver green: r7
+    "dedup_minhash_lsh",  # last driver green: r7
 ]
 _GATE_TAIL = [
+    "ann_centroid_drift",  # last driver green: r11
+    "ann_topk_lsh_multi",  # last driver green: r11
+    "bucketed_sales_join",  # last driver green: r11
+    "corpus_content_hashes",  # last driver green: r11
+    "corpus_delete_apply",  # last driver green: r11
+    "corpus_funnel_by_source",  # last driver green: r11
+    "corpus_funnel_report",  # last driver green: r11
+    "corpus_mixture_actuals",  # last driver green: r11
+    "customer_retention",  # last driver green: r11
+    "customers_k_generalize",  # last driver green: r11
+    "customers_with_urgent_orders",  # last driver green: r11
+    "dedup_components_delta",  # last driver green: r11
+    "docs_hll_distinct_audit",  # last driver green: r11
+    "docs_language_confusion",  # last driver green: r11
+    "docs_pack_manifest",  # last driver green: r11
+    "er_link_dirty_names",  # last driver green: r11
+    "events_attribution_positional",  # last driver green: r11
+    "events_cms_users_daily",  # last driver green: r11
+    "events_hll_users_daily",  # last driver green: r11
+    "events_lateness_profile",  # last driver green: r11
+    "events_seasonal_backtest",  # last driver green: r11
+    "events_trimmed_mean",  # last driver green: r11
+    "events_user_anomalies",  # last driver green: r11
+    "events_user_cusum",  # last driver green: r11
+    "events_user_skew",  # last driver green: r11
+    "events_weekly_profile",  # last driver green: r11
+    "mm_afp_near_dup",  # last driver green: r11
+    "mm_canonical_media",  # last driver green: r11
+    "mm_video_near_dup",  # last driver green: r11
+    "quality_scorer_agreement",  # last driver green: r11
+    "retrieval_eval_mrr",  # last driver green: r11
+    "retrieval_known_item_eval",  # last driver green: r11
+    "sketch_heavy_hitters",  # last driver green: r11
+    "streaming_cusum_gate",  # last driver green: r11
+    "streaming_decontamination_gate",  # last driver green: r11
+    "streaming_drift_tvd",  # last driver green: r11
+    "streaming_hll_users",  # last driver green: r11
+    "streaming_late_data_policy",  # last driver green: r11
+    "streaming_quality_gate",  # last driver green: r11
+    "streaming_session_windows",  # last driver green: r11
+    "streaming_sliding_1h_15m",  # last driver green: r11
+    "streaming_topk_users",  # last driver green: r11
+    "streaming_user_anomalies",  # last driver green: r11
+    "text_pii_extract",  # last driver green: r11
+    "text_tokenizer_compare",  # last driver green: r11
+    "warehouse_null_profile",  # last driver green: r11
     "ann_index_health",  # last driver green: r10
     "ann_label_audit",  # last driver green: r10
     "ann_label_audit_clustered",  # last driver green: r10
@@ -2868,7 +2914,6 @@ _GATE_TAIL = [
     "q19_disjunctive_revenue",  # last driver green: r9
     "q20_promotion_suppliers",  # last driver green: r9
     "q2_min_cost_supplier",  # last driver green: r9
-    "retrieval_hybrid_rrf3",  # last driver green: r9
     "streaming_dedup_delta",  # last driver green: r9
     "text_bpe_fertility",  # last driver green: r9
     "text_bpe_segment",  # last driver green: r9
@@ -2913,28 +2958,12 @@ _GATE_TAIL = [
     "q21_late_sole_supplier",  # last driver green: r8
     "q22_dormant_customers",  # last driver green: r8
     "q4_late_order_priority",  # last driver green: r8
-    "retrieval_hybrid_rrf",  # last driver green: r8
     "sales_cube",  # last driver green: r8
     "sql_lateral_top_orders",  # last driver green: r8
     "streaming_payment_match_full",  # last driver green: r8
     "text_bpe_merges",  # last driver green: r8
     "text_dsir_importance",  # last driver green: r8
     "text_ngram_novelty",  # last driver green: r8
-    "ann_topk_ivf",  # last driver green: r7
-    "ann_topk_pq",  # last driver green: r7
-    "asof_priority_rates",  # last driver green: r7
-    "cdc_scd2_history",  # last driver green: r7
-    "cdc_snapshot_diff",  # last driver green: r7
-    "curation_pipeline",  # last driver green: r7
-    "curation_source_caps",  # last driver green: r7
-    "customer_rfm_segments",  # last driver green: r7
-    "customer_running_spend",  # last driver green: r7
-    "dedup_canonical_docs",  # last driver green: r7
-    "dedup_components_star",  # last driver green: r7
-    "dedup_contamination",  # last driver green: r7
-    "dedup_ensemble",  # last driver green: r7
-    "dedup_lsh_quality",  # last driver green: r7
-    "dedup_minhash_lsh",  # last driver green: r7
     "dedup_ngram_jaccard",  # last driver green: r7
     "dedup_semantic",  # last driver green: r7
     "dedup_signal_agreement",  # last driver green: r7
@@ -2963,35 +2992,6 @@ _GATE_TAIL = [
     "text_model_quality",  # last driver green: r7
     "text_quality_sample",  # last driver green: r7
     "top_orders_per_customer",  # last driver green: r7
-    "customers_without_urgent_orders",  # last driver green: r6
-    "dedup_simhash_fingerprints",  # last driver green: r6
-    "dedup_simhash_pairs",  # last driver green: r6
-    "emb_near_dup",  # last driver green: r6
-    "emb_near_dup_lsh",  # last driver green: r6
-    "events_attribution",  # last driver green: r6
-    "events_sessionization",  # last driver green: r6
-    "events_type_mode",  # last driver green: r6
-    "events_type_value_quantiles",  # last driver green: r6
-    "events_value_histogram",  # last driver green: r6
-    "events_variant_props",  # last driver green: r6
-    "fuzzy_customer_names",  # last driver green: r6
-    "incremental_sales_rollup",  # last driver green: r6
-    "pipeline_compaction",  # last driver green: r6
-    "pipeline_partition_scan",  # last driver green: r6
-    "profile_documents",  # last driver green: r6
-    "q10_returned_items",  # last driver green: r6
-    "q12_ship_delay_classes",  # last driver green: r6
-    "q5_local_supplier_volume",  # last driver green: r6
-    "q7_volume_shipping",  # last driver green: r6
-    "sales_pivot_by_priority",  # last driver green: r6
-    "salted_events_join",  # last driver green: r6
-    "salted_lineitem_agg",  # last driver green: r6
-    "salted_priority_sales",  # last driver green: r6
-    "sketch_distinct_trigrams",  # last driver green: r6
-    "sketch_value_quantiles",  # last driver green: r6
-    "sql_above_average_orders",  # last driver green: r6
-    "streaming_value_quantiles",  # last driver green: r6
-    "text_repetition",  # last driver green: r6
 ]
 # --- END GENERATED GATE ORDER ---
 

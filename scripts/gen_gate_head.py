@@ -34,59 +34,17 @@ REGISTRY = os.path.join(
 )
 WINDOW = 50
 
-#: Round-11 rotation set: every query that is NEW this round or whose
+#: Round-12 rotation set: every query that is NEW this round or whose
 #: OUTPUT or IMPLEMENTATION changed (next round: replace this list).
 #: Grown in place during the round — regenerate after each addition.
 MUST_ROTATE = [
-    # --- round 11: r10 ADVICE fixes (output or implementation changed) ---
-    "events_user_anomalies",       # as_timestamp day cast (ADVICE #1)
-    "text_tokenizer_compare",      # per-tokenizer denominators (ADVICE #2)
-    "corpus_content_hashes",       # NULL sentinel + length-prefix (ADVICE #4)
-    "dedup_components_delta",      # inner closure -> star CC (ADVICE #3)
-    "er_link_dirty_names",         # dirty fixture factored to helper
-    # --- new in round 11 ---
-    "streaming_er_delta",          # X157 streaming entity resolution
-    "docs_hll_distinct_audit",     # X158 mergeable HLL distinct sketch
-    "mm_video_near_dup",           # X159 video near-dup (frame sequences)
-    "mm_afp_near_dup",             # band packing factored to shared helper
-    "customers_k_generalize",      # X160 k-anonymity APPLY report
-    "retrieval_mmr_topk",          # X161 MMR diversification
-    "corpus_funnel_by_source",     # X162 per-source curation funnel
-    "corpus_funnel_report",        # stage ids factored to shared helper
-    "events_hll_users_daily",      # X163 HLL deployment shape (daily+merge)
-    "streaming_hll_users",         # X164 streaming HLL registers
-    "mm_canonical_media",          # X165 cross-modality keep-list
-    "retrieval_known_item_eval",   # X166 batch BM25 known-item eval
-    "retrieval_eval_mrr",          # X167 MRR/recall summary
-    "text_pii_extract",            # X168 PII extraction inventory
-    "events_user_skew",            # X169 join-key skew audit
-    "warehouse_fk_audit",          # X170 referential-integrity audit
-    "corpus_delete_apply",         # X171 deletion propagation
-    "events_attribution_positional", # X172 U-shaped multi-touch
-    "events_seasonal_backtest",    # X173 forecast backtest
-    "events_lateness_profile",     # X174 watermark-delay evidence
-    "streaming_fk_gate",           # X175 streaming referential gate
-    "events_trimmed_mean",         # X176 exact rank-trimmed mean
-    "warehouse_null_profile",      # X177 completeness profile
-    "quality_scorer_agreement",    # X178 scorer agreement (Pearson)
-    "streaming_decontamination_gate",  # X179 streaming decontamination
-    "events_user_cusum",           # X180 per-entity CUSUM changepoints
-    "events_cms_users_daily",      # X181 mergeable count sketch
-    "sketch_heavy_hitters",        # CMS refactored to cells/merge/probe
-    "ann_centroid_drift",          # X182 IVF drift monitor
-    "corpus_mixture_actuals",      # X183 plan-vs-actuals coverage
-    "docs_language_confusion",     # X184 language-ID accuracy audit
-    "docs_pack_manifest",          # X185 training-shard manifest
-    "events_weekly_profile",       # X186 dow x hour seasonality
-    "streaming_quality_gate",      # X187 streaming quality floor
-    # --- round 11: streaming ts hardened via as_timestamp (impl change) ---
-    "streaming_late_data_policy",
-    "streaming_session_windows",
-    "streaming_sliding_1h_15m",
-    "streaming_drift_tvd",
-    "streaming_topk_users",
-    "streaming_cusum_gate",
-    "streaming_user_anomalies",
+    # --- round 12: r11 ADVICE fixes (output or oracle changed) ---
+    "streaming_er_delta",       # verdict rule: closest candidate wins
+    "warehouse_fk_audit",       # oracle NOT IN -> NOT EXISTS (null-safe)
+    "streaming_fk_gate",        # oracle NOT IN -> NOT EXISTS (null-safe)
+    "retrieval_mmr_topk",       # oracle RRF_SCALE interpolated
+    "retrieval_hybrid_rrf",     # oracle RRF_SCALE interpolated
+    "retrieval_hybrid_rrf3",    # oracle RRF_SCALE interpolated
 ]
 
 
