@@ -54,6 +54,14 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_AQE_FLOOR", "64k"),
         )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        # FAIR scheduling between pools: a single job (every batch
+        # query — there is only ever one pool active) schedules exactly
+        # as FIFO did, but CONCURRENT streaming drains that opt into
+        # per-query pools (streaming/registry_stream._intake_verdicts)
+        # time-slice the executor slots instead of queueing whole
+        # stages behind each other — the difference between sum() and
+        # max() wall for the multiplexed intake gates.
+        .config("spark.scheduler.mode", "FAIR")
         # Deterministic oracle comparison: DuckDB timestamps are
         # UTC-naive; pin Spark to UTC so date/timestamp values match.
         .config("spark.sql.session.timeZone", "UTC")
