@@ -2173,11 +2173,24 @@ def _ivfpqt_quantizers(
         e = _embs(spark, sf_dir)
         return similarity.clustered_embeddings(e) if clustered else e
 
+    # ONE corpus scan for the whole training session: the md5
+    # hash-rank TRAIN_SAMPLE_N sample is checkpointed once and handed
+    # to BOTH trainers as their input — train_sample is idempotent on
+    # its own output (same deterministic (md5, id) total order, so
+    # top-512 of the 512 = itself and the K seeds = the same top-K
+    # prefix), which turns the previous 4 corpus scans+sorts (coarse
+    # train, coarse seeds, books train, books seeds) into 512-row
+    # re-sorts. Values bit-identical; only the scan count changed.
+    sample = _session_cached(
+        spark,
+        ("ivfpqt_sample", sf_dir, clustered),
+        lambda: materialize(similarity.train_sample(embs()), eager=True),
+    )
     coarse = _session_cached(
         spark,
         ("ivfpqt_coarse", sf_dir, clustered),
         lambda: similarity.train_coarse_centroids(
-            embs(),
+            sample,
             sample_n=similarity.TRAIN_SAMPLE_N,
             k_seeds=similarity.TRAIN_K,
         ),
@@ -2186,7 +2199,7 @@ def _ivfpqt_quantizers(
         spark,
         ("ivfpqt_books", sf_dir, clustered),
         lambda: similarity.train_residual_books(
-            embs(),
+            sample,
             coarse,
             sample_n=similarity.TRAIN_SAMPLE_N,
             k_seeds=similarity.TRAIN_K,

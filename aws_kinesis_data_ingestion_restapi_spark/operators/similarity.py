@@ -1145,19 +1145,32 @@ def train_coarse_centroids(
         train = materialize(
             train_sample(embs, n=sample_n, id_col=id_col), eager=True
         )
-        cents = materialize(
-            train_sample(embs, n=k_seeds, id_col=id_col).select(
-                F.col(id_col).alias("cell"), quantized().alias("cv")
-            ),
-            eager=True,
+        cents = train_sample(embs, n=k_seeds, id_col=id_col).select(
+            F.col(id_col).alias("cell"), quantized().alias("cv")
         )
+        # sampled path: every frame here is metadata-sized (512-row
+        # sample, K-row centroids), so the per-round jobs are pure
+        # scheduling overhead. Two measured mitigations (r11 VERDICT
+        # ask #4 — this trainer was the rcc bench tail): COALESCE each
+        # round's K-row output to one partition before checkpointing
+        # (32 shuffle partitions of nothing otherwise), and drive the
+        # truncations through the shared RoundDriver so only every
+        # ROUND_BATCH-th round pays an eager job (plan depth stays
+        # bounded; a FULLY-lazy chain was measured WORSE — nested
+        # broadcast subtrees re-execute every prior round). Values
+        # unchanged — truncation policy only.
+        from aws_kinesis_data_ingestion_restapi_spark.operators.ckpt import (
+            RoundDriver,
+        )
+
+        drv = RoundDriver()
         for _ in range(rounds):
-            prev = cents
-            cents = materialize(
-                kmeans_new_centroids(train, centroids=prev, id_col=id_col),
-                eager=True,
+            cents = drv.step(
+                kmeans_new_centroids(
+                    train, centroids=cents, id_col=id_col
+                ).coalesce(1)
             )
-            release(prev)
+        cents = drv.finish(cents)
         release(train)
         return cents
 
@@ -1270,11 +1283,25 @@ def train_subspace_codebooks(
     )
 
     if seed_books is not None:
-        books = seed_books.select("sub", "cell", "cv")
-    else:
-        books = subs.filter((F.col(id_col) % centroid_stride) == 0).select(
-            "sub", F.col(id_col).alias("cell"), F.col("sv").alias("cv")
+        # sampled-training path (the only seed_books caller): the
+        # m·K-row books are metadata-sized — coalesce each round to
+        # one partition and batch the truncations through RoundDriver
+        # (same measured rationale as the train_coarse_centroids
+        # sampled path)
+        from aws_kinesis_data_ingestion_restapi_spark.operators.ckpt import (
+            RoundDriver,
         )
+
+        drv = RoundDriver()
+        books = seed_books.select("sub", "cell", "cv")
+        for _ in range(rounds):
+            books = drv.step(
+                _subspace_lloyd_round(subs, books, id_col).coalesce(1)
+            )
+        return drv.finish(books)
+    books = subs.filter((F.col(id_col) % centroid_stride) == 0).select(
+        "sub", F.col(id_col).alias("cell"), F.col("sv").alias("cv")
+    )
     for r in range(rounds):
         prev = books if r > 0 else None
         books = materialize(
