@@ -1183,3 +1183,138 @@ def contamination_report(
         )
         .filter(F.col("n_hit_grams") >= min_overlap)
     )
+
+
+# ---------------------------------------------------------------------------
+# line-level boilerplate removal (CCNet-style paragraph/line dedup)
+# ---------------------------------------------------------------------------
+
+
+def line_stats(
+    docs: DataFrame,
+    source_col: str = "source",
+    min_docs: int = 2,
+    max_share: float = 0.5,
+) -> DataFrame:
+    """Per-(source, line) repetition statistics over MULTI-LINE text —
+    the measurement half of CCNet §4.1-style line deduplication: a
+    line (newline-delimited unit of ``text``) that recurs verbatim in
+    a large share of one source's documents is template boilerplate
+    (navigation bars, cookie banners, copyright footers), not prose,
+    and should be stripped BEFORE near-dup detection (shared
+    boilerplate inflates every within-source Jaccard estimate).
+
+    A line is flagged as boilerplate when it appears in at least
+    ``min_docs`` distinct documents of its source AND in at least
+    ``max_share`` of them (the CCNet rule keyed per source, because
+    boilerplate is a property of the TEMPLATE, which is per-site).
+
+    Output: (source, line, n_docs_with_line, doc_share,
+    is_boilerplate), one row per distinct (source, line).
+
+    Scale design: one linear explode (a doc has O(len) lines), one
+    map-side-combinable count-distinct keyed (source, line-hash) —
+    never all-pairs — and the per-source document counts join in as a
+    BROADCAST (sources are a metadata-sized dimension). Hot lines
+    (the boilerplate itself) are exactly the skewed keys; the
+    aggregate is a count, so partial aggregation absorbs the skew
+    map-side. Reference semantics: CCNet (Wenzek et al. 2020) §4.1
+    line-level dedup.
+    """
+    lines = docs.select(
+        "doc_id",
+        F.col(source_col).alias("source"),
+        F.explode(F.split("text", "\n")).alias("line"),
+    )
+    per_line = lines.groupBy("source", "line").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs_with_line")
+    )
+    src_sizes = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.countDistinct("doc_id").cast("long").alias("_n_src_docs")
+    )
+    return per_line.join(F.broadcast(src_sizes), "source").select(
+        "source",
+        "line",
+        "n_docs_with_line",
+        (
+            F.col("n_docs_with_line").cast("double")
+            / F.col("_n_src_docs").cast("double")
+        ).alias("doc_share"),
+        (
+            (F.col("n_docs_with_line") >= F.lit(min_docs))
+            & (
+                F.col("n_docs_with_line").cast("double")
+                >= F.lit(float(max_share)) * F.col("_n_src_docs").cast("double")
+            )
+        ).alias("is_boilerplate"),
+    )
+
+
+def strip_boilerplate_lines(
+    docs: DataFrame,
+    source_col: str = "source",
+    min_docs: int = 2,
+    max_share: float = 0.5,
+) -> DataFrame:
+    """APPLY side of :func:`line_stats` — re-emit every document with
+    its boilerplate lines removed (the X118 exact-substring-removal
+    shape at LINE grain): lines keep their original order, survivors
+    re-join with the newline delimiter, and a doc whose every line is
+    boilerplate comes back as the empty string (it then falls to the
+    quality floor downstream, which is the correct fate for a
+    pure-template page).
+
+    The share comparison is exact integer arithmetic
+    (n·2 >= total at max_share=0.5 generalizes to
+    n >= max_share·total evaluated in double on integer inputs —
+    both engines compute the identical value for dyadic shares).
+
+    Output: (doc_id, source, n_lines, n_kept_lines, text_clean).
+
+    Scale design: the flagged-line table from :func:`line_stats`
+    hash-joins the exploded lines on the SAME (source, line) key the
+    stats grouped by — co-partitioned, one exchange each side — and
+    reassembly is one per-doc aggregate (array_sort over the
+    position-tagged survivors, metadata-sized per doc). Nothing is
+    quadratic; AQE's skew-join split covers template-heavy sources.
+    """
+    flagged = line_stats(
+        docs, source_col=source_col, min_docs=min_docs, max_share=max_share
+    ).filter(F.col("is_boilerplate"))
+    lines = docs.select(
+        "doc_id",
+        F.col(source_col).alias("source"),
+        F.posexplode(F.split("text", "\n")).alias("pos", "line"),
+    )
+    kept = lines.join(
+        flagged.select("source", "line", "is_boilerplate"),
+        ["source", "line"],
+        "left",
+    ).filter(F.col("is_boilerplate").isNull())
+    return (
+        lines.groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_lines"))
+        .join(
+            kept.groupBy("doc_id").agg(
+                F.count(F.lit(1)).cast("long").alias("n_kept_lines"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                        lambda s: s["line"],
+                    ),
+                    "\n",
+                ).alias("text_clean"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_lines",
+            F.coalesce(F.col("n_kept_lines"), F.lit(0))
+            .cast("long")
+            .alias("n_kept_lines"),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        )
+    )

@@ -1671,10 +1671,20 @@ def corpus_funnel_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.size(text.tokens_col()).cast("long").alias("ntok"),
     )
+    # pre-strip stages count the AS-CRAWLED template pages (the lined
+    # corpus); 2b strips boilerplate (cleaned == prose tokens), and
+    # every later stage counts prose — the r11 ask #5 funnel stage,
+    # monotone by construction (cleaned <= lined; later ids subset)
+    ltok = _lined_tok(spark, sf_dir)
+    ctok = _clean_tok(spark, sf_dir)
     universe = docs.select("source").distinct()
 
-    def stage(name: str, ids: DataFrame | None):
-        base = tok if ids is None else tok.join(ids, "doc_id")
+    def stage(name: str, ids: DataFrame | None, base_tok: DataFrame):
+        base = (
+            base_tok
+            if ids is None
+            else base_tok.join(ids, "doc_id")
+        )
         agg = base.groupBy("source").agg(
             F.count(F.lit(1)).alias("_n"),
             F.sum("ntok").alias("_t"),
@@ -1686,9 +1696,13 @@ def corpus_funnel_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("_t", F.lit(0)).cast("long").alias("n_tokens"),
         )
 
-    stages = stage("1_raw", None)
-    for name, ids in _funnel_stage_ids(spark, sf_dir):
-        stages = stages.unionByName(stage(name, ids))
+    ids_by_stage = _funnel_stage_ids(spark, sf_dir)
+    exact_ids = ids_by_stage[0][1]
+    stages = stage("1_raw", None, ltok)
+    stages = stages.unionByName(stage("2_exact_dedup", exact_ids, ltok))
+    stages = stages.unionByName(stage("2b_line_dedup", exact_ids, ctok))
+    for name, ids in ids_by_stage[1:]:
+        stages = stages.unionByName(stage(name, ids, tok))
     raw = tok.groupBy("source").agg(
         F.count(F.lit(1)).alias("_raw_n")
     )
@@ -1725,9 +1739,17 @@ def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.size(text.tokens_col()).cast("long").alias("ntok")
     )
+    # stage token accounting mirrors corpus_funnel_by_source: lined
+    # (as-crawled) until the 2b boilerplate strip, prose afterwards
+    ltok = _lined_tok(spark, sf_dir).select("doc_id", "ntok")
+    ctok = _clean_tok(spark, sf_dir).select("doc_id", "ntok")
 
-    def stage(name: str, ids: DataFrame | None):
-        base = tok if ids is None else tok.join(ids, "doc_id")
+    def stage(name: str, ids: DataFrame | None, base_tok: DataFrame):
+        base = (
+            base_tok
+            if ids is None
+            else base_tok.join(ids, "doc_id")
+        )
         return base.agg(
             F.lit(name).alias("stage"),
             F.count(F.lit(1)).alias("n_docs"),
@@ -1736,9 +1758,12 @@ def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     ids_by_stage = _funnel_stage_ids(spark, sf_dir)
-    stages = stage("1_raw", None)
-    for name, ids in ids_by_stage:
-        stages = stages.unionByName(stage(name, ids))
+    exact_ids = ids_by_stage[0][1]
+    stages = stage("1_raw", None, ltok)
+    stages = stages.unionByName(stage("2_exact_dedup", exact_ids, ltok))
+    stages = stages.unionByName(stage("2b_line_dedup", exact_ids, ctok))
+    for name, ids in ids_by_stage[1:]:
+        stages = stages.unionByName(stage(name, ids, tok))
     raw = tok.agg(F.count(F.lit(1)).alias("_raw_n"))
     return (
         stages.crossJoin(F.broadcast(raw))
@@ -4164,6 +4189,248 @@ def dedup_chunks_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# X188/X189: line-level boilerplate removal (CCNet-style line dedup)
+# ---------------------------------------------------------------------------
+
+#: Boilerplate rule constants — interpolated into the oracle SQL so
+#: the two sides cannot desynchronize (the r11 MMR lesson).
+BOILERPLATE_MIN_DOCS = 2
+BOILERPLATE_MAX_SHARE = 0.5
+#: tokens per derived body line in the lined-corpus fixture
+LINE_WIDTH = 12
+
+
+def _lined_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MULTI-LINE corpus fixture for the line-dedup pair
+    (X188/X189): the driver's documents carry no newlines, so — the
+    engineered-corruption discipline the FK gate (every 13th key
+    offset) and the ER fixture (midpoint substitution) use — each
+    document is re-laid-out as a TEMPLATE PAGE: a per-source
+    navigation header line, the document's own tokens re-wrapped
+    into LINE_WIDTH-token body lines, and a per-source copyright
+    footer line. Within a source the header/footer recur in EVERY
+    document (textbook boilerplate, doc_share = 1.0) while body
+    lines are unique prose — exactly the geometry CCNet §4.1 line
+    dedup exists to separate. Deterministic: derived from tokens
+    only, no randomness."""
+    toks = text.tokens_col()
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", toks.alias("_t")
+    )
+    w = LINE_WIDTH
+    body = F.when(F.size("_t") > 0, F.transform(
+        F.sequence(
+            F.lit(0), F.floor((F.size("_t") - 1) / w).cast("int")
+        ),
+        lambda i: F.array_join(F.slice("_t", i * w + 1, w), " "),
+    )).otherwise(F.array().cast("array<string>"))
+    header = F.concat(
+        F.lit("home about contact login search "), F.col("source")
+    )
+    footer = F.concat(
+        F.lit("copyright "),
+        F.col("source"),
+        F.lit(" all rights reserved cookie policy"),
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.array_join(
+            F.concat(F.array(header), body, F.array(footer)), "\n"
+        ).alias("text"),
+    )
+
+
+def _lined_tok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, ntok) over the LINED template-page corpus —
+    the as-crawled token accounting the funnels' pre-strip stages
+    use. Cheap projection; cached for symmetry with _clean_tok."""
+    return _session_cached(
+        spark,
+        ("lined_tok", sf_dir),
+        lambda: materialize(
+            _lined_docs(spark, sf_dir).select(
+                "doc_id",
+                "source",
+                F.size(text.tokens_col()).cast("long").alias("ntok"),
+            )
+        ),
+    )
+
+
+def _clean_tok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, ntok) AFTER the X189 boilerplate strip —
+    computed (and localCheckpoint-materialized) at most once per
+    (session, sf_dir); shared by both funnels' 2b stage."""
+    return _session_cached(
+        spark,
+        ("clean_tok", sf_dir),
+        lambda: materialize(
+            dedup.strip_boilerplate_lines(
+                _lined_docs(spark, sf_dir),
+                min_docs=BOILERPLATE_MIN_DOCS,
+                max_share=BOILERPLATE_MAX_SHARE,
+            ).select(
+                "doc_id",
+                "source",
+                F.size(text.tokens_col("text_clean"))
+                .cast("long")
+                .alias("ntok"),
+            )
+        ),
+    )
+
+
+def dedup_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X188: per-source line-repetition REPORT — the CCNet §4.1
+    measurement (r11 VERDICT ask #5): how much of each source is
+    verbatim-repeated template lines vs unique prose. The flag rule
+    (>= BOILERPLATE_MIN_DOCS docs AND >= BOILERPLATE_MAX_SHARE of the
+    source's documents) keys per SOURCE because boilerplate is a
+    property of the site template. bp_token_share weights each
+    distinct line by its token length x document occurrences, so the
+    number reads as "share of the source's line-token volume that is
+    boilerplate" — the stat that decides whether a feed needs
+    stripping at the intake.
+
+    Scale: dedup.line_stats is one linear explode + one
+    (source, line)-keyed count-distinct with map-side partials + a
+    broadcast source-size dim; this report adds one per-source
+    aggregate. Never all-pairs. Fixture: :func:`_lined_docs`."""
+    st = dedup.line_stats(
+        _lined_docs(spark, sf_dir),
+        min_docs=BOILERPLATE_MIN_DOCS,
+        max_share=BOILERPLATE_MAX_SHARE,
+    )
+    wt = st.select(
+        "source",
+        "is_boilerplate",
+        "n_docs_with_line",
+        F.size(text.tokens_col("line")).cast("long").alias("_ltok"),
+    )
+    return (
+        wt.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_lines"),
+            F.sum(F.when(F.col("is_boilerplate"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_boilerplate_lines"),
+            F.sum(
+                F.when(
+                    F.col("is_boilerplate"),
+                    F.col("_ltok") * F.col("n_docs_with_line"),
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("bp_line_tokens"),
+            F.sum(F.col("_ltok") * F.col("n_docs_with_line"))
+            .cast("long")
+            .alias("total_line_tokens"),
+        )
+        .select(
+            "source",
+            "n_distinct_lines",
+            "n_boilerplate_lines",
+            (
+                F.col("bp_line_tokens").cast("double")
+                / F.col("total_line_tokens").cast("double")
+            ).alias("bp_token_share"),
+        )
+        .orderBy("source")
+    )
+
+
+def dedup_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X189: line-level boilerplate removal APPLY — the curation
+    stage between exact dedup and near-dup detection that the funnel
+    lacked (r11 VERDICT ask #5): re-emit every document with its
+    source's boilerplate lines stripped, unique prose intact, order
+    preserved. The cleaned text is reported as md5 so the oracle
+    pins every byte of the reassembly (join order, delimiter) without
+    shipping megabytes of text through the gate harness.
+
+    Scale: dedup.strip_boilerplate_lines — the flagged-line table
+    hash-joins the exploded lines on the same (source, line) key the
+    stats grouped by (co-partitioned), reassembly is one per-doc
+    sort-aggregate. Fixture: :func:`_lined_docs` (engineered
+    header/footer boilerplate; the pytest pin proves the shared
+    header is removed and unique prose survives)."""
+    cleaned = dedup.strip_boilerplate_lines(
+        _lined_docs(spark, sf_dir),
+        min_docs=BOILERPLATE_MIN_DOCS,
+        max_share=BOILERPLATE_MAX_SHARE,
+    )
+    return cleaned.select(
+        "doc_id",
+        "source",
+        "n_lines",
+        "n_kept_lines",
+        F.size(text.tokens_col("text_clean")).cast("long").alias(
+            "n_tokens_clean"
+        ),
+        F.md5(F.col("text_clean")).alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+# X188/X189 lined-corpus fixture macro: the identical template-page
+# layout _lined_docs builds (per-source header, LINE_WIDTH-token body
+# lines, per-source footer), so both engines tokenize and re-wrap the
+# same bytes. Rule constants interpolate from the module so the two
+# sides cannot desynchronize.
+_LINED_SQL = f"""
+    SELECT doc_id, source,
+           array_to_string(
+             list_concat(list_concat(
+               ['home about contact login search ' || source],
+               CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[]) ELSE
+                 list_transform(generate_series(0, (len(t)-1)//{LINE_WIDTH}),
+                   i -> array_to_string(
+                          t[i*{LINE_WIDTH}+1 : i*{LINE_WIDTH}+{LINE_WIDTH}],
+                          ' '))
+               END),
+               ['copyright ' || source || ' all rights reserved cookie policy']
+             ), chr(10)) AS text
+    FROM (SELECT doc_id, source, {_TOKS} AS t FROM documents)
+"""
+
+_LINE_TOKS = (
+    r"list_filter(string_split_regex(lower(trim(line)), '\s+'),"
+    r" t -> t != '')"
+)
+
+
+#: per-doc CLEANED token counts under the X189 strip rule, as a
+#: subquery that references a CTE named ``lined`` — shared by the
+#: X189 oracle-adjacent funnels so the funnel's 2b stage replays the
+#: identical strip arithmetic. Emits (doc_id, source, cntok).
+_CLEAN_NTOK_SQL = f"""(
+    WITH ls2 AS (SELECT doc_id, source, string_split(text, chr(10)) AS ls
+                 FROM lined),
+    l2 AS (SELECT doc_id, source, unnest(ls) AS line FROM ls2),
+    pl2 AS (SELECT source, line,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+            FROM l2 GROUP BY 1, 2),
+    ss2 AS (SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nsrc
+            FROM lined GROUP BY 1),
+    bp2 AS (SELECT pl2.source, pl2.line
+            FROM pl2 JOIN ss2 USING (source)
+            WHERE nd >= {BOILERPLATE_MIN_DOCS}
+              AND CAST(nd AS DOUBLE) >=
+                  {BOILERPLATE_MAX_SHARE!r} * CAST(nsrc AS DOUBLE)),
+    kept2 AS (SELECT l2.doc_id, l2.line FROM l2
+              LEFT JOIN bp2 ON bp2.source = l2.source
+                           AND bp2.line = l2.line
+              WHERE bp2.line IS NULL),
+    kt AS (SELECT doc_id,
+                  CAST(COALESCE(SUM(len({_LINE_TOKS})), 0) AS BIGINT)
+                      AS cntok
+           FROM kept2 GROUP BY 1)
+    SELECT d.doc_id, d.source, COALESCE(kt.cntok, 0) AS cntok
+    FROM (SELECT doc_id, source FROM lined) d LEFT JOIN kt USING (doc_id)
+)"""
+
+
+
 EXT_QUERY_FNS = {
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
@@ -4187,6 +4454,8 @@ EXT_QUERY_FNS = {
     "text_pack_bpe": text_pack_bpe,
     "corpus_mixture_bpe": corpus_mixture_bpe,
     "text_dsir_importance": text_dsir_importance,
+    "dedup_boilerplate_lines": dedup_boilerplate_lines,
+    "dedup_strip_boilerplate": dedup_strip_boilerplate,
     "text_lm_score": text_lm_score,
     "text_tfidf_search": text_tfidf_search,
     "retrieval_hybrid_rrf3": retrieval_hybrid_rrf3,
@@ -8238,6 +8507,10 @@ EXT_ORACLE_SQL["corpus_funnel_report"] = """
         SELECT doc_id, CAST(len({toks}) AS BIGINT) AS ntok
         FROM documents
     ),
+    lined AS ({lined}),
+    lntok AS (SELECT doc_id, CAST(len({toks}) AS BIGINT) AS ntok
+              FROM lined),
+    ctok AS (SELECT doc_id, cntok AS ntok FROM {cleanntok} c2),
     ex AS (
         SELECT doc_id FROM (
             SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY text
@@ -8260,11 +8533,15 @@ EXT_ORACLE_SQL["corpus_funnel_report"] = """
     st AS (
         SELECT '1_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(COALESCE(SUM(ntok), 0) AS BIGINT) AS n_tokens
-        FROM tok
+        FROM lntok
         UNION ALL
         SELECT '2_exact_dedup', CAST(COUNT(*) AS BIGINT),
                CAST(COALESCE(SUM(ntok), 0) AS BIGINT)
-        FROM tok JOIN ex USING (doc_id)
+        FROM lntok JOIN ex USING (doc_id)
+        UNION ALL
+        SELECT '2b_line_dedup', CAST(COUNT(*) AS BIGINT),
+               CAST(COALESCE(SUM(ntok), 0) AS BIGINT)
+        FROM ctok JOIN ex USING (doc_id)
         UNION ALL
         SELECT '3_near_dedup', CAST(COUNT(*) AS BIGINT),
                CAST(COALESCE(SUM(ntok), 0) AS BIGINT)
@@ -8288,6 +8565,8 @@ EXT_ORACLE_SQL["corpus_funnel_report"] = """
     quality=EXT_ORACLE_SQL["text_quality_score"],
     floor=QUALITY_FLOOR,
     contam=EXT_ORACLE_SQL["dedup_contamination"],
+    lined=_LINED_SQL,
+    cleanntok=_CLEAN_NTOK_SQL,
 )
 
 
@@ -8298,6 +8577,12 @@ EXT_ORACLE_SQL["corpus_funnel_by_source"] = """
         SELECT doc_id, source, CAST(len({toks}) AS BIGINT) AS ntok
         FROM documents
     ),
+    lined AS ({lined}),
+    lntok AS (SELECT doc_id, source,
+                     CAST(len({toks}) AS BIGINT) AS ntok
+              FROM lined),
+    ctok AS (SELECT doc_id, source, cntok AS ntok
+             FROM {cleanntok} c2),
     ex AS (
         SELECT doc_id FROM (
             SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY text
@@ -8318,17 +8603,22 @@ EXT_ORACLE_SQL["corpus_funnel_by_source"] = """
     ),
     src AS (SELECT DISTINCT source FROM documents),
     stages(stage) AS (VALUES ('1_raw'), ('2_exact_dedup'),
+                             ('2b_line_dedup'),
                              ('3_near_dedup'), ('4_quality_floor'),
                              ('5_decontaminated')),
     st AS (
         SELECT source, '1_raw' AS stage, CAST(COUNT(*) AS BIGINT)
                    AS n_docs,
                CAST(COALESCE(SUM(ntok), 0) AS BIGINT) AS n_tokens
-        FROM tok GROUP BY 1
+        FROM lntok GROUP BY 1
         UNION ALL
         SELECT source, '2_exact_dedup', CAST(COUNT(*) AS BIGINT),
                CAST(COALESCE(SUM(ntok), 0) AS BIGINT)
-        FROM tok JOIN ex USING (doc_id) GROUP BY 1
+        FROM lntok JOIN ex USING (doc_id) GROUP BY 1
+        UNION ALL
+        SELECT source, '2b_line_dedup', CAST(COUNT(*) AS BIGINT),
+               CAST(COALESCE(SUM(ntok), 0) AS BIGINT)
+        FROM ctok JOIN ex USING (doc_id) GROUP BY 1
         UNION ALL
         SELECT source, '3_near_dedup', CAST(COUNT(*) AS BIGINT),
                CAST(COALESCE(SUM(ntok), 0) AS BIGINT)
@@ -8361,6 +8651,8 @@ EXT_ORACLE_SQL["corpus_funnel_by_source"] = """
     quality=EXT_ORACLE_SQL["text_quality_score"],
     floor=QUALITY_FLOOR,
     contam=EXT_ORACLE_SQL["dedup_contamination"],
+    lined=_LINED_SQL,
+    cleanntok=_CLEAN_NTOK_SQL,
 )
 
 
@@ -9197,3 +9489,74 @@ EXT_ORACLE_SQL["streaming_quality_gate"] = """
     delta=_DELTA_PCT,
     floor=QUALITY_FLOOR,
 )
+
+
+EXT_ORACLE_SQL["dedup_boilerplate_lines"] = f"""
+    WITH lined AS ({_LINED_SQL}),
+    ls AS (SELECT doc_id, source, string_split(text, chr(10)) AS ls
+           FROM lined),
+    l AS (SELECT doc_id, source, unnest(ls) AS line,
+                 generate_subscripts(ls, 1) AS pos
+          FROM ls),
+    pl AS (SELECT source, line,
+                  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+           FROM l GROUP BY 1, 2),
+    ss AS (SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nsrc
+           FROM lined GROUP BY 1),
+    fl AS (SELECT pl.source, pl.line, nd,
+                  (nd >= {BOILERPLATE_MIN_DOCS}
+                   AND CAST(nd AS DOUBLE) >=
+                       {BOILERPLATE_MAX_SHARE!r} * CAST(nsrc AS DOUBLE))
+                      AS is_bp,
+                  CAST(len({_LINE_TOKS}) AS BIGINT) AS ltok
+           FROM pl JOIN ss USING (source))
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_lines,
+           CAST(SUM(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boilerplate_lines,
+           CAST(SUM(CASE WHEN is_bp THEN ltok * nd ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(ltok * nd) AS DOUBLE) AS bp_token_share
+    FROM fl GROUP BY source ORDER BY source
+"""
+
+EXT_ORACLE_SQL["dedup_strip_boilerplate"] = f"""
+    WITH lined AS ({_LINED_SQL}),
+    ls AS (SELECT doc_id, source, string_split(text, chr(10)) AS ls
+           FROM lined),
+    l AS (SELECT doc_id, source, unnest(ls) AS line,
+                 generate_subscripts(ls, 1) AS pos
+          FROM ls),
+    pl AS (SELECT source, line,
+                  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+           FROM l GROUP BY 1, 2),
+    ss AS (SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nsrc
+           FROM lined GROUP BY 1),
+    bp AS (SELECT pl.source, pl.line
+           FROM pl JOIN ss USING (source)
+           WHERE nd >= {BOILERPLATE_MIN_DOCS}
+             AND CAST(nd AS DOUBLE) >=
+                 {BOILERPLATE_MAX_SHARE!r} * CAST(nsrc AS DOUBLE)),
+    kept AS (
+        SELECT l.* FROM l
+        LEFT JOIN bp ON bp.source = l.source AND bp.line = l.line
+        WHERE bp.line IS NULL
+    ),
+    re AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_kept_lines,
+               string_agg(line, chr(10) ORDER BY pos) AS text_clean
+        FROM kept GROUP BY 1
+    ),
+    nl AS (
+        SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM l GROUP BY 1, 2
+    )
+    SELECT nl.doc_id, nl.source, nl.n_lines,
+           COALESCE(re.n_kept_lines, 0) AS n_kept_lines,
+           CAST(len(list_filter(string_split_regex(
+                    lower(trim(COALESCE(re.text_clean, ''))), '\s+'),
+                    t -> t != '')) AS BIGINT) AS n_tokens_clean,
+           md5(COALESCE(re.text_clean, '')) AS clean_md5
+    FROM nl LEFT JOIN re USING (doc_id)
+    ORDER BY nl.doc_id
+"""

@@ -2736,8 +2736,8 @@ ORACLE_SQL["streaming_value_quantiles"] = f"""
 # park stable, already-driver-verified, untouched baselines at the
 # tail, where falling past position 50 loses nothing.
 # --- BEGIN GENERATED GATE ORDER (scripts/gen_gate_head.py) ---
-# Window = 0 never-driver-checked additions + 6 changed
-# entries + the 44 stalest driver greens (last green in
+# Window = 2 never-driver-checked additions + 8 changed
+# entries + the 40 stalest driver greens (last green in
 # round(s) [6, 7], from CORRECTNESS_r*.json). Regenerate with
 #   python scripts/gen_gate_head.py
 # (pytest runs --check; hand-edits here go stale and FAIL).
@@ -2748,6 +2748,10 @@ _GATE_HEAD = [
     "retrieval_mmr_topk",  # last driver green: r11
     "retrieval_hybrid_rrf",  # last driver green: r8
     "retrieval_hybrid_rrf3",  # last driver green: r9
+    "dedup_boilerplate_lines",  # last driver green: r0
+    "dedup_strip_boilerplate",  # last driver green: r0
+    "corpus_funnel_report",  # last driver green: r11
+    "corpus_funnel_by_source",  # last driver green: r11
     "customers_without_urgent_orders",  # last driver green: r6
     "dedup_simhash_fingerprints",  # last driver green: r6
     "dedup_simhash_pairs",  # last driver green: r6
@@ -2788,10 +2792,6 @@ _GATE_HEAD = [
     "customer_running_spend",  # last driver green: r7
     "dedup_canonical_docs",  # last driver green: r7
     "dedup_components_star",  # last driver green: r7
-    "dedup_contamination",  # last driver green: r7
-    "dedup_ensemble",  # last driver green: r7
-    "dedup_lsh_quality",  # last driver green: r7
-    "dedup_minhash_lsh",  # last driver green: r7
 ]
 _GATE_TAIL = [
     "ann_centroid_drift",  # last driver green: r11
@@ -2799,8 +2799,6 @@ _GATE_TAIL = [
     "bucketed_sales_join",  # last driver green: r11
     "corpus_content_hashes",  # last driver green: r11
     "corpus_delete_apply",  # last driver green: r11
-    "corpus_funnel_by_source",  # last driver green: r11
-    "corpus_funnel_report",  # last driver green: r11
     "corpus_mixture_actuals",  # last driver green: r11
     "customer_retention",  # last driver green: r11
     "customers_k_generalize",  # last driver green: r11
@@ -2964,6 +2962,10 @@ _GATE_TAIL = [
     "text_bpe_merges",  # last driver green: r8
     "text_dsir_importance",  # last driver green: r8
     "text_ngram_novelty",  # last driver green: r8
+    "dedup_contamination",  # last driver green: r7
+    "dedup_ensemble",  # last driver green: r7
+    "dedup_lsh_quality",  # last driver green: r7
+    "dedup_minhash_lsh",  # last driver green: r7
     "dedup_ngram_jaccard",  # last driver green: r7
     "dedup_semantic",  # last driver green: r7
     "dedup_signal_agreement",  # last driver green: r7

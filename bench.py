@@ -313,6 +313,9 @@ ANALYTICS_QUERIES = [
     "docs_pack_manifest",
     "events_weekly_profile",
     "streaming_quality_gate",
+    # --- round 12 additions ---
+    "dedup_boilerplate_lines",
+    "dedup_strip_boilerplate",
 ]
 
 
@@ -339,6 +342,9 @@ BENCH_KEY_ALIASES = {
     # round-8: the five previously-unaliased names + sales_cube, to
     # keep the compact line <=1900 chars after this round's new
     # queries (rename mapping in BENCH_NOTES "alias renames").
+    # round-12 additions (1:1, final line only)
+    "dedup_boilerplate_lines": "bpl",
+    "dedup_strip_boilerplate": "sbp",
     # round-11 additions (1:1, final line only)
     "streaming_er_delta": "ser",
     "docs_hll_distinct_audit": "hda",

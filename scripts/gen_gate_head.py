@@ -45,6 +45,11 @@ MUST_ROTATE = [
     "retrieval_mmr_topk",       # oracle RRF_SCALE interpolated
     "retrieval_hybrid_rrf",     # oracle RRF_SCALE interpolated
     "retrieval_hybrid_rrf3",    # oracle RRF_SCALE interpolated
+    # --- new in round 12 ---
+    "dedup_boilerplate_lines",  # X188 CCNet line-repetition report
+    "dedup_strip_boilerplate",  # X189 line-level boilerplate APPLY
+    "corpus_funnel_report",     # gains the 2b_line_dedup stage
+    "corpus_funnel_by_source",  # gains the 2b_line_dedup stage
 ]
 
 
