@@ -2363,6 +2363,116 @@ def ann_topk_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: X190 filtered-search label predicate ("top-k within lang=X"):
+#: labels 0-2 of the 10-label domain, ~30% of the inventory —
+#: selective enough that post-filtering visibly loses neighbors,
+#: broad enough that the filtered truth stays k-deep per query.
+ALLOWED_LABELS = (0, 1, 2)
+
+
+def _allowed_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The allowed-inventory id frame for the X190 filtered-ANN pair
+    (vec_id where label IN ALLOWED_LABELS) — in production this is
+    the tenant/language/license predicate's id set or a broadcastable
+    dimension; here the embeddings table's own label column."""
+    return (
+        _embs(spark, sf_dir)
+        .filter(F.col("label").isin(*ALLOWED_LABELS))
+        .select("vec_id")
+    )
+
+
+def ann_topk_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X190: attribute-constrained (FILTERED) ANN top-k — production
+    vector search is always filtered ("top-k within lang=X /
+    license=Y"; r11 VERDICT ask #6), and the IVF family scanned
+    cells blind to attributes: this entry runs the X113 trained
+    residual IVFADC with the label predicate pushed BELOW the
+    cell-keyed ADC join (similarity.topk_ivfpq_trained(allowed=...):
+    the coarse inventory filters right after assignment, so codes,
+    ADC lookups, and the refine shortlist all scale with the ~30%
+    allowed inventory — per-query work (n_allowed/K)·nprobe·m).
+    Plan-pinned in tests/test_plans.py: the allowed-id join sits
+    under the shortlist window, not above the final top-k.
+    Quantizers ride the shared :func:`_ivfpqt_quantizers` session
+    cache — the index is trained once UNFILTERED (filters are
+    per-query, the index is forever). Oracle: the X113 generated
+    training chain with the inventory filter applied to the code
+    table (filtering before or after encoding is value-identical —
+    codes are per-vector)."""
+    coarse, books = _ivfpqt_quantizers(spark, sf_dir, clustered=False)
+    return similarity.topk_ivfpq_trained(
+        _embs(spark, sf_dir), n_queries=10, k=5,
+        refine=IVFPQT_REFINE, coarse_cents=coarse, books=books,
+        allowed=_allowed_ids(spark, sf_dir),
+    )
+
+
+def ann_filtered_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X191: PRE-filter vs POST-filter comparison for constrained ANN
+    (the committed measurement r11 ask #6 demands): both strategies
+    score against the exact FILTERED truth (brute top-5 over the
+    allowed inventory only).
+
+    - ``prefilter``: X190's pushed-down form — the ADC search runs
+      over the allowed inventory, returns a full k per query.
+    - ``postfilter``: the naive form — the UNFILTERED top-k (X113's
+      exact output), then drop disallowed rows; every allowed true
+      neighbor that a disallowed vector displaced from the top-k is
+      lost, and the per-query result often comes back SHORTER than k
+      (n_returned < n_truth is the visible symptom).
+
+    Measured at sf0.01: prefilter recall 0.46 (a full 50 rows
+    returned) vs postfilter 0.30 with only 15 of 50 rows surviving
+    the filter, at ~30% selectivity (numbers re-derived every gate
+    run — they ARE the oracle-checked output). Exactness: integer intersection
+    counts, one final division, same protocol as X88."""
+    coarse, books = _ivfpqt_quantizers(spark, sf_dir, clustered=False)
+    embs = _embs(spark, sf_dir)
+    allowed = _allowed_ids(spark, sf_dir)
+    nq, k = 10, 5
+    truth = materialize(
+        similarity.topk_brute(embs, n_queries=nq, k=k, allowed=allowed)
+        .select("query_id", "neighbor_id")
+    )
+    pre = similarity.topk_ivfpq_trained(
+        embs, n_queries=nq, k=k, refine=IVFPQT_REFINE,
+        coarse_cents=coarse, books=books, allowed=allowed,
+    ).select("query_id", "neighbor_id")
+    post = (
+        similarity.topk_ivfpq_trained(
+            embs, n_queries=nq, k=k, refine=IVFPQT_REFINE,
+            coarse_cents=coarse, books=books,
+        )
+        .join(allowed.select(F.col("vec_id").alias("neighbor_id")),
+              "neighbor_id")
+        .select("query_id", "neighbor_id")
+    )
+    out = None
+    for name, panel in (("prefilter", pre), ("postfilter", post)):
+        row = (
+            panel.join(F.broadcast(truth), ["query_id", "neighbor_id"],
+                       "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .crossJoin(
+                F.broadcast(
+                    panel.agg(F.count(F.lit(1)).alias("n_returned"))
+                )
+            )
+            .select(
+                F.lit(name).alias("method"),
+                F.col("n_returned").cast("long").alias("n_returned"),
+                F.col("n_hits").cast("long").alias("n_hits"),
+                F.lit(nq * k).cast("long").alias("n_truth"),
+                (
+                    F.col("n_hits").cast("double") / F.lit(float(nq * k))
+                ).alias("recall_at_k"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("method")
+
+
 def ann_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X109: Matryoshka-style dimension-truncation recall audit
     (arXiv 2205.13147 evaluation): exact top-k over the first
@@ -4551,6 +4661,8 @@ EXT_QUERY_FNS = {
     "ann_topk_pq": ann_topk_pq,
     "ann_topk_ivfpq": ann_topk_ivfpq,
     "ann_topk_ivfpq_trained": ann_topk_ivfpq_trained,
+    "ann_topk_ivfpq_filtered": ann_topk_ivfpq_filtered,
+    "ann_filtered_recall_audit": ann_filtered_recall_audit,
     "ann_index_health": ann_index_health,
     "ann_centroid_drift": ann_centroid_drift,
     "ann_recall_audit": ann_recall_audit,
@@ -6550,6 +6662,7 @@ def _ivfpq_trained_oracle_sql(
     rounds: int = similarity.KM_TRAIN_ROUNDS,
     refine: int = IVFPQT_REFINE,
     final: str = "search",
+    labels: tuple | None = None,
 ) -> str:
     """GENERATED oracle for ann_topk_ivfpq_trained (residual IVFADC
     on trained quantizers): the bounded Lloyd training unrolled as
@@ -6724,7 +6837,15 @@ def _ivfpq_trained_oracle_sql(
             JOIN rsubs a ON a.vec_id = s.vec_id AND a.sub = s.sub
             GROUP BY 1, 2, 3
         )""")
-    tail = f""",
+    inv_cte = ""
+    inv_join = ""
+    if labels is not None:
+        inv_cte = f""",
+        inv AS (SELECT vec_id FROM embeddings
+                WHERE label IN {tuple(labels)})"""
+        inv_join = """
+            JOIN inv ON inv.vec_id = c.neighbor_id"""
+    tail = inv_cte + f""",
         pcd AS (
             SELECT a.vec_id, a.sub, c.cell AS pcell,
                    CAST(SUM((a.rx - c.rx) * (a.rx - c.rx)) AS BIGINT) AS d2
@@ -6761,7 +6882,7 @@ def _ivfpq_trained_oracle_sql(
         adc AS (
             SELECT d.query_id, c.neighbor_id,
                    CAST(SUM(d.qd2) AS BIGINT) AS adc_d2
-            FROM codes c
+            FROM codes c{inv_join}
             JOIN assign s ON s.vec_id = c.neighbor_id
             JOIN probes p ON p.cell = s.cell
             JOIN dtab d ON d.query_id = p.query_id AND d.cell = p.cell
@@ -6798,6 +6919,69 @@ def _ivfpq_trained_oracle_sql(
 
 
 EXT_ORACLE_SQL["ann_topk_ivfpq_trained"] = _ivfpq_trained_oracle_sql()
+
+# X190: the identical trained-search chain with the label predicate
+# applied to the code inventory (filtering before or after encoding
+# is value-identical — codes are per-vector functions)
+EXT_ORACLE_SQL["ann_topk_ivfpq_filtered"] = _ivfpq_trained_oracle_sql(
+    labels=ALLOWED_LABELS
+)
+
+# X191: pre-filter vs post-filter audit — both scored against the
+# exact FILTERED brute truth; each search chain is its own scoped
+# subquery (nested WITH), so CTE names cannot collide
+EXT_ORACLE_SQL["ann_filtered_recall_audit"] = f"""
+    WITH pre AS MATERIALIZED (
+        SELECT query_id, neighbor_id
+        FROM ({EXT_ORACLE_SQL["ann_topk_ivfpq_filtered"]})
+    ),
+    post_raw AS MATERIALIZED (
+        SELECT query_id, neighbor_id
+        FROM ({EXT_ORACLE_SQL["ann_topk_ivfpq_trained"]})
+    ),
+    inv AS (SELECT vec_id FROM embeddings
+            WHERE label IN {tuple(ALLOWED_LABELS)}),
+    post AS (
+        SELECT p.query_id, p.neighbor_id
+        FROM post_raw p JOIN inv ON inv.vec_id = p.neighbor_id
+    ),
+    comp AS ({_COMP}),
+    fdots AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               SUM(a.qx * b.qx) AS s
+        FROM comp a
+        JOIN comp b ON a.i = b.i AND a.vec_id < 10
+                   AND a.vec_id != b.vec_id
+        JOIN inv ON inv.vec_id = b.vec_id
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY s DESC, neighbor_id) AS rank
+            FROM fdots
+        ) WHERE rank <= 5
+    ),
+    rows_out AS (
+        SELECT 'prefilter' AS method,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM pre) AS n_returned,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM pre p
+                JOIN truth t ON t.query_id = p.query_id
+                            AND t.neighbor_id = p.neighbor_id) AS n_hits
+        UNION ALL
+        SELECT 'postfilter',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM post),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM post p
+                JOIN truth t ON t.query_id = p.query_id
+                            AND t.neighbor_id = p.neighbor_id)
+    )
+    SELECT method, n_returned, n_hits,
+           CAST(50 AS BIGINT) AS n_truth,
+           CAST(n_hits AS DOUBLE) / 50.0 AS recall_at_k
+    FROM rows_out ORDER BY method
+"""
+
 # X156: same generator, the health final — training + assignment prefix
 EXT_ORACLE_SQL["ann_index_health"] = _ivfpq_trained_oracle_sql(
     final="health"

@@ -121,6 +121,7 @@ def topk_brute(
     n_queries: int = 10,
     k: int = 5,
     id_col: str = "vec_id",
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Exact top-k by dot product (= cosine on unit vectors) for each of
     the first ``n_queries`` vectors against the whole corpus.
@@ -128,11 +129,22 @@ def topk_brute(
     The query side is broadcast: the corpus is scanned once per
     partition with zero shuffle of the big side; the only shuffle is
     the per-query top-k window. Ties break on neighbor id for full
-    determinism."""
+    determinism.
+
+    ``allowed`` (X190 filtered search): a 1-column frame of CORPUS ids
+    the search may return — the attribute-constrained ground truth
+    ("top-k within lang=X"). Queries stay unfiltered; the predicate
+    restricts the inventory BEFORE scoring, so the scan shrinks with
+    the filter's selectivity."""
     q = embs.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), quantized().alias("qv")
     )
     c = embs.select(F.col(id_col).alias("neighbor_id"), quantized().alias("cv"))
+    if allowed is not None:
+        allow = allowed.select(
+            F.col(allowed.columns[0]).alias("neighbor_id")
+        )
+        c = c.join(F.broadcast(allow), "neighbor_id")
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
@@ -1422,6 +1434,7 @@ def topk_ivfpq_trained(
     id_col: str = "vec_id",
     coarse_cents: DataFrame | None = None,
     books: DataFrame | None = None,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Residual IVFADC over k-means-TRAINED quantizers + exact
     re-rank — the r8 VERDICT quality capstone, and the TEXTBOOK
@@ -1463,7 +1476,21 @@ def topk_ivfpq_trained(
     :func:`train_coarse_centroids` / :func:`train_residual_books`) —
     pass both to skip training entirely (the registry shares one
     trained pair per session across this search and both recall
-    audits via the session frame cache)."""
+    audits via the session frame cache).
+
+    ``allowed`` (X190 attribute-constrained search, r11 VERDICT ask
+    #6): a 1-column frame of corpus ids the search may return
+    ("top-k within lang=X / license=Y"). The predicate is pushed
+    BELOW the cell-keyed ADC join — the coarse inventory filters
+    RIGHT AFTER assignment, before residual encoding, so codes, the
+    ADC lookups, and the refine shortlist all scale with the
+    FILTERED inventory (per-query work (n_allowed/K)·nprobe·m), not
+    the corpus. Post-filtering an unfiltered top-k instead returns
+    ≤ k survivors and misses every allowed neighbor the disallowed
+    ones displaced — the measured comparison is
+    ann_filtered_recall_audit's job. Queries are never filtered;
+    training is never filtered (the index is built once, filters are
+    per-query)."""
     base = embs.select(F.col(id_col), quantized().alias("v"))
     # Inline training defaults to the SHIPPED sample-bounded path
     # (TRAIN_SAMPLE_N/TRAIN_K — constant training cost in corpus
@@ -1517,8 +1544,19 @@ def topk_ivfpq_trained(
         .filter(F.col("_r") <= nprobe)
         .select("query_id", "cell")
     )
+    # X190 filtered search: restrict the INVENTORY here — below the
+    # ADC join, right after coarse assignment — so every downstream
+    # stage (residual encode, codes, ADC, shortlist) carries only
+    # allowed vectors; queries (vec_id < n_queries) stay unfiltered
+    if allowed is not None:
+        allow = allowed.select(F.col(allowed.columns[0]).alias("_fid"))
+        inv = assign.join(
+            F.broadcast(allow), F.col(id_col) == F.col("_fid")
+        ).drop("_fid")
+    else:
+        inv = assign
     # residual subvectors of every vector vs its assigned centroid
-    resid = assign.join(F.broadcast(cents), "cell").select(
+    resid = inv.join(F.broadcast(cents), "cell").select(
         id_col,
         "cell",
         F.zip_with("v", "cv", lambda a, b: a - b).alias("rv"),
@@ -1601,7 +1639,7 @@ def topk_ivfpq_trained(
     # cell-restricted ADC: a code row meets only the queries probing
     # its coarse cell, and the lookup key carries that cell
     adc = (
-        codes.join(assign.select(F.col(id_col).alias("neighbor_id"), "cell"),
+        codes.join(inv.select(F.col(id_col).alias("neighbor_id"), "cell"),
                    "neighbor_id")
         .join(F.broadcast(probes), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -316,6 +316,8 @@ ANALYTICS_QUERIES = [
     # --- round 12 additions ---
     "dedup_boilerplate_lines",
     "dedup_strip_boilerplate",
+    "ann_topk_ivfpq_filtered",
+    "ann_filtered_recall_audit",
 ]
 
 
@@ -345,6 +347,8 @@ BENCH_KEY_ALIASES = {
     # round-12 additions (1:1, final line only)
     "dedup_boilerplate_lines": "bpl",
     "dedup_strip_boilerplate": "sbp",
+    "ann_topk_ivfpq_filtered": "ipf",
+    "ann_filtered_recall_audit": "fra",
     # round-11 additions (1:1, final line only)
     "streaming_er_delta": "ser",
     "docs_hll_distinct_audit": "hda",

@@ -50,6 +50,8 @@ MUST_ROTATE = [
     "dedup_strip_boilerplate",  # X189 line-level boilerplate APPLY
     "corpus_funnel_report",     # gains the 2b_line_dedup stage
     "corpus_funnel_by_source",  # gains the 2b_line_dedup stage
+    "ann_topk_ivfpq_filtered",  # X190 attribute-constrained ANN
+    "ann_filtered_recall_audit",  # X191 pre- vs post-filter audit
 ]
 
 

@@ -4222,3 +4222,107 @@ def test_registry_lined_fixture_strips_exactly_header_and_footer(spark):
     lines = one.text.split("\n")
     assert lines[0].startswith("home about contact login search ")
     assert lines[-1].startswith("copyright ")
+
+
+# ---------------------------------------------------------------------------
+# X190/X191: attribute-constrained (filtered) ANN
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def filt_embs(spark):
+    """Engineered displacement fixture: queries 0/1; vectors 10-13
+    are DISALLOWED near-clones of query 0 (they dominate the
+    unfiltered top-k), vector 20 is the ALLOWED true neighbor a
+    post-filter strategy must lose when the clones displace it."""
+    import random
+
+    rng = random.Random(7)
+    dim = 8
+
+    def vec(base, eps):
+        return [base[i] + eps * rng.uniform(-1, 1) for i in range(dim)]
+
+    q0 = [1.0, 0.5, -0.25, 0.75, -0.5, 0.25, 1.0, -0.75]
+    rows = [(0, q0, 0), (1, vec(q0, 2.0), 0)]
+    for vid in (10, 11, 12, 13):
+        rows.append((vid, vec(q0, 0.01), 9))      # disallowed clones
+    rows.append((20, vec(q0, 0.05), 0))           # allowed neighbor
+    for vid in range(30, 45):
+        rows.append((vid, [rng.uniform(-1, 1) for _ in range(dim)], 0))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).cache()
+
+
+def test_filtered_brute_matches_python_recomputation(filt_embs):
+    """Brute-force pin for the X191 truth arithmetic (the
+    generated-oracle discipline): quantize (round x*10000 to int64),
+    integer dot products, (score desc, id) tie-break, inventory
+    restricted to allowed ids, queries unfiltered."""
+    allowed = filt_embs.filter(F.col("label") == 0).select("vec_id")
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in similarity.topk_brute(
+            filt_embs, n_queries=2, k=3, allowed=allowed
+        ).collect()
+    }
+    rows = filt_embs.collect()
+    q = {r.vec_id: [round(float(x) * 10000) for x in r.embedding]
+         for r in rows}
+    allow = {r.vec_id for r in rows if r.label == 0}
+    for qid in (0, 1):
+        scored = sorted(
+            (
+                (-sum(a * b for a, b in zip(q[qid], q[n])), n)
+                for n in allow
+                if n != qid
+            ),
+        )[:3]
+        for rank, (_, n) in enumerate(scored, 1):
+            assert got[(qid, rank)] == n, (qid, rank)
+
+
+def test_prefilter_returns_allowed_full_k_postfilter_loses(spark, filt_embs):
+    """The displacement property the X191 audit measures, pinned on
+    the engineered fixture: the unfiltered top-3 of query 0 is the
+    disallowed clones, so post-filtering loses the allowed true
+    neighbor (vec 20) while the pushed-down prefilter finds it."""
+    allowed = filt_embs.filter(F.col("label") == 0).select("vec_id")
+    unfiltered = similarity.topk_brute(filt_embs, n_queries=1, k=3)
+    top_unf = [r.neighbor_id for r in unfiltered.collect()]
+    assert set(top_unf) <= {10, 11, 12, 13}, top_unf  # clones dominate
+    post = [n for n in top_unf if n in {0, 1, 20} or n >= 30]
+    assert 20 not in post  # post-filter lost the true neighbor
+    pre = similarity.topk_brute(
+        filt_embs, n_queries=1, k=3, allowed=allowed
+    )
+    pre_ids = [r.neighbor_id for r in pre.collect()]
+    assert pre_ids[0] == 20, pre_ids  # prefilter finds it, rank 1
+    assert len(pre_ids) == 3
+    # and the IVFADC filtered form returns ONLY allowed ids
+    out = rx_filtered_ids(spark)
+    assert out, "filtered search returned nothing"
+
+
+def rx_filtered_ids(spark):
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        ALLOWED_LABELS,
+        ann_topk_ivfpq_filtered,
+        _embs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    allowed = {
+        r.vec_id
+        for r in _embs(spark, sf)
+        .filter(F.col("label").isin(*ALLOWED_LABELS))
+        .collect()
+    }
+    out = ann_topk_ivfpq_filtered(spark, sf).collect()
+    assert all(r.neighbor_id in allowed for r in out)
+    counts = {}
+    for r in out:
+        counts[r.query_id] = counts.get(r.query_id, 0) + 1
+    assert all(c == 5 for c in counts.values()), counts
+    return out

@@ -1129,3 +1129,37 @@ def test_incremental_components_full_width_is_one_label_join(spark):
     assert "CartesianProduct" not in tree, tree
     assert "BroadcastNestedLoopJoin" not in tree, tree
     assert "LeftAnti" in tree, tree
+
+
+def test_filtered_ann_pushes_allowed_join_below_adc(spark):
+    """X190 plan pin (r11 ask #6): the allowed-id predicate joins the
+    INVENTORY below the cell-keyed ADC aggregate — in the formatted
+    plan the `_fid` broadcast join must sit in the subtree UNDER the
+    refine-shortlist window (node ids: the _fid join's id is larger
+    than the shortlist window's, i.e. deeper), never as a post-filter
+    above the final top-k."""
+    import re
+
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    df = QUERY_FNS["ann_topk_ivfpq_filtered"](spark, SF_DIR)
+    plan = explain_str(df, mode="extended")
+    # the allowed join exists and its column is gone by the output
+    assert "_fid" in plan, "allowed-id join missing from the plan"
+    opt = plan.split("== Optimized Logical Plan ==")[1].split(
+        "== Physical Plan =="
+    )[0]
+    lines = opt.split("\n")
+    win = [
+        i for i, ln in enumerate(lines)
+        if "windowspecdefinition" in ln and "_ar" in ln
+    ]
+    fid = [i for i, ln in enumerate(lines) if "_fid" in ln]
+    assert win and fid
+    # logical tree prints parents first: every _fid line must be BELOW
+    # (after) the shortlist window line, i.e. inside its input subtree
+    assert min(fid) > min(win), (min(fid), min(win))
+    # and deeper-indented than the window node (strictly a child)
+    w_ind = len(lines[min(win)]) - len(lines[min(win)].lstrip(" :+-"))
+    f_ind = len(lines[min(fid)]) - len(lines[min(fid)].lstrip(" :+-"))
+    assert f_ind > w_ind, (lines[min(win)], lines[min(fid)])
