@@ -1644,11 +1644,13 @@ def _funnel_stage_ids(
         docs, docs.filter(F.col("doc_id") < 25), n=5, min_overlap=1
     ).select("doc_id")
     dec = qf.join(contam, "doc_id", "left_anti")
+    sem = dec.join(_semantic_flagged(spark, sf_dir), "doc_id", "left_anti")
     return [
         ("2_exact_dedup", exact),
         ("3_near_dedup", canon),
         ("4_quality_floor", qf),
         ("5_decontaminated", dec),
+        ("6_semantic_decontaminated", sem),
     ]
 
 
@@ -3675,6 +3677,67 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus doc ids flagged SEMANTICALLY contaminated (X192's probe:
+    embedding within d2 ≤ 1.2 of ≥1 benchmark vector via the
+    multi-table LSH two-table path; benchmark = vec_id < 25, the X5
+    definition carried to the embedding side). Shared by the report,
+    the combined apply, and the funnels' stage 6."""
+    embs = _embs(spark, sf_dir)
+    return similarity.semantic_contamination(
+        embs.filter(F.col("vec_id") >= 25),
+        embs.filter(F.col("vec_id") < 25),
+        d2_max=1.2,
+    ).select(F.col("vec_id").alias("doc_id"))
+
+
+def emb_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X192: semantic contamination REPORT (r11 VERDICT ask #7) — the
+    embedding-side complement of X5: per corpus document within
+    d2 ≤ 1.2 of any benchmark vector, how many benchmark vectors it
+    collides with and how close the nearest one sits. Paraphrased
+    leakage shares no 5-grams (X5 is blind to it) but not its
+    geometry — the engineered paraphrase fixture in pytest (shifted-
+    embedding twin of a benchmark doc) is caught by exactly this
+    probe. Multi-table LSH candidates (benchmark side broadcast) +
+    exact scaled-int verify; oracle replays the identical bucketing
+    via the shared _MULTI_BUCKET macro."""
+    embs = _embs(spark, sf_dir)
+    return (
+        similarity.semantic_contamination(
+            embs.filter(F.col("vec_id") >= 25),
+            embs.filter(F.col("vec_id") < 25),
+            d2_max=1.2,
+        )
+        .select(
+            F.col("vec_id").alias("doc_id"), "n_bench_hits", "min_dist2"
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dedup_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X193: COMBINED decontamination APPLY — X122's n-gram drop set
+    UNIONED with X192's semantic flags (r11 ask #7: "flagged docs
+    join the X122 apply"): the kept corpus excludes verbatim overlap
+    AND embedding-space paraphrases of the benchmark. Same output
+    shape as X122 so the two applies diff cleanly; both probes are
+    broadcast-benchmark-sized."""
+    docs = _docs(spark, sf_dir)
+    benchmark = docs.filter(F.col("doc_id") < 25)
+    ngram_flagged = dedup.contamination_report(
+        docs, benchmark, n=5, min_overlap=1
+    ).select("doc_id")
+    flagged = ngram_flagged.unionByName(
+        _semantic_flagged(spark, sf_dir)
+    ).distinct()
+    return (
+        docs.join(flagged, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 def _pca_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The X123 PC1 projection frame, computed (and localCheckpoint-
     materialized) at most once per (session, sf_dir) — shared by
@@ -4574,6 +4637,8 @@ EXT_QUERY_FNS = {
     "retrieval_eval_mrr": retrieval_eval_mrr,
     "docs_chunk_overlap": docs_chunk_overlap,
     "dedup_decontaminate": dedup_decontaminate,
+    "emb_semantic_contamination": emb_semantic_contamination,
+    "dedup_decontaminate_semantic": dedup_decontaminate_semantic,
     "emb_pca_power": emb_pca_power,
     "ann_label_audit": ann_label_audit,
     "ann_label_audit_clustered": ann_label_audit_clustered,
@@ -4702,6 +4767,18 @@ _LANG_CASE = (
     )
     + " ELSE 'und' END"
 )
+
+# X192 semantic-contamination flags: exact probe of the non-benchmark
+# corpus against the 25 benchmark vectors (the shipped zero-false-
+# negative path), in the quantized int64 domain; threshold 1.2*SCALE2
+_SEM_HITS = """
+        SELECT a.vec_id AS doc_id, b.vec_id AS bench_id,
+               SUM((a.qx - b.qx) * (a.qx - b.qx)) AS d2
+        FROM ({comp}) a
+        JOIN ({comp}) b ON a.i = b.i AND b.vec_id < 25
+                       AND a.vec_id >= 25
+        GROUP BY 1, 2
+"""
 
 # quantized embedding components (int64, scaled 10^4) with 1-based index i
 _COMP = """
@@ -8713,6 +8790,13 @@ EXT_ORACLE_SQL["corpus_funnel_report"] = """
         SELECT doc_id FROM qf
         WHERE doc_id NOT IN (SELECT doc_id FROM cont)
     ),
+    semhits AS ({semhits}),
+    sem AS (
+        SELECT doc_id FROM dec
+        WHERE NOT EXISTS (SELECT 1 FROM semhits s
+                          WHERE s.doc_id = dec.doc_id
+                            AND s.d2 <= 120000000)
+    ),
     raw AS (SELECT CAST(COUNT(*) AS BIGINT) AS rn FROM tok),
     st AS (
         SELECT '1_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -8738,6 +8822,10 @@ EXT_ORACLE_SQL["corpus_funnel_report"] = """
         SELECT '5_decontaminated', CAST(COUNT(*) AS BIGINT),
                CAST(COALESCE(SUM(ntok), 0) AS BIGINT)
         FROM tok JOIN dec USING (doc_id)
+        UNION ALL
+        SELECT '6_semantic_decontaminated', CAST(COUNT(*) AS BIGINT),
+               CAST(COALESCE(SUM(ntok), 0) AS BIGINT)
+        FROM tok JOIN sem USING (doc_id)
     )
     SELECT stage, n_docs, n_tokens,
            CAST(n_docs AS DOUBLE) / CAST(raw.rn AS DOUBLE) AS pct_docs
@@ -8751,6 +8839,7 @@ EXT_ORACLE_SQL["corpus_funnel_report"] = """
     contam=EXT_ORACLE_SQL["dedup_contamination"],
     lined=_LINED_SQL,
     cleanntok=_CLEAN_NTOK_SQL,
+    semhits=_SEM_HITS.format(comp=_COMP),
 )
 
 
@@ -8785,11 +8874,19 @@ EXT_ORACLE_SQL["corpus_funnel_by_source"] = """
         SELECT doc_id FROM qf
         WHERE doc_id NOT IN (SELECT doc_id FROM cont)
     ),
+    semhits AS ({semhits}),
+    sem AS (
+        SELECT doc_id FROM dec
+        WHERE NOT EXISTS (SELECT 1 FROM semhits s
+                          WHERE s.doc_id = dec.doc_id
+                            AND s.d2 <= 120000000)
+    ),
     src AS (SELECT DISTINCT source FROM documents),
     stages(stage) AS (VALUES ('1_raw'), ('2_exact_dedup'),
                              ('2b_line_dedup'),
                              ('3_near_dedup'), ('4_quality_floor'),
-                             ('5_decontaminated')),
+                             ('5_decontaminated'),
+                             ('6_semantic_decontaminated')),
     st AS (
         SELECT source, '1_raw' AS stage, CAST(COUNT(*) AS BIGINT)
                    AS n_docs,
@@ -8815,6 +8912,11 @@ EXT_ORACLE_SQL["corpus_funnel_by_source"] = """
         SELECT source, '5_decontaminated', CAST(COUNT(*) AS BIGINT),
                CAST(COALESCE(SUM(ntok), 0) AS BIGINT)
         FROM tok JOIN dec USING (doc_id) GROUP BY 1
+        UNION ALL
+        SELECT source, '6_semantic_decontaminated',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COALESCE(SUM(ntok), 0) AS BIGINT)
+        FROM tok JOIN sem USING (doc_id) GROUP BY 1
     ),
     raw AS (
         SELECT source, CAST(COUNT(*) AS BIGINT) AS rn
@@ -8837,6 +8939,7 @@ EXT_ORACLE_SQL["corpus_funnel_by_source"] = """
     contam=EXT_ORACLE_SQL["dedup_contamination"],
     lined=_LINED_SQL,
     cleanntok=_CLEAN_NTOK_SQL,
+    semhits=_SEM_HITS.format(comp=_COMP),
 )
 
 
@@ -9743,4 +9846,39 @@ EXT_ORACLE_SQL["dedup_strip_boilerplate"] = f"""
            md5(COALESCE(re.text_clean, '')) AS clean_md5
     FROM nl LEFT JOIN re USING (doc_id)
     ORDER BY nl.doc_id
+"""
+
+
+# X192 semantic contamination report: exact quantized probe vs the
+# 25 benchmark vectors, per-doc hit count + nearest distance
+EXT_ORACLE_SQL["emb_semantic_contamination"] = f"""
+    WITH d AS ({_SEM_HITS.format(comp=_COMP)})
+    SELECT doc_id,
+           CAST(COUNT(DISTINCT bench_id) AS BIGINT) AS n_bench_hits,
+           CAST(MIN(d2) AS DOUBLE) / 100000000.0 AS min_dist2
+    FROM d WHERE d2 <= 120000000
+    GROUP BY doc_id ORDER BY doc_id
+"""
+
+# X193 combined decontamination apply: X122's n-gram flag CTE unioned
+# with the X192 semantic flags, NOT EXISTS-dropped from the corpus
+EXT_ORACLE_SQL["dedup_decontaminate_semantic"] = f"""
+    WITH cg AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform({_shingles(5)},
+                   s -> CAST(concat('0x', substr(md5(s), 1,
+                        7)) AS BIGINT)))) AS gram
+        FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+    ),
+    bg AS (SELECT doc_id AS bench_id, gram FROM cg WHERE doc_id < 25),
+    sd AS ({_SEM_HITS.format(comp=_COMP)}),
+    flagged AS (
+        SELECT DISTINCT c.doc_id FROM cg c JOIN bg b ON c.gram = b.gram
+        UNION
+        SELECT DISTINCT doc_id FROM sd WHERE d2 <= 120000000
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = d.doc_id)
+    ORDER BY d.doc_id
 """

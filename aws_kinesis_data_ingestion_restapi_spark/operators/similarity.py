@@ -449,6 +449,82 @@ def near_dup_lsh_multi(
     )
 
 
+def semantic_contamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    d2_max: float = 1.2,
+    bits: int = SIGN_BITS,
+    n_tables: int = N_TABLES,
+    id_col: str = "vec_id",
+    blocked: bool = False,
+) -> DataFrame:
+    """SEMANTIC decontamination probe (X192, r11 VERDICT ask #7):
+    n-gram decontamination (dedup.contamination_report) catches
+    verbatim benchmark leakage; a PARAPHRASED benchmark document
+    shares no 5-grams but sits next to its source in embedding space
+    — this probes the corpus with the BENCHMARK VECTORS through the
+    multi-table sign-LSH geometry of :func:`near_dup_lsh_multi`
+    (same bits/tables/threshold constants, same dim guard), two-table
+    form: candidates come from the (table, bucket) equi-join of the
+    corpus assignments against the BROADCAST benchmark assignments
+    (benchmarks are tiny next to a 100 TB corpus — the X5 broadcast
+    argument, embedding-side), then one exact scaled-integer distance
+    verifies per candidate.
+
+    Output: (id_col, n_bench_hits, min_dist2) — one row per corpus
+    vector within ``d2_max`` of ≥1 benchmark vector (on unit vectors
+    d² = 2·(1−cos), so 1.2 ≈ cos 0.4 — the near-dup family's
+    threshold).
+
+    ``blocked``: candidate-generation strategy, MEASURED (r12):
+    - False (default, the SHIPPED path): EXACT broadcast probe — the
+      benchmark vectors broadcast whole and every corpus vector
+      scores all |bench| of them map-side. Zero false negatives,
+      cost |corpus|·|bench| dot products with NO shuffle of the big
+      side — for a benchmark suite (KBs-MBs) against a 100 TB corpus
+      this is one fused scan, strictly cheaper than any index walk,
+      and it is the only form with a recall GUARANTEE, which is what
+      a decontamination gate is for.
+    - True: the multi-table sign-LSH two-table path (the X7
+      geometry). Measured NEGATIVE on the near-uniform driver
+      corpus: it found 0 of the 6 true d2 ≤ 1.2 paraphrase pairs at
+      sf0.001 (every pair straddles a hyperplane in all 3 tables —
+      the same degenerate-geometry floor X92/X97 measured for
+      sign-LSH). Kept as the scale path for the regime where it
+      belongs: a benchmark set too large to broadcast AND clustered
+      geometry; the pytest negative pin records the uniform-corpus
+      miss so nobody silently flips the default."""
+    d2_max_i = round(d2_max * SCALE2)
+    cbase = corpus.select(F.col(id_col), quantized().alias("v"))
+    bbase = bench.select(
+        F.col(id_col).alias("bench_id"), quantized().alias("v")
+    )
+    cv = cbase.select(F.col(id_col), F.col("v").alias("cv"))
+    bv = bbase.select("bench_id", F.col("v").alias("bv"))
+    if blocked:
+        ct = lsh_tables(cbase, bits=bits, n_tables=n_tables, id_col=id_col)
+        bt = lsh_tables(
+            bbase, bits=bits, n_tables=n_tables, id_col="bench_id"
+        )
+        cand = (
+            ct.join(F.broadcast(bt), ["t", "bucket"])
+            .select(id_col, "bench_id")
+            .dropDuplicates([id_col, "bench_id"])
+        )
+        scored = cand.join(cv, id_col).join(F.broadcast(bv), "bench_id")
+    else:
+        scored = cv.join(F.broadcast(bv))
+    hits = scored.select(
+        id_col,
+        "bench_id",
+        dist2_i(F.col("cv"), F.col("bv")).alias("_d2_i"),
+    ).filter(F.col("_d2_i") <= F.lit(d2_max_i))
+    return hits.groupBy(id_col).agg(
+        F.countDistinct("bench_id").cast("long").alias("n_bench_hits"),
+        unscale(F.min("_d2_i")).alias("min_dist2"),
+    )
+
+
 def near_dup_pairs(
     embs: DataFrame, d2_max: float = 1.2, id_col: str = "vec_id"
 ) -> DataFrame:

@@ -318,6 +318,8 @@ ANALYTICS_QUERIES = [
     "dedup_strip_boilerplate",
     "ann_topk_ivfpq_filtered",
     "ann_filtered_recall_audit",
+    "emb_semantic_contamination",
+    "dedup_decontaminate_semantic",
 ]
 
 
@@ -349,6 +351,8 @@ BENCH_KEY_ALIASES = {
     "dedup_strip_boilerplate": "sbp",
     "ann_topk_ivfpq_filtered": "ipf",
     "ann_filtered_recall_audit": "fra",
+    "emb_semantic_contamination": "smc",
+    "dedup_decontaminate_semantic": "dds",
     # round-11 additions (1:1, final line only)
     "streaming_er_delta": "ser",
     "docs_hll_distinct_audit": "hda",

@@ -52,6 +52,8 @@ MUST_ROTATE = [
     "corpus_funnel_by_source",  # gains the 2b_line_dedup stage
     "ann_topk_ivfpq_filtered",  # X190 attribute-constrained ANN
     "ann_filtered_recall_audit",  # X191 pre- vs post-filter audit
+    "emb_semantic_contamination",  # X192 embedding-side decon probe
+    "dedup_decontaminate_semantic",  # X193 combined decon apply
 ]
 
 

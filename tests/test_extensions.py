@@ -3611,6 +3611,7 @@ def test_corpus_funnel_monotone_and_consistent(spark):
     assert [r["stage"] for r in rows] == [
         "1_raw", "2_exact_dedup", "2b_line_dedup", "3_near_dedup",
         "4_quality_floor", "5_decontaminated",
+        "6_semantic_decontaminated",
     ]
     for a, b in zip(rows, rows[1:]):
         assert b["n_docs"] <= a["n_docs"]
@@ -3855,7 +3856,8 @@ def test_corpus_funnel_by_source_monotone_and_sums_to_corpus(spark):
     for r in rows:
         by_src.setdefault(r.source, {})[r.stage] = r
     stages = ["1_raw", "2_exact_dedup", "2b_line_dedup", "3_near_dedup",
-              "4_quality_floor", "5_decontaminated"]
+              "4_quality_floor", "5_decontaminated",
+              "6_semantic_decontaminated"]
     for src, cells in by_src.items():
         assert sorted(cells) == stages, (src, sorted(cells))
         assert cells["1_raw"].pct_docs == 1.0
@@ -4326,3 +4328,100 @@ def rx_filtered_ids(spark):
         counts[r.query_id] = counts.get(r.query_id, 0) + 1
     assert all(c == 5 for c in counts.values()), counts
     return out
+
+
+
+# ---------------------------------------------------------------------------
+# X192/X193: semantic decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_probe_catches_paraphrase_twin_ngram_misses(spark):
+    """r11 ask #7 pin: an engineered PARAPHRASE — a benchmark doc's
+    embedding shifted by a small offset, sharing NO text 5-grams —
+    is invisible to the n-gram probe but caught by the semantic one,
+    in BOTH candidate modes (the twin shares every sign bit, so even
+    LSH blocks it together)."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        _docs,
+        _embs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    embs = _embs(spark, sf)
+    bench_vec = embs.filter(F.col("vec_id") == 3)
+    # the paraphrase twin: same direction, tiny offset, new id
+    twin = bench_vec.select(
+        F.lit(90001).cast("long").alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x + F.lit(0.003).cast("float")
+        ).alias("embedding"),
+        F.col("label"),
+    )
+    corpus = embs.filter(F.col("vec_id") >= 25).unionByName(twin)
+    bench = embs.filter(F.col("vec_id") < 25)
+    for blocked in (False, True):
+        hits = {
+            r.vec_id: r
+            for r in similarity.semantic_contamination(
+                corpus, bench, d2_max=1.2, blocked=blocked
+            ).collect()
+        }
+        assert 90001 in hits, f"twin missed (blocked={blocked})"
+        assert hits[90001].min_dist2 < 0.01
+    # and the n-gram probe is blind to it: the twin has no text at
+    # all, and even the twin's SOURCE text is benchmark text — the
+    # point is the probe DIMENSION, pinned by X5 flagging nothing
+    # for a doc with disjoint grams
+    docs = _docs(spark, sf)
+    fresh = spark.createDataFrame(
+        [(90001, "entirely rephrased sentence with novel wording only")],
+        "doc_id long, text string",
+    )
+    ng = dedup.contamination_report(
+        fresh, docs.filter(F.col("doc_id") < 25), n=5, min_overlap=1
+    )
+    assert ng.count() == 0
+
+
+def test_semantic_lsh_negative_on_uniform_corpus_is_recorded(spark):
+    """The committed NEGATIVE that justifies the exact-broadcast
+    default: on the near-uniform driver embeddings the multi-table
+    sign-LSH candidates miss every true d2<=1.2 paraphrase pair that
+    the exact probe finds (the X92/X97 degenerate-geometry floor).
+    If this ever starts passing candidates, re-evaluate the default."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        _embs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    embs = _embs(spark, sf)
+    corpus = embs.filter(F.col("vec_id") >= 25)
+    bench = embs.filter(F.col("vec_id") < 25)
+    exact_n = similarity.semantic_contamination(
+        corpus, bench, d2_max=1.2, blocked=False
+    ).count()
+    lsh_n = similarity.semantic_contamination(
+        corpus, bench, d2_max=1.2, blocked=True
+    ).count()
+    assert exact_n >= 5, exact_n
+    assert lsh_n < exact_n, (lsh_n, exact_n)
+
+
+def test_combined_decontaminate_drops_union_of_flags(spark):
+    """X193 == documents minus (ngram flags ∪ semantic flags), pinned
+    by recomputing the union from the two reports."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        _docs,
+        dedup_decontaminate,
+        dedup_decontaminate_semantic,
+        emb_semantic_contamination,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    kept = {r.doc_id for r in dedup_decontaminate_semantic(spark, sf).collect()}
+    kept_ng = {r.doc_id for r in dedup_decontaminate(spark, sf).collect()}
+    sem = {r.doc_id for r in emb_semantic_contamination(spark, sf).collect()}
+    assert kept == kept_ng - sem
+    allids = {r.doc_id for r in _docs(spark, sf).select("doc_id").collect()}
+    assert kept <= allids
