@@ -17,6 +17,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from aws_kinesis_data_ingestion_restapi_spark.operators.ckpt import materialize
 
@@ -3834,6 +3835,129 @@ def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: X194 coverage-curve vocabulary sizes — small because the 8-merge
+#: BPE vocab tops out near ~40 distinct pieces on this corpus; a real
+#: deployment sweeps {8k..256k} with the identical arithmetic.
+VOCAB_SIZES = (4, 8, 16, 32, 64)
+#: VALUES-list fragment interpolated into both coverage oracles so
+#: the grid cannot desynchronize from VOCAB_SIZES
+_VS_VALUES = "),(".join(str(v) for v in VOCAB_SIZES)
+
+
+def _piece_tables(spark: SparkSession, sf_dir: str) -> dict:
+    """(word, piece, n_in_word) per tokenizer, computed (and
+    localCheckpoint-materialized) at most once per (session, sf_dir)
+    — the X194 audit's inputs, riding the same trained state the
+    X103/X139 session caches already pay for."""
+    return {
+        "bpe": _session_cached(
+            spark,
+            ("bpe_pieces", sf_dir, 8),
+            lambda: materialize(text.bpe_pieces(_docs(spark, sf_dir), k=8)),
+        ),
+        "unigram": _session_cached(
+            spark,
+            ("unigram_pieces", sf_dir, text.UNIGRAM_ROUNDS),
+            lambda: materialize(
+                text.unigram_pieces(_docs(spark, sf_dir))
+            ),
+        ),
+    }
+
+
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X194: tokenizer VOCABULARY-COVERAGE / OOV audit (r11 VERDICT
+    ask #8) — the eval the tokenizer pair still lacked: per language
+    and per candidate vocabulary size V, the fraction of the corpus's
+    PIECE OCCURRENCES covered by the GLOBAL top-V pieces (ranked by
+    corpus frequency, ties by piece string). 1 − coverage is the
+    byte-fallback-rate proxy — the number that actually sets V, and
+    per-LANGUAGE because a vocab budgeted on the majority language
+    quietly byte-falls-back on the under-represented ones (the X124
+    fertility story, coverage-side).
+
+    Exactness: piece multiplicities are exact integers from the
+    learn/apply-shared loops (X103 BPE, X139 unigram); per-language
+    totals weight them by exact (lang, word) occurrence counts; the
+    global ranking is ROW_NUMBER over (total DESC, piece); coverage
+    is one int/int double division. Unigram universe = segmentable
+    words (≤ UNIGRAM_MAX_WORD chars), BPE = all words — each
+    tokenizer's own apply universe, mirrored in the oracle.
+
+    Scale shape: both piece tables live on the DISTINCT-WORD grain
+    (≪ corpus); the corpus-sized work is one (lang, word) count; the
+    ranking is a vocab-sized window; the coverage grid is a
+    vocab × |VOCAB_SIZES| broadcast cross — metadata all the way.
+
+    Output: (tokenizer, lang, vocab_size, covered_occurrences,
+    total_occurrences, coverage)."""
+    docs = _docs(spark, sf_dir)
+    lw = (
+        docs.select(
+            "lang",
+            F.explode(F.split("text", r"\s+")).alias("word"),
+        )
+        .filter(F.length("word") > 0)
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("occ"))
+    )
+    out = None
+    for name, wp in sorted(_piece_tables(spark, sf_dir).items()):
+        freq = lw.groupBy("word").agg(F.sum("occ").alias("freq"))
+        pt = (
+            wp.join(freq, "word")
+            .groupBy("piece")
+            .agg(
+                F.sum(F.col("freq") * F.col("n_in_word"))
+                .cast("long")
+                .alias("total")
+            )
+        )
+        pr = pt.select(
+            "piece",
+            F.row_number()
+            .over(Window.orderBy(F.desc("total"), F.col("piece")))
+            .alias("rnk"),
+        )
+        lp = (
+            lw.join(wp, "word")
+            .groupBy("lang", "piece")
+            .agg(
+                F.sum(F.col("occ") * F.col("n_in_word"))
+                .cast("long")
+                .alias("n")
+            )
+        )
+        vs = spark.range(0).sparkSession.createDataFrame(
+            [(v,) for v in VOCAB_SIZES], "vocab_size int"
+        )
+        cov = (
+            lp.join(F.broadcast(pr), "piece")
+            .crossJoin(F.broadcast(vs))
+            .groupBy("lang", "vocab_size")
+            .agg(
+                F.sum(
+                    F.when(F.col("rnk") <= F.col("vocab_size"),
+                           F.col("n")).otherwise(F.lit(0))
+                ).cast("long").alias("covered_occurrences"),
+                F.sum("n").cast("long").alias("total_occurrences"),
+            )
+            .select(
+                F.lit(name).alias("tokenizer"),
+                "lang",
+                "vocab_size",
+                "covered_occurrences",
+                "total_occurrences",
+                (
+                    F.col("covered_occurrences").cast("double")
+                    / F.col("total_occurrences").cast("double")
+                ).alias("coverage"),
+            )
+        )
+        out = cov if out is None else out.unionByName(cov)
+    return out.orderBy("tokenizer", "lang", "vocab_size")
+
+
 def text_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X125: ensemble quality scoring — the production curation move
     of COMBINING independent quality signals instead of trusting one
@@ -4645,6 +4769,7 @@ EXT_QUERY_FNS = {
     "emb_anisotropy_audit": emb_anisotropy_audit,
     "text_bpe_fertility": text_bpe_fertility,
     "text_quality_ensemble": text_quality_ensemble,
+    "text_vocab_coverage": text_vocab_coverage,
     "quality_scorer_agreement": quality_scorer_agreement,
     "docs_language_confusion": docs_language_confusion,
     "docs_pack_manifest": docs_pack_manifest,
@@ -7349,7 +7474,54 @@ def _bpe_oracle_sql(k: int, final: str = "merges") -> str:
         FROM docw d JOIN wt USING (word)
         GROUP BY 1
     )""")
-        if final == "segment":
+        if final == "coverage":
+            # X194: per-language occurrence coverage of the global
+            # top-V pieces (rank by corpus frequency, ties by piece)
+            ctes.append(f"""wp AS (
+        SELECT word, tok AS piece, CAST(COUNT(*) AS BIGINT) AS k
+        FROM t{k} GROUP BY 1, 2
+    )""")
+            ctes.append("""lw AS (
+        SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS occ FROM (
+            SELECT lang,
+                   unnest(string_split_regex(text, '\\s+')) AS word
+            FROM documents
+        ) WHERE len(word) > 0 GROUP BY 1, 2
+    )""")
+            ctes.append("""fr AS (
+        SELECT word, CAST(SUM(occ) AS BIGINT) AS freq FROM lw GROUP BY 1
+    )""")
+            ctes.append("""pt AS (
+        SELECT piece, CAST(SUM(fr.freq * wp.k) AS BIGINT) AS total
+        FROM wp JOIN fr USING (word) GROUP BY 1
+    )""")
+            ctes.append("""pr AS (
+        SELECT piece, ROW_NUMBER() OVER (ORDER BY total DESC, piece)
+                   AS rnk
+        FROM pt
+    )""")
+            ctes.append("""lp AS (
+        SELECT lang, piece, CAST(SUM(occ * k) AS BIGINT) AS n
+        FROM lw JOIN wp USING (word) GROUP BY 1, 2
+    )""")
+            ctes.append(
+                "vs(vocab_size) AS (VALUES (%s))" % _VS_VALUES
+            )
+            tail = (
+                "SELECT 'bpe' AS tokenizer, lang,"
+                " CAST(vocab_size AS INT) AS vocab_size,\n"
+                "           CAST(SUM(CASE WHEN rnk <= vocab_size"
+                " THEN n ELSE 0 END) AS BIGINT)"
+                " AS covered_occurrences,\n"
+                "           CAST(SUM(n) AS BIGINT)"
+                " AS total_occurrences,\n"
+                "           CAST(SUM(CASE WHEN rnk <= vocab_size"
+                " THEN n ELSE 0 END) AS DOUBLE)"
+                " / CAST(SUM(n) AS DOUBLE) AS coverage\n"
+                "    FROM lp JOIN pr USING (piece) CROSS JOIN vs\n"
+                "    GROUP BY 1, 2, 3"
+            )
+        elif final == "segment":
             tail = (
                 "SELECT d.doc_id, COUNT(*) AS n_words,\n"
                 "           CAST(SUM(wt.n_bpe) AS BIGINT) AS n_bpe_tokens\n"
@@ -8481,6 +8653,48 @@ def _unigram_oracle_sql(
     SELECT piece, CAST(len(piece) AS INT) AS piece_len, cnt
     FROM {prev_cnt}
     ORDER BY cnt DESC, piece LIMIT 200"""
+    elif final == "coverage":
+        # X194: the BPE coverage arithmetic over the final Viterbi
+        # piece table (universe = segmentable words, the X124 rule)
+        ctes.append(f"""wp AS MATERIALIZED (
+        SELECT word, piece, CAST(COUNT(*) AS BIGINT) AS k FROM (
+            SELECT word, unnest(path) AS piece FROM {seg_final}
+        ) GROUP BY 1, 2
+    )""")
+        ctes.append("""lw AS (
+        SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS occ FROM (
+            SELECT lang,
+                   unnest(string_split_regex(text, '\\s+')) AS word
+            FROM documents
+        ) WHERE len(word) > 0 GROUP BY 1, 2
+    )""")
+        ctes.append("""fr AS (
+        SELECT word, CAST(SUM(occ) AS BIGINT) AS freq FROM lw GROUP BY 1
+    )""")
+        ctes.append("""pt AS (
+        SELECT piece, CAST(SUM(fr.freq * wp.k) AS BIGINT) AS total
+        FROM wp JOIN fr USING (word) GROUP BY 1
+    )""")
+        ctes.append("""pr AS (
+        SELECT piece, ROW_NUMBER() OVER (ORDER BY total DESC, piece)
+                   AS rnk
+        FROM pt
+    )""")
+        ctes.append("""lp AS (
+        SELECT lang, piece, CAST(SUM(occ * k) AS BIGINT) AS n
+        FROM lw JOIN wp USING (word) GROUP BY 1, 2
+    )""")
+        ctes.append("vs(vocab_size) AS (VALUES (%s))" % _VS_VALUES)
+        tail = """
+    SELECT 'unigram' AS tokenizer, lang,
+           CAST(vocab_size AS INT) AS vocab_size,
+           CAST(SUM(CASE WHEN rnk <= vocab_size THEN n ELSE 0 END)
+                AS BIGINT) AS covered_occurrences,
+           CAST(SUM(n) AS BIGINT) AS total_occurrences,
+           CAST(SUM(CASE WHEN rnk <= vocab_size THEN n ELSE 0 END)
+                AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS coverage
+    FROM lp JOIN pr USING (piece) CROSS JOIN vs
+    GROUP BY 1, 2, 3"""
     else:
         ctes.append(f"""wt AS MATERIALIZED (
         SELECT word, k AS n_pieces FROM {seg_final}
@@ -9881,4 +10095,15 @@ EXT_ORACLE_SQL["dedup_decontaminate_semantic"] = f"""
     FROM documents d
     WHERE NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = d.doc_id)
     ORDER BY d.doc_id
+"""
+
+
+# X194 vocabulary-coverage audit: both tokenizers' generated coverage
+# chains unioned — each is its own scoped subquery so the EM / merge
+# CTE names cannot collide; VOCAB_SIZES interpolates via _VS_VALUES
+EXT_ORACLE_SQL["text_vocab_coverage"] = f"""
+    WITH b AS ({_bpe_oracle_sql(8, final="coverage")}),
+    u AS ({_unigram_oracle_sql(final="coverage")})
+    SELECT * FROM b UNION ALL SELECT * FROM u
+    ORDER BY tokenizer, lang, vocab_size
 """

@@ -714,6 +714,23 @@ def bpe_segment(
     )
 
 
+def bpe_pieces(
+    docs: DataFrame, k: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Per-word PIECE multiplicities under the k learned BPE merges —
+    (word, piece, n_in_word), the table the X194 vocabulary-coverage
+    audit weights by per-language word occurrences. Rides the same
+    shared learn/apply loop as :func:`bpe_merges` /
+    :func:`bpe_segment` (one code path — the piece table is BY
+    CONSTRUCTION the segmentation the merge table implies). Scale:
+    the loop runs on the distinct-word table; this adds one
+    (word, piece) aggregate over it."""
+    _out, toks = _bpe_loop(_word_freqs(docs, text_col), k)
+    return toks.groupBy("word", F.col("tok").alias("piece")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_in_word")
+    )
+
+
 def _word_freqs(docs: DataFrame, text_col: str) -> DataFrame:
     """Distinct-word frequency table — the distributed object the BPE
     loop iterates over."""
@@ -1542,6 +1559,22 @@ def unigram_segment(
             F.sum("n_pieces").cast("long").alias("n_unigram_tokens"),
         )
         .orderBy("doc_id")
+    )
+
+
+def unigram_pieces(
+    docs: DataFrame, rounds: int = UNIGRAM_ROUNDS, text_col: str = "text"
+) -> DataFrame:
+    """Per-word PIECE multiplicities under the trained unigram-LM
+    vocabulary — (word, piece, n_in_word) from the final Viterbi
+    paths; the unigram leg of the X194 coverage audit. Universe =
+    segmentable words (length ≤ UNIGRAM_MAX_WORD, the X124 rule),
+    exactly :func:`unigram_segment`'s."""
+    _counts, seg = _unigram_loop(_word_freqs(docs, text_col), rounds)
+    return (
+        seg.select("word", F.explode("path").alias("piece"))
+        .groupBy("word", "piece")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_in_word"))
     )
 
 

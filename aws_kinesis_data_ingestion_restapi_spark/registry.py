@@ -2736,8 +2736,8 @@ ORACLE_SQL["streaming_value_quantiles"] = f"""
 # park stable, already-driver-verified, untouched baselines at the
 # tail, where falling past position 50 loses nothing.
 # --- BEGIN GENERATED GATE ORDER (scripts/gen_gate_head.py) ---
-# Window = 6 never-driver-checked additions + 8 changed
-# entries + the 36 stalest driver greens (last green in
+# Window = 7 never-driver-checked additions + 8 changed
+# entries + the 35 stalest driver greens (last green in
 # round(s) [6, 7], from CORRECTNESS_r*.json). Regenerate with
 #   python scripts/gen_gate_head.py
 # (pytest runs --check; hand-edits here go stale and FAIL).
@@ -2756,6 +2756,7 @@ _GATE_HEAD = [
     "ann_filtered_recall_audit",  # last driver green: r0
     "emb_semantic_contamination",  # last driver green: r0
     "dedup_decontaminate_semantic",  # last driver green: r0
+    "text_vocab_coverage",  # last driver green: r0
     "customers_without_urgent_orders",  # last driver green: r6
     "dedup_simhash_fingerprints",  # last driver green: r6
     "dedup_simhash_pairs",  # last driver green: r6
@@ -2791,7 +2792,6 @@ _GATE_HEAD = [
     "cdc_scd2_history",  # last driver green: r7
     "cdc_snapshot_diff",  # last driver green: r7
     "curation_pipeline",  # last driver green: r7
-    "curation_source_caps",  # last driver green: r7
 ]
 _GATE_TAIL = [
     "ann_centroid_drift",  # last driver green: r11
@@ -2962,6 +2962,7 @@ _GATE_TAIL = [
     "text_bpe_merges",  # last driver green: r8
     "text_dsir_importance",  # last driver green: r8
     "text_ngram_novelty",  # last driver green: r8
+    "curation_source_caps",  # last driver green: r7
     "customer_rfm_segments",  # last driver green: r7
     "customer_running_spend",  # last driver green: r7
     "dedup_canonical_docs",  # last driver green: r7

@@ -320,6 +320,7 @@ ANALYTICS_QUERIES = [
     "ann_filtered_recall_audit",
     "emb_semantic_contamination",
     "dedup_decontaminate_semantic",
+    "text_vocab_coverage",
 ]
 
 
@@ -353,6 +354,7 @@ BENCH_KEY_ALIASES = {
     "ann_filtered_recall_audit": "fra",
     "emb_semantic_contamination": "smc",
     "dedup_decontaminate_semantic": "dds",
+    "text_vocab_coverage": "vcv",
     # round-11 additions (1:1, final line only)
     "streaming_er_delta": "ser",
     "docs_hll_distinct_audit": "hda",

@@ -54,6 +54,7 @@ MUST_ROTATE = [
     "ann_filtered_recall_audit",  # X191 pre- vs post-filter audit
     "emb_semantic_contamination",  # X192 embedding-side decon probe
     "dedup_decontaminate_semantic",  # X193 combined decon apply
+    "text_vocab_coverage",      # X194 tokenizer OOV/coverage audit
 ]
 
 

@@ -4425,3 +4425,55 @@ def test_combined_decontaminate_drops_union_of_flags(spark):
     assert kept == kept_ng - sem
     allids = {r.doc_id for r in _docs(spark, sf).select("doc_id").collect()}
     assert kept <= allids
+
+
+def test_vocab_coverage_matches_python_recomputation(spark):
+    """X194 brute pin (the generated-oracle discipline): per-language
+    coverage recomputed in plain python from the per-word piece
+    tables and the raw corpus words must equal the entry's rows
+    exactly — ranking tie-breaks, per-language weighting, and the
+    segmentable-universe rule included. The piece tables themselves
+    are pinned elsewhere (BPE vs reference python BPE; unigram
+    Viterbi vs brute force)."""
+    from collections import defaultdict
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        VOCAB_SIZES,
+        _docs,
+        _piece_tables,
+        text_vocab_coverage,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.tokenizer, r.lang, r.vocab_size): (
+            r.covered_occurrences,
+            r.total_occurrences,
+            r.coverage,
+        )
+        for r in text_vocab_coverage(spark, sf).collect()
+    }
+    docs = _docs(spark, sf).select("lang", "text").collect()
+    lw = defaultdict(int)
+    for r in docs:
+        for w in r.text.split():
+            if w:
+                lw[(r.lang, w)] += 1
+    for name, wp_df in _piece_tables(spark, sf).items():
+        wp = defaultdict(dict)
+        for r in wp_df.collect():
+            wp[r.word][r.piece] = r.n_in_word
+        pt = defaultdict(int)
+        lp = defaultdict(lambda: defaultdict(int))
+        for (lang, w), occ in lw.items():
+            for piece, k in wp.get(w, {}).items():
+                pt[piece] += occ * k
+                lp[lang][piece] += occ * k
+        ranked = sorted(pt, key=lambda p: (-pt[p], p))
+        rnk = {p: i + 1 for i, p in enumerate(ranked)}
+        for lang, pieces in lp.items():
+            total = sum(pieces.values())
+            for v in VOCAB_SIZES:
+                cov = sum(n for p, n in pieces.items() if rnk[p] <= v)
+                want = (cov, total, cov / total)
+                assert got[(name, lang, v)] == want, (name, lang, v)
