@@ -651,6 +651,17 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.mixture_plan(_docs(spark, sf_dir))
 
 
+def corpus_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X197: temperature-scaled mixture plan (sampling.
+    mixture_temperature) — p_i ∝ share_i^τ for τ ∈ {1, 1/2, 1/4};
+    the multilingual-corpus rebalancing table next to the
+    weight-table plan (X81) and the curriculum plan (X129). Dyadic
+    temperatures keep the arithmetic engine-exact (sqrt chains);
+    the oversample_factor column is the memorization warning a
+    mixture review reads."""
+    return sampling.mixture_temperature(_docs(spark, sf_dir))
+
+
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge learning over the documents corpus (r7
     VERDICT ask #3 — the tokenizer-training primitive the text family
@@ -1388,6 +1399,56 @@ def k_generalize_apply(cust: DataFrame, k: int = K_ANON) -> DataFrame:
     for p in out_parts[1:]:
         out = out.unionByName(p)
     return out.unionByName(suppressed)
+
+
+def customers_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X196: l-DIVERSITY audit of the k-anonymized release — the
+    classic follow-up to X160 (Machanavajjhala et al. 2007):
+    k-anonymity bounds RE-IDENTIFICATION but not ATTRIBUTE
+    disclosure — a k-sized equivalence class whose members all share
+    the sensitive value reveals it for every member without
+    identifying anyone. Sensitive attribute here: account-balance
+    SIGN (in debt or not — binary, so l ∈ {1, 2} and l = 1 IS the
+    homogeneous-class disclosure). Per ladder level of the X160
+    release (suppressed records excluded — '*' rows carry no QI to
+    link on): class count, the minimum l, and how many classes are
+    homogeneous. Derived from the SAME k_generalize_apply output as
+    the release, so the audit cannot disagree with it; one aggregate
+    over class-grain rows — metadata-scale at any corpus size."""
+    cust = load_table(spark, sf_dir, "customer")
+    rel = k_generalize_apply(cust).filter(~F.col("suppressed"))
+    sens = cust.select(
+        "c_custkey", (F.col("c_acctbal") < 0).alias("sens")
+    )
+    cls = (
+        rel.join(sens, "c_custkey")
+        .groupBy("level", "qi_nation", "qi_segment", "qi_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.countDistinct("sens").alias("l"),
+        )
+    )
+    return (
+        cls.groupBy("level")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.min("l").cast("long").alias("min_l"),
+            F.sum(F.when(F.col("l") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_homogeneous"),
+        )
+        .select(
+            "level",
+            "n_classes",
+            "min_l",
+            "n_homogeneous",
+            (
+                F.col("n_homogeneous").cast("double")
+                / F.col("n_classes").cast("double")
+            ).alias("homogeneous_share"),
+        )
+        .orderBy("level")
+    )
 
 
 def customers_k_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4793,6 +4854,7 @@ EXT_QUERY_FNS = {
     "docs_split_assign": docs_split_assign,
     "docs_split_leakage_safe": docs_split_leakage_safe,
     "corpus_mixture_plan": corpus_mixture_plan,
+    "corpus_mixture_temperature": corpus_mixture_temperature,
     "text_repetition": text_repetition,
     "text_bm25_search": text_bm25_search,
     "retrieval_hybrid_rrf": retrieval_hybrid_rrf,
@@ -4805,6 +4867,7 @@ EXT_QUERY_FNS = {
     "corpus_funnel_by_source": corpus_funnel_by_source,
     "customers_k_anonymity": customers_k_anonymity,
     "customers_k_generalize": customers_k_generalize,
+    "customers_l_diversity": customers_l_diversity,
     "corpus_content_hashes": corpus_content_hashes,
     "docs_sample_weighted_k": docs_sample_weighted_k,
     "events_user_anomalies": events_user_anomalies,
@@ -9161,7 +9224,7 @@ EXT_ORACLE_SQL["corpus_funnel_by_source"] = """
 # X160 k-generalization report: the ladder unrolled into one CTE
 # chain per level (generated from the SAME K_GEN_LADDER the Spark
 # apply walks — divergence is structurally impossible)
-def _k_gen_oracle_sql() -> str:
+def _k_gen_oracle_sql(final: str = "report") -> str:
     ctes = [
         "u0 AS (SELECT c_custkey, c_nationkey, c_mktsegment, "
         "c_acctbal FROM customer)"
@@ -9196,6 +9259,34 @@ def _k_gen_oracle_sql() -> str:
         SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal
         FROM j{lvl} WHERE n < {K_ANON})"""
         )
+    if final == "ldiv":
+        # X196: frozen assignments per level + binary sensitive join
+        frozen = "\n        UNION ALL\n        ".join(
+            f"SELECT c_custkey, {lvl} AS level, qi_n, qi_s, qi_b "
+            f"FROM j{lvl} WHERE n >= {K_ANON}"
+            for lvl in range(len(K_GEN_LADDER))
+        )
+        ctes.append(f"""asg AS (
+        {frozen})""")
+        ctes.append("""sens AS (
+        SELECT c_custkey, c_acctbal < 0 AS sens FROM customer)""")
+        ctes.append("""cls AS (
+        SELECT level, qi_n, qi_s, qi_b,
+               CAST(COUNT(DISTINCT sens) AS BIGINT) AS l
+        FROM asg JOIN sens USING (c_custkey)
+        GROUP BY 1, 2, 3, 4)""")
+        return (
+            "WITH "
+            + ",\n    ".join(ctes)
+            + """
+    SELECT level, CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(l) AS BIGINT) AS min_l,
+           CAST(SUM(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_homogeneous,
+           CAST(SUM(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS homogeneous_share
+    FROM cls GROUP BY 1 ORDER BY 1"""
+        )
     rows = []
     for lvl in range(len(K_GEN_LADDER)):
         rows.append(
@@ -9215,6 +9306,7 @@ def _k_gen_oracle_sql() -> str:
 
 
 EXT_ORACLE_SQL["customers_k_generalize"] = _k_gen_oracle_sql()
+EXT_ORACLE_SQL["customers_l_diversity"] = _k_gen_oracle_sql(final="ldiv")
 
 
 EXT_ORACLE_SQL["customers_k_anonymity"] = """
@@ -10106,4 +10198,71 @@ EXT_ORACLE_SQL["text_vocab_coverage"] = f"""
     u AS ({_unigram_oracle_sql(final="coverage")})
     SELECT * FROM b UNION ALL SELECT * FROM u
     ORDER BY tokenizer, lang, vocab_size
+"""
+
+
+# X197 temperature mixture: identical sqrt-chain weights, one
+# round-to-int64 quantization per (source, tau), integer allocation
+EXT_ORACLE_SQL["corpus_mixture_temperature"] = f'''
+    WITH per_source AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len({_TOKS})) AS BIGINT) AS avail_tokens
+        FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(avail_tokens) AS BIGINT) AS total
+            FROM per_source),
+    sh AS (
+        SELECT source, n_docs, avail_tokens,
+               CAST(avail_tokens AS DOUBLE) / CAST(total AS DOUBLE)
+                   AS natural_share
+        FROM per_source CROSS JOIN tot
+    ),
+    wq AS (
+        SELECT source, CAST(t.tau AS DOUBLE) AS tau, n_docs,
+               avail_tokens, natural_share,
+               CAST(ROUND(CASE t.tau
+                   WHEN 1.0 THEN natural_share
+                   WHEN 0.5 THEN sqrt(natural_share)
+                   ELSE sqrt(sqrt(natural_share)) END
+                   * {float(sampling.MIX_W_SCALE)!r}, 0) AS BIGINT)
+                   AS wqv
+        FROM sh CROSS JOIN (VALUES (1.0), (0.5), (0.25)) t(tau)
+    ),
+    ws AS (SELECT tau, CAST(SUM(wqv) AS BIGINT) AS wsum
+           FROM wq GROUP BY 1)
+    SELECT wq.source, wq.tau, wq.n_docs, wq.avail_tokens,
+           wq.natural_share,
+           CAST(wqv AS DOUBLE) / CAST(wsum AS DOUBLE) AS sample_prob,
+           CAST(wqv * 100000 // wsum AS BIGINT) AS target_tokens,
+           (CAST(wqv AS DOUBLE) / CAST(wsum AS DOUBLE))
+               / natural_share AS oversample_factor
+    FROM wq JOIN ws USING (tau)
+    ORDER BY wq.source, wq.tau
+'''
+
+
+# X195 streaming boilerplate gate: static replay — the lined delta's
+# boilerplate-line hits per doc, under the corpus-learned flag rule
+EXT_ORACLE_SQL["streaming_boilerplate_gate"] = f"""
+    WITH lined AS ({_LINED_SQL}),
+    ls AS (SELECT doc_id, source, string_split(text, chr(10)) AS ls
+           FROM lined),
+    l AS (SELECT doc_id, source, unnest(ls) AS line,
+                 generate_subscripts(ls, 1) AS pos
+          FROM ls),
+    pl AS (SELECT source, line,
+                  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+           FROM l GROUP BY 1, 2),
+    ss AS (SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nsrc
+           FROM lined GROUP BY 1),
+    bp AS (SELECT pl.source, pl.line
+           FROM pl JOIN ss USING (source)
+           WHERE nd >= {BOILERPLATE_MIN_DOCS}
+             AND CAST(nd AS DOUBLE) >=
+                 {BOILERPLATE_MAX_SHARE!r} * CAST(nsrc AS DOUBLE))
+    SELECT l.doc_id,
+           CAST(COUNT(DISTINCT l.pos) AS BIGINT) AS n_boilerplate_lines
+    FROM l JOIN bp ON bp.source = l.source AND bp.line = l.line
+    WHERE l.doc_id % 10 >= {_DELTA_PCT}
+    GROUP BY 1 ORDER BY 1
 """

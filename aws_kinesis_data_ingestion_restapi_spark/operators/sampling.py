@@ -266,3 +266,100 @@ def sample_fixed_k_per_group(
         .withColumn("grp_rank", F.row_number().over(w))
         .filter(F.col("grp_rank") <= k)
     )
+
+
+#: X197 temperatures: dyadic exponents only — s^(1/2) and s^(1/4)
+#: evaluate as IEEE-correctly-rounded sqrt chains, identical in Spark
+#: and DuckDB, so the plan stays inside the exactness contract (an
+#: arbitrary pow(s, 0.3) is libm-dependent and would not hash).
+MIX_TEMPERATURES = (1.0, 0.5, 0.25)
+#: weight quantization: one round() per (source, tau), summed in int64
+MIX_W_SCALE = 10**12
+
+
+def mixture_temperature(
+    docs: DataFrame,
+    budget_tokens: int = 100_000,
+) -> DataFrame:
+    """Temperature-scaled mixture allocation — the multilingual-LLM
+    rebalancing move (mT5/XLM-R: sample source i with p_i ∝ s_i^τ
+    where s_i is its natural share; τ = 1 keeps natural proportions,
+    τ → 0 flattens toward uniform, lifting under-represented sources
+    at the cost of over-sampling them). One row per (source, τ) with
+    the natural share, the τ-scaled sampling probability, the token
+    allocation under the global budget, and the OVERSAMPLE factor
+    (p_i / s_i — how many epochs of a small source the plan implies;
+    the number that warns about memorizing a tiny source).
+
+    Exactness: natural shares are single divisions of exact int64
+    token counts; τ-weights are sqrt chains (see MIX_TEMPERATURES);
+    each weight is quantized ONCE (round(w·10¹²) → int64) so the
+    normalizing sum is exact integer arithmetic and probabilities /
+    allocations are single divisions of exact ints — the X125
+    quantize-once idiom. Scale: one per-source aggregate + 1-row
+    broadcast totals; the τ fan-out is |sources|·|τ| rows of
+    metadata."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.text import (
+        tokens_col,
+    )
+
+    per_source = (
+        docs.select("source", F.size(tokens_col()).cast("long").alias("_t"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_t").cast("long").alias("avail_tokens"),
+        )
+    )
+    tot = per_source.agg(
+        F.sum("avail_tokens").cast("long").alias("_total")
+    )
+    shared = per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "avail_tokens",
+        (
+            F.col("avail_tokens").cast("double")
+            / F.col("_total").cast("double")
+        ).alias("natural_share"),
+    )
+    out = None
+    for tau in MIX_TEMPERATURES:
+        w = F.col("natural_share")
+        t = tau
+        while t < 1.0:
+            w = F.sqrt(w)
+            t *= 2
+        row = shared.select(
+            "source",
+            F.lit(float(tau)).alias("tau"),
+            "n_docs",
+            "avail_tokens",
+            "natural_share",
+            F.round(w * F.lit(float(MIX_W_SCALE)), 0)
+            .cast("long")
+            .alias("_wq"),
+        )
+        out = row if out is None else out.unionByName(row)
+    wtot = out.groupBy("tau").agg(F.sum("_wq").cast("long").alias("_wsum"))
+    return (
+        out.join(F.broadcast(wtot), "tau")
+        .select(
+            "source",
+            "tau",
+            "n_docs",
+            "avail_tokens",
+            "natural_share",
+            (
+                F.col("_wq").cast("double") / F.col("_wsum").cast("double")
+            ).alias("sample_prob"),
+            F.expr(f"_wq * {budget_tokens} DIV _wsum")
+            .cast("long")
+            .alias("target_tokens"),
+            (
+                (F.col("_wq").cast("double") / F.col("_wsum").cast("double"))
+                / F.col("natural_share")
+            ).alias("oversample_factor"),
+        )
+        .orderBy("source", "tau")
+    )

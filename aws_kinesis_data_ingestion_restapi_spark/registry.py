@@ -550,6 +550,7 @@ from aws_kinesis_data_ingestion_restapi_spark.streaming.registry_stream import (
     streaming_payment_match,
     streaming_payment_match_full,
     streaming_payment_match_outer,
+    streaming_boilerplate_gate,
     streaming_quality_gate,
     streaming_running_totals_final,
     streaming_session_windows,
@@ -567,6 +568,7 @@ QUERY_FNS["streaming_hll_users"] = streaming_hll_users
 QUERY_FNS["streaming_fk_gate"] = streaming_fk_gate
 QUERY_FNS["streaming_decontamination_gate"] = streaming_decontamination_gate
 QUERY_FNS["streaming_quality_gate"] = streaming_quality_gate
+QUERY_FNS["streaming_boilerplate_gate"] = streaming_boilerplate_gate
 QUERY_FNS["streaming_running_totals_final"] = streaming_running_totals_final
 QUERY_FNS["streaming_enriched_nation_totals"] = streaming_enriched_nation_totals
 QUERY_FNS["streaming_payment_match"] = streaming_payment_match
@@ -2736,8 +2738,8 @@ ORACLE_SQL["streaming_value_quantiles"] = f"""
 # park stable, already-driver-verified, untouched baselines at the
 # tail, where falling past position 50 loses nothing.
 # --- BEGIN GENERATED GATE ORDER (scripts/gen_gate_head.py) ---
-# Window = 7 never-driver-checked additions + 8 changed
-# entries + the 35 stalest driver greens (last green in
+# Window = 10 never-driver-checked additions + 8 changed
+# entries + the 32 stalest driver greens (last green in
 # round(s) [6, 7], from CORRECTNESS_r*.json). Regenerate with
 #   python scripts/gen_gate_head.py
 # (pytest runs --check; hand-edits here go stale and FAIL).
@@ -2757,6 +2759,9 @@ _GATE_HEAD = [
     "emb_semantic_contamination",  # last driver green: r0
     "dedup_decontaminate_semantic",  # last driver green: r0
     "text_vocab_coverage",  # last driver green: r0
+    "customers_l_diversity",  # last driver green: r0
+    "corpus_mixture_temperature",  # last driver green: r0
+    "streaming_boilerplate_gate",  # last driver green: r0
     "customers_without_urgent_orders",  # last driver green: r6
     "dedup_simhash_fingerprints",  # last driver green: r6
     "dedup_simhash_pairs",  # last driver green: r6
@@ -2789,9 +2794,6 @@ _GATE_HEAD = [
     "ann_topk_ivf",  # last driver green: r7
     "ann_topk_pq",  # last driver green: r7
     "asof_priority_rates",  # last driver green: r7
-    "cdc_scd2_history",  # last driver green: r7
-    "cdc_snapshot_diff",  # last driver green: r7
-    "curation_pipeline",  # last driver green: r7
 ]
 _GATE_TAIL = [
     "ann_centroid_drift",  # last driver green: r11
@@ -2962,6 +2964,9 @@ _GATE_TAIL = [
     "text_bpe_merges",  # last driver green: r8
     "text_dsir_importance",  # last driver green: r8
     "text_ngram_novelty",  # last driver green: r8
+    "cdc_scd2_history",  # last driver green: r7
+    "cdc_snapshot_diff",  # last driver green: r7
+    "curation_pipeline",  # last driver green: r7
     "curation_source_caps",  # last driver green: r7
     "customer_rfm_segments",  # last driver green: r7
     "customer_running_spend",  # last driver green: r7

@@ -1280,6 +1280,47 @@ def _doc_gate_stages(spark: SparkSession, sf_dir: str):
     return hits, scored, d
 
 
+def _bp_gate_stages(spark: SparkSession, sf_dir: str):
+    """The in-stream stages of :func:`streaming_boilerplate_gate`:
+    arriving template pages (the X188 lined fixture's DELTA slice)
+    posexplode into lines — a pure projection — and probe the STATIC
+    flagged-line dimension (X188's per-source boilerplate table,
+    learned offline from the full corpus, BROADCAST — template
+    dimensions are tiny) by an inner equi-join on (source, line);
+    only boilerplate hits emit. Stateless. Returns (hits, d)."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import dedup
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        _DELTA_PCT,
+        _lined_docs,
+        BOILERPLATE_MAX_SHARE,
+        BOILERPLATE_MIN_DOCS,
+    )
+
+    lined = _lined_docs(spark, sf_dir)
+    flagged = dedup.line_stats(
+        lined,
+        min_docs=BOILERPLATE_MIN_DOCS,
+        max_share=BOILERPLATE_MAX_SHARE,
+    ).filter(F.col("is_boilerplate")).select("source", "line")
+    delta = lined.filter(F.col("doc_id") % 10 >= _DELTA_PCT)
+    stream, d = _replayed_stream(
+        spark,
+        delta,
+        "doc_id bigint, source string, text string",
+        2,
+        "stream_bp_",
+    )
+    lines = stream.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split("text", "\n")).alias("pos", "line"),
+    )
+    hits = lines.join(F.broadcast(flagged), ["source", "line"]).select(
+        "doc_id", "pos"
+    )
+    return hits, d
+
+
 #: (applicationId, sf_dir) -> {gate: drained memory table} for the
 #: four stateless intake gates (fk / er / dcn / qg)
 _INTAKE_GATE_CACHE: dict = {}
@@ -1310,18 +1351,21 @@ def _intake_verdicts(spark: SparkSession, sf_dir: str, gate: str) -> DataFrame:
     # under the FAIR scheduler like the drains below do
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
+    with ThreadPoolExecutor(max_workers=4) as pool:
         f_fk = pool.submit(_fk_gate_stages, spark, sf_dir)
         f_doc = pool.submit(_doc_gate_stages, spark, sf_dir)
         f_er = pool.submit(_er_delta_stages, spark, sf_dir)
+        f_bp = pool.submit(_bp_gate_stages, spark, sf_dir)
         orphans, d_fk = f_fk.result()
         hits, scored, d_doc = f_doc.result()
         links, d_er, _ = f_er.result()
+        bp_hits, d_bp = f_bp.result()
     staged = {
         "fk": orphans,
         "er": links,
         "dcn": hits,
         "qg": scored,
+        "bp": bp_hits,
     }
     queries: list = []
     ckpts: list[str] = []
@@ -1365,7 +1409,7 @@ def _intake_verdicts(spark: SparkSession, sf_dir: str, gate: str) -> DataFrame:
     finally:
         for ckpt in ckpts:
             shutil.rmtree(ckpt, ignore_errors=True)
-        for d in (d_fk, d_doc, d_er):
+        for d in (d_fk, d_doc, d_er, d_bp):
             shutil.rmtree(d, ignore_errors=True)
     _INTAKE_GATE_CACHE[key] = tables
     return tables[gate]
@@ -1445,3 +1489,26 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     document; double delivery collapses post-drain."""
     drained = _intake_verdicts(spark, sf_dir, "qg")
     return drained.distinct().orderBy("doc_id")
+
+
+def streaming_boilerplate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X195: STREAMING boilerplate gate — the fifth stateless intake
+    gate (dedup X115, ER X157, FK X175, decontamination X179, quality
+    X187) and the deployment shape of X188/X189: the boilerplate line
+    dimension is learned OFFLINE from the corpus (X188's per-source
+    flags) and arriving template pages probe it ON ARRIVAL — each
+    boilerplate line emits as a hit, stateless, so the intake can
+    strip templates before they pollute near-dup signatures. Double
+    delivery collapses post-drain on the (doc, line-position) key.
+
+    Drained through the shared intake harness (:func:`_intake_verdicts`).
+
+    Output: (doc_id, n_boilerplate_lines) per affected delta doc."""
+    drained = _intake_verdicts(spark, sf_dir, "bp")
+    return (
+        drained.select("doc_id", "pos")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_boilerplate_lines"))
+        .orderBy("doc_id")
+    )

@@ -321,6 +321,9 @@ ANALYTICS_QUERIES = [
     "emb_semantic_contamination",
     "dedup_decontaminate_semantic",
     "text_vocab_coverage",
+    "customers_l_diversity",
+    "corpus_mixture_temperature",
+    "streaming_boilerplate_gate",
 ]
 
 
@@ -355,6 +358,9 @@ BENCH_KEY_ALIASES = {
     "emb_semantic_contamination": "smc",
     "dedup_decontaminate_semantic": "dds",
     "text_vocab_coverage": "vcv",
+    "customers_l_diversity": "ldv",
+    "corpus_mixture_temperature": "mxt",
+    "streaming_boilerplate_gate": "sbg",
     # round-11 additions (1:1, final line only)
     "streaming_er_delta": "ser",
     "docs_hll_distinct_audit": "hda",

@@ -55,6 +55,9 @@ MUST_ROTATE = [
     "emb_semantic_contamination",  # X192 embedding-side decon probe
     "dedup_decontaminate_semantic",  # X193 combined decon apply
     "text_vocab_coverage",      # X194 tokenizer OOV/coverage audit
+    "customers_l_diversity",    # X196 l-diversity audit of the release
+    "corpus_mixture_temperature",  # X197 temperature-scaled mixture
+    "streaming_boilerplate_gate",  # X195 fifth stateless intake gate
 ]
 
 

@@ -4477,3 +4477,44 @@ def test_vocab_coverage_matches_python_recomputation(spark):
                 cov = sum(n for p, n in pieces.items() if rnk[p] <= v)
                 want = (cov, total, cov / total)
                 assert got[(name, lang, v)] == want, (name, lang, v)
+
+
+def test_l_diversity_matches_python_recomputation(spark):
+    """X196 brute pin: recompute per-level class l-counts in plain
+    python from the release (k_generalize_apply output) + sensitive
+    flags; every class in the release is also >= K_ANON by the X160
+    contract."""
+    from collections import defaultdict
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        K_ANON,
+        customers_l_diversity,
+        k_generalize_apply,
+    )
+    from aws_kinesis_data_ingestion_restapi_spark.sources.tables import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cust = load_table(spark, sf, "customer")
+    sens = {r.c_custkey: r.c_acctbal < 0 for r in cust.collect()}
+    rel = [r for r in k_generalize_apply(cust).collect() if not r.suppressed]
+    classes = defaultdict(set)
+    sizes = defaultdict(int)
+    for r in rel:
+        key = (r.level, r.qi_nation, r.qi_segment, r.qi_band)
+        classes[key].add(sens[r.c_custkey])
+        sizes[key] += 1
+    assert all(n >= K_ANON for n in sizes.values())
+    per_level = defaultdict(lambda: [0, 99, 0])  # n_classes, min_l, n_homog
+    for key, vals in classes.items():
+        lvl = key[0]
+        per_level[lvl][0] += 1
+        per_level[lvl][1] = min(per_level[lvl][1], len(vals))
+        per_level[lvl][2] += len(vals) == 1
+    got = {r.level: r for r in customers_l_diversity(spark, sf).collect()}
+    assert set(got) == set(per_level)
+    for lvl, (nc, ml, nh) in per_level.items():
+        r = got[lvl]
+        assert (r.n_classes, r.min_l, r.n_homogeneous) == (nc, ml, nh)
+        assert r.homogeneous_share == nh / nc

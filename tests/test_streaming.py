@@ -869,3 +869,68 @@ def test_new_stream_gates_stay_stateless(spark):
     finally:
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_boilerplate_gate_matches_batch_and_stays_stateless(spark):
+    """X195 ≡ the batch X188 flags applied to the lined delta: the
+    drained per-doc boilerplate-line counts (under double delivery)
+    must equal a batch recomputation over the identical fixture, and
+    the in-stream stages must be stateless (projection + broadcast
+    join only)."""
+    import shutil
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators import dedup
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        _DELTA_PCT,
+        _lined_docs,
+        BOILERPLATE_MAX_SHARE,
+        BOILERPLATE_MIN_DOCS,
+    )
+    from aws_kinesis_data_ingestion_restapi_spark.streaming.registry_stream import (
+        _bp_gate_stages,
+        streaming_boilerplate_gate,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    hits, d = _bp_gate_stages(spark, sf)
+    try:
+        assert hits.isStreaming
+        plan = hits._jdf.queryExecution().analyzed().toString()
+        # Aggregate IS present — on the STATIC side only (line_stats'
+        # groupBy builds the broadcast flag dimension, recomputed per
+        # micro-batch, never stream state); the STREAM leg must stay
+        # projection+join: no watermark, no streaming dedup, and the
+        # double-delivery equality below is the no-state proof.
+        for stateful in ("Deduplicate", "EventTimeWatermark"):
+            assert stateful not in plan, f"stream side must not {stateful}"
+        out = {
+            r.doc_id: r.n_boilerplate_lines
+            for r in streaming_boilerplate_gate(spark, sf).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    lined = _lined_docs(spark, sf)
+    flagged = dedup.line_stats(
+        lined,
+        min_docs=BOILERPLATE_MIN_DOCS,
+        max_share=BOILERPLATE_MAX_SHARE,
+    ).filter(F.col("is_boilerplate")).select("source", "line")
+    batch = {
+        r.doc_id: r.n
+        for r in lined.filter(F.col("doc_id") % 10 >= _DELTA_PCT)
+        .select(
+            "doc_id",
+            "source",
+            F.posexplode(F.split("text", "\n")).alias("pos", "line"),
+        )
+        .join(flagged, ["source", "line"])
+        .groupBy("doc_id")
+        .agg(F.countDistinct("pos").alias("n"))
+        .collect()
+    }
+    assert out == batch
+    assert out, "gate must flag the planted template lines"
+    # every delta doc carries exactly header+footer boilerplate here
+    assert set(out.values()) == {2}
