@@ -3720,6 +3720,72 @@ def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.chunk_documents(_docs(spark, sf_dir))
 
 
+def dedup_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X198: cross-source VOCABULARY-OVERLAP sketch audit — the dedup
+    PLANNING table (which source pairs share 3-gram vocabulary →
+    where near-dup detection should look first, and which feeds are
+    probably mirrors of each other): pairwise Jaccard ESTIMATES from
+    per-source KMV sketches (sketch.kmv_jaccard_pairs — k smallest
+    md5 hashes of each source's distinct gram set; all-pairs at the
+    SKETCH grain, k·|sources| rows, never the corpus), joined to the
+    EXACT pairwise Jaccard (affordable at gate scale — the audit
+    measures the estimator the 100 TB deployment would trust) with
+    the signed error. The X147/X92 measure-the-sketch discipline
+    applied to set OVERLAP."""
+    grams = dedup.tokenized(_docs(spark, sf_dir)).join(
+        _docs(spark, sf_dir).select("doc_id", "source"), "doc_id"
+    ).select(
+        "source",
+        F.explode(dedup.hashed_ngrams(3, F.col("_toks"))).alias("gram"),
+    )
+    est = sketch.kmv_jaccard_pairs(grams, "source", "gram").select(
+        F.col("group_a").alias("source_a"),
+        F.col("group_b").alias("source_b"),
+        "est_jaccard",
+    )
+    sg = grams.distinct()
+    sizes = sg.groupBy("source").agg(F.count(F.lit(1)).alias("_n"))
+    inter = (
+        sg.select(F.col("source").alias("source_a"), "gram")
+        .join(
+            sg.select(F.col("source").alias("source_b"), "gram"), "gram"
+        )
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    exact = (
+        inter.join(
+            sizes.select(F.col("source").alias("source_a"),
+                         F.col("_n").alias("_na")), "source_a"
+        )
+        .join(
+            sizes.select(F.col("source").alias("source_b"),
+                         F.col("_n").alias("_nb")), "source_b"
+        )
+        .select(
+            "source_a",
+            "source_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("n_inter"))
+                .cast("double")
+            ).alias("exact_jaccard"),
+        )
+    )
+    return (
+        est.join(exact, ["source_a", "source_b"])
+        .select(
+            "source_a",
+            "source_b",
+            "est_jaccard",
+            "exact_jaccard",
+            (F.col("est_jaccard") - F.col("exact_jaccard")).alias("err"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X122: APPLY side of X5 — the decontamination step actually
     run before training: drop every corpus document sharing ≥1
@@ -4822,6 +4888,7 @@ EXT_QUERY_FNS = {
     "retrieval_eval_mrr": retrieval_eval_mrr,
     "docs_chunk_overlap": docs_chunk_overlap,
     "dedup_decontaminate": dedup_decontaminate,
+    "dedup_source_vocab_overlap": dedup_source_vocab_overlap,
     "emb_semantic_contamination": emb_semantic_contamination,
     "dedup_decontaminate_semantic": dedup_decontaminate_semantic,
     "emb_pca_power": emb_pca_power,
@@ -10266,3 +10333,79 @@ EXT_ORACLE_SQL["streaming_boilerplate_gate"] = f"""
     WHERE l.doc_id % 10 >= {_DELTA_PCT}
     GROUP BY 1 ORDER BY 1
 """
+
+
+# X198 cross-source vocab overlap: identical KMV arithmetic — md5 of
+# the 28-bit gram (cast to plain digits), per-source k smallest,
+# union-k Jaccard estimate — joined to the exact pairwise Jaccard
+EXT_ORACLE_SQL["dedup_source_vocab_overlap"] = """
+    WITH sg AS (
+        SELECT DISTINCT source,
+               unnest(list_transform({sh},
+                   s -> CAST(concat('0x', substr(md5(s), 1, 7))
+                        AS BIGINT))) AS gram
+        FROM (SELECT source, {toks} AS t FROM documents)
+    ),
+    hs AS (
+        SELECT DISTINCT source, md5(CAST(gram AS VARCHAR)) AS h FROM sg
+    ),
+    sk AS (
+        SELECT source, h FROM (
+            SELECT source, h,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY h)
+                       AS rk
+            FROM hs
+        ) WHERE rk <= {k}
+    ),
+    pr AS (
+        SELECT a.source AS source_a, b.source AS source_b
+        FROM (SELECT DISTINCT source FROM sk) a
+        JOIN (SELECT DISTINCT source FROM sk) b
+          ON a.source < b.source
+    ),
+    uni AS (
+        SELECT source_a, source_b, h,
+               MAX(in_a) AS in_a, MAX(in_b) AS in_b
+        FROM (
+            SELECT p.source_a, p.source_b, s.h, 1 AS in_a, 0 AS in_b
+            FROM pr p JOIN sk s ON s.source = p.source_a
+            UNION ALL
+            SELECT p.source_a, p.source_b, s.h, 0, 1
+            FROM pr p JOIN sk s ON s.source = p.source_b
+        ) GROUP BY 1, 2, 3
+    ),
+    topu AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY source_a, source_b ORDER BY h) AS rk
+            FROM uni
+        ) WHERE rk <= {k}
+    ),
+    est AS (
+        SELECT source_a, source_b,
+               CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1
+                        THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS est_jaccard
+        FROM topu GROUP BY 1, 2
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM sg GROUP BY 1),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS n_inter
+        FROM sg a JOIN sg b ON a.gram = b.gram AND a.source < b.source
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT i.source_a, i.source_b,
+               CAST(i.n_inter AS DOUBLE)
+                   / CAST(sa.n + sb.n - i.n_inter AS DOUBLE)
+                   AS exact_jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.source = i.source_a
+        JOIN sizes sb ON sb.source = i.source_b
+    )
+    SELECT e.source_a, e.source_b, e.est_jaccard, x.exact_jaccard,
+           e.est_jaccard - x.exact_jaccard AS err
+    FROM est e JOIN exact x USING (source_a, source_b)
+    ORDER BY e.source_a, e.source_b
+""".format(sh=_shingles(3), toks=_TOKS, k=sketch.KMV_K)

@@ -390,3 +390,108 @@ def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
         (F.lit(HLL_M) - F.col("_n")).cast("long").alias("n_zero_regs"),
         (F.lit(HLL_EST_NUM) / s.cast("double")).alias("est_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) set sketches + pairwise Jaccard estimation
+# ---------------------------------------------------------------------------
+
+#: sketch size for the cross-source overlap audit — 128 hashes per
+#: group bounds the estimator's std err at ~1/sqrt(128) ≈ 0.09
+KMV_K = 128
+
+
+def kmv_sketches(
+    items: DataFrame, group_col: str, item_col: str, k: int = KMV_K
+) -> DataFrame:
+    """Per-group KMV set sketch: the ``k`` LEXICOGRAPHICALLY smallest
+    md5 hashes of the group's DISTINCT items (Beyer et al. 2007 —
+    the mergeable distinct/overlap sketch family Theta generalizes).
+    Deterministic by construction (md5 + (hash, rank) total order);
+    a group with < k distinct items keeps them all, making its
+    sketch EXACT. Output: (group_col, h, rk).
+
+    Scale shape: one distinct + one per-group top-k window over
+    hashes — k·|groups| rows survive; the items never move again."""
+    h = F.md5(F.col(item_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy("h")
+    return (
+        items.select(F.col(group_col), h.alias("h"))
+        .distinct()
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def kmv_jaccard_pairs(
+    items: DataFrame, group_col: str, item_col: str, k: int = KMV_K
+) -> DataFrame:
+    """Pairwise Jaccard ESTIMATES between every two groups from their
+    KMV sketches — the standard estimator: take the k smallest
+    distinct hashes of the UNION of the two sketches, count how many
+    live in BOTH; J ≈ matches / |union-k|. Exact set arithmetic over
+    deterministic hashes, so both engines compute the identical
+    estimate (the estimator's ERROR vs exact truth is the audited
+    quantity, not engine noise).
+
+    The use case is dedup PLANNING at 100 TB: "which source pairs
+    share vocabulary" decides where near-dup detection should look
+    first — sketches are k·|groups| rows total, so every pair
+    comparison is metadata-sized regardless of corpus size, while the
+    exact pairwise answer would re-shuffle the corpus per pair.
+
+    Output: (group_a, group_b, n_common_k, n_union_k, est_jaccard),
+    group_a < group_b."""
+    s = kmv_sketches(items, group_col, item_col, k=k)
+    ga = s.select(
+        F.col(group_col).alias("group_a"), "h"
+    )
+    gb = s.select(
+        F.col(group_col).alias("group_b"), "h"
+    )
+    pairs = (
+        ga.select("group_a")
+        .distinct()
+        .join(gb.select("group_b").distinct())
+        .filter(F.col("group_a") < F.col("group_b"))
+    )
+    ua = pairs.join(ga, "group_a").select(
+        "group_a", "group_b", "h", F.lit(1).alias("in_a"),
+        F.lit(0).alias("in_b"),
+    )
+    ub = pairs.join(gb, "group_b").select(
+        "group_a", "group_b", "h", F.lit(0).alias("in_a"),
+        F.lit(1).alias("in_b"),
+    )
+    uni = (
+        ua.unionByName(ub)
+        .groupBy("group_a", "group_b", "h")
+        .agg(
+            F.max("in_a").alias("in_a"),
+            F.max("in_b").alias("in_b"),
+        )
+    )
+    w = Window.partitionBy("group_a", "group_b").orderBy("h")
+    topu = uni.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )
+    return (
+        topu.groupBy("group_a", "group_b")
+        .agg(
+            F.sum(
+                F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_common_k"),
+            F.count(F.lit(1)).cast("long").alias("n_union_k"),
+        )
+        .select(
+            "group_a",
+            "group_b",
+            "n_common_k",
+            "n_union_k",
+            (
+                F.col("n_common_k").cast("double")
+                / F.col("n_union_k").cast("double")
+            ).alias("est_jaccard"),
+        )
+    )

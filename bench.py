@@ -324,6 +324,7 @@ ANALYTICS_QUERIES = [
     "customers_l_diversity",
     "corpus_mixture_temperature",
     "streaming_boilerplate_gate",
+    "dedup_source_vocab_overlap",
 ]
 
 
@@ -361,6 +362,7 @@ BENCH_KEY_ALIASES = {
     "customers_l_diversity": "ldv",
     "corpus_mixture_temperature": "mxt",
     "streaming_boilerplate_gate": "sbg",
+    "dedup_source_vocab_overlap": "svo",
     # round-11 additions (1:1, final line only)
     "streaming_er_delta": "ser",
     "docs_hll_distinct_audit": "hda",

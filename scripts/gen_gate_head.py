@@ -58,6 +58,7 @@ MUST_ROTATE = [
     "customers_l_diversity",    # X196 l-diversity audit of the release
     "corpus_mixture_temperature",  # X197 temperature-scaled mixture
     "streaming_boilerplate_gate",  # X195 fifth stateless intake gate
+    "dedup_source_vocab_overlap",  # X198 cross-source KMV overlap
 ]
 
 

@@ -4518,3 +4518,48 @@ def test_l_diversity_matches_python_recomputation(spark):
         r = got[lvl]
         assert (r.n_classes, r.min_l, r.n_homogeneous) == (nc, ml, nh)
         assert r.homogeneous_share == nh / nc
+
+
+def test_kmv_jaccard_matches_python_and_is_exact_for_small_sets(spark):
+    """X198 brute pin: KMV estimates recomputed in plain python
+    (hashlib md5, same k-smallest/union-k arithmetic) must equal the
+    operator's output exactly; and for groups with < k distinct items
+    the sketch IS the set, so the estimate equals the true Jaccard."""
+    import hashlib
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators import sketch
+
+    rows = []
+    sets = {
+        "s1": set(range(0, 60)),           # overlaps s2 heavily
+        "s2": set(range(30, 90)),
+        "s3": set(range(200, 230)),        # disjoint from both
+    }
+    for g, items in sets.items():
+        rows += [(g, i) for i in items]
+    df = spark.createDataFrame(rows, "grp string, item long")
+    got = {
+        (r.group_a, r.group_b): r
+        for r in sketch.kmv_jaccard_pairs(df, "grp", "item", k=16).collect()
+    }
+
+    def h(x):
+        return hashlib.md5(str(x).encode()).hexdigest()
+
+    sk = {
+        g: sorted(h(i) for i in items)[:16] for g, items in sets.items()
+    }
+    names = sorted(sets)
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            uni = sorted(set(sk[a]) | set(sk[b]))[:16]
+            common = sum(1 for x in uni if x in set(sk[a]) and x in set(sk[b]))
+            r = got[(a, b)]
+            assert (r.n_common_k, r.n_union_k) == (common, len(uni)), (a, b)
+            assert r.est_jaccard == common / len(uni)
+    # exactness for small sets: k >= |A ∪ B| makes the sketch the set
+    big = sketch.kmv_jaccard_pairs(df, "grp", "item", k=1000).collect()
+    for r in big:
+        a, b = sets[r.group_a], sets[r.group_b]
+        true_j = len(a & b) / len(a | b)
+        assert r.est_jaccard == true_j, (r.group_a, r.group_b)
