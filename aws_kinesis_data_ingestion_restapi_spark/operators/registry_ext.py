@@ -192,6 +192,113 @@ def warehouse_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("table_name", "column_name")
 
 
+#: X199 column-statistics spec: (table, column, kind) — kind picks the
+#: canonical NDV key (int -> digits, dec2 -> round(x*100) fixed-point,
+#: str -> raw) and the min/max channel. Shared by the Spark entry and
+#: the generated oracle so the two cannot desynchronize.
+COLUMN_STATS_SPEC = (
+    ("orders", "o_orderkey", "int"),
+    ("orders", "o_custkey", "int"),
+    ("orders", "o_orderstatus", "str"),
+    ("orders", "o_totalprice", "dec2"),
+    ("orders", "o_orderpriority", "str"),
+    ("lineitem", "l_orderkey", "int"),
+    ("lineitem", "l_partkey", "int"),
+    ("lineitem", "l_quantity", "dec2"),
+    ("lineitem", "l_returnflag", "str"),
+    ("customer", "c_custkey", "int"),
+    ("customer", "c_nationkey", "int"),
+    ("customer", "c_mktsegment", "str"),
+    ("customer", "c_acctbal", "dec2"),
+    ("part", "p_partkey", "int"),
+    ("part", "p_brand", "str"),
+)
+
+
+def _stats_key(col: str, kind: str) -> F.Column:
+    """Canonical NDV hash key: integers as plain digits, 2-decimal
+    doubles as round(x·100) fixed-point digits (double→string
+    FORMATTING is engine-dependent; fixed-point integers are not),
+    strings raw."""
+    if kind == "int":
+        return F.col(col).cast("long").cast("string")
+    if kind == "dec2":
+        return (
+            F.round(F.col(col) * 100, 0).cast("long").cast("string")
+        )
+    return F.col(col)
+
+
+def warehouse_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X199: ANALYZE-style CATALOG STATISTICS — the per-column table
+    an optimizer (or a data engineer sizing a migration) reads before
+    planning joins: row count, null count, exact NDV, the HLL NDV
+    estimate a 100 TB deployment would maintain instead (X158's
+    register arithmetic — mergeable across shards/days), its relative
+    error (the X147 measure-the-sketch discipline), and min/max
+    (numeric channel for numbers — never stringified doubles, whose
+    formatting is engine-dependent — string channel for varchars).
+
+    Scale shape: per column, one map-side-combined aggregate + one
+    ≤64-row register table; columns stack by union — the whole report
+    is |spec| metadata-sized rows however large the tables are. At a
+    real warehouse this runs per partition and the registers MERGE
+    (sketch.hll_merge), which is exactly why the estimate column is
+    there next to the exact one."""
+    out = None
+    for table, col, kind in COLUMN_STATS_SPEC:
+        t = load_table(spark, sf_dir, table)
+        key = _stats_key(col, kind)
+        nn = t.filter(F.col(col).isNotNull())
+        base = t.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_nulls"),
+            F.countDistinct(key).cast("long").alias("ndv_exact"),
+            (
+                F.min(F.col(col)).cast("double")
+                if kind != "str"
+                else F.lit(None).cast("double")
+            ).alias("min_num"),
+            (
+                F.max(F.col(col)).cast("double")
+                if kind != "str"
+                else F.lit(None).cast("double")
+            ).alias("max_num"),
+            (
+                F.min(F.col(col)) if kind == "str"
+                else F.lit(None).cast("string")
+            ).alias("min_str"),
+            (
+                F.max(F.col(col)) if kind == "str"
+                else F.lit(None).cast("string")
+            ).alias("max_str"),
+        )
+        est = sketch.hll_estimate(
+            sketch.hll_registers(nn.select(key.alias("_k")), [], "_k"),
+            [],
+        ).select(F.col("est_distinct").alias("ndv_est"))
+        row = base.crossJoin(F.broadcast(est)).select(
+            F.lit(table).alias("table_name"),
+            F.lit(col).alias("column_name"),
+            "n_rows",
+            "n_nulls",
+            "ndv_exact",
+            "ndv_est",
+            (
+                (F.col("ndv_est") - F.col("ndv_exact").cast("double"))
+                / F.col("ndv_exact").cast("double")
+            ).alias("ndv_rel_err"),
+            "min_num",
+            "max_num",
+            "min_str",
+            "max_str",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("table_name", "column_name")
+
+
 def warehouse_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X170: referential-integrity audit over the warehouse's declared
     FK edges — the cross-TABLE data-quality check X51's single-table
@@ -4866,6 +4973,7 @@ EXT_QUERY_FNS = {
     "text_pii_extract": text_pii_extract,
     "events_user_skew": events_user_skew,
     "warehouse_fk_audit": warehouse_fk_audit,
+    "warehouse_column_stats": warehouse_column_stats,
     "warehouse_null_profile": warehouse_null_profile,
     "corpus_delete_apply": corpus_delete_apply,
     "text_pack_sequences": text_pack_sequences,
@@ -10409,3 +10517,65 @@ EXT_ORACLE_SQL["dedup_source_vocab_overlap"] = """
     FROM est e JOIN exact x USING (source_a, source_b)
     ORDER BY e.source_a, e.source_b
 """.format(sh=_shingles(3), toks=_TOKS, k=sketch.KMV_K)
+
+
+# X199 catalog statistics: generated from COLUMN_STATS_SPEC — per
+# column one stats SELECT + one HLL-register subquery (the
+# docs_hll_distinct_audit arithmetic, ungrouped), unioned
+def _col_stats_oracle_sql() -> str:
+    blocks = []
+    for table, col, kind in COLUMN_STATS_SPEC:
+        if kind == "int":
+            key = f"CAST(CAST({col} AS BIGINT) AS VARCHAR)"
+        elif kind == "dec2":
+            key = (
+                f"CAST(CAST(ROUND({col} * 100, 0) AS BIGINT) AS VARCHAR)"
+            )
+        else:
+            key = col
+        if kind == "str":
+            mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            mns, mxs = f"MIN({col})", f"MAX({col})"
+        else:
+            mn, mx = (
+                f"CAST(MIN({col}) AS DOUBLE)",
+                f"CAST(MAX({col}) AS DOUBLE)",
+            )
+            mns, mxs = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+        est = f"""(
+            WITH h AS (SELECT DISTINCT md5({key}) AS hx FROM {table}
+                       WHERE {col} IS NOT NULL),
+            r AS (SELECT CAST(concat('0x', substr(hx, 1, 2)) AS BIGINT)
+                             % 64 AS reg,
+                         CAST(concat('0x', substr(hx, 3, 15)) AS BIGINT)
+                             AS w
+                  FROM h),
+            m AS (SELECT reg,
+                         MAX(CASE WHEN w = 0 THEN 61
+                             ELSE 61 - len(bin(w)) END) AS rho
+                  FROM r GROUP BY 1),
+            s AS (SELECT SUM(CAST(1 AS HUGEINT) << (61 - rho))
+                         + (64 - COUNT(*))
+                             * (CAST(1 AS HUGEINT) << 61) AS s_all
+                  FROM m)
+            SELECT {sketch.HLL_EST_NUM!r} / CAST(s_all AS DOUBLE) FROM s
+        )"""
+        blocks.append(f"""    SELECT '{table}' AS table_name,
+           '{col}' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {key}) AS BIGINT) AS ndv_exact,
+           {est} AS ndv_est,
+           ({est} - CAST(COUNT(DISTINCT {key}) AS DOUBLE))
+               / CAST(COUNT(DISTINCT {key}) AS DOUBLE) AS ndv_rel_err,
+           {mn} AS min_num, {mx} AS max_num,
+           {mns} AS min_str, {mxs} AS max_str
+    FROM {table}""")
+    return (
+        "\n    UNION ALL\n".join(blocks)
+        + "\n    ORDER BY table_name, column_name"
+    )
+
+
+EXT_ORACLE_SQL["warehouse_column_stats"] = _col_stats_oracle_sql()

@@ -2738,8 +2738,8 @@ ORACLE_SQL["streaming_value_quantiles"] = f"""
 # park stable, already-driver-verified, untouched baselines at the
 # tail, where falling past position 50 loses nothing.
 # --- BEGIN GENERATED GATE ORDER (scripts/gen_gate_head.py) ---
-# Window = 11 never-driver-checked additions + 8 changed
-# entries + the 31 stalest driver greens (last green in
+# Window = 12 never-driver-checked additions + 8 changed
+# entries + the 30 stalest driver greens (last green in
 # round(s) [6, 7], from CORRECTNESS_r*.json). Regenerate with
 #   python scripts/gen_gate_head.py
 # (pytest runs --check; hand-edits here go stale and FAIL).
@@ -2763,6 +2763,7 @@ _GATE_HEAD = [
     "corpus_mixture_temperature",  # last driver green: r0
     "streaming_boilerplate_gate",  # last driver green: r0
     "dedup_source_vocab_overlap",  # last driver green: r0
+    "warehouse_column_stats",  # last driver green: r0
     "customers_without_urgent_orders",  # last driver green: r6
     "dedup_simhash_fingerprints",  # last driver green: r6
     "dedup_simhash_pairs",  # last driver green: r6
@@ -2793,7 +2794,6 @@ _GATE_HEAD = [
     "streaming_value_quantiles",  # last driver green: r6
     "text_repetition",  # last driver green: r6
     "ann_topk_ivf",  # last driver green: r7
-    "ann_topk_pq",  # last driver green: r7
 ]
 _GATE_TAIL = [
     "ann_centroid_drift",  # last driver green: r11
@@ -2964,6 +2964,7 @@ _GATE_TAIL = [
     "text_bpe_merges",  # last driver green: r8
     "text_dsir_importance",  # last driver green: r8
     "text_ngram_novelty",  # last driver green: r8
+    "ann_topk_pq",  # last driver green: r7
     "asof_priority_rates",  # last driver green: r7
     "cdc_scd2_history",  # last driver green: r7
     "cdc_snapshot_diff",  # last driver green: r7

@@ -325,6 +325,7 @@ ANALYTICS_QUERIES = [
     "corpus_mixture_temperature",
     "streaming_boilerplate_gate",
     "dedup_source_vocab_overlap",
+    "warehouse_column_stats",
 ]
 
 
@@ -363,6 +364,7 @@ BENCH_KEY_ALIASES = {
     "corpus_mixture_temperature": "mxt",
     "streaming_boilerplate_gate": "sbg",
     "dedup_source_vocab_overlap": "svo",
+    "warehouse_column_stats": "wcs",
     # round-11 additions (1:1, final line only)
     "streaming_er_delta": "ser",
     "docs_hll_distinct_audit": "hda",

@@ -59,6 +59,7 @@ MUST_ROTATE = [
     "corpus_mixture_temperature",  # X197 temperature-scaled mixture
     "streaming_boilerplate_gate",  # X195 fifth stateless intake gate
     "dedup_source_vocab_overlap",  # X198 cross-source KMV overlap
+    "warehouse_column_stats",   # X199 catalog statistics report
 ]
 
 

@@ -4563,3 +4563,55 @@ def test_kmv_jaccard_matches_python_and_is_exact_for_small_sets(spark):
         a, b = sets[r.group_a], sets[r.group_b]
         true_j = len(a & b) / len(a | b)
         assert r.est_jaccard == true_j, (r.group_a, r.group_b)
+
+
+def test_column_stats_exact_fields_match_python(spark):
+    """X199 brute pin: n_rows / n_nulls / exact NDV / min / max
+    recomputed in plain python per spec column; the HLL estimate must
+    sit within the m=64 error envelope of the exact NDV (the register
+    arithmetic itself is pinned by the X158 merge tests)."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        COLUMN_STATS_SPEC,
+        warehouse_column_stats,
+    )
+    from aws_kinesis_data_ingestion_restapi_spark.sources.tables import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.table_name, r.column_name): r
+        for r in warehouse_column_stats(spark, sf).collect()
+    }
+    assert set(got) == {(t, c) for t, c, _ in COLUMN_STATS_SPEC}
+    cache = {}
+    for table, col, kind in COLUMN_STATS_SPEC:
+        if table not in cache:
+            cache[table] = load_table(spark, sf, table).collect()
+        vals = [r[col] for r in cache[table]]
+        nn = [v for v in vals if v is not None]
+        if kind == "int":
+            keys = {str(int(v)) for v in nn}
+        elif kind == "dec2":
+            keys = {str(int(round(v * 100))) for v in nn}
+        else:
+            keys = set(nn)
+        r = got[(table, col)]
+        assert r.n_rows == len(vals)
+        assert r.n_nulls == len(vals) - len(nn)
+        assert r.ndv_exact == len(keys), (table, col)
+        if kind == "str":
+            assert (r.min_str, r.max_str) == (min(nn), max(nn))
+            assert r.min_num is None and r.max_num is None
+        else:
+            assert (r.min_num, r.max_num) == (float(min(nn)), float(max(nn)))
+            assert r.min_str is None and r.max_str is None
+        # HLL raw estimator, m=64: the envelope only applies OUTSIDE
+        # the small-range regime (no linear-counting correction by
+        # the exactness contract — hll_estimate's docstring; below
+        # ~2.5·m the raw estimator overestimates and the rel_err
+        # column is exactly the instrument that shows it)
+        if r.ndv_exact >= 200:
+            assert abs(r.ndv_rel_err) < 0.4, (table, col, r.ndv_rel_err)
+        else:
+            assert r.ndv_est > 0, (table, col)
