@@ -3973,6 +3973,84 @@ def dedup_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_benchmark_canaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X200: benchmark CANARY report — the inverse of the
+    decontamination probes, per BENCHMARK document: how many corpus
+    docs share ≥1 distinct 5-gram with it (the X5 geometry, inverted)
+    and how many sit within d2 ≤ 1.2 of its embedding (the X192
+    probe, inverted). X5/X122 answer "which corpus docs must go";
+    this answers the eval owner's question — "which of MY benchmark
+    items are compromised and by how much" — the table that decides
+    whether an eval split must be retired rather than the corpus
+    cleaned. Both probes are the registered ones re-aggregated by
+    bench_id (one generator each side), so the canary view cannot
+    disagree with the gates."""
+    docs = _docs(spark, sf_dir)
+    benchmark = docs.filter(F.col("doc_id") < 25)
+    grams_hits = (
+        dedup.tokenized(docs.filter(F.col("doc_id") >= 25))
+        .select(
+            "doc_id",
+            F.explode(
+                dedup.hashed_ngrams(5, F.col("_toks"))
+            ).alias("gram"),
+        )
+        .join(
+            F.broadcast(
+                dedup.tokenized(benchmark).select(
+                    F.col("doc_id").alias("bench_id"),
+                    F.explode(
+                        dedup.hashed_ngrams(5, F.col("_toks"))
+                    ).alias("gram"),
+                ).distinct()
+            ),
+            "gram",
+        )
+        .groupBy("bench_id")
+        .agg(F.countDistinct("doc_id").cast("long").alias("n_ngram_docs"))
+    )
+    embs = _embs(spark, sf_dir)
+    cbase = embs.filter(F.col("vec_id") >= 25).select(
+        "vec_id", similarity.quantized().alias("cv")
+    )
+    bb = embs.filter(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("bench_id"), similarity.quantized().alias("bv")
+    )
+    sem_hits = (
+        cbase.join(F.broadcast(bb))
+        .select(
+            "bench_id",
+            "vec_id",
+            similarity.dist2_i(F.col("cv"), F.col("bv")).alias("_d2"),
+        )
+        .filter(F.col("_d2") <= F.lit(round(1.2 * similarity.SCALE2)))
+        .groupBy("bench_id")
+        .agg(
+            F.countDistinct("vec_id").cast("long").alias("n_semantic_docs")
+        )
+    )
+    return (
+        benchmark.select(F.col("doc_id").alias("bench_id"))
+        .join(grams_hits, "bench_id", "left")
+        .join(sem_hits, "bench_id", "left")
+        .select(
+            "bench_id",
+            F.coalesce("n_ngram_docs", F.lit(0))
+            .cast("long")
+            .alias("n_ngram_docs"),
+            F.coalesce("n_semantic_docs", F.lit(0))
+            .cast("long")
+            .alias("n_semantic_docs"),
+            (
+                F.coalesce("n_ngram_docs", F.lit(0))
+                + F.coalesce("n_semantic_docs", F.lit(0))
+                > 0
+            ).alias("compromised"),
+        )
+        .orderBy("bench_id")
+    )
+
+
 def _pca_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The X123 PC1 projection frame, computed (and localCheckpoint-
     materialized) at most once per (session, sf_dir) — shared by
@@ -4974,6 +5052,7 @@ EXT_QUERY_FNS = {
     "events_user_skew": events_user_skew,
     "warehouse_fk_audit": warehouse_fk_audit,
     "warehouse_column_stats": warehouse_column_stats,
+    "dedup_benchmark_canaries": dedup_benchmark_canaries,
     "warehouse_null_profile": warehouse_null_profile,
     "corpus_delete_apply": corpus_delete_apply,
     "text_pack_sequences": text_pack_sequences,
@@ -10579,3 +10658,40 @@ def _col_stats_oracle_sql() -> str:
 
 
 EXT_ORACLE_SQL["warehouse_column_stats"] = _col_stats_oracle_sql()
+
+
+# X200 benchmark canaries: the inverse aggregations of the X5 n-gram
+# probe and the X192 exact semantic probe, per benchmark doc
+EXT_ORACLE_SQL["dedup_benchmark_canaries"] = """
+    WITH cg AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform({sh},
+                   s -> CAST(concat('0x', substr(md5(s), 1,
+                        7)) AS BIGINT)))) AS gram
+        FROM (SELECT doc_id, {toks} AS t FROM documents)
+    ),
+    bg AS (SELECT doc_id AS bench_id, gram FROM cg WHERE doc_id < 25),
+    ng AS (
+        SELECT b.bench_id,
+               CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS n_ngram_docs
+        FROM cg c JOIN bg b ON c.gram = b.gram
+        WHERE c.doc_id >= 25
+        GROUP BY 1
+    ),
+    sd AS ({semhits}),
+    sm AS (
+        SELECT bench_id,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_semantic_docs
+        FROM sd WHERE d2 <= 120000000 GROUP BY 1
+    )
+    SELECT d.doc_id AS bench_id,
+           COALESCE(ng.n_ngram_docs, 0) AS n_ngram_docs,
+           COALESCE(sm.n_semantic_docs, 0) AS n_semantic_docs,
+           COALESCE(ng.n_ngram_docs, 0)
+               + COALESCE(sm.n_semantic_docs, 0) > 0 AS compromised
+    FROM documents d
+    LEFT JOIN ng ON ng.bench_id = d.doc_id
+    LEFT JOIN sm ON sm.bench_id = d.doc_id
+    WHERE d.doc_id < 25
+    ORDER BY d.doc_id
+""".format(sh=_shingles(5), toks=_TOKS, semhits=_SEM_HITS.format(comp=_COMP))

@@ -2738,9 +2738,9 @@ ORACLE_SQL["streaming_value_quantiles"] = f"""
 # park stable, already-driver-verified, untouched baselines at the
 # tail, where falling past position 50 loses nothing.
 # --- BEGIN GENERATED GATE ORDER (scripts/gen_gate_head.py) ---
-# Window = 12 never-driver-checked additions + 8 changed
-# entries + the 30 stalest driver greens (last green in
-# round(s) [6, 7], from CORRECTNESS_r*.json). Regenerate with
+# Window = 13 never-driver-checked additions + 8 changed
+# entries + the 29 stalest driver greens (last green in
+# round(s) [6], from CORRECTNESS_r*.json). Regenerate with
 #   python scripts/gen_gate_head.py
 # (pytest runs --check; hand-edits here go stale and FAIL).
 _GATE_HEAD = [
@@ -2764,6 +2764,7 @@ _GATE_HEAD = [
     "streaming_boilerplate_gate",  # last driver green: r0
     "dedup_source_vocab_overlap",  # last driver green: r0
     "warehouse_column_stats",  # last driver green: r0
+    "dedup_benchmark_canaries",  # last driver green: r0
     "customers_without_urgent_orders",  # last driver green: r6
     "dedup_simhash_fingerprints",  # last driver green: r6
     "dedup_simhash_pairs",  # last driver green: r6
@@ -2793,7 +2794,6 @@ _GATE_HEAD = [
     "sql_above_average_orders",  # last driver green: r6
     "streaming_value_quantiles",  # last driver green: r6
     "text_repetition",  # last driver green: r6
-    "ann_topk_ivf",  # last driver green: r7
 ]
 _GATE_TAIL = [
     "ann_centroid_drift",  # last driver green: r11
@@ -2964,6 +2964,7 @@ _GATE_TAIL = [
     "text_bpe_merges",  # last driver green: r8
     "text_dsir_importance",  # last driver green: r8
     "text_ngram_novelty",  # last driver green: r8
+    "ann_topk_ivf",  # last driver green: r7
     "ann_topk_pq",  # last driver green: r7
     "asof_priority_rates",  # last driver green: r7
     "cdc_scd2_history",  # last driver green: r7

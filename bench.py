@@ -326,6 +326,7 @@ ANALYTICS_QUERIES = [
     "streaming_boilerplate_gate",
     "dedup_source_vocab_overlap",
     "warehouse_column_stats",
+    "dedup_benchmark_canaries",
 ]
 
 
@@ -365,6 +366,7 @@ BENCH_KEY_ALIASES = {
     "streaming_boilerplate_gate": "sbg",
     "dedup_source_vocab_overlap": "svo",
     "warehouse_column_stats": "wcs",
+    "dedup_benchmark_canaries": "bcn",
     # round-11 additions (1:1, final line only)
     "streaming_er_delta": "ser",
     "docs_hll_distinct_audit": "hda",

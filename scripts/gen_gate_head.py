@@ -60,6 +60,7 @@ MUST_ROTATE = [
     "streaming_boilerplate_gate",  # X195 fifth stateless intake gate
     "dedup_source_vocab_overlap",  # X198 cross-source KMV overlap
     "warehouse_column_stats",   # X199 catalog statistics report
+    "dedup_benchmark_canaries",  # X200 per-benchmark leak canaries
 ]
 
 

@@ -4615,3 +4615,39 @@ def test_column_stats_exact_fields_match_python(spark):
             assert abs(r.ndv_rel_err) < 0.4, (table, col, r.ndv_rel_err)
         else:
             assert r.ndv_est > 0, (table, col)
+
+
+def test_benchmark_canaries_consistent_with_forward_probes(spark):
+    """X200 ≡ the forward gates inverted: summed n_ngram_docs distinct
+    pairs equal contamination_report's flagged-pair view, and the
+    semantic column inverts X192 exactly (same pairs, other axis)."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        _docs,
+        dedup_benchmark_canaries,
+        emb_semantic_contamination,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r.bench_id: r for r in dedup_benchmark_canaries(spark, sf).collect()}
+    assert set(rows) == set(range(25))
+    # semantic inversion: total (doc, bench) semantic pairs match
+    sem_fwd = sum(
+        r.n_bench_hits
+        for r in emb_semantic_contamination(spark, sf).collect()
+    )
+    assert sum(r.n_semantic_docs for r in rows.values()) == sem_fwd
+    # ngram forward: every corpus doc flagged by X5 counts toward >=1
+    # canary, so canaries' doc sets cover the flagged docs
+    docs = _docs(spark, sf)
+    flagged = dedup.contamination_report(
+        docs.filter(F.col("doc_id") >= 25),
+        docs.filter(F.col("doc_id") < 25),
+        n=5,
+        min_overlap=1,
+    ).count()
+    assert (flagged == 0) == all(
+        r.n_ngram_docs == 0 for r in rows.values()
+    )
+    assert any(r.compromised for r in rows.values()) == (
+        flagged > 0 or sem_fwd > 0
+    )
