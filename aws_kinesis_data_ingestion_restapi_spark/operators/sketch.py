@@ -449,10 +449,13 @@ def kmv_jaccard_pairs(
     gb = s.select(
         F.col(group_col).alias("group_b"), "h"
     )
+    # explicit cross join: the GROUP LISTS (metadata-sized — 20
+    # sources, never items) pair up a < b; sketches then attach by
+    # group key
     pairs = (
         ga.select("group_a")
         .distinct()
-        .join(gb.select("group_b").distinct())
+        .crossJoin(gb.select("group_b").distinct())
         .filter(F.col("group_a") < F.col("group_b"))
     )
     ua = pairs.join(ga, "group_a").select(
