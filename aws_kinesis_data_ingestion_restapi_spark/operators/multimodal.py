@@ -510,7 +510,18 @@ def phash_near_dup(assets: DataFrame, d_max: int = PHASH_D_MAX) -> DataFrame:
     return _band_near_dup(phash_bands(assets), d_max)
 
 
-def _band_near_dup(bands: DataFrame, d_max: int) -> DataFrame:
+def band_candidate_distances(bands: DataFrame) -> DataFrame:
+    """UNFILTERED hamming distances of every band-colliding candidate
+    pair — the threshold-setting instrument for the pigeonhole
+    near-dup family (X204): the same candidate join and exact
+    popcount verify as :func:`_band_near_dup`, minus the d_max cut,
+    so the distance HISTOGRAM shows where the true-duplicate mode
+    ends and the collision noise begins (set d_max in the gap).
+    Returns (asset_a, asset_b, hamming) for every candidate."""
+    return _band_near_dup(bands, d_max=None)
+
+
+def _band_near_dup(bands: DataFrame, d_max: int | None) -> DataFrame:
     """Pigeonhole band join + exact popcount verify over any
     (asset_id, band, band_val) fingerprint frame — shared by the
     image dHash (:func:`phash_near_dup`) and the audio energy hash
@@ -544,7 +555,9 @@ def _band_near_dup(bands: DataFrame, d_max: int) -> DataFrame:
             .cast("int")
             .alias("hamming")
         )
-        .filter(F.col("hamming") <= d_max)
+        .filter(
+            F.lit(True) if d_max is None else (F.col("hamming") <= d_max)
+        )
         .select("asset_a", "asset_b", "hamming")
     )
 

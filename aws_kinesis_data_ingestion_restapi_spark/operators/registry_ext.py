@@ -769,6 +769,102 @@ def corpus_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.mixture_temperature(_docs(spark, sf_dir))
 
 
+def docs_quality_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X205: quality-by-LENGTH profile — the diagnostic that separates
+    "our quality floor rejects junk" from "our quality floor rejects
+    short documents" (the X9 heuristic carries an explicit length
+    band, so length-score correlation is built in; this table shows
+    exactly how much): documents are split into exact token-count
+    DECILES (NTILE over (n_tokens, doc_id) — rank arithmetic, no
+    percentile floats) and each decile reports its size, token range,
+    below-floor share, and mean quality. Mean stays engine-exact via
+    the X125 idiom: the score quantizes ONCE (round(10⁶·s) → int64),
+    sums exactly, divides once. One scan + one 10-bucket window."""
+    scored = text.quality_score(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "n_tokens",
+        "quality_score",
+        F.round(F.col("quality_score") * 1e6, 0)
+        .cast("long")
+        .alias("_qq"),
+    )
+    w = Window.orderBy("n_tokens", "doc_id")
+    decd = scored.withColumn("decile", F.ntile(10).over(w))
+    return (
+        decd.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+            F.sum(
+                F.when(F.col("quality_score") < QUALITY_FLOOR, 1)
+                .otherwise(0)
+            ).cast("long").alias("n_below_floor"),
+            F.sum("_qq").cast("long").alias("_sq"),
+        )
+        .select(
+            "decile",
+            "n_docs",
+            "min_tokens",
+            "max_tokens",
+            "n_below_floor",
+            (
+                F.col("_sq").cast("double")
+                / (F.lit(1e6) * F.col("n_docs").cast("double"))
+            ).alias("mean_quality"),
+        )
+        .orderBy("decile")
+    )
+
+
+def text_zipf_octaves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X202: Zipf frequency-OCTAVE profile per language — the
+    rank-frequency diagnostic without the libm log a cross-engine
+    gate cannot hash (fitting a Zipf slope needs log(freq); the
+    octave = bit length of the frequency counts the SAME information
+    exactly: octave k holds word types occurring [2^k, 2^(k+1))
+    times). Per (lang, octave): type count, occurrence mass, and the
+    share of that language's token volume — a corpus whose high
+    octaves carry most mass is dominated by few types (template-like
+    text); natural language shows the Zipf straight-ish decay across
+    octaves. One distinct-word aggregate per language, octave by
+    exact integer bin (no float anywhere)."""
+    docs = _docs(spark, sf_dir)
+    wf = (
+        docs.select(
+            "lang", F.explode(text.tokens_col()).alias("word")
+        )
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    oct_ = (F.length(F.bin(F.col("freq"))) - 1).cast("int")
+    per = (
+        wf.select("lang", oct_.alias("octave"), "freq")
+        .groupBy("lang", "octave")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum("freq").cast("long").alias("n_occurrences"),
+        )
+    )
+    tot = per.groupBy("lang").agg(
+        F.sum("n_occurrences").cast("long").alias("_lt")
+    )
+    return (
+        per.join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "octave",
+            "n_types",
+            "n_occurrences",
+            (
+                F.col("n_occurrences").cast("double")
+                / F.col("_lt").cast("double")
+            ).alias("occurrence_share"),
+        )
+        .orderBy("lang", "octave")
+    )
+
+
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge learning over the documents corpus (r7
     VERDICT ask #3 — the tokenizer-training primitive the text family
@@ -1019,6 +1115,78 @@ def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregable across partitions/days/clusters). See
     :func:`_quantile_audit` for the shared audit shape."""
     return _quantile_audit(spark, sf_dir, [])
+
+
+def events_interarrival_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X203: per-event-type INTER-ARRIVAL quantiles — the traffic-
+    cadence profile next to the volume profiles (X186 tells you WHEN
+    events come, this tells you HOW BURSTY): for each event type, the
+    exact p50/p90/p99 of the gap between a user's consecutive events
+    of that type. The number that sizes session timeouts, watermark
+    delays, and stream state TTLs — a p99 inter-arrival above the
+    session gap means the sessionizer is splitting real sessions.
+
+    Exactness: gaps are exact epoch-nanosecond differences (int64,
+    as_epoch_nanos — never through double); quantiles are the rank
+    definition (value at ⌈q·n/100⌉) over a distinct-gap cumulative
+    (the X26 idiom — the value domain is far smaller than the row
+    count, and integer arithmetic holds until the final ns→seconds
+    division). Per-user lag windows parallelize on (type, user);
+    nothing global."""
+    from aws_kinesis_data_ingestion_restapi_spark.functions.exact import (
+        as_epoch_nanos,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        as_epoch_nanos(e, "ts").alias("ns"),
+    )
+    w = Window.partitionBy("event_type", "user_id").orderBy(
+        "ns", "event_id"
+    )
+    gaps = (
+        base.withColumn("_prev", F.lag("ns").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            "event_type", (F.col("ns") - F.col("_prev")).alias("gap_ns")
+        )
+    )
+    n = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps")
+    )
+    cw = Window.partitionBy("event_type").orderBy("gap_ns").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dv = (
+        gaps.groupBy("event_type", "gap_ns")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .select("event_type", "gap_ns", F.sum("_c").over(cw).alias("cum"))
+        .withColumnRenamed("event_type", "_et")
+    )
+    qs = spark.createDataFrame([(50,), (90,), (99,)], "q_pct int")
+    cond = (
+        (F.col("_et") == F.col("event_type"))
+        & (
+            F.lit(100) * F.col("cum")
+            >= F.col("q_pct").cast("long") * F.col("n_gaps")
+        )
+    )
+    return (
+        n.crossJoin(F.broadcast(qs))
+        .join(dv, cond)
+        .groupBy("event_type", "q_pct", "n_gaps")
+        .agg(F.min("gap_ns").alias("_g"))
+        .select(
+            "event_type",
+            "q_pct",
+            "n_gaps",
+            (F.col("_g").cast("double") / F.lit(1e9)).alias("gap_seconds"),
+        )
+        .orderBy("event_type", "q_pct")
+    )
 
 
 def events_type_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3501,6 +3669,45 @@ def mm_canonical_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_phash_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X204: pHash candidate-DISTANCE histogram — the measurement
+    that SETS the near-dup threshold (X104 ships d_max=3; this is the
+    evidence): for every band-colliding candidate pair, the exact
+    hamming distance, aggregated into a histogram with the cumulative
+    pair share. The engineered re-render mode sits at hamming ≤ 2;
+    the band-collision noise floor starts far above it — the gap
+    between them is where d_max belongs, and a FIXTURE change that
+    closes the gap shows up here before it silently degrades X104's
+    precision. Same banding/verify machinery, no threshold
+    (multimodal.band_candidate_distances)."""
+    pairs = multimodal.band_candidate_distances(
+        multimodal.phash_bands(
+            multimodal.rerendered_assets(_docs(spark, sf_dir))
+        )
+    )
+    per = pairs.groupBy("hamming").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    tot = per.agg(F.sum("n_pairs").cast("long").alias("_t"))
+    cw = Window.orderBy("hamming").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per.withColumn("cum_pairs", F.sum("n_pairs").over(cw).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "hamming",
+            "n_pairs",
+            "cum_pairs",
+            (
+                F.col("cum_pairs").cast("double")
+                / F.col("_t").cast("double")
+            ).alias("cum_share"),
+        )
+        .orderBy("hamming")
+    )
+
+
 def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X: image near-dup via perceptual hash (r7 VERDICT ask #4 —
     bridges the multimodal decode family and the hamming-band dedup
@@ -4048,6 +4255,57 @@ def dedup_benchmark_canaries(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("compromised"),
         )
         .orderBy("bench_id")
+    )
+
+
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X201: duplicate-CLUSTER size histogram — the corpus-health
+    distribution behind every near-dup number: per cluster size k of
+    the MinHash-LSH component labeling (X35's output, singletons
+    included), how many clusters, how many documents, and how many
+    word tokens sit in them, plus the REMOVABLE token mass ((k-1)/k
+    of each ≥2 cluster — exact integer arithmetic per cluster,
+    summed). A healthy crawl is a steep histogram; a fat tail is a
+    mirror or a template farm and points straight at X198's overlap
+    table. Rides the :func:`_lsh_component_labels` session cache —
+    one cluster-grain aggregate + one size-grain aggregate on top of
+    already-computed labels."""
+    comp = _lsh_component_labels(spark, sf_dir)
+    tok = _docs(spark, sf_dir).select(
+        "doc_id", F.size(text.tokens_col()).cast("long").alias("ntok")
+    )
+    per_cluster = (
+        comp.select(F.col("node").alias("doc_id"), "component")
+        .join(tok, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum("ntok").cast("long").alias("cluster_tokens"),
+        )
+    )
+    # per-cluster removable mass as an EXACT integer (tokens·(k−1)
+    # DIV k) BEFORE the sum — a double division here would make the
+    # total order-dependent across engines
+    per_cluster = per_cluster.withColumn(
+        "_removable",
+        F.expr("cluster_tokens * (k - 1) DIV k").cast("long"),
+    )
+    return (
+        per_cluster.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("k").cast("long").alias("n_docs"),
+            F.sum("cluster_tokens").cast("long").alias("n_tokens"),
+            F.sum("_removable").cast("long").alias("removable_tokens"),
+        )
+        .select(
+            F.col("k").alias("cluster_size"),
+            "n_clusters",
+            "n_docs",
+            "n_tokens",
+            "removable_tokens",
+        )
+        .orderBy("cluster_size")
     )
 
 
@@ -5076,6 +5334,7 @@ EXT_QUERY_FNS = {
     "docs_chunk_overlap": docs_chunk_overlap,
     "dedup_decontaminate": dedup_decontaminate,
     "dedup_source_vocab_overlap": dedup_source_vocab_overlap,
+    "dedup_cluster_size_histogram": dedup_cluster_size_histogram,
     "emb_semantic_contamination": emb_semantic_contamination,
     "dedup_decontaminate_semantic": dedup_decontaminate_semantic,
     "emb_pca_power": emb_pca_power,
@@ -5085,6 +5344,8 @@ EXT_QUERY_FNS = {
     "text_bpe_fertility": text_bpe_fertility,
     "text_quality_ensemble": text_quality_ensemble,
     "text_vocab_coverage": text_vocab_coverage,
+    "text_zipf_octaves": text_zipf_octaves,
+    "docs_quality_by_length": docs_quality_by_length,
     "quality_scorer_agreement": quality_scorer_agreement,
     "docs_language_confusion": docs_language_confusion,
     "docs_pack_manifest": docs_pack_manifest,
@@ -5128,6 +5389,7 @@ EXT_QUERY_FNS = {
     "sketch_heavy_hitters": sketch_heavy_hitters,
     "sketch_value_quantiles": sketch_value_quantiles,
     "events_type_value_quantiles": events_type_value_quantiles,
+    "events_interarrival_quantiles": events_interarrival_quantiles,
     "dedup_components": dedup_components,
     "dedup_components_star": dedup_components_star,
     "dedup_components_delta": dedup_components_delta,
@@ -5186,6 +5448,7 @@ EXT_QUERY_FNS = {
     "mm_afp_near_dup": mm_afp_near_dup,
     "mm_video_near_dup": mm_video_near_dup,
     "mm_canonical_media": mm_canonical_media,
+    "mm_phash_distance_histogram": mm_phash_distance_histogram,
     "mm_canonical_assets": mm_canonical_assets,
     "mm_extract_features": mm_extract_features,
     "mm_resize_images": mm_resize_images,
@@ -10695,3 +10958,135 @@ EXT_ORACLE_SQL["dedup_benchmark_canaries"] = """
     WHERE d.doc_id < 25
     ORDER BY d.doc_id
 """.format(sh=_shingles(5), toks=_TOKS, semhits=_SEM_HITS.format(comp=_COMP))
+
+
+# X201 cluster-size histogram: the registered component labeling as a
+# CTE, cluster-grain then size-grain aggregates, exact integer
+# removable mass per cluster before summation
+EXT_ORACLE_SQL["dedup_cluster_size_histogram"] = '''
+    WITH comp AS ({comp}),
+    tok AS (
+        SELECT doc_id, CAST(len({toks}) AS BIGINT) AS ntok
+        FROM documents
+    ),
+    pc AS (
+        SELECT component_id,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(ntok) AS BIGINT) AS cluster_tokens
+        FROM comp JOIN tok ON tok.doc_id = comp.doc_id
+        GROUP BY 1
+    ),
+    pr AS (
+        SELECT *, CAST(cluster_tokens * (k - 1) // k AS BIGINT)
+                   AS removable
+        FROM pc
+    )
+    SELECT k AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(k) AS BIGINT) AS n_docs,
+           CAST(SUM(cluster_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(removable) AS BIGINT) AS removable_tokens
+    FROM pr GROUP BY 1 ORDER BY 1
+'''.format(comp=EXT_ORACLE_SQL["dedup_components"], toks=_TOKS)
+
+
+# X202 Zipf octaves: identical integer bit-length binning
+EXT_ORACLE_SQL["text_zipf_octaves"] = """
+    WITH wf AS (
+        SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+            SELECT lang, unnest({toks}) AS word FROM documents
+        ) GROUP BY 1, 2
+    ),
+    per AS (
+        SELECT lang, CAST(len(bin(freq)) - 1 AS INT) AS octave,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(freq) AS BIGINT) AS n_occurrences
+        FROM wf GROUP BY 1, 2
+    ),
+    tot AS (SELECT lang, CAST(SUM(n_occurrences) AS BIGINT) AS lt
+            FROM per GROUP BY 1)
+    SELECT per.lang, octave, n_types, n_occurrences,
+           CAST(n_occurrences AS DOUBLE) / CAST(lt AS DOUBLE)
+               AS occurrence_share
+    FROM per JOIN tot ON tot.lang = per.lang
+    ORDER BY per.lang, octave
+""".format(toks=_TOKS)
+
+
+# X203 inter-arrival quantiles: identical lag/gap/rank arithmetic
+EXT_ORACLE_SQL["events_interarrival_quantiles"] = """
+    WITH e AS (
+        SELECT user_id, event_type, event_id, epoch_ns(ts) AS ns
+        FROM events
+    ),
+    g AS (
+        SELECT event_type,
+               ns - LAG(ns) OVER (PARTITION BY event_type, user_id
+                                  ORDER BY ns, event_id) AS gap_ns
+        FROM e
+    ),
+    gg AS (SELECT event_type, gap_ns FROM g WHERE gap_ns IS NOT NULL),
+    n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps
+          FROM gg GROUP BY 1),
+    dv AS (
+        SELECT event_type, gap_ns,
+               SUM(COUNT(*)) OVER (PARTITION BY event_type
+                                   ORDER BY gap_ns) AS cum
+        FROM gg GROUP BY 1, 2
+    ),
+    q(q_pct) AS (VALUES (50), (90), (99))
+    SELECT n.event_type, CAST(q.q_pct AS INT) AS q_pct, n.n_gaps,
+           CAST(MIN(dv.gap_ns) AS DOUBLE) / 1000000000.0 AS gap_seconds
+    FROM n CROSS JOIN q
+    JOIN dv ON dv.event_type = n.event_type
+           AND 100 * dv.cum >= q.q_pct * n.n_gaps
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2
+"""
+
+
+# X204 pHash distance histogram: the X104 pair oracle minus the
+# threshold cut, aggregated into the cumulative histogram
+_PHASH_ALL_PAIRS = EXT_ORACLE_SQL["mm_phash_near_dup"].replace(
+    "SELECT asset_a, asset_b, hamming FROM ham WHERE hamming <= 3\n"
+    "        ORDER BY asset_a, asset_b",
+    "SELECT asset_a, asset_b, hamming FROM ham",
+)
+assert "WHERE hamming <= 3" not in _PHASH_ALL_PAIRS
+EXT_ORACLE_SQL["mm_phash_distance_histogram"] = f'''
+    WITH pairs AS ({_PHASH_ALL_PAIRS}),
+    per AS (
+        SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM pairs GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS t FROM per)
+    SELECT hamming, n_pairs,
+           CAST(SUM(n_pairs) OVER (ORDER BY hamming) AS BIGINT)
+               AS cum_pairs,
+           CAST(SUM(n_pairs) OVER (ORDER BY hamming) AS DOUBLE)
+               / CAST(tot.t AS DOUBLE) AS cum_share
+    FROM per CROSS JOIN tot
+    ORDER BY hamming
+'''
+
+
+# X205 quality-by-length: the registered X9 score as a CTE, NTILE
+# deciles, quantize-once exact mean
+EXT_ORACLE_SQL["docs_quality_by_length"] = """
+    WITH q AS ({quality}),
+    d AS (
+        SELECT doc_id, n_tokens, quality_score,
+               CAST(ROUND(quality_score * 1000000.0, 0) AS BIGINT) AS qq,
+               NTILE(10) OVER (ORDER BY n_tokens, doc_id) AS decile
+        FROM q
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(SUM(CASE WHEN quality_score < {floor} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_below_floor,
+           CAST(SUM(qq) AS DOUBLE)
+               / (1000000.0 * CAST(COUNT(*) AS DOUBLE)) AS mean_quality
+    FROM d GROUP BY 1 ORDER BY 1
+""".format(quality=EXT_ORACLE_SQL["text_quality_score"], floor=QUALITY_FLOOR)

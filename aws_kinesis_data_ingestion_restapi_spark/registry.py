@@ -2738,8 +2738,8 @@ ORACLE_SQL["streaming_value_quantiles"] = f"""
 # park stable, already-driver-verified, untouched baselines at the
 # tail, where falling past position 50 loses nothing.
 # --- BEGIN GENERATED GATE ORDER (scripts/gen_gate_head.py) ---
-# Window = 13 never-driver-checked additions + 8 changed
-# entries + the 29 stalest driver greens (last green in
+# Window = 18 never-driver-checked additions + 8 changed
+# entries + the 24 stalest driver greens (last green in
 # round(s) [6], from CORRECTNESS_r*.json). Regenerate with
 #   python scripts/gen_gate_head.py
 # (pytest runs --check; hand-edits here go stale and FAIL).
@@ -2765,6 +2765,11 @@ _GATE_HEAD = [
     "dedup_source_vocab_overlap",  # last driver green: r0
     "warehouse_column_stats",  # last driver green: r0
     "dedup_benchmark_canaries",  # last driver green: r0
+    "dedup_cluster_size_histogram",  # last driver green: r0
+    "text_zipf_octaves",  # last driver green: r0
+    "events_interarrival_quantiles",  # last driver green: r0
+    "mm_phash_distance_histogram",  # last driver green: r0
+    "docs_quality_by_length",  # last driver green: r0
     "customers_without_urgent_orders",  # last driver green: r6
     "dedup_simhash_fingerprints",  # last driver green: r6
     "dedup_simhash_pairs",  # last driver green: r6
@@ -2789,11 +2794,6 @@ _GATE_HEAD = [
     "salted_events_join",  # last driver green: r6
     "salted_lineitem_agg",  # last driver green: r6
     "salted_priority_sales",  # last driver green: r6
-    "sketch_distinct_trigrams",  # last driver green: r6
-    "sketch_value_quantiles",  # last driver green: r6
-    "sql_above_average_orders",  # last driver green: r6
-    "streaming_value_quantiles",  # last driver green: r6
-    "text_repetition",  # last driver green: r6
 ]
 _GATE_TAIL = [
     "ann_centroid_drift",  # last driver green: r11
@@ -3007,6 +3007,11 @@ _GATE_TAIL = [
     "text_model_quality",  # last driver green: r7
     "text_quality_sample",  # last driver green: r7
     "top_orders_per_customer",  # last driver green: r7
+    "sketch_distinct_trigrams",  # last driver green: r6
+    "sketch_value_quantiles",  # last driver green: r6
+    "sql_above_average_orders",  # last driver green: r6
+    "streaming_value_quantiles",  # last driver green: r6
+    "text_repetition",  # last driver green: r6
 ]
 # --- END GENERATED GATE ORDER ---
 

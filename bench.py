@@ -327,6 +327,11 @@ ANALYTICS_QUERIES = [
     "dedup_source_vocab_overlap",
     "warehouse_column_stats",
     "dedup_benchmark_canaries",
+    "dedup_cluster_size_histogram",
+    "text_zipf_octaves",
+    "events_interarrival_quantiles",
+    "mm_phash_distance_histogram",
+    "docs_quality_by_length",
 ]
 
 
@@ -367,6 +372,11 @@ BENCH_KEY_ALIASES = {
     "dedup_source_vocab_overlap": "svo",
     "warehouse_column_stats": "wcs",
     "dedup_benchmark_canaries": "bcn",
+    "dedup_cluster_size_histogram": "csh",
+    "text_zipf_octaves": "zpf",
+    "events_interarrival_quantiles": "iaq",
+    "mm_phash_distance_histogram": "phd",
+    "docs_quality_by_length": "qbl",
     # round-11 additions (1:1, final line only)
     "streaming_er_delta": "ser",
     "docs_hll_distinct_audit": "hda",

@@ -61,6 +61,11 @@ MUST_ROTATE = [
     "dedup_source_vocab_overlap",  # X198 cross-source KMV overlap
     "warehouse_column_stats",   # X199 catalog statistics report
     "dedup_benchmark_canaries",  # X200 per-benchmark leak canaries
+    "dedup_cluster_size_histogram",  # X201 duplicate-cluster histogram
+    "text_zipf_octaves",        # X202 exact Zipf octave profile
+    "events_interarrival_quantiles",  # X203 cadence quantiles
+    "mm_phash_distance_histogram",  # X204 threshold-setting evidence
+    "docs_quality_by_length",   # X205 quality-vs-length diagnostic
 ]
 
 

@@ -4651,3 +4651,85 @@ def test_benchmark_canaries_consistent_with_forward_probes(spark):
     assert any(r.compromised for r in rows.values()) == (
         flagged > 0 or sem_fwd > 0
     )
+
+
+def test_cluster_histogram_matches_python_recount(spark):
+    """X201 brute pin: histogram recomputed in python from the
+    component labels + token counts, including the exact integer
+    removable-mass rule."""
+    from collections import defaultdict
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        _docs,
+        _lsh_component_labels,
+        dedup_cluster_size_histogram,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    comp = {
+        r.node: r.component
+        for r in _lsh_component_labels(spark, sf).collect()
+    }
+    tok = {
+        r.doc_id: r.n
+        for r in _docs(spark, sf)
+        .select("doc_id", F.size(text.tokens_col()).alias("n"))
+        .collect()
+    }
+    per = defaultdict(lambda: [0, 0])  # component -> [k, tokens]
+    for d, c in comp.items():
+        per[c][0] += 1
+        per[c][1] += tok[d]
+    hist = defaultdict(lambda: [0, 0, 0, 0])
+    for k, t in per.values():
+        h = hist[k]
+        h[0] += 1
+        h[1] += k
+        h[2] += t
+        h[3] += (t * (k - 1)) // k
+    got = {r.cluster_size: r for r in
+           dedup_cluster_size_histogram(spark, sf).collect()}
+    assert set(got) == set(hist)
+    for k, (nc, nd, nt, rm) in hist.items():
+        r = got[k]
+        assert (r.n_clusters, r.n_docs, r.n_tokens,
+                r.removable_tokens) == (nc, nd, nt, rm), k
+
+
+def test_phash_histogram_consistent_with_near_dup_pairs(spark):
+    """X204 consistency pin: the sub-threshold prefix of the
+    histogram equals X104's pair count, and the engineered re-render
+    mode sits at hamming <= 2 with a visible gap to the noise."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        mm_phash_distance_histogram,
+        mm_phash_near_dup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    hist = mm_phash_distance_histogram(spark, sf).collect()
+    n_pairs_leq3 = sum(r.n_pairs for r in hist if r.hamming <= 3)
+    assert n_pairs_leq3 == mm_phash_near_dup(spark, sf).count()
+    assert any(r.hamming <= 2 and r.n_pairs > 0 for r in hist)
+    # cumulative share is monotone and ends at exactly 1.0
+    shares = [r.cum_share for r in hist]
+    assert shares == sorted(shares) and shares[-1] == 1.0
+
+
+def test_quality_by_length_deciles_partition_corpus(spark):
+    """X205 sanity pin: deciles partition the corpus (sizes sum to
+    doc count, differ by <= 1), token ranges are non-overlapping and
+    ordered, means in [0, 1]."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        _docs,
+        docs_quality_by_length,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = docs_quality_by_length(spark, sf).collect()
+    n = _docs(spark, sf).count()
+    assert sum(r.n_docs for r in rows) == n
+    sizes = [r.n_docs for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_tokens <= b.min_tokens
+    assert all(0.0 <= r.mean_quality <= 1.0 for r in rows)
