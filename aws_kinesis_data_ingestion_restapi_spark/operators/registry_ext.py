@@ -1117,6 +1117,47 @@ def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _quantile_audit(spark, sf_dir, [])
 
 
+def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X206: per-event-type GINI concentration of user activity — the
+    skew summary behind X169's top-key audit (that names the heavy
+    keys; this gives the one number that tracks concentration over
+    time — a rising Gini means bot/abuse traffic or a salting
+    decision ahead): G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) over
+    per-user event counts x_i ranked ascending (ties by user id —
+    deterministic rank, exact integer numerator/denominator, ONE
+    double division; no sorting of raw rows — the rank runs over the
+    per-user aggregate, |users| rows)."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("x", "user_id")
+    ranked = per_user.withColumn("i", F.row_number().over(w))
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("x").cast("long").alias("n_events"),
+            F.sum(F.col("i").cast("long") * F.col("x"))
+            .cast("long")
+            .alias("_six"),
+        )
+        .select(
+            "event_type",
+            "n_users",
+            "n_events",
+            (
+                (
+                    F.lit(2) * F.col("_six")
+                    - (F.col("n_users") + 1) * F.col("n_events")
+                ).cast("double")
+                / (F.col("n_users") * F.col("n_events")).cast("double")
+            ).alias("gini"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def events_interarrival_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X203: per-event-type INTER-ARRIVAL quantiles — the traffic-
     cadence profile next to the volume profiles (X186 tells you WHEN
@@ -5390,6 +5431,7 @@ EXT_QUERY_FNS = {
     "sketch_value_quantiles": sketch_value_quantiles,
     "events_type_value_quantiles": events_type_value_quantiles,
     "events_interarrival_quantiles": events_interarrival_quantiles,
+    "events_user_gini": events_user_gini,
     "dedup_components": dedup_components,
     "dedup_components_star": dedup_components_star,
     "dedup_components_delta": dedup_components_delta,
@@ -11090,3 +11132,24 @@ EXT_ORACLE_SQL["docs_quality_by_length"] = """
                / (1000000.0 * CAST(COUNT(*) AS DOUBLE)) AS mean_quality
     FROM d GROUP BY 1 ORDER BY 1
 """.format(quality=EXT_ORACLE_SQL["text_quality_score"], floor=QUALITY_FLOOR)
+
+
+# X206 Gini: identical rank formula, integer sums, one division
+EXT_ORACLE_SQL["events_user_gini"] = """
+    WITH pu AS (
+        SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT event_type, x,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY x, user_id) AS i
+        FROM pu
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(x) AS BIGINT) AS n_events,
+           CAST(2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x) AS DOUBLE)
+               / CAST(COUNT(*) * SUM(x) AS DOUBLE) AS gini
+    FROM r GROUP BY 1 ORDER BY 1
+"""

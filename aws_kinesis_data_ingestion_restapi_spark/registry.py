@@ -2738,8 +2738,8 @@ ORACLE_SQL["streaming_value_quantiles"] = f"""
 # park stable, already-driver-verified, untouched baselines at the
 # tail, where falling past position 50 loses nothing.
 # --- BEGIN GENERATED GATE ORDER (scripts/gen_gate_head.py) ---
-# Window = 18 never-driver-checked additions + 8 changed
-# entries + the 24 stalest driver greens (last green in
+# Window = 19 never-driver-checked additions + 8 changed
+# entries + the 23 stalest driver greens (last green in
 # round(s) [6], from CORRECTNESS_r*.json). Regenerate with
 #   python scripts/gen_gate_head.py
 # (pytest runs --check; hand-edits here go stale and FAIL).
@@ -2770,6 +2770,7 @@ _GATE_HEAD = [
     "events_interarrival_quantiles",  # last driver green: r0
     "mm_phash_distance_histogram",  # last driver green: r0
     "docs_quality_by_length",  # last driver green: r0
+    "events_user_gini",  # last driver green: r0
     "customers_without_urgent_orders",  # last driver green: r6
     "dedup_simhash_fingerprints",  # last driver green: r6
     "dedup_simhash_pairs",  # last driver green: r6
@@ -2793,7 +2794,6 @@ _GATE_HEAD = [
     "sales_pivot_by_priority",  # last driver green: r6
     "salted_events_join",  # last driver green: r6
     "salted_lineitem_agg",  # last driver green: r6
-    "salted_priority_sales",  # last driver green: r6
 ]
 _GATE_TAIL = [
     "ann_centroid_drift",  # last driver green: r11
@@ -3007,6 +3007,7 @@ _GATE_TAIL = [
     "text_model_quality",  # last driver green: r7
     "text_quality_sample",  # last driver green: r7
     "top_orders_per_customer",  # last driver green: r7
+    "salted_priority_sales",  # last driver green: r6
     "sketch_distinct_trigrams",  # last driver green: r6
     "sketch_value_quantiles",  # last driver green: r6
     "sql_above_average_orders",  # last driver green: r6

@@ -332,6 +332,7 @@ ANALYTICS_QUERIES = [
     "events_interarrival_quantiles",
     "mm_phash_distance_histogram",
     "docs_quality_by_length",
+    "events_user_gini",
 ]
 
 
@@ -377,6 +378,7 @@ BENCH_KEY_ALIASES = {
     "events_interarrival_quantiles": "iaq",
     "mm_phash_distance_histogram": "phd",
     "docs_quality_by_length": "qbl",
+    "events_user_gini": "gin",
     # round-11 additions (1:1, final line only)
     "streaming_er_delta": "ser",
     "docs_hll_distinct_audit": "hda",

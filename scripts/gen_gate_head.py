@@ -66,6 +66,7 @@ MUST_ROTATE = [
     "events_interarrival_quantiles",  # X203 cadence quantiles
     "mm_phash_distance_histogram",  # X204 threshold-setting evidence
     "docs_quality_by_length",   # X205 quality-vs-length diagnostic
+    "events_user_gini",         # X206 concentration (exact Gini)
 ]
 
 

