@@ -1819,6 +1819,710 @@ def customers_k_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: X207 t-closeness threshold (Li et al. 2007), expressed as the exact
+#: rational 1/T_CLOSE_DEN so the above-threshold test stays integer
+#: cross-multiplication (|p_c − p_g| > 1/5 ⟺ 5·|d_c·N − D·n_c| > n_c·N)
+T_CLOSE_DEN = 5
+
+
+def customers_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X207: t-CLOSENESS audit of the k-anonymized release — the third
+    leg of the privacy triad after X160 (k-anonymity: re-identification)
+    and X196 (l-diversity: homogeneous-class disclosure). l-diversity
+    is fooled by SKEW (Li et al. 2007 §3): a class with 2 distinct
+    sensitive values still leaks when its distribution differs wildly
+    from the table's — "this class is 90% in-debt vs 10% overall" IS
+    the disclosure. t-closeness bounds the distance between each
+    equivalence class's sensitive distribution and the whole release's.
+
+    Sensitive attribute: account-balance sign (binary — the X196
+    choice), for which the Earth-Mover distance degenerates to
+    |p_class − p_global| exactly. Per X160 ladder level: class count,
+    the maximum t over its classes, and how many classes exceed the
+    1/5 threshold. Exactness: t is the integer-exact rational
+    |d_c·N − D·n_c| / (n_c·N) evaluated with ONE double division per
+    class; the threshold test never leaves integers (cross-multiplied
+    by T_CLOSE_DEN). Derived from the SAME k_generalize_apply output
+    as the release; class-grain aggregates — metadata-scale."""
+    cust = load_table(spark, sf_dir, "customer")
+    rel = k_generalize_apply(cust).filter(~F.col("suppressed"))
+    sens = cust.select(
+        "c_custkey", (F.col("c_acctbal") < 0).alias("sens")
+    )
+    joined = rel.join(sens, "c_custkey")
+    glob = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("N"),
+        F.sum(F.col("sens").cast("long")).cast("long").alias("D"),
+    )
+    cls = joined.groupBy(
+        "level", "qi_nation", "qi_segment", "qi_band"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_c"),
+        F.sum(F.col("sens").cast("long")).cast("long").alias("d_c"),
+    )
+    num = F.abs(F.col("d_c") * F.col("N") - F.col("D") * F.col("n_c"))
+    scored = cls.crossJoin(F.broadcast(glob)).select(
+        "level",
+        (num.cast("double") / (F.col("n_c") * F.col("N")).cast("double")).alias(
+            "t"
+        ),
+        (
+            F.lit(T_CLOSE_DEN) * num > F.col("n_c") * F.col("N")
+        ).alias("_above"),
+    )
+    return (
+        scored.groupBy("level")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.max("t").alias("max_t"),
+            F.sum(F.col("_above").cast("long")).cast("long").alias(
+                "n_above_t"
+            ),
+        )
+        .select(
+            "level",
+            "n_classes",
+            "max_t",
+            "n_above_t",
+            (
+                F.col("n_above_t").cast("double")
+                / F.col("n_classes").cast("double")
+            ).alias("above_share"),
+        )
+        .orderBy("level")
+    )
+
+
+def orders_ship_latency_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X208: order→ship fulfillment-latency quantiles per order
+    priority — the operational SLA distribution behind TPC-H Q4's
+    late-order COUNT (Q4 says how many missed; this says how long
+    everything took, and whether URGENT actually ships faster). Per
+    o_orderpriority: exact p50/p90/p99 of datediff(l_shipdate,
+    o_orderdate) in whole days.
+
+    Exactness/scale: day gaps are exact integer date arithmetic; the
+    quantile is the rank definition (value at ⌈q·n/100⌉) over a
+    distinct-gap cumulative (the X26/X203 idiom — the day-gap domain
+    is bounded by the order horizon, a few hundred values, so the
+    cumulative runs over |priorities|·|gaps| rows, not the lineitem
+    row count). The orders→lineitem join is the co-partitioned
+    orderkey equi-join every TPC-H shape uses."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    gaps = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(
+            F.to_date("l_shipdate"), F.to_date("o_orderdate")
+        ).cast("long").alias("ship_days"),
+    )
+    n = gaps.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items")
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("ship_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dv = (
+        gaps.groupBy("o_orderpriority", "ship_days")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .select(
+            F.col("o_orderpriority").alias("_p"),
+            "ship_days",
+            F.sum("_c").over(w).alias("cum"),
+        )
+    )
+    q = spark.createDataFrame(
+        [(50,), (90,), (99,)], "q_pct int"
+    )
+    return (
+        n.crossJoin(F.broadcast(q))
+        .join(
+            dv,
+            (F.col("_p") == F.col("o_orderpriority"))
+            & (
+                F.lit(100) * F.col("cum")
+                >= F.col("q_pct").cast("long") * F.col("n_items")
+            ),
+        )
+        .groupBy("o_orderpriority", "q_pct", "n_items")
+        .agg(F.min("ship_days").alias("ship_days"))
+        .select("o_orderpriority", "q_pct", "n_items", "ship_days")
+        .orderBy("o_orderpriority", "q_pct")
+    )
+
+
+#: X209 ACF lag range (hours). 1..24 spans the full daily cycle — the
+#: lag-24 peak is the autocorrelation signature of the X186 profile.
+ACF_MAX_LAG_H = 24
+
+
+def events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X209: AUTOCORRELATION of hourly event volume at lags 1..24 —
+    the diagnostic that justifies the seasonality assumptions the
+    calendar profiles (X186 weekly, X173 seasonal-naive backtest)
+    bake in: a lag-24 peak IS the daily cycle, a flat ACF means the
+    seasonal-naive forecast has nothing to exploit.
+
+    Exactness: hour index = epoch-ns integer division (exact int64,
+    never through double); per-lag sufficient statistics (n, Σx, Σy,
+    Σxy, Σx², Σy²) are exact integer sums over the hour-count series
+    (the X82 sufficient-stats idiom); Pearson r is computed from
+    those integers with IEEE double arithmetic identically in both
+    engines (one sqrt chain, correctly rounded). Zero-variance lags
+    emit NULL via nullif. Scale: the hourly aggregate is one
+    map-side-combined groupBy; the lag join runs over |hours|·|lags|
+    rows — metadata-sized at any corpus (a year is 8,760 rows)."""
+    from aws_kinesis_data_ingestion_restapi_spark.functions.exact import (
+        as_epoch_nanos,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.select(as_epoch_nanos(e, "ts").alias("_ns"))
+        .select(F.expr("_ns div 3600000000000").alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    lags = spark.range(1, ACF_MAX_LAG_H + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = hourly.select(F.col("h").alias("ha"), F.col("c").alias("x"))
+    b = hourly.select(F.col("h").alias("hb"), F.col("c").alias("y"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("hb") == F.col("ha") + F.col("lag").cast("long"))
+    )
+    stats = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = (
+        F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double")
+    vx = (
+        F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    vy = (
+        F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")
+    ).cast("double")
+    return (
+        stats.select(
+            "lag",
+            "n_pairs",
+            (
+                num
+                / F.nullif(F.sqrt(vx) * F.sqrt(vy), F.lit(0.0))
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+#: X210 output cap and noise floor: pairs must share ≥ MIN_COMMON
+#: parts, and only the TOPK_SIM strongest survive (deterministic
+#: total order: jaccard DESC, then the pair ids)
+SIM_MIN_COMMON = 2
+SIM_TOPK = 100
+
+
+def graph_supplier_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X210: common-neighbor / Jaccard node-similarity join over the
+    supplier–part bipartite graph — the link-prediction primitive
+    (Liben-Nowell & Kleinberg 2003) next to X86's triangle cohesion:
+    which supplier pairs serve the most-overlapping part sets. For
+    every pair sharing ≥ 2 distinct parts: common-part count, both
+    degrees, and Jaccard = common / (deg_a + deg_b − common); the
+    top-100 by (jaccard DESC, s_a, s_b) survive.
+
+    Scale: candidates generate per shared PART (one per-part
+    self-join, bounded by per-part supplier counts — the same bound
+    X86's weight pass rides), never all-pairs; degrees are one
+    distinct aggregate; a hub part that breaks the bound is exactly
+    the prefix-filter regime X2's ssjoin handles. Jaccard is one
+    double division from three exact integers."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    ps = li.distinct()
+    deg = ps.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    a = ps.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s_a"))
+    b = ps.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s_b"))
+    common = (
+        a.join(b, "p")
+        .filter(F.col("s_a") < F.col("s_b"))
+        .groupBy("s_a", "s_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+        .filter(F.col("common") >= SIM_MIN_COMMON)
+    )
+    da = deg.select(F.col("l_suppkey").alias("s_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("l_suppkey").alias("s_b"), F.col("deg").alias("deg_b"))
+    return (
+        common.join(F.broadcast(da), "s_a")
+        .join(F.broadcast(db), "s_b")
+        .select(
+            "s_a",
+            "s_b",
+            "common",
+            "deg_a",
+            "deg_b",
+            (
+                F.col("common").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "s_a", "s_b")
+        .limit(SIM_TOPK)
+    )
+
+
+#: X211 probe-set size: synthetic keys disjoint from the build set by
+#: namespace ('p:' vs 'c:'), so every probe hit is a false positive
+BLOOM_PROBES = 2048
+
+
+def sketch_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X211: Bloom-filter false-positive-rate audit — the MEASURED
+    check on the sketch the engine already trusts at plan level (X94's
+    runtime bloom semi-join is Catalyst's; this one is built from
+    first principles and audited like every other sketch: X69 CMS,
+    X91 DDSketch, X158 HLL, X198 KMV). Build: the k=BLOOM_K
+    md5-derived bit positions of every customer key ('c:' namespace),
+    collapsed to the distinct bit set. Probe: BLOOM_PROBES synthetic
+    keys in the disjoint 'p:' namespace — NONE were inserted, so any
+    probe whose every position is set is a false positive BY
+    CONSTRUCTION (no membership bookkeeping needed). Output: one row —
+    filter geometry, fill share, and the measured FPR the capacity
+    planner compares against the (1−e^{−kn/m})^k design point.
+
+    Scale: build = one distinct over n·k ints; probes join the bit
+    set on the broadcast-able position column; nothing quadratic."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.concat(F.lit("c:"), F.col("c_custkey").cast("string")).alias(
+            "item"
+        )
+    )
+    bits = (
+        sketch.bloom_positions(cust, "item")
+        .select("pos")
+        .distinct()
+    )
+    probes = spark.range(1, BLOOM_PROBES + 1).select(
+        F.concat(F.lit("p:"), F.col("id").cast("string")).alias("item")
+    )
+    ppos = sketch.bloom_positions(probes, "item").select(
+        "item", "pos"
+    ).distinct()
+    hit = ppos.join(
+        bits.select(F.col("pos"), F.lit(1).alias("_set")), "pos", "left"
+    )
+    per_probe = hit.groupBy("item").agg(
+        F.min(F.coalesce(F.col("_set"), F.lit(0))).alias("_all_set")
+    )
+    fp = per_probe.agg(
+        F.sum("_all_set").cast("long").alias("n_false_positives")
+    )
+    nb = bits.agg(F.count(F.lit(1)).cast("long").alias("n_bits_set"))
+    nk = cust.agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    return (
+        nk.crossJoin(nb)
+        .crossJoin(fp)
+        .select(
+            "n_keys",
+            F.lit(sketch.BLOOM_M).cast("long").alias("m_bits"),
+            F.lit(sketch.BLOOM_K).cast("int").alias("k_hashes"),
+            "n_bits_set",
+            (
+                F.col("n_bits_set").cast("double")
+                / F.lit(float(sketch.BLOOM_M))
+            ).alias("fill_share"),
+            F.lit(BLOOM_PROBES).cast("long").alias("n_probes"),
+            "n_false_positives",
+            (
+                F.col("n_false_positives").cast("double")
+                / F.lit(float(BLOOM_PROBES))
+            ).alias("measured_fpr"),
+        )
+    )
+
+
+#: X212 sample size: 64 deterministically-sampled vectors → 2016
+#: exact pairwise distances — enough to see the geometry's modes,
+#: metadata-sized at any corpus
+DIST_SAMPLE_N = 64
+
+
+def emb_distance_octaves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X212: pairwise-distance OCTAVE histogram over a deterministic
+    embedding sample — the measurement that justifies (or indicts)
+    every distance threshold the similarity family hard-codes (X7's
+    near-dup d², X192's 1.2 contamination radius, X96's SemDeDup
+    cell radius): the histogram shows where the corpus's distance
+    mass sits, and whether a threshold separates a near-dup mode from
+    the bulk or just slices through it. Octave = bit length of the
+    quantized squared distance (the X202 no-libm log trick), so the
+    bins are exact integers both engines agree on.
+
+    Sample: the DIST_SAMPLE_N smallest md5(vec_id) — the KMV
+    selection rule (X198), order-stable under corpus growth. Pairs:
+    all C(n,2) within the sample, exact int64 arithmetic in the
+    quantized (×10⁴) component domain (the X192 idiom). Scale: the
+    sample is a global top-k by hash (TakeOrdered — no full sort);
+    everything after runs on 64 rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sampled = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(DIST_SAMPLE_N)
+    )
+    comp = sampled.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).select(
+        "vec_id",
+        "i",
+        F.round(F.col("x").cast("double") * 10000, 0).cast("long").alias(
+            "qx"
+        ),
+    )
+    a = comp.select(
+        F.col("vec_id").alias("va"), "i", F.col("qx").alias("qa")
+    )
+    b = comp.select(
+        F.col("vec_id").alias("vb"), "i", F.col("qx").alias("qb")
+    )
+    d2 = (
+        a.join(b, "i")
+        .filter(F.col("va") < F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(
+            F.sum(
+                (F.col("qa") - F.col("qb")) * (F.col("qa") - F.col("qb"))
+            ).cast("long").alias("d2q")
+        )
+    )
+    octave = (F.length(F.bin(F.col("d2q"))) - 1).cast("int")
+    per = d2.select(octave.alias("octave"), "d2q").groupBy("octave").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.min("d2q").alias("_mn"),
+        F.max("d2q").alias("_mx"),
+    )
+    tot = per.agg(F.sum("n_pairs").cast("long").alias("_t"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "octave",
+            "n_pairs",
+            (F.col("_mn").cast("double") / F.lit(1e8)).alias("min_d2"),
+            (F.col("_mx").cast("double") / F.lit(1e8)).alias("max_d2"),
+            (
+                F.col("n_pairs").cast("double") / F.col("_t").cast("double")
+            ).alias("pair_share"),
+        )
+        .orderBy("octave")
+    )
+
+
+#: X213 nDCG@10 discount table in exact ppm: round(10⁶ / log2(r+1))
+#: for rank r = 1..10, folded ONCE in python (math.log2 — the only
+#: libm call, executed neither in Spark nor DuckDB) so both engines
+#: share identical integer constants; rank 1 → 1,000,000 (the
+#: known-item ideal), miss → 0.
+NDCG_DISC_PPM = tuple(
+    int(round(1_000_000 / math.log2(r + 1))) for r in range(1, 11)
+)
+
+
+def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X213: nDCG@10 over the known-item panel — the graded-discount
+    retrieval metric next to X167's MRR/recall (MRR credits only the
+    reciprocal; nDCG's log2 discount is what every leaderboard
+    reports, and the two DISAGREE exactly when the retriever piles
+    relevant items at ranks 2-4). With a single relevant item per
+    query (the known-item construction), per-query nDCG degenerates
+    to the discount itself: 1/log2(1+rank), ideal = 1 — so the metric
+    is a table LOOKUP by self_rank, and the engine-exactness contract
+    holds by interpolating the python-folded NDCG_DISC_PPM integers
+    into both sides (the X197 fold-once discipline; no libm log in
+    either engine). Mean nDCG = one double division from an exact
+    integer ppm sum. Rides X166's one-pass batch BM25 scoring."""
+    per = retrieval_known_item_eval(spark, sf_dir)
+    disc = F.array(*[F.lit(v).cast("long") for v in NDCG_DISC_PPM])
+    ndcg_ppm = F.when(
+        F.col("self_rank").isNotNull(),
+        F.element_at(disc, F.col("self_rank")),
+    ).otherwise(F.lit(0).cast("long"))
+    return per.select(ndcg_ppm.alias("ndcg_ppm")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum("ndcg_ppm").cast("long").alias("sum_ndcg_ppm"),
+        (
+            F.sum("ndcg_ppm").cast("double")
+            / F.lit(1_000_000.0)
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_ndcg_at_10"),
+    )
+
+
+def events_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X214: Pettitt rank test for a single changepoint in the daily
+    event-volume series — the NONPARAMETRIC complement to X138's CUSUM
+    (CUSUM assumes a mean shift in level and is rattled by heavy
+    tails; Pettitt 1979 works on RANKS, so one bot-spike day cannot
+    drag the changepoint). U_t = 2·Σ_{i≤t}R_i − t·(N+1) over the
+    series' average ranks; the changepoint is argmax |U_t|.
+
+    Exactness: average ranks enter DOUBLED (2·R_i = 2·min_rank +
+    ties − 1, an integer for any tie pattern), which makes
+    U_t = Σ(2R_i) − t·(N+1) exact int64 end-to-end — no rank
+    interpolation, no float. Ties on |U_t| break to the EARLIEST day.
+    Scale: the test runs on the daily aggregate (|days| rows — a
+    decade is 3,652), after one map-side-combined groupBy; the rank
+    and cumulative windows are metadata-scale."""
+    e = load_table(spark, sf_dir, "events")
+    from aws_kinesis_data_ingestion_restapi_spark.functions.exact import (
+        as_timestamp,
+    )
+
+    daily = (
+        e.select(
+            F.to_date(F.date_trunc("day", as_timestamp(e, "ts"))).alias(
+                "day"
+            )
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w_rank = Window.orderBy("c")
+    w_ties = Window.partitionBy("c")
+    w_time = Window.orderBy("day")
+    w_cum = w_time.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = w_time.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = daily.select(
+        "day",
+        (
+            F.lit(2) * F.rank().over(w_rank).cast("long")
+            + F.count(F.lit(1)).over(w_ties).cast("long")
+            - F.lit(1)
+        ).alias("r2"),
+    )
+    u = ranked.select(
+        "day",
+        (
+            F.sum("r2").over(w_cum)
+            - F.row_number().over(w_time).cast("long")
+            * (F.count(F.lit(1)).over(w_all).cast("long") + F.lit(1))
+        ).alias("u_stat"),
+        F.row_number().over(w_time).alias("_t"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n_days"),
+    ).filter(F.col("_t") < F.col("n_days"))
+    return (
+        u.select(
+            "n_days",
+            F.col("day").alias("cp_day"),
+            "u_stat",
+            F.abs(F.col("u_stat")).alias("k_stat"),
+        )
+        .orderBy(F.desc("k_stat"), "cp_day")
+        .limit(1)
+    )
+
+
+def mm_storage_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X215: per-modality storage-size decile profile — the capacity-
+    planning distribution behind X15's asset stats (totals say how
+    much; this says WHERE the bytes live: a video decile holding 60%
+    of the bytes in 10% of the assets sets the shard size, the
+    decode-batch memory budget, and the egress bill). Exact NTILE
+    deciles by (n_bytes, asset_id) within each modality (the X205
+    quantize-once idiom); per (kind, decile): asset count, byte
+    range, total bytes, and the share of the modality's bytes — one
+    division from exact integer sums. One window + one aggregate over
+    asset-grain metadata (id, kind, length) — the payload bytes never
+    shuffle."""
+    assets = multimodal.synthesize_assets(_docs(spark, sf_dir))
+    base = assets.select(
+        "asset_id", "kind", F.length("content").cast("long").alias("n_bytes")
+    )
+    w = Window.partitionBy("kind").orderBy("n_bytes", "asset_id")
+    per = (
+        base.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("kind", "decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_assets"),
+            F.min("n_bytes").alias("min_bytes"),
+            F.max("n_bytes").alias("max_bytes"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+        )
+    )
+    tot = per.groupBy("kind").agg(
+        F.sum("total_bytes").cast("long").alias("_kt")
+    )
+    return (
+        per.join(F.broadcast(tot), "kind")
+        .select(
+            "kind",
+            "decile",
+            "n_assets",
+            "min_bytes",
+            "max_bytes",
+            "total_bytes",
+            (
+                F.col("total_bytes").cast("double")
+                / F.col("_kt").cast("double")
+            ).alias("byte_share"),
+        )
+        .orderBy("kind", "decile")
+    )
+
+
+#: X219 Benford expected-share table in exact ppm:
+#: round(10⁶·log10(1 + 1/d)) for first digit d = 1..9 — folded ONCE in
+#: python (the NDCG_DISC_PPM / X197 discipline) so neither engine
+#: evaluates a libm log
+BENFORD_PPM = tuple(
+    int(round(1_000_000 * math.log10(1 + 1 / d))) for d in range(1, 10)
+)
+
+
+def events_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X219: Benford first-digit audit of event values — the classic
+    fabricated-data / fraud screen (Benford 1938; Nigrini's audit
+    practice): organically-generated amounts follow
+    P(d) = log10(1+1/d); injected or synthesized amounts usually
+    don't, and the per-digit deviation says WHERE. Values quantize
+    ONCE to int64 cents (the engine-wide idiom); the first
+    significant digit is a string head on the integer — no log, no
+    float; expected shares come from the python-folded BENFORD_PPM
+    table (X213's fold-once discipline). One map-side-combined
+    9-group aggregate — scan-shaped at any volume.
+
+    Output per digit: count, observed share, expected share, signed
+    deviation."""
+    e = load_table(spark, sf_dir, "events")
+    q = F.round(F.col("value").cast("double") * 100, 0).cast("long")
+    digits = (
+        e.filter(
+            F.col("value").isNotNull()
+            & ~F.isnan(F.col("value").cast("double"))
+        )
+        .select(q.alias("q"))
+        .filter(F.col("q") > 0)
+        .select(
+            F.substring(F.col("q").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+    )
+    per = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_values")
+    )
+    tot = per.agg(F.sum("n_values").cast("long").alias("_t"))
+    expected = F.element_at(
+        F.array(*[F.lit(v).cast("long") for v in BENFORD_PPM]),
+        F.col("digit"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_values",
+            (
+                F.col("n_values").cast("double") / F.col("_t").cast("double")
+            ).alias("observed_share"),
+            (expected.cast("double") / F.lit(1_000_000.0)).alias(
+                "benford_share"
+            ),
+            (
+                F.col("n_values").cast("double") / F.col("_t").cast("double")
+                - expected.cast("double") / F.lit(1_000_000.0)
+            ).alias("deviation"),
+        )
+        .orderBy("digit")
+    )
+
+
+def dedup_band_load_octaves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X217: LSH band-bucket LOAD histogram — the scale-health metric
+    for the banding join itself (X3/X90/X115 all equi-join on
+    (band, band_key); their cost is Σ C(bucket,2) over the bucket
+    sizes, and ONE hot bucket — an empty-doc cluster, a template
+    farm — turns the 'bounded candidates' promise quadratic). Per
+    (band, size-octave): bucket count, docs, and the EXACT candidate-
+    pair mass those buckets contribute (sz·(sz−1) DIV 2, integer
+    before summation). The number to watch over time: mass migrating
+    into high octaves means the index needs more bands/rows or a
+    stop-shingle list. Octave = bit length (X202); rides the
+    session-shared signature frame — the histogram is one aggregate
+    over the band index, never touching documents."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import dedup
+
+    bands = dedup.minhash_band_keys(_minhash_sigs(spark, sf_dir))
+    bk = bands.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    return (
+        bk.select(
+            F.col("band").cast("int").alias("band"),
+            (F.length(F.bin(F.col("sz"))) - 1).cast("int").alias("octave"),
+            "sz",
+        )
+        .groupBy("band", "octave")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum("sz").cast("long").alias("n_docs"),
+            F.sum(F.expr("sz * (sz - 1) div 2"))
+            .cast("long")
+            .alias("n_candidate_pairs"),
+        )
+        .orderBy("band", "octave")
+    )
+
+
+def graph_degree_octaves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X218: degree-distribution octave profile of the supplier–part
+    bipartite graph, BOTH sides — the power-law diagnostic that
+    drives the physical-join decisions the scale family implements
+    (X19/X76 salting, X86's k-NN capping): a heavy right tail on one
+    side is the broadcast/salt signal, and the octave histogram is
+    the exact, engine-hashable form of the log-log degree plot
+    (X202's no-libm trick). Per (side, octave): node count and total
+    degree mass. Two aggregates over the distinct edge set —
+    metadata-scale output at any corpus."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    ps = li.distinct()
+
+    def side(col: str, name: str) -> DataFrame:
+        deg = ps.groupBy(col).agg(
+            F.count(F.lit(1)).cast("long").alias("deg")
+        )
+        return deg.select(
+            F.lit(name).alias("side"),
+            (F.length(F.bin(F.col("deg"))) - 1).cast("int").alias("octave"),
+            "deg",
+        )
+
+    both = side("l_suppkey", "supplier").unionByName(side("l_partkey", "part"))
+    return (
+        both.groupBy("side", "octave")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("deg").cast("long").alias("total_degree"),
+        )
+        .orderBy("side", "octave")
+    )
 
 
 def corpus_content_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5424,6 +6128,18 @@ EXT_QUERY_FNS = {
     "customers_k_anonymity": customers_k_anonymity,
     "customers_k_generalize": customers_k_generalize,
     "customers_l_diversity": customers_l_diversity,
+    "customers_t_closeness": customers_t_closeness,
+    "orders_ship_latency": orders_ship_latency_quantiles,
+    "events_hourly_acf": events_hourly_acf,
+    "graph_supplier_similarity": graph_supplier_similarity,
+    "sketch_bloom_fpr": sketch_bloom_fpr,
+    "emb_distance_octaves": emb_distance_octaves,
+    "retrieval_eval_ndcg": retrieval_eval_ndcg,
+    "events_pettitt_changepoint": events_pettitt_changepoint,
+    "mm_storage_profile": mm_storage_profile,
+    "events_benford_audit": events_benford_audit,
+    "dedup_band_load_octaves": dedup_band_load_octaves,
+    "graph_degree_octaves": graph_degree_octaves,
     "corpus_content_hashes": corpus_content_hashes,
     "docs_sample_weighted_k": docs_sample_weighted_k,
     "events_user_anomalies": events_user_anomalies,
@@ -9818,7 +10534,7 @@ def _k_gen_oracle_sql(final: str = "report") -> str:
         SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal
         FROM j{lvl} WHERE n < {K_ANON})"""
         )
-    if final == "ldiv":
+    if final in ("ldiv", "tclose"):
         # X196: frozen assignments per level + binary sensitive join
         frozen = "\n        UNION ALL\n        ".join(
             f"SELECT c_custkey, {lvl} AS level, qi_n, qi_s, qi_b "
@@ -9829,6 +10545,37 @@ def _k_gen_oracle_sql(final: str = "report") -> str:
         {frozen})""")
         ctes.append("""sens AS (
         SELECT c_custkey, c_acctbal < 0 AS sens FROM customer)""")
+        if final == "tclose":
+            # X207: per-class binary-EMD vs the pooled release
+            # distribution — identical integer cross-multiplication
+            ctes.append("""cls AS (
+        SELECT level, qi_n, qi_s, qi_b,
+               CAST(COUNT(*) AS BIGINT) AS n_c,
+               CAST(SUM(CASE WHEN sens THEN 1 ELSE 0 END) AS BIGINT)
+                   AS d_c
+        FROM asg JOIN sens USING (c_custkey)
+        GROUP BY 1, 2, 3, 4)""")
+            ctes.append("""gtot AS (
+        SELECT CAST(SUM(n_c) AS BIGINT) AS nn,
+               CAST(SUM(d_c) AS BIGINT) AS dd FROM cls)""")
+            ctes.append(f"""scored AS (
+        SELECT level,
+               CAST(ABS(d_c * nn - dd * n_c) AS DOUBLE)
+                   / CAST(n_c * nn AS DOUBLE) AS t,
+               CASE WHEN {T_CLOSE_DEN} * ABS(d_c * nn - dd * n_c)
+                         > n_c * nn THEN 1 ELSE 0 END AS ab
+        FROM cls CROSS JOIN gtot)""")
+            return (
+                "WITH "
+                + ",\n    ".join(ctes)
+                + """
+    SELECT level, CAST(COUNT(*) AS BIGINT) AS n_classes,
+           MAX(t) AS max_t,
+           CAST(SUM(ab) AS BIGINT) AS n_above_t,
+           CAST(SUM(ab) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS above_share
+    FROM scored GROUP BY 1 ORDER BY 1"""
+            )
         ctes.append("""cls AS (
         SELECT level, qi_n, qi_s, qi_b,
                CAST(COUNT(DISTINCT sens) AS BIGINT) AS l
@@ -9866,6 +10613,7 @@ def _k_gen_oracle_sql(final: str = "report") -> str:
 
 EXT_ORACLE_SQL["customers_k_generalize"] = _k_gen_oracle_sql()
 EXT_ORACLE_SQL["customers_l_diversity"] = _k_gen_oracle_sql(final="ldiv")
+EXT_ORACLE_SQL["customers_t_closeness"] = _k_gen_oracle_sql(final="tclose")
 
 
 EXT_ORACLE_SQL["customers_k_anonymity"] = """
@@ -10827,6 +11575,50 @@ EXT_ORACLE_SQL["streaming_boilerplate_gate"] = f"""
 """
 
 
+# X216 streaming Bloom gate: static replay — retained-corpus bits,
+# probe batch = delta ∪ every-7th retained re-crawl, identical md5
+# position arithmetic; flagged = all k positions set; truth by exact
+# text membership in the retained corpus
+EXT_ORACLE_SQL["streaming_bloom_gate"] = f"""
+    WITH retained AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 10 < {_DELTA_PCT}
+    ),
+    probes AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id % 10 >= {_DELTA_PCT}
+        UNION ALL
+        SELECT doc_id, text FROM retained WHERE doc_id % 7 = 0
+    ),
+    hi AS (SELECT unnest(generate_series(0, {sketch.BLOOM_K - 1})) AS hi),
+    bits AS (
+        SELECT DISTINCT
+               CAST(concat('0x', substr(md5(text || ':'
+                    || CAST(hi AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % {sketch.BLOOM_M} AS pos
+        FROM retained CROSS JOIN hi
+    ),
+    ppos AS (
+        SELECT doc_id, hi,
+               CAST(concat('0x', substr(md5(text || ':'
+                    || CAST(hi AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % {sketch.BLOOM_M} AS pos
+        FROM probes CROSS JOIN hi
+    ),
+    per AS (
+        SELECT doc_id,
+               MIN(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) AS all_set
+        FROM ppos p LEFT JOIN bits b ON b.pos = p.pos
+        GROUP BY 1
+    )
+    SELECT f.doc_id,
+           EXISTS(SELECT 1 FROM retained r WHERE r.text = p.text)
+               AS is_true_dup
+    FROM (SELECT doc_id FROM per WHERE all_set = 1) f
+    JOIN probes p USING (doc_id)
+    ORDER BY f.doc_id
+"""
+
+
 # X198 cross-source vocab overlap: identical KMV arithmetic — md5 of
 # the 28-bit gram (cast to plain digits), per-source k smallest,
 # union-k Jaccard estimate — joined to the exact pairwise Jaccard
@@ -11152,4 +11944,319 @@ EXT_ORACLE_SQL["events_user_gini"] = """
            CAST(2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x) AS DOUBLE)
                / CAST(COUNT(*) * SUM(x) AS DOUBLE) AS gini
     FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
+# X208 order→ship latency: identical day-gap / rank-quantile arithmetic
+EXT_ORACLE_SQL["orders_ship_latency"] = """
+    WITH gaps AS (
+        SELECT o_orderpriority,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                              CAST(l_shipdate AS DATE)) AS BIGINT)
+                   AS ship_days
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    n AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items
+          FROM gaps GROUP BY 1),
+    dv AS (
+        SELECT o_orderpriority, ship_days,
+               SUM(COUNT(*)) OVER (PARTITION BY o_orderpriority
+                                   ORDER BY ship_days) AS cum
+        FROM gaps GROUP BY 1, 2
+    ),
+    q(q_pct) AS (VALUES (50), (90), (99))
+    SELECT n.o_orderpriority, CAST(q.q_pct AS INT) AS q_pct, n.n_items,
+           CAST(MIN(dv.ship_days) AS BIGINT) AS ship_days
+    FROM n CROSS JOIN q
+    JOIN dv ON dv.o_orderpriority = n.o_orderpriority
+           AND 100 * dv.cum >= q.q_pct * n.n_items
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2
+"""
+
+
+# X209 hourly-volume ACF: identical integer hour binning, sufficient
+# statistics, and one IEEE double combination per lag
+EXT_ORACLE_SQL["events_hourly_acf"] = f"""
+    WITH hourly AS (
+        SELECT epoch_ns(ts) // 3600000000000 AS h,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ),
+    lags AS (SELECT unnest(generate_series(1, {ACF_MAX_LAG_H})) AS lag),
+    pairs AS (
+        SELECT l.lag, a.c AS x, b.c AS y
+        FROM hourly a CROSS JOIN lags l
+        JOIN hourly b ON b.h = a.h + l.lag
+    ),
+    stats AS (
+        SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM pairs GROUP BY 1
+    )
+    SELECT CAST(lag AS INT) AS lag, n_pairs,
+           CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+               / NULLIF(sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)),
+                        0.0) AS acf
+    FROM stats ORDER BY lag
+"""
+
+
+# X210 supplier Jaccard similarity: identical per-part candidate
+# generation, integer common/degree counts, one division, same
+# deterministic total order at the LIMIT boundary
+EXT_ORACLE_SQL["graph_supplier_similarity"] = f"""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    deg AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM ps GROUP BY 1),
+    common AS (
+        SELECT a.l_suppkey AS s_a, b.l_suppkey AS s_b,
+               CAST(COUNT(*) AS BIGINT) AS common
+        FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
+                            AND a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {SIM_MIN_COMMON}
+    )
+    SELECT s_a, s_b, common, da.deg AS deg_a, db.deg AS deg_b,
+           CAST(common AS DOUBLE)
+               / CAST(da.deg + db.deg - common AS DOUBLE) AS jaccard
+    FROM common JOIN deg da ON da.l_suppkey = s_a
+                JOIN deg db ON db.l_suppkey = s_b
+    ORDER BY jaccard DESC, s_a, s_b
+    LIMIT {SIM_TOPK}
+"""
+
+
+# X211 Bloom FPR: identical md5 hash family, bit-set build, and
+# all-positions-set probe test; geometry constants interpolated
+EXT_ORACLE_SQL["sketch_bloom_fpr"] = f"""
+    WITH cust AS (
+        SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS item FROM customer
+    ),
+    hi AS (SELECT unnest(generate_series(0, {sketch.BLOOM_K - 1})) AS hi),
+    bits AS (
+        SELECT DISTINCT
+               CAST(concat('0x', substr(md5(item || ':'
+                    || CAST(hi AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % {sketch.BLOOM_M} AS pos
+        FROM cust CROSS JOIN hi
+    ),
+    probes AS (
+        SELECT 'p:' || CAST(i AS VARCHAR) AS item
+        FROM (SELECT unnest(generate_series(1, {BLOOM_PROBES})) AS i)
+    ),
+    ppos AS (
+        SELECT DISTINCT item,
+               CAST(concat('0x', substr(md5(item || ':'
+                    || CAST(hi AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % {sketch.BLOOM_M} AS pos
+        FROM probes CROSS JOIN hi
+    ),
+    per AS (
+        SELECT item,
+               MIN(CASE WHEN bits.pos IS NULL THEN 0 ELSE 1 END)
+                   AS all_set
+        FROM ppos LEFT JOIN bits ON bits.pos = ppos.pos
+        GROUP BY 1
+    ),
+    fp AS (SELECT CAST(SUM(all_set) AS BIGINT) AS n_false_positives
+           FROM per),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bits_set FROM bits),
+    nk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys FROM cust)
+    SELECT n_keys, CAST({sketch.BLOOM_M} AS BIGINT) AS m_bits,
+           CAST({sketch.BLOOM_K} AS INT) AS k_hashes, n_bits_set,
+           CAST(n_bits_set AS DOUBLE) / {float(sketch.BLOOM_M)!r}
+               AS fill_share,
+           CAST({BLOOM_PROBES} AS BIGINT) AS n_probes,
+           n_false_positives,
+           CAST(n_false_positives AS DOUBLE) / {float(BLOOM_PROBES)!r}
+               AS measured_fpr
+    FROM nk CROSS JOIN nb CROSS JOIN fp
+"""
+
+
+# X212 distance octaves: identical KMV-rule sample, quantized int64
+# distance arithmetic, bit-length octave binning
+EXT_ORACLE_SQL["emb_distance_octaves"] = f"""
+    WITH s AS (
+        SELECT vec_id, embedding FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {DIST_SAMPLE_N}
+    ),
+    comp AS (
+        SELECT vec_id, i,
+               CAST(ROUND(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT) AS qx
+        FROM (SELECT vec_id, unnest(embedding) AS x,
+                     unnest(generate_series(1, len(embedding))) AS i
+              FROM s)
+    ),
+    d2 AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               CAST(SUM((a.qx - b.qx) * (a.qx - b.qx)) AS BIGINT) AS d2q
+        FROM comp a JOIN comp b ON a.i = b.i AND a.vec_id < b.vec_id
+        GROUP BY 1, 2
+    ),
+    per AS (
+        SELECT CAST(len(bin(d2q)) - 1 AS INT) AS octave,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               MIN(d2q) AS mn, MAX(d2q) AS mx
+        FROM d2 GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS t FROM per)
+    SELECT octave, n_pairs,
+           CAST(mn AS DOUBLE) / 100000000.0 AS min_d2,
+           CAST(mx AS DOUBLE) / 100000000.0 AS max_d2,
+           CAST(n_pairs AS DOUBLE) / CAST(t AS DOUBLE) AS pair_share
+    FROM per CROSS JOIN tot ORDER BY octave
+"""
+
+
+# X213 nDCG@10: X166's per-query panel + the python-folded ppm
+# discount table as a CASE lookup — no libm log in either engine
+EXT_ORACLE_SQL["retrieval_eval_ndcg"] = f"""
+    WITH per AS ({{kie}}),
+    d AS (
+        SELECT CASE self_rank
+               {' '.join(f'WHEN {r} THEN {ppm}' for r, ppm in enumerate(NDCG_DISC_PPM, 1))}
+               ELSE 0 END AS ndcg_ppm
+        FROM per
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(ndcg_ppm) AS BIGINT) AS sum_ndcg_ppm,
+           CAST(SUM(ndcg_ppm) AS DOUBLE) / 1000000.0
+               / CAST(COUNT(*) AS DOUBLE) AS mean_ndcg_at_10
+    FROM d
+""".format(kie=EXT_ORACLE_SQL["retrieval_known_item_eval"])
+
+
+# X214 Pettitt: identical doubled-average-rank integer arithmetic
+EXT_ORACLE_SQL["events_pettitt_changepoint"] = """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ),
+    r AS (
+        SELECT day,
+               2 * RANK() OVER (ORDER BY c)
+                   + COUNT(*) OVER (PARTITION BY c) - 1 AS r2,
+               ROW_NUMBER() OVER (ORDER BY day) AS t,
+               COUNT(*) OVER () AS n
+        FROM daily
+    ),
+    u AS (
+        SELECT day,
+               CAST(SUM(r2) OVER (ORDER BY day) - t * (n + 1) AS BIGINT)
+                   AS u_stat,
+               t, CAST(n AS BIGINT) AS n_days
+        FROM r
+    )
+    SELECT n_days, day AS cp_day, u_stat,
+           CAST(ABS(u_stat) AS BIGINT) AS k_stat
+    FROM u WHERE t < n_days
+    ORDER BY k_stat DESC, cp_day LIMIT 1
+"""
+
+
+# X215 storage profile: identical 4+strlen byte model (the asset
+# synthesis contract), NTILE by the same deterministic order
+EXT_ORACLE_SQL["mm_storage_profile"] = f"""
+    WITH a AS (
+        SELECT doc_id AS asset_id, {{kind}} AS kind,
+               CAST(4 + strlen(text) AS BIGINT) AS n_bytes
+        FROM documents
+    ),
+    d AS (
+        SELECT kind,
+               NTILE(10) OVER (PARTITION BY kind
+                               ORDER BY n_bytes, asset_id) AS decile,
+               n_bytes
+        FROM a
+    ),
+    per AS (
+        SELECT kind, CAST(decile AS INT) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_assets,
+               CAST(MIN(n_bytes) AS BIGINT) AS min_bytes,
+               CAST(MAX(n_bytes) AS BIGINT) AS max_bytes,
+               CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+        FROM d GROUP BY 1, 2
+    ),
+    tot AS (SELECT kind, CAST(SUM(total_bytes) AS BIGINT) AS kt
+            FROM per GROUP BY 1)
+    SELECT per.kind, decile, n_assets, min_bytes, max_bytes, total_bytes,
+           CAST(total_bytes AS DOUBLE) / CAST(kt AS DOUBLE) AS byte_share
+    FROM per JOIN tot ON tot.kind = per.kind
+    ORDER BY per.kind, decile
+""".format(kind=_MM_KIND)
+
+
+# X219 Benford: identical cents quantization, string-head first digit,
+# python-folded expected-ppm table (no libm log in either engine)
+EXT_ORACLE_SQL["events_benford_audit"] = f"""
+    WITH q AS (
+        SELECT CAST(ROUND(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS q
+        FROM events
+        WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+    ),
+    d AS (
+        SELECT CAST(substr(CAST(q AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM q WHERE q > 0
+    ),
+    per AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_values
+        FROM d GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_values) AS BIGINT) AS t FROM per),
+    exp_t(digit, ppm) AS (VALUES {", ".join(f"({d}, {ppm})" for d, ppm in enumerate(BENFORD_PPM, 1))})
+    SELECT per.digit, n_values,
+           CAST(n_values AS DOUBLE) / CAST(t AS DOUBLE) AS observed_share,
+           CAST(ppm AS DOUBLE) / 1000000.0 AS benford_share,
+           CAST(n_values AS DOUBLE) / CAST(t AS DOUBLE)
+               - CAST(ppm AS DOUBLE) / 1000000.0 AS deviation
+    FROM per CROSS JOIN tot JOIN exp_t ON exp_t.digit = per.digit
+    ORDER BY per.digit
+"""
+
+
+# X217 band-bucket load: the SAME signature + banding CTEs the five
+# other MinHash oracles share, aggregated into the octave histogram
+EXT_ORACLE_SQL["dedup_band_load_octaves"] = f"""
+    WITH {_MINHASH_SIGS},
+    banded AS (
+        {_banded_sql('sigs')}
+    ),
+    bk AS (
+        SELECT b, band_key, CAST(COUNT(*) AS BIGINT) AS sz
+        FROM banded GROUP BY 1, 2
+    )
+    SELECT CAST(b AS INT) AS band,
+           CAST(len(bin(sz)) - 1 AS INT) AS octave,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS n_candidate_pairs
+    FROM bk GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+
+# X218 degree octaves: identical distinct-edge degree counts, both
+# bipartite sides, bit-length binning
+EXT_ORACLE_SQL["graph_degree_octaves"] = """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    degs AS (
+        SELECT 'supplier' AS side, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM ps GROUP BY l_suppkey
+        UNION ALL
+        SELECT 'part' AS side, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM ps GROUP BY l_partkey
+    )
+    SELECT side, CAST(len(bin(deg)) - 1 AS INT) AS octave,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(deg) AS BIGINT) AS total_degree
+    FROM degs GROUP BY 1, 2
+    ORDER BY 1, 2
 """

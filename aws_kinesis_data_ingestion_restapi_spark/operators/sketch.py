@@ -498,3 +498,34 @@ def kmv_jaccard_pairs(
             ).alias("est_jaccard"),
         )
     )
+
+
+#: Bloom-filter geometry for the FPR audit: m bits / k hash functions.
+#: 2^16 bits over ~n·k set positions keeps the fixture fill in the
+#: informative 10-60% band across SFs; both constants are interpolated
+#: into the generated oracle so the engines share one geometry.
+BLOOM_M = 1 << 16
+BLOOM_K = 4
+
+
+def bloom_positions(
+    items: DataFrame, item_col: str, m: int = BLOOM_M, k: int = BLOOM_K
+) -> DataFrame:
+    """The k bit positions of each item under the md5-derived hash
+    family h_i(x) = int(md5(x ':' i)[:15]) mod m — deterministic, so
+    both engines materialize the identical bit set (the audited
+    quantity is the FILTER's false-positive rate, not engine noise).
+    Output: (item, pos), one row per (item, hash index), duplicates
+    NOT collapsed (the caller chooses set- or probe-grain dedup).
+
+    Scale shape: a projection + k-way explode — the filter build is
+    one distinct over n·k ints; nothing ever re-shuffles the items."""
+    idx = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("hi")
+    with_i = items.select(F.col(item_col).alias("item"), idx)
+    h = F.md5(F.concat(F.col("item"), F.lit(":"), F.col("hi").cast("string")))
+    return with_i.select(
+        "item",
+        (
+            F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % F.lit(m)
+        ).alias("pos"),
+    )

@@ -550,6 +550,7 @@ from aws_kinesis_data_ingestion_restapi_spark.streaming.registry_stream import (
     streaming_payment_match,
     streaming_payment_match_full,
     streaming_payment_match_outer,
+    streaming_bloom_gate,
     streaming_boilerplate_gate,
     streaming_quality_gate,
     streaming_running_totals_final,
@@ -569,6 +570,7 @@ QUERY_FNS["streaming_fk_gate"] = streaming_fk_gate
 QUERY_FNS["streaming_decontamination_gate"] = streaming_decontamination_gate
 QUERY_FNS["streaming_quality_gate"] = streaming_quality_gate
 QUERY_FNS["streaming_boilerplate_gate"] = streaming_boilerplate_gate
+QUERY_FNS["streaming_bloom_gate"] = streaming_bloom_gate
 QUERY_FNS["streaming_running_totals_final"] = streaming_running_totals_final
 QUERY_FNS["streaming_enriched_nation_totals"] = streaming_enriched_nation_totals
 QUERY_FNS["streaming_payment_match"] = streaming_payment_match
@@ -2738,8 +2740,8 @@ ORACLE_SQL["streaming_value_quantiles"] = f"""
 # park stable, already-driver-verified, untouched baselines at the
 # tail, where falling past position 50 loses nothing.
 # --- BEGIN GENERATED GATE ORDER (scripts/gen_gate_head.py) ---
-# Window = 19 never-driver-checked additions + 8 changed
-# entries + the 23 stalest driver greens (last green in
+# Window = 32 never-driver-checked additions + 8 changed
+# entries + the 10 stalest driver greens (last green in
 # round(s) [6], from CORRECTNESS_r*.json). Regenerate with
 #   python scripts/gen_gate_head.py
 # (pytest runs --check; hand-edits here go stale and FAIL).
@@ -2771,6 +2773,19 @@ _GATE_HEAD = [
     "mm_phash_distance_histogram",  # last driver green: r0
     "docs_quality_by_length",  # last driver green: r0
     "events_user_gini",  # last driver green: r0
+    "customers_t_closeness",  # last driver green: r0
+    "orders_ship_latency",  # last driver green: r0
+    "events_hourly_acf",  # last driver green: r0
+    "graph_supplier_similarity",  # last driver green: r0
+    "sketch_bloom_fpr",  # last driver green: r0
+    "emb_distance_octaves",  # last driver green: r0
+    "retrieval_eval_ndcg",  # last driver green: r0
+    "events_pettitt_changepoint",  # last driver green: r0
+    "mm_storage_profile",  # last driver green: r0
+    "streaming_bloom_gate",  # last driver green: r0
+    "events_benford_audit",  # last driver green: r0
+    "dedup_band_load_octaves",  # last driver green: r0
+    "graph_degree_octaves",  # last driver green: r0
     "customers_without_urgent_orders",  # last driver green: r6
     "dedup_simhash_fingerprints",  # last driver green: r6
     "dedup_simhash_pairs",  # last driver green: r6
@@ -2781,19 +2796,6 @@ _GATE_HEAD = [
     "events_type_mode",  # last driver green: r6
     "events_type_value_quantiles",  # last driver green: r6
     "events_value_histogram",  # last driver green: r6
-    "events_variant_props",  # last driver green: r6
-    "fuzzy_customer_names",  # last driver green: r6
-    "incremental_sales_rollup",  # last driver green: r6
-    "pipeline_compaction",  # last driver green: r6
-    "pipeline_partition_scan",  # last driver green: r6
-    "profile_documents",  # last driver green: r6
-    "q10_returned_items",  # last driver green: r6
-    "q12_ship_delay_classes",  # last driver green: r6
-    "q5_local_supplier_volume",  # last driver green: r6
-    "q7_volume_shipping",  # last driver green: r6
-    "sales_pivot_by_priority",  # last driver green: r6
-    "salted_events_join",  # last driver green: r6
-    "salted_lineitem_agg",  # last driver green: r6
 ]
 _GATE_TAIL = [
     "ann_centroid_drift",  # last driver green: r11
@@ -3007,6 +3009,19 @@ _GATE_TAIL = [
     "text_model_quality",  # last driver green: r7
     "text_quality_sample",  # last driver green: r7
     "top_orders_per_customer",  # last driver green: r7
+    "events_variant_props",  # last driver green: r6
+    "fuzzy_customer_names",  # last driver green: r6
+    "incremental_sales_rollup",  # last driver green: r6
+    "pipeline_compaction",  # last driver green: r6
+    "pipeline_partition_scan",  # last driver green: r6
+    "profile_documents",  # last driver green: r6
+    "q10_returned_items",  # last driver green: r6
+    "q12_ship_delay_classes",  # last driver green: r6
+    "q5_local_supplier_volume",  # last driver green: r6
+    "q7_volume_shipping",  # last driver green: r6
+    "sales_pivot_by_priority",  # last driver green: r6
+    "salted_events_join",  # last driver green: r6
+    "salted_lineitem_agg",  # last driver green: r6
     "salted_priority_sales",  # last driver green: r6
     "sketch_distinct_trigrams",  # last driver green: r6
     "sketch_value_quantiles",  # last driver green: r6

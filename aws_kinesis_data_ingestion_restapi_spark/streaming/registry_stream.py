@@ -1321,8 +1321,67 @@ def _bp_gate_stages(spark: SparkSession, sf_dir: str):
     return hits, d
 
 
+def _bloom_probe_docs(spark: SparkSession, sf_dir: str):
+    """The X216 fixture pair: (retained corpus, probe batch). Retained
+    = the 70% doc_id head (the already-indexed corpus whose keys fold
+    into the Bloom bits); probes = the 30% delta (mostly fresh — any
+    flag is a measured false positive) UNION every 7th retained doc
+    re-delivered verbatim (engineered TRUE duplicates — the Bloom
+    no-false-negative guarantee makes flagging them mandatory)."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        _DELTA_PCT,
+        _docs,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    retained = docs.filter(F.col("doc_id") % 10 < _DELTA_PCT)
+    probes = docs.filter(F.col("doc_id") % 10 >= _DELTA_PCT).unionByName(
+        retained.filter(F.col("doc_id") % 7 == 0)
+    )
+    return retained, probes
+
+
+def _bloom_gate_stages(spark: SparkSession, sf_dir: str):
+    """The in-stream stages of :func:`streaming_bloom_gate`: arriving
+    documents hash into their BLOOM_K md5-derived bit positions (a
+    k-way explode — pure projection) and probe the STATIC bit set
+    built offline from the retained corpus (distinct positions —
+    2^16 bits ≈ 8 KB of state, BROADCAST; the whole point at 100 TB:
+    the corpus KEY SET cannot be broadcast, its Bloom fold can).
+    Set positions emit as (doc_id, hi) hits; the membership verdict
+    (all k hit) is a post-drain aggregate. Stateless. Returns
+    (hits, d)."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import sketch
+
+    retained, probes = _bloom_probe_docs(spark, sf_dir)
+    bits = (
+        sketch.bloom_positions(retained, "text")
+        .select("pos")
+        .distinct()
+    )
+    stream, d = _replayed_stream(
+        spark, probes, "doc_id bigint, text string", 2, "stream_bloom_"
+    )
+    idx = F.explode(
+        F.array(*[F.lit(i) for i in range(sketch.BLOOM_K)])
+    ).alias("hi")
+    h = F.md5(
+        F.concat(F.col("text"), F.lit(":"), F.col("hi").cast("string"))
+    )
+    ppos = stream.select("doc_id", "text", idx).select(
+        "doc_id",
+        "hi",
+        (
+            F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+            % F.lit(sketch.BLOOM_M)
+        ).alias("pos"),
+    )
+    hits = ppos.join(F.broadcast(bits), "pos").select("doc_id", "hi")
+    return hits, d
+
+
 #: (applicationId, sf_dir) -> {gate: drained memory table} for the
-#: four stateless intake gates (fk / er / dcn / qg)
+#: stateless intake gates (fk / er / dcn / qg / bp / bloom)
 _INTAKE_GATE_CACHE: dict = {}
 
 
@@ -1351,21 +1410,24 @@ def _intake_verdicts(spark: SparkSession, sf_dir: str, gate: str) -> DataFrame:
     # under the FAIR scheduler like the drains below do
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    with ThreadPoolExecutor(max_workers=5) as pool:
         f_fk = pool.submit(_fk_gate_stages, spark, sf_dir)
         f_doc = pool.submit(_doc_gate_stages, spark, sf_dir)
         f_er = pool.submit(_er_delta_stages, spark, sf_dir)
         f_bp = pool.submit(_bp_gate_stages, spark, sf_dir)
+        f_bloom = pool.submit(_bloom_gate_stages, spark, sf_dir)
         orphans, d_fk = f_fk.result()
         hits, scored, d_doc = f_doc.result()
         links, d_er, _ = f_er.result()
         bp_hits, d_bp = f_bp.result()
+        bloom_hits, d_bloom = f_bloom.result()
     staged = {
         "fk": orphans,
         "er": links,
         "dcn": hits,
         "qg": scored,
         "bp": bp_hits,
+        "bloom": bloom_hits,
     }
     queries: list = []
     ckpts: list[str] = []
@@ -1409,7 +1471,7 @@ def _intake_verdicts(spark: SparkSession, sf_dir: str, gate: str) -> DataFrame:
     finally:
         for ckpt in ckpts:
             shutil.rmtree(ckpt, ignore_errors=True)
-        for d in (d_fk, d_doc, d_er, d_bp):
+        for d in (d_fk, d_doc, d_er, d_bp, d_bloom):
             shutil.rmtree(d, ignore_errors=True)
     _INTAKE_GATE_CACHE[key] = tables
     return tables[gate]
@@ -1510,5 +1572,47 @@ def streaming_boilerplate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_boilerplate_lines"))
+        .orderBy("doc_id")
+    )
+
+
+def streaming_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X216: STREAMING Bloom pre-dedup gate — the sixth stateless
+    intake gate (dedup X115, ER X157, FK X175, decontamination X179,
+    quality X187, boilerplate X195) and the deployment shape of X211's
+    audited sketch: at 100 TB the corpus CONTENT-KEY SET cannot sit on
+    every ingest executor, but its Bloom fold (2^16 bits ≈ 8 KB) can —
+    arriving documents probe the broadcast bit set map-side and only
+    PROBABLE duplicates route onward to the exact X115/X90 check, so
+    the expensive path sees the ~fill^k fraction instead of the full
+    feed. Zero false negatives by the filter guarantee (every
+    engineered re-crawl MUST flag — pinned in pytest); false
+    positives are the measured, bounded cost (X211's audit is the
+    instrument that sizes m and k). Double delivery collapses on the
+    (doc, hash-index) key post-drain.
+
+    Drained through the shared intake harness (:func:`_intake_verdicts`).
+
+    Output: (doc_id, is_true_dup) per flagged probe — is_true_dup
+    joins the batch truth (text membership in the retained corpus),
+    so the row set separates caught re-crawls from false positives."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import sketch
+
+    drained = _intake_verdicts(spark, sf_dir, "bloom")
+    flagged = (
+        drained.distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_n_set"))
+        .filter(F.col("_n_set") == sketch.BLOOM_K)
+        .select("doc_id")
+    )
+    retained, probes = _bloom_probe_docs(spark, sf_dir)
+    truth = retained.select("text").distinct().withColumn(
+        "_m", F.lit(1)
+    )
+    return (
+        flagged.join(probes, "doc_id")
+        .join(truth, "text", "left")
+        .select("doc_id", F.col("_m").isNotNull().alias("is_true_dup"))
         .orderBy("doc_id")
     )

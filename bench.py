@@ -333,6 +333,19 @@ ANALYTICS_QUERIES = [
     "mm_phash_distance_histogram",
     "docs_quality_by_length",
     "events_user_gini",
+    "customers_t_closeness",
+    "orders_ship_latency",
+    "events_hourly_acf",
+    "graph_supplier_similarity",
+    "sketch_bloom_fpr",
+    "emb_distance_octaves",
+    "retrieval_eval_ndcg",
+    "events_pettitt_changepoint",
+    "mm_storage_profile",
+    "streaming_bloom_gate",
+    "events_benford_audit",
+    "dedup_band_load_octaves",
+    "graph_degree_octaves",
 ]
 
 
@@ -356,283 +369,291 @@ REF_BENCH_KEYS = {
 #: driver parses uses these, so ~80 entries fit its 2000-char capture
 #: at centisecond precision. 1:1, documented here and in BENCH_NOTES.
 BENCH_KEY_ALIASES = {
-    # round-8: the five previously-unaliased names + sales_cube, to
-    # keep the compact line <=1900 chars after this round's new
-    # queries (rename mapping in BENCH_NOTES "alias renames").
-    # round-12 additions (1:1, final line only)
-    "dedup_boilerplate_lines": "bpl",
-    "dedup_strip_boilerplate": "sbp",
-    "ann_topk_ivfpq_filtered": "ipf",
-    "ann_filtered_recall_audit": "fra",
-    "emb_semantic_contamination": "smc",
-    "dedup_decontaminate_semantic": "dds",
-    "text_vocab_coverage": "vcv",
-    "customers_l_diversity": "ldv",
-    "corpus_mixture_temperature": "mxt",
-    "streaming_boilerplate_gate": "sbg",
-    "dedup_source_vocab_overlap": "svo",
-    "warehouse_column_stats": "wcs",
-    "dedup_benchmark_canaries": "bcn",
-    "dedup_cluster_size_histogram": "csh",
-    "text_zipf_octaves": "zpf",
-    "events_interarrival_quantiles": "iaq",
-    "mm_phash_distance_histogram": "phd",
-    "docs_quality_by_length": "qbl",
-    "events_user_gini": "gin",
-    # round-11 additions (1:1, final line only)
-    "streaming_er_delta": "ser",
-    "docs_hll_distinct_audit": "hda",
-    "mm_video_near_dup": "vnd",
-    "customers_k_generalize": "kgn",
-    "retrieval_mmr_topk": "mmr",
-    "corpus_funnel_by_source": "fns",
-    "events_hll_users_daily": "hud",
-    "streaming_hll_users": "shl",
-    "mm_canonical_media": "cnm",
-    "retrieval_known_item_eval": "kie",
-    "retrieval_eval_mrr": "mrr",
-    "text_pii_extract": "pix",
-    "events_user_skew": "usk",
-    "warehouse_fk_audit": "fka",
-    "corpus_delete_apply": "dla",
-    "events_attribution_positional": "atp",
-    "events_seasonal_backtest": "snb",
-    "events_lateness_profile": "ltp",
-    "streaming_fk_gate": "sfg",
-    "events_trimmed_mean": "trm",
-    "warehouse_null_profile": "nlp",
-    "quality_scorer_agreement": "qsa",
-    "streaming_decontamination_gate": "sdg",
-    "events_user_cusum": "ucu",
-    "events_cms_users_daily": "cmd",
-    "ann_centroid_drift": "acd",
-    "corpus_mixture_actuals": "mxa",
-    "docs_language_confusion": "lcf",
-    "docs_pack_manifest": "pmf",
-    "events_weekly_profile": "wkp",
-    "streaming_quality_gate": "sqg",
-    "ref_country": "rfk",
-    "ref_products": "rfp",
-    "ref_clients": "rfc",
-    "ref_income": "rfi",
-    "ref_avg": "rfa",
-    "sales_cube": "cub",
-    "streaming_late_data_policy": "stl",
-    "streaming_value_quantiles": "stq",
-    "streaming_payment_match": "spy",
-    "streaming_dedup_replay": "sdd2",
-    "customers_without_urgent_orders": "atu",
-    "customers_with_urgent_orders": "smu",
-    "dedup_simhash_fingerprints": "sfp",
-    "sketch_distinct_trigrams": "skt",
-    "sql_lateral_top_orders": "lat",
-    "sql_above_average_orders": "aav",
-    "serving_last_write_wins": "lww",
-    "sales_pivot_by_priority": "piv",
-    "text_stratified_sample": "str",
-    "q12_ship_delay_classes": "q12",
-    "q17_small_quantity_revenue": "q17",
-    "q19_disjunctive_revenue": "q19",
-    "q22_dormant_customers": "q22",
-    # round-4 widening: 90 registry entries no longer fit the 2000-char
-    # capture at centisecond precision with full names — shorten the
-    # remaining long tail (still 1:1, final line only).
-    "q5_local_supplier_volume": "q5l",
-    "customer_running_spend": "rsp",
-    "events_sessionization": "ses",
-    "salted_priority_sales": "ssl",
-    "top_parts_by_revenue": "tpp",
-    "q3_shipping_priority": "q3s",
-    "fuzzy_customer_names": "fuz",
-    "dedup_canonical_docs": "can",
-    "events_tumbling_30s": "tmb",
-    "events_sliding_1h_15m": "sl1",
-    "text_pack_sequences": "tpk",
-    "dedup_exact_recrawl": "dex",
-    "dedup_ngram_jaccard": "ngr",
-    "dedup_simhash_pairs": "sh",
-    "dedup_contamination": "ctm",
-    "mm_extract_features": "mmf",
-    "asof_priority_rates": "aso",
-    "etl_derive_tables": "etl",
-    "curation_pipeline": "cur",
-    "events_json_props": "ejs",
-    "profile_documents": "prf",
-    "incremental_sales_rollup": "inr",
-    "dedup_minhash_lsh": "mh",
-    "dedup_incremental_delta": "inc",
-    "text_quality_score": "tq",
-    "text_language_id": "tlg",
-    "mm_resize_images": "mrz",
-    "mm_frame_sample": "mfr",
-    "cdc_snapshot_diff": "cdd",
-    "docs_expectations": "dxp",
-    "text_bm25_search": "b25",
-    "retrieval_hybrid_rrf": "rrf",
-    "events_rolling_hour_avg": "rav",
-    "events_ntile_quartiles": "ntl",
-    "events_value_outliers_mad": "emd",
-    "dedup_substring_hotspots": "sub",
-    "q4_late_order_priority": "q4l",
-    "q9_red_parts_profit": "q9p",
-    "q16_supplier_diversity": "q16",
-    "q21_late_sole_supplier": "q21",
-    "streaming_enriched_nation_totals": "sen",
-    "streaming_running_totals_final": "sru",
-    "pipeline_envelope_decode": "ple",
-    "pipeline_partition_scan": "plp",
-    "pipeline_streaming_drain": "pls",
-    "top_orders_per_customer": "tpo",
-    "events_value_histogram": "ehi",
-    "emb_near_dup_lsh_multi": "ndm",
-    "emb_near_dup_lsh": "ndl",
-    "ann_topk_brute": "anb",
-    "ann_topk_lsh": "als",
-    "ann_topk_ivf": "aiv",
-    "cdc_scd2_history": "sc2",
-    "streaming_session_windows": "sts",
-    "streaming_sliding_1h_15m": "ssw",
-    "streaming_drift_tvd": "sdf",
-    "customer_retention": "ret",
-    "payment_type_share": "psh",
-    "events_cohort_retention": "coh",
-    "text_quality_sample": "qsm",
-    "sales_yoy_full_outer": "yyf",
-    "graph_pagerank_suppliers": "pgr",
-    "graph_kcore_purchases": "kco",
-    "graph_communities_lpa": "lpa",
-    "sql_recursive_rollup": "rec",
-    "events_concurrency_curve": "cnc",
-    "events_transition_matrix": "trn",
-    "emb_pq_codes": "pqc",
-    "ann_topk_pq": "apq",
-    "ann_topk_ivfpq": "ipq",
-    # round-9 additions (final line only, 1:1)
-    "ann_topk_ivfpq_trained": "ipt",
-    "mm_canonical_assets": "mca",
-    "streaming_dedup_delta": "sdl",
-    "text_pack_bpe": "tpb",
-    "corpus_mixture_bpe": "mxb",
-    "dedup_exact_substring": "xsb",
-    "dedup_remove_substrings": "xrm",
-    # round-9 session-2 additions (X119-X123)
-    "text_lm_score": "lm",
-    "text_tfidf_search": "tfi",
-    # round-10 additions (final line only, 1:1)
-    "er_entity_ids": "eri",
-    "streaming_topk_users": "stk",
-    "events_cusum_changepoint": "csm",
-    "text_unigram_vocab": "ugv",
-    "text_unigram_segment": "ugs",
-    "streaming_cusum_gate": "scu",
-    "dedup_components_delta": "ccd",
-    "mm_afp_near_dup": "afp",
-    "docs_sample_fixed_per_lang": "spl",
-    "er_link_dirty_names": "eld",
-    "text_tokenizer_compare": "tkc",
-    "docs_split_leakage_audit": "slk",
-    "sketch_accuracy_audit": "ska",
-    "corpus_funnel_report": "cfr",  # was "fnl" (collided with events_funnel)
-    "customers_k_anonymity": "kan",
-    "scd2_point_in_time": "pit",
-    "text_phrase_search": "phr",
-    "corpus_content_hashes": "cch",
-    "docs_sample_weighted_k": "swk",
-    "events_user_anomalies": "uan",
-    "streaming_user_anomalies": "sua",
-    "ann_index_health": "ihl",
-    "retrieval_hybrid_rrf3": "rr3",
-    "docs_chunk_overlap": "chu",
-    "dedup_decontaminate": "dcn",
-    "emb_pca_power": "pca",
-    "emb_anisotropy_audit": "ani",
-    "ann_label_audit": "lba",
-    "ann_label_audit_clustered": "lbc",
-    "text_bpe_fertility": "frt",
-    "text_quality_ensemble": "qen",
-    "corpus_curriculum_plan": "cpl",
-    "events_ewma_daily": "ewm",
-    "docs_pack_chunks": "pkc",
-    "text_keywords": "kw",
-    "events_anomaly_days": "ano",
-    "dedup_chunks_exact": "chd",
-    "dedup_source_matrix": "smx",
+    # round-12 FULL regeneration to 2-char codes (the r11 backlog
+    # #2 'widen the alias map' option): 277 entries at 3-char codes
+    # overflowed the driver's 2000-char capture under the pinned
+    # pessimistic profile (2040 chars). Codes are deterministic
+    # (scripts-free regeneration documented in BENCH_NOTES; decode
+    # inverts THIS map at runtime, so older BENCH_r*.json lines
+    # decode with their own round's committed map). 1:1, no code
+    # shadows a registry name.
+    "ann_centroid_drift": "ac",
+    "ann_filtered_recall_audit": "af",
+    "ann_index_health": "ai",
+    "ann_label_audit": "al",
+    "ann_label_audit_clustered": "ad",
+    "ann_recall_audit": "ar",
+    "ann_recall_clustered": "re",
+    "ann_topk_brute": "at",
+    "ann_topk_ivf": "to",
+    "ann_topk_ivfpq": "aq",
+    "ann_topk_ivfpq_filtered": "an",
+    "ann_topk_ivfpq_trained": "aa",
+    "ann_topk_lsh": "ah",
+    "ann_topk_lsh_multi": "ab",
+    "ann_topk_pq": "ap",
+    "ann_truncation_audit": "tr",
+    "asof_priority_rates": "as",
+    "brand_basket_affinity": "bb",
+    "bucketed_sales_join": "bs",
+    "cdc_scd2_history": "cs",
+    "cdc_snapshot_diff": "cf",
+    "corpus_content_hashes": "cc",
+    "corpus_curriculum_plan": "cn",
+    "corpus_delete_apply": "cd",
+    "corpus_funnel_by_source": "ce",
+    "corpus_funnel_report": "ct",
+    "corpus_mixture_actuals": "cm",
+    "corpus_mixture_bpe": "cb",
+    "corpus_mixture_plan": "cp",
+    "corpus_mixture_temperature": "mi",
+    "curation_pipeline": "pi",
+    "curation_source_caps": "so",
+    "customer_retention": "cr",
     "customer_rfm_segments": "rf",
-    "events_active_users": "dw",
-    "q1_pricing_summary": "q1p",
-    "q7_volume_shipping": "q7v",
-    "q10_returned_items": "q10",
-    "q8_market_share": "q8m",
-    "q18_large_orders": "q18",
-    "sales_per_nation": "nsl",
-    "sales_rollup": "rup",
-    "events_type_mode": "tmo",
-    "text_fingerprint": "tfp",
-    "text_pii_redact": "pii",
-    "sketch_heavy_hitters": "cmh",
-    "sketch_value_quantiles": "qsk",
-    "events_type_value_quantiles": "qkg",
-    "events_drift_tvd": "tvd",
-    "parts_abc_analysis": "ab",
-    "brand_basket_affinity": "bsk",
-    "text_vocab_growth": "voc",
-    "text_ngram_novelty": "nov",
-    "text_bpe_merges": "bpe",
-    "text_bpe_segment": "bps",
-    "text_dsir_importance": "dsr",
-    "sales_monthly_yoy": "yym",
-    "q14_promo_revenue": "q14",
-    # round-5 additions (final line only, 1:1)
-    "q2_min_cost_supplier": "q2m",
-    "q6_forecast_revenue": "q6f",
-    "q11_important_parts": "q11",
-    "q13_order_count_distribution": "q13",
-    "q15_top_supplier": "q15",
-    "q20_promotion_suppliers": "q20",
-    "salted_events_join": "sjo",
-    "text_collocations": "col",
-    "emb_kmeans_step": "km",
-    "docs_sample_fixed": "fxk",
-    "docs_split_assign": "tvt",
-    "docs_split_leakage_safe": "tvs",
-    "corpus_mixture_plan": "mxp",
-    "events_value_hour_corr": "vhc",
-    "events_daily_trend": "dtr",
-    "streaming_payment_match_outer": "sto",
-    "streaming_payment_match_full": "stf",
-    "events_attribution": "atr",
-    # round-6 additions (final line only, 1:1)
-    "pipeline_compaction": "plc",
-    "salted_lineitem_agg": "sag",
-    "ann_recall_audit": "rca",
-    "ann_recall_clustered": "rcc",
-    "ann_truncation_audit": "tru",
-    "emb_hard_negatives": "hng",
-    "dedup_lsh_quality": "lsq",
-    "dedup_signal_agreement": "sga",
-    "events_zorder_scan": "zsc",
-    "ann_topk_lsh_multi": "alm",
-    "text_build_postings": "pst",
-    "text_model_quality": "ftq",
-    "curation_source_caps": "scp",
-    "graph_triangles_cosupply": "tri",
-    "emb_bitext_mine": "btx",
-    "bucketed_sales_join": "bkj",
-    "text_token_stats": "tks",
-    "dedup_components": "cmp",
-    "dedup_components_star": "cst",
-    "text_repetition": "rep",
-    "events_variant_props": "vrt",
-    "events_gapfill": "gpf",
-    "text_length_quantiles": "lnq",
-    "dedup_ensemble": "ens",
-    "dedup_semantic": "sdd",
-    "mm_asset_stats": "mst",
-    "mm_fingerprint": "mfp",
-    "mm_phash_near_dup": "mph",
-    "events_funnel": "fnl",
-    "events_daily_stats": "edy",
-    "events_range_follow": "erg",
+    "customer_running_spend": "ru",
+    "customers_k_anonymity": "ck",
+    "customers_k_generalize": "cg",
+    "customers_l_diversity": "cl",
+    "customers_t_closeness": "cu",
+    "customers_with_urgent_orders": "cw",
+    "customers_without_urgent_orders": "wi",
+    "dedup_band_load_octaves": "db",
+    "dedup_benchmark_canaries": "ds",
+    "dedup_boilerplate_lines": "dl",
+    "dedup_canonical_docs": "dc",
+    "dedup_chunks_exact": "dt",
+    "dedup_cluster_size_histogram": "dm",
+    "dedup_components": "co",
+    "dedup_components_delta": "da",
+    "dedup_components_star": "dr",
+    "dedup_contamination": "dn",
+    "dedup_decontaminate": "dd",
+    "dedup_decontaminate_semantic": "de",
+    "dedup_ensemble": "en",
+    "dedup_exact_recrawl": "ex",
+    "dedup_exact_substring": "dg",
+    "dedup_incremental_delta": "di",
+    "dedup_lsh_quality": "dy",
+    "dedup_minhash_lsh": "dh",
+    "dedup_ngram_jaccard": "dj",
+    "dedup_remove_substrings": "df",
+    "dedup_semantic": "se",
+    "dedup_signal_agreement": "si",
+    "dedup_simhash_fingerprints": "dk",
+    "dedup_simhash_pairs": "dp",
+    "dedup_source_matrix": "dx",
+    "dedup_source_vocab_overlap": "dv",
+    "dedup_strip_boilerplate": "st",
+    "dedup_substring_hotspots": "su",
+    "docs_chunk_overlap": "do",
+    "docs_expectations": "dq",
+    "docs_hll_distinct_audit": "hl",
+    "docs_language_confusion": "la",
+    "docs_pack_chunks": "pa",
+    "docs_pack_manifest": "du",
+    "docs_quality_by_length": "qu",
+    "docs_sample_fixed": "sa",
+    "docs_sample_fixed_per_lang": "dw",
+    "docs_sample_weighted_k": "dz",
+    "docs_split_assign": "sp",
+    "docs_split_leakage_audit": "d0",
+    "docs_split_leakage_safe": "d1",
+    "emb_anisotropy_audit": "ea",
+    "emb_bitext_mine": "eb",
+    "emb_distance_octaves": "ed",
+    "emb_hard_negatives": "eh",
+    "emb_kmeans_step": "ek",
+    "emb_near_dup_lsh": "ne",
+    "emb_near_dup_lsh_multi": "ei",
+    "emb_pca_power": "ep",
+    "emb_pq_codes": "es",
+    "emb_semantic_contamination": "ec",
+    "er_entity_ids": "ee",
+    "er_link_dirty_names": "el",
+    "etl_derive_tables": "et",
+    "events_active_users": "eu",
+    "events_anomaly_days": "ev",
+    "events_attribution": "ef",
+    "events_attribution_positional": "eg",
+    "events_benford_audit": "be",
+    "events_cms_users_daily": "ey",
+    "events_cohort_retention": "er",
+    "events_concurrency_curve": "ej",
+    "events_cusum_changepoint": "em",
+    "events_daily_stats": "eo",
+    "events_daily_trend": "eq",
+    "events_drift_tvd": "ew",
+    "events_ewma_daily": "ez",
+    "events_funnel": "fu",
+    "events_gapfill": "ga",
+    "events_hll_users_daily": "e0",
+    "events_hourly_acf": "ho",
+    "events_interarrival_quantiles": "in",
+    "events_json_props": "js",
+    "events_lateness_profile": "e1",
+    "events_ntile_quartiles": "nt",
+    "events_pettitt_changepoint": "pe",
+    "events_range_follow": "ra",
+    "events_rolling_hour_avg": "ro",
+    "events_seasonal_backtest": "e2",
+    "events_sessionization": "e3",
+    "events_sliding_1h_15m": "sl",
+    "events_transition_matrix": "e4",
+    "events_trimmed_mean": "e5",
+    "events_tumbling_30s": "tu",
+    "events_type_mode": "ty",
+    "events_type_value_quantiles": "e6",
+    "events_user_anomalies": "us",
+    "events_user_cusum": "e7",
+    "events_user_gini": "e8",
+    "events_user_skew": "e9",
+    "events_value_histogram": "va",
+    "events_value_hour_corr": "ae",
+    "events_value_outliers_mad": "ag",
+    "events_variant_props": "aj",
+    "events_weekly_profile": "we",
+    "events_zorder_scan": "zo",
+    "fuzzy_customer_names": "fc",
+    "graph_communities_lpa": "gc",
+    "graph_degree_octaves": "gd",
+    "graph_kcore_purchases": "gk",
+    "graph_pagerank_suppliers": "gp",
+    "graph_supplier_similarity": "gs",
+    "graph_triangles_cosupply": "gt",
+    "incremental_sales_rollup": "is",
+    "mm_afp_near_dup": "ma",
+    "mm_asset_stats": "ms",
+    "mm_canonical_assets": "mc",
+    "mm_canonical_media": "mm",
+    "mm_extract_features": "me",
+    "mm_fingerprint": "mf",
+    "mm_frame_sample": "fr",
+    "mm_phash_distance_histogram": "mp",
+    "mm_phash_near_dup": "mn",
+    "mm_resize_images": "mr",
+    "mm_storage_profile": "mb",
+    "mm_video_near_dup": "mv",
+    "orders_ship_latency": "os",
+    "parts_abc_analysis": "ps",
+    "payment_type_share": "pt",
+    "pipeline_compaction": "pc",
+    "pipeline_envelope_decode": "pd",
+    "pipeline_partition_scan": "pp",
+    "pipeline_streaming_drain": "pn",
+    "profile_documents": "pr",
+    "q10_returned_items": "qr",
+    "q11_important_parts": "qi",
+    "q12_ship_delay_classes": "qs",
+    "q13_order_count_distribution": "qo",
+    "q14_promo_revenue": "qp",
+    "q15_top_supplier": "qt",
+    "q16_supplier_diversity": "qy",
+    "q17_small_quantity_revenue": "qe",
+    "q18_large_orders": "ql",
+    "q19_disjunctive_revenue": "qd",
+    "q1_pricing_summary": "q1",
+    "q20_promotion_suppliers": "q2",
+    "q21_late_sole_supplier": "qa",
+    "q22_dormant_customers": "qc",
+    "q2_min_cost_supplier": "qm",
+    "q3_shipping_priority": "sh",
+    "q4_late_order_priority": "q4",
+    "q5_local_supplier_volume": "lo",
+    "q6_forecast_revenue": "qf",
+    "q7_volume_shipping": "qv",
+    "q8_market_share": "q8",
+    "q9_red_parts_profit": "q9",
+    "quality_scorer_agreement": "sc",
+    "ref_avg": "rg",
+    "ref_clients": "rc",
+    "ref_country": "ry",
+    "ref_income": "ri",
+    "ref_products": "rp",
+    "retrieval_eval_mrr": "rr",
+    "retrieval_eval_ndcg": "rn",
+    "retrieval_hybrid_rrf": "rh",
+    "retrieval_hybrid_rrf3": "r3",
+    "retrieval_known_item_eval": "rk",
+    "retrieval_mmr_topk": "rm",
+    "sales_cube": "sb",
+    "sales_monthly_yoy": "sm",
+    "sales_per_nation": "sn",
+    "sales_pivot_by_priority": "sy",
+    "sales_rollup": "sr",
+    "sales_yoy_full_outer": "sf",
+    "salted_events_join": "sj",
+    "salted_lineitem_agg": "sg",
+    "salted_priority_sales": "ss",
+    "scd2_point_in_time": "po",
+    "serving_last_write_wins": "sw",
+    "sketch_accuracy_audit": "sk",
+    "sketch_bloom_fpr": "bl",
+    "sketch_distinct_trigrams": "sd",
+    "sketch_heavy_hitters": "he",
+    "sketch_value_quantiles": "sv",
+    "sql_above_average_orders": "sq",
+    "sql_lateral_top_orders": "sx",
+    "sql_recursive_rollup": "sz",
+    "streaming_bloom_gate": "s0",
+    "streaming_boilerplate_gate": "bo",
+    "streaming_cusum_gate": "s1",
+    "streaming_decontamination_gate": "s2",
+    "streaming_dedup_delta": "s3",
+    "streaming_dedup_replay": "s4",
+    "streaming_drift_tvd": "s5",
+    "streaming_enriched_nation_totals": "s6",
+    "streaming_er_delta": "s7",
+    "streaming_fk_gate": "fk",
+    "streaming_hll_users": "s8",
+    "streaming_late_data_policy": "s9",
+    "streaming_payment_match": "ak",
+    "streaming_payment_match_full": "am",
+    "streaming_payment_match_outer": "ao",
+    "streaming_quality_gate": "au",
+    "streaming_running_totals_final": "av",
+    "streaming_session_windows": "aw",
+    "streaming_sliding_1h_15m": "ax",
+    "streaming_topk_users": "ay",
+    "streaming_user_anomalies": "az",
+    "streaming_value_quantiles": "a0",
+    "text_bm25_search": "tb",
+    "text_bpe_fertility": "tf",
+    "text_bpe_merges": "ts",
+    "text_bpe_segment": "tt",
+    "text_build_postings": "tp",
+    "text_collocations": "tc",
+    "text_dsir_importance": "td",
+    "text_fingerprint": "fi",
+    "text_keywords": "tk",
+    "text_language_id": "tl",
+    "text_length_quantiles": "tq",
+    "text_lm_score": "te",
+    "text_model_quality": "tm",
+    "text_ngram_novelty": "tn",
+    "text_pack_bpe": "ta",
+    "text_pack_sequences": "tg",
+    "text_phrase_search": "th",
+    "text_pii_extract": "ti",
+    "text_pii_redact": "tj",
+    "text_quality_ensemble": "tv",
+    "text_quality_sample": "tw",
+    "text_quality_score": "tx",
+    "text_repetition": "tz",
+    "text_stratified_sample": "t0",
+    "text_tfidf_search": "t1",
+    "text_token_stats": "t2",
+    "text_tokenizer_compare": "t3",
+    "text_unigram_segment": "un",
+    "text_unigram_vocab": "t4",
+    "text_vocab_coverage": "vo",
+    "text_vocab_growth": "t5",
+    "text_zipf_octaves": "zi",
+    "top_orders_per_customer": "or",
+    "top_parts_by_revenue": "t6",
+    "warehouse_column_stats": "wc",
+    "warehouse_fk_audit": "wf",
+    "warehouse_null_profile": "wn",
 }
 
 

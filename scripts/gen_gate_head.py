@@ -67,6 +67,19 @@ MUST_ROTATE = [
     "mm_phash_distance_histogram",  # X204 threshold-setting evidence
     "docs_quality_by_length",   # X205 quality-vs-length diagnostic
     "events_user_gini",         # X206 concentration (exact Gini)
+    "customers_t_closeness",    # X207 privacy-triad t-closeness
+    "orders_ship_latency",      # X208 fulfillment-latency quantiles
+    "events_hourly_acf",        # X209 hourly-volume autocorrelation
+    "graph_supplier_similarity",  # X210 Jaccard node-similarity join
+    "sketch_bloom_fpr",         # X211 Bloom false-positive audit
+    "emb_distance_octaves",     # X212 distance-threshold evidence
+    "retrieval_eval_ndcg",      # X213 graded-discount retrieval metric
+    "events_pettitt_changepoint",  # X214 nonparametric changepoint
+    "mm_storage_profile",       # X215 per-modality capacity deciles
+    "streaming_bloom_gate",     # X216 Bloom pre-dedup intake gate
+    "events_benford_audit",     # X219 first-digit fraud screen
+    "dedup_band_load_octaves",  # X217 LSH bucket-load health
+    "graph_degree_octaves",     # X218 degree power-law diagnostic
 ]
 
 

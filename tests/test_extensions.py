@@ -4785,3 +4785,559 @@ def test_gini_matches_python_and_extremes(spark):
 
     assert gini_of(eq) == 0.0
     assert gini_of(one) > 0.8
+
+
+def test_t_closeness_matches_python_recomputation(spark):
+    """X207 brute pin: per-level max binary-EMD recomputed in plain
+    python from the SAME release (k_generalize_apply output) +
+    sensitive flags, with the identical integer cross-multiplied
+    threshold test; t is a distance, so every value sits in [0, 1]."""
+    from collections import defaultdict
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        T_CLOSE_DEN,
+        customers_t_closeness,
+        k_generalize_apply,
+    )
+    from aws_kinesis_data_ingestion_restapi_spark.sources.tables import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cust = load_table(spark, sf, "customer")
+    sens = {r.c_custkey: r.c_acctbal < 0 for r in cust.collect()}
+    rel = [r for r in k_generalize_apply(cust).collect() if not r.suppressed]
+    cls = defaultdict(lambda: [0, 0])  # n_c, d_c
+    for r in rel:
+        key = (r.level, r.qi_nation, r.qi_segment, r.qi_band)
+        cls[key][0] += 1
+        cls[key][1] += sens[r.c_custkey]
+    big_n = sum(n for n, _ in cls.values())
+    big_d = sum(d for _, d in cls.values())
+    per_level = defaultdict(lambda: [0, 0.0, 0])  # n_classes, max_t, above
+    for key, (n_c, d_c) in cls.items():
+        lvl = key[0]
+        num = abs(d_c * big_n - big_d * n_c)
+        t = num / (n_c * big_n)
+        per_level[lvl][0] += 1
+        per_level[lvl][1] = max(per_level[lvl][1], t)
+        per_level[lvl][2] += T_CLOSE_DEN * num > n_c * big_n
+    got = {r.level: r for r in customers_t_closeness(spark, sf).collect()}
+    assert set(got) == set(per_level)
+    for lvl, (nc, mt, na) in per_level.items():
+        r = got[lvl]
+        assert (r.n_classes, r.n_above_t) == (nc, na)
+        assert r.max_t == mt
+        assert 0.0 <= r.max_t <= 1.0
+        assert r.above_share == na / nc
+
+
+def test_ship_latency_rank_quantiles_brute(spark):
+    """X208 brute pin: per-priority p50/p90/p99 recomputed by sorting
+    the exact day gaps in python and taking the value at rank
+    ceil(q*n/100) — the rank definition, no interpolation."""
+    import math
+    from collections import defaultdict
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        orders_ship_latency_quantiles,
+    )
+    from aws_kinesis_data_ingestion_restapi_spark.sources.tables import (
+        load_table,
+    )
+    import pyspark.sql.functions as F2
+
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority", F2.to_date("o_orderdate").alias("od")
+    )
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", F2.to_date("l_shipdate").alias("sd")
+    )
+    gaps = defaultdict(list)
+    for r in li.join(orders, li.l_orderkey == orders.o_orderkey).collect():
+        gaps[r.o_orderpriority].append((r.sd - r.od).days)
+    got = {
+        (r.o_orderpriority, r.q_pct): r
+        for r in orders_ship_latency_quantiles(spark, sf).collect()
+    }
+    for prio, xs in gaps.items():
+        xs.sort()
+        n = len(xs)
+        for q in (50, 90, 99):
+            want = xs[math.ceil(q * n / 100) - 1]
+            r = got[(prio, q)]
+            assert r.n_items == n
+            assert r.ship_days == want, (prio, q)
+    assert set(got) == {(p, q) for p in gaps for q in (50, 90, 99)}
+
+
+def test_hourly_acf_matches_python(spark):
+    """X209 brute pin: Pearson r per lag recomputed in plain python
+    from the exact hour-count series (same integer sufficient stats,
+    same one-double-division combination); every acf sits in [-1, 1]."""
+    import math
+    from collections import Counter
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        ACF_MAX_LAG_H,
+        events_hourly_acf,
+    )
+    from aws_kinesis_data_ingestion_restapi_spark.functions.exact import (
+        as_epoch_nanos,
+    )
+    from aws_kinesis_data_ingestion_restapi_spark.sources.tables import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = load_table(spark, sf, "events")
+    ns = [
+        r.ns
+        for r in e.select(as_epoch_nanos(e, "ts").alias("ns")).collect()
+    ]
+    hourly = Counter(v // 3_600_000_000_000 for v in ns)
+    got = {r.lag: r for r in events_hourly_acf(spark, sf).collect()}
+    for lag in range(1, ACF_MAX_LAG_H + 1):
+        pairs = [
+            (c, hourly[h + lag]) for h, c in hourly.items() if h + lag in hourly
+        ]
+        if not pairs:
+            assert lag not in got
+            continue
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        syy = sum(y * y for _, y in pairs)
+        den = math.sqrt(float(n * sxx - sx * sx)) * math.sqrt(
+            float(n * syy - sy * sy)
+        )
+        r = got[lag]
+        assert r.n_pairs == n
+        if den == 0.0:
+            assert r.acf is None
+        else:
+            assert r.acf == float(n * sxy - sx * sy) / den, lag
+            assert -1.0 <= r.acf <= 1.0
+
+
+def test_supplier_similarity_matches_python_topk(spark):
+    """X210 brute pin: Jaccard recomputed from the distinct
+    (part, supplier) set in python, same (jaccard DESC, s_a, s_b)
+    total order and LIMIT; candidates only through shared parts."""
+    from collections import defaultdict
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        SIM_MIN_COMMON,
+        SIM_TOPK,
+        graph_supplier_similarity,
+    )
+    from aws_kinesis_data_ingestion_restapi_spark.sources.tables import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ps = {
+        (r.l_partkey, r.l_suppkey)
+        for r in load_table(spark, sf, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .collect()
+    }
+    parts = defaultdict(set)
+    deg = defaultdict(int)
+    for p, s in ps:
+        parts[p].add(s)
+        deg[s] += 1
+    common = defaultdict(int)
+    for p, sups in parts.items():
+        sl = sorted(sups)
+        for i, a in enumerate(sl):
+            for b in sl[i + 1:]:
+                common[(a, b)] += 1
+    rows = []
+    for (a, b), c in common.items():
+        if c >= SIM_MIN_COMMON:
+            j = c / (deg[a] + deg[b] - c)
+            rows.append((-j, a, b, c, deg[a], deg[b], j))
+    rows.sort()
+    want = rows[:SIM_TOPK]
+    got = graph_supplier_similarity(spark, sf).collect()
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert (g.s_a, g.s_b, g.common, g.deg_a, g.deg_b) == w[1:6]
+        assert g.jaccard == w[6]
+        assert 0.0 < g.jaccard <= 1.0
+
+
+def test_bloom_fpr_matches_python_and_no_false_negatives(spark):
+    """X211 brute pin: the bit set and the false-positive count
+    recomputed with hashlib md5 in python; plus the Bloom GUARANTEE —
+    zero false negatives: every inserted key passes membership."""
+    import hashlib
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        BLOOM_PROBES,
+        sketch_bloom_fpr,
+    )
+    from aws_kinesis_data_ingestion_restapi_spark.operators.sketch import (
+        BLOOM_K,
+        BLOOM_M,
+    )
+    from aws_kinesis_data_ingestion_restapi_spark.sources.tables import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def positions(item):
+        return {
+            int(
+                hashlib.md5(f"{item}:{i}".encode()).hexdigest()[:15], 16
+            )
+            % BLOOM_M
+            for i in range(BLOOM_K)
+        }
+
+    keys = [
+        f"c:{r.c_custkey}"
+        for r in load_table(spark, sf, "customer").collect()
+    ]
+    bits = set()
+    for item in keys:
+        bits |= positions(item)
+    fp = sum(
+        positions(f"p:{i}") <= bits for i in range(1, BLOOM_PROBES + 1)
+    )
+    row = sketch_bloom_fpr(spark, sf).collect()[0]
+    assert row.n_keys == len(keys)
+    assert row.n_bits_set == len(bits)
+    assert row.n_false_positives == fp
+    assert row.measured_fpr == fp / BLOOM_PROBES
+    assert row.fill_share == len(bits) / BLOOM_M
+    # the guarantee: no inserted key can be reported absent
+    assert all(positions(item) <= bits for item in keys)
+
+
+def test_distance_octaves_matches_python_and_covers_all_pairs(spark):
+    """X212 brute pin: the sample (KMV md5 rule), quantized distances,
+    and octave histogram recomputed in python; histogram covers
+    exactly C(n,2) pairs."""
+    import hashlib
+    from collections import defaultdict
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        DIST_SAMPLE_N,
+        emb_distance_octaves,
+    )
+    from aws_kinesis_data_ingestion_restapi_spark.sources.tables import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    vecs = {
+        r.vec_id: list(r.embedding)
+        for r in load_table(spark, sf, "embeddings").collect()
+    }
+    sampled = sorted(
+        vecs, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v)
+    )[:DIST_SAMPLE_N]
+    q = {
+        v: [round(float(x) * 10000) for x in vecs[v]] for v in sampled
+    }
+    octs = defaultdict(lambda: [0, None, None])
+    n_pairs_total = 0
+    for i, a in enumerate(sorted(sampled)):
+        for b in sorted(sampled)[i + 1:]:
+            d2q = sum((xa - xb) ** 2 for xa, xb in zip(q[a], q[b]))
+            o = d2q.bit_length() - 1 if d2q > 0 else 0
+            octs[o][0] += 1
+            octs[o][1] = d2q if octs[o][1] is None else min(octs[o][1], d2q)
+            octs[o][2] = d2q if octs[o][2] is None else max(octs[o][2], d2q)
+            n_pairs_total += 1
+    got = {r.octave: r for r in emb_distance_octaves(spark, sf).collect()}
+    assert set(got) == set(octs)
+    assert sum(r.n_pairs for r in got.values()) == n_pairs_total
+    expected_n = min(len(vecs), DIST_SAMPLE_N)
+    assert n_pairs_total == expected_n * (expected_n - 1) // 2
+    for o, (n, mn, mx) in octs.items():
+        r = got[o]
+        assert r.n_pairs == n
+        assert r.min_d2 == mn / 1e8
+        assert r.max_d2 == mx / 1e8
+        assert r.pair_share == n / n_pairs_total
+
+
+def test_ndcg_discounts_and_python_recomputation(spark):
+    """X213 brute pin: the ppm discount table recomputed from
+    math.log2 (the one-time python fold); mean nDCG recomputed from
+    the X166 per-query panel; known-item degeneracy nDCG == discount;
+    rank-1-only panels give exactly 1.0."""
+    import math
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        NDCG_DISC_PPM,
+        retrieval_eval_ndcg,
+        retrieval_known_item_eval,
+    )
+
+    assert NDCG_DISC_PPM[0] == 1_000_000
+    for r, ppm in enumerate(NDCG_DISC_PPM, 1):
+        assert ppm == round(1_000_000 / math.log2(r + 1))
+    assert all(a > b for a, b in zip(NDCG_DISC_PPM, NDCG_DISC_PPM[1:]))
+
+    sf = "/root/testdata/sf0.001"
+    per = retrieval_known_item_eval(spark, sf).collect()
+    want_sum = sum(
+        NDCG_DISC_PPM[r.self_rank - 1] if r.self_rank else 0 for r in per
+    )
+    row = retrieval_eval_ndcg(spark, sf).collect()[0]
+    assert row.n_queries == len(per)
+    assert row.sum_ndcg_ppm == want_sum
+    assert row.mean_ndcg_at_10 == want_sum / 1e6 / len(per)
+    assert 0.0 <= row.mean_ndcg_at_10 <= 1.0
+    # MRR <= nDCG for the same panel (1/r <= 1/log2(1+r) for r >= 1)
+    mrr = sum(r.rr_ppm for r in per) / 1e6 / len(per)
+    assert mrr <= row.mean_ndcg_at_10 + 1e-12
+
+
+def test_pettitt_matches_python_and_finds_engineered_step(spark):
+    """X214 brute pin: U_t recomputed in python with the identical
+    doubled-average-rank arithmetic; plus the detection property on an
+    engineered step series — the argmax lands exactly at the step."""
+    from collections import Counter
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        events_pettitt_changepoint,
+    )
+    from aws_kinesis_data_ingestion_restapi_spark.functions.exact import (
+        as_timestamp,
+    )
+    from aws_kinesis_data_ingestion_restapi_spark.sources.tables import (
+        load_table,
+    )
+    import pyspark.sql.functions as F2
+
+    def pettitt(series):  # [(day, count)] chronological
+        vals = [c for _, c in series]
+        n = len(vals)
+        sorted_vals = sorted(vals)
+        first = {}
+        cnt = Counter(vals)
+        for i, v in enumerate(sorted_vals, 1):
+            first.setdefault(v, i)
+        r2 = [2 * first[v] + cnt[v] - 1 for v in vals]
+        best = None
+        s2 = 0
+        for t in range(1, n):
+            s2 += r2[t - 1]
+            u = s2 - t * (n + 1)
+            key = (-abs(u), series[t - 1][0])
+            if best is None or key < best[0]:
+                best = (key, series[t - 1][0], u, abs(u))
+        return n, best[1], best[2], best[3]
+
+    sf = "/root/testdata/sf0.001"
+    e = load_table(spark, sf, "events")
+    daily = sorted(
+        (r.day, r.c)
+        for r in e.select(
+            F2.to_date(F2.date_trunc("day", as_timestamp(e, "ts"))).alias(
+                "day"
+            )
+        )
+        .groupBy("day")
+        .agg(F2.count(F2.lit(1)).alias("c"))
+        .collect()
+    )
+    n, cp, u, k = pettitt(daily)
+    row = events_pettitt_changepoint(spark, sf).collect()[0]
+    assert (row.n_days, row.cp_day, row.u_stat, row.k_stat) == (n, cp, u, k)
+    # engineered step: 10 days at low counts, 10 at high
+    import datetime
+
+    d0 = datetime.date(2024, 1, 1)
+    step = [
+        (d0 + datetime.timedelta(days=i), 5 + (i % 2)) for i in range(10)
+    ] + [
+        (d0 + datetime.timedelta(days=10 + i), 50 + (i % 3))
+        for i in range(10)
+    ]
+    sn, scp, su, sk = pettitt(step)
+    assert scp == d0 + datetime.timedelta(days=9)  # last pre-step day
+    # all-low-then-all-high ranks give the closed-form maximum
+    # |U_10| = 2 * 10 * 10 / 2 ... = t*(n-t) * 2 / 2 = 100 doubled units
+    assert sk == 100
+    assert su == -100  # low ranks first => negative drift
+
+
+def test_storage_profile_matches_python(spark):
+    """X215 brute pin: deciles, byte ranges, and shares recomputed in
+    python with the identical (n_bytes, asset_id) NTILE order; decile
+    sizes differ by at most 1 and byte ranges are non-overlapping in
+    decile order."""
+    from collections import defaultdict
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        _docs,
+        mm_storage_profile,
+    )
+    from aws_kinesis_data_ingestion_restapi_spark.operators import multimodal
+    import pyspark.sql.functions as F2
+
+    sf = "/root/testdata/sf0.001"
+    assets = multimodal.synthesize_assets(_docs(spark, sf)).select(
+        "asset_id", "kind", F2.length("content").alias("n_bytes")
+    )
+    by_kind = defaultdict(list)
+    for r in assets.collect():
+        by_kind[r.kind].append((r.n_bytes, r.asset_id))
+    want = {}
+    for kind, rows in by_kind.items():
+        rows.sort()
+        n = len(rows)
+        base, extra = divmod(n, 10)
+        idx = 0
+        kt = sum(b for b, _ in rows)
+        for d in range(1, 11):
+            size = base + (1 if d <= extra else 0)
+            chunk = rows[idx: idx + size]
+            idx += size
+            if not chunk:
+                continue
+            bs = [b for b, _ in chunk]
+            want[(kind, d)] = (
+                len(chunk),
+                min(bs),
+                max(bs),
+                sum(bs),
+                sum(bs) / kt,
+            )
+    got = {
+        (r.kind, r.decile): (
+            r.n_assets,
+            r.min_bytes,
+            r.max_bytes,
+            r.total_bytes,
+            r.byte_share,
+        )
+        for r in mm_storage_profile(spark, sf).collect()
+    }
+    assert got == want
+    for kind in by_kind:
+        ds = sorted(d for k, d in got if k == kind)
+        for a, b in zip(ds, ds[1:]):
+            assert got[(kind, a)][2] <= got[(kind, b)][1]
+
+
+def test_benford_table_and_python_recomputation(spark):
+    """X219 brute pin: the expected-ppm table recomputed from
+    math.log10 (sums to ~10⁶); per-digit counts recomputed in python
+    with the identical cents quantization and string-head digit."""
+    import math
+    from collections import Counter
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        BENFORD_PPM,
+        events_benford_audit,
+    )
+    from aws_kinesis_data_ingestion_restapi_spark.sources.tables import (
+        load_table,
+    )
+
+    for d, ppm in enumerate(BENFORD_PPM, 1):
+        assert ppm == round(1_000_000 * math.log10(1 + 1 / d))
+    assert abs(sum(BENFORD_PPM) - 1_000_000) <= 5  # rounding slack
+    assert all(a > b for a, b in zip(BENFORD_PPM, BENFORD_PPM[1:]))
+
+    sf = "/root/testdata/sf0.001"
+    counts = Counter()
+    for r in load_table(spark, sf, "events").select("value").collect():
+        v = r.value
+        if v is None or v != v:
+            continue
+        # python round() is banker's; Spark/DuckDB ROUND is half-away —
+        # use the decimal-free half-away form on the exact double
+        q = math.floor(abs(float(v) * 100) + 0.5)
+        if q > 0:
+            counts[int(str(q)[0])] += 1
+    got = {r.digit: r for r in events_benford_audit(spark, sf).collect()}
+    t = sum(counts.values())
+    assert set(got) == set(counts)
+    for d, n in counts.items():
+        r = got[d]
+        assert r.n_values == n
+        assert r.observed_share == n / t
+        assert r.benford_share == BENFORD_PPM[d - 1] / 1e6
+        assert r.deviation == n / t - BENFORD_PPM[d - 1] / 1e6
+
+
+def test_band_load_octaves_matches_python_and_pair_mass(spark):
+    """X217 brute pin: bucket sizes recomputed from the operator's own
+    band frame; octaves and the exact pair mass re-derived in python;
+    total candidate-pair mass equals the sum over raw buckets."""
+    from collections import Counter, defaultdict
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators import dedup
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        _minhash_sigs,
+        dedup_band_load_octaves,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    bands = dedup.minhash_band_keys(_minhash_sigs(spark, sf)).collect()
+    sizes = Counter((r.band, r.band_key) for r in bands)
+    per = defaultdict(lambda: [0, 0, 0])
+    for (band, _), sz in sizes.items():
+        o = sz.bit_length() - 1
+        per[(band, o)][0] += 1
+        per[(band, o)][1] += sz
+        per[(band, o)][2] += sz * (sz - 1) // 2
+    got = {
+        (r.band, r.octave): (r.n_buckets, r.n_docs, r.n_candidate_pairs)
+        for r in dedup_band_load_octaves(spark, sf).collect()
+    }
+    assert got == {k: tuple(v) for k, v in per.items()}
+    total_pairs = sum(sz * (sz - 1) // 2 for sz in sizes.values())
+    assert sum(v[2] for v in got.values()) == total_pairs
+
+
+def test_degree_octaves_matches_python(spark):
+    """X218 brute pin: both sides' degree histograms recomputed from
+    the distinct edge set; total_degree sums to |edges| on each side."""
+    from collections import Counter, defaultdict
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        graph_degree_octaves,
+    )
+    from aws_kinesis_data_ingestion_restapi_spark.sources.tables import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ps = {
+        (r.l_partkey, r.l_suppkey)
+        for r in load_table(spark, sf, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .collect()
+    }
+    sdeg = Counter(s for _, s in ps)
+    pdeg = Counter(p for p, _ in ps)
+    want = defaultdict(lambda: [0, 0])
+    for name, degs in (("supplier", sdeg), ("part", pdeg)):
+        for deg in degs.values():
+            o = deg.bit_length() - 1
+            want[(name, o)][0] += 1
+            want[(name, o)][1] += deg
+    got = {
+        (r.side, r.octave): (r.n_nodes, r.total_degree)
+        for r in graph_degree_octaves(spark, sf).collect()
+    }
+    assert got == {k: tuple(v) for k, v in want.items()}
+    for name in ("supplier", "part"):
+        assert sum(
+            v[1] for (s, _), v in got.items() if s == name
+        ) == len(ps)

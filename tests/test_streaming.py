@@ -934,3 +934,72 @@ def test_streaming_boilerplate_gate_matches_batch_and_stays_stateless(spark):
     assert out, "gate must flag the planted template lines"
     # every delta doc carries exactly header+footer boilerplate here
     assert set(out.values()) == {2}
+
+
+def test_streaming_bloom_gate_matches_python_and_stays_stateless(spark):
+    """X216 pins: (a) the flagged set equals a python-hashlib
+    recomputation of the Bloom membership test; (b) the filter
+    GUARANTEE — every engineered re-crawl is flagged with
+    is_true_dup=True (zero false negatives); (c) the in-stream stages
+    analyze stateless (no aggregate, no dedup, no watermark — the
+    membership verdict aggregates post-drain only)."""
+    import hashlib
+    import shutil
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        _DELTA_PCT,
+        _docs,
+    )
+    from aws_kinesis_data_ingestion_restapi_spark.operators.sketch import (
+        BLOOM_K,
+        BLOOM_M,
+    )
+    from aws_kinesis_data_ingestion_restapi_spark.streaming import (
+        registry_stream as rs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def positions(text):
+        return [
+            int(
+                hashlib.md5(f"{text}:{i}".encode()).hexdigest()[:15], 16
+            )
+            % BLOOM_M
+            for i in range(BLOOM_K)
+        ]
+
+    docs = {
+        r.doc_id: r.text
+        for r in _docs(spark, sf).select("doc_id", "text").collect()
+    }
+    retained = {d: t for d, t in docs.items() if d % 10 < _DELTA_PCT}
+    probes = {d: t for d, t in docs.items() if d % 10 >= _DELTA_PCT}
+    recrawls = {d: t for d, t in retained.items() if d % 7 == 0}
+    probes.update(recrawls)
+    bits = set()
+    for t in retained.values():
+        bits.update(positions(t))
+    retained_texts = set(retained.values())
+    want = {
+        d: probes[d] in retained_texts
+        for d, t in probes.items()
+        if all(p in bits for p in positions(t))
+    }
+    got = {
+        r.doc_id: r.is_true_dup
+        for r in rs.streaming_bloom_gate(spark, sf).collect()
+    }
+    assert got == want
+    # (b) guarantee: every re-crawl flagged, and flagged true
+    for d in recrawls:
+        assert got.get(d) is True, d
+    # (c) statelessness of the in-stream stages
+    hits, d = rs._bloom_gate_stages(spark, sf)
+    try:
+        assert hits.isStreaming
+        plan = hits._jdf.queryExecution().analyzed().toString()
+        for stateful in ("Aggregate", "EventTimeWatermark"):
+            assert stateful not in plan, stateful
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
