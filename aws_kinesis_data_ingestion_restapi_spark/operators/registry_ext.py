@@ -2525,6 +2525,298 @@ def graph_degree_octaves(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_calibration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X220: scorer CALIBRATION matrix — the full contingency behind
+    X178's agreement scalar (a correlation can hide exactly the
+    disagreement that matters: the heuristic's top decile landing in
+    the LM's bottom one is how template spam survives a single-scorer
+    floor): documents decile-ranked by BOTH the X9 heuristic and the
+    X119 trained bigram LM, counted per (heuristic decile, LM decile)
+    cell. A diagonal-heavy matrix says one scorer suffices; off-
+    diagonal mass is the ensemble's (X125) reason to exist.
+
+    Determinism: heuristic deciles order by the ONCE-quantized score
+    (round(10⁶·s) int64 — the X205 idiom) then doc_id; LM deciles by
+    (lm_score, doc_id) where lm_score is the identical one-division
+    double in both engines. The matrix covers the scorers'
+    intersection (docs with ≥ 1 in-model bigram). Two windows over
+    doc-grain metadata + one aggregate — scan-shaped."""
+    q = text.quality_score(_docs(spark, sf_dir)).select(
+        "doc_id",
+        F.round(F.col("quality_score") * 1e6, 0).cast("long").alias("_qq"),
+    )
+    lm = text.lm_bigram_score(_docs(spark, sf_dir)).select(
+        "doc_id", "lm_score"
+    )
+    both = q.join(lm, "doc_id")
+    wq = Window.orderBy("_qq", "doc_id")
+    wl = Window.orderBy("lm_score", "doc_id")
+    decd = both.select(
+        F.ntile(10).over(wq).alias("q_decile"),
+        F.ntile(10).over(wl).alias("lm_decile"),
+    )
+    per = decd.groupBy("q_decile", "lm_decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tot = per.agg(F.sum("n_docs").cast("long").alias("_t"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "q_decile",
+            "lm_decile",
+            "n_docs",
+            (
+                F.col("n_docs").cast("double") / F.col("_t").cast("double")
+            ).alias("share"),
+        )
+        .orderBy("q_decile", "lm_decile")
+    )
+
+
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X221: funnel TIME-TO-CONVERT quantiles — the latency companion
+    to X47's stage counts (the counts say how many users convert;
+    this says how long each hop takes, which sets retargeting windows
+    and the sessionizer's attribution horizon): for every user who
+    reaches a stage under the funnel's strictly-after semantics (the
+    SAME first-event chain events_funnel computes), the exact
+    p50/p90/p99 of the hop gap. Gaps are exact epoch-microsecond
+    int64 differences ×1000 (micros→nanos exact); quantiles are the
+    rank definition over a distinct-gap cumulative (X26/X203/X208).
+    Three co-partitioned (user) aggregates build the chain — no
+    window over the fact table."""
+    e = load_table(spark, sf_dir, "events")
+    from aws_kinesis_data_ingestion_restapi_spark.functions.exact import (
+        as_timestamp,
+    )
+
+    base = e.select(
+        "user_id", "event_type", as_timestamp(e, "ts").alias("t")
+    )
+
+    def first_after(prev, etype, out):
+        cond = base.filter(F.col("event_type") == etype)
+        if prev is None:
+            return cond.groupBy("user_id").agg(F.min("t").alias(out))
+        pcol = prev.columns[-1]
+        return (
+            cond.join(prev, "user_id")
+            .filter(F.col("t") > F.col(pcol))
+            .groupBy("user_id")
+            .agg(F.min("t").alias(out))
+        )
+
+    s1 = first_after(None, "view", "t1")
+    s2 = first_after(s1, "click", "t2")
+    s3 = first_after(s2, "purchase", "t3")
+    # NTZ→timestamp cast is a pure reinterpretation under the pinned
+    # UTC session timezone (the as_epoch_nanos contract)
+    ns = lambda c: (  # noqa: E731
+        F.unix_micros(F.col(c).cast("timestamp")) * F.lit(1000).cast("long")
+    )
+    g1 = (
+        s2.join(s1, "user_id")
+        .select(
+            F.lit("1_view_to_click").alias("transition"),
+            (ns("t2") - ns("t1")).alias("gap_ns"),
+        )
+    )
+    g2 = (
+        s3.join(s2, "user_id")
+        .select(
+            F.lit("2_click_to_purchase").alias("transition"),
+            (ns("t3") - ns("t2")).alias("gap_ns"),
+        )
+    )
+    gaps = g1.unionByName(g2)
+    n = gaps.groupBy("transition").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    w = (
+        Window.partitionBy("transition")
+        .orderBy("gap_ns")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dv = (
+        gaps.groupBy("transition", "gap_ns")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .select(
+            F.col("transition").alias("_tr"),
+            "gap_ns",
+            F.sum("_c").over(w).alias("cum"),
+        )
+    )
+    q = spark.createDataFrame([(50,), (90,), (99,)], "q_pct int")
+    return (
+        n.crossJoin(F.broadcast(q))
+        .join(
+            dv,
+            (F.col("_tr") == F.col("transition"))
+            & (
+                F.lit(100) * F.col("cum")
+                >= F.col("q_pct").cast("long") * F.col("n_users")
+            ),
+        )
+        .groupBy("transition", "q_pct", "n_users")
+        .agg(
+            (F.min("gap_ns").cast("double") / F.lit(1e9)).alias(
+                "gap_seconds"
+            )
+        )
+        .select("transition", "q_pct", "n_users", "gap_seconds")
+        .orderBy("transition", "q_pct")
+    )
+
+
+#: X222 floor ladder in exact millionths: 0.1, 0.2, ... 0.9 — shared
+#: verbatim by the Spark sweep and the generated oracle
+FLOOR_SWEEP_PPM = tuple(100_000 * k for k in range(1, 10))
+
+
+def docs_quality_floor_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X222: quality-floor SENSITIVITY sweep — the measurement that
+    justifies (or indicts) the hard-coded QUALITY_FLOOR the intake
+    gate (X187) and the funnels (X148/X162) enforce, the same
+    measurement-behind-the-constant discipline as X204 (pHash d_max)
+    and X212 (distance thresholds): for each candidate floor, how
+    many documents and how much TOKEN MASS the corpus would lose. A
+    flat region around the current floor means the choice is robust;
+    a cliff means the constant is doing silent curation policy.
+
+    Exactness: scores quantize ONCE (round(10⁶·s) int64 — X205) and
+    the ladder lives in the SAME millionth domain (FLOOR_SWEEP_PPM),
+    so every comparison is integer; shares are one division each. One
+    scan + a 9-row broadcast cross join — scan-shaped."""
+    scored = text.quality_score(_docs(spark, sf_dir)).select(
+        F.round(F.col("quality_score") * 1e6, 0).cast("long").alias("_qq"),
+        F.col("n_tokens").cast("long").alias("_nt"),
+    )
+    tot = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_nt").cast("long").alias("_tok"),
+    )
+    ladder = spark.createDataFrame(
+        [(p,) for p in FLOOR_SWEEP_PPM], "floor_ppm long"
+    )
+    return (
+        scored.crossJoin(F.broadcast(ladder))
+        .groupBy("floor_ppm")
+        .agg(
+            F.sum(
+                F.when(F.col("_qq") < F.col("floor_ppm"), 1).otherwise(0)
+            ).cast("long").alias("n_rejected"),
+            F.sum(
+                F.when(F.col("_qq") < F.col("floor_ppm"), F.col("_nt"))
+                .otherwise(F.lit(0))
+            ).cast("long").alias("tokens_rejected"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "floor_ppm",
+            "n_rejected",
+            "tokens_rejected",
+            (
+                F.col("n_rejected").cast("double") / F.col("_n").cast("double")
+            ).alias("doc_reject_share"),
+            (
+                F.col("tokens_rejected").cast("double")
+                / F.col("_tok").cast("double")
+            ).alias("token_reject_share"),
+        )
+        .orderBy("floor_ppm")
+    )
+
+
+def warehouse_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X224: partition-layout advisor — the table a platform team
+    reads BEFORE picking a hive layout (the decision X75/K2 execute
+    and X93's Z-order refines): for each candidate partition key over
+    the events table, the partition count, row totals, min/max
+    partition sizes, and the skew ratio (max / mean) that predicts
+    both small-files pain (too many tiny partitions) and hot-partition
+    pain (one giant one). Exactness: all counts are integers; skew is
+    max·n_partitions / n_rows — ONE double division. Three map-side-
+    combined aggregates, metadata-scale output; this is precisely the
+    analysis the bench's own orders-layout deviation documents (bench
+    header note) — now available as a query instead of folklore."""
+    from aws_kinesis_data_ingestion_restapi_spark.functions.exact import (
+        as_timestamp,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.to_date(
+            F.date_trunc("day", as_timestamp(e, "ts"))
+        ).cast("string").alias("day"),
+    )
+    layouts = {
+        "1_by_event_type": [F.col("event_type")],
+        "2_by_day": [F.col("day")],
+        "3_by_type_day": [F.col("event_type"), F.col("day")],
+    }
+    out = None
+    for name, cols in layouts.items():
+        key = F.concat_ws("|", *cols)
+        per = base.select(key.alias("_pk")).groupBy("_pk").agg(
+            F.count(F.lit(1)).cast("long").alias("_n")
+        )
+        agg = per.agg(
+            F.lit(name).alias("layout"),
+            F.count(F.lit(1)).cast("long").alias("n_partitions"),
+            F.sum("_n").cast("long").alias("n_rows"),
+            F.min("_n").alias("min_rows"),
+            F.max("_n").alias("max_rows"),
+            (
+                (F.max("_n") * F.count(F.lit(1))).cast("double")
+                / F.sum("_n").cast("double")
+            ).alias("skew_ratio"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out.orderBy("layout")
+
+
+def emb_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X225: per-subspace PQ distortion audit — the compression-
+    quality breakdown behind X66's per-vector recon_err (the total
+    hides WHICH subspace dominates the quantization error; a lopsided
+    profile is exactly the motivation for OPQ's rotation and for
+    spending more centroids where the variance lives). Per subspace:
+    vector count, mean and max distortion, and the share of total
+    distortion — all from the SAME deterministic stride codebook and
+    exact scaled-int assignment as the PQ index itself (the audit
+    cannot disagree with the codes). Integer sums, one unscale
+    division per output column."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    subs, cents = similarity._pq_parts(emb, similarity.PQ_M, None, "vec_id")
+    assigned = similarity._pq_assign(subs, cents, "vec_id")
+    per = assigned.groupBy(F.col("sub").cast("int").alias("subspace")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum("best.d2").cast("long").alias("_sum_d2q"),
+        F.max("best.d2").cast("long").alias("_max_d2q"),
+    )
+    tot = per.agg(F.sum("_sum_d2q").cast("long").alias("_t"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "subspace",
+            "n_vectors",
+            (
+                F.col("_sum_d2q").cast("double")
+                / F.lit(1e8)
+                / F.col("n_vectors").cast("double")
+            ).alias("mean_distortion"),
+            (F.col("_max_d2q").cast("double") / F.lit(1e8)).alias(
+                "max_distortion"
+            ),
+            (
+                F.col("_sum_d2q").cast("double") / F.col("_t").cast("double")
+            ).alias("distortion_share"),
+        )
+        .orderBy("subspace")
+    )
+
+
 def corpus_content_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X152: order-insensitive CONTENT FINGERPRINT per table — the
     "data version" a reproducibility audit pins before/after a
@@ -6140,6 +6432,11 @@ EXT_QUERY_FNS = {
     "events_benford_audit": events_benford_audit,
     "dedup_band_load_octaves": dedup_band_load_octaves,
     "graph_degree_octaves": graph_degree_octaves,
+    "quality_calibration_matrix": quality_calibration_matrix,
+    "events_funnel_latency": events_funnel_latency,
+    "docs_quality_floor_sweep": docs_quality_floor_sweep,
+    "warehouse_partition_advisor": warehouse_partition_advisor,
+    "emb_pq_distortion": emb_pq_distortion,
     "corpus_content_hashes": corpus_content_hashes,
     "docs_sample_weighted_k": docs_sample_weighted_k,
     "events_user_anomalies": events_user_anomalies,
@@ -12259,4 +12556,222 @@ EXT_ORACLE_SQL["graph_degree_octaves"] = """
            CAST(SUM(deg) AS BIGINT) AS total_degree
     FROM degs GROUP BY 1, 2
     ORDER BY 1, 2
+"""
+
+
+# X220 calibration matrix: both scorer CTEs verbatim, identical
+# quantize-once / (score, doc_id) decile orders
+EXT_ORACLE_SQL["quality_calibration_matrix"] = """
+    WITH q AS ({quality}),
+    lm AS ({lm}),
+    b AS (
+        SELECT q.doc_id,
+               CAST(ROUND(quality_score * 1000000.0, 0) AS BIGINT) AS qq,
+               lm.lm_score
+        FROM q JOIN lm ON lm.doc_id = q.doc_id
+    ),
+    d AS (
+        SELECT NTILE(10) OVER (ORDER BY qq, doc_id) AS q_decile,
+               NTILE(10) OVER (ORDER BY lm_score, doc_id) AS lm_decile
+        FROM b
+    ),
+    per AS (
+        SELECT CAST(q_decile AS INT) AS q_decile,
+               CAST(lm_decile AS INT) AS lm_decile,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM d GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS t FROM per)
+    SELECT q_decile, lm_decile, n_docs,
+           CAST(n_docs AS DOUBLE) / CAST(t AS DOUBLE) AS share
+    FROM per CROSS JOIN tot ORDER BY 1, 2
+""".format(
+    quality=EXT_ORACLE_SQL["text_quality_score"],
+    lm=EXT_ORACLE_SQL["text_lm_score"],
+)
+
+
+# X221 funnel latency: the SAME strictly-after first-event chain as
+# the events_funnel oracle, then exact ns gaps + rank quantiles
+EXT_ORACLE_SQL["events_funnel_latency"] = """
+    WITH b AS (SELECT user_id, event_type, ts AS t FROM events),
+    s1 AS (
+        SELECT user_id, MIN(t) AS t1 FROM b
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+        SELECT b.user_id, MIN(t) AS t2 FROM b JOIN s1 USING (user_id)
+        WHERE event_type = 'click' AND t > t1 GROUP BY 1
+    ),
+    s3 AS (
+        SELECT b.user_id, MIN(t) AS t3 FROM b JOIN s2 USING (user_id)
+        WHERE event_type = 'purchase' AND t > t2 GROUP BY 1
+    ),
+    g AS (
+        SELECT '1_view_to_click' AS transition,
+               epoch_ns(t2) - epoch_ns(t1) AS gap_ns
+        FROM s2 JOIN s1 USING (user_id)
+        UNION ALL
+        SELECT '2_click_to_purchase',
+               epoch_ns(t3) - epoch_ns(t2)
+        FROM s3 JOIN s2 USING (user_id)
+    ),
+    n AS (SELECT transition, CAST(COUNT(*) AS BIGINT) AS n_users
+          FROM g GROUP BY 1),
+    dv AS (
+        SELECT transition, gap_ns,
+               SUM(COUNT(*)) OVER (PARTITION BY transition
+                                   ORDER BY gap_ns) AS cum
+        FROM g GROUP BY 1, 2
+    ),
+    q(q_pct) AS (VALUES (50), (90), (99))
+    SELECT n.transition, CAST(q.q_pct AS INT) AS q_pct, n.n_users,
+           CAST(MIN(dv.gap_ns) AS DOUBLE) / 1000000000.0 AS gap_seconds
+    FROM n CROSS JOIN q
+    JOIN dv ON dv.transition = n.transition
+           AND 100 * dv.cum >= q.q_pct * n.n_users
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2
+"""
+
+
+# X222 floor sweep: quantize-once scores, the SAME ppm ladder literal
+EXT_ORACLE_SQL["docs_quality_floor_sweep"] = """
+    WITH q AS ({quality}),
+    s AS (
+        SELECT CAST(ROUND(quality_score * 1000000.0, 0) AS BIGINT) AS qq,
+               CAST(n_tokens AS BIGINT) AS nt
+        FROM q
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(nt) AS BIGINT) AS tok FROM s),
+    ladder(floor_ppm) AS (VALUES {ladder}),
+    per AS (
+        SELECT floor_ppm,
+               CAST(SUM(CASE WHEN qq < floor_ppm THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_rejected,
+               CAST(SUM(CASE WHEN qq < floor_ppm THEN nt ELSE 0 END)
+                    AS BIGINT) AS tokens_rejected
+        FROM s CROSS JOIN ladder GROUP BY 1
+    )
+    SELECT CAST(floor_ppm AS BIGINT) AS floor_ppm, n_rejected,
+           tokens_rejected,
+           CAST(n_rejected AS DOUBLE) / CAST(n AS DOUBLE)
+               AS doc_reject_share,
+           CAST(tokens_rejected AS DOUBLE) / CAST(tok AS DOUBLE)
+               AS token_reject_share
+    FROM per CROSS JOIN tot ORDER BY floor_ppm
+""".format(
+    quality=EXT_ORACLE_SQL["text_quality_score"],
+    ladder=", ".join(f"({p})" for p in FLOOR_SWEEP_PPM),
+)
+
+
+# X223 streaming as-of enrichment: static replay — the SAME quote
+# synthesis as the X21 oracle, compiled to LEAD intervals, probed by
+# containment over the streamed 10% order slice
+EXT_ORACLE_SQL["streaming_asof_rates"] = """
+    WITH quotes AS (
+        SELECT p.o_orderpriority,
+               CAST(DATE '1995-01-01' + mm.m * INTERVAL 1 MONTH
+                    AS DATE) AS quote_date,
+               1.0 + ((mm.m * 7 + strlen(p.o_orderpriority)) % 13)
+                   / 100.0 AS rate
+        FROM (SELECT DISTINCT o_orderpriority FROM orders) p,
+             (SELECT unnest(generate_series(0, 83)) AS m) mm
+    ),
+    iv AS (
+        SELECT o_orderpriority, quote_date,
+               LEAD(quote_date) OVER (PARTITION BY o_orderpriority
+                                      ORDER BY quote_date) AS valid_to,
+               rate
+        FROM quotes
+    )
+    SELECT o.o_orderkey, o.o_orderpriority AS priority,
+           iv.quote_date, iv.rate
+    FROM orders o
+    JOIN iv ON o.o_orderpriority = iv.o_orderpriority
+           AND CAST(o.o_orderdate AS DATE) >= iv.quote_date
+           AND (iv.valid_to IS NULL
+                OR CAST(o.o_orderdate AS DATE) < iv.valid_to)
+    WHERE o.o_orderkey % 10 = 0
+    ORDER BY o.o_orderkey
+"""
+
+
+# X224 partition advisor: identical per-layout key aggregates
+EXT_ORACLE_SQL["warehouse_partition_advisor"] = """
+    WITH base AS (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+        FROM events
+    ),
+    l1 AS (SELECT event_type AS pk FROM base),
+    l2 AS (SELECT day AS pk FROM base),
+    l3 AS (SELECT event_type || '|' || day AS pk FROM base),
+    agg AS (
+        SELECT '1_by_event_type' AS layout, pk,
+               CAST(COUNT(*) AS BIGINT) AS n FROM l1 GROUP BY 2
+        UNION ALL
+        SELECT '2_by_day', pk, CAST(COUNT(*) AS BIGINT)
+        FROM l2 GROUP BY 2
+        UNION ALL
+        SELECT '3_by_type_day', pk, CAST(COUNT(*) AS BIGINT)
+        FROM l3 GROUP BY 2
+    )
+    SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_partitions,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(MIN(n) AS BIGINT) AS min_rows,
+           CAST(MAX(n) AS BIGINT) AS max_rows,
+           CAST(MAX(n) * COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+               AS skew_ratio
+    FROM agg GROUP BY 1 ORDER BY 1
+"""
+
+
+# X225 PQ distortion: the emb_pq_codes assignment CTEs, aggregated
+# per subspace instead of per vector
+EXT_ORACLE_SQL["emb_pq_distortion"] = f"""
+    WITH stride AS (
+        SELECT GREATEST(CAST(floor(sqrt(COUNT(*))) AS BIGINT), 1) AS s
+        FROM embeddings
+    ),
+    comp AS ({_COMP}),
+    dims AS (SELECT vec_id, len(embedding) AS d FROM embeddings),
+    subs AS (
+        SELECT c.vec_id,
+               CAST((c.i - 1) // (d.d // 4) AS INT) AS sub,
+               CAST((c.i - 1) % (d.d // 4) AS INT) AS pos,
+               c.qx
+        FROM comp c JOIN dims d USING (vec_id)
+        WHERE (c.i - 1) // (d.d // 4) < 4
+    ),
+    cd AS (
+        SELECT a.vec_id, a.sub, b.vec_id AS cell,
+               CAST(SUM((a.qx - b.qx) * (a.qx - b.qx)) AS BIGINT) AS d2
+        FROM subs a
+        JOIN subs b ON b.sub = a.sub AND b.pos = a.pos
+        WHERE b.vec_id % (SELECT s FROM stride) = 0
+        GROUP BY 1, 2, 3
+    ),
+    best AS (
+        SELECT vec_id, sub, cell, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d2, cell) AS rn
+        FROM cd
+    ),
+    per AS (
+        SELECT CAST(sub AS INT) AS subspace,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(SUM(d2) AS BIGINT) AS sum_d2q,
+               CAST(MAX(d2) AS BIGINT) AS max_d2q
+        FROM best WHERE rn = 1 GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(sum_d2q) AS BIGINT) AS t FROM per)
+    SELECT subspace, n_vectors,
+           CAST(sum_d2q AS DOUBLE) / 100000000.0
+               / CAST(n_vectors AS DOUBLE) AS mean_distortion,
+           CAST(max_d2q AS DOUBLE) / 100000000.0 AS max_distortion,
+           CAST(sum_d2q AS DOUBLE) / CAST(t AS DOUBLE) AS distortion_share
+    FROM per CROSS JOIN tot ORDER BY subspace
 """

@@ -550,6 +550,7 @@ from aws_kinesis_data_ingestion_restapi_spark.streaming.registry_stream import (
     streaming_payment_match,
     streaming_payment_match_full,
     streaming_payment_match_outer,
+    streaming_asof_rates,
     streaming_bloom_gate,
     streaming_boilerplate_gate,
     streaming_quality_gate,
@@ -571,6 +572,7 @@ QUERY_FNS["streaming_decontamination_gate"] = streaming_decontamination_gate
 QUERY_FNS["streaming_quality_gate"] = streaming_quality_gate
 QUERY_FNS["streaming_boilerplate_gate"] = streaming_boilerplate_gate
 QUERY_FNS["streaming_bloom_gate"] = streaming_bloom_gate
+QUERY_FNS["streaming_asof_rates"] = streaming_asof_rates
 QUERY_FNS["streaming_running_totals_final"] = streaming_running_totals_final
 QUERY_FNS["streaming_enriched_nation_totals"] = streaming_enriched_nation_totals
 QUERY_FNS["streaming_payment_match"] = streaming_payment_match
@@ -2740,8 +2742,8 @@ ORACLE_SQL["streaming_value_quantiles"] = f"""
 # park stable, already-driver-verified, untouched baselines at the
 # tail, where falling past position 50 loses nothing.
 # --- BEGIN GENERATED GATE ORDER (scripts/gen_gate_head.py) ---
-# Window = 32 never-driver-checked additions + 8 changed
-# entries + the 10 stalest driver greens (last green in
+# Window = 38 never-driver-checked additions + 8 changed
+# entries + the 4 stalest driver greens (last green in
 # round(s) [6], from CORRECTNESS_r*.json). Regenerate with
 #   python scripts/gen_gate_head.py
 # (pytest runs --check; hand-edits here go stale and FAIL).
@@ -2786,16 +2788,16 @@ _GATE_HEAD = [
     "events_benford_audit",  # last driver green: r0
     "dedup_band_load_octaves",  # last driver green: r0
     "graph_degree_octaves",  # last driver green: r0
+    "quality_calibration_matrix",  # last driver green: r0
+    "events_funnel_latency",  # last driver green: r0
+    "docs_quality_floor_sweep",  # last driver green: r0
+    "streaming_asof_rates",  # last driver green: r0
+    "warehouse_partition_advisor",  # last driver green: r0
+    "emb_pq_distortion",  # last driver green: r0
     "customers_without_urgent_orders",  # last driver green: r6
     "dedup_simhash_fingerprints",  # last driver green: r6
     "dedup_simhash_pairs",  # last driver green: r6
     "emb_near_dup",  # last driver green: r6
-    "emb_near_dup_lsh",  # last driver green: r6
-    "events_attribution",  # last driver green: r6
-    "events_sessionization",  # last driver green: r6
-    "events_type_mode",  # last driver green: r6
-    "events_type_value_quantiles",  # last driver green: r6
-    "events_value_histogram",  # last driver green: r6
 ]
 _GATE_TAIL = [
     "ann_centroid_drift",  # last driver green: r11
@@ -3009,6 +3011,12 @@ _GATE_TAIL = [
     "text_model_quality",  # last driver green: r7
     "text_quality_sample",  # last driver green: r7
     "top_orders_per_customer",  # last driver green: r7
+    "emb_near_dup_lsh",  # last driver green: r6
+    "events_attribution",  # last driver green: r6
+    "events_sessionization",  # last driver green: r6
+    "events_type_mode",  # last driver green: r6
+    "events_type_value_quantiles",  # last driver green: r6
+    "events_value_histogram",  # last driver green: r6
     "events_variant_props",  # last driver green: r6
     "fuzzy_customer_names",  # last driver green: r6
     "incremental_sales_rollup",  # last driver green: r6

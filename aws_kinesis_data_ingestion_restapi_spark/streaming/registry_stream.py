@@ -1576,6 +1576,108 @@ def streaming_boilerplate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rate_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The X223 static side: the X21 monthly rate quotes COMPILED into
+    non-overlapping validity intervals offline (valid_from = the quote
+    date, valid_to = the next quote's date via LEAD, NULL-open tail).
+    This compilation is the trick that makes streaming as-of
+    enrichment STATELESS: a raw as-of needs a per-key latest-match
+    (aggregation = stream state), an interval table needs only
+    containment — a pure stream-static inner join."""
+    orders = analytics._t(spark, sf_dir, "orders")
+    m = F.col("m")
+    quotes = (
+        orders.select("o_orderpriority")
+        .distinct()
+        .select(
+            "o_orderpriority",
+            F.explode(F.sequence(F.lit(0), F.lit(83))).alias("m"),
+        )
+        .select(
+            "o_orderpriority",
+            F.add_months(F.to_date(F.lit("1995-01-01")), m).alias(
+                "quote_date"
+            ),
+            (
+                F.lit(1.0)
+                + ((m * 7 + F.length("o_orderpriority")) % 13)
+                / F.lit(100.0)
+            ).alias("rate"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    nxt = W.partitionBy("o_orderpriority").orderBy("quote_date")
+    return quotes.withColumn(
+        "valid_to", F.lead("quote_date").over(nxt)
+    )
+
+
+def _asof_rate_stages(spark: SparkSession, sf_dir: str):
+    """In-stream stages of :func:`streaming_asof_rates`: arriving
+    orders (the deterministic 10% o_orderkey slice) join the broadcast
+    interval dimension by priority + date containment — non-equi
+    stream-static inner join, stateless. Returns (enriched, d)."""
+    orders = analytics._t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 10 == 0
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.to_date("o_orderdate").cast("string").alias("od"),
+    )
+    stream, d = _replayed_stream(
+        spark,
+        orders,
+        "o_orderkey bigint, o_orderpriority string, od string",
+        2,
+        "stream_asof_",
+    )
+    iv = _rate_intervals(spark, sf_dir)
+    s = stream.select(
+        "o_orderkey", "o_orderpriority", F.to_date("od").alias("odate")
+    )
+    enriched = (
+        s.join(
+            F.broadcast(iv),
+            (s.o_orderpriority == iv.o_orderpriority)
+            & (F.col("odate") >= F.col("quote_date"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("odate") < F.col("valid_to"))
+            ),
+        )
+        .select(
+            "o_orderkey",
+            s.o_orderpriority.alias("priority"),
+            "quote_date",
+            "rate",
+        )
+    )
+    return enriched, d
+
+
+def streaming_asof_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X223: STREAMING as-of enrichment — X21's point-in-time rate
+    lookup moved to the intake boundary (enrich-on-arrival is the
+    production shape: pricing, FX, and config dimensions are all
+    'latest version at event time'): the as-of dimension is COMPILED
+    offline into non-overlapping validity intervals
+    (:func:`_rate_intervals` — one LEAD window over the quote table),
+    and the stream probes it by containment, a stateless broadcast
+    join. A raw streaming as-of would need per-key latest-match state;
+    the interval compilation is what deletes that state — the same
+    offline-dimension discipline as the X195 boilerplate and X216
+    Bloom gates. Double delivery collapses on the (order, interval)
+    key post-drain; pytest pins row-identity against the batch X21
+    as-of join on the same slice and plan statelessness.
+
+    Output: (o_orderkey, priority, quote_date, rate) for the streamed
+    slice."""
+    enriched, d = _asof_rate_stages(spark, sf_dir)
+    drained = _drain(enriched, "append", "sasof", cleanup_dir=d)
+    return drained.distinct().orderBy("o_orderkey")
+
+
 def streaming_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X216: STREAMING Bloom pre-dedup gate — the sixth stateless
     intake gate (dedup X115, ER X157, FK X175, decontamination X179,

@@ -346,6 +346,12 @@ ANALYTICS_QUERIES = [
     "events_benford_audit",
     "dedup_band_load_octaves",
     "graph_degree_octaves",
+    "quality_calibration_matrix",
+    "events_funnel_latency",
+    "docs_quality_floor_sweep",
+    "streaming_asof_rates",
+    "warehouse_partition_advisor",
+    "emb_pq_distortion",
 ]
 
 
@@ -654,6 +660,12 @@ BENCH_KEY_ALIASES = {
     "warehouse_column_stats": "wc",
     "warehouse_fk_audit": "wf",
     "warehouse_null_profile": "wn",
+    "docs_quality_floor_sweep": "fw",
+    "events_funnel_latency": "fy",
+    "quality_calibration_matrix": "qx",
+    "emb_pq_distortion": "a2",
+    "streaming_asof_rates": "a1",
+    "warehouse_partition_advisor": "wp",
 }
 
 

@@ -80,6 +80,12 @@ MUST_ROTATE = [
     "events_benford_audit",     # X219 first-digit fraud screen
     "dedup_band_load_octaves",  # X217 LSH bucket-load health
     "graph_degree_octaves",     # X218 degree power-law diagnostic
+    "quality_calibration_matrix",  # X220 scorer contingency
+    "events_funnel_latency",    # X221 time-to-convert quantiles
+    "docs_quality_floor_sweep",  # X222 floor sensitivity evidence
+    "streaming_asof_rates",     # X223 stateless as-of enrichment
+    "warehouse_partition_advisor",  # X224 layout decision table
+    "emb_pq_distortion",        # X225 per-subspace PQ audit
 ]
 
 

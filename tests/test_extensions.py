@@ -5341,3 +5341,250 @@ def test_degree_octaves_matches_python(spark):
         assert sum(
             v[1] for (s, _), v in got.items() if s == name
         ) == len(ps)
+
+
+def test_calibration_matrix_matches_python(spark):
+    """X220 brute pin: both decile assignments and the cell counts
+    recomputed in python with the identical (key, doc_id) orders;
+    marginals are balanced (NTILE sizes differ by at most 1)."""
+    from collections import Counter
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators import text
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        _docs,
+        quality_calibration_matrix,
+    )
+    import pyspark.sql.functions as F2
+
+    sf = "/root/testdata/sf0.001"
+    q = {
+        r.doc_id: r.qq
+        for r in text.quality_score(_docs(spark, sf))
+        .select(
+            "doc_id",
+            F2.round(F2.col("quality_score") * 1e6, 0)
+            .cast("long")
+            .alias("qq"),
+        )
+        .collect()
+    }
+    lm = {
+        r.doc_id: r.lm_score
+        for r in text.lm_bigram_score(_docs(spark, sf)).collect()
+    }
+    both = sorted(set(q) & set(lm))
+
+    def deciles(order):
+        n = len(order)
+        base, extra = divmod(n, 10)
+        out = {}
+        idx = 0
+        for d in range(1, 11):
+            size = base + (1 if d <= extra else 0)
+            for doc in order[idx: idx + size]:
+                out[doc] = d
+            idx += size
+        return out
+
+    qd = deciles(sorted(both, key=lambda d: (q[d], d)))
+    ld = deciles(sorted(both, key=lambda d: (lm[d], d)))
+    want = Counter((qd[d], ld[d]) for d in both)
+    got = {
+        (r.q_decile, r.lm_decile): r
+        for r in quality_calibration_matrix(spark, sf).collect()
+    }
+    assert {k: r.n_docs for k, r in got.items()} == dict(want)
+    t = sum(want.values())
+    for k, r in got.items():
+        assert r.share == want[k] / t
+    for axis in (0, 1):
+        marg = Counter()
+        for (a, b), n in want.items():
+            marg[(a, b)[axis]] += n
+        assert max(marg.values()) - min(marg.values()) <= 1
+
+
+def test_funnel_latency_matches_python_and_funnel_counts(spark):
+    """X221 brute pin: the strictly-after first-event chain and the
+    rank quantiles recomputed in python; n_users per transition agrees
+    with events_funnel's stage counts (stage2 = transition-1 users)."""
+    import math
+    from collections import defaultdict
+
+    from aws_kinesis_data_ingestion_restapi_spark import analytics
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        events_funnel_latency,
+    )
+    from aws_kinesis_data_ingestion_restapi_spark.functions.exact import (
+        as_timestamp,
+    )
+    from aws_kinesis_data_ingestion_restapi_spark.sources.tables import (
+        load_table,
+    )
+    import pyspark.sql.functions as F2
+
+    sf = "/root/testdata/sf0.001"
+    e = load_table(spark, sf, "events")
+    rows = (
+        e.select(
+            "user_id",
+            "event_type",
+            (F2.unix_micros(as_timestamp(e, "ts").cast("timestamp")) * 1000)
+            .alias("ns"),
+        )
+        .collect()
+    )
+    per = defaultdict(list)
+    for r in rows:
+        per[r.user_id].append((r.event_type, r.ns))
+    t1, t2, t3 = {}, {}, {}
+    for u, evs in per.items():
+        views = [ns for et, ns in evs if et == "view"]
+        if not views:
+            continue
+        t1[u] = min(views)
+        clicks = [ns for et, ns in evs if et == "click" and ns > t1[u]]
+        if not clicks:
+            continue
+        t2[u] = min(clicks)
+        purchases = [
+            ns for et, ns in evs if et == "purchase" and ns > t2[u]
+        ]
+        if purchases:
+            t3[u] = min(purchases)
+    gaps = {
+        "1_view_to_click": sorted(t2[u] - t1[u] for u in t2),
+        "2_click_to_purchase": sorted(t3[u] - t2[u] for u in t3),
+    }
+    got = {
+        (r.transition, r.q_pct): r
+        for r in events_funnel_latency(spark, sf).collect()
+    }
+    for tr, xs in gaps.items():
+        n = len(xs)
+        for qp in (50, 90, 99):
+            r = got[(tr, qp)]
+            assert r.n_users == n
+            assert r.gap_seconds == xs[math.ceil(qp * n / 100) - 1] / 1e9
+    stage = {
+        r.stage: r.n_users
+        for r in analytics.events_funnel(spark, sf).collect()
+    }
+    assert stage["2_click"] == len(gaps["1_view_to_click"])
+    assert stage["3_purchase"] == len(gaps["2_click_to_purchase"])
+
+
+def test_floor_sweep_matches_python_and_is_monotone(spark):
+    """X222 brute pin: rejection counts and token mass recomputed in
+    python at every ladder floor; both reject curves are monotone
+    non-decreasing in the floor."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import text
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        FLOOR_SWEEP_PPM,
+        _docs,
+        docs_quality_floor_sweep,
+    )
+    import pyspark.sql.functions as F2
+
+    sf = "/root/testdata/sf0.001"
+    scored = [
+        (r.qq, r.n_tokens)
+        for r in text.quality_score(_docs(spark, sf))
+        .select(
+            F2.round(F2.col("quality_score") * 1e6, 0)
+            .cast("long")
+            .alias("qq"),
+            "n_tokens",
+        )
+        .collect()
+    ]
+    n = len(scored)
+    tok = sum(t for _, t in scored)
+    got = {r.floor_ppm: r for r in docs_quality_floor_sweep(spark, sf).collect()}
+    assert set(got) == set(FLOOR_SWEEP_PPM)
+    prev = (-1, -1)
+    for p in FLOOR_SWEEP_PPM:
+        nr = sum(1 for qq, _ in scored if qq < p)
+        tr_ = sum(t for qq, t in scored if qq < p)
+        r = got[p]
+        assert (r.n_rejected, r.tokens_rejected) == (nr, tr_)
+        assert r.doc_reject_share == nr / n
+        assert r.token_reject_share == tr_ / tok
+        assert (nr, tr_) >= prev
+        prev = (nr, tr_)
+
+
+def test_partition_advisor_matches_python(spark):
+    """X224 brute pin: per-layout partition stats recomputed in python
+    from the (event_type, day) projection; the composite layout has at
+    least as many partitions as either single-column layout."""
+    from collections import Counter
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        warehouse_partition_advisor,
+    )
+    from aws_kinesis_data_ingestion_restapi_spark.functions.exact import (
+        as_timestamp,
+    )
+    from aws_kinesis_data_ingestion_restapi_spark.sources.tables import (
+        load_table,
+    )
+    import pyspark.sql.functions as F2
+
+    sf = "/root/testdata/sf0.001"
+    e = load_table(spark, sf, "events")
+    rows = e.select(
+        "event_type",
+        F2.to_date(F2.date_trunc("day", as_timestamp(e, "ts")))
+        .cast("string")
+        .alias("day"),
+    ).collect()
+    layouts = {
+        "1_by_event_type": Counter(r.event_type for r in rows),
+        "2_by_day": Counter(r.day for r in rows),
+        "3_by_type_day": Counter(f"{r.event_type}|{r.day}" for r in rows),
+    }
+    got = {r.layout: r for r in warehouse_partition_advisor(spark, sf).collect()}
+    assert set(got) == set(layouts)
+    for name, c in layouts.items():
+        r = got[name]
+        assert r.n_partitions == len(c)
+        assert r.n_rows == len(rows)
+        assert r.min_rows == min(c.values())
+        assert r.max_rows == max(c.values())
+        assert r.skew_ratio == max(c.values()) * len(c) / len(rows)
+        assert r.skew_ratio >= 1.0
+    assert (
+        got["3_by_type_day"].n_partitions
+        >= max(got["1_by_event_type"].n_partitions, got["2_by_day"].n_partitions)
+    )
+
+
+def test_pq_distortion_matches_per_vector_recon_err(spark):
+    """X225 consistency pin: the per-subspace distortion sums equal
+    the per-vector recon_err totals from the SAME codebook (the audit
+    cannot disagree with the codes); shares sum to 1."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import similarity
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        emb_pq_distortion,
+    )
+    from aws_kinesis_data_ingestion_restapi_spark.sources.tables import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    per_vec = similarity.pq_encode(emb).collect()
+    total_err = sum(r.recon_err for r in per_vec)
+    rows = emb_pq_distortion(spark, sf).collect()
+    assert [r.subspace for r in rows] == [0, 1, 2, 3]
+    n_vecs = per_vec[0] and len(per_vec)
+    for r in rows:
+        assert r.n_vectors == n_vecs
+        assert r.max_distortion >= r.mean_distortion >= 0.0
+    # sums: mean * n recovers each subspace total; together ≈ the
+    # per-vector totals (same int sums, so equality is exact up to
+    # the one unscale division — compare in the quantized domain)
+    total_from_subs = sum(r.mean_distortion * r.n_vectors for r in rows)
+    assert abs(total_from_subs - total_err) < 1e-6 * max(1.0, total_err)
+    assert abs(sum(r.distortion_share for r in rows) - 1.0) < 1e-12

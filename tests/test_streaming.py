@@ -1003,3 +1003,56 @@ def test_streaming_bloom_gate_matches_python_and_stays_stateless(spark):
             assert stateful not in plan, stateful
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_asof_matches_batch_asof_and_stays_stateless(spark):
+    """X223 pins: (a) the drained interval-containment enrichment is
+    row-identical to the batch X21 as-of join on the same order
+    slice; (b) the in-stream stages analyze stateless (the LEAD
+    window lives on the STATIC side only)."""
+    import shutil
+
+    from aws_kinesis_data_ingestion_restapi_spark import analytics
+    from aws_kinesis_data_ingestion_restapi_spark.operators import asof
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        asof_priority_rates,
+    )
+    from aws_kinesis_data_ingestion_restapi_spark.streaming import (
+        registry_stream as rs,
+    )
+    import pyspark.sql.functions as F2
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.o_orderkey: (r.priority, r.quote_date, r.rate)
+        for r in rs.streaming_asof_rates(spark, sf).collect()
+    }
+    batch = {
+        r.o_orderkey: (
+            r.o_orderpriority,
+            r.quote_date,
+            r.rate,
+        )
+        for r in asof_priority_rates(spark, sf)
+        .filter(F2.col("o_orderkey") % 10 == 0)
+        .collect()
+    }
+    # the batch as-of emits quote_date as DATE; compare normalized
+    assert set(got) == set(batch)
+    for k, (p, qd, rate) in batch.items():
+        gp, gqd, grate = got[k]
+        assert gp == p and grate == rate
+        assert str(gqd) == str(qd)
+    # statelessness
+    enriched, d = rs._asof_rate_stages(spark, sf)
+    try:
+        assert enriched.isStreaming
+        plan = enriched._jdf.queryExecution().analyzed().toString()
+        # the STATIC side legitimately carries a batch Deduplicate (the
+        # distinct priority list) — the same exemption as the
+        # decontamination gate pin; stream-state risk is only
+        # aggregates/watermarks
+        for stateful in ("Aggregate", "EventTimeWatermark"):
+            assert stateful not in plan, stateful
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
