@@ -2817,6 +2817,142 @@ def emb_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X226: split BALANCE audit — the distributional companion to
+    X146's leakage audit (leakage asks "do near-dups straddle
+    splits"; this asks "does val/test still look like the corpus": a
+    5% split that under-samples a language silently turns every
+    per-language eval into an extrapolation). Per (split, lang): doc
+    count, the language's share WITHIN the split, its share in the
+    whole corpus, and the signed deviation — exact integer counts,
+    two divisions, one subtraction, identical in both engines. One
+    aggregate over the X80 assignment — metadata-scale."""
+    asg = sampling.train_val_test_split(_docs(spark, sf_dir))
+    per = asg.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    split_tot = per.groupBy("split").agg(
+        F.sum("n_docs").cast("long").alias("_st")
+    )
+    lang_tot = per.groupBy("lang").agg(
+        F.sum("n_docs").cast("long").alias("_lt")
+    )
+    grand = per.agg(F.sum("n_docs").cast("long").alias("_g"))
+    return (
+        per.join(F.broadcast(split_tot), "split")
+        .join(F.broadcast(lang_tot), "lang")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "split",
+            "lang",
+            "n_docs",
+            (
+                F.col("n_docs").cast("double") / F.col("_st").cast("double")
+            ).alias("split_share"),
+            (
+                F.col("_lt").cast("double") / F.col("_g").cast("double")
+            ).alias("corpus_share"),
+            (
+                F.col("n_docs").cast("double") / F.col("_st").cast("double")
+                - F.col("_lt").cast("double") / F.col("_g").cast("double")
+            ).alias("deviation"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+def events_session_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X227: session-SHAPE profile — the distribution behind X46's
+    session list (the list says how many sessions; this says what
+    they look like, which is what validates the 8-hour gap the
+    sessionizer hard-codes — the X204/X222 measurement-behind-the-
+    constant discipline applied to sessionization): sessions bucket
+    by the OCTAVE of their event count (X202's no-libm bins); per
+    octave: session count, event mass, and the exact min/max session
+    duration. Sessions form by the SAME lag/island arithmetic the
+    X46 oracle uses (gap ≥ 8h starts a new island); durations are
+    exact epoch-ns spans of actual events (not the +gap synthetic
+    end). One per-user window + two aggregates."""
+    from aws_kinesis_data_ingestion_restapi_spark.functions.exact import (
+        as_epoch_nanos,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    base = e.select("user_id", as_epoch_nanos(e, "ts").alias("ns"))
+    w = Window.partitionBy("user_id").orderBy("ns")
+    gap_ns = 8 * 3600 * 1_000_000_000
+    flagged = base.withColumn(
+        "_new",
+        F.when(
+            F.lag("ns").over(w).isNull()
+            | (F.col("ns") - F.lag("ns").over(w) >= F.lit(gap_ns)),
+            1,
+        ).otherwise(0),
+    )
+    sid = flagged.withColumn(
+        "_sid",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sess = sid.groupBy("user_id", "_sid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.max("ns") - F.min("ns")).alias("_span_ns"),
+    )
+    octave = (F.length(F.bin(F.col("n_events"))) - 1).cast("int")
+    return (
+        sess.select(octave.alias("octave"), "n_events", "_span_ns")
+        .groupBy("octave")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events_total"),
+            (F.min("_span_ns").cast("double") / F.lit(1e9)).alias(
+                "min_duration_s"
+            ),
+            (F.max("_span_ns").cast("double") / F.lit(1e9)).alias(
+                "max_duration_s"
+            ),
+        )
+        .orderBy("octave")
+    )
+
+
+def retrieval_margin_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X228: retrieval score-MARGIN profile — the confidence signal a
+    production retriever thresholds on (a top hit that barely beats
+    rank 2 is a coin flip; routing "answer vs ask-for-clarification"
+    on the margin is the standard trick): per known-item query, the
+    top-1 and top-2 BM25 scores, their margin, and whether the top
+    hit IS the known item — margins near zero with top_is_self=false
+    are exactly the queries X166 counts as misses that a margin
+    threshold would have abstained on. Rides the one-pass batch BM25
+    (X166's machinery); scores are the DECIMAL-summed doubles both
+    engines share, so the subtraction is bit-identical. Queries with
+    fewer than two scored docs drop (no margin exists)."""
+    docs = _docs(spark, sf_dir)
+    queries = _known_item_queries(docs)
+    ranked = text.bm25_rank_batch(docs, queries, top_n=2)
+    a = ranked.filter(F.col("rank") == 1).select(
+        "query_id",
+        F.col("doc_id").alias("_top_doc"),
+        F.col("score").alias("top_score"),
+    )
+    b = ranked.filter(F.col("rank") == 2).select(
+        "query_id", F.col("score").alias("second_score")
+    )
+    return (
+        a.join(b, "query_id")
+        .select(
+            "query_id",
+            "top_score",
+            "second_score",
+            (F.col("top_score") - F.col("second_score")).alias("margin"),
+            (F.col("_top_doc") == F.col("query_id")).alias("top_is_self"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def corpus_content_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X152: order-insensitive CONTENT FINGERPRINT per table — the
     "data version" a reproducibility audit pins before/after a
@@ -6437,6 +6573,9 @@ EXT_QUERY_FNS = {
     "docs_quality_floor_sweep": docs_quality_floor_sweep,
     "warehouse_partition_advisor": warehouse_partition_advisor,
     "emb_pq_distortion": emb_pq_distortion,
+    "docs_split_balance": docs_split_balance,
+    "events_session_profile": events_session_profile,
+    "retrieval_margin_profile": retrieval_margin_profile,
     "corpus_content_hashes": corpus_content_hashes,
     "docs_sample_weighted_k": docs_sample_weighted_k,
     "events_user_anomalies": events_user_anomalies,
@@ -12774,4 +12913,83 @@ EXT_ORACLE_SQL["emb_pq_distortion"] = f"""
            CAST(max_d2q AS DOUBLE) / 100000000.0 AS max_distortion,
            CAST(sum_d2q AS DOUBLE) / CAST(t AS DOUBLE) AS distortion_share
     FROM per CROSS JOIN tot ORDER BY subspace
+"""
+
+
+# X226 split balance: the X80 assignment CTE + three-level shares
+EXT_ORACLE_SQL["docs_split_balance"] = """
+    WITH asg AS ({asg}),
+    per AS (
+        SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM asg GROUP BY 1, 2
+    ),
+    st AS (SELECT split, CAST(SUM(n_docs) AS BIGINT) AS s
+           FROM per GROUP BY 1),
+    lt AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS l
+           FROM per GROUP BY 1),
+    g AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS gt FROM per)
+    SELECT per.split, per.lang, n_docs,
+           CAST(n_docs AS DOUBLE) / CAST(s AS DOUBLE) AS split_share,
+           CAST(l AS DOUBLE) / CAST(gt AS DOUBLE) AS corpus_share,
+           CAST(n_docs AS DOUBLE) / CAST(s AS DOUBLE)
+               - CAST(l AS DOUBLE) / CAST(gt AS DOUBLE) AS deviation
+    FROM per JOIN st ON st.split = per.split
+             JOIN lt ON lt.lang = per.lang
+             CROSS JOIN g
+    ORDER BY per.split, per.lang
+""".format(asg=EXT_ORACLE_SQL["docs_split_assign"])
+
+
+# X227 session profile: the SAME lag/island arithmetic as the X46
+# sessionization oracle, in exact epoch-ns, octave-binned
+EXT_ORACLE_SQL["events_session_profile"] = """
+    WITH o AS (
+        SELECT user_id, epoch_ns(ts) AS ns,
+               CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+                         OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w
+                            >= 28800000000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts))
+    ),
+    s AS (
+        SELECT user_id, ns,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ns
+                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o
+    ),
+    sess AS (
+        SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS n_events,
+               MAX(ns) - MIN(ns) AS span_ns
+        FROM s GROUP BY 1, 2
+    )
+    SELECT CAST(len(bin(n_events)) - 1 AS INT) AS octave,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events_total,
+           CAST(MIN(span_ns) AS DOUBLE) / 1000000000.0 AS min_duration_s,
+           CAST(MAX(span_ns) AS DOUBLE) / 1000000000.0 AS max_duration_s
+    FROM sess GROUP BY 1 ORDER BY 1
+"""
+
+
+# X228 margin profile: the kie oracle's shared prefix (tokenize/tf/
+# idf/per_q — sliced verbatim so the scoring can never drift), then
+# rank-1/rank-2 margins
+_KIE_PREFIX = EXT_ORACLE_SQL["retrieval_known_item_eval"].split(
+    "    top AS ("
+)[0]
+assert _KIE_PREFIX.rstrip().endswith("),"), "kie oracle shape changed"
+EXT_ORACLE_SQL["retrieval_margin_profile"] = _KIE_PREFIX + """ranked AS (
+        SELECT query_id, doc_id, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rank
+        FROM per_q
+    )
+    SELECT a.query_id, a.score AS top_score, b.score AS second_score,
+           a.score - b.score AS margin,
+           (a.doc_id = a.query_id) AS top_is_self
+    FROM ranked a JOIN ranked b ON b.query_id = a.query_id
+                              AND b.rank = 2
+    WHERE a.rank = 1
+    ORDER BY a.query_id
 """

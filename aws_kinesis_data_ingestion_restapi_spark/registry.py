@@ -2742,8 +2742,8 @@ ORACLE_SQL["streaming_value_quantiles"] = f"""
 # park stable, already-driver-verified, untouched baselines at the
 # tail, where falling past position 50 loses nothing.
 # --- BEGIN GENERATED GATE ORDER (scripts/gen_gate_head.py) ---
-# Window = 38 never-driver-checked additions + 8 changed
-# entries + the 4 stalest driver greens (last green in
+# Window = 41 never-driver-checked additions + 8 changed
+# entries + the 1 stalest driver greens (last green in
 # round(s) [6], from CORRECTNESS_r*.json). Regenerate with
 #   python scripts/gen_gate_head.py
 # (pytest runs --check; hand-edits here go stale and FAIL).
@@ -2794,10 +2794,10 @@ _GATE_HEAD = [
     "streaming_asof_rates",  # last driver green: r0
     "warehouse_partition_advisor",  # last driver green: r0
     "emb_pq_distortion",  # last driver green: r0
+    "docs_split_balance",  # last driver green: r0
+    "events_session_profile",  # last driver green: r0
+    "retrieval_margin_profile",  # last driver green: r0
     "customers_without_urgent_orders",  # last driver green: r6
-    "dedup_simhash_fingerprints",  # last driver green: r6
-    "dedup_simhash_pairs",  # last driver green: r6
-    "emb_near_dup",  # last driver green: r6
 ]
 _GATE_TAIL = [
     "ann_centroid_drift",  # last driver green: r11
@@ -3011,6 +3011,9 @@ _GATE_TAIL = [
     "text_model_quality",  # last driver green: r7
     "text_quality_sample",  # last driver green: r7
     "top_orders_per_customer",  # last driver green: r7
+    "dedup_simhash_fingerprints",  # last driver green: r6
+    "dedup_simhash_pairs",  # last driver green: r6
+    "emb_near_dup",  # last driver green: r6
     "emb_near_dup_lsh",  # last driver green: r6
     "events_attribution",  # last driver green: r6
     "events_sessionization",  # last driver green: r6

@@ -352,6 +352,9 @@ ANALYTICS_QUERIES = [
     "streaming_asof_rates",
     "warehouse_partition_advisor",
     "emb_pq_distortion",
+    "docs_split_balance",
+    "events_session_profile",
+    "retrieval_margin_profile",
 ]
 
 
@@ -666,6 +669,9 @@ BENCH_KEY_ALIASES = {
     "emb_pq_distortion": "a2",
     "streaming_asof_rates": "a1",
     "warehouse_partition_advisor": "wp",
+    "docs_split_balance": "a3",
+    "events_session_profile": "a4",
+    "retrieval_margin_profile": "a5",
 }
 
 

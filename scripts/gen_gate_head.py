@@ -86,6 +86,9 @@ MUST_ROTATE = [
     "streaming_asof_rates",     # X223 stateless as-of enrichment
     "warehouse_partition_advisor",  # X224 layout decision table
     "emb_pq_distortion",        # X225 per-subspace PQ audit
+    "docs_split_balance",       # X226 split distribution audit
+    "events_session_profile",   # X227 session-shape distribution
+    "retrieval_margin_profile",  # X228 score-margin confidence
 ]
 
 

@@ -5588,3 +5588,127 @@ def test_pq_distortion_matches_per_vector_recon_err(spark):
     total_from_subs = sum(r.mean_distortion * r.n_vectors for r in rows)
     assert abs(total_from_subs - total_err) < 1e-6 * max(1.0, total_err)
     assert abs(sum(r.distortion_share for r in rows) - 1.0) < 1e-12
+
+
+def test_split_balance_matches_python(spark):
+    """X226 brute pin: shares recomputed in python from the split
+    assignment; per-split deviations sum to ~0 (shares are a
+    probability decomposition)."""
+    from collections import Counter
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators import sampling
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        _docs,
+        docs_split_balance,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    asg = sampling.train_val_test_split(_docs(spark, sf)).collect()
+    per = Counter((r.split, r.lang) for r in asg)
+    st = Counter(r.split for r in asg)
+    lt = Counter(r.lang for r in asg)
+    g = len(asg)
+    got = {
+        (r.split, r.lang): r for r in docs_split_balance(spark, sf).collect()
+    }
+    assert set(got) == set(per)
+    for (s, l), n in per.items():
+        r = got[(s, l)]
+        assert r.n_docs == n
+        assert r.split_share == n / st[s]
+        assert r.corpus_share == lt[l] / g
+        assert r.deviation == n / st[s] - lt[l] / g
+    for s in st:
+        dev_sum = sum(r.deviation for (sp, _), r in got.items() if sp == s)
+        assert abs(dev_sum) < 1e-12
+
+
+def test_session_profile_matches_python(spark):
+    """X227 brute pin: islands, octaves, and spans recomputed in
+    python with the identical >= 8h gap rule; total events across
+    octaves equals the event count."""
+    from collections import defaultdict
+
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        events_session_profile,
+    )
+    from aws_kinesis_data_ingestion_restapi_spark.functions.exact import (
+        as_epoch_nanos,
+    )
+    from aws_kinesis_data_ingestion_restapi_spark.sources.tables import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = load_table(spark, sf, "events")
+    per_user = defaultdict(list)
+    for r in e.select(
+        "user_id", as_epoch_nanos(e, "ts").alias("ns")
+    ).collect():
+        per_user[r.user_id].append(r.ns)
+    gap = 8 * 3600 * 10**9
+    octs = defaultdict(lambda: [0, 0, None, None])
+    n_events_all = 0
+    for u, tss in per_user.items():
+        tss.sort()
+        sessions = []
+        cur = [tss[0]]
+        for a, b in zip(tss, tss[1:]):
+            if b - a >= gap:
+                sessions.append(cur)
+                cur = [b]
+            else:
+                cur.append(b)
+        sessions.append(cur)
+        for s in sessions:
+            n = len(s)
+            o = n.bit_length() - 1
+            span = s[-1] - s[0]
+            rec = octs[o]
+            rec[0] += 1
+            rec[1] += n
+            rec[2] = span if rec[2] is None else min(rec[2], span)
+            rec[3] = span if rec[3] is None else max(rec[3], span)
+            n_events_all += n
+    got = {r.octave: r for r in events_session_profile(spark, sf).collect()}
+    assert set(got) == set(octs)
+    assert sum(r.n_events_total for r in got.values()) == n_events_all
+    for o, (ns_, ne, mn, mx) in octs.items():
+        r = got[o]
+        assert (r.n_sessions, r.n_events_total) == (ns_, ne)
+        assert r.min_duration_s == mn / 1e9
+        assert r.max_duration_s == mx / 1e9
+
+
+def test_margin_profile_consistent_with_known_item_eval(spark):
+    """X228 pins: margins are non-negative (rank 1 outscores rank 2 by
+    the ranking order); top_is_self=True exactly when X166 reports
+    self_rank == 1; the margin recomputes from the batch BM25 ranks."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import text
+    from aws_kinesis_data_ingestion_restapi_spark.operators.registry_ext import (
+        _docs,
+        _known_item_queries,
+        retrieval_known_item_eval,
+        retrieval_margin_profile,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.query_id: r for r in retrieval_margin_profile(spark, sf).collect()}
+    kie = {
+        r.query_id: r for r in retrieval_known_item_eval(spark, sf).collect()
+    }
+    docs = _docs(spark, sf)
+    ranked = text.bm25_rank_batch(
+        docs, _known_item_queries(docs), top_n=2
+    ).collect()
+    by_q = {}
+    for r in ranked:
+        by_q.setdefault(r.query_id, {})[r.rank] = r
+    for q, r in got.items():
+        assert r.margin >= 0.0
+        assert r.margin == r.top_score - r.second_score
+        assert r.top_score == by_q[q][1].score
+        assert r.second_score == by_q[q][2].score
+        assert r.top_is_self == (kie[q].self_rank == 1)
+    # every query with >= 2 scored docs appears
+    assert set(got) == {q for q, rr in by_q.items() if 2 in rr}
