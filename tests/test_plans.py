@@ -1163,3 +1163,53 @@ def test_filtered_ann_pushes_allowed_join_below_adc(spark):
     w_ind = len(lines[min(win)]) - len(lines[min(win)].lstrip(" :+-"))
     f_ind = len(lines[min(fid)]) - len(lines[min(fid)].lstrip(" :+-"))
     assert f_ind > w_ind, (lines[min(win)], lines[min(fid)])
+
+
+def test_supplier_similarity_broadcasts_degrees_no_cartesian(spark):
+    """X210's scale claim: candidates generate per shared PART (an
+    equi-join — no cartesian anywhere in the plan) and both degree
+    frames attach as broadcasts; the top-k is a TakeOrdered, not a
+    global sort."""
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    plan = explain_str(QUERY_FNS["graph_supplier_similarity"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bloom_fpr_probe_is_equi_join(spark):
+    """X211's scale claim: the probe joins the distinct bit set on the
+    position column — an equi-join (hash or broadcast), never a
+    nested-loop scan of the bit set per probe."""
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    plan = explain_str(QUERY_FNS["sketch_bloom_fpr"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # the bit-set probe itself must be a hash equi-join on pos (the
+    # only BNLJs allowed are the three 1-row scalar attaches)
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "pos" in plan
+
+
+def test_distance_octave_sample_is_take_ordered(spark):
+    """X212's scale claim: the KMV-rule sample compiles to
+    TakeOrderedAndProject (distributed top-k by hash) — NOT a global
+    Sort of the embeddings table followed by a limit."""
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    plan = explain_str(QUERY_FNS["emb_distance_octaves"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_partition_advisor_is_three_aggregates(spark):
+    """X224's scale claim: each candidate layout is one map-side-
+    combined aggregate over a projection — no joins of the fact table
+    against itself, no window over the events scan."""
+    from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
+
+    plan = explain_str(QUERY_FNS["warehouse_partition_advisor"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 6  # partial+final per layout
+    assert "Window" not in plan
