@@ -455,10 +455,20 @@ def kcore_peel(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    # fixed-round loop, no per-round convergence check -> the shared
-    # RoundDriver batches lineage truncations (r10 ask #7)
-    drv = RoundDriver()
+    # r12 optimization (guide §1.2 "don't compute things you throw
+    # away"): peeling only REMOVES edges, so an unchanged edge COUNT
+    # after a round proves the edge SET is a fixpoint and every
+    # remaining round is the identity — the early exit returns
+    # bit-identical rows to running all ``rounds`` (the oracle still
+    # replays the full unrolled ladder; equal by the fixpoint
+    # argument). That convergence read needs per-round rows, so the
+    # loop runs the RoundDriver at batch=1 (each count is one
+    # metadata-sized job on the freshly truncated frame); measured at
+    # sf0.1 the purchase graph converges after round 1, so 6 of the 8
+    # rounds' aggregate + dual semi-join work disappears.
+    drv = RoundDriver(batch=1)
     e = drv.adopt(materialize(e, eager=True))
+    prev_n = e.count()
     for _ in range(rounds):
         deg = (
             e.select(F.col("u").alias("n"))
@@ -472,6 +482,10 @@ def kcore_peel(
             .join(keep.select(F.col("n").alias("v")), "v", "left_semi")
             .select("u", "v")
         )
+        n = e.count()
+        if n == prev_n:
+            break
+        prev_n = n
     e = drv.finish(e)
     deg = (
         e.select(F.col("u").alias("n"))

@@ -1689,8 +1689,19 @@ def k_generalize_apply(cust: DataFrame, k: int = K_ANON) -> DataFrame:
         sizes = qi.groupBy("qi_nation", "qi_segment", "qi_band").agg(
             F.count(F.lit(1)).alias("_n")
         )
-        labeled = qi.join(
-            F.broadcast(sizes), ["qi_nation", "qi_segment", "qi_band"]
+        # r12 optimization (guide §3.3 "materialise an intermediate to
+        # truncate the plan"): each level's labeled frame feeds TWO
+        # consumers (this level's frozen slice and every deeper
+        # level's residue), so the statically-unrolled lazy plan
+        # replicated the level-l subtree into all L−l deeper branches
+        # — O(L²) re-execution at action time. One eager truncation
+        # per level makes the ladder linear: measured 18.7 s → 3.7 s
+        # at sf0.1 with a 0-row exceptAll diff both directions.
+        labeled = materialize(
+            qi.join(
+                F.broadcast(sizes), ["qi_nation", "qi_segment", "qi_band"]
+            ),
+            eager=True,
         )
         frozen = labeled.filter(F.col("_n") >= k).select(
             "c_custkey",
@@ -2944,10 +2955,15 @@ def retrieval_margin_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold would have abstained on. Rides the one-pass batch BM25
     (X166's machinery); scores are the DECIMAL-summed doubles both
     engines share, so the subtraction is bit-identical. Queries with
-    fewer than two scored docs drop (no margin exists)."""
-    docs = _docs(spark, sf_dir)
-    queries = _known_item_queries(docs)
-    ranked = text.bm25_rank_batch(docs, queries, top_n=2)
+    fewer than two scored docs drop (no margin exists).
+
+    r12 optimization: reads the session-cached top-10 panel
+    (:func:`_bm25_known_panel`) sliced at rank ≤ 2 — identical to a
+    top_n=2 run by construction (rank is a per-query row_number over
+    the same deterministic (score DESC, doc_id) order, so ranks 1-2 of
+    the top-10 panel ARE the top-2 panel), and the corpus BM25 pass is
+    paid once per session instead of once per retrieval-eval entry."""
+    ranked = _bm25_known_panel(spark, sf_dir).filter(F.col("rank") <= 2)
     a = ranked.filter(F.col("rank") == 1).select(
         "query_id",
         F.col("doc_id").alias("_top_doc"),
@@ -3618,11 +3634,16 @@ def dedup_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.topk_brute(_embs(spark, sf_dir), n_queries=10, k=5)
+    # r12 optimization: rides the shared _audit_topk_panels session
+    # cache (same call, same n_queries/k) instead of re-running the
+    # search the audits also need; values are identical by the
+    # _session_cached contract.
+    return _audit_topk_panels(spark, sf_dir, False)["brute"]
 
 
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.topk_lsh(_embs(spark, sf_dir), n_queries=10, k=5)
+    # r12 optimization: shared _audit_topk_panels cache (see ann_topk_brute).
+    return _audit_topk_panels(spark, sf_dir, False)["lsh"]
 
 
 def ann_topk_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3632,11 +3653,12 @@ def ann_topk_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     stacking the same 3 bucketings the near-dup path uses buys the
     geometric miss-probability decay at the cost of ≤3× candidate
     rows."""
-    return similarity.topk_lsh_multi(_embs(spark, sf_dir), n_queries=10, k=5)
+    return _audit_topk_panels(spark, sf_dir, False)["lsh_multi"]
 
 
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.topk_ivf(_embs(spark, sf_dir), n_queries=10, k=5)
+    # r12 optimization: shared _audit_topk_panels cache (see ann_topk_brute).
+    return _audit_topk_panels(spark, sf_dir, False)["ivf"]
 
 
 def emb_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3689,7 +3711,7 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ/ADC approximate top-k: corpus represented only by its PQ
     codes, queries by per-subspace distance tables
     (similarity.topk_pq)."""
-    return similarity.topk_pq(_embs(spark, sf_dir), n_queries=10, k=5)
+    return _audit_topk_panels(spark, sf_dir, False)["pq"]
 
 
 def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3701,7 +3723,7 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (similarity.topk_ivfpq; IVFADC+R, Jégou et al. 2011). Recall on
     the clustered fixture sits between flat PQ and IVF-flat —
     measured in BENCH_NOTES r8."""
-    return similarity.topk_ivfpq(_embs(spark, sf_dir), n_queries=10, k=5)
+    return _audit_topk_panels(spark, sf_dir, False)["ivfpq"]
 
 
 def _ivfpqt_quantizers(
@@ -3884,11 +3906,7 @@ def ann_topk_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     showed trained recall is shortlist-bound at nprobe=3 — 0.66 at
     refine 20 vs 0.92 at 50, ABOVE ivf-flat's 0.84 — and 50 exact
     fetches per query is still panel-sized."""
-    coarse, books = _ivfpqt_quantizers(spark, sf_dir, clustered=False)
-    return similarity.topk_ivfpq_trained(
-        _embs(spark, sf_dir), n_queries=10, k=5,
-        refine=IVFPQT_REFINE, coarse_cents=coarse, books=books,
-    )
+    return _audit_topk_panels(spark, sf_dir, False)["ivfpq_t"]
 
 
 #: X190 filtered-search label predicate ("top-k within lang=X"):
@@ -4121,15 +4139,18 @@ def _audit_topk_panels(
         "lsh_multi": similarity.topk_lsh_multi,
         "pq": similarity.topk_pq,
     }
+    # r12 optimization: panels keep each method's FULL output schema
+    # (score / adc_dist columns included) so the SEVEN standalone
+    # uniform-fixture registry entries (ann_topk_*) can read the same
+    # cached frames — before this, a bench/gate session ran every
+    # method's search twice (once for the standalone entry, once for
+    # the audits' panel). The audits' consumers select the 3 columns
+    # they always did; values are unchanged either way.
     return {
         name: _session_cached(
             spark,
             ("audit_topk", sf_dir, clustered, name),
-            lambda fn=fn: materialize(
-                fn(embs, n_queries=10, k=5).select(
-                    "query_id", "neighbor_id", "rank"
-                )
-            ),
+            lambda fn=fn: materialize(fn(embs, n_queries=10, k=5)),
         )
         for name, fn in methods.items()
     }
@@ -5131,7 +5152,24 @@ def retrieval_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.mmr_select(panel_rel, sims)
 
 
-def _known_item_queries(docs: DataFrame) -> DataFrame:
+def _keywords3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X134's per-doc top-3 tf-idf keyword frame, computed (and
+    localCheckpoint-materialized) at most once per (session, sf_dir) —
+    the X134 entry and the known-item query panel both read it, so a
+    bench/gate session pays the tf-idf corpus pass once instead of
+    once per consumer (the :func:`_audit_topk_panels` sharing
+    discipline; r12 optimization — measured 13.7 s for the first
+    uncached consumer at sf0.1)."""
+    return _session_cached(
+        spark,
+        ("keywords3", sf_dir),
+        lambda: materialize(
+            text.keywords_tfidf(_docs(spark, sf_dir), k=3)
+        ),
+    )
+
+
+def _known_item_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engineered known-item eval panel (X166/X167): every doc
     with doc_id < 20 becomes a query whose terms are its OWN top-3
     tf-idf KEYWORDS (X134's extractor — how real eval sets are built:
@@ -5140,13 +5178,36 @@ def _known_item_queries(docs: DataFrame) -> DataFrame:
     are generic). Data-derived, no literals in the contract; ground
     truth is free: the relevant document IS the query's source."""
     return (
-        text.keywords_tfidf(docs, k=3)
+        _keywords3(spark, sf_dir)
         .filter(F.col("doc_id") < 20)
         .select(
             F.col("doc_id").alias("query_id"),
             F.col("keyword").alias("term"),
         )
         .distinct()
+    )
+
+
+def _bm25_known_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch-BM25 top-10 panel over the known-item query set,
+    computed (and localCheckpoint-materialized) at most once per
+    (session, sf_dir). FOUR oracle-paired entries read it (X166
+    known-item eval, X167 MRR summary, X213 nDCG, X228 margin
+    profile); before this cache each of them re-ran the full corpus
+    BM25 pass (measured 9.1/6.5/4.5/5.4 s at sf0.1 — r12
+    optimization). The panel is ≤ n_queries·10 rows; pinning it is
+    free, and every consumer derives by metadata-scale joins/filters,
+    so values are unchanged (the _session_cached contract)."""
+    return _session_cached(
+        spark,
+        ("bm25_known_panel", sf_dir),
+        lambda: materialize(
+            text.bm25_rank_batch(
+                _docs(spark, sf_dir),
+                _known_item_queries(spark, sf_dir),
+                top_n=10,
+            )
+        ),
     )
 
 
@@ -5165,9 +5226,8 @@ def retrieval_known_item_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-dependent double sums.
 
     Output: (query_id, self_rank ≤ 10 or NULL, rr_ppm, hit_at_10)."""
-    docs = _docs(spark, sf_dir)
-    queries = _known_item_queries(docs)
-    ranked = text.bm25_rank_batch(docs, queries, top_n=10)
+    queries = _known_item_queries(spark, sf_dir)
+    ranked = _bm25_known_panel(spark, sf_dir)
     qids = queries.select("query_id").distinct()
     self_hit = ranked.filter(F.col("doc_id") == F.col("query_id")).select(
         "query_id", F.col("rank").alias("self_rank")
@@ -5212,8 +5272,10 @@ def retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X134: per-document top-3 tf-idf keywords — the tagging/
     indexing primitive; per-doc panels via a doc-partitioned window,
-    never a global rank. See text.keywords_tfidf."""
-    return text.keywords_tfidf(_docs(spark, sf_dir), k=3)
+    never a global rank. See text.keywords_tfidf. Rides the
+    :func:`_keywords3` session cache (shared with the known-item
+    query panel)."""
+    return _keywords3(spark, sf_dir)
 
 
 def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5651,7 +5713,14 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (tokenizer, lang, vocab_size, covered_occurrences,
     total_occurrences, coverage)."""
     docs = _docs(spark, sf_dir)
-    lw = (
+    # r12 optimization (guide §2.4): the (lang, word) occurrence table
+    # is the only corpus-sized input and it is TOKENIZER-INDEPENDENT,
+    # yet the loop body referenced it in two branches per tokenizer —
+    # four corpus tokenize+aggregate passes for one identical frame.
+    # Checkpoint it once (distinct-word grain, ≪ corpus) and hoist the
+    # word-frequency rollup out of the loop; per-tokenizer arithmetic
+    # downstream is unchanged, so values are bit-identical.
+    lw = materialize(
         docs.select(
             "lang",
             F.explode(F.split("text", r"\s+")).alias("word"),
@@ -5660,9 +5729,9 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "word")
         .agg(F.count(F.lit(1)).cast("long").alias("occ"))
     )
+    freq = lw.groupBy("word").agg(F.sum("occ").alias("freq"))
     out = None
     for name, wp in sorted(_piece_tables(spark, sf_dir).items()):
-        freq = lw.groupBy("word").agg(F.sum("occ").alias("freq"))
         pt = (
             wp.join(freq, "word")
             .groupBy("piece")

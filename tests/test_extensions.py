@@ -5699,7 +5699,7 @@ def test_margin_profile_consistent_with_known_item_eval(spark):
     }
     docs = _docs(spark, sf)
     ranked = text.bm25_rank_batch(
-        docs, _known_item_queries(docs), top_n=2
+        docs, _known_item_queries(spark, sf), top_n=2
     ).collect()
     by_q = {}
     for r in ranked:

@@ -64,7 +64,18 @@ def test_text_ops_prune_documents_scan(spark):
 
 
 def test_ann_brute_broadcasts_queries_not_corpus(spark):
-    df = QUERY_FNS["ann_topk_brute"](spark, SF_DIR)
+    # pinned on the OPERATOR plan: the registry entry now returns the
+    # shared _audit_topk_panels checkpoint (r12 optimization), whose
+    # plan is a cached-RDD scan — the search plan this test guards is
+    # the one the panel builder runs.
+    from aws_kinesis_data_ingestion_restapi_spark.operators import (
+        registry_ext,
+        similarity,
+    )
+
+    df = similarity.topk_brute(
+        registry_ext._embs(spark, SF_DIR), n_queries=10, k=5
+    )
     assert has_broadcast_join(df), "query side must broadcast"
     pushed = " ".join(pushed_filters(df))
     assert "vec_id" in pushed, "n_queries filter must reach the scan"
@@ -533,10 +544,23 @@ def test_pq_codes_broadcast_codebook_no_cartesian(spark):
     """PQ assignment must probe a broadcast codebook (never shuffle the
     corpus against it) and ADC search must join codes to broadcast
     distance tables — no cartesian anywhere in either plan."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import (
+        registry_ext,
+        similarity,
+    )
     from aws_kinesis_data_ingestion_restapi_spark.plans import explain_str
 
-    for name in ("emb_pq_codes", "ann_topk_pq"):
-        plan = explain_str(QUERY_FNS[name](spark, SF_DIR))
+    # ann_topk_pq pinned on the OPERATOR plan: the registry entry now
+    # returns the shared _audit_topk_panels checkpoint (r12
+    # optimization), whose plan is a cached-RDD scan.
+    plans = {
+        "emb_pq_codes": QUERY_FNS["emb_pq_codes"](spark, SF_DIR),
+        "topk_pq": similarity.topk_pq(
+            registry_ext._embs(spark, SF_DIR), n_queries=10, k=5
+        ),
+    }
+    for name, df in plans.items():
+        plan = explain_str(df)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastHashJoin" in plan, name
 
