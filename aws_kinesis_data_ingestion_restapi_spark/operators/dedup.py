@@ -1049,7 +1049,10 @@ def duplicated_spans(
 
 
 def remove_duplicated_spans(
-    docs: DataFrame, n: int = 8, min_docs: int = 2
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """The APPLY step of exact-substring dedup — what ExactSubstr
     actually does to the corpus (Lee et al. ACL'22 §4.1 REMOVE the
@@ -1069,8 +1072,16 @@ def remove_duplicated_spans(
     cost; applying it is ONE equi-join of the (doc_id → spans array)
     frame back onto the tokenized corpus plus per-row expression work
     O(tokens · spans-per-doc) — no extra shuffle beyond the
-    spans-per-doc aggregate, no position explode on the corpus side."""
-    spans = duplicated_spans(docs, n=n, min_docs=min_docs)
+    spans-per-doc aggregate, no position explode on the corpus side.
+
+    ``spans``: a precomputed :func:`duplicated_spans` frame over the
+    SAME docs/n/min_docs to apply instead of recomputing — callers
+    that also materialize the span report themselves (the registry's
+    session cache) pass it so one session pays the positional-shingle
+    pass once (the :func:`simhash_near_pairs` ``fingerprints``
+    precedent)."""
+    if spans is None:
+        spans = duplicated_spans(docs, n=n, min_docs=min_docs)
     sp = spans.groupBy("doc_id").agg(
         F.collect_list(F.struct("span_start", "span_len")).alias("_spans")
     )

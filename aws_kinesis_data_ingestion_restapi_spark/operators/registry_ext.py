@@ -3432,9 +3432,26 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     so span boundaries need the fixture). Bounded design: positional
     shingle explode + distinct-docs-per-gram + semi-join + per-doc
     islands merge — never a suffix array, never a global sort. See
-    dedup.duplicated_spans."""
-    return dedup.duplicated_spans(
-        dedup.spliced_docs(_docs(spark, sf_dir)), n=8, min_docs=2
+    dedup.duplicated_spans. Rides the :func:`_dup_spans` session
+    cache (shared with the X118 removal apply — r12 optimization:
+    both entries paid the full positional-shingle pass)."""
+    return _dup_spans(spark, sf_dir)
+
+
+def _dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The X117 span report over the spliced fixture, computed (and
+    localCheckpoint-materialized) at most once per (session, sf_dir):
+    X117 emits it and X118's removal apply consumes it, so a session
+    pays the positional-shingle explode + islands merge once instead
+    of twice. Values unchanged (the _session_cached contract)."""
+    return _session_cached(
+        spark,
+        ("dup_spans", sf_dir),
+        lambda: materialize(
+            dedup.duplicated_spans(
+                dedup.spliced_docs(_docs(spark, sf_dir)), n=8, min_docs=2
+            )
+        ),
     )
 
 
@@ -3446,9 +3463,13 @@ def dedup_remove_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     granularity). Same fixture, same 8-token windows. Output:
     (doc_id, n_tokens, n_removed, clean_text) with clean_text the
     tokenized-normalized survivor text. See
-    dedup.remove_duplicated_spans."""
+    dedup.remove_duplicated_spans. Applies the session-cached X117
+    span report (:func:`_dup_spans`) instead of recomputing it."""
     return dedup.remove_duplicated_spans(
-        dedup.spliced_docs(_docs(spark, sf_dir)), n=8, min_docs=2
+        dedup.spliced_docs(_docs(spark, sf_dir)),
+        n=8,
+        min_docs=2,
+        spans=_dup_spans(spark, sf_dir),
     )
 
 
@@ -5085,17 +5106,34 @@ def retrieval_hybrid_rrf3(spark: SparkSession, sf_dir: str) -> DataFrame:
     document, the lexical-pair-plus-dense stack production search
     deploys. Same rrf_fuse contract as X107 (panel-scale fusion
     regardless of corpus size); legs with incomparable score scales
-    are exactly RRF's use case."""
-    lex = text.bm25_rank(
-        _docs(spark, sf_dir), list(BM25_QUERY_TERMS), top_n=25
-    ).select("doc_id", "rank")
-    vsm = text.tfidf_rank(
-        _docs(spark, sf_dir), list(BM25_QUERY_TERMS), top_n=25
-    ).select("doc_id", "rank")
-    sem = similarity.topk_brute(
-        _embs(spark, sf_dir), n_queries=1, k=25
-    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
-    return text.rrf_fuse([lex, vsm, sem], top_n=10)
+    are exactly RRF's use case. Rides the :func:`_rrf3_panel` session
+    cache (shared with the X161 MMR re-rank, which consumes this
+    exact top-10 — r12 optimization: both entries paid all three
+    corpus-scan legs)."""
+    return _rrf3_panel(spark, sf_dir)
+
+
+def _rrf3_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The X120 RRF3 fused top-10, computed (and localCheckpoint-
+    materialized) at most once per (session, sf_dir): the X120 entry
+    emits it and the X161 MMR diversifier re-ranks it, so a session
+    pays the three retrieval legs (BM25 scan + tf-idf scan + brute
+    top-k) once instead of twice. 10 rows; values unchanged (the
+    _session_cached contract)."""
+
+    def build() -> DataFrame:
+        lex = text.bm25_rank(
+            _docs(spark, sf_dir), list(BM25_QUERY_TERMS), top_n=25
+        ).select("doc_id", "rank")
+        vsm = text.tfidf_rank(
+            _docs(spark, sf_dir), list(BM25_QUERY_TERMS), top_n=25
+        ).select("doc_id", "rank")
+        sem = similarity.topk_brute(
+            _embs(spark, sf_dir), n_queries=1, k=25
+        ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+        return materialize(text.rrf_fuse([lex, vsm, sem], top_n=10))
+
+    return _session_cached(spark, ("rrf3_panel", sf_dir), build)
 
 
 def retrieval_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

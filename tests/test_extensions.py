@@ -5712,3 +5712,36 @@ def test_margin_profile_consistent_with_known_item_eval(spark):
         assert r.top_is_self == (kie[q].self_rank == 1)
     # every query with >= 2 scored docs appears
     assert set(got) == {q for q, rr in by_q.items() if 2 in rr}
+
+
+def test_remove_duplicated_spans_precomputed_spans_identical(spark):
+    """r12 optimization pin: passing a precomputed span report via the
+    new ``spans=`` parameter (the registry's session-cache path) must
+    be row-identical to letting remove_duplicated_spans recompute it —
+    the simhash ``fingerprints=`` contract applied to X118."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators import dedup
+
+    docs = dedup.spliced_docs(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+    spans = dedup.duplicated_spans(docs, n=8, min_docs=2)
+    a = dedup.remove_duplicated_spans(docs, n=8, min_docs=2)
+    b = dedup.remove_duplicated_spans(docs, n=8, min_docs=2, spans=spans)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_kcore_early_exit_is_fixpoint_identical(spark):
+    """r12 optimization pin: the unchanged-edge-count early exit must
+    return exactly what a far larger round budget returns — peeling
+    only removes edges, so an unchanged count is a fixpoint and every
+    later round is the identity. The engineered cascade graph (clique
+    + pendant chain) converges by round 2, so rounds=5 vs rounds=50
+    exercises the exit on both sides."""
+    from aws_kinesis_data_ingestion_restapi_spark.operators.graph import kcore_peel
+
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    tail = [(0, 10), (1, 10), (10, 12)]
+    edges = spark.createDataFrame(clique + tail, ["u", "v"])
+    a = sorted(map(tuple, kcore_peel(edges, k=3, rounds=5).collect()))
+    b = sorted(map(tuple, kcore_peel(edges, k=3, rounds=50).collect()))
+    assert a == b == [(0, 3), (1, 3), (2, 3), (3, 3)]
