@@ -3659,12 +3659,12 @@ def ann_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache (same call, same n_queries/k) instead of re-running the
     # search the audits also need; values are identical by the
     # _session_cached contract.
-    return _audit_topk_panels(spark, sf_dir, False)["brute"]
+    return _audit_topk_panel(spark, sf_dir, False, "brute")
 
 
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r12 optimization: shared _audit_topk_panels cache (see ann_topk_brute).
-    return _audit_topk_panels(spark, sf_dir, False)["lsh"]
+    return _audit_topk_panel(spark, sf_dir, False, "lsh")
 
 
 def ann_topk_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3674,12 +3674,12 @@ def ann_topk_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     stacking the same 3 bucketings the near-dup path uses buys the
     geometric miss-probability decay at the cost of ≤3× candidate
     rows."""
-    return _audit_topk_panels(spark, sf_dir, False)["lsh_multi"]
+    return _audit_topk_panel(spark, sf_dir, False, "lsh_multi")
 
 
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r12 optimization: shared _audit_topk_panels cache (see ann_topk_brute).
-    return _audit_topk_panels(spark, sf_dir, False)["ivf"]
+    return _audit_topk_panel(spark, sf_dir, False, "ivf")
 
 
 def emb_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3732,7 +3732,7 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ/ADC approximate top-k: corpus represented only by its PQ
     codes, queries by per-subspace distance tables
     (similarity.topk_pq)."""
-    return _audit_topk_panels(spark, sf_dir, False)["pq"]
+    return _audit_topk_panel(spark, sf_dir, False, "pq")
 
 
 def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3744,7 +3744,7 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (similarity.topk_ivfpq; IVFADC+R, Jégou et al. 2011). Recall on
     the clustered fixture sits between flat PQ and IVF-flat —
     measured in BENCH_NOTES r8."""
-    return _audit_topk_panels(spark, sf_dir, False)["ivfpq"]
+    return _audit_topk_panel(spark, sf_dir, False, "ivfpq")
 
 
 def _ivfpqt_quantizers(
@@ -3927,7 +3927,7 @@ def ann_topk_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     showed trained recall is shortlist-bound at nprobe=3 — 0.66 at
     refine 20 vs 0.92 at 50, ABOVE ivf-flat's 0.84 — and 50 exact
     fetches per query is still panel-sized."""
-    return _audit_topk_panels(spark, sf_dir, False)["ivfpq_t"]
+    return _audit_topk_panel(spark, sf_dir, False, "ivfpq_t")
 
 
 #: X190 filtered-search label predicate ("top-k within lang=X"):
@@ -4125,55 +4125,69 @@ def ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_audit_over(_audit_topk_panels(spark, sf_dir, True))
 
 
+#: the 7 audited top-k methods (brute = exact ground truth)
+_AUDIT_METHODS = (
+    "brute", "ivf", "ivfpq", "ivfpq_t", "lsh", "lsh_multi", "pq",
+)
+
+
+def _audit_topk_panel(
+    spark: SparkSession, sf_dir: str, clustered: bool, name: str
+) -> DataFrame:
+    """ONE method's top-5 panel, computed (and localCheckpoint-
+    materialized) at most once per (session, sf_dir, fixture, method).
+    r12 optimization, second pass: building a method's panel is NOT
+    free at construction time — topk_ivf/pq run an eager corpus count
+    for stride sizing and the trained method runs the eager Lloyd
+    training (measured 11.7 s for the uniform quantizers on this
+    box) — so the panels build ONE METHOD AT A TIME on first request
+    instead of all seven at the first toucher, and quantizer training
+    happens only when the trained method is actually requested."""
+    key = ("audit_topk", sf_dir, clustered, name)
+
+    def build() -> DataFrame:
+        embs = _embs(spark, sf_dir)
+        if clustered:
+            embs = similarity.clustered_embeddings(embs)
+        if name == "ivfpq_t":
+            coarse, books = _ivfpqt_quantizers(
+                spark, sf_dir, clustered=clustered
+            )
+            df = similarity.topk_ivfpq_trained(
+                embs,
+                n_queries=10,
+                k=5,
+                refine=IVFPQT_REFINE,
+                coarse_cents=coarse,
+                books=books,
+            )
+        else:
+            fn = {
+                "brute": similarity.topk_brute,
+                "ivf": similarity.topk_ivf,
+                "ivfpq": similarity.topk_ivfpq,
+                "lsh": similarity.topk_lsh,
+                "lsh_multi": similarity.topk_lsh_multi,
+                "pq": similarity.topk_pq,
+            }[name]
+            df = fn(embs, n_queries=10, k=5)
+        return materialize(df)
+
+    return _session_cached(spark, key, build)
+
+
 def _audit_topk_panels(
     spark: SparkSession, sf_dir: str, clustered: bool
 ) -> dict[str, DataFrame]:
-    """The 7 per-method top-5 panels (query_id, neighbor_id, rank),
-    each computed (and localCheckpoint-materialized) at most once per
-    (session, sf_dir, fixture) — the X88 recall audit, the X97
+    """The 7 per-method top-5 panels — the X88 recall audit, the X97
     clustered audit, and both X128 label audits consume the SAME
     panels, so a gate/bench session runs each method's search once
-    instead of twice (measured: the label audits were paying the full
-    7-method cost the recall audits had already paid). Panels are
-    ≤50 rows each; pinning them is free."""
-    embs = _embs(spark, sf_dir)
-    if clustered:
-        embs = similarity.clustered_embeddings(embs)
-    ivfpqt = _ivfpqt_quantizers(spark, sf_dir, clustered=clustered)
-
-    def ivfpq_t(e: DataFrame, n_queries: int, k: int) -> DataFrame:
-        return similarity.topk_ivfpq_trained(
-            e,
-            n_queries=n_queries,
-            k=k,
-            refine=IVFPQT_REFINE,
-            coarse_cents=ivfpqt[0],
-            books=ivfpqt[1],
-        )
-
-    methods = {
-        "brute": similarity.topk_brute,
-        "ivf": similarity.topk_ivf,
-        "ivfpq": similarity.topk_ivfpq,
-        "ivfpq_t": ivfpq_t,
-        "lsh": similarity.topk_lsh,
-        "lsh_multi": similarity.topk_lsh_multi,
-        "pq": similarity.topk_pq,
-    }
-    # r12 optimization: panels keep each method's FULL output schema
-    # (score / adc_dist columns included) so the SEVEN standalone
-    # uniform-fixture registry entries (ann_topk_*) can read the same
-    # cached frames — before this, a bench/gate session ran every
-    # method's search twice (once for the standalone entry, once for
-    # the audits' panel). The audits' consumers select the 3 columns
-    # they always did; values are unchanged either way.
+    (the standalone ann_topk_* entries read the same cached frames —
+    r12 optimization; panels keep each method's FULL output schema so
+    they can). Panels are ≤50 rows each; pinning them is free."""
     return {
-        name: _session_cached(
-            spark,
-            ("audit_topk", sf_dir, clustered, name),
-            lambda fn=fn: materialize(fn(embs, n_queries=10, k=5)),
-        )
-        for name, fn in methods.items()
+        name: _audit_topk_panel(spark, sf_dir, clustered, name)
+        for name in _AUDIT_METHODS
     }
 
 
@@ -12013,7 +12027,7 @@ EXT_ORACLE_SQL["dedup_strip_boilerplate"] = f"""
     SELECT nl.doc_id, nl.source, nl.n_lines,
            COALESCE(re.n_kept_lines, 0) AS n_kept_lines,
            CAST(len(list_filter(string_split_regex(
-                    lower(trim(COALESCE(re.text_clean, ''))), '\s+'),
+                    lower(trim(COALESCE(re.text_clean, ''))), '\\s+'),
                     t -> t != '')) AS BIGINT) AS n_tokens_clean,
            md5(COALESCE(re.text_clean, '')) AS clean_md5
     FROM nl LEFT JOIN re USING (doc_id)

@@ -2742,72 +2742,72 @@ ORACLE_SQL["streaming_value_quantiles"] = f"""
 # park stable, already-driver-verified, untouched baselines at the
 # tail, where falling past position 50 loses nothing.
 # --- BEGIN GENERATED GATE ORDER (scripts/gen_gate_head.py) ---
-# Window = 41 never-driver-checked additions + 8 changed
-# entries + the 1 stalest driver greens (last green in
-# round(s) [6], from CORRECTNESS_r*.json). Regenerate with
+# Window = 5 never-driver-checked additions + 23 changed
+# entries + the 22 stalest driver greens (last green in
+# round(s) [0], from CORRECTNESS_r*.json). Regenerate with
 #   python scripts/gen_gate_head.py
 # (pytest runs --check; hand-edits here go stale and FAIL).
 _GATE_HEAD = [
-    "streaming_er_delta",  # last driver green: r11
-    "warehouse_fk_audit",  # last driver green: r11
-    "streaming_fk_gate",  # last driver green: r11
-    "retrieval_mmr_topk",  # last driver green: r11
-    "retrieval_hybrid_rrf",  # last driver green: r8
-    "retrieval_hybrid_rrf3",  # last driver green: r9
-    "dedup_boilerplate_lines",  # last driver green: r0
-    "dedup_strip_boilerplate",  # last driver green: r0
-    "corpus_funnel_report",  # last driver green: r11
-    "corpus_funnel_by_source",  # last driver green: r11
-    "ann_topk_ivfpq_filtered",  # last driver green: r0
-    "ann_filtered_recall_audit",  # last driver green: r0
-    "emb_semantic_contamination",  # last driver green: r0
-    "dedup_decontaminate_semantic",  # last driver green: r0
-    "text_vocab_coverage",  # last driver green: r0
-    "customers_l_diversity",  # last driver green: r0
-    "corpus_mixture_temperature",  # last driver green: r0
-    "streaming_boilerplate_gate",  # last driver green: r0
-    "dedup_source_vocab_overlap",  # last driver green: r0
-    "warehouse_column_stats",  # last driver green: r0
-    "dedup_benchmark_canaries",  # last driver green: r0
-    "dedup_cluster_size_histogram",  # last driver green: r0
-    "text_zipf_octaves",  # last driver green: r0
-    "events_interarrival_quantiles",  # last driver green: r0
-    "mm_phash_distance_histogram",  # last driver green: r0
-    "docs_quality_by_length",  # last driver green: r0
-    "events_user_gini",  # last driver green: r0
-    "customers_t_closeness",  # last driver green: r0
-    "orders_ship_latency",  # last driver green: r0
-    "events_hourly_acf",  # last driver green: r0
-    "graph_supplier_similarity",  # last driver green: r0
-    "sketch_bloom_fpr",  # last driver green: r0
-    "emb_distance_octaves",  # last driver green: r0
+    "ann_topk_brute",  # last driver green: r10
+    "ann_topk_lsh",  # last driver green: r10
+    "ann_topk_lsh_multi",  # last driver green: r11
+    "ann_topk_ivf",  # last driver green: r7
+    "ann_topk_pq",  # last driver green: r7
+    "ann_topk_ivfpq",  # last driver green: r9
+    "ann_topk_ivfpq_trained",  # last driver green: r10
+    "ann_recall_audit",  # last driver green: r10
+    "ann_recall_clustered",  # last driver green: r10
+    "ann_label_audit",  # last driver green: r10
+    "ann_label_audit_clustered",  # last driver green: r10
+    "text_keywords",  # last driver green: r9
+    "retrieval_known_item_eval",  # last driver green: r11
+    "retrieval_eval_mrr",  # last driver green: r11
     "retrieval_eval_ndcg",  # last driver green: r0
-    "events_pettitt_changepoint",  # last driver green: r0
-    "mm_storage_profile",  # last driver green: r0
-    "streaming_bloom_gate",  # last driver green: r0
-    "events_benford_audit",  # last driver green: r0
-    "dedup_band_load_octaves",  # last driver green: r0
-    "graph_degree_octaves",  # last driver green: r0
-    "quality_calibration_matrix",  # last driver green: r0
-    "events_funnel_latency",  # last driver green: r0
-    "docs_quality_floor_sweep",  # last driver green: r0
-    "streaming_asof_rates",  # last driver green: r0
-    "warehouse_partition_advisor",  # last driver green: r0
-    "emb_pq_distortion",  # last driver green: r0
-    "docs_split_balance",  # last driver green: r0
-    "events_session_profile",  # last driver green: r0
     "retrieval_margin_profile",  # last driver green: r0
-    "customers_without_urgent_orders",  # last driver green: r6
+    "text_vocab_coverage",  # last driver green: r0
+    "customers_k_generalize",  # last driver green: r11
+    "customers_l_diversity",  # last driver green: r0
+    "customers_t_closeness",  # last driver green: r0
+    "graph_kcore_purchases",  # last driver green: r8
+    "dedup_exact_substring",  # last driver green: r9
+    "dedup_remove_substrings",  # last driver green: r9
+    "retrieval_hybrid_rrf3",  # last driver green: r9
+    "retrieval_mmr_topk",  # last driver green: r11
+    "streaming_payment_match",  # last driver green: r7
+    "streaming_payment_match_outer",  # last driver green: r7
+    "streaming_payment_match_full",  # last driver green: r8
+    "ann_filtered_recall_audit",  # last driver green: r0
+    "ann_topk_ivfpq_filtered",  # last driver green: r0
+    "corpus_mixture_temperature",  # last driver green: r0
+    "dedup_band_load_octaves",  # last driver green: r0
+    "dedup_benchmark_canaries",  # last driver green: r0
+    "dedup_boilerplate_lines",  # last driver green: r0
+    "dedup_cluster_size_histogram",  # last driver green: r0
+    "dedup_decontaminate_semantic",  # last driver green: r0
+    "dedup_source_vocab_overlap",  # last driver green: r0
+    "dedup_strip_boilerplate",  # last driver green: r0
+    "docs_quality_by_length",  # last driver green: r0
+    "docs_quality_floor_sweep",  # last driver green: r0
+    "docs_split_balance",  # last driver green: r0
+    "emb_distance_octaves",  # last driver green: r0
+    "emb_pq_distortion",  # last driver green: r0
+    "emb_semantic_contamination",  # last driver green: r0
+    "events_benford_audit",  # last driver green: r0
+    "events_funnel_latency",  # last driver green: r0
+    "events_hourly_acf",  # last driver green: r0
+    "events_interarrival_quantiles",  # last driver green: r0
+    "events_pettitt_changepoint",  # last driver green: r0
+    "events_session_profile",  # last driver green: r0
 ]
 _GATE_TAIL = [
     "ann_centroid_drift",  # last driver green: r11
-    "ann_topk_lsh_multi",  # last driver green: r11
     "bucketed_sales_join",  # last driver green: r11
     "corpus_content_hashes",  # last driver green: r11
     "corpus_delete_apply",  # last driver green: r11
+    "corpus_funnel_by_source",  # last driver green: r11
+    "corpus_funnel_report",  # last driver green: r11
     "corpus_mixture_actuals",  # last driver green: r11
     "customer_retention",  # last driver green: r11
-    "customers_k_generalize",  # last driver green: r11
     "customers_with_urgent_orders",  # last driver green: r11
     "dedup_components_delta",  # last driver green: r11
     "docs_hll_distinct_audit",  # last driver green: r11
@@ -2828,12 +2828,12 @@ _GATE_TAIL = [
     "mm_canonical_media",  # last driver green: r11
     "mm_video_near_dup",  # last driver green: r11
     "quality_scorer_agreement",  # last driver green: r11
-    "retrieval_eval_mrr",  # last driver green: r11
-    "retrieval_known_item_eval",  # last driver green: r11
     "sketch_heavy_hitters",  # last driver green: r11
     "streaming_cusum_gate",  # last driver green: r11
     "streaming_decontamination_gate",  # last driver green: r11
     "streaming_drift_tvd",  # last driver green: r11
+    "streaming_er_delta",  # last driver green: r11
+    "streaming_fk_gate",  # last driver green: r11
     "streaming_hll_users",  # last driver green: r11
     "streaming_late_data_policy",  # last driver green: r11
     "streaming_quality_gate",  # last driver green: r11
@@ -2843,15 +2843,9 @@ _GATE_TAIL = [
     "streaming_user_anomalies",  # last driver green: r11
     "text_pii_extract",  # last driver green: r11
     "text_tokenizer_compare",  # last driver green: r11
+    "warehouse_fk_audit",  # last driver green: r11
     "warehouse_null_profile",  # last driver green: r11
     "ann_index_health",  # last driver green: r10
-    "ann_label_audit",  # last driver green: r10
-    "ann_label_audit_clustered",  # last driver green: r10
-    "ann_recall_audit",  # last driver green: r10
-    "ann_recall_clustered",  # last driver green: r10
-    "ann_topk_brute",  # last driver green: r10
-    "ann_topk_ivfpq_trained",  # last driver green: r10
-    "ann_topk_lsh",  # last driver green: r10
     "customers_k_anonymity",  # last driver green: r10
     "docs_sample_fixed_per_lang",  # last driver green: r10
     "docs_sample_weighted_k",  # last driver green: r10
@@ -2884,15 +2878,12 @@ _GATE_TAIL = [
     "text_unigram_vocab",  # last driver green: r10
     "text_vocab_growth",  # last driver green: r10
     "top_parts_by_revenue",  # last driver green: r10
-    "ann_topk_ivfpq",  # last driver green: r9
     "ann_truncation_audit",  # last driver green: r9
     "corpus_curriculum_plan",  # last driver green: r9
     "corpus_mixture_bpe",  # last driver green: r9
     "corpus_mixture_plan",  # last driver green: r9
     "dedup_chunks_exact",  # last driver green: r9
     "dedup_decontaminate",  # last driver green: r9
-    "dedup_exact_substring",  # last driver green: r9
-    "dedup_remove_substrings",  # last driver green: r9
     "dedup_source_matrix",  # last driver green: r9
     "docs_chunk_overlap",  # last driver green: r9
     "docs_pack_chunks",  # last driver green: r9
@@ -2921,7 +2912,6 @@ _GATE_TAIL = [
     "streaming_dedup_delta",  # last driver green: r9
     "text_bpe_fertility",  # last driver green: r9
     "text_bpe_segment",  # last driver green: r9
-    "text_keywords",  # last driver green: r9
     "text_lm_score",  # last driver green: r9
     "text_pack_bpe",  # last driver green: r9
     "text_pack_sequences",  # last driver green: r9
@@ -2949,7 +2939,6 @@ _GATE_TAIL = [
     "events_tumbling_30s",  # last driver green: r8
     "events_value_hour_corr",  # last driver green: r8
     "events_value_outliers_mad",  # last driver green: r8
-    "graph_kcore_purchases",  # last driver green: r8
     "graph_pagerank_suppliers",  # last driver green: r8
     "mm_asset_stats",  # last driver green: r8
     "mm_extract_features",  # last driver green: r8
@@ -2962,14 +2951,12 @@ _GATE_TAIL = [
     "q21_late_sole_supplier",  # last driver green: r8
     "q22_dormant_customers",  # last driver green: r8
     "q4_late_order_priority",  # last driver green: r8
+    "retrieval_hybrid_rrf",  # last driver green: r8
     "sales_cube",  # last driver green: r8
     "sql_lateral_top_orders",  # last driver green: r8
-    "streaming_payment_match_full",  # last driver green: r8
     "text_bpe_merges",  # last driver green: r8
     "text_dsir_importance",  # last driver green: r8
     "text_ngram_novelty",  # last driver green: r8
-    "ann_topk_ivf",  # last driver green: r7
-    "ann_topk_pq",  # last driver green: r7
     "asof_priority_rates",  # last driver green: r7
     "cdc_scd2_history",  # last driver green: r7
     "cdc_snapshot_diff",  # last driver green: r7
@@ -3002,8 +2989,6 @@ _GATE_TAIL = [
     "sql_recursive_rollup",  # last driver green: r7
     "streaming_dedup_replay",  # last driver green: r7
     "streaming_enriched_nation_totals",  # last driver green: r7
-    "streaming_payment_match",  # last driver green: r7
-    "streaming_payment_match_outer",  # last driver green: r7
     "streaming_running_totals_final",  # last driver green: r7
     "text_bm25_search",  # last driver green: r7
     "text_build_postings",  # last driver green: r7
@@ -3011,6 +2996,7 @@ _GATE_TAIL = [
     "text_model_quality",  # last driver green: r7
     "text_quality_sample",  # last driver green: r7
     "top_orders_per_customer",  # last driver green: r7
+    "customers_without_urgent_orders",  # last driver green: r6
     "dedup_simhash_fingerprints",  # last driver green: r6
     "dedup_simhash_pairs",  # last driver green: r6
     "emb_near_dup",  # last driver green: r6
@@ -3039,6 +3025,20 @@ _GATE_TAIL = [
     "sql_above_average_orders",  # last driver green: r6
     "streaming_value_quantiles",  # last driver green: r6
     "text_repetition",  # last driver green: r6
+    "events_user_gini",  # last driver green: r0
+    "graph_degree_octaves",  # last driver green: r0
+    "graph_supplier_similarity",  # last driver green: r0
+    "mm_phash_distance_histogram",  # last driver green: r0
+    "mm_storage_profile",  # last driver green: r0
+    "orders_ship_latency",  # last driver green: r0
+    "quality_calibration_matrix",  # last driver green: r0
+    "sketch_bloom_fpr",  # last driver green: r0
+    "streaming_asof_rates",  # last driver green: r0
+    "streaming_bloom_gate",  # last driver green: r0
+    "streaming_boilerplate_gate",  # last driver green: r0
+    "text_zipf_octaves",  # last driver green: r0
+    "warehouse_column_stats",  # last driver green: r0
+    "warehouse_partition_advisor",  # last driver green: r0
 ]
 # --- END GENERATED GATE ORDER ---
 

@@ -38,57 +38,38 @@ WINDOW = 50
 #: OUTPUT or IMPLEMENTATION changed (next round: replace this list).
 #: Grown in place during the round — regenerate after each addition.
 MUST_ROTATE = [
-    # --- round 12: r11 ADVICE fixes (output or oracle changed) ---
-    "streaming_er_delta",       # verdict rule: closest candidate wins
-    "warehouse_fk_audit",       # oracle NOT IN -> NOT EXISTS (null-safe)
-    "streaming_fk_gate",        # oracle NOT IN -> NOT EXISTS (null-safe)
-    "retrieval_mmr_topk",       # oracle RRF_SCALE interpolated
-    "retrieval_hybrid_rrf",     # oracle RRF_SCALE interpolated
-    "retrieval_hybrid_rrf3",    # oracle RRF_SCALE interpolated
-    # --- new in round 12 ---
-    "dedup_boilerplate_lines",  # X188 CCNet line-repetition report
-    "dedup_strip_boilerplate",  # X189 line-level boilerplate APPLY
-    "corpus_funnel_report",     # gains the 2b_line_dedup stage
-    "corpus_funnel_by_source",  # gains the 2b_line_dedup stage
-    "ann_topk_ivfpq_filtered",  # X190 attribute-constrained ANN
-    "ann_filtered_recall_audit",  # X191 pre- vs post-filter audit
-    "emb_semantic_contamination",  # X192 embedding-side decon probe
-    "dedup_decontaminate_semantic",  # X193 combined decon apply
-    "text_vocab_coverage",      # X194 tokenizer OOV/coverage audit
-    "customers_l_diversity",    # X196 l-diversity audit of the release
-    "corpus_mixture_temperature",  # X197 temperature-scaled mixture
-    "streaming_boilerplate_gate",  # X195 fifth stateless intake gate
-    "dedup_source_vocab_overlap",  # X198 cross-source KMV overlap
-    "warehouse_column_stats",   # X199 catalog statistics report
-    "dedup_benchmark_canaries",  # X200 per-benchmark leak canaries
-    "dedup_cluster_size_histogram",  # X201 duplicate-cluster histogram
-    "text_zipf_octaves",        # X202 exact Zipf octave profile
-    "events_interarrival_quantiles",  # X203 cadence quantiles
-    "mm_phash_distance_histogram",  # X204 threshold-setting evidence
-    "docs_quality_by_length",   # X205 quality-vs-length diagnostic
-    "events_user_gini",         # X206 concentration (exact Gini)
-    "customers_t_closeness",    # X207 privacy-triad t-closeness
-    "orders_ship_latency",      # X208 fulfillment-latency quantiles
-    "events_hourly_acf",        # X209 hourly-volume autocorrelation
-    "graph_supplier_similarity",  # X210 Jaccard node-similarity join
-    "sketch_bloom_fpr",         # X211 Bloom false-positive audit
-    "emb_distance_octaves",     # X212 distance-threshold evidence
-    "retrieval_eval_ndcg",      # X213 graded-discount retrieval metric
-    "events_pettitt_changepoint",  # X214 nonparametric changepoint
-    "mm_storage_profile",       # X215 per-modality capacity deciles
-    "streaming_bloom_gate",     # X216 Bloom pre-dedup intake gate
-    "events_benford_audit",     # X219 first-digit fraud screen
-    "dedup_band_load_octaves",  # X217 LSH bucket-load health
-    "graph_degree_octaves",     # X218 degree power-law diagnostic
-    "quality_calibration_matrix",  # X220 scorer contingency
-    "events_funnel_latency",    # X221 time-to-convert quantiles
-    "docs_quality_floor_sweep",  # X222 floor sensitivity evidence
-    "streaming_asof_rates",     # X223 stateless as-of enrichment
-    "warehouse_partition_advisor",  # X224 layout decision table
-    "emb_pq_distortion",        # X225 per-subspace PQ audit
-    "docs_split_balance",       # X226 split distribution audit
-    "events_session_profile",   # X227 session-shape distribution
-    "retrieval_margin_profile",  # X228 score-margin confidence
+    # --- round 12 OPTIMIZATION pass: implementation changed (outputs
+    # bit-identical, re-proven vs the oracle at sf0.01 + sf0.1; see
+    # OPTIMIZATION_r12.md) — rotated into the driver window so the
+    # fresh implementations carry a driver green ---
+    "ann_topk_brute",            # shared audit-panel cache
+    "ann_topk_lsh",              # shared audit-panel cache
+    "ann_topk_lsh_multi",        # shared audit-panel cache
+    "ann_topk_ivf",              # shared audit-panel cache
+    "ann_topk_pq",               # shared audit-panel cache
+    "ann_topk_ivfpq",            # shared audit-panel cache
+    "ann_topk_ivfpq_trained",    # shared audit-panel cache
+    "ann_recall_audit",          # panels now full-schema, lazy per-method
+    "ann_recall_clustered",      # panels now full-schema, lazy per-method
+    "ann_label_audit",           # panels now full-schema, lazy per-method
+    "ann_label_audit_clustered", # panels now full-schema, lazy per-method
+    "text_keywords",             # _keywords3 session cache
+    "retrieval_known_item_eval", # _bm25_known_panel session cache
+    "retrieval_eval_mrr",        # rides the cached panel
+    "retrieval_eval_ndcg",       # rides the cached panel
+    "retrieval_margin_profile",  # panel rank<=2 slice == top_n=2
+    "text_vocab_coverage",       # (lang,word) table hoisted + checkpointed
+    "customers_k_generalize",    # ladder truncates per level
+    "customers_l_diversity",     # rides the truncated ladder
+    "customers_t_closeness",     # rides the truncated ladder
+    "graph_kcore_purchases",     # fixpoint early exit
+    "dedup_exact_substring",     # _dup_spans session cache
+    "dedup_remove_substrings",   # applies the cached span report
+    "retrieval_hybrid_rrf3",     # _rrf3_panel session cache
+    "retrieval_mmr_topk",        # rides the cached RRF3 panel
+    "streaming_payment_match",        # parallel feed dump
+    "streaming_payment_match_outer",  # parallel feed dump
+    "streaming_payment_match_full",   # parallel feed dump
 ]
 
 
