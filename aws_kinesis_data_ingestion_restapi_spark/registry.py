@@ -2742,64 +2742,86 @@ ORACLE_SQL["streaming_value_quantiles"] = f"""
 # park stable, already-driver-verified, untouched baselines at the
 # tail, where falling past position 50 loses nothing.
 # --- BEGIN GENERATED GATE ORDER (scripts/gen_gate_head.py) ---
-# Window = 5 never-driver-checked additions + 23 changed
+# Window = 0 never-driver-checked additions + 28 changed
 # entries + the 22 stalest driver greens (last green in
-# round(s) [0], from CORRECTNESS_r*.json). Regenerate with
+# round(s) [0, 6], from CORRECTNESS_r*.json). Regenerate with
 #   python scripts/gen_gate_head.py
 # (pytest runs --check; hand-edits here go stale and FAIL).
 _GATE_HEAD = [
-    "ann_topk_brute",  # last driver green: r10
-    "ann_topk_lsh",  # last driver green: r10
-    "ann_topk_lsh_multi",  # last driver green: r11
-    "ann_topk_ivf",  # last driver green: r7
-    "ann_topk_pq",  # last driver green: r7
-    "ann_topk_ivfpq",  # last driver green: r9
-    "ann_topk_ivfpq_trained",  # last driver green: r10
-    "ann_recall_audit",  # last driver green: r10
-    "ann_recall_clustered",  # last driver green: r10
-    "ann_label_audit",  # last driver green: r10
-    "ann_label_audit_clustered",  # last driver green: r10
-    "text_keywords",  # last driver green: r9
-    "retrieval_known_item_eval",  # last driver green: r11
-    "retrieval_eval_mrr",  # last driver green: r11
-    "retrieval_eval_ndcg",  # last driver green: r0
-    "retrieval_margin_profile",  # last driver green: r0
-    "text_vocab_coverage",  # last driver green: r0
-    "customers_k_generalize",  # last driver green: r11
-    "customers_l_diversity",  # last driver green: r0
-    "customers_t_closeness",  # last driver green: r0
-    "graph_kcore_purchases",  # last driver green: r8
-    "dedup_exact_substring",  # last driver green: r9
-    "dedup_remove_substrings",  # last driver green: r9
-    "retrieval_hybrid_rrf3",  # last driver green: r9
-    "retrieval_mmr_topk",  # last driver green: r11
-    "streaming_payment_match",  # last driver green: r7
-    "streaming_payment_match_outer",  # last driver green: r7
-    "streaming_payment_match_full",  # last driver green: r8
-    "ann_filtered_recall_audit",  # last driver green: r0
-    "ann_topk_ivfpq_filtered",  # last driver green: r0
-    "corpus_mixture_temperature",  # last driver green: r0
-    "dedup_band_load_octaves",  # last driver green: r0
-    "dedup_benchmark_canaries",  # last driver green: r0
-    "dedup_boilerplate_lines",  # last driver green: r0
-    "dedup_cluster_size_histogram",  # last driver green: r0
-    "dedup_decontaminate_semantic",  # last driver green: r0
-    "dedup_source_vocab_overlap",  # last driver green: r0
-    "dedup_strip_boilerplate",  # last driver green: r0
-    "docs_quality_by_length",  # last driver green: r0
-    "docs_quality_floor_sweep",  # last driver green: r0
-    "docs_split_balance",  # last driver green: r0
-    "emb_distance_octaves",  # last driver green: r0
-    "emb_pq_distortion",  # last driver green: r0
-    "emb_semantic_contamination",  # last driver green: r0
-    "events_benford_audit",  # last driver green: r0
-    "events_funnel_latency",  # last driver green: r0
-    "events_hourly_acf",  # last driver green: r0
-    "events_interarrival_quantiles",  # last driver green: r0
-    "events_pettitt_changepoint",  # last driver green: r0
-    "events_session_profile",  # last driver green: r0
+    "ann_topk_brute",  # last driver green: r12
+    "ann_topk_lsh",  # last driver green: r12
+    "ann_topk_lsh_multi",  # last driver green: r12
+    "ann_topk_ivf",  # last driver green: r12
+    "ann_topk_pq",  # last driver green: r12
+    "ann_topk_ivfpq",  # last driver green: r12
+    "ann_topk_ivfpq_trained",  # last driver green: r12
+    "ann_recall_audit",  # last driver green: r12
+    "ann_recall_clustered",  # last driver green: r12
+    "ann_label_audit",  # last driver green: r12
+    "ann_label_audit_clustered",  # last driver green: r12
+    "text_keywords",  # last driver green: r12
+    "retrieval_known_item_eval",  # last driver green: r12
+    "retrieval_eval_mrr",  # last driver green: r12
+    "retrieval_eval_ndcg",  # last driver green: r12
+    "retrieval_margin_profile",  # last driver green: r12
+    "text_vocab_coverage",  # last driver green: r12
+    "customers_k_generalize",  # last driver green: r12
+    "customers_l_diversity",  # last driver green: r12
+    "customers_t_closeness",  # last driver green: r12
+    "graph_kcore_purchases",  # last driver green: r12
+    "dedup_exact_substring",  # last driver green: r12
+    "dedup_remove_substrings",  # last driver green: r12
+    "retrieval_hybrid_rrf3",  # last driver green: r12
+    "retrieval_mmr_topk",  # last driver green: r12
+    "streaming_payment_match",  # last driver green: r12
+    "streaming_payment_match_outer",  # last driver green: r12
+    "streaming_payment_match_full",  # last driver green: r12
+    "events_user_gini",  # last driver green: r0
+    "graph_degree_octaves",  # last driver green: r0
+    "graph_supplier_similarity",  # last driver green: r0
+    "mm_phash_distance_histogram",  # last driver green: r0
+    "mm_storage_profile",  # last driver green: r0
+    "orders_ship_latency",  # last driver green: r0
+    "quality_calibration_matrix",  # last driver green: r0
+    "sketch_bloom_fpr",  # last driver green: r0
+    "streaming_asof_rates",  # last driver green: r0
+    "streaming_bloom_gate",  # last driver green: r0
+    "streaming_boilerplate_gate",  # last driver green: r0
+    "text_zipf_octaves",  # last driver green: r0
+    "warehouse_column_stats",  # last driver green: r0
+    "warehouse_partition_advisor",  # last driver green: r0
+    "customers_without_urgent_orders",  # last driver green: r6
+    "dedup_simhash_fingerprints",  # last driver green: r6
+    "dedup_simhash_pairs",  # last driver green: r6
+    "emb_near_dup",  # last driver green: r6
+    "emb_near_dup_lsh",  # last driver green: r6
+    "events_attribution",  # last driver green: r6
+    "events_sessionization",  # last driver green: r6
+    "events_type_mode",  # last driver green: r6
 ]
 _GATE_TAIL = [
+    "ann_filtered_recall_audit",  # last driver green: r12
+    "ann_topk_ivfpq_filtered",  # last driver green: r12
+    "corpus_mixture_temperature",  # last driver green: r12
+    "dedup_band_load_octaves",  # last driver green: r12
+    "dedup_benchmark_canaries",  # last driver green: r12
+    "dedup_boilerplate_lines",  # last driver green: r12
+    "dedup_cluster_size_histogram",  # last driver green: r12
+    "dedup_decontaminate_semantic",  # last driver green: r12
+    "dedup_source_vocab_overlap",  # last driver green: r12
+    "dedup_strip_boilerplate",  # last driver green: r12
+    "docs_quality_by_length",  # last driver green: r12
+    "docs_quality_floor_sweep",  # last driver green: r12
+    "docs_split_balance",  # last driver green: r12
+    "emb_distance_octaves",  # last driver green: r12
+    "emb_pq_distortion",  # last driver green: r12
+    "emb_semantic_contamination",  # last driver green: r12
+    "events_benford_audit",  # last driver green: r12
+    "events_funnel_latency",  # last driver green: r12
+    "events_hourly_acf",  # last driver green: r12
+    "events_interarrival_quantiles",  # last driver green: r12
+    "events_pettitt_changepoint",  # last driver green: r12
+    "events_session_profile",  # last driver green: r12
     "ann_centroid_drift",  # last driver green: r11
     "bucketed_sales_join",  # last driver green: r11
     "corpus_content_hashes",  # last driver green: r11
@@ -2996,14 +3018,6 @@ _GATE_TAIL = [
     "text_model_quality",  # last driver green: r7
     "text_quality_sample",  # last driver green: r7
     "top_orders_per_customer",  # last driver green: r7
-    "customers_without_urgent_orders",  # last driver green: r6
-    "dedup_simhash_fingerprints",  # last driver green: r6
-    "dedup_simhash_pairs",  # last driver green: r6
-    "emb_near_dup",  # last driver green: r6
-    "emb_near_dup_lsh",  # last driver green: r6
-    "events_attribution",  # last driver green: r6
-    "events_sessionization",  # last driver green: r6
-    "events_type_mode",  # last driver green: r6
     "events_type_value_quantiles",  # last driver green: r6
     "events_value_histogram",  # last driver green: r6
     "events_variant_props",  # last driver green: r6
@@ -3025,20 +3039,6 @@ _GATE_TAIL = [
     "sql_above_average_orders",  # last driver green: r6
     "streaming_value_quantiles",  # last driver green: r6
     "text_repetition",  # last driver green: r6
-    "events_user_gini",  # last driver green: r0
-    "graph_degree_octaves",  # last driver green: r0
-    "graph_supplier_similarity",  # last driver green: r0
-    "mm_phash_distance_histogram",  # last driver green: r0
-    "mm_storage_profile",  # last driver green: r0
-    "orders_ship_latency",  # last driver green: r0
-    "quality_calibration_matrix",  # last driver green: r0
-    "sketch_bloom_fpr",  # last driver green: r0
-    "streaming_asof_rates",  # last driver green: r0
-    "streaming_bloom_gate",  # last driver green: r0
-    "streaming_boilerplate_gate",  # last driver green: r0
-    "text_zipf_octaves",  # last driver green: r0
-    "warehouse_column_stats",  # last driver green: r0
-    "warehouse_partition_advisor",  # last driver green: r0
 ]
 # --- END GENERATED GATE ORDER ---
 

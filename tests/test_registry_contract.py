@@ -90,20 +90,76 @@ def test_bench_covers_every_registry_query_and_aliases_are_unique():
     assert not [v for v in vals if v in QUERY_FNS]
 
 
-def test_bench_packed_line_carries_every_entry_within_capture():
-    """r11 VERDICT ask #2: the compact FINAL line saturated the
-    driver's 2000-char capture and silently dropped 29 entries
-    (n_omitted=29). The fix is the packed-string stage — pin that it
-    (a) fits the capture at the CURRENT registry size under
-    pessimistic per-query costs, (b) carries every timing (n_omitted
-    semantics = 0), and (c) round-trips through
-    scripts/decode_bench_line.decode back to exact {name: sec}."""
+def test_bench_final_line_is_driver_comparable_and_stable():
+    """r12 VERDICT ask #1: the packed-string final line left the
+    driver's comparator with n_common=0 (no per-query deltas, no
+    scaling block). Pin the restored contract:
+    (a) the final line is a JSON DICT again, fits the 2000-char
+        capture even under a pessimistic all-slow profile;
+    (b) alias keys are FROZEN — spot-pin r11 codes so a wholesale
+        regeneration (what zeroed r12's comparison) fails the suite;
+    (c) the KEEP set is name-stable and every name is benched;
+    (d) omission is honest (n_omitted + kept == all entries,
+        omitted_total_ds = the tail's sum) and a tail entry that
+        regresses past _PROMOTE_DS is PROMOTED into the dict;
+    (e) the line round-trips through scripts/decode_bench_line.decode.
+    """
     import importlib.util
     import json
     import os
 
     import bench
 
+    benched = (
+        set(bench.ANALYTICS_QUERIES)
+        | set(bench.REF_BENCH_KEYS.values())
+        | {"etl_derive_tables", "pipeline_streaming_drain"}
+    )
+    # (c) keep list: valid names, no dupes
+    assert set(bench.BENCH_LINE_KEEP) <= benched
+    assert len(set(bench.BENCH_LINE_KEEP)) == len(bench.BENCH_LINE_KEEP)
+    # (b) frozen alias spot-pins (r11 codes the driver last parsed)
+    for name, code in {
+        "sql_above_average_orders": "aav",
+        "etl_derive_tables": "etl",
+        "dedup_simhash_pairs": "sh",
+        "streaming_payment_match": "spy",
+        "ann_recall_clustered": "rcc",
+        "q22_dormant_customers": "q22",
+        "text_repetition": "rep",
+    }.items():
+        assert bench.BENCH_KEY_ALIASES[name] == code, (name, code)
+
+    # pessimistic profile: every entry 9.9 s — worse than any observed
+    # run; every entry promotes past _PROMOTE_DS and the demotion path
+    # must still fit the capture
+    timings = {n: 9.9 for n in benched}
+    timings["etl_derive_tables"] = 99.9
+    timings["pipeline_streaming_drain"] = 99.9
+    line = bench.compose_final_line(
+        timings, round(sum(timings.values()), 3), 0.1
+    )
+    assert len(line) <= 1990, f"final line {len(line)} chars overflows"
+    parsed = json.loads(line)
+    assert isinstance(parsed["queries"], dict)
+    assert parsed["n_omitted"] + len(parsed["queries"]) == len(timings)
+
+    # realistic profile: KEEP entries at 2-digit ds, tail sub-second,
+    # one tail entry regressed to 9 s → must be promoted
+    tail = sorted(benched - set(bench.BENCH_LINE_KEEP))
+    timings = {n: 3.2 for n in bench.BENCH_LINE_KEEP}
+    timings.update({n: 0.4 for n in tail})
+    regressed = tail[0]
+    timings[regressed] = 9.0
+    total = round(sum(timings.values()), 3)
+    line = bench.compose_final_line(timings, total, 0.1)
+    assert len(line) <= 1990
+    parsed = json.loads(line)
+    assert parsed["queries"][bench.BENCH_KEY_ALIASES[regressed]] == 90
+    assert parsed["n_omitted"] == len(tail) - 1
+    assert parsed["omitted_total_ds"] == 4 * (len(tail) - 1)
+
+    # (e) round-trip through the decode script
     spec = importlib.util.spec_from_file_location(
         "decode_bench_line",
         os.path.join(os.path.dirname(__file__), "..", "scripts",
@@ -111,29 +167,8 @@ def test_bench_packed_line_carries_every_entry_within_capture():
     )
     dec = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(dec)
+    out = dec.decode(parsed)
+    assert out[regressed] == 9.0
+    for n in bench.BENCH_LINE_KEEP:
+        assert abs(out[n] - 3.2) < 1e-9, n
 
-    # pessimistic timing profile: every entry 9.9 ds (2-digit), the
-    # ETL / streaming-drain tails at 3-digit ds — worse than any
-    # observed run (r11 real: 1745 chars at 245 entries)
-    timings = {n: 9.9 for n in bench.ANALYTICS_QUERIES}
-    timings.update({k: 9.9 for k in bench.REF_BENCH_KEYS.values()})
-    timings.update(
-        {"etl_derive_tables": 99.9, "pipeline_streaming_drain": 99.9}
-    )
-    packed = " ".join(
-        f"{bench.BENCH_KEY_ALIASES.get(k, k)}:{int(round(v * 10))}"
-        for k, v in sorted(timings.items(), key=lambda kv: -kv[1])
-    )
-    line = json.dumps(
-        {"metric": "wall", "value": round(sum(timings.values()), 3),
-         "unit": "sec", "qunit": "ds", "qfmt": "pack", "n_omitted": 0,
-         "queries": packed, "sf": 0.1},
-        separators=(",", ":"),
-    )
-    assert len(line) <= 1990, (
-        f"packed line {len(line)} chars overflows the driver capture — "
-        "shorten aliases before adding more queries"
-    )
-    out = dec.decode(json.loads(line))
-    assert set(out) == set(timings)
-    assert all(abs(out[k] - round(timings[k], 1)) < 1e-9 for k in timings)
