@@ -51,6 +51,12 @@ from aws_kinesis_data_ingestion_restapi_spark.streaming.stateful import (
 
 _seq = itertools.count()
 
+#: Measurement hook: when a probe sets this to a list, _drain appends
+#: (qname, recentProgress dicts) after each drain terminates — the
+#: commitTimeMs / stateOnCurrentVersionSizeBytes decomposition the
+#: optimization rounds use for attribution. Never set in query paths.
+_PROGRESS_SINK: list | None = None
+
 #: (applicationId, sf_dir) -> (orders_dir, payments_dir): the dual
 #: payment-join NDJSON feed, generated once and shared by the inner
 #: and leftOuter gates (checkpoints stay per-drain; see
@@ -79,6 +85,44 @@ def _scratch_dir(prefix: str) -> str:
             "/dev/shm", os.W_OK
         ) else None
     return tempfile.mkdtemp(prefix=prefix, dir=root)
+
+
+#: Target FEED bytes per streaming state partition (overridable for
+#: A/B attribution). The state-partition count of a stateful streaming
+#: query is frozen into its checkpoint at start() from
+#: spark.sql.shuffle.partitions; every HDFS-backed state store instance
+#: then commits one delta file per micro-batch PLUS pays provider
+#: init/maintenance — a per-partition FLOOR that is pure overhead when
+#: the state is tiny. Sizing the count to the DATA (feed bytes /
+#: target, capped by the session default) instead of the core count is
+#: the r12 VERDICT ask #2 fix: at sf0.1 the payment trio carried
+#: 32 partitions × 4 join state stores × ~3 commits each for a ~20 MB
+#: feed (measured commitTimeMs sums in OPTIMIZATION_r13.md), and the
+#: driver's own 8-core run (8 state partitions) beat the 32-core run
+#: 3-5 s vs 12-17 s per drain. At production volumes the byte-derived
+#: count hits the session-default cap and the setting is a no-op —
+#: scale-adaptive, not a local[32] constant (brief rule: no
+#: core-count-tuned config wins).
+_STATE_PART_TARGET = int(
+    os.environ.get("SPARK_GRAFT_STATE_PART_BYTES", str(4 * 1024 * 1024))
+)
+
+
+def _state_partitions(spark: SparkSession, feed_dirs) -> int:
+    """Data-derived state-partition count for a fresh-checkpoint drain:
+    ceil(feed bytes / _STATE_PART_TARGET), at least 1, never more than
+    the session's configured shuffle partitions (the production
+    value)."""
+    total = 0
+    for p in feed_dirs:
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(1, min(cap, -(-total // _STATE_PART_TARGET)))
 
 
 def _dump_single_ndjson(
@@ -158,23 +202,42 @@ def _drain(
     mode: str,
     name: str,
     cleanup_dir: str | list[str] | None = None,
+    state_feed_dirs: list[str] | None = None,
 ) -> DataFrame:
     """Run an availableNow drain into a memory sink and return the
     drained table. ``cleanup_dir`` (the adapter's NDJSON dump — one
     path or, for multiplexed multi-source drains, a list) and the
     checkpoint are removed on EVERY exit path — a failed or timed-out
-    drain must not leak multi-copy table dumps across gate retries."""
+    drain must not leak multi-copy table dumps across gate retries.
+
+    ``state_feed_dirs``: STATEFUL drains pass their feed dirs here and
+    the query starts with a data-derived state-partition count
+    (:func:`_state_partitions`) instead of the session default — set
+    around ``start()`` only: StreamExecution clones the session at
+    start, so the restored conf never leaks into the caller's batch
+    plans or a concurrently starting query (drains here are started
+    sequentially on the driver thread)."""
     qname = f"{name}_{next(_seq)}"
     ckpt = _scratch_dir(f"ckpt_{qname}_")
+    spark = decorated.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        q = (
-            decorated.writeStream.outputMode(mode)
-            .format("memory")
-            .queryName(qname)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
+        if state_feed_dirs is not None:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(_state_partitions(spark, state_feed_dirs)),
+            )
+        try:
+            q = (
+                decorated.writeStream.outputMode(mode)
+                .format("memory")
+                .queryName(qname)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         # awaitTermination(timeout) returns False on TIMEOUT with the
         # query still running — returning the memory table then would
         # silently hand back a truncated result. Stop the query and
@@ -185,6 +248,8 @@ def _drain(
                 f"streaming drain {qname} did not finish within 600s; "
                 "refusing to return a partially-filled memory table"
             )
+        if _PROGRESS_SINK is not None:
+            _PROGRESS_SINK.append((qname, list(q.recentProgress)))
     finally:
         # The memory sink holds the drained rows; the checkpoint is
         # dead weight once the availableNow query terminates.
@@ -223,7 +288,8 @@ def streaming_enriched_nation_totals(spark: SparkSession, sf_dir: str) -> DataFr
             dsum("amount", alias="total_amount"),
         )
     )
-    out = _drain(totals, "complete", "senrich", cleanup_dir=d)
+    out = _drain(totals, "complete", "senrich", cleanup_dir=d,
+                 state_feed_dirs=[d])
     return out.orderBy("nation")
 
 
@@ -238,7 +304,8 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit-tested for the custom-state cases)."""
     stream, d = _order_stream(spark, sf_dir, replays=2)
     deduped = streaming_dedup_builtin(stream)
-    out = _drain(deduped, "append", "sdedup", cleanup_dir=d)
+    out = _drain(deduped, "append", "sdedup", cleanup_dir=d,
+                 state_feed_dirs=[d])
     return out
 
 
@@ -255,7 +322,8 @@ def streaming_running_totals_final(spark: SparkSession, sf_dir: str) -> DataFram
         F.struct(F.col("amount")).alias("purchaise_details"),
     )
     totals = streaming_running_totals(nested)
-    drained = _drain(totals, "update", "stotals", cleanup_dir=d)
+    drained = _drain(totals, "update", "stotals", cleanup_dir=d,
+                     state_feed_dirs=[d])
     return (
         drained.groupBy("customer_id")
         .agg(
@@ -358,10 +426,12 @@ def _payment_match_drain(
         ),
         how,
     )
+    feed = _PAYMENT_FEED_CACHE[(spark.sparkContext.applicationId, sf_dir)]
     return _drain(
         joined.select("order_id", "customer_id", "amount", "delay_hours"),
         "append",
         qname,
+        state_feed_dirs=list(feed),
     )
 
 
@@ -475,7 +545,8 @@ def streaming_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date(F.col("w.start")).alias("day"), "n_events", "total_value"
         )
     )
-    out = _drain(agg, "append", "slate", cleanup_dir=d)
+    out = _drain(agg, "append", "slate", cleanup_dir=d,
+                 state_feed_dirs=[d])
     return out
 
 
@@ -527,7 +598,8 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    out = _drain(agg, "append", "ssess", cleanup_dir=d)
+    out = _drain(agg, "append", "ssess", cleanup_dir=d,
+                 state_feed_dirs=[d])
     return out
 
 
@@ -563,7 +635,8 @@ def streaming_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, base, "event_id long, value double", 2, "stream_quant_"
     )
     hist_state = sketch.quantile_sketch_histogram(stream, "value")
-    drained = _drain(hist_state, "complete", "squant", cleanup_dir=d)
+    drained = _drain(hist_state, "complete", "squant", cleanup_dir=d,
+                     state_feed_dirs=[d])
     q_pcts = [50, 90, 99]
     est2 = sketch.quantile_sketch_estimates(drained, q_pcts)
     est1 = sketch.quantile_sketch_estimates(
@@ -629,7 +702,8 @@ def streaming_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    out = _drain(agg, "append", "sslide", cleanup_dir=d)
+    out = _drain(agg, "append", "sslide", cleanup_dir=d,
+                 state_feed_dirs=[d])
     return out.orderBy("window_start")
 
 
@@ -757,6 +831,7 @@ def streaming_payment_match_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "fullOuter",
     )
+    feed = _PAYMENT_FEED_CACHE[(spark.sparkContext.applicationId, sf_dir)]
     return _drain(
         joined.select(
             F.coalesce("order_id", "p_order_id").alias("order_key"),
@@ -766,6 +841,7 @@ def streaming_payment_match_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "append",
         "sfjoin",
+        state_feed_dirs=list(feed),
     )
 
 
@@ -817,7 +893,8 @@ def streaming_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    panel = _drain(agg, "append", "sdrift", cleanup_dir=d)
+    panel = _drain(agg, "append", "sdrift", cleanup_dir=d,
+                   state_feed_dirs=[d])
     baseline = events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("b")
     )
@@ -931,7 +1008,8 @@ def streaming_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    panel = _drain(agg, "append", "stopk", cleanup_dir=d)
+    panel = _drain(agg, "append", "stopk", cleanup_dir=d,
+                   state_feed_dirs=[d])
     from pyspark.sql.window import Window
 
     wr = Window.partitionBy("window_start").orderBy(
@@ -981,7 +1059,8 @@ def streaming_cusum_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.to_date(F.col("w.start")).alias("day"), "n")
     )
-    panel = _drain(agg, "append", "scusum", cleanup_dir=d)
+    panel = _drain(agg, "append", "scusum", cleanup_dir=d,
+                   state_feed_dirs=[d])
     return analytics.cusum_scores(panel)
 
 
@@ -1017,7 +1096,8 @@ def streaming_user_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", F.to_date(F.col("w.start")).alias("day"), "n"
         )
     )
-    panel = _drain(agg, "append", "suanom", cleanup_dir=d)
+    panel = _drain(agg, "append", "suanom", cleanup_dir=d,
+                   state_feed_dirs=[d])
     return user_anomaly_scores(panel)
 
 
@@ -1198,7 +1278,8 @@ def streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rho",
         )
     )
-    drained = _drain(regs, "append", "shll", cleanup_dir=d)
+    drained = _drain(regs, "append", "shll", cleanup_dir=d,
+                     state_feed_dirs=[d])
     est = sk.hll_estimate(drained, ["scope"])
     keyed = events.select(
         _as_ts(events, "ts").cast("date").cast("string").alias("scope"),

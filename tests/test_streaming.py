@@ -1056,3 +1056,54 @@ def test_streaming_asof_matches_batch_asof_and_stays_stateless(spark):
             assert stateful not in plan, stateful
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_state_partitions_are_data_derived_and_capped(spark, tmp_path):
+    """r13 optimization pin (guide §2/§5): stateful drains size their
+    state-partition count to the FEED bytes (ceil(bytes/target)),
+    clamped to [1, session shuffle partitions] — and the count really
+    reaches the started query (stateOperators.numShufflePartitions in
+    the progress metrics), while the session conf is restored for
+    batch plans. At production feed sizes the formula saturates at the
+    session default, so this is scale-adaptive, never a local-core
+    constant."""
+    from aws_kinesis_data_ingestion_restapi_spark.streaming import (
+        registry_stream as rs,
+    )
+
+    # sizing math: 1 byte -> 1 partition; huge feed -> session cap
+    d = tmp_path / "feed"
+    d.mkdir()
+    (d / "a.json").write_bytes(b"x")
+    assert rs._state_partitions(spark, [str(d)]) == 1
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    big = rs._STATE_PART_TARGET * (cap + 7)
+    (d / "b.json").write_bytes(b"\0" * min(big, 64 * 1024 * 1024))
+    if big <= 64 * 1024 * 1024:
+        assert rs._state_partitions(spark, [str(d)]) == cap
+    # monotone: more bytes never fewer partitions
+    assert rs._state_partitions(spark, [str(d)]) >= 1
+
+    # end-to-end: the derived count is what the stateful query runs
+    # with, and the session conf is untouched afterwards
+    prev_conf = spark.conf.get("spark.sql.shuffle.partitions")
+    sink: list = []
+    old_sink = rs._PROGRESS_SINK
+    rs._PROGRESS_SINK = sink
+    try:
+        rs.streaming_cusum_gate(spark, "/root/testdata/sf0.001").collect()
+    finally:
+        rs._PROGRESS_SINK = old_sink
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev_conf
+    import json as _json
+
+    n_parts = set()
+    for _qn, progs in sink:
+        for p in progs:
+            if isinstance(p, str):
+                p = _json.loads(p)
+            for so in p.get("stateOperators", []):
+                n_parts.add(so.get("numShufflePartitions"))
+    assert n_parts, "no stateful progress captured"
+    # sf0.001 events feed is far below one target chunk -> 1 partition
+    assert n_parts == {1}, n_parts
