@@ -266,41 +266,73 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     Boilerplate and degenerate generations repeat; these three ratios
     are the standard cheap detectors (Rae et al. '21 §A1.2 use the
     same family). All ratios are single IEEE divisions of exact ints
-    — bit-identical cross-engine. The set fractions are pure codegen;
-    the top-token share is one (doc, token) count shuffle + a
-    max-struct aggregate, no window over the corpus.
+    — bit-identical cross-engine.
+
+    r13 optimization (guide §2.4 — remove shuffles outright): the
+    top-token share used to explode every token into a corpus-wide
+    (doc, token) count shuffle plus a max-struct re-aggregate — two
+    Exchanges carrying three ratio columns per token row. A token's
+    count is its RUN LENGTH in the doc's sorted token array, so the
+    whole statistic is per-row array arithmetic: sort, fold once
+    tracking (prev, current run, best run). Ties break to the
+    smallest token exactly as before — sorted order visits tokens
+    ascending and the strictly-greater update keeps the first
+    maximum. The full query is now a single scan + projection (zero
+    Exchange; plans/r13); values bit-identical (exceptAll 0 both
+    directions at sf0.1, oracle-proven at all gate SFs). Zero-token
+    docs stay excluded (the explode dropped them; the filter keeps
+    that contract).
     """
-    base = docs.select("doc_id", tokens_col().alias("_toks")).select(
-        "doc_id",
-        F.size("_toks").cast("long").alias("n_tokens"),
-        (
-            F.size(F.array_distinct("_toks")).cast("double")
-            / F.size("_toks")
-        ).alias("distinct_token_frac"),
-        F.when(
-            F.size("_toks") >= 2,
-            F.size(_word_ngrams2("_toks")).cast("double")
-            / (F.size("_toks") - 1),
-        ).alias("distinct_bigram_frac"),
-        F.explode("_toks").alias("tok"),
-    )
-    counts = base.groupBy(
-        "doc_id", "n_tokens", "distinct_token_frac", "distinct_bigram_frac", "tok"
-    ).agg(F.count(F.lit(1)).alias("_c"))
-    return (
-        counts.groupBy(
-            "doc_id", "n_tokens", "distinct_token_frac", "distinct_bigram_frac"
-        )
-        .agg(F.min(F.struct((-F.col("_c")).alias("_nc"), F.col("tok"))).alias("_m"))
+    t = tokens_col()
+    base = (
+        docs.select("doc_id", t.alias("_toks"))
+        .filter(F.size("_toks") >= 1)
         .select(
             "doc_id",
-            "n_tokens",
-            "distinct_token_frac",
-            "distinct_bigram_frac",
-            ((-F.col("_m._nc")).cast("double") / F.col("n_tokens")).alias(
-                "top_token_frac"
-            ),
+            F.size("_toks").cast("long").alias("n_tokens"),
+            (
+                F.size(F.array_distinct("_toks")).cast("double")
+                / F.size("_toks")
+            ).alias("distinct_token_frac"),
+            F.when(
+                F.size("_toks") >= 2,
+                F.size(_word_ngrams2("_toks")).cast("double")
+                / (F.size("_toks") - 1),
+            ).alias("distinct_bigram_frac"),
+            F.array_sort("_toks").alias("_s"),
         )
+    )
+    # fold state: (prev token, current run, best run). tokens_col
+    # never yields '' tokens, so the '' initial prev matches nothing.
+    top_count = F.aggregate(
+        F.col("_s"),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(acc["prev"] == x, acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(acc["prev"] == x, acc["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "distinct_token_frac",
+        "distinct_bigram_frac",
+        (top_count.cast("double") / F.col("n_tokens")).alias(
+            "top_token_frac"
+        ),
     )
 
 
