@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import math
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1255,18 +1256,28 @@ def events_type_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: applicationId.
 _SESSION_FRAME_CACHE: dict[tuple, DataFrame] = {}
 
+#: Guards _SESSION_FRAME_CACHE dict ops only (r13: the ANN audit
+#: panels build on a thread pool — guide §2.6). build() runs OUTSIDE
+#: the lock so independent builds overlap; concurrent builders of
+#: DISTINCT keys never serialize, and the callers that fan out submit
+#: one key per thread.
+_SESSION_FRAME_LOCK = threading.Lock()
+
 
 def _session_cached(spark: SparkSession, key: tuple, build) -> DataFrame:
     app = spark.sparkContext.applicationId
     full = (app, *key)
-    cached = _SESSION_FRAME_CACHE.get(full)
-    if cached is not None:
-        return cached
-    for k in [k for k in _SESSION_FRAME_CACHE if k[0] != app]:
-        del _SESSION_FRAME_CACHE[k]
+    with _SESSION_FRAME_LOCK:
+        cached = _SESSION_FRAME_CACHE.get(full)
+        if cached is not None:
+            return cached
+        for k in [k for k in _SESSION_FRAME_CACHE if k[0] != app]:
+            del _SESSION_FRAME_CACHE[k]
     frame = build()
-    _SESSION_FRAME_CACHE[full] = frame
-    return frame
+    with _SESSION_FRAME_LOCK:
+        # a concurrent builder of the SAME key may have landed first;
+        # keep the first frame so every consumer shares one checkpoint
+        return _SESSION_FRAME_CACHE.setdefault(full, frame)
 
 
 def _minhash_sigs(
@@ -4185,10 +4196,28 @@ def _audit_topk_panels(
     (the standalone ann_topk_* entries read the same cached frames —
     r12 optimization; panels keep each method's FULL output schema so
     they can). Panels are ≤50 rows each; pinning them is free."""
-    return {
-        name: _audit_topk_panel(spark, sf_dir, clustered, name)
-        for name in _AUDIT_METHODS
-    }
+    # r13 (guide §2.6 — overlap independent jobs): the 7 method
+    # searches are independent; building them serially left the
+    # cluster idle behind each build's eager tail (probe: 38.7 s
+    # serial panel sum, ivfpq_t alone 14.7 s). Fan the UNBUILT panels
+    # out on a thread pool — each in its own FAIR pool so the jobs
+    # time-slice — and the audit's first-toucher wall drops to about
+    # the slowest chain (the trained-quantizer one). Cache hits return
+    # instantly either way; the standalone ann_topk_* entries still
+    # build lazily one at a time.
+    from concurrent.futures import ThreadPoolExecutor
+
+    sc = spark.sparkContext
+
+    def one(name: str) -> tuple[str, DataFrame]:
+        sc.setLocalProperty("spark.scheduler.pool", f"ann_panel_{name}")
+        try:
+            return name, _audit_topk_panel(spark, sf_dir, clustered, name)
+        finally:
+            sc.setLocalProperty("spark.scheduler.pool", None)
+
+    with ThreadPoolExecutor(max_workers=len(_AUDIT_METHODS)) as pool:
+        return dict(pool.map(one, _AUDIT_METHODS))
 
 
 def _recall_audit_over(panels: dict[str, DataFrame]) -> DataFrame:
