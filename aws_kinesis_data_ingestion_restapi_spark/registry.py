@@ -2742,40 +2742,32 @@ ORACLE_SQL["streaming_value_quantiles"] = f"""
 # park stable, already-driver-verified, untouched baselines at the
 # tail, where falling past position 50 loses nothing.
 # --- BEGIN GENERATED GATE ORDER (scripts/gen_gate_head.py) ---
-# Window = 0 never-driver-checked additions + 28 changed
-# entries + the 22 stalest driver greens (last green in
+# Window = 0 never-driver-checked additions + 20 changed
+# entries + the 30 stalest driver greens (last green in
 # round(s) [0, 6], from CORRECTNESS_r*.json). Regenerate with
 #   python scripts/gen_gate_head.py
 # (pytest runs --check; hand-edits here go stale and FAIL).
 _GATE_HEAD = [
-    "ann_topk_brute",  # last driver green: r12
-    "ann_topk_lsh",  # last driver green: r12
-    "ann_topk_lsh_multi",  # last driver green: r12
-    "ann_topk_ivf",  # last driver green: r12
-    "ann_topk_pq",  # last driver green: r12
-    "ann_topk_ivfpq",  # last driver green: r12
-    "ann_topk_ivfpq_trained",  # last driver green: r12
+    "text_repetition",  # last driver green: r6
+    "streaming_payment_match",  # last driver green: r12
+    "streaming_payment_match_outer",  # last driver green: r12
+    "streaming_payment_match_full",  # last driver green: r12
+    "streaming_topk_users",  # last driver green: r11
+    "streaming_running_totals_final",  # last driver green: r7
+    "streaming_dedup_replay",  # last driver green: r7
+    "streaming_hll_users",  # last driver green: r11
+    "streaming_sliding_1h_15m",  # last driver green: r11
+    "streaming_session_windows",  # last driver green: r11
+    "streaming_late_data_policy",  # last driver green: r11
+    "streaming_value_quantiles",  # last driver green: r6
+    "streaming_cusum_gate",  # last driver green: r11
+    "streaming_user_anomalies",  # last driver green: r11
+    "streaming_drift_tvd",  # last driver green: r11
+    "streaming_enriched_nation_totals",  # last driver green: r7
     "ann_recall_audit",  # last driver green: r12
     "ann_recall_clustered",  # last driver green: r12
     "ann_label_audit",  # last driver green: r12
     "ann_label_audit_clustered",  # last driver green: r12
-    "text_keywords",  # last driver green: r12
-    "retrieval_known_item_eval",  # last driver green: r12
-    "retrieval_eval_mrr",  # last driver green: r12
-    "retrieval_eval_ndcg",  # last driver green: r12
-    "retrieval_margin_profile",  # last driver green: r12
-    "text_vocab_coverage",  # last driver green: r12
-    "customers_k_generalize",  # last driver green: r12
-    "customers_l_diversity",  # last driver green: r12
-    "customers_t_closeness",  # last driver green: r12
-    "graph_kcore_purchases",  # last driver green: r12
-    "dedup_exact_substring",  # last driver green: r12
-    "dedup_remove_substrings",  # last driver green: r12
-    "retrieval_hybrid_rrf3",  # last driver green: r12
-    "retrieval_mmr_topk",  # last driver green: r12
-    "streaming_payment_match",  # last driver green: r12
-    "streaming_payment_match_outer",  # last driver green: r12
-    "streaming_payment_match_full",  # last driver green: r12
     "events_user_gini",  # last driver green: r0
     "graph_degree_octaves",  # last driver green: r0
     "graph_supplier_similarity",  # last driver green: r0
@@ -2798,16 +2790,36 @@ _GATE_HEAD = [
     "events_attribution",  # last driver green: r6
     "events_sessionization",  # last driver green: r6
     "events_type_mode",  # last driver green: r6
+    "events_type_value_quantiles",  # last driver green: r6
+    "events_value_histogram",  # last driver green: r6
+    "events_variant_props",  # last driver green: r6
+    "fuzzy_customer_names",  # last driver green: r6
+    "incremental_sales_rollup",  # last driver green: r6
+    "pipeline_compaction",  # last driver green: r6
+    "pipeline_partition_scan",  # last driver green: r6
+    "profile_documents",  # last driver green: r6
 ]
 _GATE_TAIL = [
     "ann_filtered_recall_audit",  # last driver green: r12
+    "ann_topk_brute",  # last driver green: r12
+    "ann_topk_ivf",  # last driver green: r12
+    "ann_topk_ivfpq",  # last driver green: r12
     "ann_topk_ivfpq_filtered",  # last driver green: r12
+    "ann_topk_ivfpq_trained",  # last driver green: r12
+    "ann_topk_lsh",  # last driver green: r12
+    "ann_topk_lsh_multi",  # last driver green: r12
+    "ann_topk_pq",  # last driver green: r12
     "corpus_mixture_temperature",  # last driver green: r12
+    "customers_k_generalize",  # last driver green: r12
+    "customers_l_diversity",  # last driver green: r12
+    "customers_t_closeness",  # last driver green: r12
     "dedup_band_load_octaves",  # last driver green: r12
     "dedup_benchmark_canaries",  # last driver green: r12
     "dedup_boilerplate_lines",  # last driver green: r12
     "dedup_cluster_size_histogram",  # last driver green: r12
     "dedup_decontaminate_semantic",  # last driver green: r12
+    "dedup_exact_substring",  # last driver green: r12
+    "dedup_remove_substrings",  # last driver green: r12
     "dedup_source_vocab_overlap",  # last driver green: r12
     "dedup_strip_boilerplate",  # last driver green: r12
     "docs_quality_by_length",  # last driver green: r12
@@ -2822,6 +2834,15 @@ _GATE_TAIL = [
     "events_interarrival_quantiles",  # last driver green: r12
     "events_pettitt_changepoint",  # last driver green: r12
     "events_session_profile",  # last driver green: r12
+    "graph_kcore_purchases",  # last driver green: r12
+    "retrieval_eval_mrr",  # last driver green: r12
+    "retrieval_eval_ndcg",  # last driver green: r12
+    "retrieval_hybrid_rrf3",  # last driver green: r12
+    "retrieval_known_item_eval",  # last driver green: r12
+    "retrieval_margin_profile",  # last driver green: r12
+    "retrieval_mmr_topk",  # last driver green: r12
+    "text_keywords",  # last driver green: r12
+    "text_vocab_coverage",  # last driver green: r12
     "ann_centroid_drift",  # last driver green: r11
     "bucketed_sales_join",  # last driver green: r11
     "corpus_content_hashes",  # last driver green: r11
@@ -2851,18 +2872,10 @@ _GATE_TAIL = [
     "mm_video_near_dup",  # last driver green: r11
     "quality_scorer_agreement",  # last driver green: r11
     "sketch_heavy_hitters",  # last driver green: r11
-    "streaming_cusum_gate",  # last driver green: r11
     "streaming_decontamination_gate",  # last driver green: r11
-    "streaming_drift_tvd",  # last driver green: r11
     "streaming_er_delta",  # last driver green: r11
     "streaming_fk_gate",  # last driver green: r11
-    "streaming_hll_users",  # last driver green: r11
-    "streaming_late_data_policy",  # last driver green: r11
     "streaming_quality_gate",  # last driver green: r11
-    "streaming_session_windows",  # last driver green: r11
-    "streaming_sliding_1h_15m",  # last driver green: r11
-    "streaming_topk_users",  # last driver green: r11
-    "streaming_user_anomalies",  # last driver green: r11
     "text_pii_extract",  # last driver green: r11
     "text_tokenizer_compare",  # last driver green: r11
     "warehouse_fk_audit",  # last driver green: r11
@@ -3009,23 +3022,12 @@ _GATE_TAIL = [
     "sales_yoy_full_outer",  # last driver green: r7
     "serving_last_write_wins",  # last driver green: r7
     "sql_recursive_rollup",  # last driver green: r7
-    "streaming_dedup_replay",  # last driver green: r7
-    "streaming_enriched_nation_totals",  # last driver green: r7
-    "streaming_running_totals_final",  # last driver green: r7
     "text_bm25_search",  # last driver green: r7
     "text_build_postings",  # last driver green: r7
     "text_length_quantiles",  # last driver green: r7
     "text_model_quality",  # last driver green: r7
     "text_quality_sample",  # last driver green: r7
     "top_orders_per_customer",  # last driver green: r7
-    "events_type_value_quantiles",  # last driver green: r6
-    "events_value_histogram",  # last driver green: r6
-    "events_variant_props",  # last driver green: r6
-    "fuzzy_customer_names",  # last driver green: r6
-    "incremental_sales_rollup",  # last driver green: r6
-    "pipeline_compaction",  # last driver green: r6
-    "pipeline_partition_scan",  # last driver green: r6
-    "profile_documents",  # last driver green: r6
     "q10_returned_items",  # last driver green: r6
     "q12_ship_delay_classes",  # last driver green: r6
     "q5_local_supplier_volume",  # last driver green: r6
@@ -3037,8 +3039,6 @@ _GATE_TAIL = [
     "sketch_distinct_trigrams",  # last driver green: r6
     "sketch_value_quantiles",  # last driver green: r6
     "sql_above_average_orders",  # last driver green: r6
-    "streaming_value_quantiles",  # last driver green: r6
-    "text_repetition",  # last driver green: r6
 ]
 # --- END GENERATED GATE ORDER ---
 

@@ -34,42 +34,35 @@ REGISTRY = os.path.join(
 )
 WINDOW = 50
 
-#: Round-12 rotation set: every query that is NEW this round or whose
-#: OUTPUT or IMPLEMENTATION changed (next round: replace this list).
-#: Grown in place during the round — regenerate after each addition.
+#: Round-13 rotation set: every query whose IMPLEMENTATION changed
+#: this round (outputs bit-identical, re-proven vs the oracle at
+#: sf0.001/sf0.01 — see OPTIMIZATION_r13.md). Zero new operators this
+#: round (surface frozen per VERDICT r12 item 8).
 MUST_ROTATE = [
-    # --- round 12 OPTIMIZATION pass: implementation changed (outputs
-    # bit-identical, re-proven vs the oracle at sf0.01 + sf0.1; see
-    # OPTIMIZATION_r12.md) — rotated into the driver window so the
-    # fresh implementations carry a driver green ---
-    "ann_topk_brute",            # shared audit-panel cache
-    "ann_topk_lsh",              # shared audit-panel cache
-    "ann_topk_lsh_multi",        # shared audit-panel cache
-    "ann_topk_ivf",              # shared audit-panel cache
-    "ann_topk_pq",               # shared audit-panel cache
-    "ann_topk_ivfpq",            # shared audit-panel cache
-    "ann_topk_ivfpq_trained",    # shared audit-panel cache
-    "ann_recall_audit",          # panels now full-schema, lazy per-method
-    "ann_recall_clustered",      # panels now full-schema, lazy per-method
-    "ann_label_audit",           # panels now full-schema, lazy per-method
-    "ann_label_audit_clustered", # panels now full-schema, lazy per-method
-    "text_keywords",             # _keywords3 session cache
-    "retrieval_known_item_eval", # _bm25_known_panel session cache
-    "retrieval_eval_mrr",        # rides the cached panel
-    "retrieval_eval_ndcg",       # rides the cached panel
-    "retrieval_margin_profile",  # panel rank<=2 slice == top_n=2
-    "text_vocab_coverage",       # (lang,word) table hoisted + checkpointed
-    "customers_k_generalize",    # ladder truncates per level
-    "customers_l_diversity",     # rides the truncated ladder
-    "customers_t_closeness",     # rides the truncated ladder
-    "graph_kcore_purchases",     # fixpoint early exit
-    "dedup_exact_substring",     # _dup_spans session cache
-    "dedup_remove_substrings",   # applies the cached span report
-    "retrieval_hybrid_rrf3",     # _rrf3_panel session cache
-    "retrieval_mmr_topk",        # rides the cached RRF3 panel
-    "streaming_payment_match",        # parallel feed dump
-    "streaming_payment_match_outer",  # parallel feed dump
-    "streaming_payment_match_full",   # parallel feed dump
+    # shuffle-free top-token fold (guide §2.4)
+    "text_repetition",
+    # data-derived state-partition sizing (guide §2/§5) — all 15
+    # stateful drains start with ceil(feed_bytes/4MiB) state partitions
+    "streaming_payment_match",
+    "streaming_payment_match_outer",
+    "streaming_payment_match_full",
+    "streaming_topk_users",
+    "streaming_running_totals_final",
+    "streaming_dedup_replay",
+    "streaming_hll_users",
+    "streaming_sliding_1h_15m",
+    "streaming_session_windows",
+    "streaming_late_data_policy",
+    "streaming_value_quantiles",
+    "streaming_cusum_gate",
+    "streaming_user_anomalies",
+    "streaming_drift_tvd",
+    "streaming_enriched_nation_totals",
+    # concurrent ANN audit-panel builds (guide §2.6; plans unchanged)
+    "ann_recall_audit",
+    "ann_recall_clustered",
+    "ann_label_audit",
+    "ann_label_audit_clustered",
 ]
 
 
