@@ -81,9 +81,19 @@ def _scratch_dir(prefix: str) -> str:
     path to restore the old behavior or to bound memory use)."""
     root = os.environ.get("SPARK_GRAFT_STREAM_SCRATCH")
     if not root:
-        root = "/dev/shm" if os.path.isdir("/dev/shm") and os.access(
-            "/dev/shm", os.W_OK
-        ) else None
+        # r13 (ADVICE r12): tmpfs is RAM-backed with no capacity guard —
+        # a large fixture dump on a memory-constrained host could
+        # exhaust shared memory mid-drain. Use /dev/shm only while it
+        # has comfortable headroom (4 GiB ≫ any gate/bench fixture;
+        # sf0.1's largest dual feed is ~50 MB); otherwise fall back to
+        # the default disk-backed tmp dir.
+        if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+            try:
+                st = os.statvfs("/dev/shm")
+                if st.f_bavail * st.f_frsize >= 4 << 30:
+                    root = "/dev/shm"
+            except OSError:
+                pass
     return tempfile.mkdtemp(prefix=prefix, dir=root)
 
 
